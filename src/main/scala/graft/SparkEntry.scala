@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator-parity surface: one named query per operator
+  * in SURVEY.md §2 (plus the beyond-reference LLM-pipeline operators),
+  * each taking (session, scale-factor dir). `oracleSql` holds the DuckDB
+  * equivalent for every SQL-expressible query; the driver hash-compares
+  * the two at sf0.01.
+  */
 object SparkEntry {
+
+  private val allSpecs: Seq[QuerySpec] =
+    CoreQueries.specs ++ JoinQueries.specs ++ FunctionQueries.specs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q19_join_inner_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QuerySpec.toQueries(allSpecs)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = QuerySpec.toOracles(allSpecs)
+
+  /** Headline subset used by Bench (one per operator family). */
+  def benchQueries: Seq[String] = Seq(
+    "q01_scan_project", "q06_agg_group", "q08_agg_countdistinct",
+    "q11_percentile_group", "q18_cte_window", "q19_join_inner_agg",
+    "q23_join_broadcast", "q25_date_funcs")
 }

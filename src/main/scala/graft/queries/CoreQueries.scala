@@ -1,0 +1,335 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Td
+
+/** Reference-surface operators: scans/projections/filters (SURVEY.md §2.2),
+  * hash aggregations (§2.4), windows (§2.5), sorts (§2.6), set ops (§2.7),
+  * and the dashboard SQL shapes (§3.3), re-expressed on the TPC-H-ish
+  * testdata per FIXTURES.md §B's operator→fixture mapping.
+  *
+  * Everything here is declarative DataFrame/SQL — Catalyst handles
+  * pushdown, column pruning, partial aggregation, and AQE. At 100 TB the
+  * only data movement any of these plans needs is the single hash-exchange
+  * on the (low-cardinality) group keys; scans prune to the referenced
+  * columns (verified via explain in BenchSpec).
+  */
+object CoreQueries {
+
+  /** Exact, order-insensitive sum of a double column: decimal-sum then
+    * back to double. Bit-stable across engines and partitionings. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  private def li(s: SparkSession, d: String) = Td.load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Td.load(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Td.load(s, d, "customer")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- P1-P4: scan + projection + filter + arithmetic ----------------
+    QuerySpec("q01_scan_project",
+      (s, d) => li(s, d)
+        .filter(col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS revenue
+              FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    QuerySpec("q02_filter_isin",
+      (s, d) => li(s, d)
+        .filter(col("l_returnflag").isin("A", "R")
+          && col("l_quantity") >= 25
+          && col("l_discount").between(0.02, 0.08))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+              FROM lineitem
+              WHERE l_returnflag IN ('A','R') AND l_quantity >= 25
+                AND l_discount BETWEEN 0.02 AND 0.08
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- CASE bucketizer (silver-layer shape, §2.8 when/otherwise) -----
+    QuerySpec("q03_case_bucketize",
+      (s, d) => li(s, d)
+        .withColumn("qty_bucket",
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 25, "mid")
+            .when(col("l_quantity") < 40, "high")
+            .otherwise("xhigh"))
+        .groupBy("qty_bucket")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("qty_bucket"),
+      Some("""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                          WHEN l_quantity < 25 THEN 'mid'
+                          WHEN l_quantity < 40 THEN 'high'
+                          ELSE 'xhigh' END AS qty_bucket,
+                     count(*) AS cnt,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+              FROM lineitem GROUP BY 1 ORDER BY qty_bucket""")),
+
+    // ---- two-phase median imputation (reference J2 pattern, §2.3/§2.10) -
+    // The scalar crosses executor→driver exactly once and re-enters the
+    // next plan as a literal — the same pattern the reference uses for its
+    // five medians (diabetes_etl_pipeline.py:123-151).
+    QuerySpec("q04_impute_median",
+      (s, d) => {
+        val l = li(s, d)
+        val med = l.filter(col("l_quantity") > 0)
+          .select(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
+        l.select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(when(col("l_discount") === 0, lit(med))
+            .otherwise(col("l_extendedprice")), 2).as("price_imputed"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+                     round(CASE WHEN l_discount = 0
+                           THEN (SELECT quantile_cont(l_extendedprice, 0.5)
+                                 FROM lineitem WHERE l_quantity > 0)
+                           ELSE l_extendedprice END, 2) AS price_imputed
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- weighted risk score (reference silver risk_score shape) -------
+    QuerySpec("q05_weighted_score",
+      (s, d) => li(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round((col("l_quantity") / 50.0) * 0.3
+            + (col("l_extendedprice") / 100000.0) * 0.5
+            + (col("l_discount") * 10.0) * 0.2, 4).as("score"),
+          (col("l_tax") * 100.0).cast(IntegerType).as("tax_pct"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     round((l_quantity / CAST(50.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+                         + (l_extendedprice / CAST(100000.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+                         + (l_discount * CAST(10.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE), 4) AS score,
+                     CAST(l_tax * CAST(100.0 AS DOUBLE) AS INTEGER) AS tax_pct
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- A1/A5/A6/A8/A9: grouped hash agg ------------------------------
+    QuerySpec("q06_agg_group",
+      (s, d) => li(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+                     min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- A10/A12: stddev (sample) + Pearson corr ------------------------
+    QuerySpec("q07_agg_stats",
+      (s, d) => li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS sd_qty,
+                     round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- A11: exact countDistinct (Expand-based, not HLL) ---------------
+    QuerySpec("q08_agg_countdistinct",
+      (s, d) => li(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+                     count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- A7: conditional count (sum-of-when) ----------------------------
+    QuerySpec("q09_agg_countif",
+      (s, d) => li(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("high_disc"),
+          sum(when(col("l_tax") === 0, 1).otherwise(0)).as("zero_tax"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+                     CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS high_disc,
+                     CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_tax,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---- A4: global (no-key) aggregate, 1 row ----------------------------
+    QuerySpec("q10_agg_global",
+      (s, d) => li(s, d)
+        .agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship")),
+      Some("""SELECT count(*) AS cnt, count(DISTINCT l_suppkey) AS distinct_supps,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+                     min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+              FROM lineitem""")),
+
+    // ---- A13: exact percentile per group ---------------------------------
+    QuerySpec("q11_percentile_group",
+      (s, d) => li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
+          round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+                     round(quantile_cont(l_quantity, 0.9), 2) AS p90_qty
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- A15: HAVING ------------------------------------------------------
+    QuerySpec("q12_having",
+      (s, d) => ord(s, d)
+        .groupBy("o_custkey")
+        .agg(dsum(col("o_totalprice")).as("spend"), count(lit(1)).as("n_orders"))
+        .where(col("spend") > 500000.0)
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend,
+                     count(*) AS n_orders
+              FROM orders GROUP BY o_custkey
+              HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) > 500000.0
+              ORDER BY o_custkey""")),
+
+    // ---- A16: GROUP BY CASE expression ------------------------------------
+    QuerySpec("q13_group_by_case",
+      (s, d) => ord(s, d)
+        .groupBy(when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large").as("price_band"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("price_band"),
+      Some("""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                          WHEN o_totalprice < 150000 THEN 'medium'
+                          ELSE 'large' END AS price_band,
+                     count(*) AS cnt,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+              FROM orders GROUP BY 1 ORDER BY price_band""")),
+
+    // ---- O2: ORDER BY CASE (custom categorical ordering) ------------------
+    QuerySpec("q14_orderby_case",
+      (s, d) => ord(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(expr("""CASE o_orderpriority
+            WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+            WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END""")),
+      Some("""SELECT o_orderpriority, count(*) AS cnt
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY CASE o_orderpriority
+                WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+                WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END""")),
+
+    // ---- U1: 8-way UNION ALL of 1-row selects (KPI unpivot) ----------------
+    QuerySpec("q15_union_all_kpi",
+      (s, d) => {
+        Td.registerAll(s, d)
+        s.sql("""
+          SELECT 'total_customers' AS metric, count(*) AS value FROM customer
+          UNION ALL SELECT 'total_orders', count(*) FROM orders
+          UNION ALL SELECT 'total_lineitems', count(*) FROM lineitem
+          UNION ALL SELECT 'total_suppliers', count(*) FROM supplier
+          UNION ALL SELECT 'total_parts', count(*) FROM part
+          UNION ALL SELECT 'total_nations', count(*) FROM nation
+          UNION ALL SELECT 'total_regions', count(*) FROM region
+          UNION ALL SELECT 'total_events', count(*) FROM events
+          ORDER BY metric""")
+      },
+      Some("""SELECT 'total_customers' AS metric, count(*) AS value FROM customer
+              UNION ALL SELECT 'total_orders', count(*) FROM orders
+              UNION ALL SELECT 'total_lineitems', count(*) FROM lineitem
+              UNION ALL SELECT 'total_suppliers', count(*) FROM supplier
+              UNION ALL SELECT 'total_parts', count(*) FROM part
+              UNION ALL SELECT 'total_nations', count(*) FROM nation
+              UNION ALL SELECT 'total_regions', count(*) FROM region
+              UNION ALL SELECT 'total_events', count(*) FROM events
+              ORDER BY metric""")),
+
+    // ---- J1: scalar subquery as divisor (dashboard dataset 3 shape) --------
+    QuerySpec("q16_scalar_subquery",
+      (s, d) => {
+        Td.registerAll(s, d)
+        s.sql("""
+          SELECT c_mktsegment, count(*) AS cnt,
+                 round(count(*) * CAST(100.0 AS DOUBLE) / (SELECT count(*) FROM customer), 2) AS pct
+          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS cnt,
+                     round(count(*) * CAST(100.0 AS DOUBLE) / (SELECT count(*) FROM customer), 2) AS pct
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- W1: unpartitioned window SUM() OVER () (share-of-total) -----------
+    // NOTE (scale): an empty partitionBy collapses to ONE partition — fine
+    // here because the window input is the already-aggregated 5-row table,
+    // never the fact table. At 100 TB do the same: aggregate first, window
+    // over the tiny aggregate (or broadcast a scalar as in q16).
+    QuerySpec("q17_window_share",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        ord(s, d)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("pct",
+            round(col("cnt") * 100.0 / sum(col("cnt")).over(Window.partitionBy()), 2))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, cnt,
+                     round(cnt * CAST(100.0 AS DOUBLE) / SUM(cnt) OVER (), 2) AS pct
+              FROM (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1)
+              ORDER BY o_orderpriority""")),
+
+    // ---- dashboard dataset-6 shape: CTE + GROUP BY CASE + window + sort ----
+    QuerySpec("q18_cte_window",
+      (s, d) => {
+        Td.registerAll(s, d)
+        s.sql("""
+          WITH price_distribution AS (
+            SELECT CASE WHEN o_totalprice < 50000 THEN '1. <50k'
+                        WHEN o_totalprice < 100000 THEN '2. 50-100k'
+                        WHEN o_totalprice < 200000 THEN '3. 100-200k'
+                        WHEN o_totalprice < 300000 THEN '4. 200-300k'
+                        ELSE '5. 300k+' END AS price_range,
+                   count(*) AS cnt
+            FROM orders GROUP BY 1)
+          SELECT price_range, cnt,
+                 round(cnt * CAST(100.0 AS DOUBLE) / SUM(cnt) OVER (), 1) AS pct_of_total
+          FROM price_distribution ORDER BY price_range""")
+      },
+      Some("""WITH price_distribution AS (
+                SELECT CASE WHEN o_totalprice < 50000 THEN '1. <50k'
+                            WHEN o_totalprice < 100000 THEN '2. 50-100k'
+                            WHEN o_totalprice < 200000 THEN '3. 100-200k'
+                            WHEN o_totalprice < 300000 THEN '4. 200-300k'
+                            ELSE '5. 300k+' END AS price_range,
+                       count(*) AS cnt
+                FROM orders GROUP BY 1)
+              SELECT price_range, cnt,
+                     round(cnt * CAST(100.0 AS DOUBLE) / SUM(cnt) OVER (), 1) AS pct_of_total
+              FROM price_distribution ORDER BY price_range"""))
+  )
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Td
+
+/** Scalar-function surface (SURVEY.md §2.8): regexp_extract / concat /
+  * format_number / coalesce strings, date_format / unix_timestamp
+  * datetimes, and the wide→long unpivot (§2.7 U1 equivalent via stack).
+  * All pure projections — they stay inside whole-stage codegen and add no
+  * shuffle beyond the final order.
+  */
+object FunctionQueries {
+  import org.apache.spark.sql.Column
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // regexp_extract (the reference's file_name extraction shape,
+    // diabetes_etl_pipeline.py:73), concat, coalesce, format_number.
+    QuerySpec("q24_string_funcs",
+      (s, d) => Td.load(s, d, "part")
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          coalesce(nullif(col("p_type"), lit("")), lit("unknown")).as("type_nn"),
+          format_number(col("p_size") / 7.0, 3).as("size_ratio"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                     regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+                     p_brand || '#' || p_type AS brand_type,
+                     coalesce(nullif(p_type, ''), 'unknown') AS type_nn,
+                     printf('%.3f', p_size / CAST(7.0 AS DOUBLE)) AS size_ratio
+              FROM part ORDER BY p_partkey""")),
+
+    // date_format + unix_timestamp (diabetes_etl_pipeline.py:558,:567).
+    QuerySpec("q25_date_funcs",
+      (s, d) => Td.load(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          max(unix_timestamp(col("ts"))).as("max_epoch"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hour_bucket"),
+      Some("""SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, count(*) AS cnt,
+                     CAST(max(epoch(date_trunc('second', ts))) AS BIGINT) AS max_epoch,
+                     count(DISTINCT user_id) AS n_users
+              FROM events GROUP BY 1 ORDER BY hour_bucket""")),
+
+    // Wide→long unpivot of a 1-row global aggregate (executive-summary
+    // long format, diabetes_etl_pipeline.py:375-387).
+    QuerySpec("q26_unpivot",
+      (s, d) => Td.load(s, d, "lineitem")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_discount")).as("sum_disc"))
+        .selectExpr("""stack(3,
+            'sum_qty', sum_qty,
+            'sum_price', sum_price,
+            'sum_disc', sum_disc) AS (metric, value)""")
+        .orderBy("metric"),
+      Some("""SELECT metric, value FROM (
+                SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+                FROM lineitem)
+              UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+              ORDER BY metric"""))
+  )
+}

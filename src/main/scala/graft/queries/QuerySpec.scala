@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One parity-harness query: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query
+  * over the same parquet tables. Column names/aliases MUST match between
+  * the two — the driver sorts columns by name before hashing values.
+  *
+  * Cross-engine determinism rules used throughout (SURVEY.md §7.4):
+  *  - every query ends in a total ORDER BY (row order is part of the hash);
+  *  - double SUM/AVG go through an exact DECIMAL(18,4) cast, then back to
+  *    DOUBLE (parallel double summation is order-sensitive; decimal is not);
+  *  - inherently floating aggregates (stddev/corr/percentile) are rounded
+  *    coarsely enough that a ~1e-9 cross-engine delta cannot flip a digit;
+  *  - integer aggregates are pinned to BIGINT on the DuckDB side (DuckDB
+  *    SUM(int) is HUGEINT, which round-trips poorly through arrow);
+  *  - DuckDB literals like `100.0` are DECIMAL, not DOUBLE — oracles cast
+  *    explicitly wherever Spark computes in DOUBLE.
+  */
+final case class QuerySpec(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QuerySpec {
+  def toQueries(specs: Seq[QuerySpec]): Map[String, (SparkSession, String) => DataFrame] =
+    specs.map(s => s.name -> s.fn).toMap
+  def toOracles(specs: Seq[QuerySpec]): Map[String, String] =
+    specs.flatMap(s => s.oracle.map(s.name -> _)).toMap
+}
