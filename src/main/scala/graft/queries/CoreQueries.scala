@@ -35,11 +35,13 @@ object CoreQueries {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // the sort must be total or the row-order hash is nondeterministic.
+        .orderBy("l_orderkey", "l_linenumber", "revenue"),
       Some("""SELECT l_orderkey, l_linenumber,
               l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS revenue
               FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
-              ORDER BY l_orderkey, l_linenumber""")),
+              ORDER BY l_orderkey, l_linenumber, revenue""")),
 
     QuerySpec("q02_filter_isin",
       (s, d) => li(s, d)
@@ -47,12 +49,12 @@ object CoreQueries {
           && col("l_quantity") >= 25
           && col("l_discount").between(0.02, 0.08))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
               FROM lineitem
               WHERE l_returnflag IN ('A','R') AND l_quantity >= 25
                 AND l_discount BETWEEN 0.02 AND 0.08
-              ORDER BY l_orderkey, l_linenumber""")),
+              ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""")),
 
     // ---- CASE bucketizer (silver-layer shape, §2.8 when/otherwise) -----
     QuerySpec("q03_case_bucketize",
@@ -86,31 +88,37 @@ object CoreQueries {
           col("l_orderkey"), col("l_linenumber"),
           round(when(col("l_discount") === 0, lit(med))
             .otherwise(col("l_extendedprice")), 2).as("price_imputed"))
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "price_imputed")
       },
       Some("""SELECT l_orderkey, l_linenumber,
                      round(CASE WHEN l_discount = 0
                            THEN (SELECT quantile_cont(l_extendedprice, 0.5)
                                  FROM lineitem WHERE l_quantity > 0)
                            ELSE l_extendedprice END, 2) AS price_imputed
-              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+              FROM lineitem ORDER BY l_orderkey, l_linenumber, price_imputed""")),
 
     // ---- weighted risk score (reference silver risk_score shape) -------
+    // Rounding determinism: round(double, 4) ties differ between engines
+    // (Spark rounds the shortest decimal repr HALF_UP; DuckDB rounds in
+    // binary), so the score is rounded as floor(x*1e4 + 0.5)/1e4 — pure
+    // IEEE ops, bit-identical on both sides. Same for the tax_pct cast
+    // (Spark double→int truncates, DuckDB rounds — avoid the implicit cast).
     QuerySpec("q05_weighted_score",
       (s, d) => li(s, d)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          round((col("l_quantity") / 50.0) * 0.3
+          (floor(((col("l_quantity") / 50.0) * 0.3
             + (col("l_extendedprice") / 100000.0) * 0.5
-            + (col("l_discount") * 10.0) * 0.2, 4).as("score"),
-          (col("l_tax") * 100.0).cast(IntegerType).as("tax_pct"))
-        .orderBy("l_orderkey", "l_linenumber"),
+            + (col("l_discount") * 10.0) * 0.2) * 10000.0 + 0.5) / 10000.0).as("score"),
+          floor(col("l_tax") * 100.0 + 0.5).cast(IntegerType).as("tax_pct"))
+        .orderBy("l_orderkey", "l_linenumber", "score", "tax_pct"),
       Some("""SELECT l_orderkey, l_linenumber,
-                     round((l_quantity / CAST(50.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+                     floor(((l_quantity / CAST(50.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
                          + (l_extendedprice / CAST(100000.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
-                         + (l_discount * CAST(10.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE), 4) AS score,
-                     CAST(l_tax * CAST(100.0 AS DOUBLE) AS INTEGER) AS tax_pct
-              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+                         + (l_discount * CAST(10.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE))
+                           * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10000.0 AS DOUBLE) AS score,
+                     CAST(floor(l_tax * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS INTEGER) AS tax_pct
+              FROM lineitem ORDER BY l_orderkey, l_linenumber, score, tax_pct""")),
 
     // ---- A1/A5/A6/A8/A9: grouped hash agg ------------------------------
     QuerySpec("q06_agg_group",

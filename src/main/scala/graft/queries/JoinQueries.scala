@@ -53,11 +53,14 @@ object JoinQueries {
         n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
           .groupBy("n_name")
           .agg(count(col("c_custkey")).as("n_cust"),
-            round(coalesce(avg(col("c_acctbal")), lit(0.0)), 4).as("avg_bal"))
+            // avg as exact decimal-sum / count: partition-order-independent
+            // (plain double avg is not); empty nations → 0.0 not null/div0.
+            round(coalesce(dsum(col("c_acctbal")) / count(col("c_custkey")), lit(0.0)), 4).as("avg_bal"))
           .orderBy("n_name")
       },
       Some("""SELECT n_name, count(c_custkey) AS n_cust,
-                     round(coalesce(avg(c_acctbal), 0.0), 4) AS avg_bal
+                     round(coalesce(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                                    / count(c_custkey), 0.0), 4) AS avg_bal
               FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
               GROUP BY n_name ORDER BY n_name""")),
 
