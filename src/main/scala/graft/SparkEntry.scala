@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private val allSpecs: Seq[QuerySpec] =
-    CoreQueries.specs ++ JoinQueries.specs ++ FunctionQueries.specs
+    CoreQueries.specs ++ JoinQueries.specs ++ FunctionQueries.specs ++
+      MedallionQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

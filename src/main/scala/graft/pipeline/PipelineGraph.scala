@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level data-quality expectation, replacing the reference's DLT
+  * decorators (SURVEY.md §2.2 P5/P6):
+  *  - `Drop`  = `@dlt.expect_or_drop` (diabetes_etl_pipeline.py:54):
+  *    violating rows are filtered out AND counted;
+  *  - `Warn`  = `@dlt.expect_all` (:109-113): violations are counted but
+  *    rows are kept.
+  *
+  * `predicate` is a SQL boolean expression over the table's columns.
+  */
+final case class Expectation(name: String, predicate: String, mode: Expectation.Mode)
+
+object Expectation {
+  sealed trait Mode { def label: String }
+  case object Drop extends Mode { val label = "drop" }
+  case object Warn extends Mode { val label = "warn" }
+
+  def drop(name: String, predicate: String): Expectation = Expectation(name, predicate, Drop)
+  def warn(name: String, predicate: String): Expectation = Expectation(name, predicate, Warn)
+}
+
+/** Outcome of one expectation on one materialized table. */
+final case class ExpectationResult(
+    table: String, expectation: String, mode: String,
+    passedCount: Long, failedCount: Long)
+
+/** One node of a medallion pipeline: the Scala-native replacement for a
+  * `@dlt.table` / `@dlt.view` declaration (SURVEY.md §1.1). `build`
+  * receives a resolver for upstream tables (the `dlt.read` equivalent).
+  */
+final case class TableDef(
+    name: String,
+    deps: Seq[String],
+    expectations: Seq[Expectation] = Nil,
+    isView: Boolean = false,
+    build: PipelineResult.Reader => DataFrame)
+
+/** Completed pipeline run: every node's DataFrame (views unmaterialized,
+  * tables re-read from their parquet sink) plus expectation metrics.
+  * All nodes are also registered as temp views named after themselves, so
+  * dashboard SQL can run verbatim via `spark.sql` (SURVEY.md §3.3).
+  */
+final case class PipelineResult(
+    tables: Map[String, DataFrame],
+    expectations: Seq[ExpectationResult]) {
+  def apply(name: String): DataFrame = tables(name)
+
+  /** Expectation metrics as a queryable DataFrame (the DLT event-log
+    * equivalent — what a user would monitor for quality regressions). */
+  def expectationMetrics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    expectations.toDF()
+  }
+}
+
+object PipelineResult {
+  /** `dlt.read` equivalent handed to each node's `build`. */
+  type Reader = String => DataFrame
+}
+
+/** Topologically-ordered executor for a set of [[TableDef]]s — the
+  * Scala-native replacement for the DLT framework layer (SURVEY.md §7.1
+  * deliverable 2). Nothing here is diabetes-specific.
+  *
+  * Execution model (mirrors the reference's run lifecycle, SURVEY.md §3.1):
+  *  1. Kahn topo-sort over the declared `deps` edges.
+  *  2. Per table node: build the plan, count expectation violations via
+  *     `Dataset.observe` (single pass — the metrics piggyback on the sink
+  *     write, no extra scan even at 100 TB), filter Drop-mode violations,
+  *     write the parquet sink, then re-read the sink so downstream nodes
+  *     consume the materialized table exactly like `dlt.read` (S3/S5).
+  *  3. Per view node: no materialization, just registration (S4).
+  *
+  * Scale: each node is one Spark job over declarative DataFrames —
+  * Catalyst owns pushdown/pruning/AQE; the runner adds zero driver-side
+  * data movement (expectation counts come back as observed metrics, not
+  * collect()s of data).
+  */
+object PipelineGraph {
+
+  def topoOrder(defs: Seq[TableDef]): Seq[TableDef] = {
+    val byName = defs.map(d => d.name -> d).toMap
+    val visiting = scala.collection.mutable.LinkedHashSet.empty[String]
+    val done = scala.collection.mutable.LinkedHashSet.empty[String]
+    def visit(n: String): Unit =
+      if (!done.contains(n)) {
+        require(!visiting.contains(n), s"cycle through $n: ${visiting.mkString(" -> ")}")
+        visiting += n
+        byName(n).deps.foreach(visit)
+        visiting -= n
+        done += n
+      }
+    defs.foreach(d => visit(d.name))
+    done.toSeq.map(byName)
+  }
+
+  /** Run the graph; sinks go under `workDir/<table>`. */
+  def run(spark: SparkSession, defs: Seq[TableDef], workDir: String): PipelineResult = {
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+    val metrics = Seq.newBuilder[ExpectationResult]
+    val reader: PipelineResult.Reader = name =>
+      results.getOrElse(name, sys.error(s"unknown upstream table: $name"))
+
+    topoOrder(defs).foreach { t =>
+      val built = t.build(reader)
+      val out =
+        if (t.isView) built
+        else {
+          // Violation counts observed in the same pass as the sink write:
+          // one sum(when(!pred,1)) per expectation plus a row count.
+          val obs = Observation(s"${t.name}_expectations")
+          val metricCols = count(lit(1)).as("rows") +:
+            t.expectations.map(e =>
+              sum(when(expr(e.predicate), 0L).otherwise(1L)).as(e.name))
+          val observed = built.observe(obs, metricCols.head, metricCols.tail: _*)
+          val dropPreds = t.expectations.filter(_.mode == Expectation.Drop)
+          val filtered = dropPreds.foldLeft(observed)((df, e) => df.filter(expr(e.predicate)))
+          val sink = s"$workDir/${t.name}"
+          filtered.write.mode("overwrite").parquet(sink)
+          val got = obs.get
+          val total = got("rows").asInstanceOf[Long]
+          t.expectations.foreach { e =>
+            val failed = got(e.name) match { case null => 0L; case x => x.asInstanceOf[Long] }
+            metrics += ExpectationResult(t.name, e.name, e.mode.label, total - failed, failed)
+          }
+          spark.read.parquet(sink)
+        }
+      out.createOrReplaceTempView(t.name)
+      results += t.name -> out
+    }
+    PipelineResult(results.toMap, metrics.result())
+  }
+}
