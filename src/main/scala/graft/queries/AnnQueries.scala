@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Td
+
+/** Beyond-reference similarity search over `embeddings.embedding`
+  * (ARRAY<FLOAT>, 64-dim): brute-force cosine top-k as the exactness
+  * baseline, and a random-hyperplane-LSH bucketed variant as the 100 TB
+  * scale path.
+  *
+  * Dot products / norms are `zip_with` + sequential `aggregate` folds
+  * (identical fold order in the DuckDB oracle → bit-comparable), all
+  * codegen'd Catalyst HOFs — no UDFs.
+  */
+object AnnQueries {
+
+  private val K = 5
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- brute-force cosine top-k ---------------------------------------
+    // Scale shape: the query set (5 vectors) is broadcast; the candidate
+    // scan is embarrassingly parallel; per-query top-k goes through a
+    // rank-window that Spark rewrites to a per-partition group-limit
+    // (WindowGroupLimit), so no full sort of the candidate set. At 100 TB
+    // the only data movement is the final k rows per query.
+    QuerySpec("q59_ann_bruteforce", { (s, dir) =>
+      val d = SparkSql
+      val e = Td.load(s, dir, "embeddings")
+        .selectExpr("vec_id", "embedding",
+          s"sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm")
+      val q = e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id",
+          s"${d.dsum(d.zipMul("q_emb", "embedding"))} / (q_nrm * nrm) AS cosine")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+        .where(col("rank") <= K)
+        .selectExpr("q_id", "vec_id", "round(cosine, 6) AS cosine", "rank")
+        .orderBy("q_id", "rank")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH e AS (
+                 SELECT vec_id, embedding,
+                        sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm
+                 FROM embeddings),
+               q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+                     FROM e WHERE vec_id < $K),
+               scored AS (
+                 SELECT q.q_id, e.vec_id,
+                        ${d.dsum(d.zipMul("q.q_emb", "e.embedding"))} / (q.q_nrm * e.nrm) AS cosine
+                 FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+               ranked AS (
+                 SELECT q_id, vec_id, cosine,
+                        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+                 FROM scored)
+               SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
+               FROM ranked WHERE rank <= $K ORDER BY q_id, rank""")
+    }),
+
+    // ---- hyperplane-LSH bucketed ANN (the scale path) -------------------
+    // 8 pseudo-random hyperplanes with md5-derived weights (deterministic
+    // and engine-independent) give every vector an 8-bit bucket; a query
+    // probes only its own bucket (candidate set ~ n/256), then ranks by
+    // exact cosine. Trades recall for a 256× smaller join — the classic
+    // ANN contract; the oracle mirrors the same planes, so both engines
+    // agree on buckets exactly.
+    QuerySpec("q60_ann_lsh", { (s, dir) =>
+      val d = SparkSql
+      val e = Td.load(s, dir, "embeddings")
+        .selectExpr("vec_id", "embedding",
+          s"sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm",
+          s"${bucketExpr(d)} AS bucket")
+      val q = e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+      e.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id",
+          s"${d.dsum(d.zipMul("q_emb", "embedding"))} / (q_nrm * nrm) AS cosine")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+        .where(col("rank") <= 3)
+        .selectExpr("q_id", "vec_id", "round(cosine, 6) AS cosine", "rank")
+        .orderBy("q_id", "rank")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH e AS (
+                 SELECT vec_id, embedding,
+                        sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm,
+                        ${bucketExpr(d)} AS bucket
+                 FROM embeddings),
+               q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+                            bucket AS q_bucket
+                     FROM e WHERE vec_id < $K),
+               scored AS (
+                 SELECT q.q_id, e.vec_id,
+                        ${d.dsum(d.zipMul("q.q_emb", "e.embedding"))} / (q.q_nrm * e.nrm) AS cosine
+                 FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
+               ranked AS (
+                 SELECT q_id, vec_id, cosine,
+                        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+                 FROM scored)
+               SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
+               FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")
+    })
+  )
+
+  /** 8-bit hyperplane bucket: bit p = sign of <e, w_p>, where
+    * w_p[i] = hex32(md5("w{p}#{i}")) % 2001 - 1000 (same arithmetic in
+    * both engines — no RNG, no engine-native hash). */
+  private def bucketExpr(d: SqlDialect): String = {
+    val w = d.hex32(s"concat('w', ${d.toStr("p")}, '#', ${d.toStr("i")})") + " % 2001 - 1000"
+    val dot = d.dsum(d.map(d.range("1", "64"), "i",
+      s"CAST(${d.elem("embedding", "i")} AS DOUBLE) * CAST($w AS DOUBLE)"))
+    d.isum(d.map(d.range("0", "7"), "p",
+      s"CASE WHEN $dot > 0 THEN ${d.shiftl("CAST(1 AS BIGINT)", "p")} ELSE CAST(0 AS BIGINT) END"))
+  }
+}

@@ -199,15 +199,18 @@ object CoreQueries {
 
     // ---- A13: exact percentile per group ---------------------------------
     QuerySpec("q11_percentile_group",
+      // Interpolated percentiles can land on exact .xx5 ties where the two
+      // engines' round() diverge (same failure mode as q05) — round via
+      // pure-IEEE floor(x*100+0.5)/100 on both sides instead.
       (s, d) => li(s, d)
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
-          round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty"))
+          (floor(expr("percentile(l_extendedprice, 0.5)") * 100.0 + 0.5) / 100.0).as("median_price"),
+          (floor(expr("percentile(l_quantity, 0.9)") * 100.0 + 0.5) / 100.0).as("p90_qty"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-                     round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-                     round(quantile_cont(l_quantity, 0.9), 2) AS p90_qty
+                     floor(quantile_cont(l_extendedprice, 0.5) * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(100.0 AS DOUBLE) AS median_price,
+                     floor(quantile_cont(l_quantity, 0.9) * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(100.0 AS DOUBLE) AS p90_qty
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- A15: HAVING ------------------------------------------------------

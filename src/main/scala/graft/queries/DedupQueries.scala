@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Td
+
+/** Beyond-reference deduplication operators over `documents` /
+  * `embeddings` (builder brief; SURVEY.md §7.2 M5): exact hash-groupBy,
+  * MinHash+LSH banded near-dup, SimHash hamming near-dup, n-gram Jaccard
+  * (the quadratic baseline), and embedding-cosine near-dup.
+  *
+  * Scale shape: every near-dup operator is BUCKET-JOIN shaped — documents
+  * meet only inside an LSH band / simhash prefix / sign-pattern bucket, so
+  * the join is an equi-join Catalyst hash-partitions on the bucket key;
+  * nothing here is all-pairs except q57, which exists as the explicitly-
+  * labeled quadratic baseline on a 80-doc slice (at 100 TB you run q55/q56
+  * instead — same output contract). Candidate verification (exact Jaccard)
+  * re-joins the shingle sets by doc id rather than carrying arrays through
+  * the band explode, so the exploded relation stays narrow (id + bucket).
+  *
+  * The synthetic corpus is all-distinct, so each query unions in
+  * deterministic near-duplicates (id+10000, suffix-perturbed) to give the
+  * operators real work; the DuckDB oracle builds the identical corpus.
+  */
+object DedupQueries {
+
+  /** documents ∪ perturbed copies of doc_id < 100 (near-dups). */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Td.load(s, dir, "documents").select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" near duplicate suffix marker")).as("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 10000 AS doc_id, concat(text, ' near duplicate suffix marker') AS text
+         FROM documents WHERE doc_id < 100)"""
+
+  /** 3-token shingle set (distinct) — shared by q55. */
+  private def shinglesExpr(d: SqlDialect): String = {
+    val toks = d.splitSpace("text")
+    d.adistinct(d.map(d.range("1", s"${d.len(toks)} - 2"), "i", d.wordSlice(toks, "i", 3)))
+  }
+
+  /** 12 minhashes over the shingle set, as an array column. */
+  private def sigsExpr(d: SqlDialect): String =
+    d.map(d.range("0", "11"), "k",
+      d.amin(d.map("shingles", "s", d.hex32(s"concat(s, '#', ${d.toStr("k")})"))))
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- exact dedup: content-hash groupBy ------------------------------
+    // At scale: one hash-exchange on md5(text) (32 hex chars, not the
+    // document body), map-side partial agg. Keeper = min id. Corpus here
+    // unions in EXACT copies (doc_id+20000) so the operator has real work.
+    QuerySpec("q54_dedup_exact",
+      (s, dir) => {
+        val base = Td.load(s, dir, "documents").select("doc_id", "text")
+        base.unionAll(base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("content_hash")
+      },
+      Some(s"""WITH corpus AS (
+                 SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 20000, text FROM documents WHERE doc_id < 50)
+               SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                      count(*) AS n_copies
+               FROM corpus GROUP BY 1 ORDER BY content_hash""")),
+
+    // ---- MinHash + LSH banded near-dup ----------------------------------
+    // 12 minhashes → 6 bands × 2 rows; docs meeting in ≥1 band become
+    // candidates; exact 3-gram Jaccard ≥ 0.6 confirms. Candidate recall at
+    // s=0.7 is 1-(1-0.7^2)^6 ≈ 0.98. The oracle recomputes the identical
+    // signatures/bands, so both engines agree on the candidate set too.
+    QuerySpec("q55_dedup_minhash", { (s, dir) =>
+      val d = SparkSql
+      val tk = corpus(s, dir)
+        .where(s"${d.len(d.splitSpace("text"))} >= 3")
+        .selectExpr("doc_id", s"${shinglesExpr(d)} AS shingles")
+      val bands = tk
+        .selectExpr("doc_id", s"${sigsExpr(d)} AS sigs")
+        .selectExpr("doc_id", "sigs", "explode(sequence(0, 5)) AS j")
+        .selectExpr("doc_id",
+          """concat(CAST(j AS STRING), ':',
+                    CAST(element_at(sigs, 2*j+1) AS STRING), '|',
+                    CAST(element_at(sigs, 2*j+2) AS STRING)) AS bucket""")
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(tk.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+        .join(tk.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          s"round(CAST(${d.interSize("sa", "sb")} AS DOUBLE) / CAST(${d.unionSize("sa", "sb")} AS DOUBLE), 6) AS jaccard")
+        .where("jaccard >= 0.6")
+        .orderBy("doc_a", "doc_b")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH $corpusSql,
+               tk AS (
+                 SELECT doc_id, ${shinglesExpr(d)} AS shingles
+                 FROM corpus WHERE ${d.len(d.splitSpace("text"))} >= 3),
+               sig AS (SELECT doc_id, ${sigsExpr(d)} AS sigs FROM (SELECT doc_id, shingles FROM tk)),
+               bands AS (
+                 SELECT doc_id,
+                        concat(CAST(t.j AS VARCHAR), ':',
+                               CAST(sigs[2*t.j+1] AS VARCHAR), '|',
+                               CAST(sigs[2*t.j+2] AS VARCHAR)) AS bucket
+                 FROM sig CROSS JOIN generate_series(0, 5) t(j)),
+               cand AS (
+                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+               SELECT doc_a, doc_b,
+                      round(CAST(${d.interSize("ta.shingles", "tb.shingles")} AS DOUBLE) /
+                            CAST(${d.unionSize("ta.shingles", "tb.shingles")} AS DOUBLE), 6) AS jaccard
+               FROM cand
+               JOIN tk ta ON ta.doc_id = doc_a
+               JOIN tk tb ON tb.doc_id = doc_b
+               WHERE CAST(${d.interSize("ta.shingles", "tb.shingles")} AS DOUBLE) /
+                     CAST(${d.unionSize("ta.shingles", "tb.shingles")} AS DOUBLE) >= 0.6
+               ORDER BY doc_a, doc_b""")
+    }),
+
+    // ---- SimHash hamming near-dup ---------------------------------------
+    // 32-bit majority simhash; candidates share the top-16-bit prefix
+    // (bucket equi-join); pairs with hamming distance ≤ 3 survive.
+    QuerySpec("q56_dedup_simhash", { (s, dir) =>
+      val d = SparkSql
+      val hs = d.map(d.splitSpace("text"), "t", d.hex32("t"))
+      val sh = corpus(s, dir)
+        .selectExpr("doc_id", s"$hs AS hs")
+        .selectExpr("doc_id", s"${simhash32(d)} AS simhash")
+        .withColumn("bucket", expr(d.shiftr("simhash", "16")))
+      sh.as("a").join(sh.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+          s"bit_count(${d.bxor("a.simhash", "b.simhash")}) AS hamming")
+        .where("hamming <= 3")
+        .orderBy("doc_a", "doc_b")
+    }, {
+      val d = DuckSql
+      val hs = d.map(d.splitSpace("text"), "t", d.hex32("t"))
+      Some(s"""WITH $corpusSql,
+               sh0 AS (SELECT doc_id, $hs AS hs FROM corpus),
+               sh AS (SELECT doc_id, ${simhash32(d)} AS simhash FROM sh0),
+               shb AS (SELECT doc_id, simhash, ${d.shiftr("simhash", "16")} AS bucket FROM sh)
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      bit_count(${d.bxor("a.simhash", "b.simhash")}) AS hamming
+               FROM shb a JOIN shb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+               WHERE bit_count(${d.bxor("a.simhash", "b.simhash")}) <= 3
+               ORDER BY doc_a, doc_b""")
+    }),
+
+    // ---- n-gram Jaccard: the labeled QUADRATIC BASELINE -----------------
+    // Char-4-gram Jaccard, all pairs over an 80-doc slice. This is the
+    // correctness baseline the LSH operators are measured against; at
+    // scale it is intentionally not used (see q55/q56).
+    QuerySpec("q57_dedup_ngram_jaccard", { (s, dir) =>
+      val d = SparkSql
+      val grams = d.adistinct(d.map(d.range("1", "length(text) - 3"), "i", "substring(text, i, 4)"))
+      val base = corpus(s, dir).where("doc_id % 10000 < 40")
+        .selectExpr("doc_id", s"$grams AS grams")
+      base.as("a").join(base.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+          s"round(CAST(${d.interSize("a.grams", "b.grams")} AS DOUBLE) / CAST(${d.unionSize("a.grams", "b.grams")} AS DOUBLE), 6) AS jaccard")
+        .where("jaccard >= 0.5")
+        .orderBy("doc_a", "doc_b")
+    }, {
+      val d = DuckSql
+      val grams = d.adistinct(d.map(d.range("1", "length(text) - 3"), "i", "substring(text, i, 4)"))
+      Some(s"""WITH $corpusSql,
+               base AS (SELECT doc_id, $grams AS grams FROM corpus WHERE doc_id % 10000 < 40)
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      round(CAST(${d.interSize("a.grams", "b.grams")} AS DOUBLE) /
+                            CAST(${d.unionSize("a.grams", "b.grams")} AS DOUBLE), 6) AS jaccard
+               FROM base a JOIN base b ON a.doc_id < b.doc_id
+               WHERE CAST(${d.interSize("a.grams", "b.grams")} AS DOUBLE) /
+                     CAST(${d.unionSize("a.grams", "b.grams")} AS DOUBLE) >= 0.5
+               ORDER BY doc_a, doc_b""")
+    }),
+
+    // ---- embedding-cosine near-dup --------------------------------------
+    // Bucket = sign pattern of the first 16 dims (a deterministic 16-bit
+    // hyperplane sketch); exact copies land in the same bucket, candidates
+    // verified by full cosine ≥ 0.99.
+    QuerySpec("q58_dedup_embedding", { (s, dir) =>
+      val d = SparkSql
+      val e = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpusE = e.unionAll(e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val sign = d.joinStr(d.map(d.range("1", "16"), "i",
+        s"CASE WHEN ${d.elem("embedding", "i")} >= 0 THEN '1' ELSE '0' END"), "")
+      val withB = corpusE.selectExpr("vec_id", "embedding",
+        s"$sign AS bucket",
+        s"sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm")
+      withB.as("a").join(withB.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
+          s"round(${d.dsum(d.zipMul("a.embedding", "b.embedding"))} / (a.nrm * b.nrm), 6) AS cosine")
+        .where("cosine >= 0.99")
+        .orderBy("vec_a", "vec_b")
+    }, {
+      val d = DuckSql
+      val sign = d.joinStr(d.map(d.range("1", "16"), "i",
+        s"CASE WHEN ${d.elem("embedding", "i")} >= 0 THEN '1' ELSE '0' END"), "")
+      Some(s"""WITH corpus AS (
+                 SELECT vec_id, embedding FROM embeddings
+                 UNION ALL
+                 SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50),
+               wb AS (
+                 SELECT vec_id, embedding, $sign AS bucket,
+                        sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm
+                 FROM corpus)
+               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                      round(${d.dsum(d.zipMul("a.embedding", "b.embedding"))} / (a.nrm * b.nrm), 6) AS cosine
+               FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+               WHERE ${d.dsum(d.zipMul("a.embedding", "b.embedding"))} / (a.nrm * b.nrm) >= 0.99
+               ORDER BY vec_a, vec_b""")
+    })
+  )
+
+  /** 32-bit simhash from a precomputed `hs` token-hash array column. */
+  private def simhash32(d: SqlDialect): String = {
+    val bitVote = d.isum(d.map("hs", "h",
+      s"CASE WHEN ${d.shiftr("h", "b")} % 2 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END"))
+    d.isum(d.map(d.range("0", "31"), "b",
+      s"CASE WHEN $bitVote > 0 THEN ${d.shiftl("CAST(1 AS BIGINT)", "b")} ELSE CAST(0 AS BIGINT) END"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+/** Tiny two-dialect SQL emitter for the LLM-pipeline operators
+  * (dedup / similarity / text analysis).
+  *
+  * The near-dup and ANN operators hinge on hash functions that must be
+  * IDENTICAL in Spark and in the DuckDB oracle, or the candidate sets
+  * cannot be hash-compared. Neither engine exposes the other's native
+  * hash, but both expose `md5` (same algorithm, same lowercase-hex
+  * rendering), `substring`, and `instr` — so [[SqlDialect.hex32]] derives
+  * a 32-bit integer hash by parsing the first 8 hex digits of an md5
+  * arithmetically. Everything else here papers over naming differences
+  * (size/len, transform/list_transform, sequence/generate_series, …).
+  *
+  * Only scalar/array expressions are emitted through this; the relational
+  * shape (joins, explodes, windows) stays in idiomatic DataFrame API on
+  * the Spark side and plain SQL in the oracle.
+  */
+sealed trait SqlDialect {
+  /** 32-bit hash: parse md5(x)[0,8) as hex → BIGINT in [0, 2^32). */
+  final def hex32(x: String): String =
+    (1 to 8).map(i =>
+      s"CAST(instr('0123456789abcdef', substring(md5($x), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}")
+      .mkString("(", " + ", ")")
+
+  /** Seeded hash family: h_seed(x). */
+  final def hashS(x: String, seed: String): String = hex32(s"concat($x, '#$seed')")
+
+  def len(x: String): String
+  def map(l: String, v: String, body: String): String
+  def amin(l: String): String
+  def adistinct(l: String): String
+  def range(a: String, b: String): String
+  def toStr(x: String): String
+  def splitSpace(t: String): String
+  /** n-token window starting at 1-based idx, joined by spaces. */
+  def wordSlice(arr: String, idx: String, n: Int): String
+  def interSize(a: String, b: String): String
+  def unionSize(a: String, b: String): String
+  def elem(l: String, i: String): String
+  def filterIn(l: String, items: Seq[String]): String
+  /** exact integer sum of a BIGINT list (order-insensitive: exact). */
+  def isum(l: String): String
+  /** elementwise product of two float lists as DOUBLE list. */
+  def zipMul(a: String, b: String): String
+  def joinStr(l: String, sep: String): String
+  def shiftl(x: String, b: String): String
+  /** sequential left-fold sum of a DOUBLE list (order-identical across
+    * dialects so dot products are bit-comparable). */
+  def dsum(l: String): String
+  def shiftr(x: String, b: String): String
+  def bxor(a: String, b: String): String
+}
+
+object SparkSql extends SqlDialect {
+  def len(x: String) = s"size($x)"
+  def map(l: String, v: String, body: String) = s"transform($l, $v -> $body)"
+  def amin(l: String) = s"array_min($l)"
+  def adistinct(l: String) = s"array_distinct($l)"
+  def range(a: String, b: String) = s"sequence($a, $b)"
+  def toStr(x: String) = s"CAST($x AS STRING)"
+  def splitSpace(t: String) = s"split($t, ' ')"
+  def wordSlice(arr: String, idx: String, n: Int) = s"concat_ws(' ', slice($arr, $idx, $n))"
+  def interSize(a: String, b: String) = s"size(array_intersect($a, $b))"
+  def unionSize(a: String, b: String) = s"size(array_union($a, $b))"
+  def elem(l: String, i: String) = s"element_at($l, $i)"
+  def filterIn(l: String, items: Seq[String]) =
+    s"filter($l, t -> t IN (${items.map(s => s"'$s'").mkString(", ")}))"
+  def dsum(l: String) = s"aggregate($l, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+  def shiftr(x: String, b: String) = s"shiftright($x, $b)"
+  def bxor(a: String, b: String) = s"($a ^ $b)"
+  def isum(l: String) = s"aggregate($l, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+  def zipMul(a: String, b: String) =
+    s"zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+  def joinStr(l: String, sep: String) = s"array_join($l, '$sep')"
+  def shiftl(x: String, b: String) = s"shiftleft($x, $b)"
+}
+
+object DuckSql extends SqlDialect {
+  def len(x: String) = s"len($x)"
+  def map(l: String, v: String, body: String) = s"list_transform($l, $v -> $body)"
+  def amin(l: String) = s"list_min($l)"
+  def adistinct(l: String) = s"list_distinct($l)"
+  def range(a: String, b: String) = s"generate_series($a, $b)"
+  def toStr(x: String) = s"CAST($x AS VARCHAR)"
+  def splitSpace(t: String) = s"string_split($t, ' ')"
+  def wordSlice(arr: String, idx: String, n: Int) =
+    s"array_to_string($arr[$idx:$idx+${n - 1}], ' ')"
+  def interSize(a: String, b: String) = s"len(list_intersect($a, $b))"
+  def unionSize(a: String, b: String) = s"len(list_distinct(list_concat($a, $b)))"
+  def elem(l: String, i: String) = s"$l[$i]"
+  def filterIn(l: String, items: Seq[String]) =
+    s"list_filter($l, t -> t IN (${items.map(s => s"'$s'").mkString(", ")}))"
+  def dsum(l: String) = s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], $l), (acc, x) -> acc + x)"
+  def shiftr(x: String, b: String) = s"($x >> $b)"
+  def bxor(a: String, b: String) = s"xor($a, $b)"
+  def isum(l: String) = s"CAST(list_sum($l) AS BIGINT)"
+  def zipMul(a: String, b: String) =
+    s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))"
+  def joinStr(l: String, sep: String) = s"array_to_string($l, '$sep')"
+  def shiftl(x: String, b: String) = s"($x << $b)"
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Td
+
+/** Beyond-reference text-analysis operators over `documents`
+  * (SURVEY.md §7.2 M5; builder brief "text analysis"): token counting,
+  * quality scoring, language-ID, and document fingerprinting.
+  *
+  * All four are pure per-row projections (split / higher-order array
+  * functions / regexp — no UDFs), so they stay inside whole-stage codegen
+  * and scale embarrassingly: at 100 TB they are a single scan with zero
+  * shuffles (the final orderBy exists only for the oracle hash).
+  */
+object TextQueries {
+
+  /** Shared per-dialect scalar fragments (t = text column name). */
+  private def toks(d: SqlDialect) = d.splitSpace("text")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- token counting: whitespace + BPE-ish regex pieces --------------
+    QuerySpec("q50_text_tokens",
+      (s, dir) => Td.load(s, dir, "documents")
+        .selectExpr(
+          "doc_id", "lang",
+          s"${SparkSql.len(toks(SparkSql))} AS n_ws_tokens",
+          // BPE-ish pre-tokenizer: letter runs | digit runs | single punct
+          "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe_tokens",
+          "length(text) AS n_chars",
+          s"round(CAST(length(text) AS DOUBLE) / CAST(${SparkSql.len(toks(SparkSql))} AS DOUBLE), 4) AS chars_per_token")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang,
+                      ${DuckSql.len(toks(DuckSql))} AS n_ws_tokens,
+                      len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+                      length(text) AS n_chars,
+                      round(CAST(length(text) AS DOUBLE) / CAST(${DuckSql.len(toks(DuckSql))} AS DOUBLE), 4) AS chars_per_token
+               FROM documents ORDER BY doc_id""")),
+
+    // ---- quality scoring: length / punctuation / stopword ratios --------
+    QuerySpec("q51_text_quality", {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for")
+      (s, dir) => {
+        val d = SparkSql
+        Td.load(s, dir, "documents")
+          .selectExpr(
+            "doc_id",
+            s"${d.len(toks(d))} AS n_tokens",
+            s"${d.len(d.filterIn(toks(d), stop))} AS stop_tokens",
+            "length(regexp_replace(text, '[a-z ]', '')) AS punct_chars",
+            "length(text) AS n_chars")
+          .selectExpr(
+            "doc_id", "n_tokens", "stop_tokens", "punct_chars", "n_chars",
+            "round(CAST(stop_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio",
+            "round(CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 4) AS punct_ratio",
+            """CASE WHEN n_tokens >= 40 AND CAST(stop_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.02 THEN 'good'
+                    WHEN n_tokens >= 15 THEN 'ok'
+                    ELSE 'short' END AS quality_bucket""")
+          .orderBy("doc_id")
+      }
+    }, {
+      val d = DuckSql
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for")
+      Some(s"""WITH t0 AS (
+                 SELECT doc_id,
+                        ${d.len(toks(d))} AS n_tokens,
+                        ${d.len(d.filterIn(toks(d), stop))} AS stop_tokens,
+                        length(regexp_replace(text, '[a-z ]', '', 'g')) AS punct_chars,
+                        length(text) AS n_chars
+                 FROM documents)
+               SELECT doc_id, n_tokens, stop_tokens, punct_chars, n_chars,
+                      round(CAST(stop_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+                      round(CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 4) AS punct_ratio,
+                      CASE WHEN n_tokens >= 40 AND CAST(stop_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.02 THEN 'good'
+                           WHEN n_tokens >= 15 THEN 'ok'
+                           ELSE 'short' END AS quality_bucket
+               FROM t0 ORDER BY doc_id""")
+    }),
+
+    // ---- language-ID: stopword-marker scoring with fixed tie-break ------
+    QuerySpec("q52_text_langid", {
+      val markers = Seq(
+        "en" -> Seq("the", "a", "of", "and"),
+        "de" -> Seq("der", "die", "das", "und"),
+        "es" -> Seq("el", "la", "de", "y"),
+        "fr" -> Seq("le", "les", "et", "une"))
+      def scores(d: SqlDialect): Seq[String] =
+        markers.map { case (l, ws) => s"${d.len(d.filterIn(toks(d), ws))} AS sc_$l" }
+      val pred =
+        """CASE WHEN sc_en >= sc_de AND sc_en >= sc_es AND sc_en >= sc_fr THEN 'en'
+                WHEN sc_de >= sc_es AND sc_de >= sc_fr THEN 'de'
+                WHEN sc_es >= sc_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang"""
+      (s, dir) =>
+        Td.load(s, dir, "documents")
+          .selectExpr(Seq("doc_id", "lang") ++ scores(SparkSql): _*)
+          .selectExpr("doc_id", "lang", "sc_en", "sc_de", "sc_es", "sc_fr", pred)
+          .withColumn("agrees", col("pred_lang") === col("lang"))
+          .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      val markers = Seq(
+        "en" -> Seq("the", "a", "of", "and"),
+        "de" -> Seq("der", "die", "das", "und"),
+        "es" -> Seq("el", "la", "de", "y"),
+        "fr" -> Seq("le", "les", "et", "une"))
+      val sc = markers.map { case (l, ws) => s"${d.len(d.filterIn(toks(d), ws))} AS sc_$l" }
+      Some(s"""WITH t0 AS (SELECT doc_id, lang, ${sc.mkString(", ")} FROM documents),
+               t1 AS (SELECT *,
+                      CASE WHEN sc_en >= sc_de AND sc_en >= sc_es AND sc_en >= sc_fr THEN 'en'
+                           WHEN sc_de >= sc_es AND sc_de >= sc_fr THEN 'de'
+                           WHEN sc_es >= sc_fr THEN 'es'
+                           ELSE 'fr' END AS pred_lang FROM t0)
+               SELECT *, pred_lang = lang AS agrees FROM t1 ORDER BY doc_id""")
+    }),
+
+    // ---- fingerprinting: min-hash over rolling 5-token windows ----------
+    // (winnowing-style: hash every window, keep the minimum) plus a whole-
+    // document md5 prefix for exact-dup detection.
+    QuerySpec("q53_text_fingerprint", {
+      (s, dir) => {
+        val d = SparkSql
+        val windows = d.map(d.range("1", s"greatest(${d.len(toks(d))} - 4, 1)"),
+          "i", d.wordSlice(toks(d), "i", 5))
+        Td.load(s, dir, "documents")
+          .selectExpr(
+            "doc_id",
+            s"${d.amin(d.map(windows, "w", d.hex32("w")))} AS fp_rolling_min",
+            "substring(md5(text), 1, 16) AS fp_md5_prefix")
+          .orderBy("doc_id")
+      }
+    }, {
+      val d = DuckSql
+      val windows = d.map(d.range("1", s"greatest(${d.len(toks(d))} - 4, 1)"),
+        "i", d.wordSlice(toks(d), "i", 5))
+      Some(s"""SELECT doc_id,
+                      ${d.amin(d.map(windows, "w", d.hex32("w")))} AS fp_rolling_min,
+                      substring(md5(text), 1, 16) AS fp_md5_prefix
+               FROM documents ORDER BY doc_id""")
+    })
+  )
+}
