@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.pipeline.{DiabetesPipeline, PipelineGraph, PipelineResult, RunContext}
+
+/** Streaming bronze ingest — the Auto-Loader-shaped path (SURVEY.md §2.1
+  * S1/S2, §2.9; diabetes_etl_pipeline.py:62-73): incremental CSV file
+  * stream with an explicit schema, provenance from `_metadata.file_path`,
+  * `Trigger.AvailableNow` (process everything available, then stop), and
+  * checkpoint-backed exactly-once file tracking — re-running against an
+  * unchanged directory ingests nothing new, dropping more files ingests
+  * only those (FIXTURES.md's two-batch ≡ one-batch invariant; proven in
+  * StreamingBronzeSpec).
+  *
+  * Scale: the file-source maintains a file log in the checkpoint; each
+  * micro-batch is a plain distributed CSV scan (same plan as the batch
+  * flavor), and the parquet sink append is partition-parallel. Nothing
+  * passes through the driver.
+  */
+object StreamingBronze {
+
+  /** Run one AvailableNow ingest pass; returns the batch re-read of the
+    * accumulated sink (S5 — the `diabetes_bronze_materialized` input). */
+  def ingest(spark: SparkSession, rawDir: String, sinkDir: String,
+      checkpointDir: String, rc: RunContext): DataFrame = {
+    val stream = spark.readStream
+      .format("csv")
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .schema(DiabetesPipeline.diabetesSchema)
+      .load(rawDir)
+      .withColumn("ingestion_timestamp", rc.now)
+      .withColumn("source_file", col("_metadata.file_path"))
+      .withColumn("ingestion_date", rc.today)
+      .withColumn("file_name", regexp_extract(col("_metadata.file_path"), "([^/]+)\\.csv$", 1))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+  }
+
+  /** Full medallion DAG over a streaming-ingested bronze: identical
+    * downstream semantics to [[DiabetesPipeline.run]], only the ingest
+    * differs. `workDir` holds sink + checkpoint + table parquet. */
+  def runPipeline(spark: SparkSession, rawDir: String, workDir: String,
+      rc: RunContext): PipelineResult = {
+    val bronze = ingest(spark, rawDir, s"$workDir/_stream/bronze",
+      s"$workDir/_stream/checkpoint", rc)
+    val defs = DiabetesPipeline.tableDefs(spark, rc, _ => bronze)
+    PipelineGraph.run(spark, defs, workDir)
+  }
+}

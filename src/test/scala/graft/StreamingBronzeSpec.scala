@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{DiabetesPipeline, RunContext}
+import graft.streaming.StreamingBronze
+
+/** FIXTURES.md §A streaming invariant: dropping the 6 shards in two
+  * batches (1-3 then 4-6) through the checkpointed AvailableNow stream
+  * yields exactly the same gold tables as one batch read of all six —
+  * and re-running with no new files ingests nothing (exactly-once). */
+class StreamingBronzeSpec extends AnyFunSuite with SparkTestBase {
+
+  private val srcDir = Paths.get(DiabetesPipeline.defaultDataDir)
+  private def copyShard(raw: Path, n: Int): Unit =
+    Files.copy(srcDir.resolve(s"diabetes_part_$n.csv"),
+      raw.resolve(s"diabetes_part_$n.csv"), StandardCopyOption.REPLACE_EXISTING)
+
+  test("incremental two-batch ingest: exactly-once, equals one-batch gold") {
+    val raw = Files.createTempDirectory("graft-stream-raw")
+    val work = Files.createTempDirectory("graft-stream-work").toString
+    val rc = RunContext.golden
+    val sink = s"$work/_stream/bronze"
+    val ckpt = s"$work/_stream/checkpoint"
+
+    (1 to 3).foreach(copyShard(raw, _))
+    val b1 = StreamingBronze.ingest(spark, raw.toString, sink, ckpt, rc)
+    assert(b1.count() === 384) // 3 shards × 128
+
+    // Re-run with no new files: the checkpointed file log must prevent
+    // any re-ingestion.
+    val b1again = StreamingBronze.ingest(spark, raw.toString, sink, ckpt, rc)
+    assert(b1again.count() === 384)
+
+    (4 to 6).foreach(copyShard(raw, _))
+    val b2 = StreamingBronze.ingest(spark, raw.toString, sink, ckpt, rc)
+    assert(b2.count() === 768)
+
+    // Full DAG over the streamed bronze ≡ batch DAG over all six shards
+    // (path-free tables; the frozen clock makes them exactly equal).
+    val streamed = StreamingBronze.runPipeline(spark, raw.toString, work, rc)
+    val batch = DiabetesPipeline.cachedRun(spark)
+    Seq("diabetes_demographics_summary", "diabetes_risk_analysis",
+      "diabetes_executive_summary", "data_validation_summary").foreach { t =>
+      val a = streamed(t).collect().map(_.toString).sorted
+      val b = batch(t).collect().map(_.toString).sorted
+      assert(a.sameElements(b), t)
+    }
+  }
+}
