@@ -110,13 +110,39 @@ object AnnQueries {
   )
 
   /** 8-bit hyperplane bucket: bit p = sign of <e, w_p>, where
-    * w_p[i] = hex32(md5("w{p}#{i}")) % 2001 - 1000 (same arithmetic in
-    * both engines — no RNG, no engine-native hash). */
-  private def bucketExpr(d: SqlDialect): String = {
-    val w = d.hex32(s"concat('w', ${d.toStr("p")}, '#', ${d.toStr("i")})") + " % 2001 - 1000"
-    val dot = d.dsum(d.map(d.range("1", "64"), "i",
-      s"CAST(${d.elem("embedding", "i")} AS DOUBLE) * CAST($w AS DOUBLE)"))
-    d.isum(d.map(d.range("0", "7"), "p",
-      s"CASE WHEN $dot > 0 THEN ${d.shiftl("CAST(1 AS BIGINT)", "p")} ELSE CAST(0 AS BIGINT) END"))
+    * w_p[i] = hex32(md5("w{p}#{i}")) % 2001 - 1000 — deterministic,
+    * engine-independent pseudo-random planes (no RNG, no engine-native
+    * hash).
+    *
+    * On the Spark side the 8×64 weights are precomputed HERE (same md5
+    * arithmetic via java MessageDigest) and embedded as constant-folded
+    * literal arrays — zero per-row hash work; the scan side of the plan
+    * is 8 dot products against constants. The oracle recomputes the same
+    * weights in SQL (cheap once-per-row there is unavoidable but the
+    * oracle only runs at sf0.01). */
+  private lazy val planes: Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    (0 to 7).map(p => (1 to 64).map(i => hex32(s"w$p#$i") % 2001 - 1000: Long))
+  }
+
+  private def bucketExpr(d: SqlDialect): String = d match {
+    case SparkSql =>
+      val dots = planes.map { w =>
+        val lit = w.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+        d.dsum(d.zipMul("embedding", lit))
+      }
+      d.isum(s"array(${dots.zipWithIndex.map { case (dot, p) =>
+        s"CASE WHEN $dot > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      }.mkString(", ")})")
+    case DuckSql =>
+      val w = d.hex32(s"concat('w', ${d.toStr("p")}, '#', ${d.toStr("i")})") + " % 2001 - 1000"
+      val dot = d.dsum(d.map(d.range("1", "64"), "i",
+        s"CAST(${d.elem("embedding", "i")} AS DOUBLE) * CAST($w AS DOUBLE)"))
+      d.isum(d.map(d.range("0", "7"), "p",
+        s"CASE WHEN $dot > 0 THEN ${d.shiftl("CAST(1 AS BIGINT)", "p")} ELSE CAST(0 AS BIGINT) END"))
   }
 }

@@ -39,16 +39,29 @@ object DedupQueries {
          SELECT doc_id + 10000 AS doc_id, concat(text, ' near duplicate suffix marker') AS text
          FROM documents WHERE doc_id < 100)"""
 
-  /** 3-token shingle set (distinct) — shared by q55. */
-  private def shinglesExpr(d: SqlDialect): String = {
-    val toks = d.splitSpace("text")
-    d.adistinct(d.map(d.range("1", s"${d.len(toks)} - 2"), "i", d.wordSlice(toks, "i", 3)))
-  }
+  /** 3-token shingle set (distinct). The token array is lambda-bound so
+    * the split() happens once per row, not once per window index. */
+  private def shinglesExpr(d: SqlDialect): String =
+    d.bind(d.splitSpace("text"), "tk",
+      d.adistinct(d.map(d.range("1", s"${d.len("tk")} - 2"), "i", d.wordSlice("tk", "i", 3))))
 
-  /** 12 minhashes over the shingle set, as an array column. */
-  private def sigsExpr(d: SqlDialect): String =
-    d.map(d.range("0", "11"), "k",
-      d.amin(d.map("shingles", "s", d.hex32(s"concat(s, '#', ${d.toStr("k")})"))))
+  /** 12 minhashes over the (lambda-bound) shingle set. An md5 is 128 bits
+    * = FOUR 32-bit hash slots, so 12 signatures need only 3 seeded md5
+    * per shingle (concat of md5(s#0..2), 96 hex chars). Slot j reads seed
+    * j%3, chunk j/3 — consecutive slots always use DIFFERENT seed md5s,
+    * so every 2-row LSH band mixes two independent hash streams (a
+    * same-seed pairing would correlate bands and flood the candidate
+    * join — measured +50% runtime from spurious candidates). */
+  private def sigsExpr(d: SqlDialect): String = {
+    // Fixed-width lowercase hex sorts lexicographically == numerically, so
+    // the minhash can min over the RAW 8-hex-digit substrings — no
+    // digit-parse arithmetic at all (the interpreted per-digit parse was
+    // ~30 M expression evals at sf0.1, the actual hot spot).
+    val start = s"(j % 3) * 32 + ${d.idiv("j", "3")} * 8"
+    d.bind(shinglesExpr(d), "sh",
+      d.bind(d.map("sh", "s", "concat(md5(concat(s, '#0')), md5(concat(s, '#1')), md5(concat(s, '#2')))"), "hs",
+        d.map(d.range("0", "11"), "j", d.amin(d.map("hs", "h", s"substring(h, $start + 1, 8)")))))
+  }
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -80,10 +93,9 @@ object DedupQueries {
     // signatures/bands, so both engines agree on the candidate set too.
     QuerySpec("q55_dedup_minhash", { (s, dir) =>
       val d = SparkSql
-      val tk = corpus(s, dir)
-        .where(s"${d.len(d.splitSpace("text"))} >= 3")
-        .selectExpr("doc_id", s"${shinglesExpr(d)} AS shingles")
-      val bands = tk
+      val base = corpus(s, dir).where(s"${d.len(d.splitSpace("text"))} >= 3")
+      val tk = base.selectExpr("doc_id", s"${shinglesExpr(d)} AS shingles")
+      val bands = base
         .selectExpr("doc_id", s"${sigsExpr(d)} AS sigs")
         .selectExpr("doc_id", "sigs", "explode(sequence(0, 5)) AS j")
         .selectExpr("doc_id",
@@ -108,7 +120,8 @@ object DedupQueries {
                tk AS (
                  SELECT doc_id, ${shinglesExpr(d)} AS shingles
                  FROM corpus WHERE ${d.len(d.splitSpace("text"))} >= 3),
-               sig AS (SELECT doc_id, ${sigsExpr(d)} AS sigs FROM (SELECT doc_id, shingles FROM tk)),
+               sig AS (SELECT doc_id, ${sigsExpr(d)} AS sigs
+                       FROM corpus WHERE ${d.len(d.splitSpace("text"))} >= 3),
                bands AS (
                  SELECT doc_id,
                         concat(CAST(t.j AS VARCHAR), ':',
@@ -135,10 +148,8 @@ object DedupQueries {
     // (bucket equi-join); pairs with hamming distance ≤ 3 survive.
     QuerySpec("q56_dedup_simhash", { (s, dir) =>
       val d = SparkSql
-      val hs = d.map(d.splitSpace("text"), "t", d.hex32("t"))
       val sh = corpus(s, dir)
-        .selectExpr("doc_id", s"$hs AS hs")
-        .selectExpr("doc_id", s"${simhash32(d)} AS simhash")
+        .selectExpr("doc_id", s"${simhashBound(d)} AS simhash")
         .withColumn("bucket", expr(d.shiftr("simhash", "16")))
       sh.as("a").join(sh.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
@@ -148,10 +159,8 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }, {
       val d = DuckSql
-      val hs = d.map(d.splitSpace("text"), "t", d.hex32("t"))
       Some(s"""WITH $corpusSql,
-               sh0 AS (SELECT doc_id, $hs AS hs FROM corpus),
-               sh AS (SELECT doc_id, ${simhash32(d)} AS simhash FROM sh0),
+               sh AS (SELECT doc_id, ${simhashBound(d)} AS simhash FROM corpus),
                shb AS (SELECT doc_id, simhash, ${d.shiftr("simhash", "16")} AS bucket FROM sh)
                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                       bit_count(${d.bxor("a.simhash", "b.simhash")}) AS hamming
@@ -228,11 +237,16 @@ object DedupQueries {
     })
   )
 
-  /** 32-bit simhash from a precomputed `hs` token-hash array column. */
-  private def simhash32(d: SqlDialect): String = {
+  /** 32-bit simhash over the `text` column. The token-hash array is
+    * lambda-bound (`d.bind`) so the md5-digit parse per token happens
+    * once, not once per simhash bit — project-collapse would otherwise
+    * inline the array into all 32 bit-votes (measured 30× slowdown). */
+  private def simhashBound(d: SqlDialect): String = {
+    val hs = d.map(d.splitSpace("text"), "t", d.hex32("t"))
     val bitVote = d.isum(d.map("hs", "h",
       s"CASE WHEN ${d.shiftr("h", "b")} % 2 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END"))
-    d.isum(d.map(d.range("0", "31"), "b",
-      s"CASE WHEN $bitVote > 0 THEN ${d.shiftl("CAST(1 AS BIGINT)", "b")} ELSE CAST(0 AS BIGINT) END"))
+    d.bind(hs, "hs",
+      d.isum(d.map(d.range("0", "31"), "b",
+        s"CASE WHEN $bitVote > 0 THEN ${d.shiftl("CAST(1 AS BIGINT)", "b")} ELSE CAST(0 AS BIGINT) END")))
   }
 }

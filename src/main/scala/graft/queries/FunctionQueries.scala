@@ -67,6 +67,27 @@ object FunctionQueries {
                        CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
                 FROM lineitem)
               UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
-              ORDER BY metric"""))
+              ORDER BY metric""")),
+
+    // A13 engine path: percentile_approx (a mergeable GK sketch — constant
+    // executor memory, the ONLY median that survives 100 TB) next to the
+    // exact percentile (TypedImperativeAggregate that buffers every value
+    // on one reducer — correct, but a scale-killer; oracle-compare only).
+    // The oracle pins the exact value and asserts the sketch lands within
+    // 1% of it — the sketch's internal result is not bit-portable across
+    // engines, its error bound is the contract.
+    QuerySpec("q62_percentile_approx",
+      (s, d) => Td.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          (floor(expr("percentile(l_extendedprice, 0.5)") * 100.0 + 0.5) / 100.0).as("exact_median"),
+          expr("""abs(percentile_approx(l_extendedprice, 0.5) -
+                      percentile(l_extendedprice, 0.5))
+                  / percentile(l_extendedprice, 0.5) < 0.01""").as("sketch_within_1pct"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     floor(quantile_cont(l_extendedprice, 0.5) * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(100.0 AS DOUBLE) AS exact_median,
+                     true AS sketch_within_1pct
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -17,11 +17,28 @@ package graft.queries
   * the Spark side and plain SQL in the oracle.
   */
 sealed trait SqlDialect {
-  /** 32-bit hash: parse md5(x)[0,8) as hex → BIGINT in [0, 2^32). */
-  final def hex32(x: String): String =
-    (1 to 8).map(i =>
-      s"CAST(instr('0123456789abcdef', substring(md5($x), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}")
-      .mkString("(", " + ", ")")
+  /** Bind `value` to lambda variable `v` inside `body`, forcing exactly
+    * one evaluation of `value` per row. Both engines interpret
+    * higher-order lambdas without common-subexpression elimination, so an
+    * expensive expression referenced N times is otherwise computed N
+    * times (measured: the 8 md5 calls of an unbound hex32 made simhash
+    * 30× slower at sf0.1). */
+  final def bind(value: String, v: String, body: String): String =
+    elem(map(mkArray1(value), v, body), "1")
+
+  /** One-element array literal (dialect-specific syntax). */
+  protected def mkArray1(x: String): String
+
+  /** 32-bit hash: parse md5(x)[0,8) as hex → BIGINT in [0, 2^32).
+    * Default: the md5 is computed ONCE (via `bind`) and its digits parsed
+    * arithmetically — the only hex→int path DuckDB has. Spark overrides
+    * with its native codegen'd `conv` (identical values, ~8× fewer
+    * interpreted ops). */
+  def hex32(x: String): String =
+    bind(s"md5($x)", "mh",
+      (1 to 8).map(i =>
+        s"CAST(instr('0123456789abcdef', substring(mh, $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")"))
 
   /** Seeded hash family: h_seed(x). */
   final def hashS(x: String, seed: String): String = hex32(s"concat($x, '#$seed')")
@@ -50,9 +67,13 @@ sealed trait SqlDialect {
   def dsum(l: String): String
   def shiftr(x: String, b: String): String
   def bxor(a: String, b: String): String
+  def idiv(a: String, b: String): String
 }
 
 object SparkSql extends SqlDialect {
+  protected def mkArray1(x: String) = s"array($x)"
+  override def hex32(x: String): String =
+    s"CAST(conv(substring(md5($x), 1, 8), 16, 10) AS BIGINT)"
   def len(x: String) = s"size($x)"
   def map(l: String, v: String, body: String) = s"transform($l, $v -> $body)"
   def amin(l: String) = s"array_min($l)"
@@ -69,6 +90,7 @@ object SparkSql extends SqlDialect {
   def dsum(l: String) = s"aggregate($l, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
   def shiftr(x: String, b: String) = s"shiftright($x, $b)"
   def bxor(a: String, b: String) = s"($a ^ $b)"
+  def idiv(a: String, b: String) = s"($a DIV $b)"
   def isum(l: String) = s"aggregate($l, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
   def zipMul(a: String, b: String) =
     s"zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
@@ -77,6 +99,7 @@ object SparkSql extends SqlDialect {
 }
 
 object DuckSql extends SqlDialect {
+  protected def mkArray1(x: String) = s"[$x]"
   def len(x: String) = s"len($x)"
   def map(l: String, v: String, body: String) = s"list_transform($l, $v -> $body)"
   def amin(l: String) = s"list_min($l)"
@@ -94,6 +117,7 @@ object DuckSql extends SqlDialect {
   def dsum(l: String) = s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], $l), (acc, x) -> acc + x)"
   def shiftr(x: String, b: String) = s"($x >> $b)"
   def bxor(a: String, b: String) = s"xor($a, $b)"
+  def idiv(a: String, b: String) = s"($a // $b)"
   def isum(l: String) = s"CAST(list_sum($l) AS BIGINT)"
   def zipMul(a: String, b: String) =
     s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))"

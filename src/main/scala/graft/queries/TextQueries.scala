@@ -17,6 +17,14 @@ object TextQueries {
   /** Shared per-dialect scalar fragments (t = text column name). */
   private def toks(d: SqlDialect) = d.splitSpace("text")
 
+  /** Winnowing-style fingerprint: min hash over rolling 5-token windows.
+    * Token array lambda-bound → one split per row. */
+  private def fingerprintExpr(d: SqlDialect): String =
+    d.bind(toks(d), "tk",
+      d.amin(d.map(
+        d.map(d.range("1", s"greatest(${d.len("tk")} - 4, 1)"), "i", d.wordSlice("tk", "i", 5)),
+        "w", d.hex32("w"))))
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- token counting: whitespace + BPE-ish regex pieces --------------
@@ -120,21 +128,17 @@ object TextQueries {
     QuerySpec("q53_text_fingerprint", {
       (s, dir) => {
         val d = SparkSql
-        val windows = d.map(d.range("1", s"greatest(${d.len(toks(d))} - 4, 1)"),
-          "i", d.wordSlice(toks(d), "i", 5))
         Td.load(s, dir, "documents")
           .selectExpr(
             "doc_id",
-            s"${d.amin(d.map(windows, "w", d.hex32("w")))} AS fp_rolling_min",
+            s"${fingerprintExpr(d)} AS fp_rolling_min",
             "substring(md5(text), 1, 16) AS fp_md5_prefix")
           .orderBy("doc_id")
       }
     }, {
       val d = DuckSql
-      val windows = d.map(d.range("1", s"greatest(${d.len(toks(d))} - 4, 1)"),
-        "i", d.wordSlice(toks(d), "i", 5))
       Some(s"""SELECT doc_id,
-                      ${d.amin(d.map(windows, "w", d.hex32("w")))} AS fp_rolling_min,
+                      ${fingerprintExpr(d)} AS fp_rolling_min,
                       substring(md5(text), 1, 16) AS fp_md5_prefix
                FROM documents ORDER BY doc_id""")
     })
