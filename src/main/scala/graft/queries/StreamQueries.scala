@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Td
+import graft.streaming.StreamingOps
+
+/** Stream-analytics parity queries over `events`: a real Structured
+  * Streaming windowed aggregation (q63 — the plan runs through the
+  * streaming engine, AvailableNow, then the final state is compared to
+  * the batch oracle) and gap-based sessionization (q64 — the batch
+  * lag+running-sum formulation; its incremental twin is
+  * [[graft.streaming.Sessionize.statefulSessions]], proven equivalent in
+  * StatefulSessionSpec). */
+object StreamQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec("q63_stream_window",
+      (s, dir) => StreamingOps.windowedEventCounts(s, dir)
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT date_trunc('day', ts) AS window_start, event_type,
+                     count(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // Sessions split when a user's inter-event gap exceeds 12 h. Epoch
+    // seconds compared as DOUBLE: event micros < 2^52, so the subtraction
+    // is exact in both engines.
+    QuerySpec("q64_sessionize", { (s, dir) =>
+      val order = Seq(col("ts"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(order: _*)
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Td.load(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("gap_flag",
+          when(col("prev_ts").isNull ||
+            col("ts").cast(DoubleType) - col("prev_ts").cast(DoubleType) > 43200.0, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum("gap_flag").over(cum))
+        .groupBy("user_id", "session_idx")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("ts").as("session_start"),
+          max("ts").as("session_end"))
+        .withColumn("duration_sec",
+          col("session_end").cast(DoubleType) - col("session_start").cast(DoubleType))
+        .orderBy("user_id", "session_idx")
+    },
+      Some("""WITH flags AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 43200.0
+                            THEN 1 ELSE 0 END AS gap_flag
+                FROM events),
+              sess AS (
+                SELECT user_id, ts,
+                       CAST(SUM(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                FROM flags)
+              SELECT user_id, session_idx, count(*) AS n_events,
+                     min(ts) AS session_start, max(ts) AS session_end,
+                     epoch(max(ts)) - epoch(min(ts)) AS duration_sec
+              FROM sess GROUP BY user_id, session_idx
+              ORDER BY user_id, session_idx"""))
+  )
+}

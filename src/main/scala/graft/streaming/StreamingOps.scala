@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming analytics over the `events` stream table —
+  * beyond-reference capability (the reference's only stream is file
+  * ingest, SURVEY.md §2.9; a real deployment of this engine also needs
+  * event-time windowed aggregation).
+  *
+  * Scale notes: the aggregation state is per (window × event_type) — tiny
+  * and mergeable; with `withWatermark` + append mode Spark drops window
+  * state once the watermark passes, so state is bounded at any volume.
+  * The memory sink + complete mode used here exists to make the finite
+  * AvailableNow run fully observable for the oracle comparison (append
+  * mode would rightly hold back the final, still-open window); a
+  * production run would append finalized windows to a parquet/Kafka sink.
+  */
+object StreamingOps {
+
+  /** events.parquet read as a stream (TIMESTAMP(NANOS) arrives as LONG
+    * under the nanosAsLong conf, converted to native micros). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Event-time 1-day tumbling windows × event_type: count + exact sum.
+    * Runs the stream to completion (AvailableNow) and returns the final
+    * window table. */
+  def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamableDir(sfDir))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+    val sinkName = s"graft_stream_window_${System.nanoTime()}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** The file stream source only accepts directories; the testdata ships
+    * single parquet files — expose each via a per-dir symlink dir. */
+  private val linkCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamableDir(sfDir: String): String =
+    linkCache.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+      dir.toString
+    })
+}
