@@ -16,7 +16,8 @@ object SparkEntry {
   private val allSpecs: Seq[QuerySpec] =
     CoreQueries.specs ++ JoinQueries.specs ++ FunctionQueries.specs ++
       MedallionQueries.specs ++ TextQueries.specs ++ DedupQueries.specs ++
-      AnnQueries.specs ++ MultimodalQueries.specs ++ StreamQueries.specs
+      AnnQueries.specs ++ MultimodalQueries.specs ++ StreamQueries.specs ++
+      ScaleQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

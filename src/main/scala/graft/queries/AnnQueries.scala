@@ -25,16 +25,15 @@ object AnnQueries {
     // (WindowGroupLimit), so no full sort of the candidate set. At 100 TB
     // the only data movement is the final k rows per query.
     QuerySpec("q59_ann_bruteforce", { (s, dir) =>
-      val d = SparkSql
-      val e = Td.load(s, dir, "embeddings")
-        .selectExpr("vec_id", "embedding",
-          s"sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm")
+      // cosine via the engine's native codegen'd expression (identical
+      // accumulation order to the HOF fold and the oracle; CosineSimilarity
+      // Scaladoc) registered by GraftExtensions.
+      val e = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
       val q = e.filter(col("vec_id") < K)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       e.crossJoin(broadcast(q))
         .where(col("vec_id") =!= col("q_id"))
-        .selectExpr("q_id", "vec_id",
-          s"${d.dsum(d.zipMul("q_emb", "embedding"))} / (q_nrm * nrm) AS cosine")
+        .selectExpr("q_id", "vec_id", "cosine_sim(q_emb, embedding) AS cosine")
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
@@ -71,15 +70,12 @@ object AnnQueries {
     QuerySpec("q60_ann_lsh", { (s, dir) =>
       val d = SparkSql
       val e = Td.load(s, dir, "embeddings")
-        .selectExpr("vec_id", "embedding",
-          s"sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm",
-          s"${bucketExpr(d)} AS bucket")
+        .selectExpr("vec_id", "embedding", s"${bucketExpr(d)} AS bucket")
       val q = e.filter(col("vec_id") < K)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+          col("bucket").as("q_bucket"))
       e.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-        .selectExpr("q_id", "vec_id",
-          s"${d.dsum(d.zipMul("q_emb", "embedding"))} / (q_nrm * nrm) AS cosine")
+        .selectExpr("q_id", "vec_id", "cosine_sim(q_emb, embedding) AS cosine")
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))

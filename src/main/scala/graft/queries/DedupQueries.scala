@@ -208,13 +208,11 @@ object DedupQueries {
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
       val sign = d.joinStr(d.map(d.range("1", "16"), "i",
         s"CASE WHEN ${d.elem("embedding", "i")} >= 0 THEN '1' ELSE '0' END"), "")
-      val withB = corpusE.selectExpr("vec_id", "embedding",
-        s"$sign AS bucket",
-        s"sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm")
+      val withB = corpusE.selectExpr("vec_id", "embedding", s"$sign AS bucket")
       withB.as("a").join(withB.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
-          s"round(${d.dsum(d.zipMul("a.embedding", "b.embedding"))} / (a.nrm * b.nrm), 6) AS cosine")
+          "round(cosine_sim(a.embedding, b.embedding), 6) AS cosine")
         .where("cosine >= 0.99")
         .orderBy("vec_a", "vec_b")
     }, {
