@@ -3,18 +3,30 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, Md5U32, MinHashSigs, SimHash32}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions into the session's
   * function registry so SQL and `expr(...)` can call them like builtins.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+    builder)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",
-        "cosine_sim(a, b) - cosine similarity of two float vectors", ""),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction(fn("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float vectors")(
+      c => CosineSimilarity(c.head, c(1))))
+    ext.injectFunction(fn("md5_u32",
+      "md5_u32(s) - first 8 md5 hex digits as unsigned 32-bit BIGINT")(
+      c => Md5U32(c.head)))
+    ext.injectFunction(fn("simhash32",
+      "simhash32(tokens) - 32-bit majority simhash of a string array")(
+      c => SimHash32(c.head)))
+    ext.injectFunction(fn("minhash_sigs",
+      "minhash_sigs(shingles) - 12 banded minhash signature slots")(
+      c => MinHashSigs(c.head)))
   }
 }

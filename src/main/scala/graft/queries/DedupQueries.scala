@@ -96,7 +96,7 @@ object DedupQueries {
       val base = corpus(s, dir).where(s"${d.len(d.splitSpace("text"))} >= 3")
       val tk = base.selectExpr("doc_id", s"${shinglesExpr(d)} AS shingles")
       val bands = base
-        .selectExpr("doc_id", s"${sigsExpr(d)} AS sigs")
+        .selectExpr("doc_id", s"minhash_sigs(${shinglesExpr(d)}) AS sigs")
         .selectExpr("doc_id", "sigs", "explode(sequence(0, 5)) AS j")
         .selectExpr("doc_id",
           """concat(CAST(j AS STRING), ':',
@@ -148,8 +148,9 @@ object DedupQueries {
     // (bucket equi-join); pairs with hamming distance ≤ 3 survive.
     QuerySpec("q56_dedup_simhash", { (s, dir) =>
       val d = SparkSql
+      // native fused expression (HashUtil.simhash32 mirrors simhashBound)
       val sh = corpus(s, dir)
-        .selectExpr("doc_id", s"${simhashBound(d)} AS simhash")
+        .selectExpr("doc_id", "simhash32(split(text, ' ')) AS simhash")
         .withColumn("bucket", expr(d.shiftr("simhash", "16")))
       sh.as("a").join(sh.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))

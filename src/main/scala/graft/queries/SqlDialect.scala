@@ -72,8 +72,7 @@ sealed trait SqlDialect {
 
 object SparkSql extends SqlDialect {
   protected def mkArray1(x: String) = s"array($x)"
-  override def hex32(x: String): String =
-    s"CAST(conv(substring(md5($x), 1, 8), 16, 10) AS BIGINT)"
+  override def hex32(x: String): String = s"md5_u32($x)"
   def len(x: String) = s"size($x)"
   def map(l: String, v: String, body: String) = s"transform($l, $v -> $body)"
   def amin(l: String) = s"array_min($l)"
