@@ -27,6 +27,42 @@ object TextQueries {
 
   val specs: Seq[QuerySpec] = Seq(
 
+    // ---- corpus term frequency (unigram + bigram) -----------------------
+    // The canonical LLM-corpus word-count: explode multiplies rows ~60×,
+    // then partial aggregation collapses them map-side BEFORE the shuffle,
+    // so the exchange carries only (kind, term) partials — vocabulary-
+    // sized, not corpus-sized. Stop-words make (kind, term) skewed at
+    // 100 TB: map-side combine absorbs it for count/countDistinct-free
+    // aggs; for heavier per-term state apply q65's salting pattern.
+    QuerySpec("q66_term_frequency", { (s, dir) =>
+      val d = SparkSql
+      val bigrams = d.bind(toks(d), "tk",
+        d.map(d.range("1", s"${d.len("tk")} - 1"), "i", d.wordSlice("tk", "i", 2)))
+      val docs = Td.load(s, dir, "documents")
+      val uni = docs.selectExpr("doc_id", s"explode(${toks(d)}) AS term")
+        .selectExpr("'unigram' AS kind", "doc_id", "term")
+      val big = docs.selectExpr("doc_id", s"explode($bigrams) AS term")
+        .selectExpr("'bigram' AS kind", "doc_id", "term")
+      uni.unionAll(big)
+        .groupBy("kind", "term")
+        .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("kind", "term")
+    }, {
+      val d = DuckSql
+      val bigrams = d.bind(toks(d), "tk",
+        d.map(d.range("1", s"${d.len("tk")} - 1"), "i", d.wordSlice("tk", "i", 2)))
+      Some(s"""WITH uni AS (
+                 SELECT 'unigram' AS kind, doc_id,
+                        unnest(${toks(d)}) AS term FROM documents),
+               big AS (
+                 SELECT 'bigram' AS kind, doc_id,
+                        unnest($bigrams) AS term FROM documents),
+               all_terms AS (SELECT * FROM uni UNION ALL SELECT * FROM big)
+               SELECT kind, term, count(*) AS n_total,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+               FROM all_terms GROUP BY kind, term ORDER BY kind, term""")
+    }),
+
     // ---- token counting: whitespace + BPE-ish regex pieces --------------
     QuerySpec("q50_text_tokens",
       (s, dir) => Td.load(s, dir, "documents")
