@@ -98,8 +98,15 @@ object PipelineGraph {
     done.toSeq.map(byName)
   }
 
-  /** Run the graph; sinks go under `workDir/<table>`. */
-  def run(spark: SparkSession, defs: Seq[TableDef], workDir: String): PipelineResult = {
+  /** Run the graph; sinks go under `workDir/<table>`.
+    *
+    * `sinkPartitions`: optional file-count control for the parquet sinks —
+    * the stand-in for DLT's `pipelines.autoOptimize.managed` compaction.
+    * Small corpora (the 768-row diabetes run) write 1 file per table
+    * instead of one per task; leave None at scale so writes stay
+    * partition-parallel. */
+  def run(spark: SparkSession, defs: Seq[TableDef], workDir: String,
+      sinkPartitions: Option[Int] = None): PipelineResult = {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
     val metrics = Seq.newBuilder[ExpectationResult]
     val reader: PipelineResult.Reader = name =>
@@ -120,7 +127,8 @@ object PipelineGraph {
           val dropPreds = t.expectations.filter(_.mode == Expectation.Drop)
           val filtered = dropPreds.foldLeft(observed)((df, e) => df.filter(expr(e.predicate)))
           val sink = s"$workDir/${t.name}"
-          filtered.write.mode("overwrite").parquet(sink)
+          val sized = sinkPartitions.map(filtered.coalesce).getOrElse(filtered)
+          sized.write.mode("overwrite").parquet(sink)
           val got = obs.get
           val total = got("rows").asInstanceOf[Long]
           t.expectations.foreach { e =>

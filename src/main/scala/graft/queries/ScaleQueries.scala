@@ -35,6 +35,83 @@ object ScaleQueries {
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, count(*) AS cnt,
                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- int8 embedding quantization ------------------------------------
+    // 100 TB of float32 embeddings becomes 25 TB of int8 + one scale per
+    // vector; pure per-row HOFs, no shuffle. Rounding is floor(x+0.5)
+    // (round-half-toward-+inf — identical in both engines; round() would
+    // hit the cross-engine tie bug, q05). checksum pins the quantized
+    // values, max_abs_err pins reconstruction quality (≤ scale/2).
+    QuerySpec("q68_embed_quantize", { (s, dir) =>
+      val d = SparkSql
+      Td.load(s, dir, "embeddings")
+        .selectExpr("vec_id", "embedding",
+          s"${d.amax(d.map("embedding", "x", "abs(CAST(x AS DOUBLE))"))} / 127.0 AS scale")
+        .selectExpr("vec_id", "embedding", "scale",
+          s"${d.map("embedding", "x", "CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)")} AS q")
+        .selectExpr("vec_id", "round(scale, 9) AS scale",
+          s"${d.isum("q")} AS checksum",
+          s"${d.amax("zip_with(embedding, q, (x, qi) -> abs(CAST(x AS DOUBLE) - CAST(qi AS DOUBLE) * scale))")} AS raw_err")
+        .selectExpr("vec_id", "scale", "checksum", "round(raw_err, 9) AS max_abs_err")
+        .orderBy("vec_id")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH s0 AS (
+                 SELECT vec_id, embedding,
+                        ${d.amax(d.map("embedding", "x", "abs(CAST(x AS DOUBLE))"))} / CAST(127.0 AS DOUBLE) AS scale
+                 FROM embeddings),
+               s1 AS (
+                 SELECT vec_id, embedding, scale,
+                        ${d.map("embedding", "x", "CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)")} AS q
+                 FROM s0),
+               s2 AS (
+                 SELECT vec_id, round(scale, 9) AS scale, ${d.isum("q")} AS checksum,
+                        ${d.amax("list_transform(list_zip(embedding, q), p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale))")} AS raw_err
+                 FROM s1)
+               SELECT vec_id, scale, checksum, round(raw_err, 9) AS max_abs_err
+               FROM s2 ORDER BY vec_id""")
+    }),
+
+    // ---- CDC upsert (MERGE pattern without Delta) -----------------------
+    // Classic medallion change-capture: a small update/insert batch merged
+    // into the base table via FULL OUTER + coalesce. Scale shape: the CDC
+    // batch is normally ≪ base → Catalyst broadcasts it and the base never
+    // shuffles; key-bucketed bases (BucketedJoinSpec) merge co-located.
+    QuerySpec("q69_upsert", { (s, dir) =>
+      val base = Td.load(s, dir, "customer")
+      val changes = base.filter(col("c_custkey") < 100)
+        .selectExpr("c_custkey", "c_name",
+          "round(c_acctbal + 100.0, 2) AS u_acctbal")
+        .unionAll(base.filter(col("c_custkey") < 50)
+          .selectExpr("c_custkey + 1000000 AS c_custkey",
+            "concat('NEW ', c_name) AS c_name", "CAST(0.0 AS DOUBLE) AS u_acctbal"))
+      base.withColumnRenamed("c_acctbal", "b_acctbal")
+        .withColumnRenamed("c_name", "b_name")
+        .join(broadcast(changes.withColumnRenamed("c_name", "u_name")),
+          Seq("c_custkey"), "full_outer")
+        .selectExpr("c_custkey",
+          "coalesce(u_name, b_name) AS c_name",
+          "coalesce(u_acctbal, b_acctbal) AS c_acctbal",
+          """CASE WHEN u_acctbal IS NULL THEN 'unchanged'
+                  WHEN b_acctbal IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS change_type""")
+        .orderBy("c_custkey")
+    },
+      Some("""WITH changes AS (
+                SELECT c_custkey, c_name AS u_name,
+                       round(c_acctbal + CAST(100.0 AS DOUBLE), 2) AS u_acctbal
+                FROM customer WHERE c_custkey < 100
+                UNION ALL
+                SELECT c_custkey + 1000000, concat('NEW ', c_name), CAST(0.0 AS DOUBLE)
+                FROM customer WHERE c_custkey < 50)
+              SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+                     coalesce(c.u_name, b.c_name) AS c_name,
+                     coalesce(c.u_acctbal, b.c_acctbal) AS c_acctbal,
+                     CASE WHEN c.u_acctbal IS NULL THEN 'unchanged'
+                          WHEN b.c_acctbal IS NULL THEN 'inserted'
+                          ELSE 'updated' END AS change_type
+              FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+              ORDER BY c_custkey"""))
   )
 }

@@ -46,6 +46,7 @@ sealed trait SqlDialect {
   def len(x: String): String
   def map(l: String, v: String, body: String): String
   def amin(l: String): String
+  def amax(l: String): String
   def adistinct(l: String): String
   def range(a: String, b: String): String
   def toStr(x: String): String
@@ -76,6 +77,7 @@ object SparkSql extends SqlDialect {
   def len(x: String) = s"size($x)"
   def map(l: String, v: String, body: String) = s"transform($l, $v -> $body)"
   def amin(l: String) = s"array_min($l)"
+  def amax(l: String) = s"array_max($l)"
   def adistinct(l: String) = s"array_distinct($l)"
   def range(a: String, b: String) = s"sequence($a, $b)"
   def toStr(x: String) = s"CAST($x AS STRING)"
@@ -102,6 +104,7 @@ object DuckSql extends SqlDialect {
   def len(x: String) = s"len($x)"
   def map(l: String, v: String, body: String) = s"list_transform($l, $v -> $body)"
   def amin(l: String) = s"list_min($l)"
+  def amax(l: String) = s"list_max($l)"
   def adistinct(l: String) = s"list_distinct($l)"
   def range(a: String, b: String) = s"generate_series($a, $b)"
   def toStr(x: String) = s"CAST($x AS VARCHAR)"

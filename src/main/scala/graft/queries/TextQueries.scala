@@ -158,6 +158,50 @@ object TextQueries {
                SELECT *, pred_lang = lang AS agrees FROM t1 ORDER BY doc_id""")
     }),
 
+    // ---- TF-IDF: top-3 terms per document -------------------------------
+    // Scale shape: term counts partial-agg before the (doc_id, term)
+    // shuffle; the document-frequency table is VOCABULARY-sized, so it
+    // broadcasts back onto the corpus-sized tf relation — no second big
+    // shuffle. Ranking ties (identical tf·idf) break on the term string,
+    // so cross-engine ulp differences in ln() cannot reorder output.
+    QuerySpec("q67_tfidf", { (s, dir) =>
+      val d = SparkSql
+      val docs = Td.load(s, dir, "documents")
+      val terms = docs.selectExpr("doc_id", s"explode(${toks(d)}) AS term")
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .selectExpr("doc_id", "term", "tf", "df",
+          "tf * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS score")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+        .where(col("rank") <= 3)
+        .selectExpr("doc_id", "term", "tf", "df", "round(score, 6) AS score", "rank")
+        .orderBy("doc_id", "rank")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH terms AS (
+                 SELECT doc_id, unnest(${toks(d)}) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+               df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                      FROM terms GROUP BY 1),
+               n AS (SELECT count(*) AS n_docs FROM documents),
+               scored AS (
+                 SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                        tf.tf * ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) AS score
+                 FROM tf JOIN df USING (term) CROSS JOIN n),
+               ranked AS (
+                 SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS INTEGER) AS rank
+                 FROM scored)
+               SELECT doc_id, term, tf, df, round(score, 6) AS score, rank
+               FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")
+    }),
+
     // ---- fingerprinting: min-hash over rolling 5-token windows ----------
     // (winnowing-style: hash every window, keep the minimum) plus a whole-
     // document md5 prefix for exact-dup detection.
