@@ -73,6 +73,27 @@ object ScaleQueries {
                FROM s2 ORDER BY vec_id""")
     }),
 
+    // ---- sketch distinct (HyperLogLog++) --------------------------------
+    // Exact countDistinct plans an Expand + distinct shuffle of the raw
+    // keys — at 100 TB that is the whole key set over the wire. The HLL++
+    // sketch is constant-size and mergeable (the only distinct that
+    // scales); like q62, the oracle pins the exact value plus the
+    // sketch's documented error envelope.
+    QuerySpec("q70_approx_distinct",
+      (s, d) => Td.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_distinct"),
+          (abs(approx_count_distinct(col("l_partkey")).cast(DoubleType) -
+            countDistinct(col("l_partkey")).cast(DoubleType)) /
+            countDistinct(col("l_partkey")).cast(DoubleType) < 0.05)
+            .as("sketch_within_5pct"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     count(DISTINCT l_partkey) AS exact_distinct,
+                     true AS sketch_within_5pct
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- CDC upsert (MERGE pattern without Delta) -----------------------
     // Classic medallion change-capture: a small update/insert batch merged
     // into the base table via FULL OUTER + coalesce. Scale shape: the CDC
