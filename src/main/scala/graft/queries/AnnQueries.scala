@@ -103,7 +103,67 @@ object AnnQueries {
                SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
                FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")
     })
-  )
+  ) :+ ivfSpec
+
+  /** IVF (inverted-file) ANN — the clustered alternative to q60's
+    * hyperplane LSH. Coarse quantizer = 1-in-100 deterministic sample of
+    * the corpus itself (vec_id % 100 == 7), broadcast everywhere; every
+    * vector is assigned to its max-cosine centroid (rank-window, same
+    * tie-break discipline as q59); queries probe their nprobe=2 closest
+    * centroids' posting lists only. Scale: the assignment pass is a
+    * broadcast-join scan (no shuffle of the corpus); the probe join is an
+    * equi-join on centroid id over ~2/C of the data. */
+  private lazy val ivfSpec: QuerySpec = QuerySpec("q71_ann_ivf", { (s, dir) =>
+    val e = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val ranked = e.crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "embedding", "cent_id",
+        "cosine_sim(embedding, cent_emb) AS c_cos")
+      .withColumn("c_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("c_cos").desc, col("cent_id"))))
+    val assigned = ranked.where(col("c_rank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val probes = ranked.where(col("c_rank") <= 2 && col("vec_id") < K)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cent_id"))
+    assigned.join(broadcast(probes),
+        Seq("cent_id")) // posting-list equi-join
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id", "cosine_sim(q_emb, embedding) AS cosine")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rank") <= 3)
+      .selectExpr("q_id", "vec_id", "round(cosine, 6) AS cosine", "rank")
+      .orderBy("q_id", "rank")
+  }, {
+    val d = DuckSql
+    def cos(a: String, b: String) =
+      s"${d.dsum(d.zipMul(a, b))} / (sqrt(${d.dsum(d.zipMul(a, a))}) * sqrt(${d.dsum(d.zipMul(b, b))}))"
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                       FROM e WHERE vec_id % 100 = 7),
+             ranked AS (
+               SELECT e.vec_id, e.embedding, c.cent_id,
+                      CAST(row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY ${cos("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS INTEGER) AS c_rank
+               FROM e CROSS JOIN cents c),
+             assigned AS (SELECT vec_id, embedding, cent_id FROM ranked WHERE c_rank = 1),
+             probes AS (SELECT vec_id AS q_id, embedding AS q_emb, cent_id
+                        FROM ranked WHERE c_rank <= 2 AND vec_id < $K),
+             scored AS (
+               SELECT p.q_id, a.vec_id,
+                      ${cos("p.q_emb", "a.embedding")} AS cosine
+               FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+               WHERE a.vec_id <> p.q_id),
+             rk AS (SELECT q_id, vec_id, cosine,
+                           CAST(row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+                    FROM scored)
+             SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
+             FROM rk WHERE rank <= 3 ORDER BY q_id, rank""")
+  })
 
   /** 8-bit hyperplane bucket: bit p = sign of <e, w_p>, where
     * w_p[i] = hex32(md5("w{p}#{i}")) % 2001 - 1000 — deterministic,
