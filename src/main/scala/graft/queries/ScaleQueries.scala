@@ -96,9 +96,12 @@ object ScaleQueries {
 
     // ---- CDC upsert (MERGE pattern without Delta) -----------------------
     // Classic medallion change-capture: a small update/insert batch merged
-    // into the base table via FULL OUTER + coalesce. Scale shape: the CDC
-    // batch is normally ≪ base → Catalyst broadcasts it and the base never
-    // shuffles; key-bucketed bases (BucketedJoinSpec) merge co-located.
+    // into the base table via FULL OUTER + coalesce. Scale shape: Spark
+    // cannot broadcast a full-outer join (verified: this plans as a
+    // SortMergeJoin), so the base DOES shuffle on the key — at 100 TB
+    // keep the base key-bucketed (BucketedJoinSpec) so only the small CDC
+    // batch moves, or split the merge into a broadcast left-anti insert
+    // plus a broadcast left-semi update when full-outer isn't required.
     QuerySpec("q69_upsert", { (s, dir) =>
       val base = Td.load(s, dir, "customer")
       val changes = base.filter(col("c_custkey") < 100)
