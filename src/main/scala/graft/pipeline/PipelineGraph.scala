@@ -104,22 +104,32 @@ object PipelineGraph {
     * the stand-in for DLT's `pipelines.autoOptimize.managed` compaction.
     * Small corpora (the 768-row diabetes run) write 1 file per table
     * instead of one per task; leave None at scale so writes stay
-    * partition-parallel. */
+    * partition-parallel.
+    *
+    * `parallelism`: independent nodes run CONCURRENTLY (the reference's
+    * gold fan-out is 8 independent jobs off silver, SURVEY.md §3.1 —
+    * DLT schedules them in parallel and so does this runner). Spark job
+    * submission is thread-safe; each node completes its own sink write +
+    * metric collection before dependents start. */
   def run(spark: SparkSession, defs: Seq[TableDef], workDir: String,
-      sinkPartitions: Option[Int] = None): PipelineResult = {
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
-    val metrics = Seq.newBuilder[ExpectationResult]
+      sinkPartitions: Option[Int] = None, parallelism: Int = 4): PipelineResult = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+
+    val ordered = topoOrder(defs)
+    val results = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    val metrics = scala.collection.concurrent.TrieMap.empty[String, Seq[ExpectationResult]]
     val reader: PipelineResult.Reader = name =>
       results.getOrElse(name, sys.error(s"unknown upstream table: $name"))
 
-    topoOrder(defs).foreach { t =>
+    def runNode(t: TableDef): DataFrame = {
       val built = t.build(reader)
       val out =
         if (t.isView) built
         else {
           // Violation counts observed in the same pass as the sink write:
           // one sum(when(!pred,1)) per expectation plus a row count.
-          val obs = Observation(s"${t.name}_expectations")
+          val obs = Observation(s"${t.name}_expectations_${System.nanoTime()}")
           val metricCols = count(lit(1)).as("rows") +:
             t.expectations.map(e =>
               sum(when(expr(e.predicate), 0L).otherwise(1L)).as(e.name))
@@ -131,15 +141,30 @@ object PipelineGraph {
           sized.write.mode("overwrite").parquet(sink)
           val got = obs.get
           val total = got("rows").asInstanceOf[Long]
-          t.expectations.foreach { e =>
+          metrics.put(t.name, t.expectations.map { e =>
             val failed = got(e.name) match { case null => 0L; case x => x.asInstanceOf[Long] }
-            metrics += ExpectationResult(t.name, e.name, e.mode.label, total - failed, failed)
-          }
+            ExpectationResult(t.name, e.name, e.mode.label, total - failed, failed)
+          })
           spark.read.parquet(sink)
         }
       out.createOrReplaceTempView(t.name)
-      results += t.name -> out
+      results.put(t.name, out)
+      out
     }
-    PipelineResult(results.toMap, metrics.result())
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(parallelism, 1))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = scala.collection.mutable.Map.empty[String, Future[DataFrame]]
+      ordered.foreach { t =>
+        val deps = Future.sequence(t.deps.map(futures))
+        futures(t.name) = deps.map(_ => runNode(t))
+      }
+      Await.result(Future.sequence(ordered.map(t => futures(t.name))), Duration.Inf)
+    } finally pool.shutdown()
+
+    PipelineResult(
+      results.toMap,
+      ordered.flatMap(t => metrics.getOrElse(t.name, Nil)))
   }
 }
