@@ -40,9 +40,6 @@ sealed trait SqlDialect {
         s"CAST(instr('0123456789abcdef', substring(mh, $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}")
         .mkString("(", " + ", ")"))
 
-  /** Seeded hash family: h_seed(x). */
-  final def hashS(x: String, seed: String): String = hex32(s"concat($x, '#$seed')")
-
   def len(x: String): String
   def map(l: String, v: String, body: String): String
   def amin(l: String): String
