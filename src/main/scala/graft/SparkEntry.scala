@@ -30,10 +30,4 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = QuerySpec.toOracles(allSpecs)
-
-  /** Headline subset used by Bench (one per operator family). */
-  def benchQueries: Seq[String] = Seq(
-    "q01_scan_project", "q06_agg_group", "q08_agg_countdistinct",
-    "q11_percentile_group", "q18_cte_window", "q19_join_inner_agg",
-    "q23_join_broadcast", "q25_date_funcs")
 }

@@ -88,6 +88,44 @@ object FunctionQueries {
       Some("""SELECT l_returnflag,
                      floor(quantile_cont(l_extendedprice, 0.5) * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(100.0 AS DOUBLE) AS exact_median,
                      true AS sketch_within_1pct
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- ROLLUP: hierarchical subtotals ---------------------------------
+    // Beyond the reference's flat GROUP BYs — the standard dashboard
+    // subtotal shape. Spark plans one Expand (3 grouping sets) + a single
+    // hash agg; grouping() columns disambiguate subtotal NULLs from data
+    // NULLs. Spark sorts NULLS FIRST ascending by default; the oracle
+    // pins the same placement explicitly.
+    QuerySpec("q72_rollup",
+      (s, d) => Td.load(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                     CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+                     CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ---- PIVOT: wide-format reshape -------------------------------------
+    // Values pinned explicitly (pivot("...", Seq(...))) so the output
+    // schema is static — the scalable form (unpinned pivot needs a
+    // driver-side distinct pass over the pivot column first). The oracle
+    // states the equivalent conditional aggregation.
+    QuerySpec("q73_pivot",
+      (s, d) => Td.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F",
+                     count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
