@@ -198,6 +198,36 @@ object DedupQueries {
                ORDER BY doc_a, doc_b""")
     }),
 
+    // ---- edit-distance near-dup (length-banded levenshtein) -------------
+    // Classic edit distance is identical in both engines. Candidates are
+    // restricted to the SAME 100-char length band (an equi-join — a true
+    // near-dup can't differ by more than the distance threshold in
+    // length, so banding loses only cross-band boundary pairs, a
+    // documented recall trade). Levenshtein itself is O(len²) per pair —
+    // banding keeps the pair count, not the per-pair cost, in check; for
+    // corpus-scale fuzzy dedup prefer q55/q56 and keep edit distance as
+    // the high-precision verifier it is here.
+    QuerySpec("q76_dedup_editdistance", { (s, dir) =>
+      val slice = corpus(s, dir).where("doc_id % 10000 < 40")
+        .selectExpr("doc_id", "text", "length(text) DIV 100 AS len_band")
+      slice.as("a").join(slice.as("b"),
+          col("a.len_band") === col("b.len_band") && col("a.doc_id") < col("b.doc_id"))
+        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+          "levenshtein(a.text, b.text) AS edit_dist")
+        .where("edit_dist <= 35")
+        .orderBy("doc_a", "doc_b")
+    },
+      Some(s"""WITH $corpusSql,
+               slice AS (
+                 SELECT doc_id, text, length(text) // 100 AS len_band
+                 FROM corpus WHERE doc_id % 10000 < 40)
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+               FROM slice a JOIN slice b
+                 ON a.len_band = b.len_band AND a.doc_id < b.doc_id
+               WHERE levenshtein(a.text, b.text) <= 35
+               ORDER BY doc_a, doc_b""")),
+
     // ---- embedding-cosine near-dup --------------------------------------
     // Bucket = sign pattern of the first 16 dims (a deterministic 16-bit
     // hyperplane sketch); exact copies land in the same bucket, candidates

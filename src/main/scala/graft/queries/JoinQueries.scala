@@ -109,6 +109,57 @@ object JoinQueries {
               FROM customer
               JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
-              GROUP BY r_name ORDER BY r_name"""))
+              GROUP BY r_name ORDER BY r_name""")),
+
+    // ---- set operations: INTERSECT / EXCEPT (distinct semantics) --------
+    // Catalyst rewrites both to left-semi / left-anti joins over distinct
+    // inputs — same scale shape as q21/q22, no dedicated machinery.
+    QuerySpec("q74_setops",
+      (s, d) => {
+        val highVal = Td.load(s, d, "orders")
+          .filter(col("o_totalprice") > 200000).select("o_custkey")
+        val urgent = Td.load(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        highVal.intersect(urgent)
+          .selectExpr("'both' AS segment", "o_custkey")
+          .unionAll(highVal.except(urgent)
+            .selectExpr("'high_value_only' AS segment", "o_custkey"))
+          .orderBy("segment", "o_custkey")
+      },
+      Some("""SELECT * FROM (
+                SELECT 'both' AS segment, o_custkey FROM
+                  (SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+                   INTERSECT
+                   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+                UNION ALL
+                SELECT 'high_value_only', o_custkey FROM
+                  (SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+                   EXCEPT
+                   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+              ORDER BY segment, o_custkey""")),
+
+    // ---- correlated EXISTS / NOT EXISTS subqueries ----------------------
+    // Exercises RewritePredicateSubquery: both decorrelate into semi/anti
+    // joins on o_custkey — the declarative twin of q21/q22's DataFrame
+    // forms, here arriving via SQL like the dashboard queries do.
+    QuerySpec("q75_exists_subquery",
+      (s, d) => {
+        Td.registerAll(s, d)
+        s.sql("""
+          SELECT c_mktsegment,
+                 count(*) AS n_customers,
+                 count_if(EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey
+                                    AND o.o_totalprice > 300000)) AS n_with_big_order
+          FROM customer c
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers,
+                     CAST(count(CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_custkey = c.c_custkey
+                                       AND o.o_totalprice > 300000)
+                           THEN 1 END) AS BIGINT) AS n_with_big_order
+              FROM customer c
+              GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }
