@@ -25,20 +25,8 @@ object AnnQueries {
     // (WindowGroupLimit), so no full sort of the candidate set. At 100 TB
     // the only data movement is the final k rows per query.
     QuerySpec("q59_ann_bruteforce", { (s, dir) =>
-      // cosine via the engine's native codegen'd expression (identical
-      // accumulation order to the HOF fold and the oracle; CosineSimilarity
-      // Scaladoc) registered by GraftExtensions.
       val e = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
-      val q = e.filter(col("vec_id") < K)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      e.crossJoin(broadcast(q))
-        .where(col("vec_id") =!= col("q_id"))
-        .selectExpr("q_id", "vec_id", "cosine_sim(q_emb, embedding) AS cosine")
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-        .where(col("rank") <= K)
-        .selectExpr("q_id", "vec_id", "round(cosine, 6) AS cosine", "rank")
+      graft.operators.Similarity.topK(e, e.filter(col("vec_id") < K), K)
         .orderBy("q_id", "rank")
     }, {
       val d = DuckSql
@@ -68,19 +56,9 @@ object AnnQueries {
     // ANN contract; the oracle mirrors the same planes, so both engines
     // agree on buckets exactly.
     QuerySpec("q60_ann_lsh", { (s, dir) =>
-      val d = SparkSql
       val e = Td.load(s, dir, "embeddings")
-        .selectExpr("vec_id", "embedding", s"${bucketExpr(d)} AS bucket")
-      val q = e.filter(col("vec_id") < K)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("bucket").as("q_bucket"))
-      e.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-        .selectExpr("q_id", "vec_id", "cosine_sim(q_emb, embedding) AS cosine")
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-        .where(col("rank") <= 3)
-        .selectExpr("q_id", "vec_id", "round(cosine, 6) AS cosine", "rank")
+        .selectExpr("vec_id", "embedding", s"${bucketExpr(SparkSql)} AS bucket")
+      graft.operators.Similarity.bucketedTopK(e, e.filter(col("vec_id") < K), 3)
         .orderBy("q_id", "rank")
     }, {
       val d = DuckSql
@@ -115,27 +93,8 @@ object AnnQueries {
     * equi-join on centroid id over ~2/C of the data. */
   private lazy val ivfSpec: QuerySpec = QuerySpec("q71_ann_ivf", { (s, dir) =>
     val e = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
-    val cents = e.filter(col("vec_id") % 100 === 7)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    val ranked = e.crossJoin(broadcast(cents))
-      .selectExpr("vec_id", "embedding", "cent_id",
-        "cosine_sim(embedding, cent_emb) AS c_cos")
-      .withColumn("c_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("c_cos").desc, col("cent_id"))))
-    val assigned = ranked.where(col("c_rank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
-    val probes = ranked.where(col("c_rank") <= 2 && col("vec_id") < K)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cent_id"))
-    assigned.join(broadcast(probes),
-        Seq("cent_id")) // posting-list equi-join
-      .where(col("vec_id") =!= col("q_id"))
-      .selectExpr("q_id", "vec_id", "cosine_sim(q_emb, embedding) AS cosine")
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .where(col("rank") <= 3)
-      .selectExpr("q_id", "vec_id", "round(cosine, 6) AS cosine", "rank")
+    graft.operators.Similarity.ivfTopK(
+      e, e.filter(col("vec_id") % 100 === 7), s"vec_id < $K", k = 3, nprobe = 2)
       .orderBy("q_id", "rank")
   }, {
     val d = DuckSql

@@ -72,10 +72,9 @@ object DedupQueries {
     QuerySpec("q54_dedup_exact",
       (s, dir) => {
         val base = Td.load(s, dir, "documents").select("doc_id", "text")
-        base.unionAll(base.filter(col("doc_id") < 50)
+        val corpus = base.unionAll(base.filter(col("doc_id") < 50)
           .select((col("doc_id") + 20000).as("doc_id"), col("text")))
-          .groupBy(md5(col("text")).as("content_hash"))
-          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        graft.operators.Dedup.exactDuplicates(corpus, "doc_id", "text")
           .orderBy("content_hash")
       },
       Some(s"""WITH corpus AS (
@@ -92,27 +91,7 @@ object DedupQueries {
     // s=0.7 is 1-(1-0.7^2)^6 ≈ 0.98. The oracle recomputes the identical
     // signatures/bands, so both engines agree on the candidate set too.
     QuerySpec("q55_dedup_minhash", { (s, dir) =>
-      val d = SparkSql
-      val base = corpus(s, dir).where(s"${d.len(d.splitSpace("text"))} >= 3")
-      val tk = base.selectExpr("doc_id", s"${shinglesExpr(d)} AS shingles")
-      val bands = base
-        .selectExpr("doc_id", s"minhash_sigs(${shinglesExpr(d)}) AS sigs")
-        .selectExpr("doc_id", "sigs", "explode(sequence(0, 5)) AS j")
-        .selectExpr("doc_id",
-          """concat(CAST(j AS STRING), ':',
-                    CAST(element_at(sigs, 2*j+1) AS STRING), '|',
-                    CAST(element_at(sigs, 2*j+2) AS STRING)) AS bucket""")
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(tk.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-        .join(tk.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
-        .selectExpr("doc_a", "doc_b",
-          s"round(CAST(${d.interSize("sa", "sb")} AS DOUBLE) / CAST(${d.unionSize("sa", "sb")} AS DOUBLE), 6) AS jaccard")
-        .where("jaccard >= 0.6")
+      graft.operators.Dedup.minhashLshPairs(corpus(s, dir), "doc_id", "text", 0.6)
         .orderBy("doc_a", "doc_b")
     }, {
       val d = DuckSql
@@ -147,16 +126,7 @@ object DedupQueries {
     // 32-bit majority simhash; candidates share the top-16-bit prefix
     // (bucket equi-join); pairs with hamming distance ≤ 3 survive.
     QuerySpec("q56_dedup_simhash", { (s, dir) =>
-      val d = SparkSql
-      // native fused expression (HashUtil.simhash32 mirrors simhashBound)
-      val sh = corpus(s, dir)
-        .selectExpr("doc_id", "simhash32(split(text, ' ')) AS simhash")
-        .withColumn("bucket", expr(d.shiftr("simhash", "16")))
-      sh.as("a").join(sh.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
-          s"bit_count(${d.bxor("a.simhash", "b.simhash")}) AS hamming")
-        .where("hamming <= 3")
+      graft.operators.Dedup.simhashPairs(corpus(s, dir), "doc_id", "text", 3)
         .orderBy("doc_a", "doc_b")
     }, {
       val d = DuckSql
@@ -208,13 +178,8 @@ object DedupQueries {
     // corpus-scale fuzzy dedup prefer q55/q56 and keep edit distance as
     // the high-precision verifier it is here.
     QuerySpec("q76_dedup_editdistance", { (s, dir) =>
-      val slice = corpus(s, dir).where("doc_id % 10000 < 40")
-        .selectExpr("doc_id", "text", "length(text) DIV 100 AS len_band")
-      slice.as("a").join(slice.as("b"),
-          col("a.len_band") === col("b.len_band") && col("a.doc_id") < col("b.doc_id"))
-        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
-          "levenshtein(a.text, b.text) AS edit_dist")
-        .where("edit_dist <= 35")
+      graft.operators.Dedup.editDistancePairs(
+        corpus(s, dir).where("doc_id % 10000 < 40"), "doc_id", "text", 35)
         .orderBy("doc_a", "doc_b")
     },
       Some(s"""WITH $corpusSql,
@@ -233,18 +198,10 @@ object DedupQueries {
     // hyperplane sketch); exact copies land in the same bucket, candidates
     // verified by full cosine ≥ 0.99.
     QuerySpec("q58_dedup_embedding", { (s, dir) =>
-      val d = SparkSql
       val e = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
       val corpusE = e.unionAll(e.filter(col("vec_id") < 50)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      val sign = d.joinStr(d.map(d.range("1", "16"), "i",
-        s"CASE WHEN ${d.elem("embedding", "i")} >= 0 THEN '1' ELSE '0' END"), "")
-      val withB = corpusE.selectExpr("vec_id", "embedding", s"$sign AS bucket")
-      withB.as("a").join(withB.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
-          "round(cosine_sim(a.embedding, b.embedding), 6) AS cosine")
-        .where("cosine >= 0.99")
+      graft.operators.Dedup.cosinePairs(corpusE, "vec_id", "embedding", 0.99)
         .orderBy("vec_a", "vec_b")
     }, {
       val d = DuckSql
