@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.SparkSql
+
+/** The engine's text-analysis library — the reusable API behind parity
+  * queries q50-q53 and q66-q67. All pure projections / standard
+  * aggregation shapes; every function takes (id, text) columns by name.
+  */
+object TextAnalysis {
+
+  private val d = SparkSql
+  private def toks(textCol: String) = d.splitSpace(textCol)
+
+  /** Whitespace + BPE-ish token counts and chars-per-token. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.selectExpr(
+      s"$idCol AS doc_id",
+      s"${d.len(toks(textCol))} AS n_ws_tokens",
+      s"size(regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe_tokens",
+      s"length($textCol) AS n_chars",
+      s"round(CAST(length($textCol) AS DOUBLE) / CAST(${d.len(toks(textCol))} AS DOUBLE), 4) AS chars_per_token")
+
+  /** Length/punctuation/stopword quality features + bucket. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String]): DataFrame =
+    docs.selectExpr(
+      s"$idCol AS doc_id",
+      s"${d.len(toks(textCol))} AS n_tokens",
+      s"${d.len(d.filterIn(toks(textCol), stopwords))} AS stop_tokens",
+      s"length(regexp_replace($textCol, '[a-z ]', '')) AS punct_chars",
+      s"length($textCol) AS n_chars")
+      .selectExpr(
+        "doc_id", "n_tokens", "stop_tokens", "punct_chars", "n_chars",
+        "round(CAST(stop_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio",
+        "round(CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 4) AS punct_ratio",
+        """CASE WHEN n_tokens >= 40 AND CAST(stop_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.02 THEN 'good'
+                WHEN n_tokens >= 15 THEN 'ok'
+                ELSE 'short' END AS quality_bucket""")
+
+  /** Winnowing-style rolling min-hash + md5-prefix fingerprints. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.selectExpr(
+      s"$idCol AS doc_id",
+      d.bind(toks(textCol), "tk",
+        d.amin(d.map(
+          d.map(d.range("1", s"greatest(${d.len("tk")} - 4, 1)"), "i", d.wordSlice("tk", "i", 5)),
+          "w", d.hex32("w")))) + " AS fp_rolling_min",
+      s"substring(md5($textCol), 1, 16) AS fp_md5_prefix")
+
+  /** Corpus term frequency (unigrams + bigrams) with document frequency,
+    * Expand-free (two-level aggregation). */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigrams = d.bind(toks(textCol), "tk",
+      d.map(d.range("1", s"${d.len("tk")} - 1"), "i", d.wordSlice("tk", "i", 2)))
+    val uni = docs.selectExpr(s"$idCol AS doc_id", s"explode(${toks(textCol)}) AS term")
+      .selectExpr("'unigram' AS kind", "doc_id", "term")
+    val big = docs.selectExpr(s"$idCol AS doc_id", s"explode($bigrams) AS term")
+      .selectExpr("'bigram' AS kind", "doc_id", "term")
+    uni.unionAll(big)
+      .groupBy("kind", "term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("kind", "term")
+      .agg(sum("tf").as("n_total"), count(lit(1)).as("n_docs"))
+  }
+
+  /** Top-k TF-IDF terms per document (vocabulary-sized df broadcast). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val terms = docs.selectExpr(s"$idCol AS doc_id", s"explode(${toks(textCol)}) AS term")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .selectExpr("doc_id", "term", "tf", "df",
+        "tf * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS score")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .where(col("rank") <= k)
+      .selectExpr("doc_id", "term", "tf", "df", "round(score, 6) AS score", "rank")
+  }
+}

@@ -17,14 +17,6 @@ object TextQueries {
   /** Shared per-dialect scalar fragments (t = text column name). */
   private def toks(d: SqlDialect) = d.splitSpace("text")
 
-  /** Winnowing-style fingerprint: min hash over rolling 5-token windows.
-    * Token array lambda-bound → one split per row. */
-  private def fingerprintExpr(d: SqlDialect): String =
-    d.bind(toks(d), "tk",
-      d.amin(d.map(
-        d.map(d.range("1", s"greatest(${d.len("tk")} - 4, 1)"), "i", d.wordSlice("tk", "i", 5)),
-        "w", d.hex32("w"))))
-
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- corpus term frequency (unigram + bigram) -----------------------
@@ -35,23 +27,8 @@ object TextQueries {
     // 100 TB: map-side combine absorbs it for count/countDistinct-free
     // aggs; for heavier per-term state apply q65's salting pattern.
     QuerySpec("q66_term_frequency", { (s, dir) =>
-      val d = SparkSql
-      val bigrams = d.bind(toks(d), "tk",
-        d.map(d.range("1", s"${d.len("tk")} - 1"), "i", d.wordSlice("tk", "i", 2)))
-      val docs = Td.load(s, dir, "documents")
-      val uni = docs.selectExpr("doc_id", s"explode(${toks(d)}) AS term")
-        .selectExpr("'unigram' AS kind", "doc_id", "term")
-      val big = docs.selectExpr("doc_id", s"explode($bigrams) AS term")
-        .selectExpr("'bigram' AS kind", "doc_id", "term")
-      // two-level aggregation instead of count+countDistinct in one agg:
-      // the latter plans an Expand that doubles the exploded relation
-      // (1.2M rows at sf0.1) before the partial agg; (kind,term,doc_id) →
-      // (kind,term) keeps everything partial-agg'd and measured 3× faster.
-      uni.unionAll(big)
-        .groupBy("kind", "term", "doc_id")
-        .agg(count(lit(1)).as("tf"))
-        .groupBy("kind", "term")
-        .agg(sum("tf").as("n_total"), count(lit(1)).as("n_docs"))
+      graft.operators.TextAnalysis
+        .termFrequencies(Td.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("kind", "term")
     }, {
       val d = DuckSql
@@ -71,15 +48,12 @@ object TextQueries {
 
     // ---- token counting: whitespace + BPE-ish regex pieces --------------
     QuerySpec("q50_text_tokens",
-      (s, dir) => Td.load(s, dir, "documents")
-        .selectExpr(
-          "doc_id", "lang",
-          s"${SparkSql.len(toks(SparkSql))} AS n_ws_tokens",
-          // BPE-ish pre-tokenizer: letter runs | digit runs | single punct
-          "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe_tokens",
-          "length(text) AS n_chars",
-          s"round(CAST(length(text) AS DOUBLE) / CAST(${SparkSql.len(toks(SparkSql))} AS DOUBLE), 4) AS chars_per_token")
-        .orderBy("doc_id"),
+      (s, dir) => {
+        val docs = Td.load(s, dir, "documents")
+        graft.operators.TextAnalysis.tokenCounts(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .orderBy("doc_id")
+      },
       Some(s"""SELECT doc_id, lang,
                       ${DuckSql.len(toks(DuckSql))} AS n_ws_tokens,
                       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
@@ -90,24 +64,9 @@ object TextQueries {
     // ---- quality scoring: length / punctuation / stopword ratios --------
     QuerySpec("q51_text_quality", {
       val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for")
-      (s, dir) => {
-        val d = SparkSql
-        Td.load(s, dir, "documents")
-          .selectExpr(
-            "doc_id",
-            s"${d.len(toks(d))} AS n_tokens",
-            s"${d.len(d.filterIn(toks(d), stop))} AS stop_tokens",
-            "length(regexp_replace(text, '[a-z ]', '')) AS punct_chars",
-            "length(text) AS n_chars")
-          .selectExpr(
-            "doc_id", "n_tokens", "stop_tokens", "punct_chars", "n_chars",
-            "round(CAST(stop_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio",
-            "round(CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 4) AS punct_ratio",
-            """CASE WHEN n_tokens >= 40 AND CAST(stop_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.02 THEN 'good'
-                    WHEN n_tokens >= 15 THEN 'ok'
-                    ELSE 'short' END AS quality_bucket""")
-          .orderBy("doc_id")
-      }
+      (s, dir) => graft.operators.TextAnalysis
+        .qualityScore(Td.load(s, dir, "documents"), "doc_id", "text", stop)
+        .orderBy("doc_id")
     }, {
       val d = DuckSql
       val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for")
@@ -171,22 +130,8 @@ object TextQueries {
     // shuffle. Ranking ties (identical tf·idf) break on the term string,
     // so cross-engine ulp differences in ln() cannot reorder output.
     QuerySpec("q67_tfidf", { (s, dir) =>
-      val d = SparkSql
-      val docs = Td.load(s, dir, "documents")
-      val terms = docs.selectExpr("doc_id", s"explode(${toks(d)}) AS term")
-      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = terms.groupBy("term")
-        .agg(countDistinct(col("doc_id")).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      tf.join(broadcast(df), "term")
-        .crossJoin(broadcast(n))
-        .selectExpr("doc_id", "term", "tf", "df",
-          "tf * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS score")
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
-        .where(col("rank") <= 3)
-        .selectExpr("doc_id", "term", "tf", "df", "round(score, 6) AS score", "rank")
+      graft.operators.TextAnalysis
+        .tfidfTopTerms(Td.load(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("doc_id", "rank")
     }, {
       val d = DuckSql
@@ -212,19 +157,17 @@ object TextQueries {
     // (winnowing-style: hash every window, keep the minimum) plus a whole-
     // document md5 prefix for exact-dup detection.
     QuerySpec("q53_text_fingerprint", {
-      (s, dir) => {
-        val d = SparkSql
-        Td.load(s, dir, "documents")
-          .selectExpr(
-            "doc_id",
-            s"${fingerprintExpr(d)} AS fp_rolling_min",
-            "substring(md5(text), 1, 16) AS fp_md5_prefix")
-          .orderBy("doc_id")
-      }
+      (s, dir) => graft.operators.TextAnalysis
+        .fingerprints(Td.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }, {
       val d = DuckSql
+      val fp = d.bind(toks(d), "tk",
+        d.amin(d.map(
+          d.map(d.range("1", s"greatest(${d.len("tk")} - 4, 1)"), "i", d.wordSlice("tk", "i", 5)),
+          "w", d.hex32("w"))))
       Some(s"""SELECT doc_id,
-                      ${fingerprintExpr(d)} AS fp_rolling_min,
+                      $fp AS fp_rolling_min,
                       substring(md5(text), 1, 16) AS fp_md5_prefix
                FROM documents ORDER BY doc_id""")
     })
