@@ -126,6 +126,90 @@ object FunctionQueries {
       Some("""SELECT l_returnflag,
                      count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F",
                      count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- JSON column extraction (events.props) --------------------------
+    // Both the path-string API (get_json_object) and the typed parser
+    // (from_json with an explicit schema — the scalable form: schema-on-
+    // read, no inference pass) over the events stream's JSON payload.
+    QuerySpec("q77_json_extract",
+      (s, d) => Td.load(s, d, "events")
+        .selectExpr("event_type",
+          "CAST(get_json_object(props, '$.k') AS INT) AS k_path",
+          "from_json(props, 'k INT').k AS k_typed")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("k_path")).as("sum_k"),
+          min(col("k_typed")).as("min_k"),
+          max(col("k_typed")).as("max_k"),
+          sum(when(col("k_path") === col("k_typed"), 0).otherwise(1)).as("parser_disagreements"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS cnt,
+                     CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+                     min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+                     max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+                     CAST(0 AS BIGINT) AS parser_disagreements
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- ranking-window family ------------------------------------------
+    // rank / dense_rank / ntile / percent_rank / cume_dist / lead / lag in
+    // one pass over per-customer order history. The window ordering
+    // includes the unique o_orderkey, so every ratio is a deterministic
+    // ratio of ints (cross-engine safe) and lead/lag neighbors are fixed.
+    QuerySpec("q78_window_family", { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Td.load(s, d, "orders").filter(col("o_custkey") < 50)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cum_dist"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "rk")
+    },
+      Some("""SELECT o_custkey, o_orderkey,
+                     CAST(rank() OVER w AS INTEGER) AS rk,
+                     CAST(dense_rank() OVER w AS INTEGER) AS drk,
+                     CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                     round(percent_rank() OVER w, 6) AS pct_rank,
+                     round(cume_dist() OVER w, 6) AS cum_dist,
+                     lag(o_totalprice, 1) OVER w AS prev_price,
+                     lead(o_totalprice, 1) OVER w AS next_price
+              FROM orders WHERE o_custkey < 50
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+              ORDER BY o_custkey, rk""")),
+
+    // ---- datetime-function breadth --------------------------------------
+    // year/month/day extraction, Monday-start week truncation, month end,
+    // day-of-week (aligned: Spark is 1=Sunday, DuckDB dow is 0=Sunday),
+    // date arithmetic and day differences against a fixed anchor.
+    QuerySpec("q79_date_functions",
+      (s, d) => Td.load(s, d, "orders").filter(col("o_custkey") < 20)
+        .selectExpr(
+          "o_orderkey",
+          "year(o_orderdate) AS yr",
+          "month(o_orderdate) AS mo",
+          "day(o_orderdate) AS dom",
+          "date_trunc('week', o_orderdate) AS week_start",
+          "last_day(CAST(o_orderdate AS DATE)) AS month_end",
+          "dayofweek(o_orderdate) AS dow",
+          "date_add(CAST(o_orderdate AS DATE), 30) AS plus_30d",
+          "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS days_since_anchor")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     CAST(year(o_orderdate) AS INTEGER) AS yr,
+                     CAST(month(o_orderdate) AS INTEGER) AS mo,
+                     CAST(day(o_orderdate) AS INTEGER) AS dom,
+                     date_trunc('week', o_orderdate) AS week_start,
+                     last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                     CAST(date_part('dow', o_orderdate) + 1 AS INTEGER) AS dow,
+                     CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+                     CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_anchor
+              FROM orders WHERE o_custkey < 20 ORDER BY o_orderkey"""))
   )
 }
