@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, Md5U32, MinHashSigs, SimHash32}
+import graft.functions.{CosineSimilarity, Md5U32, MinHashAgg, MinHashSigs, SimHash32}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions into the session's
@@ -28,5 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("minhash_sigs",
       "minhash_sigs(shingles) - 12 banded minhash signature slots")(
       c => MinHashSigs(c.head)))
+    ext.injectFunction(fn("minhash_agg",
+      "minhash_agg(sigs) - mergeable element-wise-min aggregate of minhash signatures")(
+      c => MinHashAgg(c.head).toAggregateExpression()))
   }
 }

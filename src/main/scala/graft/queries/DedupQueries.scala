@@ -193,6 +193,43 @@ object DedupQueries {
                WHERE levenshtein(a.text, b.text) <= 35
                ORDER BY doc_a, doc_b""")),
 
+    // ---- group-level minhash signatures (custom mergeable AGGREGATE) ----
+    // minhash_agg (functions/MinHashAgg, a TypedImperativeAggregate) folds
+    // per-doc signatures into one per-language signature — union-of-sets
+    // semantics via element-wise min, mergeable across partitions like
+    // sum(). Pairwise slot agreement then estimates cross-corpus Jaccard
+    // WITHOUT revisiting any document: at 100 TB the comparison costs 12
+    // strings per group. The oracle reproduces the aggregate as twelve
+    // per-slot min() aggregations.
+    QuerySpec("q80_minhash_group_agg", { (s, dir) =>
+      val d = SparkSql
+      val tk = Td.load(s, dir, "documents")
+        .where(s"${d.len(d.splitSpace("text"))} >= 3")
+        .selectExpr("lang", s"minhash_sigs(${shinglesExpr(d)}) AS sigs")
+      val agg = tk.groupBy("lang").agg(expr("minhash_agg(sigs)").as("sig"))
+      agg.as("a").join(agg.as("b"), col("a.lang") < col("b.lang"))
+        .selectExpr(
+          "a.lang AS lang_a", "b.lang AS lang_b",
+          "array_join(a.sig, '|') AS sig_a",
+          "size(filter(sequence(1, 12), j -> element_at(a.sig, j) = element_at(b.sig, j))) AS matching_slots")
+        .selectExpr("lang_a", "lang_b", "sig_a", "matching_slots",
+          "round(CAST(matching_slots AS DOUBLE) / 12.0, 6) AS est_jaccard")
+        .orderBy("lang_a", "lang_b")
+    }, {
+      val d = DuckSql
+      val slotMins = (1 to 12).map(j => s"min(sigs[$j])").mkString("[", ", ", "]")
+      Some(s"""WITH tk AS (
+                 SELECT lang, ${sigsExpr(d)} AS sigs
+                 FROM documents WHERE ${d.len(d.splitSpace("text"))} >= 3),
+               agg AS (SELECT lang, $slotMins AS sig FROM tk GROUP BY lang)
+               SELECT a.lang AS lang_a, b.lang AS lang_b,
+                      array_to_string(a.sig, '|') AS sig_a,
+                      len(list_filter(generate_series(1, 12), j -> a.sig[j] = b.sig[j])) AS matching_slots,
+                      round(CAST(len(list_filter(generate_series(1, 12), j -> a.sig[j] = b.sig[j])) AS DOUBLE) / CAST(12.0 AS DOUBLE), 6) AS est_jaccard
+               FROM agg a JOIN agg b ON a.lang < b.lang
+               ORDER BY lang_a, lang_b""")
+    }),
+
     // ---- embedding-cosine near-dup --------------------------------------
     // Bucket = sign pattern of the first 16 dims (a deterministic 16-bit
     // hyperplane sketch); exact copies land in the same bucket, candidates
