@@ -31,5 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("minhash_agg",
       "minhash_agg(sigs) - mergeable element-wise-min aggregate of minhash signatures")(
       c => MinHashAgg(c.head).toAggregateExpression()))
+    // Optimizer rule: Expand-free plan for count + single countDistinct
+    // (see graft.plans.DistinctAggRewrite).
+    ext.injectOptimizerRule(_ => graft.plans.DistinctAggRewrite)
   }
 }

@@ -49,8 +49,11 @@ object TextAnalysis {
           "w", d.hex32("w")))) + " AS fp_rolling_min",
       s"substring(md5($textCol), 1, 16) AS fp_md5_prefix")
 
-  /** Corpus term frequency (unigrams + bigrams) with document frequency,
-    * Expand-free (two-level aggregation). */
+  /** Corpus term frequency (unigrams + bigrams) with document frequency.
+    * Written in the NATURAL count + countDistinct form — the engine's
+    * DistinctAggRewrite optimizer rule plans it Expand-free (two-level
+    * aggregation), which is what makes it viable on an exploded 100 TB
+    * token relation. */
   def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bigrams = d.bind(toks(textCol), "tk",
       d.map(d.range("1", s"${d.len("tk")} - 1"), "i", d.wordSlice("tk", "i", 2)))
@@ -59,9 +62,8 @@ object TextAnalysis {
     val big = docs.selectExpr(s"$idCol AS doc_id", s"explode($bigrams) AS term")
       .selectExpr("'bigram' AS kind", "doc_id", "term")
     uni.unionAll(big)
-      .groupBy("kind", "term", "doc_id").agg(count(lit(1)).as("tf"))
       .groupBy("kind", "term")
-      .agg(sum("tf").as("n_total"), count(lit(1)).as("n_docs"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
   }
 
   /** Top-k TF-IDF terms per document (vocabulary-sized df broadcast). */
