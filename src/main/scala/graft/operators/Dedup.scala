@@ -20,7 +20,7 @@ object Dedup {
   /** 3-token shingle set of a text column (lambda-bound tokenization). */
   def shingles(textCol: String): String =
     d.bind(d.splitSpace(textCol), "tk",
-      d.adistinct(d.map(d.range("1", s"${d.len("tk")} - 2"), "i", d.wordSlice("tk", "i", 3))))
+      d.adistinct(d.map(d.range1(s"${d.len("tk")} - 2"), "i", d.wordSlice("tk", "i", 3))))
 
   /** Exact content-hash dedup: one row per distinct payload with the
     * minimum id as keeper. */

@@ -56,7 +56,7 @@ object TextAnalysis {
     * token relation. */
   def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bigrams = d.bind(toks(textCol), "tk",
-      d.map(d.range("1", s"${d.len("tk")} - 1"), "i", d.wordSlice("tk", "i", 2)))
+      d.map(d.range1(s"${d.len("tk")} - 1"), "i", d.wordSlice("tk", "i", 2)))
     val uni = docs.selectExpr(s"$idCol AS doc_id", s"explode(${toks(textCol)}) AS term")
       .selectExpr("'unigram' AS kind", "doc_id", "term")
     val big = docs.selectExpr(s"$idCol AS doc_id", s"explode($bigrams) AS term")

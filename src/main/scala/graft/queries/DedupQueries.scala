@@ -43,7 +43,7 @@ object DedupQueries {
     * the split() happens once per row, not once per window index. */
   private def shinglesExpr(d: SqlDialect): String =
     d.bind(d.splitSpace("text"), "tk",
-      d.adistinct(d.map(d.range("1", s"${d.len("tk")} - 2"), "i", d.wordSlice("tk", "i", 3))))
+      d.adistinct(d.map(d.range1(s"${d.len("tk")} - 2"), "i", d.wordSlice("tk", "i", 3))))
 
   /** 12 minhashes over the (lambda-bound) shingle set. An md5 is 128 bits
     * = FOUR 32-bit hash slots, so 12 signatures need only 3 seeded md5
@@ -146,7 +146,7 @@ object DedupQueries {
     // scale it is intentionally not used (see q55/q56).
     QuerySpec("q57_dedup_ngram_jaccard", { (s, dir) =>
       val d = SparkSql
-      val grams = d.adistinct(d.map(d.range("1", "length(text) - 3"), "i", "substring(text, i, 4)"))
+      val grams = d.adistinct(d.map(d.range1("length(text) - 3"), "i", "substring(text, i, 4)"))
       val base = corpus(s, dir).where("doc_id % 10000 < 40")
         .selectExpr("doc_id", s"$grams AS grams")
       base.as("a").join(base.as("b"), col("a.doc_id") < col("b.doc_id"))
@@ -156,7 +156,7 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }, {
       val d = DuckSql
-      val grams = d.adistinct(d.map(d.range("1", "length(text) - 3"), "i", "substring(text, i, 4)"))
+      val grams = d.adistinct(d.map(d.range1("length(text) - 3"), "i", "substring(text, i, 4)"))
       Some(s"""WITH $corpusSql,
                base AS (SELECT doc_id, $grams AS grams FROM corpus WHERE doc_id % 10000 < 40)
                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

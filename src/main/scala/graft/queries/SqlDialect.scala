@@ -46,6 +46,10 @@ sealed trait SqlDialect {
   def amax(l: String): String
   def adistinct(l: String): String
   def range(a: String, b: String): String
+  /** 1..n inclusive, EMPTY when n < 1. Spark's sequence(1, 0) counts
+    * DOWN ([1, 0]) instead of being empty — a crash (slice start 0) and
+    * a cross-engine divergence for degenerate inputs. */
+  def range1(n: String): String
   def toStr(x: String): String
   def splitSpace(t: String): String
   /** n-token window starting at 1-based idx, joined by spaces. */
@@ -77,6 +81,8 @@ object SparkSql extends SqlDialect {
   def amax(l: String) = s"array_max($l)"
   def adistinct(l: String) = s"array_distinct($l)"
   def range(a: String, b: String) = s"sequence($a, $b)"
+  def range1(n: String) =
+    s"CASE WHEN ($n) < 1 THEN array() ELSE sequence(1, $n) END"
   def toStr(x: String) = s"CAST($x AS STRING)"
   def splitSpace(t: String) = s"split($t, ' ')"
   def wordSlice(arr: String, idx: String, n: Int) = s"concat_ws(' ', slice($arr, $idx, $n))"
@@ -104,6 +110,7 @@ object DuckSql extends SqlDialect {
   def amax(l: String) = s"list_max($l)"
   def adistinct(l: String) = s"list_distinct($l)"
   def range(a: String, b: String) = s"generate_series($a, $b)"
+  def range1(n: String) = s"generate_series(1, $n)" // already empty-safe
   def toStr(x: String) = s"CAST($x AS VARCHAR)"
   def splitSpace(t: String) = s"string_split($t, ' ')"
   def wordSlice(arr: String, idx: String, n: Int) =

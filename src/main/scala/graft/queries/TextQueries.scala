@@ -33,7 +33,7 @@ object TextQueries {
     }, {
       val d = DuckSql
       val bigrams = d.bind(toks(d), "tk",
-        d.map(d.range("1", s"${d.len("tk")} - 1"), "i", d.wordSlice("tk", "i", 2)))
+        d.map(d.range1(s"${d.len("tk")} - 1"), "i", d.wordSlice("tk", "i", 2)))
       Some(s"""WITH uni AS (
                  SELECT 'unigram' AS kind, doc_id,
                         unnest(${toks(d)}) AS term FROM documents),

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Degenerate-input behavior of the operators API: empty corpora, short
+  * documents, and single-element inputs must yield empty/valid results,
+  * never exceptions — the difference between a library and a demo. */
+class OperatorEdgeCaseSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docsOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("dedup operators on an empty corpus return empty results") {
+    val empty = docsOf()
+    assert(Dedup.exactDuplicates(empty, "doc_id", "text").count() === 0)
+    assert(Dedup.minhashLshPairs(empty, "doc_id", "text", 0.5).count() === 0)
+    assert(Dedup.simhashPairs(empty, "doc_id", "text", 3).count() === 0)
+    assert(Dedup.editDistancePairs(empty, "doc_id", "text", 10).count() === 0)
+  }
+
+  test("short documents (< 3 tokens) are excluded from shingle-based dedup, not fatal") {
+    val docs = docsOf((1L, "one two"), (2L, "a"), (3L, "x y z same text here"),
+      (4L, "x y z same text here"))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((3L, 4L)))
+  }
+
+  test("exact dedup on identical single-token docs") {
+    val docs = docsOf((5L, "same"), (9L, "same"), (7L, "other"))
+    val out = Dedup.exactDuplicates(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(5L -> 2L, 7L -> 1L)) // keeper = min id
+  }
+
+  test("text analysis on empty and 1-char strings yields rows, not errors") {
+    val docs = docsOf((1L, "a"), (2L, "ab cd"))
+    assert(TextAnalysis.tokenCounts(docs, "doc_id", "text").count() === 2)
+    assert(TextAnalysis.fingerprints(docs, "doc_id", "text").count() === 2)
+    assert(TextAnalysis.termFrequencies(docs, "doc_id", "text").count() > 0)
+  }
+
+  test("similarity topK with k larger than the corpus returns all candidates ranked") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.topK(vecs, vecs.filter("vec_id = 0"), k = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq === Seq((1L, 1), (2L, 2))) // 2 candidates, ranks contiguous
+  }
+}
