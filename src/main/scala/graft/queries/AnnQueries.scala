@@ -8,9 +8,9 @@ import graft.Td
   * baseline, and a random-hyperplane-LSH bucketed variant as the 100 TB
   * scale path.
   *
-  * Dot products / norms are `zip_with` + sequential `aggregate` folds
-  * (identical fold order in the DuckDB oracle → bit-comparable), all
-  * codegen'd Catalyst HOFs — no UDFs.
+  * Cosines run through the engine's native `cosine_sim` expression
+  * (functions/CosineSimilarity) whose accumulation order matches the
+  * DuckDB oracle's sequential fold bit-for-bit; no UDFs anywhere.
   */
 object AnnQueries {
 

@@ -5,12 +5,14 @@ import graft.Td
 
 /** Beyond-reference text-analysis operators over `documents`
   * (SURVEY.md §7.2 M5; builder brief "text analysis"): token counting,
-  * quality scoring, language-ID, and document fingerprinting.
+  * quality scoring, language-ID, document fingerprinting, corpus term
+  * frequency, and TF-IDF — thin parity wrappers over
+  * [[graft.operators.TextAnalysis]].
   *
-  * All four are pure per-row projections (split / higher-order array
-  * functions / regexp — no UDFs), so they stay inside whole-stage codegen
-  * and scale embarrassingly: at 100 TB they are a single scan with zero
-  * shuffles (the final orderBy exists only for the oracle hash).
+  * The per-row operators (q50-q53) are pure projections with zero
+  * shuffles at any scale (the final orderBy exists only for the oracle
+  * hash); the corpus-level ones (q66-q67) shuffle only vocabulary-sized
+  * aggregates.
   */
 object TextQueries {
 
