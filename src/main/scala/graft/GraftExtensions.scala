@@ -12,7 +12,8 @@ import graft.functions.{CosineSimilarity, Md5U32, MinHashAgg, MinHashSigs, SimHa
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) = (
     FunctionIdentifier(name),
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in"),
     builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
