@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{col, lit, regexp_extract}
 import org.apache.spark.sql.streaming.Trigger
 import graft.pipeline.{DiabetesPipeline, PipelineGraph, PipelineResult, RunContext}
 
@@ -40,6 +40,37 @@ object StreamingBronze {
       .option("path", sinkDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+  }
+
+  /** `foreachBatch` flavor of the ingest — the production sink pattern
+    * when the destination needs per-batch logic (MERGE into a warehouse
+    * table, multi-sink fan-out, dedup against existing keys). The handler
+    * receives (batch DataFrame, batchId); the checkpoint guarantees each
+    * batch id is delivered once, so stamping rows with it makes the sink
+    * append idempotent and auditable. Downstream identical to [[ingest]]
+    * plus the `batch_id` provenance column. */
+  def ingestForeachBatch(spark: SparkSession, rawDir: String, sinkDir: String,
+      checkpointDir: String, rc: RunContext): DataFrame = {
+    val stream = spark.readStream
+      .format("csv")
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .schema(DiabetesPipeline.diabetesSchema)
+      .load(rawDir)
+      .withColumn("ingestion_timestamp", rc.now)
+      .withColumn("source_file", col("_metadata.file_path"))
+      .withColumn("ingestion_date", rc.today)
+      .withColumn("file_name", regexp_extract(col("_metadata.file_path"), "([^/]+)\\.csv$", 1))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sinkDir)
+      }
+      .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -36,6 +36,16 @@ class StreamingBronzeSpec extends AnyFunSuite with SparkTestBase {
     val b2 = StreamingBronze.ingest(spark, raw.toString, sink, ckpt, rc)
     assert(b2.count() === 768)
 
+    // foreachBatch flavor: same rows, plus one distinct batch_id per
+    // AvailableNow pass (exactly-once delivery of batch ids).
+    val fbSink = s"$work/_stream/fb_bronze"
+    val fbCkpt = s"$work/_stream/fb_checkpoint"
+    val fb1 = StreamingBronze.ingestForeachBatch(spark, raw.toString, fbSink, fbCkpt, rc)
+    assert(fb1.count() === 768) // all six shards in one pass
+    val again = StreamingBronze.ingestForeachBatch(spark, raw.toString, fbSink, fbCkpt, rc)
+    assert(again.count() === 768) // re-run appends nothing
+    assert(fb1.select("batch_id").distinct().count() === 1)
+
     // Full DAG over the streamed bronze ≡ batch DAG over all six shards
     // (path-free tables; the frozen clock makes them exactly equal).
     val streamed = StreamingBronze.runPipeline(spark, raw.toString, work, rc)
