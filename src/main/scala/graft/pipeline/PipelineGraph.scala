@@ -128,11 +128,16 @@ object PipelineGraph {
         if (t.isView) built
         else {
           // Violation counts observed in the same pass as the sink write:
-          // one sum(when(!pred,1)) per expectation plus a row count.
+          // one sum(when(!pred,1)) per expectation plus a row count. Metric
+          // names are prefixed exp_ so an expectation named "rows" cannot
+          // collide with the reserved row-count metric.
+          val expNames = t.expectations.map(_.name)
+          require(expNames.distinct.size == expNames.size,
+            s"${t.name}: duplicate expectation names: ${expNames.mkString(", ")}")
           val obs = Observation(s"${t.name}_expectations_${System.nanoTime()}")
           val metricCols = count(lit(1)).as("rows") +:
             t.expectations.map(e =>
-              sum(when(expr(e.predicate), 0L).otherwise(1L)).as(e.name))
+              sum(when(expr(e.predicate), 0L).otherwise(1L)).as(s"exp_${e.name}"))
           val observed = built.observe(obs, metricCols.head, metricCols.tail: _*)
           val dropPreds = t.expectations.filter(_.mode == Expectation.Drop)
           val filtered = dropPreds.foldLeft(observed)((df, e) => df.filter(expr(e.predicate)))
@@ -142,7 +147,7 @@ object PipelineGraph {
           val got = obs.get
           val total = got("rows").asInstanceOf[Long]
           metrics.put(t.name, t.expectations.map { e =>
-            val failed = got(e.name) match { case null => 0L; case x => x.asInstanceOf[Long] }
+            val failed = got(s"exp_${e.name}") match { case null => 0L; case x => x.asInstanceOf[Long] }
             ExpectationResult(t.name, e.name, e.mode.label, total - failed, failed)
           })
           spark.read.parquet(sink)

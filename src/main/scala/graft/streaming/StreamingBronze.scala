@@ -46,13 +46,29 @@ object StreamingBronze {
     spark.read.parquet(sinkDir)
   }
 
+  /** Sink handler for [[ingestForeachBatch]], public so the replay
+    * contract is directly testable: write batch `batchId` into the
+    * `batch_id=<id>` partition with DYNAMIC partition overwrite, so only
+    * that batch's partition is replaced. foreachBatch delivery is
+    * AT-LEAST-ONCE (a crash between the sink write and the checkpoint
+    * commit replays the batch), so a blind append would duplicate rows —
+    * overwrite-own-partition makes redelivery idempotent: the replay
+    * rewrites the same partition with the same rows. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, sinkDir: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(sinkDir)
+
   /** `foreachBatch` flavor of the ingest — the production sink pattern
     * when the destination needs per-batch logic (MERGE into a warehouse
     * table, multi-sink fan-out, dedup against existing keys). The handler
-    * receives (batch DataFrame, batchId); the checkpoint guarantees each
-    * batch id is delivered once, so stamping rows with it makes the sink
-    * append idempotent and auditable. Downstream identical to [[ingest]]
-    * plus the `batch_id` provenance column. */
+    * receives (batch DataFrame, batchId). Delivery is at-least-once;
+    * idempotence comes from [[writeBatchIdempotent]] (per-batch partition
+    * overwrite), NOT from the checkpoint alone. Downstream identical to
+    * [[ingest]] plus the `batch_id` provenance partition column. */
   def ingestForeachBatch(spark: SparkSession, rawDir: String, sinkDir: String,
       checkpointDir: String, rc: RunContext): DataFrame = {
     val stream = spark.readStream
@@ -67,8 +83,7 @@ object StreamingBronze {
       .withColumn("file_name", regexp_extract(col("_metadata.file_path"), "([^/]+)\\.csv$", 1))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(sinkDir)
+        writeBatchIdempotent(batch, batchId, sinkDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

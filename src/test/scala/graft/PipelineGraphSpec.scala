@@ -56,6 +56,28 @@ class PipelineGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(m.mode === "warn" && m.failedCount === 2 && m.passedCount === 3)
   }
 
+  test("an expectation named 'rows' does not collide with the row-count metric") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-graph").toString
+    val defs = Seq(TableDef("t", Nil,
+      expectations = Seq(Expectation.warn("rows", "x > 0")),
+      build = _ => Seq(-1, 1, 2).toDF("x")))
+    val res = PipelineGraph.run(spark, defs, work)
+    val m = res.expectations.head
+    assert(m.failedCount === 1 && m.passedCount === 2)
+  }
+
+  test("duplicate expectation names on one table are rejected") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-graph").toString
+    val defs = Seq(TableDef("t", Nil,
+      expectations = Seq(Expectation.warn("p", "x > 0"), Expectation.drop("p", "x < 10")),
+      build = _ => Seq(1).toDF("x")))
+    val ex = intercept[Exception](PipelineGraph.run(spark, defs, work))
+    assert(ex.getMessage.contains("duplicate expectation names")
+      || ex.getCause != null && ex.getCause.getMessage.contains("duplicate expectation names"))
+  }
+
   test("tables are materialized (parquet sink) and views are not") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-graph").toString

@@ -46,6 +46,16 @@ class StreamingBronzeSpec extends AnyFunSuite with SparkTestBase {
     assert(again.count() === 768) // re-run appends nothing
     assert(fb1.select("batch_id").distinct().count() === 1)
 
+    // At-least-once redelivery contract: foreachBatch may replay a batch
+    // after a crash between sink write and checkpoint commit. Replaying
+    // batch 0 through the idempotent writer must leave the sink unchanged
+    // (dynamic partition overwrite of batch_id=0, not an append).
+    val replay = DiabetesPipeline.bronzeBatch(spark, raw.toString, rc)
+    StreamingBronze.writeBatchIdempotent(replay, 0L, fbSink)
+    assert(spark.read.parquet(fbSink).count() === 768)
+    StreamingBronze.writeBatchIdempotent(replay, 0L, fbSink)
+    assert(spark.read.parquet(fbSink).count() === 768)
+
     // Full DAG over the streamed bronze ≡ batch DAG over all six shards
     // (path-free tables; the frozen clock makes them exactly equal).
     val streamed = StreamingBronze.runPipeline(spark, raw.toString, work, rc)
