@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.SparkSql
 
@@ -10,6 +11,16 @@ import graft.queries.SparkSql
   * scale rationale for each shape lives in the corresponding query's
   * Scaladoc (bucket-join candidate generation, no all-pairs).
   *
+  * Hot-bucket guard: every bucket-join operator takes a `maxBucketSize`
+  * cap. A boilerplate-heavy corpus (identical headers/footers, template
+  * pages) can put thousands of documents into ONE band bucket, making
+  * that bucket's candidate join quadratic; buckets above the cap are
+  * dropped from candidate generation (a documented recall trade — members
+  * of a dropped bucket can still meet in their other bands). Use
+  * [[hotBuckets]] to observe what a cap would drop before choosing it.
+  * The default cap (10000) is far above any bucket the test corpora
+  * produce, so parity oracles need not mirror it.
+  *
   * Hashing uses the engine's native expressions (GraftExtensions must be
   * registered on the session, as every harness session does).
   */
@@ -17,10 +28,31 @@ object Dedup {
 
   private val d = SparkSql
 
+  /** Default [[hotBuckets]] cap: no-op on the test corpora, a real guard
+    * on a skewed production corpus. */
+  val DefaultMaxBucketSize = 10000
+
   /** 3-token shingle set of a text column (lambda-bound tokenization). */
   def shingles(textCol: String): String =
     d.bind(d.splitSpace(textCol), "tk",
       d.adistinct(d.map(d.range1(s"${d.len("tk")} - 2"), "i", d.wordSlice("tk", "i", 3))))
+
+  /** Buckets of a (…, bucket) relation larger than `cap` — the skew
+    * observability companion to the capped candidate joins: query it to
+    * see exactly which buckets a cap drops and how big they are. */
+  def hotBuckets(bands: DataFrame, cap: Int): DataFrame =
+    bands.groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > cap)
+
+  /** Hot-bucket guard: drop all rows of buckets larger than `cap` before
+    * a candidate self-join. One window count over the same `bucket` key
+    * the join shuffles on — no extra exchange. */
+  private def capBuckets(bands: DataFrame, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) bands
+    else bands
+      .withColumn("__bucket_size", count(lit(1)).over(Window.partitionBy("bucket")))
+      .where(col("__bucket_size") <= cap)
+      .drop("__bucket_size")
 
   /** Exact content-hash dedup: one row per distinct payload with the
     * minimum id as keeper. */
@@ -28,19 +60,25 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash+LSH near-dup pairs with exact-Jaccard confirmation
-    * (12 signature slots in 6 bands × 2 rows). */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      jaccardThreshold: Double): DataFrame = {
-    val base = docs.where(s"${d.len(d.splitSpace(textCol))} >= 3")
-    val tk = base.selectExpr(s"$idCol AS doc_id", s"${shingles(textCol)} AS shingles")
-    val bands = base
+  /** (doc_id, bucket) LSH band relation for [[minhashLshPairs]] — 12
+    * signature slots in 6 bands × 2 rows. */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.where(s"${d.len(d.splitSpace(textCol))} >= 3")
       .selectExpr(s"$idCol AS doc_id", s"minhash_sigs(${shingles(textCol)}) AS sigs")
       .selectExpr("doc_id", "sigs", "explode(sequence(0, 5)) AS j")
       .selectExpr("doc_id",
         """concat(CAST(j AS STRING), ':',
                   CAST(element_at(sigs, 2*j+1) AS STRING), '|',
                   CAST(element_at(sigs, 2*j+2) AS STRING)) AS bucket""")
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard confirmation
+    * (12 signature slots in 6 bands × 2 rows). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val base = docs.where(s"${d.len(d.splitSpace(textCol))} >= 3")
+    val tk = base.selectExpr(s"$idCol AS doc_id", s"${shingles(textCol)} AS shingles")
+    val bands = capBuckets(minhashBands(docs, idCol, textCol), maxBucketSize)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
@@ -54,28 +92,46 @@ object Dedup {
       .where(s"jaccard >= $jaccardThreshold")
   }
 
-  /** SimHash near-dup pairs: 32-bit signatures, candidates share the
-    * top-16-bit prefix, hamming distance filter. */
+  /** (doc_id, simhash, bucket) band relation for [[simhashPairs]]: the
+    * 32-bit signature split into FOUR 8-bit bands (band k = bits
+    * [8k, 8k+8)). A pair within hamming distance ≤ 3 differs in at most 3
+    * bands, so it is GUARANTEED to collide in at least one — unlike a
+    * single 16-bit prefix table, which misses every pair whose differing
+    * bits fall in the prefix (~17% of hamming-3 pairs; round-2 verdict). */
+  def simhashBands(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.selectExpr(s"$idCol AS doc_id", s"simhash32(split($textCol, ' ')) AS simhash")
+      .selectExpr("doc_id", "simhash", "explode(sequence(0, 3)) AS k")
+      .selectExpr("doc_id", "simhash",
+        s"""concat(CAST(k AS STRING), ':',
+                   CAST(${d.shiftr("simhash", "8*k")} % 256 AS STRING)) AS bucket""")
+
+  /** SimHash near-dup pairs: 32-bit signatures, 4×8-bit band tables
+    * (full recall for hamming ≤ 3), hamming distance filter. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
-    val sh = docs
-      .selectExpr(s"$idCol AS doc_id", s"simhash32(split($textCol, ' ')) AS simhash")
-      .withColumn("bucket", expr(d.shiftr("simhash", "16")))
-    sh.as("a").join(sh.as("b"),
+      maxHamming: Int,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 bands over 32 bits guarantee recall only for hamming <= 3, got $maxHamming")
+    val bands = capBuckets(simhashBands(docs, idCol, textCol), maxBucketSize)
+    bands.as("a").join(bands.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
         s"bit_count(${d.bxor("a.simhash", "b.simhash")}) AS hamming")
       .where(s"hamming <= $maxHamming")
+      .distinct()
   }
 
   /** Embedding near-dup pairs: sign-pattern (first 16 dims) buckets,
     * native cosine confirmation. */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double): DataFrame = {
+      minCosine: Double,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sign = d.joinStr(d.map(d.range("1", "16"), "i",
       s"CASE WHEN ${d.elem(vecCol, "i")} >= 0 THEN '1' ELSE '0' END"), "")
-    val withB = vectors.selectExpr(s"$idCol AS vec_id", s"$vecCol AS embedding",
-      s"$sign AS bucket")
+    val withB = capBuckets(
+      vectors.selectExpr(s"$idCol AS vec_id", s"$vecCol AS embedding",
+        s"$sign AS bucket"),
+      maxBucketSize)
     withB.as("a").join(withB.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",

@@ -66,13 +66,24 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
   }
 
-  /** Top-k TF-IDF terms per document (vocabulary-sized df broadcast). */
+  /** Top-k TF-IDF terms per document.
+    *
+    * The tf⋈df join is a plain shuffle equi-join on `term`: both sides are
+    * already partially aggregated before their exchanges, and AQE converts
+    * the join to broadcast at runtime when the document-frequency side
+    * fits `spark.sql.autoBroadcastJoinThreshold`. Do NOT force
+    * `broadcast(df)` here (round-2 advice): the vocabulary of a web-scale
+    * corpus — especially with bigrams — is billions of terms, far past any
+    * broadcast limit, and a forced hint OOMs the driver; letting AQE
+    * decide gives the broadcast plan on small vocabularies (measured: at
+    * sf0.01 AQE broadcasts this join) and the scalable shuffle join on
+    * huge ones. The 1-row corpus count stays an explicit broadcast. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val terms = docs.selectExpr(s"$idCol AS doc_id", s"explode(${toks(textCol)}) AS term")
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .selectExpr("doc_id", "term", "tf", "df",
         "tf * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS score")

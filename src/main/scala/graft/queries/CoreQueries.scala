@@ -14,7 +14,8 @@ import graft.Td
   * pushdown, column pruning, partial aggregation, and AQE. At 100 TB the
   * only data movement any of these plans needs is the single hash-exchange
   * on the (low-cardinality) group keys; scans prune to the referenced
-  * columns (verified via explain in BenchSpec).
+  * columns (executable proof: PlanProofSpec asserts the pushed filters,
+  * pruned read schemas, broadcast joins, and Expand-free aggregates).
   */
 object CoreQueries {
 

@@ -123,8 +123,12 @@ object DedupQueries {
     }),
 
     // ---- SimHash hamming near-dup ---------------------------------------
-    // 32-bit majority simhash; candidates share the top-16-bit prefix
-    // (bucket equi-join); pairs with hamming distance ≤ 3 survive.
+    // 32-bit majority simhash split into FOUR 8-bit band tables (band k =
+    // bits [8k, 8k+8)): ≤3 differing bits occupy ≤3 bands, so every
+    // hamming≤3 pair collides in at least one band — full recall, unlike
+    // the single 16-bit prefix of round 2 (which missed pairs whose
+    // differing bits fell in the prefix). Candidates = distinct union of
+    // the 4 bucket equi-joins; hamming filter verifies.
     QuerySpec("q56_dedup_simhash", { (s, dir) =>
       graft.operators.Dedup.simhashPairs(corpus(s, dir), "doc_id", "text", 3)
         .orderBy("doc_a", "doc_b")
@@ -132,10 +136,14 @@ object DedupQueries {
       val d = DuckSql
       Some(s"""WITH $corpusSql,
                sh AS (SELECT doc_id, ${simhashBound(d)} AS simhash FROM corpus),
-               shb AS (SELECT doc_id, simhash, ${d.shiftr("simhash", "16")} AS bucket FROM sh)
-               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bands AS (
+                 SELECT doc_id, simhash,
+                        concat(CAST(t.k AS VARCHAR), ':',
+                               CAST(${d.shiftr("simhash", "(8*t.k)")} % 256 AS VARCHAR)) AS bucket
+                 FROM sh CROSS JOIN generate_series(0, 3) t(k))
+               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                       bit_count(${d.bxor("a.simhash", "b.simhash")}) AS hamming
-               FROM shb a JOIN shb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+               FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
                WHERE bit_count(${d.bxor("a.simhash", "b.simhash")}) <= 3
                ORDER BY doc_a, doc_b""")
     }),

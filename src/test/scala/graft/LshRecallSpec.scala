@@ -38,4 +38,57 @@ class LshRecallSpec extends AnyFunSuite with SparkTestBase {
     val missed = exact -- lsh
     assert(missed.isEmpty, s"LSH missed ${missed.size} of ${exact.size} pairs: ${missed.take(5)}")
   }
+
+  test("simhash 4x8-bit bands find EVERY hamming<=3 pair the quadratic scan finds") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Td.load(spark, sf, "documents").select("doc_id", "text")
+    val corpus = docs.unionAll(docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" near duplicate suffix marker")).as("text")))
+
+    // exact: all-pairs hamming over the same simhash32 signatures
+    val sh = corpus.selectExpr("doc_id", "simhash32(split(text, ' ')) AS h")
+    val exact = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b", "bit_count(a.h ^ b.h) AS hamming")
+      .where("hamming <= 3")
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val banded = graft.operators.Dedup.simhashPairs(corpus, "doc_id", "text", 3)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(exact.nonEmpty, "corpus should contain hamming<=3 pairs")
+    // 4 bands over 32 bits: <=3 differing bits leave >=1 band identical —
+    // recall is exactly 100%, not probabilistic (unlike minhash LSH).
+    assert(banded === exact,
+      s"banded missed ${(exact -- banded).size}, extra ${(banded -- exact).size}")
+  }
+
+  test("hot-bucket cap keeps candidate generation linear on a boilerplate-heavy corpus") {
+    import spark.implicits._
+    // 1000 near-identical docs (shared boilerplate, tiny unique tail):
+    // every doc lands in the same LSH band buckets, so uncapped candidate
+    // generation is ~1000^2/2 pairs. With the cap, those buckets drop and
+    // the candidate join stays ~linear.
+    val boiler = (0 until 1000)
+      .map(i => (i.toLong, s"shared header boilerplate text repeated across the corpus body marker tail token$i"))
+      .toDF("doc_id", "text")
+    val bands = graft.operators.Dedup.minhashBands(boiler, "doc_id", "text")
+
+    // The observability companion reports the oversized buckets...
+    val hot = graft.operators.Dedup.hotBuckets(bands, 100)
+    assert(hot.count() > 0, "expected oversized band buckets on the skewed corpus")
+
+    // ...and the capped operator generates no quadratic candidate set:
+    // every bucket holds all 1000 docs, so a cap of 100 drops them all.
+    val capped = graft.operators.Dedup.minhashLshPairs(
+      boiler, "doc_id", "text", 0.8, maxBucketSize = 100)
+    assert(capped.count() === 0)
+
+    // Sanity: uncapped (default cap is far above 1000) the same corpus
+    // produces a quadratic-scale pair count — the thing the cap prevents.
+    val uncapped = graft.operators.Dedup.minhashLshPairs(boiler, "doc_id", "text", 0.8)
+    assert(uncapped.count() > 100000L)
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executable plan proofs: the Scaladoc scale claims ("the filter reaches
+  * the scan", "this join broadcasts", "the rank window becomes a group
+  * limit", "this aggregate is Expand-free") asserted against the actual
+  * physical plans, so a Spark upgrade or a refactor cannot silently break
+  * them (round-2 verdict, next-round #5). BucketedJoinSpec and
+  * PartitionPruningSpec carry the remaining two proofs (zero-Exchange
+  * bucketed join; partition-pruned scan).
+  */
+class PlanProofSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Final adaptive plan: AQE only settles broadcast-vs-shuffle at
+    * runtime, so execute first, then render. */
+  private def finalPlanOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate filter is pushed to the parquet scan and columns are pruned") {
+    val qe = SparkEntry.queries("q01_scan_project")(spark, sf).queryExecution
+    // sparkPlan (pre-AQE) — AdaptiveSparkPlanExec hides its input from collect
+    val scan = qe.sparkPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.isDefined, qe.sparkPlan.toString.take(800))
+    assert(scan.get.metadata("PushedFilters").contains("LessThan(l_shipdate"),
+      scan.get.metadata("PushedFilters"))
+    // projection needs 5 of lineitem's 16 columns — the scan must read only those
+    assert(scan.get.requiredSchema.fieldNames.toSet ===
+      Set("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"))
+  }
+
+  test("q23: the dimension side is broadcast (BroadcastHashJoin, no shuffle join)") {
+    val plan = finalPlanOf("q23_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("q59: per-query top-k plans as WindowGroupLimit, not a full sort of candidates") {
+    val plan = planOf("q59_ann_bruteforce")
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("q66: natural count+countDistinct term-frequency aggregate is Expand-free") {
+    val plan = planOf("q66_term_frequency")
+    assert(!plan.contains("Expand"), plan.take(800))
+  }
+
+  test("q82: events goldDaily (count+sum+countDistinct) is Expand-free") {
+    val plan = planOf("q82_events_gold_daily")
+    assert(!plan.contains("Expand"), plan.take(800))
+  }
+
+  test("q67: tf-idf df join has no forced broadcast; AQE broadcasts it at small scale") {
+    // The logical plan must not carry a broadcast hint (a forced broadcast
+    // of a web-scale vocabulary would OOM the driver)...
+    val df = SparkEntry.queries("q67_tfidf")(spark, sf)
+    assert(!df.queryExecution.logical.toString.contains("hint"),
+      df.queryExecution.logical.toString.take(400))
+    // ...but at this corpus size AQE should still pick the broadcast join
+    // at runtime — proving we lose nothing on small vocabularies.
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+}
