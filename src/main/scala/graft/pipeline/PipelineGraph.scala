@@ -37,6 +37,12 @@ final case class TableDef(
     deps: Seq[String],
     expectations: Seq[Expectation] = Nil,
     isView: Boolean = false,
+    /** Sink partition columns. Non-empty switches the sink to DYNAMIC
+      * partition overwrite: a re-run replaces only the partitions it
+      * produces and leaves the rest intact — the parquet stand-in for
+      * Delta's replaceWhere/partition-overwrite semantics, and the
+      * contract an incremental (per-day) refresh needs. */
+    partitionBy: Seq[String] = Nil,
     build: PipelineResult.Reader => DataFrame)
 
 /** Completed pipeline run: every node's DataFrame (views unmaterialized,
@@ -143,7 +149,11 @@ object PipelineGraph {
           val filtered = dropPreds.foldLeft(observed)((df, e) => df.filter(expr(e.predicate)))
           val sink = s"$workDir/${t.name}"
           val sized = sinkPartitions.map(filtered.coalesce).getOrElse(filtered)
-          sized.write.mode("overwrite").parquet(sink)
+          val writer = sized.write.mode("overwrite")
+          if (t.partitionBy.nonEmpty)
+            writer.option("partitionOverwriteMode", "dynamic")
+              .partitionBy(t.partitionBy: _*).parquet(sink)
+          else writer.parquet(sink)
           val got = obs.get
           val total = got("rows").asInstanceOf[Long]
           metrics.put(t.name, t.expectations.map { e =>

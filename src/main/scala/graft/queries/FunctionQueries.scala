@@ -128,6 +128,22 @@ object FunctionQueries {
                      count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- DYNAMIC pivot: values discovered at plan time ------------------
+    // Reshape.pivotDynamic runs one driver-side distinct over the pivot
+    // column (capped, sorted → deterministic schema) then a static pivot.
+    // The oracle pins the values the testdata is known to contain — the
+    // point of the engine path is that it discovers the same set.
+    QuerySpec("q84_pivot_dynamic",
+      (s, d) => graft.operators.Reshape.pivotDynamic(
+          Td.load(s, d, "lineitem"), Seq("l_linestatus"), "l_returnflag",
+          count(lit(1)))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+                     count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS "A",
+                     count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS "N",
+                     count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS "R"
+              FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
     // ---- JSON column extraction (events.props) --------------------------
     // Both the path-string API (get_json_object) and the typed parser
     // (from_json with an explicit schema — the scalable form: schema-on-

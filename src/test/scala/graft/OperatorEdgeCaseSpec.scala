@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Reshape, Similarity, TextAnalysis}
 
 /** Degenerate-input behavior of the operators API: empty corpora, short
   * documents, and single-element inputs must yield empty/valid results,
@@ -50,5 +50,25 @@ class OperatorEdgeCaseSpec extends AnyFunSuite with SparkTestBase {
     val out = Similarity.topK(vecs, vecs.filter("vec_id = 0"), k = 10)
       .collect().map(r => (r.getLong(1), r.getInt(3)))
     assert(out.toSeq === Seq((1L, 1), (2L, 2))) // 2 candidates, ranks contiguous
+  }
+
+  test("pivotDynamic: discovers sorted values, excludes NULLs, enforces the cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("g1", Some("b"), 1), ("g1", Some("a"), 2), ("g2", Some("a"), 3),
+      ("g2", None, 99)).toDF("g", "p", "v")
+    val wide = Reshape.pivotDynamic(df, Seq("g"), "p", sum(col("v")))
+    // schema is deterministic (sorted values) and NULL produced no column
+    assert(wide.columns.toSeq === Seq("g", "a", "b"))
+    val byG = wide.collect().map(r => r.getString(0) ->
+      (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(byG("g1") === (Some(2L), Some(1L)))
+    assert(byG("g2") === (Some(3L), None))
+
+    val many = (1 to 50).map(i => ("g", s"v$i", 1)).toDF("g", "p", "v")
+    val ex = intercept[IllegalArgumentException](
+      Reshape.pivotDynamic(many, Seq("g"), "p", sum(col("v")), maxValues = 10))
+    assert(ex.getMessage.contains("more than 10 distinct values"))
   }
 }
