@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively: AS-OF join and
+  * interval/range join. Both are implemented in their scale-safe shapes —
+  * one keyed shuffle each, never a theta-join cross product.
+  */
+object TemporalJoin {
+
+  /** AS-OF join: attach to every left row the latest right row for the
+    * same key with `rightTs <= leftTs` (inclusive, like DuckDB/kdb asof).
+    * Unmatched left rows keep NULL right values (left-outer semantics).
+    *
+    * Implementation is the UNION + running-`last` form of sort-merge
+    * as-of: both sides go through ONE hash exchange on `keyCol` and one
+    * per-partition sort on (ts, side); a running `last(ignoreNulls)`
+    * window carries the most recent right values forward into each left
+    * row. No range predicate ever reaches a join — at 100 TB this is a
+    * shuffle the same size as the inputs, where the naive
+    * `l.ts >= r.ts` theta join is a per-key cross product. Right rows
+    * sort BEFORE left rows at equal timestamps (side 0 < 1), which is
+    * what makes the join inclusive.
+    *
+    * Determinism contract: callers must ensure `right` has at most one
+    * row per (key, ts) — pre-aggregate if needed (multiple right rows at
+    * the same instant have no defined winner in any as-of engine).
+    *
+    * Output: every left column, then each requested right value column as
+    * `asof_<name>`, plus `asof_ts` (the matched right timestamp).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carried = rightTs +: valueCols
+    val rTypes = carried.map(c => c -> right.schema(c).dataType).toMap
+
+    val l2 = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select(
+        (Seq(col(keyCol), col("__ts"), col("__side")) ++
+          leftCols.filterNot(_ == keyCol).map(col) ++
+          carried.map(c => lit(null).cast(rTypes(c)).as(s"__r_$c"))): _*)
+    val r2 = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select(
+        (Seq(col(keyCol), col("__ts"), col("__side")) ++
+          leftCols.filterNot(_ == keyCol)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          carried.map(c => col(c).as(s"__r_$c"))): _*)
+
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outNames = ("asof_ts" +: valueCols.map(c => s"asof_$c"))
+    l2.unionAll(r2)
+      .select(
+        (Seq(col(keyCol)) ++ leftCols.filterNot(_ == keyCol).map(col) ++
+          Seq(col("__side")) ++
+          carried.zip(outNames).map { case (c, out) =>
+            last(col(s"__r_$c"), ignoreNulls = true).over(w).as(out)
+          }): _*)
+      .where(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /** Range (interval) join: match each point row to every interval row
+    * with `lo <= point < hi`.
+    *
+    * Implementation: BUCKET EXPANSION — intervals explode into the fixed-
+    * width buckets they overlap, points map to their single bucket, and
+    * the match becomes a bucket EQUI-join plus an exact range filter.
+    * Each interval produces ~(hi-lo)/bucketWidth rows, so pick
+    * `bucketWidth` near the typical interval length; the join itself
+    * hash-partitions on the bucket key like any equi-join. The naive
+    * `BETWEEN` theta join Spark plans as BroadcastNestedLoopJoin — fine
+    * for a broadcast-able interval table, quadratic otherwise; this shape
+    * stays shuffle-sized at any scale. A point falls in exactly one
+    * bucket, so no post-join dedup is needed.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val iv = intervals.withColumn("__bucket",
+      explode(expr(
+        s"sequence(CAST(floor($loCol / $bucketWidth) AS BIGINT), " +
+          s"CAST(floor($hiCol / $bucketWidth) AS BIGINT))")))
+    val pt = points.withColumn("__bucket",
+      expr(s"CAST(floor($pointCol / $bucketWidth) AS BIGINT)"))
+    pt.join(iv, "__bucket")
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Td
+
+/** Temporal-join + sampling parity queries (beyond-reference operators a
+  * training-data pipeline needs): AS-OF join, interval/range join, and
+  * the deterministic hash split. Each oracle derives the same result by a
+  * DIFFERENT algorithm (correlated-subquery asof; theta-join range join),
+  * so the bucket/union tricks are cross-checked, not mirrored.
+  */
+object TemporalQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- AS-OF join: clicks pick up the user's latest purchase-day state
+    // Right side is pre-aggregated to one row per (user, day) — the
+    // determinism contract of any asof engine. The engine path is the
+    // union + running-last sort-merge form (one shuffle); the oracle is
+    // an independent correlated-subquery derivation.
+    QuerySpec("q85_asof_join", { (s, dir) =>
+      val ev = Td.load(s, dir, "events")
+      val clicks = ev.where("event_type = 'click'")
+        .select("event_id", "user_id", "ts", "value")
+      val state = ev.where("event_type = 'purchase'")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
+        .agg(max("value").as("day_max"))
+      graft.operators.TemporalJoin
+        .asOfJoin(clicks, state, "user_id", "ts", "day_ts", Seq("day_max"))
+        .orderBy("event_id")
+    },
+      Some("""WITH st AS (
+                SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+                       max(value) AS day_max
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+              cl AS (
+                SELECT event_id, user_id, ts, value
+                FROM events WHERE event_type = 'click'),
+              m AS (
+                SELECT cl.*,
+                       (SELECT max(day_ts) FROM st
+                        WHERE st.user_id = cl.user_id AND st.day_ts <= cl.ts) AS asof_ts
+                FROM cl)
+              SELECT m.user_id, m.event_id, m.ts, m.value,
+                     m.asof_ts, st.day_max AS asof_day_max
+              FROM m LEFT JOIN st
+                ON st.user_id = m.user_id AND st.day_ts = m.asof_ts
+              ORDER BY event_id""")),
+
+    // ---- range join: event values matched into overlapping bands -------
+    // 40 deterministic intervals [8i, 8i+12) (4-wide overlaps, so values
+    // match 1-2 bands). Engine: bucket-expansion equi-join; oracle: the
+    // naive theta join — same rows, different algorithm.
+    QuerySpec("q86_range_join", { (s, dir) =>
+      val bands = s.range(40).selectExpr(
+        "concat('band', CAST(id AS STRING)) AS label",
+        "CAST(id * 8.0 AS DOUBLE) AS lo",
+        "CAST(id * 8.0 + 12.0 AS DOUBLE) AS hi")
+      val points = Td.load(s, dir, "events").select("event_id", "value")
+      graft.operators.TemporalJoin
+        .rangeJoin(points, "value", bands, "lo", "hi", bucketWidth = 8.0)
+        .select("event_id", "value", "label", "lo", "hi")
+        .orderBy("event_id", "label")
+    },
+      Some("""WITH bands AS (
+                SELECT concat('band', CAST(i AS VARCHAR)) AS label,
+                       CAST(i * 8.0 AS DOUBLE) AS lo,
+                       CAST(i * 8.0 + 12.0 AS DOUBLE) AS hi
+                FROM generate_series(0, 39) t(i))
+              SELECT e.event_id, e.value, b.label, b.lo, b.hi
+              FROM events e JOIN bands b
+                ON e.value >= b.lo AND e.value < b.hi
+              ORDER BY event_id, label""")),
+
+    // ---- deterministic hash split: per-language stratification check ---
+    // Same md5-derived bucket in both engines (SqlDialect.hex32); the
+    // query aggregates per (lang, split) so the oracle verifies both
+    // membership and the ~80/20 proportions.
+    QuerySpec("q87_hash_split", { (s, dir) =>
+      val docs = Td.load(s, dir, "documents")
+      graft.operators.Sampling.hashSplit(docs, "doc_id", 80)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang", "split")
+    }, {
+      val d = DuckSql
+      Some(s"""SELECT lang,
+                      CASE WHEN ${d.hex32("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                           THEN 'train' ELSE 'test' END AS split,
+                      count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+               FROM documents
+               GROUP BY 1, 2 ORDER BY lang, split""")
+    })
+  )
+}

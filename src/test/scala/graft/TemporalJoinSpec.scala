@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, TemporalJoin}
+
+/** Edge semantics of the temporal joins: inclusive as-of ties, unmatched
+  * left rows, bucket-boundary exactness of the range join, and the
+  * partition-invariance of the hash split. */
+class TemporalJoinSpec extends AnyFunSuite with SparkTestBase {
+
+  import java.sql.Timestamp
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin: inclusive at equal ts, latest-prior otherwise, NULL when no prior") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "early"),   // before any state -> NULL
+      (1L, ts("2024-01-01 10:00:00"), "tie"),     // equal ts -> inclusive match
+      (1L, ts("2024-01-01 11:30:00"), "between"), // between states -> 10:00 state
+      (1L, ts("2024-01-02 00:00:00"), "late"),    // after both -> 12:00 state
+      (2L, ts("2024-01-01 12:00:00"), "otherkey") // key with no state -> NULL
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 12:00:00"), 12.0)
+    ).toDF("k", "rt", "v")
+
+    val out = TemporalJoin.asOfJoin(left, right, "k", "t", "rt", Seq("v"))
+      .select("tag", "asof_v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out === Map(
+      "early" -> None, "tie" -> Some(10.0), "between" -> Some(10.0),
+      "late" -> Some(12.0), "otherkey" -> None))
+  }
+
+  test("rangeJoin: lo inclusive, hi exclusive, intervals spanning buckets still match") {
+    import spark.implicits._
+    val points = Seq((1L, 8.0), (2L, 11.999), (3L, 12.0), (4L, 25.0)).toDF("id", "p")
+    // interval [8, 12) spans buckets 1..3 at width 4; [20, 30) spans 5..7
+    val iv = Seq(("a", 8.0, 12.0), ("b", 20.0, 30.0)).toDF("label", "lo", "hi")
+    val out = TemporalJoin.rangeJoin(points, "p", iv, "lo", "hi", bucketWidth = 4.0)
+      .select("id", "label").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "a"), (2L, "a"), (4L, "b"))) // 12.0 excluded (hi-exclusive)
+  }
+
+  test("rangeJoin result equals the naive theta join on real data") {
+    val bands = spark.range(40).selectExpr(
+      "concat('band', CAST(id AS STRING)) AS label",
+      "CAST(id * 8.0 AS DOUBLE) AS lo",
+      "CAST(id * 8.0 + 12.0 AS DOUBLE) AS hi")
+    val points = Td.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "value")
+    val bucketed = TemporalJoin.rangeJoin(points, "value", bands, "lo", "hi", 8.0)
+      .select("event_id", "label").collect().map(_.toString).sorted
+    val theta = points.join(bands,
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .select("event_id", "label").collect().map(_.toString).sorted
+    assert(bucketed.sameElements(theta))
+  }
+
+  test("hashSplit: deterministic across repartitionings, proportions near trainPct") {
+    val docs = Td.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = Sampling.hashSplit(docs, "doc_id", 80)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(docs.repartition(17), "doc_id", 80)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b, "split membership must not depend on partitioning")
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"trainFrac=$trainFrac")
+  }
+}
