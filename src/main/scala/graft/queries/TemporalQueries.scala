@@ -72,6 +72,61 @@ object TemporalQueries {
                 ON e.value >= b.lo AND e.value < b.hi
               ORDER BY event_id, label""")),
 
+    // ---- time-range rolling window: 1-hour trailing stats per user -----
+    // RANGE frame over epoch seconds (not ROWS — late/dense events change
+    // row offsets but not the time window). The rolling sum routes through
+    // decimal so it is exact and order-insensitive across engines; at
+    // 100 TB this is one hash exchange on user_id + a per-partition sort,
+    // the same shape as any sessionization pass.
+    QuerySpec("q88_window_range", { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Td.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("ts_sec"),
+          col("value"))
+      val w = Window.partitionBy("user_id").orderBy("ts_sec")
+        .rangeBetween(-3599, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"), col("ts_sec"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .over(w).cast("double").as("sum_1h"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                     count(*) OVER w AS n_1h,
+                     CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id""")),
+
+    // ---- GROUPING SETS: subtotals along chosen axes ---------------------
+    // The general form behind q72's ROLLUP; grouping() markers pin the
+    // NULL-vs-subtotal ambiguity, and the orderBy is total.
+    QuerySpec("q89_grouping_sets", { (s, dir) =>
+      Td.registerAll(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+      """)
+    },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                     CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+                     CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                      (l_returnflag), (l_linestatus))
+              ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
     // ---- deterministic hash split: per-language stratification check ---
     // Same md5-derived bucket in both engines (SqlDialect.hex32); the
     // query aggregates per (lang, split) so the oracle verifies both
