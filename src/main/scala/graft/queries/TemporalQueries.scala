@@ -127,6 +127,33 @@ object TemporalQueries {
                                       (l_returnflag), (l_linestatus))
               ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
+    // ---- salted skew join: hot keys spread across reducers --------------
+    // events (5 event_type values ⇒ every key is hot) salted 8 ways
+    // against an in-query type-dimension. The salt is internal — the
+    // oracle is the PLAIN join, proving row-identical results; the engine
+    // plan shuffles on (event_type, salt) so no reducer owns a whole key.
+    QuerySpec("q90_join_salted", { (s, dir) =>
+      val dim = s.createDataFrame(Seq(
+        ("view", 1.0), ("click", 2.0), ("purchase", 10.0),
+        ("signup", 5.0), ("error", 0.0)))
+        .toDF("event_type", "weight")
+      val ev = Td.load(s, dir, "events").select("event_id", "event_type", "value")
+      graft.operators.SkewJoin
+        .saltedJoin(ev, dim, Seq("event_type"), col("event_id"), saltFactor = 8)
+        .selectExpr("event_id", "event_type",
+          "floor(value * weight * 100.0 + 0.5) / 100.0 AS weighted")
+        .orderBy("event_id")
+    },
+      Some("""WITH dim(event_type, weight) AS (VALUES
+                ('view', CAST(1.0 AS DOUBLE)), ('click', CAST(2.0 AS DOUBLE)),
+                ('purchase', CAST(10.0 AS DOUBLE)), ('signup', CAST(5.0 AS DOUBLE)),
+                ('error', CAST(0.0 AS DOUBLE)))
+              SELECT e.event_id, e.event_type,
+                     floor(e.value * d.weight * CAST(100.0 AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE)) / CAST(100.0 AS DOUBLE) AS weighted
+              FROM events e JOIN dim d ON e.event_type = d.event_type
+              ORDER BY event_id""")),
+
     // ---- deterministic hash split: per-language stratification check ---
     // Same md5-derived bucket in both engines (SqlDialect.hex32); the
     // query aggregates per (lang, split) so the oracle verifies both

@@ -59,6 +59,25 @@ class TemporalJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(bucketed.sameElements(theta))
   }
 
+  test("saltedJoin: row-identical to the plain join, shuffles on (key, salt)") {
+    import graft.operators.SkewJoin
+    import spark.implicits._
+    val big = Td.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "event_type", "value")
+    val dim = Seq(("view", 1), ("click", 2), ("purchase", 3), ("signup", 4), ("error", 5))
+      .toDF("event_type", "code")
+    val plain = big.join(dim, "event_type")
+      .select("event_id", "code").collect().map(_.toString).sorted
+    val salted = SkewJoin.saltedJoin(big, dim, Seq("event_type"), col("event_id"), 8)
+      .select("event_id", "code").collect().map(_.toString).sorted
+    assert(salted.sameElements(plain))
+
+    // the join's exchange must carry the salt (key spread across reducers)
+    val plan = SkewJoin.saltedJoin(big, dim, Seq("event_type"), col("event_id"), 8)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("__salt"), plan.take(800))
+  }
+
   test("hashSplit: deterministic across repartitionings, proportions near trainPct") {
     val docs = Td.load(spark, "/root/testdata/sf0.001", "documents")
     val a = Sampling.hashSplit(docs, "doc_id", 80)
