@@ -128,7 +128,16 @@ object PipelineGraph {
     val reader: PipelineResult.Reader = name =>
       results.getOrElse(name, sys.error(s"unknown upstream table: $name"))
 
-    def runNode(t: TableDef): DataFrame = {
+    def runNode(t: TableDef): DataFrame = try {
+      runNodeInner(t)
+    } catch {
+      // Name the failing node: a 14-node concurrent DAG surfacing a bare
+      // AnalysisException is undebuggable from the orchestrator's log.
+      case e: Throwable =>
+        throw new RuntimeException(s"pipeline node '${t.name}' failed: ${e.getMessage}", e)
+    }
+
+    def runNodeInner(t: TableDef): DataFrame = {
       val built = t.build(reader)
       val out =
         if (t.isView) built

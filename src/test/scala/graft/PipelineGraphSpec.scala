@@ -78,6 +78,19 @@ class PipelineGraphSpec extends AnyFunSuite with SparkTestBase {
       || ex.getCause != null && ex.getCause.getMessage.contains("duplicate expectation names"))
   }
 
+  test("a failing node names itself and its dependents never run") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-graph").toString
+    val ran = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val defs = Seq(
+      node("bronze")(_ => { ran.add("bronze"); Seq(1).toDF("x") }),
+      node("silver", "bronze")(r => { ran.add("silver"); r("bronze").selectExpr("no_such_column") }),
+      node("gold", "silver")(r => { ran.add("gold"); r("silver") }))
+    val ex = intercept[Exception](PipelineGraph.run(spark, defs, work))
+    assert(ex.getMessage.contains("pipeline node 'silver' failed"), ex.getMessage)
+    assert(ran.contains("bronze") && ran.contains("silver") && !ran.contains("gold"))
+  }
+
   test("tables are materialized (parquet sink) and views are not") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-graph").toString
