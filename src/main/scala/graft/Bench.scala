@@ -62,9 +62,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
     val short =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._2 < 0)},"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("/root/repo/bench_out.json"), full + "\n")
-    sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .foreach(p => Files.writeString(Paths.get(p), full + "\n"))
+    // File writes are best-effort and must never block stdout emission
+    // (a missing directory would otherwise discard minutes of results).
+    def tryWrite(path: String): Unit =
+      try Files.writeString(Paths.get(path), full + "\n")
+      catch { case e: Exception => System.err.println(s"bench: cannot write $path: $e") }
+    tryWrite("bench_out.json")
+    if (Files.isDirectory(Paths.get("/root/repo"))) tryWrite("/root/repo/bench_out.json")
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(tryWrite)
     println(full)
     spark.stop()
     // Short total-only line LAST so a bounded tail capture still parses it.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction for parquet table directories — the stand-in
@@ -11,22 +11,22 @@ import org.apache.spark.sql.SparkSession
   * of 10k tiny files pays 10k footer reads and schedules 10k splits.
   *
   * `compact` rewrites a directory to ~`targetBytes` files:
-  *   1. read the current snapshot;
-  *   2. write it `coalesce`d to a sibling temp dir (full parallelism up
-  *      to the target file count — coalesce, not repartition: no shuffle,
-  *      just fewer write tasks);
-  *   3. atomically swap directories (rename old → trash, temp → live,
-  *      delete trash). Readers opening the path mid-swap see either the
-  *      old or the new complete directory on a POSIX filesystem; on an
-  *      object store you would use a manifest/table format instead —
-  *      that trade is exactly why Delta exists, and this operator is the
-  *      plain-parquet approximation of it.
+  *   1. heal any crashed previous rewrite ([[AtomicSwap.recover]]);
+  *   2. read the current snapshot and write it `coalesce`d to a sibling
+  *      temp dir (coalesce, not repartition: no shuffle, just fewer
+  *      write tasks);
+  *   3. swap directories ([[AtomicSwap.replace]] — rename-based with
+  *      crash recovery on the next pass).
+  *
+  * An empty or not-yet-written table is a NO-OP, not an error — a
+  * maintenance sweep must skip tables that produced no rows yet.
   *
   * Returns (filesBefore, filesAfter).
   */
 object Compaction {
 
   private def parquetFiles(dir: Path): Seq[Path] = {
+    if (!Files.exists(dir)) return Nil
     val s = Files.walk(dir)
     try {
       import scala.jdk.CollectionConverters._
@@ -35,22 +35,17 @@ object Compaction {
   }
 
   def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): (Int, Int) = {
+    AtomicSwap.recover(dir)
     val live = Paths.get(dir)
     val before = parquetFiles(live)
+    if (before.isEmpty) return (0, 0)
     val totalBytes = before.map(Files.size).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
-    val tmp = Paths.get(dir + ".compact_tmp")
-    val trash = Paths.get(dir + ".compact_old")
+    val tmp = dir + ".compact_tmp"
     spark.read.parquet(dir).coalesce(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-
-    Files.move(live, trash, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    // best-effort trash cleanup (data is already live in the new dir)
-    parquetFiles(trash).foreach(Files.delete)
-    Files.walk(trash).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p): Unit)
+      .write.mode("overwrite").parquet(tmp)
+    AtomicSwap.replace(dir, tmp)
 
     (before.size, parquetFiles(live).size)
   }

@@ -43,7 +43,10 @@ object ExactPercentile {
     else (hi - pos) * picked(lo) + (pos - lo) * picked(hi)
   }
 
-  /** Per-group exact interpolated quantile: returns (groupCols..., alias). */
+  /** Per-group exact interpolated quantile: returns (groupCols..., alias).
+    * Groups whose values are ALL NULL still appear, with a NULL quantile —
+    * matching the built-in percentile aggregate (the rank pipeline drops
+    * their rows, so they are restored by a left join on the group list). */
   def quantileContByGroup(df: DataFrame, groupCols: Seq[String],
       valueCol: String, q: Double, alias: String): DataFrame = {
     require(q >= 0 && q <= 1, s"q must be in [0,1], got $q")
@@ -59,7 +62,7 @@ object ExactPercentile {
       .withColumn("__lo", floor(col("__pos")).cast("long") + 1)
       .withColumn("__hi", ceil(col("__pos")).cast("long") + 1)
       .where(col("__rn") === col("__lo") || col("__rn") === col("__hi"))
-    picked
+    val computed = picked
       .groupBy(g: _*)
       .agg(sum(
         when(col("__lo") === col("__hi"), col("__v"))
@@ -67,5 +70,6 @@ object ExactPercentile {
             (col("__hi") - 1 - col("__pos")) * col("__v"))
           .otherwise((col("__pos") - (col("__lo") - 1)) * col("__v")))
         .as(alias))
+    df.select(g: _*).distinct().join(computed, groupCols, "left")
   }
 }

@@ -33,39 +33,44 @@ object TemporalJoin {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
     val carried = rightTs +: valueCols
-    val rTypes = carried.map(c => c -> right.schema(c).dataType).toMap
+    // The right row's state travels as ONE nullable struct: the running
+    // `last(ignoreNulls)` then picks whole rows atomically, so a right row
+    // whose VALUE is legitimately NULL still wins as a unit — per-column
+    // carry would tear the row, pairing that NULL with a stale older value.
+    val stateType = StructType(carried.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
 
     val l2 = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select(
         (Seq(col(keyCol), col("__ts"), col("__side")) ++
-          leftCols.filterNot(_ == keyCol).map(col) ++
-          carried.map(c => lit(null).cast(rTypes(c)).as(s"__r_$c"))): _*)
+          leftCols.filterNot(_ == keyCol).map(col) :+
+          lit(null).cast(stateType).as("__rstate")): _*)
     val r2 = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select(
         (Seq(col(keyCol), col("__ts"), col("__side")) ++
           leftCols.filterNot(_ == keyCol)
-            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          carried.map(c => col(c).as(s"__r_$c"))): _*)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(carried.map(col): _*).as("__rstate")): _*)
 
     val w = Window.partitionBy(keyCol)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val outNames = ("asof_ts" +: valueCols.map(c => s"asof_$c"))
     l2.unionAll(r2)
+      .withColumn("__state", last(col("__rstate"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
       .select(
         (Seq(col(keyCol)) ++ leftCols.filterNot(_ == keyCol).map(col) ++
-          Seq(col("__side")) ++
           carried.zip(outNames).map { case (c, out) =>
-            last(col(s"__r_$c"), ignoreNulls = true).over(w).as(out)
+            col("__state").getField(c).as(out)
           }): _*)
-      .where(col("__side") === 1)
-      .drop("__side")
   }
 
   /** Range (interval) join: match each point row to every interval row
@@ -86,7 +91,12 @@ object TemporalJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val iv = intervals.withColumn("__bucket",
+    // Inverted intervals (hi < lo) match nothing under the theta-join
+    // semantics — filter them BEFORE the explode: Spark's sequence()
+    // counts DOWN when start > stop, so one corrupt interval would
+    // otherwise build a huge descending bucket array instead of no rows.
+    val valid = intervals.where(col(hiCol) >= col(loCol))
+    val iv = valid.withColumn("__bucket",
       explode(expr(
         s"sequence(CAST(floor($loCol / $bucketWidth) AS BIGINT), " +
           s"CAST(floor($hiCol / $bucketWidth) AS BIGINT))")))

@@ -163,13 +163,20 @@ object PipelineGraph {
             writer.option("partitionOverwriteMode", "dynamic")
               .partitionBy(t.partitionBy: _*).parquet(sink)
           else writer.parquet(sink)
+          // Partitioned re-read pins the BUILD's schema: otherwise partition
+          // columns come back type-inferred (a string day becomes DATE) and
+          // relocated to the end — downstream nodes would see a different
+          // schema than this node produced.
+          def reread() =
+            if (t.partitionBy.isEmpty) spark.read.parquet(sink)
+            else spark.read.schema(filtered.schema).parquet(sink)
           val got = obs.get
           val total = got("rows").asInstanceOf[Long]
           metrics.put(t.name, t.expectations.map { e =>
             val failed = got(s"exp_${e.name}") match { case null => 0L; case x => x.asInstanceOf[Long] }
             ExpectationResult(t.name, e.name, e.mode.label, total - failed, failed)
           })
-          spark.read.parquet(sink)
+          reread()
         }
       out.createOrReplaceTempView(t.name)
       results.put(t.name, out)

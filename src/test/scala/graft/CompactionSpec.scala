@@ -31,4 +31,10 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
       .map(p => java.nio.file.Paths.get(p.toString).getFileName.toString)
     assert(siblings.count(_.contains("compact_")) === 0, siblings.mkString(", "))
   }
+
+  test("compacting an empty or absent table directory is a no-op, not an error") {
+    val empty = java.nio.file.Files.createTempDirectory("graft-compact-empty").toString
+    assert(Compaction.compact(spark, empty) === ((0, 0)))
+    assert(Compaction.compact(spark, empty + "/never_written") === ((0, 0)))
+  }
 }

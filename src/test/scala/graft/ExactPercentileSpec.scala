@@ -36,6 +36,15 @@ class ExactPercentileSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("groups with only NULL values surface a NULL quantile, like the built-in") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", None), ("b", None))
+      .toDF("g", "v")
+    val out = ExactPercentile.quantileContByGroup(df, Seq("g"), "v", 0.5, "p")
+      .orderBy("g").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out === Map("a" -> Some(2.0), "b" -> None))
+  }
+
   test("grouped path plans a window sort, not a percentile aggregation buffer") {
     val plan = ExactPercentile.quantileContByGroup(
       li("/root/testdata/sf0.001"), Seq("l_returnflag"), "l_extendedprice", 0.5, "p")

@@ -70,7 +70,13 @@ class SinkContractSpec extends AnyFunSuite with SparkTestBase {
         build = read => EventsPipeline.silver(read("ev_bronze"), rc)
           .withColumn("event_date", date_format(col("event_day"), "yyyy-MM-dd"))))
 
-    PipelineGraph.run(spark, defs(all), work)
+    val res = PipelineGraph.run(spark, defs(all), work)
+    // the runner's re-read pins the BUILD schema: event_date stays STRING
+    // and in build position for downstream nodes (raw disk reads would
+    // re-infer it as DATE and move it to the end)
+    assert(res("ev_silver").schema("event_date").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(res("ev_silver").columns.last === "event_date")
     val full = spark.read.parquet(s"$work/ev_silver")
     val nDays = full.select("event_date").distinct().count()
     val nRows = full.count()

@@ -35,6 +35,23 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(s2.toSeq === Seq((1L, 1L, "a1"), (2L, 3L, "b3"), (3L, 1L, "c1"), (4L, 1L, "d1")))
 
+    // review regression: a LATE batch carrying an OLDER version of key 2
+    // must not overwrite the newer snapshot row (cross-batch version check)
+    StreamingUpsert.mergeBatch(spark,
+      Seq((2L, 1L, "stale")).toDF("k", "v", "payload"), table, "k", "v")
+    val s2b = spark.read.parquet(table).where("k = 2")
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(s2b.toSeq === Seq((3L, "b3")))
+
+    // crash-recovery contract: a swap that died between its two renames
+    // (live gone, trash present) is healed by the next merge
+    val livePath = java.nio.file.Paths.get(table)
+    val trashPath = java.nio.file.Paths.get(table + ".swap_old")
+    java.nio.file.Files.move(livePath, trashPath)
+    StreamingUpsert.mergeBatch(spark,
+      Seq((6L, 1L, "f1")).toDF("k", "v", "payload"), table, "k", "v")
+    assert(spark.read.parquet(table).count() === 5) // 4 recovered keys + key 6
+
     // end-to-end through the real stream engine: file source → upsert sink
     val raw = Files.createTempDirectory("graft-upsert-raw")
     Files.writeString(raw.resolve("u1.csv"), "k,v,payload\n1,9,a9\n5,1,e1\n")
@@ -50,6 +67,6 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestBase {
     val s3 = out.orderBy("k")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(s3.toSeq === Seq((1L, 9L, "a9"), (2L, 3L, "b3"), (3L, 1L, "c1"),
-      (4L, 1L, "d1"), (5L, 1L, "e1")))
+      (4L, 1L, "d1"), (5L, 1L, "e1"), (6L, 1L, "f1")))
   }
 }

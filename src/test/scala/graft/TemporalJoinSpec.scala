@@ -34,6 +34,29 @@ class TemporalJoinSpec extends AnyFunSuite with SparkTestBase {
       "late" -> Some(12.0), "otherkey" -> None))
   }
 
+  test("asOfJoin: a matched right row with a NULL value wins AS A UNIT (no torn rows)") {
+    import spark.implicits._
+    // review regression: per-column carry paired the 12:00 row's ts with
+    // the 10:00 row's value whenever the 12:00 value was NULL
+    val left = Seq((1L, ts("2024-01-01 13:00:00"), "l")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 12:00:00"), None)
+    ).toDF("k", "rt", "v")
+    val r = TemporalJoin.asOfJoin(left, right, "k", "t", "rt", Seq("v")).head()
+    assert(r.getAs[java.sql.Timestamp]("asof_ts") === ts("2024-01-01 12:00:00"))
+    assert(r.isNullAt(r.fieldIndex("asof_v")), r.toString)
+  }
+
+  test("rangeJoin: inverted intervals match nothing instead of exploding") {
+    import spark.implicits._
+    val points = Seq((1L, 5.0)).toDF("id", "p")
+    val iv = Seq(("ok", 0.0, 10.0), ("inverted", 1e9, 0.0)).toDF("label", "lo", "hi")
+    val out = TemporalJoin.rangeJoin(points, "p", iv, "lo", "hi", bucketWidth = 1.0)
+      .select("label").collect().map(_.getString(0)).toSeq
+    assert(out === Seq("ok"))
+  }
+
   test("rangeJoin: lo inclusive, hi exclusive, intervals spanning buckets still match") {
     import spark.implicits._
     val points = Seq((1L, 8.0), (2L, 11.999), (3L, 12.0), (4L, 25.0)).toDF("id", "p")
