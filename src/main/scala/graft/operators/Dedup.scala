@@ -139,6 +139,51 @@ object Dedup {
       .where(s"cosine >= $minCosine")
   }
 
+  /** Connected components over a near-dup PAIR list: every document in a
+    * duplicate cluster gets `cluster_id = min(doc id reachable via
+    * pairs)` — the step that turns pairwise similarity into an actual
+    * keep/drop decision (keep `doc_id == cluster_id`, drop the rest).
+    *
+    * Implementation: iterative min-label propagation — per round, every
+    * node takes the min of its own label and its neighbors' labels (one
+    * equi-join + one groupBy-min per round), stopping at fixpoint.
+    * Rounds needed = graph diameter; dedup clusters are shallow (near-dup
+    * graphs are dense cliques, diameter 2-3), so this converges in a
+    * handful of rounds even at corpus scale. For adversarially long
+    * chains the large-star/small-star variant halves diameters per round;
+    * the `maxIters` cap turns non-convergence into an error instead of an
+    * infinite job. Only ids that appear in `pairs` are labeled — callers
+    * keep unpaired docs implicitly (they are their own cluster).
+    */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.selectExpr(s"$aCol AS u", s"$bCol AS v")
+      .unionAll(pairs.selectExpr(s"$bCol AS u", s"$aCol AS v"))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "v"), "v")
+        .select(col("u").as("doc_id"), col("cluster_id"))
+      val updated = labels.unionByName(viaNeighbor)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .cache()
+      converged = updated.join(
+          labels.withColumnRenamed("cluster_id", "old_id"), "doc_id")
+        .where(col("cluster_id") =!= col("old_id"))
+        .isEmpty
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    labels
+  }
+
   /** Length-banded edit-distance near-dup pairs (high-precision verifier;
     * see q76 for the recall/cost trade). */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,

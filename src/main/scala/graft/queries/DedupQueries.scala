@@ -63,6 +63,34 @@ object DedupQueries {
         d.map(d.range("0", "11"), "j", d.amin(d.map("hs", "h", s"substring(h, $start + 1, 8)")))))
   }
 
+  /** Shared oracle CTE chain ending in `pairs(doc_a, doc_b, jaccard)` —
+    * the q55 result set, reused verbatim by the q91 cluster oracle. */
+  private def minhashPairsSql(d: SqlDialect): String =
+    s"""tk AS (
+          SELECT doc_id, ${shinglesExpr(d)} AS shingles
+          FROM corpus WHERE ${d.len(d.splitSpace("text"))} >= 3),
+        sig AS (SELECT doc_id, ${sigsExpr(d)} AS sigs
+                FROM corpus WHERE ${d.len(d.splitSpace("text"))} >= 3),
+        bands AS (
+          SELECT doc_id,
+                 concat(CAST(t.j AS VARCHAR), ':',
+                        CAST(sigs[2*t.j+1] AS VARCHAR), '|',
+                        CAST(sigs[2*t.j+2] AS VARCHAR)) AS bucket
+          FROM sig CROSS JOIN generate_series(0, 5) t(j)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT doc_a, doc_b,
+                 round(CAST(${d.interSize("ta.shingles", "tb.shingles")} AS DOUBLE) /
+                       CAST(${d.unionSize("ta.shingles", "tb.shingles")} AS DOUBLE), 6) AS jaccard
+          FROM cand
+          JOIN tk ta ON ta.doc_id = doc_a
+          JOIN tk tb ON tb.doc_id = doc_b
+          WHERE CAST(${d.interSize("ta.shingles", "tb.shingles")} AS DOUBLE) /
+                CAST(${d.unionSize("ta.shingles", "tb.shingles")} AS DOUBLE) >= 0.6)"""
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- exact dedup: content-hash groupBy ------------------------------
@@ -95,31 +123,35 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }, {
       val d = DuckSql
-      Some(s"""WITH $corpusSql,
-               tk AS (
-                 SELECT doc_id, ${shinglesExpr(d)} AS shingles
-                 FROM corpus WHERE ${d.len(d.splitSpace("text"))} >= 3),
-               sig AS (SELECT doc_id, ${sigsExpr(d)} AS sigs
-                       FROM corpus WHERE ${d.len(d.splitSpace("text"))} >= 3),
-               bands AS (
-                 SELECT doc_id,
-                        concat(CAST(t.j AS VARCHAR), ':',
-                               CAST(sigs[2*t.j+1] AS VARCHAR), '|',
-                               CAST(sigs[2*t.j+2] AS VARCHAR)) AS bucket
-                 FROM sig CROSS JOIN generate_series(0, 5) t(j)),
-               cand AS (
-                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM bands a JOIN bands b
-                   ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
-               SELECT doc_a, doc_b,
-                      round(CAST(${d.interSize("ta.shingles", "tb.shingles")} AS DOUBLE) /
-                            CAST(${d.unionSize("ta.shingles", "tb.shingles")} AS DOUBLE), 6) AS jaccard
-               FROM cand
-               JOIN tk ta ON ta.doc_id = doc_a
-               JOIN tk tb ON tb.doc_id = doc_b
-               WHERE CAST(${d.interSize("ta.shingles", "tb.shingles")} AS DOUBLE) /
-                     CAST(${d.unionSize("ta.shingles", "tb.shingles")} AS DOUBLE) >= 0.6
+      Some(s"""WITH $corpusSql, ${minhashPairsSql(d)}
+               SELECT doc_a, doc_b, jaccard FROM pairs
                ORDER BY doc_a, doc_b""")
+    }),
+
+    // ---- near-dup CLUSTERS: connected components over the LSH pairs -----
+    // Engine: Dedup.clusters (iterative min-label propagation, one
+    // join+groupBy-min per round). Oracle: a DIFFERENT algorithm —
+    // recursive-CTE transitive closure + min over each node's reachable
+    // set — so the distributed propagation is independently cross-checked.
+    // keep/drop decision: keep doc_id == cluster_id.
+    QuerySpec("q91_dedup_clusters", { (s, dir) =>
+      val pairs = graft.operators.Dedup
+        .minhashLshPairs(corpus(s, dir), "doc_id", "text", 0.6)
+      graft.operators.Dedup.clusters(pairs, "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH RECURSIVE $corpusSql, ${minhashPairsSql(d)},
+               und AS (
+                 SELECT doc_a AS u, doc_b AS v FROM pairs
+                 UNION
+                 SELECT doc_b, doc_a FROM pairs),
+               reach(u, v) AS (
+                 SELECT u, u FROM und
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+               SELECT u AS doc_id, min(v) AS cluster_id
+               FROM reach GROUP BY u ORDER BY doc_id""")
     }),
 
     // ---- SimHash hamming near-dup ---------------------------------------

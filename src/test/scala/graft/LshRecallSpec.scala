@@ -65,6 +65,18 @@ class LshRecallSpec extends AnyFunSuite with SparkTestBase {
       s"banded missed ${(exact -- banded).size}, extra ${(banded -- exact).size}")
   }
 
+  test("clusters: chains, cliques, and disjoint components all get min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, exercises multi-round propagation),
+    // clique 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Dedup.clusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("hot-bucket cap keeps candidate generation linear on a boilerplate-heavy corpus") {
     import spark.implicits._
     // 1000 near-identical docs (shared boilerplate, tiny unique tail):
