@@ -26,4 +26,13 @@ object Sampling {
       s"CASE WHEN md5_u32(CAST($idCol AS STRING)) % 100 < $trainPct " +
         "THEN 'train' ELSE 'test' END"))
   }
+
+  /** K-fold assignment with the same properties as [[hashSplit]]:
+    * fold = md5_u32(id) % k, deterministic and partition-invariant, so
+    * cross-validation folds are stable across runs and cluster sizes. */
+  def hashFold(df: DataFrame, idCol: String, k: Int,
+      foldCol: String = "fold"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.withColumn(foldCol, expr(s"md5_u32(CAST($idCol AS STRING)) % $k"))
+  }
 }

@@ -127,6 +127,65 @@ object TemporalQueries {
                                       (l_returnflag), (l_linestatus))
               ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
+    // ---- funnel: ordered signup → click → purchase conversion ----------
+    // Each step is an equi-join on user_id with a strict ts lower bound
+    // from the previous step's first event — hash joins plus filters, no
+    // theta join, so the funnel scales like any keyed aggregation.
+    QuerySpec("q92_funnel", { (s, dir) =>
+      val ev = Td.load(s, dir, "events")
+      val su = ev.where("event_type = 'signup'")
+        .groupBy("user_id").agg(min("ts").as("s_ts"))
+      val cl = ev.where("event_type = 'click'").as("e")
+        .join(su.as("s"), col("e.user_id") === col("s.user_id") && col("e.ts") > col("s.s_ts"))
+        .groupBy(col("e.user_id")).agg(min("e.ts").as("c_ts"))
+      val pu = ev.where("event_type = 'purchase'").as("e")
+        .join(cl.as("c"), col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.c_ts"))
+        .groupBy(col("e.user_id")).agg(min("e.ts").as("p_ts"))
+      su.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(cl.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(pu.agg(count(lit(1)).as("n_purchase_after")))
+    },
+      Some("""WITH s AS (SELECT user_id, min(ts) AS s_ts
+                         FROM events WHERE event_type = 'signup' GROUP BY 1),
+                   c AS (SELECT e.user_id, min(e.ts) AS c_ts
+                         FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.s_ts
+                         WHERE e.event_type = 'click' GROUP BY 1),
+                   p AS (SELECT e.user_id, min(e.ts) AS p_ts
+                         FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+                         WHERE e.event_type = 'purchase' GROUP BY 1)
+              SELECT (SELECT count(*) FROM s) AS n_signup,
+                     (SELECT count(*) FROM c) AS n_click_after,
+                     (SELECT count(*) FROM p) AS n_purchase_after""")),
+
+    // ---- retention cohorts: first-event week × activity-week offset ----
+    // Two keyed aggregations and one equi-join on user_id; distinct
+    // (user, week) activity before the join keeps the joined relation at
+    // most one row per user-week. Week offsets are non-negative, so the
+    // int cast truncation equals floor in both engines.
+    QuerySpec("q93_retention", { (s, dir) =>
+      val ev = Td.load(s, dir, "events")
+      val cohort = ev.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).as("cohort"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+      activity.join(cohort, "user_id")
+        .withColumn("week_offset", (datediff(col("wk"), col("cohort")) / 7).cast("int"))
+        .groupBy("cohort", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "week_offset")
+    },
+      Some("""WITH cohort AS (
+                SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+                FROM events GROUP BY 1),
+              act AS (
+                SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+                FROM events)
+              SELECT c.cohort,
+                     CAST(datediff('day', c.cohort, a.wk) // 7 AS INT) AS week_offset,
+                     count(DISTINCT a.user_id) AS n_users
+              FROM act a JOIN cohort c ON a.user_id = c.user_id
+              GROUP BY 1, 2 ORDER BY cohort, week_offset""")),
+
     // ---- salted skew join: hot keys spread across reducers --------------
     // events (5 event_type values ⇒ every key is hot) salted 8 ways
     // against an in-query type-dimension. The salt is internal — the

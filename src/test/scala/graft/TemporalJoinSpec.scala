@@ -111,4 +111,15 @@ class TemporalJoinSpec extends AnyFunSuite with SparkTestBase {
     val trainFrac = a.values.count(_ == "train").toDouble / a.size
     assert(trainFrac > 0.7 && trainFrac < 0.9, s"trainFrac=$trainFrac")
   }
+
+  test("hashFold: k folds partition the corpus, every fold populated, deterministic") {
+    val docs = Td.load(spark, "/root/testdata/sf0.001", "documents")
+    val folds = Sampling.hashFold(docs, "doc_id", 5)
+      .groupBy("fold").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folds.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(folds.values.sum === docs.count())
+    // roughly balanced (md5 mixes uniformly): no fold under half the mean
+    val mean = docs.count() / 5.0
+    assert(folds.values.forall(_ > mean / 2), folds.toString)
+  }
 }
