@@ -180,6 +180,74 @@ object DedupQueries {
                ORDER BY doc_a, doc_b""")
     }),
 
+    // ---- FLAGSHIP COMPOSITION: the full training-data curation pipeline
+    // quality filter → exact dedup (min-id keeper) → minhash-LSH near-dup
+    // clusters → drop non-representatives → deterministic 80/20 split →
+    // per-(lang, split) corpus stats. Every stage is one of the engine's
+    // reusable operators; the oracle re-derives the whole chain in SQL
+    // (recursive CTE for the cluster step). This is the query a user of
+    // the engine actually runs before a training job.
+    QuerySpec("q94_training_pipeline", { (s, dir) =>
+      val d = SparkSql
+      val base = Td.load(s, dir, "documents").select("doc_id", "text", "lang")
+      val c = base
+        .unionAll(base.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" near duplicate suffix marker")).as("text"),
+            col("lang")))
+        .unionAll(base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text"), col("lang")))
+      val quality = c.where(s"${d.len(d.splitSpace("text"))} >= 15")
+      val keepExact = graft.operators.Dedup.exactDuplicates(quality, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = quality.join(keepExact, "doc_id")
+      val pairs = graft.operators.Dedup.minhashLshPairs(deduped, "doc_id", "text", 0.6)
+      val nonRep = graft.operators.Dedup.clusters(pairs, "doc_a", "doc_b")
+        .where("doc_id != cluster_id").select("doc_id")
+      val kept = deduped.join(nonRep, Seq("doc_id"), "left_anti")
+      graft.operators.Sampling.hashSplit(kept, "doc_id", 80)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr(s"${d.len(d.splitSpace("text"))}")).as("n_tokens"))
+        .orderBy("lang", "split")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH RECURSIVE raw AS (
+                 SELECT doc_id, text, lang FROM documents
+                 UNION ALL
+                 SELECT doc_id + 10000, concat(text, ' near duplicate suffix marker'), lang
+                 FROM documents WHERE doc_id < 100
+                 UNION ALL
+                 SELECT doc_id + 20000, text, lang FROM documents WHERE doc_id < 50),
+               quality AS (
+                 SELECT * FROM raw WHERE ${d.len(d.splitSpace("text"))} >= 15),
+               keep_exact AS (
+                 SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+               corpus AS (
+                 SELECT q.doc_id, q.text, q.lang
+                 FROM quality q JOIN keep_exact k ON q.doc_id = k.doc_id),
+               ${minhashPairsSql(d)},
+               und AS (
+                 SELECT doc_a AS u, doc_b AS v FROM pairs
+                 UNION
+                 SELECT doc_b, doc_a FROM pairs),
+               reach(u, v) AS (
+                 SELECT u, u FROM und
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+               non_rep AS (
+                 SELECT u AS doc_id FROM reach GROUP BY u HAVING u != min(v)),
+               kept AS (
+                 SELECT c.* FROM corpus c
+                 WHERE NOT EXISTS (SELECT 1 FROM non_rep n WHERE n.doc_id = c.doc_id))
+               SELECT lang,
+                      CASE WHEN ${d.hex32("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                           THEN 'train' ELSE 'test' END AS split,
+                      count(*) AS n_docs,
+                      CAST(sum(${d.len(d.splitSpace("text"))}) AS BIGINT) AS n_tokens
+               FROM kept GROUP BY 1, 2 ORDER BY lang, split""")
+    }),
+
     // ---- n-gram Jaccard: the labeled QUADRATIC BASELINE -----------------
     // Char-4-gram Jaccard, all pairs over an 80-doc slice. This is the
     // correctness baseline the LSH operators are measured against; at
