@@ -37,6 +37,65 @@ object ScaleQueries {
                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- feature engineering over embeddings (pure per-row HOFs) --------
+    // The standard pre-training vector prep — mean-center, L2-normalize,
+    // clip — as codegen'd higher-order functions: zero shuffle, zero UDF,
+    // scan-parallel at any scale. All arithmetic routes through DOUBLE
+    // with sequential folds (dsum) so both engines produce identical
+    // bits; outputs are summarized (norm before/after, clipped-dim count)
+    // to keep the compared relation narrow.
+    QuerySpec("q95_feature_engineering", { (s, dir) =>
+      val d = SparkSql
+      Td.load(s, dir, "embeddings")
+        .selectExpr("vec_id", "embedding",
+          s"${d.dsum(d.map("embedding", "x", "CAST(x AS DOUBLE)"))} / CAST(${d.len("embedding")} AS DOUBLE) AS mu")
+        .selectExpr("vec_id", "mu",
+          s"${d.map("embedding", "x", "CAST(x AS DOUBLE) - mu")} AS centered")
+        .selectExpr("vec_id", "mu", "centered",
+          s"sqrt(${d.dsum(d.map("centered", "x", "x * x"))}) AS nrm")
+        .selectExpr("vec_id", "round(mu, 9) AS mu", "round(nrm, 9) AS nrm",
+          s"${d.len(s"${d.filterBy("centered", "x", "abs(x / nrm) > 0.2")}")} AS n_clipped",
+          s"round(${d.dsum(d.map(d.map("centered", "x", "greatest(least(x / nrm, 0.2), -0.2)"), "x", "x * x"))}, 9) AS clipped_energy")
+        .orderBy("vec_id")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH c0 AS (
+                 SELECT vec_id, embedding,
+                        ${d.dsum(d.map("embedding", "x", "CAST(x AS DOUBLE)"))} / CAST(${d.len("embedding")} AS DOUBLE) AS mu
+                 FROM embeddings),
+               c1 AS (
+                 SELECT vec_id, mu,
+                        ${d.map("embedding", "x", "CAST(x AS DOUBLE) - mu")} AS centered
+                 FROM c0),
+               c2 AS (
+                 SELECT vec_id, mu, centered,
+                        sqrt(${d.dsum(d.map("centered", "x", "x * x"))}) AS nrm
+                 FROM c1)
+               SELECT vec_id, round(mu, 9) AS mu, round(nrm, 9) AS nrm,
+                      ${d.len(s"${d.filterBy("centered", "x", "abs(x / nrm) > 0.2")}")} AS n_clipped,
+                      round(${d.dsum(d.map(d.map("centered", "x", "greatest(least(x / nrm, 0.2), -0.2)"), "x", "x * x"))}, 9) AS clipped_energy
+               FROM c2 ORDER BY vec_id""")
+    }),
+
+    // ---- sorted array aggregation ---------------------------------------
+    // collect_list is unordered by contract; sort_array pins it, making
+    // grouped array construction deterministic and oracle-comparable —
+    // the pattern for building per-key example lists / token id arrays.
+    QuerySpec("q96_array_agg", { (s, dir) =>
+      Td.load(s, dir, "documents")
+        .where("doc_id < 50")
+        .groupBy("lang")
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("doc_id")))).as("doc_ids"),
+          sort_array(collect_list(col("n_chars"))).getItem(0).as("min_chars"))
+        .orderBy("lang")
+    },
+      Some("""SELECT lang,
+                     array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
+                     list_sort(list(n_chars))[1] AS min_chars
+              FROM documents WHERE doc_id < 50
+              GROUP BY lang ORDER BY lang""")),
+
     // ---- int8 embedding quantization ------------------------------------
     // 100 TB of float32 embeddings becomes 25 TB of int8 + one scale per
     // vector; pure per-row HOFs, no shuffle. Rounding is floor(x+0.5)

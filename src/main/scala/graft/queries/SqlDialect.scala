@@ -58,6 +58,8 @@ sealed trait SqlDialect {
   def unionSize(a: String, b: String): String
   def elem(l: String, i: String): String
   def filterIn(l: String, items: Seq[String]): String
+  /** filter `l` keeping elements `v` where `pred` holds. */
+  def filterBy(l: String, v: String, pred: String): String
   /** exact integer sum of a BIGINT list (order-insensitive: exact). */
   def isum(l: String): String
   /** elementwise product of two float lists as DOUBLE list. */
@@ -91,6 +93,7 @@ object SparkSql extends SqlDialect {
   def elem(l: String, i: String) = s"element_at($l, $i)"
   def filterIn(l: String, items: Seq[String]) =
     s"filter($l, t -> t IN (${items.map(s => s"'$s'").mkString(", ")}))"
+  def filterBy(l: String, v: String, pred: String) = s"filter($l, $v -> $pred)"
   def dsum(l: String) = s"aggregate($l, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
   def shiftr(x: String, b: String) = s"shiftright($x, $b)"
   def bxor(a: String, b: String) = s"($a ^ $b)"
@@ -120,6 +123,7 @@ object DuckSql extends SqlDialect {
   def elem(l: String, i: String) = s"$l[$i]"
   def filterIn(l: String, items: Seq[String]) =
     s"list_filter($l, t -> t IN (${items.map(s => s"'$s'").mkString(", ")}))"
+  def filterBy(l: String, v: String, pred: String) = s"list_filter($l, $v -> $pred)"
   def dsum(l: String) = s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], $l), (acc, x) -> acc + x)"
   def shiftr(x: String, b: String) = s"($x >> $b)"
   def bxor(a: String, b: String) = s"xor($a, $b)"
