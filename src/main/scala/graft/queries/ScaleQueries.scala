@@ -77,6 +77,30 @@ object ScaleQueries {
                FROM c2 ORDER BY vec_id""")
     }),
 
+    // ---- column profiling: one-pass per-column stats --------------------
+    // Every per-column aggregate rides ONE scan (single global hash agg
+    // with partials); the unpivot to (column, metric) rows happens on the
+    // aggregated scalars driver-side. The oracle is the per-column
+    // UNION ALL spelling of the same stats.
+    QuerySpec("q97_profile", { (s, dir) =>
+      graft.operators.Profiler.profile(
+          Td.load(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_quantity", "l_shipdate", "l_orderkey"))
+        .orderBy("column")
+    }, {
+      def one(c: String, dtype: String) =
+        s"""SELECT '$c' AS "column", '$dtype' AS dtype, count(*) AS n_rows,
+                   count(*) - count($c) AS n_nulls,
+                   count(DISTINCT $c) AS n_distinct,
+                   CAST(min($c) AS VARCHAR) AS min_value,
+                   CAST(max($c) AS VARCHAR) AS max_value
+            FROM lineitem"""
+      Some(Seq(
+        one("l_returnflag", "string"), one("l_quantity", "double"),
+        one("l_shipdate", "timestamp_ntz"), one("l_orderkey", "bigint"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""))
+    }),
+
     // ---- sorted array aggregation ---------------------------------------
     // collect_list is unordered by contract; sort_array pins it, making
     // grouped array construction deterministic and oracle-comparable —
