@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: Expand-free plan for count + single countDistinct
     // (see graft.plans.DistinctAggRewrite).
     ext.injectOptimizerRule(_ => graft.plans.DistinctAggRewrite)
+    // Planner strategy: broadcast interval-index range join (tier (c) of
+    // the Catalyst ladder — custom LogicalPlan + Strategy + SparkPlan).
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }

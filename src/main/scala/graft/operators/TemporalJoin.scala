@@ -87,6 +87,28 @@ object TemporalJoin {
     * stays shuffle-sized at any scale. A point falls in exactly one
     * bucket, so no post-join dedup is needed.
     */
+  /** Range join through the engine's CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.RangeJoinExec]], planned by the injected
+    * RangeJoinStrategy): the interval side is collected, sorted, and
+    * broadcast as a binary-searchable index — no bucket width to tune,
+    * O(log n + k) probes per point, and zero exchange on the point side.
+    * Use when the interval table is broadcast-sized; otherwise use
+    * [[rangeJoin]] (shuffle-based bucket join). Same semantics:
+    * `lo <= point < hi`, inverted intervals match nothing. Requires
+    * `points` and `intervals` to be distinct DataFrames (distinct
+    * attribute ids). */
+  def rangeJoinIndexed(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String): DataFrame = {
+    val lplan = points.queryExecution.analyzed
+    val rplan = intervals.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name)
+        .getOrElse(sys.error(s"column $name not found in ${plan.output.map(_.name)}"))
+    val plan = graft.plans.RangeJoinPlan(
+      lplan, rplan, attr(lplan, pointCol), attr(rplan, loCol), attr(rplan, hiCol))
+    org.apache.spark.sql.GraftSqlShim.ofRows(points.sparkSession, plan)
+  }
+
   def rangeJoin(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {

@@ -127,6 +127,32 @@ object TemporalQueries {
                                       (l_returnflag), (l_linestatus))
               ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
+    // ---- range join via the CUSTOM PHYSICAL OPERATOR -------------------
+    // Same contract as q86, but planned through the engine's injected
+    // RangeJoinStrategy → RangeJoinExec (broadcast sorted-interval index,
+    // binary-search probes, zero exchange on the point side) — tier (c)
+    // of the Catalyst ladder exercised end-to-end under the oracle gate.
+    QuerySpec("q98_range_join_indexed", { (s, dir) =>
+      val bands = s.range(40).selectExpr(
+        "concat('band', CAST(id AS STRING)) AS label",
+        "CAST(id * 8.0 AS DOUBLE) AS lo",
+        "CAST(id * 8.0 + 12.0 AS DOUBLE) AS hi")
+      val points = Td.load(s, dir, "events").select("event_id", "value")
+      graft.operators.TemporalJoin
+        .rangeJoinIndexed(points, "value", bands, "lo", "hi")
+        .select("event_id", "value", "label", "lo", "hi")
+        .orderBy("event_id", "label")
+    },
+      Some("""WITH bands AS (
+                SELECT concat('band', CAST(i AS VARCHAR)) AS label,
+                       CAST(i * 8.0 AS DOUBLE) AS lo,
+                       CAST(i * 8.0 + 12.0 AS DOUBLE) AS hi
+                FROM generate_series(0, 39) t(i))
+              SELECT e.event_id, e.value, b.label, b.lo, b.hi
+              FROM events e JOIN bands b
+                ON e.value >= b.lo AND e.value < b.hi
+              ORDER BY event_id, label""")),
+
     // ---- funnel: ordered signup → click → purchase conversion ----------
     // Each step is an equi-join on user_id with a strict ts lower bound
     // from the previous step's first event — hash joins plus filters, no

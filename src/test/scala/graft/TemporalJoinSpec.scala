@@ -67,6 +67,35 @@ class TemporalJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Set((1L, "a"), (2L, "a"), (4L, "b"))) // 12.0 excluded (hi-exclusive)
   }
 
+  test("rangeJoinIndexed (custom SparkPlan): equals theta join, plans RangeJoinExec, no exchange") {
+    val bands = spark.range(40).selectExpr(
+      "concat('band', CAST(id AS STRING)) AS label",
+      "CAST(id * 8.0 AS DOUBLE) AS lo",
+      "CAST(id * 8.0 + 12.0 AS DOUBLE) AS hi")
+    val points = Td.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "value")
+    val df = TemporalJoin.rangeJoinIndexed(points, "value", bands, "lo", "hi")
+    val got = df.select("event_id", "label").collect().map(_.toString).sorted
+    val theta = points.join(bands,
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .select("event_id", "label").collect().map(_.toString).sorted
+    assert(got.sameElements(theta))
+
+    // the custom strategy planned the custom exec, and the point side
+    // streams through with NO exchange (outputPartitioning passthrough)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeJoin"), plan.take(600)) // nodeName strips "Exec"
+    assert(!plan.contains("Exchange"), plan.take(600))
+
+    // edge semantics match rangeJoin: hi-exclusive, inverted intervals dropped
+    import spark.implicits._
+    val pts = Seq((1L, 8.0), (2L, 12.0), (3L, 5.0)).toDF("id", "p")
+    val iv = Seq(("a", 8.0, 12.0), ("bad", 1e9, 0.0)).toDF("label", "lo", "hi")
+    val out = TemporalJoin.rangeJoinIndexed(pts, "p", iv, "lo", "hi")
+      .select("id", "label").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "a")))
+  }
+
   test("rangeJoin result equals the naive theta join on real data") {
     val bands = spark.range(40).selectExpr(
       "concat('band', CAST(id AS STRING)) AS label",
