@@ -63,6 +63,12 @@ final case class RangeJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** Numeric eval → double; Decimal is NOT a java.lang.Number. */
+  private def toD(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+
   protected override def doExecute(): RDD[InternalRow] = {
     val loEval = BindReferences.bindReference(lo, right.output)
     val hiEval = BindReferences.bindReference(hi, right.output)
@@ -71,8 +77,8 @@ final case class RangeJoinExec(
       val hv = hiEval.eval(r)
       if (lv == null || hv == null) None
       else {
-        val l = lv.asInstanceOf[Number].doubleValue()
-        val h = hv.asInstanceOf[Number].doubleValue()
+        val l = toD(lv)
+        val h = toD(hv)
         // inverted intervals match nothing (same contract as rangeJoin)
         if (h >= l) Some((l, h, r.copy())) else None
       }
@@ -95,7 +101,7 @@ final case class RangeJoinExec(
         val pv = pEval.eval(lrow)
         if (pv == null || los.length == 0) Iterator.empty
         else {
-          val p = pv.asInstanceOf[Number].doubleValue()
+          val p = toD(pv)
           // first index with lo > p
           var a = 0; var b = los.length
           while (a < b) {
