@@ -157,13 +157,17 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val edges = pairs.selectExpr(s"$aCol AS u", s"$bCol AS v")
       .unionAll(pairs.selectExpr(s"$bCol AS u", s"$aCol AS v"))
       .distinct().cache()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head().getDecimal(0)
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).cache()
+    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = prevSum == null // empty pair set: already at fixpoint
     while (!converged && iter < maxIters) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "v"), "v")
@@ -171,16 +175,21 @@ object Dedup {
       val updated = labels.unionByName(viaNeighbor)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .cache()
-      converged = updated.join(
-          labels.withColumnRenamed("cluster_id", "old_id"), "doc_id")
-        .where(col("cluster_id") =!= col("old_id"))
-        .isEmpty
+      // labels only ever DECREASE (element-wise min), so the fixpoint is
+      // reached exactly when the label sum stops changing — one scalar
+      // aggregate per round instead of a change-detection join.
+      val newSum = labelSum(updated)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       labels.unpersist()
       labels = updated
       iter += 1
     }
     edges.unpersist()
     require(converged, s"label propagation did not converge in $maxIters rounds")
+    // hand back an uncached frame: the cache was a loop-internal aid and
+    // must not pin blocks for the caller's session lifetime
+    labels.unpersist()
     labels
   }
 

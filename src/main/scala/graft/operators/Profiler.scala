@@ -7,17 +7,21 @@ import org.apache.spark.sql.functions._
   * table: per column, its type, null count, exact distinct count, and
   * min/max rendered as strings.
   *
-  * Shape: ONE pass over the data — every per-column aggregate lives in a
-  * single global aggregation (Spark computes them in one scan with
-  * map-side partials), then a driver-side unpivot of the 1-row result
-  * into (column, metric) rows. The unpivot touches only the aggregated
-  * scalars, never data. Exact countDistinct is the scale caveat: for a
-  * 100 TB profile swap in approx_count_distinct — kept exact here so the
-  * result is oracle-comparable.
+  * Shape: one scan feeding a single global aggregation, then a
+  * driver-side unpivot of the 1-row result into (column, metric) rows
+  * (the unpivot touches only aggregated scalars, never data). The scale
+  * caveat is the EXACT countDistinct per column: Spark plans the mixed
+  * distinct aggregates through Expand, duplicating each input row
+  * (cols+1)× before partial aggregation — kept exact here because the
+  * profile is oracle-compared; a 100 TB profile should swap in
+  * approx_count_distinct, which removes both the Expand and the
+  * distinct shuffle (constant-size HLL partials).
   */
 object Profiler {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
     val spark = df.sparkSession
     import spark.implicits._
     val aggs = cols.flatMap { c =>

@@ -101,9 +101,18 @@ object TemporalJoin {
       intervals: DataFrame, loCol: String, hiCol: String): DataFrame = {
     val lplan = points.queryExecution.analyzed
     val rplan = intervals.queryExecution.analyzed
-    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
-      plan.output.find(_.name == name)
+    // fail fast instead of silently mis-binding: shared lineage gives the
+    // two sides overlapping attribute ids
+    require(lplan.outputSet.intersect(rplan.outputSet).isEmpty,
+      "points and intervals must not share lineage (duplicate attribute ids); " +
+        "alias/copy one side first")
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) = {
+      val a = plan.output.find(_.name == name)
         .getOrElse(sys.error(s"column $name not found in ${plan.output.map(_.name)}"))
+      require(a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"$name must be numeric, got ${a.dataType.simpleString}")
+      a
+    }
     val plan = graft.plans.RangeJoinPlan(
       lplan, rplan, attr(lplan, pointCol), attr(rplan, loCol), attr(rplan, hiCol))
     org.apache.spark.sql.GraftSqlShim.ofRows(points.sparkSession, plan)

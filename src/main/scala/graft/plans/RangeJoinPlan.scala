@@ -42,16 +42,22 @@ object RangeJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 /** Physical broadcast interval-index range join.
   *
   * The (small) interval side is collected once, sorted by `lo`, and
-  * broadcast with its max interval length; each point row then binary-
-  * searches the sorted lows and scans back at most
-  * `(maxLen / gap)`-bounded candidates — O(log n + k) per point instead
-  * of O(n) per point for a nested loop. The point side streams through
-  * unchanged: `outputPartitioning` is the left child's, so NO exchange is
+  * broadcast together with the PREFIX-MAX of `hi`; each point row
+  * binary-searches the sorted lows and scans back while the prefix-max
+  * hi still exceeds the point — an EXACT stopping rule (if every
+  * remaining interval ends at or before p, none can contain p), with no
+  * epsilon or max-length arithmetic that could drop matches for
+  * large-magnitude bounds. O(log n + k) per point instead of O(n) for a
+  * nested loop. The point side streams through unchanged:
+  * `outputPartitioning` is the left child's, so NO exchange is
   * introduced on the big side (the plan proof asserts this).
   *
-  * This is deliberately the broadcast-sized flavor: a huge interval side
-  * should use the shuffle-based bucket join instead
-  * ([[graft.operators.TemporalJoin.rangeJoin]]).
+  * Numeric contract: bounds and points are compared in DOUBLE precision
+  * (integers/decimals beyond 2^53 lose exactness — same contract as the
+  * bucket-based [[graft.operators.TemporalJoin.rangeJoin]], whose
+  * bucket math is double too). This is deliberately the broadcast-sized
+  * flavor: a huge interval side should use the shuffle-based bucket join
+  * instead.
   */
 final case class RangeJoinExec(
     left: SparkPlan, right: SparkPlan,
@@ -86,14 +92,20 @@ final case class RangeJoinExec(
     val lows = triples.map(_._1)
     val highs = triples.map(_._2)
     val rows = triples.map(_._3)
-    val maxLen = if (triples.isEmpty) 0.0 else triples.map(t => t._2 - t._1).max
-    val bc = sparkContext.broadcast((lows, highs, rows, maxLen))
+    // prefixMaxHi(i) = max(highs(0..i)) — the exact scan-back stopper
+    val prefixMaxHi = new Array[Double](highs.length)
+    var pi = 0
+    while (pi < highs.length) {
+      prefixMaxHi(pi) = if (pi == 0) highs(0) else math.max(prefixMaxHi(pi - 1), highs(pi))
+      pi += 1
+    }
+    val bc = sparkContext.broadcast((lows, highs, rows, prefixMaxHi))
 
     val leftOutput = left.output
     val rightOutput = right.output
     val pointExpr = point
     left.execute().mapPartitions({ iter =>
-      val (los, his, irows, mlen) = bc.value
+      val (los, his, irows, maxHi) = bc.value
       val pEval = BindReferences.bindReference(pointExpr, leftOutput)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(leftOutput ++ rightOutput, leftOutput ++ rightOutput)
@@ -110,9 +122,10 @@ final case class RangeJoinExec(
           }
           val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
           var j = a - 1
-          // candidates have lo in (p - maxLen, p]
-          while (j >= 0 && los(j) > p - mlen - 1e-12) {
-            if (los(j) <= p && p < his(j)) {
+          // exact stop: once max(hi) of the remaining prefix is <= p, no
+          // earlier interval can contain p
+          while (j >= 0 && maxHi(j) > p) {
+            if (p < his(j)) { // los(j) <= p by construction of a
               out += proj(joined(lrow, irows(j))).copy()
             }
             j -= 1
