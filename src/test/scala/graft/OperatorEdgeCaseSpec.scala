@@ -52,6 +52,18 @@ class OperatorEdgeCaseSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq === Seq((1L, 1), (2L, 2))) // 2 candidates, ranks contiguous
   }
 
+  test("profiler: counts nulls/distincts correctly, rejects empty and duplicate column lists") {
+    import spark.implicits._
+    import graft.operators.Profiler
+    val df = Seq((Some(1), "a"), (None, "b"), (Some(1), "b")).toDF("x", "s")
+    val out = Profiler.profile(df, Seq("x", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out("x") === ((1L, 1L))) // one null, one distinct non-null value
+    assert(out("s") === ((0L, 2L)))
+    assertThrows[IllegalArgumentException](Profiler.profile(df, Seq.empty))
+    assertThrows[IllegalArgumentException](Profiler.profile(df, Seq("x", "x")))
+  }
+
   test("pivotDynamic: discovers sorted values, excludes NULLs, enforces the cap") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
