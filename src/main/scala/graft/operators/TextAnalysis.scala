@@ -66,6 +66,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
   }
 
+  /** Rare-token density — the corpus-frequency quality filter a
+    * pretraining pipeline runs after dedup: a document whose tokens are
+    * mostly corpus-rare is noise (OCR garbage, codes, boilerplate IDs);
+    * one whose tokens are all corpus-common carries no information.
+    * Output per document: token count, tokens whose corpus document
+    * frequency is ≤ `rareDf`, and the rarity ratio (floor-rounded —
+    * pure-IEEE, bit-stable cross-engine).
+    *
+    * Shape: explode → df aggregation → shuffle equi-join on term →
+    * per-doc re-aggregation. Same scale story as TF-IDF (q67): both
+    * sides partially aggregated before their exchanges, AQE free to
+    * broadcast a small vocabulary. Integer counts only — no logs, so no
+    * cross-engine transcendental drift. */
+  def rareTokenScore(docs: DataFrame, idCol: String, textCol: String,
+      rareDf: Int): DataFrame = {
+    val terms = docs.selectExpr(s"$idCol AS doc_id", s"explode(${toks(textCol)}) AS term")
+    val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    terms.join(df, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare"))
+      .selectExpr("doc_id", "n_tokens", "n_rare",
+        "floor(CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS rare_ratio")
+  }
+
   /** Top-k TF-IDF terms per document.
     *
     * The tf⋈df join is a plain shuffle equi-join on `term`: both sides are

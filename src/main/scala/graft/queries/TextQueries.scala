@@ -48,6 +48,28 @@ object TextQueries {
                FROM all_terms GROUP BY kind, term ORDER BY kind, term""")
     }),
 
+    // ---- rare-token density: corpus-frequency quality filter ------------
+    // Integer-count scoring only (no logs — transcendental functions
+    // differ in the last ulp across engines); rare = corpus df <= 2.
+    QuerySpec("q99_rare_tokens", { (s, dir) =>
+      graft.operators.TextAnalysis
+        .rareTokenScore(Td.load(s, dir, "documents"), "doc_id", "text", rareDf = 2)
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH terms AS (
+                 SELECT doc_id, unnest(${toks(d)}) AS term FROM documents),
+               dfreq AS (
+                 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM terms GROUP BY term)
+               SELECT t.doc_id, count(*) AS n_tokens,
+                      CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+                      floor(CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+                            CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS rare_ratio
+               FROM terms t JOIN dfreq d ON t.term = d.term
+               GROUP BY t.doc_id ORDER BY doc_id""")
+    }),
+
     // ---- token counting: whitespace + BPE-ish regex pieces --------------
     QuerySpec("q50_text_tokens",
       (s, dir) => {
