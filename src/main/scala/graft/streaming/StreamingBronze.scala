@@ -22,14 +22,24 @@ import graft.pipeline.{DiabetesPipeline, PipelineGraph, PipelineResult, RunConte
 object StreamingBronze {
 
   /** Run one AvailableNow ingest pass; returns the batch re-read of the
-    * accumulated sink (S5 — the `diabetes_bronze_materialized` input). */
+    * accumulated sink (S5 — the `diabetes_bronze_materialized` input).
+    *
+    * `maxFilesPerTrigger` bounds each micro-batch's file count — the
+    * backfill rate-control knob: an AvailableNow pass over a large
+    * backlog then processes it as a SEQUENCE of bounded batches (state,
+    * memory, and sink commits stay batch-sized) instead of one giant
+    * batch, while the checkpoint still guarantees each file exactly
+    * once. */
   def ingest(spark: SparkSession, rawDir: String, sinkDir: String,
-      checkpointDir: String, rc: RunContext): DataFrame = {
-    val stream = spark.readStream
+      checkpointDir: String, rc: RunContext,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
       .format("csv")
       .option("header", "true")
       .option("inferSchema", "false")
       .schema(DiabetesPipeline.diabetesSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
       .load(rawDir)
       .withColumn("ingestion_timestamp", rc.now)
       .withColumn("source_file", col("_metadata.file_path"))
