@@ -18,6 +18,7 @@ object TextQueries {
 
   /** Shared per-dialect scalar fragments (t = text column name). */
   private def toks(d: SqlDialect) = d.splitSpace("text")
+  private val toksSpark = SparkSql.splitSpace("text")
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -46,6 +47,33 @@ object TextQueries {
                SELECT kind, term, count(*) AS n_total,
                       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
                FROM all_terms GROUP BY kind, term ORDER BY kind, term""")
+    }),
+
+    // ---- corpus mixture weights: per (source, lang) share of tokens -----
+    // The data-mixing table a pretraining run is configured from: doc and
+    // token counts per (source, lang) cell plus each cell's share of the
+    // corpus token budget (share via an unpartitioned window over the
+    // ALREADY-AGGREGATED cells — cell-count-sized, not corpus-sized, so
+    // the single-partition window is harmless at any scale).
+    QuerySpec("q100_source_mix", { (s, dir) =>
+      val d = SparkSql
+      Td.load(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr(s"${d.len(toksSpark)}")).as("n_tokens"))
+        .withColumn("token_share",
+          expr("floor(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) * 10000.0 + 0.5) / 10000.0"))
+        .orderBy("source", "lang")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH cells AS (
+                 SELECT source, lang, count(*) AS n_docs,
+                        CAST(sum(${d.len(toks(d))}) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY 1, 2)
+               SELECT source, lang, n_docs, n_tokens,
+                      floor(CAST(n_tokens AS DOUBLE) /
+                            CAST(sum(n_tokens) OVER () AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS token_share
+               FROM cells ORDER BY source, lang""")
     }),
 
     // ---- rare-token density: corpus-frequency quality filter ------------
