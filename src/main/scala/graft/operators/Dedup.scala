@@ -196,6 +196,21 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dup drop: keep exactly one representative (the
+    * cluster-minimum id) from every near-duplicate cluster and every
+    * unpaired document — the convenience composition of
+    * [[minhashLshPairs]] + [[clusters]] that q94's curation pipeline
+    * inlines. Returns `docs` filtered to the keep set. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, jaccardThreshold, maxBucketSize)
+    val nonRep = clusters(pairs, "doc_a", "doc_b")
+      .where("doc_id != cluster_id")
+      .select(col("doc_id").as(idCol))
+    docs.join(nonRep, Seq(idCol), "left_anti")
+  }
+
   /** Length-banded edit-distance near-dup pairs (high-precision verifier;
     * see q76 for the recall/cost trade). */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,

@@ -65,6 +65,23 @@ class LshRecallSpec extends AnyFunSuite with SparkTestBase {
       s"banded missed ${(exact -- banded).size}, extra ${(banded -- exact).size}")
   }
 
+  test("dropNearDuplicates keeps one representative per cluster and all unpaired docs") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Td.load(spark, sf, "documents").select("doc_id", "text")
+    val corpus = docs.unionAll(docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" near duplicate suffix marker")).as("text")))
+    val kept = graft.operators.Dedup.dropNearDuplicates(corpus, "doc_id", "text", 0.6)
+    val pairs = graft.operators.Dedup.minhashLshPairs(corpus, "doc_id", "text", 0.6)
+    val clusters = graft.operators.Dedup.clusters(pairs, "doc_a", "doc_b")
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    val nPaired = clusters.count()
+    // kept = all docs minus non-representative cluster members
+    assert(kept.count() === corpus.count() - (nPaired - nClusters))
+    // no two kept docs are still a near-dup pair at the threshold
+    assert(graft.operators.Dedup.minhashLshPairs(kept, "doc_id", "text", 0.6).count() === 0)
+  }
+
   test("clusters: chains, cliques, and disjoint components all get min-id labels") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, exercises multi-round propagation),
