@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val allSpecs: Seq[QuerySpec] =
+  private[graft] val allSpecs: Seq[QuerySpec] =
     CoreQueries.specs ++ JoinQueries.specs ++ FunctionQueries.specs ++
       MedallionQueries.specs ++ TextQueries.specs ++ DedupQueries.specs ++
       AnnQueries.specs ++ MultimodalQueries.specs ++ StreamQueries.specs ++
