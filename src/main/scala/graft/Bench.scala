@@ -51,6 +51,14 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { exec(name); true } catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
+      // Session hygiene, UNTIMED (round-3 verdict "What's wrong" #2: q89
+      // measured 20.6 s in-run vs 1.95 s isolated — residue accumulated by
+      // the ~60 preceding queries, not the plan). Cache-returning
+      // operators (Dedup.clusters) and pipeline table caches otherwise
+      // stay resident for the rest of the session; clearing between
+      // queries makes each measurement start from a comparable state.
+      spark.catalog.clearCache()
+      System.gc()
       (name, if (ok) secs else -secs)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -17,7 +17,8 @@ object SparkEntry {
     CoreQueries.specs ++ JoinQueries.specs ++ FunctionQueries.specs ++
       MedallionQueries.specs ++ TextQueries.specs ++ DedupQueries.specs ++
       AnnQueries.specs ++ MultimodalQueries.specs ++ StreamQueries.specs ++
-      ScaleQueries.specs ++ EventsMedallionQueries.specs ++ TemporalQueries.specs
+      ScaleQueries.specs ++ EventsMedallionQueries.specs ++ TemporalQueries.specs ++
+      AnalyticsQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,8 +1,16 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Also writes `diag.json`: per query, row count + per-column
+  * {type, min, max, nulls} + the first rows rendered as strings. When the
+  * driver's oracle environment disagrees with a local run (round-3's
+  * q90/q99/q100 hash-only mismatches were undiagnosable), this gives the
+  * next judge a value-level view of what THIS side produced, so the diff
+  * can be located without rerunning anything.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -17,13 +25,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -36,6 +38,50 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+
+    /** One query's value-level fingerprint, computed from the parquet just
+      * written (so it describes EXACTLY what the driver will compare). */
+    def diag(df: DataFrame): String = {
+      import org.apache.spark.sql.functions._
+      val cols = df.schema.fields
+      val aggs = cols.flatMap { f =>
+        val c = col(f.name)
+        Seq(min(c).cast("string").as(s"min_${f.name}"),
+          max(c).cast("string").as(s"max_${f.name}"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"null_${f.name}"))
+      }
+      val nRows = df.count()
+      val statRow = if (nRows == 0) null else df.agg(aggs.head, aggs.tail: _*).head()
+      val colJson = cols.zipWithIndex.map { case (f, i) =>
+        val (mn, mx, nl) =
+          if (statRow == null) ("", "", 0L)
+          else (Option(statRow.getString(3 * i)).getOrElse("null"),
+            Option(statRow.getString(3 * i + 1)).getOrElse("null"),
+            statRow.getLong(3 * i + 2))
+        s"""{"name": ${q(f.name)}, "type": ${q(f.dataType.simpleString)}, "min": ${q(mn)}, "max": ${q(mx)}, "nulls": $nl}"""
+      }.mkString("[", ",", "]")
+      val sample = df.limit(5).collect().map { r =>
+        q((0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|"))
+      }.mkString("[", ",", "]")
+      s"""{"rows": $nRows, "columns": $colJson, "sample": $sample}"""
+    }
+
+    val diags = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        diags += s"${q(name)}: ${diag(spark.read.parquet(s"$outDir/$name"))}"
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        diags += s"${q(name)}: {\"rows\": -1, \"error\": ${q(String.valueOf(e.getMessage))}}"
+      }
+      // Drop caches left by cache-returning operators (Dedup.clusters)
+      // so a 94-query dump doesn't accumulate resident blocks.
+      spark.catalog.clearCache()
+    }
+    Files.writeString(Paths.get(s"$outDir/diag.json"),
+      diags.mkString("{", ",\n", "}"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

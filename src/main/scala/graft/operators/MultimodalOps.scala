@@ -6,20 +6,23 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (builder brief): treat media payloads as
   * opaque BINARY columns with typed metadata, keeping the Spark-side
-  * mechanics — schema, batch iteration, partition parallelism — real
-  * while the actual media decode is STUBBED (no image/audio codecs exist
-  * in this environment).
+  * mechanics — schema, batch iteration, partition parallelism — real.
+  * As of round 4 the DECODE is real too, via the JDK's own image codec
+  * (`javax.imageio` BMP — no external deps): [[packImages]] encodes
+  * genuine BMP payloads and [[decodeBatch]] pixel-decodes them.
   *
-  * Two decode paths:
+  * Decode paths:
   *  - [[withFakeDecode]]: pure Catalyst expressions (codegen'd, the path
   *    used by the oracle-compared q61) deriving deterministic pseudo
-  *    image metadata from the payload bytes;
-  *  - [[decodeBatch]]: the imperative per-partition path a real codec
-  *    would use (`mapPartitions` over payload byte arrays → fixed-width
-  *    feature vectors). The feature math is a DETERMINISTIC FAKE standing
-  *    in for `decode_jpeg`/`resample` etc.; swap `fakeFeature` for a real
-  *    codec call and nothing else changes. Batches stay on executors —
-  *    the driver never sees a payload.
+  *    image metadata from the payload bytes — kept because it shows the
+  *    metadata-only shape that never touches a codec;
+  *  - [[decodeBatch]]: the imperative per-partition path
+  *    (`mapPartitions` over payload byte arrays → fixed-width feature
+  *    vectors). Image payloads (BMP magic) go through
+  *    `ImageIO.read` and real pixel statistics; non-image payloads fall
+  *    back to a deterministic byte-fold, standing in for codecs the JDK
+  *    lacks (JPEG-in-sandbox, audio). Batches stay on executors — the
+  *    driver never sees a payload.
   *
   * Scale notes: payloads ride through shuffles only if explicitly
   * selected; metadata-only plans prune the binary column at the parquet
@@ -50,13 +53,70 @@ object MultimodalOps {
       .withColumn("n_frames", expr("meta.n_bytes % 7 + 1"))
   }
 
-  /** Feature width of the stub decoder. */
+  /** Feature width of the decoder (both the image and byte-fold paths). */
   val FeatureDim = 8
+
+  /** Pack a text corpus as a REAL image table: each document rendered as
+    * a genuine BMP (dimensions and pixels deterministically derived from
+    * the text's md5 chain, encoded by `javax.imageio` — real file-format
+    * bytes, decodable by any BMP reader). The executor-side mapPartitions
+    * is exactly where a real `fetch + transcode` ingest would run. */
+  def packImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("n_bytes", IntegerType, nullable = false),
+        StructField("content_hash", StringType),
+        StructField("mime", StringType))))))
+    val rdd = docs.select("doc_id", "text").rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val bytes = renderBmp(r.getString(1))
+        md.reset()
+        val hash = md.digest(bytes).map("%02x".format(_)).mkString
+        Row(r.getLong(0), bytes, Row(bytes.length, hash, "image/bmp"))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic text→BMP rendering: 8..15 × 8..15 pixels whose RGB
+    * bytes come from an md5 hash chain over the text, written through the
+    * JDK BMP encoder. Deterministic so tests can golden the round trip. */
+  private[operators] def renderBmp(text: String): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seed = md.digest(text.getBytes("UTF-8"))
+    val w = 8 + (seed(0) & 0x07)
+    val h = 8 + (seed(1) & 0x07)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var block = seed
+    var off = 2
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (off + 3 > block.length) { block = md.digest(block); off = 0 }
+        val rgb = ((block(off) & 0xff) << 16) |
+          ((block(off + 1) & 0xff) << 8) | (block(off + 2) & 0xff)
+        img.setRGB(x, y, rgb)
+        off += 3
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.toByteArray
+  }
 
   /** Imperative batch decode path (mapPartitions — the ONLY non-Catalyst
     * operator in the engine, used exactly where per-row imperative codec
-    * work is unavoidable). STUB: `fakeFeature` deterministically folds
-    * payload bytes; a real implementation would decode media here. */
+    * work is unavoidable). Image payloads are REALLY decoded
+    * (`ImageIO.read` → pixel statistics); anything else falls back to
+    * the deterministic byte-fold. */
   def decodeBatch(packed: DataFrame): DataFrame = {
     val spark = packed.sparkSession
     val outSchema = StructType(Seq(
@@ -66,14 +126,56 @@ object MultimodalOps {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        Row(id, fakeFeature(bytes))
+        Row(id, decodeFeature(bytes))
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** STUB decode: fold bytes into FeatureDim accumulators (stands in for
-    * a codec + pooling; deterministic so tests can golden it). */
+  /** Dispatch on the payload's magic: BMP → real pixel decode; anything
+    * else → byte-fold fallback. Fixed FeatureDim width either way. */
+  private[graft] def decodeFeature(bytes: Array[Byte]): Array[Float] = {
+    if (bytes.length > 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img != null) return imageFeature(img)
+    }
+    fakeFeature(bytes)
+  }
+
+  /** Real decoded-pixel features: [w, h, meanR, meanG, meanB, minGray,
+    * maxGray, stddevGray] (channel stats normalized to [0,1]). */
+  private[operators] def imageFeature(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var mn = 255.0; var mx = 0.0
+    var sum = 0.0; var sumSq = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        val gray = (r + g + b) / 3.0
+        if (gray < mn) mn = gray
+        if (gray > mx) mx = gray
+        sum += gray; sumSq += gray * gray
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    val mean = sum / n
+    val variance = math.max(0.0, sumSq / n - mean * mean)
+    Array(w.toFloat, h.toFloat,
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+      (mn / 255.0).toFloat, (mx / 255.0).toFloat,
+      (math.sqrt(variance) / 255.0).toFloat)
+  }
+
+  /** Byte-fold fallback for payloads without a JDK codec: fold bytes into
+    * FeatureDim accumulators (deterministic so tests can golden it). */
   private[operators] def fakeFeature(bytes: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](FeatureDim)
     var i = 0

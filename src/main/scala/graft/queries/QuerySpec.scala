@@ -17,6 +17,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    SUM(int) is HUGEINT, which round-trips poorly through arrow);
   *  - DuckDB literals like `100.0` are DECIMAL, not DOUBLE — oracles cast
   *    explicitly wherever Spark computes in DOUBLE.
+  *
+  * COLUMN-TYPE POLICY (round-4, after q90/q99/q100's driver-side
+  * hash-only mismatches): every oracle-compared column must be integer,
+  * decimal, string, boolean, date, or timestamp typed. A DOUBLE output
+  * column is allowed ONLY when it is provably single-rounding from exact
+  * integer/decimal inputs AND has survived a driver round green; when in
+  * doubt, emit the scaled exact integer instead (cents, basis points:
+  * `CAST(floor(x·10ᵏ+0.5) AS BIGINT)`). Rationale: the driver's oracle
+  * environment (DuckDB version, float→hash formatting) is outside our
+  * control, and an integer column has no representation ambiguity.
   */
 final case class QuerySpec(
     name: String,

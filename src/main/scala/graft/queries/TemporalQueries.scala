@@ -217,6 +217,11 @@ object TemporalQueries {
     // against an in-query type-dimension. The salt is internal — the
     // oracle is the PLAIN join, proving row-identical results; the engine
     // plan shuffles on (event_type, salt) so no reducer owns a whole key.
+    // Output is exact-integer cents (CAST(floor(..) AS BIGINT)): the
+    // floor is single-rounding IEEE from integer-valued inputs and the
+    // hashed column carries no double representation at all, so the
+    // driver's oracle environment cannot diverge on float formatting
+    // (round-3 verdict item 1).
     QuerySpec("q90_join_salted", { (s, dir) =>
       val dim = s.createDataFrame(Seq(
         ("view", 1.0), ("click", 2.0), ("purchase", 10.0),
@@ -226,7 +231,7 @@ object TemporalQueries {
       graft.operators.SkewJoin
         .saltedJoin(ev, dim, Seq("event_type"), col("event_id"), saltFactor = 8)
         .selectExpr("event_id", "event_type",
-          "floor(value * weight * 100.0 + 0.5) / 100.0 AS weighted")
+          "CAST(floor(value * weight * 100.0 + 0.5) AS BIGINT) AS weighted_cents")
         .orderBy("event_id")
     },
       Some("""WITH dim(event_type, weight) AS (VALUES
@@ -234,8 +239,8 @@ object TemporalQueries {
                 ('purchase', CAST(10.0 AS DOUBLE)), ('signup', CAST(5.0 AS DOUBLE)),
                 ('error', CAST(0.0 AS DOUBLE)))
               SELECT e.event_id, e.event_type,
-                     floor(e.value * d.weight * CAST(100.0 AS DOUBLE)
-                           + CAST(0.5 AS DOUBLE)) / CAST(100.0 AS DOUBLE) AS weighted
+                     CAST(floor(e.value * d.weight * CAST(100.0 AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS weighted_cents
               FROM events e JOIN dim d ON e.event_type = d.event_type
               ORDER BY event_id""")),
 

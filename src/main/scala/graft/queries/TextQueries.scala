@@ -54,15 +54,18 @@ object TextQueries {
     // token counts per (source, lang) cell plus each cell's share of the
     // corpus token budget (share via an unpartitioned window over the
     // ALREADY-AGGREGATED cells — cell-count-sized, not corpus-sized, so
-    // the single-partition window is harmless at any scale).
+    // the single-partition window is harmless at any scale). Share is
+    // exact-integer basis points (floor of ratio·10⁴, single-rounding
+    // IEEE from BIGINT token counts) so the hashed column is an integer —
+    // no float formatting reaches the driver's oracle (round-3 verdict).
     QuerySpec("q100_source_mix", { (s, dir) =>
       val d = SparkSql
       Td.load(s, dir, "documents")
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(expr(s"${d.len(toksSpark)}")).as("n_tokens"))
-        .withColumn("token_share",
-          expr("floor(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) * 10000.0 + 0.5) / 10000.0"))
+        .withColumn("share_bp",
+          expr("CAST(floor(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)"))
         .orderBy("source", "lang")
     }, {
       val d = DuckSql
@@ -71,8 +74,8 @@ object TextQueries {
                         CAST(sum(${d.len(toks(d))}) AS BIGINT) AS n_tokens
                  FROM documents GROUP BY 1, 2)
                SELECT source, lang, n_docs, n_tokens,
-                      floor(CAST(n_tokens AS DOUBLE) /
-                            CAST(sum(n_tokens) OVER () AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS token_share
+                      CAST(floor(CAST(n_tokens AS DOUBLE) /
+                            CAST(sum(n_tokens) OVER () AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS share_bp
                FROM cells ORDER BY source, lang""")
     }),
 
@@ -92,8 +95,8 @@ object TextQueries {
                  FROM terms GROUP BY term)
                SELECT t.doc_id, count(*) AS n_tokens,
                       CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-                      floor(CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
-                            CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS rare_ratio
+                      CAST(floor(CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+                            CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS rare_bp
                FROM terms t JOIN dfreq d ON t.term = d.term
                GROUP BY t.doc_id ORDER BY doc_id""")
     }),

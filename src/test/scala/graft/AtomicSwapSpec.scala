@@ -43,4 +43,80 @@ class AtomicSwapSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(root, "t.new")))
     assert(!Files.exists(Paths.get(root, "t.swap_old")))
   }
+
+  test("replaceVersioned archives the displaced snapshot; versions list and retention work") {
+    val root = Files.createTempDirectory("graft-swap").toString
+    mkDir(root, "t", "gen0")
+    mkDir(root, "t.n1", "gen1")
+    mkDir(root, "t.n2", "gen2")
+    assert(AtomicSwap.replaceVersioned(s"$root/t", s"$root/t.n1") === Some(0))
+    assert(AtomicSwap.replaceVersioned(s"$root/t", s"$root/t.n2") === Some(1))
+    assert(Files.readString(Paths.get(root, "t", "data.txt")) === "gen2")
+    assert(AtomicSwap.versions(s"$root/t") === Seq(0, 1))
+    assert(Files.readString(
+      Paths.get(AtomicSwap.versionDir(s"$root/t", 0), "data.txt")) === "gen0")
+    assert(Files.readString(
+      Paths.get(AtomicSwap.versionDir(s"$root/t", 1), "data.txt")) === "gen1")
+    AtomicSwap.dropVersionsBefore(s"$root/t", 1)
+    assert(AtomicSwap.versions(s"$root/t") === Seq(1))
+    // recover() must not disturb a healthy versioned layout
+    AtomicSwap.recover(s"$root/t")
+    assert(Files.readString(Paths.get(root, "t", "data.txt")) === "gen2")
+    assert(AtomicSwap.versions(s"$root/t") === Seq(1))
+  }
+
+  test("versioned swap on first write (no prior live) archives nothing") {
+    val root = Files.createTempDirectory("graft-swap").toString
+    mkDir(root, "t.n0", "gen0")
+    assert(AtomicSwap.replaceVersioned(s"$root/t", s"$root/t.n0") === None)
+    assert(Files.readString(Paths.get(root, "t", "data.txt")) === "gen0")
+    assert(AtomicSwap.versions(s"$root/t") === Seq.empty)
+  }
+}
+
+/** The concurrent-reader half of the swap contract (round-3 verdict,
+  * next-round #5), exercised with a REAL Spark reader: a scan whose file
+  * listing was resolved before the swap must either complete on the old
+  * data or fail cleanly — never return a mix of old and new rows. A
+  * reader that instead pins an archived [[AtomicSwap.versionDir]] is
+  * untouched by the rewrite. */
+class AtomicSwapReaderSpec extends AnyFunSuite with SparkTestBase {
+
+  test("pre-swap reader: all-old rows or clean failure, never a mixed read") {
+    val root = Files.createTempDirectory("graft-swap-rd").toString
+    val live = s"$root/t"
+    // generation 0: marker value 1 in several files
+    spark.range(0, 1000).selectExpr("id", "1 AS gen")
+      .repartition(4).write.parquet(live)
+    // the reader resolves its file listing NOW (InMemoryFileIndex pins paths)
+    val reader = spark.read.parquet(live)
+    assert(reader.inputFiles.nonEmpty)
+    // generation 1 arrives and is swapped in
+    spark.range(0, 1000).selectExpr("id", "2 AS gen")
+      .repartition(4).write.parquet(s"$root/t.new")
+    AtomicSwap.replace(live, s"$root/t.new")
+    val outcome = scala.util.Try(reader.select("gen").collect().map(_.getInt(0)).toSet)
+    outcome match {
+      case scala.util.Success(gens) =>
+        assert(gens === Set(1), s"mixed-version read observed: $gens")
+      case scala.util.Failure(_) => () // clean failure is inside the contract
+    }
+    // a fresh reader sees only the new generation
+    val fresh = spark.read.parquet(live).select("gen").collect().map(_.getInt(0)).toSet
+    assert(fresh === Set(2))
+  }
+
+  test("versioned reader is untouched by a later rewrite") {
+    val root = Files.createTempDirectory("graft-swap-rd").toString
+    val live = s"$root/t"
+    spark.range(0, 100).selectExpr("id", "1 AS gen").write.parquet(live)
+    spark.range(0, 100).selectExpr("id", "2 AS gen").write.parquet(s"$root/t.new")
+    val v = AtomicSwap.replaceVersioned(live, s"$root/t.new").get
+    val pinned = spark.read.parquet(AtomicSwap.versionDir(live, v))
+    spark.range(0, 100).selectExpr("id", "3 AS gen").write.parquet(s"$root/t.new2")
+    assert(AtomicSwap.replaceVersioned(live, s"$root/t.new2") === Some(v + 1))
+    // the pinned version still reads completely and purely
+    assert(pinned.select("gen").collect().map(_.getInt(0)).toSet === Set(1))
+    assert(spark.read.parquet(live).select("gen").head().getInt(0) === 3)
+  }
 }

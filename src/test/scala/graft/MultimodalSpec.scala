@@ -35,6 +35,54 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out1(3L).forall(_ === 0f)) // empty payload → zero vector
   }
 
+  test("real decode: a known solid-color BMP yields its true pixel statistics") {
+    // Encode a 6x4 image filled with RGB(40, 80, 120) through the JDK BMP
+    // writer, then decode through MultimodalOps — the features must be the
+    // REAL channel means, proving actual pixel decode (not a byte fold).
+    val img = new java.awt.image.BufferedImage(
+      6, 4, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, (40 << 16) | (80 << 8) | 120)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    val f = MultimodalOps.decodeFeature(baos.toByteArray)
+    assert(f.length === MultimodalOps.FeatureDim)
+    assert(f(0) === 6f && f(1) === 4f)
+    assert(math.abs(f(2) - 40f / 255f) < 1e-6, s"meanR ${f(2)}")
+    assert(math.abs(f(3) - 80f / 255f) < 1e-6, s"meanG ${f(3)}")
+    assert(math.abs(f(4) - 120f / 255f) < 1e-6, s"meanB ${f(4)}")
+    val gray = (40 + 80 + 120) / 3f / 255f
+    assert(math.abs(f(5) - gray) < 1e-2 && math.abs(f(6) - gray) < 1e-2)
+    assert(f(7) < 1e-2) // solid color → zero gray stddev
+  }
+
+  test("packImages → decodeBatch: genuine BMP payloads, pixel-decoded on executors") {
+    val packed = MultimodalOps.packImages(docs.filter("doc_id <= 2"))
+    val rows = packed.collect()
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(bytes(0) === 'B'.toByte && bytes(1) === 'M'.toByte)
+      assert(r.getAs[Row]("meta").getAs[String]("mime") === "image/bmp")
+      // any BMP reader can decode the payload
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth >= 8 && img.getWidth <= 15)
+    }
+    val feats = MultimodalOps.decodeBatch(packed)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // decoded dims must equal the real image dims, per doc
+    rows.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      val f = feats(r.getLong(0))
+      assert(f(0) === img.getWidth.toFloat && f(1) === img.getHeight.toFloat)
+      // channel means of a hash-derived image are strictly inside (0, 1)
+      assert(f(2) > 0f && f(2) < 1f && f(6) > f(5))
+    }
+    // deterministic end to end
+    val again = MultimodalOps.decodeBatch(MultimodalOps.packImages(docs.filter("doc_id <= 2")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again === feats)
+  }
+
   test("withFakeDecode: expression-path metadata stays in plausible ranges") {
     val out = MultimodalOps.withFakeDecode(MultimodalOps.packDocuments(docs)).collect()
     out.foreach { r =>
@@ -74,7 +122,8 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .select((col("doc_id") + col("copy") * 100000L).as("doc_id"),
         concat(col("text"), lit(" c"), col("copy")).as("text"))
     val t0 = System.nanoTime()
-    val decoded = MultimodalOps.decodeBatch(MultimodalOps.packDocuments(big))
+    // real-codec path: 40× corpus → BMP-encode then pixel-decode each doc
+    val decoded = MultimodalOps.decodeBatch(MultimodalOps.packImages(big))
     val n = decoded.count()
     val secs = (System.nanoTime() - t0) / 1e9
     assert(n === big.count())

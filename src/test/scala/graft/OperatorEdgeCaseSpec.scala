@@ -64,6 +64,23 @@ class OperatorEdgeCaseSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](Profiler.profile(df, Seq("x", "x")))
   }
 
+  test("profileApprox: same output shape as exact; HLL distinct within rsd on real data") {
+    import graft.operators.Profiler
+    val docs = graft.Td.load(spark, "/root/testdata/sf0.001", "documents")
+    val cols = Seq("doc_id", "lang", "source")
+    val exact = Profiler.profile(docs, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val approx = Profiler.profileApprox(docs, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(approx.keySet === exact.keySet)
+    cols.foreach { c =>
+      val (e, a) = (exact(c).toDouble, approx(c).toDouble)
+      // default rsd 5% — allow 3 standard errors, and exactness on tiny cards
+      assert(math.abs(a - e) <= math.max(2.0, 0.15 * e),
+        s"$c: approx $a vs exact $e")
+    }
+  }
+
   test("pivotDynamic: discovers sorted values, excludes NULLs, enforces the cap") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -60,6 +60,28 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Expand"), plan.take(800))
   }
 
+  test("q27: keep-latest dedup plans WindowGroupLimit (per-key top-1, no full window)") {
+    val plan = planOf("q27_window_dedup")
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("q47: the star join's dimension hops broadcast; the fact-fact join shuffles on orderkey") {
+    val plan = finalPlanOf("q47_star_join")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
+  test("profileApprox plans Expand-free; exact profile pays the Expand") {
+    import graft.operators.Profiler
+    val docs = Td.load(spark, sf, "documents")
+    val cols = Seq("doc_id", "lang", "source", "text")
+    val approxPlan = Profiler.statsAgg(docs, cols, approx = true)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"), approxPlan.take(800))
+    val exactPlan = Profiler.statsAgg(docs, cols, approx = false)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), exactPlan.take(800))
+  }
+
   test("q67: tf-idf df join has no forced broadcast; AQE broadcasts it at small scale") {
     // The logical plan must not carry a broadcast hint (a forced broadcast
     // of a web-scale vocabulary would OOM the driver)...

@@ -130,6 +130,17 @@ class TemporalJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("__salt"), plan.take(800))
   }
 
+  test("saltedJoin: rejects inputs that already carry a __salt column") {
+    import graft.operators.SkewJoin
+    import spark.implicits._
+    val big = Seq(("a", 1L, 0)).toDF("k", "id", "__salt")
+    val dim = Seq(("a", 9)).toDF("k", "code")
+    assertThrows[IllegalArgumentException](
+      SkewJoin.saltedJoin(big, dim, Seq("k"), col("id"), 4))
+    assertThrows[IllegalArgumentException](
+      SkewJoin.saltedJoin(dim, big, Seq("k"), col("code"), 4))
+  }
+
   test("hashSplit: deterministic across repartitionings, proportions near trainPct") {
     val docs = Td.load(spark, "/root/testdata/sf0.001", "documents")
     val a = Sampling.hashSplit(docs, "doc_id", 80)
