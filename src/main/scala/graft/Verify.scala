@@ -40,24 +40,26 @@ object Verify {
     } + "\""
 
     /** One query's value-level fingerprint, computed from the parquet just
-      * written (so it describes EXACTLY what the driver will compare). */
+      * written (so it describes EXACTLY what the driver will compare).
+      * One aggregation job (row count folded in with the per-column
+      * stats) plus one limit-collect for the sample. */
     def diag(df: DataFrame): String = {
       import org.apache.spark.sql.functions._
       val cols = df.schema.fields
-      val aggs = cols.flatMap { f =>
+      val aggs = count(lit(1)).as("__rows") +: cols.toSeq.flatMap { f =>
         val c = col(f.name)
         Seq(min(c).cast("string").as(s"min_${f.name}"),
           max(c).cast("string").as(s"max_${f.name}"),
           sum(when(c.isNull, 1L).otherwise(0L)).as(s"null_${f.name}"))
       }
-      val nRows = df.count()
-      val statRow = if (nRows == 0) null else df.agg(aggs.head, aggs.tail: _*).head()
+      val statRow = df.agg(aggs.head, aggs.tail: _*).head()
+      val nRows = statRow.getLong(0)
       val colJson = cols.zipWithIndex.map { case (f, i) =>
         val (mn, mx, nl) =
-          if (statRow == null) ("", "", 0L)
-          else (Option(statRow.getString(3 * i)).getOrElse("null"),
-            Option(statRow.getString(3 * i + 1)).getOrElse("null"),
-            statRow.getLong(3 * i + 2))
+          if (nRows == 0) ("", "", 0L)
+          else (Option(statRow.getString(3 * i + 1)).getOrElse("null"),
+            Option(statRow.getString(3 * i + 2)).getOrElse("null"),
+            statRow.getLong(3 * i + 3))
         s"""{"name": ${q(f.name)}, "type": ${q(f.dataType.simpleString)}, "min": ${q(mn)}, "max": ${q(mx)}, "nulls": $nl}"""
       }.mkString("[", ",", "]")
       val sample = df.limit(5).collect().map { r =>
@@ -68,16 +70,29 @@ object Verify {
 
     val diags = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        diags += s"${q(name)}: ${diag(spark.read.parquet(s"$outDir/$name"))}"
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        diags += s"${q(name)}: {\"rows\": -1, \"error\": ${q(String.valueOf(e.getMessage))}}"
+      // Two SEPARATE failure domains: a query failure means the driver
+      // compare will be red; a diag-only failure must NOT be recorded as
+      // one (the parquet was written and will compare green) — it gets
+      // its own diag_error marker instead.
+      val wrote =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          diags += s"${q(name)}: {\"rows\": -1, \"error\": ${q(String.valueOf(e.getMessage))}}"
+          false
+        }
+      if (wrote) {
+        try diags += s"${q(name)}: ${diag(spark.read.parquet(s"$outDir/$name"))}"
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name diag failed (query output intact): ${e.getMessage}")
+          diags += s"${q(name)}: {\"diag_error\": ${q(String.valueOf(e.getMessage))}}"
+        }
       }
       // Drop caches left by cache-returning operators (Dedup.clusters)
-      // so a 94-query dump doesn't accumulate resident blocks.
+      // so a 100-query dump doesn't accumulate resident blocks.
       spark.catalog.clearCache()
     }
     Files.writeString(Paths.get(s"$outDir/diag.json"),

@@ -56,6 +56,12 @@ object MultimodalOps {
   /** Feature width of the decoder (both the image and byte-fold paths). */
   val FeatureDim = 8
 
+  /** ImageIO defaults to a DISK-backed stream cache (a temp file created
+    * and deleted per encode/decode) — pure waste for payloads already in
+    * memory. Flip it off once per executor JVM; referenced by both codec
+    * entry points. */
+  private lazy val imageIoInMemory: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** Pack a text corpus as a REAL image table: each document rendered as
     * a genuine BMP (dimensions and pixels deterministically derived from
     * the text's md5 chain, encoded by `javax.imageio` — real file-format
@@ -67,16 +73,22 @@ object MultimodalOps {
       StructField("doc_id", LongType),
       StructField("payload", BinaryType),
       StructField("meta", StructType(Seq(
-        StructField("n_bytes", IntegerType, nullable = false),
+        StructField("n_bytes", IntegerType),
         StructField("content_hash", StringType),
         StructField("mime", StringType))))))
     val rdd = docs.select("doc_id", "text").rdd.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
-        val bytes = renderBmp(r.getString(1))
-        md.reset()
-        val hash = md.digest(bytes).map("%02x".format(_)).mkString
-        Row(r.getLong(0), bytes, Row(bytes.length, hash, "image/bmp"))
+        val text = if (r.isNullAt(1)) null else r.getString(1)
+        if (text == null) {
+          // match packDocuments' NULL tolerance: null payload/meta fields
+          Row(r.getLong(0), null, Row(null, null, "image/bmp"))
+        } else {
+          val bytes = renderBmp(text)
+          md.reset()
+          val hash = md.digest(bytes).map("%02x".format(_)).mkString
+          Row(r.getLong(0), bytes, Row(bytes.length, hash, "image/bmp"))
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)
@@ -86,6 +98,7 @@ object MultimodalOps {
     * bytes come from an md5 hash chain over the text, written through the
     * JDK BMP encoder. Deterministic so tests can golden the round trip. */
   private[operators] def renderBmp(text: String): Array[Byte] = {
+    imageIoInMemory
     val md = java.security.MessageDigest.getInstance("MD5")
     val seed = md.digest(text.getBytes("UTF-8"))
     val w = 8 + (seed(0) & 0x07)
@@ -133,11 +146,19 @@ object MultimodalOps {
   }
 
   /** Dispatch on the payload's magic: BMP → real pixel decode; anything
-    * else → byte-fold fallback. Fixed FeatureDim width either way. */
+    * else → byte-fold fallback. Fixed FeatureDim width either way.
+    * The magic check is a HINT, not proof — a text payload can start
+    * with "BM" ("BMW recall…"), so a decoder exception falls through to
+    * the byte-fold instead of failing the task. NULL payload → zero
+    * vector (matches packDocuments/packImages NULL rows). */
   private[graft] def decodeFeature(bytes: Array[Byte]): Array[Float] = {
+    if (bytes == null) return new Array[Float](FeatureDim)
     if (bytes.length > 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img != null) return imageFeature(img)
+      imageIoInMemory
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img != null) return imageFeature(img)
+      } catch { case _: Exception => () }
     }
     fakeFeature(bytes)
   }
@@ -176,7 +197,7 @@ object MultimodalOps {
 
   /** Byte-fold fallback for payloads without a JDK codec: fold bytes into
     * FeatureDim accumulators (deterministic so tests can golden it). */
-  private[operators] def fakeFeature(bytes: Array[Byte]): Array[Float] = {
+  private[graft] def fakeFeature(bytes: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](FeatureDim)
     var i = 0
     while (i < bytes.length) {

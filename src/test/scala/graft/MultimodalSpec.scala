@@ -83,6 +83,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(again === feats)
   }
 
+  test("decodeFeature: 'BM'-prefixed TEXT payload falls back to byte-fold, no crash") {
+    // a text payload can legitimately start with the BMP magic
+    val trap = "BMW recall notice: check engine".getBytes("UTF-8")
+    val f = MultimodalOps.decodeFeature(trap)
+    assert(f.length === MultimodalOps.FeatureDim)
+    // byte-fold result, not a decoded image (fold of 31 bytes sums > dims)
+    assert(f.sameElements(MultimodalOps.fakeFeature(trap)))
+    // and NULL payloads yield the zero vector instead of an NPE
+    assert(MultimodalOps.decodeFeature(null).forall(_ === 0f))
+  }
+
+  test("packImages: NULL text rows produce null payload/meta, decode survives them") {
+    import org.apache.spark.sql.functions.lit
+    val withNull = docs.unionByName(
+      docs.limit(1).select(lit(99L).as("doc_id"), lit(null).cast("string").as("text")))
+    val packed = MultimodalOps.packImages(withNull)
+    val nullRow = packed.filter("doc_id = 99").head()
+    assert(nullRow.isNullAt(1)) // payload
+    val feats = MultimodalOps.decodeBatch(packed).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(99L).forall(_ === 0f))
+    assert(feats.size === 4)
+  }
+
   test("withFakeDecode: expression-path metadata stays in plausible ranges") {
     val out = MultimodalOps.withFakeDecode(MultimodalOps.packDocuments(docs)).collect()
     out.foreach { r =>
