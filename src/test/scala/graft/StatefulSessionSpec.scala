@@ -21,6 +21,29 @@ class StatefulSessionSpec extends AnyFunSuite with SparkTestBase {
   private val batch2 = Seq(ev(4, 1, 1000), ev(5, 1, 1005), ev(6, 1, 3000))
   private val gapSec = 3600L // 60 min
 
+  test("native session_window agrees with the declarative sessionizer on real data") {
+    // Spark's built-in gap session window vs q64's lag+running-sum
+    // formulation over the events table. Semantics note: session_window
+    // is end-EXCLUSIVE at the gap boundary (an event landing exactly
+    // last_ts + gap starts a new session) while q64's `diff > gap` keeps
+    // it — the testdata has zero exact-boundary gaps (checked via
+    // DuckDB), so the two must agree row-for-row here.
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val native = Td.load(spark, sf, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .select("user_id", "n_events", "session_start", "session_end")
+      .collect().map(_.toString).sorted
+    val declarative = SparkEntry.queries("q64_sessionize")(spark, sf)
+      .select("user_id", "n_events", "session_start", "session_end")
+      .collect().map(_.toString).sorted
+    assert(native.length === declarative.length,
+      s"session counts differ: ${native.length} vs ${declarative.length}")
+    assert(native.sameElements(declarative))
+  }
+
   test("batch mode: closed sessions match the expected gap splits") {
     import spark.implicits._
     val all = spark.createDataset(batch1 ++ batch2)
