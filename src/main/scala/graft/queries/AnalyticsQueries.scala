@@ -57,8 +57,8 @@ object AnalyticsQueries {
         .agg(
           count(lit(1)).as("cnt"),
           dsum(col("l_quantity")).as("sum_qty"),
-          grouping(col("l_returnflag")).as("g_rf"),
-          grouping(col("l_linestatus")).as("g_ls"))
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
         .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
