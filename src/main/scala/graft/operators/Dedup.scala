@@ -163,8 +163,18 @@ object Dedup {
       .distinct().cache()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    // Eager localCheckpoint, not cache: the round plan references the
+    // previous labels frame twice, so with cache alone the LOGICAL plan
+    // doubles per round (cache stores blocks but keeps the full lineage
+    // tree for plan matching) — a deep graph turns planning itself into
+    // the bottleneck and eventually OOMs the driver. Checkpointing
+    // materializes the same blocks AND truncates the plan to a leaf;
+    // stale round blocks are released by the ContextCleaner. On a real
+    // cluster localCheckpoint trades executor-loss recoverability for
+    // speed — acceptable here because a lost round restarts the
+    // (diameter-bounded) job, not a multi-hour lineage replay.
     var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).cache()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = prevSum == null // empty pair set: already at fixpoint
@@ -174,25 +184,100 @@ object Dedup {
         .select(col("u").as("doc_id"), col("cluster_id"))
       val updated = labels.unionByName(viaNeighbor)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .cache()
+        .localCheckpoint(true)
       // labels only ever DECREASE (element-wise min), so the fixpoint is
       // reached exactly when the label sum stops changing — one scalar
       // aggregate per round instead of a change-detection join.
       val newSum = labelSum(updated)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
-      labels.unpersist()
       labels = updated
       iter += 1
     }
     edges.unpersist()
     require(converged, s"label propagation did not converge in $maxIters rounds")
-    // The returned frame stays CACHED deliberately: its lineage is the
-    // whole iteration chain, so an uncached return would recompute every
-    // round (and the pair generation under it) per downstream action —
-    // measured 2× on q94. The blocks are label-table-sized (two longs per
-    // paired doc); callers owning many cluster results should unpersist
-    // them when done.
+    // The returned frame is backed by MATERIALIZED localCheckpoint blocks:
+    // downstream actions read the final label table directly instead of
+    // replaying the iteration chain (measured 2× on q94 when uncached).
+    // Blocks are label-table-sized (two longs per paired doc) and are
+    // released by the ContextCleaner once the frame is unreferenced;
+    // callers' unpersist() calls are harmless no-ops.
+    labels
+  }
+
+  /** Alternating large-star/small-star connected components (the
+    * MapReduce-CC formulation of Kiveris et al.) — same contract and
+    * output as [[clusters]], but the round count scales with
+    * log(diameter) instead of diameter: each large-star step points
+    * every node that is above a local minimum DIRECTLY at that minimum,
+    * halving long chains per alternation. Use when components may be
+    * long paths (e.g. transitively-chained near-dups); for the shallow
+    * dense cliques LSH emits, [[clusters]] runs fewer shuffles per
+    * round and converges just as fast.
+    *
+    * Edges are kept in canonical (larger → smaller) orientation, which
+    * both star steps preserve, so each round is two join+groupBy stages
+    * over an edge set that never exceeds the input edge count.
+    * Convergence = the canonical edge digest (count + xxhash64 sum)
+    * repeating — at the star-graph fixpoint the edge set is literally
+    * unchanged, so the digest test is exact there.
+    */
+  def clustersLargeStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = pairs.sparkSession
+    val nodes = pairs.selectExpr(s"$aCol AS doc_id")
+      .unionAll(pairs.selectExpr(s"$bCol AS doc_id")).distinct()
+    // Eager localCheckpoint for the same reason as [[clusters]], but more
+    // acute: one star round references the previous edge set ~12 times
+    // (both unions + the min join on each side), so cached-but-uncut
+    // lineage grows ~12^rounds and planning OOMs long before the data
+    // does. Checkpointing keeps every round's plan constant-size.
+    var edges = pairs
+      .selectExpr(s"greatest($aCol, $bCol) AS u", s"least($aCol, $bCol) AS v")
+      .where("u != v").distinct().localCheckpoint(true)
+
+    def digest(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    // large-star: every neighbor y > x links to m(x) = min(N(x) ∪ {x})
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.unionAll(nbrs.select(col("u"), col("u").as("v")))
+        .groupBy("u").agg(min("v").as("m"))
+      nbrs.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    // small-star: all smaller neighbors of u (and u itself) link to m(u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      val moved = e.join(mins, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      moved.unionAll(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+
+    var prev = digest(edges)
+    var converged = prev._1 == 0L // no proper edges: already a star forest
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val dg = digest(next)
+      converged = dg == prev
+      prev = dg
+      edges = next
+      iter += 1
+    }
+    require(converged, s"large-star/small-star did not converge in $maxIters rounds")
+    // at the fixpoint every non-root carries exactly one edge to its root
+    val nonRoot = edges.groupBy("u").agg(min("v").as("cluster_id"))
+      .select(col("u").as("doc_id"), col("cluster_id"))
+    val labels = nodes.join(nonRoot, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .cache() // same ownership contract as [[clusters]]
+    labels.count()
     labels
   }
 
