@@ -219,23 +219,30 @@ object Dedup {
     * both star steps preserve, so each round is two join+groupBy stages
     * over an edge set that never exceeds the input edge count.
     * Convergence = the canonical edge digest (count + xxhash64 sum)
-    * repeating — at the star-graph fixpoint the edge set is literally
-    * unchanged, so the digest test is exact there.
+    * repeating, then confirmed by one exact set-difference — the cheap
+    * digest gates every round, the exact check runs only at the
+    * fixpoint candidate, so convergence is never declared on a hash
+    * collision.
     */
   def clustersLargeStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val spark = pairs.sparkSession
-    val nodes = pairs.selectExpr(s"$aCol AS doc_id")
-      .unionAll(pairs.selectExpr(s"$bCol AS doc_id")).distinct()
-    // Eager localCheckpoint for the same reason as [[clusters]], but more
-    // acute: one star round references the previous edge set ~12 times
-    // (both unions + the min join on each side), so cached-but-uncut
-    // lineage grows ~12^rounds and planning OOMs long before the data
-    // does. Checkpointing keeps every round's plan constant-size.
-    var edges = pairs
+    // Canonicalize ONCE and checkpoint: the node universe and the edge
+    // set both derive from this leaf, so an expensive pair-generation
+    // input (an LSH candidate join) executes exactly once. The eager
+    // localCheckpoint also matters per round, more acutely than in
+    // [[clusters]]: one star round references the previous edge set ~12
+    // times (both unions + the min join on each side), so cached-but-
+    // uncut lineage grows ~12^rounds and planning OOMs long before the
+    // data does. Checkpointing keeps every round's plan constant-size;
+    // stale round blocks are freed by the ContextCleaner (GC-timed —
+    // fine for edge-set-sized rounds bounded by log(diameter)).
+    val canon = pairs
       .selectExpr(s"greatest($aCol, $bCol) AS u", s"least($aCol, $bCol) AS v")
-      .where("u != v").distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true)
+    val nodes = canon.select(col("u").as("doc_id"))
+      .unionAll(canon.select(col("v").as("doc_id"))).distinct()
+    var edges = canon.where("u != v")
 
     def digest(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
@@ -264,7 +271,14 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val dg = digest(next)
-      converged = dg == prev
+      if (dg == prev) {
+        // A repeated digest is necessary but probabilistic (a cross-round
+        // xxhash64-sum collision would declare convergence early and emit
+        // wrong labels); confirm with one EXACT set difference — it runs
+        // only at the fixpoint candidate, not every round. The digest
+        // already matched the counts, so empty difference ⇒ equal sets.
+        converged = next.exceptAll(edges).isEmpty
+      }
       prev = dg
       edges = next
       iter += 1
@@ -273,12 +287,12 @@ object Dedup {
     // at the fixpoint every non-root carries exactly one edge to its root
     val nonRoot = edges.groupBy("u").agg(min("v").as("cluster_id"))
       .select(col("u").as("doc_id"), col("cluster_id"))
-    val labels = nodes.join(nonRoot, Seq("doc_id"), "left")
+    // materialized-leaf ownership, same contract as [[clusters]]: no
+    // recompute downstream, blocks GC-released, unpersist() is a no-op
+    nodes.join(nonRoot, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .cache() // same ownership contract as [[clusters]]
-    labels.count()
-    labels
+      .localCheckpoint(true)
   }
 
   /** End-to-end near-dup drop: keep exactly one representative (the
