@@ -35,4 +35,29 @@ object Sampling {
     require(k > 0, s"k must be positive, got $k")
     df.withColumn(foldCol, expr(s"md5_u32(CAST($idCol AS STRING)) % $k"))
   }
+
+  /** Deterministic stratified downsample — the corpus-rebalancing step of
+    * a training-data mix (e.g. keep 10% of crawl, all of books): a row
+    * survives iff `md5_u32(id) % 10000 < fraction(stratum)·10000`.
+    * Strata not named in `fractions` are kept in full.
+    *
+    * Same 100 TB properties as [[hashSplit]], and the reason this exists
+    * instead of `df.stat.sampleBy`: Bernoulli sampling draws from
+    * `rand(seed)`, whose stream depends on row order WITHIN a partition
+    * and on the partitioning itself, so a repartition or an AQE change
+    * silently changes which rows survive; the hash rule is a pure
+    * projection of the row's own id — stable across runs, partitionings,
+    * cluster sizes, and engines (md5 is two-dialect, so a DuckDB oracle
+    * reproduces the exact sample). */
+  def sampleStratified(df: DataFrame, stratumCol: String, idCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1], got $fractions")
+    val bp = fractions.map { case (s, f) =>
+      s"WHEN '${s.replace("'", "''")}' THEN ${math.round(f * 10000)}L"
+    }.mkString(" ")
+    df.where(expr(
+      s"md5_u32(CAST($idCol AS STRING)) % 10000 < " +
+        s"(CASE CAST($stratumCol AS STRING) $bp ELSE 10000L END)"))
+  }
 }

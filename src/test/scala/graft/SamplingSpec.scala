@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic stratified downsampling: the survivor set must be a pure
+  * function of row ids — identical under any partitioning — and track the
+  * requested per-stratum fractions. */
+class SamplingSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val li = Td.load(spark, sf, "lineitem")
+    .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("id"),
+      col("l_returnflag"))
+
+  test("survivor set is identical across partitionings (unlike rand-based sampleBy)") {
+    val fr = Map("A" -> 0.3, "N" -> 0.7, "R" -> 0.05)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.sampleStratified(df, "l_returnflag", "id", fr)
+        .select("id").collect().map(_.getString(0)).toSet
+    val base = ids(li)
+    assert(base === ids(li.repartition(7, col("l_returnflag"))))
+    assert(base === ids(li.coalesce(1)))
+    assert(base.nonEmpty)
+  }
+
+  test("per-stratum survival rates track the requested fractions") {
+    val fr = Map("A" -> 0.25, "N" -> 0.5) // R unnamed: kept in full
+    val before = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Sampling.sampleStratified(li, "l_returnflag", "id", fr)
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("R") === before("R"), "unnamed stratum must be kept in full")
+    Seq("A" -> 0.25, "N" -> 0.5).foreach { case (s, f) =>
+      val rate = after(s).toDouble / before(s)
+      assert(math.abs(rate - f) < 0.05, s"stratum $s: rate $rate vs fraction $f")
+    }
+  }
+
+  test("fraction 0 drops a stratum entirely; fraction 1 keeps it entirely") {
+    val out = Sampling.sampleStratified(li, "l_returnflag", "id",
+        Map("A" -> 0.0, "N" -> 1.0))
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("A"))
+    assert(out("N") === before("N"))
+  }
+
+  test("invalid fractions are rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.sampleStratified(li, "l_returnflag", "id", Map("A" -> 1.2))
+    }
+  }
+}
