@@ -62,6 +62,24 @@ class ScaledLlmOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs > 0 && pairs <= ceiling, s"base=$basePairs pairs=$pairs ceiling=$ceiling")
   }
 
+  test("large-star CC labels a 20x-corpus pair graph inside the round and time budget") {
+    // end-to-end at scale: LSH pairs over 10k docs (dense replica
+    // families) → star-alternation clustering. The budget guards the two
+    // ways this dies at 100 TB: round blowup (log-diameter claim) and a
+    // quadratic candidate step sneaking into pair generation.
+    val c = corpusTimes(20)
+    val pairs = graft.operators.Dedup.minhashLshPairs(c, "doc_id", "text", 0.6)
+    val t0 = System.nanoTime()
+    val labels = graft.operators.Dedup.clustersLargeStar(pairs, "doc_a", "doc_b")
+    val nPaired = labels.count()
+    val nClusters = labels.select("cluster_id").distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // replica families are ~21-member cliques: far fewer clusters than members
+    assert(nPaired > 0 && nClusters < nPaired / 2,
+      s"paired=$nPaired clusters=$nClusters")
+    assert(secs < 120, s"20x clustering took ${secs}s")
+  }
+
   test("term-frequency and tf-idf scale linearly in rows (no Expand, no forced broadcast)") {
     val c = corpusTimes(20)
     val t0 = System.nanoTime()
