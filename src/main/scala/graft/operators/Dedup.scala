@@ -299,12 +299,18 @@ object Dedup {
     * cluster-minimum id) from every near-duplicate cluster and every
     * unpaired document — the convenience composition of
     * [[minhashLshPairs]] + [[clusters]] that q94's curation pipeline
-    * inlines. Returns `docs` filtered to the keep set. */
+    * inlines. Returns `docs` filtered to the keep set. `useStars` routes
+    * clustering through [[clustersLargeStar]] instead — pick it when
+    * duplicate chains may be long (log-diameter rounds). */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      useStars: Boolean = false): DataFrame = {
     val pairs = minhashLshPairs(docs, idCol, textCol, jaccardThreshold, maxBucketSize)
-    val nonRep = clusters(pairs, "doc_a", "doc_b")
+    val labeled =
+      if (useStars) clustersLargeStar(pairs, "doc_a", "doc_b")
+      else clusters(pairs, "doc_a", "doc_b")
+    val nonRep = labeled
       .where("doc_id != cluster_id")
       .select(col("doc_id").as(idCol))
     docs.join(nonRep, Seq(idCol), "left_anti")

@@ -80,6 +80,11 @@ class LshRecallSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.count() === corpus.count() - (nPaired - nClusters))
     // no two kept docs are still a near-dup pair at the threshold
     assert(graft.operators.Dedup.minhashLshPairs(kept, "doc_id", "text", 0.6).count() === 0)
+    // the star-clustering route must keep the exact same set
+    val keptStars = graft.operators.Dedup
+      .dropNearDuplicates(corpus, "doc_id", "text", 0.6, useStars = true)
+    assert(kept.select("doc_id").exceptAll(keptStars.select("doc_id")).count() === 0)
+    assert(keptStars.count() === kept.count())
   }
 
   test("clusters: chains, cliques, and disjoint components all get min-id labels") {
