@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr, row_number}
 
 /** Deterministic sampling/splitting for training-data pipelines. */
 object Sampling {
@@ -59,5 +59,24 @@ object Sampling {
     df.where(expr(
       s"md5_u32(CAST($idCol AS STRING)) % 10000 < " +
         s"(CASE CAST($stratumCol AS STRING) $bp ELSE 10000L END)"))
+  }
+
+  /** Fixed-SIZE per-stratum cap — the other half of mix rebalancing
+    * ("at most k docs per source"): keep the k rows of each stratum with
+    * the smallest (md5_u32(id), id) rank. Deterministic and
+    * partition-invariant like [[sampleStratified]] (the hash rank is a
+    * property of the row, not of execution order), and the rank filter
+    * plans as WindowGroupLimit, so each group tracks only its current
+    * top-k instead of sorting whole strata (SamplingSpec proves the
+    * plan shape). The id tiebreak makes the cap total even under
+    * md5 collisions. */
+  def capPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(expr(s"md5_u32(CAST($idCol AS STRING))"), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).drop("__rk")
   }
 }

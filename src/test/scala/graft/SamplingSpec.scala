@@ -54,5 +54,30 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Sampling.sampleStratified(li, "l_returnflag", "id", Map("A" -> 1.2))
     }
+    intercept[IllegalArgumentException] {
+      Sampling.capPerStratum(li, "l_returnflag", "id", 0)
+    }
+  }
+
+  test("capPerStratum: exactly min(k, n) rows per stratum, same set across partitionings") {
+    val before = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = 100
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.capPerStratum(df, "l_returnflag", "id", k)
+        .select("id").collect().map(_.getString(0)).toSet
+    val base = ids(li)
+    assert(base === ids(li.repartition(7)))
+    val counts = Sampling.capPerStratum(li, "l_returnflag", "id", k)
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    before.foreach { case (s, n) =>
+      assert(counts(s) === math.min(k.toLong, n), s"stratum $s") }
+  }
+
+  test("capPerStratum plans WindowGroupLimit (per-group top-k, no full stratum sort)") {
+    val plan = Sampling.capPerStratum(li, "l_returnflag", "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
 }
