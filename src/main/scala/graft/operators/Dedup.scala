@@ -158,8 +158,13 @@ object Dedup {
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val edges = pairs.selectExpr(s"$aCol AS u", s"$bCol AS v")
-      .unionAll(pairs.selectExpr(s"$bCol AS u", s"$aCol AS v"))
+    // a pair row with a NULL endpoint carries no pairing information —
+    // ignored here and in [[clustersLargeStar]] (shared contract; the
+    // min-aggregate would otherwise hand NULL nodes a neighbor's label
+    // without merging anything)
+    val valid = pairs.where(s"$aCol IS NOT NULL AND $bCol IS NOT NULL")
+    val edges = valid.selectExpr(s"$aCol AS u", s"$bCol AS v")
+      .unionAll(valid.selectExpr(s"$bCol AS u", s"$aCol AS v"))
       .distinct().cache()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head().getDecimal(0)
@@ -227,9 +232,10 @@ object Dedup {
   def clustersLargeStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // Canonicalize ONCE and checkpoint: the node universe and the edge
-    // set both derive from this leaf, so an expensive pair-generation
-    // input (an LSH candidate join) executes exactly once. The eager
+    // Checkpoint the raw pair columns ONCE: the node universe and the
+    // canonical edge set both derive from this leaf, so an expensive
+    // pair-generation input (an LSH candidate join) executes exactly
+    // once. The eager
     // localCheckpoint also matters per round, more acutely than in
     // [[clusters]]: one star round references the previous edge set ~12
     // times (both unions + the min join on each side), so cached-but-
@@ -237,12 +243,17 @@ object Dedup {
     // data does. Checkpointing keeps every round's plan constant-size;
     // stale round blocks are freed by the ContextCleaner (GC-timed —
     // fine for edge-set-sized rounds bounded by log(diameter)).
-    val canon = pairs
-      .selectExpr(s"greatest($aCol, $bCol) AS u", s"least($aCol, $bCol) AS v")
-      .distinct().localCheckpoint(true)
-    val nodes = canon.select(col("u").as("doc_id"))
-      .unionAll(canon.select(col("v").as("doc_id"))).distinct()
-    var edges = canon.where("u != v")
+    val raw = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .where("a IS NOT NULL AND b IS NOT NULL") // same contract as [[clusters]]
+      .localCheckpoint(true)
+    // node universe from the RAW columns, not the canonical edges: a
+    // self-pair (x,x) survives distinct-canonicalization only as a
+    // u==v row that the edge filter drops, but x must still be labeled
+    val nodes = raw.select(col("a").as("doc_id"))
+      .unionAll(raw.select(col("b").as("doc_id"))).distinct()
+    var edges = raw
+      .selectExpr("greatest(a, b) AS u", "least(a, b) AS v")
+      .where("u != v").distinct().localCheckpoint(true)
 
     def digest(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),

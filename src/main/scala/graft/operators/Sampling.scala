@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, expr, row_number}
+import org.apache.spark.sql.functions.{coalesce, col, element_at, expr, lit, row_number, typedLit}
 
 /** Deterministic sampling/splitting for training-data pipelines. */
 object Sampling {
@@ -48,17 +48,29 @@ object Sampling {
     * silently changes which rows survive; the hash rule is a pure
     * projection of the row's own id — stable across runs, partitionings,
     * cluster sizes, and engines (md5 is two-dialect, so a DuckDB oracle
-    * reproduces the exact sample). */
+    * reproduces the exact sample).
+    *
+    * Resolution is 1 basis point: a nonzero fraction below 0.00005 is
+    * rejected rather than silently rounding the stratum to zero. Rows
+    * with a NULL stratum fall under "not named" (kept). Rows with a NULL
+    * id hash as the empty string — deterministic, but they share ONE
+    * draw per stratum; give rows real ids for per-row sampling. */
   def sampleStratified(df: DataFrame, stratumCol: String, idCol: String,
       fractions: Map[String, Double]): DataFrame = {
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
       s"fractions must be in [0,1], got $fractions")
-    val bp = fractions.map { case (s, f) =>
-      s"WHEN '${s.replace("'", "''")}' THEN ${math.round(f * 10000)}L"
-    }.mkString(" ")
-    df.where(expr(
-      s"md5_u32(CAST($idCol AS STRING)) % 10000 < " +
-        s"(CASE CAST($stratumCol AS STRING) $bp ELSE 10000L END)"))
+    require(fractions.values.forall(f => f == 0.0 || math.round(f * 10000) > 0),
+      s"nonzero fractions below 1 basis point (0.0001) would round to " +
+        s"'drop everything' — got $fractions")
+    val bpByStratum = fractions.map { case (s, f) => s -> math.round(f * 10000) }
+    // map-literal lookup, not a string-built CASE: survives empty maps,
+    // quotes/backslashes in stratum keys, and NULL strata (→ kept)
+    val bp =
+      if (bpByStratum.isEmpty) lit(10000L)
+      else coalesce(
+        element_at(typedLit(bpByStratum), col(stratumCol).cast("string")),
+        lit(10000L))
+    df.where(expr(s"md5_u32(coalesce(CAST($idCol AS STRING), ''))") % 10000 < bp)
   }
 
   /** Fixed-SIZE per-stratum cap — the other half of mix rebalancing
@@ -68,14 +80,19 @@ object Sampling {
     * property of the row, not of execution order), and the rank filter
     * plans as WindowGroupLimit, so each group tracks only its current
     * top-k instead of sorting whole strata (SamplingSpec proves the
-    * plan shape). The id tiebreak makes the cap total even under
-    * md5 collisions. */
+    * plan shape). The id tiebreak makes the cap total under md5
+    * collisions — PROVIDED ids are unique and non-null per row; rows
+    * sharing an id (or with NULL ids) tie on both sort keys, and which
+    * tied row survives a rank-k boundary then depends on execution
+    * order. */
   def capPerStratum(df: DataFrame, stratumCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("__rk"),
+      "input already has a __rk column — rename it before capPerStratum")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(stratumCol)
-      .orderBy(expr(s"md5_u32(CAST($idCol AS STRING))"), col(idCol))
+      .orderBy(expr(s"md5_u32(coalesce(CAST($idCol AS STRING), ''))"), col(idCol))
     df.withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= k).drop("__rk")
   }

@@ -46,4 +46,17 @@ class CcPropertySpec extends AnyFunSuite with SparkTestBase {
       assert(viaStars === expected, s"trial $trial (n=$n m=$m): stars")
     }
   }
+
+  test("NULL-endpoint pairs are ignored identically by both implementations") {
+    import spark.implicits._
+    val pairs = Seq((Some(1L), Some(2L)), (None, Some(5L)), (Some(7L), None))
+      .toDF("doc_a", "doc_b")
+    val expected = Set(1L -> 1L, 2L -> 1L) // NULL-sided rows carry no pairing info
+    val viaProp = Dedup.clusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val viaStars = Dedup.clustersLargeStar(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(viaProp === expected)
+    assert(viaStars === expected)
+  }
 }

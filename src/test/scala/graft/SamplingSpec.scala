@@ -55,8 +55,33 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       Sampling.sampleStratified(li, "l_returnflag", "id", Map("A" -> 1.2))
     }
     intercept[IllegalArgumentException] {
+      // nonzero but below 1 basis point: would silently drop the stratum
+      Sampling.sampleStratified(li, "l_returnflag", "id", Map("A" -> 0.00004))
+    }
+    intercept[IllegalArgumentException] {
       Sampling.capPerStratum(li, "l_returnflag", "id", 0)
     }
+    intercept[IllegalArgumentException] {
+      Sampling.capPerStratum(li.withColumn("__rk", lit(1)), "l_returnflag", "id", 5)
+    }
+  }
+
+  test("edge cases: empty fractions keep everything; quoted/backslash strata match; NULLs kept") {
+    import spark.implicits._
+    assert(Sampling.sampleStratified(li, "l_returnflag", "id", Map.empty).count()
+      === li.count())
+    val tricky = Seq(
+      ("1", "it's"), ("2", "it's"), ("3", raw"C:\docs"), ("4", raw"C:\docs"),
+      ("5", null), ("6", "plain")).toDF("id", "src")
+    // strata with a quote and a backslash are DROPPED at fraction 0 —
+    // proving the lookup matches them (a mis-escaped CASE would keep them)
+    val out = Sampling.sampleStratified(tricky, "src", "id",
+      Map("it's" -> 0.0, raw"C:\docs" -> 0.0))
+    val kept = out.select("id").collect().map(_.getString(0)).toSet
+    assert(kept === Set("5", "6"), s"NULL and unnamed strata kept, got $kept")
+    // NULL id in an unnamed stratum must survive (hashes as '')
+    val nullId = Seq((null.asInstanceOf[String], "plain")).toDF("id", "src")
+    assert(Sampling.sampleStratified(nullId, "src", "id", Map("other" -> 0.5)).count() === 1)
   }
 
   test("capPerStratum: exactly min(k, n) rows per stratum, same set across partitionings") {
