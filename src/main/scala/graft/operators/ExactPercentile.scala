@@ -43,6 +43,60 @@ object ExactPercentile {
     else (hi - pos) * picked(lo) + (pos - lo) * picked(hi)
   }
 
+  /** Scale-safe exact `ntile(n)` over an unpartitioned ordering — the
+    * replacement for the one plan shape that dies at cluster scale: an
+    * `ntile(n).over(Window.orderBy(...))` funnels EVERY row through a
+    * single reducer for a global sort. This computes the same buckets in
+    * three bounded steps:
+    *
+    *  1. one tiny aggregate for the row count (piggybacking a NULL-key
+    *     check),
+    *  2. a range-partitioned sort + `zipWithIndex` that fetches ONLY the
+    *     n-1 boundary tuples (the same selection shape as
+    *     [[quantileCont]] — the sort spills per-partition, nothing is
+    *     funneled to one task),
+    *  3. a pure projection: bucket = first boundary whose (value, tie)
+    *     tuple is >= the row's, via a constant-folded CASE chain.
+    *
+    * Correctness hinges on the ordering being TOTAL: `tieCol` must be
+    * unique, so "rank <= k" is exactly "(value, tie) <= k-th order
+    * statistic" and the bins are bit-identical to ntile's
+    * ceil/floor-split populations (ranks `i*q + min(i, N mod n)`).
+    * NULL ordering keys are rejected (ntile's NULLS FIRST would need
+    * null-aware boundary compares; no caller produces NULL keys).
+    */
+  def ntileBuckets(df: DataFrame, n: Int, valueCol: String,
+      tieCol: String, alias: String): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val v = col(valueCol).cast("double")
+    val t = col(tieCol).cast("long")
+    val keys = df.select(v.as("__v"), t.as("__t"))
+    val head = keys.agg(count(lit(1)),
+      sum(when(col("__v").isNull || col("__t").isNull, 1).otherwise(0))).head()
+    val total = head.getLong(0)
+    require(total > 0, "ntileBuckets: empty input")
+    require(head.getLong(1) == 0,
+      s"ntileBuckets: NULL in ordering key ($valueCol, $tieCol) unsupported")
+    // 1-based cumulative bucket-end ranks: bucket i ends at i*q + min(i, r)
+    val q = total / n
+    val r = total % n
+    val cuts: Seq[Long] = (1L until n).map(i => i * q + math.min(i, r))
+    val wanted = cuts.map(_ - 1).toSet // 0-based indices into the sorted order
+    val boundary: Map[Long, (Double, Long)] =
+      keys.orderBy("__v", "__t").rdd.zipWithIndex()
+        .filter { case (_, i) => wanted.contains(i) }
+        .map { case (row, i) => (i, (row.getDouble(0), row.getLong(1))) }
+        .collect().toMap
+    // First-match CASE: the smallest bucket whose boundary covers the row.
+    // (Empty tail buckets when N < n repeat the last boundary; first-match
+    // resolves them to the lower bucket, exactly as ntile does.)
+    val bucket = (1 until n).foldRight(lit(n): Column) { case (i, acc) =>
+      val (bv, bt) = boundary(cuts(i - 1) - 1)
+      when(v < lit(bv) || (v === lit(bv) && t <= lit(bt)), i).otherwise(acc)
+    }
+    df.withColumn(alias, bucket)
+  }
+
   /** Per-group exact interpolated quantile: returns (groupCols..., alias).
     * Groups whose values are ALL NULL still appear, with a NULL quantile —
     * matching the built-in percentile aggregate (the rank pipeline drops

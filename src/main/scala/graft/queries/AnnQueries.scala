@@ -86,10 +86,12 @@ object AnnQueries {
   /** IVF (inverted-file) ANN — the clustered alternative to q60's
     * hyperplane LSH. Coarse quantizer = 1-in-100 deterministic sample of
     * the corpus itself (vec_id % 100 == 7), broadcast everywhere; every
-    * vector is assigned to its max-cosine centroid (rank-window, same
-    * tie-break discipline as q59); queries probe their nprobe=2 closest
-    * centroids' posting lists only. Scale: the assignment pass is a
-    * broadcast-join scan (no shuffle of the corpus); the probe join is an
+    * vector is assigned to its max-cosine centroid (map-side-combinable
+    * min_by argmax, same tie-break discipline as q59 — see
+    * Similarity.ivfTopK's scale note); queries probe their nprobe=2
+    * closest centroids' posting lists only. Scale: the assignment pass is
+    * a broadcast-join scan whose aggregate collapses map-side (no
+    * exchange carries more than |vectors| rows); the probe join is an
     * equi-join on centroid id over ~2/C of the data. */
   private lazy val ivfSpec: QuerySpec = QuerySpec("q71_ann_ivf", { (s, dir) =>
     val e = Td.load(s, dir, "embeddings").select("vec_id", "embedding")

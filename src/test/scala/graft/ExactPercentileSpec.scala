@@ -45,6 +45,40 @@ class ExactPercentileSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Map("a" -> Some(2.0), "b" -> None))
   }
 
+  test("ntileBuckets == ntile window, across n and N (incl. N % n != 0 and N < n)") {
+    import org.apache.spark.sql.expressions.Window
+    // Heavy value ties (only 50 distinct v over 5000 rows) with a unique
+    // tie key — exactly the regime where the boundary compare must use
+    // the full (value, tie) tuple to reproduce ntile's positional split.
+    // (Synthetic, not lineitem: the testdata's (l_orderkey, l_linenumber)
+    // is NOT unique, and ntileBuckets' contract requires a unique tie.)
+    val base = spark.range(5000).select(
+      (pmod(hash(col("id")), lit(50))).cast("double").as("v"), col("id").as("t"))
+    for (n <- Seq(2, 4, 7); limit <- Seq(5000, 4999, 3)) {
+      val df = base.where(col("t") < limit).cache()
+      val viaWindow = df
+        .withColumn("b", ntile(n).over(Window.orderBy(col("v"), col("t"))))
+        .select("t", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val ours = ExactPercentile.ntileBuckets(df, n, "v", "t", "b")
+        .select("t", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(ours === viaWindow, s"n=$n limit=$limit")
+      df.unpersist()
+    }
+  }
+
+  test("ntileBuckets rejects NULL ordering keys and empty input") {
+    import spark.implicits._
+    val withNull = Seq((Some(1.0), 1L), (None, 2L)).toDF("v", "t")
+    val e = intercept[IllegalArgumentException] {
+      ExactPercentile.ntileBuckets(withNull, 2, "v", "t", "b")
+    }
+    assert(e.getMessage.contains("NULL"))
+    val empty = Seq.empty[(Double, Long)].toDF("v", "t")
+    intercept[IllegalArgumentException] {
+      ExactPercentile.ntileBuckets(empty, 2, "v", "t", "b")
+    }
+  }
+
   test("grouped path plans a window sort, not a percentile aggregation buffer") {
     val plan = ExactPercentile.quantileContByGroup(
       li("/root/testdata/sf0.001"), Seq("l_returnflag"), "l_extendedprice", 0.5, "p")

@@ -82,6 +82,39 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
     assert(exactPlan.contains("Expand"), exactPlan.take(800))
   }
 
+  test("q29: quartile bucketing has NO window at all (ntile replaced by boundary projection)") {
+    // The round-4 perf-weak shape was ntile(4) over an unpartitioned
+    // window — a single-reducer global sort. The replacement fetches
+    // boundary tuples by range-partitioned selection in a side job, so
+    // the query's own plan must contain no Window operator of any kind.
+    val plan = planOf("q29_ntile_quartiles")
+    assert(!plan.contains("Window"), plan.take(1200))
+  }
+
+  test("q71: IVF has no unpartitioned window and no window over the NxC expansion") {
+    // Assignment must be the map-side-combinable min_by aggregate, not a
+    // row_number window shuffling the NxC expanded relation on vec_id.
+    // The only window allowed is the final per-query top-k rank
+    // (partitioned by q_id), which plans as WindowGroupLimit.
+    val df = SparkEntry.queries("q71_ann_ivf")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => g
+    }
+    windows.foreach {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        assert(w.partitionSpec.nonEmpty, "unpartitioned Window in q71:\n" + w)
+        assert(w.partitionSpec.map(_.toString).mkString.contains("q_id"),
+          "q71 window partitioned by something other than q_id:\n" + w)
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        assert(g.partitionSpec.nonEmpty, "unpartitioned WindowGroupLimit in q71:\n" + g)
+    }
+    // and the centroid-assignment argmax is an aggregate (partial mode
+    // collapses the expansion before any exchange), visible as min_by
+    assert(df.queryExecution.sparkPlan.toString.contains("min_by"),
+      df.queryExecution.sparkPlan.toString.take(1200))
+  }
+
   test("q67: tf-idf df join has no forced broadcast; AQE broadcasts it at small scale") {
     // The logical plan must not carry a broadcast hint (a forced broadcast
     // of a web-scale vocabulary would OOM the driver)...
