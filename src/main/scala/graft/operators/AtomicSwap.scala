@@ -12,10 +12,79 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * clears stale trash if it died after completing. On an object store
   * you would use a manifest/table format instead — this is the
   * plain-parquet approximation of that trade.
+  *
+  * MULTI-WRITER: every swap runs under a per-table create-exclusive lock
+  * FILE, so two concurrent writers cannot interleave the rename pairs —
+  * the loser fails cleanly with [[ConcurrentSwapException]] and its tmp
+  * output survives for a retry (the plain-parquet analogue of a table
+  * format's optimistic concurrency conflict). [[withWriterLock]] widens
+  * the exclusion to a whole write-then-swap span; [[breakLock]] is the
+  * operator override for locks orphaned by a crashed writer.
   */
 object AtomicSwap {
 
+  /** A second writer attempted a swap while another held the table's
+    * writer lock. The loser must retry AFTER the winner finishes (or give
+    * up) — its tmp directory is untouched, so no work is lost. */
+  final class ConcurrentSwapException(msg: String) extends RuntimeException(msg)
+
   private def trashOf(live: String): Path = Paths.get(live + ".swap_old")
+  private def lockOf(live: String): Path =
+    Paths.get(Paths.get(live).toAbsolutePath.normalize.toString + ".swap_lock")
+
+  /** liveDirs whose lock THIS thread already holds (via [[withWriterLock]])
+    * — makes the swap calls inside the block reentrant instead of
+    * self-colliding on the lock file. */
+  private val heldByThread = new ThreadLocal[Set[String]] {
+    override def initialValue: Set[String] = Set.empty
+  }
+  private def lockKey(live: String): String =
+    Paths.get(live).toAbsolutePath.normalize.toString
+
+  /** Acquire the table's writer lock (create-exclusive lock FILE — atomic
+    * on POSIX and against other processes, not just threads). Returns
+    * true if newly acquired here, false if this thread already held it.
+    * A held lock FAILS the caller immediately ([[ConcurrentSwapException]])
+    * rather than waiting: swap callers hold the lock for two renames, so
+    * a collision means a genuinely concurrent writer, and last-writer-wins
+    * blocking would silently discard one writer's output. */
+  private def acquire(liveDir: String): Boolean = {
+    val key = lockKey(liveDir)
+    if (heldByThread.get.contains(key)) false
+    else {
+      try Files.createFile(lockOf(liveDir))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrentSwapException(
+            s"writer lock for $liveDir is held (${lockOf(liveDir)}); " +
+              "concurrent writer active, or a crashed writer left the lock " +
+              "behind — verify no writer is alive, then breakLock()")
+      }
+      heldByThread.set(heldByThread.get + key)
+      true
+    }
+  }
+
+  private def release(liveDir: String): Unit = {
+    heldByThread.set(heldByThread.get - lockKey(liveDir))
+    Files.deleteIfExists(lockOf(liveDir)): Unit
+  }
+
+  /** Run `body` holding the table's writer lock — the single-writer span
+    * for a whole rewrite (write tmp, then swap). The swap calls
+    * ([[replace]]/[[replaceVersioned]]) take the lock on their own, so a
+    * bare swap is already serialized; use this to extend the exclusion to
+    * the tmp-write phase when two jobs could target the same table. */
+  def withWriterLock[T](liveDir: String)(body: => T): T = {
+    val newly = acquire(liveDir)
+    try body finally if (newly) release(liveDir)
+  }
+
+  /** Remove a lock left behind by a CRASHED writer. Operator-invoked only
+    * — [[recover]] deliberately does not clear locks, because readers call
+    * it routinely and a live writer's lock must never be stolen. */
+  def breakLock(liveDir: String): Unit =
+    Files.deleteIfExists(lockOf(liveDir)): Unit
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
@@ -50,7 +119,7 @@ object AtomicSwap {
     * new directory appears only under a name the old listing never
     * contained. Readers wanting completion-not-failure during rewrites
     * should use [[replaceVersioned]] + [[versionDir]]. */
-  def replace(liveDir: String, tmpDir: String): Unit = {
+  def replace(liveDir: String, tmpDir: String): Unit = withWriterLock(liveDir) {
     val live = Paths.get(liveDir)
     val trash = trashOf(liveDir)
     val hadLive = Files.exists(live)
@@ -96,7 +165,7 @@ object AtomicSwap {
     * [[recover]] CLEARS — so version HISTORY is best-effort, while the
     * live directory keeps the same crash-safety as [[replace]]. Retention
     * is the caller's job ([[dropVersionsBefore]]). */
-  def replaceVersioned(liveDir: String, tmpDir: String): Option[Int] = {
+  def replaceVersioned(liveDir: String, tmpDir: String): Option[Int] = withWriterLock(liveDir) {
     val live = Paths.get(liveDir)
     val trash = trashOf(liveDir)
     val hadLive = Files.exists(live)

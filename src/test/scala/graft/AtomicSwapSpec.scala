@@ -65,6 +65,76 @@ class AtomicSwapSpec extends AnyFunSuite {
     assert(AtomicSwap.versions(s"$root/t") === Seq(1))
   }
 
+  test("writer lock: a second writer fails cleanly while the first holds the span") {
+    val root = Files.createTempDirectory("graft-swap").toString
+    mkDir(root, "t", "gen0")
+    val tmpA = mkDir(root, "t.a", "writer-a")
+    val tmpB = mkDir(root, "t.b", "writer-b")
+    val aInside = new java.util.concurrent.CountDownLatch(1)
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var bFailure: Option[Throwable] = None
+    val a = new Thread(() =>
+      AtomicSwap.withWriterLock(s"$root/t") {
+        aInside.countDown()
+        bDone.await() // hold the lock until B has tried and lost
+        AtomicSwap.replace(s"$root/t", tmpA) // reentrant under the held lock
+      })
+    val b = new Thread(() => {
+      aInside.await()
+      bFailure = scala.util.Try(AtomicSwap.replace(s"$root/t", tmpB)).failed.toOption
+      bDone.countDown()
+    })
+    a.start(); b.start(); a.join(30000); b.join(30000)
+    assert(bFailure.exists(_.isInstanceOf[AtomicSwap.ConcurrentSwapException]),
+      s"loser should fail with ConcurrentSwapException, got $bFailure")
+    // winner's swap landed; loser's tmp dir survives untouched for a retry
+    assert(Files.readString(Paths.get(root, "t", "data.txt")) === "writer-a")
+    assert(Files.readString(Paths.get(tmpB, "data.txt")) === "writer-b")
+    // lock released → the loser's retry now succeeds
+    AtomicSwap.replace(s"$root/t", tmpB)
+    assert(Files.readString(Paths.get(root, "t", "data.txt")) === "writer-b")
+  }
+
+  test("racing versioned swaps: every survivor state is a complete single version") {
+    val root = Files.createTempDirectory("graft-swap").toString
+    mkDir(root, "t", "gen0")
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val others = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { w =>
+      new Thread(() => (0 until 25).foreach { i =>
+        val tmp = mkDir(root, s"t.w$w-$i", s"w$w-$i")
+        try AtomicSwap.replaceVersioned(s"$root/t", tmp)
+        catch {
+          case _: AtomicSwap.ConcurrentSwapException => losses.incrementAndGet()
+          case t: Throwable => others.add(t)
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    // No mid-protocol wreckage: only lock losses, never rename collisions
+    assert(others.isEmpty, s"non-lock failures: ${others.toArray.toSeq}")
+    // live dir is exactly one writer's complete payload
+    val liveMarker = Files.readString(Paths.get(root, "t", "data.txt"))
+    assert(liveMarker.matches("w[12]-\\d+|gen0"), liveMarker)
+    assert(!Files.exists(Paths.get(s"$root/t.swap_old")))
+    assert(!Files.exists(Paths.get(s"$root/t.swap_lock")))
+  }
+
+  test("breakLock clears a crashed writer's orphan lock; recover leaves locks alone") {
+    val root = Files.createTempDirectory("graft-swap").toString
+    mkDir(root, "t", "gen0")
+    val tmp = mkDir(root, "t.new", "gen1")
+    Files.createFile(Paths.get(s"$root/t.swap_lock")) // simulated crash leftovers
+    AtomicSwap.recover(s"$root/t")
+    assert(Files.exists(Paths.get(s"$root/t.swap_lock")), "recover must not steal a lock")
+    intercept[AtomicSwap.ConcurrentSwapException] {
+      AtomicSwap.replace(s"$root/t", tmp)
+    }
+    AtomicSwap.breakLock(s"$root/t")
+    AtomicSwap.replace(s"$root/t", tmp)
+    assert(Files.readString(Paths.get(root, "t", "data.txt")) === "gen1")
+  }
+
   test("versioned swap on first write (no prior live) archives nothing") {
     val root = Files.createTempDirectory("graft-swap").toString
     mkDir(root, "t.n0", "gen0")
