@@ -328,11 +328,27 @@ object Dedup {
   }
 
   /** Length-banded edit-distance near-dup pairs (high-precision verifier;
-    * see q76 for the recall/cost trade). */
+    * see q76 for the recall/cost trade).
+    *
+    * This is QUADRATIC within a length band — a verifier for candidate
+    * sets, not a corpus-scale dedup path (that is [[dropNearDuplicates]]).
+    * `maxBandSize` makes the scope programmatic, not just Scaladoc: the
+    * operator eagerly counts each band (one tiny aggregate, dwarfed by
+    * the pairwise join it guards) and FAILS when any band exceeds the
+    * cap. Failing beats silently capping here: a verifier that quietly
+    * dropped pairs would report false "no duplicates". */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int, bandWidth: Int = 100): DataFrame = {
+      maxDistance: Int, bandWidth: Int = 100,
+      maxBandSize: Int = DefaultMaxBucketSize): DataFrame = {
     val slice = docs.selectExpr(s"$idCol AS doc_id", s"$textCol AS text",
       s"length($textCol) DIV $bandWidth AS len_band")
+    val worst = slice.groupBy("len_band").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    require(worst <= maxBandSize,
+      s"editDistancePairs: a length band holds $worst docs (> maxBandSize=" +
+        s"$maxBandSize) — ${worst * worst / 2} comparisons in one band; " +
+        "use dropNearDuplicates (bucketed LSH) for corpus-scale dedup, or " +
+        "raise maxBandSize deliberately")
     slice.as("a").join(slice.as("b"),
         col("a.len_band") === col("b.len_band") && col("a.doc_id") < col("b.doc_id"))
       .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",

@@ -21,6 +21,19 @@ class OperatorEdgeCaseSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.editDistancePairs(empty, "doc_id", "text", 10).count() === 0)
   }
 
+  test("editDistancePairs fails loudly when a length band exceeds maxBandSize") {
+    // 6 same-band docs against a cap of 5: the quadratic-verifier guard
+    // must throw (pointing at the LSH path), not silently run or cap
+    val docs = docsOf((1 to 6).map(i => (i.toLong, s"text number $i")): _*)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(docs, "doc_id", "text", 10, maxBandSize = 5).count()
+    }
+    assert(e.getMessage.contains("dropNearDuplicates"))
+    // at or under the cap the verifier runs normally
+    assert(Dedup.editDistancePairs(docs, "doc_id", "text", 20, maxBandSize = 6)
+      .count() === 15)
+  }
+
   test("short documents (< 3 tokens) are excluded from shingle-based dedup, not fatal") {
     val docs = docsOf((1L, "one two"), (2L, "a"), (3L, "x y z same text here"),
       (4L, "x y z same text here"))
