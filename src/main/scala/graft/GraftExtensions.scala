@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, Md5U32, MinHashAgg, MinHashSigs, SimHash32}
+import graft.functions.{CosineSimilarity, Md5U32, MinHashAgg, MinHashSigs, SimHash32, SubwordStats}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions into the session's
@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("minhash_sigs",
       "minhash_sigs(shingles) - 12 banded minhash signature slots")(
       c => MinHashSigs(c.head)))
+    ext.injectFunction(fn("subword_stats",
+      "subword_stats(words, vocab, max_word_len) - [n_words, n_subwords, n_unk] by greedy longest-match wordpiece")(
+      c => SubwordStats(c.head, c(1), c(2))))
     ext.injectFunction(fn("minhash_agg",
       "minhash_agg(sigs) - mergeable element-wise-min aggregate of minhash signatures")(
       c => MinHashAgg(c.head).toAggregateExpression()))

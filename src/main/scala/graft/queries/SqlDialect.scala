@@ -40,6 +40,24 @@ sealed trait SqlDialect {
         s"CAST(instr('0123456789abcdef', substring(mh, $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}")
         .mkString("(", " + ", ")"))
 
+  /** String-array literal. Items must be lowercase ASCII letters only —
+    * the one regime where both dialects' quoting is identical, so no
+    * escaping divergence can reach a hash compare. */
+  final def strArray(items: Seq[String]): String = {
+    require(items.nonEmpty && items.forall(_.matches("[a-z]+")),
+      s"strArray: lowercase-ASCII items only, got $items")
+    mkArrayOf(items.map(s => s"'$s'"))
+  }
+  protected def mkArrayOf(items: Seq[String]): String
+
+  /** Fold `body` (a function of `acc` only; the element is a dummy) n
+    * times starting from `init` — the cross-dialect iterate-n-times
+    * primitive (Spark `aggregate` has an explicit init; DuckDB
+    * `list_reduce` takes the first element as init, so the dummy list is
+    * prepended with one). `init` and `body` must be BIGINT-typed; n < 1
+    * yields `init`. */
+  def ifoldn(n: String, init: String, body: String): String
+
   def len(x: String): String
   def map(l: String, v: String, body: String): String
   def amin(l: String): String
@@ -76,6 +94,9 @@ sealed trait SqlDialect {
 
 object SparkSql extends SqlDialect {
   protected def mkArray1(x: String) = s"array($x)"
+  protected def mkArrayOf(items: Seq[String]) = items.mkString("array(", ", ", ")")
+  def ifoldn(n: String, init: String, body: String) =
+    s"aggregate(${range1(n)}, $init, (acc, __i) -> $body)"
   override def hex32(x: String): String = s"md5_u32($x)"
   def len(x: String) = s"size($x)"
   def map(l: String, v: String, body: String) = s"transform($l, $v -> $body)"
@@ -107,6 +128,9 @@ object SparkSql extends SqlDialect {
 
 object DuckSql extends SqlDialect {
   protected def mkArray1(x: String) = s"[$x]"
+  protected def mkArrayOf(items: Seq[String]) = items.mkString("[", ", ", "]")
+  def ifoldn(n: String, init: String, body: String) =
+    s"list_reduce(list_concat([$init], list_transform(${range1(n)}, __i -> $init)), (acc, __i) -> $body)"
   def len(x: String) = s"len($x)"
   def map(l: String, v: String, body: String) = s"list_transform($l, $v -> $body)"
   def amin(l: String) = s"list_min($l)"

@@ -20,6 +20,17 @@ object TextQueries {
   private def toks(d: SqlDialect) = d.splitSpace("text")
   private val toksSpark = SparkSql.splitSpace("text")
 
+  /** q101's wordpiece vocabulary: full words, sub-pieces whose greedy
+    * composition covers most corpus words in 2 pieces, overlaps that
+    * force the longest-match decision, and deliberate gaps ("big", the
+    * leading 'd' of "dup") that exercise the UNK path. */
+  private val wordpieceVocab: Seq[String] = Seq(
+    "the", "data", "join", "key", "row", "a", "win", "dow", "ta", "ble",
+    "col", "umn", "vec", "tor", "str", "eam", "val", "ue", "small", "fil",
+    "ter", "gro", "up", "hash", "cust", "omer", "so", "rt", "or", "der",
+    "li", "ne", "par", "fast", "agg", "que", "ry", "scan", "bat", "ch",
+    "mer", "ge", "spark", "slow", "t")
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- corpus term frequency (unigram + bigram) -----------------------
@@ -77,6 +88,30 @@ object TextQueries {
                       CAST(floor(CAST(n_tokens AS DOUBLE) /
                             CAST(sum(n_tokens) OVER () AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS share_bp
                FROM cells ORDER BY source, lang""")
+    }),
+
+    // ---- subword token accounting: greedy longest-match wordpiece ------
+    // The corpus token budget a mixture config is actually priced in:
+    // whitespace counts under-count subword tokens, so per-doc counts run
+    // through TextAnalysis.subwordCounts' constant-folded greedy
+    // tokenizer (pure projection — no join, no shuffle, no UDF; see the
+    // operator Scaladoc for the packed-BIGINT fold). The oracle SQL is
+    // generated from the SAME dialect template, so both engines run the
+    // identical algorithm. The vocabulary exercises every regime: full
+    // words, multi-piece splits (win+dow, cust+omer), longest-match
+    // preference ("the" over "t", "slow" over "so"), and UNK fallbacks
+    // ("big" has no covering pieces; "dup" opens with an UNK char).
+    QuerySpec("q101_subword_tokens", { (s, dir) =>
+      graft.operators.TextAnalysis
+        .subwordCounts(Td.load(s, dir, "documents"), "doc_id", "text", wordpieceVocab)
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      val tok = graft.operators.TextAnalysis.subwordTokExpr(d, "text", wordpieceVocab, 64)
+      val outs = graft.operators.TextAnalysis.subwordCountExprs(d, "tok").mkString(", ")
+      Some(s"""SELECT doc_id, $outs
+               FROM (SELECT doc_id, $tok AS tok FROM documents) t
+               ORDER BY doc_id""")
     }),
 
     // ---- rare-token density: corpus-frequency quality filter ------------
