@@ -327,6 +327,47 @@ object Dedup {
     docs.join(nonRep, Seq(idCol), "left_anti")
   }
 
+  /** Fixed word-window "paragraphs" of each document: token windows of
+    * `paraWords` (the last one possibly shorter), keyed (doc_id,
+    * para_idx). A pure projection + posexplode — row count grows by
+    * ~len/paraWords, nothing shuffles. */
+  def paragraphs(docs: DataFrame, idCol: String, textCol: String,
+      paraWords: Int): DataFrame = {
+    require(paraWords >= 3, s"paraWords must be >= 3 (shingle minimum), got $paraWords")
+    val n = d.idiv(s"(${d.len("__tk")} + ${paraWords - 1})", s"$paraWords")
+    val windows = d.map(d.range1(n), "i",
+      d.wordSlice("__tk", s"(i-1)*$paraWords + 1", paraWords))
+    docs.selectExpr(s"$idCol AS __doc_id", s"${d.splitSpace(textCol)} AS __tk")
+      .selectExpr("__doc_id", s"posexplode($windows) AS (para_idx, para_text)")
+      .selectExpr("__doc_id AS doc_id", "para_idx", "para_text")
+  }
+
+  /** Corpus-wide paragraph-level near-dedup — the boilerplate-removal
+    * pass LLM pipelines run AFTER document-level dedup: a paragraph
+    * repeated across the corpus (headers, footers, licence blocks)
+    * survives document dedup because its carriers differ elsewhere.
+    * Reuses the whole document machinery on the exploded relation: each
+    * (doc, idx) window becomes a pseudo-doc keyed `doc_id·maxParasPerDoc
+    * + para_idx` (cluster-minimum on the packed key ≡ lexicographic
+    * (doc, idx) minimum, so the keeper is deterministic), then
+    * [[dropNearDuplicates]] runs unchanged — same LSH bands, same capped
+    * bucket joins, same checkpointed clustering; scale story inherited
+    * verbatim. Returns surviving (doc_id, para_idx, para_text) rows. */
+  def dropDuplicateParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      paraWords: Int, jaccardThreshold: Double,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      maxParasPerDoc: Int = 1024): DataFrame = {
+    val keyed = paragraphs(docs, idCol, textCol, paraWords)
+      // assert_true (kept alive by the filter on its NULL result) fails
+      // the job on key overflow rather than silently aliasing paragraphs
+      .withColumn("__chk", expr(
+        s"assert_true(para_idx < $maxParasPerDoc, 'para_idx >= $maxParasPerDoc: raise maxParasPerDoc')"))
+      .where(col("__chk").isNull).drop("__chk")
+      .withColumn("pkey", col("doc_id") * maxParasPerDoc + col("para_idx"))
+    dropNearDuplicates(keyed, "pkey", "para_text", jaccardThreshold, maxBucketSize)
+      .select("doc_id", "para_idx", "para_text")
+  }
+
   /** Length-banded edit-distance near-dup pairs (high-precision verifier;
     * see q76 for the recall/cost trade).
     *

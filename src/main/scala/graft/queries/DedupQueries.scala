@@ -64,13 +64,14 @@ object DedupQueries {
   }
 
   /** Shared oracle CTE chain ending in `pairs(doc_a, doc_b, jaccard)` —
-    * the q55 result set, reused verbatim by the q91 cluster oracle. */
-  private def minhashPairsSql(d: SqlDialect): String =
+    * the q55 result set, reused verbatim by the q91 cluster oracle and
+    * (retargeted at a paragraph pseudo-corpus via `from`) by q102. */
+  private def minhashPairsSql(d: SqlDialect, from: String = "corpus"): String =
     s"""tk AS (
           SELECT doc_id, ${shinglesExpr(d)} AS shingles
-          FROM corpus WHERE ${d.len(d.splitSpace("text"))} >= 3),
+          FROM $from WHERE ${d.len(d.splitSpace("text"))} >= 3),
         sig AS (SELECT doc_id, ${sigsExpr(d)} AS sigs
-                FROM corpus WHERE ${d.len(d.splitSpace("text"))} >= 3),
+                FROM $from WHERE ${d.len(d.splitSpace("text"))} >= 3),
         bands AS (
           SELECT doc_id,
                  concat(CAST(t.j AS VARCHAR), ':',
@@ -152,6 +153,50 @@ object DedupQueries {
                  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
                SELECT u AS doc_id, min(v) AS cluster_id
                FROM reach GROUP BY u ORDER BY doc_id""")
+    }),
+
+    // ---- paragraph-level near-dedup (post-document boilerplate pass) ----
+    // 20-word windows of the SAME perturbed corpus: the doc_id+10000
+    // copies share every leading paragraph with their originals exactly,
+    // so the operator must drop those while keeping each document's
+    // divergent tail window — within-corpus boilerplate removal through
+    // the unchanged document machinery (pseudo-docs keyed
+    // doc·1024+idx; see Dedup.dropDuplicateParagraphs). Oracle = the
+    // identical window construction + the SAME pairs chain retargeted at
+    // the paragraph pseudo-corpus + the q91 recursive-CTE clustering.
+    QuerySpec("q102_paragraph_dedup", { (s, dir) =>
+      graft.operators.Dedup
+        .dropDuplicateParagraphs(corpus(s, dir), "doc_id", "text",
+          paraWords = 20, jaccardThreshold = 0.6)
+        .orderBy("doc_id", "para_idx")
+    }, {
+      val d = DuckSql
+      val nParas = d.idiv(s"(${d.len("tk")} + 19)", "20")
+      Some(s"""WITH RECURSIVE $corpusSql,
+               tkk AS (SELECT doc_id AS src_doc, ${d.splitSpace("text")} AS tk FROM corpus),
+               parai AS (SELECT src_doc, tk, unnest(${d.range1(nParas)}) AS i FROM tkk),
+               paras AS (
+                 SELECT src_doc, CAST(i - 1 AS INTEGER) AS para_idx,
+                        ${d.wordSlice("tk", "(i-1)*20 + 1", 20)} AS text
+                 FROM parai),
+               pcorpus AS (
+                 SELECT src_doc, para_idx, src_doc * 1024 + para_idx AS doc_id, text
+                 FROM paras),
+               ${minhashPairsSql(d, from = "pcorpus")},
+               und AS (
+                 SELECT doc_a AS u, doc_b AS v FROM pairs
+                 UNION
+                 SELECT doc_b, doc_a FROM pairs),
+               reach(u, v) AS (
+                 SELECT u, u FROM und
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+               nonrep AS (
+                 SELECT u AS pkey FROM reach GROUP BY u HAVING u <> min(v))
+               SELECT src_doc AS doc_id, para_idx, text AS para_text
+               FROM pcorpus
+               WHERE doc_id NOT IN (SELECT pkey FROM nonrep)
+               ORDER BY doc_id, para_idx""")
     }),
 
     // ---- SimHash hamming near-dup ---------------------------------------

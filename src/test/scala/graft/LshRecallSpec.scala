@@ -87,6 +87,41 @@ class LshRecallSpec extends AnyFunSuite with SparkTestBase {
     assert(keptStars.count() === kept.count())
   }
 
+  test("paragraph dedup: shared leading windows dropped, divergent tails kept, keeper = min (doc, idx)") {
+    import spark.implicits._
+    // 40-word docs = two 20-word windows. Doc 2 repeats doc 1's first
+    // window (boilerplate) with its own tail; doc 3 is fully distinct.
+    val w = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val tail1 = (1 to 20).map(i => s"aa$i").mkString(" ")
+    val tail2 = (1 to 20).map(i => s"bb$i").mkString(" ")
+    val tail3 = (1 to 20).map(i => s"cc$i").mkString(" ")
+    val docs = Seq((1L, s"$w $tail1"), (2L, s"$w $tail2"),
+      (3L, s"${tail3.toUpperCase} $tail3")).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .dropDuplicateParagraphs(docs, "doc_id", "text", paraWords = 20,
+        jaccardThreshold = 0.6)
+      .select("doc_id", "para_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // doc 2's window 0 is the exact duplicate — dropped; the keeper is
+    // doc 1's (min composite key); all tails survive
+    assert(kept === Set((1L, 0), (1L, 1), (2L, 1), (3L, 0), (3L, 1)))
+  }
+
+  test("paragraphs: window construction, short tail, sub-shingle paragraphs survive") {
+    import spark.implicits._
+    // 7 words at paraWords=3 → windows of 3/3/1; the 1-word tail is
+    // below the shingle minimum, so it can never pair — but it must
+    // still SURVIVE the dedup (dropped-from-LSH ≠ dropped-from-corpus)
+    val docs = Seq((5L, "a b c d e f g")).toDF("doc_id", "text")
+    val paras = graft.operators.Dedup.paragraphs(docs, "doc_id", "text", 3)
+      .orderBy("para_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2)))
+    assert(paras.toSeq === Seq((0, "a b c"), (1, "d e f"), (2, "g")))
+    val kept = graft.operators.Dedup
+      .dropDuplicateParagraphs(docs, "doc_id", "text", 3, 0.6)
+    assert(kept.count() === 3)
+  }
+
   test("clusters: chains, cliques, and disjoint components all get min-id labels") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, exercises multi-round propagation),
