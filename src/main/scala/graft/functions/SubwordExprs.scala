@@ -24,35 +24,57 @@ final class SubwordVocab(pieces: Array[String], val maxWordLen: Int) extends Ser
 
   /** [n_words, n_subwords, n_unk] for one document's word array — the
     * same greedy longest-match walk as the dialect-template HOF fold
-    * (TextAnalysis.subwordTokExpr), as one fused JVM loop. */
+    * (TextAnalysis.subwordTokExpr), as one fused JVM loop.
+    *
+    * NULL array elements are IGNORED entirely (a NULL word is no word —
+    * it counts toward none of the three outputs); the pipeline's own
+    * split-of-coalesced-text input never produces one, but the function
+    * is a public session SQL function, so arbitrary arrays must not NPE
+    * (round-5 advice).
+    *
+    * The walk is CODE-POINT based — truncation, UNK stepping, and
+    * position arithmetic all advance by code point, not UTF-16 unit —
+    * matching the dialect template's substr/length semantics (both
+    * engines' substr/length count code points), so words containing
+    * supplementary-plane characters produce identical counts on the
+    * Spark and DuckDB sides (round-5 advice). Vocab pieces are
+    * lowercase-ASCII (class contract), so an ASCII prefix match at a
+    * code-point boundary never straddles a surrogate pair. */
   def stats(words: ArrayData): ArrayData = {
     val n = words.numElements()
+    var nWords = 0L
     var cnt = 0L
     var unk = 0L
     var i = 0
     while (i < n) {
-      var w = words.getUTF8String(i).toString
-      if (w.length > maxWordLen) w = w.substring(0, maxWordLen)
-      var pos = 0
-      while (pos < w.length) {
-        val c = w.charAt(pos)
-        var bestLen = 0
-        if (c >= 'a' && c <= 'z') {
-          val cands = byChar(c - 'a')
-          if (cands != null) {
-            var j = 0
-            while (j < cands.length && bestLen == 0) {
-              if (w.startsWith(cands(j), pos)) bestLen = cands(j).length
-              j += 1
+      val u = words.getUTF8String(i) // null when the array slot is NULL
+      if (u != null) {
+        nWords += 1
+        var w = u.toString
+        if (w.codePointCount(0, w.length) > maxWordLen)
+          w = w.substring(0, w.offsetByCodePoints(0, maxWordLen))
+        var pos = 0
+        while (pos < w.length) {
+          val c = w.charAt(pos)
+          var bestLen = 0
+          if (c >= 'a' && c <= 'z') {
+            val cands = byChar(c - 'a')
+            if (cands != null) {
+              var j = 0
+              while (j < cands.length && bestLen == 0) {
+                if (w.startsWith(cands(j), pos)) bestLen = cands(j).length
+                j += 1
+              }
             }
           }
+          cnt += 1
+          if (bestLen == 0) { unk += 1; pos += Character.charCount(w.codePointAt(pos)) }
+          else pos += bestLen
         }
-        cnt += 1
-        if (bestLen == 0) { unk += 1; pos += 1 } else pos += bestLen
       }
       i += 1
     }
-    new GenericArrayData(Array(n.toLong, cnt, unk))
+    new GenericArrayData(Array(nWords, cnt, unk))
   }
 }
 

@@ -1,8 +1,14 @@
 package graft.pipeline
 
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.operators.AtomicSwap
 
 /** Incremental maintenance for the events daily gold rollup — the 100×
   * story the full-recompute medallion lacks (round-4 verdict, missing #3):
@@ -22,16 +28,41 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *    made durable across batches);
   *  - DECIMAL(18,4) sums merge associatively, so incremental == full to
   *    the last bit (doubles would drift with order);
-  *  - the state is PARTITIONED by day and merged with dynamic partition
-  *    overwrite: a batch reads and rewrites ONLY its affected day
-  *    partitions — per-batch cost scales with the batch, not the table.
+  *  - the state is PARTITIONED by day: a batch reads and rewrites ONLY
+  *    its affected day partitions — per-batch cost scales with the
+  *    batch, not the table.
   *
-  * Batch boundaries come from the ingest layer (StreamingBronze's
-  * AvailableNow micro-batches deliver each file exactly once); replaying
-  * a batch would double-count, the same contract as any partial-merge
-  * pipeline. IncrementalGoldSpec proves incremental ≡ full after every
-  * batch and that untouched day partitions are byte-identical (not
-  * rewritten).
+  * COMMIT PROTOCOL (round-5 advice: the first cut dynamically overwrote
+  * the directory it was reading, so a crash mid-commit left the state
+  * half-merged and a replay double-counted the committed half):
+  *
+  *  - the whole read-merge-write span runs under the state table's
+  *    [[AtomicSwap.withWriterLock]] — a second concurrent ingest fails
+  *    cleanly with ConcurrentSwapException instead of losing an update;
+  *  - every batch carries a caller-supplied `batchId` (StreamingBronze's
+  *    foreachBatch id, a file manifest digest — anything unique per
+  *    batch and stable across retries of the SAME batch);
+  *  - the merged rows are written to a sibling tmp directory in ONE job,
+  *    then each affected day partition is swapped in individually with
+  *    [[AtomicSwap.replace]] (whole-directory ATOMIC_MOVE), carrying a
+  *    `_batches` manifest file (underscore-prefixed, so Spark's file
+  *    listing ignores it) that records every batchId folded into that
+  *    day — data and manifest commit in the SAME rename;
+  *  - a replayed batch skips the days whose manifest already lists its
+  *    batchId and completes only the missing ones, so a crash between
+  *    day swaps is healed by rerunning the same ingest: already-committed
+  *    days are detected (no double count), uncommitted days are merged.
+  *
+  * After a process CRASH (not a clean failure) the state lock and
+  * possibly a day-level mid-swap window survive; [[recoverIngest]] is
+  * the operator-invoked healer (break orphaned locks, finish/undo the
+  * rename pair) — mirroring AtomicSwap's breakLock discipline.
+  *
+  * IncrementalGoldSpec proves incremental ≡ full after every batch, that
+  * untouched day partitions are byte-identical (not rewritten), that a
+  * replayed batch is a no-op, that a batch killed between day commits
+  * resumes exactly (no loss, no double count), and that a concurrent
+  * second writer fails cleanly.
   */
 object IncrementalGold {
 
@@ -71,31 +102,108 @@ object IncrementalGold {
         count(lit(1)).as("n_users"),
         sum(col("sum_k")).as("sum_k"))
 
-  /** Fold one silver batch into the state table at `stateDir`: reads ONLY
-    * the day partitions the batch touches, merges, and dynamically
-    * overwrites exactly those partitions. Returns the affected day keys
-    * (driver-small by construction: a batch carries few days).
+  private def dayDir(stateDir: String, day: String) = s"$stateDir/day_key=$day"
+  private def manifestOf(dir: String) = Paths.get(dir, "_batches")
+
+  /** Batch ids already folded into one day partition (its `_batches`
+    * manifest — committed atomically with the data by the directory
+    * swap, absent for partitions written before this protocol). */
+  def committedBatches(stateDir: String, day: String): Seq[String] = {
+    val m = manifestOf(dayDir(stateDir, day))
+    if (Files.exists(m)) {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(m, StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty)
+    } else Seq.empty
+  }
+
+  /** Day partition directories of the state table — strict name filter,
+    * so a mid-swap trash directory (`day_key=X.swap_old`) or lock file
+    * can never be misread as a partition by Spark's discovery. */
+  private def dayKeys(stateDir: String): Seq[String] =
+    Option(new File(stateDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("day_key=[0-9]{4}-[0-9]{2}-[0-9]{2}"))
+      .map(_.getName.stripPrefix("day_key=")).toSeq.sorted
+
+  /** The state table as a DataFrame: explicit partition-directory paths
+    * under `basePath`, immune to swap-artifact siblings. */
+  def state(spark: SparkSession, stateDir: String): DataFrame = {
+    val keys = dayKeys(stateDir)
+    require(keys.nonEmpty, s"no state at $stateDir — ingest a batch first")
+    spark.read.option("basePath", stateDir)
+      .parquet(keys.map(dayDir(stateDir, _)): _*)
+  }
+
+  /** Fold one silver batch into the state table at `stateDir` under the
+    * commit protocol documented on the object. Returns the day keys this
+    * call actually committed — the batch's days on a fresh ingest, only
+    * the previously-missing days on a crash-resume replay, empty when the
+    * batch was already fully applied (idempotent no-op).
+    *
+    * `onDayCommitted` is a test seam (failure injection between day
+    * commits); production callers leave the default.
     */
-  def ingestBatch(spark: SparkSession, stateDir: String, silverBatch: DataFrame): Seq[String] = {
-    val p = partials(silverBatch)
-    val days = p.select("day_key").distinct().collect().map(_.getString(0)).toSeq.sorted
-    val hasState = new java.io.File(stateDir).exists()
-    val old =
-      if (hasState) spark.read.parquet(stateDir).where(col("day_key").isin(days: _*))
-      else p.limit(0)
-    val merged = mergeState(old, p)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      merged.write.mode("overwrite").partitionBy("day_key").parquet(stateDir)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  def ingestBatch(spark: SparkSession, stateDir: String, silverBatch: DataFrame,
+      batchId: String, onDayCommitted: String => Unit = _ => ()): Seq[String] = {
+    require(batchId.nonEmpty && !batchId.exists(c => c == '\n' || c == '\r'),
+      s"batchId must be a non-empty single-line token, got '$batchId'")
+    AtomicSwap.withWriterLock(stateDir) {
+      Files.createDirectories(Paths.get(stateDir))
+      // heal any day-level mid-swap window a crashed ingest left behind
+      // (safe here: the state lock guarantees no other writer is active)
+      recoverDays(stateDir)
+      val p = partials(silverBatch)
+      val days = p.select("day_key").distinct().collect().map(_.getString(0)).toSeq.sorted
+      val pending = days.filterNot(d => committedBatches(stateDir, d).contains(batchId))
+      if (pending.isEmpty) Seq.empty
+      else {
+        val pendingWithState = pending.filter(d => Files.exists(Paths.get(dayDir(stateDir, d))))
+        val newP = p.where(col("day_key").isin(pending: _*))
+        val old =
+          if (pendingWithState.nonEmpty)
+            spark.read.option("basePath", stateDir)
+              .parquet(pendingWithState.map(dayDir(stateDir, _)): _*)
+          else newP.limit(0)
+        // ONE job writes every merged day partition to a sibling tmp root …
+        val tmpRoot = s"$stateDir.ingest_tmp"
+        mergeState(old, newP).write.mode("overwrite").partitionBy("day_key").parquet(tmpRoot)
+        // … then each day commits via one atomic rename that carries both
+        // the data and its updated `_batches` manifest.
+        for (d <- pending) {
+          val tmpDay = s"$tmpRoot/day_key=$d"
+          val lines = committedBatches(stateDir, d) :+ batchId
+          Files.write(manifestOf(tmpDay), lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+          AtomicSwap.replace(dayDir(stateDir, d), tmpDay)
+          onDayCommitted(d)
+        }
+        deleteRecursively(new File(tmpRoot))
+        pending
+      }
     }
-    days
   }
 
   /** Current gold from the state table on disk. */
   def gold(spark: SparkSession, stateDir: String): DataFrame =
-    goldFromState(spark.read.parquet(stateDir))
+    goldFromState(state(spark, stateDir))
+
+  private def recoverDays(stateDir: String): Unit =
+    Option(new File(stateDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.endsWith(".swap_old"))
+      .foreach(f => AtomicSwap.recover(s"$stateDir/${f.getName.stripSuffix(".swap_old")}"))
+
+  /** Operator-invoked crash healer: a KILLED ingest (not a clean failure)
+    * leaves the state writer lock — and possibly a day mid-swap — behind.
+    * Verify no ingest is alive, then call this before retrying the batch
+    * (the retry itself is idempotent via the day manifests). */
+  def recoverIngest(stateDir: String): Unit = {
+    AtomicSwap.breakLock(stateDir)
+    Option(new File(stateDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".swap_lock"))
+      .foreach(f => Files.deleteIfExists(f.toPath): Unit)
+    recoverDays(stateDir)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 }

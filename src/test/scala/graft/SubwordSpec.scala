@@ -93,6 +93,43 @@ class SubwordSpec extends AnyFunSuite with SparkTestBase {
     assert(native === hof)
   }
 
+  test("subword_stats is NULL-element-safe: a NULL word is no word (public SQL function)") {
+    // round-5 advice: the session-registered function must not NPE on an
+    // array with NULL slots, which split-of-coalesced-text never produces
+    // but arbitrary SQL can
+    val out = spark.sql(
+      "SELECT subword_stats(array('up', CAST(NULL AS STRING), 'big'), array('up'), 64) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(out === Seq(2L, 4L, 3L)) // up = 1 piece; big = 3 UNKs; NULL ignored
+    val allNull = spark.sql(
+      "SELECT subword_stats(array(CAST(NULL AS STRING)), array('up'), 64) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(allNull === Seq(0L, 0L, 0L))
+  }
+
+  test("supplementary-plane characters: native ≡ HOF fold (code-point walk + truncation)") {
+    // round-5 advice: the native loop must count and truncate by CODE
+    // POINT like both engines' substr/length, not by UTF-16 unit — an
+    // astral char is ONE unk, and maxWordLen truncates at 64 code points
+    import spark.implicits._
+    val d = graft.queries.SparkSql
+    val smile = "😀" // U+1F600, one code point, two UTF-16 units
+    val docs = Seq(
+      (1L, s"$smile${smile}up the"), // two astral UNKs, then pieces
+      (2L, (smile * 70) + "up"),     // truncation at 64 code points drops "up"
+      (3L, s"a${smile}t"))           // astral between ASCII
+      .toDF("doc_id", "text")
+    val native = TextAnalysis.subwordCounts(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val tok = TextAnalysis.subwordTokExpr(d, "text", vocab, 64)
+    val hof = docs.selectExpr("doc_id", s"$tok AS tok")
+      .selectExpr("doc_id" +: TextAnalysis.subwordCountExprs(d, "tok"): _*)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(native === hof)
+    assert(native(0).drop(1) === Seq(2L, 4L, 2L)) // smile,smile,up | the
+    assert(native(1).drop(1) === Seq(1L, 64L, 64L)) // 64 astral UNKs, no "up"
+  }
+
   test("vocabulary contract: rejects empty, oversized, duplicate, non-ascii pieces") {
     import spark.implicits._
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
