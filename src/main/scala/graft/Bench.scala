@@ -47,7 +47,14 @@ object Bench {
     try { exec("q06_agg_group"); exec("q23_join_broadcast") }
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // SPARK_GRAFT_BENCH_ONLY=q55_dedup_minhash,q102_paragraph_dedup runs a
+    // subset — the isolated-measurement loop used when adjudicating
+    // per-query regressions (round-5 ledger precedent). Unset = all.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { name =>
       val t0 = System.nanoTime()
       val ok = try { exec(name); true } catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9

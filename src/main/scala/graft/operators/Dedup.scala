@@ -32,6 +32,16 @@ object Dedup {
     * on a skewed production corpus. */
   val DefaultMaxBucketSize = 10000
 
+  /** Tokenize/shingle/hash chains are CPU-bound row work; a NARROW input
+    * (one small parquet file, a union of a few scans) would run them on a
+    * handful of cores. Widen-only: inputs already at/above the session's
+    * shuffle parallelism pass through untouched — no extra exchange at
+    * scale, where the corpus scan has plenty of partitions. */
+  private def widen(df: DataFrame): DataFrame = {
+    val sp = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < sp) df.repartition(sp) else df
+  }
+
   /** 3-token shingle set of a text column (lambda-bound tokenization). */
   def shingles(textCol: String): String =
     d.bind(d.splitSpace(textCol), "tk",
@@ -72,13 +82,34 @@ object Dedup {
                   CAST(element_at(sigs, 2*j+2) AS STRING)) AS bucket""")
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard confirmation
-    * (12 signature slots in 6 bands × 2 rows). */
+    * (12 signature slots in 6 bands × 2 rows).
+    *
+    * The (doc_id, shingles, sigs) signature relation is MATERIALIZED
+    * once (eager localCheckpoint — same ownership contract as
+    * [[clusters]]) and every branch of the plan reads the leaf: the
+    * band self-join uses it twice and the exact-Jaccard confirm joins
+    * it twice more, so a lazy plan re-evaluates the tokenize → shingle →
+    * md5-signature chain — interpreted higher-order functions, the most
+    * expensive expressions in the engine — up to five times per run
+    * (measured 6.2 s → 2.0 s on the sf0.1 paragraph pseudo-corpus, and
+    * at 100 TB those are five full scans of the corpus vs one). Blocks
+    * are signature-sized (id + ~k shingle strings + 12 ints per doc),
+    * released by the ContextCleaner when the result is unreferenced. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val base = docs.where(s"${d.len(d.splitSpace(textCol))} >= 3")
-    val tk = base.selectExpr(s"$idCol AS doc_id", s"${shingles(textCol)} AS shingles")
-    val bands = capBuckets(minhashBands(docs, idCol, textCol), maxBucketSize)
+    val sig = widen(docs).where(s"${d.len(d.splitSpace(textCol))} >= 3")
+      .selectExpr(s"$idCol AS doc_id", s"${shingles(textCol)} AS shingles")
+      .selectExpr("doc_id", "shingles", "minhash_sigs(shingles) AS sigs")
+      .localCheckpoint(true)
+    val tk = sig.select("doc_id", "shingles")
+    val bands = capBuckets(
+      sig.selectExpr("doc_id", "sigs", "explode(sequence(0, 5)) AS j")
+        .selectExpr("doc_id",
+          """concat(CAST(j AS STRING), ':',
+                    CAST(element_at(sigs, 2*j+1) AS STRING), '|',
+                    CAST(element_at(sigs, 2*j+2) AS STRING)) AS bucket"""),
+      maxBucketSize)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
@@ -357,7 +388,11 @@ object Dedup {
       paraWords: Int, jaccardThreshold: Double,
       maxBucketSize: Int = DefaultMaxBucketSize,
       maxParasPerDoc: Int = 1024): DataFrame = {
-    val keyed = paragraphs(docs, idCol, textCol, paraWords)
+    // widen BEFORE the window construction: the split + word-slice HOFs
+    // are the expensive per-row work here, and a small corpus arrives on
+    // 1-2 scan partitions (the downstream signature stage would widen
+    // anyway, but only after this chain had run narrow)
+    val keyed = paragraphs(widen(docs), idCol, textCol, paraWords)
       // assert_true (kept alive by the filter on its NULL result) fails
       // the job on key overflow rather than silently aliasing paragraphs
       .withColumn("__chk", expr(
