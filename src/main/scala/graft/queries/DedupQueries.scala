@@ -410,6 +410,32 @@ object DedupQueries {
                FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
                WHERE ${d.dsum(d.zipMul("a.embedding", "b.embedding"))} / (a.nrm * b.nrm) >= 0.99
                ORDER BY vec_a, vec_b""")
+    }),
+
+    // ---- benchmark decontamination (train/eval n-gram overlap) ----------
+    // eval = every 23rd document; corpus = the perturbed near-dup corpus,
+    // so the contaminated set exercises BOTH hit kinds: eval members
+    // themselves (self-overlap) and their id+10000 suffix-perturbed
+    // copies (cross-document leakage — the case decontamination exists
+    // for). Scale shape: eval's distinct 13-grams broadcast; the corpus's
+    // exploded grams meet them in a map-side join and only the matches
+    // reach the per-doc count exchange (operators/Decontamination).
+    QuerySpec("q103_decontaminate", { (s, dir) =>
+      val eval = Td.load(s, dir, "documents").where("doc_id % 23 = 0")
+      graft.operators.Decontamination
+        .contaminationHits(corpus(s, dir), "doc_id", "text", eval, "text", 13)
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      val grams = graft.operators.Decontamination.ngramsExpr(d, "text", 13)
+      Some(s"""WITH $corpusSql,
+               eval AS (SELECT text FROM documents WHERE doc_id % 23 = 0),
+               cg AS (SELECT doc_id, unnest($grams) AS ngram FROM corpus),
+               eg AS (SELECT DISTINCT unnest($grams) AS ngram FROM eval)
+               SELECT cg.doc_id, count(*) AS n_hits
+               FROM cg JOIN eg ON cg.ngram = eg.ngram
+               GROUP BY cg.doc_id
+               ORDER BY doc_id""")
     })
   )
 

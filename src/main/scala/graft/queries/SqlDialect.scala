@@ -90,6 +90,13 @@ sealed trait SqlDialect {
   def shiftr(x: String, b: String): String
   def bxor(a: String, b: String): String
   def idiv(a: String, b: String): String
+  /** Replace EVERY match of `pat` in `c` with `repl` (DuckDB's default
+    * is first-match-only; the 'g' flag lives here so callers can't
+    * forget it). Patterns must stay in the backslash-free regex subset —
+    * see [[graft.operators.PiiRedaction]]. */
+  def regexReplaceAll(c: String, pat: String, repl: String): String
+  /** Number of matches of `pat` in `c`, BIGINT. */
+  def regexCount(c: String, pat: String): String
 }
 
 object SparkSql extends SqlDialect {
@@ -124,6 +131,10 @@ object SparkSql extends SqlDialect {
     s"zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
   def joinStr(l: String, sep: String) = s"array_join($l, '$sep')"
   def shiftl(x: String, b: String) = s"shiftleft($x, $b)"
+  def regexReplaceAll(c: String, pat: String, repl: String) =
+    s"regexp_replace($c, '$pat', '$repl')"
+  def regexCount(c: String, pat: String) =
+    s"CAST(regexp_count($c, '$pat') AS BIGINT)"
 }
 
 object DuckSql extends SqlDialect {
@@ -157,4 +168,8 @@ object DuckSql extends SqlDialect {
     s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))"
   def joinStr(l: String, sep: String) = s"array_to_string($l, '$sep')"
   def shiftl(x: String, b: String) = s"($x << $b)"
+  def regexReplaceAll(c: String, pat: String, repl: String) =
+    s"regexp_replace($c, '$pat', '$repl', 'g')"
+  def regexCount(c: String, pat: String) =
+    s"CAST(len(regexp_extract_all($c, '$pat')) AS BIGINT)"
 }

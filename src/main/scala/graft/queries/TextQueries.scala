@@ -31,6 +31,19 @@ object TextQueries {
     "li", "ne", "par", "fast", "agg", "que", "ry", "scan", "bat", "ch",
     "mer", "ge", "spark", "slow", "t")
 
+  /** q104's planted-PII corpus: the same CASE text in both engines (the
+    * planted literals avoid quotes/backslashes, so the two dialects'
+    * string literals are identical byte-for-byte). */
+  private val piiCaseSql =
+    """CASE WHEN doc_id % 7 = 0
+            THEN concat(text, ' contact jane.doe+spam@mail-svc.io from 10.0.42.7 ref 123-45-6789')
+            WHEN doc_id % 7 = 3
+            THEN concat(text, ' or bob@10.0.0.5.mail.io backup host 192.168.1.200 uptime 99')
+            ELSE text END"""
+
+  private def piiCorpus(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Td.load(s, dir, "documents").selectExpr("doc_id", s"$piiCaseSql AS text")
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- corpus term frequency (unigram + bigram) -----------------------
@@ -112,6 +125,27 @@ object TextQueries {
       Some(s"""SELECT doc_id, $outs
                FROM (SELECT doc_id, $tok AS tok FROM documents) t
                ORDER BY doc_id""")
+    }),
+
+    // ---- PII redaction (pre-training scrub + audit counts) --------------
+    // Planted PII: every 7th doc gains an email+IP+SSN tail; every
+    // (7k+3)rd gains an email whose HOST is IP-shaped plus a bare IP —
+    // the order-sensitive case (email rule must consume its host before
+    // the IP rule sees it) next to a genuine IP hit. Both
+    // engines run the identical backslash-free patterns (the dialect
+    // regex contract lives in operators/PiiRedaction); the redacted TEXT
+    // itself is oracle-hashed, not just the counts.
+    QuerySpec("q104_pii_redaction", { (s, dir) =>
+      graft.operators.PiiRedaction
+        .redact(piiCorpus(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      val outs = (s"${graft.operators.PiiRedaction.redactExpr(d, "text")} AS redacted" +:
+        graft.operators.PiiRedaction.countExprs(d, "text")).mkString(", ")
+      Some(s"""WITH corpus AS (SELECT doc_id, $piiCaseSql AS text FROM documents)
+               SELECT doc_id, $outs
+               FROM corpus ORDER BY doc_id""")
     }),
 
     // ---- rare-token density: corpus-frequency quality filter ------------
