@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, Md5U32, MinHashAgg, MinHashSigs, SimHash32, SubwordStats}
+import graft.functions.{CosineSimilarity, HeavyHittersAgg, Md5U32, MinHashAgg, MinHashSigs, SimHash32, SubwordStats}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions into the session's
@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("minhash_agg",
       "minhash_agg(sigs) - mergeable element-wise-min aggregate of minhash signatures")(
       c => MinHashAgg(c.head).toAggregateExpression()))
+    ext.injectFunction(fn("heavy_hitters",
+      "heavy_hitters(term, k) - mergeable Misra-Gries top terms with frequency lower bounds")(
+      c => HeavyHittersAgg(c.head, c(1)).toAggregateExpression()))
     // Optimizer rule: Expand-free plan for count + single countDistinct
     // (see graft.plans.DistinctAggRewrite).
     ext.injectOptimizerRule(_ => graft.plans.DistinctAggRewrite)

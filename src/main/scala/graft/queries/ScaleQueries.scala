@@ -11,6 +11,29 @@ object ScaleQueries {
 
   val specs: Seq[QuerySpec] = Seq(
 
+    // ---- heavy-hitter detection (mergeable Misra-Gries aggregate) -------
+    // The skew toolkit's missing sensor: before choosing a salt width or
+    // a broadcast (q65/q90), find the keys that are actually hot — in one
+    // pass, k counters per partition, a k-row exchange per group, never a
+    // full vocabulary shuffle (functions/HeavyHittersAgg). The parity
+    // query runs in the EXACT regime (distinct langs per source << k=64,
+    // so no eviction ever fires and every weight is the true count —
+    // the only regime with a deterministic oracle; the approximation
+    // guarantee n/(k+1) is HeavyHittersSpec's job). inline() explodes the
+    // sorted (term, weight) structs into comparable rows.
+    QuerySpec("q105_heavy_hitters", { (s, dir) =>
+      Td.load(s, dir, "documents")
+        .where(col("lang").isNotNull)
+        .groupBy("source")
+        .agg(expr("heavy_hitters(lang, 64)").as("hh"))
+        .selectExpr("source", "inline(hh)")
+        .selectExpr("source", "term AS lang", "weight AS n_docs")
+        .orderBy("source", "lang")
+    }, Some("""SELECT source, lang, count(*) AS n_docs
+               FROM documents WHERE lang IS NOT NULL
+               GROUP BY source, lang
+               ORDER BY source, lang""")),
+
     // ---- salted two-phase aggregation (hot-key skew pattern) ------------
     // A 3-value group key at 100 TB means 3 reducers own the whole
     // shuffle. Salting fans each hot key across 16 sub-keys (deterministic
