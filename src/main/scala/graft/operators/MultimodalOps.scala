@@ -97,7 +97,7 @@ object MultimodalOps {
   /** Deterministic text→BMP rendering: 8..15 × 8..15 pixels whose RGB
     * bytes come from an md5 hash chain over the text, written through the
     * JDK BMP encoder. Deterministic so tests can golden the round trip. */
-  private[operators] def renderBmp(text: String): Array[Byte] = {
+  private[graft] def renderBmp(text: String): Array[Byte] = {
     imageIoInMemory
     val md = java.security.MessageDigest.getInstance("MD5")
     val seed = md.digest(text.getBytes("UTF-8"))
@@ -193,6 +193,167 @@ object MultimodalOps {
       (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
       (mn / 255.0).toFloat, (mx / 255.0).toFloat,
       (math.sqrt(variance) / 255.0).toFloat)
+  }
+
+  /** Batch RESIZE (brief: "decode / feature-extract / resize /
+    * frame-sample"): decode each BMP payload, nearest-neighbor resample
+    * to `outW`×`outH`, re-encode through the JDK BMP writer. Output
+    * (doc_id, payload, w, h, resized): `resized=false` rows (NULL or
+    * non-decodable payloads) pass through untouched — the transform is
+    * total over a mixed-media table, and the flag keeps the skip
+    * observable instead of silent. Executor-side mapPartitions like
+    * [[decodeBatch]]; one decoded image in flight per row, never a
+    * collected batch. */
+  def resizeBatch(packed: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, s"bad target size ${outW}x$outH")
+    val spark = packed.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("w", IntegerType),
+      StructField("h", IntegerType),
+      StructField("resized", BooleanType, nullable = false)))
+    val rdd = packed.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        decodeImage(bytes) match {
+          case Some(img) =>
+            val out = resizeNearest(img, outW, outH)
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "bmp", baos)
+            Row(id, baos.toByteArray, outW, outH, true)
+          case None => Row(id, bytes, null, null, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Nearest-neighbor resample — the one resampling kernel whose output
+    * pixels are EXACT source pixels, so tests can golden the mapping
+    * (src(x·w/outW, y·h/outH)) without float filtering tolerances. */
+  private[operators] def resizeNearest(img: java.awt.image.BufferedImage,
+      outW: Int, outH: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < outH) {
+      val sy = y * img.getHeight / outH
+      var x = 0
+      while (x < outW) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / outW, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes != null && bytes.length > 2 &&
+      bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
+      imageIoInMemory
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    } else None
+
+  // ---- frame-sampled "video" containers ------------------------------
+  // A deterministic length-prefixed container of BMP frames ("GFV0" +
+  // frame count + [len + bytes]*) stands in for a real video codec the
+  // JDK lacks; the Spark-side plumbing a video table needs — an opaque
+  // multi-frame BINARY column, container parsing on executors, evenly-
+  // spaced frame selection, per-frame decode, one output row per sampled
+  // frame — is all real.
+
+  private val VideoMagic = Array[Byte]('G', 'F', 'V', '0')
+
+  /** Pack each document as an n-frame video: frame f is the BMP of
+    * `text#<f>` (distinct deterministic pixels per frame). */
+  def packVideos(docs: DataFrame, nFrames: Int): DataFrame = {
+    require(nFrames >= 1, s"nFrames $nFrames < 1")
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("n_bytes", IntegerType),
+        StructField("n_frames", IntegerType),
+        StructField("mime", StringType))))))
+    val rdd = docs.select("doc_id", "text").rdd.mapPartitions { it =>
+      it.map { r =>
+        val text = if (r.isNullAt(1)) null else r.getString(1)
+        if (text == null) Row(r.getLong(0), null, Row(null, null, "video/x-graft"))
+        else {
+          val baos = new java.io.ByteArrayOutputStream()
+          val out = new java.io.DataOutputStream(baos)
+          out.write(VideoMagic)
+          out.writeInt(nFrames)
+          var f = 0
+          while (f < nFrames) {
+            val frame = renderBmp(s"$text#$f")
+            out.writeInt(frame.length)
+            out.write(frame)
+            f += 1
+          }
+          out.flush()
+          val bytes = baos.toByteArray
+          Row(r.getLong(0), bytes, Row(bytes.length, nFrames, "video/x-graft"))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Sample `k` evenly spaced frames from each video payload and decode
+    * each to its feature vector — one output row per (doc, sampled
+    * frame). Selection is the deterministic endpoint-inclusive grid
+    * `idx_i = floor(i·(n-1)/(k-1))` (first and last frame always kept;
+    * k=1 keeps the first), clamped to k ≤ n. Malformed or NULL payloads
+    * yield zero rows — a corrupt container must not kill a 100 TB scan
+    * (same fall-through contract as [[decodeFeature]]). */
+  def sampleFrames(videos: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k $k < 1")
+    val spark = videos.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("feature", ArrayType(FloatType, containsNull = false))))
+    val rdd = videos.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        parseVideo(r.getAs[Array[Byte]](1)) match {
+          case Some(frames) =>
+            val n = frames.length
+            val kk = math.min(k, n)
+            val picks =
+              if (kk == 1) Seq(0)
+              else (0 until kk).map(i => i * (n - 1) / (kk - 1))
+            picks.map(i => Row(id, i, decodeFeature(frames(i))))
+          case None => Seq.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Container parse: None for NULL/short/wrong-magic/truncated
+    * payloads, Some(frame byte arrays) otherwise. */
+  private[operators] def parseVideo(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 8 ||
+      !VideoMagic.indices.forall(i => bytes(i) == VideoMagic(i))) return None
+    try {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes, 4, bytes.length - 4))
+      val n = in.readInt()
+      if (n < 0 || n > (1 << 20)) return None
+      Some(Array.fill(n) {
+        val len = in.readInt()
+        val frame = new Array[Byte](len)
+        in.readFully(frame)
+        frame
+      })
+    } catch { case _: Exception => None }
   }
 
   /** Byte-fold fallback for payloads without a JDK codec: fold bytes into

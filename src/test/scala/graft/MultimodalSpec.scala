@@ -162,4 +162,66 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(stats.getInt(1) === MultimodalOps.FeatureDim)
     assert(stats.getDouble(2) > 0.0)
   }
+
+  private def solidBmp(w: Int, h: Int, fill: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, fill(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.toByteArray
+  }
+
+  test("resizeBatch: exact nearest-neighbor pixels; non-image rows pass through flagged") {
+    import spark.implicits._
+    // 2x2 quadrant image: each quadrant of the 4x4 upscale must be the
+    // EXACT source pixel (nearest-neighbor goldens, no filter tolerance)
+    val quads = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val bmp = solidBmp(2, 2, (x, y) => quads(y * 2 + x))
+    val packed = Seq(
+      (1L, bmp),
+      (2L, "not an image".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    val out = MultimodalOps.resizeBatch(packed, 4, 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]]("payload"), r.getBoolean(4)))).toMap
+    assert(out(1)._2 === true)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(1)._1))
+    assert(img.getWidth === 4 && img.getHeight === 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((img.getRGB(x, y) & 0xffffff) === quads((y / 2) * 2 + x / 2), s"($x,$y)")
+    // passthrough rows: untouched bytes, resized=false
+    assert(out(2)._2 === false && out(2)._1.toSeq === "not an image".getBytes("UTF-8").toSeq)
+    assert(out(3)._2 === false && out(3)._1 === null)
+  }
+
+  test("packVideos → sampleFrames: evenly spaced frames, per-frame real decode") {
+    import spark.implicits._
+    val vids = MultimodalOps.packVideos(Seq((7L, "clip a")).toDF("doc_id", "text"), 10)
+    val meta = vids.head()
+    assert(meta.getAs[Row]("meta").getInt(1) === 10)
+    val got = MultimodalOps.sampleFrames(vids, 3)
+      .collect().map(r => (r.getInt(1), r.getSeq[Float](2))).toMap
+    // endpoint-inclusive grid over n=10, k=3 → frames 0, 4, 9
+    assert(got.keySet === Set(0, 4, 9))
+    // each sampled frame decodes to the SAME features as its standalone BMP
+    for (i <- Seq(0, 4, 9)) {
+      val frame = MultimodalOps.renderBmp(s"clip a#$i")
+      assert(got(i) === MultimodalOps.decodeFeature(frame).toSeq, s"frame $i")
+    }
+  }
+
+  test("sampleFrames: k=1 keeps frame 0; k>n clamps; corrupt/NULL payloads yield no rows") {
+    import spark.implicits._
+    val vids = MultimodalOps.packVideos(Seq((1L, "x")).toDF("doc_id", "text"), 4)
+    assert(MultimodalOps.sampleFrames(vids, 1)
+      .collect().map(_.getInt(1)).toSeq === Seq(0))
+    assert(MultimodalOps.sampleFrames(vids, 99)
+      .collect().map(_.getInt(1)).sorted.toSeq === Seq(0, 1, 2, 3))
+    val bad = Seq(
+      (1L, "GFV0junk".getBytes("UTF-8")),
+      (2L, "tiny".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    assert(MultimodalOps.sampleFrames(bad, 2).count() === 0L)
+  }
 }
