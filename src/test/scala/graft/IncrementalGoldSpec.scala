@@ -152,6 +152,45 @@ class IncrementalGoldSpec extends AnyFunSuite with SparkTestBase {
     assert(IncrementalGold.ingestBatch(spark, stateDir, b2, "batch-2").nonEmpty)
   }
 
+  test("streaming foreachBatch drives the gold exactly-once end-to-end") {
+    // the glue contract: Structured Streaming's (batch, batchId) pairs
+    // feed ingestBatch; at-least-once redelivery (simulated by re-running
+    // a batch id) must not double-count, and after the stream drains the
+    // state-derived gold equals the full recompute to the bit
+    val (silver0, _, _, _, _, _) = fixtures()
+    val silver = silver0.cache()
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-gold").toString
+    silver.repartition(4).write.parquet(s"$root/silver")
+    val stateDir = s"$root/state"
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .schema(spark.read.parquet(s"$root/silver").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/silver")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        seen += batchId
+        if (batchId == 0L) batch.write.mode("overwrite").parquet(s"$root/b0")
+        IncrementalGold.ingestBatch(spark, stateDir, batch, s"stream-$batchId"): Unit
+      }
+      .start()
+    q.awaitTermination()
+    assert(seen.size >= 3, s"expected multiple micro-batches, got $seen")
+
+    val goldOnce = canon(IncrementalGold.gold(spark, stateDir))
+    assert(goldOnce === canon(EventsPipeline.goldDaily(silver)))
+
+    // at-least-once redelivery of an already-committed batch: no-op
+    val replayed = IncrementalGold.ingestBatch(spark, stateDir,
+      spark.read.parquet(s"$root/b0"), s"stream-0")
+    assert(replayed === Seq.empty)
+    assert(canon(IncrementalGold.gold(spark, stateDir)) === goldOnce)
+    silver.unpersist()
+  }
+
   test("goldFromState on a single all-at-once batch matches goldDaily directly") {
     val sf = "/root/testdata/sf0.001"
     val silver = EventsPipeline
