@@ -160,6 +160,81 @@ object JoinQueries {
                                        AND o.o_totalprice > 300000)
                            THEN 1 END) AS BIGINT) AS n_with_big_order
               FROM customer c
-              GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- TPC-H Q3 shape: top-k revenue over a date-windowed join --------
+    // The missing plan shape in the join family: a GLOBAL top-10 over a
+    // grouped 3-way join. orderBy(...).limit(10) plans as
+    // TakeOrderedAndProject — per-partition top-10 heaps merged on the
+    // driver as 10-row sets — NOT a global sort; at 100 TB that is the
+    // only acceptable top-k plan (PlanProofSpec asserts it). Revenue is
+    // exact BIGINT cents (per-row double math is cross-engine IEEE-
+    // identical, floor+cast makes the SUM order-insensitive integers —
+    // the QuerySpec column policy). The tiebreak chain makes LIMIT
+    // deterministic.
+    QuerySpec("q106_tpch_q3", { (s, d) =>
+      val c = Td.load(s, d, "customer"); val o = Td.load(s, d, "orders")
+      val l = Td.load(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .where(col("c_mktsegment") === "BUILDING" &&
+          col("o_orderdate") < lit("1998-01-01").cast(TimestampType) &&
+          col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(expr(
+          "CAST(floor(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * 100.0 + 0.5) AS BIGINT)"))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }, Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+                      CAST(SUM(CAST(floor(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               WHERE c_mktsegment = 'BUILDING'
+                 AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                 AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+               GROUP BY l_orderkey, o_orderdate, o_orderpriority
+               ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+               LIMIT 10""")),
+
+    // ---- TPC-H Q5 shape: 6-way local-supplier join ----------------------
+    // The classic "supplier and customer in the SAME nation" condition:
+    // six tables, two independent fact-side shuffle keys (orders on
+    // custkey, lineitem on orderkey/suppkey), dims broadcast, plus the
+    // c_nationkey = s_nationkey equi-condition that prunes the join
+    // product. Grouped over ALL regions (region as a real join hop, not
+    // a filter) in a one-year order window.
+    QuerySpec("q107_tpch_q5", { (s, d) =>
+      val c = Td.load(s, d, "customer"); val o = Td.load(s, d, "orders")
+      val l = Td.load(s, d, "lineitem"); val sup = Td.load(s, d, "supplier")
+      val n = Td.load(s, d, "nation"); val r = Td.load(s, d, "region")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .where(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(expr(
+            "CAST(floor(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * 100.0 + 0.5) AS BIGINT)"))
+            .as("revenue_cents"))
+        .orderBy("r_name", "n_name")
+    }, Some("""SELECT r_name, n_name, count(*) AS n_items,
+                      CAST(SUM(CAST(floor(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+               FROM customer
+               JOIN orders ON c_custkey = o_custkey
+               JOIN lineitem ON o_orderkey = l_orderkey
+               JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+               GROUP BY r_name, n_name
+               ORDER BY r_name, n_name"""))
   )
 }

@@ -115,6 +115,18 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
       df.queryExecution.sparkPlan.toString.take(1200))
   }
 
+  test("q106: global top-10 plans TakeOrderedAndProject, never a global sort") {
+    val plan = planOf("q106_tpch_q3")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k + driver merge, got:\n$plan")
+    // limit(10) must not plan a full Sort of the grouped join output
+    // (global sorts render as 'Sort [...], true, 0' — the 'true' is the
+    // global flag)
+    val globalSorts = plan.linesIterator.count(l =>
+      l.contains("Sort [") && l.contains("], true,"))
+    assert(globalSorts === 0, s"found a global Sort in:\n$plan")
+  }
+
   test("q67: tf-idf df join has no forced broadcast; AQE broadcasts it at small scale") {
     // The logical plan must not carry a broadcast hint (a forced broadcast
     // of a web-scale vocabulary would OOM the driver)...
