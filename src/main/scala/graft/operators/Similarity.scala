@@ -64,10 +64,8 @@ object Similarity {
       .selectExpr("vec_id", "embedding", "cent_id",
         "cosine_sim(embedding, cent_emb) AS c_cos")
     val ord = struct((-col("c_cos")).as("neg_cos"), col("cent_id").as("cent_id"))
-    val assigned = scored(vectors)
-      .groupBy("vec_id")
-      .agg(min_by(col("cent_id"), ord).as("cent_id"),
-        first(col("embedding")).as("embedding"))
+    val assigned = assignCells(vectors, cents)
+      .select(col("vec_id"), col("cell").as("cent_id"), col("embedding"))
     val probes = scored(vectors.where(queryFilter))
       .groupBy("vec_id")
       .agg(first(col("embedding")).as("q_emb"),
@@ -77,5 +75,64 @@ object Similarity {
     rank(assigned.join(broadcast(probes), Seq("cent_id"))
       .where(col("vec_id") =!= col("q_id"))
       .selectExpr("q_id", "vec_id", "cosine_sim(q_emb, embedding) AS cosine"), k)
+  }
+
+  /** Max-cosine cell id per vector — the shared coarse-quantizer
+    * assignment behind IVF posting lists and semantic dedup.
+    *
+    * `vectors` is (vec_id, embedding); `cents` is (cent_id, cent_emb),
+    * broadcast-small by definition. The assignment is the round-5 IVF
+    * shape: broadcast-expand to N×C candidate rows, then collapse to ONE
+    * row per vector with a map-side-combinable `min_by` over
+    * (-cosine, cent_id) — no exchange ever carries more than |vectors|
+    * rows, and ties break toward the lowest cell id (the q59 discipline).
+    * Output: (vec_id, cell, embedding). */
+  def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val ord = struct((-col("c_cos")).as("neg_cos"), col("cent_id").as("cent_id"))
+    vectors.crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "embedding", "cent_id",
+        "cosine_sim(embedding, cent_emb) AS c_cos")
+      .groupBy("vec_id")
+      .agg(min_by(col("cent_id"), ord).as("cell"),
+        first(col("embedding")).as("embedding"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
+    * compare embeddings ONLY within a cell — the published recall/cost
+    * trade (a near-dup pair split across a cell boundary is missed; in
+    * exchange the candidate set shrinks from n² to Σ|cell|²).
+    *
+    * `assigned` is `assignCells` output. Cells larger than `maxCellSize`
+    * are excluded from pair generation entirely (their members are kept
+    * by callers) — same runaway-quadratic guard as the LSH buckets'
+    * `capBuckets`; the cell-size relation is cells-sized, so AQE
+    * broadcasts it. With k ≈ √n centroids the expected within-cell work
+    * is n·√n, embarrassingly bucket-parallel. */
+  def semanticPairs(assigned: DataFrame, minCosine: Double,
+      maxCellSize: Int = 4096): DataFrame = {
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("__cn"))
+    val sized = assigned.join(sizes.where(col("__cn") <= maxCellSize), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    sized.as("a").join(sized.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b", "a.cell AS cell",
+        "round(cosine_sim(a.embedding, b.embedding), 6) AS cosine")
+      .where(col("cosine") >= minCosine)
+  }
+
+  /** One-call semantic dedup: assign cells, find within-cell near-dup
+    * pairs, connect them into clusters, keep the min-id representative of
+    * each cluster (plus every unpaired vector). Returns the KEPT set as
+    * (vec_id, cell), the complement of what SemDeDup prunes. */
+  def semanticDedup(vectors: DataFrame, cents: DataFrame, minCosine: Double,
+      maxCellSize: Int = 4096): DataFrame = {
+    val assigned = assignCells(vectors, cents)
+    val pairs = semanticPairs(assigned, minCosine, maxCellSize)
+    val dropped = Dedup.clusters(pairs, "vec_a", "vec_b")
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select("vec_id", "cell")
   }
 }

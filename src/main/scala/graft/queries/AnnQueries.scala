@@ -81,7 +81,88 @@ object AnnQueries {
                SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
                FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")
     })
-  ) :+ ivfSpec
+  ) :+ ivfSpec :+ semanticDedupSpec
+
+  /** SemDeDup (Abbas et al. 2023): dedup by MEANING, not wording —
+    * cluster embeddings with a coarse quantizer, compare only within a
+    * cell, drop all but the min-id member of every near-dup component.
+    * The corpus plants exact copies (vec_id+10000 for vec_id<50): a copy
+    * shares its original's embedding, hence its cosines, hence its cell
+    * (tie-breaks are id-free), so the operator must drop exactly the
+    * copies regardless of where the cell boundaries fall.
+    *
+    * k = ⌈√n⌉ centroids (the paper's order), chosen by hash-rank — the
+    * k smallest md5_u32(vec_id) vectors, the same seeding as KMeans.fit
+    * (operators/KMeans.scala) so the trained path is a drop-in. One
+    * driver-side count() picks k (the J2 two-phase precedent); the seed
+    * relation is k rows, so its row_number window is harmless.
+    *
+    * Scale shape: assignment = broadcast-expand + map-side min_by (no
+    * exchange over N×C, see Similarity.assignCells); pair generation =
+    * equi-join on cell with the maxCellSize runaway guard; clustering =
+    * the checkpointed min-label propagation. Every stage bucket-shaped. */
+  private lazy val semanticDedupSpec: QuerySpec = QuerySpec("q108_semantic_dedup", { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+    val corpus = e.unionAll(e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val k = math.ceil(math.sqrt(corpus.count().toDouble)).toInt
+    val seeds = corpus
+      .selectExpr("vec_id", "embedding", "md5_u32(CAST(vec_id AS STRING)) AS h")
+      .orderBy("h", "vec_id").limit(k)
+      .withColumn("cent_id",
+        (row_number().over(Window.orderBy("h", "vec_id")) - 1).cast("long"))
+      .select(col("cent_id"), col("embedding").as("cent_emb"))
+    graft.operators.Similarity.semanticDedup(corpus, seeds, minCosine = 0.98)
+      .orderBy("vec_id")
+  }, {
+    val d = DuckSql
+    Some(s"""WITH RECURSIVE corpus AS (
+               SELECT vec_id, embedding FROM embeddings
+               UNION ALL
+               SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50),
+             hashed AS (
+               SELECT vec_id, embedding,
+                      ${d.hex32(d.toStr("vec_id"))} AS h FROM corpus),
+             seeds AS (
+               SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cent_id,
+                      embedding AS cent,
+                      sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS cnrm
+               FROM hashed ORDER BY h, vec_id
+               LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM corpus)),
+             e AS (
+               SELECT vec_id, embedding,
+                      sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm
+               FROM corpus),
+             scored AS (
+               SELECT e.vec_id, e.embedding, e.nrm, s.cent_id,
+                      ${d.dsum(d.zipMul("e.embedding", "s.cent"))} / (e.nrm * s.cnrm) AS c_cos
+               FROM e CROSS JOIN seeds s),
+             assigned AS (
+               SELECT vec_id, embedding, nrm, cent_id AS cell
+               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c_cos DESC, cent_id) AS rn FROM scored)
+               WHERE rn = 1),
+             sized AS (
+               SELECT a.* FROM assigned a
+               JOIN (SELECT cell, count(*) AS cn FROM assigned GROUP BY 1) c USING (cell)
+               WHERE c.cn <= 4096),
+             pairs AS (
+               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+               FROM sized a JOIN sized b ON a.cell = b.cell AND a.vec_id < b.vec_id
+               WHERE round(${d.dsum(d.zipMul("a.embedding", "b.embedding"))} / (a.nrm * b.nrm), 6) >= 0.98),
+             und AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+                     UNION SELECT vec_b, vec_a FROM pairs),
+             reach(u, v) AS (
+               SELECT u, u FROM und
+               UNION
+               SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u),
+             labels AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+             SELECT a.vec_id, a.cell FROM assigned a
+             LEFT JOIN labels l ON a.vec_id = l.vec_id
+             WHERE l.vec_id IS NULL OR l.cluster_id = a.vec_id
+             ORDER BY a.vec_id""")
+  })
 
   /** IVF (inverted-file) ANN — the clustered alternative to q60's
     * hyperplane LSH. Coarse quantizer = 1-in-100 deterministic sample of
