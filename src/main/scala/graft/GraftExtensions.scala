@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, HeavyHittersAgg, Md5U32, MinHashAgg, MinHashSigs, SimHash32, SubwordStats}
+import graft.functions.{BloomAgg, BloomContains, CosineSimilarity, HeavyHittersAgg, Md5U32, MinHashAgg, MinHashSigs, SimHash32, SubwordStats}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions into the session's
@@ -35,6 +35,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("minhash_agg",
       "minhash_agg(sigs) - mergeable element-wise-min aggregate of minhash signatures")(
       c => MinHashAgg(c.head).toAggregateExpression()))
+    ext.injectFunction(fn("bloom_agg",
+      "bloom_agg(hash, m, k) - mergeable Bloom filter over a BIGINT hash; m bits, k probes (foldable)")(
+      c => {
+        def int(e: Expression, what: String): Int = {
+          require(e.foldable, s"bloom_agg: $what must be foldable")
+          e.eval(null).toString.toInt
+        }
+        BloomAgg(c.head, int(c(1), "m"), int(c(2), "k")).toAggregateExpression()
+      }))
+    ext.injectFunction(fn("bloom_contains",
+      "bloom_contains(filter, hash) - probabilistic membership probe; no false negatives")(
+      c => BloomContains(c.head, c(1))))
     ext.injectFunction(fn("heavy_hitters",
       "heavy_hitters(term, k) - mergeable Misra-Gries top terms with frequency lower bounds")(
       c => HeavyHittersAgg(c.head, c(1)).toAggregateExpression()))

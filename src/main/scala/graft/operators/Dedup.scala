@@ -431,4 +431,50 @@ object Dedup {
         "levenshtein(a.text, b.text) AS edit_dist")
       .where(s"edit_dist <= $maxDistance")
   }
+
+  /** Incremental exact dedup of an `incoming` batch against a `history`
+    * corpus — EXACT output (= incoming ANTI JOIN history on content
+    * hash), with a Bloom pre-filter so the anti-join's shuffle carries
+    * only the rows that might be duplicates, not the whole batch.
+    *
+    * Two phases:
+    *  1. build one mergeable Bloom filter over xxhash64 of history's
+    *     content (map-side-combinable `bloom_agg`; ONE m/8-byte value
+    *     leaves the executors) and embed it as a plan literal — a
+    *     broadcast-join alternative would memcpy the filter into every
+    *     joined row;
+    *  2. rows the filter rejects are DEFINITELY new (no false
+    *     negatives) and short-circuit past the join entirely; only the
+    *     survivors — true duplicates plus the configured false-positive
+    *     rate of the batch — are anti-joined against history's md5 set
+    *     for exactness.
+    *
+    * At 100 TB: the history is scanned once per filter refresh (the
+    * filter is mergeable, so per-partition partials maintain it
+    * incrementally), and per batch the exchange carries
+    * |dups| + fp·|incoming| rows instead of |incoming|. Size m for the
+    * history cardinality (1% FP at 10⁹ keys ≈ 1.2 GB); beyond literal
+    * size, keep one filter per pre-bucketed key range via
+    * groupBy(bucket) — the aggregate is per-group already. */
+  def newAgainstHistory(history: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      numBits: Int = 1 << 20, numProbes: Int = 5): DataFrame = {
+    val filter = history
+      .selectExpr(s"bloom_agg(xxhash64($textCol), $numBits, $numProbes) AS f")
+      .head().getAs[Array[Byte]](0)
+    val marked = incoming.withColumn("__maybe_seen",
+      org.apache.spark.sql.functions.call_function("bloom_contains",
+        lit(filter), expr(s"xxhash64($textCol)")))
+    // NULL text hashes to NULL → NULL probe: definitely-new (an
+    // anti-join would keep it too — NULL never equi-matches)
+    val surelyNew = marked
+      .where(col("__maybe_seen").isNull || !col("__maybe_seen"))
+      .drop("__maybe_seen")
+    val confirmed = marked.where(col("__maybe_seen")).drop("__maybe_seen")
+      .withColumn("__ch", md5(col(textCol)))
+      .join(history.select(md5(col(textCol)).as("__ch")).distinct(),
+        Seq("__ch"), "left_anti")
+      .drop("__ch")
+    surelyNew.unionAll(confirmed)
+  }
 }

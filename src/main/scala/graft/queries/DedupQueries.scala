@@ -436,7 +436,39 @@ object DedupQueries {
                FROM cg JOIN eg ON cg.ngram = eg.ngram
                GROUP BY cg.doc_id
                ORDER BY doc_id""")
-    })
+    }),
+
+    // ---- incremental dedup against history (Bloom pre-filter) -----------
+    // The nightly-crawl shape: drop incoming docs whose content the
+    // corpus has EVER seen, without joining the whole history per batch.
+    // history = 3/4 of the corpus; incoming = the remaining 1/4 (new)
+    // plus re-sends of 150 history docs under fresh ids (must be
+    // dropped). The result is EXACT — the Bloom filter (no false
+    // negatives) only short-circuits definitely-new rows past the
+    // md5 anti-join; false positives get caught by the join. The oracle
+    // is therefore a plain NOT EXISTS on content hash: the sketch is a
+    // plan optimization, invisible in the answer (same contract as AQE).
+    QuerySpec("q109_dedup_incremental", { (s, dir) =>
+      val docs = Td.load(s, dir, "documents").select("doc_id", "text")
+      val history = docs.where("doc_id % 4 <> 0")
+      val incoming = docs.where("doc_id % 4 = 0")
+        .unionAll(history.where("doc_id < 200")
+          .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      graft.operators.Dedup
+        .newAgainstHistory(history, incoming, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .orderBy("doc_id")
+    }, Some("""WITH history AS (
+                 SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+               incoming AS (
+                 SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+                 UNION ALL
+                 SELECT doc_id + 30000, text FROM history WHERE doc_id < 200)
+               SELECT i.doc_id, md5(i.text) AS content_hash
+               FROM incoming i
+               WHERE NOT EXISTS (
+                 SELECT 1 FROM history h WHERE md5(h.text) = md5(i.text))
+               ORDER BY i.doc_id"""))
   )
 
   /** 32-bit simhash over the `text` column. The token-hash array is

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** The Bloom membership sketch (bloom_agg / bloom_contains) and the
+  * incremental-dedup operator built on it: bit-identical filters under
+  * any partitioning, the no-false-negatives contract, a measured
+  * false-positive envelope, exactness of newAgainstHistory against a
+  * plain anti-join, and the pruning claim — only dups + FPs survive the
+  * pre-filter. */
+class BloomDedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private def keys(n: Int, tag: String) = {
+    import spark.implicits._
+    (0 until n).map(i => s"$tag-doc-$i content body").toDF("text")
+  }
+
+  test("aggregated filter is bit-identical under any partitioning") {
+    val data = keys(2000, "h")
+    val filters = Seq(1, 4, 13).map { p =>
+      data.repartition(p)
+        .selectExpr("bloom_agg(xxhash64(text), 16384, 5) AS f")
+        .head().getAs[Array[Byte]](0).toSeq
+    }
+    assert(filters.distinct.size === 1, "merge order changed the filter bytes")
+  }
+
+  test("no false negatives: every inserted key probes true") {
+    val data = keys(2000, "h").cache()
+    val f = data.selectExpr("bloom_agg(xxhash64(text), 16384, 5) AS f")
+      .head().getAs[Array[Byte]](0)
+    val misses = data
+      .where(!call_function("bloom_contains", lit(f), expr("xxhash64(text)")))
+      .count()
+    assert(misses === 0)
+    data.unpersist()
+  }
+
+  test("false-positive rate stays near the configured envelope") {
+    // n=1000, m=16384, k=5 -> theoretical fp ~ 0.2%; assert < 2%
+    val f = keys(1000, "h")
+      .selectExpr("bloom_agg(xxhash64(text), 16384, 5) AS f")
+      .head().getAs[Array[Byte]](0)
+    val probes = keys(10000, "other")
+    val fp = probes
+      .where(call_function("bloom_contains", lit(f), expr("xxhash64(text)")))
+      .count()
+    assert(fp < 200, s"fp rate ${fp / 10000.0} way above envelope")
+  }
+
+  test("newAgainstHistory is EXACTLY the anti-join (planted dups + new)") {
+    import spark.implicits._
+    val history = (0 until 500).map(i => (i.toLong, s"hist body $i")).toDF("doc_id", "text")
+    val incoming = ((1000 until 1300).map(i => (i.toLong, s"new body $i")) ++
+      (0 until 120).map(i => (2000L + i, s"hist body $i"))) // re-sends
+      .toDF("doc_id", "text")
+    val got = Dedup.newAgainstHistory(history, incoming, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = incoming.join(history.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(got === (1000L until 1300L).toSet, "re-sent history rows survived")
+  }
+
+  test("result is partition-invariant") {
+    import spark.implicits._
+    val history = (0 until 300).map(i => (i.toLong, s"hist $i")).toDF("doc_id", "text")
+    val incoming = ((500 until 700).map(i => (i.toLong, s"new $i")) ++
+      (0 until 50).map(i => (900L + i, s"hist $i"))).toDF("doc_id", "text")
+    val sets = Seq(1, 3, 8).map { p =>
+      Dedup.newAgainstHistory(history.repartition(p), incoming.repartition(p),
+        "doc_id", "text").select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(sets.distinct.size === 1)
+  }
+
+  test("pre-filter pruning: only dups + FPs reach the anti-join side") {
+    import spark.implicits._
+    val history = (0 until 2000).map(i => (i.toLong, s"hist $i")).toDF("doc_id", "text").cache()
+    val incoming = ((0 until 10000).map(i => (10000L + i, s"fresh $i")) ++
+      (0 until 100).map(i => (50000L + i, s"hist $i"))).toDF("doc_id", "text")
+    val f = history.selectExpr("bloom_agg(xxhash64(text), 1048576, 5) AS f")
+      .head().getAs[Array[Byte]](0)
+    val survivors = incoming
+      .where(call_function("bloom_contains", lit(f), expr("xxhash64(text)")))
+      .count()
+    // 100 true dups; at m=2^20, n=2000 the fp rate is ~0 — allow 1%
+    assert(survivors >= 100 && survivors < 100 + 100,
+      s"$survivors rows survived the pre-filter for 100 true dups")
+    history.unpersist()
+  }
+
+  test("NULL text rows are definitely-new (anti-join semantics)") {
+    import spark.implicits._
+    val history = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "a"), (11L, null.asInstanceOf[String]), (12L, "c"))
+      .toDF("doc_id", "text")
+    val got = Dedup.newAgainstHistory(history, incoming, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(11L, 12L))
+  }
+
+  test("empty history: everything is new, nothing crashes") {
+    import spark.implicits._
+    val history = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val incoming = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val got = Dedup.newAgainstHistory(history, incoming, "doc_id", "text")
+    assert(got.count() === 2)
+  }
+}
