@@ -194,6 +194,104 @@ object TextAnalysis {
     * decide gives the broadcast plan on small vocabularies (measured: at
     * sf0.01 AQE broadcasts this join) and the scalable shuffle join on
     * huge ones. The 1-row corpus count stays an explicit broadcast. */
+  /** Bigram language-model document scoring — the CCNet-style quality
+    * signal (Wenzek et al. 2020: score documents by an n-gram LM over a
+    * reference corpus; low-probability text is noise, extremely
+    * high-probability text is boilerplate). `train` supplies the LM
+    * counts; `score` is the corpus being graded (self-scoring = pass the
+    * same frame twice, q110).
+    *
+    * The model is add-one-smoothed: P(w|prev) = (c2(prev,w)+1) /
+    * (c1(prev)+V). Per-token "probability" is emitted in EXACT integer
+    * basis points — half-up integer division (20000·(c2+1) + (c1+V)) DIV
+    * (2·(c1+V)) — so sums and averages are order-insensitive BIGINTs
+    * end to end: no log(), no doubles, no cross-engine transcendental
+    * drift (the column-type policy in QuerySpec). A real perplexity
+    * needs logs; monotonically it ranks identically per token, and the
+    * exact-integer form is what can survive a hash-compare.
+    *
+    * Scale shape: bigram counts aggregate map-side to vocabulary size
+    * before their exchange; c1 derives from c2 (vocab-sized input, not
+    * a second corpus pass); V is one driver scalar (J2 precedent). The
+    * scoring join is corpus × vocab on the bigram key — AQE broadcasts
+    * the count tables when they fit, else it is a plain hash join with
+    * map-side-combined re-aggregation per doc. One corpus scan for
+    * counts, one for scoring. */
+  def bigramLmScores(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val bigramsOf = d.bind(toks(textCol), "tk",
+      d.map(d.range1(s"${d.len("tk")} - 1"), "i", d.wordSlice("tk", "i", 2)))
+    def bigrams(docs: DataFrame) =
+      docs.selectExpr(s"$idCol AS doc_id", s"explode($bigramsOf) AS bigram")
+    val c2 = bigrams(train).groupBy("bigram").agg(count(lit(1)).as("n2"))
+    val c1 = c2.selectExpr(s"${d.elem(d.splitSpace("bigram"), "1")} AS prev", "n2")
+      .groupBy("prev").agg(sum("n2").as("n1"))
+    val vSize = train
+      .selectExpr(s"explode(${toks(textCol)}) AS tok")
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    // LEFT joins so scoring a corpus the LM never saw still smooths:
+    // unseen bigram -> c2=0, unseen prefix -> c1=0 (add-one handles both)
+    bigrams(score)
+      .join(c2, Seq("bigram"), "left")
+      .withColumn("prev", expr(d.elem(d.splitSpace("bigram"), "1")))
+      .join(c1, Seq("prev"), "left")
+      .selectExpr("doc_id", "coalesce(n2, CAST(0 AS BIGINT)) AS n2f",
+        "coalesce(n1, CAST(0 AS BIGINT)) AS n1f")
+      .selectExpr("doc_id",
+        s"${d.idiv(s"(20000 * (n2f + 1) + (n1f + $vSize))", s"(2 * (n1f + $vSize))")} AS bp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bp").as("sum_bp"))
+      .selectExpr("doc_id", "n_bigrams", "sum_bp",
+        s"${d.idiv("(2 * sum_bp + n_bigrams)", "(2 * n_bigrams)")} AS avg_bp")
+  }
+
+  /** ALL word n-gram occurrences (with multiplicity — unlike
+    * Decontamination.ngramsExpr's distinct set): n consecutive tokens
+    * joined by one space; empty for docs shorter than n words. */
+  def allGramsExpr(d: SqlDialect, textCol: String, n: Int): String =
+    d.bind(d.splitSpace(textCol), "tk",
+      d.map(d.range1(s"${d.len("tk")} - ${n - 1}"), "i", d.wordSlice("tk", "i", n)))
+
+  /** Gopher-style repetition filters (Rae et al. 2021, arXiv:2112.11446
+    * table A1): documents dominated by repeated n-grams are boilerplate /
+    * spam and get filtered before pretraining. Two of the paper's
+    * signals, in exact integer basis points:
+    *
+    *  - `dup3_bp`: the mass fraction of word-3-gram occurrences whose
+    *    gram occurs more than once in the doc (mass = occurrences ×
+    *    gram characters — the standard reimplementation of the paper's
+    *    "fraction of characters in duplicate n-grams"; exact positional
+    *    character coverage would need overlap resolution);
+    *  - `top2_bp`: the mass fraction of the single most frequent bigram
+    *    ("fraction of characters in the most common 2-gram"). Count ties
+    *    break to the lexicographically greatest gram — max(struct) here,
+    *    row_number (cnt DESC, gram DESC) in the oracle: the same pick.
+    *
+    * Shape: explode → (doc, gram) count with map-side partials → per-doc
+    * re-aggregation. Two corpus scans (3-grams, 2-grams), both
+    * embarrassingly keyed on doc_id; no joins against anything
+    * corpus-global, so this is a pure per-document pipeline at any
+    * scale. Integer counts and lengths only. */
+  def repetitionScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def gramCounts(n: Int) = docs
+      .selectExpr(s"$idCol AS doc_id", s"explode(${allGramsExpr(d, textCol, n)}) AS gram")
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val tri = gramCounts(3)
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams3"),
+        sum(expr("c * length(gram)")).as("total3"),
+        sum(expr("CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END")).as("dup3"))
+      .selectExpr("doc_id", "n_grams3",
+        s"${d.idiv("(20000 * dup3 + total3)", "(2 * total3)")} AS dup3_bp")
+    val bi = gramCounts(2)
+      .groupBy("doc_id")
+      .agg(max(struct(col("c"), col("gram"))).as("top"),
+        sum(expr("c * length(gram)")).as("total2"))
+      .selectExpr("doc_id",
+        s"${d.idiv("(20000 * top.c * length(top.gram) + total2)", "(2 * total2)")} AS top2_bp")
+    tri.join(bi, Seq("doc_id"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val terms = docs.selectExpr(s"$idCol AS doc_id", s"explode(${toks(textCol)}) AS term")
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

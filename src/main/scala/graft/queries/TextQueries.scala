@@ -44,6 +44,13 @@ object TextQueries {
   private def piiCorpus(s: org.apache.spark.sql.SparkSession, dir: String) =
     Td.load(s, dir, "documents").selectExpr("doc_id", s"$piiCaseSql AS text")
 
+  /** q111's planted-repetition corpus (lowercase+space literal only —
+    * byte-identical in both dialects). */
+  private val repetitionCaseSql =
+    """CASE WHEN doc_id % 9 = 0
+            THEN concat(text, ' click here click here click here buy now buy now')
+            ELSE text END"""
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- corpus term frequency (unigram + bigram) -----------------------
@@ -168,6 +175,89 @@ object TextQueries {
                             CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS rare_bp
                FROM terms t JOIN dfreq d ON t.term = d.term
                GROUP BY t.doc_id ORDER BY doc_id""")
+    }),
+
+    // ---- bigram-LM document scoring (CCNet-style quality signal) --------
+    // Score every document by an add-one-smoothed bigram LM trained on
+    // the corpus itself (Wenzek et al. 2020's perplexity filter, in the
+    // exact-integer form the hash-compare policy demands — see
+    // TextAnalysis.bigramLmScores for why basis points instead of logs).
+    // Scale shape: count tables aggregate to vocabulary size before any
+    // exchange; c1 derives from c2 without re-touching the corpus; the
+    // scoring join is AQE-broadcastable. No floats anywhere.
+    QuerySpec("q110_bigram_lm", { (s, dir) =>
+      val docs = Td.load(s, dir, "documents")
+      graft.operators.TextAnalysis
+        .bigramLmScores(docs, docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      val bigrams = d.bind(toks(d), "tk",
+        d.map(d.range1(s"${d.len("tk")} - 1"), "i", d.wordSlice("tk", "i", 2)))
+      Some(s"""WITH big AS (
+                 SELECT doc_id, unnest($bigrams) AS bigram FROM documents),
+               c2 AS (SELECT bigram, count(*) AS n2 FROM big GROUP BY 1),
+               c1 AS (SELECT ${d.elem(d.splitSpace("bigram"), "1")} AS prev,
+                             CAST(sum(n2) AS BIGINT) AS n1
+                      FROM c2 GROUP BY 1),
+               v AS (SELECT count(DISTINCT tok) AS vsize
+                     FROM (SELECT unnest(${toks(d)}) AS tok FROM documents)),
+               scored AS (
+                 SELECT b.doc_id,
+                        ${d.idiv("(20000 * (c2.n2 + 1) + (c1.n1 + v.vsize))",
+                                 "(2 * (c1.n1 + v.vsize))")} AS bp
+                 FROM big b
+                 JOIN c2 ON b.bigram = c2.bigram
+                 JOIN c1 ON ${d.elem(d.splitSpace("b.bigram"), "1")} = c1.prev
+                 CROSS JOIN v)
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                      CAST(sum(bp) AS BIGINT) AS sum_bp,
+                      CAST(${d.idiv("(2 * sum(bp) + count(*))", "(2 * count(*))")} AS BIGINT) AS avg_bp
+               FROM scored GROUP BY doc_id ORDER BY doc_id""")
+    }),
+
+    // ---- Gopher repetition filters (duplicate/top n-gram mass) ----------
+    // Rae et al. 2021's pre-training repetition signals over a corpus
+    // with PLANTED spam ("click here click here ... buy now buy now" on
+    // every 9th doc — the literal is lowercase+space only, so both
+    // dialects' string literals are byte-identical). Everything is
+    // per-document: no corpus-global join, integer counts and char
+    // lengths only. See TextAnalysis.repetitionScores for the
+    // mass-fraction definition and the tie-break contract.
+    QuerySpec("q111_repetition", { (s, dir) =>
+      val spam = Td.load(s, dir, "documents").selectExpr("doc_id",
+        s"$repetitionCaseSql AS text")
+      graft.operators.TextAnalysis.repetitionScores(spam, "doc_id", "text")
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      def grams(n: Int) =
+        graft.operators.TextAnalysis.allGramsExpr(d, "text", n)
+      Some(s"""WITH docs2 AS (
+                 SELECT doc_id, $repetitionCaseSql AS text FROM documents),
+               g3c AS (SELECT doc_id, gram, count(*) AS c
+                       FROM (SELECT doc_id, unnest(${grams(3)}) AS gram FROM docs2)
+                       GROUP BY 1, 2),
+               a3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams3,
+                             CAST(${d.idiv(
+                               "(20000 * sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) + sum(c * length(gram)))",
+                               "(2 * sum(c * length(gram)))")} AS BIGINT) AS dup3_bp
+                      FROM g3c GROUP BY 1),
+               g2c AS (SELECT doc_id, gram, count(*) AS c
+                       FROM (SELECT doc_id, unnest(${grams(2)}) AS gram FROM docs2)
+                       GROUP BY 1, 2),
+               t2 AS (SELECT doc_id, CAST(sum(c * length(gram)) AS BIGINT) AS total2
+                      FROM g2c GROUP BY 1),
+               top2 AS (SELECT doc_id, c, gram FROM (
+                          SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY c DESC, gram DESC) AS rn FROM g2c)
+                        WHERE rn = 1),
+               a2 AS (SELECT t.doc_id,
+                             CAST(${d.idiv("(20000 * p.c * length(p.gram) + t.total2)",
+                               "(2 * t.total2)")} AS BIGINT) AS top2_bp
+                      FROM t2 t JOIN top2 p ON t.doc_id = p.doc_id)
+               SELECT a3.doc_id, a3.n_grams3, a3.dup3_bp, a2.top2_bp
+               FROM a3 JOIN a2 ON a3.doc_id = a2.doc_id ORDER BY a3.doc_id""")
     }),
 
     // ---- token counting: whitespace + BPE-ish regex pieces --------------
