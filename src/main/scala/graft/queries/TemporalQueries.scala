@@ -13,6 +13,36 @@ object TemporalQueries {
 
   val specs: Seq[QuerySpec] = Seq(
 
+    // ---- SCD Type 2: versioned dimension from the event change log ------
+    // Kimball's slowly-changing-dimension pattern: each user's event_type
+    // stream becomes versioned status rows with half-open validity
+    // intervals; re-sends of an unchanged status collapse into the open
+    // version. All keyed-window work (operators/Scd) — one exchange on
+    // user_id, no unpartitioned window. The oracle mirrors with plain SQL
+    // lag/lead; event_id is the same-timestamp tie-break AND the total
+    // output order.
+    QuerySpec("q112_scd2", { (s, dir) =>
+      graft.operators.Scd.scd2(
+        Td.load(s, dir, "events").select("user_id", "event_id", "event_type", "ts"),
+        keyCol = "user_id", attrCols = Seq("event_type"),
+        tsCol = "ts", tieCol = "event_id")
+        .withColumnRenamed("event_type", "status")
+        .orderBy("user_id", "event_id")
+    }, Some("""WITH ordered AS (
+                 SELECT user_id, event_id, event_type, ts,
+                        lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_type
+                 FROM events),
+               changes AS (
+                 SELECT user_id, event_id, event_type, ts FROM ordered
+                 WHERE prev_type IS NULL OR prev_type <> event_type)
+               SELECT user_id, event_id, event_type AS status, ts AS valid_from,
+                      lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS valid_to,
+                      (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+               FROM changes ORDER BY user_id, event_id""")),
+
     // ---- AS-OF join: clicks pick up the user's latest purchase-day state
     // Right side is pre-aggregated to one row per (user, day) — the
     // determinism contract of any asof engine. The engine path is the
