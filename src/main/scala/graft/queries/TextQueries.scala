@@ -51,6 +51,60 @@ object TextQueries {
             THEN concat(text, ' click here click here click here buy now buy now')
             ELSE text END"""
 
+  /** q113's integer feature vector: bias, spam-bigram count ×1000,
+    * repetition basis points. Same template both dialects. */
+  private def classifierFeatures(d: SqlDialect): Seq[String] = {
+    val grams2 = graft.operators.TextAnalysis.allGramsExpr(d, "text", 2)
+    val t = toks(d)
+    Seq(
+      "CAST(1 AS BIGINT)",
+      s"1000 * CAST(${d.len(d.filterBy(grams2, "g", "g IN ('click here', 'buy now')"))} AS BIGINT)",
+      s"CAST(${d.idiv(s"(${d.len(t)} - ${d.len(d.adistinct(t))}) * 10000", d.len(t))} AS BIGINT)")
+  }
+
+  private val classifierLabel =
+    "CASE WHEN doc_id % 9 = 0 THEN 1 ELSE -1 END"
+
+  /** The q113 oracle: the SAME batch-perceptron training re-derived as
+    * one chained CTE per epoch (epoch k's weights = epoch k-1's weights
+    * + the misclassified y·x sum — all BIGINT), then the margin/pred
+    * projection with the final weights. An independent derivation of
+    * the training loop, not a mirror of the driver-side iteration. */
+  private def perceptronOracleSql(d: SqlDialect, epochs: Int): String = {
+    val feats = classifierFeatures(d)
+    val j = feats.indices
+    def marginOf(w: Int => String) =
+      j.map(i => s"(${w(i)} * x$i)").mkString("(", " + ", ")")
+    val featCte = "feat AS (SELECT doc_id, " +
+      j.map(i => s"${feats(i)} AS x$i").mkString(", ") +
+      s", CAST($classifierLabel AS BIGINT) AS y FROM docs2)"
+    val epochCtes = (1 to epochs).map { e =>
+      // DuckDB SUM(BIGINT) is HUGEINT (round-trips as double through
+      // arrow) — every epoch sum is pinned back to BIGINT
+      if (e == 1) {
+        val m = marginOf(_ => "CAST(0 AS BIGINT)")
+        s"e1 AS (SELECT " + j.map(i =>
+          s"CAST(sum(CASE WHEN y * $m <= 0 THEN y * x$i ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS w$i")
+          .mkString(", ") + " FROM feat)"
+      } else {
+        val m = marginOf(i => s"w$i")
+        s"e$e AS (SELECT " + j.map(i =>
+          s"CAST(w$i + CAST(sum(CASE WHEN y * $m <= 0 THEN y * x$i ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS BIGINT) AS w$i")
+          .mkString(", ") +
+          s" FROM feat CROSS JOIN e${e - 1} GROUP BY " +
+          j.map(i => s"w$i").mkString(", ") + ")"
+      }
+    }
+    val fm = marginOf(i => s"w$i")
+    s"""WITH docs2 AS (SELECT doc_id, $repetitionCaseSql AS text FROM documents),
+       $featCte,
+       ${epochCtes.mkString(",\n")}
+       SELECT f.doc_id, CAST($fm AS BIGINT) AS margin,
+              CAST(CASE WHEN $fm > 0 THEN 1 ELSE -1 END AS INTEGER) AS pred,
+              CAST(f.y AS INTEGER) AS label
+       FROM feat f CROSS JOIN e$epochs ORDER BY f.doc_id"""
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- corpus term frequency (unigram + bigram) -----------------------
@@ -259,6 +313,32 @@ object TextQueries {
                SELECT a3.doc_id, a3.n_grams3, a3.dup3_bp, a2.top2_bp
                FROM a3 JOIN a2 ON a3.doc_id = a2.doc_id ORDER BY a3.doc_id""")
     }),
+
+    // ---- trained quality classifier (deterministic batch perceptron) ----
+    // The fastText-style document-quality gate, TRAINED inside the engine:
+    // a batch perceptron over (bias, spam-bigram count ×1000, repetition
+    // basis points) learns to separate the planted click-spam (every 9th
+    // doc) from clean docs — perfect separation by epoch 5 on this
+    // corpus. Training is integer-exact and order-insensitive (one
+    // BIGINT-sum aggregate per epoch, weights as driver literals — see
+    // LinearClassifier), so the ORACLE RE-RUNS THE ENTIRE TRAINING LOOP
+    // in SQL (one chained CTE per epoch) and hash-matches the margins
+    // bit for bit: cross-engine reproducible model fitting, not just
+    // scoring. The ×1000 rescale balances the count feature against the
+    // bp feature (textbook perceptron conditioning; without it the
+    // margin is dominated by rep_bp and training oscillates).
+    QuerySpec("q113_quality_classifier", { (s, dir) =>
+      val spam = Td.load(s, dir, "documents")
+        .selectExpr("doc_id", s"$repetitionCaseSql AS text")
+      val d = SparkSql
+      val feats = classifierFeatures(d)
+      val w = graft.operators.LinearClassifier
+        .fitBatchPerceptron(spam, feats, classifierLabel, epochs = 5)
+      graft.operators.LinearClassifier.scoreLinear(spam, feats, w)
+        .selectExpr("doc_id", "margin", "pred",
+          s"CAST($classifierLabel AS INT) AS label")
+        .orderBy("doc_id")
+    }, Some(perceptronOracleSql(DuckSql, epochs = 5))),
 
     // ---- token counting: whitespace + BPE-ish regex pieces --------------
     QuerySpec("q50_text_tokens",
