@@ -462,11 +462,53 @@ object Dedup {
     val filter = history
       .selectExpr(s"bloom_agg(xxhash64($textCol), $numBits, $numProbes) AS f")
       .head().getAs[Array[Byte]](0)
-    val marked = incoming.withColumn("__maybe_seen",
+    confirmAgainst(history, incoming, textCol,
       org.apache.spark.sql.functions.call_function("bloom_contains",
         lit(filter), expr(s"xxhash64($textCol)")))
-    // NULL text hashes to NULL → NULL probe: definitely-new (an
-    // anti-join would keep it too — NULL never equi-matches)
+  }
+
+  /** [[newAgainstHistory]] for histories whose single filter would blow
+    * the literal/JVM-array budget (one `Array[Byte]` caps at 2 GB ≈
+    * 1.7·10⁹ keys at 1% FP): the history is hash-bucketed and ONE
+    * filter built PER BUCKET (`groupBy(bucket)` over the same mergeable
+    * aggregate), each sized for a bucket's cardinality. The probe is a
+    * bucket-dispatched CASE over per-bucket literals — still zero
+    * per-row blob copies (a bucket-keyed JOIN against the filter table
+    * would memcpy a filter into every probed row). An incoming row
+    * whose bucket holds no history probes NULL → definitely new.
+    *
+    * Driver/plan footprint = Σ bucket filter bytes — the same total as
+    * one big filter, but no single array near the 2 GB wall; past
+    * driver RAM entirely, repartition both sides by the bucket and run
+    * per-partition filters (the aggregate is already per-group). */
+  def newAgainstHistoryBucketed(history: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, numBuckets: Int = 16,
+      numBits: Int = 1 << 20, numProbes: Int = 5): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets $numBuckets < 1")
+    val bucketOf = s"pmod(xxhash64($textCol), $numBuckets)"
+    val blooms = history
+      .selectExpr(s"$bucketOf AS __b", s"xxhash64($textCol) AS __h")
+      .groupBy("__b")
+      .agg(org.apache.spark.sql.functions.call_function("bloom_agg",
+        col("__h"), lit(numBits), lit(numProbes)).as("__f"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+      .sortBy(_._1)
+    val dispatch = blooms.foldRight(lit(null).cast("binary")) {
+      case ((b, f), rest) => when(expr(bucketOf) === b, lit(f)).otherwise(rest)
+    }
+    confirmAgainst(history, incoming, textCol,
+      org.apache.spark.sql.functions.call_function("bloom_contains",
+        dispatch, expr(s"xxhash64($textCol)")))
+  }
+
+  /** Shared exactness tail of the Bloom dedup paths: rows whose probe is
+    * false or NULL are definitely new (NULL text / empty bucket — an
+    * anti-join would keep them too, NULL never equi-matches); probe
+    * survivors are anti-joined on md5 content for exactness. */
+  private def confirmAgainst(history: DataFrame, incoming: DataFrame,
+      textCol: String,
+      probe: org.apache.spark.sql.Column): DataFrame = {
+    val marked = incoming.withColumn("__maybe_seen", probe)
     val surelyNew = marked
       .where(col("__maybe_seen").isNull || !col("__maybe_seen"))
       .drop("__maybe_seen")

@@ -109,4 +109,59 @@ class BloomDedupSpec extends AnyFunSuite with SparkTestBase {
     val got = Dedup.newAgainstHistory(history, incoming, "doc_id", "text")
     assert(got.count() === 2)
   }
+
+  test("bucketed variant: identical result to the single-filter path and the anti-join") {
+    import spark.implicits._
+    val history = (0 until 800).map(i => (i.toLong, s"hist body $i")).toDF("doc_id", "text")
+    val incoming = ((1000 until 1400).map(i => (i.toLong, s"new body $i")) ++
+      (0 until 150).map(i => (5000L + i, s"hist body $i"))).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = ids(incoming.join(history.select("text"), Seq("text"), "left_anti"))
+    val single = ids(Dedup.newAgainstHistory(history, incoming, "doc_id", "text"))
+    val bucketed = ids(Dedup.newAgainstHistoryBucketed(history, incoming,
+      "doc_id", "text", numBuckets = 7, numBits = 16384))
+    assert(single === want)
+    assert(bucketed === want)
+  }
+
+  test("bucketed variant: an incoming bucket with no history probes NULL -> kept") {
+    import spark.implicits._
+    // single-row history: most of the incoming rows' buckets are empty
+    val history = Seq((1L, "only history row")).toDF("doc_id", "text")
+    val incoming = ((0 until 200).map(i => (100L + i, s"fresh $i")) :+
+      ((999L, "only history row"))).toDF("doc_id", "text")
+    val got = Dedup.newAgainstHistoryBucketed(history, incoming,
+      "doc_id", "text", numBuckets = 32, numBits = 8192)
+    assert(got.count() === 200)
+    assert(!got.select("doc_id").collect().map(_.getLong(0)).contains(999L))
+  }
+
+  test("streaming ingest: foreachBatch dedups each micro-batch against all prior content") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("bloom-ingest").toString
+    // seed the corpus so batch 1 already dedups against something
+    Seq((1L, "seed alpha"), (2L, "seed beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(store)
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val history = batch.sparkSession.read.parquet(store)
+        Dedup.newAgainstHistory(history, batch, "doc_id", "text",
+          numBits = 8192).write.mode("append").parquet(store)
+      }
+      .start()
+    try {
+      source.addData((10L, "doc one"), (11L, "seed alpha")) // 11 = redelivery of seed
+      q.processAllAvailable()
+      source.addData((12L, "doc one"), (13L, "doc two")) // 12 = cross-batch dup of 10
+      q.processAllAvailable()
+    } finally q.stop()
+    val texts = spark.read.parquet(store).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(texts.map(_._2).distinct.length === texts.length, s"dup text survived: ${texts.toSeq}")
+    assert(texts.map(_._1).toSeq === Seq(1L, 2L, 10L, 13L), texts.toSeq)
+  }
 }
