@@ -292,6 +292,56 @@ object TextAnalysis {
     tri.join(bi, Seq("doc_id"))
   }
 
+  /** Overlapping fixed-size token windows per document — the chunker a
+    * pretraining/RAG pipeline runs before packing or embedding: chunk i
+    * covers tokens [i·stride, i·stride + chunkTokens); the last chunk
+    * may be short; stride < chunkTokens yields overlap. A pure
+    * projection + explode (zero shuffle at any scale); the same dialect
+    * template emits the oracle SQL. Output: (doc_id, chunk_idx,
+    * n_chunk_tokens, chunk). */
+  def chunkExprs(d: SqlDialect, textCol: String, chunkTokens: Int,
+      stride: Int): String = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      s"chunker: need 1 <= stride <= chunkTokens, got ($stride, $chunkTokens)")
+    // chunk count = ceil(n_tokens / stride) bounded so the LAST chunk
+    // still starts inside the doc: floor((n-1)/stride) + 1 for n >= 1
+    val nChunks = s"(${d.idiv(s"(${d.len("tk")} - 1)", stride.toString)} + 1)"
+    d.bind(d.splitSpace(textCol), "tk",
+      d.map(d.range1(nChunks), "i",
+        d.wordSlice("tk", s"(i - 1) * $stride + 1", chunkTokens)))
+  }
+
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame =
+    docs
+      .selectExpr(s"$idCol AS doc_id",
+        s"posexplode(${chunkExprs(d, textCol, chunkTokens, stride)}) AS (chunk_idx, chunk)")
+      .selectExpr("doc_id", "CAST(chunk_idx AS BIGINT) AS chunk_idx",
+        s"CAST(${d.len(d.splitSpace("chunk"))} AS BIGINT) AS n_chunk_tokens", "chunk")
+
+  /** Greedy contiguous context-window packing: stream the chunks of one
+    * `streamCol` group (e.g. language) in (doc_id, chunk_idx) order and
+    * cut a new bin every time the running token total crosses a
+    * multiple of `contextTokens` — bin id = exclusive-prefix-sum DIV
+    * context. The exact bin-packing a sequence packer wants is
+    * order-sensitive; this contiguous approximation is what streaming
+    * packers actually run (bins straddle by at most one chunk), and it
+    * is fully deterministic: integer cumsum over a total order, keyed
+    * window only (one exchange on the stream column). */
+  def packChunks(chunks: DataFrame, streamCol: String,
+      contextTokens: Int): DataFrame = {
+    require(contextTokens >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(streamCol).orderBy("doc_id", "chunk_idx")
+    chunks
+      .withColumn("__cum",
+        sum(col("n_chunk_tokens")).over(w) - col("n_chunk_tokens"))
+      .withColumn("bin", expr(s"${d.idiv("__cum", contextTokens.toString)}"))
+      .groupBy(col(streamCol), col("bin"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("bin_tokens"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val terms = docs.selectExpr(s"$idCol AS doc_id", s"explode(${toks(textCol)}) AS term")
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

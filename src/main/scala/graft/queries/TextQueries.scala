@@ -340,6 +340,60 @@ object TextQueries {
         .orderBy("doc_id")
     }, Some(perceptronOracleSql(DuckSql, epochs = 5))),
 
+    // ---- document chunking: overlapping fixed-token windows -------------
+    // The pretraining/RAG chunker: 32-token windows, stride 16 (50%
+    // overlap), last window short. Pure projection + explode — zero
+    // shuffle at any scale; the oracle re-derives the windows through
+    // an index unnest instead of the engine's posexplode'd list (same
+    // wordSlice template, different relational shape).
+    QuerySpec("q114_chunking", { (s, dir) =>
+      graft.operators.TextAnalysis
+        .chunkDocuments(Td.load(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, stride = 16)
+        .orderBy("doc_id", "chunk_idx")
+    }, {
+      val d = DuckSql
+      val nChunks = s"(${d.idiv(s"(${d.len("tk")} - 1)", "16")} + 1)"
+      Some(s"""WITH tkt AS (SELECT doc_id, ${d.splitSpace("text")} AS tk FROM documents),
+               idx AS (SELECT doc_id, tk, unnest(${d.range1(nChunks)}) AS i FROM tkt),
+               ch AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+                             ${d.wordSlice("tk", "(i-1)*16 + 1", 32)} AS chunk
+                      FROM idx)
+               SELECT doc_id, chunk_idx,
+                      CAST(${d.len(d.splitSpace("chunk"))} AS BIGINT) AS n_chunk_tokens, chunk
+               FROM ch ORDER BY doc_id, chunk_idx""")
+    }),
+
+    // ---- context-window packing: greedy contiguous 512-token bins -------
+    // The sequence packer's bin assignment: per language stream, chunks
+    // (from q114's chunker) are packed in (doc_id, chunk_idx) order by
+    // exclusive-prefix-sum DIV 512 — deterministic integer cumsum over a
+    // keyed window (one exchange on lang), bins straddle by at most one
+    // chunk. Output bins sit at ~512 tokens each.
+    QuerySpec("q115_context_packing", { (s, dir) =>
+      val docs = Td.load(s, dir, "documents")
+      val chunks = graft.operators.TextAnalysis
+        .chunkDocuments(docs, "doc_id", "text", chunkTokens = 32, stride = 16)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      graft.operators.TextAnalysis.packChunks(chunks, "lang", contextTokens = 512)
+        .orderBy("lang", "bin")
+    }, {
+      val d = DuckSql
+      val nChunks = s"(${d.idiv(s"(${d.len("tk")} - 1)", "16")} + 1)"
+      Some(s"""WITH tkt AS (SELECT doc_id, lang, ${d.splitSpace("text")} AS tk FROM documents),
+               idx AS (SELECT doc_id, lang, tk, unnest(${d.range1(nChunks)}) AS i FROM tkt),
+               ch AS (SELECT doc_id, lang, CAST(i - 1 AS BIGINT) AS chunk_idx,
+                             CAST(${d.len(d.splitSpace(d.wordSlice("tk", "(i-1)*16 + 1", 32)))} AS BIGINT) AS n
+                      FROM idx),
+               cum AS (SELECT lang, n,
+                              sum(n) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cumx
+                       FROM ch)
+               SELECT lang, CAST(${d.idiv("cumx", "512")} AS BIGINT) AS bin,
+                      count(*) AS n_chunks, CAST(sum(n) AS BIGINT) AS bin_tokens
+               FROM cum GROUP BY 1, 2 ORDER BY lang, bin""")
+    }),
+
     // ---- token counting: whitespace + BPE-ish regex pieces --------------
     QuerySpec("q50_text_tokens",
       (s, dir) => {
