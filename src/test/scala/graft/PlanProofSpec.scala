@@ -139,4 +139,59 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
+
+  test("q109: the bloom probe is a scan-side Filter; definitely-new rows bypass every join") {
+    // The union's first branch (bloom probe false/NULL) must contain no
+    // join at all — that is the short-circuit the sketch buys. The
+    // second branch carries the exactness anti-join.
+    val df = SparkEntry.queries("q109_dedup_incremental")(spark, sf)
+    val union = df.queryExecution.sparkPlan.collectFirst {
+      case u: org.apache.spark.sql.execution.UnionExec => u
+    }
+    assert(union.isDefined, df.queryExecution.sparkPlan.toString.take(1200))
+    val surely = union.get.children.head.toString
+    assert(surely.contains("bloom_contains"), surely.take(800))
+    assert(!surely.contains("Join"), s"definitely-new branch contains a join:\n$surely")
+    val confirm = union.get.children(1).toString
+    assert(confirm.contains("Join"), s"confirm branch lost its anti-join:\n$confirm")
+  }
+
+  test("q113: scoring is a pure projection — no window, no join, no aggregate") {
+    // Training runs as side jobs at build time; the returned plan is the
+    // margin projection plus the oracle-ordering sort only.
+    val df = SparkEntry.queries("q113_quality_classifier")(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    plan.foreach {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        fail("q113 scoring plans a join:\n" + j)
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        fail("q113 scoring plans a window:\n" + w)
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        fail("q113 scoring plans an aggregate:\n" + a)
+      case _ =>
+    }
+  }
+
+  test("q114: chunking plans no exchange besides the oracle-ordering sort") {
+    val df = SparkEntry.queries("q114_chunking")(spark, sf)
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // exactly one range exchange for the final orderBy; the chunker
+    // itself is projection + Generate
+    assert(exchanges.size <= 1, df.queryExecution.sparkPlan.toString.take(1200))
+    assert(df.queryExecution.sparkPlan.toString.contains("Generate"),
+      "chunker lost its explode")
+  }
+
+  test("q112/q115: every window is keyed (no unpartitioned window anywhere)") {
+    Seq("q112_scd2", "q115_context_packing").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.queryExecution.sparkPlan.foreach {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          assert(w.partitionSpec.nonEmpty, s"unpartitioned Window in $q:\n" + w)
+        case _ =>
+      }
+    }
+  }
 }
