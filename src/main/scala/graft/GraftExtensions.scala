@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomAgg, BloomContains, CosineSimilarity, HeavyHittersAgg, Md5U32, MinHashAgg, MinHashSigs, SimHash32, SubwordStats}
+import graft.functions.{BloomAgg, BloomBroadcasts, BloomContains, BloomContainsBcast, CosineSimilarity, HeavyHittersAgg, Md5U32, MinHashAgg, MinHashSigs, SimHash32, SubwordStats}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions into the session's
@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("bloom_contains",
       "bloom_contains(filter, hash) - probabilistic membership probe; no false negatives")(
       c => BloomContains(c.head, c(1))))
+    ext.injectFunction(fn("bloom_contains_bcast",
+      "bloom_contains_bcast(handle, hash) - membership probe against a driver-registered broadcast filter; the bytes ride a torrent broadcast, never the task binary")(
+      c => {
+        require(c.head.foldable, "bloom_contains_bcast: handle must be foldable")
+        BloomContainsBcast(
+          BloomBroadcasts.lookup(c.head.eval(null).toString.toInt), c(1))
+      }))
     ext.injectFunction(fn("heavy_hitters",
       "heavy_hitters(term, k) - mergeable Misra-Gries top terms with frequency lower bounds")(
       c => HeavyHittersAgg(c.head, c(1)).toAggregateExpression()))

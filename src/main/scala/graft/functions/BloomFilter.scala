@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -165,4 +166,76 @@ case class BloomContains(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomContains =
     copy(left = newLeft, right = newRight)
+}
+
+/** Driver-side handle table behind `bloom_contains_bcast(id, hash)`.
+  *
+  * A filter big enough to matter (100 MB-GB for 10⁸-10⁹ history keys)
+  * must NOT travel as a plan literal — a literal is serialized into
+  * every task binary and re-deserialized per task, while a
+  * `Broadcast[Array[Byte]]` ships once per executor over the torrent
+  * protocol and is shared by every task on it. SQL function builders
+  * can only receive Expressions, so the broadcast is parked here under
+  * an INT handle and the handle travels as the (tiny) literal; the
+  * builder resolves it back at analysis time, which always runs on the
+  * driver. Handles live until [[release]] (or session end) — the
+  * driver-side cost is one reference per registered filter, not a
+  * per-query copy. */
+object BloomBroadcasts {
+  private val ids = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val live =
+    new java.util.concurrent.ConcurrentHashMap[Int, Broadcast[Array[Byte]]]()
+
+  def register(b: Broadcast[Array[Byte]]): Int = {
+    val id = ids.incrementAndGet(); live.put(id, b); id
+  }
+
+  def lookup(id: Int): Broadcast[Array[Byte]] = {
+    val b = live.get(id)
+    require(b != null, s"bloom_contains_bcast: no filter registered under handle $id")
+    b
+  }
+
+  /** Drop the handle AND the executor-side blocks. Only call once every
+    * plan referencing the handle has finished executing. */
+  def release(id: Int): Unit = {
+    val b = live.remove(id)
+    if (b != null) b.destroy()
+  }
+}
+
+/** `bloom_contains_bcast(handle, hash)` after analysis: the probe of
+  * [[BloomContains]] with the filter carried by a broadcast variable
+  * instead of a literal. The expression serializes as the broadcast
+  * STUB (an id + block manager coordinates, ~100 bytes) regardless of
+  * filter size; `.value` on the executor fetches the blocks once and
+  * every probe thereafter is the same k bit-reads, whole-stage
+  * codegen'd with the bytes cached in a generated-class field. */
+case class BloomContainsBcast(bcast: Broadcast[Array[Byte]], child: Expression)
+    extends UnaryExpression {
+
+  override def prettyName: String = "bloom_contains_bcast"
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains_bcast requires a BIGINT hash input, got ${t.simpleString}")
+  }
+
+  @transient private lazy val filter: Array[Byte] = bcast.value
+
+  override def nullSafeEval(h: Any): Any =
+    BloomOps.mightContain(filter, h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("bloomBcast", bcast,
+      classOf[Broadcast[Array[Byte]]].getName)
+    val bytes = ctx.addMutableState("byte[]", "bloomBcastBytes",
+      v => s"$v = (byte[]) $bc.value();")
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = graft.functions.BloomOps.mightContain($bytes, $h);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsBcast =
+    copy(child = newChild)
 }

@@ -440,9 +440,12 @@ object Dedup {
     * Two phases:
     *  1. build one mergeable Bloom filter over xxhash64 of history's
     *     content (map-side-combinable `bloom_agg`; ONE m/8-byte value
-    *     leaves the executors) and embed it as a plan literal — a
-    *     broadcast-join alternative would memcpy the filter into every
-    *     joined row;
+    *     leaves the executors) and ship it as a BROADCAST VARIABLE
+    *     probed through `bloom_contains_bcast` — the bytes travel once
+    *     per executor over the torrent protocol, NOT per task binary
+    *     (a `lit(filter)` embed deserializes the whole filter per task,
+    *     catastrophic at the GB-scale sizing below; a broadcast-join
+    *     alternative would memcpy the filter into every joined row);
     *  2. rows the filter rejects are DEFINITELY new (no false
     *     negatives) and short-circuit past the join entirely; only the
     *     survivors — true duplicates plus the configured false-positive
@@ -453,62 +456,120 @@ object Dedup {
     * filter is mergeable, so per-partition partials maintain it
     * incrementally), and per batch the exchange carries
     * |dups| + fp·|incoming| rows instead of |incoming|. Size m for the
-    * history cardinality (1% FP at 10⁹ keys ≈ 1.2 GB); beyond literal
-    * size, keep one filter per pre-bucketed key range via
-    * groupBy(bucket) — the aggregate is per-group already. */
+    * history cardinality (1% FP at 10⁹ keys ≈ 1.2 GB — a valid
+    * broadcast; past the 2 GB `Array[Byte]` wall or driver RAM use
+    * [[newAgainstHistoryPartitioned]], which never collects a filter). */
   def newAgainstHistory(history: DataFrame, incoming: DataFrame,
-      idCol: String, textCol: String,
+      textCol: String,
       numBits: Int = 1 << 20, numProbes: Int = 5): DataFrame = {
     val filter = history
       .selectExpr(s"bloom_agg(xxhash64($textCol), $numBits, $numProbes) AS f")
       .head().getAs[Array[Byte]](0)
-    confirmAgainst(history, incoming, textCol,
-      org.apache.spark.sql.functions.call_function("bloom_contains",
-        lit(filter), expr(s"xxhash64($textCol)")))
+    val handle = graft.functions.BloomBroadcasts.register(
+      history.sparkSession.sparkContext.broadcast(filter))
+    splitConfirm(history,
+      incoming.withColumn("__maybe_seen",
+        org.apache.spark.sql.functions.call_function("bloom_contains_bcast",
+          lit(handle), expr(s"xxhash64($textCol)"))),
+      textCol)
   }
 
   /** [[newAgainstHistory]] for histories whose single filter would blow
-    * the literal/JVM-array budget (one `Array[Byte]` caps at 2 GB ≈
-    * 1.7·10⁹ keys at 1% FP): the history is hash-bucketed and ONE
-    * filter built PER BUCKET (`groupBy(bucket)` over the same mergeable
-    * aggregate), each sized for a bucket's cardinality. The probe is a
-    * bucket-dispatched CASE over per-bucket literals — still zero
-    * per-row blob copies (a bucket-keyed JOIN against the filter table
-    * would memcpy a filter into every probed row). An incoming row
-    * whose bucket holds no history probes NULL → definitely new.
+    * the 2 GB `Array[Byte]` wall (≈ 1.7·10⁹ keys at 1% FP): the history
+    * is hash-bucketed and ONE filter built PER BUCKET (`groupBy(bucket)`
+    * over the same mergeable aggregate), each broadcast separately and
+    * probed through a CASE dispatch on a ONCE-computed bucket column.
+    * An incoming row whose bucket holds no history probes NULL →
+    * definitely new.
     *
-    * Driver/plan footprint = Σ bucket filter bytes — the same total as
-    * one big filter, but no single array near the 2 GB wall; past
-    * driver RAM entirely, repartition both sides by the bucket and run
-    * per-partition filters (the aggregate is already per-group). */
+    * All buckets share `numBits`, so the total footprint is
+    * numBuckets × (numBits/8 + 8) bytes — driver RAM still holds the sum
+    * while broadcasting (each array is just individually far from the
+    * 2 GB wall). For histories whose filter sum exceeds driver RAM use
+    * [[newAgainstHistoryPartitioned]]. */
   def newAgainstHistoryBucketed(history: DataFrame, incoming: DataFrame,
-      idCol: String, textCol: String, numBuckets: Int = 16,
+      textCol: String, numBuckets: Int = 16,
       numBits: Int = 1 << 20, numProbes: Int = 5): DataFrame = {
     require(numBuckets >= 1, s"numBuckets $numBuckets < 1")
-    val bucketOf = s"pmod(xxhash64($textCol), $numBuckets)"
-    val blooms = history
-      .selectExpr(s"$bucketOf AS __b", s"xxhash64($textCol) AS __h")
+    val sc = history.sparkSession.sparkContext
+    val handles = history
+      .selectExpr(s"pmod(xxhash64($textCol), $numBuckets) AS __b",
+        s"xxhash64($textCol) AS __h")
       .groupBy("__b")
       .agg(org.apache.spark.sql.functions.call_function("bloom_agg",
         col("__h"), lit(numBits), lit(numProbes)).as("__f"))
-      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+      .collect()
+      .map(r => r.getLong(0) ->
+        graft.functions.BloomBroadcasts.register(
+          sc.broadcast(r.getAs[Array[Byte]](1))))
       .sortBy(_._1)
-    val dispatch = blooms.foldRight(lit(null).cast("binary")) {
-      case ((b, f), rest) => when(expr(bucketOf) === b, lit(f)).otherwise(rest)
+    // bucket + hash computed ONCE per row (not per CASE arm); only the
+    // matching arm's probe evaluates.
+    val dispatch = handles.foldRight(lit(null).cast("boolean")) {
+      case ((b, handle), rest) =>
+        when(col("__bloom_b") === b,
+          org.apache.spark.sql.functions.call_function("bloom_contains_bcast",
+            lit(handle), col("__bloom_h"))).otherwise(rest)
     }
-    confirmAgainst(history, incoming, textCol,
-      org.apache.spark.sql.functions.call_function("bloom_contains",
-        dispatch, expr(s"xxhash64($textCol)")))
+    val marked = incoming
+      .withColumn("__bloom_h", expr(s"xxhash64($textCol)"))
+      .withColumn("__bloom_b", pmod(col("__bloom_h"), lit(numBuckets.toLong)))
+      .withColumn("__maybe_seen", dispatch)
+      .drop("__bloom_h", "__bloom_b")
+    splitConfirm(history, marked, textCol)
   }
 
-  /** Shared exactness tail of the Bloom dedup paths: rows whose probe is
-    * false or NULL are definitely new (NULL text / empty bucket — an
+  /** The beyond-driver-RAM Bloom path: per-bucket filters that NEVER
+    * leave the executors. The history's filters are built per bucket as
+    * a distributed relation (one row per bucket) and both sides are
+    * repartitioned by the bucket via a typed cogroup — each group sees
+    * exactly one filter plus its incoming rows, probes them locally,
+    * and the filter bytes are materialized once per GROUP, not copied
+    * per row (the cost a bucket-keyed equi-join would pay).
+    *
+    * Cost: one extra shuffle of `incoming` (by bucket) and one of the
+    * filter relation (numBuckets rows) through the object-serialized
+    * typed API — the trade for a history too large to broadcast at
+    * all. Exactness tail identical to [[newAgainstHistory]]. */
+  def newAgainstHistoryPartitioned(history: DataFrame, incoming: DataFrame,
+      textCol: String, numBuckets: Int = 64,
+      numBits: Int = 1 << 20, numProbes: Int = 5): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+    require(numBuckets >= 1, s"numBuckets $numBuckets < 1")
+    val filters = history
+      .selectExpr(s"pmod(xxhash64($textCol), $numBuckets) AS __b",
+        s"xxhash64($textCol) AS __h")
+      .groupBy("__b")
+      .agg(org.apache.spark.sql.functions.call_function("bloom_agg",
+        col("__h"), lit(numBits), lit(numProbes)).as("__f"))
+    val n = incoming.schema.size
+    val keyed = incoming
+      .withColumn("__bloom_b", expr(s"pmod(xxhash64($textCol), $numBuckets)"))
+      .withColumn("__bloom_h", expr(s"xxhash64($textCol)"))
+    val outSchema = StructType(incoming.schema.fields :+
+      StructField("__maybe_seen", BooleanType, nullable = true))
+    val marked = keyed.groupByKey(_.getLong(n))(Encoders.scalaLong)
+      .cogroup(filters.groupByKey(_.getLong(0))(Encoders.scalaLong)) {
+        (_, rows, fs) =>
+          val f = if (fs.hasNext) fs.next().getAs[Array[Byte]]("__f") else null
+          rows.map { r =>
+            val seen: Any =
+              if (f == null) null
+              else graft.functions.BloomOps.mightContain(f, r.getLong(n + 1))
+            Row.fromSeq(r.toSeq.dropRight(2) :+ seen)
+          }
+      }(Encoders.row(outSchema))
+    splitConfirm(history, marked.toDF(), textCol)
+  }
+
+  /** Shared exactness tail of the Bloom dedup paths. `marked` is the
+    * incoming batch with a `__maybe_seen` probe column: rows whose probe
+    * is false or NULL are definitely new (NULL text / empty bucket — an
     * anti-join would keep them too, NULL never equi-matches); probe
     * survivors are anti-joined on md5 content for exactness. */
-  private def confirmAgainst(history: DataFrame, incoming: DataFrame,
-      textCol: String,
-      probe: org.apache.spark.sql.Column): DataFrame = {
-    val marked = incoming.withColumn("__maybe_seen", probe)
+  private def splitConfirm(history: DataFrame, marked: DataFrame,
+      textCol: String): DataFrame = {
     val surelyNew = marked
       .where(col("__maybe_seen").isNull || !col("__maybe_seen"))
       .drop("__maybe_seen")

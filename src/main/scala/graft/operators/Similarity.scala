@@ -127,7 +127,11 @@ object Similarity {
     * (vec_id, cell), the complement of what SemDeDup prunes. */
   def semanticDedup(vectors: DataFrame, cents: DataFrame, minCosine: Double,
       maxCellSize: Int = 4096): DataFrame = {
-    val assigned = assignCells(vectors, cents)
+    // The assignment feeds BOTH the pair generation and the final
+    // anti-join; without a materialization barrier the N×C broadcast
+    // argmax — the dominant stage at scale — executes twice. Same
+    // localCheckpoint discipline as the CC rounds in Dedup.clusters.
+    val assigned = assignCells(vectors, cents).localCheckpoint(eager = true)
     val pairs = semanticPairs(assigned, minCosine, maxCellSize)
     val dropped = Dedup.clusters(pairs, "vec_a", "vec_b")
       .where(col("doc_id") =!= col("cluster_id"))

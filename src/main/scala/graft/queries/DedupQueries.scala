@@ -455,7 +455,7 @@ object DedupQueries {
         .unionAll(history.where("doc_id < 200")
           .select((col("doc_id") + 30000).as("doc_id"), col("text")))
       graft.operators.Dedup
-        .newAgainstHistory(history, incoming, "doc_id", "text")
+        .newAgainstHistory(history, incoming, "text")
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
         .orderBy("doc_id")
     }, Some("""WITH history AS (

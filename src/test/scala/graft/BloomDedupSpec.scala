@@ -56,7 +56,7 @@ class BloomDedupSpec extends AnyFunSuite with SparkTestBase {
     val incoming = ((1000 until 1300).map(i => (i.toLong, s"new body $i")) ++
       (0 until 120).map(i => (2000L + i, s"hist body $i"))) // re-sends
       .toDF("doc_id", "text")
-    val got = Dedup.newAgainstHistory(history, incoming, "doc_id", "text")
+    val got = Dedup.newAgainstHistory(history, incoming, "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val want = incoming.join(history.select("text"), Seq("text"), "left_anti")
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -71,7 +71,7 @@ class BloomDedupSpec extends AnyFunSuite with SparkTestBase {
       (0 until 50).map(i => (900L + i, s"hist $i"))).toDF("doc_id", "text")
     val sets = Seq(1, 3, 8).map { p =>
       Dedup.newAgainstHistory(history.repartition(p), incoming.repartition(p),
-        "doc_id", "text").select("doc_id").collect().map(_.getLong(0)).toSet
+        "text").select("doc_id").collect().map(_.getLong(0)).toSet
     }
     assert(sets.distinct.size === 1)
   }
@@ -97,7 +97,7 @@ class BloomDedupSpec extends AnyFunSuite with SparkTestBase {
     val history = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val incoming = Seq((10L, "a"), (11L, null.asInstanceOf[String]), (12L, "c"))
       .toDF("doc_id", "text")
-    val got = Dedup.newAgainstHistory(history, incoming, "doc_id", "text")
+    val got = Dedup.newAgainstHistory(history, incoming, "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got === Set(11L, 12L))
   }
@@ -106,7 +106,7 @@ class BloomDedupSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     val history = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val incoming = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
-    val got = Dedup.newAgainstHistory(history, incoming, "doc_id", "text")
+    val got = Dedup.newAgainstHistory(history, incoming, "text")
     assert(got.count() === 2)
   }
 
@@ -118,9 +118,9 @@ class BloomDedupSpec extends AnyFunSuite with SparkTestBase {
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
     val want = ids(incoming.join(history.select("text"), Seq("text"), "left_anti"))
-    val single = ids(Dedup.newAgainstHistory(history, incoming, "doc_id", "text"))
+    val single = ids(Dedup.newAgainstHistory(history, incoming, "text"))
     val bucketed = ids(Dedup.newAgainstHistoryBucketed(history, incoming,
-      "doc_id", "text", numBuckets = 7, numBits = 16384))
+      "text", numBuckets = 7, numBits = 16384))
     assert(single === want)
     assert(bucketed === want)
   }
@@ -132,9 +132,65 @@ class BloomDedupSpec extends AnyFunSuite with SparkTestBase {
     val incoming = ((0 until 200).map(i => (100L + i, s"fresh $i")) :+
       ((999L, "only history row"))).toDF("doc_id", "text")
     val got = Dedup.newAgainstHistoryBucketed(history, incoming,
-      "doc_id", "text", numBuckets = 32, numBits = 8192)
+      "text", numBuckets = 32, numBits = 8192)
     assert(got.count() === 200)
     assert(!got.select("doc_id").collect().map(_.getLong(0)).contains(999L))
+  }
+
+  test("broadcast transport: a 64 MB filter rides a broadcast, never the plan/task binary") {
+    import spark.implicits._
+    // 2^29 bits = 64 MB of filter — the sizing where a lit() embed is
+    // catastrophic (64 MB deserialized per task, a >128 MB plan string).
+    val history = (0 until 1000).map(i => (i.toLong, s"hist body $i"))
+      .toDF("doc_id", "text").repartition(2)
+    // through parquet, not a LocalRelation — the optimizer folds filters
+    // over local data at plan time, which would hide the probe
+    val dir = java.nio.file.Files.createTempDirectory("bloom-bcast").toString
+    ((5000 until 5200).map(i => (i.toLong, s"new body $i")) ++
+      (0 until 60).map(i => (9000L + i, s"hist body $i"))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val incoming = spark.read.parquet(dir)
+    val got = Dedup.newAgainstHistory(history, incoming, "text", numBits = 1 << 29)
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === (5000L until 5200L).toSet)
+    val plan = got.queryExecution.sparkPlan.toString
+    assert(plan.contains("bloom_contains_bcast"), plan.take(1200))
+    assert(plan.length < (1 << 20),
+      s"plan string is ${plan.length} bytes - the filter leaked into the plan")
+  }
+
+  test("partitioned variant: exact vs the anti-join; empty buckets kept; partition-invariant") {
+    import spark.implicits._
+    val history = (0 until 800).map(i => (i.toLong, s"hist body $i")).toDF("doc_id", "text")
+    val incoming = ((1000 until 1400).map(i => (i.toLong, s"new body $i")) ++
+      (0 until 150).map(i => (5000L + i, s"hist body $i"))).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = ids(incoming.join(history.select("text"), Seq("text"), "left_anti"))
+    val sets = Seq(1, 3, 8).map { p =>
+      ids(Dedup.newAgainstHistoryPartitioned(history.repartition(p),
+        incoming.repartition(p), "text", numBuckets = 7, numBits = 16384))
+    }
+    assert(sets.forall(_ === want))
+    // single-row history: most incoming buckets hold no filter -> NULL probe -> kept
+    val tiny = Seq((1L, "only history row")).toDF("doc_id", "text")
+    val probeIn = ((0 until 100).map(i => (100L + i, s"fresh $i")) :+
+      ((999L, "only history row"))).toDF("doc_id", "text")
+    val kept = ids(Dedup.newAgainstHistoryPartitioned(tiny, probeIn, "text",
+      numBuckets = 32, numBits = 8192))
+    assert(kept === (100L until 200L).toSet)
+  }
+
+  test("partitioned variant: no filter bytes reach the driver plan either") {
+    import spark.implicits._
+    val history = (0 until 500).map(i => (i.toLong, s"hist $i")).toDF("doc_id", "text")
+    val incoming = (700 until 900).map(i => (i.toLong, s"new $i")).toDF("doc_id", "text")
+    val got = Dedup.newAgainstHistoryPartitioned(history, incoming, "text",
+      numBuckets = 8, numBits = 1 << 23)
+    assert(got.count() === 200)
+    val plan = got.queryExecution.sparkPlan.toString
+    assert(plan.length < (1 << 20), s"plan string is ${plan.length} bytes")
+    assert(plan.contains("CoGroup"), plan.take(1200))
   }
 
   test("streaming ingest: foreachBatch dedups each micro-batch against all prior content") {
@@ -149,7 +205,7 @@ class BloomDedupSpec extends AnyFunSuite with SparkTestBase {
     val q = source.toDS().toDF("doc_id", "text").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val history = batch.sparkSession.read.parquet(store)
-        Dedup.newAgainstHistory(history, batch, "doc_id", "text",
+        Dedup.newAgainstHistory(history, batch, "text",
           numBits = 8192).write.mode("append").parquet(store)
       }
       .start()

@@ -149,11 +149,23 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
       case u: org.apache.spark.sql.execution.UnionExec => u
     }
     assert(union.isDefined, df.queryExecution.sparkPlan.toString.take(1200))
-    val surely = union.get.children.head.toString
-    assert(surely.contains("bloom_contains"), surely.take(800))
-    assert(!surely.contains("Join"), s"definitely-new branch contains a join:\n$surely")
-    val confirm = union.get.children(1).toString
-    assert(confirm.contains("Join"), s"confirm branch lost its anti-join:\n$confirm")
+    // Catalyst flattens q109's nested unionAll (incoming is itself a
+    // 2-way union) via CombineUnions AND distributes both the probe
+    // filter and the left-anti join over the union legs, so the UnionExec
+    // has one definitely-new and one confirm branch PER incoming leg.
+    // Locate branches by content, not position, and assert the semantics:
+    // every join-free branch short-circuits on a negative bloom probe,
+    // and every anti-join is guarded by the positive probe (only
+    // probe survivors pay the join).
+    val branches = union.get.children.map(_.toString)
+    val (joinBranches, newBranches) = branches.partition(_.contains("Join"))
+    assert(joinBranches.nonEmpty, s"no confirm (anti-join) branch in:\n" +
+      branches.map(_.take(400)).mkString("\n---\n"))
+    assert(newBranches.nonEmpty, "no definitely-new branch survived planning")
+    newBranches.foreach(b => assert(b.contains("bloom_contains"),
+      s"a definitely-new branch does not probe the bloom filter:\n${b.take(800)}"))
+    joinBranches.foreach(b => assert(b.contains("bloom_contains"),
+      s"a confirm branch joins without the probe guard:\n${b.take(800)}"))
   }
 
   test("q113: scoring is a pure projection — no window, no join, no aggregate") {

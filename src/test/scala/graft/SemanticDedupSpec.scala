@@ -103,6 +103,23 @@ class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
     assigned.unpersist()
   }
 
+  test("semanticDedup materializes the assignment ONCE: both consumers scan the checkpoint") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val data = corpus(100, 10)
+    val kept = Similarity.semanticDedup(data, seeds(data, 9), 0.999)
+    val plan = kept.queryExecution.optimizedPlan
+    // The N×C broadcast argmax (min_by over the centroid cross) must not
+    // appear in the returned plan at all — it ran once, eagerly, behind
+    // the localCheckpoint; pairs and the final anti-join both scan it.
+    assert(!plan.toString.contains("min_by"), plan.toString.take(1500))
+    val rddScans = plan.collect { case r: LogicalRDD => r }
+    assert(rddScans.size >= 2,
+      s"expected both branches to scan the checkpointed assignment, got:\n$plan")
+    // and the one-pass plan still keeps exactly the non-copies
+    val ids = kept.collect().map(_.getLong(0)).toSet
+    assert(ids === (0L until 100L).toSet)
+  }
+
   test("assignment plan: no window, min_by partial aggregation (the round-5 IVF shape)") {
     import org.apache.spark.sql.execution.window.WindowExec
     val data = corpus(50, 0)
