@@ -403,6 +403,64 @@ object Dedup {
       .select("doc_id", "para_idx", "para_text")
   }
 
+  /** Exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499): remove every
+    * token SPAN covered by an n-token gram that occurs >= `minCount`
+    * times across the corpus — sub-document boilerplate (licence
+    * headers, navigation chrome, templated intros) that whole-document
+    * and paragraph dedup both miss. Removal is by span, not by doc: the
+    * paper's suffix-array "duplicated substring" is re-expressed as the
+    * union of duplicated fixed-width gram windows, the standard
+    * shingle-granularity relaxation (a duplicated run of length L >= n
+    * is exactly covered by its L-n+1 duplicated grams, so every >= n
+    * duplicated run is removed in full; runs shorter than n survive —
+    * the same resolution limit the paper's n-token threshold sets).
+    *
+    * Output: (doc_id, n_tokens, n_removed, kept_text) — one row per
+    * input doc, kept_text the surviving tokens in order ('' when the
+    * whole doc was duplicated boilerplate).
+    *
+    * Scale shape: two corpus scans (gram build, token build), then
+    * everything is relational — gram counts partial-aggregate map-side
+    * before one exchange keyed on the gram; duplicated-gram starts come
+    * from an equi-join (AQE broadcasts the dup set when small); covered
+    * positions and the token anti-join are both keyed (doc_id, p), so
+    * the distinct's exchange is reused by the join. No per-doc state
+    * ever exceeds the doc's own token count, and no stage is quadratic
+    * in anything. Gram strings ride one shuffle (n·avg_token bytes per
+    * gram — the price of EXACTNESS; the hashed variant would be
+    * xxhash64(gram) at a collision-false-dedup risk this operator's
+    * contract rejects). */
+  def dropDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Int = 2): DataFrame = {
+    require(n >= 2, s"dropDuplicateSpans: n must be >= 2, got $n")
+    require(minCount >= 2, s"dropDuplicateSpans: minCount must be >= 2, got $minCount")
+    val toks = widen(docs)
+      .selectExpr(s"$idCol AS doc_id", s"${d.splitSpace(textCol)} AS tk")
+    val grams = toks
+      .select(col("doc_id"), col("tk"),
+        explode(expr(d.range1(s"${d.len("tk")} - ${n - 1}"))).as("i"))
+      .selectExpr("doc_id", "i", s"${d.wordSlice("tk", "i", n)} AS gram")
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") >= minCount).select("gram")
+    val covered = grams.join(dup, Seq("gram"))
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
+      .distinct()
+    val pos = toks
+      .select(col("doc_id"), col("tk"), explode(expr(d.range1(d.len("tk")))).as("p"))
+      .selectExpr("doc_id", "p", s"${d.elem("tk", "p")} AS tok")
+    val kept = pos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("__n_kept"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(p, tok))), s -> s.tok))")
+          .as("__kept_text"))
+    toks.selectExpr("doc_id", s"CAST(${d.len("tk")} AS BIGINT) AS n_tokens")
+      .join(kept, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_tokens",
+        "n_tokens - coalesce(__n_kept, CAST(0 AS BIGINT)) AS n_removed",
+        "coalesce(__kept_text, '') AS kept_text")
+  }
+
   /** Length-banded edit-distance near-dup pairs (high-precision verifier;
     * see q76 for the recall/cost trade).
     *

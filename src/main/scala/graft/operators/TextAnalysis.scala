@@ -182,18 +182,6 @@ object TextAnalysis {
     d.map(d.map(words, "wt", s"substr(wt, 1, $maxWordLen)"), "w", wordFold)
   }
 
-  /** Top-k TF-IDF terms per document.
-    *
-    * The tf⋈df join is a plain shuffle equi-join on `term`: both sides are
-    * already partially aggregated before their exchanges, and AQE converts
-    * the join to broadcast at runtime when the document-frequency side
-    * fits `spark.sql.autoBroadcastJoinThreshold`. Do NOT force
-    * `broadcast(df)` here (round-2 advice): the vocabulary of a web-scale
-    * corpus — especially with bigrams — is billions of terms, far past any
-    * broadcast limit, and a forced hint OOMs the driver; letting AQE
-    * decide gives the broadcast plan on small vocabularies (measured: at
-    * sf0.01 AQE broadcasts this join) and the scalable shuffle join on
-    * huge ones. The 1-row corpus count stays an explicit broadcast. */
   /** Bigram language-model document scoring — the CCNet-style quality
     * signal (Wenzek et al. 2020: score documents by an n-gram LM over a
     * reference corpus; low-probability text is noise, extremely
@@ -342,6 +330,18 @@ object TextAnalysis {
         sum(col("n_chunk_tokens")).as("bin_tokens"))
   }
 
+  /** Top-k TF-IDF terms per document.
+    *
+    * The tf⋈df join is a plain shuffle equi-join on `term`: both sides are
+    * already partially aggregated before their exchanges, and AQE converts
+    * the join to broadcast at runtime when the document-frequency side
+    * fits `spark.sql.autoBroadcastJoinThreshold`. Do NOT force
+    * `broadcast(df)` here (round-2 advice): the vocabulary of a web-scale
+    * corpus — especially with bigrams — is billions of terms, far past any
+    * broadcast limit, and a forced hint OOMs the driver; letting AQE
+    * decide gives the broadcast plan on small vocabularies (measured: at
+    * sf0.01 AQE broadcasts this join) and the scalable shuffle join on
+    * huge ones. The 1-row corpus count stays an explicit broadcast. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val terms = docs.selectExpr(s"$idCol AS doc_id", s"explode(${toks(textCol)}) AS term")
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -468,7 +468,56 @@ object DedupQueries {
                FROM incoming i
                WHERE NOT EXISTS (
                  SELECT 1 FROM history h WHERE md5(h.text) = md5(i.text))
-               ORDER BY i.doc_id"""))
+               ORDER BY i.doc_id""")),
+
+    // ---- exact substring (span-level) dedup ------------------------------
+    // Lee et al. 2022: remove duplicated TOKEN SPANS, not whole docs —
+    // the sub-paragraph boilerplate q102's 20-word windows are too coarse
+    // for. Corpus plants cross-doc duplicated prefixes: docs 20000+k
+    // repeat doc k's first 12 tokens, so every 8-gram inside those
+    // prefixes is duplicated and both copies lose exactly tokens 1-12
+    // (the planted doc, being nothing but the prefix, empties out).
+    // The oracle re-derives the whole span algebra relationally; the
+    // result is exact, so sketch-free hash compare applies.
+    QuerySpec("q116_substring_dedup", { (s, dir) =>
+      val sp = SparkSql
+      val docs = Td.load(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.where("doc_id < 40").selectExpr(
+        "doc_id + 20000 AS doc_id",
+        s"${sp.wordSlice(sp.splitSpace("text"), "1", 12)} AS text")
+      graft.operators.Dedup
+        .dropDuplicateSpans(docs.unionAll(planted), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH corpus AS (
+                 SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 20000,
+                        ${d.wordSlice(d.splitSpace("text"), "1", 12)}
+                 FROM documents WHERE doc_id < 40),
+               toks AS (SELECT doc_id, ${d.splitSpace("text")} AS tk FROM corpus),
+               gidx AS (SELECT doc_id, tk, unnest(${d.range1(s"${d.len("tk")} - 7")}) AS i FROM toks),
+               grams AS (SELECT doc_id, i, ${d.wordSlice("tk", "i", 8)} AS gram FROM gidx),
+               dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+               covx AS (SELECT doc_id, unnest(${d.range("i", "i + 7")}) AS p
+                        FROM grams JOIN dup USING (gram)),
+               cov AS (SELECT DISTINCT doc_id, p FROM covx),
+               pidx AS (SELECT doc_id, tk, unnest(${d.range1(d.len("tk"))}) AS p FROM toks),
+               pos AS (SELECT doc_id, p, ${d.elem("tk", "p")} AS tok FROM pidx),
+               kept AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos
+                        WHERE NOT EXISTS (SELECT 1 FROM cov
+                          WHERE cov.doc_id = pos.doc_id AND cov.p = pos.p)),
+               ka AS (SELECT doc_id, count(*) AS n_kept,
+                             string_agg(tok, ' ' ORDER BY p) AS kept_text
+                      FROM kept GROUP BY doc_id)
+               SELECT t.doc_id,
+                      CAST(${d.len("t.tk")} AS BIGINT) AS n_tokens,
+                      CAST(${d.len("t.tk")} - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+                      coalesce(ka.kept_text, '') AS kept_text
+               FROM toks t LEFT JOIN ka USING (doc_id)
+               ORDER BY doc_id""")
+    })
   )
 
   /** 32-bit simhash over the `text` column. The token-hash array is

@@ -60,6 +60,16 @@ sealed trait SqlDialect {
 
   def len(x: String): String
   def map(l: String, v: String, body: String): String
+  /** Split on a LITERAL separator (Spark's split takes a regex, so only
+    * regex-inert separators are allowed; '' splits into characters —
+    * verified identical in both engines). */
+  def splitOn(t: String, sep: String): String
+  /** Left fold of a STRING list into a STRING accumulator (DuckDB's
+    * list_reduce requires acc type = element type, which strings
+    * satisfy; the init is prepended as the first reduced element). */
+  def sfold(l: String, init: String, body: String): String
+  /** TRUE iff `pat` matches anywhere in `c`. */
+  def regexLike(c: String, pat: String): String
   def amin(l: String): String
   def amax(l: String): String
   def adistinct(l: String): String
@@ -107,6 +117,13 @@ object SparkSql extends SqlDialect {
   override def hex32(x: String): String = s"md5_u32($x)"
   def len(x: String) = s"size($x)"
   def map(l: String, v: String, body: String) = s"transform($l, $v -> $body)"
+  def splitOn(t: String, sep: String) = {
+    require(sep.matches("[a-z0-9&,;|]*"), s"splitOn: regex-inert separators only, got '$sep'")
+    s"split($t, '$sep')"
+  }
+  def sfold(l: String, init: String, body: String) =
+    s"aggregate($l, $init, (acc, x) -> $body)"
+  def regexLike(c: String, pat: String) = s"regexp_like($c, '$pat')"
   def amin(l: String) = s"array_min($l)"
   def amax(l: String) = s"array_max($l)"
   def adistinct(l: String) = s"array_distinct($l)"
@@ -144,6 +161,13 @@ object DuckSql extends SqlDialect {
     s"list_reduce(list_concat([$init], list_transform(${range1(n)}, __i -> $init)), (acc, __i) -> $body)"
   def len(x: String) = s"len($x)"
   def map(l: String, v: String, body: String) = s"list_transform($l, $v -> $body)"
+  def splitOn(t: String, sep: String) = {
+    require(sep.matches("[a-z0-9&,;|]*"), s"splitOn: regex-inert separators only, got '$sep'")
+    s"string_split($t, '$sep')"
+  }
+  def sfold(l: String, init: String, body: String) =
+    s"list_reduce(list_concat([$init], $l), (acc, x) -> $body)"
+  def regexLike(c: String, pat: String) = s"regexp_matches($c, '$pat')"
   def amin(l: String) = s"list_min($l)"
   def amax(l: String) = s"list_max($l)"
   def adistinct(l: String) = s"list_distinct($l)"
