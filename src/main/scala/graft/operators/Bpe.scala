@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.{SparkSql, SqlDialect}
+
+/** Byte-pair-encoding merge TRAINING (Sennrich et al. 2016,
+  * arXiv:1508.07909) — learns the merge table q101's wordpiece scorer
+  * consumes, instead of taking a vocabulary as given.
+  *
+  * The loop is the repo's deterministic-iteration pattern
+  * (LinearClassifier.fitBatchPerceptron, KMeans.fit): per round ONE
+  * distributed aggregation over the word table — adjacent-symbol pair
+  * counts weighted by word frequency, exact BIGINTs — then a 1-row
+  * driver collect of the argmax (count DESC, pair ASC: ties break
+  * lexicographically, id-free and partition-free), then the merge is
+  * applied as a vocabulary-sized projection. Nothing corpus-sized ever
+  * reaches the driver: the corpus collapses to the word-frequency table
+  * in one map-side-combined pass, and every round after that is
+  * vocab-sized (checkpointed per round, the CC discipline).
+  *
+  * Merge application is an explicit left-to-right fold over the symbol
+  * string (greedy non-overlapping, the reference BPE semantics: in
+  * 'a a a' the pair (a,a) merges once) expressed through the dialect so
+  * the DuckDB oracle replays the IDENTICAL training loop in chained
+  * CTEs (the q113 precedent for cross-engine model-fit reproducibility).
+  */
+object Bpe {
+
+  private val d = SparkSql
+
+  /** Learned merge: `pair` is the two space-separated symbols merged in
+    * `round`, chosen with weighted occurrence count `count`. */
+  final case class Merge(round: Int, pair: String, count: Long)
+
+  /** word -> space-separated character symbols: 'key' -> 'k e y'. */
+  def charSymsExpr(d: SqlDialect, wCol: String): String =
+    d.joinStr(d.splitOn(wCol, ""), " ")
+
+  /** All ADJACENT symbol pairs of a symbol string, each as an 'a b'
+    * string — with multiplicity (overlaps included: 'a a a' yields
+    * (a,a) twice), the counting side of the reference algorithm. */
+  def pairsExpr(d: SqlDialect, symsCol: String): String =
+    d.bind(d.splitSpace(symsCol), "sy",
+      d.map(d.range1(s"${d.len("sy")} - 1"), "i", d.wordSlice("sy", "i", 2)))
+
+  /** Apply ONE merge (a, b) -> ab to a symbol string, left-to-right
+    * non-overlapping: fold the symbols rebuilding the string; when the
+    * accumulator ends with symbol `a` (exact-symbol check — the leading
+    * space guards against `a` being a suffix of a longer symbol) and the
+    * next symbol is `b`, the tail is rewritten to the merged symbol —
+    * which is then NOT eligible as the left side of another merge this
+    * round, exactly the semantics of the reference implementation's
+    * single simultaneous pass. `aSql`/`bSql` are SQL string expressions
+    * (literals on the Spark side, the argmax CTE's columns in the
+    * oracle). */
+  def applyMergeExpr(d: SqlDialect, symsCol: String,
+      aSql: String, bSql: String): String = {
+    val body =
+      s"CASE WHEN x = $bSql AND length(acc) > length($aSql) AND " +
+        s"substr(acc, length(acc) - length($aSql), length($aSql) + 1) = (' ' || $aSql) " +
+        s"THEN substr(acc, 1, length(acc) - length($aSql) - 1) || ' ' || $aSql || $bSql " +
+        s"ELSE acc || ' ' || x END"
+    s"trim(${d.sfold(d.splitSpace(symsCol), "''", body)})"
+  }
+
+  /** Corpus -> (w, freq, syms) word-frequency table: the ONLY
+    * corpus-sized pass; everything downstream is vocabulary-sized. */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.selectExpr(
+        s"explode(${d.splitSpace(s"lower(coalesce($textCol, ''))")}) AS w")
+      .where("w <> ''")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .selectExpr("w", "freq", s"${charSymsExpr(d, "w")} AS syms")
+
+  /** Train `rounds` merges. Returns fewer when the corpus runs out of
+    * adjacent pairs (every word fully merged). */
+  def fitMerges(docs: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
+    require(rounds >= 1, s"fitMerges: rounds must be >= 1, got $rounds")
+    // symbols are inlined back into SQL as quoted literals; restrict to
+    // the charset where both dialects' quoting is identical (the
+    // strArray discipline) so no corpus content can smuggle a quote
+    def quoted(s: String): String = {
+      require(s.matches("[a-z0-9]+"),
+        s"fitMerges: symbol '$s' outside the inlineable [a-z0-9] charset")
+      s"'$s'"
+    }
+    var words = wordTable(docs, textCol).localCheckpoint(true)
+    val out = Seq.newBuilder[Merge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val best = words
+        .select(explode(expr(pairsExpr(d, "syms"))).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val pair = best(0).getString(0)
+        out += Merge(r, pair, best(0).getLong(1))
+        val Array(a, b) = pair.split(" ", 2)
+        words = words.selectExpr("w", "freq",
+            s"${applyMergeExpr(d, "syms", quoted(a), quoted(b))} AS syms")
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The oracle side of [[fitMerges]]: one SQL statement whose chained
+    * CTEs replay `rounds` training rounds (pair counts -> LIMIT 1 argmax
+    * -> cross-join apply) and emit (round, pair, cnt). `corpusFrom` is
+    * the FROM-able relation holding `textCol`. */
+  def fitMergesSql(d: SqlDialect, corpusFrom: String, textCol: String,
+      rounds: Int): String = {
+    require(rounds >= 1)
+    val head =
+      s"""w0 AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(${d.splitSpace(s"lower(coalesce($textCol, ''))")}) AS w
+         |    FROM $corpusFrom) u
+         |  WHERE w <> '' GROUP BY w),
+         |s0 AS (SELECT w, freq, ${charSymsExpr(d, "w")} AS syms FROM w0)""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT unnest(${pairsExpr(d, "syms")}) AS pair, freq FROM s${r - 1}),
+         |c$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p$r GROUP BY pair),
+         |b$r AS (SELECT pair, cnt,
+         |               ${d.elem(d.splitSpace("pair"), "1")} AS a,
+         |               ${d.elem(d.splitSpace("pair"), "2")} AS b
+         |        FROM c$r ORDER BY cnt DESC, pair LIMIT 1),
+         |s$r AS (SELECT w, freq,
+         |               ${applyMergeExpr(d, "syms", s"b$r.a", s"b$r.b")} AS syms
+         |        FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
+    }
+    val unions = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS INTEGER) AS round, pair, cnt FROM b$r")
+      .mkString("\n UNION ALL\n ")
+    s"WITH $head,\n${roundsSql.mkString(",\n")}\n$unions\nORDER BY round"
+  }
+}

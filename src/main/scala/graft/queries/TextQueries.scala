@@ -518,6 +518,21 @@ object TextQueries {
                       $fp AS fp_rolling_min,
                       substring(md5(text), 1, 16) AS fp_md5_prefix
                FROM documents ORDER BY doc_id""")
-    })
+    }),
+
+    // ---- BPE merge training ---------------------------------------------
+    // Learns the tokenizer vocabulary q101 previously took as given: 4
+    // rounds of exact weighted pair counting + lexicographic-tie argmax
+    // + left-to-right merge application. The oracle replays the ENTIRE
+    // training loop in chained CTEs (q113 precedent), so the hash match
+    // proves cross-engine reproducible vocabulary learning, not just a
+    // matching final answer.
+    QuerySpec("q117_bpe_train", { (s, dir) =>
+      import s.implicits._
+      graft.operators.Bpe
+        .fitMerges(Td.load(s, dir, "documents"), "text", rounds = 4)
+        .toDF("round", "pair", "cnt")
+        .orderBy("round")
+    }, Some(graft.operators.Bpe.fitMergesSql(DuckSql, "documents", "text", 4)))
   )
 }
