@@ -533,6 +533,63 @@ object TextQueries {
         .fitMerges(Td.load(s, dir, "documents"), "text", rounds = 4)
         .toDF("round", "pair", "cnt")
         .orderBy("round")
-    }, Some(graft.operators.Bpe.fitMergesSql(DuckSql, "documents", "text", 4)))
+    }, Some(graft.operators.Bpe.fitMergesSql(DuckSql, "documents", "text", 4))),
+
+    // ---- URL canonicalization + per-domain stats --------------------------
+    // CCNet/RefinedWeb pre-text step: derive deterministic crawl-style
+    // URLs (scheme/www/port/trailing-slash/tracking-param/fragment
+    // variants keyed by doc_id), canonicalize, aggregate per host, join
+    // the host stats back as a domain filter. Canonicalization is a pure
+    // projection (zero shuffle); the stats join is host-keyed and
+    // AQE-broadcastable.
+    QuerySpec("q118_url_domains", { (s, dir) =>
+      import graft.operators.UrlOps
+      val docs = Td.load(s, dir, "documents")
+        .selectExpr("doc_id", "lang", s"${urlExpr(SparkSql)} AS url")
+      val canon = UrlOps.canonicalize(docs, "url")
+      val stats = canon.groupBy("host").agg(
+        count(lit(1)).as("host_docs"),
+        countDistinct(col("lang")).as("host_langs"))
+      canon.join(stats, Seq("host"))
+        .selectExpr("doc_id", "host", "canon_url", "host_docs", "host_langs",
+          "CAST(CASE WHEN host_docs >= 15 THEN 1 ELSE 0 END AS INT) AS kept_domain")
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      import graft.operators.UrlOps
+      Some(s"""WITH raw AS (
+                 SELECT doc_id, lang, ${urlExpr(d)} AS url FROM documents),
+               canon AS (
+                 SELECT doc_id, lang,
+                        ${UrlOps.canonUrlExpr(d, "url")} AS canon_url,
+                        ${UrlOps.hostExpr(d, "url")} AS host
+                 FROM raw),
+               stats AS (
+                 SELECT host, count(*) AS host_docs,
+                        CAST(count(DISTINCT lang) AS BIGINT) AS host_langs
+                 FROM canon GROUP BY host)
+               SELECT c.doc_id, c.host, c.canon_url, s.host_docs, s.host_langs,
+                      CAST(CASE WHEN s.host_docs >= 15 THEN 1 ELSE 0 END AS INTEGER) AS kept_domain
+               FROM canon c JOIN stats s USING (host)
+               ORDER BY c.doc_id""")
+    })
   )
+
+  /** q118's crawl-style URL, derived deterministically from doc_id /
+    * lang / source: scheme, WWW and subdomain spellings, default and
+    * non-default ports, trailing slashes, tracking params, and fragments
+    * all vary so every canonicalization rule fires on real rows. */
+  private def urlExpr(d: SqlDialect): String =
+    "CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END || '://' || " +
+      "CASE WHEN doc_id % 5 = 0 THEN 'WWW.' WHEN doc_id % 5 = 3 THEN 'news.' ELSE '' END || " +
+      "source || '.Example.' || CASE WHEN doc_id % 3 = 0 THEN 'COM' ELSE 'org' END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 THEN ':8080' " +
+      "WHEN doc_id % 4 = 2 THEN ':80' ELSE '' END || " +
+      s"'/' || lang || '/Article/' || ${d.toStr("doc_id")} || " +
+      "CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END || " +
+      s"'?id=' || ${d.toStr("doc_id")} || " +
+      "CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN '&ref=rss' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 1 THEN '&page=2' ELSE '' END || " +
+      "CASE WHEN doc_id % 3 = 1 THEN '#sec1' ELSE '' END"
 }
