@@ -399,6 +399,17 @@ object Dedup {
         s"assert_true(para_idx < $maxParasPerDoc, 'para_idx >= $maxParasPerDoc: raise maxParasPerDoc')"))
       .where(col("__chk").isNull).drop("__chk")
       .withColumn("pkey", col("doc_id") * maxParasPerDoc + col("para_idx"))
+      // materialize ONCE: the paragraph relation feeds both the LSH
+      // signature build and dropNearDuplicates' final anti-join scan —
+      // lazily, the tokenize + window-slice posexplode (interpreted
+      // HOFs over every doc) would run twice (the q108 double-pass
+      // shape). Blocks are paragraph-sized, same budget as the sig
+      // checkpoint that derives from them.
+      .localCheckpoint(true)
+    // CC stays min-label propagation: measured at sf0.1 (isolated, min of
+    // 3) the large-star variant is SLOWER here (8.8 s vs 7.2 s) — the
+    // paragraph near-dup graph is shallow dense cliques, the regime
+    // [[clustersLargeStar]]'s own doc says plain propagation wins.
     dropNearDuplicates(keyed, "pkey", "para_text", jaccardThreshold, maxBucketSize)
       .select("doc_id", "para_idx", "para_text")
   }
