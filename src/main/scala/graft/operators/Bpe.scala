@@ -75,16 +75,17 @@ object Bpe {
 
   /** Train `rounds` merges. Returns fewer when the corpus runs out of
     * adjacent pairs (every word fully merged). */
+  // symbols are inlined back into SQL as quoted literals; restrict to
+  // the charset where both dialects' quoting is identical (the strArray
+  // discipline) so no corpus content can smuggle a quote
+  private def quoted(s: String): String = {
+    require(s.matches("[a-z0-9]+"),
+      s"bpe: symbol '$s' outside the inlineable [a-z0-9] charset")
+    s"'$s'"
+  }
+
   def fitMerges(docs: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
     require(rounds >= 1, s"fitMerges: rounds must be >= 1, got $rounds")
-    // symbols are inlined back into SQL as quoted literals; restrict to
-    // the charset where both dialects' quoting is identical (the
-    // strArray discipline) so no corpus content can smuggle a quote
-    def quoted(s: String): String = {
-      require(s.matches("[a-z0-9]+"),
-        s"fitMerges: symbol '$s' outside the inlineable [a-z0-9] charset")
-      s"'$s'"
-    }
     var words = wordTable(docs, textCol).localCheckpoint(true)
     val out = Seq.newBuilder[Merge]
     var r = 1
@@ -109,13 +110,12 @@ object Bpe {
     out.result()
   }
 
-  /** The oracle side of [[fitMerges]]: one SQL statement whose chained
-    * CTEs replay `rounds` training rounds (pair counts -> LIMIT 1 argmax
-    * -> cross-join apply) and emit (round, pair, cnt). `corpusFrom` is
-    * the FROM-able relation holding `textCol`. */
-  def fitMergesSql(d: SqlDialect, corpusFrom: String, textCol: String,
+  /** The shared CTE chain replaying `rounds` training rounds: `w0`/`s0`
+    * (word freq + char symbols), then per round `p/c` (pair counts),
+    * `b` (LIMIT 1 argmax) and `s` (cross-join merge application);
+    * `s<rounds>` holds the final symbolization. */
+  private def trainCtes(d: SqlDialect, corpusFrom: String, textCol: String,
       rounds: Int): String = {
-    require(rounds >= 1)
     val head =
       s"""w0 AS (
          |  SELECT w, count(*) AS freq FROM (
@@ -134,9 +134,66 @@ object Bpe {
          |               ${applyMergeExpr(d, "syms", s"b$r.a", s"b$r.b")} AS syms
          |        FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
     }
+    s"$head,\n${roundsSql.mkString(",\n")}"
+  }
+
+  /** The oracle side of [[fitMerges]]: one SQL statement whose chained
+    * CTEs replay `rounds` training rounds (pair counts -> LIMIT 1 argmax
+    * -> cross-join apply) and emit (round, pair, cnt). `corpusFrom` is
+    * the FROM-able relation holding `textCol`. */
+  def fitMergesSql(d: SqlDialect, corpusFrom: String, textCol: String,
+      rounds: Int): String = {
+    require(rounds >= 1)
     val unions = (1 to rounds)
       .map(r => s"SELECT CAST($r AS INTEGER) AS round, pair, cnt FROM b$r")
       .mkString("\n UNION ALL\n ")
-    s"WITH $head,\n${roundsSql.mkString(",\n")}\n$unions\nORDER BY round"
+    s"WITH ${trainCtes(d, corpusFrom, textCol, rounds)}\n$unions\nORDER BY round"
   }
+
+  /** ENCODE the corpus with a learned merge table (the apply side of
+    * BPE): replay the merges over the word-frequency table — still the
+    * one corpus-sized pass plus vocab-sized rounds — then join the
+    * per-word subword count back to the exploded corpus (vocab-sized
+    * build side, AQE-broadcastable) and aggregate per document. Output:
+    * (doc_id, n_words, n_subwords, cr_bp) with cr_bp the exact
+    * half-up-integer compression ratio in basis points (the bigram-LM
+    * integer discipline: no doubles near a hash compare). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    var words = wordTable(docs, textCol)
+    merges.foreach { m =>
+      val Array(a, b) = m.pair.split(" ", 2)
+      words = words.selectExpr("w", "freq",
+        s"${applyMergeExpr(d, "syms", quoted(a), quoted(b))} AS syms")
+    }
+    val wsub = words.selectExpr("w",
+      s"CAST(${d.len(d.splitSpace("syms"))} AS BIGINT) AS n_sub")
+    docs.selectExpr(s"$idCol AS doc_id",
+        s"explode(${d.splitSpace(s"lower(coalesce($textCol, ''))")}) AS w")
+      .where("w <> ''")
+      .join(wsub, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+      .selectExpr("doc_id", "n_words", "n_subwords",
+        s"${d.idiv("(20000 * n_subwords + n_words)", "(2 * n_words)")} AS cr_bp")
+  }
+
+  /** Oracle side of train-then-[[encode]]: the training CTEs, then the
+    * per-document aggregation over the final symbolization. */
+  def encodeSql(d: SqlDialect, corpusFrom: String, idCol: String,
+      textCol: String, rounds: Int): String =
+    s"""WITH ${trainCtes(d, corpusFrom, textCol, rounds)},
+       |docw AS (
+       |  SELECT $idCol AS doc_id,
+       |         unnest(${d.splitSpace(s"lower(coalesce($textCol, ''))")}) AS w
+       |  FROM $corpusFrom),
+       |j AS (SELECT doc_id,
+       |             CAST(${d.len(d.splitSpace("syms"))} AS BIGINT) AS n_sub
+       |      FROM docw JOIN s$rounds USING (w) WHERE w <> ''),
+       |agg AS (SELECT doc_id, count(*) AS n_words,
+       |               CAST(sum(n_sub) AS BIGINT) AS n_subwords
+       |        FROM j GROUP BY doc_id)
+       |SELECT doc_id, n_words, n_subwords,
+       |       ${d.idiv("(20000 * n_subwords + n_words)", "(2 * n_words)")} AS cr_bp
+       |FROM agg ORDER BY doc_id""".stripMargin
 }

@@ -535,6 +535,18 @@ object TextQueries {
         .orderBy("round")
     }, Some(graft.operators.Bpe.fitMergesSql(DuckSql, "documents", "text", 4))),
 
+    // ---- BPE encoding with the LEARNED vocabulary -------------------------
+    // The apply side of q117: train 4 merges, replay them over the word
+    // table, and tokenize the corpus with the result — per-doc subword
+    // counts and the exact integer compression ratio. Train->apply in one
+    // engine, re-derived end-to-end by the oracle's CTE chain.
+    QuerySpec("q119_bpe_encode", { (s, dir) =>
+      val docs = Td.load(s, dir, "documents")
+      val merges = graft.operators.Bpe.fitMerges(docs, "text", rounds = 4)
+      graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }, Some(graft.operators.Bpe.encodeSql(DuckSql, "documents", "doc_id", "text", 4))),
+
     // ---- URL canonicalization + per-domain stats --------------------------
     // CCNet/RefinedWeb pre-text step: derive deterministic crawl-style
     // URLs (scheme/www/port/trailing-slash/tracking-param/fragment

@@ -62,6 +62,29 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(runs.distinct.size === 1)
   }
 
+  test("encode with the learned merges: hand-computed per-doc subword counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low lower lower"),
+      (2L, "newest newest newest newest newest"),
+      (3L, "widest widest widest")).toDF("doc_id", "text")
+    val merges = Bpe.fitMerges(docs, "text", rounds = 4)
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // after (e s)(es t)(e w)(ew est): low=l o w(3), lower=l o w e r(5),
+    // newest=n ewest(2 — merge 4 fires), widest=w i d est(4 — no 'ew')
+    assert(got(1L) === ((5L, 19L, 38000L)))
+    assert(got(2L) === ((5L, 10L, 20000L)))
+    assert(got(3L) === ((3L, 12L, 40000L)))
+  }
+
+  test("encode with ZERO merges is plain character tokenization") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab cde")).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "doc_id", "text", Seq.empty)
+      .head()
+    assert((got.getLong(1), got.getLong(2)) === ((2L, 5L)))
+  }
+
   test("fitMergesSql replays the identical loop (DuckDB dialect is exercised by q117)") {
     // Spark can execute the SparkSql-dialect rendering of the SAME
     // template the oracle uses — loop parity proven inside one engine,
