@@ -178,29 +178,45 @@ case class BloomContains(left: Expression, right: Expression)
   * can only receive Expressions, so the broadcast is parked here under
   * an INT handle and the handle travels as the (tiny) literal; the
   * builder resolves it back at analysis time, which always runs on the
-  * driver. Handles live until [[release]] (or session end) — the
-  * driver-side cost is one reference per registered filter, not a
-  * per-query copy. */
+  * driver.
+  *
+  * Lifetime: the table holds WEAK references. Dataset construction
+  * analyzes eagerly, so by the time an operator returns its DataFrame
+  * the resolved [[BloomContainsBcast]] holds the strong reference (the
+  * caller's local keeps the filter alive across the register→analysis
+  * window); once every plan referencing the filter is unreferenced, the
+  * ContextCleaner reclaims the executor blocks exactly like checkpoint
+  * blocks. A per-micro-batch caller (the streaming ingest loop) thus
+  * cannot accumulate dead filters. [[release]] remains for eager,
+  * deterministic teardown. */
 object BloomBroadcasts {
   private val ids = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val live =
-    new java.util.concurrent.ConcurrentHashMap[Int, Broadcast[Array[Byte]]]()
+  private val live = new java.util.concurrent.ConcurrentHashMap[
+    Int, java.lang.ref.WeakReference[Broadcast[Array[Byte]]]]()
 
   def register(b: Broadcast[Array[Byte]]): Int = {
-    val id = ids.incrementAndGet(); live.put(id, b); id
+    // purge entries whose broadcast has been collected (cheap: table is
+    // handles-sized, and register is a per-FILTER event, not per-row)
+    live.forEach((k, ref) => if (ref.get == null) live.remove(k): Unit)
+    val id = ids.incrementAndGet()
+    live.put(id, new java.lang.ref.WeakReference(b))
+    id
   }
 
   def lookup(id: Int): Broadcast[Array[Byte]] = {
-    val b = live.get(id)
+    val b = Option(live.get(id)).map(_.get).orNull
     require(b != null, s"bloom_contains_bcast: no filter registered under handle $id")
     b
   }
 
-  /** Drop the handle AND the executor-side blocks. Only call once every
-    * plan referencing the handle has finished executing. */
+  /** Drop the handle AND the executor-side blocks eagerly. Only call
+    * once every plan referencing the handle has finished executing. */
   def release(id: Int): Unit = {
-    val b = live.remove(id)
-    if (b != null) b.destroy()
+    val ref = live.remove(id)
+    if (ref != null) {
+      val b = ref.get
+      if (b != null) b.destroy()
+    }
   }
 }
 

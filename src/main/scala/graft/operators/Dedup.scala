@@ -446,8 +446,13 @@ object Dedup {
       n: Int, minCount: Int = 2): DataFrame = {
     require(n >= 2, s"dropDuplicateSpans: n must be >= 2, got $n")
     require(minCount >= 2, s"dropDuplicateSpans: minCount must be >= 2, got $minCount")
+    // materialize the token arrays ONCE (the minhashLshPairs signature
+    // discipline): four plan branches consume them (gram build for the
+    // count, gram build for the covered-start join, position explode,
+    // n_tokens) — lazily each would re-run the corpus scan + split HOF
     val toks = widen(docs)
       .selectExpr(s"$idCol AS doc_id", s"${d.splitSpace(textCol)} AS tk")
+      .localCheckpoint(true)
     val grams = toks
       .select(col("doc_id"), col("tk"),
         explode(expr(d.range1(s"${d.len("tk")} - ${n - 1}"))).as("i"))

@@ -193,6 +193,24 @@ class BloomDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("CoGroup"), plan.take(1200))
   }
 
+  test("broadcast handle lifecycle: release() makes NEW analysis fail cleanly") {
+    val f = keys(100, "h")
+      .selectExpr("bloom_agg(xxhash64(text), 8192, 5) AS f")
+      .head().getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(f)
+    val id = graft.functions.BloomBroadcasts.register(bc)
+    assert(graft.functions.BloomBroadcasts.lookup(id) eq bc)
+    graft.functions.BloomBroadcasts.release(id)
+    val err = intercept[Throwable] {
+      keys(10, "x").withColumn("m",
+        call_function("bloom_contains_bcast", lit(id), expr("xxhash64(text)")))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("no filter registered")), msgs(err).mkString(" | "))
+  }
+
   test("streaming ingest: foreachBatch dedups each micro-batch against all prior content") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -80,6 +80,28 @@ class ScaledLlmOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(secs < 120, s"20x clustering took ${secs}s")
   }
 
+  test("substring-span dedup scales linearly: no candidate-pair structure at all") {
+    // dropDuplicateSpans has NO pairwise step (dup grams fan out by
+    // occurrence, not by occurrence²) — so 4× the corpus must give ~4×
+    // the removed mass, exactly corpus-count output rows, and bounded
+    // wall-clock. Replica families share their full original text, the
+    // worst case: essentially every original token sits under a
+    // duplicated 8-gram.
+    def removedMass(c: DataFrame): (Long, Long) = {
+      val out = graft.operators.Dedup.dropDuplicateSpans(c, "doc_id", "text", 8)
+      val r = out.agg(count(lit(1)), sum("n_removed")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (rows10, rem10) = removedMass(corpusTimes(10))
+    val t0 = System.nanoTime()
+    val (rows40, rem40) = removedMass(corpusTimes(40))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows40 === rows10 * 4, "output is not one row per doc")
+    assert(rem10 > 0 && rem40 <= rem10 * 5 && rem40 >= rem10 * 3,
+      s"removed mass not ~linear: 10x=$rem10 40x=$rem40")
+    assert(secs < 120, s"40x span dedup took ${secs}s — quadratic plan?")
+  }
+
   test("term-frequency and tf-idf scale linearly in rows (no Expand, no forced broadcast)") {
     val c = corpusTimes(20)
     val t0 = System.nanoTime()
