@@ -69,4 +69,51 @@ object Decontamination {
       contaminationHits(corpus, idCol, textCol, evalDocs, evalTextCol, n)
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** FUZZY decontamination — the near-dup complement of
+    * [[contaminationHits]]: corpus documents whose 3-token shingle set
+    * reaches >= `jaccardThreshold` Jaccard with ANY eval document.
+    * Catches lightly paraphrased / truncated / decorated benchmark
+    * leakage that verbatim n-gram overlap misses (Lee et al. 2022 §6 —
+    * exact-substring "dirty" splits undercount contamination).
+    *
+    * Same banded-LSH machinery as [[Dedup.minhashLshPairs]] but
+    * CROSS-corpus: each side's (id, shingles, sigs) relation is built
+    * once (corpus side materialized — the signature discipline; eval
+    * side is benchmark-sized), candidates come from an equi-join of the
+    * two band relations (never all-pairs; corpus bands hot-bucket
+    * capped), survivors confirm on exact shingle Jaccard. The exchange
+    * carries band keys and candidate id pairs only. Output: one row per
+    * contaminated corpus doc — (doc_id, n_hits, max_jaccard). */
+  def nearDupHits(corpus: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalIdCol: String, evalTextCol: String,
+      jaccardThreshold: Double,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    val d = graft.queries.SparkSql
+    def sigRel(docs: DataFrame, id: String, text: String, as: String) =
+      docs.where(s"${d.len(d.splitSpace(text))} >= 3")
+        .selectExpr(s"$id AS $as", s"${Dedup.shingles(text)} AS shingles")
+        .selectExpr(as, "shingles", "minhash_sigs(shingles) AS sigs")
+        .localCheckpoint(true)
+    def bands(sig: DataFrame, as: String) =
+      sig.selectExpr(as, "sigs", "explode(sequence(0, 5)) AS j")
+        .selectExpr(as,
+          """concat(CAST(j AS STRING), ':',
+                    CAST(element_at(sigs, 2*j+1) AS STRING), '|',
+                    CAST(element_at(sigs, 2*j+2) AS STRING)) AS bucket""")
+    val csig = sigRel(corpus, idCol, textCol, "doc_id")
+    val esig = sigRel(evalDocs, evalIdCol, evalTextCol, "eval_id")
+    val cand = Dedup.capBuckets(bands(csig, "doc_id"), maxBucketSize)
+      .join(bands(esig, "eval_id"), "bucket")
+      .select("doc_id", "eval_id").distinct()
+    cand
+      .join(csig.select(col("doc_id"), col("shingles").as("ca")), "doc_id")
+      .join(esig.select(col("eval_id"), col("shingles").as("ea")), "eval_id")
+      .selectExpr("doc_id", "eval_id",
+        s"round(CAST(${d.interSize("ca", "ea")} AS DOUBLE) / " +
+          s"CAST(${d.unionSize("ca", "ea")} AS DOUBLE), 6) AS jaccard")
+      .where(s"jaccard >= $jaccardThreshold")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), max("jaccard").as("max_jaccard"))
+  }
 }

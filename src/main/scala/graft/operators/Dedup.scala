@@ -57,7 +57,7 @@ object Dedup {
   /** Hot-bucket guard: drop all rows of buckets larger than `cap` before
     * a candidate self-join. One window count over the same `bucket` key
     * the join shuffles on — no extra exchange. */
-  private def capBuckets(bands: DataFrame, cap: Int): DataFrame =
+  private[operators] def capBuckets(bands: DataFrame, cap: Int): DataFrame =
     if (cap == Int.MaxValue) bands
     else bands
       .withColumn("__bucket_size", count(lit(1)).over(Window.partitionBy("bucket")))

@@ -517,6 +517,66 @@ object DedupQueries {
                       coalesce(ka.kept_text, '') AS kept_text
                FROM toks t LEFT JOIN ka USING (doc_id)
                ORDER BY doc_id""")
+    }),
+
+    // ---- FUZZY decontamination: near-dup eval leakage ---------------------
+    // q103's exact 13-gram scrub misses paraphrased leakage; this one
+    // flags corpus docs whose shingle Jaccard with ANY eval doc >= 0.5.
+    // Planted leaks: each eval doc re-enters the corpus (doc_id+40000)
+    // truncated by its first two words and decorated with a fresh token —
+    // zero exact 13-gram guarantee, high Jaccard. Eval docs themselves
+    // live in the corpus too (self-match at 1.0). Oracle re-derives the
+    // full cross-corpus band algebra from the q55 signature templates.
+    QuerySpec("q120_fuzzy_decontaminate", { (s, dir) =>
+      val sp = SparkSql
+      val docs = Td.load(s, dir, "documents").select("doc_id", "text")
+      val evalD = docs.where("doc_id % 23 = 0")
+        .selectExpr("doc_id AS eval_id", "text")
+      val planted = docs.where("doc_id % 23 = 0").selectExpr(
+        "doc_id + 40000 AS doc_id",
+        s"${sp.wordSlice(sp.splitSpace("text"), "3", 1000)} || ' zz' || ${sp.toStr("doc_id")} AS text")
+      graft.operators.Decontamination
+        .nearDupHits(docs.unionAll(planted), "doc_id", "text",
+          evalD, "eval_id", "text", jaccardThreshold = 0.5)
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      def bandsSql(sig: String, id: String) =
+        s"""SELECT $id,
+                   concat(CAST(t.j AS VARCHAR), ':',
+                          CAST(sigs[2*t.j+1] AS VARCHAR), '|',
+                          CAST(sigs[2*t.j+2] AS VARCHAR)) AS bucket
+            FROM $sig CROSS JOIN generate_series(0, 5) t(j)"""
+      Some(s"""WITH corpus AS (
+                 SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 40000,
+                        ${d.wordSlice(d.splitSpace("text"), "3", 1000)} || ' zz' || ${d.toStr("doc_id")}
+                 FROM documents WHERE doc_id % 23 = 0),
+               ev AS (SELECT doc_id AS eval_id, text FROM documents WHERE doc_id % 23 = 0),
+               ctk AS (SELECT doc_id, ${shinglesExpr(d)} AS shingles
+                       FROM corpus WHERE ${d.len(d.splitSpace("text"))} >= 3),
+               csig AS (SELECT doc_id, ${sigsExpr(d)} AS sigs
+                        FROM corpus WHERE ${d.len(d.splitSpace("text"))} >= 3),
+               etk AS (SELECT eval_id, ${shinglesExpr(d)} AS shingles
+                       FROM ev WHERE ${d.len(d.splitSpace("text"))} >= 3),
+               esig AS (SELECT eval_id, ${sigsExpr(d)} AS sigs
+                        FROM ev WHERE ${d.len(d.splitSpace("text"))} >= 3),
+               cbands AS (${bandsSql("csig", "doc_id")}),
+               ebands AS (${bandsSql("esig", "eval_id")}),
+               cand AS (SELECT DISTINCT c.doc_id, e.eval_id
+                        FROM cbands c JOIN ebands e USING (bucket)),
+               hits AS (
+                 SELECT cand.doc_id, cand.eval_id,
+                        round(CAST(${d.interSize("ca.shingles", "ea.shingles")} AS DOUBLE) /
+                              CAST(${d.unionSize("ca.shingles", "ea.shingles")} AS DOUBLE), 6) AS jaccard
+                 FROM cand
+                 JOIN ctk ca ON ca.doc_id = cand.doc_id
+                 JOIN etk ea ON ea.eval_id = cand.eval_id
+                 WHERE CAST(${d.interSize("ca.shingles", "ea.shingles")} AS DOUBLE) /
+                       CAST(${d.unionSize("ca.shingles", "ea.shingles")} AS DOUBLE) >= 0.5)
+               SELECT doc_id, count(*) AS n_hits, max(jaccard) AS max_jaccard
+               FROM hits GROUP BY doc_id ORDER BY doc_id""")
     })
   )
 

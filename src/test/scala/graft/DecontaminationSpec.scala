@@ -66,4 +66,38 @@ class DecontaminationSpec extends AnyFunSuite with SparkTestBase {
     assert(Decontamination
       .contaminationHits(corpus, "doc_id", "text", tiny, "etext", 4).count() === 0L)
   }
+
+  test("fuzzy: a perturbed leak invisible to exact 13-grams is caught by near-dup hits") {
+    import spark.implicits._
+    val evalDoc = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    // perturbation: drop the first word, change one mid word — every
+    // 13-gram differs from eval, shingle Jaccard stays high
+    val leaked = "w2 w3 w4 w5 w6 w7 zz w9 w10 w11 w12 w13 w14 w15 w16"
+    val clean = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15 c16"
+    val corpusF = Seq((1L, leaked), (2L, clean)).toDF("doc_id", "text")
+    val evalF = Seq((100L, evalDoc)).toDF("eval_id", "text")
+    // exact 13-gram scrub misses it...
+    assert(Decontamination
+      .contaminationHits(corpusF, "doc_id", "text", evalF, "text", 13).count() === 0L)
+    // ...fuzzy flags exactly the leak
+    val fuzzy = Decontamination.nearDupHits(corpusF, "doc_id", "text",
+      evalF, "eval_id", "text", jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fuzzy.keySet === Set(1L))
+    assert(fuzzy(1L) === 1L)
+  }
+
+  test("fuzzy: result is partition-invariant and self-matches score 1.0") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, s"d$i a$i b$i c$i e$i f$i g$i h$i")).toDF("doc_id", "text")
+    val evalF = docs.where("doc_id % 10 = 0").selectExpr("doc_id AS eval_id", "text")
+    val results = Seq(1, 3, 8).map { p =>
+      Decontamination.nearDupHits(docs.repartition(p), "doc_id", "text",
+        evalF, "eval_id", "text", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(results.distinct.size === 1)
+    assert(results.head === Set((0L, 1L, 1.0), (10L, 1L, 1.0), (20L, 1L, 1.0), (30L, 1L, 1.0)))
+  }
 }

@@ -168,6 +168,32 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
       s"a confirm branch joins without the probe guard:\n${b.take(800)}"))
   }
 
+  test("q116: span dedup has NO pairwise structure — every join equi, no nested loop") {
+    val df = SparkEntry.queries("q116_substring_dedup")(spark, sf)
+    df.queryExecution.sparkPlan.foreach {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        fail("q116 plans a cartesian product:\n" + j)
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        fail("q116 plans a nested-loop join:\n" + j)
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        fail("q116 plans a window:\n" + w)
+      case _ =>
+    }
+  }
+
+  test("q119: encode is explode + equi-join + agg — no window, no nested loop") {
+    val df = SparkEntry.queries("q119_bpe_encode")(spark, sf)
+    df.queryExecution.sparkPlan.foreach {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        fail("q119 plans a cartesian product:\n" + j)
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        fail("q119 plans a nested-loop join:\n" + j)
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        fail("q119 plans a window:\n" + w)
+      case _ =>
+    }
+  }
+
   test("q113: scoring is a pure projection — no window, no join, no aggregate") {
     // Training runs as side jobs at build time; the returned plan is the
     // margin projection plus the oracle-ordering sort only.
