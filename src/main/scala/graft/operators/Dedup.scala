@@ -450,8 +450,12 @@ object Dedup {
     // discipline): four plan branches consume them (gram build for the
     // count, gram build for the covered-start join, position explode,
     // n_tokens) — lazily each would re-run the corpus scan + split HOF
+    // NULL text coalesces to '' (one empty token, no grams — reported
+    // untouched) so NULL docs keep their output row instead of turning
+    // every downstream count NULL
     val toks = widen(docs)
-      .selectExpr(s"$idCol AS doc_id", s"${d.splitSpace(textCol)} AS tk")
+      .selectExpr(s"$idCol AS doc_id",
+        s"${d.splitSpace(s"coalesce($textCol, '')")} AS tk")
       .localCheckpoint(true)
     val grams = toks
       .select(col("doc_id"), col("tk"),

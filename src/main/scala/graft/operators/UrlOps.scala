@@ -36,12 +36,15 @@ object UrlOps {
     s"lower(regexp_extract($u, '$schemePat', 1))"
 
   /** Canonical host: lowercased authority minus port and one leading
-    * 'www.'. */
-  def hostExpr(d: SqlDialect, u: String): String =
-    d.regexReplaceAll(
-      d.regexReplaceAll(s"lower(regexp_extract($u, '$authPat', 1))",
-        ":[0-9]+$", ""),
-      "^www[.]", "")
+    * 'www.'; NULL when `u` has no scheme://authority shape at all
+    * (garbage in, NULL out — '' would silently aggregate all junk rows
+    * into one pseudo-host). */
+  def hostExpr(d: SqlDialect, u: String): String = {
+    val stripped = d.regexReplaceAll(
+      d.regexReplaceAll("hp0", ":[0-9]+$", ""), "^www[.]", "")
+    d.bind(s"lower(regexp_extract($u, '$authPat', 1))", "hp0",
+      s"CASE WHEN hp0 = '' OR hp0 IS NULL THEN NULL ELSE $stripped END")
+  }
 
   /** Full canonical URL (see object doc for the rules). The scheme and
     * authority extractions are lambda-bound so each regex runs once per
@@ -62,11 +65,13 @@ object UrlOps {
         d.bind(port, "pt",
           d.bind(cq, "cq",
             d.bind(cpath, "cp",
-              s"sch || '://' || $host" +
+              // garbage in, NULL out (see hostExpr)
+              s"CASE WHEN sch = '' OR sch IS NULL OR hp = '' OR hp IS NULL THEN NULL ELSE " +
+                s"sch || '://' || $host" +
                 s" || CASE WHEN pt = '' OR (sch = 'http' AND pt = '80')" +
                 s" OR (sch = 'https' AND pt = '443') THEN '' ELSE ':' || pt END" +
                 s" || CASE WHEN cp = '' THEN '/' ELSE cp END" +
-                s" || CASE WHEN cq = '' THEN '' ELSE '?' || cq END")))))
+                s" || CASE WHEN cq = '' THEN '' ELSE '?' || cq END END")))))
   }
 
   /** Adds `canon_url` and `host` columns — a pure projection, the key

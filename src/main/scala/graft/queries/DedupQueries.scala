@@ -496,7 +496,7 @@ object DedupQueries {
                  SELECT doc_id + 20000,
                         ${d.wordSlice(d.splitSpace("text"), "1", 12)}
                  FROM documents WHERE doc_id < 40),
-               toks AS (SELECT doc_id, ${d.splitSpace("text")} AS tk FROM corpus),
+               toks AS (SELECT doc_id, ${d.splitSpace("coalesce(text, '')")} AS tk FROM corpus),
                gidx AS (SELECT doc_id, tk, unnest(${d.range1(s"${d.len("tk")} - 7")}) AS i FROM toks),
                grams AS (SELECT doc_id, i, ${d.wordSlice("tk", "i", 8)} AS gram FROM gidx),
                dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),

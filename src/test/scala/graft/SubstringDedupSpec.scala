@@ -67,6 +67,17 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) === ((8L, 6L, filler("m", 2))))
   }
 
+  test("NULL-text docs keep their row, reported untouched") {
+    import spark.implicits._
+    val span = "n1 n2 n3"
+    val got = Dedup.dropDuplicateSpans(
+      Seq((1L, s"$span x1"), (2L, s"$span y1"), (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(3L) === ((1L, 0L, ""))) // '' splits to one empty token, no grams
+    assert(got(1L) === ((4L, 3L, "x1")))
+  }
+
   test("result is partition-invariant") {
     val span = "alpha beta gamma delta"
     val rows = (0L until 30L).map(i => (i, s"${filler(s"f${i}x", 3)} $span")) :+

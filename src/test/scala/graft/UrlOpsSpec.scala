@@ -59,6 +59,15 @@ class UrlOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges.size <= 1, df.queryExecution.executedPlan.toString.take(1200))
   }
 
+  test("garbage in, NULL out: non-URL strings and NULL produce NULL canon + host") {
+    import spark.implicits._
+    val df = UrlOps.canonicalize(
+      Seq("not a url at all", "ftp:/missing-slash", "", null.asInstanceOf[String])
+        .toDF("url"), "url")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(df.forall { case (c, h) => c == null && h == null }, df.toSeq.toString)
+  }
+
   test("canonical key collapses spelling variants of the same page") {
     val variants = Seq(
       "https://www.shop.example.com/item/42?utm_campaign=mail",
