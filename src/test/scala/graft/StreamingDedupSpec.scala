@@ -39,4 +39,41 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
       assert(ids.toSeq === Seq(1L, 2L, 3L, 99L))
     } finally q.stop()
   }
+
+  test("foreachBatch NEAR-dup ingest: each batch fuzzy-dedups against all stored content") {
+    // the incremental complement of BloomDedupSpec's exact ingest: a
+    // lightly edited re-send (no exact hash match) is still dropped,
+    // cross-batch, by nearDupHits against the growing store
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("fuzzy-ingest").toString
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(store)
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val history = batch.sparkSession.read.parquet(store)
+          .selectExpr("doc_id AS eval_id", "text")
+        val hits = graft.operators.Decontamination
+          .nearDupHits(batch, "doc_id", "text", history, "eval_id", "text", 0.6)
+        batch.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(store)
+      }
+      .start()
+    try {
+      // 10 = one-word edit of the seed (near-dup, no exact match); 11 new
+      source.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (11L, "one two three four five six seven eight"))
+      q.processAllAvailable()
+      // 12 = one-word edit of 11 (near-dups a doc stored by a PRIOR batch)
+      source.addData(
+        (12L, "one two three four five six seven nine"),
+        (13L, "fresh content entirely unlike anything stored"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.read.parquet(store).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 11L, 13L), s"stored: ${ids.toSeq}")
+  }
 }
