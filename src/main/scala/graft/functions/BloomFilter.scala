@@ -180,41 +180,59 @@ case class BloomContains(left: Expression, right: Expression)
   * builder resolves it back at analysis time, which always runs on the
   * driver.
   *
-  * Lifetime: the table holds WEAK references. Dataset construction
-  * analyzes eagerly, so by the time an operator returns its DataFrame
-  * the resolved [[BloomContainsBcast]] holds the strong reference (the
-  * caller's local keeps the filter alive across the register→analysis
-  * window); once every plan referencing the filter is unreferenced, the
-  * ContextCleaner reclaims the executor blocks exactly like checkpoint
+  * Lifetime: the table holds a STRONG reference from [[register]]
+  * until the first [[lookup]] — BroadcastManager/ContextCleaner track
+  * a `TorrentBroadcast` only weakly, so without this pin a GC inside
+  * the register→analysis window (widest in the bucketed path, whose
+  * loop collects GB-scale filters while registering — peak GC
+  * pressure) could reclaim the broadcast before the plan ever resolves
+  * it. Dataset construction analyzes eagerly, so the first lookup IS
+  * plan resolution: from then on the resolved [[BloomContainsBcast]]
+  * holds the strong reference and the table downgrades to a weak one,
+  * letting the ContextCleaner reclaim executor blocks once every plan
+  * referencing the filter is unreferenced — exactly like checkpoint
   * blocks. A per-micro-batch caller (the streaming ingest loop) thus
   * cannot accumulate dead filters. [[release]] remains for eager,
-  * deterministic teardown. */
+  * deterministic teardown (and is the only way to free a handle that
+  * was registered but never resolved into a plan). */
 object BloomBroadcasts {
+  private final class Slot(
+      @volatile var strong: Broadcast[Array[Byte]],
+      val weak: java.lang.ref.WeakReference[Broadcast[Array[Byte]]])
   private val ids = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val live = new java.util.concurrent.ConcurrentHashMap[
-    Int, java.lang.ref.WeakReference[Broadcast[Array[Byte]]]]()
+  private val live = new java.util.concurrent.ConcurrentHashMap[Int, Slot]()
 
   def register(b: Broadcast[Array[Byte]]): Int = {
     // purge entries whose broadcast has been collected (cheap: table is
     // handles-sized, and register is a per-FILTER event, not per-row)
-    live.forEach((k, ref) => if (ref.get == null) live.remove(k): Unit)
+    live.forEach((k, s) =>
+      if (s.strong == null && s.weak.get == null) live.remove(k): Unit)
     val id = ids.incrementAndGet()
-    live.put(id, new java.lang.ref.WeakReference(b))
+    live.put(id, new Slot(b, new java.lang.ref.WeakReference(b)))
     id
   }
 
   def lookup(id: Int): Broadcast[Array[Byte]] = {
-    val b = Option(live.get(id)).map(_.get).orNull
+    val slot = live.get(id)
+    val b =
+      if (slot == null) null
+      else { val s = slot.strong; if (s != null) s else slot.weak.get }
     require(b != null, s"bloom_contains_bcast: no filter registered under handle $id")
+    // The caller (the resolved expression in an eagerly-analyzed plan)
+    // now holds the strong reference; drop ours so abandoned plans can
+    // be reclaimed. Re-lookups keep working through the weak ref while
+    // any plan is alive.
+    slot.strong = null
     b
   }
 
   /** Drop the handle AND the executor-side blocks eagerly. Only call
     * once every plan referencing the handle has finished executing. */
   def release(id: Int): Unit = {
-    val ref = live.remove(id)
-    if (ref != null) {
-      val b = ref.get
+    val slot = live.remove(id)
+    if (slot != null) {
+      val b = { val s = slot.strong; if (s != null) s else slot.weak.get }
+      slot.strong = null
       if (b != null) b.destroy()
     }
   }

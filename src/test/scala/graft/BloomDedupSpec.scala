@@ -211,6 +211,25 @@ class BloomDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(msgs(err).exists(_.contains("no filter registered")), msgs(err).mkString(" | "))
   }
 
+  test("broadcast handle lifecycle: register→lookup window survives GC with no caller reference") {
+    // BroadcastManager holds TorrentBroadcast only weakly, so if the
+    // registry didn't pin it, a GC between register and plan analysis
+    // could reclaim the filter. Register inside a method so no local
+    // survives, force GC, then lookup must still succeed.
+    def registerAndDrop(): Int = {
+      val f = keys(50, "g")
+        .selectExpr("bloom_agg(xxhash64(text), 8192, 5) AS f")
+        .head().getAs[Array[Byte]](0)
+      graft.functions.BloomBroadcasts.register(spark.sparkContext.broadcast(f))
+    }
+    val id = registerAndDrop()
+    System.gc(); Thread.sleep(50); System.gc()
+    val marked = keys(50, "g").withColumn("m",
+      call_function("bloom_contains_bcast", lit(id), expr("xxhash64(text)")))
+    assert(marked.filter(col("m")).count() === 50)
+    graft.functions.BloomBroadcasts.release(id)
+  }
+
   test("streaming ingest: foreachBatch dedups each micro-batch against all prior content") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
