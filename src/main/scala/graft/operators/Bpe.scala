@@ -52,8 +52,9 @@ object Bpe {
     * which is then NOT eligible as the left side of another merge this
     * round, exactly the semantics of the reference implementation's
     * single simultaneous pass. `aSql`/`bSql` are SQL string expressions
-    * (literals on the Spark side, the argmax CTE's columns in the
-    * oracle). */
+    * — on BOTH sides the cross-joined merge relation's columns (the
+    * argmax CTE `b$r` in the oracle, the broadcast 1-row pair table on
+    * the Spark side), so symbol content never appears in SQL text. */
   def applyMergeExpr(d: SqlDialect, symsCol: String,
       aSql: String, bSql: String): String = {
     val body =
@@ -73,17 +74,23 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .selectExpr("w", "freq", s"${charSymsExpr(d, "w")} AS syms")
 
-  /** Train `rounds` merges. Returns fewer when the corpus runs out of
-    * adjacent pairs (every word fully merged). */
-  // symbols are inlined back into SQL as quoted literals; restrict to
-  // the charset where both dialects' quoting is identical (the strArray
-  // discipline) so no corpus content can smuggle a quote
-  private def quoted(s: String): String = {
-    require(s.matches("[a-z0-9]+"),
-      s"bpe: symbol '$s' outside the inlineable [a-z0-9] charset")
-    s"'$s'"
+  /** Apply one learned merge (a, b) to the word table, carrying the
+    * symbols as DATA — a broadcast 1-row relation cross-joined in,
+    * mirroring the oracle's `b$r` CTE shape — never as inlined SQL
+    * literals. Any charset survives (apostrophes, punctuation,
+    * non-ASCII): the symbol text never touches SQL syntax, so nothing
+    * in a real corpus can break or smuggle quoting. */
+  private def applyMergeAsData(words: DataFrame, a: String, b: String): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words
+      .crossJoin(broadcast(Seq((a, b)).toDF("__bpe_a", "__bpe_b")))
+      .selectExpr("w", "freq",
+        s"${applyMergeExpr(d, "syms", "__bpe_a", "__bpe_b")} AS syms")
   }
 
+  /** Train `rounds` merges. Returns fewer when the corpus runs out of
+    * adjacent pairs (every word fully merged). */
   def fitMerges(docs: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
     require(rounds >= 1, s"fitMerges: rounds must be >= 1, got $rounds")
     var words = wordTable(docs, textCol).localCheckpoint(true)
@@ -101,12 +108,13 @@ object Bpe {
         val pair = best(0).getString(0)
         out += Merge(r, pair, best(0).getLong(1))
         val Array(a, b) = pair.split(" ", 2)
-        words = words.selectExpr("w", "freq",
-            s"${applyMergeExpr(d, "syms", quoted(a), quoted(b))} AS syms")
-          .localCheckpoint(true)
+        val next = applyMergeAsData(words, a, b).localCheckpoint(true)
+        CheckpointBlocks.release(words) // next is materialized; round r-1 is dead
+        words = next
         r += 1
       }
     }
+    CheckpointBlocks.release(words) // only the collected merges leave this scope
     out.result()
   }
 
@@ -157,24 +165,33 @@ object Bpe {
     * build side, AQE-broadcastable) and aggregate per document. Output:
     * (doc_id, n_words, n_subwords, cr_bp) with cr_bp the exact
     * half-up-integer compression ratio in basis points (the bigram-LM
-    * integer discipline: no doubles near a hash compare). */
+    * integer discipline: no doubles near a hash compare). EVERY input
+    * doc_id gets a row — NULL/empty/whitespace-only docs emit
+    * (n_words=0, n_subwords=0, cr_bp=NULL) instead of vanishing (the
+    * dropDuplicateSpans row-preservation contract): callers joining the
+    * result back by doc_id must not lose rows silently. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
     var words = wordTable(docs, textCol)
     merges.foreach { m =>
       val Array(a, b) = m.pair.split(" ", 2)
-      words = words.selectExpr("w", "freq",
-        s"${applyMergeExpr(d, "syms", quoted(a), quoted(b))} AS syms")
+      words = applyMergeAsData(words, a, b)
     }
     val wsub = words.selectExpr("w",
       s"CAST(${d.len(d.splitSpace("syms"))} AS BIGINT) AS n_sub")
-    docs.selectExpr(s"$idCol AS doc_id",
+    val perDoc = docs.selectExpr(s"$idCol AS doc_id",
         s"explode(${d.splitSpace(s"lower(coalesce($textCol, ''))")}) AS w")
       .where("w <> ''")
       .join(wsub, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
-      .selectExpr("doc_id", "n_words", "n_subwords",
+    // cr_bp computed from the PRE-coalesce counts: NULL DIV NULL = NULL
+    // for wordless docs, never a division by zero.
+    docs.selectExpr(s"$idCol AS doc_id").distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CAST(coalesce(n_words, 0) AS BIGINT) AS n_words",
+        "CAST(coalesce(n_subwords, 0) AS BIGINT) AS n_subwords",
         s"${d.idiv("(20000 * n_subwords + n_words)", "(2 * n_words)")} AS cr_bp")
   }
 
@@ -192,8 +209,11 @@ object Bpe {
        |      FROM docw JOIN s$rounds USING (w) WHERE w <> ''),
        |agg AS (SELECT doc_id, count(*) AS n_words,
        |               CAST(sum(n_sub) AS BIGINT) AS n_subwords
-       |        FROM j GROUP BY doc_id)
-       |SELECT doc_id, n_words, n_subwords,
+       |        FROM j GROUP BY doc_id),
+       |ids AS (SELECT DISTINCT $idCol AS doc_id FROM $corpusFrom)
+       |SELECT ids.doc_id,
+       |       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(coalesce(n_subwords, 0) AS BIGINT) AS n_subwords,
        |       ${d.idiv("(20000 * n_subwords + n_words)", "(2 * n_words)")} AS cr_bp
-       |FROM agg ORDER BY doc_id""".stripMargin
+       |FROM ids LEFT JOIN agg USING (doc_id) ORDER BY ids.doc_id""".stripMargin
 }
