@@ -54,8 +54,12 @@ object UrlOps {
       "^www[.]", "")
     val port = s"regexp_extract(hp, ':([0-9]+)$$', 1)"
     val cpath = d.regexReplaceAll(s"regexp_extract($u, '$pathPat', 1)", "/+$", "")
+    // query = text after the FIRST '?' that precedes any '#': [^#?]*
+    // can't skip a '?' (so no backtracking onto a later one) and can't
+    // cross a '#' (so a fragment's '?' never leaks into the query —
+    // 'http://h/p#a?b' has NO query, not query 'b')
     val keptParams = d.filterBy(
-      d.splitOn(s"regexp_extract($u, '[?]([^#]*)', 1)", "&"), "kv",
+      d.splitOn(s"regexp_extract($u, '^[^#?]*[?]([^#]*)', 1)", "&"), "kv",
       s"NOT (${d.regexLike("kv", "^utm_")} OR ${d.regexLike("kv", "^ref=")} OR kv = '')")
     // coalesce: DuckDB's array_to_string of an EMPTY list is NULL where
     // Spark's array_join is '' — normalize before the concat

@@ -47,6 +47,18 @@ class UrlOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("https://wwwx.example.com/a")._2 === "wwwx.example.com")
   }
 
+  test("a '?' inside the fragment is NOT a query; first-'?' wins over later ones") {
+    val got = canon(
+      "http://h.example.com/p#a?b=1", //        fragment-only '?': no query
+      "http://h.example.com/p?a=1?b=2#f", //    query starts at FIRST '?'
+      "http://h.example.com/p?x=1#f?utm_source=t") // '#' ends the query
+    assert(got("http://h.example.com/p#a?b=1")._1 === "http://h.example.com/p")
+    assert(got("http://h.example.com/p?a=1?b=2#f")._1 ===
+      "http://h.example.com/p?a=1?b=2")
+    assert(got("http://h.example.com/p?x=1#f?utm_source=t")._1 ===
+      "http://h.example.com/p?x=1")
+  }
+
   test("canonicalize is a pure projection: zero exchanges in the plan") {
     import spark.implicits._
     val df = UrlOps.canonicalize(
