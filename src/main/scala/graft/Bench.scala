@@ -64,6 +64,12 @@ object Bench {
       // operators (Dedup.clusters) and pipeline table caches otherwise
       // stay resident for the rest of the session; clearing between
       // queries makes each measurement start from a comparable state.
+      // The persistent-RDD sweep also drops localCheckpoint block stores
+      // (clearCache only sees CacheManager entries) — the round-7 q102
+      // in-run-vs-isolated 2× gap was exactly this residue. Everything
+      // persisted by a finished query is dead by construction here.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
       System.gc()
       (name, if (ok) secs else -secs)

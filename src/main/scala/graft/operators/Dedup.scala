@@ -205,7 +205,9 @@ object Dedup {
     // tree for plan matching) — a deep graph turns planning itself into
     // the bottleneck and eventually OOMs the driver. Checkpointing
     // materializes the same blocks AND truncates the plan to a leaf;
-    // stale round blocks are released by the ContextCleaner. On a real
+    // stale round blocks are dropped EAGERLY (CheckpointBlocks — the
+    // ContextCleaner alone is GC-timed and lets dead rounds pile up
+    // across a long session). On a real
     // cluster localCheckpoint trades executor-loss recoverability for
     // speed — acceptable here because a lost round restarts the
     // (diameter-bounded) job, not a multi-hour lineage replay.
@@ -227,6 +229,9 @@ object Dedup {
       val newSum = labelSum(updated)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
+      // `updated` is materialized (eager checkpoint): the previous
+      // round's blocks are dead from here — drop them now
+      CheckpointBlocks.release(labels)
       labels = updated
       iter += 1
     }
@@ -322,6 +327,9 @@ object Dedup {
         converged = next.exceptAll(edges).isEmpty
       }
       prev = dg
+      // `next` is materialized and the exact confirm (the only consumer
+      // of the old round) has run — the old round's blocks are dead
+      CheckpointBlocks.release(edges)
       edges = next
       iter += 1
     }
@@ -330,11 +338,16 @@ object Dedup {
     val nonRoot = edges.groupBy("u").agg(min("v").as("cluster_id"))
       .select(col("u").as("doc_id"), col("cluster_id"))
     // materialized-leaf ownership, same contract as [[clusters]]: no
-    // recompute downstream, blocks GC-released, unpersist() is a no-op
-    nodes.join(nonRoot, Seq("doc_id"), "left")
+    // recompute downstream, unpersist() is a no-op. The eager checkpoint
+    // below is the last reader of `raw` and the fixpoint edge set, so
+    // both release immediately after it materializes.
+    val out = nodes.join(nonRoot, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .localCheckpoint(true)
+    CheckpointBlocks.release(raw)
+    CheckpointBlocks.release(edges)
+    out
   }
 
   /** End-to-end near-dup drop: keep exactly one representative (the
