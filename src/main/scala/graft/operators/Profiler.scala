@@ -7,16 +7,20 @@ import org.apache.spark.sql.functions._
   * table: per column, its type, null count, distinct count, and
   * min/max rendered as strings.
   *
-  * Shape: one scan feeding a single global aggregation, then a
-  * driver-side unpivot of the 1-row result into (column, metric) rows
-  * (the unpivot touches only aggregated scalars, never data). The scale
-  * caveat is the EXACT countDistinct per column: Spark plans the mixed
-  * distinct aggregates through Expand, duplicating each input row
-  * (cols+1)× before partial aggregation — kept exact in [[profile]]
-  * because it is oracle-compared; at 100 TB use [[profileApprox]],
-  * which removes both the Expand and the distinct shuffle
-  * (constant-size HLL partials; PlanProofSpec asserts the approx plan
-  * is Expand-free).
+  * Two shapes, both Expand-free:
+  *  - [[profile]] (exact): one aggregation branch PER COLUMN, unioned.
+  *    Catalyst only reaches for Expand with >= 2 distinct-aggregate
+  *    groups in one Aggregate (PlanProofSpec q66 proves the single-
+  *    distinct case plans two-phase); a branch holds exactly one
+  *    `countDistinct`, so each branch is a column-pruned scan of JUST
+  *    its column feeding a partial-aggregated distinct — total I/O
+  *    equals the profiled columns, with no (cols+1)× row duplication
+  *    and no driver-side unpivot (the union IS the unpivot). The
+  *    packed one-Aggregate spelling ([[statsAgg]] approx = false) is
+  *    kept only as the measurable counterexample.
+  *  - [[profileApprox]] (the 100 TB default): ONE scan, constant-size
+  *    HLL partials, no distinct shuffle at all — when the table is too
+  *    large to re-scan per column and 5% distinct error is acceptable.
   */
 object Profiler {
 
@@ -55,9 +59,25 @@ object Profiler {
     }.toDF("column", "dtype", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
   }
 
-  /** Exact profile (oracle-comparable; Expand-shaped — see class doc). */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
-    unpivot(df, cols, statsAgg(df, cols, approx = false))
+  /** Exact profile: per-column aggregation branches, unioned (see class
+    * doc — Expand-free, each branch scans only its own column). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    cols.map { c =>
+      df.select(col(c))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column"), lit(types(c)).as("dtype"),
+          col("n_rows"), col("n_nulls"), col("n_distinct"),
+          col("min_value"), col("max_value"))
+    }.reduce(_ unionAll _)
+  }
 
   /** The 100 TB profile: identical output shape to [[profile]] but
     * `n_distinct` is `approx_count_distinct` (HyperLogLog++, default rsd

