@@ -63,6 +63,54 @@ object StreamQueries {
                      min(ts) AS session_start, max(ts) AS session_end,
                      epoch(max(ts)) - epoch(min(ts)) AS duration_sec
               FROM sess GROUP BY user_id, session_idx
-              ORDER BY user_id, session_idx"""))
+              ORDER BY user_id, session_idx""")),
+
+    // ---- manifest-mode streaming ingest ---------------------------------
+    // The Auto-Loader-scale ingest (StreamingBronze.ingestManifest): the
+    // stream's file source lists only a tiny path LEDGER, never the data
+    // directory. Proven in-gate: documents split into 4 CSVs by
+    // pmod(doc_id,4), ledgered in two drops (parts 0-1 then 2-3) through
+    // two checkpointed AvailableNow passes — plus an UNLEDGERED decoy
+    // copy of part 0 in the same directory, whose rows would double
+    // batch 0 if anything listed the data dir. The batch a row lands in
+    // is therefore pure ledger history, which the oracle re-derives from
+    // doc_id arithmetic.
+    QuerySpec("q121_manifest_ingest", { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val docs = Td.load(s, dir, "documents")
+        .selectExpr("doc_id", "lang", "n_chars", "pmod(doc_id, 4) AS part")
+      val root = java.nio.file.Files.createTempDirectory("graft-q121").toString
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("n_chars", LongType)))
+      (0 to 3).foreach { p =>
+        docs.where(col("part") === p).select("doc_id", "lang", "n_chars")
+          .coalesce(1).write.option("header", "true").csv(s"$root/data/part$p")
+      }
+      def csvOf(p: Int): String = {
+        val d = new java.io.File(s"$root/data/part$p")
+        d.listFiles().filter(_.getName.endsWith(".csv")).head.getAbsolutePath
+      }
+      val decoy = java.nio.file.Paths.get(s"$root/data/part0_decoy.csv")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(csvOf(0)), decoy)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/ledger"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/ledger/drop0.txt"), s"${csvOf(0)}\n${csvOf(1)}\n")
+      graft.streaming.StreamingBronze.ingestManifest(s, s"$root/ledger",
+        s"$root/sink", s"$root/ckpt", schema)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/ledger/drop1.txt"), s"${csvOf(2)}\n${csvOf(3)}\n")
+      graft.streaming.StreamingBronze.ingestManifest(s, s"$root/ledger",
+        s"$root/sink", s"$root/ckpt", schema)
+        .groupBy(col("batch_id").cast(LongType).as("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("batch_id")
+    },
+      Some("""SELECT CAST(CASE WHEN doc_id % 4 <= 1 THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
+                     count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+              FROM documents GROUP BY 1 ORDER BY batch_id"""))
   )
 }

@@ -102,6 +102,60 @@ object StreamingBronze {
     spark.read.parquet(sinkDir)
   }
 
+  /** Manifest-mode ingest — the 100M-file answer to [[ingest]]'s one
+    * genuine scale limit: Spark's file source RE-LISTS the input
+    * directory on every trigger, so at Auto-Loader-scale backlogs the
+    * driver pays O(total files) listing per batch forever. Here the
+    * stream reads a LEDGER instead: a tiny text-file directory where
+    * each row is the path of one newly-arrived data file (the producer
+    * appends a manifest file per drop — the S3-inventory / notification-
+    * queue pattern). Per trigger the source lists only the manifest
+    * directory (O(drops), compactable), never the data directory; the
+    * data files themselves are NEVER enumerated — each micro-batch
+    * batch-reads exactly the paths its new ledger rows name.
+    *
+    * Per batch the new ledger rows collect to the driver as the work
+    * list (the J2 collect→literal pattern — bounded by
+    * `maxManifestFilesPerTrigger` ledger files, one path per row, never
+    * row data), then one distributed CSV read of those paths feeds
+    * [[writeBatchIdempotent]]. Exactly-once composition is unchanged:
+    * the checkpoint tracks ledger rows, redelivery overwrites its own
+    * `batch_id` partition. A path ledgered twice in ONE batch dedups
+    * here; a path ledgered again in a LATER batch re-ingests (the ledger
+    * is the source of truth — producers append each file once).
+    *
+    * Rows carry `source_file` provenance (S2) exactly like the
+    * directory-scan path. Returns the accumulated sink (empty-schema
+    * read guarded for the nothing-ever-ingested case). */
+  def ingestManifest(spark: SparkSession, manifestDir: String,
+      sinkDir: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxManifestFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.format("text")
+    maxManifestFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val q = reader.load(manifestDir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val paths = batch.select("value").distinct().collect()
+          .map(_.getString(0).trim).filter(_.nonEmpty).sorted
+        if (paths.nonEmpty) {
+          val data = spark.read
+            .format("csv")
+            .option("header", "true")
+            .option("inferSchema", "false")
+            .schema(schema)
+            .load(paths.toIndexedSeq: _*)
+            .withColumn("source_file", col("_metadata.file_path"))
+          writeBatchIdempotent(data, batchId, sinkDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (new java.io.File(sinkDir).exists()) spark.read.parquet(sinkDir)
+    else spark.emptyDataFrame
+  }
+
   /** Full medallion DAG over a streaming-ingested bronze: identical
     * downstream semantics to [[DiabetesPipeline.run]], only the ingest
     * differs. `workDir` holds sink + checkpoint + table parquet. */

@@ -67,4 +67,41 @@ class StreamingBronzeSpec extends AnyFunSuite with SparkTestBase {
       assert(a.sameElements(b), t)
     }
   }
+
+  test("manifest mode: a new LEDGER row, not a directory scan, drives the next batch") {
+    val data = Files.createTempDirectory("graft-manifest-data")
+    val manifest = Files.createTempDirectory("graft-manifest-ledger")
+    val work = Files.createTempDirectory("graft-manifest-work").toString
+    val sink = s"$work/sink"
+    val ckpt = s"$work/ckpt"
+    (1 to 3).foreach(copyShard(data, _))
+
+    // Ledger names ONLY shard 1. Shards 2 and 3 sit in the same data
+    // directory: if the implementation listed the directory instead of
+    // reading the ledger, their 256 rows would leak into the sink.
+    Files.writeString(manifest.resolve("m0.txt"),
+      data.resolve("diabetes_part_1.csv").toString + "\n")
+    val b1 = StreamingBronze.ingestManifest(spark, manifest.toString, sink, ckpt,
+      DiabetesPipeline.diabetesSchema)
+    assert(b1.count() === 128) // shard 1 only — decoys unread
+    assert(b1.select("batch_id").distinct().count() === 1)
+
+    // Unchanged ledger: exactly-once over ledger rows, nothing re-ingests.
+    val again = StreamingBronze.ingestManifest(spark, manifest.toString, sink, ckpt,
+      DiabetesPipeline.diabetesSchema)
+    assert(again.count() === 128)
+
+    // One new ledger FILE naming shard 2 (listing a path twice in the
+    // same drop must not duplicate rows) drives the next batch; shard 3
+    // stays unledgered and therefore unread.
+    Files.writeString(manifest.resolve("m1.txt"),
+      data.resolve("diabetes_part_2.csv").toString + "\n" +
+        data.resolve("diabetes_part_2.csv").toString + "\n")
+    val b2 = StreamingBronze.ingestManifest(spark, manifest.toString, sink, ckpt,
+      DiabetesPipeline.diabetesSchema)
+    assert(b2.count() === 256)
+    assert(b2.select("batch_id").distinct().count() === 2)
+    // provenance column present and correct per batch
+    assert(b2.where("source_file LIKE '%diabetes_part_2.csv'").count() === 128)
+  }
 }
