@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Td
+import graft.sources.TxLog
+
+/** Parity queries for the log-based transactional table format
+  * ([[graft.sources.TxLog]]) — the Delta-style capability the reference
+  * gets from its platform's managed tables (table_properties,
+  * reference src/diabetes_etl_pipeline.py:49-52): time travel over an
+  * append log, OPTIMIZE compaction with range clustering, stats-based
+  * file skipping, and VACUUM retention.
+  *
+  * Each query BUILDS a transactional table in a temp dir from the
+  * driver's parquet testdata using deterministic doc-arithmetic splits,
+  * exercises the format, and returns an aggregate the DuckDB oracle
+  * re-derives from the RAW table with the same arithmetic — so the
+  * entire commit/replay/skip machinery is hash-checked end to end.
+  */
+object TxQueries {
+
+  /** Exact, order-insensitive sum of a double column (CoreQueries idiom):
+    * decimal-sum then back to double — bit-stable across engines. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- time travel ----------------------------------------------------
+    // Three appends split by pmod(l_orderkey, 3); reading VERSION AS OF 1
+    // must see exactly the first two splits — the log replay, not the
+    // directory (version 2's files are already on disk when we read).
+    QuerySpec("q122_txlog_timetravel", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q122").toString + "/t"
+      val li = Td.load(s, dir, "lineitem")
+      (0 to 2).foreach { k =>
+        TxLog.append(s, root, li.where(pmod(col("l_orderkey"), lit(3)) === k))
+      }
+      TxLog.read(s, root, versionAsOf = Some(1L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+              FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- stats-based file skipping --------------------------------------
+    // Unclustered append, then OPTIMIZE clustered on l_orderkey: each
+    // output file owns a disjoint key range, so the readRange scan prunes
+    // to O(selectivity) files from per-file min/max stats before Spark
+    // schedules a single split (TxLogSpec proves the file counts; here
+    // the oracle proves the pruned read loses nothing).
+    QuerySpec("q123_txlog_skipping", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q123").toString + "/t"
+      val li = Td.load(s, dir, "lineitem")
+      TxLog.append(s, root, li.repartition(8))
+      TxLog.optimize(s, root, targetBytes = 1L, sortBy = Seq("l_orderkey"))
+      TxLog.readRange(s, root, "l_orderkey", "1000", "2999")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_linestatus")
+    },
+      Some("""SELECT l_linestatus, count(*) AS n_rows,
+                     CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+              FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2999
+              GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---- compaction + retention lifecycle -------------------------------
+    // Seven line-number appends → OPTIMIZE → VACUUM(retain 1): the
+    // pre-compaction files are reclaimed, and the surviving compacted
+    // snapshot must still hold every row of the original table.
+    QuerySpec("q124_txlog_lifecycle", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q124").toString + "/t"
+      val li = Td.load(s, dir, "lineitem")
+      (1 to 7).foreach { ln =>
+        TxLog.append(s, root, li.where(col("l_linenumber") === ln))
+      }
+      TxLog.optimize(s, root, sortBy = Seq("l_shipdate"))
+      TxLog.vacuum(root, retainVersions = 1)
+      TxLog.read(s, root)
+        .groupBy(col("l_linenumber").cast(LongType).as("l_linenumber"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          max(col("l_shipdate")).as("last_ship"))
+        .orderBy("l_linenumber")
+    },
+      Some("""SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber, count(*) AS n_rows,
+                     CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                     max(l_shipdate) AS last_ship
+              FROM lineitem GROUP BY 1 ORDER BY l_linenumber"""))
+  )
+}

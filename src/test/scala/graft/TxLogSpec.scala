@@ -1,0 +1,231 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxLog
+
+/** Contract of the log-based transactional table format: exactly-one
+  * winner per version under real thread races, time travel across
+  * appends/overwrites/optimize, snapshot isolation (optimize never
+  * changes contents; old versions stay readable until vacuum), stats
+  * pruning that never loses rows, schema enforcement, and checkpointed
+  * log replay equivalence. */
+class TxLogSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-txlog").toString + "/t"
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"v$i")).toDF("id", "s")
+  }
+
+  private def idSet(d: org.apache.spark.sql.DataFrame): Set[Long] =
+    d.select("id").collect().map(_.getLong(0)).toSet
+
+  test("append creates version 0 with schema; read returns the rows") {
+    val dir = tmp()
+    assert(TxLog.append(spark, dir, df(0 until 10)) === 0L)
+    val snap = TxLog.snapshot(dir)
+    assert(snap.version === 0L)
+    assert(snap.rows === 10L)
+    assert(snap.schema.fieldNames.toSeq === Seq("id", "s"))
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 10L).toSet)
+  }
+
+  test("time travel: each version sees exactly its own prefix of appends") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 5))
+    TxLog.append(spark, dir, df(5 until 9))
+    TxLog.append(spark, dir, df(9 until 12))
+    assert(idSet(TxLog.read(spark, dir, Some(0L))) === (0L until 5L).toSet)
+    assert(idSet(TxLog.read(spark, dir, Some(1L))) === (0L until 9L).toSet)
+    assert(idSet(TxLog.read(spark, dir, Some(2L))) === (0L until 12L).toSet)
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 12L).toSet)
+    intercept[TxLog.VersionNotFoundException](TxLog.snapshot(dir, Some(3L)))
+    intercept[TxLog.VersionNotFoundException](TxLog.snapshot(dir, Some(-1L)))
+  }
+
+  test("overwrite replaces contents; the pre-overwrite version still reads") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 6))
+    TxLog.overwrite(spark, dir, df(100 until 103))
+    assert(idSet(TxLog.read(spark, dir)) === Set(100L, 101L, 102L))
+    assert(idSet(TxLog.read(spark, dir, Some(0L))) === (0L until 6L).toSet)
+  }
+
+  test("append enforces the commit-0 schema") {
+    val dir = tmp()
+    import spark.implicits._
+    TxLog.append(spark, dir, df(0 until 3))
+    val wrong = Seq((1L, 2L)).toDF("id", "s") // s: bigint, not string
+    intercept[TxLog.SchemaMismatchException](TxLog.append(spark, dir, wrong))
+    val renamed = Seq((1L, "x")).toDF("id", "t")
+    intercept[TxLog.SchemaMismatchException](TxLog.append(spark, dir, renamed))
+  }
+
+  test("hard-link claim: a pre-existing version file forces a rebase, not a clobber") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 3))
+    // Simulate a concurrent writer that already claimed version 1.
+    val foreign = """{"version":1,"op":"append","ts":0,"adds":[],"removes":[]}"""
+    Files.writeString(Paths.get(dir, "_txlog", f"${1L}%020d.json"), foreign)
+    // Our append must land at version 2, preserving the foreign commit.
+    assert(TxLog.append(spark, dir, df(10 until 13)) === 2L)
+    assert(TxLog.snapshot(dir).rows === 6L)
+    assert(idSet(TxLog.read(spark, dir)) === Set(0L, 1L, 2L, 10L, 11L, 12L))
+  }
+
+  test("concurrent appends: all land, versions are distinct, no rows lost") {
+    val dir = tmp()
+    val nWriters = 6
+    val pool = Executors.newFixedThreadPool(nWriters)
+    val gate = new CountDownLatch(1)
+    val versions = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val futures = (0 until nWriters).map { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          versions.add(TxLog.append(spark, dir, df(w * 10 until w * 10 + 10))): Unit
+        }
+      })
+    }
+    gate.countDown()
+    futures.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    assert(versions.asScala.toSet === (0L until nWriters.toLong).toSet)
+    assert(TxLog.snapshot(dir).rows === nWriters * 10L)
+    assert(idSet(TxLog.read(spark, dir)) ===
+      (0 until nWriters).flatMap(w => w * 10 until w * 10 + 10).map(_.toLong).toSet)
+  }
+
+  test("overwrite conflicts with a concurrent commit and cleans up its staging") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 5))
+    // Deterministic race: the overwrite read version 0 as head, then a
+    // foreign commit claims version 1 before it publishes.
+    val foreign = """{"version":1,"op":"append","ts":0,"adds":[],"removes":[]}"""
+    val probe = Files.list(Paths.get(dir)).filter(_.getFileName.toString.startsWith("d-")).count()
+    Files.writeString(Paths.get(dir, "_txlog", f"${1L}%020d.json"), foreign)
+    intercept[TxLog.ConcurrentWriteException](
+      TxLog.overwriteAt(spark, dir, df(50 until 52), readVersion = 0L))
+    // Loser's staged directory was deleted: same number of d- dirs as before.
+    assert(Files.list(Paths.get(dir))
+      .filter(_.getFileName.toString.startsWith("d-")).count() === probe)
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 5L).toSet)
+  }
+
+  test("optimize compacts files without changing contents; old version intact") {
+    val dir = tmp()
+    (0 until 5).foreach(i => TxLog.append(spark, dir, df(i * 4 until i * 4 + 4)))
+    val before = TxLog.snapshot(dir)
+    assert(before.files.size >= 5)
+    val (nBefore, nAfter) = TxLog.optimize(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore === before.files.size && nAfter === 1)
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 20L).toSet)
+    // Snapshot isolation: the pre-optimize version still reads its files.
+    assert(idSet(TxLog.read(spark, dir, Some(before.version))) === (0L until 20L).toSet)
+    // Contents unchanged, rows preserved exactly.
+    assert(TxLog.snapshot(dir).rows === 20L)
+  }
+
+  test("optimize rebases over a concurrent append but aborts if inputs vanish") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 4))
+    TxLog.append(spark, dir, df(4 until 8))
+    // Claim v2 with a foreign APPEND (inputs untouched) → optimize rebases to v3.
+    val foreignAdd = """{"version":2,"op":"append","ts":0,"adds":[],"removes":[]}"""
+    Files.writeString(Paths.get(dir, "_txlog", f"${2L}%020d.json"), foreignAdd)
+    val (b, a) = TxLog.optimize(spark, dir, targetBytes = 1L << 30)
+    assert(b >= 2 && a === 1)
+    assert(TxLog.latestVersion(dir) === 3L)
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 8L).toSet)
+  }
+
+  test("per-file stats: readRange prunes files after a clustered optimize") {
+    val dir = tmp()
+    import spark.implicits._
+    val data = (0 until 4000).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    TxLog.append(spark, dir, data.repartition(8))
+    // Unclustered: random-hash files each span ~the full id range.
+    val snapBefore = TxLog.snapshot(dir)
+    val (survBefore, _) = TxLog.prunedFiles(snapBefore, "id", "100", "199")
+    assert(survBefore.size === snapBefore.files.size) // nothing prunable
+    // Cluster on id: 8 range-disjoint files.
+    TxLog.optimize(spark, dir, targetBytes = 1L, sortBy = Seq("id"))
+    val snap = TxLog.snapshot(dir)
+    assert(snap.files.size >= 4)
+    val (surv, pruned) = TxLog.prunedFiles(snap, "id", "100", "199")
+    assert(surv.size <= 2 && pruned.nonEmpty)
+    // And the skipping read returns exactly the right rows.
+    assert(idSet(TxLog.readRange(spark, dir, "id", "100", "199")) ===
+      (100L to 199L).toSet)
+  }
+
+  test("stats record null counts; all-NULL files are prunable, mixed survive") {
+    val dir = tmp()
+    import spark.implicits._
+    val mixed = Seq((Some(1L), "a"), (None, "b")).toDF("id", "s").coalesce(1)
+    val allNull = Seq((None: Option[Long], "c")).toDF("id", "s").coalesce(1)
+    TxLog.append(spark, dir, mixed)
+    TxLog.append(spark, dir, allNull)
+    val snap = TxLog.snapshot(dir)
+    val byNulls = snap.files.map(f => f.stats("id").nulls).sorted
+    assert(byNulls === Seq(1L, 1L))
+    val (surv, pruned) = TxLog.prunedFiles(snap, "id", "0", "5")
+    assert(surv.size === 1 && pruned.size === 1) // all-NULL file pruned
+    assert(TxLog.readRange(spark, dir, "id", "0", "5").count() === 1L)
+  }
+
+  test("vacuum reclaims only files outside the retained versions") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 4))
+    TxLog.append(spark, dir, df(4 until 8))
+    TxLog.optimize(spark, dir, targetBytes = 1L << 30)
+    val deleted = TxLog.vacuum(dir, retainVersions = 1)
+    assert(deleted.nonEmpty) // the two pre-optimize files
+    // Latest still reads fine.
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 8L).toSet)
+    // Vacuumed time travel fails at scan time (files gone), as documented.
+    intercept[Exception](TxLog.read(spark, dir, Some(0L)).count())
+    // Idempotent: nothing left to reclaim.
+    assert(TxLog.vacuum(dir, retainVersions = 1).isEmpty)
+  }
+
+  test("checkpointed replay: snapshot equals full replay past a checkpoint") {
+    val dir = tmp()
+    // 13 commits: checkpoint lands at version 10 (interval = 10).
+    (0 until 13).foreach(i => TxLog.append(spark, dir, df(i * 2 until i * 2 + 2)))
+    assert(Files.exists(Paths.get(dir, "_txlog", f"${10L}%020d.ckpt.json")))
+    val snap = TxLog.snapshot(dir)
+    assert(snap.version === 12L && snap.rows === 26L)
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 26L).toSet)
+    // Time travel BELOW the checkpoint replays from commit 0 and agrees.
+    assert(idSet(TxLog.read(spark, dir, Some(4L))) === (0L until 10L).toSet)
+    // Deleting the checkpoint must not change any snapshot (pure cache).
+    Files.delete(Paths.get(dir, "_txlog", f"${10L}%020d.ckpt.json"))
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 26L).toSet)
+  }
+
+  test("empty table: read yields zero rows with the pinned schema") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 3))
+    TxLog.overwrite(spark, dir, df(0 until 0))
+    val out = TxLog.read(spark, dir)
+    assert(out.count() === 0L)
+    assert(out.schema.fieldNames.toSeq === Seq("id", "s"))
+  }
+
+  test("log garbage tolerance: stray temp files in _txlog are ignored") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 3))
+    Files.writeString(Paths.get(dir, "_txlog", ".tmp-deadbeef"), "{broken")
+    Files.writeString(Paths.get(dir, "_txlog", "notes.txt"), "hi")
+    assert(TxLog.snapshot(dir).rows === 3L)
+  }
+}
