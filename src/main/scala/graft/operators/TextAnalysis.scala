@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.queries.{SparkSql, SqlDialect}
 
@@ -356,5 +356,68 @@ object TextAnalysis {
           .partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
       .where(col("rank") <= k)
       .selectExpr("doc_id", "term", "tf", "df", "round(score, 6) AS score", "rank")
+  }
+
+  /** Language identification by rank-order character-trigram profiles —
+    * Cavnar & Trenkle 1994 ("N-Gram-Based Text Categorization"), the
+    * n-gram-heuristic langid a pretraining pipeline runs before
+    * per-language filtering. Entirely INTEGER arithmetic (counts, ranks,
+    * out-of-place distances) — no logs, no doubles — so results are
+    * bit-identical across engines and partitionings.
+    *
+    *  - TRAIN: docs matching `trainPred` pool their lowercased char
+    *    trigrams per language; each language keeps its `profileSize`
+    *    most frequent grams ranked 1..k (ties: count DESC, gram ASC).
+    *  - CLASSIFY: every held-out doc builds its own top-k profile the
+    *    same way; its distance to a language is the out-of-place sum
+    *    Σ |rank_doc(g) − rank_lang(g)| with the max penalty k for grams
+    *    absent from the language profile. Prediction = argmin distance
+    *    (ties: language ASC).
+    *
+    * Scale shape: language profiles are (#languages × k) rows —
+    * broadcast to both the candidate cross join and the profile lookup,
+    * so the only exchanges are the two keyed aggregations on
+    * (doc_id, gram) / doc_id that every per-doc pipeline pays. Nothing
+    * corpus-global is joined at any scale; docs shorter than one
+    * trigram are excluded from both sides (no profile to classify).
+    *
+    * Output: (doc_id, true_lang, pred_lang, oop_dist) for held-out docs. */
+  def langId(docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      trainPred: Column, profileSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(profileSize >= 1, s"langId: profileSize >= 1, got $profileSize")
+    val base = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        lower(col(textCol)).as("t"), trainPred.as("is_train"))
+      .where(length(col("t")) >= 3)
+
+    def grams(df: DataFrame, key: String): DataFrame = df
+      .select(col(key), explode(sequence(lit(1), length(col("t")) - 2)).as("i"),
+        col("t"))
+      .select(col(key), col("t").substr(col("i"), lit(3)).as("g"))
+
+    def topK(df: DataFrame, key: String, rank: String): DataFrame = df
+      .groupBy(col(key), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn(rank, row_number().over(
+        Window.partitionBy(key).orderBy(col("c").desc, col("g"))))
+      .where(col(rank) <= profileSize)
+      .select(col(key), col("g"), col(rank))
+
+    val langProfile = topK(grams(base.where(col("is_train")), "lang"), "lang", "rl")
+      .select(col("lang").as("pred_lang"), col("g"), col("rl"))
+    val test = base.where(!col("is_train"))
+    val docProfile = topK(grams(test, "doc_id"), "doc_id", "rd")
+    val langs = langProfile.select("pred_lang").distinct()
+
+    docProfile
+      .crossJoin(broadcast(langs))
+      .join(broadcast(langProfile), Seq("pred_lang", "g"), "left")
+      .groupBy("doc_id", "pred_lang")
+      .agg(sum(coalesce(abs(col("rd") - col("rl")), lit(profileSize)))
+        .cast("long").as("oop_dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("oop_dist"), col("pred_lang"))))
+      .where(col("rn") === 1)
+      .join(test.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+      .select("doc_id", "true_lang", "pred_lang", "oop_dist")
   }
 }

@@ -584,7 +584,51 @@ object TextQueries {
                       CAST(CASE WHEN s.host_docs >= 15 THEN 1 ELSE 0 END AS INTEGER) AS kept_domain
                FROM canon c JOIN stats s USING (host)
                ORDER BY c.doc_id""")
-    })
+    }),
+
+    // ---- language identification ---------------------------------------
+    // Cavnar-Trenkle rank-order trigram langid (TextAnalysis.langId):
+    // profiles train on docs with doc_id % 5 <> 0, the held-out fifth is
+    // classified. Integer out-of-place distances; the oracle replays the
+    // full train-then-classify algebra. (On this synthetic corpus the
+    // lang labels are nearly independent of the shared vocabulary, so
+    // accuracy is chance — LangIdSpec demonstrates real discrimination
+    // on separable languages; HERE the hash pins the rank arithmetic.)
+    QuerySpec("q125_langid", { (s, dir) =>
+      graft.operators.TextAnalysis.langId(Td.load(s, dir, "documents"),
+        "doc_id", "text", "lang", trainPred = pmod(col("doc_id"), lit(5)) =!= 0,
+        profileSize = 40)
+        .orderBy("doc_id")
+    },
+      Some("""WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents
+                         WHERE length(text) >= 3),
+              tr AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+              te AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+              trg AS (SELECT lang, substr(t, CAST(i AS INTEGER), 3) AS g
+                      FROM tr, UNNEST(generate_series(1, length(t) - 2)) AS u(i)),
+              tp0 AS (SELECT lang, g, count(*) AS c FROM trg GROUP BY 1, 2),
+              tp AS (SELECT lang, g, r FROM (
+                       SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS r
+                       FROM tp0) WHERE r <= 40),
+              teg AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS g
+                      FROM te, UNNEST(generate_series(1, length(t) - 2)) AS u(i)),
+              dp0 AS (SELECT doc_id, g, count(*) AS c FROM teg GROUP BY 1, 2),
+              dp AS (SELECT doc_id, g, r FROM (
+                       SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS r
+                       FROM dp0) WHERE r <= 40),
+              langs AS (SELECT DISTINCT lang FROM tp),
+              scored AS (SELECT dp.doc_id, l.lang AS pred_lang,
+                                sum(COALESCE(abs(dp.r - tp.r), 40)) AS oop
+                         FROM dp CROSS JOIN langs l
+                         LEFT JOIN tp ON tp.lang = l.lang AND tp.g = dp.g
+                         GROUP BY 1, 2),
+              best AS (SELECT doc_id, pred_lang, oop,
+                              row_number() OVER (PARTITION BY doc_id ORDER BY oop, pred_lang) AS rn
+                       FROM scored)
+              SELECT b.doc_id, te.lang AS true_lang, b.pred_lang,
+                     CAST(b.oop AS BIGINT) AS oop_dist
+              FROM best b JOIN te ON te.doc_id = b.doc_id
+              WHERE b.rn = 1 ORDER BY b.doc_id"""))
   )
 
   /** q118's crawl-style URL, derived deterministically from doc_id /
