@@ -139,4 +139,98 @@ object Similarity {
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select("vec_id", "cell")
   }
+
+  /** Squared-L2 distance between subspace `s` of arrays `a` and `b`
+    * (dims s·subDim+1 .. s·subDim+subDim, 1-based) — the PQ distance
+    * kernel, emitted per dialect so the oracle replays it bit-for-bit:
+    * both engines fold the same 16 squared diffs sequentially in DOUBLE.
+    * `s` must be an in-scope integer column named `s`. */
+  def subL2Expr(d: graft.queries.SqlDialect, a: String, b: String, subDim: Int): String = {
+    def at(arr: String) = d.elem(arr, s"CAST(s * $subDim + j AS INTEGER)")
+    d.dsum(d.map(
+      d.map(d.range("1", subDim.toString), "j",
+        s"(CAST(${at(a)} AS DOUBLE) - CAST(${at(b)} AS DOUBLE))"),
+      "dx", "dx * dx"))
+  }
+
+  /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search") — the memory tier below IVF: each
+    * vector is stored as `m` small codes instead of d floats (64×f32 =
+    * 256 B → m=4 codes = 4 B, a 64× scan compression), queries scan the
+    * CODES with a per-query lookup table, and only a short candidate
+    * list ever touches full-precision vectors again.
+    *
+    *  - CODEBOOK: the `nCodes` lowest-id vectors matching
+    *    `codebookFilter` (the q71 discipline — a deterministic corpus
+    *    sample as quantizer, no iterative training to replay). Codeword
+    *    c of subspace s is dims [s·subDim, (s+1)·subDim) of sample c.
+    *  - ENCODE: code(v, s) = argmin squared-L2 to the codewords in that
+    *    subspace (ties → lowest code). The broadcast-expand collapses
+    *    map-side via `min_by` (the assignCells shape): no exchange
+    *    carries more than |vectors|·m short rows.
+    *  - ADC SCAN: per query, an (m × nCodes) distance LUT over the
+    *    codewords — broadcast everywhere; approx dist(q, v) =
+    *    Σ_s LUT[s, code(v, s)], summed as DECIMAL so the total is
+    *    order-exact. The scan side touches only the integer code table.
+    *  - RE-RANK: the `rerankDepth` best ADC candidates per query (ties →
+    *    vec_id) fetch their full vectors once and re-score with exact
+    *    cosine; output is the final top-`k` in (q_id, vec_id, cosine,
+    *    rank) — the q59 contract.
+    *
+    * At 100 TB the wins compound: the repeated-scan working set shrinks
+    * 64×, the LUT join is a broadcast over integers, and full vectors
+    * are read only for |queries|·rerankDepth rows. */
+  /** The `nCodes` lowest-id vectors matching `codebookFilter`, as
+    * (cw_id 0.., cw_emb) — the deterministic sampled quantizer. The
+    * global row_number window is bounded: it sorts only the filtered
+    * sample, which is nCodes-scale by construction. */
+  def pqCodebook(vectors: DataFrame, codebookFilter: String, nCodes: Int): DataFrame =
+    vectors.where(codebookFilter)
+      .withColumn("cw_id", row_number().over(Window.orderBy("vec_id")) - 1)
+      .where(col("cw_id") < nCodes)
+      .select(col("cw_id"), col("embedding").as("cw_emb"))
+
+  /** PQ encoding: (vec_id, s, code) — subspace s of each vector mapped
+    * to its nearest codeword (squared-L2, ties → lowest code). The
+    * compressed representation a 100 TB corpus persists instead of raw
+    * vectors: m small ints per vector. */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val d = graft.queries.SparkSql
+    vectors
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .crossJoin(broadcast(codebook))
+      .selectExpr("vec_id", "s", "cw_id",
+        s"${subL2Expr(d, "embedding", "cw_emb", subDim)} AS dist")
+      .groupBy("vec_id", "s")
+      .agg(min_by(col("cw_id"), struct(col("dist"), col("cw_id"))).as("code"))
+  }
+
+  def pqTopK(vectors: DataFrame, queries: DataFrame, codebookFilter: String,
+      m: Int, subDim: Int, nCodes: Int, rerankDepth: Int, k: Int): DataFrame = {
+    val d = graft.queries.SparkSql
+    val cb = pqCodebook(vectors, codebookFilter, nCodes)
+    val codes = pqEncode(vectors, cb, m, subDim)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val lut = q.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("q_emb"), col("cw_id"), col("cw_emb"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .selectExpr("q_id", "s", "cw_id",
+        s"CAST(${subL2Expr(d, "q_emb", "cw_emb", subDim)} AS DECIMAL(18,6)) AS ldist")
+
+    val cands = codes
+      .join(broadcast(lut), codes("s") === lut("s") && codes("code") === lut("cw_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("ldist")).as("adc_dist"))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))))
+      .where(col("arank") <= rerankDepth)
+      .select("q_id", "vec_id")
+
+    rank(cands
+      .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .selectExpr("q_id", "vec_id", "cosine_sim(q_emb, embedding) AS cosine"), k)
+  }
 }

@@ -81,7 +81,67 @@ object AnnQueries {
                SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
                FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")
     })
-  ) :+ ivfSpec :+ semanticDedupSpec
+  ) :+ ivfSpec :+ semanticDedupSpec :+ pqSpec
+
+  /** Product-quantization ANN (Similarity.pqTopK) — the memory tier:
+    * vectors scan as m=4 one-byte codes (64× compression of the scan
+    * working set), queries probe with a broadcast (m × nCodes) LUT, and
+    * only the top-20 ADC candidates are re-ranked with exact cosine.
+    * Codebook = the 16 lowest-id vectors with vec_id % 29 = 5 (the q71
+    * sampled-quantizer discipline — nothing iterative to replay). Both
+    * engines fold the same squared-diff kernel sequentially and sum LUT
+    * entries as DECIMAL, so the candidate sets match exactly. */
+  private lazy val pqSpec: QuerySpec = QuerySpec("q126_ann_pq", { (s, dir) =>
+    val e = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+    graft.operators.Similarity.pqTopK(
+      e, e.filter(col("vec_id") < K), "vec_id % 29 = 5",
+      m = 4, subDim = 16, nCodes = 16, rerankDepth = 20, k = 3)
+      .orderBy("q_id", "rank")
+  }, {
+    val d = DuckSql
+    def sub(a: String, b: String) =
+      graft.operators.Similarity.subL2Expr(d, a, b, 16)
+    def cos(a: String, b: String) =
+      s"${d.dsum(d.zipMul(a, b))} / (sqrt(${d.dsum(d.zipMul(a, a))}) * sqrt(${d.dsum(d.zipMul(b, b))}))"
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             cb AS (SELECT cw_id, cw_emb FROM (
+                      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw_id,
+                             embedding AS cw_emb
+                      FROM e WHERE vec_id % 29 = 5) WHERE cw_id < 16),
+             subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+             dists AS (
+               SELECT v.vec_id, sub.s, c.cw_id,
+                      ${sub("v.embedding", "c.cw_emb")} AS dist
+               FROM e v CROSS JOIN subs sub CROSS JOIN cb c),
+             codes AS (
+               SELECT vec_id, s, cw_id AS code FROM (
+                 SELECT vec_id, s, cw_id,
+                        row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cw_id) AS rn
+                 FROM dists) WHERE rn = 1),
+             q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < $K),
+             lut AS (
+               SELECT q.q_id, sub.s, c.cw_id,
+                      CAST(${sub("q.q_emb", "c.cw_emb")} AS DECIMAL(18,6)) AS ldist
+               FROM q CROSS JOIN subs sub CROSS JOIN cb c),
+             adc AS (
+               SELECT l.q_id, c.vec_id, sum(l.ldist) AS adc_dist
+               FROM codes c JOIN lut l ON l.s = c.s AND l.cw_id = c.code
+               WHERE c.vec_id <> l.q_id GROUP BY 1, 2),
+             cands AS (
+               SELECT q_id, vec_id FROM (
+                 SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS arank
+                 FROM adc) WHERE arank <= 20),
+             scored AS (
+               SELECT ca.q_id, ca.vec_id, ${cos("q.q_emb", "v.embedding")} AS cosine
+               FROM cands ca JOIN q ON q.q_id = ca.q_id JOIN e v ON v.vec_id = ca.vec_id),
+             ranked AS (
+               SELECT q_id, vec_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+               FROM scored)
+             SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
+             FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")
+  })
 
   /** SemDeDup (Abbas et al. 2023): dedup by MEANING, not wording —
     * cluster embeddings with a coarse quantizer, compare only within a
