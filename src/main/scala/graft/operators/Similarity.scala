@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** The engine's similarity-search library — the reusable API behind
   * parity queries q59/q60/q71. Inputs: a vector table and a query-vector
@@ -209,7 +210,16 @@ object Similarity {
   def pqTopK(vectors: DataFrame, queries: DataFrame, codebookFilter: String,
       m: Int, subDim: Int, nCodes: Int, rerankDepth: Int, k: Int): DataFrame = {
     val d = graft.queries.SparkSql
-    val cb = pqCodebook(vectors, codebookFilter, nCodes)
+    // The codebook feeds BOTH the encode branch and the LUT branch;
+    // Catalyst has no cross-branch CSE, so as a plan it would scan and
+    // window twice. It is nCodes rows by construction — collect once and
+    // reuse as a local relation (the J2 collect→literal discipline).
+    val spark = vectors.sparkSession
+    val cb = spark.createDataFrame(
+      java.util.Arrays.asList(pqCodebook(vectors, codebookFilter, nCodes).collect(): _*),
+      StructType(Seq(
+        StructField("cw_id", IntegerType, nullable = false),
+        StructField("cw_emb", ArrayType(FloatType), nullable = true))))
     val codes = pqEncode(vectors, cb, m, subDim)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val lut = q.crossJoin(broadcast(cb))

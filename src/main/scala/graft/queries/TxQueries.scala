@@ -98,5 +98,57 @@ object TxQueries {
                      CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                      max(l_shipdate) AS last_ship
               FROM lineitem GROUP BY 1 ORDER BY l_linenumber"""))
+  ,
+
+    // ---- exactly-once streaming sink ------------------------------------
+    // Four txn-tracked batches with batch 1 DELIVERED TWICE (the crash-
+    // replay a foreachBatch sink must absorb): if the txn high-water mark
+    // failed to skip the redelivery, batch 1's rows double and the hash
+    // diverges from the raw table.
+    QuerySpec("q127_txlog_stream", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q127").toString + "/t"
+      val li = Td.load(s, dir, "lineitem")
+      def batch(b: Int) = li.where(pmod(col("l_orderkey"), lit(4)) === b)
+      Seq(0, 1, 1, 2, 3).foreach { b => // batch 1 redelivered
+        TxLog.appendBatch(s, root, batch(b), appId = "q127", batchId = b.toLong)
+      }
+      TxLog.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- schema evolution -----------------------------------------------
+    // Narrow append (even order keys, 3 columns), then a schema-evolving
+    // append of the odd keys carrying l_quantity: the merged read serves
+    // the pre-evolution files with NULL quantity, which the aggregate
+    // makes visible (null count + quantity sum over odd keys only).
+    QuerySpec("q128_txlog_evolve", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q128").toString + "/t"
+      val li = Td.load(s, dir, "lineitem")
+      TxLog.append(s, root,
+        li.where(pmod(col("l_orderkey"), lit(2)) === 0)
+          .select("l_orderkey", "l_linenumber", "l_returnflag"))
+      TxLog.appendEvolve(s, root,
+        li.where(pmod(col("l_orderkey"), lit(2)) === 1)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"))
+      TxLog.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("n_null_qty"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_qty,
+                     CAST(sum(CASE WHEN l_orderkey % 2 = 1
+                                   THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -57,6 +57,14 @@ import org.json4s.jackson.JsonMethods.{compact, parse, render}
   * OPTIMIZE rewrites file layout without changing table contents; old
   * versions remain readable until [[vacuum]] reclaims their files.
   *
+  * STREAMING — [[appendBatch]] records the Delta `txn` action
+  * (appId, batchId) in the commit, making the table an exactly-once
+  * foreachBatch sink: redelivered batches are skipped by the app's
+  * high-water mark, re-checked inside the race-retry loop so zombie
+  * duplicates cannot land. [[appendEvolve]] widens the table schema in
+  * a commit (new columns NULL for older files), under the overwrite
+  * conflict rule — schema is metadata, so it never rebases.
+  *
   * SCALE — log replay is O(commits since the last checkpoint): every
   * `checkpointInterval` commits the full live file list is written as a
   * `.ckpt.json`, so a 10M-commit table replays ≤ N commit files, not
@@ -93,8 +101,12 @@ object TxLog {
     * table root (the table is relocatable, as in Delta/Iceberg). */
   final case class AddFile(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats])
 
-  /** The reconstructed live state of the table at `version`. */
-  final case class Snapshot(version: Long, schemaDdl: String, files: Seq[AddFile]) {
+  /** The reconstructed live state of the table at `version`. `txns` maps
+    * each streaming writer's app id to the highest batch id it has
+    * committed — the Delta `txn`-action idempotence state that makes
+    * [[appendBatch]] an exactly-once streaming sink. */
+  final case class Snapshot(version: Long, schemaDdl: String, files: Seq[AddFile],
+      txns: Map[String, Long] = Map.empty) {
     def rows: Long = files.map(_.rows).sum
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
@@ -192,11 +204,22 @@ object TxLog {
     val fromCkpt = ckpts.filter(_ <= target).maxOption
     var schemaDdl: Option[String] = None
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    val txns = scala.collection.mutable.Map[String, Long]()
 
+    def mergeTxn(j: JValue): Unit = (j \ "txn") match {
+      case JObject(_) =>
+        val app = jStr(j \ "txn" \ "app"); val b = jLong(j \ "txn" \ "batch")
+        txns(app) = math.max(txns.getOrElse(app, Long.MinValue), b)
+      case _ =>
+    }
     fromCkpt.foreach { cv =>
       val j = parse(Files.readString(ckptFile(dir, cv)))
       schemaDdl = Some(jStr(j \ "schema"))
       parseAdds(j \ "files").foreach(a => live(a.path) = a)
+      (j \ "txns") match {
+        case JObject(fields) => fields.foreach { case (app, b) => txns(app) = jLong(b) }
+        case _ =>
+      }
     }
     val replayFrom = fromCkpt.map(_ + 1).getOrElse(0L)
     (replayFrom to target).foreach { v =>
@@ -207,9 +230,10 @@ object TxLog {
         case JArray(rs) => rs.foreach(r => live.remove(jStr(r)))
         case _ =>
       }
+      mergeTxn(j)
     }
     Snapshot(target, schemaDdl.getOrElse(sys.error(s"$dir: no schema in log")),
-      live.values.toSeq)
+      live.values.toSeq, txns.toMap)
   }
 
   // ---- commit protocol ---------------------------------------------------
@@ -236,7 +260,7 @@ object TxLog {
     if (v > 0 && v % checkpointInterval == 0) {
       val snap = snapshot(dir, Some(v))
       val j: JObject = ("version" -> v) ~ ("schema" -> snap.schemaDdl) ~
-        ("files" -> snap.files.map(addJson))
+        ("files" -> snap.files.map(addJson)) ~ ("txns" -> snap.txns)
       val tmp = logDir(dir).resolve(s".tmp-ckpt-${UUID.randomUUID().toString.take(8)}")
       Files.write(tmp, compact(render(j)).getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, ckptFile(dir, v), StandardCopyOption.ATOMIC_MOVE,
@@ -244,10 +268,14 @@ object TxLog {
     }
 
   private def commitJson(v: Long, op: String, ts: Long, adds: Seq[AddFile],
-      removes: Seq[String], schemaDdl: Option[String]): String = {
-    val j: JObject = ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
+      removes: Seq[String], schemaDdl: Option[String],
+      txn: Option[(String, Long)] = None): String = {
+    val base: JObject = ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
       ("schema" -> schemaDdl) ~ ("adds" -> adds.map(addJson)) ~
       ("removes" -> removes)
+    val j = txn.fold(base) { case (app, b) =>
+      base ~ ("txn" -> (("app" -> app) ~ ("batch" -> b)))
+    }
     compact(render(j))
   }
 
@@ -354,6 +382,87 @@ object TxLog {
     deleteStaged(dir, sub)
     throw new ConcurrentWriteException(
       s"append to $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
+  /** Idempotent streaming append — the Delta `txn`-action protocol that
+    * turns the table into an EXACTLY-ONCE foreachBatch sink: the commit
+    * records (appId, batchId), and a replayed batch (batchId at or below
+    * the app's recorded high-water mark) is SKIPPED without staging
+    * anything. The check re-runs inside the race-retry loop, so two
+    * zombie attempts of the same batch cannot both land: the loser's
+    * rebase re-reads the log, sees the winner's txn, and backs off.
+    * Returns Some(version) when this call committed, None when the batch
+    * was already in the table. */
+  def appendBatch(spark: SparkSession, dir: String, df: DataFrame,
+      appId: String, batchId: Long): Option[Long] = {
+    Files.createDirectories(Paths.get(dir))
+    def alreadyIn: Boolean = latestVersion(dir) >= 0 &&
+      snapshot(dir).txns.get(appId).exists(_ >= batchId)
+    if (alreadyIn) return None
+    val (sub, adds) = stage(spark, dir, df)
+    val ddl = df.schema.toDDL
+    var attempt = latestVersion(dir) + 1
+    var tries = 0
+    while (tries < maxCommitAttempts) {
+      if (alreadyIn) { deleteStaged(dir, sub); return None }
+      if (attempt > 0) requireSchema(snapshot(dir).schemaDdl, df)
+      val content = commitJson(attempt, "streamingAppend", System.currentTimeMillis(),
+        adds, Nil, if (attempt == 0L) Some(ddl) else None, Some((appId, batchId)))
+      if (tryPublish(dir, attempt, content)) {
+        maybeCheckpoint(dir, attempt)
+        return Some(attempt)
+      }
+      tries += 1
+      attempt = latestVersion(dir) + 1
+    }
+    deleteStaged(dir, sub)
+    throw new ConcurrentWriteException(
+      s"appendBatch to $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
+  /** Append with SCHEMA EVOLUTION: columns the table already has must
+    * match by type, NEW columns are adopted into the table schema (the
+    * commit carries the merged DDL; snapshots replay any commit's schema,
+    * so readers past this version see the wide schema and parquet fills
+    * the new columns with NULL for pre-evolution files). A schema change
+    * is table metadata, so it follows the overwrite conflict rule: any
+    * concurrent commit aborts it — no rebase. */
+  def appendEvolve(spark: SparkSession, dir: String, df: DataFrame): Long =
+    appendEvolveAt(spark, dir, df, latestVersion(dir))
+
+  /** [[appendEvolve]] with the read version explicit — the race-test seam
+    * (same pattern as [[overwriteAt]]). */
+  private[graft] def appendEvolveAt(spark: SparkSession, dir: String, df: DataFrame,
+      readVersion: Long): Long = {
+    Files.createDirectories(Paths.get(dir))
+    if (readVersion < 0) return append(spark, dir, df)
+    val table = StructType.fromDDL(snapshot(dir, Some(readVersion)).schemaDdl)
+    val known = table.fields.map(f => f.name -> f.dataType).toMap
+    df.schema.fields.foreach { f =>
+      known.get(f.name).foreach { t =>
+        if (t != f.dataType)
+          throw new SchemaMismatchException(
+            s"column ${f.name}: table has $t, incoming has ${f.dataType}")
+      }
+    }
+    val newFields = df.schema.fields.filterNot(f => known.contains(f.name))
+    val merged = StructType(table.fields ++ newFields)
+    // Stage in the TABLE's column layout: missing table columns as NULL,
+    // so every staged file is schema-complete for the merged schema.
+    val aligned = df.select(merged.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val (sub, adds) = stage(spark, dir, aligned)
+    val v = readVersion + 1
+    val content = commitJson(v, "appendEvolve", System.currentTimeMillis(),
+      adds, Nil, Some(merged.toDDL))
+    if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
+    else {
+      deleteStaged(dir, sub)
+      throw new ConcurrentWriteException(
+        s"schema-evolving append to $dir conflicted: version $v was committed concurrently")
+    }
   }
 
   /** Replace the table's contents with `df` in one commit. A logical

@@ -248,4 +248,38 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("q126: PQ encode collapses map-side (min_by agg); every data-side window keyed") {
+    // The code assignment must be the assignCells discipline: a min_by
+    // aggregate whose partial mode collapses the N×nCodes broadcast
+    // expansion before any exchange — never a row_number window over it.
+    // Windows are allowed only per-query (candidate cut + final rank) and
+    // over the nCodes-scale codebook sample (the bounded row_number).
+    val df = SparkEntry.queries("q126_ann_pq")(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.toString.contains("min_by"), plan.toString.take(1200))
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString.take(1200))
+    // The codebook is collected once as a local relation (bounded nCodes
+    // rows), so the DATA plan has no unpartitioned window at all: the
+    // candidate cut and final rank are keyed on q_id.
+    plan.foreach {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        assert(w.partitionSpec.nonEmpty, "unpartitioned Window in q126:\n" + w)
+      case _ =>
+    }
+  }
+
+  test("langId: the profile lookup is broadcast; per-doc windows keyed") {
+    val df = SparkEntry.queries("q125_langid")(spark, sf)
+    val plan = finalPlanOf("q125_langid")
+    // The (langs × k)-row profile must ride broadcasts; nothing
+    // corpus-global may shuffle-join.
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1200))
+    df.queryExecution.sparkPlan.foreach {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        assert(w.partitionSpec.nonEmpty, "unpartitioned Window in q125:\n" + w)
+      case _ =>
+    }
+  }
 }

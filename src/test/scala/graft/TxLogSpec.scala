@@ -221,6 +221,97 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(out.schema.fieldNames.toSeq === Seq("id", "s"))
   }
 
+  test("readRange plan: the scan lists only survivor files, predicate pushed") {
+    val dir = tmp()
+    import spark.implicits._
+    val data = (0 until 4000).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    TxLog.append(spark, dir, data.repartition(8))
+    TxLog.optimize(spark, dir, targetBytes = 1L, sortBy = Seq("id"))
+    val snap = TxLog.snapshot(dir)
+    val (surv, _) = TxLog.prunedFiles(snap, "id", "100", "199")
+    val qe = TxLog.readRange(spark, dir, "id", "100", "199").queryExecution
+    val scan = qe.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined, qe.sparkPlan.toString.take(800))
+    // The file list the scan schedules IS the pruned survivor set — the
+    // skipped files never reach Spark at all.
+    assert(scan.get.relation.location.inputFiles.length === surv.size)
+    assert(surv.size < snap.files.size)
+    // And inside the survivors, the range predicate still pushes down to
+    // parquet row groups.
+    val pushed = scan.get.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(id,100") &&
+      pushed.contains("LessThanOrEqual(id,199"), pushed)
+  }
+
+  test("appendBatch: a replayed (app, batch) is skipped, not duplicated") {
+    val dir = tmp()
+    assert(TxLog.appendBatch(spark, dir, df(0 until 4), "appA", 0L) === Some(0L))
+    // foreachBatch redelivery after a crash: same app, same batch.
+    assert(TxLog.appendBatch(spark, dir, df(0 until 4), "appA", 0L) === None)
+    assert(TxLog.snapshot(dir).rows === 4L)
+    // The next batch commits; an unrelated app's batch 0 also commits.
+    assert(TxLog.appendBatch(spark, dir, df(4 until 6), "appA", 1L) === Some(1L))
+    assert(TxLog.appendBatch(spark, dir, df(6 until 7), "appB", 0L) === Some(2L))
+    assert(TxLog.snapshot(dir).rows === 7L)
+    assert(TxLog.snapshot(dir).txns === Map("appA" -> 1L, "appB" -> 0L))
+    // A LATE replay of an old batch is still skipped (high-water mark).
+    assert(TxLog.appendBatch(spark, dir, df(0 until 4), "appA", 0L) === None)
+  }
+
+  test("appendBatch txn state survives checkpointed replay") {
+    val dir = tmp()
+    (0 until 12).foreach(b =>
+      assert(TxLog.appendBatch(spark, dir, df(b * 2 until b * 2 + 2), "s", b.toLong).isDefined))
+    assert(Files.exists(Paths.get(dir, "_txlog", f"${10L}%020d.ckpt.json")))
+    assert(TxLog.snapshot(dir).txns === Map("s" -> 11L))
+    assert(TxLog.appendBatch(spark, dir, df(0 until 2), "s", 11L) === None)
+    // The checkpoint carries the txn map: with it deleted (pure cache)
+    // the full replay agrees.
+    Files.delete(Paths.get(dir, "_txlog", f"${10L}%020d.ckpt.json"))
+    assert(TxLog.snapshot(dir).txns === Map("s" -> 11L))
+  }
+
+  test("appendEvolve widens the schema; old files read as NULL") {
+    val dir = tmp()
+    import spark.implicits._
+    TxLog.append(spark, dir, df(0 until 3))
+    val wide = Seq((100L, "w", 7.5)).toDF("id", "s", "score")
+    TxLog.appendEvolve(spark, dir, wide)
+    val out = TxLog.read(spark, dir)
+    assert(out.schema.fieldNames.toSeq === Seq("id", "s", "score"))
+    assert(out.count() === 4L)
+    assert(out.where(col("score").isNull).count() === 3L) // pre-evolution rows
+    assert(out.where(col("id") === 100L).select("score").head().getDouble(0) === 7.5)
+    // Time travel to the narrow version keeps the narrow schema.
+    assert(TxLog.read(spark, dir, Some(0L)).schema.fieldNames.toSeq === Seq("id", "s"))
+    // Existing-column type conflicts still fail.
+    val bad = Seq((1L, 2L)).toDF("id", "s")
+    intercept[TxLog.SchemaMismatchException](TxLog.appendEvolve(spark, dir, bad))
+    // Plain appends must now match the WIDE schema exactly.
+    intercept[TxLog.SchemaMismatchException](TxLog.append(spark, dir, df(9 until 10)))
+    TxLog.append(spark, dir, wide)
+    assert(TxLog.snapshot(dir).rows === 5L)
+  }
+
+  test("appendEvolve conflicts with any concurrent commit") {
+    val dir = tmp()
+    import spark.implicits._
+    TxLog.append(spark, dir, df(0 until 3))
+    // Deterministic race: evolve read version 0 as head, then a foreign
+    // commit claims version 1 before it publishes (the overwriteAt seam).
+    val foreign = """{"version":1,"op":"append","ts":0,"adds":[],"removes":[]}"""
+    Files.writeString(Paths.get(dir, "_txlog", f"${1L}%020d.json"), foreign)
+    val wide = Seq((1L, "x", 1.0)).toDF("id", "s", "score")
+    intercept[TxLog.ConcurrentWriteException](
+      TxLog.appendEvolveAt(spark, dir, wide, readVersion = 0L))
+    val staged = Files.list(Paths.get(dir)).filter(_.getFileName.toString.startsWith("d-")).count()
+    assert(staged === 1) // only v0's staging directory remains
+    // Schema unchanged by the failed evolution.
+    assert(TxLog.snapshot(dir).schema.fieldNames.toSeq === Seq("id", "s"))
+  }
+
   test("log garbage tolerance: stray temp files in _txlog are ignored") {
     val dir = tmp()
     TxLog.append(spark, dir, df(0 until 3))
