@@ -498,13 +498,22 @@ object TxLog {
   /** Compact the live files to ~`targetBytes` outputs; with `sortBy`,
     * range-repartition on those columns so each output file owns a
     * disjoint key range — the clustering that makes [[readRange]]'s
-    * stats pruning sharp. Contents are unchanged (old versions stay
-    * readable until [[vacuum]]). Rebases over concurrent APPENDS (its
-    * inputs are untouched); a concurrent commit that removed any input
-    * file aborts with [[ConcurrentWriteException]]. Returns
-    * (filesBefore, filesAfter). */
+    * stats pruning sharp. With `zorderBy` (exactly two numeric columns),
+    * files are laid out along the Morton curve instead
+    * ([[graft.operators.ZOrder]]): each file covers a small
+    * hyper-rectangle of BOTH columns' value space, so range predicates
+    * on EITHER column prune — a linear sort only ever prunes its
+    * leading column. Contents are unchanged (old versions stay readable
+    * until [[vacuum]]). Rebases over concurrent APPENDS (its inputs are
+    * untouched); a concurrent commit that removed any input file aborts
+    * with [[ConcurrentWriteException]]. Returns (filesBefore,
+    * filesAfter). */
   def optimize(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20,
-      sortBy: Seq[String] = Nil): (Int, Int) = {
+      sortBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): (Int, Int) = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "optimize: sortBy and zorderBy are mutually exclusive")
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      s"optimize: zorderBy takes exactly two columns, got $zorderBy")
     val snap = snapshot(dir)
     if (snap.files.size <= 1) return (snap.files.size, snap.files.size)
     val totalBytes = snap.files.map(_.bytes).sum
@@ -514,7 +523,9 @@ object TxLog {
     val src = spark.read.schema(snap.schema)
       .parquet(snap.files.map(f => Paths.get(dir, f.path).toString): _*)
     val packed =
-      if (sortBy.nonEmpty)
+      if (zorderBy.nonEmpty)
+        graft.operators.ZOrder.layout(src, zorderBy.head, zorderBy(1), nOut)
+      else if (sortBy.nonEmpty)
         src.repartitionByRange(nOut, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       else src.coalesce(nOut)
@@ -605,18 +616,32 @@ object TxLog {
     * clustered on `colName`, a selective range touches O(selectivity)
     * files instead of all of them. */
   def readRange(spark: SparkSession, dir: String, colName: String, lo: String,
-      hi: String, versionAsOf: Option[Long] = None): DataFrame = {
+      hi: String, versionAsOf: Option[Long] = None): DataFrame =
+    readRanges(spark, dir, Seq((colName, lo, hi)), versionAsOf)
+
+  /** Conjunctive multi-column range scan: a file is read only if its
+    * stats intersect EVERY (column, lo, hi) bound. On a z-ordered layout
+    * ([[optimize]] `zorderBy`) each bound prunes independently — the box
+    * query touches only the files whose hyper-rectangle intersects the
+    * box. */
+  def readRanges(spark: SparkSession, dir: String,
+      bounds: Seq[(String, String, String)],
+      versionAsOf: Option[Long] = None): DataFrame = {
+    require(bounds.nonEmpty, "readRanges: at least one (column, lo, hi) bound")
     val snap = snapshot(dir, versionAsOf)
-    val field = snap.schema.fields.find(_.name == colName).getOrElse(
-      throw new IllegalArgumentException(s"$colName not in table schema"))
-    val (survivors, _) = prunedFiles(snap, colName, lo, hi)
-    val pred = col(colName) >= lit(lo).cast(field.dataType) &&
-      col(colName) <= lit(hi).cast(field.dataType)
+    val preds = bounds.map { case (c, lo, hi) =>
+      val field = snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"$c not in table schema"))
+      col(c) >= lit(lo).cast(field.dataType) && col(c) <= lit(hi).cast(field.dataType)
+    }
+    val survivors = bounds.foldLeft(snap.files) { case (fs, (c, lo, hi)) =>
+      prunedFiles(snap.copy(files = fs), c, lo, hi)._1
+    }
     if (survivors.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     else
       spark.read.schema(snap.schema)
         .parquet(survivors.map(f => Paths.get(dir, f.path).toString): _*)
-        .where(pred)
+        .where(preds.reduce(_ && _))
   }
 }

@@ -245,6 +245,38 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
       pushed.contains("LessThanOrEqual(id,199"), pushed)
   }
 
+  test("z-ordered optimize prunes on BOTH columns; linear sort only on its leading one") {
+    import spark.implicits._
+    // 64×64 uniform grid over (x, y): every (x, y) box is selective.
+    val grid = (0 until 4096).map(i => (i.toLong, (i / 64).toLong, (i % 64).toLong))
+      .toDF("id", "x", "y")
+
+    def build(zorder: Boolean): String = {
+      val dir = tmp()
+      TxLog.append(spark, dir, grid.repartition(8))
+      if (zorder) TxLog.optimize(spark, dir, targetBytes = 1L, zorderBy = Seq("x", "y"))
+      else TxLog.optimize(spark, dir, targetBytes = 1L, sortBy = Seq("x", "y"))
+      dir
+    }
+    def survivors(dir: String, c: String): Int =
+      TxLog.prunedFiles(TxLog.snapshot(dir), c, "8", "15")._1.size
+
+    val zd = build(zorder = true); val ld = build(zorder = false)
+    val nZ = TxLog.snapshot(zd).files.size; val nL = TxLog.snapshot(ld).files.size
+    assert(nZ >= 4 && nL >= 4)
+    // Leading column: both layouts prune.
+    assert(survivors(ld, "x") < nL)
+    assert(survivors(zd, "x") < nZ)
+    // Trailing column: the linear layout reads EVERYTHING, z-order prunes.
+    assert(survivors(ld, "y") === nL)
+    assert(survivors(zd, "y") < nZ)
+    // Box query via readRanges: correct rows from the pruned scan.
+    val box = TxLog.readRanges(spark, zd, Seq(("x", "8", "15"), ("y", "8", "15")))
+    assert(box.count() === 64L) // 8 x-values × 8 y-values
+    assert(box.agg(min("x"), max("x"), min("y"), max("y")).head().toSeq ===
+      Seq(8L, 15L, 8L, 15L))
+  }
+
   test("appendBatch: a replayed (app, batch) is skipped, not duplicated") {
     val dir = tmp()
     assert(TxLog.appendBatch(spark, dir, df(0 until 4), "appA", 0L) === Some(0L))
