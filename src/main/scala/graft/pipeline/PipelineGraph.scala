@@ -116,9 +116,20 @@ object PipelineGraph {
     * gold fan-out is 8 independent jobs off silver, SURVEY.md §3.1 —
     * DLT schedules them in parallel and so does this runner). Spark job
     * submission is thread-safe; each node completes its own sink write +
-    * metric collection before dependents start. */
+    * metric collection before dependents start.
+    *
+    * `transactionalSinks`: route every table sink through the
+    * [[graft.sources.TxLog]] table format instead of plain parquet
+    * overwrite — what the reference gets from Delta-backed managed
+    * tables (diabetes_etl_pipeline.py:49-52): each run commits a new
+    * version (full refresh = transactional overwrite; partitioned nodes
+    * = replaceWhereIn on the partition column), so a crashed run never
+    * leaves a half-written table, every previous run stays readable via
+    * time travel, and concurrent readers are snapshot-isolated.
+    * Single-column partitionBy only in this mode. */
   def run(spark: SparkSession, defs: Seq[TableDef], workDir: String,
-      sinkPartitions: Option[Int] = None, parallelism: Int = 4): PipelineResult = {
+      sinkPartitions: Option[Int] = None, parallelism: Int = 4,
+      transactionalSinks: Boolean = false): PipelineResult = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
 
@@ -158,17 +169,27 @@ object PipelineGraph {
           val filtered = dropPreds.foldLeft(observed)((df, e) => df.filter(expr(e.predicate)))
           val sink = s"$workDir/${t.name}"
           val sized = sinkPartitions.map(filtered.coalesce).getOrElse(filtered)
-          val writer = sized.write.mode("overwrite")
-          if (t.partitionBy.nonEmpty)
-            writer.option("partitionOverwriteMode", "dynamic")
-              .partitionBy(t.partitionBy: _*).parquet(sink)
-          else writer.parquet(sink)
+          if (transactionalSinks) {
+            require(t.partitionBy.size <= 1,
+              s"${t.name}: transactional sinks support at most one partition column")
+            if (t.partitionBy.isEmpty)
+              graft.sources.TxLog.overwrite(spark, sink, sized): Unit
+            else
+              graft.sources.TxLog.replaceWhereIn(spark, sink, sized, t.partitionBy.head): Unit
+          } else {
+            val writer = sized.write.mode("overwrite")
+            if (t.partitionBy.nonEmpty)
+              writer.option("partitionOverwriteMode", "dynamic")
+                .partitionBy(t.partitionBy: _*).parquet(sink)
+            else writer.parquet(sink)
+          }
           // Partitioned re-read pins the BUILD's schema: otherwise partition
           // columns come back type-inferred (a string day becomes DATE) and
           // relocated to the end — downstream nodes would see a different
           // schema than this node produced.
           def reread() =
-            if (t.partitionBy.isEmpty) spark.read.parquet(sink)
+            if (transactionalSinks) graft.sources.TxLog.read(spark, sink)
+            else if (t.partitionBy.isEmpty) spark.read.parquet(sink)
             else spark.read.schema(filtered.schema).parquet(sink)
           val got = obs.get
           val total = got("rows").asInstanceOf[Long]

@@ -495,6 +495,96 @@ object TxLog {
     }
   }
 
+  /** Dynamic partition overwrite as a TRANSACTION (Delta's replaceWhere
+    * for a value set): every table row whose `colName` equals one of
+    * `df`'s distinct `colName` values is replaced by `df`, atomically.
+    * Copy-on-write at file granularity:
+    *  - live files WHOLLY inside the replaced set (stats min == max ==
+    *    a replaced value) are removed by metadata only;
+    *  - files straddling the boundary (or lacking stats) are REWRITTEN
+    *    without their replaced rows — the only data read, proportional
+    *    to the straddle, not the table;
+    *  - untouched files are never opened.
+    * One commit carries all removes + rewritten remainders + the new
+    * data. Non-blind write → the overwrite conflict rule (no rebase).
+    * NULL partition values are rejected. Returns the committed version. */
+  def replaceWhereIn(spark: SparkSession, dir: String, df: DataFrame,
+      colName: String): Long =
+    replaceWhereInAt(spark, dir, df, colName, latestVersion(dir))
+
+  private[graft] def replaceWhereInAt(spark: SparkSession, dir: String,
+      df: DataFrame, colName: String, readVersion: Long): Long = {
+    Files.createDirectories(Paths.get(dir))
+    if (readVersion < 0) return append(spark, dir, df)
+    val snap = snapshot(dir, Some(readVersion))
+    requireSchema(snap.schemaDdl, df)
+    val field = snap.schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"$colName not in table schema"))
+
+    // The replaced value set, in the same cast-to-string canon as the
+    // file stats. Bounded: these are partition-like values (days, shards).
+    val valRows = df.select(col(colName).cast(StringType)).distinct().collect()
+    require(valRows.forall(!_.isNullAt(0)),
+      s"replaceWhereIn: NULL $colName values are not supported")
+    val values = valRows.map(_.getString(0)).toSeq
+    if (values.isEmpty) return appendAfter(spark, dir, df, readVersion)
+
+    def cmp(typ: String, a: String, b: String): Int =
+      if (typ == "string" || typ == "date" || typ.startsWith("timestamp")) a.compareTo(b)
+      else BigDecimal(a).compare(BigDecimal(b))
+    def classify(f: AddFile): Int = f.stats.get(colName) match { // 0 untouched, 1 full, 2 partial
+      case Some(cs) => (cs.min, cs.max) match {
+        case (Some(mn), Some(mx)) =>
+          val hits = values.exists(v => cmp(cs.typ, mn, v) <= 0 && cmp(cs.typ, mx, v) >= 0)
+          if (!hits) 0 // NULL rows never match a value — they don't untouch a file
+          else if (mn == mx && values.contains(mn) && cs.nulls == 0) 1
+          else 2
+        case _ => if (cs.nulls == f.rows) 0 else 2 // all-NULL file: nothing to replace
+      }
+      case None => 2 // no stats for the column: conservative rewrite
+    }
+    val full = snap.files.filter(classify(_) == 1)
+    val partial = snap.files.filter(classify(_) == 2)
+
+    val (remainderSub, remainderAdds) =
+      if (partial.isEmpty) (None, Nil)
+      else {
+        val keep = spark.read.schema(snap.schema)
+          .parquet(partial.map(f => Paths.get(dir, f.path).toString): _*)
+          .where(!col(colName).isin(values: _*) || col(colName).isNull)
+        val (sub, adds) = stage(spark, dir, keep)
+        (Some(sub), adds)
+      }
+    val (newSub, newAdds) = stage(spark, dir, df)
+    val removes = (full ++ partial).map(_.path)
+    val v = readVersion + 1
+    val content = commitJson(v, "replaceWhere", System.currentTimeMillis(),
+      remainderAdds ++ newAdds, removes, None)
+    if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
+    else {
+      deleteStaged(dir, newSub)
+      remainderSub.foreach(deleteStaged(dir, _))
+      throw new ConcurrentWriteException(
+        s"replaceWhereIn on $dir conflicted: version $v was committed concurrently")
+    }
+  }
+
+  /** Append pinned at a read version (replaceWhereIn's empty-value-set
+    * degenerate case keeps the overwrite-class conflict semantics). */
+  private def appendAfter(spark: SparkSession, dir: String, df: DataFrame,
+      readVersion: Long): Long = {
+    requireSchema(snapshot(dir, Some(readVersion)).schemaDdl, df)
+    val (sub, adds) = stage(spark, dir, df)
+    val v = readVersion + 1
+    if (tryPublish(dir, v, commitJson(v, "append", System.currentTimeMillis(), adds, Nil, None)))
+      { maybeCheckpoint(dir, v); v }
+    else {
+      deleteStaged(dir, sub)
+      throw new ConcurrentWriteException(
+        s"append on $dir conflicted: version $v was committed concurrently")
+    }
+  }
+
   /** Compact the live files to ~`targetBytes` outputs; with `sortBy`,
     * range-repartition on those columns so each output file owns a
     * disjoint key range — the clustering that makes [[readRange]]'s
@@ -576,6 +666,62 @@ object TxLog {
   }
 
   // ---- readers -----------------------------------------------------------
+
+  /** Commit history as a DataFrame (the DESCRIBE HISTORY surface):
+    * one row per commit — version, operation, timestamp, files/rows
+    * added and files removed, and the streaming txn if present. Driver
+    * reads O(commits) small JSON files; emitted as a local relation. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (commits, _) = listLog(dir)
+    commits.sorted.map { v =>
+      val j = parse(Files.readString(versionFile(dir, v)))
+      val adds = parseAdds(j \ "adds")
+      val removes = (j \ "removes") match {
+        case JArray(rs) => rs.size
+        case _ => 0
+      }
+      val (app, batch) = (j \ "txn") match {
+        case JObject(_) => (jStrOpt(j \ "txn" \ "app"),
+          Some(jLong(j \ "txn" \ "batch")))
+        case _ => (None, None)
+      }
+      (v, jStr(j \ "op"), jLong(j \ "ts"), adds.size.toLong,
+        adds.map(_.rows).sum, removes.toLong, app, batch)
+    }.toDF("version", "op", "ts_millis", "n_files_added", "rows_added",
+      "n_files_removed", "txn_app", "txn_batch")
+  }
+
+  /** Rows INSERTED after `fromVersionExclusive`, each tagged with
+    * `_commit_version` — the change-feed-lite surface an incremental
+    * consumer polls (`readChanges(dir, lastSeen)` → process → remember
+    * the new latest). Insert-class commits (append / streamingAppend /
+    * appendEvolve / overwrite) contribute their added files' rows;
+    * OPTIMIZE commits contribute nothing — their adds are rewrites of
+    * rows an earlier version already delivered. Deletions are not
+    * modeled (this table format has no row-level delete op). */
+  def readChanges(spark: SparkSession, dir: String,
+      fromVersionExclusive: Long): DataFrame = {
+    val (commits, _) = listLog(dir)
+    if (commits.isEmpty)
+      throw new VersionNotFoundException(s"$dir has no committed versions")
+    val latestSchema = snapshot(dir).schema
+    val out = latestSchema.add(StructField("_commit_version", LongType, nullable = false))
+    val groups = commits.sorted.filter(_ > fromVersionExclusive).flatMap { v =>
+      val j = parse(Files.readString(versionFile(dir, v)))
+      val adds = parseAdds(j \ "adds")
+      if (jStr(j \ "op") == "optimize" || adds.isEmpty) None
+      else Some((v, adds.map(a => Paths.get(dir, a.path).toString)))
+    }
+    groups
+      .map { case (v, paths) =>
+        spark.read.schema(latestSchema).parquet(paths: _*)
+          .withColumn("_commit_version", lit(v))
+      }
+      .reduceOption(_.unionAll(_))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out))
+  }
 
   /** Read the table at `versionAsOf` (default: latest). File list comes
     * from the LOG (no directory listing); the schema is pinned from the

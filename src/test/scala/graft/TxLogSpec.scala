@@ -344,6 +344,79 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.snapshot(dir).schema.fieldNames.toSeq === Seq("id", "s"))
   }
 
+  test("replaceWhereIn: full-file removes, straddle rewrites, untouched files unopened") {
+    val dir = tmp()
+    import spark.implicits._
+    def part(day: Long, ids: Range) = ids.map(i => (i.toLong, day, s"v$i"))
+      .toDF("id", "day", "s")
+    // day-clustered files: day 1, day 2, day 3 each a single file...
+    TxLog.append(spark, dir, part(1L, 0 until 4).coalesce(1))
+    TxLog.append(spark, dir, part(2L, 10 until 14).coalesce(1))
+    TxLog.append(spark, dir, part(3L, 20 until 24).coalesce(1))
+    // ...plus one file STRADDLING days 3 and 4.
+    TxLog.append(spark, dir, (part(3L, 30 until 32).unionAll(part(4L, 40 until 42))).coalesce(1))
+    val before = TxLog.snapshot(dir)
+
+    // Replace days 2 and 3 with fresh rows.
+    val fresh = part(2L, 100 until 102).unionAll(part(3L, 200 until 203))
+    TxLog.replaceWhereIn(spark, dir, fresh, "day")
+
+    val out = TxLog.read(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set(
+      (0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L),            // day 1 untouched
+      (100L, 2L), (101L, 2L),                            // day 2 replaced
+      (200L, 3L), (201L, 3L), (202L, 3L),                // day 3 replaced
+      (40L, 4L), (41L, 4L)))                             // day 4 survivors of the straddle
+    // The day-1 file is the SAME physical file (never rewritten).
+    val day1Before = before.files.find(_.stats("day").min.contains("1")).get.path
+    assert(TxLog.snapshot(dir).files.map(_.path).contains(day1Before))
+    // Old version still reads the pre-replace state (snapshot isolation).
+    assert(TxLog.read(spark, dir, Some(before.version)).count() === 16L)
+  }
+
+  test("replaceWhereIn keeps NULL-day rows through a straddle rewrite") {
+    val dir = tmp()
+    import spark.implicits._
+    val mixed = Seq((1L, Some(7L), "a"), (2L, None, "b"), (3L, Some(8L), "c"))
+      .toDF("id", "day", "s").coalesce(1)
+    TxLog.append(spark, dir, mixed)
+    val fresh = Seq((10L, Some(7L), "x")).toDF("id", "day", "s")
+    TxLog.replaceWhereIn(spark, dir, fresh, "day")
+    val out = TxLog.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(2L, 3L, 10L)) // NULL row and day-8 row kept, day-7 replaced
+    // NULL values in the REPLACEMENT's partition column are rejected.
+    intercept[IllegalArgumentException](
+      TxLog.replaceWhereIn(spark, dir,
+        Seq((9L, None: Option[Long], "z")).toDF("id", "day", "s"), "day"))
+  }
+
+  test("history lists every commit with op, counts, and txn tags") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 4))
+    TxLog.appendBatch(spark, dir, df(4 until 6), "appX", 3L)
+    TxLog.optimize(spark, dir, targetBytes = 1L << 30)
+    val h = TxLog.history(spark, dir).orderBy("version").collect()
+    assert(h.map(_.getString(1)).toSeq === Seq("append", "streamingAppend", "optimize"))
+    assert(h.map(_.getLong(4)).toSeq === Seq(4L, 2L, 6L)) // rows_added
+    assert(h(1).getString(6) === "appX" && h(1).getLong(7) === 3L)
+    assert(h(2).getLong(5) >= 2L) // optimize removed the input files
+  }
+
+  test("readChanges: inserts after a version, rewrites excluded") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 3))         // v0
+    TxLog.append(spark, dir, df(3 until 5))         // v1
+    TxLog.optimize(spark, dir, targetBytes = 1L << 30) // v2 — rewrite, no change
+    TxLog.append(spark, dir, df(5 until 9))         // v3
+    val ch = TxLog.readChanges(spark, dir, fromVersionExclusive = 0L)
+    val byVersion = ch.groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byVersion === Map(1L -> 2L, 3L -> 4L)) // v2's rewrite absent
+    assert(idSet(ch.select("id", "s")) === (3L until 9L).toSet)
+    // Consuming from the head yields nothing.
+    assert(TxLog.readChanges(spark, dir, 3L).count() === 0L)
+  }
+
   test("log garbage tolerance: stray temp files in _txlog are ignored") {
     val dir = tmp()
     TxLog.append(spark, dir, df(0 until 3))
