@@ -358,6 +358,61 @@ object TextAnalysis {
       .selectExpr("doc_id", "term", "tf", "df", "round(score, 6) AS score", "rank")
   }
 
+  /** Visible-text expression for [[extractHtmlText]], emitted per
+    * dialect: drop script/style blocks (their content has no '<' in the
+    * supported regime, so `[^<]*` bounds the block without non-greedy
+    * matching), strip all remaining tags, decode the common entities
+    * (`&amp;` LAST, the standard unescape order — `&amp;lt;` must yield
+    * literal "&lt;", not "<"), collapse runs of spaces, trim. All
+    * patterns stay in the backslash-free, quote-free subset both
+    * engines parse identically (the PiiRedaction rule). */
+  def htmlVisibleExpr(d: SqlDialect, h: String): String = {
+    val noScript = d.regexReplaceAll(h, "<script[^>]*>[^<]*</script>", " ")
+    val noStyle = d.regexReplaceAll(noScript, "<style[^>]*>[^<]*</style>", " ")
+    val noTags = d.regexReplaceAll(noStyle, "<[^>]*>", " ")
+    val decoded = s"replace(replace(replace(replace(replace($noTags, " +
+      "'&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&quot;', '\"'), '&amp;', '&')"
+    s"trim(${d.regexReplaceAll(decoded, "  +", " ")})"
+  }
+
+  /** Total chars of anchor inner text, measured on the script-free
+    * markup — both engines expose `regexp_extract_all(x, pat, group)`
+    * with identical semantics for the backslash-free pattern. COALESCE
+    * pins the no-links case: DuckDB's list_sum of an empty list is NULL
+    * where Spark's aggregate init is 0. */
+  def htmlLinkCharsExpr(d: SqlDialect, h: String): String = {
+    val noScript = d.regexReplaceAll(h, "<script[^>]*>[^<]*</script>", " ")
+    s"COALESCE(${d.isum(d.map(
+      s"regexp_extract_all($noScript, '<a[^>]*>([^<]*)</a>', 1)", "t", "length(t)"))}, 0)"
+  }
+
+  /** Main-content extraction from raw HTML — the pre-text step every
+    * web-corpus pipeline (CCNet, RefinedWeb) runs before any quality
+    * filter: strip boilerplate markup, measure LINK DENSITY (chars of
+    * anchor inner text per visible char, the classic boilerplate signal
+    * — navigation and spam pages are mostly links), and keep docs that
+    * clear the density and length bars. Pure projections — zero shuffle
+    * at any scale; integer basis points only (the repetitionScores
+    * rounding idiom), so the output hashes identically cross-engine.
+    *
+    * Output: (doc_id, text, text_chars, n_links, link_chars,
+    * link_density_bp, kept). */
+  def extractHtmlText(docs: DataFrame, idCol: String, htmlCol: String,
+      maxLinkDensityBp: Int, minChars: Int): DataFrame = {
+    docs.selectExpr(
+      s"$idCol AS doc_id",
+      s"${htmlVisibleExpr(d, htmlCol)} AS text",
+      s"CAST(${htmlLinkCharsExpr(d, htmlCol)} AS BIGINT) AS link_chars",
+      s"${d.regexCount(htmlCol, "<a[^>]*>")} AS n_links")
+      .selectExpr("doc_id", "text",
+        "length(text) AS text_chars", "n_links", "link_chars")
+      .selectExpr("doc_id", "text", "text_chars", "n_links", "link_chars",
+        s"CASE WHEN text_chars = 0 THEN 10000 ELSE ${d.idiv("(20000 * link_chars + text_chars)", "(2 * text_chars)")} END AS link_density_bp")
+      .selectExpr("doc_id", "text", "text_chars", "n_links", "link_chars",
+        "link_density_bp",
+        s"CAST(CASE WHEN text_chars >= $minChars AND link_density_bp <= $maxLinkDensityBp THEN 1 ELSE 0 END AS INTEGER) AS kept")
+  }
+
   /** Language identification by rank-order character-trigram profiles —
     * Cavnar & Trenkle 1994 ("N-Gram-Based Text Categorization"), the
     * n-gram-heuristic langid a pretraining pipeline runs before

@@ -628,8 +628,61 @@ object TextQueries {
               SELECT b.doc_id, te.lang AS true_lang, b.pred_lang,
                      CAST(b.oop AS BIGINT) AS oop_dist
               FROM best b JOIN te ON te.doc_id = b.doc_id
-              WHERE b.rn = 1 ORDER BY b.doc_id"""))
+              WHERE b.rn = 1 ORDER BY b.doc_id""")),
+
+    // ---- HTML main-content extraction -----------------------------------
+    // extractHtmlText over crawl-style pages derived deterministically
+    // from the documents table (the urlExpr trick): script/style blocks,
+    // headings with entities, the body text, nav anchors, and — on every
+    // fifth doc — a spam link block that pushes link density over the
+    // bar. The oracle replays the same wrap-then-extract algebra, so
+    // tag stripping, entity decode order, link measurement, and the
+    // integer density rounding are all hash-pinned.
+    QuerySpec("q129_html_extract", { (s, dir) =>
+      val html = htmlExpr(SparkSql)
+      graft.operators.TextAnalysis.extractHtmlText(
+        Td.load(s, dir, "documents").selectExpr("doc_id", s"$html AS html"),
+        "doc_id", "html", maxLinkDensityBp = 900, minChars = 150)
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      import graft.operators.TextAnalysis
+      Some(s"""WITH raw AS (
+                 SELECT doc_id, ${htmlExpr(d)} AS html FROM documents),
+               ext AS (
+                 SELECT doc_id,
+                        ${TextAnalysis.htmlVisibleExpr(d, "html")} AS text,
+                        CAST(${TextAnalysis.htmlLinkCharsExpr(d, "html")} AS BIGINT) AS link_chars,
+                        ${d.regexCount("html", "<a[^>]*>")} AS n_links
+                 FROM raw),
+               sized AS (
+                 SELECT doc_id, text, length(text) AS text_chars, n_links, link_chars
+                 FROM ext),
+               dens AS (
+                 SELECT *, CASE WHEN text_chars = 0 THEN 10000
+                                ELSE ${d.idiv("(20000 * link_chars + text_chars)", "(2 * text_chars)")}
+                           END AS link_density_bp
+                 FROM sized)
+               SELECT doc_id, text, text_chars, n_links, link_chars, link_density_bp,
+                      CAST(CASE WHEN text_chars >= 150 AND link_density_bp <= 900
+                                THEN 1 ELSE 0 END AS INTEGER) AS kept
+               FROM dens ORDER BY doc_id""")
+    })
   )
+
+  /** q129's crawl-style page, derived deterministically from the
+    * documents columns: script + style boilerplate, an entity-bearing
+    * heading, the body text, two nav anchors, and a spam link block on
+    * every fifth doc (pushes link density past the keep bar). */
+  private def htmlExpr(d: SqlDialect): String =
+    "'<html><head><script type=text/javascript>var doc = 1;</script>" +
+      "<style>p { margin: 0 }</style></head><body><h1>Doc ' || " +
+      s"${d.toStr("doc_id")} || ' &amp; the &lt;corpus&gt;</h1><p>' || text || " +
+      "'</p><a href=/by-lang>' || lang || '</a> <a href=/by-src>' || source || '</a>' || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '<ul><li><a href=/s1>click here for the best prizes</a></li>" +
+      "<li><a href=/s2>more winning links right here</a></li>" +
+      "<li><a href=/s3>subscribe now for endless offers</a></li></ul>' ELSE '' END || " +
+      "'</body></html>'"
 
   /** q118's crawl-style URL, derived deterministically from doc_id /
     * lang / source: scheme, WWW and subdomain spellings, default and
