@@ -667,6 +667,61 @@ object TextQueries {
                       CAST(CASE WHEN text_chars >= 150 AND link_density_bp <= 900
                                 THEN 1 ELSE 0 END AS INTEGER) AS kept
                FROM dens ORDER BY doc_id""")
+    }),
+
+    // ---- CCNet perplexity-bucketed sampling (composition) ---------------
+    // The published CCNet pipeline step after langid: score every doc
+    // with the corpus LM, split the corpus into head/middle/tail
+    // PERPLEXITY TERCILES, keep head+middle whole and hash-sample the
+    // tail. Composes three engine operators — bigramLmScores (integer
+    // basis points), ExactPercentile.ntileBuckets (the scale-safe exact
+    // global ntile: boundary tuples collected, bucketing a pure
+    // projection — never a single-reducer sort), and the md5_u32
+    // deterministic sampler. The oracle replays scoring with plain
+    // ntile + the same hash arithmetic.
+    QuerySpec("q130_ccnet_buckets", { (s, dir) =>
+      val docs = Td.load(s, dir, "documents")
+      val scores = graft.operators.TextAnalysis
+        .bigramLmScores(docs, docs, "doc_id", "text").cache()
+      graft.operators.ExactPercentile
+        .ntileBuckets(scores, 3, "avg_bp", "doc_id", "tercile")
+        .selectExpr("doc_id", "n_bigrams", "avg_bp",
+          "CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket",
+          "CAST(CASE WHEN tercile < 3 OR md5_u32(CAST(doc_id AS STRING)) % 100 < 40 " +
+            "THEN 1 ELSE 0 END AS INTEGER) AS kept")
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      val bigrams = d.bind(toks(d), "tk",
+        d.map(d.range1(s"${d.len("tk")} - 1"), "i", d.wordSlice("tk", "i", 2)))
+      Some(s"""WITH big AS (
+                 SELECT doc_id, unnest($bigrams) AS bigram FROM documents),
+               c2 AS (SELECT bigram, count(*) AS n2 FROM big GROUP BY 1),
+               c1 AS (SELECT ${d.elem(d.splitSpace("bigram"), "1")} AS prev,
+                             CAST(sum(n2) AS BIGINT) AS n1
+                      FROM c2 GROUP BY 1),
+               v AS (SELECT count(DISTINCT tok) AS vsize
+                     FROM (SELECT unnest(${toks(d)}) AS tok FROM documents)),
+               scored AS (
+                 SELECT b.doc_id,
+                        ${d.idiv("(20000 * (c2.n2 + 1) + (c1.n1 + v.vsize))",
+                                 "(2 * (c1.n1 + v.vsize))")} AS bp
+                 FROM big b
+                 JOIN c2 ON b.bigram = c2.bigram
+                 JOIN c1 ON ${d.elem(d.splitSpace("b.bigram"), "1")} = c1.prev
+                 CROSS JOIN v),
+               agg AS (
+                 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                        CAST(${d.idiv("(2 * sum(bp) + count(*))", "(2 * count(*))")} AS BIGINT) AS avg_bp
+                 FROM scored GROUP BY doc_id),
+               terc AS (
+                 SELECT *, CAST(ntile(3) OVER (ORDER BY avg_bp, doc_id) AS INTEGER) AS tercile
+                 FROM agg)
+               SELECT doc_id, n_bigrams, avg_bp,
+                      CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+                      CAST(CASE WHEN tercile < 3 OR ${d.hex32(d.toStr("doc_id"))} % 100 < 40
+                                THEN 1 ELSE 0 END AS INTEGER) AS kept
+               FROM terc ORDER BY doc_id""")
     })
   )
 

@@ -50,6 +50,11 @@ import org.json4s.jackson.JsonMethods.{compact, parse, render}
   * the Delta WriteSerializable rule). This is the same
   * rename-without-overwrite protocol Delta uses on HDFS, expressed with
   * the one POSIX primitive that is create-exclusive WITH content.
+  * PORTABILITY: the claim primitive is the only filesystem-specific
+  * line — on HDFS it becomes rename-without-overwrite, on S3/GCS a
+  * conditional put (If-None-Match), exactly as the Delta/Iceberg papers
+  * describe; everything above it (log replay, snapshots, stats,
+  * conflict rules) is storage-agnostic.
   *
   * SNAPSHOT ISOLATION — readers resolve a version from the log and read
   * exactly that version's immutable files; concurrent commits only add
