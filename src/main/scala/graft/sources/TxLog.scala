@@ -650,6 +650,28 @@ object TxLog {
       s"optimize of $dir lost $maxCommitAttempts consecutive commit races")
   }
 
+  /** RESTORE TABLE: make `version`'s file set the new HEAD, as a commit
+    * (history is preserved — restore is an entry in the log, not a
+    * rewind of it). Fails if the target's files were already vacuumed.
+    * Overwrite-class conflict semantics (restoring over a concurrent
+    * write would silently discard it). Returns the committed version. */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val readVersion = latestVersion(dir)
+    val target = snapshot(dir, Some(version))
+    target.files.foreach { f =>
+      require(Files.exists(Paths.get(dir, f.path)),
+        s"restore: ${f.path} of version $version was vacuumed; cannot restore")
+    }
+    val current = snapshot(dir, Some(readVersion))
+    val adds = target.files.filterNot(f => current.files.exists(_.path == f.path))
+    val removes = current.files.map(_.path).filterNot(target.files.map(_.path).contains)
+    val v = readVersion + 1
+    val content = commitJson(v, "restore", System.currentTimeMillis(), adds, removes, None)
+    if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
+    else throw new ConcurrentWriteException(
+      s"restore of $dir conflicted: version $v was committed concurrently")
+  }
+
   /** Reclaim data files referenced by the log but live in NONE of the
     * newest `retainVersions` snapshots. Time travel to a vacuumed
     * version subsequently fails at scan time (files gone) — the Delta

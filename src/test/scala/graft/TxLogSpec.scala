@@ -417,6 +417,57 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.readChanges(spark, dir, 3L).count() === 0L)
   }
 
+  test("optimize racing concurrent appends: no rows lost, all commits land") {
+    val dir = tmp()
+    (0 until 4).foreach(i => TxLog.append(spark, dir, df(i * 5 until i * 5 + 5)))
+    val pool = Executors.newFixedThreadPool(3)
+    val gate = new CountDownLatch(1)
+    val appender = (w: Int) => pool.submit(new Runnable {
+      def run(): Unit = {
+        gate.await()
+        TxLog.append(spark, dir, df(100 + w * 10 until 100 + w * 10 + 10)): Unit
+      }
+    })
+    val optimizer = pool.submit(new Runnable {
+      def run(): Unit = {
+        gate.await()
+        // Rebases over whichever appends land first; its input files are
+        // never removed by an append, so it must succeed.
+        TxLog.optimize(spark, dir, targetBytes = 1L << 30): Unit
+      }
+    })
+    val apps = Seq(appender(0), appender(1))
+    gate.countDown()
+    (apps :+ optimizer).foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // 20 seed rows + 2 × 10 appended rows, regardless of interleaving.
+    assert(TxLog.snapshot(dir).rows === 40L)
+    assert(idSet(TxLog.read(spark, dir)) ===
+      ((0L until 20L) ++ (100L until 110L) ++ (110L until 120L)).toSet)
+    // Every version 0..latest is present (no holes in the log).
+    val latest = TxLog.latestVersion(dir)
+    (0L to latest).foreach(v => TxLog.snapshot(dir, Some(v)): Unit)
+    assert(latest === 6L) // 4 seeds + 2 appends + 1 optimize
+  }
+
+  test("restore rewinds the live set as a new commit; history is preserved") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 4))      // v0
+    TxLog.append(spark, dir, df(4 until 6))      // v1
+    TxLog.overwrite(spark, dir, df(50 until 53)) // v2
+    TxLog.restore(spark, dir, 1L)                // v3
+    assert(TxLog.latestVersion(dir) === 3L)
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 6L).toSet)
+    // History keeps the overwritten state readable (v2) and logs the restore.
+    assert(idSet(TxLog.read(spark, dir, Some(2L))) === Set(50L, 51L, 52L))
+    val ops = TxLog.history(spark, dir).orderBy("version")
+      .collect().map(_.getString(1)).toSeq
+    assert(ops === Seq("append", "append", "overwrite", "restore"))
+    // Restoring a vacuumed version fails loudly.
+    TxLog.vacuum(dir, retainVersions = 1)
+    intercept[IllegalArgumentException](TxLog.restore(spark, dir, 2L))
+  }
+
   test("log garbage tolerance: stray temp files in _txlog are ignored") {
     val dir = tmp()
     TxLog.append(spark, dir, df(0 until 3))
