@@ -111,6 +111,51 @@ object StreamQueries {
                      count(*) AS n_docs,
                      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                      CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-              FROM documents GROUP BY 1 ORDER BY batch_id"""))
+              FROM documents GROUP BY 1 ORDER BY batch_id""")),
+
+    // ---- streaming ingest into the transactional table ------------------
+    // StreamingTx: checkpointed file stream → foreachBatch →
+    // TxLog.appendBatch, each pass one txn-tagged table version. Two
+    // drops in two passes; the batch a row lands in is its pass, which
+    // the _commit_version column exposes and the oracle re-derives from
+    // doc_id arithmetic (the q121 pattern, now with the table format's
+    // exactly-once txn guard under it).
+    QuerySpec("q131_stream_tx_ingest", { (s, dir) =>
+      val docs = Td.load(s, dir, "documents")
+        .selectExpr("doc_id", "lang", "n_chars", "pmod(doc_id, 4) AS part")
+      val root = java.nio.file.Files.createTempDirectory("graft-q131").toString
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("n_chars", LongType)))
+      (0 to 3).foreach { p =>
+        docs.where(col("part") === p).select("doc_id", "lang", "n_chars")
+          .coalesce(1).write.option("header", "true").csv(s"$root/raw/part$p")
+      }
+      def csvOf(p: Int): String = {
+        val d = new java.io.File(s"$root/raw/part$p")
+        d.listFiles().filter(_.getName.endsWith(".csv")).head.getAbsolutePath
+      }
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+      def stagePass(ps: Seq[Int]): Unit = ps.foreach { p =>
+        java.nio.file.Files.copy(java.nio.file.Paths.get(csvOf(p)),
+          java.nio.file.Paths.get(s"$root/in/part$p.csv")): Unit
+      }
+      stagePass(Seq(0, 1))
+      graft.streaming.StreamingTx.ingest(s, s"$root/in", s"$root/t",
+        s"$root/ckpt", schema, appId = "q131")
+      stagePass(Seq(2, 3))
+      graft.streaming.StreamingTx.ingest(s, s"$root/in", s"$root/t",
+        s"$root/ckpt", schema, appId = "q131")
+      graft.sources.TxLog.readChanges(s, s"$root/t", fromVersionExclusive = -1L)
+        .groupBy(col("_commit_version").as("pass_version"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("pass_version")
+    },
+      Some("""SELECT CAST(CASE WHEN doc_id % 4 <= 1 THEN 0 ELSE 1 END AS BIGINT) AS pass_version,
+                     count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+              FROM documents GROUP BY 1 ORDER BY pass_version"""))
   )
 }

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.TxLog
+
+/** Streaming ingest into the transactional table format — the Delta
+  * streaming-sink semantics (idempotent txn writes), composed from the
+  * engine's own parts: a checkpointed file stream (the
+  * [[StreamingBronze]] discipline) delivering micro-batches to
+  * [[TxLog.appendBatch]], whose (appId, batchId) high-water mark makes
+  * AT-LEAST-ONCE foreachBatch delivery EXACTLY-ONCE in the table.
+  *
+  * Two independent idempotence layers, deliberately redundant exactly
+  * like Delta + Structured Streaming in production:
+  *  - the checkpoint's file log stops a healthy rerun from re-reading
+  *    processed files at all;
+  *  - the table's txn action stops a REPLAYED batch (crash between sink
+  *    write and checkpoint commit, zombie executor, restored/lost
+  *    checkpoint) from landing twice — the failure modes the checkpoint
+  *    alone cannot cover.
+  *
+  * `appId` identifies the logical stream; it must be stable across
+  * restarts of the same stream (pair it 1:1 with the checkpoint) and
+  * distinct across different streams writing the same table.
+  */
+object StreamingTx {
+
+  /** One AvailableNow pass of `rawDir`'s CSV files into the
+    * transactional table at `tableDir`; returns the table's post-pass
+    * contents. Each micro-batch commits one table version tagged
+    * (appId, batchId). */
+  def ingest(spark: SparkSession, rawDir: String, tableDir: String,
+      checkpointDir: String, schema: StructType, appId: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+      .format("csv")
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val q = reader.load(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TxLog.appendBatch(batch.sparkSession, tableDir, batch, appId, batchId): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TxLog.read(spark, tableDir)
+  }
+}

@@ -269,6 +269,18 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q130: the tercile composition has NO window at all (q29 discipline)") {
+    // bigramLmScores is joins+aggregates; ntileBuckets replaces the
+    // global ntile with collected boundaries + a CASE projection; the
+    // sampler is arithmetic. Any WindowExec appearing here means the
+    // single-reducer global sort crept back in.
+    val df = SparkEntry.queries("q130_ccnet_buckets")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, windows.mkString("\n"))
+  }
+
   test("langId: the profile lookup is broadcast; per-doc windows keyed") {
     val df = SparkEntry.queries("q125_langid")(spark, sf)
     val plan = finalPlanOf("q125_langid")
