@@ -149,6 +149,48 @@ object TxQueries {
                      CAST(sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_qty,
                      CAST(sum(CASE WHEN l_orderkey % 2 = 1
                                    THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_qty
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- MERGE (keyed upsert) -------------------------------------------
+    // Delta-style MERGE INTO on the transactional table: build customer
+    // in 3 key-split files, then upsert a source that UPDATES every 7th
+    // customer (marked segment, doubled balance) and INSERTS shifted new
+    // keys for every 50th. Touched files rewrite copy-on-write; the
+    // oracle reconstructs the post-merge table relationally from raw
+    // customer, so matched-replace + insert semantics are hash-pinned.
+    QuerySpec("q132_txlog_merge", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q132").toString + "/t"
+      val cust = Td.load(s, dir, "customer")
+      (0 to 2).foreach { k =>
+        TxLog.append(s, root, cust.where(pmod(col("c_custkey"), lit(3)) === k))
+      }
+      val updates = cust.where("c_custkey % 7 = 0")
+        .selectExpr("c_custkey", "c_name", "c_nationkey",
+          "c_acctbal * CAST(2.0 AS DOUBLE) AS c_acctbal", "'merged' AS c_mktsegment")
+      val inserts = cust.where("c_custkey % 50 = 0")
+        .selectExpr("c_custkey + 1000000 AS c_custkey", "c_name", "c_nationkey",
+          "c_acctbal", "'fresh' AS c_mktsegment")
+      TxLog.merge(s, root, updates.unionAll(inserts), "c_custkey")
+      TxLog.read(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+      Some("""WITH merged AS (
+                SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+                FROM customer WHERE c_custkey % 7 <> 0
+                UNION ALL
+                SELECT c_custkey, c_name, c_nationkey,
+                       c_acctbal * CAST(2.0 AS DOUBLE), 'merged'
+                FROM customer WHERE c_custkey % 7 = 0
+                UNION ALL
+                SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, 'fresh'
+                FROM customer WHERE c_custkey % 50 = 0)
+              SELECT c_mktsegment, count(*) AS n_rows,
+                     CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+                     CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

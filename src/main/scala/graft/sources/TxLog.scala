@@ -650,6 +650,73 @@ object TxLog {
       s"optimize of $dir lost $maxCommitAttempts consecutive commit races")
   }
 
+  /** MERGE (keyed upsert): every target row whose `keyCol` appears in
+    * `source` is replaced by the source row; source rows with new keys
+    * are inserted — Delta's `MERGE INTO … WHEN MATCHED UPDATE SET * WHEN
+    * NOT MATCHED INSERT *`, at file-granular copy-on-write:
+    *
+    *  1. TOUCHED files = live files holding at least one source key,
+    *     found by a distributed semi-join of the target scan (tagged
+    *     with `_metadata.file_path`) against the source keys — the
+    *     exchange carries one row per touched FILE, never data;
+    *  2. touched files are rewritten WITHOUT their matched rows (the
+    *     only target data read — proportional to the touch set);
+    *  3. one commit: removes = touched, adds = remainders + all source
+    *     rows.
+    *
+    * Duplicate keys in `source` are rejected (the Delta multiple-match
+    * error); NULL source keys are rejected (a NULL key matches nothing
+    * and would silently turn the upsert into a blind insert). Non-blind
+    * write → overwrite conflict rule. Returns the committed version. */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String): Long = {
+    val readVersion = latestVersion(dir)
+    if (readVersion < 0) return append(spark, dir, source)
+    val snap = snapshot(dir, Some(readVersion))
+    requireSchema(snap.schemaDdl, source)
+
+    val keyStats = source.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col(keyCol)).as("d"),
+      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("nulls")).head()
+    require(keyStats.getLong(2) == 0, s"merge: NULL $keyCol in source")
+    require(keyStats.getLong(0) == keyStats.getLong(1),
+      s"merge: duplicate $keyCol values in source (${keyStats.getLong(0)} rows, " +
+        s"${keyStats.getLong(1)} distinct) — each key must match at most once")
+
+    val paths = snap.files.map(f => Paths.get(dir, f.path).toString)
+    val keys = source.select(col(keyCol)).distinct()
+    val touchedPaths: Set[String] =
+      if (paths.isEmpty) Set.empty
+      else spark.read.schema(snap.schema).parquet(paths: _*)
+        .select(col(keyCol), col("_metadata.file_path").as("__p"))
+        .join(keys, Seq(keyCol), "left_semi")
+        .select("__p").distinct().collect().map(_.getString(0)).toSet
+    val touched = snap.files.filter(f =>
+      touchedPaths.exists(_.endsWith(f.path)))
+
+    val (remSub, remainderAdds) =
+      if (touched.isEmpty) (None, Nil)
+      else {
+        val keep = spark.read.schema(snap.schema)
+          .parquet(touched.map(f => Paths.get(dir, f.path).toString): _*)
+          .join(keys, Seq(keyCol), "left_anti")
+        val (sub, adds) = stage(spark, dir, keep)
+        (Some(sub), adds)
+      }
+    val (srcSub, srcAdds) = stage(spark, dir, source)
+    val v = readVersion + 1
+    val content = commitJson(v, "merge", System.currentTimeMillis(),
+      remainderAdds ++ srcAdds, touched.map(_.path), None)
+    if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
+    else {
+      deleteStaged(dir, srcSub)
+      remSub.foreach(deleteStaged(dir, _))
+      throw new ConcurrentWriteException(
+        s"merge into $dir conflicted: version $v was committed concurrently")
+    }
+  }
+
   /** RESTORE TABLE: make `version`'s file set the new HEAD, as a commit
     * (history is preserved — restore is an entry in the log, not a
     * rewind of it). Fails if the target's files were already vacuumed.

@@ -450,6 +450,48 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(latest === 6L) // 4 seeds + 2 appends + 1 optimize
   }
 
+  test("merge: matched rows replaced, new keys inserted, untouched files unopened") {
+    val dir = tmp()
+    import spark.implicits._
+    TxLog.append(spark, dir, df(0 until 4).coalesce(1))   // keys 0-3
+    TxLog.append(spark, dir, df(10 until 14).coalesce(1)) // keys 10-13
+    TxLog.append(spark, dir, df(20 until 24).coalesce(1)) // keys 20-23
+    val before = TxLog.snapshot(dir)
+
+    // Update keys 1 and 12 (two different files), insert keys 50-51.
+    val source = Seq((1L, "UPD1"), (12L, "UPD12"), (50L, "NEW50"), (51L, "NEW51"))
+      .toDF("id", "s")
+    TxLog.merge(spark, dir, source, "id")
+
+    val out = TxLog.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 14)
+    assert(out(1L) === "UPD1" && out(12L) === "UPD12")
+    assert(out(50L) === "NEW50" && out(51L) === "NEW51")
+    assert(out(0L) === "v0" && out(13L) === "v13" && out(23L) === "v23")
+    // The 20-23 file held no matched key: same physical file survives.
+    val f20 = before.files.find(_.stats("id").min.contains("20")).get.path
+    assert(TxLog.snapshot(dir).files.map(_.path).contains(f20))
+    // The two touched files are gone from the live set.
+    assert(!TxLog.snapshot(dir).files.map(_.path)
+      .exists(p => before.files.take(2).map(_.path).contains(p)))
+    // Snapshot isolation: pre-merge version unchanged.
+    assert(TxLog.read(spark, dir, Some(before.version)).count() === 12L)
+    assert(TxLog.history(spark, dir).orderBy("version").collect()
+      .last.getString(1) === "merge")
+  }
+
+  test("merge rejects duplicate and NULL source keys") {
+    val dir = tmp()
+    import spark.implicits._
+    TxLog.append(spark, dir, df(0 until 3))
+    intercept[IllegalArgumentException](TxLog.merge(spark, dir,
+      Seq((1L, "a"), (1L, "b")).toDF("id", "s"), "id"))
+    intercept[IllegalArgumentException](TxLog.merge(spark, dir,
+      Seq((Some(1L), "a"), (None, "b")).toDF("id", "s"), "id"))
+    assert(TxLog.snapshot(dir).rows === 3L) // table untouched
+  }
+
   test("restore rewinds the live set as a new commit; history is preserved") {
     val dir = tmp()
     TxLog.append(spark, dir, df(0 until 4))      // v0
