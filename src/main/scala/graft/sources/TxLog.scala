@@ -263,13 +263,19 @@ object TxLog {
     * idempotent. */
   private def maybeCheckpoint(dir: String, v: Long): Unit =
     if (v > 0 && v % checkpointInterval == 0) {
-      val snap = snapshot(dir, Some(v))
-      val j: JObject = ("version" -> v) ~ ("schema" -> snap.schemaDdl) ~
-        ("files" -> snap.files.map(addJson)) ~ ("txns" -> snap.txns)
-      val tmp = logDir(dir).resolve(s".tmp-ckpt-${UUID.randomUUID().toString.take(8)}")
-      Files.write(tmp, compact(render(j)).getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, ckptFile(dir, v), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING): Unit
+      // The COMMIT already succeeded when this runs: a checkpoint-write
+      // failure must never surface to the committer (the snapshot would
+      // replay more commit files until the next interval — correct,
+      // just slower).
+      try {
+        val snap = snapshot(dir, Some(v))
+        val j: JObject = ("version" -> v) ~ ("schema" -> snap.schemaDdl) ~
+          ("files" -> snap.files.map(addJson)) ~ ("txns" -> snap.txns)
+        val tmp = logDir(dir).resolve(s".tmp-ckpt-${UUID.randomUUID().toString.take(8)}")
+        Files.write(tmp, compact(render(j)).getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, ckptFile(dir, v), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING): Unit
+      } catch { case _: Exception => () }
     }
 
   private def commitJson(v: Long, op: String, ts: Long, adds: Seq[AddFile],
@@ -369,24 +375,29 @@ object TxLog {
     * version. */
   def append(spark: SparkSession, dir: String, df: DataFrame): Long = {
     Files.createDirectories(Paths.get(dir))
+    if (latestVersion(dir) >= 0) requireSchema(snapshot(dir).schemaDdl, df)
     val (sub, adds) = stage(spark, dir, df)
     val ddl = df.schema.toDDL
-    var attempt = latestVersion(dir) + 1
-    var tries = 0
-    while (tries < maxCommitAttempts) {
-      if (attempt > 0) requireSchema(snapshot(dir).schemaDdl, df)
-      val content = commitJson(attempt, "append", System.currentTimeMillis(),
-        adds, Nil, if (attempt == 0L) Some(ddl) else None)
-      if (tryPublish(dir, attempt, content)) {
-        maybeCheckpoint(dir, attempt)
-        return attempt
+    // Any exit without a published commit must reclaim the staging dir —
+    // including a schema mismatch surfacing mid-retry (a concurrent
+    // writer created the table with a different schema after we staged).
+    try {
+      var attempt = latestVersion(dir) + 1
+      var tries = 0
+      while (tries < maxCommitAttempts) {
+        if (attempt > 0) requireSchema(snapshot(dir).schemaDdl, df)
+        val content = commitJson(attempt, "append", System.currentTimeMillis(),
+          adds, Nil, if (attempt == 0L) Some(ddl) else None)
+        if (tryPublish(dir, attempt, content)) {
+          maybeCheckpoint(dir, attempt)
+          return attempt
+        }
+        tries += 1
+        attempt = latestVersion(dir) + 1
       }
-      tries += 1
-      attempt = latestVersion(dir) + 1
-    }
-    deleteStaged(dir, sub)
-    throw new ConcurrentWriteException(
-      s"append to $dir lost $maxCommitAttempts consecutive commit races")
+      throw new ConcurrentWriteException(
+        s"append to $dir lost $maxCommitAttempts consecutive commit races")
+    } catch { case e: Throwable => deleteStaged(dir, sub); throw e }
   }
 
   /** Idempotent streaming append — the Delta `txn`-action protocol that
@@ -404,25 +415,27 @@ object TxLog {
     def alreadyIn: Boolean = latestVersion(dir) >= 0 &&
       snapshot(dir).txns.get(appId).exists(_ >= batchId)
     if (alreadyIn) return None
+    if (latestVersion(dir) >= 0) requireSchema(snapshot(dir).schemaDdl, df)
     val (sub, adds) = stage(spark, dir, df)
     val ddl = df.schema.toDDL
-    var attempt = latestVersion(dir) + 1
-    var tries = 0
-    while (tries < maxCommitAttempts) {
-      if (alreadyIn) { deleteStaged(dir, sub); return None }
-      if (attempt > 0) requireSchema(snapshot(dir).schemaDdl, df)
-      val content = commitJson(attempt, "streamingAppend", System.currentTimeMillis(),
-        adds, Nil, if (attempt == 0L) Some(ddl) else None, Some((appId, batchId)))
-      if (tryPublish(dir, attempt, content)) {
-        maybeCheckpoint(dir, attempt)
-        return Some(attempt)
+    try {
+      var attempt = latestVersion(dir) + 1
+      var tries = 0
+      while (tries < maxCommitAttempts) {
+        if (alreadyIn) { deleteStaged(dir, sub); return None }
+        if (attempt > 0) requireSchema(snapshot(dir).schemaDdl, df)
+        val content = commitJson(attempt, "streamingAppend", System.currentTimeMillis(),
+          adds, Nil, if (attempt == 0L) Some(ddl) else None, Some((appId, batchId)))
+        if (tryPublish(dir, attempt, content)) {
+          maybeCheckpoint(dir, attempt)
+          return Some(attempt)
+        }
+        tries += 1
+        attempt = latestVersion(dir) + 1
       }
-      tries += 1
-      attempt = latestVersion(dir) + 1
-    }
-    deleteStaged(dir, sub)
-    throw new ConcurrentWriteException(
-      s"appendBatch to $dir lost $maxCommitAttempts consecutive commit races")
+      throw new ConcurrentWriteException(
+        s"appendBatch to $dir lost $maxCommitAttempts consecutive commit races")
+    } catch { case e: Throwable => deleteStaged(dir, sub); throw e }
   }
 
   /** Append with SCHEMA EVOLUTION: columns the table already has must

@@ -58,14 +58,19 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(idSet(TxLog.read(spark, dir, Some(0L))) === (0L until 6L).toSet)
   }
 
-  test("append enforces the commit-0 schema") {
+  test("append enforces the commit-0 schema (and never leaks staging)") {
     val dir = tmp()
     import spark.implicits._
     TxLog.append(spark, dir, df(0 until 3))
+    val staged = Files.list(Paths.get(dir))
+      .filter(_.getFileName.toString.startsWith("d-")).count()
     val wrong = Seq((1L, 2L)).toDF("id", "s") // s: bigint, not string
     intercept[TxLog.SchemaMismatchException](TxLog.append(spark, dir, wrong))
     val renamed = Seq((1L, "x")).toDF("id", "t")
     intercept[TxLog.SchemaMismatchException](TxLog.append(spark, dir, renamed))
+    // Rejected appends left no orphaned d- staging directories behind.
+    assert(Files.list(Paths.get(dir))
+      .filter(_.getFileName.toString.startsWith("d-")).count() === staged)
   }
 
   test("hard-link claim: a pre-existing version file forces a rebase, not a clobber") {
