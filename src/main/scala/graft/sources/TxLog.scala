@@ -321,10 +321,12 @@ object TxLog {
     * The job reads only this commit's files — the write-side stats cost
     * Delta pays inline, paid here as a second scan of fresh (page-cached)
     * data. Collect is bounded: files-per-commit × columns. */
-  private def collectAdds(spark: SparkSession, dir: String, sub: String): Seq[AddFile] = {
+  private def collectAdds(spark: SparkSession, dir: String, sub: String,
+      schema: StructType): Seq[AddFile] = {
     val names = listStaged(dir, sub)
     if (names.isEmpty) return Nil
-    val df = spark.read.parquet(Paths.get(dir, sub).toString)
+    // Schema pinned from the staged frame: no per-commit footer inference.
+    val df = spark.read.schema(schema).parquet(Paths.get(dir, sub).toString)
     val fields = df.schema.fields.filter(f => statSupported(f.dataType))
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +:
       fields.toSeq.flatMap { f =>
@@ -356,7 +358,7 @@ object TxLog {
   private def stage(spark: SparkSession, dir: String, df: DataFrame): (String, Seq[AddFile]) = {
     val sub = s"d-${UUID.randomUUID().toString.take(8)}"
     df.write.parquet(Paths.get(dir, sub).toString)
-    (sub, collectAdds(spark, dir, sub))
+    (sub, collectAdds(spark, dir, sub, df.schema))
   }
 
   private def deleteStaged(dir: String, sub: String): Unit = {
