@@ -103,8 +103,13 @@ object TxLog {
   final case class ColStats(typ: String, min: Option[String], max: Option[String], nulls: Long)
 
   /** One immutable data file in the live set. `path` is relative to the
-    * table root (the table is relocatable, as in Delta/Iceberg). */
-  final case class AddFile(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats])
+    * table root (the table is relocatable, as in Delta/Iceberg).
+    * `dataChange` is Delta's flag: false marks a REWRITE of rows an
+    * earlier version already delivered (OPTIMIZE outputs, merge/
+    * replaceWhere remainders, restore re-adds) — [[readChanges]] skips
+    * those; true marks genuinely new rows. */
+  final case class AddFile(path: String, rows: Long, bytes: Long,
+      stats: Map[String, ColStats], dataChange: Boolean = true)
 
   /** The reconstructed live state of the table at `version`. `txns` maps
     * each streaming writer's app id to the highest batch id it has
@@ -149,6 +154,12 @@ object TxLog {
     if (commits.isEmpty) -1L else commits.max
   }
 
+  /** Head snapshot, or None for a table with no commits — the one-call
+    * form the write retry loops use (a single log listing + replay per
+    * iteration serves the version, schema, and txn checks together). */
+  private def headSnapshot(dir: String): Option[Snapshot] =
+    try Some(snapshot(dir)) catch { case _: VersionNotFoundException => None }
+
   // ---- JSON (de)serialization -------------------------------------------
 
   private def statsJson(s: Map[String, ColStats]): JObject =
@@ -159,7 +170,7 @@ object TxLog {
 
   private def addJson(a: AddFile): JValue =
     ("path" -> a.path) ~ ("rows" -> a.rows) ~ ("bytes" -> a.bytes) ~
-      ("stats" -> statsJson(a.stats))
+      ("dc" -> a.dataChange) ~ ("stats" -> statsJson(a.stats))
 
   private def jLong(j: JValue): Long = j match {
     case JInt(i) => i.toLong
@@ -183,7 +194,8 @@ object TxLog {
       }.toMap
       case _ => Map.empty[String, ColStats]
     }
-    AddFile(jStr(j \ "path"), jLong(j \ "rows"), jLong(j \ "bytes"), stats)
+    val dc = (j \ "dc") match { case JBool(b) => b; case _ => true }
+    AddFile(jStr(j \ "path"), jLong(j \ "rows"), jLong(j \ "bytes"), stats, dc)
   }
 
   private def parseAdds(j: JValue): Seq[AddFile] = j match {
@@ -377,17 +389,19 @@ object TxLog {
     * version. */
   def append(spark: SparkSession, dir: String, df: DataFrame): Long = {
     Files.createDirectories(Paths.get(dir))
-    if (latestVersion(dir) >= 0) requireSchema(snapshot(dir).schemaDdl, df)
+    headSnapshot(dir).foreach(h => requireSchema(h.schemaDdl, df))
     val (sub, adds) = stage(spark, dir, df)
     val ddl = df.schema.toDDL
     // Any exit without a published commit must reclaim the staging dir —
     // including a schema mismatch surfacing mid-retry (a concurrent
     // writer created the table with a different schema after we staged).
     try {
-      var attempt = latestVersion(dir) + 1
       var tries = 0
       while (tries < maxCommitAttempts) {
-        if (attempt > 0) requireSchema(snapshot(dir).schemaDdl, df)
+        // One log listing + replay per iteration serves every check.
+        val head = headSnapshot(dir)
+        head.foreach(h => requireSchema(h.schemaDdl, df))
+        val attempt = head.map(_.version + 1).getOrElse(0L)
         val content = commitJson(attempt, "append", System.currentTimeMillis(),
           adds, Nil, if (attempt == 0L) Some(ddl) else None)
         if (tryPublish(dir, attempt, content)) {
@@ -395,7 +409,6 @@ object TxLog {
           return attempt
         }
         tries += 1
-        attempt = latestVersion(dir) + 1
       }
       throw new ConcurrentWriteException(
         s"append to $dir lost $maxCommitAttempts consecutive commit races")
@@ -414,18 +427,22 @@ object TxLog {
   def appendBatch(spark: SparkSession, dir: String, df: DataFrame,
       appId: String, batchId: Long): Option[Long] = {
     Files.createDirectories(Paths.get(dir))
-    def alreadyIn: Boolean = latestVersion(dir) >= 0 &&
-      snapshot(dir).txns.get(appId).exists(_ >= batchId)
-    if (alreadyIn) return None
-    if (latestVersion(dir) >= 0) requireSchema(snapshot(dir).schemaDdl, df)
+    def seen(h: Option[Snapshot]): Boolean =
+      h.exists(_.txns.get(appId).exists(_ >= batchId))
+    val pre = headSnapshot(dir)
+    if (seen(pre)) return None
+    pre.foreach(h => requireSchema(h.schemaDdl, df))
     val (sub, adds) = stage(spark, dir, df)
     val ddl = df.schema.toDDL
     try {
-      var attempt = latestVersion(dir) + 1
       var tries = 0
       while (tries < maxCommitAttempts) {
-        if (alreadyIn) { deleteStaged(dir, sub); return None }
-        if (attempt > 0) requireSchema(snapshot(dir).schemaDdl, df)
+        // One log listing + replay per iteration: txn high-water mark,
+        // schema identity, and the attempt version all from one head.
+        val head = headSnapshot(dir)
+        if (seen(head)) { deleteStaged(dir, sub); return None }
+        head.foreach(h => requireSchema(h.schemaDdl, df))
+        val attempt = head.map(_.version + 1).getOrElse(0L)
         val content = commitJson(attempt, "streamingAppend", System.currentTimeMillis(),
           adds, Nil, if (attempt == 0L) Some(ddl) else None, Some((appId, batchId)))
         if (tryPublish(dir, attempt, content)) {
@@ -433,7 +450,6 @@ object TxLog {
           return Some(attempt)
         }
         tries += 1
-        attempt = latestVersion(dir) + 1
       }
       throw new ConcurrentWriteException(
         s"appendBatch to $dir lost $maxCommitAttempts consecutive commit races")
@@ -538,24 +554,36 @@ object TxLog {
     if (readVersion < 0) return append(spark, dir, df)
     val snap = snapshot(dir, Some(readVersion))
     requireSchema(snap.schemaDdl, df)
-    val field = snap.schema.fields.find(_.name == colName).getOrElse(
-      throw new IllegalArgumentException(s"$colName not in table schema"))
+    require(snap.schema.fields.exists(_.name == colName),
+      s"$colName not in table schema")
 
+    // Stage the replacement FIRST; the value set and the committed rows
+    // then come from the same single evaluation of `df` (the merge
+    // discipline — a non-deterministic frame cannot desynchronize them).
+    val (newSub, newAdds) = stage(spark, dir, df)
+    val stagedDf = spark.read.schema(df.schema)
+      .parquet(Paths.get(dir, newSub).toString)
     // The replaced value set, in the same cast-to-string canon as the
     // file stats. Bounded: these are partition-like values (days, shards).
-    val valRows = df.select(col(colName).cast(StringType)).distinct().collect()
-    require(valRows.forall(!_.isNullAt(0)),
-      s"replaceWhereIn: NULL $colName values are not supported")
-    val values = valRows.map(_.getString(0)).toSeq
-    if (values.isEmpty) return appendAfter(spark, dir, df, readVersion)
+    val values: Seq[String] =
+      try {
+        val valRows = stagedDf.select(col(colName).cast(StringType)).distinct().collect()
+        require(valRows.forall(!_.isNullAt(0)),
+          s"replaceWhereIn: NULL $colName values are not supported")
+        valRows.map(_.getString(0)).toSeq
+      } catch { case e: Throwable => deleteStaged(dir, newSub); throw e }
+    if (values.isEmpty) return commitStagedAppend(dir, newSub, newAdds, readVersion)
 
-    def cmp(typ: String, a: String, b: String): Int =
-      if (typ == "string" || typ == "date" || typ.startsWith("timestamp")) a.compareTo(b)
-      else BigDecimal(a).compare(BigDecimal(b))
     def classify(f: AddFile): Int = f.stats.get(colName) match { // 0 untouched, 1 full, 2 partial
       case Some(cs) => (cs.min, cs.max) match {
         case (Some(mn), Some(mx)) =>
-          val hits = values.exists(v => cmp(cs.typ, mn, v) <= 0 && cmp(cs.typ, mx, v) >= 0)
+          // Incomparable stats (NaN/Infinity) count as a hit: rewrite
+          // conservatively rather than wrongly skipping the file.
+          val hits = values.exists(v =>
+            (cmpStats(cs.typ, mn, v), cmpStats(cs.typ, mx, v)) match {
+              case (Some(a), Some(b)) => a <= 0 && b >= 0
+              case _ => true
+            })
           if (!hits) 0 // NULL rows never match a value — they don't untouch a file
           else if (mn == mx && values.contains(mn) && cs.nulls == 0) 1
           else 2
@@ -573,9 +601,8 @@ object TxLog {
           .parquet(partial.map(f => Paths.get(dir, f.path).toString): _*)
           .where(!col(colName).isin(values: _*) || col(colName).isNull)
         val (sub, adds) = stage(spark, dir, keep)
-        (Some(sub), adds)
+        (Some(sub), adds.map(_.copy(dataChange = false)))
       }
-    val (newSub, newAdds) = stage(spark, dir, df)
     val removes = (full ++ partial).map(_.path)
     val v = readVersion + 1
     val content = commitJson(v, "replaceWhere", System.currentTimeMillis(),
@@ -589,12 +616,11 @@ object TxLog {
     }
   }
 
-  /** Append pinned at a read version (replaceWhereIn's empty-value-set
-    * degenerate case keeps the overwrite-class conflict semantics). */
-  private def appendAfter(spark: SparkSession, dir: String, df: DataFrame,
+  /** Commit already-staged adds pinned at a read version
+    * (replaceWhereIn's empty-value-set degenerate case keeps the
+    * overwrite-class conflict semantics). */
+  private def commitStagedAppend(dir: String, sub: String, adds: Seq[AddFile],
       readVersion: Long): Long = {
-    requireSchema(snapshot(dir, Some(readVersion)).schemaDdl, df)
-    val (sub, adds) = stage(spark, dir, df)
     val v = readVersion + 1
     if (tryPublish(dir, v, commitJson(v, "append", System.currentTimeMillis(), adds, Nil, None)))
       { maybeCheckpoint(dir, v); v }
@@ -639,7 +665,9 @@ object TxLog {
         src.repartitionByRange(nOut, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       else src.coalesce(nOut)
-    val (sub, adds) = stage(spark, dir, packed)
+    // Layout-only rewrite: no row is new to the table.
+    val (sub, adds0) = stage(spark, dir, packed)
+    val adds = adds0.map(_.copy(dataChange = false))
     val removes = snap.files.map(_.path)
 
     var attempt = snap.version + 1
@@ -690,53 +718,69 @@ object TxLog {
     val snap = snapshot(dir, Some(readVersion))
     requireSchema(snap.schemaDdl, source)
 
-    val keyStats = source.agg(
-      count(lit(1)).as("n"),
-      countDistinct(col(keyCol)).as("d"),
-      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("nulls")).head()
-    require(keyStats.getLong(2) == 0, s"merge: NULL $keyCol in source")
-    require(keyStats.getLong(0) == keyStats.getLong(1),
-      s"merge: duplicate $keyCol values in source (${keyStats.getLong(0)} rows, " +
-        s"${keyStats.getLong(1)} distinct) — each key must match at most once")
-
-    val paths = snap.files.map(f => Paths.get(dir, f.path).toString)
-    val keys = source.select(col(keyCol)).distinct()
-    val touchedPaths: Set[String] =
-      if (paths.isEmpty) Set.empty
-      else spark.read.schema(snap.schema).parquet(paths: _*)
-        .select(col(keyCol), col("_metadata.file_path").as("__p"))
-        .join(keys, Seq(keyCol), "left_semi")
-        .select("__p").distinct().collect().map(_.getString(0)).toSet
-    val touched = snap.files.filter(f =>
-      touchedPaths.exists(_.endsWith(f.path)))
-
-    val (remSub, remainderAdds) =
-      if (touched.isEmpty) (None, Nil)
-      else {
-        val keep = spark.read.schema(snap.schema)
-          .parquet(touched.map(f => Paths.get(dir, f.path).toString): _*)
-          .join(keys, Seq(keyCol), "left_anti")
-        val (sub, adds) = stage(spark, dir, keep)
-        (Some(sub), adds)
-      }
+    // Stage the source FIRST and run every check and join against the
+    // staged re-read: the source plan is evaluated exactly once, so a
+    // non-deterministic source cannot desynchronize the validated keys,
+    // the matched-file set, and the rows that actually land.
     val (srcSub, srcAdds) = stage(spark, dir, source)
-    val v = readVersion + 1
-    val content = commitJson(v, "merge", System.currentTimeMillis(),
-      remainderAdds ++ srcAdds, touched.map(_.path), None)
-    if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
-    else {
+    val staged = spark.read.schema(source.schema)
+      .parquet(Paths.get(dir, srcSub).toString)
+    try {
+      val keyStats = staged.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col(keyCol)).as("d"),
+        sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("nulls")).head()
+      require(keyStats.getLong(2) == 0, s"merge: NULL $keyCol in source")
+      require(keyStats.getLong(0) == keyStats.getLong(1),
+        s"merge: duplicate $keyCol values in source (${keyStats.getLong(0)} rows, " +
+          s"${keyStats.getLong(1)} distinct) — each key must match at most once")
+
+      val paths = snap.files.map(f => Paths.get(dir, f.path).toString)
+      val keys = staged.select(col(keyCol)).distinct()
+      val touchedPaths: Set[String] =
+        if (paths.isEmpty) Set.empty
+        else spark.read.schema(snap.schema).parquet(paths: _*)
+          .select(col(keyCol), col("_metadata.file_path").as("__p"))
+          .join(keys, Seq(keyCol), "left_semi")
+          .select("__p").distinct().collect().map(_.getString(0)).toSet
+      val touched = snap.files.filter(f =>
+        touchedPaths.exists(_.endsWith(f.path)))
+
+      val (remSub, remainderAdds) =
+        if (touched.isEmpty) (None, Nil)
+        else {
+          val keep = spark.read.schema(snap.schema)
+            .parquet(touched.map(f => Paths.get(dir, f.path).toString): _*)
+            .join(keys, Seq(keyCol), "left_anti")
+          val (sub, adds) = stage(spark, dir, keep)
+          (Some(sub), adds.map(_.copy(dataChange = false)))
+        }
+      val v = readVersion + 1
+      val content = commitJson(v, "merge", System.currentTimeMillis(),
+        remainderAdds ++ srcAdds, touched.map(_.path), None)
+      if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
+      else {
+        remSub.foreach(deleteStaged(dir, _))
+        throw new ConcurrentWriteException(
+          s"merge into $dir conflicted: version $v was committed concurrently")
+      }
+    } catch { case e: Throwable =>
       deleteStaged(dir, srcSub)
-      remSub.foreach(deleteStaged(dir, _))
-      throw new ConcurrentWriteException(
-        s"merge into $dir conflicted: version $v was committed concurrently")
+      throw e
     }
   }
 
-  /** RESTORE TABLE: make `version`'s file set the new HEAD, as a commit
-    * (history is preserved — restore is an entry in the log, not a
-    * rewind of it). Fails if the target's files were already vacuumed.
-    * Overwrite-class conflict semantics (restoring over a concurrent
-    * write would silently discard it). Returns the committed version. */
+  /** RESTORE TABLE: make `version`'s file set AND schema the new HEAD,
+    * as a commit (history is preserved — restore is an entry in the log,
+    * not a rewind of it; an appendEvolve is undone by restoring past
+    * it). Fails if the target's files were already vacuumed — a
+    * best-effort check: it does NOT serialize against a CONCURRENT
+    * [[vacuum]], the same retention trade Delta documents (coordinate
+    * restore/vacuum operationally; vacuum only reclaims files outside
+    * the retained window, so a restore within that window is safe).
+    * Re-added files carry dataChange=false — their rows were delivered
+    * at their original versions. Overwrite-class conflict semantics.
+    * Returns the committed version. */
   def restore(spark: SparkSession, dir: String, version: Long): Long = {
     val readVersion = latestVersion(dir)
     val target = snapshot(dir, Some(version))
@@ -746,21 +790,30 @@ object TxLog {
     }
     val current = snapshot(dir, Some(readVersion))
     val adds = target.files.filterNot(f => current.files.exists(_.path == f.path))
+      .map(_.copy(dataChange = false))
     val removes = current.files.map(_.path).filterNot(target.files.map(_.path).contains)
+    val schemaDdl =
+      if (target.schemaDdl != current.schemaDdl) Some(target.schemaDdl) else None
     val v = readVersion + 1
-    val content = commitJson(v, "restore", System.currentTimeMillis(), adds, removes, None)
+    val content = commitJson(v, "restore", System.currentTimeMillis(), adds, removes, schemaDdl)
     if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
     else throw new ConcurrentWriteException(
       s"restore of $dir conflicted: version $v was committed concurrently")
   }
 
   /** Reclaim data files referenced by the log but live in NONE of the
-    * newest `retainVersions` snapshots. Time travel to a vacuumed
-    * version subsequently fails at scan time (files gone) — the Delta
-    * retention trade. Staged-but-uncommitted files of an in-flight
-    * writer appear in no commit and are never touched. Returns the
-    * deleted relative paths. */
-  def vacuum(dir: String, retainVersions: Int = 2): Seq[String] = {
+    * newest `retainVersions` snapshots. Time travel (or [[restore]]) to
+    * a vacuumed version subsequently fails — the Delta retention trade;
+    * coordinate restore/vacuum operationally, a restore WITHIN the
+    * retained window is always safe. Staged-but-uncommitted files of an
+    * IN-FLIGHT writer appear in no commit and are protected by the age
+    * threshold: `staleStagingMillis` (default 7 days) additionally
+    * reclaims never-referenced staging left by CRASHED writers once it
+    * is old enough that no live writer can still be about to commit it
+    * (Delta's vacuum-of-untracked-files rule). Returns the deleted
+    * relative paths. */
+  def vacuum(dir: String, retainVersions: Int = 2,
+      staleStagingMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val (commits, _) = listLog(dir)
     if (commits.isEmpty) return Nil
     val latest = commits.max
@@ -770,8 +823,38 @@ object TxLog {
     val referenced = commits.flatMap { v =>
       parseAdds(parse(Files.readString(versionFile(dir, v))) \ "adds").map(_.path)
     }.toSet
-    (referenced -- kept).toSeq.sorted
+    val expired = (referenced -- kept).toSeq.sorted
       .filter(rel => Files.deleteIfExists(Paths.get(dir, rel)))
+
+    // Dead staging: parquet under d-*/ that NO commit ever referenced,
+    // older than the staleness window (an in-flight writer's fresh
+    // staging is younger by definition).
+    val cutoff = System.currentTimeMillis() - math.max(0L, staleStagingMillis)
+    val root = Paths.get(dir)
+    val orphans = {
+      val ds = Files.list(root)
+      try {
+        ds.iterator().asScala
+          .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d-"))
+          .flatMap { d =>
+            val fs = Files.list(d)
+            try fs.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList.iterator
+            finally fs.close()
+          }
+          .map(p => root.relativize(p).toString)
+          .filterNot(referenced.contains)
+          .filter(rel => Files.getLastModifiedTime(Paths.get(dir, rel)).toMillis < cutoff)
+          .toList.sorted
+      } finally ds.close()
+    }
+    val reclaimed = orphans.filter(rel => Files.deleteIfExists(Paths.get(dir, rel)))
+    // Drop directories the reclamation emptied.
+    reclaimed.map(rel => Paths.get(dir, rel).getParent).distinct.foreach { d =>
+      val fs = Files.list(d)
+      val empty = try !fs.iterator().hasNext finally fs.close()
+      if (empty) Files.deleteIfExists(d): Unit
+    }
+    expired ++ reclaimed
   }
 
   // ---- readers -----------------------------------------------------------
@@ -818,7 +901,10 @@ object TxLog {
     val out = latestSchema.add(StructField("_commit_version", LongType, nullable = false))
     val groups = commits.sorted.filter(_ > fromVersionExclusive).flatMap { v =>
       val j = parse(Files.readString(versionFile(dir, v)))
-      val adds = parseAdds(j \ "adds")
+      // dataChange=false adds are rewrites of rows an earlier version
+      // already delivered (OPTIMIZE outputs, merge/replaceWhere
+      // remainders, restore re-adds) — never part of the change feed.
+      val adds = parseAdds(j \ "adds").filter(_.dataChange)
       if (jStr(j \ "op") == "optimize" || adds.isEmpty) None
       else Some((v, adds.map(a => Paths.get(dir, a.path).toString)))
     }
@@ -844,20 +930,32 @@ object TxLog {
         .parquet(snap.files.map(f => Paths.get(dir, f.path).toString): _*)
   }
 
+  /** Stats-canon comparator: numeric types as BigDecimal, date/
+    * timestamp/string lexically. None when a side cannot be parsed
+    * (NaN/Infinity in a float column's stats) — callers must treat an
+    * incomparable file CONSERVATIVELY (survive pruning, rewrite in
+    * replaceWhere), never crash the scan. */
+  private def cmpStats(typ: String, a: String, b: String): Option[Int] =
+    if (typ == "string" || typ == "date" || typ.startsWith("timestamp"))
+      Some(a.compareTo(b))
+    else
+      try Some(BigDecimal(a).compare(BigDecimal(b)))
+      catch { case _: NumberFormatException => None }
+
   /** Stats-based file pruning for `lo <= colName <= hi` (bounds as
     * canonical strings; numeric types compare as BigDecimal, date/
     * timestamp/string lexically — the same cast-to-string canon the
     * stats were written in). Returns (surviving, pruned). Files with no
     * stats for the column survive (pruning must never lose rows). */
   def prunedFiles(snap: Snapshot, colName: String, lo: String, hi: String): (Seq[AddFile], Seq[AddFile]) = {
-    def cmp(typ: String, a: String, b: String): Int =
-      if (typ == "string" || typ == "date" || typ.startsWith("timestamp")) a.compareTo(b)
-      else BigDecimal(a).compare(BigDecimal(b))
     snap.files.partition { f =>
       f.stats.get(colName) match {
         case Some(cs) => (cs.min, cs.max) match {
           case (Some(mn), Some(mx)) =>
-            cmp(cs.typ, mn, hi) <= 0 && cmp(cs.typ, mx, lo) >= 0
+            (cmpStats(cs.typ, mn, hi), cmpStats(cs.typ, mx, lo)) match {
+              case (Some(a), Some(b)) => a <= 0 && b >= 0
+              case _ => true // NaN/Infinity stats: never prune, never crash
+            }
           case _ => cs.nulls != f.rows // all-NULL file can't satisfy a range
         }
         case None => true

@@ -515,6 +515,84 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](TxLog.restore(spark, dir, 2L))
   }
 
+  test("change feed excludes ALL rewrites: merge remainders, replaceWhere remainders, restore re-adds") {
+    val dir = tmp()
+    import spark.implicits._
+    TxLog.append(spark, dir, df(0 until 6).coalesce(1))           // v0: 6 inserts
+    // v1 merge: update key 1 — the 5-row remainder is a rewrite, only
+    // the 1-row source is a change.
+    TxLog.merge(spark, dir, Seq((1L, "UPD")).toDF("id", "s"), "id")
+    val ch1 = TxLog.readChanges(spark, dir, 0L)
+    assert(ch1.count() === 1L)
+    assert(ch1.select("id").head().getLong(0) === 1L)
+    // v2 restore to v0: re-adds are not changes.
+    TxLog.restore(spark, dir, 0L)
+    assert(TxLog.readChanges(spark, dir, 1L).count() === 0L)
+  }
+
+  test("replaceWhere remainders are not changes; the replacement rows are") {
+    val dir = tmp()
+    import spark.implicits._
+    val part = (ids: Range, day: Long) => ids.map(i => (i.toLong, day)).toDF("id", "day")
+    TxLog.append(spark, dir, part(0 until 3, 1L).unionAll(part(10 until 13, 2L)).coalesce(1))
+    TxLog.replaceWhereIn(spark, dir, part(100 until 102, 2L), "day")
+    val ch = TxLog.readChanges(spark, dir, 0L)
+    // Only the 2 replacement rows — not the 3 day-1 rows the straddling
+    // file rewrite re-staged.
+    assert(ch.select("id").collect().map(_.getLong(0)).toSet === Set(100L, 101L))
+  }
+
+  test("NaN stats never crash or mis-prune double-column reads") {
+    val dir = tmp()
+    import spark.implicits._
+    val withNan = Seq((1L, 1.5), (2L, Double.NaN)).toDF("id", "x").coalesce(1)
+    val clean = Seq((3L, 100.0), (4L, 200.0)).toDF("id", "x").coalesce(1)
+    TxLog.append(spark, dir, withNan)
+    TxLog.append(spark, dir, clean)
+    // The NaN file's max stat is the string "NaN": it must SURVIVE
+    // pruning (never crash, never lose the 1.5 row).
+    val out = TxLog.readRange(spark, dir, "x", "0", "10")
+    assert(out.select("id").collect().map(_.getLong(0)).toSet === Set(1L))
+    // And replaceWhere on the same column rewrites conservatively.
+    TxLog.replaceWhereIn(spark, dir, Seq((9L, 1.5)).toDF("id", "x"), "x")
+    assert(TxLog.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet ===
+      Set(2L, 3L, 4L, 9L))
+  }
+
+  test("restore rewinds the schema too: an evolution is undone") {
+    val dir = tmp()
+    import spark.implicits._
+    TxLog.append(spark, dir, df(0 until 3))
+    TxLog.appendEvolve(spark, dir, Seq((10L, "w", 1.0)).toDF("id", "s", "score"))
+    assert(TxLog.read(spark, dir).schema.fieldNames.length === 3)
+    TxLog.restore(spark, dir, 0L)
+    assert(TxLog.read(spark, dir).schema.fieldNames.toSeq === Seq("id", "s"))
+    // The original pipeline's narrow append works again post-restore.
+    TxLog.append(spark, dir, df(5 until 7))
+    assert(TxLog.snapshot(dir).rows === 5L)
+  }
+
+  test("vacuum reclaims crashed writers' stale staging, not fresh staging") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 3))
+    // Simulate a crashed writer: a staged parquet file referenced by no
+    // commit, with an old mtime.
+    val dead = Paths.get(dir, "d-deadbeef")
+    Files.createDirectories(dead)
+    Files.writeString(dead.resolve("part-000.parquet"), "orphan")
+    Files.setLastModifiedTime(dead.resolve("part-000.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10_000_000L))
+    // A FRESH unreferenced staging (in-flight writer) must survive.
+    val fresh = Paths.get(dir, "d-feedface")
+    Files.createDirectories(fresh)
+    Files.writeString(fresh.resolve("part-000.parquet"), "in-flight")
+    val deleted = TxLog.vacuum(dir, retainVersions = 2, staleStagingMillis = 1_000_000L)
+    assert(deleted === Seq("d-deadbeef/part-000.parquet"))
+    assert(!Files.exists(dead)) // emptied dir dropped
+    assert(Files.exists(fresh.resolve("part-000.parquet")))
+    assert(TxLog.snapshot(dir).rows === 3L) // live data untouched
+  }
+
   test("log garbage tolerance: stray temp files in _txlog are ignored") {
     val dir = tmp()
     TxLog.append(spark, dir, df(0 until 3))
