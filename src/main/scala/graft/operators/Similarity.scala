@@ -6,12 +6,26 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** The engine's similarity-search library — the reusable API behind
-  * parity queries q59/q60/q71. Inputs: a vector table and a query-vector
-  * table, both (id, ARRAY<FLOAT>). Outputs: (q_id, vec_id, cosine, rank).
-  * Cosine runs through the native codegen'd `cosine_sim`
-  * (GraftExtensions). Scale rationale per variant in the query Scaladocs:
-  * brute force = exactness baseline, hyperplane-LSH and IVF = the
-  * bucket-restricted candidate paths. */
+  * parity queries q59/q60/q71/q108/q126. Inputs: a vector table and a
+  * query-vector table, both (id, ARRAY<FLOAT>). Outputs: (q_id, vec_id,
+  * cosine, rank). Cosine runs through the native codegen'd `cosine_sim`
+  * (GraftExtensions). Scale rationale per variant in the query
+  * Scaladocs: brute force = exactness baseline, hyperplane-LSH and IVF =
+  * the bucket-restricted candidate paths, PQ = the compressed-scan tier.
+  *
+  * INPUT CONTRACT (shared by every operator here):
+  *  - embeddings are FINITE and NONZERO-NORM: a zero vector makes
+  *    cosine 0/0 = NaN, and NaN compares GREATER than everything in
+  *    both engines' sort order — it would rank first in top-k and pass
+  *    any >= minCosine near-dup bar identically on both sides of the
+  *    parity check. Filter degenerate embeddings upstream (a length
+  *    check is a pure projection);
+  *  - query ids live in the corpus id space (callers pass corpus
+  *    subsets): the self-match exclusion vec_id =!= q_id assumes id
+  *    equality means row identity;
+  *  - PQ ADC values must fit DECIMAL(18,6) — embedding magnitudes up to
+  *    ~1e4 per coordinate; beyond that, Spark's non-ANSI cast nulls
+  *    where DuckDB errors. */
 object Similarity {
 
   private def rank(scored: DataFrame, k: Int): DataFrame =
@@ -183,12 +197,15 @@ object Similarity {
     * are read only for |queries|·rerankDepth rows. */
   /** The `nCodes` lowest-id vectors matching `codebookFilter`, as
     * (cw_id 0.., cw_emb) — the deterministic sampled quantizer. The
-    * global row_number window is bounded: it sorts only the filtered
-    * sample, which is nCodes-scale by construction. */
+    * nCodes smallest ids come from orderBy().limit() — a TakeOrdered
+    * top-k (per-partition heaps, k-row driver merge), so the filter
+    * match set (corpus-proportional at scale) is never globally
+    * sorted; only the k-row result carries the rank window (the q108
+    * seed discipline). */
   def pqCodebook(vectors: DataFrame, codebookFilter: String, nCodes: Int): DataFrame =
     vectors.where(codebookFilter)
+      .orderBy("vec_id").limit(nCodes)
       .withColumn("cw_id", row_number().over(Window.orderBy("vec_id")) - 1)
-      .where(col("cw_id") < nCodes)
       .select(col("cw_id"), col("embedding").as("cw_emb"))
 
   /** PQ encoding: (vec_id, s, code) — subspace s of each vector mapped
@@ -215,11 +232,9 @@ object Similarity {
     // window twice. It is nCodes rows by construction — collect once and
     // reuse as a local relation (the J2 collect→literal discipline).
     val spark = vectors.sparkSession
+    val cbPlan = pqCodebook(vectors, codebookFilter, nCodes)
     val cb = spark.createDataFrame(
-      java.util.Arrays.asList(pqCodebook(vectors, codebookFilter, nCodes).collect(): _*),
-      StructType(Seq(
-        StructField("cw_id", IntegerType, nullable = false),
-        StructField("cw_emb", ArrayType(FloatType), nullable = true))))
+      java.util.Arrays.asList(cbPlan.collect(): _*), cbPlan.schema)
     val codes = pqEncode(vectors, cb, m, subDim)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val lut = q.crossJoin(broadcast(cb))
