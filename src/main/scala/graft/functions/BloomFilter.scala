@@ -192,9 +192,13 @@ case class BloomContains(left: Expression, right: Expression)
   * letting the ContextCleaner reclaim executor blocks once every plan
   * referencing the filter is unreferenced — exactly like checkpoint
   * blocks. A per-micro-batch caller (the streaming ingest loop) thus
-  * cannot accumulate dead filters. [[release]] remains for eager,
-  * deterministic teardown (and is the only way to free a handle that
-  * was registered but never resolved into a plan). */
+  * cannot accumulate dead filters — PROVIDED every registered handle is
+  * eventually resolved or released: a handle whose plan is never
+  * constructed (an exception between register and Dataset construction)
+  * stays strongly pinned forever, invisible to the purge loop. The
+  * registering operators therefore [[release]] on that error path
+  * (try/catch around register→plan-construction); [[release]] also
+  * remains for eager, deterministic teardown. */
 object BloomBroadcasts {
   private final class Slot(
       @volatile var strong: Broadcast[Array[Byte]],
@@ -224,6 +228,14 @@ object BloomBroadcasts {
     // any plan is alive.
     slot.strong = null
     b
+  }
+
+  /** Test hook: slots still holding the register-time strong pin (i.e.
+    * registered but never resolved or released). */
+  private[graft] def pinnedCount: Int = {
+    var n = 0
+    live.forEach((_, s) => if (s.strong != null) n += 1)
+    n
   }
 
   /** Drop the handle AND the executor-side blocks eagerly. Only call

@@ -558,11 +558,18 @@ object Dedup {
       .head().getAs[Array[Byte]](0)
     val handle = graft.functions.BloomBroadcasts.register(
       history.sparkSession.sparkContext.broadcast(filter))
-    splitConfirm(history,
-      incoming.withColumn("__maybe_seen",
-        org.apache.spark.sql.functions.call_function("bloom_contains_bcast",
-          lit(handle), expr(s"xxhash64($textCol)"))),
-      textCol)
+    // An exception before the plan resolves the handle (eager analysis of
+    // the withColumn Dataset) would otherwise leave the registry's strong
+    // pin in place forever — no plan escapes here, so release is safe.
+    try {
+      splitConfirm(history,
+        incoming.withColumn("__maybe_seen",
+          org.apache.spark.sql.functions.call_function("bloom_contains_bcast",
+            lit(handle), expr(s"xxhash64($textCol)"))),
+        textCol)
+    } catch { case e: Throwable =>
+      graft.functions.BloomBroadcasts.release(handle); throw e
+    }
   }
 
   /** [[newAgainstHistory]] for histories whose single filter would blow
@@ -583,31 +590,45 @@ object Dedup {
       numBits: Int = 1 << 20, numProbes: Int = 5): DataFrame = {
     require(numBuckets >= 1, s"numBuckets $numBuckets < 1")
     val sc = history.sparkSession.sparkContext
-    val handles = history
-      .selectExpr(s"pmod(xxhash64($textCol), $numBuckets) AS __b",
-        s"xxhash64($textCol) AS __h")
-      .groupBy("__b")
-      .agg(org.apache.spark.sql.functions.call_function("bloom_agg",
-        col("__h"), lit(numBits), lit(numProbes)).as("__f"))
-      .collect()
-      .map(r => r.getLong(0) ->
-        graft.functions.BloomBroadcasts.register(
-          sc.broadcast(r.getAs[Array[Byte]](1))))
-      .sortBy(_._1)
-    // bucket + hash computed ONCE per row (not per CASE arm); only the
-    // matching arm's probe evaluates.
-    val dispatch = handles.foldRight(lit(null).cast("boolean")) {
-      case ((b, handle), rest) =>
-        when(col("__bloom_b") === b,
-          org.apache.spark.sql.functions.call_function("bloom_contains_bcast",
-            lit(handle), col("__bloom_h"))).otherwise(rest)
+    // Registered handles are strongly pinned until the plan resolves
+    // them; if anything throws between a register and plan construction
+    // (a later broadcast failing mid-loop, an analysis error on
+    // `incoming`), release every handle registered so far — no plan has
+    // escaped, so the broadcasts are safely destroyable.
+    val registered = scala.collection.mutable.ArrayBuffer.empty[Int]
+    try {
+      val handles = history
+        .selectExpr(s"pmod(xxhash64($textCol), $numBuckets) AS __b",
+          s"xxhash64($textCol) AS __h")
+        .groupBy("__b")
+        .agg(org.apache.spark.sql.functions.call_function("bloom_agg",
+          col("__h"), lit(numBits), lit(numProbes)).as("__f"))
+        .collect()
+        .map { r =>
+          val h = graft.functions.BloomBroadcasts.register(
+            sc.broadcast(r.getAs[Array[Byte]](1)))
+          registered += h
+          r.getLong(0) -> h
+        }
+        .sortBy(_._1)
+      // bucket + hash computed ONCE per row (not per CASE arm); only the
+      // matching arm's probe evaluates.
+      val dispatch = handles.foldRight(lit(null).cast("boolean")) {
+        case ((b, handle), rest) =>
+          when(col("__bloom_b") === b,
+            org.apache.spark.sql.functions.call_function("bloom_contains_bcast",
+              lit(handle), col("__bloom_h"))).otherwise(rest)
+      }
+      val marked = incoming
+        .withColumn("__bloom_h", expr(s"xxhash64($textCol)"))
+        .withColumn("__bloom_b", pmod(col("__bloom_h"), lit(numBuckets.toLong)))
+        .withColumn("__maybe_seen", dispatch)
+        .drop("__bloom_h", "__bloom_b")
+      splitConfirm(history, marked, textCol)
+    } catch { case e: Throwable =>
+      registered.foreach(graft.functions.BloomBroadcasts.release)
+      throw e
     }
-    val marked = incoming
-      .withColumn("__bloom_h", expr(s"xxhash64($textCol)"))
-      .withColumn("__bloom_b", pmod(col("__bloom_h"), lit(numBuckets.toLong)))
-      .withColumn("__maybe_seen", dispatch)
-      .drop("__bloom_h", "__bloom_b")
-    splitConfirm(history, marked, textCol)
   }
 
   /** The beyond-driver-RAM Bloom path: per-bucket filters that NEVER

@@ -423,7 +423,19 @@ object TxLog {
     * zombie attempts of the same batch cannot both land: the loser's
     * rebase re-reads the log, sees the winner's txn, and backs off.
     * Returns Some(version) when this call committed, None when the batch
-    * was already in the table. */
+    * was already in the table.
+    *
+    * CAVEAT (shared with Delta's txn action): the guard assumes a given
+    * batchId always carries the SAME content. If the stream's checkpoint
+    * is lost and a restart re-reads the source from scratch, everything
+    * — already-landed files plus any files that arrived after the lost
+    * checkpoint — re-enters as batch 0, which the high-water mark skips
+    * wholesale: no duplicates, but the NEWER rows folded into that
+    * replayed batchId are silently dropped (and the fresh checkpoint
+    * then marks them processed). Pair the appId's lifetime 1:1 with the
+    * checkpoint's: a rebuilt checkpoint must mean a new appId, or a
+    * source whose batchId→content mapping is durable (e.g. the manifest
+    * ledger, where a batch is a fixed set of ledger rows). */
   def appendBatch(spark: SparkSession, dir: String, df: DataFrame,
       appId: String, batchId: Long): Option[Long] = {
     Files.createDirectories(Paths.get(dir))
@@ -934,10 +946,33 @@ object TxLog {
     * timestamp/string lexically. None when a side cannot be parsed
     * (NaN/Infinity in a float column's stats) — callers must treat an
     * incomparable file CONSERVATIVELY (survive pruning, rewrite in
-    * replaceWhere), never crash the scan. */
+    * replaceWhere), never crash the scan.
+    *
+    * String stats compare as UTF-8 BYTES, not with String.compareTo:
+    * the min/max were computed under Spark's binary (UTF-8) string
+    * ordering, while Java compares UTF-16 code units — the two diverge
+    * whenever a supplementary-plane character (surrogate pair,
+    * e.g. emoji) meets one in U+E000..U+FFFF, and a comparator in the
+    * wrong collation can prune a file that holds matching rows. UTF-8
+    * byte order equals code-point order, so it agrees with Spark for
+    * every string. Date/timestamp stats are ASCII ISO-8601, where the
+    * two orders coincide — routed through the same comparator. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def cmpStats(typ: String, a: String, b: String): Option[Int] =
     if (typ == "string" || typ == "date" || typ.startsWith("timestamp"))
-      Some(a.compareTo(b))
+      Some(utf8Cmp(a, b))
     else
       try Some(BigDecimal(a).compare(BigDecimal(b)))
       catch { case _: NumberFormatException => None }

@@ -22,6 +22,15 @@ import graft.sources.TxLog
   *    checkpoint) from landing twice — the failure modes the checkpoint
   *    alone cannot cover.
   *
+  * Checkpoint LOSS is dedup-safe but not loss-safe (Delta's documented
+  * txn caveat): a restart with a fresh checkpoint re-reads the whole
+  * source as batch 0, and the txn high-water mark skips it wholesale —
+  * files that arrived AFTER the lost checkpoint are folded into that
+  * replayed batch and silently dropped. The guard requires
+  * batchId→content determinism; pair the appId's lifetime 1:1 with the
+  * checkpoint (rebuilt checkpoint ⇒ new appId, then backfill-dedup), or
+  * ingest from a ledger whose batches are durable.
+  *
   * `appId` identifies the logical stream; it must be stable across
   * restarts of the same stream (pair it 1:1 with the checkpoint) and
   * distinct across different streams writing the same table.

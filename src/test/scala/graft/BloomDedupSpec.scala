@@ -211,6 +211,24 @@ class BloomDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(msgs(err).exists(_.contains("no filter registered")), msgs(err).mkString(" | "))
   }
 
+  test("broadcast handle lifecycle: a failed operator releases its pins (no forever-leak)") {
+    import spark.implicits._
+    val history = (0 until 50).map(i => (i.toLong, s"h $i")).toDF("doc_id", "text")
+    // `incoming` lacks the text column, so plan construction throws AFTER
+    // the filter is built and registered — the error path must release
+    // the handle, or the registry pins the broadcast forever (the purge
+    // loop skips strong slots).
+    val bad = (0 until 10).map(i => (i.toLong, s"n $i")).toDF("doc_id", "other")
+    val before = graft.functions.BloomBroadcasts.pinnedCount
+    intercept[Throwable](Dedup.newAgainstHistory(history, bad, "text"))
+    assert(graft.functions.BloomBroadcasts.pinnedCount === before,
+      "newAgainstHistory leaked a strong pin on its error path")
+    intercept[Throwable](Dedup.newAgainstHistoryBucketed(history, bad, "text",
+      numBuckets = 4))
+    assert(graft.functions.BloomBroadcasts.pinnedCount === before,
+      "newAgainstHistoryBucketed leaked strong pins on its error path")
+  }
+
   test("broadcast handle lifecycle: register→lookup window survives GC with no caller reference") {
     // BroadcastManager holds TorrentBroadcast only weakly, so if the
     // registry didn't pin it, a GC between register and plan analysis

@@ -600,4 +600,25 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     Files.writeString(Paths.get(dir, "_txlog", "notes.txt"), "hi")
     assert(TxLog.snapshot(dir).rows === 3L)
   }
+
+  test("string stats prune in UTF-8 order: supplementary-plane rows are never lost") {
+    import spark.implicits._
+    val dir = tmp()
+    // U+1F600 (emoji, a surrogate pair in UTF-16) sorts BELOW U+E000 in
+    // UTF-16 code-unit order but ABOVE it in Spark's UTF-8/code-point
+    // collation — the stats were written under the latter, so a
+    // String.compareTo-based comparator would see max("😀") <
+    // lo("") and wrongly prune the file that holds the match.
+    val emoji = "😀" // U+1F600
+    TxLog.append(spark, dir, Seq((1L, emoji)).toDF("id", "s").coalesce(1))
+    TxLog.append(spark, dir, Seq((2L, "ascii")).toDF("id", "s").coalesce(1))
+    val snap = TxLog.snapshot(dir)
+    val lo = ""       // U+E000 (private use, below U+1F600 by code point)
+    val hi = "🛀" // U+1F6C0 (above U+1F600)
+    val (surv, pruned) = TxLog.prunedFiles(snap, "s", lo, hi)
+    assert(surv.exists(_.stats("s").min.contains(emoji)),
+      s"emoji file wrongly pruned: surv=${surv.map(_.stats("s").min)}")
+    assert(pruned.exists(_.stats("s").min.contains("ascii"))) // below lo in BOTH orders
+    assert(idSet(TxLog.readRange(spark, dir, "s", lo, hi)) === Set(1L))
+  }
 }
