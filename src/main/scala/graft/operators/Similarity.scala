@@ -18,8 +18,12 @@ import org.apache.spark.sql.types._
   *    cosine 0/0 = NaN, and NaN compares GREATER than everything in
   *    both engines' sort order — it would rank first in top-k and pass
   *    any >= minCosine near-dup bar identically on both sides of the
-  *    parity check. Filter degenerate embeddings upstream (a length
-  *    check is a pure projection);
+  *    parity check. This clause is ENFORCED, not just documented: every
+  *    operator filters degenerate embeddings at entry with
+  *    [[validEmbExpr]] (rows with NULL/empty/NaN/Inf/zero-norm
+  *    embeddings silently drop from candidates, queries, centroids,
+  *    codebooks, and the semantic-dedup kept set — route them on a
+  *    separate non-semantic path if they must survive);
   *  - query ids live in the corpus id space (callers pass corpus
   *    subsets): the self-match exclusion vec_id =!= q_id assumes id
   *    equality means row identity;
@@ -27,6 +31,22 @@ import org.apache.spark.sql.types._
   *    ~1e4 per coordinate; beyond that, Spark's non-ANSI cast nulls
   *    where DuckDB errors. */
 object Similarity {
+
+  /** Dialect-shared embedding-validity predicate — the input contract's
+    * first clause as an enforceable filter: norm² = Σx² must be FINITE
+    * (`n2 - n2 = 0` fails for NaN and ±Inf, including finite elements
+    * whose squares overflow) and POSITIVE (zero vectors out). NULL or
+    * empty arrays yield NULL/0 and drop. One O(d) fold per row,
+    * evaluated once via `bind` — a pure codegen'd projection. Emitted
+    * per dialect so oracles replay the exact same acceptance set. */
+  def validEmbExpr(d: graft.queries.SqlDialect, emb: String): String =
+    d.bind(d.dsum(d.zipMul(emb, emb)), "n2",
+      "(n2 - n2 = CAST(0 AS DOUBLE) AND n2 > CAST(0 AS DOUBLE))")
+
+  /** [[validEmbExpr]] applied Spark-side: `df` minus the rows whose
+    * `embCol` violates the contract. */
+  def validEmbeddings(df: DataFrame, embCol: String = "embedding"): DataFrame =
+    df.where(expr(validEmbExpr(graft.queries.SparkSql, embCol)))
 
   private def rank(scored: DataFrame, k: Int): DataFrame =
     scored
@@ -37,8 +57,9 @@ object Similarity {
 
   /** Exact top-k: broadcast the query set over a full scan. */
   def topK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    rank(vectors.crossJoin(broadcast(q))
+    val q = validEmbeddings(queries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    rank(validEmbeddings(vectors).crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("q_id"))
       .selectExpr("q_id", "vec_id", "cosine_sim(q_emb, embedding) AS cosine"), k)
   }
@@ -46,9 +67,10 @@ object Similarity {
   /** ANN via a precomputed bucket column present on BOTH inputs (e.g.
     * q60's hyperplane buckets): candidates = same-bucket vectors only. */
   def bucketedTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col("bucket").as("q_bucket"))
-    rank(vectors.join(broadcast(q),
+    val q = validEmbeddings(queries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    rank(validEmbeddings(vectors).join(broadcast(q),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .selectExpr("q_id", "vec_id", "cosine_sim(q_emb, embedding) AS cosine"), k)
   }
@@ -74,14 +96,16 @@ object Similarity {
     */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, queryFilter: String,
       k: Int, nprobe: Int): DataFrame = {
-    val cents = centroids.select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    def scored(vs: DataFrame): DataFrame = vs.crossJoin(broadcast(cents))
+    val vs = validEmbeddings(vectors)
+    val cents = validEmbeddings(centroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    def scored(in: DataFrame): DataFrame = in.crossJoin(broadcast(cents))
       .selectExpr("vec_id", "embedding", "cent_id",
         "cosine_sim(embedding, cent_emb) AS c_cos")
     val ord = struct((-col("c_cos")).as("neg_cos"), col("cent_id").as("cent_id"))
-    val assigned = assignCells(vectors, cents)
+    val assigned = assignCells(vs, cents)
       .select(col("vec_id"), col("cell").as("cent_id"), col("embedding"))
-    val probes = scored(vectors.where(queryFilter))
+    val probes = scored(vs.where(queryFilter))
       .groupBy("vec_id")
       .agg(first(col("embedding")).as("q_emb"),
         slice(array_sort(collect_list(ord)), 1, nprobe).as("cands"))
@@ -104,7 +128,8 @@ object Similarity {
     * Output: (vec_id, cell, embedding). */
   def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
     val ord = struct((-col("c_cos")).as("neg_cos"), col("cent_id").as("cent_id"))
-    vectors.crossJoin(broadcast(cents))
+    validEmbeddings(vectors)
+      .crossJoin(broadcast(validEmbeddings(cents, "cent_emb")))
       .selectExpr("vec_id", "embedding", "cent_id",
         "cosine_sim(embedding, cent_emb) AS c_cos")
       .groupBy("vec_id")
@@ -203,7 +228,7 @@ object Similarity {
     * sorted; only the k-row result carries the rank window (the q108
     * seed discipline). */
   def pqCodebook(vectors: DataFrame, codebookFilter: String, nCodes: Int): DataFrame =
-    vectors.where(codebookFilter)
+    validEmbeddings(vectors).where(codebookFilter)
       .orderBy("vec_id").limit(nCodes)
       .withColumn("cw_id", row_number().over(Window.orderBy("vec_id")) - 1)
       .select(col("cw_id"), col("embedding").as("cw_emb"))
@@ -214,7 +239,7 @@ object Similarity {
     * vectors: m small ints per vector. */
   def pqEncode(vectors: DataFrame, codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
     val d = graft.queries.SparkSql
-    vectors
+    validEmbeddings(vectors)
       .select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(m - 1))).as("s"))
       .crossJoin(broadcast(codebook))
@@ -232,11 +257,13 @@ object Similarity {
     // window twice. It is nCodes rows by construction — collect once and
     // reuse as a local relation (the J2 collect→literal discipline).
     val spark = vectors.sparkSession
-    val cbPlan = pqCodebook(vectors, codebookFilter, nCodes)
+    val vs = validEmbeddings(vectors)
+    val cbPlan = pqCodebook(vs, codebookFilter, nCodes)
     val cb = spark.createDataFrame(
       java.util.Arrays.asList(cbPlan.collect(): _*), cbPlan.schema)
-    val codes = pqEncode(vectors, cb, m, subDim)
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val codes = pqEncode(vs, cb, m, subDim)
+    val q = validEmbeddings(queries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val lut = q.crossJoin(broadcast(cb))
       .select(col("q_id"), col("q_emb"), col("cw_id"), col("cw_emb"),
         explode(sequence(lit(0), lit(m - 1))).as("s"))

@@ -16,6 +16,13 @@ object AnnQueries {
 
   private val K = 5
 
+  /** The operators' embedding-validity guard (Similarity.validEmbExpr),
+    * mirrored into every oracle's base CTE so both engines agree on the
+    * acceptance set even when the corpus carries NaN/Inf/zero-norm
+    * embeddings (on the clean test tables the filter is a no-op). */
+  private def vOK(d: SqlDialect): String =
+    graft.operators.Similarity.validEmbExpr(d, "embedding")
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- brute-force cosine top-k ---------------------------------------
@@ -33,7 +40,7 @@ object AnnQueries {
       Some(s"""WITH e AS (
                  SELECT vec_id, embedding,
                         sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm
-                 FROM embeddings),
+                 FROM embeddings WHERE ${vOK(d)}),
                q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
                      FROM e WHERE vec_id < $K),
                scored AS (
@@ -66,7 +73,7 @@ object AnnQueries {
                  SELECT vec_id, embedding,
                         sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm,
                         ${bucketExpr(d)} AS bucket
-                 FROM embeddings),
+                 FROM embeddings WHERE ${vOK(d)}),
                q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
                             bucket AS q_bucket
                      FROM e WHERE vec_id < $K),
@@ -103,7 +110,7 @@ object AnnQueries {
       graft.operators.Similarity.subL2Expr(d, a, b, 16)
     def cos(a: String, b: String) =
       s"${d.dsum(d.zipMul(a, b))} / (sqrt(${d.dsum(d.zipMul(a, a))}) * sqrt(${d.dsum(d.zipMul(b, b))}))"
-    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE ${vOK(d)}),
              cb AS (SELECT cw_id, cw_emb FROM (
                       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw_id,
                              embedding AS cw_emb
@@ -163,7 +170,11 @@ object AnnQueries {
     * the checkpointed min-label propagation. Every stage bucket-shaped. */
   private lazy val semanticDedupSpec: QuerySpec = QuerySpec("q108_semantic_dedup", { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val e = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+    // The validity guard is applied BEFORE the count so k (= ⌈√n⌉ over
+    // the accepted corpus) matches the oracle's filtered count even on
+    // dirty data; semanticDedup re-applies the same filter internally.
+    val e = graft.operators.Similarity.validEmbeddings(
+      Td.load(s, dir, "embeddings").select("vec_id", "embedding"))
     val corpus = e.unionAll(e.filter(col("vec_id") < 50)
       .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
     val k = math.ceil(math.sqrt(corpus.count().toDouble)).toInt
@@ -178,9 +189,10 @@ object AnnQueries {
   }, {
     val d = DuckSql
     Some(s"""WITH RECURSIVE corpus AS (
-               SELECT vec_id, embedding FROM embeddings
+               SELECT vec_id, embedding FROM embeddings WHERE ${vOK(d)}
                UNION ALL
-               SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50),
+               SELECT vec_id + 10000, embedding FROM embeddings
+               WHERE vec_id < 50 AND ${vOK(d)}),
              hashed AS (
                SELECT vec_id, embedding,
                       ${d.hex32(d.toStr("vec_id"))} AS h FROM corpus),
@@ -243,7 +255,7 @@ object AnnQueries {
     val d = DuckSql
     def cos(a: String, b: String) =
       s"${d.dsum(d.zipMul(a, b))} / (sqrt(${d.dsum(d.zipMul(a, a))}) * sqrt(${d.dsum(d.zipMul(b, b))}))"
-    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE ${vOK(d)}),
              cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
                        FROM e WHERE vec_id % 100 = 7),
              ranked AS (
