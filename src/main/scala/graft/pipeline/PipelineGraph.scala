@@ -52,7 +52,8 @@ final case class TableDef(
   */
 final case class PipelineResult(
     tables: Map[String, DataFrame],
-    expectations: Seq[ExpectationResult]) {
+    expectations: Seq[ExpectationResult],
+    publishedRun: Option[Long] = None) {
   def apply(name: String): DataFrame = tables(name)
 
   /** Expectation metrics as a queryable DataFrame (the DLT event-log
@@ -126,16 +127,28 @@ object PipelineGraph {
     * = replaceWhereIn on the partition column), so a crashed run never
     * leaves a half-written table, every previous run stays readable via
     * time travel, and concurrent readers are snapshot-isolated.
-    * Single-column partitionBy only in this mode. */
+    * Single-column partitionBy only in this mode.
+    *
+    * `publishRun` (requires `transactionalSinks`): after EVERY table
+    * node's TxLog commit has landed, publish one
+    * [[graft.sources.TxPublish]] run manifest mapping each table to the
+    * version this run committed. Readers that resolve the manifest once
+    * ([[graft.sources.TxPublish.readRun]]) get an all-old-or-all-new
+    * cross-table view — a mid-run crash publishes nothing, so they keep
+    * seeing the previous complete run. */
   def run(spark: SparkSession, defs: Seq[TableDef], workDir: String,
       sinkPartitions: Option[Int] = None, parallelism: Int = 4,
-      transactionalSinks: Boolean = false): PipelineResult = {
+      transactionalSinks: Boolean = false,
+      publishRun: Boolean = false): PipelineResult = {
+    require(!publishRun || transactionalSinks,
+      "publishRun requires transactionalSinks (manifests pin TxLog versions)")
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
 
     val ordered = topoOrder(defs)
     val results = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
     val metrics = scala.collection.concurrent.TrieMap.empty[String, Seq[ExpectationResult]]
+    val committedVersions = scala.collection.concurrent.TrieMap.empty[String, Long]
     val reader: PipelineResult.Reader = name =>
       results.getOrElse(name, sys.error(s"unknown upstream table: $name"))
 
@@ -172,10 +185,12 @@ object PipelineGraph {
           if (transactionalSinks) {
             require(t.partitionBy.size <= 1,
               s"${t.name}: transactional sinks support at most one partition column")
-            if (t.partitionBy.isEmpty)
-              graft.sources.TxLog.overwrite(spark, sink, sized): Unit
-            else
-              graft.sources.TxLog.replaceWhereIn(spark, sink, sized, t.partitionBy.head): Unit
+            val v =
+              if (t.partitionBy.isEmpty)
+                graft.sources.TxLog.overwrite(spark, sink, sized)
+              else
+                graft.sources.TxLog.replaceWhereIn(spark, sink, sized, t.partitionBy.head)
+            committedVersions.put(t.name, v): Unit
           } else {
             val writer = sized.write.mode("overwrite")
             if (t.partitionBy.nonEmpty)
@@ -215,8 +230,16 @@ object PipelineGraph {
       Await.result(Future.sequence(ordered.map(t => futures(t.name))), Duration.Inf)
     } finally pool.shutdown()
 
+    // The manifest goes out strictly AFTER every node's commit returned
+    // (the Await above is the barrier) — the all-or-nothing point.
+    val run =
+      if (publishRun && committedVersions.nonEmpty)
+        Some(graft.sources.TxPublish.publish(workDir, committedVersions.toMap))
+      else None
+
     PipelineResult(
       results.toMap,
-      ordered.flatMap(t => metrics.getOrElse(t.name, Nil)))
+      ordered.flatMap(t => metrics.getOrElse(t.name, Nil)),
+      run)
   }
 }

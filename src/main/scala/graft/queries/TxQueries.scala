@@ -192,5 +192,51 @@ object TxQueries {
                      CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
                      CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
               FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+  ,
+
+    // ---- run-level snapshot-isolated multi-table publish ----------------
+    // Two pipeline "runs" over orders, each committing one TxLog version
+    // per table and ONE TxPublish run manifest: run 1 sees only even
+    // order keys, run 2 everything. The query resolves RUN 0's manifest
+    // AFTER run 2 has overwritten both tables and reads both tables
+    // through it — the all-old cross-table view. The oracle re-derives
+    // run 1's two tables from raw orders with the same arithmetic: if
+    // either read resolved "latest" instead of the pinned version (a torn
+    // cross-table view), run 2's rows double the counts and the hash
+    // diverges.
+    QuerySpec("q133_publish_snapshot", { (s, dir) =>
+      import graft.sources.TxPublish
+      val root = java.nio.file.Files.createTempDirectory("graft-q133").toString
+      val orders = Td.load(s, dir, "orders")
+      def runOnce(src: DataFrame): Long = {
+        val vs = TxLog.overwrite(s, s"$root/ord_status",
+          src.groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price")))
+        val vp = TxLog.overwrite(s, s"$root/ord_prio",
+          src.groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price")))
+        TxPublish.publish(root, Map("ord_status" -> vs, "ord_prio" -> vp))
+      }
+      runOnce(orders.where(pmod(col("o_orderkey"), lit(2)) === 0))
+      runOnce(orders)
+      val run0 = TxPublish.readRun(s, root, runAsOf = Some(0L))
+      run0("ord_status")
+        .select(lit("status").as("tbl"), col("o_orderstatus").as("k"),
+          col("n_rows"), col("sum_price"))
+        .unionAll(run0("ord_prio")
+          .select(lit("prio").as("tbl"), col("o_orderpriority").as("k"),
+            col("n_rows"), col("sum_price")))
+        .orderBy("tbl", "k")
+    },
+      Some("""WITH r1 AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+              SELECT * FROM (
+                SELECT 'status' AS tbl, o_orderstatus AS k, count(*) AS n_rows,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+                FROM r1 GROUP BY o_orderstatus
+                UNION ALL
+                SELECT 'prio' AS tbl, o_orderpriority AS k, count(*) AS n_rows,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+                FROM r1 GROUP BY o_orderpriority)
+              ORDER BY tbl, k"""))
   )
 }
