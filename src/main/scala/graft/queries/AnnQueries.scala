@@ -88,7 +88,7 @@ object AnnQueries {
                SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
                FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")
     })
-  ) :+ ivfSpec :+ semanticDedupSpec :+ pqSpec
+  ) :+ ivfSpec :+ semanticDedupSpec :+ pqSpec :+ graphSpec
 
   /** Product-quantization ANN (Similarity.pqTopK) — the memory tier:
     * vectors scan as m=4 one-byte codes (64× compression of the scan
@@ -146,6 +146,115 @@ object AnnQueries {
                SELECT q_id, vec_id, cosine,
                       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
                FROM scored)
+             SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
+             FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")
+  })
+
+  /** Graph ANN (GraphAnn.buildKnnGraph + searchTopK) — the recall tier
+    * above IVF: a degree-6 k-NN graph seeded from quantizer cells and
+    * refined by one NN-descent round, searched by 2-hop beam expansion
+    * (beam 8) from 4 global min-hash entry points. The oracle unrolls
+    * the build round and both hops as CTE chains (the BPE-oracle
+    * precedent) — cell assignment, within-cell top-M, the
+    * reverse/neighbor-of-neighbor candidate union, per-src re-rank,
+    * then the walk: frontier → out-edges → never-visited scoring →
+    * merge, twice. Both engines replay the exact same graph and walk;
+    * any divergence in seeding, tie-breaks, or the anti-join shows as a
+    * hash mismatch. */
+  private lazy val graphSpec: QuerySpec = QuerySpec("q134_ann_graph", { (s, dir) =>
+    val e = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val g = graft.operators.GraphAnn.buildKnnGraph(e, cents, m = 6, rounds = 1)
+    graft.operators.GraphAnn.searchTopK(e, g, e.filter(col("vec_id") < K),
+      k = 3, beam = 8, hops = 2, entryCount = 4)
+      .orderBy("q_id", "rank")
+  }, {
+    val d = DuckSql
+    def cos(a: String, b: String) =
+      s"${d.dsum(d.zipMul(a, b))} / (sqrt(${d.dsum(d.zipMul(a, a))}) * sqrt(${d.dsum(d.zipMul(b, b))}))"
+    // per-src top-M re-rank of a scored edge relation
+    def topM(from: String, m: Int) =
+      s"""SELECT src, dst, cosine FROM (
+            SELECT src, dst, cosine,
+                   row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+            FROM $from) WHERE rn <= $m"""
+    // one search hop: beam over vPrev, expand over g, score fresh, merge
+    def hop(vPrev: String, f: String, x: String, n: String, vNext: String) =
+      s"""$f AS (SELECT q_id, node FROM (
+                   SELECT q_id, node,
+                          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, node) AS rn
+                   FROM $vPrev) WHERE rn <= 8),
+          $x AS (SELECT DISTINCT f.q_id, g.dst AS node
+                 FROM $f f JOIN g1 g ON g.src = f.node),
+          $n AS (SELECT x.q_id, x.node, ${cos("q.q_emb", "ev.embedding")} AS cosine
+                 FROM $x x JOIN q ON q.q_id = x.q_id JOIN e ev ON ev.vec_id = x.node
+                 WHERE NOT EXISTS (SELECT 1 FROM $vPrev v
+                                   WHERE v.q_id = x.q_id AND v.node = x.node)),
+          $vNext AS (SELECT * FROM $vPrev UNION ALL SELECT * FROM $n)"""
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE ${vOK(d)}),
+             cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                       FROM e WHERE vec_id % 100 = 7),
+             casc AS (
+               SELECT e.vec_id, e.embedding, c.cent_id,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${cos("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS rn
+               FROM e CROSS JOIN cents c),
+             assigned AS (SELECT vec_id, embedding, cent_id AS cell FROM casc WHERE rn = 1),
+             sized AS (SELECT a.* FROM assigned a
+                       JOIN (SELECT cell, count(*) AS cn FROM assigned GROUP BY 1) s USING (cell)
+                       WHERE s.cn <= 4096),
+             nb AS (SELECT greatest(1, ${d.idiv("count(*)", "6")}) AS n FROM e),
+             rb AS (SELECT vec_id, embedding,
+                           ${d.hex32(s"concat('0#', ${d.toStr("vec_id")})")} % (SELECT n FROM nb) AS rb0,
+                           ${d.hex32(s"concat('1#', ${d.toStr("vec_id")})")} % (SELECT n FROM nb) AS rb1
+                    FROM e),
+             rnd AS (
+               SELECT DISTINCT src, dst, cosine FROM (
+                 SELECT a.vec_id AS src, b.vec_id AS dst,
+                        ${cos("a.embedding", "b.embedding")} AS cosine
+                 FROM rb a JOIN rb b ON a.rb0 = b.rb0 AND a.vec_id <> b.vec_id
+                 UNION ALL
+                 SELECT a.vec_id, b.vec_id, ${cos("a.embedding", "b.embedding")}
+                 FROM rb a JOIN rb b ON a.rb1 = b.rb1 AND a.vec_id <> b.vec_id)),
+             glong AS (${topM("rnd", 2)}),
+             seeded AS (
+               SELECT DISTINCT src, dst, cosine FROM (
+                 SELECT a.vec_id AS src, b.vec_id AS dst,
+                        ${cos("a.embedding", "b.embedding")} AS cosine
+                 FROM sized a JOIN sized b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+                 UNION ALL
+                 SELECT src, dst, cosine FROM rnd)),
+             g0 AS (SELECT DISTINCT src, dst, cosine FROM (
+                      ${topM("seeded", 6)}
+                      UNION ALL SELECT src, dst, cosine FROM glong)),
+             cand1 AS (
+               SELECT DISTINCT src, dst FROM (
+                 SELECT src, dst FROM g0
+                 UNION ALL SELECT dst, src FROM g0
+                 UNION ALL SELECT x.src, y.dst FROM g0 x JOIN g0 y ON x.dst = y.src)
+               WHERE src <> dst),
+             scored1 AS (
+               SELECT c.src, c.dst, ${cos("es.embedding", "ed.embedding")} AS cosine
+               FROM cand1 c JOIN e es ON es.vec_id = c.src
+                            JOIN e ed ON ed.vec_id = c.dst),
+             g1 AS (SELECT DISTINCT src, dst, cosine FROM (
+                      ${topM("scored1", 6)}
+                      UNION ALL SELECT src, dst, cosine FROM glong)),
+             q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < $K),
+             entries AS (SELECT vec_id AS node, embedding FROM (
+                           SELECT vec_id, embedding,
+                                  ${d.hex32(d.toStr("vec_id"))} AS h
+                           FROM e ORDER BY h, vec_id LIMIT 4)),
+             v0 AS (SELECT q.q_id, en.node, ${cos("q.q_emb", "en.embedding")} AS cosine
+                    FROM q CROSS JOIN entries en),
+             ${hop("v0", "f1", "x1", "n1", "v1")},
+             ${hop("v1", "f2", "x2", "n2", "v2")},
+             ranked AS (
+               SELECT q_id, node AS vec_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY cosine DESC, node) AS INTEGER) AS rank
+               FROM v2 WHERE node <> q_id)
              SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
              FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")
   })
