@@ -72,4 +72,137 @@ object LinearClassifier {
       .withColumn("margin", expr(marginExpr(weights, featureExprs)))
       .withColumn("pred", expr("CASE WHEN margin > 0 THEN 1 ELSE -1 END").cast("int"))
   }
+
+  /** Chained-CASE argmax over per-class margin expressions, ties → the
+    * LOWEST class index. Arm c only tests `m_c >= m_j` for j > c: if
+    * every earlier arm failed, each earlier class was strictly beaten
+    * by some later one, so the first arm whose "≥ all later" holds is
+    * exactly the lowest index achieving the maximum. Dialect-neutral
+    * SQL (plain CASE/AND), so oracles replay predictions verbatim. */
+  def argmaxExpr(margins: Seq[String]): String = {
+    require(margins.size >= 2, "argmaxExpr: need at least 2 classes")
+    val arms = margins.init.zipWithIndex.map { case (m, c) =>
+      val conds = (c + 1 until margins.size)
+        .map(j => s"($m) >= (${margins(j)})").mkString(" AND ")
+      s"WHEN $conds THEN $c"
+    }
+    s"(CASE ${arms.mkString(" ")} ELSE ${margins.size - 1} END)"
+  }
+
+  /** Multi-class batch perceptron — ONE BIGINT weight row per class
+    * (the fastText-shaped multi-class gate: language ID, domain
+    * routing, quality tiers). Per epoch, with pred = argmax_c w_c·x
+    * (ties → lowest class) under the CURRENT weights:
+    * {{{
+    *   w_c += Σ_{y=c, pred≠c} x  −  Σ_{pred=c, y≠c} x
+    * }}}
+    * — the Collins (2002) structured-perceptron update, batched. All
+    * sums are exact BIGINTs, so fitted weights are bit-identical under
+    * any partitioning and the oracle replays the whole loop as chained
+    * epoch CTEs (q135, the q113 precedent one tier up).
+    *
+    * Each epoch is ONE aggregation job: scan → pred projection →
+    * (numClasses × d) sums that collapse map-side before a single-row
+    * exchange; weights travel as literals (numClasses·d longs, the J2
+    * pattern). `labelExpr` must evaluate to 0..numClasses-1. */
+  def fitMulticlassPerceptron(docs: DataFrame, featureExprs: Seq[String],
+      labelExpr: String, numClasses: Int, epochs: Int): Seq[Seq[Long]] = {
+    require(featureExprs.nonEmpty && numClasses >= 2 && epochs >= 1)
+    val d = featureExprs.size
+    val feat = docs.selectExpr(
+      (featureExprs.zipWithIndex.map { case (x, j) => s"CAST($x AS BIGINT) AS __x$j" } :+
+        s"CAST($labelExpr AS INT) AS __y"): _*)
+    var w = Seq.fill(numClasses)(Seq.fill(d)(0L))
+    (1 to epochs).foreach { _ =>
+      val margins = w.map(wc => marginExpr(wc, (0 until d).map(j => s"__x$j")))
+      val sums = feat.withColumn("__p", expr(argmaxExpr(margins)))
+        .selectExpr(
+          (for (c <- 0 until numClasses; j <- 0 until d) yield
+            s"sum(CASE WHEN __y = $c AND __p <> $c THEN __x$j " +
+              s"WHEN __p = $c AND __y <> $c THEN -__x$j " +
+              s"ELSE CAST(0 AS BIGINT) END) AS __u${c}_$j"): _*)
+        .head()
+      w = (0 until numClasses).map { c =>
+        (0 until d).map { j =>
+          val i = c * d + j
+          w(c)(j) + (if (sums.isNullAt(i)) 0L else sums.getLong(i))
+        }
+      }
+    }
+    w.map(_.toSeq)
+  }
+
+  /** Score with fitted multi-class weights: appends INT `pred` (argmax
+    * class, ties → lowest) and BIGINT `margin` (the winning class's
+    * w·x, = greatest of the margins). A pure projection. */
+  def scoreMulticlass(docs: DataFrame, featureExprs: Seq[String],
+      weights: Seq[Seq[Long]]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_.size == featureExprs.size))
+    val margins = weights.map(wc => marginExpr(wc, featureExprs))
+    docs
+      .withColumn("pred", expr(argmaxExpr(margins)).cast("int"))
+      .withColumn("margin", expr(s"greatest(${margins.mkString(", ")})").cast("long"))
+  }
+
+  /** Nearest-class-centroid trainer (Rocchio 1971) — the robust head
+    * for NOISY, non-separable text (language ID over hashed trigram
+    * shares). The batch perceptron above has no convergence guarantee
+    * off separable data: measured on the q135 corpus it oscillates at
+    * chance accuracy (0.33) for every epoch count while this one-pass
+    * trainer hits 0.82 holdout — the same as an unregularized
+    * least-squares probe, i.e. all the accuracy a linear model can get
+    * from those features (numbers in SURVEY.md §8, round 9).
+    *
+    * Returns μ̃(c)(j) = floor(scale · Σ_{y=c} x_j / N_c) — the class
+    * centroid in `scale`-fixed-point. Exact integer arithmetic end to
+    * end: ONE groupBy-label aggregation job (numClasses partial rows
+    * per task), floor-division driver-side, so fitted centroids are
+    * bit-identical under any partitioning and an oracle replays them
+    * as a conditional-aggregation CTE. Features must be NON-NEGATIVE
+    * (DIV truncation = floor only then — Spark DIV and DuckDB //
+    * agree); a class absent from `docs` gets the zero centroid.
+    *
+    * Overflow bound: scoring squares (scale·x_j − μ̃_cj), so keep
+    * scale·max(x_j) below ~2.6e9 (√(2⁶³/d) for d features); with
+    * basis-point shares (x_j ≤ 10⁴, scale 10⁴) headroom is 100×. */
+  def fitNearestCentroid(docs: DataFrame, featureExprs: Seq[String],
+      labelExpr: String, numClasses: Int, scale: Long = 10000L): Seq[Seq[Long]] = {
+    require(featureExprs.nonEmpty && numClasses >= 2 && scale >= 1)
+    val d = featureExprs.size
+    val feat = docs.selectExpr(
+      (featureExprs.zipWithIndex.map { case (x, j) => s"CAST($x AS BIGINT) AS __x$j" } :+
+        s"CAST($labelExpr AS INT) AS __y"): _*)
+    val sums = feat.selectExpr(
+      ((for (c <- 0 until numClasses) yield
+        s"sum(CASE WHEN __y = $c THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS __n$c") ++
+        (for (c <- 0 until numClasses; j <- 0 until d) yield
+          s"sum(CASE WHEN __y = $c THEN __x$j ELSE CAST(0 AS BIGINT) END) AS __s${c}_$j")): _*)
+      .head()
+    (0 until numClasses).map { c =>
+      val n = if (sums.isNullAt(c)) 0L else sums.getLong(c)
+      (0 until d).map { j =>
+        val i = numClasses + c * d + j
+        val s = if (sums.isNullAt(i)) 0L else sums.getLong(i)
+        if (n == 0L) 0L else (scale * s) / n
+      }
+    }
+  }
+
+  /** Nearest-centroid scoring as a LINEAR head: margin_c =
+    * −Σ_j (scale·x_j − μ̃_cj)², pred = argmax (ties → lowest class,
+    * the shared [[argmaxExpr]] semantics), `margin` = the winning
+    * class's value (= −min squared distance). A pure projection —
+    * zero shuffle at any scale. */
+  def scoreNearestCentroid(docs: DataFrame, featureExprs: Seq[String],
+      centroids: Seq[Seq[Long]], scale: Long = 10000L): DataFrame = {
+    require(centroids.nonEmpty && centroids.forall(_.size == featureExprs.size))
+    val margins = centroids.map { mu =>
+      mu.zip(featureExprs).map { case (m, x) =>
+        s"(-1 * ((CAST($scale AS BIGINT) * ($x)) - CAST($m AS BIGINT)) * ((CAST($scale AS BIGINT) * ($x)) - CAST($m AS BIGINT)))"
+      }.mkString("(", " + ", ")")
+    }
+    docs
+      .withColumn("pred", expr(argmaxExpr(margins)).cast("int"))
+      .withColumn("margin", expr(s"greatest(${margins.mkString(", ")})").cast("long"))
+  }
 }
