@@ -371,6 +371,43 @@ object Dedup {
     docs.join(nonRep, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-canonical selection (the RefinedWeb/FineWeb curation step,
+    * Penedo et al. 2023): instead of [[dropNearDuplicates]]'s arbitrary
+    * min-id representative, keep the BEST document of every near-dup
+    * cluster under a caller-supplied quality ordering — highest
+    * `qualityExpr`, ties broken by lowest id so the keeper is total and
+    * partition-invariant. Unpaired documents keep themselves.
+    *
+    * Scale shape: only PAIRED docs (the near-dup minority) enter the
+    * per-cluster window; the ranking plans as WindowGroupLimit with
+    * rk=1, so each cluster tracks one running best instead of sorting —
+    * and the full corpus is touched only by the final id anti-join.
+    * `qualityExpr` must be deterministic per row (a projection of the
+    * doc itself, e.g. a token count or a [[LinearClassifier]] margin);
+    * NULL quality ranks below every non-NULL quality. */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, textCol: String,
+      qualityExpr: String, jaccardThreshold: Double,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      useStars: Boolean = false): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, jaccardThreshold, maxBucketSize)
+    val labeled =
+      if (useStars) clustersLargeStar(pairs, "doc_a", "doc_b")
+      else clusters(pairs, "doc_a", "doc_b")
+    // quality is evaluated on the paired slice only — the join keys the
+    // docs by id (broadcast when the paired set is small), never the
+    // reverse (labels carry two longs; docs carry document bodies)
+    val scored = docs
+      .select(col(idCol).cast("long").as("doc_id"), expr(qualityExpr).as("__q"))
+      .join(labeled, "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("__q").desc_nulls_last, col("doc_id"))
+    val losers = scored
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") =!= 1)
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Fixed word-window "paragraphs" of each document: token windows of
     * `paraWords` (the last one possibly shorter), keyed (doc_id,
     * para_idx). A pure projection + posexplode — row count grows by

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{coalesce, col, element_at, expr, lit, row_number, typedLit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, expr, lit, row_number, typedLit}
 
 /** Deterministic sampling/splitting for training-data pipelines. */
 object Sampling {
@@ -71,6 +71,63 @@ object Sampling {
         element_at(typedLit(bpByStratum), col(stratumCol).cast("string")),
         lit(10000L))
     df.where(expr(s"md5_u32(coalesce(CAST($idCol AS STRING), ''))") % 10000 < bp)
+  }
+
+  /** Token-budget mixture sampling — the step that turns a mixture
+    * config ("20% web, 30% code, ...") plus a GLOBAL token budget into
+    * per-domain keep rates (the Pile / Llama corpus-mixture recipe,
+    * priced in tokens because that is what training consumes):
+    * {{{
+    *   rate_bp(dom) = min(10000, budgetTokens·weightBp(dom) DIV tokens(dom))
+    * }}}
+    * then a row survives iff `md5_u32(id) % 10000 < rate_bp(domain)` —
+    * the same deterministic, partition-invariant hash rule as
+    * [[sampleStratified]], so reruns and engines agree row-for-row.
+    * A domain whose weighted budget exceeds its corpus is kept in full
+    * (rate capped at 10000 — upsampling/epoch repetition is a separate
+    * decision); a domain absent from `weightsBp` (or with weight 0, or
+    * a NULL domain) is NOT in the mix and is dropped.
+    *
+    * Scale shape: one map-side-combined groupBy(domain) sum for the
+    * per-domain token totals, rates computed IN the plan on that
+    * domain-count-sized frame, broadcast back — no driver collect, no
+    * second scan barrier beyond the agg itself. Integer arithmetic end
+    * to end (weights in basis points, floor division on non-negative
+    * operands where Spark DIV ≡ DuckDB //), so an oracle replays rates
+    * exactly. Overflow bound: budgetTokens·weightBp must fit a BIGINT —
+    * budgets up to ~9·10^14 tokens at full weight (≈ 30× a 100 TB
+    * corpus), enforced by a require.
+    *
+    * Returns surviving rows with `rate_bp` appended. `tokensExpr` is
+    * any non-negative per-row token count (whitespace, subword — the
+    * caller picks the pricing model). */
+  def sampleTokenBudget(df: DataFrame, domainCol: String, idCol: String,
+      tokensExpr: String, weightsBp: Map[String, Long],
+      budgetTokens: Long, rateCol: String = "rate_bp"): DataFrame = {
+    require(weightsBp.nonEmpty, "sampleTokenBudget: empty mixture")
+    require(weightsBp.values.forall(w => w >= 0L && w <= 10000L),
+      s"weights are basis points in [0, 10000], got $weightsBp")
+    require(weightsBp.values.sum <= 10000L,
+      s"mixture weights exceed 100%: ${weightsBp.values.sum} bp")
+    require(budgetTokens >= 0L && budgetTokens <= Long.MaxValue / 10000L,
+      s"budgetTokens out of the overflow-safe range: $budgetTokens")
+    require(!df.columns.contains(rateCol),
+      s"input already has a $rateCol column — rename it before sampleTokenBudget")
+    val wbp = element_at(typedLit(weightsBp), col("__dom").cast("string"))
+    val rates = df
+      .groupBy(col(domainCol).as("__dom"))
+      .agg(expr(s"sum(CAST($tokensExpr AS BIGINT))").as("__dom_tokens"))
+      .withColumn("__wbp", wbp)
+      .where(col("__wbp").isNotNull && col("__wbp") > 0)
+      .withColumn(rateCol, expr(
+        s"""CASE WHEN __dom_tokens <= 0 THEN CAST(10000 AS BIGINT)
+                 ELSE least(CAST(10000 AS BIGINT),
+                            CAST($budgetTokens AS BIGINT) * __wbp DIV __dom_tokens)
+            END"""))
+      .select(col("__dom"), col(rateCol))
+    df.join(broadcast(rates), col(domainCol) === col("__dom"))
+      .where(expr(s"md5_u32(coalesce(CAST($idCol AS STRING), '')) % 10000") < col(rateCol))
+      .drop("__dom")
   }
 
   /** Fixed-SIZE per-stratum cap — the other half of mix rebalancing

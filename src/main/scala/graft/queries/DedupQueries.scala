@@ -155,6 +155,49 @@ object DedupQueries {
                FROM reach GROUP BY u ORDER BY doc_id""")
     }),
 
+    // ---- cluster-canonical selection: keep the BEST doc per cluster ----
+    // The RefinedWeb curation step on top of q91's clusters: the
+    // representative is the highest-QUALITY member (here token count —
+    // the perturbed +10000 copies carry a 4-token suffix, so the keeper
+    // is the COPY, not q91's min-id original: the ordering is genuinely
+    // exercised, not vacuously equal to min-id). Oracle = the q91
+    // recursive-CTE clustering + the same quality window in DuckDB.
+    QuerySpec("q136_dedup_keep_best", { (s, dir) =>
+      val d = SparkSql
+      val q = s"CAST(${d.len(d.splitSpace("text"))} AS BIGINT)"
+      graft.operators.Dedup
+        .keepBestPerCluster(corpus(s, dir), "doc_id", "text", q, 0.6)
+        .selectExpr("doc_id", s"$q AS n_tokens")
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      val q = s"CAST(${d.len(d.splitSpace("text"))} AS BIGINT)"
+      Some(s"""WITH RECURSIVE $corpusSql, ${minhashPairsSql(d)},
+               und AS (
+                 SELECT doc_a AS u, doc_b AS v FROM pairs
+                 UNION
+                 SELECT doc_b, doc_a FROM pairs),
+               reach(u, v) AS (
+                 SELECT u, u FROM und
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+               labels AS (SELECT u AS doc_id, min(v) AS cluster_id
+                          FROM reach GROUP BY u),
+               scored AS (
+                 SELECT c.doc_id, $q AS quality, l.cluster_id
+                 FROM corpus c JOIN labels l ON c.doc_id = l.doc_id),
+               losers AS (
+                 SELECT doc_id FROM (
+                   SELECT doc_id, row_number() OVER (
+                     PARTITION BY cluster_id
+                     ORDER BY quality DESC, doc_id) AS rk
+                   FROM scored) t
+                 WHERE rk <> 1)
+               SELECT doc_id, $q AS n_tokens FROM corpus
+               WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+               ORDER BY doc_id""")
+    }),
+
     // ---- paragraph-level near-dedup (post-document boilerplate pass) ----
     // 20-word windows of the SAME perturbed corpus: the doc_id+10000
     // copies share every leading paragraph with their originals exactly,

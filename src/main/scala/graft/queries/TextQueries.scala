@@ -255,6 +255,45 @@ object TextQueries {
                FROM cells ORDER BY source, lang""")
     }),
 
+    // ---- token-budget mixture sampling ---------------------------------
+    // q100 prices the corpus; this query SPENDS it: a 4-domain mixture
+    // (equal quarters) under a 5000-token budget becomes per-domain keep
+    // rates (basis points, floor division) applied by the deterministic
+    // md5 row rule — domains outside the mix drop entirely, a domain
+    // whose quarter exceeds its corpus caps at keep-everything (src19 at
+    // sf0.01). Oracle mirrors the integer rate arithmetic in a CTE, so
+    // both engines agree on every rate and every surviving row.
+    QuerySpec("q137_token_budget_mix", { (s, dir) =>
+      val d = SparkSql
+      val docs = Td.load(s, dir, "documents").selectExpr(
+        "doc_id", "source", s"CAST(${d.len(toksSpark)} AS BIGINT) AS n_tokens")
+      graft.operators.Sampling
+        .sampleTokenBudget(docs, "source", "doc_id", "n_tokens",
+          Map("src0" -> 2500L, "src1" -> 2500L, "src2" -> 2500L, "src19" -> 2500L),
+          budgetTokens = 5000L)
+        .selectExpr("doc_id", "source", "n_tokens", "CAST(rate_bp AS BIGINT) AS rate_bp")
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH w(dom, wbp) AS (VALUES
+                 ('src0', 2500), ('src1', 2500), ('src2', 2500), ('src19', 2500)),
+               d0 AS (SELECT doc_id, source,
+                             CAST(${d.len(toks(d))} AS BIGINT) AS n_tokens
+                      FROM documents),
+               dom AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS dom_tokens
+                       FROM d0 GROUP BY source),
+               rates AS (
+                 SELECT source,
+                        CAST(CASE WHEN dom_tokens <= 0 THEN 10000
+                                  ELSE least(10000, ${d.idiv("(5000 * wbp)", "dom_tokens")})
+                             END AS BIGINT) AS rate_bp
+                 FROM dom JOIN w ON dom.source = w.dom WHERE wbp > 0)
+               SELECT d0.doc_id, d0.source, d0.n_tokens, r.rate_bp
+               FROM d0 JOIN rates r ON d0.source = r.source
+               WHERE ${d.hex32("coalesce(CAST(doc_id AS VARCHAR), '')")} % 10000 < r.rate_bp
+               ORDER BY d0.doc_id""")
+    }),
+
     // ---- subword token accounting: greedy longest-match wordpiece ------
     // The corpus token budget a mixture config is actually priced in:
     // whitespace counts under-count subword tokens, so per-doc counts run

@@ -87,6 +87,46 @@ class LshRecallSpec extends AnyFunSuite with SparkTestBase {
     assert(keptStars.count() === kept.count())
   }
 
+  test("keepBestPerCluster keeps the highest-quality member, not the min id") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Td.load(spark, sf, "documents").select("doc_id", "text")
+    // perturbed copies carry a 4-token suffix -> they are strictly LONGER,
+    // so under token-count quality every {i, i+10000} cluster keeps the
+    // COPY — the exact opposite of dropNearDuplicates' min-id keeper
+    val corpus = docs.unionAll(docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" near duplicate suffix marker")).as("text")))
+    val q = "CAST(size(split(text, ' ')) AS BIGINT)"
+    val kept = graft.operators.Dedup
+      .keepBestPerCluster(corpus, "doc_id", "text", q, 0.6)
+    val minId = graft.operators.Dedup
+      .dropNearDuplicates(corpus, "doc_id", "text", 0.6)
+    // same cardinality (one keeper per cluster + all unpaired docs)...
+    assert(kept.count() === minId.count())
+    // ...but the keeper SET differs: in every cluster that is EXACTLY
+    // the {original, copy} pair (larger clusters exist — the corpus has
+    // natural near-dups too, and their keeper is whichever member is
+    // longest), the survivor is the longer copy
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = graft.operators.Dedup
+      .minhashLshPairs(corpus, "doc_id", "text", 0.6)
+    val members = graft.operators.Dedup.clusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).values.map(_.map(_._2).sorted.toList)
+    val pureCopyPairs = members.filter(m =>
+      m.size == 2 && m(1) == m(0) + 10000)
+    assert(pureCopyPairs.nonEmpty, "no pure {orig, copy} clusters found")
+    pureCopyPairs.foreach { case List(orig, copy) =>
+      assert(keptIds.contains(copy) && !keptIds.contains(orig),
+        s"cluster ($orig, $copy): expected the longer copy to survive")
+    }
+    // quality ties fall back to lowest id: constant quality ≡ min-id keeper
+    val keptTie = graft.operators.Dedup
+      .keepBestPerCluster(corpus, "doc_id", "text", "CAST(1 AS BIGINT)", 0.6)
+    assert(keptTie.select("doc_id").exceptAll(minId.select("doc_id")).count() === 0)
+    assert(keptTie.count() === minId.count())
+  }
+
   test("paragraph dedup: shared leading windows dropped, divergent tails kept, keeper = min (doc, idx)") {
     import spark.implicits._
     // 40-word docs = two 20-word windows. Doc 2 repeats doc 1's first

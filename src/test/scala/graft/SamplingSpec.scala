@@ -105,4 +105,72 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
+
+  // ---- sampleTokenBudget (q137's operator) ------------------------------
+
+  private def budgetDocs = {
+    import spark.implicits._
+    // 3 domains × 10 docs × 100 tokens each = 1000 tokens per domain
+    (0 until 30).map(i => (i.toLong, s"d${i % 3}", 100L)).toDF("id", "dom", "toks")
+  }
+
+  test("sampleTokenBudget: rates follow the integer formula; absent domains drop") {
+    // weights d0=50%, d1=25% of a 1000-token budget over 1000-token
+    // domains -> rate_bp 500*10000/... = 1000*5000/1000=5000bp, 2500bp.
+    // d2 is not in the mix: dropped entirely.
+    val out = Sampling.sampleTokenBudget(budgetDocs, "dom", "id", "toks",
+      Map("d0" -> 5000L, "d1" -> 2500L), budgetTokens = 1000L)
+    val rates = out.select("dom", "rate_bp").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates.keySet.subsetOf(Set("d0", "d1")))
+    assert(rates.getOrElse("d0", -1L) === 5000L || !rates.contains("d0"))
+    assert(rates.getOrElse("d1", -1L) === 2500L || !rates.contains("d1"))
+    assert(out.where("dom = 'd2'").count() === 0)
+  }
+
+  test("sampleTokenBudget: over-budget domains cap at keep-everything") {
+    val out = Sampling.sampleTokenBudget(budgetDocs, "dom", "id", "toks",
+      Map("d0" -> 10000L), budgetTokens = 50000L) // 50x the domain
+    assert(out.count() === 10)
+    assert(out.select("rate_bp").distinct().head().getLong(0) === 10000L)
+  }
+
+  test("sampleTokenBudget: survivor set is partition-invariant") {
+    val w = Map("d0" -> 4000L, "d1" -> 4000L, "d2" -> 2000L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.sampleTokenBudget(df, "dom", "id", "toks", w, 1500L)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val base = ids(budgetDocs)
+    assert(base === ids(budgetDocs.repartition(7)))
+    assert(base === ids(budgetDocs.coalesce(1)))
+  }
+
+  test("sampleTokenBudget: zero-token domain in the mix is kept in full") {
+    import spark.implicits._
+    val docs = Seq((1L, "d0", 0L), (2L, "d0", 0L), (3L, "d1", 50L))
+      .toDF("id", "dom", "toks")
+    val out = Sampling.sampleTokenBudget(docs, "dom", "id", "toks",
+      Map("d0" -> 5000L, "d1" -> 5000L), 100L)
+    assert(out.where("dom = 'd0'").count() === 2)
+  }
+
+  test("sampleTokenBudget: invalid mixtures are rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.sampleTokenBudget(budgetDocs, "dom", "id", "toks", Map.empty, 100L)
+    }
+    intercept[IllegalArgumentException] { // weights over 100%
+      Sampling.sampleTokenBudget(budgetDocs, "dom", "id", "toks",
+        Map("d0" -> 9000L, "d1" -> 2000L), 100L)
+    }
+    intercept[IllegalArgumentException] { // overflow-unsafe budget
+      Sampling.sampleTokenBudget(budgetDocs, "dom", "id", "toks",
+        Map("d0" -> 10000L), Long.MaxValue / 100L)
+    }
+  }
+
+  test("sampleTokenBudget: rate lookup joins broadcast (no corpus-side shuffle)") {
+    val plan = Sampling.sampleTokenBudget(budgetDocs, "dom", "id", "toks",
+      Map("d0" -> 5000L), 1000L).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
 }
