@@ -294,6 +294,47 @@ object TextQueries {
                ORDER BY d0.doc_id""")
     }),
 
+    // ---- BM25 ranked retrieval (inverted-index probe) -------------------
+    // The lexical complement to the ANN stack (q59/q71/q134): top-15
+    // docs for a 3-term query under Lucene-form BM25. The probe never
+    // scans non-matching tokens past the mapper (term IN (...) on the
+    // exploded relation); df comes from the filtered postings (exact
+    // full-corpus df for probed terms); the only whole-corpus aggregate
+    // is the 1-row (N, avgdl) stats frame. Scores round to 6 decimals
+    // with id tie-break, so both engines rank identically.
+    QuerySpec("q138_bm25_topk", { (s, dir) =>
+      graft.operators.Retrieval
+        .bm25TopK(Td.load(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "stream", "merge"), topK = 15)
+    }, {
+      val d = DuckSql
+      Some(s"""WITH st AS (
+                 SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(avg(${d.len(toks(d))}) AS DOUBLE) AS avgdl
+                 FROM documents),
+               tok AS (
+                 SELECT doc_id, CAST(${d.len(toks(d))} AS BIGINT) AS dl,
+                        unnest(${d.splitSpace("text")}) AS term
+                 FROM documents),
+               tf AS (
+                 SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok WHERE term IN ('vector', 'stream', 'merge')
+                 GROUP BY doc_id, dl, term),
+               dfreq AS (
+                 SELECT term, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY term)
+               SELECT tf.doc_id,
+                      round(sum(
+                        ln((CAST(st.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                        * (CAST(tf.tf AS DOUBLE) * 2.2)
+                        / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))
+                      ), 6) AS score,
+                      CAST(count(*) AS BIGINT) AS n_hits
+               FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN st
+               GROUP BY tf.doc_id
+               ORDER BY score DESC, tf.doc_id LIMIT 15""")
+    }),
+
     // ---- subword token accounting: greedy longest-match wordpiece ------
     // The corpus token budget a mixture config is actually priced in:
     // whitespace counts under-count subword tokens, so per-doc counts run
