@@ -197,8 +197,17 @@ object Dedup {
     val edges = valid.selectExpr(s"$aCol AS u", s"$bCol AS v")
       .unionAll(valid.selectExpr(s"$bCol AS u", s"$aCol AS v"))
       .distinct().cache()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    // Convergence = the (count, xxhash64-sum) label digest repeating,
+    // confirmed by one exact set difference at the fixpoint candidate —
+    // the [[clustersLargeStar]] pattern. (A digest, not a numeric label
+    // sum: ids are any orderable type — STRING URLs and content hashes
+    // included — so there is nothing to arithmetically sum, and a
+    // cross-round hash collision must not declare convergence early.)
+    def digest(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("doc_id"), col("cluster_id")).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
     // Eager localCheckpoint, not cache: the round plan references the
     // previous labels frame twice, so with cache alone the LOGICAL plan
     // doubles per round (cache stores blocks but keeps the full lineage
@@ -213,9 +222,9 @@ object Dedup {
     // (diameter-bounded) job, not a multi-hour lineage replay.
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
-    var prevSum = labelSum(labels)
+    var prev = digest(labels)
     var iter = 0
-    var converged = prevSum == null // empty pair set: already at fixpoint
+    var converged = prev._1 == 0L // empty pair set: already at fixpoint
     while (!converged && iter < maxIters) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "v"), "v")
@@ -224,13 +233,14 @@ object Dedup {
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint(true)
       // labels only ever DECREASE (element-wise min), so the fixpoint is
-      // reached exactly when the label sum stops changing — one scalar
-      // aggregate per round instead of a change-detection join.
-      val newSum = labelSum(updated)
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
-      // `updated` is materialized (eager checkpoint): the previous
-      // round's blocks are dead from here — drop them now
+      // reached exactly when the label table stops changing — one scalar
+      // digest per round; the exact confirm join runs only at the
+      // candidate, never in steady state.
+      val dg = digest(updated)
+      if (dg == prev) converged = updated.exceptAll(labels).isEmpty
+      prev = dg
+      // `updated` is materialized and the exact confirm (the only other
+      // reader of the old round) has run — drop the old blocks now
       CheckpointBlocks.release(labels)
       labels = updated
       iter += 1
@@ -395,9 +405,12 @@ object Dedup {
       else clusters(pairs, "doc_a", "doc_b")
     // quality is evaluated on the paired slice only — the join keys the
     // docs by id (broadcast when the paired set is small), never the
-    // reverse (labels carry two longs; docs carry document bodies)
+    // reverse (labels carry two ids; docs carry document bodies). No
+    // cast on the id: labels inherit the caller's id type from the
+    // pairs, and a lossy cast here would NULL out non-numeric ids and
+    // silently skip the drop entirely.
     val scored = docs
-      .select(col(idCol).cast("long").as("doc_id"), expr(qualityExpr).as("__q"))
+      .select(col(idCol).as("doc_id"), expr(qualityExpr).as("__q"))
       .join(labeled, "doc_id")
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("__q").desc_nulls_last, col("doc_id"))

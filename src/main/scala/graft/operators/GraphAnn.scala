@@ -107,8 +107,11 @@ object GraphAnn {
     }
     // distinct: a pair seeded by both a cell and a bucket (or both
     // buckets) carries the identical deterministic cosine, so exact
-    // dedup keeps it from occupying two degree slots.
+    // dedup keeps it from occupying two degree slots. Materialized ONCE:
+    // both the long-link ranking and the seed union read this relation —
+    // lazily, the two bucket self-joins would each run twice.
     val rnd = randomPairs(0).unionAll(randomPairs(1)).distinct()
+      .localCheckpoint(eager = true)
     // The pinned long-range slots: each node's best `longLinks` random
     // edges, immune to similarity eviction — tiny (N·L rows), reused
     // every round, so it gets its own materialization barrier.
@@ -119,6 +122,7 @@ object GraphAnn {
     // round; dead rounds release their blocks eagerly.
     var edges = topM(seeded, m).unionAll(longEdges).distinct()
       .localCheckpoint(eager = true)
+    CheckpointBlocks.release(rnd)
     (1 to rounds).foreach { _ =>
       val cand = edges.select(col("src"), col("dst"))
         .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -135,6 +139,10 @@ object GraphAnn {
       CheckpointBlocks.release(edges)
       edges = next
     }
+    // the pinned slots are baked into the final materialized edge set —
+    // their standalone blocks are dead from here (q102 hygiene: release
+    // eagerly, don't wait for the GC-timed ContextCleaner)
+    CheckpointBlocks.release(longEdges)
     edges
   }
 

@@ -21,6 +21,23 @@ class OperatorEdgeCaseSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.editDistancePairs(empty, "doc_id", "text", 10).count() === 0)
   }
 
+  test("keepBestPerCluster works on STRING ids (no lossy numeric cast)") {
+    import spark.implicits._
+    // two near-identical docs (20 shared tokens, one extra on docB) and
+    // one unrelated doc; ids are strings a numeric cast would NULL out
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      ("doc-a", base),
+      ("doc-b", base + " extra"),
+      ("doc-c", (1 to 20).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val kept = Dedup.keepBestPerCluster(docs, "doc_id", "text",
+      "CAST(size(split(text, ' ')) AS BIGINT)", 0.6)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    // doc-b is longer -> it wins the cluster; doc-c is unpaired -> kept
+    assert(kept === Set("doc-b", "doc-c"))
+  }
+
   test("editDistancePairs fails loudly when a length band exceeds maxBandSize") {
     // 6 same-band docs against a cap of 5: the quadratic-verifier guard
     // must throw (pointing at the LSH path), not silently run or cap
