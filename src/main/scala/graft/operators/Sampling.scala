@@ -130,6 +130,48 @@ object Sampling {
       .drop("__dom")
   }
 
+  /** Deterministic epoch-seeded global shuffle + sharding — the EXPORT
+    * step that turns a curated corpus into training shards: every row
+    * gets a shard id and a pseudo-random sort key, both pure functions
+    * of (row id, epoch):
+    * {{{
+    *   key(id)  = md5_u32(id || '#e' || epoch)   // 32-bit, uniform
+    *   shard    = key % nShards
+    *   order within shard = (key, id)            // id breaks md5 ties
+    * }}}
+    * Training wants a DIFFERENT permutation each epoch but the SAME one
+    * on every rerun of that epoch — `rand(seed)` gives neither under
+    * repartitioning, the hash rule gives both (the [[hashSplit]]
+    * argument, applied to ordering).
+    *
+    * This is a PURE PROJECTION — zero shuffle, zero state. The writer
+    * picks the physical layout:
+    * {{{
+    *   shuffleShards(docs, "doc_id", 1024, epoch = 3)
+    *     .repartition(1024, col("shard"))
+    *     .sortWithinPartitions("shard", "shuffle_key", "doc_id")
+    *     .write.partitionBy("shard")...
+    * }}}
+    * — ONE hash exchange plus an in-partition sort, the cost floor for
+    * ordered shards, and each task streams its shard straight to a file
+    * (no per-shard window, no global sort barrier: UnsafeExternalSorter
+    * spills, so a shard larger than executor memory still exports).
+    * Size `nShards` so a shard is a sane file (100 TB / 1 GiB files ≈
+    * 100k shards).
+    *
+    * Tie-break caveat: md5_u32 is 32-bit, so at corpus scale key
+    * collisions are certain (birthday bound ~80k rows); the trailing id
+    * makes the order total PROVIDED ids are unique and non-null. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int, epoch: Int,
+      shardCol: String = "shard", keyCol: String = "shuffle_key"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(epoch >= 0, s"epoch must be non-negative, got $epoch")
+    Seq(shardCol, keyCol).foreach(c => require(!df.columns.contains(c),
+      s"input already has a $c column — rename it before shuffleShards"))
+    val key = expr(s"md5_u32(concat(CAST($idCol AS STRING), '#e$epoch'))")
+    df.withColumn(keyCol, key).withColumn(shardCol, key % nShards)
+  }
+
   /** Fixed-SIZE per-stratum cap — the other half of mix rebalancing
     * ("at most k docs per source"): keep the k rows of each stratum with
     * the smallest (md5_u32(id), id) rank. Deterministic and

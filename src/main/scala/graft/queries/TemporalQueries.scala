@@ -293,6 +293,42 @@ object TemporalQueries {
                       count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
                FROM documents
                GROUP BY 1, 2 ORDER BY lang, split""")
+    }),
+
+    // ---- epoch-seeded shuffle-shard export order ------------------------
+    // Sampling.shuffleShards assigns every doc a shard and a pseudo-random
+    // in-shard position, pure functions of (id, epoch). The query exposes
+    // the FULL permutation for two epochs side by side: the oracle
+    // re-derives both from md5 arithmetic, so membership, shard balance,
+    // in-shard order, AND the epoch-to-epoch reshuffle are all hash-gated.
+    // (The operator itself is a zero-shuffle projection; the row_number
+    // here is the TEST's materialization of "position", not the export
+    // path — the writer sorts within partitions instead, see scaladoc.)
+    QuerySpec("q139_shuffle_shards", { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Td.load(s, dir, "documents").select("doc_id")
+      def epochView(epoch: Int, tag: String) = {
+        val sh = graft.operators.Sampling.shuffleShards(docs, "doc_id", 8, epoch)
+        val w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+        sh.withColumn("pos", row_number().over(w))
+          .select(col("doc_id"), col("shard").as(s"shard_$tag"),
+            col("pos").cast("long").as(s"pos_$tag"))
+      }
+      epochView(0, "e0").join(epochView(1, "e1"), "doc_id").orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      def epochCte(epoch: Int) =
+        s"""SELECT doc_id, k % 8 AS shard,
+                   CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id)
+                        AS BIGINT) AS pos
+            FROM (SELECT doc_id,
+                         ${d.hex32(s"concat(CAST(doc_id AS VARCHAR), '#e$epoch')")} AS k
+                  FROM documents)"""
+      Some(s"""WITH e0 AS (${epochCte(0)}), e1 AS (${epochCte(1)})
+               SELECT e0.doc_id, e0.shard AS shard_e0, e0.pos AS pos_e0,
+                      e1.shard AS shard_e1, e1.pos AS pos_e1
+               FROM e0 JOIN e1 ON e0.doc_id = e1.doc_id
+               ORDER BY e0.doc_id""")
     })
   )
 }

@@ -185,13 +185,34 @@ object TextQueries {
   private lazy val langTrainedSpec: QuerySpec =
     QuerySpec("q135_langid_trained", { (s, dir) =>
       val d = SparkSql
-      val docs2 = Td.load(s, dir, "documents").selectExpr(
-        "doc_id", "CAST(doc_id % 3 AS INT) AS y", s"${langBucketArr(d)} AS __b")
-      val feats = langFeatures(d, "__b")
+      // The corpus arrives as ONE small parquet split at bench scale, so
+      // without an explicit fan-out the whole trigram+md5 extraction (the
+      // dominant cost) runs on a single core. At 100 TB the scan has
+      // thousands of splits and this exchange is a no-op by comparison;
+      // here it buys full parallelism for ~ms of shuffle.
+      val docs2 = Td.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr(
+          "doc_id", "CAST(doc_id % 3 AS INT) AS y", s"${langBucketArr(d)} AS __b")
+      // Features computed ONCE as named columns (the oracle's own bx-CTE
+      // shape), then fit/score reference plain columns. Passing the
+      // feature EXPRESSION TEXT into scoreNearestCentroid instead would
+      // splice each feature into its margin polynomial 2·classes = 6
+      // times — 192 interpreted array passes per row, measured 6× the
+      // whole extraction cost at sf0.1. (A relational explode+histogram
+      // variant was measured too: the 33-wide aggregate over the
+      // trigram-exploded corpus is 6× slower than these per-row share
+      // projections — the wide agg falls out of JIT.) The checkpoint
+      // shares the one extraction job between fit and score.
+      val feat = docs2
+        .selectExpr("doc_id" +: "y" +:
+          langFeatures(d, "__b").zipWithIndex.map { case (x, j) => s"$x AS __x$j" }: _*)
+        .localCheckpoint(true)
+      val feats = (0 until LangBuckets).map(j => s"__x$j")
       val mu = graft.operators.LinearClassifier.fitNearestCentroid(
-        docs2.where("doc_id % 5 <> 0"), feats, "y", LangClasses)
+        feat.where("doc_id % 5 <> 0"), feats, "y", LangClasses)
       graft.operators.LinearClassifier
-        .scoreNearestCentroid(docs2.where("doc_id % 5 = 0"), feats, mu)
+        .scoreNearestCentroid(feat.where("doc_id % 5 = 0"), feats, mu)
         .selectExpr("doc_id", "CAST(y AS INT) AS label", "pred", "margin")
         .orderBy("doc_id")
     }, Some(centroidOracleSql(DuckSql)))

@@ -173,4 +173,65 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       Map("d0" -> 5000L), 1000L).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
+
+  // ---- shuffleShards ------------------------------------------------------
+
+  // The synthetic lineitem does NOT key uniquely on (orderkey, linenumber)
+  // — shuffleShards' order contract requires unique ids, so the
+  // permutation tests run on the distinct id set.
+  private lazy val uli = li.select("id").distinct()
+
+  private def shardPerm(df: org.apache.spark.sql.DataFrame, epoch: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("shuffle_key", "id")
+    Sampling.shuffleShards(df, "id", 8, epoch)
+      .withColumn("pos", row_number().over(w))
+      .select("id", "shard", "pos").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+  }
+
+  test("shuffleShards: permutation is a pure function of (id, epoch) — partition-invariant") {
+    val base = shardPerm(uli, epoch = 3)
+    assert(base === shardPerm(uli.repartition(13), epoch = 3))
+    assert(base === shardPerm(uli.coalesce(1), epoch = 3))
+    // total: every row exactly once, positions contiguous from 1 per shard
+    assert(base.size === uli.count())
+    base.groupBy(_._2._1).foreach { case (shard, rows) =>
+      val ps = rows.values.map(_._2).toSeq.sorted
+      assert(ps === (1 to ps.size), s"shard $shard positions not contiguous")
+    }
+  }
+
+  test("shuffleShards: different epochs give different permutations, same row set") {
+    val e0 = shardPerm(uli, epoch = 0)
+    val e1 = shardPerm(uli, epoch = 1)
+    assert(e0.keySet === e1.keySet)
+    val moved = e0.count { case (id, sp) => e1(id) != sp }
+    // md5 re-keys ~everything; require a strong majority to move
+    assert(moved > e0.size * 3 / 4, s"only $moved of ${e0.size} rows moved between epochs")
+  }
+
+  test("shuffleShards: shards are balanced (uniform hash)") {
+    val n = uli.count()
+    val sizes = Sampling.shuffleShards(uli, "id", 8, epoch = 0)
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length === 8)
+    val expect = n.toDouble / 8
+    sizes.foreach(s => assert(math.abs(s - expect) < expect * 0.2,
+      s"shard size $s vs expected ~$expect"))
+  }
+
+  test("shuffleShards: pure projection — no exchange in the plan") {
+    val plan = Sampling.shuffleShards(li, "id", 8, epoch = 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1200))
+  }
+
+  test("shuffleShards: invalid arguments and column collisions are rejected") {
+    intercept[IllegalArgumentException] { Sampling.shuffleShards(li, "id", 0, 0) }
+    intercept[IllegalArgumentException] { Sampling.shuffleShards(li, "id", 8, -1) }
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleShards(li.withColumn("shard", lit(1)), "id", 8, 0)
+    }
+  }
 }
