@@ -44,21 +44,44 @@ object LinearClassifier {
   def fitBatchPerceptron(docs: DataFrame, featureExprs: Seq[String],
       labelExpr: String, epochs: Int): Seq[Long] = {
     require(featureExprs.nonEmpty && epochs >= 1)
+    // Materialized ONCE: every epoch re-reads the projected integer
+    // feature frame ((d+1) BIGINTs per row — what training consumes),
+    // not the raw corpus. Without this, each epoch's job recomputes the
+    // feature extraction from source text (epochs× the dominant cost
+    // when features are array expressions, measured on q113). Blocks are
+    // released before returning — weights are plain driver-side longs.
     val feat = docs.selectExpr(
       (featureExprs.zipWithIndex.map { case (x, j) => s"CAST($x AS BIGINT) AS __x$j" } :+
         s"CAST($labelExpr AS BIGINT) AS __y"): _*)
-    var w = Seq.fill(featureExprs.size)(0L)
-    var epoch = 0
-    while (epoch < epochs) {
-      val m = marginExpr(w, featureExprs.indices.map(j => s"__x$j"))
-      val updates = feat.selectExpr(
-        featureExprs.indices.map(j =>
-          s"sum(CASE WHEN __y * $m <= 0 THEN __y * __x$j ELSE CAST(0 AS BIGINT) END) AS __u$j"): _*)
-        .head()
-      w = w.indices.map(j => w(j) + (if (updates.isNullAt(j)) 0L else updates.getLong(j)))
-      epoch += 1
-    }
-    w
+      .localCheckpoint(true)
+    try {
+      val spark = docs.sparkSession
+      val d = featureExprs.size
+      // Weights ride as a broadcast 1-row FRAME of data rows, not spliced
+      // literals: literal weights make every epoch a structurally
+      // different plan, so each epoch pays a fresh whole-stage-codegen
+      // compile; with the weights as data the per-epoch generated code is
+      // byte-identical and the codegen cache serves epochs 2..n (the
+      // carry-values-as-data discipline of the round-8 BPE fix, applied
+      // to a loop).
+      val wSchema = org.apache.spark.sql.types.StructType((0 until d).map(j =>
+        org.apache.spark.sql.types.StructField(s"__w$j",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      def wFrame(w: Seq[Long]) = spark.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row.fromSeq(w)), wSchema)
+      val m = (0 until d).map(j => s"(__w$j * __x$j)").mkString("(", " + ", ")")
+      var w = Seq.fill(d)(0L)
+      var epoch = 0
+      while (epoch < epochs) {
+        val updates = feat.crossJoin(broadcast(wFrame(w))).selectExpr(
+          (0 until d).map(j =>
+            s"sum(CASE WHEN __y * $m <= 0 THEN __y * __x$j ELSE CAST(0 AS BIGINT) END) AS __u$j"): _*)
+          .head()
+        w = w.indices.map(j => w(j) + (if (updates.isNullAt(j)) 0L else updates.getLong(j)))
+        epoch += 1
+      }
+      w
+    } finally CheckpointBlocks.release(feat)
   }
 
   /** Score every row with a fitted weight vector: appends BIGINT
@@ -109,27 +132,44 @@ object LinearClassifier {
       labelExpr: String, numClasses: Int, epochs: Int): Seq[Seq[Long]] = {
     require(featureExprs.nonEmpty && numClasses >= 2 && epochs >= 1)
     val d = featureExprs.size
+    // Materialized once, released on exit — the fitBatchPerceptron
+    // rationale (epochs× re-extraction otherwise).
     val feat = docs.selectExpr(
       (featureExprs.zipWithIndex.map { case (x, j) => s"CAST($x AS BIGINT) AS __x$j" } :+
         s"CAST($labelExpr AS INT) AS __y"): _*)
-    var w = Seq.fill(numClasses)(Seq.fill(d)(0L))
-    (1 to epochs).foreach { _ =>
-      val margins = w.map(wc => marginExpr(wc, (0 until d).map(j => s"__x$j")))
-      val sums = feat.withColumn("__p", expr(argmaxExpr(margins)))
-        .selectExpr(
-          (for (c <- 0 until numClasses; j <- 0 until d) yield
-            s"sum(CASE WHEN __y = $c AND __p <> $c THEN __x$j " +
-              s"WHEN __p = $c AND __y <> $c THEN -__x$j " +
-              s"ELSE CAST(0 AS BIGINT) END) AS __u${c}_$j"): _*)
-        .head()
-      w = (0 until numClasses).map { c =>
-        (0 until d).map { j =>
-          val i = c * d + j
-          w(c)(j) + (if (sums.isNullAt(i)) 0L else sums.getLong(i))
+      .localCheckpoint(true)
+    try {
+      val spark = docs.sparkSession
+      // Per-class weights as a broadcast 1-row data frame — identical
+      // generated code every epoch (see fitBatchPerceptron).
+      val wSchema = org.apache.spark.sql.types.StructType(
+        (for (c <- 0 until numClasses; j <- 0 until d) yield
+          org.apache.spark.sql.types.StructField(s"__w${c}_$j",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      def wFrame(w: Seq[Seq[Long]]) = spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(w.flatten)), wSchema)
+      val margins = (0 until numClasses).map(c =>
+        (0 until d).map(j => s"(__w${c}_$j * __x$j)").mkString("(", " + ", ")"))
+      var w = Seq.fill(numClasses)(Seq.fill(d)(0L))
+      (1 to epochs).foreach { _ =>
+        val sums = feat.crossJoin(broadcast(wFrame(w)))
+          .withColumn("__p", expr(argmaxExpr(margins)))
+          .selectExpr(
+            (for (c <- 0 until numClasses; j <- 0 until d) yield
+              s"sum(CASE WHEN __y = $c AND __p <> $c THEN __x$j " +
+                s"WHEN __p = $c AND __y <> $c THEN -__x$j " +
+                s"ELSE CAST(0 AS BIGINT) END) AS __u${c}_$j"): _*)
+          .head()
+        w = (0 until numClasses).map { c =>
+          (0 until d).map { j =>
+            val i = c * d + j
+            w(c)(j) + (if (sums.isNullAt(i)) 0L else sums.getLong(i))
+          }
         }
       }
-    }
-    w.map(_.toSeq)
+      w.map(_.toSeq)
+    } finally CheckpointBlocks.release(feat)
   }
 
   /** Score with fitted multi-class weights: appends INT `pred` (argmax
