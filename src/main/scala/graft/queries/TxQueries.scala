@@ -34,10 +34,14 @@ object TxQueries {
     // directory (version 2's files are already on disk when we read).
     QuerySpec("q122_txlog_timetravel", { (s, dir) =>
       val root = java.nio.file.Files.createTempDirectory("graft-q122").toString + "/t"
-      val li = Td.load(s, dir, "lineitem")
+      // Source scanned ONCE for the 3 slice-appends (a real pipeline
+      // appending k slices of one frame reads it once too); blocks are
+      // released before the format read the query actually returns.
+      val li = Td.load(s, dir, "lineitem").localCheckpoint(true)
       (0 to 2).foreach { k =>
         TxLog.append(s, root, li.where(pmod(col("l_orderkey"), lit(3)) === k))
       }
+      graft.operators.CheckpointBlocks.release(li)
       TxLog.read(s, root, versionAsOf = Some(1L))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
@@ -81,10 +85,11 @@ object TxQueries {
     // snapshot must still hold every row of the original table.
     QuerySpec("q124_txlog_lifecycle", { (s, dir) =>
       val root = java.nio.file.Files.createTempDirectory("graft-q124").toString + "/t"
-      val li = Td.load(s, dir, "lineitem")
+      val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
       (1 to 7).foreach { ln =>
         TxLog.append(s, root, li.where(col("l_linenumber") === ln))
       }
+      graft.operators.CheckpointBlocks.release(li)
       TxLog.optimize(s, root, sortBy = Seq("l_shipdate"))
       TxLog.vacuum(root, retainVersions = 1)
       TxLog.read(s, root)
@@ -107,11 +112,12 @@ object TxQueries {
     // diverges from the raw table.
     QuerySpec("q127_txlog_stream", { (s, dir) =>
       val root = java.nio.file.Files.createTempDirectory("graft-q127").toString + "/t"
-      val li = Td.load(s, dir, "lineitem")
+      val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
       def batch(b: Int) = li.where(pmod(col("l_orderkey"), lit(4)) === b)
       Seq(0, 1, 1, 2, 3).foreach { b => // batch 1 redelivered
         TxLog.appendBatch(s, root, batch(b), appId = "q127", batchId = b.toLong)
       }
+      graft.operators.CheckpointBlocks.release(li)
       TxLog.read(s, root)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
@@ -160,7 +166,7 @@ object TxQueries {
     // customer, so matched-replace + insert semantics are hash-pinned.
     QuerySpec("q132_txlog_merge", { (s, dir) =>
       val root = java.nio.file.Files.createTempDirectory("graft-q132").toString + "/t"
-      val cust = Td.load(s, dir, "customer")
+      val cust = Td.load(s, dir, "customer").localCheckpoint(true) // q122 rationale
       (0 to 2).foreach { k =>
         TxLog.append(s, root, cust.where(pmod(col("c_custkey"), lit(3)) === k))
       }
@@ -171,6 +177,7 @@ object TxQueries {
         .selectExpr("c_custkey + 1000000 AS c_custkey", "c_name", "c_nationkey",
           "c_acctbal", "'fresh' AS c_mktsegment")
       TxLog.merge(s, root, updates.unionAll(inserts), "c_custkey")
+      graft.operators.CheckpointBlocks.release(cust)
       TxLog.read(s, root)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_rows"),
@@ -207,7 +214,7 @@ object TxQueries {
     QuerySpec("q133_publish_snapshot", { (s, dir) =>
       import graft.sources.TxPublish
       val root = java.nio.file.Files.createTempDirectory("graft-q133").toString
-      val orders = Td.load(s, dir, "orders")
+      val orders = Td.load(s, dir, "orders").localCheckpoint(true) // q122 rationale
       def runOnce(src: DataFrame): Long = {
         val vs = TxLog.overwrite(s, s"$root/ord_status",
           src.groupBy("o_orderstatus")
@@ -219,6 +226,7 @@ object TxQueries {
       }
       runOnce(orders.where(pmod(col("o_orderkey"), lit(2)) === 0))
       runOnce(orders)
+      graft.operators.CheckpointBlocks.release(orders)
       val run0 = TxPublish.readRun(s, root, runAsOf = Some(0L))
       run0("ord_status")
         .select(lit("status").as("tbl"), col("o_orderstatus").as("k"),
