@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, col, expr}
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
 
 /** BM25 ranked retrieval (Robertson & Spärck Jones; the Okapi BM25
   * scoring Lucene ships as its default) — the keyword-search complement
@@ -81,6 +81,46 @@ object Retrieval {
         expr("CAST(count(*) AS BIGINT)").as("n_hits"))
       .select(col("__id").as(idCol), col("score"), col("n_hits"))
       .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: given ranked lists from
+    * independent retrievers (BM25, vector ANN, ...), each doc scores
+    * {{{
+    *   rrf(d) = Σ_{arms containing d} 1 / (rrfK + rank_arm(d))
+    * }}}
+    * Rank-based, so arms with incomparable score scales (cosine vs BM25)
+    * fuse without calibration. Returns (idCol, rrf_score, n_arms) top-k
+    * by (score desc, id).
+    *
+    * Determinism: contributions are summed by a SEQUENTIAL fold over the
+    * per-doc contribution list sorted by arm index — a fixed float
+    * addition order, so results are bit-stable under any partitioning
+    * and an oracle replays the same left-to-right sum (coalesce-chained
+    * per-arm terms). Each input must rank a doc at most once; ranks must
+    * be positive.
+    *
+    * Scale shape: inputs are already top-k lists (tiny); the fusion is
+    * one union + one grouped fold over ≤ Σ|arm| rows. */
+  def rrfFuse(ranked: Seq[DataFrame], idCol: String, rankCol: String,
+      topK: Int, rrfK: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse: no ranked lists")
+    require(topK > 0 && rrfK >= 1, s"topK $topK / rrfK $rrfK out of range")
+    val arms = ranked.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol).as("__id"), lit(i).as("__arm"),
+        col(rankCol).cast("long").as("__rank"))
+    }
+    arms.reduce(_ unionAll _)
+      .groupBy("__id")
+      .agg(
+        expr(s"""round(aggregate(
+                   array_sort(collect_list(struct(__arm, __rank))),
+                   CAST(0.0 AS DOUBLE),
+                   (acc, x) -> acc + 1.0 / ($rrfK + x.__rank)), 6)""").as("rrf_score"),
+        expr("CAST(count(*) AS BIGINT)").as("n_arms"))
+      .select(col("__id").as(idCol), col("rrf_score"), col("n_arms"))
+      .orderBy(col("rrf_score").desc, col(idCol))
       .limit(topK)
   }
 }

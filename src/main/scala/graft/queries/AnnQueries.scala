@@ -88,7 +88,81 @@ object AnnQueries {
                SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
                FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")
     })
-  ) :+ ivfSpec :+ semanticDedupSpec :+ pqSpec :+ graphSpec
+  ) :+ ivfSpec :+ semanticDedupSpec :+ pqSpec :+ graphSpec :+ hybridSpec
+
+  /** q140: hybrid lexical+vector retrieval fused by RRF — the modern
+    * retrieval default (BM25 keyword arm + embedding-cosine arm, ranks
+    * combined by Retrieval.rrfFuse; doc_id ≡ vec_id in the testdata).
+    * The oracle re-derives BOTH arms (the q138 BM25 replay; the q59
+    * cosine replay) and fuses with a coalesce-chained fixed-order sum —
+    * the same left-to-right float addition as the operator's sorted
+    * sequential fold, so scores are bit-comparable. */
+  private lazy val hybridSpec: QuerySpec = QuerySpec("q140_hybrid_rrf", { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Td.load(s, dir, "documents")
+    // Lexical arm: BM25 top-30 with explicit ranks. The unpartitioned
+    // window runs over the ALREADY-LIMITED 30-row list, not the corpus.
+    val lex = graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("vector", "stream", "merge"), topK = 30)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "rank")
+    val e = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+    val vec = graft.operators.Similarity.topK(e, e.filter(col("vec_id") === 7), 30)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    graft.operators.Retrieval.rrfFuse(Seq(lex, vec), "doc_id", "rank", topK = 15)
+  }, {
+    val d = DuckSql
+    val dl = d.len(d.splitSpace("text"))
+    Some(s"""WITH st AS (
+               SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(avg($dl) AS DOUBLE) AS avgdl
+               FROM documents),
+             tok AS (
+               SELECT doc_id, CAST($dl AS BIGINT) AS dlen,
+                      unnest(${d.splitSpace("text")}) AS term
+               FROM documents),
+             tf AS (
+               SELECT doc_id, dlen, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok WHERE term IN ('vector', 'stream', 'merge')
+               GROUP BY doc_id, dlen, term),
+             dfreq AS (
+               SELECT term, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY term),
+             bm AS (
+               SELECT tf.doc_id,
+                      round(sum(
+                        ln((CAST(st.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                        * (CAST(tf.tf AS DOUBLE) * 2.2)
+                        / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * tf.dlen / st.avgdl))
+                      ), 6) AS score
+               FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN st
+               GROUP BY tf.doc_id),
+             bmr AS (
+               SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+               FROM bm ORDER BY score DESC, doc_id LIMIT 30),
+             e AS (
+               SELECT vec_id, embedding,
+                      sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm
+               FROM embeddings WHERE ${vOK(d)}),
+             q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 7),
+             vs AS (
+               SELECT e.vec_id AS doc_id,
+                      ${d.dsum(d.zipMul("q.q_emb", "e.embedding"))} / (q.q_nrm * e.nrm) AS cosine
+               FROM e CROSS JOIN q WHERE e.vec_id <> 7),
+             vr AS (
+               SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS r
+               FROM vs ORDER BY cosine DESC, doc_id LIMIT 30),
+             fused AS (
+               SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+                      round(coalesce(CAST(1.0 AS DOUBLE) / (60 + b.r), CAST(0.0 AS DOUBLE))
+                            + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.r), CAST(0.0 AS DOUBLE)), 6) AS rrf_score,
+                      CAST((CASE WHEN b.r IS NOT NULL THEN 1 ELSE 0 END)
+                           + (CASE WHEN v.r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_arms
+               FROM bmr b FULL OUTER JOIN vr v ON b.doc_id = v.doc_id)
+             SELECT doc_id, rrf_score, n_arms FROM fused
+             ORDER BY rrf_score DESC, doc_id LIMIT 15""")
+  })
 
   /** Product-quantization ANN (Similarity.pqTopK) — the memory tier:
     * vectors scan as m=4 one-byte codes (64× compression of the scan

@@ -90,4 +90,50 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       Retrieval.bm25TopK(corpus, "id", "text", Seq("two words"), 5)
     }
   }
+
+  // ---- rrfFuse ------------------------------------------------------------
+
+  test("rrfFuse: closed-form scores; single-arm docs score their one term") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "id", "rank", topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def rr(r: Int) = 1.0 / (60 + r)
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out(10L) === ((rnd(rr(1) + rr(2)), 2L)))
+    assert(out(20L) === ((rnd(rr(1) + rr(2)), 2L))) // symmetric ranks
+    assert(out(30L) === ((rnd(rr(3)), 1L)))
+    assert(out(40L) === ((rnd(rr(3)), 1L)))
+  }
+
+  test("rrfFuse: equal scores break ties by id; topK truncates the total order") {
+    val a = Seq((5L, 1), (9L, 2)).toDF("id", "rank")
+    val b = Seq((9L, 1), (5L, 2)).toDF("id", "rank")
+    // both docs score rr(1)+rr(2): tie -> id order, topK 1 keeps id 5
+    val top = Retrieval.rrfFuse(Seq(a, b), "id", "rank", topK = 1).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(5L))
+  }
+
+  test("rrfFuse: three arms sum in fixed arm order — partition-invariant") {
+    val arms = Seq(
+      Seq((1L, 1), (2L, 2), (3L, 3)),
+      Seq((2L, 1), (3L, 2), (1L, 3)),
+      Seq((3L, 1), (1L, 2), (2L, 3)))
+    def run(parts: Int) = Retrieval.rrfFuse(
+      arms.map(rows => rows.toDF("id", "rank").repartition(parts)),
+      "id", "rank", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(run(1) === run(7))
+    // every doc in all 3 arms with ranks {1,2,3} in some order -> equal
+    // scores, id tie-break
+    assert(run(1).map(_._1) === Seq(1L, 2L, 3L))
+    assert(run(1).map(_._3).distinct === Seq(3L))
+  }
+
+  test("rrfFuse: invalid arguments are rejected") {
+    val a = Seq((1L, 1)).toDF("id", "rank")
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq.empty, "id", "rank", 5) }
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(a), "id", "rank", 0) }
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(a), "id", "rank", 5, rrfK = 0) }
+  }
 }
