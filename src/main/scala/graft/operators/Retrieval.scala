@@ -77,7 +77,18 @@ object Retrieval {
         s"""__idf * (CAST(__tf AS DOUBLE) * ${k1 + 1.0})
             / (CAST(__tf AS DOUBLE) + $k1 * (1.0 - $b + $b * __len / avgdl))"""))
       .groupBy("__id")
-      .agg(expr("round(sum(__s), 6)").as("score"),
+      // Per-doc term contributions are summed by a SEQUENTIAL fold in
+      // term order, not sum(): a doc's (term, tf) rows arrive from
+      // whichever partitions the (id, term) exchange hashed them to, so
+      // a float sum() adds in arrival order — nondeterministic in the
+      // last ulp, which can flip the 6-dp rounding on a knife-edge
+      // score. The sorted fold fixes the addition order (term is unique
+      // per doc) and the oracle replays the same left-to-right sum via
+      // an ORDER BY term list aggregate.
+      .agg(expr(
+        """round(aggregate(
+             transform(array_sort(collect_list(struct(__term, __s))), x -> x.__s),
+             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)""").as("score"),
         expr("CAST(count(*) AS BIGINT)").as("n_hits"))
       .select(col("__id").as(idCol), col("score"), col("n_hits"))
       .orderBy(col("score").desc, col(idCol))

@@ -129,15 +129,15 @@ object AnnQueries {
              dfreq AS (
                SELECT term, CAST(count(*) AS BIGINT) AS df
                FROM tf GROUP BY term),
+             contrib AS (
+               SELECT tf.doc_id, tf.term,
+                      ln((CAST(st.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                      * (CAST(tf.tf AS DOUBLE) * 2.2)
+                      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * tf.dlen / st.avgdl)) AS s
+               FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN st),
              bm AS (
-               SELECT tf.doc_id,
-                      round(sum(
-                        ln((CAST(st.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-                        * (CAST(tf.tf AS DOUBLE) * 2.2)
-                        / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * tf.dlen / st.avgdl))
-                      ), 6) AS score
-               FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN st
-               GROUP BY tf.doc_id),
+               SELECT doc_id, round(${d.dsum("list(s ORDER BY term)")}, 6) AS score
+               FROM contrib GROUP BY doc_id),
              bmr AS (
                SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
                FROM bm ORDER BY score DESC, doc_id LIMIT 30),

@@ -343,17 +343,19 @@ object TextQueries {
                  GROUP BY doc_id, dl, term),
                dfreq AS (
                  SELECT term, CAST(count(*) AS BIGINT) AS df
-                 FROM tf GROUP BY term)
-               SELECT tf.doc_id,
-                      round(sum(
+                 FROM tf GROUP BY term),
+               contrib AS (
+                 SELECT tf.doc_id, tf.term,
                         ln((CAST(st.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
                         * (CAST(tf.tf AS DOUBLE) * 2.2)
-                        / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))
-                      ), 6) AS score,
+                        / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl)) AS s
+                 FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN st)
+               SELECT doc_id,
+                      round(${DuckSql.dsum("list(s ORDER BY term)")}, 6) AS score,
                       CAST(count(*) AS BIGINT) AS n_hits
-               FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN st
-               GROUP BY tf.doc_id
-               ORDER BY score DESC, tf.doc_id LIMIT 15""")
+               FROM contrib
+               GROUP BY doc_id
+               ORDER BY score DESC, doc_id LIMIT 15""")
     }),
 
     // ---- subword token accounting: greedy longest-match wordpiece ------
