@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomAgg, BloomBroadcasts, BloomContains, BloomContainsBcast, CosineSimilarity, HeavyHittersAgg, Md5U32, MinHashAgg, MinHashSigs, SimHash32, SubwordStats}
+import graft.functions.{BloomAgg, BloomBroadcasts, BloomContains, BloomContainsBcast, CosineSimilarity, HeavyHittersAgg, Md5U32, MinHashAgg, MinHashSigs, NfcNormalize, NfkcNormalize, SimHash32, StripAccents, SubwordStats}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native Catalyst expressions into the session's
@@ -54,6 +54,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomContainsBcast(
           BloomBroadcasts.lookup(c.head.eval(null).toString.toInt), c(1))
       }))
+    ext.injectFunction(fn("nfc_normalize",
+      "nfc_normalize(s) - Unicode NFC normalization (canonical compose)")(
+      c => NfcNormalize(c.head)))
+    ext.injectFunction(fn("nfkc_normalize",
+      "nfkc_normalize(s) - Unicode NFKC normalization (compatibility compose)")(
+      c => NfkcNormalize(c.head)))
+    ext.injectFunction(fn("strip_accents",
+      "strip_accents(s) - drop combining marks after NFD decomposition")(
+      c => StripAccents(c.head)))
     ext.injectFunction(fn("heavy_hitters",
       "heavy_hitters(term, k) - mergeable Misra-Gries top terms with frequency lower bounds")(
       c => HeavyHittersAgg(c.head, c(1)).toAggregateExpression()))

@@ -100,6 +100,18 @@ sealed trait SqlDialect {
   def shiftr(x: String, b: String): String
   def bxor(a: String, b: String): String
   def idiv(a: String, b: String): String
+  /** A UTF-8 string synthesized from literal hex bytes — the only
+    * ASCII-source-safe way to plant non-ASCII test content that is
+    * byte-identical in both engines (Spark's `chr` truncates codepoints
+    * to one byte; raw multibyte literals would ride three quoting
+    * layers). `hex` must be a valid UTF-8 byte sequence. */
+  final def utf8FromHex(hex: String): String = {
+    require(hex.matches("(?:[0-9A-F]{2})+"), s"utf8FromHex: even-length uppercase hex, got '$hex'")
+    utf8Decode(s"unhex('$hex')")
+  }
+  protected def utf8Decode(blob: String): String
+  /** Byte (not char) length of a string. */
+  def byteLen(x: String): String
   /** Replace EVERY match of `pat` in `c` with `repl` (DuckDB's default
     * is first-match-only; the 'g' flag lives here so callers can't
     * forget it). Patterns must stay in the backslash-free regex subset —
@@ -152,6 +164,8 @@ object SparkSql extends SqlDialect {
     s"regexp_replace($c, '$pat', '$repl')"
   def regexCount(c: String, pat: String) =
     s"CAST(regexp_count($c, '$pat') AS BIGINT)"
+  protected def utf8Decode(blob: String) = s"decode($blob, 'UTF-8')"
+  def byteLen(x: String) = s"octet_length($x)"
 }
 
 object DuckSql extends SqlDialect {
@@ -196,4 +210,6 @@ object DuckSql extends SqlDialect {
     s"regexp_replace($c, '$pat', '$repl', 'g')"
   def regexCount(c: String, pat: String) =
     s"CAST(len(regexp_extract_all($c, '$pat')) AS BIGINT)"
+  protected def utf8Decode(blob: String) = s"decode($blob)"
+  def byteLen(x: String) = s"octet_length(encode($x))"
 }

@@ -916,8 +916,101 @@ object TextQueries {
                       CAST(CASE WHEN tercile < 3 OR ${d.hex32(d.toStr("doc_id"))} % 100 < 40
                                 THEN 1 ELSE 0 END AS INTEGER) AS kept
                FROM terc ORDER BY doc_id""")
+    }),
+
+    // ---- Unicode-normalization-aware dedup ------------------------------
+    // The step every hash-keyed dedup operator silently assumes: the
+    // precomposed 'café' (U+00E9) and the decomposed 'cafe'+U+0301 are
+    // the same document to a reader but different bytes to md5/minhash/
+    // simhash. Spark has no normalization builtin, so nfc_normalize is
+    // the engine's own codegen'd expression (functions/NormalizeExprs)
+    // sharing DuckDB's builtin name — the SQL fragments are verbatim
+    // identical in both engines. Each doc is planted with two raw
+    // variants: NFC-equal on even ids (n_forms collapses to 1, saving
+    // one byte of combining-mark encoding), genuinely distinct on odd
+    // (n_forms stays 2 — proof the collapse is the normalizer, not the
+    // grouping). Pure projection + two bounded aggs: zero corpus-sized
+    // state at any scale, and the ASCII fast path makes the normalizer
+    // allocation-free on the overwhelmingly-ASCII hot rows.
+    QuerySpec("q141_nfc_dedup", { (s, dir) =>
+      val d = SparkSql
+      Td.load(s, dir, "documents")
+        .selectExpr("doc_id",
+          s"explode(array(text || ${nfcSuffixPre(d)}, text || CASE WHEN doc_id % 2 = 0 " +
+            s"THEN ${nfcSuffixCombining(d)} ELSE ${nfcSuffixDistinct(d)} END)) AS raw")
+        .selectExpr("doc_id", "raw", "nfc_normalize(raw) AS norm")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("norm")).as("n_forms"),
+          sum(expr(s"${d.byteLen("raw")} - ${d.byteLen("norm")}")).as("bytes_saved"))
+        .groupBy("n_forms")
+        .agg(count(lit(1)).as("n_docs"), sum(col("bytes_saved")).as("total_bytes_saved"))
+        .orderBy("n_forms")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH variants AS (
+                 SELECT doc_id,
+                        unnest([text || ${nfcSuffixPre(d)},
+                                text || CASE WHEN doc_id % 2 = 0
+                                             THEN ${nfcSuffixCombining(d)}
+                                             ELSE ${nfcSuffixDistinct(d)} END]) AS raw
+                 FROM documents),
+               norm AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM variants),
+               per_doc AS (
+                 SELECT doc_id, CAST(count(DISTINCT norm) AS BIGINT) AS n_forms,
+                        CAST(sum(${d.byteLen("raw")} - ${d.byteLen("norm")}) AS BIGINT) AS bytes_saved
+                 FROM norm GROUP BY doc_id)
+               SELECT n_forms, count(*) AS n_docs,
+                      CAST(sum(bytes_saved) AS BIGINT) AS total_bytes_saved
+               FROM per_doc GROUP BY n_forms ORDER BY n_forms""")
+    }),
+
+    // ---- accent-folded term statistics ----------------------------------
+    // Search-side text normalization: strip_accents (NFD + drop
+    // combining marks — the engine's codegen'd expression, DuckDB's
+    // builtin name) folds 'café'/'cafe' and 'niño'/'nino' onto one term.
+    // The planted suffix carries both accented and plain spellings, so
+    // n_raw_forms ≥ 2 proves the fold is live while per-term counts stay
+    // deterministic. Explode → map-side-combined groupBy on a 3-term
+    // post-filter vocabulary: the exchange carries 3 partials per task.
+    QuerySpec("q142_accent_fold", { (s, dir) =>
+      val d = SparkSql
+      Td.load(s, dir, "documents")
+        .selectExpr("doc_id", s"explode(${d.splitSpace(s"text || ${accentSuffix(d)}")}) AS tok")
+        .selectExpr("doc_id", "tok", "strip_accents(tok) AS term")
+        .where(col("term").isin("cafe", "nino", "muhleisen"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("tok")).as("n_raw_forms"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("term")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH tok AS (
+                 SELECT doc_id, unnest(${d.splitSpace(s"text || ${accentSuffix(d)}")}) AS tok
+                 FROM documents),
+               folded AS (SELECT doc_id, tok, strip_accents(tok) AS term FROM tok)
+               SELECT term, count(*) AS n_occurrences,
+                      CAST(count(DISTINCT tok) AS BIGINT) AS n_raw_forms,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+               FROM folded WHERE term IN ('cafe', 'nino', 'muhleisen')
+               GROUP BY term ORDER BY term""")
     })
   )
+
+  /** q141's planted variants (UTF-8 bytes via hex so the source stays
+    * ASCII): 'café' precomposed (U+00E9), 'cafe'+combining-acute
+    * (U+0301, NFC-equal to the first), and 'cafè' (U+00E8, genuinely
+    * distinct under any normalization). */
+  private def nfcSuffixPre(d: SqlDialect) = s"'caf' || ${d.utf8FromHex("C3A9")}"
+  private def nfcSuffixCombining(d: SqlDialect) = s"'cafe' || ${d.utf8FromHex("CC81")}"
+  private def nfcSuffixDistinct(d: SqlDialect) = s"'caf' || ${d.utf8FromHex("C3A8")}"
+
+  /** q142's planted accent suffix: accented and plain spellings of the
+    * same three terms (é=C3A9, ñ=C3B1, ü=C3BC), all lowercase so no
+    * case-folding step muddies the accent-fold parity. */
+  private def accentSuffix(d: SqlDialect) =
+    s"' caf' || ${d.utf8FromHex("C3A9")} || ' cafe ni' || ${d.utf8FromHex("C3B1")} || " +
+      s"'o nino m' || ${d.utf8FromHex("C3BC")} || 'hleisen'"
 
   /** q129's crawl-style page, derived deterministically from the
     * documents columns: script + style boilerplate, an entity-bearing
