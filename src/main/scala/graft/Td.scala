@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 import scala.collection.concurrent.TrieMap
 
 /** Testdata access (TESTDATA.md / FIXTURES.md §B).
@@ -33,14 +33,36 @@ object Td {
   def configureSession(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Canonical type contract for `events.ts`: every consumer sees a
+    * session-zoned TIMESTAMP, whatever the parquet file physically
+    * stores. Encodings seen across driver testdata generations:
+    *  - TIMESTAMP(NANOS) — Spark surfaces it as LONG nanos under the
+    *    `nanosAsLong` conf → `timestamp_micros(ts div 1000)`;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark reads
+    *    TIMESTAMP_NTZ → cast to TIMESTAMP (value-preserving because
+    *    every graft session pins `spark.sql.session.timeZone=UTC`);
+    *  - TIMESTAMP(MICROS, UTC) — already TIMESTAMP, pass through.
+    * Downstream epoch math (`cast(ts AS LONG/DOUBLE)`, window(),
+    * session_window(), the `Event` encoder) is only defined on the
+    * canonical type; a new encoding must be handled HERE, not at call
+    * sites. Pinned by HarnessContractSpec for all three encodings. */
+  def canonicalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType => // legacy nanos surfaced as raw LONG
+        df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case TimestampType => df
+      case other: DataType =>
+        throw new IllegalArgumentException(
+          s"events.$tsCol arrived as unsupported type $other — extend Td.canonicalizeTs")
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     dfCache.getOrElseUpdate((spark, dir, name), {
       if (name == "events") {
         configureSession(spark)
-        val raw = spark.read.parquet(s"$dir/$name.parquet")
-        if (raw.schema("ts").dataType == LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
+        canonicalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
 

@@ -20,21 +20,25 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events.parquet read as a stream (TIMESTAMP(NANOS) arrives as LONG
-    * under the nanosAsLong conf, converted to native micros). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events.parquet read as a stream. The file source needs an explicit
+    * schema, and the `ts` encoding has drifted across testdata
+    * generations (TIMESTAMP(NANOS)-as-LONG, then TIMESTAMP_NTZ micros) —
+    * so read the REAL footer schema via a batch probe and let
+    * [[graft.Td.canonicalizeTs]] apply the matching conversion, exactly
+    * as the batch path does. Never pin `ts` to one physical type here. */
+  def eventsSchema(spark: SparkSession, sfDir: String): StructType = {
+    graft.Td.configureSession(spark) // nanos files need nanosAsLong to load at all
+    spark.read.parquet(s"$sfDir/events.parquet").schema
+  }
 
   /** Event-time 1-day tumbling windows × event_type: count + exact sum.
     * Runs the stream to completion (AvailableNow) and returns the final
     * window table. */
   def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val stream = spark.readStream
-      .schema(eventsSchema)
+    val raw = spark.readStream
+      .schema(eventsSchema(spark, sfDir))
       .parquet(streamableDir(sfDir))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.Td.canonicalizeTs(raw)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(
