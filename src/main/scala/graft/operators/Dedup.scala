@@ -188,7 +188,6 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     // a pair row with a NULL endpoint carries no pairing information —
     // ignored here and in [[clustersLargeStar]] (shared contract; the
     // min-aggregate would otherwise hand NULL nodes a neighbor's label
@@ -197,17 +196,7 @@ object Dedup {
     val edges = valid.selectExpr(s"$aCol AS u", s"$bCol AS v")
       .unionAll(valid.selectExpr(s"$bCol AS u", s"$aCol AS v"))
       .distinct().cache()
-    // Convergence = the (count, xxhash64-sum) label digest repeating,
-    // confirmed by one exact set difference at the fixpoint candidate —
-    // the [[clustersLargeStar]] pattern. (A digest, not a numeric label
-    // sum: ids are any orderable type — STRING URLs and content hashes
-    // included — so there is nothing to arithmetically sum, and a
-    // cross-round hash collision must not declare convergence early.)
-    def digest(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("doc_id"), col("cluster_id")).cast(DecimalType(38, 0)))).head()
-      (r.getLong(0), r.getDecimal(1))
-    }
+    val idType = edges.schema("u").dataType
     // Eager localCheckpoint, not cache: the round plan references the
     // previous labels frame twice, so with cache alone the LOGICAL plan
     // doubles per round (cache stores blocks but keeps the full lineage
@@ -220,39 +209,44 @@ object Dedup {
     // cluster localCheckpoint trades executor-loss recoverability for
     // speed — acceptable here because a lost round restarts the
     // (diameter-bounded) job, not a multi-hour lineage replay.
-    var labels = edges.select(col("u").as("doc_id")).distinct()
+    var ckpt = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
-    var prev = digest(labels)
+    var labels = ckpt
     var iter = 0
-    var converged = prev._1 == 0L // empty pair set: already at fixpoint
+    var converged = ckpt.isEmpty // empty pair set: already at fixpoint
     while (!converged && iter < maxIters) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "v"), "v")
         .select(col("u").as("doc_id"), col("cluster_id"))
-      val updated = labels.unionByName(viaNeighbor)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      // Change detection rides the round's ONE shuffle: each doc's own row
+      // carries its current label as `old` (neighbor candidates carry
+      // NULL; every doc_id has exactly one own-row, so max(old) recovers
+      // it exactly — ids are any orderable type, STRING URLs included).
+      // Labels only ever DECREASE (element-wise min), so the fixpoint is
+      // reached exactly when no row has cluster_id ≠ old — an EXACT
+      // per-round check for the cost of a scan over the freshly
+      // materialized blocks (early-exit isEmpty, no shuffle), replacing
+      // the round-9 digest job + exceptAll confirm that tripled q91/q102.
+      val next = labels.withColumn("old", col("cluster_id"))
+        .unionByName(viaNeighbor.withColumn("old", lit(null).cast(idType)))
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"), max("old").as("old"))
         .localCheckpoint(true)
-      // labels only ever DECREASE (element-wise min), so the fixpoint is
-      // reached exactly when the label table stops changing — one scalar
-      // digest per round; the exact confirm join runs only at the
-      // candidate, never in steady state.
-      val dg = digest(updated)
-      if (dg == prev) converged = updated.exceptAll(labels).isEmpty
-      prev = dg
-      // `updated` is materialized and the exact confirm (the only other
-      // reader of the old round) has run — drop the old blocks now
-      CheckpointBlocks.release(labels)
-      labels = updated
+      converged = next.where(not(col("cluster_id") <=> col("old"))).isEmpty
+      // `next` is materialized and the change check has run — the old
+      // round's blocks are dead, drop them now
+      CheckpointBlocks.release(ckpt)
+      ckpt = next
+      labels = next.select("doc_id", "cluster_id")
       iter += 1
     }
     edges.unpersist()
     require(converged, s"label propagation did not converge in $maxIters rounds")
-    // The returned frame is backed by MATERIALIZED localCheckpoint blocks:
-    // downstream actions read the final label table directly instead of
-    // replaying the iteration chain (measured 2× on q94 when uncached).
-    // Blocks are label-table-sized (two longs per paired doc) and are
-    // released by the ContextCleaner once the frame is unreferenced;
-    // callers' unpersist() calls are harmless no-ops.
+    // The returned frame is backed by MATERIALIZED localCheckpoint blocks
+    // (a narrow projection over them): downstream actions read the final
+    // label table directly instead of replaying the iteration chain
+    // (measured 2× on q94 when uncached). Blocks are label-table-sized
+    // and are released by the ContextCleaner once the frame is
+    // unreferenced; callers' unpersist() calls are harmless no-ops.
     labels
   }
 
