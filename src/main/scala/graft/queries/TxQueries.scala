@@ -245,6 +245,86 @@ object TxQueries {
                 SELECT 'prio' AS tbl, o_orderpriority AS k, count(*) AS n_rows,
                        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
                 FROM r1 GROUP BY o_orderpriority)
-              ORDER BY tbl, k"""))
+              ORDER BY tbl, k""")),
+
+    // ---- auto-compaction (pipelines.autoOptimize.managed parity) --------
+    // Table property, not writer state: 12 single-file appends with
+    // graft.autoOptimize=true and a 4-file trigger. The trigger fires
+    // after appends 4/7/10 (each compaction folds the small set to one
+    // file, which stays in the next round's count), so the live set ends
+    // at EXACTLY 3 files and the log at version 15 (12 appends + 1
+    // setProperties + 3 autoOptimize commits) — both emitted as columns
+    // against oracle constants, so a compaction that misfires, overfires,
+    // or drops rows breaks the hash. Thresholds are byte-independent
+    // (every file "small", one output file) to keep the count exact
+    // across parquet encoder versions.
+    QuerySpec("q143_auto_compaction", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q143").toString + "/t"
+      val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
+      TxLog.append(s, root,
+        li.where(pmod(col("l_orderkey"), lit(12)) === 0).coalesce(1))
+      TxLog.setProperties(root, Map(
+        TxLog.AutoOptimize.Enabled -> "true",
+        TxLog.AutoOptimize.MinSmallFiles -> "4",
+        TxLog.AutoOptimize.SmallFileBytes -> (1L << 30).toString,
+        TxLog.AutoOptimize.TargetBytes -> (1L << 40).toString))
+      (1 to 11).foreach { k =>
+        TxLog.append(s, root,
+          li.where(pmod(col("l_orderkey"), lit(12)) === k).coalesce(1))
+      }
+      graft.operators.CheckpointBlocks.release(li)
+      val snap = TxLog.snapshot(root)
+      TxLog.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .withColumn("n_live_files", lit(snap.files.size.toLong))
+        .withColumn("last_version", lit(snap.version))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                     CAST(3 AS BIGINT) AS n_live_files,
+                     CAST(15 AS BIGINT) AS last_version
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- SQL time travel (VERSION AS OF) --------------------------------
+    // The q122 capability through Spark's OWN parser: a TxCatalog
+    // registration makes `FROM <cat>.t VERSION AS OF 1` resolve through
+    // TableCatalog.loadTable(ident, version) to the pinned snapshot's
+    // file list, scanned by the native v2 parquet source. Version 1 and
+    // the head are aggregated in one statement; if the time-travel read
+    // leaked version 2's files, the v1 arm doubles and the hash breaks.
+    // The catalog name is derived from the temp root so re-invocations
+    // in one session never hit a stale cached catalog instance.
+    QuerySpec("q144_sql_timetravel", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q144").toString
+      val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
+      (0 to 2).foreach { k =>
+        TxLog.append(s, s"$root/t",
+          li.where(pmod(col("l_orderkey"), lit(3)) === k))
+      }
+      graft.operators.CheckpointBlocks.release(li)
+      val cat = "tx" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.TxCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(
+        s"""SELECT CAST(1 AS BIGINT) AS version, l_returnflag,
+                   count(*) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+            FROM $cat.t VERSION AS OF 1 GROUP BY l_returnflag
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), l_returnflag, count(*),
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+            FROM $cat.t GROUP BY l_returnflag
+            ORDER BY version, l_returnflag""")
+    },
+      Some("""SELECT CAST(1 AS BIGINT) AS version, l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+              FROM lineitem WHERE l_orderkey % 3 IN (0, 1) GROUP BY l_returnflag
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), l_returnflag, count(*),
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+              FROM lineitem GROUP BY l_returnflag
+              ORDER BY version, l_returnflag"""))
   )
 }

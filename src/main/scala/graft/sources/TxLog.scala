@@ -114,11 +114,25 @@ object TxLog {
   /** The reconstructed live state of the table at `version`. `txns` maps
     * each streaming writer's app id to the highest batch id it has
     * committed — the Delta `txn`-action idempotence state that makes
-    * [[appendBatch]] an exactly-once streaming sink. */
+    * [[appendBatch]] an exactly-once streaming sink. `props` is the
+    * table-property map (Delta `TBLPROPERTIES` analog): replayed
+    * last-writer-wins per key, so a property travels with the table,
+    * not with the writing process. */
   final case class Snapshot(version: Long, schemaDdl: String, files: Seq[AddFile],
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty, props: Map[String, String] = Map.empty) {
     def rows: Long = files.map(_.rows).sum
     def schema: StructType = StructType.fromDDL(schemaDdl)
+  }
+
+  /** Table-property keys for automatic post-commit compaction — the
+    * engine-side analog of the reference's per-table
+    * `pipelines.autoOptimize.managed=true` (it sets the flag on every
+    * managed table; here it is real table metadata in the log). */
+  object AutoOptimize {
+    val Enabled = "graft.autoOptimize"                    // "true" to enable
+    val MinSmallFiles = "graft.autoOptimize.minSmallFiles" // trigger count, default 8
+    val SmallFileBytes = "graft.autoOptimize.smallFileBytes" // "small" cutoff, default 32 MiB
+    val TargetBytes = "graft.autoOptimize.targetBytes"     // output sizing, default 128 MiB
   }
 
   /** Commits between two checkpoints; each checkpoint bounds log replay. */
@@ -222,11 +236,16 @@ object TxLog {
     var schemaDdl: Option[String] = None
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val txns = scala.collection.mutable.Map[String, Long]()
+    val props = scala.collection.mutable.Map[String, String]()
 
     def mergeTxn(j: JValue): Unit = (j \ "txn") match {
       case JObject(_) =>
         val app = jStr(j \ "txn" \ "app"); val b = jLong(j \ "txn" \ "batch")
         txns(app) = math.max(txns.getOrElse(app, Long.MinValue), b)
+      case _ =>
+    }
+    def mergeProps(j: JValue): Unit = (j \ "props") match {
+      case JObject(fields) => fields.foreach { case (k, v) => props(k) = jStr(v) }
       case _ =>
     }
     fromCkpt.foreach { cv =>
@@ -237,6 +256,7 @@ object TxLog {
         case JObject(fields) => fields.foreach { case (app, b) => txns(app) = jLong(b) }
         case _ =>
       }
+      mergeProps(j)
     }
     val replayFrom = fromCkpt.map(_ + 1).getOrElse(0L)
     (replayFrom to target).foreach { v =>
@@ -248,9 +268,10 @@ object TxLog {
         case _ =>
       }
       mergeTxn(j)
+      mergeProps(j)
     }
     Snapshot(target, schemaDdl.getOrElse(sys.error(s"$dir: no schema in log")),
-      live.values.toSeq, txns.toMap)
+      live.values.toSeq, txns.toMap, props.toMap)
   }
 
   // ---- commit protocol ---------------------------------------------------
@@ -282,7 +303,8 @@ object TxLog {
       try {
         val snap = snapshot(dir, Some(v))
         val j: JObject = ("version" -> v) ~ ("schema" -> snap.schemaDdl) ~
-          ("files" -> snap.files.map(addJson)) ~ ("txns" -> snap.txns)
+          ("files" -> snap.files.map(addJson)) ~ ("txns" -> snap.txns) ~
+          ("props" -> snap.props)
         val tmp = logDir(dir).resolve(s".tmp-ckpt-${UUID.randomUUID().toString.take(8)}")
         Files.write(tmp, compact(render(j)).getBytes(StandardCharsets.UTF_8))
         Files.move(tmp, ckptFile(dir, v), StandardCopyOption.ATOMIC_MOVE,
@@ -292,13 +314,15 @@ object TxLog {
 
   private def commitJson(v: Long, op: String, ts: Long, adds: Seq[AddFile],
       removes: Seq[String], schemaDdl: Option[String],
-      txn: Option[(String, Long)] = None): String = {
+      txn: Option[(String, Long)] = None,
+      props: Option[Map[String, String]] = None): String = {
     val base: JObject = ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
       ("schema" -> schemaDdl) ~ ("adds" -> adds.map(addJson)) ~
       ("removes" -> removes)
-    val j = txn.fold(base) { case (app, b) =>
+    val withTxn = txn.fold(base) { case (app, b) =>
       base ~ ("txn" -> (("app" -> app) ~ ("batch" -> b)))
     }
+    val j = props.fold(withTxn)(p => withTxn ~ ("props" -> p))
     compact(render(j))
   }
 
@@ -406,6 +430,7 @@ object TxLog {
           adds, Nil, if (attempt == 0L) Some(ddl) else None)
         if (tryPublish(dir, attempt, content)) {
           maybeCheckpoint(dir, attempt)
+          maybeAutoCompact(spark, dir)
           return attempt
         }
         tries += 1
@@ -459,6 +484,7 @@ object TxLog {
           adds, Nil, if (attempt == 0L) Some(ddl) else None, Some((appId, batchId)))
         if (tryPublish(dir, attempt, content)) {
           maybeCheckpoint(dir, attempt)
+          maybeAutoCompact(spark, dir)
           return Some(attempt)
         }
         tries += 1
@@ -505,7 +531,9 @@ object TxLog {
     val v = readVersion + 1
     val content = commitJson(v, "appendEvolve", System.currentTimeMillis(),
       adds, Nil, Some(merged.toDDL))
-    if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
+    if (tryPublish(dir, v, content)) {
+      maybeCheckpoint(dir, v); maybeAutoCompact(spark, dir); v
+    }
     else {
       deleteStaged(dir, sub)
       throw new ConcurrentWriteException(
@@ -705,6 +733,95 @@ object TxLog {
       s"optimize of $dir lost $maxCommitAttempts consecutive commit races")
   }
 
+  /** Set (merge) table properties as a commit — Delta's `ALTER TABLE SET
+    * TBLPROPERTIES`. Key-wise last-writer-wins on replay, so the commit
+    * is rebase-safe: a lost race retries on the new head. The table must
+    * already exist (properties are table metadata; there is no table
+    * until commit 0 fixes a schema). Returns the committed version. */
+  def setProperties(dir: String, props: Map[String, String]): Long = {
+    require(latestVersion(dir) >= 0, s"setProperties: $dir has no committed versions")
+    var tries = 0
+    while (tries < maxCommitAttempts) {
+      val attempt = latestVersion(dir) + 1
+      val content = commitJson(attempt, "setProperties", System.currentTimeMillis(),
+        Nil, Nil, None, None, Some(props))
+      if (tryPublish(dir, attempt, content)) {
+        maybeCheckpoint(dir, attempt)
+        return attempt
+      }
+      tries += 1
+    }
+    throw new ConcurrentWriteException(
+      s"setProperties on $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
+  /** Compact only the live files SMALLER than `smallFileBytes` into
+    * ~`targetBytes` outputs — the incremental sibling of [[optimize]].
+    * Unlike a full OPTIMIZE this is O(small set), not O(table): an
+    * auto-trigger that rewrote the whole table on every append would
+    * itself be the scale killer it exists to prevent. Layout-only
+    * rewrite (dataChange=false); optimize-class conflict semantics.
+    * Returns (filesIn, filesOut), or None when fewer than 2 small files
+    * exist (nothing to gain). */
+  def compactSmall(spark: SparkSession, dir: String,
+      smallFileBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): Option[(Int, Int)] = {
+    val snap = snapshot(dir)
+    val small = snap.files.filter(_.bytes < smallFileBytes)
+    if (small.size < 2) return None
+    val totalBytes = small.map(_.bytes).sum
+    val nOut = math.max(1, math.min(
+      math.ceil(totalBytes.toDouble / targetBytes).toLong, small.size.toLong).toInt)
+    val src = spark.read.schema(snap.schema)
+      .parquet(small.map(f => Paths.get(dir, f.path).toString): _*)
+    val (sub, adds0) = stage(spark, dir, src.coalesce(nOut))
+    val adds = adds0.map(_.copy(dataChange = false))
+    val removes = small.map(_.path)
+    var attempt = snap.version + 1
+    var tries = 0
+    while (tries < maxCommitAttempts) {
+      val content = commitJson(attempt, "autoOptimize", System.currentTimeMillis(),
+        adds, removes, None)
+      if (tryPublish(dir, attempt, content)) {
+        maybeCheckpoint(dir, attempt)
+        return Some((removes.size, adds.size))
+      }
+      val liveNow = snapshot(dir).files.map(_.path).toSet
+      if (!removes.forall(liveNow.contains)) {
+        deleteStaged(dir, sub)
+        throw new ConcurrentWriteException(
+          s"compactSmall of $dir conflicted: an input file was removed concurrently")
+      }
+      tries += 1
+      attempt = latestVersion(dir) + 1
+    }
+    deleteStaged(dir, sub)
+    throw new ConcurrentWriteException(
+      s"compactSmall of $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
+  /** Post-commit auto-compaction trigger, run after every append-class
+    * commit (append / appendBatch / appendEvolve / merge) — the engine
+    * analog of the reference enabling `pipelines.autoOptimize.managed`
+    * on every managed table. Fires only when the table carries
+    * `graft.autoOptimize=true` AND at least `minSmallFiles` live files
+    * are below the small cutoff; BEST-EFFORT by contract: the data
+    * commit already succeeded when this runs, so no failure (including
+    * a lost compaction race) may surface to the committer — exactly
+    * like [[maybeCheckpoint]]. Costs one log listing + replay when
+    * disabled, which is the price of the property being real table
+    * metadata rather than writer-process state. */
+  private def maybeAutoCompact(spark: SparkSession, dir: String): Unit =
+    try {
+      val snap = snapshot(dir)
+      if (snap.props.get(AutoOptimize.Enabled).contains("true")) {
+        val minSmall = snap.props.get(AutoOptimize.MinSmallFiles).map(_.toInt).getOrElse(8)
+        val smallBytes = snap.props.get(AutoOptimize.SmallFileBytes).map(_.toLong).getOrElse(32L << 20)
+        val target = snap.props.get(AutoOptimize.TargetBytes).map(_.toLong).getOrElse(128L << 20)
+        if (snap.files.count(_.bytes < smallBytes) >= minSmall)
+          compactSmall(spark, dir, smallBytes, target): Unit
+      }
+    } catch { case _: Exception => () }
+
   /** MERGE (keyed upsert): every target row whose `keyCol` appears in
     * `source` is replaced by the source row; source rows with new keys
     * are inserted — Delta's `MERGE INTO … WHEN MATCHED UPDATE SET * WHEN
@@ -770,7 +887,9 @@ object TxLog {
       val v = readVersion + 1
       val content = commitJson(v, "merge", System.currentTimeMillis(),
         remainderAdds ++ srcAdds, touched.map(_.path), None)
-      if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
+      if (tryPublish(dir, v, content)) {
+        maybeCheckpoint(dir, v); maybeAutoCompact(spark, dir); v
+      }
       else {
         remSub.foreach(deleteStaged(dir, _))
         throw new ConcurrentWriteException(

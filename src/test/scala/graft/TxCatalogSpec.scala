@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{TxCatalog, TxLog}
+
+/** SQL surface of the transactional format: `VERSION AS OF` resolves
+  * through Spark's native time-travel parse to the pinned log snapshot,
+  * never the directory; plain reads see the head; the scan inherits v2
+  * parquet pushdown. */
+class TxCatalogSpec extends AnyFunSuite with SparkTestBase {
+
+  private def freshCatalog(): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-txcat").toString
+    val cat = "txc" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"v$i")).toDF("id", "s")
+  }
+
+  test("VERSION AS OF reads the pinned snapshot; head read sees everything") {
+    val (cat, root) = freshCatalog()
+    (0 until 3).foreach(i => TxLog.append(spark, s"$root/t", df(i * 10 until i * 10 + 10)))
+    val v1 = spark.sql(s"SELECT id FROM $cat.t VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSet
+    assert(v1 === (0L until 20L).toSet, "v1 must exclude version 2's files already on disk")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 30L)
+    // an overwritten head: SQL must follow the log, not accumulate files
+    TxLog.overwrite(spark, s"$root/t", df(100 until 105))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 5L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t VERSION AS OF 2").head().getLong(0) === 30L)
+  }
+
+  test("missing table and missing version fail with analysis-time errors") {
+    val (cat, root) = freshCatalog()
+    TxLog.append(spark, s"$root/t", df(0 until 3))
+    assertThrows[AnalysisException](spark.sql(s"SELECT * FROM $cat.nope").collect())
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 9").collect())
+    assert(e.getMessage.contains("version 9") || e.getMessage.contains("VERSION"))
+  }
+
+  test("the SQL scan pushes filters and prunes columns like any v2 parquet read") {
+    val (cat, root) = freshCatalog()
+    TxLog.append(spark, s"$root/t", df(0 until 1000))
+    val plan = spark.sql(s"SELECT id FROM $cat.t WHERE id >= 990")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,990)]"), plan)
+    assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
+  }
+
+  test("SHOW TABLES lists exactly the _txlog-bearing directories") {
+    val (cat, root) = freshCatalog()
+    TxLog.append(spark, s"$root/a", df(0 until 2))
+    TxLog.append(spark, s"$root/b", df(0 until 2))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/plain"))
+    val names = spark.sql(s"SHOW TABLES IN $cat").select("tableName")
+      .collect().map(_.getString(0)).toSet
+    assert(names === Set("a", "b"))
+  }
+}

@@ -621,4 +621,54 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned.exists(_.stats("s").min.contains("ascii"))) // below lo in BOTH orders
     assert(idSet(TxLog.readRange(spark, dir, "s", lo, hi)) === Set(1L))
   }
+
+  test("table properties: last-writer-wins replay, surviving checkpoints") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 3))
+    TxLog.setProperties(dir, Map("graft.autoOptimize" -> "false", "owner" -> "a"))
+    TxLog.setProperties(dir, Map("owner" -> "b")) // partial update merges, not replaces
+    assert(TxLog.snapshot(dir).props ===
+      Map("graft.autoOptimize" -> "false", "owner" -> "b"))
+    // push past the checkpoint interval: props must ride the checkpoint
+    (0 until 12).foreach(i => TxLog.append(spark, dir, df(10 + i until 11 + i)))
+    assert(Files.exists(Paths.get(dir, "_txlog", f"${10L}%020d.ckpt.json")))
+    assert(TxLog.snapshot(dir).props("owner") === "b")
+    // a version BEFORE the property commit replays without it
+    assert(TxLog.snapshot(dir, Some(0L)).props === Map.empty)
+  }
+
+  test("auto-compaction bounds the live file count under many small appends") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 2).coalesce(1))
+    // every file counts as small; compact whenever 4 accumulate
+    TxLog.setProperties(dir, Map(
+      TxLog.AutoOptimize.Enabled -> "true",
+      TxLog.AutoOptimize.MinSmallFiles -> "4",
+      TxLog.AutoOptimize.SmallFileBytes -> (1L << 30).toString,
+      TxLog.AutoOptimize.TargetBytes -> (1L << 40).toString))
+    (1 until 12).foreach { i =>
+      TxLog.append(spark, dir, df(i * 2 until i * 2 + 2).coalesce(1))
+      val live = TxLog.snapshot(dir).files.size
+      assert(live < 4, s"after append $i: $live live files — auto-compaction never fired")
+    }
+    // no row lost or duplicated through the interleaved compactions
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 24L).toSet)
+    assert(TxLog.read(spark, dir).count() === 24L)
+    // compactions are real commits with the optimize dataChange contract
+    val ops = TxLog.history(spark, dir).select("op").collect().map(_.getString(0))
+    assert(ops.count(_ == "autoOptimize") >= 2, s"ops: ${ops.toSeq}")
+    // rewrites are not changes: the change feed yields exactly the appends
+    val changes = TxLog.readChanges(spark, dir, fromVersionExclusive = -1L)
+    assert(changes.count() === 24L)
+    // a pre-compaction version still time-travels (files not yet vacuumed)
+    assert(idSet(TxLog.read(spark, dir, Some(0L))) === Set(0L, 1L))
+  }
+
+  test("auto-compaction stays dormant without the table property") {
+    val dir = tmp()
+    (0 until 6).foreach(i => TxLog.append(spark, dir, df(i until i + 1).coalesce(1)))
+    val ops = TxLog.history(spark, dir).select("op").collect().map(_.getString(0))
+    assert(!ops.contains("autoOptimize"))
+    assert(TxLog.snapshot(dir).files.size === 6)
+  }
 }
