@@ -57,6 +57,43 @@ object StreamingOps {
         col("n_events"), col("sum_value"))
   }
 
+  /** PRODUCTION shape of [[windowedEventCounts]]: watermark + APPEND
+    * mode to a parquet file sink. Only windows the advancing watermark
+    * has CLOSED are emitted — exactly once, via the sink's
+    * `_spark_metadata` commit log riding the query checkpoint — and
+    * each window's state is dropped the moment it closes, so state
+    * stays bounded on an unbounded stream. The still-open tail window
+    * is rightly withheld (it would be emitted by a later trigger once
+    * events past the watermark arrive); the memory/complete variant
+    * above exists precisely because a finite oracle comparison needs
+    * that final window too. Returns the sink as a batch DataFrame.
+    * Proven equivalent to the batch aggregation on closed windows in
+    * StreamWindowAppendSpec. */
+  def windowedEventCountsAppend(spark: SparkSession, sfDir: String,
+      outDir: String, checkpointDir: String): DataFrame = {
+    val raw = spark.readStream
+      .schema(eventsSchema(spark, sfDir))
+      .parquet(streamableDir(sfDir))
+    val agg = graft.Td.canonicalizeTs(raw)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** The file stream source only accepts directories; the testdata ships
     * single parquet files — expose each via a per-dir symlink dir. */
   private val linkCache = scala.collection.concurrent.TrieMap.empty[String, String]
