@@ -72,6 +72,12 @@ class TxCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     toTable(ident, Some(version.toLong))
 
+  /** `TIMESTAMP AS OF t` — Spark hands epoch MICROS; Delta semantics:
+    * the latest version committed at or before `t`, error when `t`
+    * predates the table. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    toTable(ident, Some(TxLog.versionAtTime(dirOf(ident), timestamp / 1000L)))
+
   override def tableExists(ident: Identifier): Boolean =
     TxLog.latestVersion(dirOf(ident)) >= 0
 

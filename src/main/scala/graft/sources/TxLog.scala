@@ -163,6 +163,24 @@ object TxLog {
   }
 
   /** Latest committed version, or -1 for a table with no log. */
+  /** The latest version whose commit timestamp is at or before
+    * `tsMillis` (Delta's `TIMESTAMP AS OF` resolution rule). Commit
+    * timestamps are read from the log entries themselves, never file
+    * mtimes — a copied/restored table keeps its history. Throws when
+    * `tsMillis` predates the first commit. */
+  def versionAtTime(dir: String, tsMillis: Long): Long = {
+    val (commits, _) = listLog(dir)
+    if (commits.isEmpty)
+      throw new VersionNotFoundException(s"$dir has no committed versions")
+    val at = commits.sorted.takeWhile { v =>
+      jLong(parse(Files.readString(versionFile(dir, v))) \ "ts") <= tsMillis
+    }
+    if (at.isEmpty)
+      throw new VersionNotFoundException(
+        s"$dir: timestamp $tsMillis predates the first commit")
+    at.last
+  }
+
   def latestVersion(dir: String): Long = {
     val (commits, _) = listLog(dir)
     if (commits.isEmpty) -1L else commits.max

@@ -46,6 +46,26 @@ class TxCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("version 9") || e.getMessage.contains("VERSION"))
   }
 
+  test("TIMESTAMP AS OF resolves to the latest commit at or before the time") {
+    val (cat, root) = freshCatalog()
+    TxLog.append(spark, s"$root/t", df(0 until 5))
+    Thread.sleep(25)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(25)
+    TxLog.append(spark, s"$root/t", df(5 until 9))
+    // render the probe instant in UTC explicitly — the session timezone
+    // is UTC, the JVM default may not be
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(mid))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t TIMESTAMP AS OF '$lit'")
+      .head().getLong(0) === 5L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 9L)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.t TIMESTAMP AS OF '1990-01-01 00:00:00'").collect())
+    assert(e.getMessage.contains("predates"))
+  }
+
   test("the SQL scan pushes filters and prunes columns like any v2 parquet read") {
     val (cat, root) = freshCatalog()
     TxLog.append(spark, s"$root/t", df(0 until 1000))
