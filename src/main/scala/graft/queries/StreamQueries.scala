@@ -156,6 +156,28 @@ object StreamQueries {
                      count(*) AS n_docs,
                      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                      CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-              FROM documents GROUP BY 1 ORDER BY pass_version"""))
+              FROM documents GROUP BY 1 ORDER BY pass_version""")),
+
+    // ---- streaming dedup: at-least-once in, exactly-once out ------------
+    // Every event is delivered TWICE (two directory entries over the
+    // same parquet); dropDuplicatesWithinWatermark must collapse the
+    // redelivery in-stream — watermark-bounded state, unlike plain
+    // dropDuplicates — before the rows reach the sink. The oracle
+    // aggregates the SINGLE-delivery raw table: a dedup miss doubles
+    // n_events and sum_value and breaks the hash; keying state by
+    // event_id (not whole-row) is what makes redelivered IDENTICAL rows
+    // collapse. Decimal-routed sum, order-insensitive.
+    QuerySpec("q145_stream_dedup", { (s, dir) =>
+      StreamingOps.dedupedDoubleDelivery(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type, count(*) AS n_events,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                     CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -94,6 +94,46 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming exactly-once DEDUPLICATION by key: every event is
+    * DELIVERED TWICE (two directory entries pointing at the same
+    * parquet — the at-least-once redelivery a real ingest must absorb),
+    * and `dropDuplicatesWithinWatermark` must restore exact-once
+    * semantics before the rows land in the sink. State holds one key
+    * per event inside the watermark horizon and is dropped as the
+    * watermark passes — bounded on an unbounded stream, unlike plain
+    * `dropDuplicates` whose state grows forever. The sink is read back
+    * as a batch table; the caller aggregates it against the
+    * single-delivery oracle, so a dedup miss doubles every count and
+    * breaks the hash. */
+  def dedupedDoubleDelivery(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.readStream
+      .schema(eventsSchema(spark, sfDir))
+      .parquet(doubledDir(sfDir))
+    val deduped = graft.Td.canonicalizeTs(raw)
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+    val sinkName = s"graft_stream_dedup_${System.nanoTime()}"
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
+  private val doubledCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def doubledDir(sfDir: String): String =
+    doubledCache.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-events-doubled")
+      Seq("events.parquet", "events_redelivered.parquet").foreach { n =>
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve(n), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+      }
+      dir.toString
+    })
+
   /** The file stream source only accepts directories; the testdata ships
     * single parquet files — expose each via a per-dir symlink dir. */
   private val linkCache = scala.collection.concurrent.TrieMap.empty[String, String]
