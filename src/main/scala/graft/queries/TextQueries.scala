@@ -317,6 +317,52 @@ object TextQueries {
 
     // ---- BM25 ranked retrieval (inverted-index probe) -------------------
     // The lexical complement to the ANN stack (q59/q71/q134): top-15
+    // ---- DSIR importance resampling (Xie et al. 2023) -------------------
+    // Score every raw doc by how much likelier its hashed bag-of-words
+    // is under the TARGET histogram (the en slice) than under the raw
+    // corpus's own; keep the top 50. Histograms are B-row broadcasts off
+    // ONE (doc, bucket) count relation (the raw histogram is a re-agg,
+    // never a second corpus scan); per-doc weights fold in bucket order
+    // (the BM25/RRF float-determinism discipline) and round to 6 dp with
+    // id tie-break. The oracle replays bucketing (two-dialect md5),
+    // smoothing, log-ratio, fold, and selection end to end.
+    QuerySpec("q146_dsir_select", { (s, dir) =>
+      val docs = Td.load(s, dir, "documents")
+      graft.operators.Dsir
+        .selectTopK(docs, docs.where("lang = 'en'"), "doc_id", "text",
+          k = 50, buckets = 64)
+        .select("doc_id", "lang", "weight", "n_toks")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH dc AS (
+                 SELECT doc_id, ${d.hex32("tok")} % 64 AS b,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT doc_id, unnest(${d.splitSpace("text")}) AS tok
+                       FROM documents)
+                 GROUP BY 1, 2),
+               rh AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM dc GROUP BY b),
+               th AS (
+                 SELECT ${d.hex32("tok")} % 64 AS b, CAST(count(*) AS BIGINT) AS ct
+                 FROM (SELECT unnest(${d.splitSpace("text")}) AS tok
+                       FROM documents WHERE lang = 'en')
+                 GROUP BY 1),
+               tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rh) AS tr,
+                              (SELECT CAST(sum(ct) AS BIGINT) FROM th) AS tt),
+               lr AS (
+                 SELECT rh.b,
+                        ln((CAST(coalesce(th.ct, 0) AS DOUBLE) + 1.0) / (tot.tt + 64))
+                        - ln((CAST(rh.cr AS DOUBLE) + 1.0) / (tot.tr + 64)) AS lrv
+                 FROM rh LEFT JOIN th ON rh.b = th.b CROSS JOIN tot),
+               wts AS (
+                 SELECT dc.doc_id,
+                        round(${d.dsum("list(CAST(dc.c AS DOUBLE) * lr.lrv ORDER BY dc.b)")}, 6) AS weight,
+                        CAST(sum(dc.c) AS BIGINT) AS n_toks
+                 FROM dc JOIN lr ON dc.b = lr.b GROUP BY dc.doc_id)
+               SELECT doc.doc_id, doc.lang, wts.weight, wts.n_toks
+               FROM documents doc JOIN wts ON doc.doc_id = wts.doc_id
+               ORDER BY wts.weight DESC, doc.doc_id LIMIT 50""")
+    }),
+
     // docs for a 3-term query under Lucene-form BM25. The probe never
     // scans non-matching tokens past the mapper (term IN (...) on the
     // exploded relation); df comes from the filtered postings (exact
