@@ -178,6 +178,32 @@ object StreamQueries {
       Some("""SELECT event_type, count(*) AS n_events,
                      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-              FROM events GROUP BY event_type ORDER BY event_type"""))
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- stream-stream interval join: conversion attribution ------------
+    // Clicks joined to same-user purchases within 24h — BOTH sides
+    // unbounded streams through the streaming engine; the time-bound +
+    // watermarks let Spark evict unmatchable join state. The full pair
+    // list (total order on (click_id, purchase_id)) is hash-compared to
+    // the batch self-join the oracle runs: a state-eviction bug drops
+    // pairs, a bound bug invents them.
+    QuerySpec("q147_stream_join", { (s, dir) =>
+      StreamingOps.clickPurchaseAttribution(s, dir)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (col("purchase_ts").cast(LongType) - col("click_ts").cast(LongType))
+            .as("gap_sec"),
+          col("purchase_value"))
+        .orderBy("click_id", "purchase_id")
+    },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                     c.user_id,
+                     CAST(floor(epoch(p.ts)) AS BIGINT)
+                       - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_sec,
+                     p.value AS purchase_value
+              FROM events c JOIN events p
+                ON c.user_id = p.user_id
+               AND c.event_type = 'click' AND p.event_type = 'purchase'
+               AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOURS
+              ORDER BY click_id, purchase_id"""))
   )
 }

@@ -123,6 +123,45 @@ object StreamingOps {
     spark.table(sinkName)
   }
 
+  /** Stream-stream INTERVAL join — conversion attribution: every
+    * (click, purchase) pair of the same user with the purchase at most
+    * `windowHours` after the click. Both sides are unbounded streams;
+    * the time-bound condition plus both watermarks is what lets Spark
+    * EVICT join state (a click older than the watermark minus the
+    * window can never match a future purchase and is dropped), so state
+    * stays bounded at any volume — without the bound the join would
+    * buffer both streams forever. Inner joins emit pairs the moment
+    * both rows are in state (no watermark withholding), so one
+    * AvailableNow pass over a finite source yields the complete batch
+    * answer — which is exactly what the oracle checks. */
+  def clickPurchaseAttribution(spark: SparkSession, sfDir: String,
+      windowHours: Int = 24): DataFrame = {
+    def events() = graft.Td.canonicalizeTs(
+      spark.readStream
+        .schema(eventsSchema(spark, sfDir))
+        .parquet(streamableDir(sfDir)))
+    val clicks = events().where("event_type = 'click'")
+      .selectExpr("event_id AS click_id", "user_id", "ts AS click_ts")
+      .withWatermark("click_ts", "1 day")
+    val purchases = events().where("event_type = 'purchase'")
+      .selectExpr("event_id AS purchase_id", "user_id AS p_user",
+        "ts AS purchase_ts", "value AS purchase_value")
+      .withWatermark("purchase_ts", "1 day")
+    val joined = clicks.join(purchases, expr(
+      s"""user_id = p_user
+          AND purchase_ts >= click_ts
+          AND purchase_ts <= click_ts + INTERVAL $windowHours HOURS"""))
+    val sinkName = s"graft_stream_join_${System.nanoTime()}"
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   private val doubledCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def doubledDir(sfDir: String): String =
     doubledCache.getOrElseUpdate(sfDir, {
