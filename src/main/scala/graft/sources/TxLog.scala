@@ -96,6 +96,18 @@ object TxLog {
   /** Requested version does not exist (never committed, or table empty). */
   final class VersionNotFoundException(msg: String) extends RuntimeException(msg)
 
+  /** A CHECK constraint rejected incoming rows (or, for
+    * [[addConstraint]], existing rows). Nothing is staged or
+    * committed when this throws. */
+  final class ConstraintViolationException(msg: String) extends RuntimeException(msg)
+
+  /** Table-property prefix for CHECK constraints (Delta's
+    * `delta.constraints.*` analog): key = prefix + name, value = a SQL
+    * boolean expression every written row must satisfy. An empty value
+    * is a tombstone (constraint dropped) — properties replay
+    * last-writer-wins, so removal must overwrite, not erase. */
+  val ConstraintPrefix = "graft.constraint."
+
   /** Per-column file statistics. `min`/`max` are the column's values cast
     * to string (None when the file has only NULLs for the column); `typ`
     * is the Catalyst simpleString, which [[prunedFiles]] uses to decide
@@ -431,7 +443,9 @@ object TxLog {
     * version. */
   def append(spark: SparkSession, dir: String, df: DataFrame): Long = {
     Files.createDirectories(Paths.get(dir))
-    headSnapshot(dir).foreach(h => requireSchema(h.schemaDdl, df))
+    val pre = headSnapshot(dir)
+    pre.foreach(h => requireSchema(h.schemaDdl, df))
+    requireConstraints(pre, df)
     val (sub, adds) = stage(spark, dir, df)
     val ddl = df.schema.toDDL
     // Any exit without a published commit must reclaim the staging dir —
@@ -487,6 +501,7 @@ object TxLog {
     val pre = headSnapshot(dir)
     if (seen(pre)) return None
     pre.foreach(h => requireSchema(h.schemaDdl, df))
+    requireConstraints(pre, df)
     val (sub, adds) = stage(spark, dir, df)
     val ddl = df.schema.toDDL
     try {
@@ -545,6 +560,9 @@ object TxLog {
       if (df.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
+    // validate the ALIGNED frame: a constraint may reference a table
+    // column the incoming frame omits (NULL there — SQL CHECK passes)
+    requireConstraints(Some(snapshot(dir, Some(readVersion))), aligned)
     val (sub, adds) = stage(spark, dir, aligned)
     val v = readVersion + 1
     val content = commitJson(v, "appendEvolve", System.currentTimeMillis(),
@@ -573,10 +591,10 @@ object TxLog {
   private[graft] def overwriteAt(spark: SparkSession, dir: String, df: DataFrame,
       readVersion: Long): Long = {
     Files.createDirectories(Paths.get(dir))
-    if (readVersion >= 0) requireSchema(snapshot(dir, Some(readVersion)).schemaDdl, df)
-    val removes =
-      if (readVersion < 0) Nil
-      else snapshot(dir, Some(readVersion)).files.map(_.path)
+    val preSnap = if (readVersion >= 0) Some(snapshot(dir, Some(readVersion))) else None
+    preSnap.foreach(s => requireSchema(s.schemaDdl, df))
+    requireConstraints(preSnap, df)
+    val removes = preSnap.map(_.files.map(_.path)).getOrElse(Nil)
     val (sub, adds) = stage(spark, dir, df)
     val v = readVersion + 1
     val content = commitJson(v, "overwrite", System.currentTimeMillis(),
@@ -614,6 +632,7 @@ object TxLog {
     requireSchema(snap.schemaDdl, df)
     require(snap.schema.fields.exists(_.name == colName),
       s"$colName not in table schema")
+    requireConstraints(Some(snap), df)
 
     // Stage the replacement FIRST; the value set and the committed rows
     // then come from the same single evaluation of `df` (the merge
@@ -773,6 +792,44 @@ object TxLog {
       s"setProperties on $dir lost $maxCommitAttempts consecutive commit races")
   }
 
+  /** ADD CONSTRAINT (Delta `ALTER TABLE ADD CONSTRAINT` semantics):
+    * `sqlExpr` must be a boolean SQL expression; rows where it
+    * evaluates FALSE are violations (NULL passes — the SQL-standard
+    * CHECK rule). The EXISTING table must already satisfy it, checked
+    * with one early-exit scan; every subsequent write validates its
+    * incoming rows before staging. Returns the committed version. */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      sqlExpr: String): Long = {
+    require(name.matches("[A-Za-z0-9_]+"), s"constraint name must be word-like: $name")
+    val existing = read(spark, dir).where(s"NOT ($sqlExpr)")
+    if (!existing.isEmpty)
+      throw new ConstraintViolationException(
+        s"cannot add constraint $name: existing rows of $dir violate ($sqlExpr)")
+    setProperties(dir, Map(ConstraintPrefix + name -> sqlExpr))
+  }
+
+  /** DROP CONSTRAINT — writes the tombstone (empty value). */
+  def dropConstraint(dir: String, name: String): Long =
+    setProperties(dir, Map(ConstraintPrefix + name -> ""))
+
+  /** Validate `df` against the head's CHECK constraints — one
+    * early-exit scan per active constraint, BEFORE anything stages, so
+    * a rejected write leaves no trace. Caveat (shared with any
+    * validate-then-write split): a non-deterministic source frame is
+    * evaluated here and again at staging; stage from deterministic
+    * frames (Delta evaluates constraints inside the write for this
+    * reason — the split keeps the commit path simple). A constraint
+    * committed CONCURRENTLY with an in-flight write may miss that
+    * write's rows (the Delta metadata-race trade; addConstraint's
+    * existing-data scan runs at its own read version). */
+  private def requireConstraints(head: Option[Snapshot], df: DataFrame): Unit =
+    head.foreach(_.props.foreach { case (k, v) =>
+      if (k.startsWith(ConstraintPrefix) && v.nonEmpty &&
+          !df.where(s"NOT ($v)").isEmpty)
+        throw new ConstraintViolationException(
+          s"rows violate constraint ${k.stripPrefix(ConstraintPrefix)}: CHECK ($v)")
+    })
+
   /** Compact only the live files SMALLER than `smallFileBytes` into
     * ~`targetBytes` outputs — the incremental sibling of [[optimize]].
     * Unlike a full OPTIMIZE this is O(small set), not O(table): an
@@ -881,6 +938,10 @@ object TxLog {
       require(keyStats.getLong(0) == keyStats.getLong(1),
         s"merge: duplicate $keyCol values in source (${keyStats.getLong(0)} rows, " +
           s"${keyStats.getLong(1)} distinct) — each key must match at most once")
+      // constraints run on the staged re-read (single-evaluation
+      // discipline); a violation lands in the catch, which reclaims
+      // the staging dir
+      requireConstraints(Some(snap), staged)
 
       val paths = snap.files.map(f => Paths.get(dir, f.path).toString)
       val keys = staged.select(col(keyCol)).distinct()

@@ -664,6 +664,39 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(idSet(TxLog.read(spark, dir, Some(0L))) === Set(0L, 1L))
   }
 
+  test("CHECK constraints: writes validate, violations stage nothing, NULL passes") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 5))
+    TxLog.addConstraint(spark, dir, "id_nonneg", "id >= 0")
+    // valid append passes; violating append throws and leaves NO staging
+    TxLog.append(spark, dir, df(5 until 8))
+    val before = TxLog.latestVersion(dir)
+    val bad = Seq((-1L, "neg")).toDF("id", "s")
+    assertThrows[TxLog.ConstraintViolationException](TxLog.append(spark, dir, bad))
+    assert(TxLog.latestVersion(dir) === before, "violation must not commit")
+    val stray = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+    val entries = scala.jdk.CollectionConverters.IteratorHasAsScala(stray).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("d-")).toSeq
+    // staged dirs present are only those of the 2 successful appends
+    assert(entries.size === 2, s"violating write leaked staging: $entries")
+    // NULL evaluates to pass (SQL-standard CHECK)
+    TxLog.append(spark, dir, Seq((Option.empty[Long], "n")).toDF("id", "s")
+      .selectExpr("CAST(id AS BIGINT) AS id", "s"))
+    // overwrite and merge validate too
+    assertThrows[TxLog.ConstraintViolationException](
+      TxLog.overwrite(spark, dir, bad))
+    assertThrows[TxLog.ConstraintViolationException](
+      TxLog.merge(spark, dir, bad, "id"))
+    // existing-data gate: a constraint current rows violate is rejected
+    assertThrows[TxLog.ConstraintViolationException](
+      TxLog.addConstraint(spark, dir, "tight", "id >= 3"))
+    // drop, then the formerly-violating append lands
+    TxLog.dropConstraint(dir, "id_nonneg")
+    TxLog.append(spark, dir, bad)
+    assert(idSet(TxLog.read(spark, dir).where("id IS NOT NULL")).contains(-1L))
+  }
+
   test("auto-compaction stays dormant without the table property") {
     val dir = tmp()
     (0 until 6).foreach(i => TxLog.append(spark, dir, df(i until i + 1).coalesce(1)))
