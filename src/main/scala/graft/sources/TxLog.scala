@@ -462,7 +462,7 @@ object TxLog {
           adds, Nil, if (attempt == 0L) Some(ddl) else None)
         if (tryPublish(dir, attempt, content)) {
           maybeCheckpoint(dir, attempt)
-          maybeAutoCompact(spark, dir)
+          maybeAutoCompact(spark, dir, head, adds)
           return attempt
         }
         tries += 1
@@ -517,7 +517,7 @@ object TxLog {
           adds, Nil, if (attempt == 0L) Some(ddl) else None, Some((appId, batchId)))
         if (tryPublish(dir, attempt, content)) {
           maybeCheckpoint(dir, attempt)
-          maybeAutoCompact(spark, dir)
+          maybeAutoCompact(spark, dir, head, adds)
           return Some(attempt)
         }
         tries += 1
@@ -543,7 +543,8 @@ object TxLog {
       readVersion: Long): Long = {
     Files.createDirectories(Paths.get(dir))
     if (readVersion < 0) return append(spark, dir, df)
-    val table = StructType.fromDDL(snapshot(dir, Some(readVersion)).schemaDdl)
+    val snapAtRead = snapshot(dir, Some(readVersion))
+    val table = StructType.fromDDL(snapAtRead.schemaDdl)
     val known = table.fields.map(f => f.name -> f.dataType).toMap
     df.schema.fields.foreach { f =>
       known.get(f.name).foreach { t =>
@@ -562,13 +563,13 @@ object TxLog {
     }.toSeq: _*)
     // validate the ALIGNED frame: a constraint may reference a table
     // column the incoming frame omits (NULL there — SQL CHECK passes)
-    requireConstraints(Some(snapshot(dir, Some(readVersion))), aligned)
+    requireConstraints(Some(snapAtRead), aligned)
     val (sub, adds) = stage(spark, dir, aligned)
     val v = readVersion + 1
     val content = commitJson(v, "appendEvolve", System.currentTimeMillis(),
       adds, Nil, Some(merged.toDDL))
     if (tryPublish(dir, v, content)) {
-      maybeCheckpoint(dir, v); maybeAutoCompact(spark, dir); v
+      maybeCheckpoint(dir, v); maybeAutoCompact(spark, dir, Some(snapAtRead), adds); v
     }
     else {
       deleteStaged(dir, sub)
@@ -879,20 +880,30 @@ object TxLog {
     * analog of the reference enabling `pipelines.autoOptimize.managed`
     * on every managed table. Fires only when the table carries
     * `graft.autoOptimize=true` AND at least `minSmallFiles` live files
-    * are below the small cutoff; BEST-EFFORT by contract: the data
+    * sit below the small cutoff; BEST-EFFORT by contract: the data
     * commit already succeeded when this runs, so no failure (including
     * a lost compaction race) may surface to the committer — exactly
-    * like [[maybeCheckpoint]]. Costs one log listing + replay when
-    * disabled, which is the price of the property being real table
-    * metadata rather than writer-process state. */
-  private def maybeAutoCompact(spark: SparkSession, dir: String): Unit =
+    * like [[maybeCheckpoint]].
+    *
+    * Zero extra log reads on the hot path: the decision runs off the
+    * snapshot the writer ALREADY replayed for its own commit plus the
+    * files that commit added (= the post-commit live set, exactly,
+    * absent concurrent writers) — on an object store a per-append
+    * re-list just to learn "disabled" would double every commit's
+    * round-trips. A property committed concurrently is seen one append
+    * late; [[compactSmall]] re-snapshots before touching anything, so
+    * a stale trigger can only no-op. */
+  private def maybeAutoCompact(spark: SparkSession, dir: String,
+      head: Option[Snapshot], adds: Seq[AddFile]): Unit =
     try {
-      val snap = snapshot(dir)
-      if (snap.props.get(AutoOptimize.Enabled).contains("true")) {
-        val minSmall = snap.props.get(AutoOptimize.MinSmallFiles).map(_.toInt).getOrElse(8)
-        val smallBytes = snap.props.get(AutoOptimize.SmallFileBytes).map(_.toLong).getOrElse(32L << 20)
-        val target = snap.props.get(AutoOptimize.TargetBytes).map(_.toLong).getOrElse(128L << 20)
-        if (snap.files.count(_.bytes < smallBytes) >= minSmall)
+      val props = head.map(_.props).getOrElse(Map.empty[String, String])
+      if (props.get(AutoOptimize.Enabled).contains("true")) {
+        val minSmall = props.get(AutoOptimize.MinSmallFiles).map(_.toInt).getOrElse(8)
+        val smallBytes = props.get(AutoOptimize.SmallFileBytes).map(_.toLong).getOrElse(32L << 20)
+        val target = props.get(AutoOptimize.TargetBytes).map(_.toLong).getOrElse(128L << 20)
+        val nSmall = head.map(_.files.count(_.bytes < smallBytes)).getOrElse(0) +
+          adds.count(_.bytes < smallBytes)
+        if (nSmall >= minSmall)
           compactSmall(spark, dir, smallBytes, target): Unit
       }
     } catch { case _: Exception => () }
@@ -967,7 +978,13 @@ object TxLog {
       val content = commitJson(v, "merge", System.currentTimeMillis(),
         remainderAdds ++ srcAdds, touched.map(_.path), None)
       if (tryPublish(dir, v, content)) {
-        maybeCheckpoint(dir, v); maybeAutoCompact(spark, dir); v
+        maybeCheckpoint(dir, v)
+        // the post-merge live set = snap minus touched plus these adds;
+        // passing snap + adds over-counts the removed touched files by
+        // at most |touched| — a stale trigger only makes compactSmall
+        // re-snapshot and no-op (best-effort contract)
+        maybeAutoCompact(spark, dir, Some(snap), remainderAdds ++ srcAdds)
+        v
       }
       else {
         remSub.foreach(deleteStaged(dir, _))
