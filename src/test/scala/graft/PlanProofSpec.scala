@@ -294,4 +294,17 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
       case _ =>
     }
   }
+
+  test("q146: DSIR histograms ride broadcasts; selection is TakeOrdered; no shuffle join") {
+    val plan = finalPlanOf("q146_dsir_select")
+    // the B-row log-ratio relation and the 1-row totals must broadcast;
+    // a shuffle join on bucket would exchange the corpus-sized
+    // (doc, bucket) relation for a 64-row build side
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // top-k selection must be heap-based, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+  }
+
 }
