@@ -325,6 +325,61 @@ object TxQueries {
               SELECT CAST(2 AS BIGINT), l_returnflag, count(*),
                      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
               FROM lineitem GROUP BY l_returnflag
-              ORDER BY version, l_returnflag"""))
+              ORDER BY version, l_returnflag""")),
+
+    // ---- streaming CDC upsert (exactly-once keyed merge sink) -----------
+    // Two checkpointed passes of a CSV change feed through
+    // StreamingTx.upsert → TxLog.mergeBatch: pass 1 carries the base
+    // rows PLUS same-batch re-updates of every 7th key (seq 2 must beat
+    // seq 1 inside one micro-batch), pass 2 re-updates every 10th key.
+    // The oracle reconstructs the final keyed state relationally: a
+    // missed in-batch collapse aborts on duplicate keys, a replayed
+    // batch doubles balances, a lost update leaves stale segments —
+    // all hash-visible.
+    QuerySpec("q148_stream_upsert", { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val root = java.nio.file.Files.createTempDirectory("graft-q148").toString
+      val cust = Td.load(s, dir, "customer").localCheckpoint(true) // q122 rationale
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType), StructField("seq", LongType)))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+      def drop(df: DataFrame, name: String): Unit = {
+        val stage = s"$root/stage_$name"
+        df.coalesce(1).write.option("header", "true").csv(stage)
+        val f = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".csv")).head
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(s"$root/in/$name.csv")): Unit
+      }
+      drop(cust.selectExpr("c_custkey", "c_acctbal", "c_mktsegment",
+          "CAST(1 AS BIGINT) AS seq")
+        .unionAll(cust.where("c_custkey % 7 = 0")
+          .selectExpr("c_custkey", "c_acctbal * 2.0 AS c_acctbal",
+            "'merged' AS c_mktsegment", "CAST(2 AS BIGINT) AS seq")), "drop0")
+      graft.streaming.StreamingTx.upsert(s, s"$root/in", s"$root/t",
+        s"$root/ckpt", schema, keyCol = "c_custkey", orderCol = "seq", appId = "q148")
+      drop(cust.where("c_custkey % 10 = 0")
+        .selectExpr("c_custkey", "c_acctbal", "'late' AS c_mktsegment",
+          "CAST(3 AS BIGINT) AS seq"), "drop1")
+      val fin = graft.streaming.StreamingTx.upsert(s, s"$root/in", s"$root/t",
+        s"$root/ckpt", schema, keyCol = "c_custkey", orderCol = "seq", appId = "q148")
+      graft.operators.CheckpointBlocks.release(cust)
+      fin.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+      Some("""WITH final AS (
+                SELECT c_custkey,
+                       CASE WHEN c_custkey % 10 = 0 THEN 'late'
+                            WHEN c_custkey % 7 = 0 THEN 'merged'
+                            ELSE c_mktsegment END AS c_mktsegment,
+                       CASE WHEN c_custkey % 10 = 0 THEN c_acctbal
+                            WHEN c_custkey % 7 = 0 THEN c_acctbal * 2.0
+                            ELSE c_acctbal END AS c_acctbal
+                FROM customer)
+              SELECT c_mktsegment, count(*) AS n_rows,
+                     CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

@@ -927,9 +927,34 @@ object TxLog {
     * and would silently turn the upsert into a blind insert). Non-blind
     * write → overwrite conflict rule. Returns the committed version. */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
-      keyCol: String): Long = {
+      keyCol: String): Long = mergeImpl(spark, dir, source, keyCol, None)
+
+  /** [[merge]] tagged with a streaming txn — the upsert sibling of
+    * [[appendBatch]]: a replayed (appId, batchId) is SKIPPED (returns
+    * None) instead of re-merging, which makes an at-least-once
+    * foreachBatch CDC stream an exactly-once keyed sink. Same
+    * checkpoint-loss caveat as appendBatch (batchId→content determinism
+    * required); same overwrite-class conflict rule as merge — a
+    * concurrent commit aborts the batch, the stream's retry replays it,
+    * and the txn check then routes it correctly. */
+  def mergeBatch(spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String, appId: String, batchId: Long): Option[Long] = {
+    val pre = headSnapshot(dir)
+    if (pre.exists(_.txns.get(appId).exists(_ >= batchId))) return None
+    Some(mergeImpl(spark, dir, source, keyCol, Some((appId, batchId))))
+  }
+
+  private def mergeImpl(spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String, txn: Option[(String, Long)]): Long = {
     val readVersion = latestVersion(dir)
-    if (readVersion < 0) return append(spark, dir, source)
+    if (readVersion < 0) return txn match {
+      case Some((app, b)) =>
+        // table creation from the first batch, still txn-tagged;
+        // appendBatch re-checks seen, so a zombie twin cannot double it
+        appendBatch(spark, dir, source, app, b)
+          .getOrElse(latestVersion(dir))
+      case None => append(spark, dir, source)
+    }
     val snap = snapshot(dir, Some(readVersion))
     requireSchema(snap.schemaDdl, source)
 
@@ -976,7 +1001,7 @@ object TxLog {
         }
       val v = readVersion + 1
       val content = commitJson(v, "merge", System.currentTimeMillis(),
-        remainderAdds ++ srcAdds, touched.map(_.path), None)
+        remainderAdds ++ srcAdds, touched.map(_.path), None, txn)
       if (tryPublish(dir, v, content)) {
         maybeCheckpoint(dir, v)
         // the post-merge live set = snap minus touched plus these adds;

@@ -61,4 +61,45 @@ object StreamingTx {
     q.awaitTermination()
     TxLog.read(spark, tableDir)
   }
+
+  /** Streaming CDC UPSERT: one AvailableNow pass delivering each
+    * micro-batch to [[TxLog.mergeBatch]] — latest-wins keyed updates
+    * with the same two idempotence layers as [[ingest]]. A micro-batch
+    * may carry SEVERAL versions of one key (CDC streams do); merge
+    * rejects duplicate keys by contract, so the batch is first
+    * collapsed to its per-key LATEST row by `orderCol` (ties → the
+    * larger row wins via max_by's struct comparison, deterministic for
+    * a total (orderCol, key) order — give CDC feeds a real sequence
+    * column). One keyed exchange per batch, batch-sized state, then the
+    * merge's own touched-file copy-on-write. */
+  def upsert(spark: SparkSession, rawDir: String, tableDir: String,
+      checkpointDir: String, schema: StructType, keyCol: String,
+      orderCol: String, appId: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    require(schema.fieldNames.contains(keyCol), s"$keyCol not in schema")
+    require(schema.fieldNames.contains(orderCol), s"$orderCol not in schema")
+    val reader = spark.readStream
+      .format("csv")
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val q = reader.load(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, expr}
+        val latest = batch
+          .groupBy(col(keyCol))
+          .agg(expr(
+            s"max_by(struct(${batch.columns.mkString(", ")}), struct($orderCol, $keyCol)) AS __row"))
+          .select("__row.*")
+        TxLog.mergeBatch(latest.sparkSession, tableDir, latest,
+          keyCol, appId, batchId): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TxLog.read(spark, tableDir)
+  }
 }

@@ -61,4 +61,44 @@ class StreamingTxSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.snapshot(table).rows === 6L)
     assert(TxLog.latestVersion(table) === 0L)
   }
+
+  private val cdcSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType),
+    StructField("seq", LongType)))
+
+  private def cdcDrop(dir: String, name: String, rows: Seq[(Long, String, Long)]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val body = "id,v,seq\n" + rows.map { case (i, v, s) => s"$i,$v,$s" }.mkString("\n") + "\n"
+    Files.writeString(Paths.get(dir, name), body): Unit
+  }
+
+  private def state(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("CDC upsert: latest-wins per key across batches, in-batch dups collapsed, replay skipped") {
+    val root = Files.createTempDirectory("graft-stx3").toString
+    val (raw, table, ckpt) = (s"$root/raw", s"$root/t", s"$root/ckpt")
+
+    // batch 0: key 2 appears TWICE in one batch (seq 1 then 3) — the
+    // per-key latest must land, or merge would reject the duplicate
+    cdcDrop(raw, "a.csv", Seq((1L, "a1", 1L), (2L, "b1", 1L), (2L, "b2", 3L)))
+    val first = StreamingTx.upsert(spark, raw, table, ckpt, cdcSchema,
+      keyCol = "id", orderCol = "seq", appId = "cdc")
+    assert(state(first) === Map(1L -> "a1", 2L -> "b2"))
+
+    // batch 1: update key 1, insert key 3
+    cdcDrop(raw, "b.csv", Seq((1L, "a2", 5L), (3L, "c1", 5L)))
+    val second = StreamingTx.upsert(spark, raw, table, ckpt, cdcSchema,
+      keyCol = "id", orderCol = "seq", appId = "cdc")
+    assert(state(second) === Map(1L -> "a2", 2L -> "b2", 3L -> "c1"))
+    assert(TxLog.history(spark, table).where("op = 'merge'").count() === 1L,
+      "batch 0 creates the table; batch 1 must be a merge commit")
+
+    // checkpoint loss: everything replays as batch 0 under the same
+    // appId — the txn high-water mark (batch 1 seen) must skip it
+    // wholesale, leaving the upserted state intact
+    val replay = StreamingTx.upsert(spark, raw, table, s"$root/ckpt2", cdcSchema,
+      keyCol = "id", orderCol = "seq", appId = "cdc")
+    assert(state(replay) === Map(1L -> "a2", 2L -> "b2", 3L -> "c1"))
+  }
 }
