@@ -88,7 +88,27 @@ object AnnQueries {
                SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
                FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")
     })
-  ) :+ ivfSpec :+ semanticDedupSpec :+ pqSpec :+ graphSpec :+ hybridSpec
+  ) :+ ivfSpec :+ semanticDedupSpec :+ pqSpec :+ graphSpec :+ hybridSpec :+ pcaSpec
+
+  // ---- distributed PCA over the embedding table -------------------------
+  // Exact-decimal Gram moments (bit-identical under any partitioning) →
+  // driver-local Jacobi eigensolve → expression-only projection. The
+  // eigensolve is not SQL-expressible, so no DuckDB oracle exists for
+  // this one (driver records the rows-only check); the algebraic
+  // contract — planted-axis recovery, orthonormality, partition
+  // invariance, dimension guards — is pinned in PcaSpec instead, and
+  // the output is still fully deterministic (6-dp rounded projections
+  // of a deterministic model, total order on vec_id).
+  private lazy val pcaSpec: QuerySpec = QuerySpec("q149_pca_embed", { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val emb = Td.load(s, dir, "embeddings")
+    val model = graft.operators.Pca.fit(emb, "embedding", k = 4)
+    graft.operators.Pca.project(emb, "embedding", model)
+      .select(col("vec_id"), col("label"),
+        round(col("pc0"), 6).as("pc0"), round(col("pc1"), 6).as("pc1"),
+        round(col("pc2"), 6).as("pc2"), round(col("pc3"), 6).as("pc3"))
+      .orderBy("vec_id")
+  }, None)
 
   /** q140: hybrid lexical+vector retrieval fused by RRF — the modern
     * retrieval default (BM25 keyword arm + embedding-cosine arm, ranks
