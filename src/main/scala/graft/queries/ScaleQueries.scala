@@ -242,6 +242,42 @@ object ScaleQueries {
                           WHEN b.c_acctbal IS NULL THEN 'inserted'
                           ELSE 'updated' END AS change_type
               FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
-              ORDER BY c_custkey"""))
+              ORDER BY c_custkey""")),
+
+    // ---- JSONL ingestion with corrupt-record accounting -----------------
+    // Documents serialized to JSON-Lines (every 97th line deliberately
+    // broken mid-object — the crawl-dump reality), re-ingested under an
+    // EXPLICIT schema (no inference pass) in PERMISSIVE mode: broken
+    // lines land with NULL fields and the raw text preserved in the
+    // corrupt column, so quarantine accounting is a plain filter. The
+    // oracle re-derives both populations from doc_id arithmetic — a
+    // dropped line, a killed read, or a mis-parsed good line all break
+    // the hash.
+    QuerySpec("q150_jsonl_ingest", { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val root = java.nio.file.Files.createTempDirectory("graft-q150").toString
+      Td.load(s, dir, "documents")
+        .selectExpr(
+          """CASE WHEN doc_id % 97 = 0
+               THEN concat('{"doc_id": ', doc_id, ', BROKEN')
+               ELSE to_json(struct(doc_id, lang, source, n_chars))
+             END AS value""")
+        .coalesce(1).write.text(s"$root/in")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType)))
+      graft.sources.JsonLines.read(s, s"$root/in", schema)
+        .selectExpr(
+          "CASE WHEN _corrupt_record IS NOT NULL THEN '__corrupt' ELSE lang END AS bucket",
+          "n_chars")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_lines"),
+          coalesce(sum("n_chars"), lit(0L)).as("sum_chars"))
+        .orderBy("bucket")
+    },
+      Some("""SELECT CASE WHEN doc_id % 97 = 0 THEN '__corrupt' ELSE lang END AS bucket,
+                     count(*) AS n_lines,
+                     CAST(coalesce(sum(CASE WHEN doc_id % 97 <> 0 THEN n_chars END), 0) AS BIGINT) AS sum_chars
+              FROM documents GROUP BY 1 ORDER BY bucket"""))
   )
 }
