@@ -240,6 +240,31 @@ object TextAnalysis {
     d.bind(d.splitSpace(textCol), "tk",
       d.map(d.range1(s"${d.len("tk")} - ${n - 1}"), "i", d.wordSlice("tk", "i", n)))
 
+  /** Shannon entropy (nats, 6 dp) of the element distribution of an
+    * ARRAY expression — the information-theoretic quality signal next
+    * to the Gopher repetition filters: machine-generated boilerplate
+    * and keyword-stuffed spam sit at the entropy extremes where
+    * natural text does not. Computed per row as a PURE PROJECTION
+    * (no explode, no shuffle — at 100 TB the n-gram-histogram
+    * formulation would shuffle the corpus; this never leaves the row):
+    *
+    *   H = ln L − (Σ_v c_v·ln c_v) / L,   v over distinct elements
+    *
+    * with the Σ folded over the SORTED distinct list — fixed float
+    * addition order, bit-stable under any partitioning, and replayed
+    * left-to-right identically by the oracle dialect. Per-row cost is
+    * O(distinct × L) comparisons; empty arrays score 0. ASCII-element
+    * contract (both engines sort ASCII in binary order; non-ASCII tie
+    * order is not pinned). */
+  def entropyExpr(d: SqlDialect, arrExpr: String): String =
+    d.bind(arrExpr, "ea",
+      s"""round(CASE WHEN ${d.len("ea")} = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+            ln(CAST(${d.len("ea")} AS DOUBLE)) -
+            ${d.dsum(d.map(d.asort(d.adistinct("ea")), "v",
+              d.bind(s"CAST(${d.len(d.filterBy("ea", "x", "x = v"))} AS DOUBLE)",
+                "cv", "cv * ln(cv)")))}
+            / CAST(${d.len("ea")} AS DOUBLE) END, 6)""".stripMargin)
+
   /** Gopher-style repetition filters (Rae et al. 2021, arXiv:2112.11446
     * table A1): documents dominated by repeated n-grams are boilerplate /
     * spam and get filtered before pretraining. Two of the paper's

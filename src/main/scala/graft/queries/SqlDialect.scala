@@ -73,6 +73,9 @@ sealed trait SqlDialect {
   def amin(l: String): String
   def amax(l: String): String
   def adistinct(l: String): String
+  /** Ascending natural sort. Both engines sort ASCII strings in binary
+    * order; callers feeding non-ASCII must not depend on tie order. */
+  def asort(l: String): String
   def range(a: String, b: String): String
   /** 1..n inclusive, EMPTY when n < 1. Spark's sequence(1, 0) counts
     * DOWN ([1, 0]) instead of being empty — a crash (slice start 0) and
@@ -139,6 +142,7 @@ object SparkSql extends SqlDialect {
   def amin(l: String) = s"array_min($l)"
   def amax(l: String) = s"array_max($l)"
   def adistinct(l: String) = s"array_distinct($l)"
+  def asort(l: String) = s"array_sort($l)"
   def range(a: String, b: String) = s"sequence($a, $b)"
   def range1(n: String) =
     s"CASE WHEN ($n) < 1 THEN array() ELSE sequence(1, $n) END"
@@ -185,6 +189,7 @@ object DuckSql extends SqlDialect {
   def amin(l: String) = s"list_min($l)"
   def amax(l: String) = s"list_max($l)"
   def adistinct(l: String) = s"list_distinct($l)"
+  def asort(l: String) = s"list_sort($l)"
   def range(a: String, b: String) = s"generate_series($a, $b)"
   def range1(n: String) = s"generate_series(1, $n)" // already empty-safe
   def toStr(x: String) = s"CAST($x AS VARCHAR)"

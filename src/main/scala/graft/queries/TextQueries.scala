@@ -317,6 +317,27 @@ object TextQueries {
 
     // ---- BM25 ranked retrieval (inverted-index probe) -------------------
     // The lexical complement to the ANN stack (q59/q71/q134): top-15
+    // ---- Shannon entropy quality signals --------------------------------
+    // Char- and word-distribution entropy per doc — the info-theoretic
+    // complement to q111's repetition mass: spam sits at the extremes.
+    // Both engines run the SAME dialect template (fixed-order fold over
+    // the sorted distinct list), so this is a pure projection with a
+    // replayable float story — no explode, no shuffle, no histogram
+    // exchange at any corpus size.
+    QuerySpec("q151_entropy", { (s, dir) =>
+      val sp = SparkSql
+      Td.load(s, dir, "documents").selectExpr("doc_id",
+        s"${graft.operators.TextAnalysis.entropyExpr(sp, sp.splitOn("text", ""))} AS char_entropy",
+        s"${graft.operators.TextAnalysis.entropyExpr(sp, sp.splitSpace("text"))} AS word_entropy")
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      Some(s"""SELECT doc_id,
+                      ${graft.operators.TextAnalysis.entropyExpr(d, d.splitOn("text", ""))} AS char_entropy,
+                      ${graft.operators.TextAnalysis.entropyExpr(d, d.splitSpace("text"))} AS word_entropy
+               FROM documents ORDER BY doc_id""")
+    }),
+
     // ---- DSIR importance resampling (Xie et al. 2023) -------------------
     // Score every raw doc by how much likelier its hashed bag-of-words
     // is under the TARGET histogram (the en slice) than under the raw
