@@ -150,6 +150,19 @@ object TxLog {
   /** Commits between two checkpoints; each checkpoint bounds log replay. */
   val checkpointInterval = 10
 
+  /** Log protocol version this reader understands (Delta's
+    * minReaderVersion discipline): commit 0 records the protocol the
+    * table was written under, and a reader encountering a NEWER number
+    * must refuse loudly — silently misreading actions an old reader
+    * does not know (a future deletion-vector commit, say) would serve
+    * WRONG DATA, the one failure mode a table format must never have.
+    * Absent field = protocol 1 (pre-versioning logs stay readable). */
+  val protocolVersion = 1L
+
+  /** The table's log was written under a protocol newer than this
+    * reader supports — upgrade the reader; the data is fine. */
+  final class UnsupportedProtocolException(msg: String) extends RuntimeException(msg)
+
   private val maxCommitAttempts = 50
 
   private def logDir(dir: String): Path = Paths.get(dir, "_txlog")
@@ -278,8 +291,19 @@ object TxLog {
       case JObject(fields) => fields.foreach { case (k, v) => props(k) = jStr(v) }
       case _ =>
     }
+    def checkProtocol(j: JValue): Unit = ((j \ "protocol") match {
+      case JInt(p) => Some(p.toLong)
+      case JLong(p) => Some(p)
+      case _ => None // pre-versioning log: protocol 1
+    }).foreach { p =>
+      if (p > protocolVersion)
+        throw new UnsupportedProtocolException(
+          s"$dir was written under log protocol $p; this reader supports " +
+            s"up to $protocolVersion — refusing rather than misreading newer actions")
+    }
     fromCkpt.foreach { cv =>
       val j = parse(Files.readString(ckptFile(dir, cv)))
+      checkProtocol(j)
       schemaDdl = Some(jStr(j \ "schema"))
       parseAdds(j \ "files").foreach(a => live(a.path) = a)
       (j \ "txns") match {
@@ -291,6 +315,7 @@ object TxLog {
     val replayFrom = fromCkpt.map(_ + 1).getOrElse(0L)
     (replayFrom to target).foreach { v =>
       val j = parse(Files.readString(versionFile(dir, v)))
+      checkProtocol(j)
       jStrOpt(j \ "schema").foreach(s => schemaDdl = Some(s))
       parseAdds(j \ "adds").foreach(a => live(a.path) = a)
       (j \ "removes") match {
@@ -332,7 +357,8 @@ object TxLog {
       // just slower).
       try {
         val snap = snapshot(dir, Some(v))
-        val j: JObject = ("version" -> v) ~ ("schema" -> snap.schemaDdl) ~
+        val j: JObject = ("version" -> v) ~ ("protocol" -> protocolVersion) ~
+          ("schema" -> snap.schemaDdl) ~
           ("files" -> snap.files.map(addJson)) ~ ("txns" -> snap.txns) ~
           ("props" -> snap.props)
         val tmp = logDir(dir).resolve(s".tmp-ckpt-${UUID.randomUUID().toString.take(8)}")
@@ -346,9 +372,11 @@ object TxLog {
       removes: Seq[String], schemaDdl: Option[String],
       txn: Option[(String, Long)] = None,
       props: Option[Map[String, String]] = None): String = {
-    val base: JObject = ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
+    val base0: JObject = ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
       ("schema" -> schemaDdl) ~ ("adds" -> adds.map(addJson)) ~
       ("removes" -> removes)
+    // commit 0 records the protocol the table is written under
+    val base = if (v == 0L) base0 ~ ("protocol" -> protocolVersion) else base0
     val withTxn = txn.fold(base) { case (app, b) =>
       base ~ ("txn" -> (("app" -> app) ~ ("batch" -> b)))
     }

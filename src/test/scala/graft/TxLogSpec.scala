@@ -697,6 +697,23 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(idSet(TxLog.read(spark, dir).where("id IS NOT NULL")).contains(-1L))
   }
 
+  test("protocol versioning: a newer-protocol log refuses to read; current logs record v1") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 3))
+    val v0 = Paths.get(dir, "_txlog", f"${0L}%020d.json")
+    assert(Files.readString(v0).contains("\"protocol\":1"), "commit 0 must record the protocol")
+    assert(TxLog.snapshot(dir).rows === 3L) // own protocol reads fine
+    // a future writer bumps the protocol: this reader must refuse, not misread
+    Files.writeString(v0,
+      Files.readString(v0).replace("\"protocol\":1", "\"protocol\":2"))
+    val e = intercept[TxLog.UnsupportedProtocolException](TxLog.snapshot(dir))
+    assert(e.getMessage.contains("protocol 2"))
+    // pre-versioning logs (no protocol field) stay readable
+    Files.writeString(v0,
+      Files.readString(v0).replace(",\"protocol\":2", ""))
+    assert(TxLog.snapshot(dir).rows === 3L)
+  }
+
   test("auto-compaction stays dormant without the table property") {
     val dir = tmp()
     (0 until 6).foreach(i => TxLog.append(spark, dir, df(i until i + 1).coalesce(1)))
