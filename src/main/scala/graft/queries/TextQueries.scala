@@ -18,6 +18,26 @@ object TextQueries {
 
   /** Shared per-dialect scalar fragments (t = text column name). */
   private def toks(d: SqlDialect) = d.splitSpace("text")
+
+  /** q152's gate columns, one dialect template for both engines:
+    * reasons bit 1 = too short, 2 = stopword-starved, 4 = low entropy,
+    * 8 = language not allowlisted; keep ⇔ mask 0. Integer arithmetic
+    * everywhere except the (identically-templated, 6-dp) entropy. */
+  private def curationCols(d: SqlDialect): Seq[String] = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for")
+    val nt = d.len(toks(d))
+    val st = d.len(d.filterIn(toks(d), stop))
+    val ent = graft.operators.TextAnalysis.entropyExpr(d, toks(d))
+    val reasons =
+      s"""(CASE WHEN $nt < 15 THEN 1 ELSE 0 END
+          + CASE WHEN 10000 * $st <= 200 * $nt THEN 2 ELSE 0 END
+          + CASE WHEN $ent < 2.0 THEN 4 ELSE 0 END
+          + CASE WHEN lang NOT IN ('en', 'es', 'fr', 'de') THEN 8 ELSE 0 END)"""
+    Seq(
+      s"CAST($nt AS BIGINT) AS n_tokens",
+      s"CAST($reasons AS BIGINT) AS reasons",
+      s"CAST($reasons = 0 AS BOOLEAN) AS keep")
+  }
   private val toksSpark = SparkSql.splitSpace("text")
 
   /** q101's wordpiece vocabulary: full words, sub-pieces whose greedy
@@ -335,6 +355,25 @@ object TextQueries {
       Some(s"""SELECT doc_id,
                       ${graft.operators.TextAnalysis.entropyExpr(d, d.splitOn("text", ""))} AS char_entropy,
                       ${graft.operators.TextAnalysis.entropyExpr(d, d.splitSpace("text"))} AS word_entropy
+               FROM documents ORDER BY doc_id""")
+    }),
+
+    // ---- composite curation gate ----------------------------------------
+    // The decision a curation pipeline actually ships: four independent
+    // keep/drop signals (Gopher-style length + stopword bars, the q151
+    // entropy bar, a language allowlist) folded into one REASONS BITMASK
+    // per doc — dropped docs stay queryable with their reasons (the
+    // quarantine-accounting discipline; a pipeline that only emits
+    // survivors cannot explain its own yield). Every signal is a shared
+    // dialect template or integer arithmetic, so both engines compute
+    // the identical mask; keep ⇔ reasons = 0. Pure projection.
+    QuerySpec("q152_curation_gate", { (s, dir) =>
+      Td.load(s, dir, "documents")
+        .selectExpr(Seq("doc_id", "lang") ++ curationCols(SparkSql): _*)
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      Some(s"""SELECT doc_id, lang, ${curationCols(d).mkString(",\n                      ")}
                FROM documents ORDER BY doc_id""")
     }),
 
