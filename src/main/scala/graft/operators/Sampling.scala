@@ -130,6 +130,59 @@ object Sampling {
       .drop("__dom")
   }
 
+  /** Temperature-flattened mixture — the multilingual/domain rebalance
+    * of XLM-R / mC4 (Conneau et al. 2020): target shares ∝ tokens^α
+    * with α < 1 UPWEIGHTING small domains, derived from the corpus
+    * itself (where [[sampleTokenBudget]] takes the mixture as given),
+    * then applied as per-domain keep rates under a global token budget:
+    * {{{
+    *   w_d    = t_d^α / Σ_e t_e^α           α = 2^-halvings
+    *   rate_d = min(1, B·w_d / t_d)         in basis points
+    * }}}
+    *
+    * α is expressed as `halvings` sqrt applications (1 → α=0.5,
+    * 2 → α=0.25), NOT a free exponent: sqrt is correctly rounded by
+    * IEEE 754 in BOTH engines, `pow` is not — a free α would let the
+    * two engines disagree in the last ulp and flip a basis-point
+    * rounding. Σ t^α folds in domain order (fixed float addition
+    * order); everything after the two doubles is integer.
+    *
+    * Scale shape mirrors [[sampleTokenBudget]]: one map-side-combined
+    * groupBy(domain), a domain-count-sized weight relation folded to
+    * one scalar, rates broadcast back, the md5 row rule — no driver
+    * collect, no second corpus scan. Empty domains keep-all (their
+    * natural share is zero; dropping them silently would be a
+    * surprising data loss). */
+  def sampleTemperature(df: DataFrame, domainCol: String, idCol: String,
+      tokensExpr: String, halvings: Int, budgetTokens: Long,
+      rateCol: String = "rate_bp"): DataFrame = {
+    require(halvings >= 1 && halvings <= 4,
+      s"halvings must be 1..4 (alpha 0.5 .. 0.0625), got $halvings")
+    require(budgetTokens >= 0L && budgetTokens <= Long.MaxValue / 10000L,
+      s"budgetTokens out of the overflow-safe range: $budgetTokens")
+    require(!df.columns.contains(rateCol),
+      s"input already has a $rateCol column — rename it before sampleTemperature")
+    val pow = (1 to halvings).foldLeft("CAST(__t AS DOUBLE)")((e, _) => s"sqrt($e)")
+    val domTok = df
+      .groupBy(col(domainCol).as("__dom"))
+      .agg(expr(s"sum(CAST($tokensExpr AS BIGINT))").as("__t"))
+      .withColumn("__pw", expr(pow))
+    val total = domTok.agg(expr(
+      """aggregate(
+           transform(array_sort(collect_list(struct(__dom, __pw))), x -> x.__pw),
+           CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("__s"))
+    val rates = domTok.crossJoin(broadcast(total))
+      .withColumn(rateCol, expr(
+        s"""CASE WHEN __t <= 0 THEN CAST(10000 AS BIGINT)
+                 ELSE least(CAST(10000 AS BIGINT),
+                            10000 * CAST(round($budgetTokens * __pw / __s) AS BIGINT) DIV __t)
+            END"""))
+      .select(col("__dom"), col(rateCol))
+    df.join(broadcast(rates), col(domainCol) === col("__dom"))
+      .where(expr(s"md5_u32(coalesce(CAST($idCol AS STRING), '')) % 10000") < col(rateCol))
+      .drop("__dom")
+  }
+
   /** Deterministic epoch-seeded global shuffle + sharding — the EXPORT
     * step that turns a curated corpus into training shards: every row
     * gets a shard id and a pseudo-random sort key, both pure functions

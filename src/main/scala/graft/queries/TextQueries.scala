@@ -335,6 +335,44 @@ object TextQueries {
                ORDER BY d0.doc_id""")
     }),
 
+    // ---- temperature-flattened mixture ----------------------------------
+    // q137 takes the mixture as config; this DERIVES it from the corpus
+    // with temperature α=0.25 (two sqrt halvings — sqrt is correctly
+    // rounded in both engines where pow is not), upweighting small
+    // source domains under an 8000-token budget. The oracle replays
+    // Σ t^α in domain order, the rounded per-domain targets, and the
+    // md5 row rule — the full keep set is hash-pinned.
+    QuerySpec("q153_temperature_mix", { (s, dir) =>
+      val d = SparkSql
+      val docs = Td.load(s, dir, "documents").selectExpr(
+        "doc_id", "source", s"CAST(${d.len(toksSpark)} AS BIGINT) AS n_tokens")
+      graft.operators.Sampling
+        .sampleTemperature(docs, "source", "doc_id", "n_tokens",
+          halvings = 2, budgetTokens = 8000L)
+        .selectExpr("doc_id", "source", "n_tokens", "CAST(rate_bp AS BIGINT) AS rate_bp")
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      Some(s"""WITH d0 AS (SELECT doc_id, source,
+                                  CAST(${d.len(toks(d))} AS BIGINT) AS n_tokens
+                           FROM documents),
+               dom AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t,
+                              sqrt(sqrt(CAST(sum(n_tokens) AS BIGINT))) AS pw
+                       FROM d0 GROUP BY source),
+               tot AS (SELECT ${d.dsum("list(pw ORDER BY source)")} AS s FROM dom),
+               rates AS (
+                 SELECT source,
+                        CAST(CASE WHEN t <= 0 THEN 10000
+                                  ELSE least(10000,
+                                    ${d.idiv("10000 * CAST(round(8000 * pw / s) AS BIGINT)", "t")})
+                             END AS BIGINT) AS rate_bp
+                 FROM dom CROSS JOIN tot)
+               SELECT d0.doc_id, d0.source, d0.n_tokens, r.rate_bp
+               FROM d0 JOIN rates r ON d0.source = r.source
+               WHERE ${d.hex32("coalesce(CAST(doc_id AS VARCHAR), '')")} % 10000 < r.rate_bp
+               ORDER BY d0.doc_id""")
+    }),
+
     // ---- BM25 ranked retrieval (inverted-index probe) -------------------
     // The lexical complement to the ANN stack (q59/q71/q134): top-15
     // ---- Shannon entropy quality signals --------------------------------

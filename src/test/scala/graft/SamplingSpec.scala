@@ -234,4 +234,49 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       Sampling.shuffleShards(li.withColumn("shard", lit(1)), "id", 8, 0)
     }
   }
+
+  // ---- sampleTemperature (q153's operator) ------------------------------
+
+  private def skewedDocs = {
+    import spark.implicits._
+    // big domain 1600 tokens (16 docs), small domain 100 tokens (1 doc)
+    ((0 until 16).map(i => (i.toLong, "big", 100L)) :+ (100L, "small", 100L))
+      .toDF("id", "dom", "toks")
+  }
+
+  test("sampleTemperature flattens: the small domain's rate exceeds its natural share") {
+    // α=0.5: w_big = 40/50, w_small = 10/50 of an 850-token budget →
+    // big target 680 of 1600 (4250bp), small target 170 of 100 (capped
+    // 10000bp). Natural (α=1) shares would give small 850/17 = 50 tokens
+    // → 5000bp; flattening must push the small domain ABOVE that.
+    val rates = Sampling.sampleTemperature(skewedDocs, "dom", "id", "toks",
+      halvings = 1, budgetTokens = 850L)
+      .select("dom", "rate_bp").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("small") === 10000L, s"small domain must cap at keep-all: $rates")
+    assert(rates.get("big").forall(_ < 5000L),
+      s"big domain must fall below its natural share: $rates")
+  }
+
+  test("sampleTemperature: survivor set is partition-invariant") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.sampleTemperature(df, "dom", "id", "toks", halvings = 2,
+        budgetTokens = 600L).select("id").collect().map(_.getLong(0)).toSet
+    val base = ids(skewedDocs)
+    assert(base === ids(skewedDocs.repartition(7)))
+    assert(base === ids(skewedDocs.coalesce(1)))
+  }
+
+  test("sampleTemperature: rejects bad arguments and rate-column collisions") {
+    intercept[IllegalArgumentException] {
+      Sampling.sampleTemperature(skewedDocs, "dom", "id", "toks", 0, 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.sampleTemperature(skewedDocs, "dom", "id", "toks", 5, 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.sampleTemperature(skewedDocs.withColumn("rate_bp", lit(1L)),
+        "dom", "id", "toks", 1, 100L)
+    }
+  }
 }
