@@ -380,6 +380,40 @@ object TxQueries {
                 FROM customer)
               SELECT c_mktsegment, count(*) AS n_rows,
                      CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
-              FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+              FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- the table as a streaming SOURCE --------------------------------
+    // Delta's readStream.format("delta") capability: offsets are log
+    // versions, each micro-batch delivers exactly the dataChange=true
+    // adds of its version range. The table is built with 3 appends AND
+    // then fully compacted — if the source delivered the compaction's
+    // rewrites (or missed an append), every count doubles (or drops)
+    // and the hash breaks against the raw-table oracle.
+    QuerySpec("q154_txlog_source", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q154").toString + "/t"
+      val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
+      (0 to 2).foreach { k =>
+        TxLog.append(s, root, li.where(pmod(col("l_orderkey"), lit(3)) === k))
+      }
+      graft.operators.CheckpointBlocks.release(li)
+      TxLog.optimize(s, root) // dataChange=false rewrites: must stream as nothing
+      val sink = s"q154_sink_${System.nanoTime()}"
+      val q = s.readStream.format("txlog").option("path", root).load()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

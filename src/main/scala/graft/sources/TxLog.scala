@@ -1172,6 +1172,19 @@ object TxLog {
     * OPTIMIZE commits contribute nothing — their adds are rewrites of
     * rows an earlier version already delivered. Deletions are not
     * modeled (this table format has no row-level delete op). */
+  /** Relative paths of the `dataChange=true` files added in
+    * `(fromExclusive, toInclusive]` — the file set one streaming
+    * micro-batch of [[graft.sources.TxLogSource]] delivers. Same
+    * rewrite-exclusion rule as [[readChanges]]. */
+  def changedFilesBetween(dir: String, fromExclusive: Long,
+      toInclusive: Long): Seq[String] = {
+    val (commits, _) = listLog(dir)
+    commits.sorted.filter(v => v > fromExclusive && v <= toInclusive).flatMap { v =>
+      parseAdds(parse(Files.readString(versionFile(dir, v))) \ "adds")
+        .filter(_.dataChange).map(_.path)
+    }
+  }
+
   def readChanges(spark: SparkSession, dir: String,
       fromVersionExclusive: Long): DataFrame = {
     val (commits, _) = listLog(dir)
