@@ -414,6 +414,60 @@ object TxQueries {
       Some("""SELECT l_returnflag, count(*) AS n_rows,
                      CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
                      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- incremental medallion over the format --------------------------
+    // The DLT-style loop built ONLY from engine pieces: a bronze TxLog
+    // table streams through format("txlog") (offsets = versions), each
+    // micro-batch folds its PARTIAL aggregate into a silver TxLog table
+    // via txn-tagged merge — two checkpointed passes over a growing
+    // bronze, and silver must equal the one-shot batch aggregate of
+    // everything. Partial sums ride DECIMAL in silver (additive across
+    // batches must be exact; double addition is not associative) and
+    // only the final read casts to DOUBLE. A missed batch, a replayed
+    // batch, or a delivered rewrite all corrupt the totals and break
+    // the hash.
+    QuerySpec("q155_incremental_medallion", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q155").toString
+      val (bronze, silver) = (s"$root/bronze", s"$root/silver")
+      val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
+      def ingestPass(): Unit = {
+        val q = s.readStream.format("txlog").option("path", bronze).load()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val s2 = batch.sparkSession
+            val partial = batch.groupBy("l_returnflag")
+              .agg(count(lit(1)).as("n_rows"),
+                sum(col("l_quantity").cast(DecimalType(18, 4))).as("sum_qty"))
+            val current =
+              if (TxLog.latestVersion(silver) >= 0) TxLog.read(s2, silver)
+              else partial.where(lit(false))
+            val folded = current.unionByName(partial)
+              .groupBy("l_returnflag")
+              .agg(sum(col("n_rows")).as("n_rows"),
+                sum(col("sum_qty")).cast(DecimalType(18, 4)).as("sum_qty"))
+            TxLog.mergeBatch(s2, silver, folded, "l_returnflag",
+              appId = "q155", batchId = batchId): Unit
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      (0 to 1).foreach { k =>
+        TxLog.append(s, bronze, li.where(pmod(col("l_orderkey"), lit(3)) === k))
+      }
+      ingestPass() // sees versions 0..1 as one batch
+      TxLog.append(s, bronze, li.where(pmod(col("l_orderkey"), lit(3)) === 2))
+      graft.operators.CheckpointBlocks.release(li)
+      ingestPass() // sees only version 2
+      TxLog.read(s, silver)
+        .selectExpr("l_returnflag", "CAST(n_rows AS BIGINT) AS n_rows",
+          "CAST(sum_qty AS DOUBLE) AS sum_qty")
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
