@@ -55,6 +55,31 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(runOnce(table, ckpt, "txs_d") === (100L until 103L).toSet)
   }
 
+  test("maxVersionsPerTrigger streams a backlog as bounded batches, nothing lost") {
+    val root = Files.createTempDirectory("graft-txstream3").toString
+    val table = s"$root/t"
+    (0 until 5).foreach(i => TxLog.append(spark, table, df(i * 2 until i * 2 + 2)))
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = spark.readStream.format("txlog").option("path", table)
+      .option("maxVersionsPerTrigger", "2").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.select("id").collect().map(_.getLong(0))
+        batchSizes.synchronized { batchSizes += rows.length.toLong }
+        rows.foreach(r => got.add(r)): Unit
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === (0L until 10L).toSet, "rate limiting must not lose rows")
+    assert(batchSizes.length >= 3,
+      s"5 versions at <=2/trigger need >=3 batches, got $batchSizes")
+    assert(batchSizes.forall(_ <= 4L),
+      s"a batch exceeded 2 versions (4 rows): $batchSizes")
+  }
+
   test("a fresh checkpoint replays the whole log exactly once") {
     val root = Files.createTempDirectory("graft-txstream2").toString
     val table = s"$root/t"
