@@ -776,23 +776,32 @@ object TxLog {
     val adds = adds0.map(_.copy(dataChange = false))
     val removes = snap.files.map(_.path)
 
-    var attempt = snap.version + 1
+    // Rebase loop invariant: the input-liveness check and the version
+    // claim must see the SAME log state — check against snapshot S,
+    // then claim EXACTLY S.version+1. If any commit intervenes, that
+    // version exists, the claim fails, and the next iteration rechecks.
+    // (Checking after a failed claim and then claiming latest+1 — the
+    // original shape — left a window where a CONCURRENT compaction
+    // committed between check and claim: both compactions then landed,
+    // the second re-adding rows the first's output already carried.)
+    var cur = snap
     var tries = 0
     while (tries < maxCommitAttempts) {
+      val liveNow = cur.files.map(_.path).toSet
+      if (!removes.forall(liveNow.contains)) {
+        deleteStaged(dir, sub)
+        throw new ConcurrentWriteException(
+          s"optimize of $dir conflicted: an input file was removed concurrently")
+      }
+      val attempt = cur.version + 1
       val content = commitJson(attempt, "optimize", System.currentTimeMillis(),
         adds, removes, None)
       if (tryPublish(dir, attempt, content)) {
         maybeCheckpoint(dir, attempt)
         return (removes.size, adds.size)
       }
-      val liveNow = snapshot(dir).files.map(_.path).toSet
-      if (!removes.forall(liveNow.contains)) {
-        deleteStaged(dir, sub)
-        throw new ConcurrentWriteException(
-          s"optimize of $dir conflicted: an input file was removed concurrently")
-      }
       tries += 1
-      attempt = latestVersion(dir) + 1
+      cur = snapshot(dir)
     }
     deleteStaged(dir, sub)
     throw new ConcurrentWriteException(
@@ -880,23 +889,27 @@ object TxLog {
     val (sub, adds0) = stage(spark, dir, src.coalesce(nOut))
     val adds = adds0.map(_.copy(dataChange = false))
     val removes = small.map(_.path)
-    var attempt = snap.version + 1
+    // check-then-claim against ONE snapshot per iteration — the
+    // [[optimize]] rebase invariant; see the comment there for the
+    // double-compaction duplication this prevents
+    var cur = snap
     var tries = 0
     while (tries < maxCommitAttempts) {
+      val liveNow = cur.files.map(_.path).toSet
+      if (!removes.forall(liveNow.contains)) {
+        deleteStaged(dir, sub)
+        throw new ConcurrentWriteException(
+          s"compactSmall of $dir conflicted: an input file was removed concurrently")
+      }
+      val attempt = cur.version + 1
       val content = commitJson(attempt, "autoOptimize", System.currentTimeMillis(),
         adds, removes, None)
       if (tryPublish(dir, attempt, content)) {
         maybeCheckpoint(dir, attempt)
         return Some((removes.size, adds.size))
       }
-      val liveNow = snapshot(dir).files.map(_.path).toSet
-      if (!removes.forall(liveNow.contains)) {
-        deleteStaged(dir, sub)
-        throw new ConcurrentWriteException(
-          s"compactSmall of $dir conflicted: an input file was removed concurrently")
-      }
       tries += 1
-      attempt = latestVersion(dir) + 1
+      cur = snapshot(dir)
     }
     deleteStaged(dir, sub)
     throw new ConcurrentWriteException(

@@ -714,6 +714,40 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.snapshot(dir).rows === 3L)
   }
 
+  test("auto-compaction racing concurrent appenders loses no rows") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(1000 until 1002).coalesce(1))
+    TxLog.setProperties(dir, Map(
+      TxLog.AutoOptimize.Enabled -> "true",
+      TxLog.AutoOptimize.MinSmallFiles -> "3",
+      TxLog.AutoOptimize.SmallFileBytes -> (1L << 30).toString,
+      TxLog.AutoOptimize.TargetBytes -> (1L << 40).toString))
+    // 4 writers × 3 appends, every append a compaction trigger candidate:
+    // compactions race appends (and each other) constantly; lost races
+    // are best-effort no-ops, but DATA must be exactly the union
+    val pool = Executors.newFixedThreadPool(4)
+    val gate = new CountDownLatch(1)
+    val futures = for (w <- 0 until 4; k <- 0 until 3) yield pool.submit(new Runnable {
+      def run(): Unit = {
+        gate.await()
+        val lo = w * 100 + k * 10
+        TxLog.append(spark, dir, df(lo until lo + 5).coalesce(1)): Unit
+      }
+    })
+    gate.countDown()
+    futures.foreach(_.get(180, TimeUnit.SECONDS))
+    pool.shutdown()
+    val expect = (1000 until 1002).map(_.toLong).toSet ++
+      (for (w <- 0 until 4; k <- 0 until 3; i <- 0 until 5)
+        yield (w * 100 + k * 10 + i).toLong)
+    assert(idSet(TxLog.read(spark, dir)) === expect)
+    assert(TxLog.snapshot(dir).rows === expect.size.toLong)
+    // a settle-pass compaction bounds the live set afterwards
+    TxLog.compactSmall(spark, dir, smallFileBytes = 1L << 30, targetBytes = 1L << 40)
+    assert(TxLog.snapshot(dir).files.size === 1)
+    assert(idSet(TxLog.read(spark, dir)) === expect)
+  }
+
   test("auto-compaction stays dormant without the table property") {
     val dir = tmp()
     (0 until 6).foreach(i => TxLog.append(spark, dir, df(i until i + 1).coalesce(1)))
