@@ -66,7 +66,7 @@ object Dsir {
       .selectExpr("__b",
         s"""ln((CAST(coalesce(__ct, 0) AS DOUBLE) + 1.0) / (__tt + $buckets))
             - ln((CAST(__cr AS DOUBLE) + 1.0) / (__tr + $buckets)) AS __lr""")
-    docCounts
+    val weights = docCounts
       .join(broadcast(logRatio), "__b")
       .selectExpr("__id", "__b", "CAST(__c AS DOUBLE) * __lr AS __w", "__c")
       .groupBy("__id")
@@ -75,7 +75,14 @@ object Dsir {
                   transform(array_sort(collect_list(struct(__b, __w))), x -> x.__w),
                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)""").as("weight"),
         expr("CAST(sum(__c) AS BIGINT)").as("n_toks"))
-      .select(col("__id").as(idCol), col("weight"), col("n_toks"))
+    // docs that produced NO (doc, bucket) rows (NULL text) must still
+    // appear at weight 0 — the documented empty-product contract; an
+    // inner shape would silently drop them from every selection
+    raw.select(col(idCol).as("__id")).distinct()
+      .join(weights, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        expr("coalesce(weight, CAST(0.0 AS DOUBLE))").as("weight"),
+        expr("coalesce(n_toks, CAST(0 AS BIGINT))").as("n_toks"))
   }
 
   /** The selection step: top-`k` raw documents by importance weight

@@ -34,9 +34,12 @@ object Pca {
       components: Array[Array[Double]], varianceExplained: Array[Double])
 
   def fit(df: DataFrame, vecCol: String, k: Int): Model = {
-    val dim = df.selectExpr(s"size($vecCol) AS d")
-      .where("d IS NOT NULL AND d > 0").limit(1).collect()
-      .headOption.map(_.getInt(0))
+    // dimension = the MAX vector size — a deterministic aggregate, not
+    // limit(1) over an unordered frame (with mixed-dimension input the
+    // sampled row would decide which rows get dropped, breaking the
+    // pure-function-of-the-input-set contract run to run)
+    val dim = df.selectExpr(s"max(size($vecCol)) AS d").collect()
+      .headOption.filterNot(_.isNullAt(0)).map(_.getInt(0)).filter(_ > 0)
       .getOrElse(throw new IllegalArgumentException(s"no non-empty $vecCol vectors"))
     require(k >= 1 && k <= dim, s"k must be in 1..$dim, got $k")
     val clean = df.where(s"$vecCol IS NOT NULL AND size($vecCol) = $dim")

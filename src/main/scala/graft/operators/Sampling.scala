@@ -178,7 +178,11 @@ object Sampling {
                             10000 * CAST(round($budgetTokens * __pw / __s) AS BIGINT) DIV __t)
             END"""))
       .select(col("__dom"), col(rateCol))
-    df.join(broadcast(rates), col(domainCol) === col("__dom"))
+    // NULL-safe domain match: an unclassified (NULL-domain) slice gets
+    // its own histogram row and rate; a plain equi-join would evaluate
+    // NULL = NULL to NULL and silently drop every such row — exactly
+    // the unrequested data loss this operator's contract rules out
+    df.join(broadcast(rates), col(domainCol) <=> col("__dom"))
       .where(expr(s"md5_u32(coalesce(CAST($idCol AS STRING), '')) % 10000") < col(rateCol))
       .drop("__dom")
   }

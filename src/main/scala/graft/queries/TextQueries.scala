@@ -373,8 +373,6 @@ object TextQueries {
                ORDER BY d0.doc_id""")
     }),
 
-    // ---- BM25 ranked retrieval (inverted-index probe) -------------------
-    // The lexical complement to the ANN stack (q59/q71/q134): top-15
     // ---- Shannon entropy quality signals --------------------------------
     // Char- and word-distribution entropy per doc — the info-theoretic
     // complement to q111's repetition mass: spam sits at the extremes.
@@ -461,6 +459,8 @@ object TextQueries {
                ORDER BY wts.weight DESC, doc.doc_id LIMIT 50""")
     }),
 
+    // ---- BM25 ranked retrieval (inverted-index probe) -------------------
+    // The lexical complement to the ANN stack (q59/q71/q134): top-15
     // docs for a 3-term query under Lucene-form BM25. The probe never
     // scans non-matching tokens past the mapper (term IN (...) on the
     // exploded relation); df comes from the filtered postings (exact

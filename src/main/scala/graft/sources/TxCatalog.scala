@@ -84,10 +84,14 @@ class TxCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val base = java.nio.file.Paths.get((root +: namespace.toSeq).mkString("/"))
     if (!java.nio.file.Files.isDirectory(base)) Array.empty
-    else java.nio.file.Files.list(base).iterator.asScala
-      .filter(p => java.nio.file.Files.isDirectory(p.resolve("_txlog")))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
+    else {
+      val ds = java.nio.file.Files.list(base)
+      try ds.iterator.asScala
+        .filter(p => java.nio.file.Files.isDirectory(p.resolve("_txlog")))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+      finally ds.close()
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,

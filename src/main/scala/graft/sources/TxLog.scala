@@ -191,14 +191,23 @@ object TxLog {
   /** The latest version whose commit timestamp is at or before
     * `tsMillis` (Delta's `TIMESTAMP AS OF` resolution rule). Commit
     * timestamps are read from the log entries themselves, never file
-    * mtimes — a copied/restored table keeps its history. Throws when
-    * `tsMillis` predates the first commit. */
+    * mtimes — a copied/restored table keeps its history — and are
+    * MONOTONIZED before resolving (each version's effective ts is the
+    * running max), exactly Delta's adjustment: concurrent writers with
+    * skewed clocks can commit a later version with an earlier raw ts,
+    * and resolving against raw timestamps would then serve a snapshot
+    * that silently omits committed versions. Costs O(commits) small
+    * JSON reads (the history surface's price, not the read path's).
+    * Throws when `tsMillis` predates the first commit. */
   def versionAtTime(dir: String, tsMillis: Long): Long = {
     val (commits, _) = listLog(dir)
     if (commits.isEmpty)
       throw new VersionNotFoundException(s"$dir has no committed versions")
+    var runningMax = Long.MinValue
     val at = commits.sorted.takeWhile { v =>
-      jLong(parse(Files.readString(versionFile(dir, v))) \ "ts") <= tsMillis
+      runningMax = math.max(runningMax,
+        jLong(parse(Files.readString(versionFile(dir, v))) \ "ts"))
+      runningMax <= tsMillis
     }
     if (at.isEmpty)
       throw new VersionNotFoundException(
@@ -457,9 +466,12 @@ object TxLog {
 
   private def deleteStaged(dir: String, sub: String): Unit = {
     val p = Paths.get(dir, sub)
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f): Unit)
+      finally walk.close()
+    }
   }
 
   // ---- writers -----------------------------------------------------------
@@ -479,6 +491,11 @@ object TxLog {
     // Any exit without a published commit must reclaim the staging dir —
     // including a schema mismatch surfacing mid-retry (a concurrent
     // writer created the table with a different schema after we staged).
+    // PUBLISHED commits are the hard boundary: once the version file
+    // exists it references the staged files, and a failure AFTER that
+    // point (an Error escaping the best-effort post-commit hooks) must
+    // propagate WITHOUT deleting data a committed version owns.
+    var published = false
     try {
       var tries = 0
       while (tries < maxCommitAttempts) {
@@ -489,6 +506,7 @@ object TxLog {
         val content = commitJson(attempt, "append", System.currentTimeMillis(),
           adds, Nil, if (attempt == 0L) Some(ddl) else None)
         if (tryPublish(dir, attempt, content)) {
+          published = true
           maybeCheckpoint(dir, attempt)
           maybeAutoCompact(spark, dir, head, adds)
           return attempt
@@ -497,7 +515,10 @@ object TxLog {
       }
       throw new ConcurrentWriteException(
         s"append to $dir lost $maxCommitAttempts consecutive commit races")
-    } catch { case e: Throwable => deleteStaged(dir, sub); throw e }
+    } catch { case e: Throwable =>
+      if (!published) deleteStaged(dir, sub)
+      throw e
+    }
   }
 
   /** Idempotent streaming append — the Delta `txn`-action protocol that
@@ -532,6 +553,7 @@ object TxLog {
     requireConstraints(pre, df)
     val (sub, adds) = stage(spark, dir, df)
     val ddl = df.schema.toDDL
+    var published = false // see append: no cleanup past a published commit
     try {
       var tries = 0
       while (tries < maxCommitAttempts) {
@@ -544,6 +566,7 @@ object TxLog {
         val content = commitJson(attempt, "streamingAppend", System.currentTimeMillis(),
           adds, Nil, if (attempt == 0L) Some(ddl) else None, Some((appId, batchId)))
         if (tryPublish(dir, attempt, content)) {
+          published = true
           maybeCheckpoint(dir, attempt)
           maybeAutoCompact(spark, dir, head, adds)
           return Some(attempt)
@@ -552,7 +575,10 @@ object TxLog {
       }
       throw new ConcurrentWriteException(
         s"appendBatch to $dir lost $maxCommitAttempts consecutive commit races")
-    } catch { case e: Throwable => deleteStaged(dir, sub); throw e }
+    } catch { case e: Throwable =>
+      if (!published) deleteStaged(dir, sub)
+      throw e
+    }
   }
 
   /** Append with SCHEMA EVOLUTION: columns the table already has must
@@ -815,6 +841,19 @@ object TxLog {
     * until commit 0 fixes a schema). Returns the committed version. */
   def setProperties(dir: String, props: Map[String, String]): Long = {
     require(latestVersion(dir) >= 0, s"setProperties: $dir has no committed versions")
+    // engine-known keys validate at WRITE time: maybeAutoCompact runs
+    // under a swallow-all best-effort net, so a malformed value landed
+    // here would otherwise disable auto-compaction silently and forever
+    def numeric(k: String, min: Long): Unit = props.get(k).foreach { v =>
+      val n = try v.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"$k must be an integer, got '$v'") }
+      require(n >= min, s"$k must be >= $min, got $n")
+    }
+    props.get(AutoOptimize.Enabled).foreach(v => require(v == "true" || v == "false",
+      s"${AutoOptimize.Enabled} must be 'true' or 'false', got '$v'"))
+    numeric(AutoOptimize.MinSmallFiles, 2)
+    numeric(AutoOptimize.SmallFileBytes, 1)
+    numeric(AutoOptimize.TargetBytes, 1)
     var tries = 0
     while (tries < maxCommitAttempts) {
       val attempt = latestVersion(dir) + 1
@@ -1006,6 +1045,7 @@ object TxLog {
     val (srcSub, srcAdds) = stage(spark, dir, source)
     val staged = spark.read.schema(source.schema)
       .parquet(Paths.get(dir, srcSub).toString)
+    var published = false // see append: no cleanup past a published commit
     try {
       val keyStats = staged.agg(
         count(lit(1)).as("n"),
@@ -1044,6 +1084,7 @@ object TxLog {
       val content = commitJson(v, "merge", System.currentTimeMillis(),
         remainderAdds ++ srcAdds, touched.map(_.path), None, txn)
       if (tryPublish(dir, v, content)) {
+        published = true
         maybeCheckpoint(dir, v)
         // the post-merge live set = snap minus touched plus these adds;
         // passing snap + adds over-counts the removed touched files by
@@ -1058,7 +1099,7 @@ object TxLog {
           s"merge into $dir conflicted: version $v was committed concurrently")
       }
     } catch { case e: Throwable =>
-      deleteStaged(dir, srcSub)
+      if (!published) deleteStaged(dir, srcSub) // see append: committed data stays
       throw e
     }
   }

@@ -35,8 +35,18 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
       throw new IllegalArgumentException("txlog source: set .option(\"path\", <table dir>)"))
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    ("txlog", schema.getOrElse(TxLog.snapshot(pathOf(parameters)).schema))
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val table = TxLog.snapshot(pathOf(parameters)).schema
+    // the source always scans under the LOG's schema; a user-supplied
+    // schema that differs would silently misbind columns — reject it
+    // upfront rather than deliver rows the plan mislabels
+    schema.foreach { s =>
+      require(s == table,
+        s"txlog source: user schema $s differs from the table schema $table — " +
+          "omit .schema(); the log is the schema authority")
+    }
+    ("txlog", table)
+  }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
