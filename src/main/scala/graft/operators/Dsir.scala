@@ -32,10 +32,12 @@ import org.apache.spark.sql.functions.{broadcast, col, expr}
 object Dsir {
 
   /** Per-document importance weights of `raw` toward `target`.
-    * Returns (idCol, weight DOUBLE 6dp, n_toks BIGINT). Documents with
-    * no tokens weigh 0.0 (empty product — kept, like the paper's
-    * length-independent score; filter short docs upstream with the
-    * quality operators if needed). */
+    * Returns (idCol, weight DOUBLE 6dp, n_toks BIGINT). NULL text is
+    * treated as EMPTY text (both tokenize to one empty-string token and
+    * score identically), so every input document appears in the output
+    * — mapping NULL to '' at the tokenizer costs nothing, where keeping
+    * a separate weight-0 contract for NULL would need a corpus-wide
+    * outer join just to re-attach the dropped ids. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 64): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
@@ -44,7 +46,7 @@ object Dsir {
     // q102/q108/BM25 discipline). Blocks bounded by docs × buckets.
     val docCounts = raw
       .selectExpr(s"$idCol AS __id",
-        s"explode(split($textCol, ' ')) AS __tok")
+        s"explode(split(coalesce($textCol, ''), ' ')) AS __tok")
       .selectExpr("__id", s"md5_u32(__tok) % $buckets AS __b")
       .groupBy("__id", "__b")
       .agg(expr("CAST(count(*) AS BIGINT)").as("__c"))
@@ -66,7 +68,7 @@ object Dsir {
       .selectExpr("__b",
         s"""ln((CAST(coalesce(__ct, 0) AS DOUBLE) + 1.0) / (__tt + $buckets))
             - ln((CAST(__cr AS DOUBLE) + 1.0) / (__tr + $buckets)) AS __lr""")
-    val weights = docCounts
+    docCounts
       .join(broadcast(logRatio), "__b")
       .selectExpr("__id", "__b", "CAST(__c AS DOUBLE) * __lr AS __w", "__c")
       .groupBy("__id")
@@ -75,14 +77,7 @@ object Dsir {
                   transform(array_sort(collect_list(struct(__b, __w))), x -> x.__w),
                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)""").as("weight"),
         expr("CAST(sum(__c) AS BIGINT)").as("n_toks"))
-    // docs that produced NO (doc, bucket) rows (NULL text) must still
-    // appear at weight 0 — the documented empty-product contract; an
-    // inner shape would silently drop them from every selection
-    raw.select(col(idCol).as("__id")).distinct()
-      .join(weights, Seq("__id"), "left")
-      .select(col("__id").as(idCol),
-        expr("coalesce(weight, CAST(0.0 AS DOUBLE))").as("weight"),
-        expr("coalesce(n_toks, CAST(0 AS BIGINT))").as("n_toks"))
+      .select(col("__id").as(idCol), col("weight"), col("n_toks"))
   }
 
   /** The selection step: top-`k` raw documents by importance weight

@@ -54,6 +54,16 @@ class DsirSpec extends AnyFunSuite with SparkTestBase {
     assert(top.sortBy(t => (-t._2, t._1)).toSeq === top.toSeq, "output order must be total")
   }
 
+  test("NULL text scores exactly like empty text — no doc disappears") {
+    val withNull = corpus(raw) // then append a NULL-text and an empty-text doc
+      .unionByName(corpus(Seq((90L, ""))).selectExpr("doc_id", "text"))
+      .unionByName(corpus(Seq((91L, ""))).selectExpr("doc_id", "CAST(NULL AS STRING) AS text"))
+    val w = Dsir.importanceWeights(withNull, corpus(target), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(w.size === raw.size + 2, "every input doc must appear in the weight table")
+    assert(w(91L) === w(90L), s"NULL must score as empty: ${w.get(90L)} vs ${w.get(91L)}")
+  }
+
   test("n_toks counts whitespace tokens; rejects bad arguments") {
     val w = Dsir.importanceWeights(corpus(raw), corpus(target), "doc_id", "text")
       .where("doc_id = 1").head()
