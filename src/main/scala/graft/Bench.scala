@@ -71,6 +71,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      // Memory-sink temp views from finished streaming queries retain
+      // their rows for the SESSION (the round-10 close run measured the
+      // alphabetically-late CC family 3-4x slower under two corpus-sized
+      // retained sinks) — drop them with the rest of the residue.
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_stream_"))
+        .foreach(t => spark.catalog.dropTempView(t.name): Unit)
       System.gc()
       (name, if (ok) secs else -secs)
     }

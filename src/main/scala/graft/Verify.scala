@@ -101,6 +101,12 @@ object Verify {
       // Drop caches left by cache-returning operators (Dedup.clusters)
       // so a 100-query dump doesn't accumulate resident blocks.
       spark.catalog.clearCache()
+      // Memory-sink temp views from finished streaming queries pin
+      // their rows for the SESSION; drop them so later queries don't
+      // run under someone else's retained state.
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_stream_"))
+        .foreach(t => spark.catalog.dropTempView(t.name): Unit)
     }
     Files.writeString(Paths.get(s"$outDir/diag.json"),
       diags.mkString("{", ",\n", "}"))

@@ -169,14 +169,9 @@ object StreamQueries {
     // collapse. Decimal-routed sum, order-insensitive.
     QuerySpec("q145_stream_dedup", { (s, dir) =>
       StreamingOps.dedupedDoubleDelivery(s, dir)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
         .orderBy("event_type")
     },
       Some("""SELECT event_type, count(*) AS n_events,
-                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
 

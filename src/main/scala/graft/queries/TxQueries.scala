@@ -397,22 +397,25 @@ object TxQueries {
       }
       graft.operators.CheckpointBlocks.release(li)
       TxLog.optimize(s, root) // dataChange=false rewrites: must stream as nothing
-      val sink = s"q154_sink_${System.nanoTime()}"
+      // aggregate IN-STREAM (complete mode): the sink then holds 3
+      // aggregate rows, not 600k source rows pinned in driver memory
+      // for the rest of the session (the q63 memory-sink discipline)
+      val sink = s"graft_stream_src_${System.nanoTime()}"
       val q = s.readStream.format("txlog").option("path", root).load()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).as("dq"))
         .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
+        .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       s.table(sink)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          dsum(col("l_quantity")).as("sum_qty"))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("dq").cast(DoubleType).as("sum_qty"))
         .orderBy("l_returnflag")
     },
       Some("""SELECT l_returnflag, count(*) AS n_rows,
-                     CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
                      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 

@@ -109,18 +109,26 @@ object StreamingOps {
     val raw = spark.readStream
       .schema(eventsSchema(spark, sfDir))
       .parquet(doubledDir(sfDir))
-    val deduped = graft.Td.canonicalizeTs(raw)
+    // dedup THEN aggregate, both in-stream (chained stateful operators):
+    // the sink holds one row per event_type instead of pinning the
+    // whole deduplicated corpus in driver memory for the session
+    val agg = graft.Td.canonicalizeTs(raw)
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).as("__dq"))
     val sinkName = s"graft_stream_dedup_${System.nanoTime()}"
-    val q = deduped.writeStream
+    val q = agg.writeStream
       .format("memory")
       .queryName(sinkName)
-      .outputMode("append")
+      .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(sinkName)
+      .select(col("event_type"), col("n_events"),
+        col("__dq").cast(DoubleType).as("sum_value"))
   }
 
   /** Stream-stream INTERVAL join — conversion attribution: every
