@@ -31,4 +31,18 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = QuerySpec.toOracles(allSpecs)
+
+  /** Data-dependent oracles (fitted-model literals embedded at dump
+    * time); Verify evaluates these against the verify sf dir and merges
+    * them into oracle_sql.json alongside [[oracleSql]]. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    QuerySpec.toDynOracles(allSpecs).flatMap { case (name, f) =>
+      // a dynamic-oracle failure degrades THAT query to rows-only,
+      // never the whole dump
+      try Some(name -> f(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle $name failed: ${e.getMessage}")
+        None
+      }
+    }
 }

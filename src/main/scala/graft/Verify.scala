@@ -110,7 +110,7 @@ object Verify {
     }
     Files.writeString(Paths.get(s"$outDir/diag.json"),
       diags.mkString("{", ",\n", "}"))
-    val json = SparkEntry.oracleSql
+    val json = (SparkEntry.oracleSql ++ SparkEntry.dynamicOracleSql(spark, sfDir))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

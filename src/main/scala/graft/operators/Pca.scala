@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, expr, posexplode}
+import graft.queries.{DuckSql, SparkSql, SqlDialect}
 
 /** Distributed PCA over an embedding column — the whitening /
   * dimensionality-reduction step embedding pipelines run before
@@ -92,7 +93,7 @@ object Pca {
     * textbook form (Golub & Van Loan §8.5): sweep all (p,q) pairs,
     * rotate away each off-diagonal entry, until the off-diagonal norm
     * vanishes. Deterministic: fixed sweep order, no pivoting on data. */
-  private[operators] def jacobiEigen(aIn: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+  private[graft] def jacobiEigen(aIn: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = aIn.length
     val a = aIn.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
@@ -105,7 +106,11 @@ object Pca {
     while (off() > 1e-20 && sweep < 100) {
       for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-15) {
         val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        // Numerical Recipes form: theta == 0 (equal diagonal entries)
+        // must give t = 1 (a 45° rotation), not t = 0 — signum(0)=0 would
+        // make the rotation an identity and the pair never annihilates.
+        val t0 = 1.0 / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val t = if (theta < 0) -t0 else t0
         val cos = 1.0 / math.sqrt(t * t + 1.0)
         val sin = t * cos
         for (i <- 0 until d) {
@@ -126,7 +131,32 @@ object Pca {
       }
       sweep += 1
     }
+    // fail loudly rather than return a silently-unconverged factorization;
+    // tolerance scales with the matrix (off is a sum of squares)
+    val diagScale = math.max(1.0, (0 until d).map(i => a(i)(i) * a(i)(i)).sum)
+    require(off() <= 1e-12 * diagScale,
+      s"Jacobi eigensolve failed to converge in $sweep sweeps (off=${off()})")
     (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** One component's center-and-project fold as dialect SQL — the SAME
+    * expression tree in Spark and in the DuckDB oracle (model rides as
+    * bit-exact `dblArray` literals; the dot product is `dsum`'s
+    * sequential left fold), so projections are bit-identical
+    * cross-engine and the eigensolve-fitted model can be hash-gated
+    * end-to-end without replaying the eigensolve in SQL. Rows that fail
+    * the dimension contract project NULL. */
+  def projectionSql(d: SqlDialect, vecCol: String, model: Model,
+      component: Int): String = {
+    val mean = d.dblArray(model.mean.toSeq)
+    val centered = d match {
+      case SparkSql =>
+        s"zip_with($vecCol, $mean, (x, m) -> CAST(x AS DOUBLE) - m)"
+      case DuckSql =>
+        s"list_transform(list_zip($vecCol, $mean), p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    }
+    val dot = d.dsum(d.zipMul(centered, d.dblArray(model.components(component).toSeq)))
+    s"CASE WHEN $vecCol IS NOT NULL AND ${d.len(vecCol)} = ${model.dim} THEN $dot END"
   }
 
   /** Append projection columns `<prefix>0 .. <prefix>{k-1}` — each the
@@ -134,19 +164,11 @@ object Pca {
     * projection (no join, no shuffle; the model rides the generated
     * expression as literals, the J2 pattern). The fold is sequential in
     * dimension order, so projections are bit-stable under any
-    * partitioning; rows that fail the dimension contract project NULL. */
+    * partitioning. */
   def project(df: DataFrame, vecCol: String, model: Model,
-      prefix: String = "pc"): DataFrame = {
-    def arr(xs: Array[Double]): String =
-      xs.map(x => s"CAST(${java.lang.Double.toString(x)} AS DOUBLE)")
-        .mkString("array(", ", ", ")")
-    val centered = s"zip_with($vecCol, ${arr(model.mean)}, (x, m) -> CAST(x AS DOUBLE) - m)"
-    model.components.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
-      acc.withColumn(s"$prefix$i", expr(
-        s"""CASE WHEN $vecCol IS NOT NULL AND size($vecCol) = ${model.dim} THEN
-              aggregate(zip_with($centered, ${arr(c)}, (y, w) -> y * w),
-                        CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)
-            END"""))
+      prefix: String = "pc"): DataFrame =
+    model.components.indices.foldLeft(df) { (acc, i) =>
+      acc.withColumn(s"$prefix$i",
+        expr(projectionSql(SparkSql, vecCol, model, i)))
     }
-  }
 }

@@ -93,22 +93,33 @@ object AnnQueries {
   // ---- distributed PCA over the embedding table -------------------------
   // Exact-decimal Gram moments (bit-identical under any partitioning) →
   // driver-local Jacobi eigensolve → expression-only projection. The
-  // eigensolve is not SQL-expressible, so no DuckDB oracle exists for
-  // this one (driver records the rows-only check); the algebraic
-  // contract — planted-axis recovery, orthonormality, partition
-  // invariance, dimension guards — is pinned in PcaSpec instead, and
-  // the output is still fully deterministic (6-dp rounded projections
-  // of a deterministic model, total order on vec_id).
+  // eigensolve itself is not SQL-expressible, but the model IS a
+  // deterministic pure function of the input set — so the DYNAMIC oracle
+  // refits it at dump time, embeds mean/components as bit-exact literals
+  // (SqlDialect.dblArray), and has DuckDB replay the center-and-project
+  // fold through the SAME Pca.projectionSql expression tree Spark runs.
+  // Projections are bit-identical cross-engine (sequential dsum fold),
+  // so the output is emitted as exact BIGINT micro-units per the
+  // column-type policy; PcaSpec keeps the eigensolve honest
+  // (planted-axis recovery, orthonormality, partition invariance).
+  private def pcMicro(inner: String): String =
+    s"CAST(floor(($inner) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
   private lazy val pcaSpec: QuerySpec = QuerySpec("q149_pca_embed", { (s, dir) =>
-    import org.apache.spark.sql.functions._
     val emb = Td.load(s, dir, "embeddings")
     val model = graft.operators.Pca.fit(emb, "embedding", k = 4)
-    graft.operators.Pca.project(emb, "embedding", model)
-      .select(col("vec_id"), col("label"),
-        round(col("pc0"), 6).as("pc0"), round(col("pc1"), 6).as("pc1"),
-        round(col("pc2"), 6).as("pc2"), round(col("pc3"), 6).as("pc3"))
+    val micros = (0 to 3).map(i => expr(pcMicro(
+      graft.operators.Pca.projectionSql(SparkSql, "embedding", model, i)))
+      .as(s"pc${i}_micro"))
+    emb.select(col("vec_id") +: col("label") +: micros: _*)
       .orderBy("vec_id")
-  }, None)
+  }, None, Some { (s, dir) =>
+    val model = graft.operators.Pca.fit(Td.load(s, dir, "embeddings"), "embedding", k = 4)
+    val cols = (0 to 3).map(i => pcMicro(
+      graft.operators.Pca.projectionSql(DuckSql, "embedding", model, i)) +
+      s" AS pc${i}_micro").mkString(", ")
+    s"SELECT vec_id, label, $cols FROM embeddings ORDER BY vec_id"
+  })
 
   /** q140: hybrid lexical+vector retrieval fused by RRF — the modern
     * retrieval default (BM25 keyword arm + embedding-cosine arm, ranks

@@ -31,11 +31,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QuerySpec(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Data-dependent oracle: SQL emitted with access to (session, sfDir)
+      * so a deterministically-fitted model (PCA mean/components) can ride
+      * into the DuckDB replay as literals. Evaluated by Verify at dump
+      * time against the SAME sf dir the queries ran on; mutually
+      * exclusive with `oracle`. */
+    dynOracle: Option[(SparkSession, String) => String] = None) {
+  require(oracle.isEmpty || dynOracle.isEmpty,
+    s"$name: static and dynamic oracle are mutually exclusive")
+}
 
 object QuerySpec {
   def toQueries(specs: Seq[QuerySpec]): Map[String, (SparkSession, String) => DataFrame] =
     specs.map(s => s.name -> s.fn).toMap
   def toOracles(specs: Seq[QuerySpec]): Map[String, String] =
     specs.flatMap(s => s.oracle.map(s.name -> _)).toMap
+  def toDynOracles(specs: Seq[QuerySpec]): Map[String, (SparkSession, String) => String] =
+    specs.flatMap(s => s.dynOracle.map(s.name -> _)).toMap
 }

@@ -50,6 +50,17 @@ sealed trait SqlDialect {
   }
   protected def mkArrayOf(items: Seq[String]): String
 
+  /** DOUBLE-array literal from shortest-roundtrip decimal renderings.
+    * Both engines parse a decimal literal to the NEAREST double, and
+    * `Double.toString` emits a string that round-trips exactly — so the
+    * array is bit-identical cross-engine (the model-as-literals transport
+    * used by Pca oracles). NaN/Inf have no portable literal. */
+  final def dblArray(xs: Seq[Double]): String = {
+    require(xs.forall(x => !x.isNaN && !x.isInfinite),
+      "dblArray: finite values only")
+    mkArrayOf(xs.map(x => s"CAST(${java.lang.Double.toString(x)} AS DOUBLE)"))
+  }
+
   /** Fold `body` (a function of `acc` only; the element is a dummy) n
     * times starting from `init` — the cross-dialect iterate-n-times
     * primitive (Spark `aggregate` has an explicit init; DuckDB

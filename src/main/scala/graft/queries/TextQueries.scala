@@ -433,13 +433,13 @@ object TextQueries {
       Some(s"""WITH dc AS (
                  SELECT doc_id, ${d.hex32("tok")} % 64 AS b,
                         CAST(count(*) AS BIGINT) AS c
-                 FROM (SELECT doc_id, unnest(${d.splitSpace("text")}) AS tok
+                 FROM (SELECT doc_id, unnest(${d.splitSpace("coalesce(text, '')")}) AS tok
                        FROM documents)
                  GROUP BY 1, 2),
                rh AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM dc GROUP BY b),
                th AS (
                  SELECT ${d.hex32("tok")} % 64 AS b, CAST(count(*) AS BIGINT) AS ct
-                 FROM (SELECT unnest(${d.splitSpace("text")}) AS tok
+                 FROM (SELECT unnest(${d.splitSpace("coalesce(text, '')")}) AS tok
                        FROM documents WHERE lang = 'en')
                  GROUP BY 1),
                tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rh) AS tr,

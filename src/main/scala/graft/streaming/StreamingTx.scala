@@ -68,9 +68,11 @@ object StreamingTx {
     * may carry SEVERAL versions of one key (CDC streams do); merge
     * rejects duplicate keys by contract, so the batch is first
     * collapsed to its per-key LATEST row by `orderCol` (ties → the
-    * larger row wins via max_by's struct comparison, deterministic for
-    * a total (orderCol, key) order — give CDC feeds a real sequence
-    * column). One keyed exchange per batch, batch-sized state, then the
+    * struct-larger FULL row wins; keyCol alone is constant within a
+    * group, so the tie-break compares every column, making the pick
+    * deterministic even when a feed emits two different rows sharing
+    * (key, orderCol) — give CDC feeds a real sequence column anyway).
+    * One keyed exchange per batch, batch-sized state, then the
     * merge's own touched-file copy-on-write. */
   def upsert(spark: SparkSession, rawDir: String, tableDir: String,
       checkpointDir: String, schema: StructType, keyCol: String,
@@ -91,7 +93,8 @@ object StreamingTx {
         val latest = batch
           .groupBy(col(keyCol))
           .agg(expr(
-            s"max_by(struct(${batch.columns.mkString(", ")}), struct($orderCol, $keyCol)) AS __row"))
+            s"max_by(struct(${batch.columns.mkString(", ")}), " +
+              s"struct($orderCol, struct(${batch.columns.mkString(", ")}))) AS __row"))
           .select("__row.*")
         TxLog.mergeBatch(latest.sparkSession, tableDir, latest,
           keyCol, appId, batchId): Unit

@@ -72,6 +72,24 @@ class PcaSpec extends AnyFunSuite with SparkTestBase {
     assert(projected.where("pc0 IS NULL").count() === 0)
   }
 
+  test("jacobiEigen handles equal diagonal entries (theta = 0)") {
+    // [[1, .5], [.5, 1]] has eigenvalues {1.5, 0.5}; with the signum(0)
+    // form the rotation degenerated to the identity and the solve spun
+    // to the sweep cap returning {1.0, 1.0} silently
+    val (vals, _) = Pca.jacobiEigen(Array(Array(1.0, 0.5), Array(0.5, 1.0)))
+    assert(vals.sorted.zip(Seq(0.5, 1.5)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // duplicated-dimension covariance (rank-deficient, equal diagonals)
+    val (v2, vec2) = Pca.jacobiEigen(
+      Array(Array(2.0, 2.0, 0.0), Array(2.0, 2.0, 0.0), Array(0.0, 0.0, 1.0)))
+    assert(math.abs(v2.map(math.abs).max - 4.0) < 1e-12)
+    assert(v2.exists(x => math.abs(x) < 1e-12))
+    // eigenvectors stay orthonormal
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val dot = (0 until 3).map(i => vec2(i)(a) * vec2(i)(b)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9)
+    }
+  }
+
   test("rejects k out of range and empty input") {
     assertThrows[IllegalArgumentException](Pca.fit(planted(), "embedding", k = 0))
     assertThrows[IllegalArgumentException](Pca.fit(planted(), "embedding", k = 4))
