@@ -471,6 +471,136 @@ object TxQueries {
     },
       Some("""SELECT l_returnflag, count(*) AS n_rows,
                      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- row-level DELETE (predicate + GDPR key-list) --------------------
+    // Build the table as 6 files, DELETE a predicate slice, then erase a
+    // DISTRIBUTED key list (deleteKeys — the MERGE…WHEN MATCHED THEN
+    // DELETE path); copy-on-write rewrites only touched files. The
+    // oracle re-derives the surviving set from the raw table with the
+    // same arithmetic, so a row lost from an UNtouched file, a survivor
+    // dropped from a rewritten one, or an under-deleted key all break
+    // the hash. Time travel back to v0 proves deletion is logical.
+    QuerySpec("q156_txlog_delete", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q156").toString + "/t"
+      val docs = Td.load(s, dir, "documents")
+        .select("doc_id", "lang", "text")
+      TxLog.append(s, root, docs.repartition(6))
+      TxLog.delete(s, root, "lang = 'de' AND doc_id % 7 = 3")
+      val erase = Td.load(s, dir, "documents")
+        .where("doc_id % 13 = 5").select("doc_id")
+      TxLog.deleteKeys(s, root, erase, "doc_id")
+      val live = TxLog.read(s, root)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+      val v0 = TxLog.read(s, root, versionAsOf = Some(0L))
+        .agg(count(lit(1)).cast("long").as("v0_docs"))
+      live.crossJoin(v0).orderBy("lang")
+    },
+      Some("""WITH survivors AS (
+                SELECT doc_id, lang, text FROM documents
+                WHERE NOT (lang = 'de' AND doc_id % 7 = 3)
+                  AND NOT (doc_id % 13 = 5)),
+              v0 AS (SELECT CAST(count(*) AS BIGINT) AS v0_docs FROM documents)
+              SELECT lang, count(*) AS n_docs,
+                     CAST(sum(length(text)) AS BIGINT) AS n_chars, v0.v0_docs
+              FROM survivors CROSS JOIN v0
+              GROUP BY lang, v0.v0_docs ORDER BY lang""")),
+
+    // ---- row-level UPDATE -----------------------------------------------
+    // UPDATE SET over a predicate slice where the SET expression reads
+    // OTHER columns' pre-update values (SQL UPDATE semantics); schema is
+    // invariant (cast-back); untouched rows ride through unchanged. The
+    // oracle replays the update as a CASE projection over the raw
+    // table — decimal-sum so the totals are bit-stable.
+    QuerySpec("q157_txlog_update", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q157").toString + "/t"
+      val li = Td.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      TxLog.append(s, root, li.repartition(6))
+      TxLog.update(s, root, "l_returnflag = 'R'",
+        Map("l_quantity" -> "l_quantity + l_linenumber"))
+      TxLog.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CAST(CASE WHEN l_returnflag = 'R'
+                                        THEN l_quantity + l_linenumber
+                                        ELSE l_quantity END AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- SQL write path through the catalog ------------------------------
+    // CTAS + two INSERT INTOs + ALTER ADD COLUMNS + a post-widening
+    // insert, all in PLAIN SQL against the TxCatalog — every statement
+    // lands as a log commit (V1Write → TxLog.append, so the SQL path
+    // shares the whole commit protocol). The readback aggregates across
+    // the widened column; the oracle re-derives the same table state
+    // from the raw parquet, so a dropped insert, a mis-aligned CTAS
+    // column, or a widening that rewrote history all break the hash.
+    QuerySpec("q158_sql_writes", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q158").toString
+      val cat = "sqlw" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Td.load(s, dir, "orders").createOrReplaceTempView("q158_orders")
+      s.sql(s"""CREATE TABLE $cat.ord AS
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM q158_orders WHERE o_orderkey % 3 = 0""")
+      s.sql(s"""INSERT INTO $cat.ord
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM q158_orders WHERE o_orderkey % 3 = 1""")
+      s.sql(s"ALTER TABLE $cat.ord ADD COLUMNS (price_band BIGINT)")
+      s.sql(s"""INSERT INTO $cat.ord
+                SELECT o_orderkey, o_orderstatus, o_totalprice,
+                       CAST(floor(o_totalprice / 50000) AS BIGINT)
+                FROM q158_orders WHERE o_orderkey % 3 = 2""")
+      s.sql(s"""SELECT o_orderstatus,
+                       count(*) AS n_rows,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                       CAST(sum(coalesce(price_band, -1)) AS BIGINT) AS band_sum
+                FROM $cat.ord
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     CAST(sum(CASE WHEN o_orderkey % 3 = 2
+                                   THEN CAST(floor(o_totalprice / 50000) AS BIGINT)
+                                   ELSE -1 END) AS BIGINT) AS band_sum
+              FROM orders
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- column mapping (rename/drop without rewrite) --------------------
+    // Rename a column (metadata-only), DELETE through the NEW name (DML
+    // resolves the mapping), drop a column, then RE-ADD the same name:
+    // the re-added column must read all-NULL — resurrecting the dropped
+    // bytes from old files is the column-mapping failure mode. The
+    // oracle re-derives the surviving rows and pins n_names = 0, so a
+    // resurrection, a mis-mapped delete, or a rename that lost data all
+    // break the hash.
+    QuerySpec("q159_column_mapping", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q159").toString + "/t"
+      val cust = Td.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      TxLog.append(s, root, cust.repartition(4))
+      TxLog.renameColumn(root, "c_acctbal", "balance")
+      TxLog.delete(s, root, "balance < 0")
+      TxLog.dropColumn(root, "c_name")
+      TxLog.addColumns(root, Seq(StructField("c_name", StringType)))
+      TxLog.read(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("balance")).as("sum_balance"),
+          count(col("c_name")).as("n_names"))
+        .orderBy("c_mktsegment")
+    },
+      Some("""SELECT c_mktsegment, count(*) AS n_rows,
+                     CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_balance,
+                     CAST(0 AS BIGINT) AS n_names
+              FROM customer WHERE NOT (c_acctbal < 0)
+              GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

@@ -3,13 +3,15 @@ package graft.sources
 import java.util
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** SQL surface for [[TxLog]] tables — a DataSource-V2 `TableCatalog`
@@ -32,10 +34,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the snapshot's exact live-file list and schema: predicate pushdown,
   * column pruning, and vectorized reading are inherited, and the file
   * list comes from one log replay — never a directory listing (the
-  * object-store property the log format exists for). Reads only: writes
-  * go through the [[TxLog]] API, whose commit protocol (optimistic
-  * races, schema checks, txn idempotence) cannot be expressed through
-  * the blind V2 write path without weakening it.
+  * object-store property the log format exists for).
+  *
+  * WRITES route through the V1 write fallback (`V1Write` →
+  * `InsertableRelation`, the path Delta itself shipped on for years):
+  * the arriving DataFrame — already cast and positionally resolved to
+  * the table schema by Spark's own analysis — is handed to
+  * [[TxLog.append]] / [[TxLog.overwrite]] on the driver, so the SQL
+  * path shares EVERY protocol guarantee of the Scala API (staging,
+  * schema fidelity, CHECK constraints, optimistic version races,
+  * auto-compaction) instead of re-implementing a weaker distributed
+  * commit. Supported statements:
+  * {{{
+  *   CREATE TABLE tx.t (id BIGINT, s STRING)
+  *   CREATE TABLE tx.t AS SELECT ...           -- CTAS
+  *   INSERT INTO tx.t SELECT ...               -- append commit
+  *   INSERT OVERWRITE tx.t SELECT ...          -- overwrite commit
+  *   ALTER TABLE tx.t SET TBLPROPERTIES (...)  -- property commit
+  *   ALTER TABLE tx.t UNSET TBLPROPERTIES (...)
+  *   ALTER TABLE tx.t ADD COLUMNS (x DOUBLE)   -- schema-only widen
+  *   DROP TABLE tx.t
+  *   ALTER TABLE tx.t RENAME TO tx.u
+  * }}}
+  * Time-travel relations stay read-only. Row-level `DELETE`/`UPDATE`/
+  * `MERGE` SQL needs the v2 row-delta plumbing — use [[TxLog.delete]] /
+  * [[TxLog.update]] / [[TxLog.merge]] from Scala.
   */
 class TxCatalog extends TableCatalog {
   private var catalogName: String = _
@@ -61,20 +84,58 @@ class TxCatalog extends TableCatalog {
           throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
       }
     val paths = snap.files.map(f => java.nio.file.Paths.get(dir, f.path).toString)
+    // the parquet scan is pinned to the PHYSICAL schema (what the files
+    // store); for column-mapped tables a renaming shim translates the
+    // plan's logical names at the scan boundary — row data is positional,
+    // so only the planning-time names need translating
+    val physSchema = TxLog.physicalSchema(snap)
+    val l2p = snap.schema.fieldNames.zip(physSchema.fieldNames)
+      .filter { case (l, p) => l != p }.toMap
+    val p2l = l2p.map(_.swap)
     val scan = ParquetTable(s"$catalogName.${ident.name}@v${snap.version}",
       SparkSession.active, CaseInsensitiveStringMap.empty(), paths,
-      Some(snap.schema), classOf[ParquetFileFormat])
+      Some(physSchema), classOf[ParquetFileFormat])
+    val writable = versionAsOf.isEmpty // a time-travel relation is read-only
     // delegate scanning to the v2 parquet table but surface the LOG's
     // table properties (tombstoned keys dropped) — SHOW TBLPROPERTIES
     // then shows auto-optimize settings and CHECK constraints from SQL
-    new Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+    new Table with SupportsRead with SupportsWrite {
       override def name(): String = scan.name
       override def schema(): StructType = snap.schema
-      override def capabilities(): util.Set[TableCapability] = scan.capabilities()
+      override def capabilities(): util.Set[TableCapability] = {
+        val caps = scan.capabilities().asScala.toSet ++
+          (if (writable) Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+           else Set.empty[TableCapability])
+        caps.asJava
+      }
       override def newScanBuilder(options: CaseInsensitiveStringMap) =
-        scan.newScanBuilder(options)
+        if (l2p.isEmpty) scan.newScanBuilder(options)
+        else new RenamingScanBuilder(scan.newScanBuilder(options), l2p, p2l)
       override def properties(): util.Map[String, String] =
         snap.props.filter(_._2.nonEmpty).asJava
+      override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+        require(writable, s"${scan.name}: a time-travel relation is read-only")
+        new WriteBuilder with SupportsTruncate {
+          private var overwrite = false
+          override def truncate(): WriteBuilder = { overwrite = true; this }
+          override def build(): Write = new V1Write {
+            override def toInsertableRelation: InsertableRelation =
+              new InsertableRelation {
+                override def insert(data: DataFrame, overwriteParam: Boolean): Unit = {
+                  val s = data.sparkSession
+                  // align names positionally: Spark has already cast and
+                  // ordered the columns to the table schema; TxLog's
+                  // fidelity check then compares like for like
+                  val tableSchema = TxLog.snapshot(dir).schema
+                  val aligned = data.toDF(tableSchema.fieldNames.toSeq: _*)
+                  if (overwrite || overwriteParam) TxLog.overwrite(s, dir, aligned)
+                  else TxLog.append(s, dir, aligned)
+                  (): Unit
+                }
+              }
+          }
+        }
+      }
     }
   }
 
@@ -106,20 +167,91 @@ class TxCatalog extends TableCatalog {
     }
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName is read-only SQL over TxLog tables; create via TxLog.append")
+  /** Catalog-managed keys Spark threads through `properties` that are
+    * not user table properties — never committed to the log. */
+  private val reservedProps = Set(TableCatalog.PROP_PROVIDER,
+    TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER,
+    TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL, "transient_lastDdlTime")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName is read-only SQL over TxLog tables; use TxLog.setProperties")
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"$catalogName: PARTITIONED BY is not supported (files cluster via OPTIMIZE)")
+    val dir = dirOf(ident)
+    try TxLog.create(dir, schema)
+    catch { case _: TxLog.TableExistsException =>
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace :+ ident.name).toSeq)
+    }
+    val userProps = properties.asScala.view
+      .filterKeys(k => !reservedProps.contains(k)).toMap
+    if (userProps.nonEmpty) TxLog.setProperties(dir, userProps): Unit
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!tableExists(ident))
+      throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    val props = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value
+      case r: TableChange.RemoveProperty => r.property -> "" // tombstone
+    }
+    val addCols = changes.collect { case a: TableChange.AddColumn =>
+      require(a.fieldNames.length == 1,
+        s"$catalogName: nested column adds are not supported")
+      StructField(a.fieldNames.head, a.dataType, a.isNullable)
+    }
+    val unsupported = changes.filterNot {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
+           _: TableChange.AddColumn => true
+      case _ => false
+    }
+    require(unsupported.isEmpty,
+      s"$catalogName: unsupported ALTER TABLE change(s): ${unsupported.mkString(", ")}")
+    if (props.nonEmpty) TxLog.setProperties(dir, props.toMap): Unit
+    if (addCols.nonEmpty) TxLog.addColumns(dir, addCols.toSeq): Unit
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      s"$catalogName is read-only SQL over TxLog tables")
+    TxLog.dropTable(dirOf(ident))
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      s"$catalogName is read-only SQL over TxLog tables")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent))
+      throw new NoSuchTableException((oldIdent.namespace :+ oldIdent.name).toSeq)
+    TxLog.renameTable(dirOf(oldIdent), dirOf(newIdent))
+  }
+}
+
+/** Scan shim for COLUMN-MAPPED tables: the plan speaks LOGICAL names,
+  * the files store PHYSICAL ones. Column pruning is translated on the
+  * way in; the built scan's read schema is translated back on the way
+  * out. Row data is positional, so names never touch the data path.
+  * Filter pushdown is intentionally NOT forwarded — Spark then keeps
+  * every predicate as a post-scan filter, trading pushdown for
+  * guaranteed correctness on the (rare) mapped-table scan. */
+private class RenamingScanBuilder(
+    inner: org.apache.spark.sql.connector.read.ScanBuilder,
+    l2p: Map[String, String], p2l: Map[String, String])
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  override def pruneColumns(required: StructType): Unit = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+      s.pruneColumns(StructType(required.fields.map(f =>
+        f.copy(name = l2p.getOrElse(f.name, f.name)))))
+    case _ => ()
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val ds = inner.build()
+    new org.apache.spark.sql.connector.read.Scan {
+      override def readSchema(): StructType =
+        StructType(ds.readSchema().fields.map(f =>
+          f.copy(name = p2l.getOrElse(f.name, f.name))))
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = ds.toBatch
+      override def description(): String = ds.description()
+    }
+  }
 }

@@ -131,7 +131,8 @@ object TxLog {
     * last-writer-wins per key, so a property travels with the table,
     * not with the writing process. */
   final case class Snapshot(version: Long, schemaDdl: String, files: Seq[AddFile],
-      txns: Map[String, Long] = Map.empty, props: Map[String, String] = Map.empty) {
+      txns: Map[String, Long] = Map.empty, props: Map[String, String] = Map.empty,
+      protocol: Long = 1L) {
     def rows: Long = files.map(_.rows).sum
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
@@ -147,6 +148,68 @@ object TxLog {
     val TargetBytes = "graft.autoOptimize.targetBytes"     // output sizing, default 128 MiB
   }
 
+  /** Column-mapping property keys (Delta's `delta.columnMapping` analog):
+    * the table's LOGICAL schema lives in the log's schema DDL; a column
+    * whose PHYSICAL (parquet) name differs carries a
+    * `graft.colmap.col.<logical> = <physical>` property. Rename is then
+    * a metadata-only commit (physical name never changes once written),
+    * and drop records the physical name in [[Dropped]] so a later
+    * re-add of the same logical name gets a FRESH physical name instead
+    * of resurrecting dropped bytes from old files. Tables with a
+    * non-identity mapping commit protocol 2 — a pre-mapping reader
+    * would scan physical files under logical names and silently serve
+    * NULLs, exactly the failure [[protocolVersion]] exists to stop. */
+  object ColumnMapping {
+    val Prefix = "graft.colmap.col."
+    val Dropped = "graft.colmap.dropped" // comma-separated physical names
+  }
+
+  /** logical → physical for columns whose names diverge. */
+  private def colMapOf(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(ColumnMapping.Prefix) && v.nonEmpty =>
+      k.stripPrefix(ColumnMapping.Prefix) -> v
+    }
+
+  private def droppedPhysOf(props: Map[String, String]): Set[String] =
+    props.get(ColumnMapping.Dropped).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty).toSet
+
+  /** The snapshot's PHYSICAL schema — what the parquet files store. */
+  private[graft] def physicalSchema(snap: Snapshot): StructType = {
+    val m = colMapOf(snap.props)
+    if (m.isEmpty) snap.schema
+    else StructType(snap.schema.fields.map(f =>
+      f.copy(name = m.getOrElse(f.name, f.name))))
+  }
+
+  /** Scan `files` under PHYSICAL names, rename to the LOGICAL schema;
+    * `tagPath` optionally appends `_metadata.file_path` (captured BEFORE
+    * the rename — metadata columns do not survive a projection) under
+    * the given name. Identity-mapped tables take the exact pre-mapping
+    * plan (no extra Project node). */
+  private def scanFiles(spark: SparkSession, dir: String, snap: Snapshot,
+      files: Seq[AddFile], tagPath: Option[String] = None): DataFrame =
+    scanPaths(spark, snap, files.map(f => Paths.get(dir, f.path).toString), tagPath)
+
+  /** [[scanFiles]] over absolute paths — the streaming source's entry
+    * (its file lists come from [[changedFilesBetween]], not AddFiles). */
+  private[sources] def scanPaths(spark: SparkSession, snap: Snapshot,
+      paths: Seq[String], tagPath: Option[String] = None): DataFrame = {
+    val phys = physicalSchema(snap)
+    val base = spark.read.schema(phys).parquet(paths: _*)
+    val tagged = tagPath.fold(base)(n => base.withColumn(n, col("_metadata.file_path")))
+    if (phys == snap.schema) tagged
+    else tagged.toDF((snap.schema.fieldNames.toSeq ++ tagPath.toSeq): _*)
+  }
+
+  /** Rename a LOGICAL-schema frame to physical names before staging;
+    * no-op (no extra node) for identity-mapped tables. */
+  private def toPhysical(df: DataFrame, snap: Snapshot): DataFrame = {
+    val m = colMapOf(snap.props)
+    if (m.isEmpty) df
+    else df.toDF(df.schema.fieldNames.toSeq.map(n => m.getOrElse(n, n)): _*)
+  }
+
   /** Commits between two checkpoints; each checkpoint bounds log replay. */
   val checkpointInterval = 10
 
@@ -156,8 +219,17 @@ object TxLog {
     * must refuse loudly — silently misreading actions an old reader
     * does not know (a future deletion-vector commit, say) would serve
     * WRONG DATA, the one failure mode a table format must never have.
-    * Absent field = protocol 1 (pre-versioning logs stay readable). */
-  val protocolVersion = 1L
+    * Absent field = protocol 1 (pre-versioning logs stay readable).
+    *
+    * Protocol 2 = column mapping ([[ColumnMapping]]): stamped only by
+    * the first rename/drop commit, so plain tables stay readable by
+    * protocol-1 readers ([[baseProtocolVersion]] is what commit 0
+    * records) — the minimal-required stamping Delta uses. */
+  val protocolVersion = 2L
+
+  /** What a NEW table's commit 0 records: the lowest protocol whose
+    * features the table actually uses. */
+  val baseProtocolVersion = 1L
 
   /** The table's log was written under a protocol newer than this
     * reader supports — upgrade the reader; the data is fine. */
@@ -300,6 +372,7 @@ object TxLog {
       case JObject(fields) => fields.foreach { case (k, v) => props(k) = jStr(v) }
       case _ =>
     }
+    var tableProtocol = 1L
     def checkProtocol(j: JValue): Unit = ((j \ "protocol") match {
       case JInt(p) => Some(p.toLong)
       case JLong(p) => Some(p)
@@ -309,6 +382,7 @@ object TxLog {
         throw new UnsupportedProtocolException(
           s"$dir was written under log protocol $p; this reader supports " +
             s"up to $protocolVersion — refusing rather than misreading newer actions")
+      tableProtocol = math.max(tableProtocol, p)
     }
     fromCkpt.foreach { cv =>
       val j = parse(Files.readString(ckptFile(dir, cv)))
@@ -335,7 +409,7 @@ object TxLog {
       mergeProps(j)
     }
     Snapshot(target, schemaDdl.getOrElse(sys.error(s"$dir: no schema in log")),
-      live.values.toSeq, txns.toMap, props.toMap)
+      live.values.toSeq, txns.toMap, props.toMap, tableProtocol)
   }
 
   // ---- commit protocol ---------------------------------------------------
@@ -366,7 +440,10 @@ object TxLog {
       // just slower).
       try {
         val snap = snapshot(dir, Some(v))
-        val j: JObject = ("version" -> v) ~ ("protocol" -> protocolVersion) ~
+        // the TABLE's protocol, not this writer's capability — a
+        // checkpoint must never lock protocol-1 readers out of a table
+        // that uses no protocol-2 feature
+        val j: JObject = ("version" -> v) ~ ("protocol" -> snap.protocol) ~
           ("schema" -> snap.schemaDdl) ~
           ("files" -> snap.files.map(addJson)) ~ ("txns" -> snap.txns) ~
           ("props" -> snap.props)
@@ -380,12 +457,16 @@ object TxLog {
   private def commitJson(v: Long, op: String, ts: Long, adds: Seq[AddFile],
       removes: Seq[String], schemaDdl: Option[String],
       txn: Option[(String, Long)] = None,
-      props: Option[Map[String, String]] = None): String = {
+      props: Option[Map[String, String]] = None,
+      protocol: Option[Long] = None): String = {
     val base0: JObject = ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
       ("schema" -> schemaDdl) ~ ("adds" -> adds.map(addJson)) ~
       ("removes" -> removes)
-    // commit 0 records the protocol the table is written under
-    val base = if (v == 0L) base0 ~ ("protocol" -> protocolVersion) else base0
+    // commit 0 records the protocol the table is written under; a
+    // feature commit (column mapping) stamps the version it requires
+    val base =
+      if (v == 0L) base0 ~ ("protocol" -> protocol.getOrElse(baseProtocolVersion))
+      else protocol.fold(base0)(p => base0 ~ ("protocol" -> p))
     val withTxn = txn.fold(base) { case (app, b) =>
       base ~ ("txn" -> (("app" -> app) ~ ("batch" -> b)))
     }
@@ -486,7 +567,10 @@ object TxLog {
     val pre = headSnapshot(dir)
     pre.foreach(h => requireSchema(h.schemaDdl, df))
     requireConstraints(pre, df)
-    val (sub, adds) = stage(spark, dir, df)
+    // files store PHYSICAL names (a rename/drop between here and the
+    // publish is safe: physical names never change once assigned, and
+    // the retry loop re-checks the logical schema)
+    val (sub, adds) = stage(spark, dir, pre.fold(df)(toPhysical(df, _)))
     val ddl = df.schema.toDDL
     // Any exit without a published commit must reclaim the staging dir —
     // including a schema mismatch surfacing mid-retry (a concurrent
@@ -551,7 +635,7 @@ object TxLog {
     if (seen(pre)) return None
     pre.foreach(h => requireSchema(h.schemaDdl, df))
     requireConstraints(pre, df)
-    val (sub, adds) = stage(spark, dir, df)
+    val (sub, adds) = stage(spark, dir, pre.fold(df)(toPhysical(df, _)))
     val ddl = df.schema.toDDL
     var published = false // see append: no cleanup past a published commit
     try {
@@ -618,10 +702,24 @@ object TxLog {
     // validate the ALIGNED frame: a constraint may reference a table
     // column the incoming frame omits (NULL there — SQL CHECK passes)
     requireConstraints(Some(snapAtRead), aligned)
-    val (sub, adds) = stage(spark, dir, aligned)
     val v = readVersion + 1
+    // NEW columns whose logical name is burned as a physical name (a
+    // dropped column's bytes, or a rename's storage name) get a fresh
+    // suffixed physical via the mapping — never resurrect old bytes
+    val burned = physicalSchema(snapAtRead).fieldNames.map(_.toLowerCase).toSet ++
+      droppedPhysOf(snapAtRead.props).map(_.toLowerCase)
+    val newMaps = newFields.filter(f => burned.contains(f.name.toLowerCase))
+      .map(f => f.name -> s"${f.name}__v$v").toMap
+    val fullMap = colMapOf(snapAtRead.props) ++ newMaps
+    val alignedPhys =
+      if (fullMap.isEmpty) aligned
+      else aligned.toDF(merged.fieldNames.toSeq.map(n => fullMap.getOrElse(n, n)): _*)
+    val (sub, adds) = stage(spark, dir, alignedPhys)
     val content = commitJson(v, "appendEvolve", System.currentTimeMillis(),
-      adds, Nil, Some(merged.toDDL))
+      adds, Nil, Some(merged.toDDL), None,
+      if (newMaps.isEmpty) None
+      else Some(newMaps.map { case (l, p) => ColumnMapping.Prefix + l -> p }),
+      if (newMaps.isEmpty) None else Some(2L))
     if (tryPublish(dir, v, content)) {
       maybeCheckpoint(dir, v); maybeAutoCompact(spark, dir, Some(snapAtRead), adds); v
     }
@@ -650,7 +748,7 @@ object TxLog {
     preSnap.foreach(s => requireSchema(s.schemaDdl, df))
     requireConstraints(preSnap, df)
     val removes = preSnap.map(_.files.map(_.path)).getOrElse(Nil)
-    val (sub, adds) = stage(spark, dir, df)
+    val (sub, adds) = stage(spark, dir, preSnap.fold(df)(toPhysical(df, _)))
     val v = readVersion + 1
     val content = commitJson(v, "overwrite", System.currentTimeMillis(),
       adds, removes, if (v == 0L) Some(df.schema.toDDL) else None)
@@ -692,21 +790,22 @@ object TxLog {
     // Stage the replacement FIRST; the value set and the committed rows
     // then come from the same single evaluation of `df` (the merge
     // discipline — a non-deterministic frame cannot desynchronize them).
-    val (newSub, newAdds) = stage(spark, dir, df)
-    val stagedDf = spark.read.schema(df.schema)
+    val (newSub, newAdds) = stage(spark, dir, toPhysical(df, snap))
+    val physCol = colMapOf(snap.props).getOrElse(colName, colName)
+    val stagedDf = spark.read.schema(physicalSchema(snap))
       .parquet(Paths.get(dir, newSub).toString)
     // The replaced value set, in the same cast-to-string canon as the
     // file stats. Bounded: these are partition-like values (days, shards).
     val values: Seq[String] =
       try {
-        val valRows = stagedDf.select(col(colName).cast(StringType)).distinct().collect()
+        val valRows = stagedDf.select(col(physCol).cast(StringType)).distinct().collect()
         require(valRows.forall(!_.isNullAt(0)),
           s"replaceWhereIn: NULL $colName values are not supported")
         valRows.map(_.getString(0)).toSeq
       } catch { case e: Throwable => deleteStaged(dir, newSub); throw e }
     if (values.isEmpty) return commitStagedAppend(dir, newSub, newAdds, readVersion)
 
-    def classify(f: AddFile): Int = f.stats.get(colName) match { // 0 untouched, 1 full, 2 partial
+    def classify(f: AddFile): Int = f.stats.get(physCol) match { // 0 untouched, 1 full, 2 partial
       case Some(cs) => (cs.min, cs.max) match {
         case (Some(mn), Some(mx)) =>
           // Incomparable stats (NaN/Infinity) count as a hit: rewrite
@@ -729,10 +828,9 @@ object TxLog {
     val (remainderSub, remainderAdds) =
       if (partial.isEmpty) (None, Nil)
       else {
-        val keep = spark.read.schema(snap.schema)
-          .parquet(partial.map(f => Paths.get(dir, f.path).toString): _*)
+        val keep = scanFiles(spark, dir, snap, partial)
           .where(!col(colName).isin(values: _*) || col(colName).isNull)
-        val (sub, adds) = stage(spark, dir, keep)
+        val (sub, adds) = stage(spark, dir, toPhysical(keep, snap))
         (Some(sub), adds.map(_.copy(dataChange = false)))
       }
     val removes = (full ++ partial).map(_.path)
@@ -788,8 +886,7 @@ object TxLog {
     // Compaction never produces MORE files than it consumes.
     val nOut = math.max(1, math.min(
       math.ceil(totalBytes.toDouble / targetBytes).toLong, snap.files.size.toLong).toInt)
-    val src = spark.read.schema(snap.schema)
-      .parquet(snap.files.map(f => Paths.get(dir, f.path).toString): _*)
+    val src = scanFiles(spark, dir, snap, snap.files)
     val packed =
       if (zorderBy.nonEmpty)
         graft.operators.ZOrder.layout(src, zorderBy.head, zorderBy(1), nOut)
@@ -798,7 +895,7 @@ object TxLog {
           .sortWithinPartitions(sortBy.map(col): _*)
       else src.coalesce(nOut)
     // Layout-only rewrite: no row is new to the table.
-    val (sub, adds0) = stage(spark, dir, packed)
+    val (sub, adds0) = stage(spark, dir, toPhysical(packed, snap))
     val adds = adds0.map(_.copy(dataChange = false))
     val removes = snap.files.map(_.path)
 
@@ -844,13 +941,16 @@ object TxLog {
     // engine-known keys validate at WRITE time: maybeAutoCompact runs
     // under a swallow-all best-effort net, so a malformed value landed
     // here would otherwise disable auto-compaction silently and forever
-    def numeric(k: String, min: Long): Unit = props.get(k).foreach { v =>
-      val n = try v.toLong catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(s"$k must be an integer, got '$v'") }
-      require(n >= min, s"$k must be >= $min, got $n")
-    }
-    props.get(AutoOptimize.Enabled).foreach(v => require(v == "true" || v == "false",
-      s"${AutoOptimize.Enabled} must be 'true' or 'false', got '$v'"))
+    // the empty string is the tombstone (UNSET TBLPROPERTIES) — always legal
+    def numeric(k: String, min: Long): Unit =
+      props.get(k).filter(_.nonEmpty).foreach { v =>
+        val n = try v.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$k must be an integer, got '$v'") }
+        require(n >= min, s"$k must be >= $min, got $n")
+      }
+    props.get(AutoOptimize.Enabled).filter(_.nonEmpty)
+      .foreach(v => require(v == "true" || v == "false",
+        s"${AutoOptimize.Enabled} must be 'true' or 'false', got '$v'"))
     numeric(AutoOptimize.MinSmallFiles, 2)
     numeric(AutoOptimize.SmallFileBytes, 1)
     numeric(AutoOptimize.TargetBytes, 1)
@@ -923,9 +1023,8 @@ object TxLog {
     val totalBytes = small.map(_.bytes).sum
     val nOut = math.max(1, math.min(
       math.ceil(totalBytes.toDouble / targetBytes).toLong, small.size.toLong).toInt)
-    val src = spark.read.schema(snap.schema)
-      .parquet(small.map(f => Paths.get(dir, f.path).toString): _*)
-    val (sub, adds0) = stage(spark, dir, src.coalesce(nOut))
+    val src = scanFiles(spark, dir, snap, small)
+    val (sub, adds0) = stage(spark, dir, toPhysical(src.coalesce(nOut), snap))
     val adds = adds0.map(_.copy(dataChange = false))
     val removes = small.map(_.path)
     // check-then-claim against ONE snapshot per iteration — the
@@ -1042,9 +1141,12 @@ object TxLog {
     // staged re-read: the source plan is evaluated exactly once, so a
     // non-deterministic source cannot desynchronize the validated keys,
     // the matched-file set, and the rows that actually land.
-    val (srcSub, srcAdds) = stage(spark, dir, source)
-    val staged = spark.read.schema(source.schema)
+    val (srcSub, srcAdds) = stage(spark, dir, toPhysical(source, snap))
+    val staged0 = spark.read.schema(physicalSchema(snap))
       .parquet(Paths.get(dir, srcSub).toString)
+    val staged =
+      if (physicalSchema(snap) == snap.schema) staged0
+      else staged0.toDF(snap.schema.fieldNames.toSeq: _*)
     var published = false // see append: no cleanup past a published commit
     try {
       val keyStats = staged.agg(
@@ -1060,12 +1162,11 @@ object TxLog {
       // the staging dir
       requireConstraints(Some(snap), staged)
 
-      val paths = snap.files.map(f => Paths.get(dir, f.path).toString)
       val keys = staged.select(col(keyCol)).distinct()
       val touchedPaths: Set[String] =
-        if (paths.isEmpty) Set.empty
-        else spark.read.schema(snap.schema).parquet(paths: _*)
-          .select(col(keyCol), col("_metadata.file_path").as("__p"))
+        if (snap.files.isEmpty) Set.empty
+        else scanFiles(spark, dir, snap, snap.files, tagPath = Some("__p"))
+          .select(col(keyCol), col("__p"))
           .join(keys, Seq(keyCol), "left_semi")
           .select("__p").distinct().collect().map(_.getString(0)).toSet
       val touched = snap.files.filter(f =>
@@ -1074,10 +1175,9 @@ object TxLog {
       val (remSub, remainderAdds) =
         if (touched.isEmpty) (None, Nil)
         else {
-          val keep = spark.read.schema(snap.schema)
-            .parquet(touched.map(f => Paths.get(dir, f.path).toString): _*)
+          val keep = scanFiles(spark, dir, snap, touched)
             .join(keys, Seq(keyCol), "left_anti")
-          val (sub, adds) = stage(spark, dir, keep)
+          val (sub, adds) = stage(spark, dir, toPhysical(keep, snap))
           (Some(sub), adds.map(_.copy(dataChange = false)))
         }
       val v = readVersion + 1
@@ -1104,6 +1204,371 @@ object TxLog {
     }
   }
 
+  // ---- DDL (catalog-facing) ---------------------------------------------
+
+  /** CREATE TABLE: publish version 0 with the schema and no data — the
+    * empty table CTAS and `CREATE TABLE` route through. Exactly one
+    * concurrent creator wins (version 0 is hard-linked like any other
+    * commit); losers see TableExistsException. */
+  def create(dir: String, schema: StructType): Long = {
+    Files.createDirectories(Paths.get(dir))
+    if (latestVersion(dir) >= 0)
+      throw new TableExistsException(s"$dir already has a committed log")
+    val content = commitJson(0L, "create", System.currentTimeMillis(),
+      Nil, Nil, Some(schema.toDDL))
+    if (tryPublish(dir, 0L, content)) 0L
+    else throw new TableExistsException(s"$dir was created concurrently")
+  }
+
+  final class TableExistsException(msg: String) extends RuntimeException(msg)
+
+  /** DROP TABLE: remove the table directory (log + data). Refuses a
+    * directory that is not a TxLog table — the guard that keeps a
+    * mis-configured catalog root from recursively deleting arbitrary
+    * data. Returns false when nothing was there. */
+  def dropTable(dir: String): Boolean = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p.resolve("_txlog"))) return false
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f): Unit)
+    finally walk.close()
+    true
+  }
+
+  /** RENAME TABLE: one directory move (atomic on a posix filesystem —
+    * all data paths in the log are RELATIVE, so the moved log replays
+    * unchanged). Fails if the target exists. */
+  def renameTable(fromDir: String, toDir: String): Unit = {
+    require(Files.isDirectory(Paths.get(fromDir, "_txlog")),
+      s"renameTable: $fromDir is not a TxLog table")
+    require(!Files.exists(Paths.get(toDir)), s"renameTable: $toDir already exists")
+    Files.createDirectories(Paths.get(toDir).getParent)
+    Files.move(Paths.get(fromDir), Paths.get(toDir),
+      StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  /** ALTER TABLE ADD COLUMNS: a schema-only widening commit — existing
+    * files stay untouched and read the new columns as NULL (exactly
+    * [[appendEvolve]]'s merge rule, without data). New columns must not
+    * collide with existing LOGICAL names; when the logical name is
+    * burned as a PHYSICAL name (a dropped column's bytes, or a renamed
+    * column's storage name), the new column gets a fresh suffixed
+    * physical name via the column mapping — re-adding `x` after
+    * dropping `x` must NOT resurrect the dropped bytes from old files.
+    * Returns the committed version. */
+  def addColumns(dir: String, cols: Seq[StructField]): Long = {
+    require(cols.nonEmpty, "addColumns: no columns given")
+    var tries = 0
+    while (tries < maxCommitAttempts) {
+      val head = snapshot(dir)
+      val existing = head.schema.fieldNames.map(_.toLowerCase).toSet
+      cols.foreach(c => require(!existing.contains(c.name.toLowerCase),
+        s"addColumns: column ${c.name} already exists"))
+      val burned = physicalSchema(head).fieldNames.map(_.toLowerCase).toSet ++
+        droppedPhysOf(head.props).map(_.toLowerCase)
+      val attempt = head.version + 1
+      val remapped = cols.filter(c => burned.contains(c.name.toLowerCase))
+        .map(c => ColumnMapping.Prefix + c.name -> s"${c.name}__v$attempt").toMap
+      val widened = StructType(head.schema.fields ++ cols)
+      val content = commitJson(attempt, "addColumns", System.currentTimeMillis(),
+        Nil, Nil, Some(widened.toDDL), None,
+        if (remapped.isEmpty) None else Some(remapped),
+        if (remapped.isEmpty) None else Some(2L))
+      if (tryPublish(dir, attempt, content)) {
+        maybeCheckpoint(dir, attempt)
+        return attempt
+      }
+      tries += 1
+    }
+    throw new ConcurrentWriteException(
+      s"addColumns on $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
+  /** ALTER TABLE RENAME COLUMN — METADATA-ONLY (no file rewrite, the
+    * column-mapping capability): the logical name changes in the schema
+    * DDL; the physical parquet name stays what it always was, recorded
+    * in the mapping. The commit stamps protocol 2 — a pre-mapping
+    * reader would otherwise scan the physical files under the new
+    * logical name and silently serve NULLs. Refused while a CHECK
+    * constraint references the column (Delta's rule — the constraint
+    * text would silently stop binding). */
+  def renameColumn(dir: String, from: String, to: String): Long = {
+    requireMappableName(to)
+    var tries = 0
+    while (tries < maxCommitAttempts) {
+      val head = snapshot(dir)
+      val idx = head.schema.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+      require(idx >= 0, s"renameColumn: no column $from in ${head.schema.fieldNames.mkString(",")}")
+      require(!head.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"renameColumn: column $to already exists")
+      requireNoConstraintReference(head, from, "renameColumn")
+      val physical = colMapOf(head.props).getOrElse(head.schema.fieldNames(idx),
+        head.schema.fieldNames(idx))
+      val renamed = StructType(head.schema.fields.zipWithIndex.map { case (f, i) =>
+        if (i == idx) f.copy(name = to) else f
+      })
+      val props = Map(
+        ColumnMapping.Prefix + to -> physical,
+        ColumnMapping.Prefix + head.schema.fieldNames(idx) -> "") // tombstone old key
+      val attempt = head.version + 1
+      val content = commitJson(attempt, "renameColumn", System.currentTimeMillis(),
+        Nil, Nil, Some(renamed.toDDL), None, Some(props), Some(2L))
+      if (tryPublish(dir, attempt, content)) {
+        maybeCheckpoint(dir, attempt)
+        return attempt
+      }
+      tries += 1
+    }
+    throw new ConcurrentWriteException(
+      s"renameColumn on $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
+  /** ALTER TABLE DROP COLUMN — METADATA-ONLY: the field leaves the
+    * logical schema; the physical bytes stay in existing files, simply
+    * never scanned (schema projection), and the physical name is
+    * recorded as burned so [[addColumns]] cannot resurrect it. Stamps
+    * protocol 2: a pre-mapping WRITER replaying the table must not
+    * evolve a same-named column back over the old bytes. Refused while
+    * a CHECK constraint references the column; refused for the last
+    * remaining column. */
+  def dropColumn(dir: String, name: String): Long = {
+    var tries = 0
+    while (tries < maxCommitAttempts) {
+      val head = snapshot(dir)
+      val idx = head.schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0, s"dropColumn: no column $name in ${head.schema.fieldNames.mkString(",")}")
+      require(head.schema.fields.length > 1, "dropColumn: cannot drop the last column")
+      requireNoConstraintReference(head, name, "dropColumn")
+      val logical = head.schema.fieldNames(idx)
+      val physical = colMapOf(head.props).getOrElse(logical, logical)
+      requireMappableName(physical)
+      val narrowed = StructType(head.schema.fields.patch(idx, Nil, 1))
+      val dropped = (droppedPhysOf(head.props) + physical).toSeq.sorted.mkString(",")
+      val props = Map(
+        ColumnMapping.Dropped -> dropped,
+        ColumnMapping.Prefix + logical -> "") // tombstone any mapping entry
+      val attempt = head.version + 1
+      val content = commitJson(attempt, "dropColumn", System.currentTimeMillis(),
+        Nil, Nil, Some(narrowed.toDDL), None, Some(props), Some(2L))
+      if (tryPublish(dir, attempt, content)) {
+        maybeCheckpoint(dir, attempt)
+        return attempt
+      }
+      tries += 1
+    }
+    throw new ConcurrentWriteException(
+      s"dropColumn on $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
+  /** Mapped names ride property values and the comma-separated dropped
+    * list — restrict to word characters so neither encoding can break. */
+  private def requireMappableName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"column mapping requires word-like names, got '$name'")
+
+  /** A CHECK constraint referencing a renamed/dropped column would
+    * silently stop binding (or bind wrongly) — refuse, as Delta does.
+    * Word-boundary match on the constraint text is conservative in the
+    * right direction: a false positive blocks a legal DDL (annoying),
+    * never permits a wrong one. */
+  private def requireNoConstraintReference(head: Snapshot, colName: String,
+      op: String): Unit = {
+    val pat = java.util.regex.Pattern.compile(
+      "\\b" + java.util.regex.Pattern.quote(colName) + "\\b",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    head.props.foreach { case (k, v) =>
+      if (k.startsWith(ConstraintPrefix) && v.nonEmpty && pat.matcher(v).find())
+        throw new IllegalArgumentException(
+          s"$op: column $colName is referenced by constraint " +
+            s"${k.stripPrefix(ConstraintPrefix)} (CHECK ($v)) — drop the constraint first")
+    }
+  }
+
+  // ---- row-level DML (copy-on-write) ------------------------------------
+
+  /** DELETE FROM … WHERE `condition` — row-level delete at file-granular
+    * copy-on-write (the Delta `DELETE FROM` surface; the first thing a
+    * corpus owner asks for is GDPR erasure):
+    *
+    *  1. TOUCHED files = live files holding at least one row where the
+    *     predicate is TRUE, found by one distributed scan tagged with
+    *     `_metadata.file_path` (stats-bounded collect: one row per
+    *     touched FILE, never data);
+    *  2. touched files are rewritten keeping only rows where the
+    *     predicate is NOT TRUE (NULL keeps the row — SQL DELETE removes
+    *     only where the condition IS true);
+    *  3. one commit: removes = touched, adds = remainders.
+    *
+    * Untouched files are never read or rewritten — cost is O(files
+    * holding matches), the property that makes targeted erasure viable
+    * at 100 TB. Remainder adds carry dataChange=false: their rows were
+    * delivered at earlier versions, so a [[TxLogSource]] stream skips
+    * the rewrite instead of double-counting it (deletions themselves
+    * are not streamed — Delta's source has the same asymmetry).
+    *
+    * `condition` must be DETERMINISTIC (it is evaluated once to find
+    * touched files and once to rewrite them — rejected otherwise, the
+    * Delta rule). A predicate matching no rows is a no-op returning the
+    * current version without a commit. Non-blind write → overwrite
+    * conflict rule. Returns the committed (or current) version. */
+  def delete(spark: SparkSession, dir: String, condition: String): Long =
+    deleteWhere(spark, dir, condition, None)
+
+  /** MERGE … WHEN MATCHED THEN DELETE (a.k.a. anti-join erasure): every
+    * target row whose `keyCol` appears in `keys` is deleted. The GDPR
+    * bulk path: `keys` stays DISTRIBUTED end to end (staged once, then
+    * semi-join touch discovery + anti-join rewrite — no driver-side key
+    * list), so a million-user erasure list works the same as ten.
+    * NULL keys are rejected (they match nothing and would silently
+    * shrink the erasure set). Same rewrite/conflict/no-op semantics as
+    * [[delete]]. */
+  def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String): Long = {
+    require(keys.columns.contains(keyCol), s"deleteKeys: $keyCol not in keys frame")
+    // stage the key list so the (possibly expensive, possibly
+    // non-deterministic) keys plan evaluates exactly once — the merge
+    // single-evaluation discipline; the staging dir never becomes an
+    // add and is always reclaimed
+    val (sub, _) = stage(spark, dir, keys.select(keyCol).distinct())
+    try {
+      val staged = spark.read
+        .schema(StructType(keys.schema.fields.filter(_.name == keyCol)))
+        .parquet(Paths.get(dir, sub).toString)
+      require(staged.where(col(keyCol).isNull).isEmpty,
+        s"deleteKeys: NULL $keyCol in keys")
+      deleteWhere(spark, dir, null, Some((staged, keyCol)))
+    } finally deleteStaged(dir, sub)
+  }
+
+  /** Shared copy-on-write delete core: exactly one of `condition` /
+    * `keys` drives matching. */
+  private def deleteWhere(spark: SparkSession, dir: String, condition: String,
+      keys: Option[(DataFrame, String)]): Long = {
+    val readVersion = latestVersion(dir)
+    if (readVersion < 0)
+      throw new VersionNotFoundException(s"$dir has no committed versions")
+    val snap = snapshot(dir, Some(readVersion))
+    if (snap.files.isEmpty) return readVersion
+    val tagged = scanFiles(spark, dir, snap, snap.files, tagPath = Some("__p"))
+    val matchedFiles = keys match {
+      case Some((k, kc)) => tagged.join(k, Seq(kc), "left_semi")
+      case None => tagged.where(condition)
+    }
+    requireDeterministic(matchedFiles, "predicate")
+    val touchedPaths = matchedFiles.select("__p").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touchedPaths.isEmpty) return readVersion
+    val touched = snap.files.filter(f => touchedPaths.exists(_.endsWith(f.path)))
+
+    val touchedDf = scanFiles(spark, dir, snap, touched)
+    val keep = keys match {
+      case Some((k, kc)) => touchedDf.join(k, Seq(kc), "left_anti")
+      case None =>
+        // DELETE removes rows where the predicate IS TRUE; a NULL
+        // predicate keeps the row on both sides of the rewrite
+        touchedDf.where(not(coalesce(expr(condition), lit(false))))
+    }
+    val (remSub, remainderAdds0) = stage(spark, dir, toPhysical(keep, snap))
+    val remainderAdds = remainderAdds0.map(_.copy(dataChange = false))
+    val v = readVersion + 1
+    val content = commitJson(v, "delete", System.currentTimeMillis(),
+      remainderAdds, touched.map(_.path), None)
+    if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
+    else {
+      deleteStaged(dir, remSub)
+      throw new ConcurrentWriteException(
+        s"delete from $dir conflicted: version $v was committed concurrently")
+    }
+  }
+
+  /** UPDATE … SET col = expr WHERE `condition` — row-level update at
+    * file-granular copy-on-write. Touch discovery and rewrite follow
+    * [[delete]]; each touched file is rewritten as its non-matching
+    * rows UNCHANGED (dataChange=false — already delivered) plus its
+    * matching rows with every SET expression applied
+    * (dataChange=true: a [[TxLogSource]] stream delivers exactly the
+    * updated rows, not the whole rewritten file). SET expressions may
+    * reference any column (pre-update values, SQL UPDATE semantics)
+    * and are cast to the column's existing type, so the table schema
+    * is invariant; updated rows re-validate CHECK constraints.
+    * `condition` and every SET expression must be deterministic.
+    * Returns the committed (or, for a no-match no-op, current)
+    * version. */
+  def update(spark: SparkSession, dir: String, condition: String,
+      set: Map[String, String]): Long = {
+    require(set.nonEmpty, "update: empty SET clause")
+    val readVersion = latestVersion(dir)
+    if (readVersion < 0)
+      throw new VersionNotFoundException(s"$dir has no committed versions")
+    val snap = snapshot(dir, Some(readVersion))
+    set.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"update: SET column $c not in table schema"))
+    if (snap.files.isEmpty) return readVersion
+    val matching = scanFiles(spark, dir, snap, snap.files, tagPath = Some("__p"))
+      .where(condition)
+    requireDeterministic(matching, "predicate")
+    val touchedPaths = matching
+      .select(col("__p"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (touchedPaths.isEmpty) return readVersion
+    val touched = snap.files.filter(f => touchedPaths.exists(_.endsWith(f.path)))
+
+    val touchedDf = scanFiles(spark, dir, snap, touched)
+    val cond = coalesce(expr(condition), lit(false))
+    val updated = touchedDf.where(cond).select(snap.schema.fields.toSeq.map { f =>
+      set.get(f.name)
+        .map(e => expr(e).cast(f.dataType).as(f.name))
+        .getOrElse(col(f.name))
+    }: _*)
+    requireDeterministic(updated, "SET expression")
+    var published = false
+    val (updSub, updatedAdds) = stage(spark, dir, toPhysical(updated, snap))
+    try {
+      // constraints validate on the staged re-read (single-evaluation
+      // discipline, as merge does); staged files carry physical names —
+      // rename back for the LOGICAL constraint expressions
+      val stagedUpd0 = spark.read.schema(physicalSchema(snap))
+        .parquet(Paths.get(dir, updSub).toString)
+      val stagedUpd =
+        if (physicalSchema(snap) == snap.schema) stagedUpd0
+        else stagedUpd0.toDF(snap.schema.fieldNames.toSeq: _*)
+      requireConstraints(Some(snap), stagedUpd)
+      val (remSub, remainderAdds) = {
+        val keep = touchedDf.where(not(cond))
+        val (sub, adds) = stage(spark, dir, toPhysical(keep, snap))
+        (sub, adds.map(_.copy(dataChange = false)))
+      }
+      val v = readVersion + 1
+      val content = commitJson(v, "update", System.currentTimeMillis(),
+        remainderAdds ++ updatedAdds, touched.map(_.path), None)
+      if (tryPublish(dir, v, content)) {
+        published = true
+        maybeCheckpoint(dir, v)
+        v
+      } else {
+        deleteStaged(dir, remSub)
+        throw new ConcurrentWriteException(
+          s"update of $dir conflicted: version $v was committed concurrently")
+      }
+    } catch { case e: Throwable =>
+      if (!published) deleteStaged(dir, updSub)
+      throw e
+    }
+  }
+
+  /** DML predicates/expressions must be deterministic: they are
+    * evaluated more than once (touch discovery, then rewrite), and a
+    * rand()-style predicate would delete one row set and keep another.
+    * Checked on the ANALYZED plan — an unresolved `rand()` still
+    * reports deterministic=true, so parsing alone cannot catch it.
+    * (Time-valued functions like current_timestamp are deterministic
+    * per Catalyst but evaluate per-scan — avoid them in DML
+    * predicates.) */
+  private def requireDeterministic(df: DataFrame, what: String): Unit =
+    require(df.queryExecution.analyzed.expressions.forall(_.deterministic),
+      s"DML $what must be deterministic")
+
   /** RESTORE TABLE: make `version`'s file set AND schema the new HEAD,
     * as a commit (history is preserved — restore is an entry in the log,
     * not a rewind of it; an appendEvolve is undone by restoring past
@@ -1128,8 +1593,19 @@ object TxLog {
     val removes = current.files.map(_.path).filterNot(target.files.map(_.path).contains)
     val schemaDdl =
       if (target.schemaDdl != current.schemaDdl) Some(target.schemaDdl) else None
+    // restore the target's COLUMN MAPPING with its schema: set every
+    // target mapping key, tombstone keys the target doesn't have
+    // (restoring past a rename must revive the old logical→physical
+    // binding or the restored schema would scan the wrong columns); the
+    // dropped-physical list stays cumulative — never resurrected.
+    val targetMap = colMapOf(target.props)
+    val staleKeys = colMapOf(current.props).keySet -- targetMap.keySet
+    val mapProps =
+      targetMap.map { case (l, p) => ColumnMapping.Prefix + l -> p } ++
+        staleKeys.map(ColumnMapping.Prefix + _ -> "")
     val v = readVersion + 1
-    val content = commitJson(v, "restore", System.currentTimeMillis(), adds, removes, schemaDdl)
+    val content = commitJson(v, "restore", System.currentTimeMillis(), adds, removes, schemaDdl,
+      None, if (mapProps.isEmpty) None else Some(mapProps.toMap))
     if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
     else throw new ConcurrentWriteException(
       s"restore of $dir conflicted: version $v was committed concurrently")
@@ -1224,8 +1700,12 @@ object TxLog {
     * the new latest). Insert-class commits (append / streamingAppend /
     * appendEvolve / overwrite) contribute their added files' rows;
     * OPTIMIZE commits contribute nothing — their adds are rewrites of
-    * rows an earlier version already delivered. Deletions are not
-    * modeled (this table format has no row-level delete op). */
+    * rows an earlier version already delivered. Deletions ([[delete]] /
+    * [[deleteKeys]]) are not streamed — only their surviving-row
+    * rewrites enter the log (dataChange=false, excluded here); a
+    * consumer that must see deletions diffs snapshots. [[update]]
+    * commits contribute exactly their updated rows (the rewritten
+    * unchanged remainder is dataChange=false). */
   /** Relative paths of the `dataChange=true` files added in
     * `(fromExclusive, toInclusive]` — the file set one streaming
     * micro-batch of [[graft.sources.TxLogSource]] delivers. Same
@@ -1244,8 +1724,12 @@ object TxLog {
     val (commits, _) = listLog(dir)
     if (commits.isEmpty)
       throw new VersionNotFoundException(s"$dir has no committed versions")
-    val latestSchema = snapshot(dir).schema
-    val out = latestSchema.add(StructField("_commit_version", LongType, nullable = false))
+    // All files scan under the LATEST snapshot's physical names: a
+    // physical name never changes once assigned, so the latest mapping
+    // covers every historical file (renamed columns keep their original
+    // storage name; post-drop re-adds carry fresh suffixed names).
+    val latest = snapshot(dir)
+    val out = latest.schema.add(StructField("_commit_version", LongType, nullable = false))
     val groups = commits.sorted.filter(_ > fromVersionExclusive).flatMap { v =>
       val j = parse(Files.readString(versionFile(dir, v)))
       // dataChange=false adds are rewrites of rows an earlier version
@@ -1253,11 +1737,11 @@ object TxLog {
       // remainders, restore re-adds) — never part of the change feed.
       val adds = parseAdds(j \ "adds").filter(_.dataChange)
       if (jStr(j \ "op") == "optimize" || adds.isEmpty) None
-      else Some((v, adds.map(a => Paths.get(dir, a.path).toString)))
+      else Some((v, adds))
     }
     groups
-      .map { case (v, paths) =>
-        spark.read.schema(latestSchema).parquet(paths: _*)
+      .map { case (v, adds) =>
+        scanFiles(spark, dir, latest, adds)
           .withColumn("_commit_version", lit(v))
       }
       .reduceOption(_.unionAll(_))
@@ -1273,8 +1757,7 @@ object TxLog {
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     else
-      spark.read.schema(snap.schema)
-        .parquet(snap.files.map(f => Paths.get(dir, f.path).toString): _*)
+      scanFiles(spark, dir, snap, snap.files)
   }
 
   /** Stats-canon comparator: numeric types as BigDecimal, date/
@@ -1318,8 +1801,10 @@ object TxLog {
     * stats were written in). Returns (surviving, pruned). Files with no
     * stats for the column survive (pruning must never lose rows). */
   def prunedFiles(snap: Snapshot, colName: String, lo: String, hi: String): (Seq[AddFile], Seq[AddFile]) = {
+    // stats are keyed by the column's PHYSICAL (storage) name
+    val physCol = colMapOf(snap.props).getOrElse(colName, colName)
     snap.files.partition { f =>
-      f.stats.get(colName) match {
+      f.stats.get(physCol) match {
         case Some(cs) => (cs.min, cs.max) match {
           case (Some(mn), Some(mx)) =>
             (cmpStats(cs.typ, mn, hi), cmpStats(cs.typ, mx, lo)) match {
@@ -1363,8 +1848,7 @@ object TxLog {
     if (survivors.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     else
-      spark.read.schema(snap.schema)
-        .parquet(survivors.map(f => Paths.get(dir, f.path).toString): _*)
+      scanFiles(spark, dir, snap, survivors)
         .where(preds.reduce(_ && _))
   }
 }

@@ -26,6 +26,18 @@ import org.apache.spark.sql.types.StructType
   * {{{
   *   spark.readStream.format("txlog").option("path", dir).load()
   * }}}
+  *
+  * Start position (Delta's `startingVersion`/`startingTimestamp`
+  * discipline; effective only on a FRESH checkpoint — a resumed query
+  * always continues from its committed offset):
+  *  - `startingVersion`: first log version to deliver (or `"latest"` to
+  *    deliver only commits made after the stream starts — the
+  *    backfill-from-now case);
+  *  - `startingTimestamp`: epoch millis, ISO-8601 instant, or
+  *    `yyyy-MM-dd HH:mm:ss` (UTC) — delivers every version whose
+  *    monotonized commit timestamp is at or after it (resolution via
+  *    [[TxLog.versionAtTime]]); a timestamp before the first commit
+  *    delivers everything.
   */
 class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "txlog"
@@ -50,13 +62,20 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    require(!(parameters.contains("startingVersion") && parameters.contains("startingTimestamp")),
+      "txlog source: startingVersion and startingTimestamp are mutually exclusive")
     new TxLogSource(ctx.sparkSession, pathOf(parameters),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      parameters.get("startingVersion"),
+      parameters.get("startingTimestamp"))
+  }
 }
 
 class TxLogSource(spark: SparkSession, dir: String,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    startingVersion: Option[String] = None,
+    startingTimestamp: Option[String] = None)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -65,7 +84,51 @@ class TxLogSource(spark: SparkSession, dir: String,
   maxVersionsPerTrigger.foreach(m => require(m >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $m"))
 
-  override val schema: StructType = TxLog.snapshot(dir).schema
+  /** Pinned at stream construction; also carries the column mapping the
+    * scan needs (physical names never change, so the pinned mapping
+    * covers every file the guard below lets through). */
+  private val pinnedSnap: TxLog.Snapshot = TxLog.snapshot(dir)
+
+  override val schema: StructType = pinnedSnap.schema
+
+  /** Exclusive lower bound for a FRESH checkpoint. Resolved ONCE at
+    * source creation (so `latest` pins the stream-start version, not a
+    * moving target); a resumed query never consults this — the engine
+    * passes the checkpointed offset as `start`. */
+  private val initialFrom: Long = (startingVersion, startingTimestamp) match {
+    case (None, None) => -1L
+    case (Some("latest"), _) => TxLog.latestVersion(dir)
+    case (Some(v), _) =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"txlog source: startingVersion must be a version number or 'latest', got '$v'")
+      }
+      require(n >= 0, s"txlog source: startingVersion must be >= 0, got $n")
+      n - 1
+    case (_, Some(ts)) =>
+      // deliver versions with monotonized commit ts >= the requested
+      // instant ⇔ exclude those with ts <= instant-1ms; a timestamp
+      // before the first commit means deliver-from-the-beginning
+      val millis = parseTsMillis(ts)
+      try TxLog.versionAtTime(dir, millis - 1)
+      catch { case _: TxLog.VersionNotFoundException => -1L }
+  }
+
+  private def parseTsMillis(ts: String): Long = {
+    val asLong = ts.toLongOption
+    lazy val asInstant =
+      try Some(java.time.Instant.parse(ts).toEpochMilli)
+      catch { case _: java.time.format.DateTimeParseException => None }
+    lazy val asLocal =
+      try Some(java.time.LocalDateTime
+        .parse(ts.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      catch { case _: java.time.format.DateTimeParseException => None }
+    asLong.orElse(asInstant).orElse(asLocal).getOrElse(
+      throw new IllegalArgumentException(
+        s"txlog source: cannot parse startingTimestamp '$ts' " +
+          "(epoch millis, ISO-8601 instant, or yyyy-MM-dd HH:mm:ss UTC)"))
+  }
 
   /** AvailableNow freezes the catch-up TARGET at query start (commits
     * racing the run are the next run's work); the rate limit then walks
@@ -93,8 +156,17 @@ class TxLogSource(spark: SparkSession, dir: String,
   }
 
   override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
-    val from = Option(start).map(versionOf).getOrElse(-1L)
-    cappedEnd(from).map(LongOffset(_)).orNull
+    val from = Option(start).map(versionOf).getOrElse(initialFrom)
+    cappedEnd(from) match {
+      case Some(v) => LongOffset(v)
+      case None =>
+        // Fresh checkpoint with an explicit start position and nothing
+        // to deliver yet: emit ONE empty batch at the resolved position
+        // so the engine checkpoints it — otherwise `latest` (or a
+        // timestamp) would be re-resolved at every restart and silently
+        // skip commits made between runs.
+        if (start == null && initialFrom >= 0) LongOffset(initialFrom) else null
+    }
   }
 
   override def reportLatestOffset(): ConnOffset = {
@@ -116,8 +188,27 @@ class TxLogSource(spark: SparkSession, dir: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(versionOf).getOrElse(-1L)
+    val from = start.map(versionOf).getOrElse(initialFrom)
     val to = versionOf(end)
+    // Schema-drift guard: the source scans every file under the schema
+    // pinned at stream construction — if appendEvolve widened the table
+    // mid-stream, scanning new files under the old schema would SILENTLY
+    // drop the added columns. Fail the query loudly instead (Delta's
+    // behavior on streaming schema change); the user restarts the stream
+    // to adopt the new schema. The converse direction is SAFE and must
+    // not fail: a resumed stream catching up over pre-evolution versions
+    // scans old files under the (wider) pinned schema — absent columns
+    // read NULL, which is exactly what those rows hold.
+    val atEnd = TxLog.snapshot(dir, Some(to)).schema
+    val pinned = schema.fields.map(f => f.name -> f.dataType).toMap
+    val unrepresentable = atEnd.fields
+      .filter(f => !pinned.get(f.name).contains(f.dataType))
+    if (unrepresentable.nonEmpty)
+      throw new IllegalStateException(
+        s"txlog source: table schema changed mid-stream — version $to has " +
+          s"column(s) ${unrepresentable.map(_.name).mkString(", ")} the " +
+          s"stream's pinned schema cannot represent; restart the " +
+          "streaming query to adopt the new schema")
     // (recovery needs no bootstrap here: the engine passes the
     // checkpointed start offset into latestOffset, so the limiter
     // always advances from the committed position)
@@ -128,8 +219,8 @@ class TxLogSource(spark: SparkSession, dir: String,
       if (files.isEmpty)
         spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow]
       else
-        spark.read.schema(schema)
-          .parquet(files.map(f => java.nio.file.Paths.get(dir, f).toString): _*)
+        TxLog.scanPaths(spark, pinnedSnap,
+          files.map(f => java.nio.file.Paths.get(dir, f).toString))
           .queryExecution.toRdd
     org.apache.spark.sql.graft.GraftSqlShims.streamingDataFrame(spark, rdd, schema)
   }

@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxLog
+
+/** Row-level DML contract (DELETE / UPDATE / MERGE-delete by keys):
+  * copy-on-write touches only files holding matches, time travel sees
+  * the pre-DML rows, streaming/change-feed sees exactly the right
+  * dataChange rows, NULL predicates keep rows, constraints gate
+  * updates, and non-deterministic expressions are rejected. */
+class TxDmlSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-txdml").toString + "/t"
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"v$i", i % 3)).toDF("id", "s", "grp")
+  }
+
+  private def idSet(d: org.apache.spark.sql.DataFrame): Set[Long] =
+    d.select("id").collect().map(_.getLong(0)).toSet
+
+  test("delete removes exactly the matching rows; time travel keeps them") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 10))
+    val v = TxLog.delete(spark, dir, "grp = 1")
+    assert(v === 1L)
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 10L).toSet.filterNot(_ % 3 == 1))
+    assert(idSet(TxLog.read(spark, dir, Some(0L))) === (0L until 10L).toSet)
+  }
+
+  test("delete touches only files holding matches (copy-on-write scope)") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 100).repartition(1))   // file A: all ids
+    TxLog.append(spark, dir, df(100 until 200).repartition(1)) // file B
+    val before = TxLog.snapshot(dir).files.map(_.path).toSet
+    TxLog.delete(spark, dir, "id = 150") // only file B holds a match
+    val after = TxLog.snapshot(dir)
+    // file A must survive UNREWRITTEN; file B replaced by its remainder
+    val fileA = TxLog.snapshot(dir, Some(0L)).files.head.path
+    assert(after.files.map(_.path).contains(fileA))
+    assert(!after.files.map(_.path).exists(p =>
+      (before - fileA).contains(p)))
+    assert(after.rows === 199L)
+  }
+
+  test("delete with NULL-valued predicate keeps the NULL rows (IS TRUE semantics)") {
+    val dir = tmp()
+    import spark.implicits._
+    val d = Seq((1L, Some(5)), (2L, None), (3L, Some(50))).toDF("id", "x")
+    TxLog.append(spark, dir, d)
+    TxLog.delete(spark, dir, "x > 10") // NULL > 10 is NULL, not TRUE
+    assert(idSet(TxLog.read(spark, dir)) === Set(1L, 2L))
+  }
+
+  test("delete matching nothing is a no-op without a commit") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 5))
+    assert(TxLog.delete(spark, dir, "id = 999") === 0L)
+    assert(TxLog.latestVersion(dir) === 0L)
+  }
+
+  test("delete rejects a non-deterministic predicate") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 5))
+    intercept[IllegalArgumentException](TxLog.delete(spark, dir, "rand() < 0.5"))
+  }
+
+  test("deleteKeys erases every key in the frame, distributed end to end") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 50))
+    import spark.implicits._
+    val keys = Seq(3L, 7L, 11L, 999L).toDF("id") // 999 matches nothing
+    val v = TxLog.deleteKeys(spark, dir, keys, "id")
+    assert(v === 1L)
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 50L).toSet -- Set(3L, 7L, 11L))
+    // the staged key list must not linger as a data dir
+    assert(TxLog.snapshot(dir).files.forall(f => Files.exists(
+      java.nio.file.Paths.get(dir, f.path))))
+  }
+
+  test("deleteKeys rejects NULL keys") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 5))
+    import spark.implicits._
+    val keys = Seq(Some(1L), None).toDF("id")
+    intercept[IllegalArgumentException](TxLog.deleteKeys(spark, dir, keys, "id"))
+  }
+
+  test("update rewrites matching rows, keeps schema, preserves others") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 10))
+    val v = TxLog.update(spark, dir, "grp = 0", Map("s" -> "concat(s, '!')"))
+    assert(v === 1L)
+    val out = TxLog.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "v0!" && out(3L) === "v3!" && out(9L) === "v9!")
+    assert(out(1L) === "v1" && out(2L) === "v2")
+    assert(TxLog.snapshot(dir).schema === TxLog.snapshot(dir, Some(0L)).schema)
+    assert(TxLog.read(spark, dir).count() === 10L)
+  }
+
+  test("update SET may reference pre-update values of other columns") {
+    val dir = tmp()
+    import spark.implicits._
+    TxLog.append(spark, dir, Seq((1L, 10L, 0L)).toDF("id", "a", "b"))
+    TxLog.update(spark, dir, "id = 1", Map("b" -> "a + 5", "a" -> "a * 2"))
+    val r = TxLog.read(spark, dir).head()
+    // both SETs see the OLD a (SQL UPDATE semantics)
+    assert(r.getLong(1) === 20L && r.getLong(2) === 15L)
+  }
+
+  test("update casts SET expressions to the column's type (schema invariant)") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 4))
+    TxLog.update(spark, dir, "id = 2", Map("id" -> "id + 0.0")) // double → cast back
+    assert(TxLog.snapshot(dir).schema.fields.head.dataType ===
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("update validates CHECK constraints on the updated rows") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 5))
+    TxLog.addConstraint(spark, dir, "id_nonneg", "id >= 0")
+    intercept[TxLog.ConstraintViolationException](
+      TxLog.update(spark, dir, "id = 2", Map("id" -> "-7")))
+    // failed update leaves the table untouched
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 5L).toSet)
+  }
+
+  test("change feed: update delivers exactly the updated rows; delete delivers nothing") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 10)) // v0
+    TxLog.update(spark, dir, "id = 4", Map("s" -> "'upd'")) // v1
+    TxLog.delete(spark, dir, "id = 5") // v2
+    val changes = TxLog.readChanges(spark, dir, 0L)
+    val rows = changes.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet === Set((4L, "upd")), s"change feed was ${rows.toSeq}")
+  }
+
+  test("streaming source skips delete rewrites, delivers update rows") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 10).repartition(1)) // v0
+    TxLog.delete(spark, dir, "id = 3") // v1: rewrite only
+    TxLog.update(spark, dir, "id = 7", Map("s" -> "'u7'")) // v2
+    assert(TxLog.changedFilesBetween(dir, 0L, 2L).size === 1)
+    val upd = spark.read.parquet(
+      TxLog.changedFilesBetween(dir, 0L, 2L)
+        .map(p => java.nio.file.Paths.get(dir, p).toString): _*)
+    assert(upd.count() === 1L && upd.head().getString(1) === "u7")
+  }
+
+  test("vacuum reclaims pre-DML files; current snapshot unaffected") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 20).repartition(1))
+    TxLog.delete(spark, dir, "grp = 2")
+    val reclaimed = TxLog.vacuum(dir, retainVersions = 1, staleStagingMillis = 0L)
+    assert(reclaimed.nonEmpty)
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 20L).toSet.filterNot(_ % 3 == 2))
+    intercept[Exception](TxLog.read(spark, dir, Some(0L)).collect())
+  }
+}

@@ -703,14 +703,15 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     val v0 = Paths.get(dir, "_txlog", f"${0L}%020d.json")
     assert(Files.readString(v0).contains("\"protocol\":1"), "commit 0 must record the protocol")
     assert(TxLog.snapshot(dir).rows === 3L) // own protocol reads fine
-    // a future writer bumps the protocol: this reader must refuse, not misread
+    // a future writer bumps the protocol past this reader's capability
+    // (2, since column mapping): it must refuse, not misread
     Files.writeString(v0,
-      Files.readString(v0).replace("\"protocol\":1", "\"protocol\":2"))
+      Files.readString(v0).replace("\"protocol\":1", "\"protocol\":3"))
     val e = intercept[TxLog.UnsupportedProtocolException](TxLog.snapshot(dir))
-    assert(e.getMessage.contains("protocol 2"))
+    assert(e.getMessage.contains("protocol 3"))
     // pre-versioning logs (no protocol field) stay readable
     Files.writeString(v0,
-      Files.readString(v0).replace(",\"protocol\":2", ""))
+      Files.readString(v0).replace(",\"protocol\":3", ""))
     assert(TxLog.snapshot(dir).rows === 3L)
   }
 

@@ -94,4 +94,98 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got === viaChanges, "stream must agree with the batch change feed")
   }
+
+  /** runOnce with explicit source options. */
+  private def runOnceOpts(table: String, ckpt: String,
+      opts: Map[String, String]): Set[Long] = {
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val reader = spark.readStream.format("txlog").option("path", table)
+    opts.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id").collect().foreach(r => got.add(r.getLong(0))): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSet
+  }
+
+  test("startingVersion skips earlier versions on a fresh checkpoint") {
+    val root = Files.createTempDirectory("graft-txsv").toString
+    val table = s"$root/t"
+    TxLog.append(spark, table, df(0 until 3))  // v0
+    TxLog.append(spark, table, df(3 until 6))  // v1
+    TxLog.append(spark, table, df(6 until 9))  // v2
+    assert(runOnceOpts(table, s"$root/c1", Map("startingVersion" -> "1")) ===
+      (3L until 9L).toSet)
+    // a RESUMED query ignores the option and continues from its offset
+    TxLog.append(spark, table, df(9 until 11)) // v3
+    assert(runOnceOpts(table, s"$root/c1", Map("startingVersion" -> "0")) ===
+      (9L until 11L).toSet)
+  }
+
+  test("startingVersion=latest delivers only post-start commits") {
+    val root = Files.createTempDirectory("graft-txsl").toString
+    val table = s"$root/t"
+    TxLog.append(spark, table, df(0 until 5)) // v0: pre-existing backlog
+    assert(runOnceOpts(table, s"$root/c1", Map("startingVersion" -> "latest")) ===
+      Set.empty[Long], "backfill-from-now must skip the backlog")
+    TxLog.append(spark, table, df(5 until 7)) // v1
+    assert(runOnceOpts(table, s"$root/c1", Map("startingVersion" -> "latest")) ===
+      (5L until 7L).toSet,
+      "the same checkpoint continues; 'latest' was pinned at first start")
+  }
+
+  test("startingTimestamp delivers versions committed at or after it") {
+    val root = Files.createTempDirectory("graft-txst").toString
+    val table = s"$root/t"
+    TxLog.append(spark, table, df(0 until 3)) // v0
+    Thread.sleep(20)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(20)
+    TxLog.append(spark, table, df(3 until 5)) // v1, after the cut
+    assert(runOnceOpts(table, s"$root/c1",
+      Map("startingTimestamp" -> cut.toString)) === (3L until 5L).toSet)
+    // a timestamp before the first commit delivers everything
+    assert(runOnceOpts(table, s"$root/c2",
+      Map("startingTimestamp" -> "0")) === (0L until 5L).toSet)
+  }
+
+  test("start options are mutually exclusive and validated") {
+    val root = Files.createTempDirectory("graft-txsx").toString
+    val table = s"$root/t"
+    TxLog.append(spark, table, df(0 until 2))
+    intercept[Exception] {
+      runOnceOpts(table, s"$root/c1",
+        Map("startingVersion" -> "0", "startingTimestamp" -> "0"))
+    }
+    intercept[Exception] {
+      runOnceOpts(table, s"$root/c2", Map("startingVersion" -> "nope"))
+    }
+  }
+
+  test("mid-stream schema widening fails the batch; a restarted query adopts it") {
+    val root = Files.createTempDirectory("graft-txse").toString
+    val table = s"$root/t"
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    TxLog.append(spark, table, df(0 until 3)) // v0
+    // drive the source like the engine would, so the widening lands
+    // MID-STREAM (between batches of one continuous query)
+    val src = new graft.sources.TxLogSource(spark, table)
+    src.getBatch(None, LongOffset(0L)) // pinned (id, s); v0 scans fine
+    TxLog.appendEvolve(spark, table,
+      Seq((100L, "w", 7)).toDF("id", "s", "extra")) // v1 widens
+    val e = intercept[IllegalStateException] {
+      src.getBatch(Some(LongOffset(0L)), LongOffset(1L))
+    }
+    assert(e.getMessage.contains("schema changed"), e.getMessage)
+    // a RESTARTED query (fresh source) pins the widened schema and
+    // catches up: pre-evolution files read with extra=NULL, nothing lost
+    assert(runOnce(table, s"$root/c-fresh", "txs_se3") ===
+      ((0L until 3L).toSet + 100L))
+  }
 }
