@@ -601,6 +601,98 @@ object TxQueries {
                      CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_balance,
                      CAST(0 AS BIGINT) AS n_names
               FROM customer WHERE NOT (c_acctbal < 0)
-              GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- change data feed ------------------------------------------------
+    // Enable CDF, then DELETE a slice and UPDATE another: the feed must
+    // serve the original inserts (synthesized from data files), the
+    // deleted rows, and both update images — aggregated per change type
+    // with decimal-exact value sums the oracle re-derives from the raw
+    // table. A missed deletion, a double-reported postimage, or an
+    // image with post-update values in the preimage all break the hash.
+    QuerySpec("q160_change_feed", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q160").toString + "/t"
+      val part = Td.load(s, dir, "part")
+        .select("p_partkey", "p_type", "p_retailprice")
+      TxLog.append(s, root, part.repartition(4))
+      TxLog.setProperties(root, Map(TxLog.Cdf.Enabled -> "true"))
+      TxLog.delete(s, root, "p_partkey % 11 = 3")
+      TxLog.update(s, root, "p_partkey % 11 = 5",
+        Map("p_retailprice" -> "p_retailprice + 100.0"))
+      TxLog.readChangeFeed(s, root, fromVersionExclusive = -1L)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy("_change_type")
+    },
+      Some("""WITH feed AS (
+                SELECT 'insert' AS _change_type, p_retailprice FROM part
+                UNION ALL
+                SELECT 'delete', p_retailprice FROM part WHERE p_partkey % 11 = 3
+                UNION ALL
+                SELECT 'update_preimage', p_retailprice FROM part WHERE p_partkey % 11 = 5
+                UNION ALL
+                SELECT 'update_postimage', p_retailprice + 100.0 FROM part WHERE p_partkey % 11 = 5)
+              SELECT _change_type, count(*) AS n_rows,
+                     CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+              FROM feed GROUP BY _change_type ORDER BY _change_type""")),
+
+    // ---- CDC mirror: the GDPR-propagation loop ---------------------------
+    // A downstream mirror maintained ONLY from the source's streaming
+    // change feed (readChangeFeed=true, one version per trigger):
+    // inserts/update-postimages upsert via txn-tagged mergeBatch
+    // (replay-idempotent), deletions propagate via deleteKeys
+    // (naturally idempotent — deleting absent keys is a no-op). Two
+    // checkpointed passes over a mutating source; the mirror must
+    // converge to the source's surviving state, which the oracle
+    // re-derives from the raw table — a dropped deletion, a stale
+    // update, or a double-applied batch all break the hash.
+    QuerySpec("q161_cdf_mirror", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q161").toString
+      val (src, mirror, ckpt) = (s"$root/src", s"$root/mirror", s"$root/ckpt")
+      val sup = Td.load(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+      TxLog.append(s, src, sup.repartition(4))
+      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+      def sync(): Unit = {
+        val q = s.readStream.format("txlog").option("path", src)
+          .option("readChangeFeed", "true")
+          .option("maxVersionsPerTrigger", "1").load()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val s2 = batch.sparkSession
+            val ups = batch
+              .where(col("_change_type").isin("insert", "update_postimage"))
+              .select("s_suppkey", "s_nationkey", "s_acctbal")
+            val dels = batch.where(col("_change_type") === "delete")
+              .select("s_suppkey")
+            if (!ups.isEmpty)
+              TxLog.mergeBatch(s2, mirror, ups, "s_suppkey", "q161", batchId): Unit
+            if (!dels.isEmpty && TxLog.latestVersion(mirror) >= 0)
+              TxLog.deleteKeys(s2, mirror, dels, "s_suppkey"): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      sync() // pass 1: the initial inserts
+      TxLog.delete(s, src, "s_suppkey % 9 = 2")
+      TxLog.update(s, src, "s_suppkey % 9 = 4",
+        Map("s_acctbal" -> "s_acctbal + 50.0"))
+      sync() // pass 2: resumes mid-log, applies exactly the DML versions
+      TxLog.read(s, mirror)
+        .groupBy(col("s_nationkey").cast(LongType).as("s_nationkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("s_acctbal")).as("sum_bal"))
+        .orderBy("s_nationkey")
+    },
+      Some("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                     count(*) AS n_rows,
+                     CAST(sum(CAST(CASE WHEN s_suppkey % 9 = 4
+                                        THEN s_acctbal + 50.0
+                                        ELSE s_acctbal END AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM supplier WHERE NOT (s_suppkey % 9 = 2)
+              GROUP BY s_nationkey ORDER BY s_nationkey"""))
   )
 }

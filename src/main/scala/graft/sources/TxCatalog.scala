@@ -55,9 +55,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   ALTER TABLE tx.t ADD COLUMNS (x DOUBLE)   -- schema-only widen
   *   DROP TABLE tx.t
   *   ALTER TABLE tx.t RENAME TO tx.u
+  *   DELETE FROM tx.t WHERE …           -- SupportsDelete → TxLog.delete
   * }}}
-  * Time-travel relations stay read-only. Row-level `DELETE`/`UPDATE`/
-  * `MERGE` SQL needs the v2 row-delta plumbing — use [[TxLog.delete]] /
+  * Time-travel relations stay read-only. `DELETE FROM` covers every
+  * predicate expressible as v1 pushdown filters (=, <, >, IN, NULL
+  * tests, AND/OR/NOT, string prefix/suffix/contains) — others are
+  * refused with Spark's own untranslatable-filter error. Row-level
+  * `UPDATE`/`MERGE` SQL needs the v2 row-delta plumbing — use
   * [[TxLog.update]] / [[TxLog.merge]] from Scala.
   */
 class TxCatalog extends TableCatalog {
@@ -99,7 +103,8 @@ class TxCatalog extends TableCatalog {
     // delegate scanning to the v2 parquet table but surface the LOG's
     // table properties (tombstoned keys dropped) — SHOW TBLPROPERTIES
     // then shows auto-optimize settings and CHECK constraints from SQL
-    new Table with SupportsRead with SupportsWrite {
+    new Table with SupportsRead with SupportsWrite
+        with org.apache.spark.sql.connector.catalog.SupportsDelete {
       override def name(): String = scan.name
       override def schema(): StructType = snap.schema
       override def capabilities(): util.Set[TableCapability] = {
@@ -107,6 +112,22 @@ class TxCatalog extends TableCatalog {
           (if (writable) Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
            else Set.empty[TableCapability])
         caps.asJava
+      }
+      // `DELETE FROM <cat>.<t> WHERE …` — Spark hands the predicate as
+      // v1 filters; translated to SQL text and routed through
+      // TxLog.delete, the same copy-on-write commit the Scala API runs
+      // (untranslatable predicates are refused via canDeleteWhere, and
+      // Spark reports them to the user instead of silently scanning)
+      override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+        writable && filters.forall(f => TxCatalog.filterToSql(f).isDefined)
+      override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+        require(writable, s"${scan.name}: a time-travel relation is read-only")
+        val cond =
+          if (filters.isEmpty) "TRUE"
+          else filters.map(f => TxCatalog.filterToSql(f).getOrElse(
+            throw new UnsupportedOperationException(s"cannot push delete filter $f")))
+            .mkString("(", ") AND (", ")")
+        TxLog.delete(SparkSession.active, dir, cond): Unit
       }
       override def newScanBuilder(options: CaseInsensitiveStringMap) =
         if (l2p.isEmpty) scan.newScanBuilder(options)
@@ -221,6 +242,59 @@ class TxCatalog extends TableCatalog {
     if (!tableExists(oldIdent))
       throw new NoSuchTableException((oldIdent.namespace :+ oldIdent.name).toSeq)
     TxLog.renameTable(dirOf(oldIdent), dirOf(newIdent))
+  }
+}
+
+object TxCatalog {
+  import org.apache.spark.sql.sources._
+
+  /** v1 Filter → SQL text for [[TxLog.delete]]. None = not translatable
+    * (the caller refuses the delete rather than approximating it). */
+  private[sources] def filterToSql(f: Filter): Option[String] = {
+    def col(a: String): String =
+      a.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
+    def lit(v: Any): Option[String] = v match {
+      case null => None // NULL comparisons arrive as IsNull/IsNotNull
+      case s: String => Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      case _: java.lang.Number => Some(v.toString)
+      case b: java.lang.Boolean => Some(b.toString)
+      case d: java.sql.Date => Some(s"DATE '$d'")
+      case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+      case d: java.time.LocalDate => Some(s"DATE '$d'")
+      case i: java.time.Instant => Some(s"TIMESTAMP '${java.sql.Timestamp.from(i)}'")
+      case _ => None
+    }
+    def bin(a: String, op: String, v: Any): Option[String] =
+      lit(v).map(l => s"${col(a)} $op $l")
+    f match {
+      case EqualTo(a, v) => bin(a, "=", v)
+      case EqualNullSafe(a, v) =>
+        lit(v).map(l => s"${col(a)} <=> $l").orElse(Some(s"${col(a)} IS NULL"))
+      case GreaterThan(a, v) => bin(a, ">", v)
+      case GreaterThanOrEqual(a, v) => bin(a, ">=", v)
+      case LessThan(a, v) => bin(a, "<", v)
+      case LessThanOrEqual(a, v) => bin(a, "<=", v)
+      case In(a, vs) =>
+        val ls = vs.toSeq.map(lit)
+        if (ls.exists(_.isEmpty)) None
+        else Some(s"${col(a)} IN (${ls.flatten.mkString(", ")})")
+      case IsNull(a) => Some(s"${col(a)} IS NULL")
+      case IsNotNull(a) => Some(s"${col(a)} IS NOT NULL")
+      case And(l, r) =>
+        for (a <- filterToSql(l); b <- filterToSql(r)) yield s"($a) AND ($b)"
+      case Or(l, r) =>
+        for (a <- filterToSql(l); b <- filterToSql(r)) yield s"($a) OR ($b)"
+      case Not(c) => filterToSql(c).map(x => s"NOT ($x)")
+      case StringStartsWith(a, v) =>
+        lit(v).map(l => s"startswith(${col(a)}, $l)")
+      case StringEndsWith(a, v) =>
+        lit(v).map(l => s"endswith(${col(a)}, $l)")
+      case StringContains(a, v) =>
+        lit(v).map(l => s"contains(${col(a)}, $l)")
+      case AlwaysTrue() => Some("TRUE")
+      case AlwaysFalse() => Some("FALSE")
+      case _ => None
+    }
   }
 }
 

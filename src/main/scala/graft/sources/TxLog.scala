@@ -164,6 +164,27 @@ object TxLog {
     val Dropped = "graft.colmap.dropped" // comma-separated physical names
   }
 
+  /** Change-data-feed property (Delta's `delta.enableChangeDataFeed`):
+    * when a table carries `graft.enableChangeDataFeed=true`, DELETE and
+    * UPDATE commits additionally persist the CHANGED ROWS as change
+    * files (`_change_type` ∈ delete / update_preimage /
+    * update_postimage) recorded under the commit's `cdf` key —
+    * [[readChangeFeed]] then serves a complete row-level change stream
+    * including deletions, which [[readChanges]] structurally cannot.
+    * Cost ∝ change volume, not table size: the DML already materializes
+    * exactly these rows for the copy-on-write rewrite. Appends need no
+    * change files — inserts are synthesized from the commit's own data
+    * files at read time (the Delta optimization). */
+  object Cdf {
+    val Enabled = "graft.enableChangeDataFeed"
+  }
+
+  /** CDF change-type column name in [[readChangeFeed]] output. */
+  val ChangeTypeCol = "_change_type"
+
+  private def cdfEnabled(snap: Snapshot): Boolean =
+    snap.props.get(Cdf.Enabled).contains("true")
+
   /** logical → physical for columns whose names diverge. */
   private def colMapOf(props: Map[String, String]): Map[String, String] =
     props.collect { case (k, v) if k.startsWith(ColumnMapping.Prefix) && v.nonEmpty =>
@@ -458,10 +479,12 @@ object TxLog {
       removes: Seq[String], schemaDdl: Option[String],
       txn: Option[(String, Long)] = None,
       props: Option[Map[String, String]] = None,
-      protocol: Option[Long] = None): String = {
-    val base0: JObject = ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
+      protocol: Option[Long] = None,
+      cdf: Seq[AddFile] = Nil): String = {
+    val base1: JObject = ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
       ("schema" -> schemaDdl) ~ ("adds" -> adds.map(addJson)) ~
       ("removes" -> removes)
+    val base0 = if (cdf.isEmpty) base1 else base1 ~ ("cdf" -> cdf.map(addJson))
     // commit 0 records the protocol the table is written under; a
     // feature commit (column mapping) stamps the version it requires
     val base =
@@ -951,6 +974,9 @@ object TxLog {
     props.get(AutoOptimize.Enabled).filter(_.nonEmpty)
       .foreach(v => require(v == "true" || v == "false",
         s"${AutoOptimize.Enabled} must be 'true' or 'false', got '$v'"))
+    props.get(Cdf.Enabled).filter(_.nonEmpty)
+      .foreach(v => require(v == "true" || v == "false",
+        s"${Cdf.Enabled} must be 'true' or 'false', got '$v'"))
     numeric(AutoOptimize.MinSmallFiles, 2)
     numeric(AutoOptimize.SmallFileBytes, 1)
     numeric(AutoOptimize.TargetBytes, 1)
@@ -1469,14 +1495,28 @@ object TxLog {
         // predicate keeps the row on both sides of the rewrite
         touchedDf.where(not(coalesce(expr(condition), lit(false))))
     }
+    // change feed: persist the DELETED rows (the DML materializes them
+    // anyway — cost ∝ change volume, never table size)
+    val (cdfSub, cdfAdds) =
+      if (!cdfEnabled(snap)) (None, Nil)
+      else {
+        val removed = keys match {
+          case Some((k, kc)) => touchedDf.join(k, Seq(kc), "left_semi")
+          case None => touchedDf.where(coalesce(expr(condition), lit(false)))
+        }
+        val (sub, adds) = stage(spark, dir,
+          toPhysical(removed, snap).withColumn(ChangeTypeCol, lit("delete")))
+        (Some(sub), adds)
+      }
     val (remSub, remainderAdds0) = stage(spark, dir, toPhysical(keep, snap))
     val remainderAdds = remainderAdds0.map(_.copy(dataChange = false))
     val v = readVersion + 1
     val content = commitJson(v, "delete", System.currentTimeMillis(),
-      remainderAdds, touched.map(_.path), None)
+      remainderAdds, touched.map(_.path), None, None, None, None, cdfAdds)
     if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
     else {
       deleteStaged(dir, remSub)
+      cdfSub.foreach(deleteStaged(dir, _))
       throw new ConcurrentWriteException(
         s"delete from $dir conflicted: version $v was committed concurrently")
     }
@@ -1523,6 +1563,20 @@ object TxLog {
     }: _*)
     requireDeterministic(updated, "SET expression")
     var published = false
+    // change feed: pre- and post-image of every updated row, one staged
+    // change-file set (postimages re-read the staged update output below
+    // would be cheaper still, but the single-evaluation discipline keeps
+    // the pre/post pairing from one scan of the touched files)
+    val (cdfSub, cdfAdds) =
+      if (!cdfEnabled(snap)) (None, Nil)
+      else {
+        val pre = toPhysical(touchedDf.where(cond), snap)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val post = toPhysical(updated, snap)
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        val (sub, adds) = stage(spark, dir, pre.unionAll(post))
+        (Some(sub), adds)
+      }
     val (updSub, updatedAdds) = stage(spark, dir, toPhysical(updated, snap))
     try {
       // constraints validate on the staged re-read (single-evaluation
@@ -1541,7 +1595,8 @@ object TxLog {
       }
       val v = readVersion + 1
       val content = commitJson(v, "update", System.currentTimeMillis(),
-        remainderAdds ++ updatedAdds, touched.map(_.path), None)
+        remainderAdds ++ updatedAdds, touched.map(_.path), None, None, None,
+        None, cdfAdds)
       if (tryPublish(dir, v, content)) {
         published = true
         maybeCheckpoint(dir, v)
@@ -1552,7 +1607,10 @@ object TxLog {
           s"update of $dir conflicted: version $v was committed concurrently")
       }
     } catch { case e: Throwable =>
-      if (!published) deleteStaged(dir, updSub)
+      if (!published) {
+        deleteStaged(dir, updSub)
+        cdfSub.foreach(deleteStaged(dir, _))
+      }
       throw e
     }
   }
@@ -1628,10 +1686,18 @@ object TxLog {
     if (commits.isEmpty) return Nil
     val latest = commits.max
     val keepFrom = math.max(0L, latest - math.max(1, retainVersions) + 1)
+    // change files retire with their commit's version window: referenced
+    // so staging reclaim never touches them, kept only while the commit
+    // is within retention (the CDF retention trade — readChangeFeed past
+    // a vacuumed range fails on the missing files, like time travel)
+    val commitJsons = commits.map(v =>
+      v -> parse(Files.readString(versionFile(dir, v)))).toMap
     val kept = (keepFrom to latest)
-      .flatMap(v => snapshot(dir, Some(v)).files.map(_.path)).toSet
+      .flatMap(v => snapshot(dir, Some(v)).files.map(_.path)).toSet ++
+      commits.filter(_ >= keepFrom)
+        .flatMap(v => parseAdds(commitJsons(v) \ "cdf").map(_.path))
     val referenced = commits.flatMap { v =>
-      parseAdds(parse(Files.readString(versionFile(dir, v))) \ "adds").map(_.path)
+      (parseAdds(commitJsons(v) \ "adds") ++ parseAdds(commitJsons(v) \ "cdf")).map(_.path)
     }.toSet
     val expired = (referenced -- kept).toSeq.sorted
       .filter(rel => Files.deleteIfExists(Paths.get(dir, rel)))
@@ -1747,6 +1813,66 @@ object TxLog {
       .reduceOption(_.unionAll(_))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out))
+  }
+
+  /** The COMPLETE row-level change stream after `fromVersionExclusive`
+    * — the [[Cdf]] capability: each row tagged `_change_type`
+    * (insert / delete / update_preimage / update_postimage) and
+    * `_commit_version`. Inserts are synthesized from each commit's own
+    * dataChange files (zero write cost for appends); DELETE/UPDATE
+    * commits serve their persisted change files. A DELETE/UPDATE commit
+    * in the range WITHOUT change files (the table property was off when
+    * it ran) fails loudly — those changes are unrecoverable, and
+    * serving a feed that silently omits deletions is the failure mode
+    * this reader exists to prevent (Delta errors identically). MERGE
+    * commits surface as insert-class changes of their source rows (the
+    * [[readChanges]] rule); layout rewrites surface as nothing. */
+  def readChangeFeed(spark: SparkSession, dir: String,
+      fromVersionExclusive: Long,
+      toVersionInclusive: Option[Long] = None): DataFrame = {
+    val (commits, _) = listLog(dir)
+    if (commits.isEmpty)
+      throw new VersionNotFoundException(s"$dir has no committed versions")
+    val latest = snapshot(dir)
+    val out = latest.schema
+      .add(StructField(ChangeTypeCol, StringType, nullable = false))
+      .add(StructField("_commit_version", LongType, nullable = false))
+    val frames = commits.sorted
+      .filter(v => v > fromVersionExclusive && toVersionInclusive.forall(v <= _))
+      .flatMap { v =>
+      val j = parse(Files.readString(versionFile(dir, v)))
+      val op = jStr(j \ "op")
+      val cdf = parseAdds(j \ "cdf")
+      val adds = parseAdds(j \ "adds").filter(_.dataChange)
+      if (cdf.nonEmpty) {
+        // the change files are the commit's complete change set — do
+        // NOT also synthesize inserts from its adds (an update's
+        // postimage rows are dataChange adds too)
+        Some(scanCdf(spark, dir, latest, cdf).withColumn("_commit_version", lit(v)))
+      } else if (op == "delete" || op == "update") {
+        throw new IllegalStateException(
+          s"$dir version $v is a $op commit without change files — " +
+            s"enable ${Cdf.Enabled} before running DML to make its " +
+            "changes streamable; this range cannot serve a complete feed")
+      } else if (op == "optimize" || adds.isEmpty) None
+      else Some(scanFiles(spark, dir, latest, adds)
+        .withColumn(ChangeTypeCol, lit("insert"))
+        .withColumn("_commit_version", lit(v)))
+    }
+    frames.reduceOption(_.unionAll(_)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out))
+  }
+
+  /** Scan change files: PHYSICAL table schema + `_change_type`, renamed
+    * back to logical. */
+  private def scanCdf(spark: SparkSession, dir: String, snap: Snapshot,
+      files: Seq[AddFile]): DataFrame = {
+    val phys = physicalSchema(snap)
+      .add(StructField(ChangeTypeCol, StringType, nullable = false))
+    val base = spark.read.schema(phys)
+      .parquet(files.map(f => Paths.get(dir, f.path).toString): _*)
+    if (physicalSchema(snap) == snap.schema) base
+    else base.toDF((snap.schema.fieldNames.toSeq :+ ChangeTypeCol): _*)
   }
 
   /** Read the table at `versionAsOf` (default: latest). File list comes

@@ -46,9 +46,22 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
     parameters.getOrElse("path",
       throw new IllegalArgumentException("txlog source: set .option(\"path\", <table dir>)"))
 
+  private def cdfMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
-    val table = TxLog.snapshot(pathOf(parameters)).schema
+    val snap = TxLog.snapshot(pathOf(parameters))
+    // readChangeFeed=true streams the row-level CHANGE FEED instead of
+    // new rows: schema gains _change_type + _commit_version
+    val table =
+      if (cdfMode(parameters))
+        snap.schema
+          .add(org.apache.spark.sql.types.StructField(
+            TxLog.ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false))
+          .add(org.apache.spark.sql.types.StructField(
+            "_commit_version", org.apache.spark.sql.types.LongType, nullable = false))
+      else snap.schema
     // the source always scans under the LOG's schema; a user-supplied
     // schema that differs would silently misbind columns — reject it
     // upfront rather than deliver rows the plan mislabels
@@ -68,14 +81,16 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
     new TxLogSource(ctx.sparkSession, pathOf(parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
       parameters.get("startingVersion"),
-      parameters.get("startingTimestamp"))
+      parameters.get("startingTimestamp"),
+      readChangeFeed = cdfMode(parameters))
   }
 }
 
 class TxLogSource(spark: SparkSession, dir: String,
     maxVersionsPerTrigger: Option[Long] = None,
     startingVersion: Option[String] = None,
-    startingTimestamp: Option[String] = None)
+    startingTimestamp: Option[String] = None,
+    readChangeFeed: Boolean = false)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -89,7 +104,14 @@ class TxLogSource(spark: SparkSession, dir: String,
     * covers every file the guard below lets through). */
   private val pinnedSnap: TxLog.Snapshot = TxLog.snapshot(dir)
 
-  override val schema: StructType = pinnedSnap.schema
+  override val schema: StructType =
+    if (readChangeFeed)
+      pinnedSnap.schema
+        .add(org.apache.spark.sql.types.StructField(
+          TxLog.ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false))
+        .add(org.apache.spark.sql.types.StructField(
+          "_commit_version", org.apache.spark.sql.types.LongType, nullable = false))
+    else pinnedSnap.schema
 
   /** Exclusive lower bound for a FRESH checkpoint. Resolved ONCE at
     * source creation (so `latest` pins the stream-start version, not a
@@ -209,6 +231,15 @@ class TxLogSource(spark: SparkSession, dir: String,
           s"column(s) ${unrepresentable.map(_.name).mkString(", ")} the " +
           s"stream's pinned schema cannot represent; restart the " +
           "streaming query to adopt the new schema")
+    // change-feed mode: the batch IS the row-level feed of the range —
+    // deletions and update images included (a plain stream cannot carry
+    // them); the same loud-failure rule applies to DML commits that
+    // predate enabling the table property
+    if (readChangeFeed) {
+      val feed = TxLog.readChangeFeed(spark, dir, from, Some(to))
+      return org.apache.spark.sql.graft.GraftSqlShims.streamingDataFrame(
+        spark, feed.queryExecution.toRdd, schema)
+    }
     // (recovery needs no bootstrap here: the engine passes the
     // checkpointed start offset into latestOffset, so the limiter
     // always advances from the committed position)

@@ -180,6 +180,21 @@ class TxColumnMappingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSet === Set((0L, 0), (1L, 10), (2L, 20), (10L, 100), (11L, 110)))
   }
 
+  test("identity-mapped tables take the exact pre-mapping plan (no extra Project)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val plain = tmp()
+    TxLog.append(spark, plain, df(0 until 5))
+    assert(!TxLog.read(spark, plain).queryExecution.analyzed
+      .exists(_.isInstanceOf[Project]),
+      "an unmapped table's read must be the bare scan relation")
+    val mapped = tmp()
+    TxLog.append(spark, mapped, df(0 until 5))
+    TxLog.renameColumn(mapped, "score", "points")
+    assert(TxLog.read(spark, mapped).queryExecution.analyzed
+      .exists(_.isInstanceOf[Project]),
+      "a mapped table's read renames through a projection")
+  }
+
   test("rename validations: missing/colliding names, word-like targets") {
     val dir = tmp()
     TxLog.append(spark, dir, df(0 until 3))

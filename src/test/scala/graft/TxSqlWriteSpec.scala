@@ -110,6 +110,22 @@ class TxSqlWriteSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[AnalysisException](spark.sql(s"SELECT * FROM $cat.u").collect())
   }
 
+  test("DELETE FROM commits through the log; time travel keeps the rows") {
+    val (cat, root) = freshCatalog()
+    TxLog.append(spark, s"$root/t", df(0 until 10))
+    spark.sql(s"DELETE FROM $cat.t WHERE id >= 7 OR s = 'v2'")
+    assert(spark.sql(s"SELECT id FROM $cat.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(0L, 1L, 3L, 4L, 5L, 6L))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t VERSION AS OF 0")
+      .head().getLong(0) === 10L)
+    // IN-list + NULL-test predicates translate too
+    spark.sql(s"DELETE FROM $cat.t WHERE id IN (0, 4) AND s IS NOT NULL")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 4L)
+    // unconditional delete empties the table but keeps it
+    spark.sql(s"DELETE FROM $cat.t")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 0L)
+  }
+
   test("concurrent CREATE: exactly one wins") {
     val (cat, root) = freshCatalog()
     import org.apache.spark.sql.types._
