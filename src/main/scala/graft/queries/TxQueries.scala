@@ -693,6 +693,49 @@ object TxQueries {
                                         THEN s_acctbal + 50.0
                                         ELSE s_acctbal END AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
               FROM supplier WHERE NOT (s_suppkey % 9 = 2)
-              GROUP BY s_nationkey ORDER BY s_nationkey"""))
+              GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // ---- deletion vectors: merge-on-read DML -----------------------------
+    // The full DV lifecycle on one table: predicate DELETE and key
+    // erasure write POSITION LISTS (no data file is rewritten — the
+    // 100 TB GDPR cost model), an UPDATE kills old images via vector
+    // and appends new rows, and REORG-PURGE rewrites the DV files clean.
+    // The aggregate runs over the POST-PURGE table, so a vector that
+    // missed a row, resurrected one through the rewrite, or double-
+    // applied through the merged descriptor all break the hash; the
+    // v0 time-travel count pins the pre-DML state alongside.
+    QuerySpec("q162_txlog_dv", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q162").toString + "/t"
+      val docs = Td.load(s, dir, "documents")
+        .select("doc_id", "lang", "text")
+      TxLog.append(s, root, docs.repartition(6))
+      TxLog.setProperties(root, Map(TxLog.DeletionVectors.Enabled -> "true"))
+      TxLog.delete(s, root, "lang = 'en' AND doc_id % 5 = 2")
+      val erase = Td.load(s, dir, "documents")
+        .where("doc_id % 11 = 7").select("doc_id")
+      TxLog.deleteKeys(s, root, erase, "doc_id")
+      TxLog.update(s, root, "doc_id % 17 = 3",
+        Map("lang" -> "concat(lang, '2')"))
+      TxLog.purgeDeletes(s, root)
+      val live = TxLog.read(s, root)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+      val v0 = TxLog.read(s, root, versionAsOf = Some(0L))
+        .agg(count(lit(1)).cast("long").as("v0_docs"))
+      live.crossJoin(v0).orderBy("lang")
+    },
+      Some("""WITH survivors AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 17 = 3 THEN lang || '2' ELSE lang END AS lang,
+                       text
+                FROM documents
+                WHERE NOT (lang = 'en' AND doc_id % 5 = 2)
+                  AND NOT (doc_id % 11 = 7)),
+              v0 AS (SELECT CAST(count(*) AS BIGINT) AS v0_docs FROM documents)
+              SELECT lang, count(*) AS n_docs,
+                     CAST(sum(length(text)) AS BIGINT) AS n_chars, v0.v0_docs
+              FROM survivors CROSS JOIN v0
+              GROUP BY lang, v0.v0_docs ORDER BY lang"""))
   )
 }

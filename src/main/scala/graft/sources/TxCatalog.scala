@@ -130,7 +130,15 @@ class TxCatalog extends TableCatalog {
         TxLog.delete(SparkSession.active, dir, cond): Unit
       }
       override def newScanBuilder(options: CaseInsensitiveStringMap) =
-        if (l2p.isEmpty) scan.newScanBuilder(options)
+        // a DV-bearing snapshot cannot be served by the plain parquet
+        // scan (it would resurrect deleted rows): fall back to the v1
+        // relation over TxLog.read — the merge-on-read anti-join plan.
+        // Pushdown/vectorization are traded for correctness on the
+        // DV-bearing scan, same precedent as the mapped-table shim;
+        // OPTIMIZE / purgeDeletes restores the fast path.
+        if (snap.files.exists(_.dv.nonEmpty))
+          new DvFallbackScanBuilder(dir, snap.version, snap.schema)
+        else if (l2p.isEmpty) scan.newScanBuilder(options)
         else new RenamingScanBuilder(scan.newScanBuilder(options), l2p, p2l)
       override def properties(): util.Map[String, String] =
         snap.props.filter(_._2.nonEmpty).asJava
@@ -296,6 +304,31 @@ object TxCatalog {
       case _ => None
     }
   }
+}
+
+/** Scan for snapshots carrying DELETION VECTORS: delegates to
+  * [[TxLog.read]]'s merge-on-read plan (DV-free files vectorized, DV
+  * files anti-joined against their position lists) through the v1 scan
+  * bridge — the one read shape the pinned-file parquet table cannot
+  * express. Pinned to the snapshot's version, so concurrent commits
+  * and time travel behave identically to the fast path. */
+private class DvFallbackScanBuilder(dir: String, version: Long,
+    logicalSchema: StructType)
+  extends org.apache.spark.sql.connector.read.ScanBuilder {
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = logicalSchema
+      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](
+          context: org.apache.spark.sql.SQLContext): T =
+        (new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = logicalSchema
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            TxLog.read(context.sparkSession, dir, Some(version)).rdd
+        }).asInstanceOf[T]
+    }
 }
 
 /** Scan shim for COLUMN-MAPPED tables: the plan speaks LOGICAL names,

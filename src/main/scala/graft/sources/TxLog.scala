@@ -114,14 +114,28 @@ object TxLog {
     * numeric vs lexical comparison. */
   final case class ColStats(typ: String, min: Option[String], max: Option[String], nulls: Long)
 
+  /** Deletion-vector descriptor (Delta's DV sidecar, re-derived): `path`
+    * is the relative directory holding the file's dead-row positions as
+    * parquet `(__dv_path, __dv_idx)` pairs, `dead` how many of this
+    * file's physical rows it kills. A file's descriptor always points at
+    * its COMPLETE dead set (a later delete merges the prior positions
+    * into its new directory), so readers consult exactly one descriptor
+    * per file. */
+  final case class Dv(path: String, dead: Long)
+
   /** One immutable data file in the live set. `path` is relative to the
     * table root (the table is relocatable, as in Delta/Iceberg).
     * `dataChange` is Delta's flag: false marks a REWRITE of rows an
     * earlier version already delivered (OPTIMIZE outputs, merge/
     * replaceWhere remainders, restore re-adds) — [[readChanges]] skips
-    * those; true marks genuinely new rows. */
+    * those; true marks genuinely new rows. `rows` counts LIVE rows:
+    * a deletion vector ([[Dv]]) subtracts its dead rows here, so
+    * snapshot row counts and whole-file-dead detection stay one field
+    * read; the physical count is `rows + dv.dead`. Column stats stay
+    * physical — a superset bound, so pruning remains sound. */
   final case class AddFile(path: String, rows: Long, bytes: Long,
-      stats: Map[String, ColStats], dataChange: Boolean = true)
+      stats: Map[String, ColStats], dataChange: Boolean = true,
+      dv: Option[Dv] = None)
 
   /** The reconstructed live state of the table at `version`. `txns` maps
     * each streaming writer's app id to the highest batch id it has
@@ -164,6 +178,29 @@ object TxLog {
     val Dropped = "graft.colmap.dropped" // comma-separated physical names
   }
 
+  /** Deletion-vector property (Delta's `delta.enableDeletionVectors`):
+    * when a table carries `graft.enableDeletionVectors=true`, [[delete]]/
+    * [[deleteKeys]]/[[update]] switch from copy-on-write (rewrite every
+    * touched file) to MERGE-ON-READ: the commit stages only the dead
+    * rows' `(file, row_index)` positions under a `dv-*` directory and
+    * re-adds each touched file with a [[Dv]] descriptor — cost ∝ rows
+    * deleted, never files touched. At 100 TB this is the difference
+    * between rewriting a 1 GB file to erase one user and writing a
+    * few-KB position list. Readers anti-join DV-bearing files against
+    * their position lists on `(_metadata.file_path, _metadata.row_index)`
+    * — DV-free files keep their exact pre-DV scan plan. A file whose
+    * live rows all die is removed by metadata alone. [[optimize]] /
+    * [[compactSmall]] / [[purgeDeletes]] rewrite DV files clean (Delta's
+    * REORG … APPLY (PURGE)); [[vacuum]] retires superseded DV
+    * directories with the commit retention window. First DV commit
+    * stamps protocol 3 — a pre-DV reader would serve deleted rows back. */
+  object DeletionVectors {
+    val Enabled = "graft.enableDeletionVectors"
+  }
+
+  private def dvEnabled(snap: Snapshot): Boolean =
+    snap.props.get(DeletionVectors.Enabled).contains("true")
+
   /** Change-data-feed property (Delta's `delta.enableChangeDataFeed`):
     * when a table carries `graft.enableChangeDataFeed=true`, DELETE and
     * UPDATE commits additionally persist the CHANGED ROWS as change
@@ -203,14 +240,87 @@ object TxLog {
       f.copy(name = m.getOrElse(f.name, f.name))))
   }
 
+  /** DV position-list schema: `__dv_path` is the data file's RELATIVE
+    * path (the two-component `d-xxxx/part-N.parquet` form every AddFile
+    * stores), `__dv_idx` its dead row's physical position. */
+  private val DvSchema = StructType(Seq(
+    StructField("__dv_path", StringType, nullable = false),
+    StructField("__dv_idx", LongType, nullable = false)))
+
+  private def dvFrame(spark: SparkSession, dir: String, dvDirs: Seq[String]): DataFrame =
+    spark.read.schema(DvSchema)
+      .parquet(dvDirs.map(s => Paths.get(dir, s).toString): _*)
+
+  private def stageDv(spark: SparkSession, dir: String, dv: DataFrame): String = {
+    val sub = s"dv-${UUID.randomUUID().toString.take(8)}"
+    dv.write.parquet(Paths.get(dir, sub).toString)
+    sub
+  }
+
+  /** `_metadata.file_path` reduced to the AddFile-relative form — every
+    * staged path is exactly two components (`d-xxxx/part-*.parquet`). */
+  private def relPathCol: Column =
+    expr("substring_index(_metadata.file_path, '/', -2)")
+
   /** Scan `files` under PHYSICAL names, rename to the LOGICAL schema;
     * `tagPath` optionally appends `_metadata.file_path` (captured BEFORE
     * the rename — metadata columns do not survive a projection) under
     * the given name. Identity-mapped tables take the exact pre-mapping
-    * plan (no extra Project node). */
+    * plan (no extra Project node).
+    *
+    * Files carrying a deletion vector are scanned separately and
+    * anti-joined on `(relative path, _metadata.row_index)` against their
+    * position lists — DV volume is small by contract ([[purgeDeletes]] /
+    * OPTIMIZE bound it), so AQE turns the anti-join's build side into a
+    * broadcast at runtime; when a pathological DV is huge the plan
+    * degrades to a correct shuffled anti-join, never a wrong answer.
+    * DV-free files keep the exact pre-DV plan. */
   private def scanFiles(spark: SparkSession, dir: String, snap: Snapshot,
-      files: Seq[AddFile], tagPath: Option[String] = None): DataFrame =
-    scanPaths(spark, snap, files.map(f => Paths.get(dir, f.path).toString), tagPath)
+      files: Seq[AddFile], tagPath: Option[String] = None): DataFrame = {
+    val (dvFiles, clean) = files.partition(_.dv.nonEmpty)
+    if (dvFiles.isEmpty)
+      return scanPaths(spark, snap, files.map(f => Paths.get(dir, f.path).toString), tagPath)
+    val phys = physicalSchema(snap)
+    val base = spark.read.schema(phys)
+      .parquet(dvFiles.map(f => Paths.get(dir, f.path).toString): _*)
+      .withColumn("__dv_p", relPathCol)
+      .withColumn("__dv_i", col("_metadata.row_index").cast(LongType))
+    val tagged = tagPath.fold(base)(n => base.withColumn(n, col("_metadata.file_path")))
+    val dv = dvFrame(spark, dir, dvFiles.flatMap(_.dv.map(_.path)).distinct)
+    val filtered = tagged.join(dv,
+        tagged("__dv_p") === dv("__dv_path") && tagged("__dv_i") === dv("__dv_idx"),
+        "left_anti")
+      .drop("__dv_p", "__dv_i")
+    val dvScan =
+      if (phys == snap.schema) filtered
+      else filtered.toDF((snap.schema.fieldNames.toSeq ++ tagPath.toSeq): _*)
+    if (clean.isEmpty) dvScan
+    else scanPaths(spark, snap,
+      clean.map(f => Paths.get(dir, f.path).toString), tagPath).unionAll(dvScan)
+  }
+
+  /** Merge-on-read DML scan: every LIVE row (existing DVs applied) with
+    * its file's relative path (`__p`) and physical row position (`__i`)
+    * — the coordinates a new deletion vector is written in. */
+  private def scanLiveWithPos(spark: SparkSession, dir: String,
+      snap: Snapshot): DataFrame = {
+    val phys = physicalSchema(snap)
+    val base = spark.read.schema(phys)
+      .parquet(snap.files.map(f => Paths.get(dir, f.path).toString): _*)
+      .withColumn("__p", relPathCol)
+      .withColumn("__i", col("_metadata.row_index").cast(LongType))
+    val dvDirs = snap.files.flatMap(_.dv.map(_.path)).distinct
+    val filtered =
+      if (dvDirs.isEmpty) base
+      else {
+        val dv = dvFrame(spark, dir, dvDirs)
+        base.join(dv,
+          base("__p") === dv("__dv_path") && base("__i") === dv("__dv_idx"),
+          "left_anti")
+      }
+    if (phys == snap.schema) filtered
+    else filtered.toDF(snap.schema.fieldNames.toSeq ++ Seq("__p", "__i"): _*)
+  }
 
   /** [[scanFiles]] over absolute paths — the streaming source's entry
     * (its file lists come from [[changedFilesBetween]], not AddFiles). */
@@ -245,8 +355,13 @@ object TxLog {
     * Protocol 2 = column mapping ([[ColumnMapping]]): stamped only by
     * the first rename/drop commit, so plain tables stay readable by
     * protocol-1 readers ([[baseProtocolVersion]] is what commit 0
-    * records) — the minimal-required stamping Delta uses. */
-  val protocolVersion = 2L
+    * records) — the minimal-required stamping Delta uses.
+    *
+    * Protocol 3 = deletion vectors ([[DeletionVectors]]): stamped only
+    * by the first merge-on-read DML commit — a protocol-≤2 reader would
+    * scan a DV-bearing file whole and serve DELETED ROWS back, exactly
+    * the misread this field exists to refuse. */
+  val protocolVersion = 3L
 
   /** What a NEW table's commit 0 records: the lowest protocol whose
     * features the table actually uses. */
@@ -327,9 +442,12 @@ object TxLog {
         ("nulls" -> cs.nulls): JValue)
     })
 
-  private def addJson(a: AddFile): JValue =
-    ("path" -> a.path) ~ ("rows" -> a.rows) ~ ("bytes" -> a.bytes) ~
+  private def addJson(a: AddFile): JValue = {
+    val base = ("path" -> a.path) ~ ("rows" -> a.rows) ~ ("bytes" -> a.bytes) ~
       ("dc" -> a.dataChange) ~ ("stats" -> statsJson(a.stats))
+    a.dv.fold(base: JValue)(d =>
+      base ~ ("dv" -> (("path" -> d.path) ~ ("dead" -> d.dead))))
+  }
 
   private def jLong(j: JValue): Long = j match {
     case JInt(i) => i.toLong
@@ -354,7 +472,11 @@ object TxLog {
       case _ => Map.empty[String, ColStats]
     }
     val dc = (j \ "dc") match { case JBool(b) => b; case _ => true }
-    AddFile(jStr(j \ "path"), jLong(j \ "rows"), jLong(j \ "bytes"), stats, dc)
+    val dv = (j \ "dv") match {
+      case JObject(_) => Some(Dv(jStr(j \ "dv" \ "path"), jLong(j \ "dv" \ "dead")))
+      case _ => None
+    }
+    AddFile(jStr(j \ "path"), jLong(j \ "rows"), jLong(j \ "bytes"), stats, dc, dv)
   }
 
   private def parseAdds(j: JValue): Seq[AddFile] = j match {
@@ -930,28 +1052,70 @@ object TxLog {
     // original shape — left a window where a CONCURRENT compaction
     // committed between check and claim: both compactions then landed,
     // the second re-adding rows the first's output already carried.)
-    var cur = snap
+    commitRewrite(dir, sub, adds, snap, "optimize")
+    (removes.size, adds.size)
+  }
+
+  /** Shared rebase loop for layout-only rewrites (optimize /
+    * compactSmall / purgeDeletes): check-then-claim against ONE snapshot
+    * per iteration — check input liveness against snapshot S, claim
+    * EXACTLY S.version+1. Input IDENTITY includes the deletion-vector
+    * pointer: a concurrent merge-on-read DML re-adds an input path with
+    * a new DV, and committing the stale rewrite (staged from the old
+    * live set) would RESURRECT its deleted rows — same path, different
+    * contents, so path-liveness alone cannot catch it. */
+  private[graft] def commitRewrite(dir: String, sub: String, adds: Seq[AddFile],
+      inputSnap: Snapshot, op: String,
+      consumed: Option[Seq[AddFile]] = None): Unit = {
+    val inputs = consumed.getOrElse(inputSnap.files)
+    val removes = inputs.map(_.path)
+    val inputDv: Map[String, Option[Dv]] = inputs.map(f => f.path -> f.dv).toMap
+    var cur = inputSnap
     var tries = 0
     while (tries < maxCommitAttempts) {
-      val liveNow = cur.files.map(_.path).toSet
-      if (!removes.forall(liveNow.contains)) {
+      val liveNow: Map[String, Option[Dv]] = cur.files.map(f => f.path -> f.dv).toMap
+      if (!inputDv.forall { case (p, d) => liveNow.get(p).contains(d) }) {
         deleteStaged(dir, sub)
         throw new ConcurrentWriteException(
-          s"optimize of $dir conflicted: an input file was removed concurrently")
+          s"$op of $dir conflicted: an input file was removed or " +
+            "DML'd concurrently")
       }
       val attempt = cur.version + 1
-      val content = commitJson(attempt, "optimize", System.currentTimeMillis(),
+      val content = commitJson(attempt, op, System.currentTimeMillis(),
         adds, removes, None)
       if (tryPublish(dir, attempt, content)) {
         maybeCheckpoint(dir, attempt)
-        return (removes.size, adds.size)
+        return
       }
       tries += 1
       cur = snapshot(dir)
     }
     deleteStaged(dir, sub)
     throw new ConcurrentWriteException(
-      s"optimize of $dir lost $maxCommitAttempts consecutive commit races")
+      s"$op of $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
+  /** REORG TABLE … APPLY (PURGE): rewrite ONLY the files carrying
+    * deletion vectors into clean files (dead rows physically dropped,
+    * descriptors gone), leaving every DV-free file untouched. The
+    * maintenance step that keeps the merge-on-read anti-join's build
+    * side small and lets [[vacuum]] reclaim retired DV directories.
+    * Layout-only (dataChange=false); same conflict semantics as
+    * [[optimize]]. Returns (dvFilesBefore, cleanFilesAfter), or None
+    * when no file carries a DV. */
+  def purgeDeletes(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Option[(Int, Int)] = {
+    val snap = snapshot(dir)
+    val dvFiles = snap.files.filter(_.dv.nonEmpty)
+    if (dvFiles.isEmpty) return None
+    val liveBytes = dvFiles.map(_.bytes).sum // physical bytes: upper bound
+    val nOut = math.max(1, math.min(
+      math.ceil(liveBytes.toDouble / targetBytes).toLong, dvFiles.size.toLong).toInt)
+    val src = scanFiles(spark, dir, snap, dvFiles)
+    val (sub, adds0) = stage(spark, dir, toPhysical(src.coalesce(nOut), snap))
+    val adds = adds0.map(_.copy(dataChange = false))
+    commitRewrite(dir, sub, adds, snap, "purge", Some(dvFiles))
+    Some((dvFiles.size, adds.size))
   }
 
   /** Set (merge) table properties as a commit — Delta's `ALTER TABLE SET
@@ -1052,32 +1216,11 @@ object TxLog {
     val src = scanFiles(spark, dir, snap, small)
     val (sub, adds0) = stage(spark, dir, toPhysical(src.coalesce(nOut), snap))
     val adds = adds0.map(_.copy(dataChange = false))
-    val removes = small.map(_.path)
     // check-then-claim against ONE snapshot per iteration — the
-    // [[optimize]] rebase invariant; see the comment there for the
-    // double-compaction duplication this prevents
-    var cur = snap
-    var tries = 0
-    while (tries < maxCommitAttempts) {
-      val liveNow = cur.files.map(_.path).toSet
-      if (!removes.forall(liveNow.contains)) {
-        deleteStaged(dir, sub)
-        throw new ConcurrentWriteException(
-          s"compactSmall of $dir conflicted: an input file was removed concurrently")
-      }
-      val attempt = cur.version + 1
-      val content = commitJson(attempt, "autoOptimize", System.currentTimeMillis(),
-        adds, removes, None)
-      if (tryPublish(dir, attempt, content)) {
-        maybeCheckpoint(dir, attempt)
-        return Some((removes.size, adds.size))
-      }
-      tries += 1
-      cur = snapshot(dir)
-    }
-    deleteStaged(dir, sub)
-    throw new ConcurrentWriteException(
-      s"compactSmall of $dir lost $maxCommitAttempts consecutive commit races")
+    // [[commitRewrite]] rebase invariant; see the comment there for the
+    // double-compaction duplication (and DV resurrection) this prevents
+    commitRewrite(dir, sub, adds, snap, "autoOptimize", Some(small))
+    Some((small.size, adds.size))
   }
 
   /** Post-commit auto-compaction trigger, run after every append-class
@@ -1476,6 +1619,7 @@ object TxLog {
       throw new VersionNotFoundException(s"$dir has no committed versions")
     val snap = snapshot(dir, Some(readVersion))
     if (snap.files.isEmpty) return readVersion
+    if (dvEnabled(snap)) return deleteWhereDv(spark, dir, snap, condition, keys)
     val tagged = scanFiles(spark, dir, snap, snap.files, tagPath = Some("__p"))
     val matchedFiles = keys match {
       case Some((k, kc)) => tagged.join(k, Seq(kc), "left_semi")
@@ -1522,6 +1666,75 @@ object TxLog {
     }
   }
 
+  /** Merge-on-read DELETE ([[DeletionVectors]] enabled): writes dead-row
+    * POSITIONS instead of rewriting files. One distributed pass finds
+    * the matching live rows' `(file, row_index)` coordinates; the only
+    * data written is the position list (∝ rows deleted) plus, with CDF
+    * on, the deleted rows themselves. Touched files are re-added with
+    * updated [[Dv]] descriptors (dataChange=false — their surviving rows
+    * were already delivered); a file whose live rows ALL match is
+    * removed by metadata alone, no bytes written or read beyond the
+    * match scan. A prior DV's positions are folded into the new
+    * directory so each file keeps ONE complete descriptor. Stamps
+    * protocol 3. Same determinism / no-op / conflict semantics as the
+    * copy-on-write path. */
+  private def deleteWhereDv(spark: SparkSession, dir: String, snap: Snapshot,
+      condition: String, keys: Option[(DataFrame, String)]): Long = {
+    val readVersion = snap.version
+    val live = scanLiveWithPos(spark, dir, snap)
+    val matched = keys match {
+      case Some((k, kc)) => live.join(k, Seq(kc), "left_semi")
+      case None => live.where(coalesce(expr(condition), lit(false)))
+    }
+    requireDeterministic(matched, "predicate")
+    // bounded collect: one row per touched FILE
+    val deadCounts: Map[String, Long] = matched.groupBy(col("__p"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (deadCounts.isEmpty) return readVersion
+    val touched = snap.files.filter(f => deadCounts.contains(f.path))
+    val (fullDead, partial) = touched.partition(f => deadCounts(f.path) == f.rows)
+
+    val (cdfSub, cdfAdds) =
+      if (!cdfEnabled(snap)) (None, Nil)
+      else {
+        val (sub, adds) = stage(spark, dir,
+          toPhysical(matched.drop("__p", "__i"), snap)
+            .withColumn(ChangeTypeCol, lit("delete")))
+        (Some(sub), adds)
+      }
+    val (dvSub, partialAdds) =
+      if (partial.isEmpty) (None, Nil)
+      else {
+        val partialPaths = partial.map(_.path)
+        val newDead = matched
+          .select(col("__p").as("__dv_path"), col("__i").as("__dv_idx"))
+          .where(col("__dv_path").isin(partialPaths: _*))
+        val oldDirs = partial.flatMap(_.dv.map(_.path)).distinct
+        val allDead =
+          if (oldDirs.isEmpty) newDead
+          else newDead.unionAll(dvFrame(spark, dir, oldDirs)
+            .where(col("__dv_path").isin(partialPaths: _*)))
+        val sub = stageDv(spark, dir, allDead)
+        val adds = partial.map { f =>
+          val newlyDead = deadCounts(f.path)
+          f.copy(rows = f.rows - newlyDead, dataChange = false,
+            dv = Some(Dv(sub, f.dv.map(_.dead).getOrElse(0L) + newlyDead)))
+        }
+        (Some(sub), adds)
+      }
+    val v = readVersion + 1
+    val content = commitJson(v, "delete", System.currentTimeMillis(),
+      partialAdds, fullDead.map(_.path), None, None, None, Some(3L), cdfAdds)
+    if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
+    else {
+      dvSub.foreach(deleteStaged(dir, _))
+      cdfSub.foreach(deleteStaged(dir, _))
+      throw new ConcurrentWriteException(
+        s"delete from $dir conflicted: version $v was committed concurrently")
+    }
+  }
+
   /** UPDATE … SET col = expr WHERE `condition` — row-level update at
     * file-granular copy-on-write. Touch discovery and rewrite follow
     * [[delete]]; each touched file is rewritten as its non-matching
@@ -1545,6 +1758,7 @@ object TxLog {
     set.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"update: SET column $c not in table schema"))
     if (snap.files.isEmpty) return readVersion
+    if (dvEnabled(snap)) return updateDv(spark, dir, snap, condition, set)
     val matching = scanFiles(spark, dir, snap, snap.files, tagPath = Some("__p"))
       .where(condition)
     requireDeterministic(matching, "predicate")
@@ -1615,6 +1829,96 @@ object TxLog {
     }
   }
 
+  /** Merge-on-read UPDATE ([[DeletionVectors]] enabled): the matched
+    * rows' old images die via a deletion vector (positions only, no
+    * touched-file rewrite) and their updated images land as NEW files
+    * with dataChange=true — a [[TxLogSource]] stream still delivers
+    * exactly the updated rows. Data written ∝ rows updated, never files
+    * touched: the copy-on-write path's unchanged-remainder rewrite (the
+    * dominant cost on a wide file with one matching row) disappears.
+    * SET/constraint/CDF semantics are identical to the copy-on-write
+    * [[update]]. Stamps protocol 3. */
+  private def updateDv(spark: SparkSession, dir: String, snap: Snapshot,
+      condition: String, set: Map[String, String]): Long = {
+    val readVersion = snap.version
+    val live = scanLiveWithPos(spark, dir, snap)
+    val matched = live.where(coalesce(expr(condition), lit(false)))
+    requireDeterministic(matched, "predicate")
+    val deadCounts: Map[String, Long] = matched.groupBy(col("__p"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (deadCounts.isEmpty) return readVersion
+    val touched = snap.files.filter(f => deadCounts.contains(f.path))
+    val (fullDead, partial) = touched.partition(f => deadCounts(f.path) == f.rows)
+
+    val matchedRows = matched.drop("__p", "__i")
+    val updated = matchedRows.select(snap.schema.fields.toSeq.map { f =>
+      set.get(f.name)
+        .map(e => expr(e).cast(f.dataType).as(f.name))
+        .getOrElse(col(f.name))
+    }: _*)
+    requireDeterministic(updated, "SET expression")
+    var published = false
+    val (cdfSub, cdfAdds) =
+      if (!cdfEnabled(snap)) (None, Nil)
+      else {
+        val pre = toPhysical(matchedRows, snap)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val post = toPhysical(updated, snap)
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        val (sub, adds) = stage(spark, dir, pre.unionAll(post))
+        (Some(sub), adds)
+      }
+    val (updSub, updatedAdds) = stage(spark, dir, toPhysical(updated, snap))
+    var dvSub: Option[String] = None
+    try {
+      // constraints validate on the staged re-read (single evaluation)
+      val stagedUpd0 = spark.read.schema(physicalSchema(snap))
+        .parquet(Paths.get(dir, updSub).toString)
+      val stagedUpd =
+        if (physicalSchema(snap) == snap.schema) stagedUpd0
+        else stagedUpd0.toDF(snap.schema.fieldNames.toSeq: _*)
+      requireConstraints(Some(snap), stagedUpd)
+      val partialAdds =
+        if (partial.isEmpty) Nil
+        else {
+          val partialPaths = partial.map(_.path)
+          val newDead = matched
+            .select(col("__p").as("__dv_path"), col("__i").as("__dv_idx"))
+            .where(col("__dv_path").isin(partialPaths: _*))
+          val oldDirs = partial.flatMap(_.dv.map(_.path)).distinct
+          val allDead =
+            if (oldDirs.isEmpty) newDead
+            else newDead.unionAll(dvFrame(spark, dir, oldDirs)
+              .where(col("__dv_path").isin(partialPaths: _*)))
+          val sub = stageDv(spark, dir, allDead)
+          dvSub = Some(sub)
+          partial.map { f =>
+            val newlyDead = deadCounts(f.path)
+            f.copy(rows = f.rows - newlyDead, dataChange = false,
+              dv = Some(Dv(sub, f.dv.map(_.dead).getOrElse(0L) + newlyDead)))
+          }
+        }
+      val v = readVersion + 1
+      val content = commitJson(v, "update", System.currentTimeMillis(),
+        partialAdds ++ updatedAdds, fullDead.map(_.path), None, None, None,
+        Some(3L), cdfAdds)
+      if (tryPublish(dir, v, content)) {
+        published = true
+        maybeCheckpoint(dir, v)
+        v
+      } else throw new ConcurrentWriteException(
+        s"update of $dir conflicted: version $v was committed concurrently")
+    } catch { case e: Throwable =>
+      if (!published) {
+        deleteStaged(dir, updSub)
+        dvSub.foreach(deleteStaged(dir, _))
+        cdfSub.foreach(deleteStaged(dir, _))
+      }
+      throw e
+    }
+  }
+
   /** DML predicates/expressions must be deterministic: they are
     * evaluated more than once (touch discovery, then rewrite), and a
     * rand()-style predicate would delete one row set and keep another.
@@ -1644,9 +1948,17 @@ object TxLog {
     target.files.foreach { f =>
       require(Files.exists(Paths.get(dir, f.path)),
         s"restore: ${f.path} of version $version was vacuumed; cannot restore")
+      f.dv.foreach(d => require(Files.isDirectory(Paths.get(dir, d.path)),
+        s"restore: deletion vector ${d.path} of version $version was " +
+          "vacuumed; cannot restore"))
     }
     val current = snapshot(dir, Some(readVersion))
-    val adds = target.files.filterNot(f => current.files.exists(_.path == f.path))
+    // re-add when the path is absent OR its deletion-vector state
+    // differs — restoring past a DV delete must revive the dead rows
+    // (and restoring onto a DV version must re-pin its descriptor);
+    // a same-path entry differs only ever by its DV.
+    val curByPath = current.files.map(f => f.path -> f).toMap
+    val adds = target.files.filter(f => curByPath.get(f.path).forall(_.dv != f.dv))
       .map(_.copy(dataChange = false))
     val removes = current.files.map(_.path).filterNot(target.files.map(_.path).contains)
     val schemaDdl =
@@ -1692,15 +2004,29 @@ object TxLog {
     // a vacuumed range fails on the missing files, like time travel)
     val commitJsons = commits.map(v =>
       v -> parse(Files.readString(versionFile(dir, v)))).toMap
-    val kept = (keepFrom to latest)
-      .flatMap(v => snapshot(dir, Some(v)).files.map(_.path)).toSet ++
+    val retainedSnaps = (keepFrom to latest).map(v => snapshot(dir, Some(v)))
+    val kept = retainedSnaps.flatMap(_.files.map(_.path)).toSet ++
       commits.filter(_ >= keepFrom)
         .flatMap(v => parseAdds(commitJsons(v) \ "cdf").map(_.path))
     val referenced = commits.flatMap { v =>
       (parseAdds(commitJsons(v) \ "adds") ++ parseAdds(commitJsons(v) \ "cdf")).map(_.path)
     }.toSet
+    // deletion-vector directories retire like data files: kept while any
+    // retained snapshot's descriptor points at them (a superseded DV —
+    // its file re-DML'd, rewritten, or removed — ages out of the window
+    // and is reclaimed whole)
+    val keptDvDirs = retainedSnaps.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet
+    val referencedDvDirs = commits.flatMap(v =>
+      parseAdds(commitJsons(v) \ "adds").flatMap(_.dv.map(_.path))).toSet
+    val expiredDv = (referencedDvDirs -- keptDvDirs).toSeq.sorted
+      .filter(sub => Files.isDirectory(Paths.get(dir, sub)))
+      .flatMap { sub =>
+        val inDir = listStaged(dir, sub).map(n => s"$sub/$n")
+        deleteStaged(dir, sub)
+        inDir
+      }
     val expired = (referenced -- kept).toSeq.sorted
-      .filter(rel => Files.deleteIfExists(Paths.get(dir, rel)))
+      .filter(rel => Files.deleteIfExists(Paths.get(dir, rel))) ++ expiredDv
 
     // Dead staging: parquet under d-*/ that NO commit ever referenced,
     // older than the staleness window (an in-flight writer's fresh
@@ -1711,14 +2037,18 @@ object TxLog {
       val ds = Files.list(root)
       try {
         ds.iterator().asScala
-          .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d-"))
+          .filter(p => Files.isDirectory(p) && {
+            val n = p.getFileName.toString
+            n.startsWith("d-") || n.startsWith("dv-")
+          })
           .flatMap { d =>
             val fs = Files.list(d)
             try fs.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList.iterator
             finally fs.close()
           }
           .map(p => root.relativize(p).toString)
-          .filterNot(referenced.contains)
+          .filterNot(rel => referenced.contains(rel) ||
+            referencedDvDirs.exists(dvd => rel.startsWith(dvd + "/")))
           .filter(rel => Files.getLastModifiedTime(Paths.get(dir, rel)).toMillis < cutoff)
           .toList.sorted
       } finally ds.close()

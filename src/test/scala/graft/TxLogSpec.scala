@@ -704,14 +704,14 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(Files.readString(v0).contains("\"protocol\":1"), "commit 0 must record the protocol")
     assert(TxLog.snapshot(dir).rows === 3L) // own protocol reads fine
     // a future writer bumps the protocol past this reader's capability
-    // (2, since column mapping): it must refuse, not misread
+    // (3, since deletion vectors): it must refuse, not misread
     Files.writeString(v0,
-      Files.readString(v0).replace("\"protocol\":1", "\"protocol\":3"))
+      Files.readString(v0).replace("\"protocol\":1", "\"protocol\":4"))
     val e = intercept[TxLog.UnsupportedProtocolException](TxLog.snapshot(dir))
-    assert(e.getMessage.contains("protocol 3"))
+    assert(e.getMessage.contains("protocol 4"))
     // pre-versioning logs (no protocol field) stay readable
     Files.writeString(v0,
-      Files.readString(v0).replace(",\"protocol\":3", ""))
+      Files.readString(v0).replace(",\"protocol\":4", ""))
     assert(TxLog.snapshot(dir).rows === 3L)
   }
 
