@@ -167,6 +167,34 @@ object AnalyticsQueries {
                          ORDER BY ts, event_id) AS next_type
                 FROM events) t
               WHERE next_type IS NOT NULL
-              GROUP BY 1, 2 ORDER BY event_type, next_type"""))
+              GROUP BY 1, 2 ORDER BY event_type, next_type""")),
+
+    // ---- PageRank over the customer→supplier link graph -----------------
+    // The web-graph quality signal a Common-Crawl-style pipeline ranks
+    // domains with before sampling, run on the natural bipartite graph
+    // orders⋈lineitem induces (customer buys-from supplier; suppliers
+    // offset into a disjoint id space, and all dangling — the dangling
+    // term carries most of the mass back, so it is exercised hard).
+    // Six supersteps ENTIRELY IN INTEGER RANK UNITS (floor division,
+    // scale 1e15): bit-identical under any partitioning or engine, so
+    // the DuckDB oracle replays the same unrolled iterations and must
+    // hash-match exactly — no float tolerance anywhere. Top-100 by
+    // (rank, node): a total order.
+    QuerySpec("q163_pagerank", { (s, d) =>
+      val orders = Td.load(s, d, "orders").select("o_orderkey", "o_custkey")
+      val li = Td.load(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val edges = orders
+        .join(li, orders("o_orderkey") === li("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"))
+      graft.operators.PageRank.run(edges, "src", "dst", iterations = 6)
+        .orderBy(desc("rank_units"), col("node"))
+        .limit(100)
+    },
+      Some(graft.operators.PageRank.oracleSql(
+        """SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+        iterations = 6) +
+        "\nORDER BY rank_units DESC, node LIMIT 100"))
   )
 }
