@@ -736,6 +736,41 @@ object TxQueries {
               SELECT lang, count(*) AS n_docs,
                      CAST(sum(length(text)) AS BIGINT) AS n_chars, v0.v0_docs
               FROM survivors CROSS JOIN v0
-              GROUP BY lang, v0.v0_docs ORDER BY lang"""))
+              GROUP BY lang, v0.v0_docs ORDER BY lang""")),
+
+    // ---- shallow clone ---------------------------------------------------
+    // Zero-copy CLONE then full divergence: the source takes a DELETE,
+    // the clone takes an append — each side must see exactly its own
+    // history (a clone that shares live state with its source, or a
+    // clone whose files the source's DML mutated, breaks one side's
+    // half of the hash). Both sides aggregated with a side label; the
+    // oracle re-derives each from the raw table arithmetic.
+    QuerySpec("q164_txlog_clone", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q164").toString
+      val (src, dst) = (s"$root/src", s"$root/clone")
+      val part = Td.load(s, dir, "part")
+        .select("p_partkey", "p_type", "p_retailprice")
+      TxLog.append(s, src, part.repartition(4))
+      TxLog.shallowClone(src, dst)
+      TxLog.delete(s, src, "p_partkey % 4 = 1")
+      TxLog.append(s, dst, part.where("p_partkey % 9 = 0"))
+      def side(dirPath: String, label: String) =
+        TxLog.read(s, dirPath).agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("p_retailprice")).as("sum_price"))
+          .select(lit(label).as("side"), col("n_rows"), col("sum_price"))
+      side(src, "src").unionAll(side(dst, "clone")).orderBy("side")
+    },
+      Some("""SELECT 'clone' AS side,
+                     count(*) + (SELECT count(*) FROM part WHERE p_partkey % 9 = 0) AS n_rows,
+                     CAST(sum(CAST(p_retailprice AS DECIMAL(18,4)))
+                          + (SELECT sum(CAST(p_retailprice AS DECIMAL(18,4)))
+                             FROM part WHERE p_partkey % 9 = 0) AS DOUBLE) AS sum_price
+              FROM part
+              UNION ALL
+              SELECT 'src' AS side, count(*) AS n_rows,
+                     CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+              FROM part WHERE NOT (p_partkey % 4 = 1)
+              ORDER BY side"""))
   )
 }

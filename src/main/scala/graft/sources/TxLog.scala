@@ -1405,6 +1405,55 @@ object TxLog {
     true
   }
 
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src`): a new
+    * independent table over the SOURCE's data files with zero data
+    * copy — O(files) metadata work regardless of table size, the
+    * try-an-experiment / dev-snapshot primitive. Every live data file
+    * (and deletion-vector directory) of the source snapshot is
+    * HARD-LINKED into the clone and re-committed as the clone's
+    * version 0, so:
+    *  - paths stay RELATIVE (the relocatable-table invariant holds);
+    *  - the clone is fully independent — writes/DML/OPTIMIZE on either
+    *    side never touch the other (links share bytes, and both tables
+    *    treat data files as immutable: every mutation writes NEW files);
+    *  - a source [[vacuum]] cannot break the clone (the links keep the
+    *    bytes alive) — strictly safer than Delta's absolute-URI clones,
+    *    which die when the source vacuums. On an object store the link
+    *    becomes Delta's absolute-URI reference (the one
+    *    filesystem-specific line, same note as the commit claim).
+    * Schema, table properties (constraints, column mapping, DV/CDF
+    * flags), and the protocol carry over; the clone's files commit as
+    * dataChange=true — to THIS table's history everything is the
+    * initial insert (a stream on the clone delivers the full state,
+    * Delta's clone semantics). History does NOT carry over: time travel
+    * in the clone starts at its version 0. `versionAsOf` clones a
+    * historical snapshot (time-travel clone). Returns the clone's
+    * committed version (0). */
+  def shallowClone(srcDir: String, dstDir: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val snap = snapshot(srcDir, versionAsOf)
+    if (latestVersion(dstDir) >= 0)
+      throw new TableExistsException(s"$dstDir already has a committed log")
+    Files.createDirectories(Paths.get(dstDir))
+    def link(rel: String): Unit = {
+      val to = Paths.get(dstDir, rel)
+      Files.createDirectories(to.getParent)
+      try Files.createLink(to, Paths.get(srcDir, rel)): Unit
+      catch { case _: FileAlreadyExistsException => () } // re-run after a crash
+    }
+    snap.files.foreach(f => link(f.path))
+    snap.files.flatMap(_.dv.map(_.path)).distinct.foreach { dvDir =>
+      listStaged(srcDir, dvDir).foreach(n => link(s"$dvDir/$n"))
+    }
+    val adds = snap.files.map(_.copy(dataChange = true))
+    val content = commitJson(0L, "clone", System.currentTimeMillis(), adds, Nil,
+      Some(snap.schemaDdl), None,
+      if (snap.props.isEmpty) None else Some(snap.props), Some(snap.protocol))
+    if (tryPublish(dstDir, 0L, content)) 0L
+    else throw new TableExistsException(
+      s"$dstDir was created concurrently; clone aborted")
+  }
+
   /** RENAME TABLE: one directory move (atomic on a posix filesystem —
     * all data paths in the log are RELATIVE, so the moved log replays
     * unchanged). Fails if the target exists. */
