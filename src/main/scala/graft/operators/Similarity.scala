@@ -64,6 +64,28 @@ object Similarity {
       .selectExpr("q_id", "vec_id", "cosine_sim(q_emb, embedding) AS cosine"), k)
   }
 
+  /** Contrastive hard-negative mining (the DPR/E5/SimCSE training-pair
+    * step): for each query, the top-k most-similar candidates carrying
+    * a DIFFERENT label — similar enough to be hard, differently
+    * labeled so they are true negatives — excluding candidates whose
+    * cosine reaches `dupCeiling` (a near-identical vector under another
+    * label is far more likely an unlabeled positive or duplicate than
+    * a useful negative: the standard false-negative filter). Both
+    * inputs need (vec_id, embedding, labelCol). Scale shape = [[topK]]:
+    * queries broadcast, candidates scanned once, per-query top-k via
+    * the rank window Spark rewrites to a per-partition group-limit —
+    * only k rows per query ever move. */
+  def hardNegatives(vectors: DataFrame, queries: DataFrame, labelCol: String,
+      k: Int, dupCeiling: Double = 0.95): DataFrame = {
+    val q = validEmbeddings(queries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col(labelCol).as("q_label"))
+    rank(validEmbeddings(vectors).crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id") && col(labelCol) =!= col("q_label"))
+      .selectExpr("q_id", "vec_id", "cosine_sim(q_emb, embedding) AS cosine")
+      .where(col("cosine") < lit(dupCeiling)), k)
+  }
+
   /** ANN via a precomputed bucket column present on BOTH inputs (e.g.
     * q60's hyperplane buckets): candidates = same-bucket vectors only. */
   def bucketedTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -88,7 +88,44 @@ object AnnQueries {
                SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
                FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")
     })
-  ) :+ ivfSpec :+ semanticDedupSpec :+ pqSpec :+ graphSpec :+ hybridSpec :+ pcaSpec
+  ) :+ ivfSpec :+ semanticDedupSpec :+ pqSpec :+ graphSpec :+ hybridSpec :+
+    pcaSpec :+ hardNegSpec
+
+  // ---- contrastive hard-negative mining ---------------------------------
+  // The DPR/E5/SimCSE training-pair step: per query, top-k most-similar
+  // DIFFERENTLY-LABELED vectors (hard because similar, negative because
+  // the label differs), with a cosine ceiling dropping near-identical
+  // candidates (an unlabeled positive/duplicate, not a useful negative).
+  // Same broadcast + group-limit scale shape as q59; the oracle mirrors
+  // the label filter and the ceiling on the identical cosine fold, so
+  // both engines agree on the candidate band exactly.
+  private lazy val hardNegSpec: QuerySpec = QuerySpec("q165_hard_negatives", { (s, dir) =>
+    val e = Td.load(s, dir, "embeddings").select("vec_id", "embedding", "label")
+    graft.operators.Similarity
+      .hardNegatives(e, e.filter(col("vec_id") < K), "label", K, dupCeiling = 0.95)
+      .orderBy("q_id", "rank")
+  }, {
+    val d = DuckSql
+    Some(s"""WITH e AS (
+               SELECT vec_id, label, embedding,
+                      sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm
+               FROM embeddings WHERE ${vOK(d)}),
+             q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+                          label AS q_label
+                   FROM e WHERE vec_id < $K),
+             scored AS (
+               SELECT q.q_id, e.vec_id,
+                      ${d.dsum(d.zipMul("q.q_emb", "e.embedding"))} / (q.q_nrm * e.nrm) AS cosine
+               FROM e CROSS JOIN q
+               WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+             banded AS (SELECT * FROM scored WHERE cosine < 0.95),
+             ranked AS (
+               SELECT q_id, vec_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+               FROM banded)
+             SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
+             FROM ranked WHERE rank <= $K ORDER BY q_id, rank""")
+  })
 
   // ---- distributed PCA over the embedding table -------------------------
   // Exact-decimal Gram moments (bit-identical under any partitioning) →
