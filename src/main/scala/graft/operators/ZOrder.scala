@@ -44,11 +44,24 @@ object ZOrder {
     * bit positions, b the odd ones) — pure shift/and/or expressions,
     * fully codegen'd. */
   def interleave(a: Column, b: Column, bits: Int = QuantBits): Column =
+    interleaveN(Seq(a, b), bits)
+
+  /** N-column Morton interleave: column j's bit i lands at position
+    * `N·i + j` (round-robin, so every column contributes equally to the
+    * high bits — the property that makes per-column pruning symmetric).
+    * Still pure shift/and/or, fully codegen'd. `N·bits` must fit a
+    * LONG's 63 value bits. */
+  def interleaveN(cols: Seq[Column], bits: Int = QuantBits): Column = {
+    require(cols.size >= 2, s"interleaveN: at least two columns")
+    require(cols.size * bits <= 63,
+      s"interleaveN: ${cols.size} cols × $bits bits overflow a LONG")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      cols.zipWithIndex.foldLeft(acc) { case (z, (c, j)) =>
+        z.bitwiseOR(shiftleft(
+          shiftrightunsigned(c, i).bitwiseAND(lit(1L)), cols.size * i + j))
+      }
     }
+  }
 
   /** Equal-depth rank of `c` against precomputed ascending cutpoints:
     * the count of cutpoints <= c, as a codegen'd literal-array scan
@@ -60,13 +73,21 @@ object ZOrder {
 
   /** Z-value column for two numeric columns of `df`, quantized to
     * equal-depth ranks via one approxQuantile sketch pass per column. */
-  def zValue(df: DataFrame, colA: String, colB: String): Column = {
-    val probs = (1 until (1 << QuantBits)).map(_.toDouble / (1 << QuantBits)).toArray
+  def zValue(df: DataFrame, colA: String, colB: String): Column =
+    zValueN(df, Seq(colA, colB))
+
+  /** N-column z-value: per-column bit budget shrinks to keep the word
+    * in a LONG (8 bits up to 7 columns is impossible — 63/N, capped at
+    * [[QuantBits]]); one approxQuantile sketch pass per column computes
+    * the equal-depth cutpoints. */
+  def zValueN(df: DataFrame, colNames: Seq[String]): Column = {
+    val bits = math.min(QuantBits, 63 / colNames.size)
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
     // relativeError 1/2^(bits+2): boundaries land within a quarter-bucket
-    val err = 1.0 / (1 << (QuantBits + 2))
-    val cutsA = df.stat.approxQuantile(colA, probs, err)
-    val cutsB = df.stat.approxQuantile(colB, probs, err)
-    interleave(rankExpr(col(colA), dedupCuts(cutsA)), rankExpr(col(colB), dedupCuts(cutsB)))
+    val err = 1.0 / (1 << (bits + 2))
+    interleaveN(colNames.map { c =>
+      rankExpr(col(c), dedupCuts(df.stat.approxQuantile(c, probs, err)))
+    }, bits)
   }
 
   private def dedupCuts(cuts: Array[Double]): Array[Double] = cuts.distinct.sorted
@@ -74,9 +95,16 @@ object ZOrder {
   /** Rewrite `df` into a z-ordered layout: `numFiles` range partitions
     * of the z-value, rows z-sorted within each. Write the result with
     * one file per partition and min/max pruning works on BOTH columns. */
-  def layout(df: DataFrame, colA: String, colB: String, numFiles: Int): DataFrame = {
+  def layout(df: DataFrame, colA: String, colB: String, numFiles: Int): DataFrame =
+    layoutN(df, Seq(colA, colB), numFiles)
+
+  /** [[layout]] over N ≥ 2 columns: each output file covers a small
+    * hyper-rectangle of EVERY clustered column's value space, so a
+    * range predicate on any of them prunes (a linear sort only ever
+    * prunes its leading column). */
+  def layoutN(df: DataFrame, colNames: Seq[String], numFiles: Int): DataFrame = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    val z = zValue(df, colA, colB)
+    val z = zValueN(df, colNames)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -772,5 +772,37 @@ object TxQueries {
                      CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
               FROM part WHERE NOT (p_partkey % 4 = 1)
               ORDER BY side"""))
+  ,
+
+    // ---- multi-column z-order + box-query file skipping ------------------
+    // OPTIMIZE ZORDER BY three numeric columns, then a conjunctive
+    // 3-range box through readRanges: stats pruning picks the candidate
+    // files, the residual predicate trims rows — a pruning bug that
+    // drops a straddling file loses rows and breaks the hash (the
+    // skipped-file path is the one a plain filter query never exercises).
+    // The oracle is the same box over the raw table.
+    QuerySpec("q166_zorder_box", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q166").toString + "/t"
+      val li = Td.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount")
+      TxLog.append(s, root, li.repartition(16))
+      TxLog.optimize(s, root, targetBytes = 128L * 1024,
+        zorderBy = Seq("l_quantity", "l_extendedprice", "l_discount"))
+      TxLog.readRanges(s, root, Seq(
+          ("l_quantity", "10", "30"),
+          ("l_extendedprice", "10000", "40000"),
+          ("l_discount", "0.02", "0.06")))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_quantity")).as("sum_qty"))
+    },
+      Some("""SELECT count(*) AS n_rows,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+              FROM lineitem
+              WHERE l_quantity BETWEEN 10 AND 30
+                AND l_extendedprice BETWEEN 10000 AND 40000
+                AND l_discount BETWEEN 0.02 AND 0.06"""))
   )
 }

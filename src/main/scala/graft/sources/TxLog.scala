@@ -1009,12 +1009,12 @@ object TxLog {
   /** Compact the live files to ~`targetBytes` outputs; with `sortBy`,
     * range-repartition on those columns so each output file owns a
     * disjoint key range — the clustering that makes [[readRange]]'s
-    * stats pruning sharp. With `zorderBy` (exactly two numeric columns),
+    * stats pruning sharp. With `zorderBy` (2–6 numeric columns),
     * files are laid out along the Morton curve instead
     * ([[graft.operators.ZOrder]]): each file covers a small
-    * hyper-rectangle of BOTH columns' value space, so range predicates
-    * on EITHER column prune — a linear sort only ever prunes its
-    * leading column. Contents are unchanged (old versions stay readable
+    * hyper-rectangle of EVERY clustered column's value space, so range
+    * predicates on ANY of them prune — a linear sort only ever prunes
+    * its leading column. Contents are unchanged (old versions stay readable
     * until [[vacuum]]). Rebases over concurrent APPENDS (its inputs are
     * untouched); a concurrent commit that removed any input file aborts
     * with [[ConcurrentWriteException]]. Returns (filesBefore,
@@ -1023,8 +1023,8 @@ object TxLog {
       sortBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): (Int, Int) = {
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "optimize: sortBy and zorderBy are mutually exclusive")
-    require(zorderBy.isEmpty || zorderBy.size == 2,
-      s"optimize: zorderBy takes exactly two columns, got $zorderBy")
+    require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 6),
+      s"optimize: zorderBy takes 2–6 columns, got $zorderBy")
     val snap = snapshot(dir)
     if (snap.files.size <= 1) return (snap.files.size, snap.files.size)
     val totalBytes = snap.files.map(_.bytes).sum
@@ -1034,7 +1034,7 @@ object TxLog {
     val src = scanFiles(spark, dir, snap, snap.files)
     val packed =
       if (zorderBy.nonEmpty)
-        graft.operators.ZOrder.layout(src, zorderBy.head, zorderBy(1), nOut)
+        graft.operators.ZOrder.layoutN(src, zorderBy, nOut)
       else if (sortBy.nonEmpty)
         src.repartitionByRange(nOut, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)

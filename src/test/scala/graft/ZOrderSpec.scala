@@ -74,4 +74,51 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getLong(0))
     assert(out.toSeq === Seq(5L, 10L, 15L))
   }
+
+  test("interleaveN: 3-column round-robin bit layout; word-size guard") {
+    import spark.implicits._
+    // col j's bit i lands at 3i+j: a=1 -> bit0, b=1 -> bit1, c=1 -> bit2,
+    // a=0b10 -> bit3, all-ones over 2 bits -> 0b111111 = 63
+    val out = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (2L, 0L, 0L), (3L, 3L, 3L))
+      .toDF("a", "b", "c")
+      .select(ZOrder.interleaveN(Seq(col("a"), col("b"), col("c")), 2).as("z"))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(1L, 2L, 4L, 8L, 63L))
+    intercept[IllegalArgumentException] {
+      ZOrder.interleaveN(Seq(col("a")), 8)
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.interleaveN((1 to 8).map(_ => col("a")), 8) // 64 bits > 63
+    }
+  }
+
+  test("3-column z-layout prunes on every clustered column") {
+    val d3 = spark.range(20000).selectExpr(
+      "id",
+      "CAST(pmod(hash(id), 1000) AS BIGINT) AS x",
+      "CAST(pmod(hash(id + 7919), 1000) AS BIGINT) AS y",
+      "CAST(pmod(hash(id + 104729), 1000) AS BIGINT) AS w")
+    // 64 files = 6 curve bits = 2 high bits (quarters) per column; a
+    // low-corner 25% range sits inside one quarter and must prune
+    val files3 = 64
+    val zed = ZOrder.layoutN(d3, Seq("x", "y", "w"), files3)
+    val ranges = zed.groupBy(spark_partition_id())
+      .agg(min("x"), max("x"), min("y"), max("y"), min("w"), max("w"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(ranges.length === files3)
+    def touchedOn(lo: Long, hi: Long, sel: ((Long, Long, Long, Long, Long, Long)) => (Long, Long)): Int =
+      ranges.count { t => val (mn, mx) = sel(t); mx >= lo && mn <= hi }
+    val tx = touchedOn(0, 230, t => (t._1, t._2))
+    val ty = touchedOn(0, 230, t => (t._3, t._4))
+    val tw = touchedOn(0, 230, t => (t._5, t._6))
+    assert(tx < files3, s"x range pruned nothing ($tx)")
+    assert(ty < files3, s"y range pruned nothing ($ty)")
+    assert(tw < files3, s"w range pruned nothing ($tw)")
+    // pure rewrite
+    val a = d3.select("id").collect().map(_.getLong(0)).sorted
+    val b = zed.select("id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
 }
