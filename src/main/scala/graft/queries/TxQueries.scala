@@ -803,6 +803,46 @@ object TxQueries {
               FROM lineitem
               WHERE l_quantity BETWEEN 10 AND 30
                 AND l_extendedprice BETWEEN 10000 AND 40000
-                AND l_discount BETWEEN 0.02 AND 0.06"""))
+                AND l_discount BETWEEN 0.02 AND 0.06""")),
+
+    // ---- format-native incremental pipeline (source → sink) --------------
+    // bronze txlog → `readStream.format("txlog")` → stateless transform →
+    // `writeStream.format("txlog")` in Append mode: the whole medallion
+    // hop with ZERO foreachBatch — offsets are log versions on the read
+    // side, txn-tagged exactly-once commits on the write side, both from
+    // the engine. Two checkpointed passes over a growing bronze; silver
+    // must equal the one-shot batch transform of everything (a missed
+    // version, replayed batch, or delivered rewrite all corrupt it).
+    QuerySpec("q167_stream_sink", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q167").toString
+      val (bronze, silver, ckpt) = (s"$root/bronze", s"$root/silver", s"$root/ckpt")
+      val ev = Td.load(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.append(s, bronze, ev.where("event_id % 2 = 0").repartition(2))
+      def pass(): Unit = {
+        val q = s.readStream.format("txlog").option("path", bronze).load()
+          .where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            (col("user_id") % 10).as("cohort"), col("value"))
+          .writeStream.format("txlog")
+          .option("path", silver)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      pass() // even half
+      TxLog.append(s, bronze, ev.where("event_id % 2 = 1").repartition(2))
+      pass() // resumes mid-log, delivers exactly the odd half
+      TxLog.read(s, silver)
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("cohort")
+    },
+      Some("""SELECT user_id % 10 AS cohort, count(*) AS n_purchases,
+                     CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1 ORDER BY cohort"""))
   )
 }

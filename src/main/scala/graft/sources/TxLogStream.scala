@@ -1,9 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** The transactional table as a STREAMING SOURCE — the Delta
@@ -39,12 +40,49 @@ import org.apache.spark.sql.types.StructType
   *    [[TxLog.versionAtTime]]); a timestamp before the first commit
   *    delivers everything.
   */
-class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class TxLogStreamProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "txlog"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("txlog source: set .option(\"path\", <table dir>)"))
+
+  /** The transactional table as a STREAMING SINK —
+    * `writeStream.format("txlog").option("path", dir)`, the Delta
+    * `writeStream.format("delta")` capability, without hand-rolling a
+    * foreachBatch:
+    *  - Append mode lands each micro-batch through [[TxLog.appendBatch]]
+    *    with the Delta `txn` action, so the sink is EXACTLY-ONCE: the
+    *    txn app id is derived from the query's CHECKPOINT location
+    *    (overridable via `.option("txnAppId", …)`), pairing the id's
+    *    lifetime 1:1 with the checkpoint's — exactly the discipline the
+    *    appendBatch caveat requires (a rebuilt checkpoint means a new
+    *    app id, so replayed batch ids cannot silently swallow new data).
+    *  - Complete mode publishes each batch as an [[TxLog.overwrite]]
+    *    commit (the aggregation-refresh case); replays converge by
+    *    content.
+    *  - Update mode is refused: keyed upserts need the key column —
+    *    that is [[graft.streaming.StreamingTx]]'s mergeBatch loop.
+    * First batch creates the table; later batches enforce schema
+    * identity and CHECK constraints like any other writer. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "txlog sink: partitionBy is not supported (files cluster via OPTIMIZE)")
+    require(outputMode != OutputMode.Update(),
+      "txlog sink: Update mode needs a merge key — use " +
+        "StreamingTx/TxLog.mergeBatch in foreachBatch; Append and Complete are native")
+    val dir = pathOf(parameters)
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation")
+        .map(p => java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString))
+      .getOrElse(throw new IllegalArgumentException(
+        "txlog sink: set .option(\"checkpointLocation\", …) (its path keys " +
+          "exactly-once batch tracking) or an explicit .option(\"txnAppId\", …)"))
+    new TxLogSink(ctx.sparkSession, dir, appId,
+      complete = outputMode == OutputMode.Complete())
+  }
 
   private def cdfMode(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
@@ -84,6 +122,22 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
       parameters.get("startingTimestamp"),
       readChangeFeed = cdfMode(parameters))
   }
+}
+
+/** V1 streaming sink over the commit protocol ([[TxLogStreamProvider
+  * .createSink]]). The incoming frame is bound to the micro-batch's
+  * incremental execution; its physical rows are rebound as a batch
+  * frame (the Delta V1-sink pattern) before entering the ordinary
+  * write path — no second evaluation of the streaming plan. */
+class TxLogSink(spark: SparkSession, dir: String, appId: String,
+    complete: Boolean) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val df = org.apache.spark.sql.graft.GraftSqlShims.batchDataFrame(
+      spark, data.queryExecution.toRdd, data.schema)
+    if (complete) TxLog.overwrite(spark, dir, df): Unit
+    else TxLog.appendBatch(spark, dir, df, appId, batchId): Unit
+  }
+  override def toString: String = s"TxLogSink[$dir]"
 }
 
 class TxLogSource(spark: SparkSession, dir: String,

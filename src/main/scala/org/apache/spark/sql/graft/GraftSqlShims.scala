@@ -18,4 +18,14 @@ object GraftSqlShims {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The sink-side mirror: a V1 streaming `Sink.addBatch` receives a
+    * frame bound to the micro-batch's incremental execution — re-using
+    * it as a normal batch frame would re-plan the streaming query. The
+    * connector pattern (Delta's V1 sink does this exact call) is to
+    * rebind the already-planned physical rows as a BATCH frame. */
+  def batchDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }
