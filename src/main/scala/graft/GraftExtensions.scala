@@ -72,5 +72,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Planner strategy: broadcast interval-index range join (tier (c) of
     // the Catalyst ladder — custom LogicalPlan + Strategy + SparkPlan).
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
+    // SQL UPDATE / MERGE INTO for TxLog catalog tables (DELETE rides
+    // SupportsDelete; these two have no V1 fallback interface).
+    ext.injectPlannerStrategy(_ => graft.plans.TxDmlStrategy)
   }
 }

@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+
+import graft.sources.{TxLog, TxTable}
+
+/** SQL `UPDATE` and `MERGE INTO` for TxLog-backed catalog tables.
+  *
+  * Unlike DELETE (which rides the DSv2 `SupportsDelete` interface),
+  * UPDATE/MERGE have no V1 fallback: Spark either rewrites them through
+  * `SupportsRowLevelOperations` or fails at planning with "not
+  * supported". This strategy intercepts the ANALYZED command plans for
+  * relations carrying the [[TxTable]] marker and routes them through
+  * the SAME driver-side commit protocol the Scala API runs — one
+  * implementation of copy-on-write/merge-on-read DML, two surfaces.
+  *
+  * `UPDATE <t> SET c = e, … WHERE p` → [[TxLog.update]] — every
+  * analyzed SET/WHERE expression is re-rendered as SQL text with
+  * qualifiers stripped (TxLog.update resolves names against the table
+  * scan itself), so anything the Scala API accepts works here:
+  * arithmetic, CASE, reads of other columns' pre-update values.
+  *
+  * `MERGE INTO <t> USING <src> ON t.k = s.k` supports the two shapes
+  * the engine's merge machinery implements, mapped structurally:
+  *  - `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+  *    (the upsert) → [[TxLog.merge]] with the resolved source plan
+  *    handed through as a DataFrame — single evaluation, duplicate/NULL
+  *    key validation, constraint checks all shared;
+  *  - `WHEN MATCHED THEN DELETE` (no other actions) → [[TxLog
+  *    .deleteKeys]] — the SQL spelling of bulk erasure.
+  * Conditional actions, partial-column updates, and multi-action
+  * merges are refused LOUDLY with the supported shapes in the message
+  * (approximating them silently is the failure mode). */
+object TxDmlStrategy extends SparkStrategy {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case u: UpdateTable =>
+      txTableOf(u.table).map { t =>
+        requireWritable(t)
+        val set = u.assignments.map { a =>
+          (a.key match {
+            case ar: AttributeReference => ar.name
+            case other => refuse(s"UPDATE of a non-column target $other " +
+              "(nested fields are not supported)")
+          }) -> render(a.value)
+        }.toMap
+        val cond = u.condition.map(render).getOrElse("TRUE")
+        TxDmlExec(s"UPDATE ${t.txDir}",
+          () => TxLog.update(SparkSession.active, t.txDir, cond, set)) :: Nil
+      }.getOrElse(Nil)
+
+    case m: MergeIntoTable =>
+      txTableOf(m.targetTable).map { t =>
+        requireWritable(t)
+        val keyCol = keyColOf(m)
+        val spark = SparkSession.active
+        val source = org.apache.spark.sql.graft.GraftSqlShims
+          .dataFrameOfPlan(spark, m.sourceTable)
+        val srcOut = m.sourceTable.outputSet
+        (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
+          // upsert: UPDATE SET * + INSERT * (star actions arrive from
+          // analysis as full identity assignment lists)
+          case (Seq(up: UpdateAction), Seq(ins: InsertAction), Seq())
+              if up.condition.isEmpty && ins.condition.isEmpty &&
+                isIdentity(up.assignments, srcOut, t) &&
+                isIdentity(ins.assignments, srcOut, t) =>
+            TxDmlExec(s"MERGE UPSERT ${t.txDir}", () =>
+              TxLog.merge(spark, t.txDir,
+                alignToTable(source, t.txDir), keyCol)) :: Nil
+          // bulk erasure: WHEN MATCHED THEN DELETE, nothing else
+          case (Seq(del: DeleteAction), Seq(), Seq()) if del.condition.isEmpty =>
+            TxDmlExec(s"MERGE DELETE ${t.txDir}", () =>
+              TxLog.deleteKeys(spark, t.txDir,
+                source.select(keyCol), keyCol)) :: Nil
+          case _ =>
+            refuse("this MERGE shape; supported: " +
+              "[WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *] " +
+              "(upsert) and [WHEN MATCHED THEN DELETE] (erasure) — " +
+              "conditional/partial/multi-action merges need the Scala API")
+        }
+      }.getOrElse(Nil)
+
+    case _ => Nil
+  }
+
+  /** Unwrap aliases down to a [[TxTable]]-marked v2 relation — the
+    * optimizer rewrites the target to a ScanRelation before planning,
+    * so both forms appear. */
+  private def txTableOf(plan: LogicalPlan): Option[TxTable] = plan match {
+    case SubqueryAlias(_, child) => txTableOf(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: TxTable => Some(t)
+      case _ => None
+    }
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      r.relation.table match {
+        case t: TxTable => Some(t)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def requireWritable(t: TxTable): Unit =
+    if (!t.txWritable)
+      refuse(s"DML on ${t.txDir}: a time-travel relation is read-only")
+
+  private def refuse(what: String): Nothing =
+    throw new UnsupportedOperationException(s"txlog SQL DML: $what")
+
+  /** Analyzed expression → SQL text TxLog's DML re-parses: qualifiers
+    * are stripped (names re-resolve against the table scan), exprIds
+    * dropped with them. */
+  private def render(e: Expression): String =
+    e.transform {
+      case ar: AttributeReference => UnresolvedAttribute(Seq(ar.name))
+    }.sql
+
+  /** `ON t.k = s.k` with the same column name on both sides — the shape
+    * [[TxLog.merge]]'s keyed upsert implements. */
+  private def keyColOf(m: MergeIntoTable): String = m.mergeCondition match {
+    case EqualTo(l: Attribute, r: Attribute) if l.name == r.name => l.name
+    case other => refuse(s"merge condition ${other.sql}; supported: " +
+      "a single equality on one identically-named key column (t.k = s.k)")
+  }
+
+  /** Every assignment is `target.c := source.c` (what SET * / INSERT *
+    * resolve to) — the value must be the SOURCE's attribute, not the
+    * target's: the analyzer aligns a PARTIAL update by filling
+    * unmentioned columns with `target.c := target.c`, which name
+    * equality alone cannot distinguish from a star (treating it as one
+    * would overwrite the unmentioned columns with source values). A
+    * Cast in the value means the source schema diverges — TxLog.merge
+    * would reject it anyway; refuse structurally here. */
+  private def isIdentity(assignments: Seq[Assignment],
+      sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      t: TxTable): Boolean = {
+    val covered = assignments.collect {
+      case Assignment(k: AttributeReference, v: AttributeReference)
+          if k.name == v.name && sourceOut.contains(v) => k.name
+    }
+    covered.size == assignments.size &&
+      covered.toSet == TxLog.snapshot(t.txDir).schema.fieldNames.toSet
+  }
+
+  /** The analyzed source plan's column ORDER may differ from the table's
+    * (MERGE resolves by name); TxLog.merge checks schema positionally —
+    * reorder by name, which also drops nothing (isIdentity proved the
+    * name sets align). */
+  private def alignToTable(source: org.apache.spark.sql.DataFrame,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val cols = TxLog.snapshot(dir).schema.fieldNames
+    source.select(cols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+  }
+}
+
+/** Eagerly-executed command node: the engine's eager-command execution
+  * calls `executeCollect` exactly once per statement; the lazy guard
+  * keeps a second code path (doExecute) from re-running the commit. */
+case class TxDmlExec(description: String, body: () => Long) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  private lazy val done: Unit = { body(); () }
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+  protected override def doExecute(): RDD[InternalRow] = {
+    done; sparkContext.emptyRDD
+  }
+  override def simpleString(maxFields: Int): String = s"TxDmlExec $description"
+}

@@ -843,6 +843,72 @@ object TxQueries {
       Some("""SELECT user_id % 10 AS cohort, count(*) AS n_purchases,
                      CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
               FROM events WHERE event_type = 'purchase'
-              GROUP BY 1 ORDER BY cohort"""))
+              GROUP BY 1 ORDER BY cohort""")),
+
+    // ---- the full SQL DML triangle ---------------------------------------
+    // UPDATE (planner strategy), MERGE upsert (UPDATE SET * + INSERT *),
+    // and MERGE erasure (WHEN MATCHED THEN DELETE) — all in plain SQL
+    // against the catalog, all landing through the one Scala commit
+    // protocol. The oracle replays the three statements as relational
+    // algebra over the raw table: an update that leaked to non-matching
+    // rows, an upsert that missed an insert, or an erasure that over- or
+    // under-deleted each breaks the hash.
+    QuerySpec("q168_sql_dml", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q168").toString
+      val cat = "dmlq" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val cust = Td.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      TxLog.append(s, s"$root/c", cust.repartition(4))
+      // 1. UPDATE: boost BUILDING balances, reading pre-update values
+      s.sql(s"""UPDATE $cat.c SET c_acctbal = c_acctbal + 100.0
+                WHERE c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0""")
+      // 2. MERGE upsert: re-segment a slice + inject synthetic rows
+      Td.load(s, dir, "customer")
+        .where("c_custkey % 10 = 4")
+        .selectExpr("c_custkey + 1000000 AS c_custkey",
+          "'SYNTH' AS c_mktsegment", "c_acctbal")
+        .unionAll(Td.load(s, dir, "customer")
+          .where("c_custkey % 10 = 7")
+          .selectExpr("c_custkey", "'MOVED' AS c_mktsegment",
+            "c_acctbal"))
+        .createOrReplaceTempView("q168_src")
+      s.sql(s"""MERGE INTO $cat.c USING q168_src ON c.c_custkey = q168_src.c_custkey
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+      // 3. MERGE erasure: GDPR out a key slice
+      Td.load(s, dir, "customer").where("c_custkey % 13 = 2")
+        .select("c_custkey").createOrReplaceTempView("q168_erase")
+      s.sql(s"""MERGE INTO $cat.c USING q168_erase ON c.c_custkey = q168_erase.c_custkey
+                WHEN MATCHED THEN DELETE""")
+      s.sql(s"""SELECT c_mktsegment, count(*) AS n_rows,
+                       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+                FROM $cat.c GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+      Some("""WITH merged AS (
+                -- %10=7 rows were REPLACED by the merge with raw source
+                -- rows (segment MOVED, raw balance — even if the earlier
+                -- UPDATE had touched them); otherwise the UPDATE's +100
+                -- applies to its BUILDING slice
+                SELECT c_custkey,
+                       CASE WHEN c_custkey % 10 = 7 THEN 'MOVED'
+                            ELSE c_mktsegment END AS c_mktsegment,
+                       CASE WHEN c_custkey % 10 = 7 THEN c_acctbal
+                            WHEN c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0
+                            THEN c_acctbal + 100.0
+                            ELSE c_acctbal END AS c_acctbal
+                FROM customer
+                UNION ALL
+                SELECT c_custkey + 1000000, 'SYNTH', c_acctbal
+                FROM customer WHERE c_custkey % 10 = 4),
+              survivors AS (
+                -- the erase list holds RAW custkeys only — a synthetic
+                -- key whose offset value happens to hit %13=2 survives
+                SELECT * FROM merged WHERE c_custkey NOT IN (
+                  SELECT c_custkey FROM customer WHERE c_custkey % 13 = 2))
+              SELECT c_mktsegment, count(*) AS n_rows,
+                     CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM survivors GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

@@ -56,14 +56,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   DROP TABLE tx.t
   *   ALTER TABLE tx.t RENAME TO tx.u
   *   DELETE FROM tx.t WHERE …           -- SupportsDelete → TxLog.delete
+  *   UPDATE tx.t SET c = e WHERE …      -- planner strategy → TxLog.update
+  *   MERGE INTO tx.t USING s ON …       -- strategy → merge / deleteKeys
   * }}}
   * Time-travel relations stay read-only. `DELETE FROM` covers every
   * predicate expressible as v1 pushdown filters (=, <, >, IN, NULL
   * tests, AND/OR/NOT, string prefix/suffix/contains) — others are
-  * refused with Spark's own untranslatable-filter error. Row-level
-  * `UPDATE`/`MERGE` SQL needs the v2 row-delta plumbing — use
-  * [[TxLog.update]] / [[TxLog.merge]] from Scala.
+  * refused with Spark's own untranslatable-filter error. `UPDATE` and
+  * the upsert/erasure `MERGE` shapes route through
+  * [[graft.plans.TxDmlStrategy]] (there is no V1 fallback interface
+  * for them); other merge shapes are refused loudly.
   */
+/** Marker the planner-side DML strategy ([[graft.plans.TxDmlStrategy]])
+  * uses to recognize a TxLog-backed relation and recover its directory:
+  * SQL `UPDATE`/`MERGE` have no V1 fallback interface (unlike
+  * `SupportsDelete`), so the strategy intercepts the analyzed command
+  * plans and routes them through [[TxLog.update]]/[[TxLog.merge]]. */
+trait TxTable {
+  def txDir: String
+  def txWritable: Boolean
+}
+
 class TxCatalog extends TableCatalog {
   private var catalogName: String = _
   private var root: String = _
@@ -104,7 +117,9 @@ class TxCatalog extends TableCatalog {
     // table properties (tombstoned keys dropped) — SHOW TBLPROPERTIES
     // then shows auto-optimize settings and CHECK constraints from SQL
     new Table with SupportsRead with SupportsWrite
-        with org.apache.spark.sql.connector.catalog.SupportsDelete {
+        with org.apache.spark.sql.connector.catalog.SupportsDelete with TxTable {
+      override def txDir: String = dir
+      override def txWritable: Boolean = writable
       override def name(): String = scan.name
       override def schema(): StructType = snap.schema
       override def capabilities(): util.Set[TableCapability] = {

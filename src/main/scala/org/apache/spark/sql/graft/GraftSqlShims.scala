@@ -5,14 +5,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.StructType
 
-/** The one `private[sql]` reach the engine needs: a V1 streaming
-  * `Source.getBatch` must hand back a DataFrame whose logical plan is
-  * tagged `isStreaming=true`, and the only constructor for such a frame
-  * (`internalCreateDataFrame`) is package-private to `org.apache.spark
-  * .sql`. This shim lives in that package to call it — the standard
-  * third-party streaming-connector pattern (file-based sources inside
-  * Spark do exactly this call). Nothing else in the repo reaches into
-  * Spark internals this way; keep it that way. */
+/** The engine's ONLY `private[sql]` reach, concentrated in one file: a
+  * V1 streaming `Source.getBatch` must hand back a DataFrame whose
+  * logical plan is tagged `isStreaming=true`, a V1 `Sink.addBatch` must
+  * rebind its micro-batch rows as a batch frame, and the SQL MERGE
+  * strategy must wrap an analyzed plan as a DataFrame — and the only
+  * constructors (`internalCreateDataFrame`, `Dataset.ofRows`) are
+  * package-private to `org.apache.spark.sql`. This shim lives in that
+  * package to call them — the standard third-party connector pattern
+  * (Spark's own file sources and Delta's V1 sink make exactly these
+  * calls). Nothing else in the repo reaches into Spark internals;
+  * keep it that way. */
 object GraftSqlShims {
   def streamingDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
       schema: StructType): DataFrame =
@@ -28,4 +31,14 @@ object GraftSqlShims {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** Wrap an already-analyzed logical plan as a DataFrame (Dataset
+    * .ofRows, package-private to sql) — the SQL MERGE strategy hands
+    * the statement's resolved SOURCE plan to [[graft.sources.TxLog]]
+    * .merge this way, so the Scala and SQL paths share one commit
+    * protocol instead of re-deriving the source. */
+  def dataFrameOfPlan(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
