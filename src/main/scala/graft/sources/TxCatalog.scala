@@ -77,9 +77,18 @@ trait TxTable {
   def txWritable: Boolean
 }
 
-class TxCatalog extends TableCatalog {
+class TxCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
+
+  /** `CALL <cat>.optimize(…)` etc. — see [[TxProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    TxProcedures.load(root, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    TxProcedures.list
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

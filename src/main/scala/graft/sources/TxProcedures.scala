@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maintenance procedures for [[TxCatalog]] — the `CALL` SQL surface
+  * (Spark 4's DSv2 `ProcedureCatalog`, the Iceberg `CALL cat.system.…`
+  * idiom) over the format's table-management operations, so OPTIMIZE /
+  * VACUUM / history / clone / restore / DV purge are scriptable from
+  * pure SQL without touching the Scala API:
+  * {{{
+  *   CALL tx.optimize(`table` => 't', zorder_by => 'x,y')
+  *   CALL tx.vacuum(`table` => 't', retain_versions => 4)
+  *   CALL tx.purge_deletes(`table` => 't')
+  *   CALL tx.history(`table` => 't')
+  *   CALL tx.clone(source => 't', target => 'dev_t')
+  *   CALL tx.restore(`table` => 't', version => 3)
+  * }}}
+  * Each returns a result relation (a `LocalScan` of the outcome —
+  * Spark renders it like a query result). Table names resolve against
+  * the owning catalog's root, like every other identifier. */
+private[sources] object TxProcedures {
+
+  private def p(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
+  private def pd(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def result(schema: StructType, outRows: Seq[InternalRow]): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = outRows.toArray
+      override def readSchema(): StructType = schema
+    }).iterator()
+
+  /** One procedure: parameters + body over (catalog root, args). */
+  private final case class Proc(name: String,
+      params: Array[ProcedureParameter],
+      out: StructType,
+      body: (String, InternalRow) => Seq[InternalRow]) {
+
+    def unbound(root: String): UnboundProcedure = new UnboundProcedure {
+      override def name(): String = Proc.this.name
+      override def description(): String = s"txlog $name"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = Proc.this.name
+        override def description(): String = s"txlog $name"
+        override def parameters(): Array[ProcedureParameter] = params
+        override def isDeterministic: Boolean = false // side-effecting
+        override def call(input: InternalRow): java.util.Iterator[Scan] =
+          result(out, body(root, input))
+      }
+    }
+  }
+
+  private def dirOf(root: String, table: String): String = s"$root/$table"
+
+  private val procs: Map[String, Proc] = Seq(
+    Proc("optimize",
+      Array(p("table", StringType),
+        pd("target_bytes", LongType, (128L << 20).toString),
+        pd("zorder_by", StringType, "''")),
+      StructType(Seq(StructField("files_before", IntegerType),
+        StructField("files_after", IntegerType))),
+      (root, in) => {
+        val dir = dirOf(root, in.getUTF8String(0).toString)
+        val zs = in.getUTF8String(2).toString
+        val zorder = if (zs.isEmpty) Nil else zs.split(",").map(_.trim).toSeq
+        val (b, a) = TxLog.optimize(SparkSession.active, dir,
+          targetBytes = in.getLong(1), zorderBy = zorder)
+        Seq(new GenericInternalRow(Array[Any](b, a)))
+      }),
+    Proc("vacuum",
+      Array(p("table", StringType), pd("retain_versions", IntegerType, "2")),
+      StructType(Seq(StructField("deleted_files", LongType))),
+      (root, in) => {
+        val deleted = TxLog.vacuum(dirOf(root, in.getUTF8String(0).toString),
+          retainVersions = in.getInt(1))
+        Seq(new GenericInternalRow(Array[Any](deleted.size.toLong)))
+      }),
+    Proc("purge_deletes",
+      Array(p("table", StringType)),
+      StructType(Seq(StructField("dv_files", IntegerType),
+        StructField("clean_files", IntegerType))),
+      (root, in) => {
+        val r = TxLog.purgeDeletes(SparkSession.active,
+          dirOf(root, in.getUTF8String(0).toString))
+        Seq(new GenericInternalRow(Array[Any](
+          r.map(_._1).getOrElse(0), r.map(_._2).getOrElse(0))))
+      }),
+    Proc("history",
+      Array(p("table", StringType)),
+      StructType(Seq(StructField("version", LongType),
+        StructField("op", StringType), StructField("ts_millis", LongType),
+        StructField("n_files_added", LongType), StructField("rows_added", LongType),
+        StructField("n_files_removed", LongType))),
+      (root, in) => {
+        TxLog.history(SparkSession.active, dirOf(root, in.getUTF8String(0).toString))
+          .collect().toSeq.map(r => new GenericInternalRow(Array[Any](
+            r.getLong(0), utf8(r.getString(1)), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))))
+      }),
+    Proc("clone",
+      Array(p("source", StringType), p("target", StringType),
+        pd("version", LongType, "-1")),
+      StructType(Seq(StructField("version", LongType))),
+      (root, in) => {
+        val v = in.getLong(2)
+        val committed = TxLog.shallowClone(
+          dirOf(root, in.getUTF8String(0).toString),
+          dirOf(root, in.getUTF8String(1).toString),
+          if (v < 0) None else Some(v))
+        Seq(new GenericInternalRow(Array[Any](committed)))
+      }),
+    Proc("restore",
+      Array(p("table", StringType), p("version", LongType)),
+      StructType(Seq(StructField("version", LongType))),
+      (root, in) => {
+        val committed = TxLog.restore(SparkSession.active,
+          dirOf(root, in.getUTF8String(0).toString), in.getLong(1))
+        Seq(new GenericInternalRow(Array[Any](committed)))
+      })
+  ).map(pr => pr.name -> pr).toMap
+
+  def load(root: String, ident: Identifier): UnboundProcedure =
+    procs.getOrElse(ident.name.toLowerCase,
+      throw new RuntimeException(
+        s"txlog catalog: no procedure ${ident.name}; available: " +
+          procs.keys.toSeq.sorted.mkString(", "))).unbound(root)
+
+  def list: Array[Identifier] =
+    procs.keys.toArray.sorted.map(n => Identifier.of(Array.empty, n))
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxLog
+
+/** `CALL <cat>.<proc>(…)` maintenance surface: optimize (with z-order),
+  * vacuum, purge_deletes, history, clone, restore — all from plain SQL,
+  * each returning a result relation; unknown procedures fail with the
+  * available list. */
+class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
+
+  private def freshCat(): (String, String) = {
+    val root = Files.createTempDirectory("graft-proc").toString
+    val cat = "prc" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  private def seed(root: String, slices: Int = 4): String = {
+    import spark.implicits._
+    val dir = s"$root/t"
+    (0 until slices).foreach { k =>
+      TxLog.append(spark, dir,
+        (0 until 50).map(i => (k * 1000L + i, s"v$i")).toDF("id", "s").repartition(1))
+    }
+    dir
+  }
+
+  test("CALL optimize compacts; CALL history reports the commits") {
+    val (cat, root) = freshCat()
+    val dir = seed(root)
+    val r = spark.sql(s"CALL $cat.optimize(`table` => 't')").head()
+    assert(r.getInt(0) === 4 && r.getInt(1) === 1)
+    assert(TxLog.snapshot(dir).files.size === 1)
+    val hist = spark.sql(s"CALL $cat.history(`table` => 't')").collect()
+    assert(hist.length === 5) // 4 appends + optimize
+    assert(hist.map(_.getString(1)).toSeq ===
+      Seq("append", "append", "append", "append", "optimize"))
+  }
+
+  test("CALL vacuum reclaims after compaction") {
+    val (cat, root) = freshCat()
+    seed(root)
+    spark.sql(s"CALL $cat.optimize(`table` => 't')")
+    // push old versions out of the retention window
+    (0 until 2).foreach(_ => spark.sql(s"INSERT INTO $cat.t VALUES (9999, 'x')"))
+    val deleted = spark.sql(s"CALL $cat.vacuum(`table` => 't', retain_versions => 2)")
+      .head().getLong(0)
+    assert(deleted >= 4L) // at least the four pre-compaction files
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 202L)
+  }
+
+  test("CALL purge_deletes rewrites DV files from SQL") {
+    val (cat, root) = freshCat()
+    val dir = seed(root, slices = 2)
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    // v1-translatable predicate hitting both files partially
+    spark.sql(s"DELETE FROM $cat.t WHERE id < 25 OR (id >= 1000 AND id < 1025)")
+    assert(TxLog.snapshot(dir).files.exists(_.dv.nonEmpty))
+    val r = spark.sql(s"CALL $cat.purge_deletes(`table` => 't')").head()
+    assert(r.getInt(0) === 2)
+    assert(TxLog.snapshot(dir).files.forall(_.dv.isEmpty))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 50L)
+  }
+
+  test("CALL clone + restore round-trip from SQL") {
+    val (cat, root) = freshCat()
+    seed(root, slices = 2)
+    val v = spark.sql(s"CALL $cat.clone(source => 't', target => 'dev')")
+      .head().getLong(0)
+    assert(v === 0L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.dev").head().getLong(0) === 100L)
+    spark.sql(s"INSERT INTO $cat.dev VALUES (777, 'w')")
+    spark.sql(s"CALL $cat.restore(`table` => 'dev', version => 0)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.dev").head().getLong(0) === 100L)
+  }
+
+  test("unknown procedure fails with the available list") {
+    val (cat, root) = freshCat()
+    seed(root, slices = 1)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.nonsense(`table` => 't')")
+    }
+    assert(e.getMessage.contains("no procedure") ||
+      (e.getCause != null && e.getCause.getMessage.contains("no procedure")))
+  }
+}
