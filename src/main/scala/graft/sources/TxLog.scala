@@ -2151,18 +2151,26 @@ object TxLog {
     * consumer that must see deletions diffs snapshots. [[update]]
     * commits contribute exactly their updated rows (the rewritten
     * unchanged remainder is dataChange=false). */
-  /** Relative paths of the `dataChange=true` files added in
-    * `(fromExclusive, toInclusive]` — the file set one streaming
-    * micro-batch of [[graft.sources.TxLogSource]] delivers. Same
-    * rewrite-exclusion rule as [[readChanges]]. */
+  /** The `dataChange=true` AddFiles of `(fromExclusive, toInclusive]` —
+    * the file set one streaming micro-batch of
+    * [[graft.sources.TxLogSource]] delivers. Same rewrite-exclusion
+    * rule as [[readChanges]]. Full AddFiles, not paths: a CLONE commit's
+    * initial adds may carry deletion vectors, and a path-only scan
+    * would deliver the dead rows back. */
   def changedFilesBetween(dir: String, fromExclusive: Long,
-      toInclusive: Long): Seq[String] = {
+      toInclusive: Long): Seq[AddFile] = {
     val (commits, _) = listLog(dir)
     commits.sorted.filter(v => v > fromExclusive && v <= toInclusive).flatMap { v =>
       parseAdds(parse(Files.readString(versionFile(dir, v))) \ "adds")
-        .filter(_.dataChange).map(_.path)
+        .filter(_.dataChange)
     }
   }
+
+  /** DV-aware scan of a batch's AddFiles under `snap`'s schema/mapping —
+    * the streaming source's entry ([[changedFilesBetween]]'s output). */
+  private[sources] def scanAdds(spark: SparkSession, dir: String,
+      snap: Snapshot, files: Seq[AddFile]): DataFrame =
+    scanFiles(spark, dir, snap, files)
 
   def readChanges(spark: SparkSession, dir: String,
       fromVersionExclusive: Long): DataFrame = {

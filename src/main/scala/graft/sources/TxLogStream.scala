@@ -299,13 +299,14 @@ class TxLogSource(spark: SparkSession, dir: String,
     // always advances from the committed position)
     val files = TxLog.changedFilesBetween(dir, from, to)
     // the engine asserts isStreaming=true on the returned frame; route
-    // the (lazy) batch scan through the one sanctioned shim
+    // the (lazy) batch scan through the one sanctioned shim. scanAdds
+    // applies deletion vectors carried by a clone commit's initial adds
+    // (append/update adds are always DV-free at their own version).
     val rdd =
       if (files.isEmpty)
         spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow]
       else
-        TxLog.scanPaths(spark, pinnedSnap,
-          files.map(f => java.nio.file.Paths.get(dir, f).toString))
+        TxLog.scanAdds(spark, dir, pinnedSnap, files)
           .queryExecution.toRdd
     org.apache.spark.sql.graft.GraftSqlShims.streamingDataFrame(spark, rdd, schema)
   }

@@ -115,6 +115,26 @@ class TxCloneSpec extends AnyFunSuite with SparkTestBase {
     assert(out.where("bucket = 1").count() === (0 until 10).count(_ % 3 == 1).toLong)
   }
 
+  test("streaming a cloned DV table delivers only live rows (no resurrection)") {
+    val root = tmp()
+    val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
+    TxLog.append(spark, src, df(0 until 30).repartition(1))
+    TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, src, "grp = 1")
+    TxLog.shallowClone(src, dst)
+    // fresh checkpoint streams the clone's v0 — its adds carry the DV
+    val q = spark.readStream.format("txlog").option("path", dst).load()
+      .writeStream.format("memory").queryName("clone_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("clone_stream").select("id")
+      .collect().map(_.getLong(0)).toSet
+    spark.catalog.dropTempView("clone_stream")
+    assert(got === (0L until 30L).toSet.filterNot(_ % 3 == 1))
+  }
+
   test("clone refuses an existing target") {
     val root = tmp()
     val (src, dst) = (s"$root/src", s"$root/dst")

@@ -150,7 +150,7 @@ class TxDmlSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.changedFilesBetween(dir, 0L, 2L).size === 1)
     val upd = spark.read.parquet(
       TxLog.changedFilesBetween(dir, 0L, 2L)
-        .map(p => java.nio.file.Paths.get(dir, p).toString): _*)
+        .map(f => java.nio.file.Paths.get(dir, f.path).toString): _*)
     assert(upd.count() === 1L && upd.head().getString(1) === "u7")
   }
 
