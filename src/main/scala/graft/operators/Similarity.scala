@@ -86,6 +86,63 @@ object Similarity {
       .where(col("cosine") < lit(dupCeiling)), k)
   }
 
+  /** Margin-based mining (Artetxe & Schwenk 2019 — the LASER/CCMatrix
+    * bitext-mining criterion, applied cross-label as paraphrase/pair
+    * mining): for each x-side vector, its best y-side partner scored by
+    * the RATIO MARGIN — cosine normalized by the mean of both
+    * endpoints' k-NN cosines — which suppresses hub vectors that are
+    * "close to everything" and fish up spurious pairs under a raw
+    * cosine threshold.
+    *
+    * DETERMINISM — cosines quantize to integer micro-units
+    * (`floor(cos·1e6 + 0.5)`, the q149 discipline: identical IEEE ops
+    * in any engine), every downstream step (top-k sums, the margin
+    * ratio `c·2k·1e6 div (Σ_F + Σ_B)`, ranking) is integer — bit-exact
+    * under any partitioning, replayable by a SQL oracle with no float
+    * tolerance. Pairs whose endpoint neighborhoods are net
+    * anti-correlated (Σ_F + Σ_B ≤ 0: margin undefined) drop.
+    *
+    * SCALE — this entry is the exact path: candidates = x × broadcast y
+    * (one scan of the big side; the pair relation is localCheckpointed
+    * once and reused by the forward sums, backward sums, and margins).
+    * At corpus scale, generate candidates with the ANN tiers first
+    * (bucketedTopK / ivfTopK) and feed the k-NN lists through the same
+    * margin arithmetic — the criterion only needs each endpoint's top-k
+    * cosines, which ANN already produces.
+    *
+    * Returns `(x_id, y_id, c_micro, margin_micro)` — the mined pair per
+    * x-side vector with `margin_micro > thresholdMicro` (1.05 in
+    * micro-units by default, the paper's working range). */
+  def marginMine(xs: DataFrame, ys: DataFrame, k: Int,
+      thresholdMicro: Long = 1050000L): DataFrame = {
+    require(k >= 1, "marginMine: k must be >= 1")
+    val x = validEmbeddings(xs)
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"))
+    val y = validEmbeddings(ys)
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_emb"))
+    val pairs = x.crossJoin(broadcast(y))
+      .selectExpr("x_id", "y_id",
+        "CAST(floor(cosine_sim(x_emb, y_emb) * CAST(1000000 AS DOUBLE) " +
+          "+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS c_micro")
+      .localCheckpoint(true)
+    val wf = Window.partitionBy("x_id").orderBy(col("c_micro").desc, col("y_id"))
+    val sumF = pairs.withColumn("r", row_number().over(wf))
+      .where(col("r") <= k).groupBy("x_id").agg(sum("c_micro").as("sf"))
+    val wb = Window.partitionBy("y_id").orderBy(col("c_micro").desc, col("x_id"))
+    val sumB = pairs.withColumn("r", row_number().over(wb))
+      .where(col("r") <= k).groupBy("y_id").agg(sum("c_micro").as("sb"))
+    val margins = pairs
+      .join(sumF, "x_id").join(sumB, "y_id")
+      .where(col("sf") + col("sb") > 0)
+      .withColumn("margin_micro",
+        expr(s"(c_micro * ${2L * k} * 1000000) div (sf + sb)"))
+    val best = Window.partitionBy("x_id")
+      .orderBy(col("margin_micro").desc, col("y_id"))
+    margins.withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1 && col("margin_micro") > thresholdMicro)
+      .select("x_id", "y_id", "c_micro", "margin_micro")
+  }
+
   /** ANN via a precomputed bucket column present on BOTH inputs (e.g.
     * q60's hyperplane buckets): candidates = same-bucket vectors only. */
   def bucketedTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {

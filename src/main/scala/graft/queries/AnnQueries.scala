@@ -89,7 +89,55 @@ object AnnQueries {
                FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")
     })
   ) :+ ivfSpec :+ semanticDedupSpec :+ pqSpec :+ graphSpec :+ hybridSpec :+
-    pcaSpec :+ hardNegSpec
+    pcaSpec :+ hardNegSpec :+ marginSpec
+
+  // ---- margin-based pair mining (LASER/CCMatrix criterion) --------------
+  // Ratio margin = cosine over the mean of both endpoints' k-NN cosines
+  // (suppresses hubs that fish up spurious pairs under a raw-cosine
+  // bar). Everything after the micro-quantization of the cosine is
+  // integer, so the oracle replays the identical top-k sums, margin
+  // division, and ranking with no float tolerance anywhere.
+  private lazy val marginSpec: QuerySpec = QuerySpec("q169_margin_mining", { (s, dir) =>
+    val e = Td.load(s, dir, "embeddings")
+    graft.operators.Similarity.marginMine(
+        e.filter(col("label") === 0), e.filter(col("label") === 1),
+        k = 4, thresholdMicro = 1050000L)
+      .orderBy("x_id")
+  }, {
+    val d = DuckSql
+    val k = 4
+    Some(s"""WITH e AS (
+               SELECT vec_id, label, embedding,
+                      sqrt(${d.dsum(d.zipMul("embedding", "embedding"))}) AS nrm
+               FROM embeddings WHERE ${vOK(d)}),
+             x AS (SELECT vec_id AS x_id, embedding AS x_emb, nrm AS x_nrm
+                   FROM e WHERE label = 0),
+             y AS (SELECT vec_id AS y_id, embedding AS y_emb, nrm AS y_nrm
+                   FROM e WHERE label = 1),
+             pairs AS (
+               SELECT x_id, y_id,
+                      CAST(floor(${d.dsum(d.zipMul("x_emb", "y_emb"))} / (x_nrm * y_nrm)
+                                 * 1000000 + 0.5) AS BIGINT) AS c_micro
+               FROM x CROSS JOIN y),
+             fr AS (SELECT x_id, c_micro,
+                           row_number() OVER (PARTITION BY x_id
+                             ORDER BY c_micro DESC, y_id) AS r FROM pairs),
+             sf AS (SELECT x_id, sum(c_micro) AS sf FROM fr WHERE r <= $k GROUP BY x_id),
+             br AS (SELECT y_id, c_micro,
+                           row_number() OVER (PARTITION BY y_id
+                             ORDER BY c_micro DESC, x_id) AS r FROM pairs),
+             sb AS (SELECT y_id, sum(c_micro) AS sb FROM br WHERE r <= $k GROUP BY y_id),
+             margins AS (
+               SELECT p.x_id, p.y_id, p.c_micro,
+                      CAST((p.c_micro * ${2 * k} * 1000000) // (sf.sf + sb.sb) AS BIGINT) AS margin_micro
+               FROM pairs p JOIN sf ON p.x_id = sf.x_id JOIN sb ON p.y_id = sb.y_id
+               WHERE sf.sf + sb.sb > 0),
+             best AS (SELECT *, row_number() OVER (PARTITION BY x_id
+                        ORDER BY margin_micro DESC, y_id) AS rn FROM margins)
+             SELECT x_id, y_id, c_micro, margin_micro
+             FROM best WHERE rn = 1 AND margin_micro > 1050000
+             ORDER BY x_id""")
+  })
 
   // ---- contrastive hard-negative mining ---------------------------------
   // The DPR/E5/SimCSE training-pair step: per query, top-k most-similar
