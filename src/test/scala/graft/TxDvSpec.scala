@@ -270,6 +270,27 @@ class TxDvSpec extends AnyFunSuite with SparkTestBase {
       TxLog.readChangeFeed(spark, dir2, 0L).collect())
   }
 
+  test("auto-compaction over DV-bearing small files purges them without losing rows") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 40).repartition(1))
+    TxLog.setProperties(dir, Map(
+      TxLog.DeletionVectors.Enabled -> "true",
+      TxLog.AutoOptimize.Enabled -> "true",
+      TxLog.AutoOptimize.MinSmallFiles -> "3",
+      TxLog.AutoOptimize.SmallFileBytes -> (1L << 30).toString,
+      TxLog.AutoOptimize.TargetBytes -> (1L << 40).toString))
+    TxLog.delete(spark, dir, "grp = 1") // DV on the only file
+    // appends push the small-file count past the trigger; the compaction
+    // consumes the DV-bearing file through the filtered scan
+    TxLog.append(spark, dir, df(100 until 110).repartition(1))
+    TxLog.append(spark, dir, df(200 until 210).repartition(1))
+    val snap = TxLog.snapshot(dir)
+    assert(snap.files.forall(_.dv.isEmpty), "compaction must purge the DV")
+    assert(idSet(TxLog.read(spark, dir)) ===
+      ((0L until 40L).toSet.filterNot(_ % 3 == 1) ++
+        (100L until 110L) ++ (200L until 210L)))
+  }
+
   test("no-match DV DML is a no-op without a commit") {
     val dir = dvTable(0 until 10)
     assert(TxLog.delete(spark, dir, "id = 999") === 1L)
