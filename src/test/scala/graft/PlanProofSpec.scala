@@ -123,6 +123,30 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
       df.queryExecution.sparkPlan.toString.take(1200))
   }
 
+  test("DV reads: clean tables scan join-free; DV tables broadcast the position list") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-dvplan").toString
+    val dir = s"$root/t"
+    graft.sources.TxLog.append(spark, dir,
+      (0 until 5000).map(i => (i.toLong, s"v$i")).toDF("id", "s").repartition(1))
+    // clean table: the read is a bare parquet scan — no join node at all
+    val clean = graft.sources.TxLog.read(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!clean.contains("Join"), s"clean TxLog read grew a join:\n$clean")
+    // DV table: the dead-position list joins as a BROADCAST anti-join
+    // (AQE sees the tiny dv parquet and picks the broadcast build) —
+    // never a shuffled join of the data side for a small DV
+    graft.sources.TxLog.setProperties(dir,
+      Map(graft.sources.TxLog.DeletionVectors.Enabled -> "true"))
+    graft.sources.TxLog.delete(spark, dir, "id % 100 = 3")
+    val df = graft.sources.TxLog.read(spark, dir)
+    df.queryExecution.toRdd.count() // settle AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV read did not broadcast the position list:\n$plan")
+    assert(df.count() === 4950L)
+  }
+
   test("q106: global top-10 plans TakeOrderedAndProject, never a global sort") {
     val plan = planOf("q106_tpch_q3")
     assert(plan.contains("TakeOrderedAndProject"),
