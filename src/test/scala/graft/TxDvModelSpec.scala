@@ -28,6 +28,11 @@ class TxDvModelSpec extends AnyFunSuite with SparkTestBase {
     var model = Map.empty[Long, Row]
     var nextId = 0L
     var dvOn = false
+    // last few (version -> model) snapshots; restore targets stay within
+    // the vacuum retention window (retainVersions = 3 → latest-2)
+    var history = Vector.empty[(Long, Map[Long, Row])]
+    def record(): Unit =
+      history = (history :+ (TxLog.latestVersion(dir) -> model)).takeRight(4)
 
     def appendBatch(n: Int): Unit = {
       val rows = (0 until n).map { _ =>
@@ -47,9 +52,10 @@ class TxDvModelSpec extends AnyFunSuite with SparkTestBase {
     }
 
     appendBatch(40)
-    val ops = 60
+    record()
+    val ops = 70
     (0 until ops).foreach { i =>
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 | 1 =>
           appendBatch(1 + rnd.nextInt(12))
         case 2 =>
@@ -63,7 +69,8 @@ class TxDvModelSpec extends AnyFunSuite with SparkTestBase {
           TxLog.delete(spark, dir, s"grp = $g AND id % 3 = $m")
           model = model.filterNot { case (_, r) => r.grp == g && r.id % 3 == m }
         case 5 =>
-          val ids = model.keys.toSeq.sorted.filter(_ % 7 == rnd.nextInt(7))
+          val sel = rnd.nextInt(7)
+          val ids = model.keys.toSeq.sorted.filter(_ % 7 == sel)
           if (ids.nonEmpty) {
             TxLog.deleteKeys(spark, dir, ids.toDF("id"), "id")
             model --= ids
@@ -81,7 +88,17 @@ class TxDvModelSpec extends AnyFunSuite with SparkTestBase {
           TxLog.purgeDeletes(spark, dir): Unit
         case 9 =>
           TxLog.vacuum(dir, retainVersions = 3, staleStagingMillis = 0L): Unit
+        case 10 =>
+          // RESTORE to a retained version; the model rewinds with it
+          val latest = TxLog.latestVersion(dir)
+          val cands = history.filter(_._1 >= latest - 2)
+          if (cands.nonEmpty) {
+            val (v, m) = cands(rnd.nextInt(cands.size))
+            TxLog.restore(spark, dir, v)
+            model = m
+          }
       }
+      record()
       if (i % 6 == 5) check()
     }
     check()
