@@ -909,6 +909,37 @@ object TxQueries {
                   SELECT c_custkey FROM customer WHERE c_custkey % 13 = 2))
               SELECT c_mktsegment, count(*) AS n_rows,
                      CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
-              FROM survivors GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+              FROM survivors GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- CONVERT TO the format -------------------------------------------
+    // A plain parquet export (what every existing job already produces)
+    // adopted as a transactional table with zero data copy, then
+    // exercised as one: a row-level DELETE lands on the converted files
+    // and the aggregate runs over the survivors — a conversion that
+    // dropped a file, mis-linked one, or produced stats that misprune
+    // all break the hash; the v0 count pins the adopted state.
+    QuerySpec("q170_convert", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q170").toString + "/t"
+      Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4).write.parquet(root)
+      TxLog.convertFromParquet(s, root)
+      TxLog.delete(s, root, "o_orderkey % 6 = 2")
+      val live = TxLog.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("sum_price"))
+      val v0 = TxLog.read(s, root, versionAsOf = Some(0L))
+        .agg(count(lit(1)).cast("long").as("v0_rows"))
+      live.crossJoin(v0).orderBy("o_orderstatus")
+    },
+      Some("""WITH v0 AS (SELECT CAST(count(*) AS BIGINT) AS v0_rows FROM orders)
+              SELECT o_orderstatus, count(*) AS n_rows,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     v0.v0_rows
+              FROM orders CROSS JOIN v0
+              WHERE NOT (o_orderkey % 6 = 2)
+              GROUP BY o_orderstatus, v0.v0_rows
+              ORDER BY o_orderstatus"""))
   )
 }

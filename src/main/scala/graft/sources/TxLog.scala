@@ -1405,6 +1405,51 @@ object TxLog {
     true
   }
 
+  /** CONVERT TO the transactional format (Delta's `CONVERT TO DELTA`):
+    * adopt a directory of PLAIN PARQUET files — the layout every
+    * existing export/ingest job already produces — as a TxLog table,
+    * with zero data copy. Every `*.parquet` at the directory root (and
+    * one level of subdirectories) HARD-LINKS into one managed
+    * `d-convert-*` subdir — preserving the format's two-component
+    * relative-path invariant that stats, DML position lists, and vacuum
+    * rely on — then one distributed stats pass over exactly those files
+    * feeds commit 0 (op `convert`, schema from the parquet footers).
+    * The original loose files stay untouched and UNREFERENCED (the log
+    * owns the links; delete the originals whenever convenient — the
+    * shared inodes keep the bytes). After conversion the directory is a
+    * full table: append/DML/OPTIMIZE/time travel all apply; the
+    * conversion itself is the table's version 0. */
+  def convertFromParquet(spark: SparkSession, dir: String): Long = {
+    require(latestVersion(dir) < 0, s"convert: $dir already has a committed log")
+    val root = Paths.get(dir)
+    require(Files.isDirectory(root), s"convert: $dir is not a directory")
+    def parquetsIn(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList.sortBy(_.getFileName.toString).flatMap { f =>
+        if (Files.isDirectory(f)) parquetsIn(f)
+        else if (f.getFileName.toString.endsWith(".parquet")) Seq(f)
+        else Nil
+      } finally s.close()
+    }
+    val files = parquetsIn(root)
+    require(files.nonEmpty, s"convert: no parquet files under $dir")
+    val schema = spark.read.parquet(files.map(_.toString): _*).schema
+    val sub = s"d-convert-${UUID.randomUUID().toString.take(8)}"
+    Files.createDirectories(root.resolve(sub))
+    files.zipWithIndex.foreach { case (f, i) =>
+      // index prefix: files from different subdirs may share a name
+      Files.createLink(root.resolve(sub).resolve(f"c$i%05d-${f.getFileName}"), f): Unit
+    }
+    val adds = collectAdds(spark, dir, sub, schema)
+    val content = commitJson(0L, "convert", System.currentTimeMillis(), adds, Nil,
+      Some(schema.toDDL))
+    if (tryPublish(dir, 0L, content)) 0L
+    else {
+      deleteStaged(dir, sub)
+      throw new TableExistsException(s"$dir was converted concurrently")
+    }
+  }
+
   /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src`): a new
     * independent table over the SOURCE's data files with zero data
     * copy — O(files) metadata work regardless of table size, the
