@@ -125,6 +125,16 @@ private[sources] object TxProcedures {
         val committed = TxLog.restore(SparkSession.active,
           dirOf(root, in.getUTF8String(0).toString), in.getLong(1))
         Seq(new GenericInternalRow(Array[Any](committed)))
+      }),
+    Proc("convert",
+      Array(p("table", StringType)),
+      StructType(Seq(StructField("version", LongType),
+        StructField("files", IntegerType))),
+      (root, in) => {
+        val dir = dirOf(root, in.getUTF8String(0).toString)
+        val v = TxLog.convertFromParquet(SparkSession.active, dir)
+        Seq(new GenericInternalRow(Array[Any](v,
+          TxLog.snapshot(dir).files.size)))
       })
   ).map(pr => pr.name -> pr).toMap
 

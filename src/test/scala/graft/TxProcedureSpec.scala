@@ -79,6 +79,18 @@ class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.dev").head().getLong(0) === 100L)
   }
 
+  test("CALL convert adopts a plain parquet directory") {
+    import spark.implicits._
+    val (cat, root) = freshCat()
+    (0 until 80).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .repartition(2).write.parquet(s"$root/raw")
+    val r = spark.sql(s"CALL $cat.convert(`table` => 'raw')").head()
+    assert(r.getLong(0) === 0L && r.getInt(1) === 2)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.raw").head().getLong(0) === 80L)
+    spark.sql(s"INSERT INTO $cat.raw VALUES (999, 'x')")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.raw").head().getLong(0) === 81L)
+  }
+
   test("unknown procedure fails with the available list") {
     val (cat, root) = freshCat()
     seed(root, slices = 1)
