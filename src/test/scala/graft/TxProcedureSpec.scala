@@ -91,6 +91,14 @@ class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.raw").head().getLong(0) === 81L)
   }
 
+  test("SHOW PROCEDURES lists the maintenance surface") {
+    val (cat, _) = freshCat()
+    val names = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
+      .map(_.getString(3)).toSet
+    assert(names === Set("optimize", "vacuum", "purge_deletes", "history",
+      "clone", "restore", "convert"))
+  }
+
   test("unknown procedure fails with the available list") {
     val (cat, root) = freshCat()
     seed(root, slices = 1)

@@ -131,6 +131,23 @@ class TxSqlDmlSpec extends AnyFunSuite with SparkTestBase {
       .head().getLong(0) === (0 until 20).count(_ % 3 == 1).toLong)
   }
 
+  test("SQL UPDATE and MERGE work through a column mapping (renamed column)") {
+    import spark.implicits._
+    val (cat, root) = freshCat()
+    val dir = seed(root)
+    TxLog.renameColumn(dir, "grp", "bucket")
+    spark.sql(s"UPDATE $cat.t SET s = concat(s, '!') WHERE bucket = 1")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE s LIKE '%!'")
+      .head().getLong(0) === (0 until 20).count(_ % 3 == 1).toLong)
+    Seq((7L, "MERGED", 70L)).toDF("id", "s", "bucket")
+      .createOrReplaceTempView("src_mapped")
+    spark.sql(s"""MERGE INTO $cat.t USING src_mapped ON t.id = src_mapped.id
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *""")
+    val r = spark.sql(s"SELECT s, bucket FROM $cat.t WHERE id = 7").head()
+    assert((r.getString(0), r.getLong(1)) === (("MERGED", 70L)))
+  }
+
   test("constraints gate SQL UPDATE; a violation leaves the table untouched") {
     val (cat, root) = freshCat()
     val dir = seed(root)
