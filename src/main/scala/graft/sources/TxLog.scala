@@ -2085,9 +2085,14 @@ object TxLog {
     * reclaims never-referenced staging left by CRASHED writers once it
     * is old enough that no live writer can still be about to commit it
     * (Delta's vacuum-of-untracked-files rule). Returns the deleted
-    * relative paths. */
+    * relative paths.
+    *
+    * `dryRun=true` (Delta's `VACUUM … DRY RUN`) computes and returns
+    * the SAME list without deleting anything — the operational
+    * pre-check before an irreversible reclamation. */
   def vacuum(dir: String, retainVersions: Int = 2,
-      staleStagingMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+      staleStagingMillis: Long = 7L * 24 * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
     val (commits, _) = listLog(dir)
     if (commits.isEmpty) return Nil
     val latest = commits.max
@@ -2112,15 +2117,17 @@ object TxLog {
     val keptDvDirs = retainedSnaps.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet
     val referencedDvDirs = commits.flatMap(v =>
       parseAdds(commitJsons(v) \ "adds").flatMap(_.dv.map(_.path))).toSet
-    val expiredDv = (referencedDvDirs -- keptDvDirs).toSeq.sorted
+    val expiredDvDirs = (referencedDvDirs -- keptDvDirs).toSeq.sorted
       .filter(sub => Files.isDirectory(Paths.get(dir, sub)))
-      .flatMap { sub =>
-        val inDir = listStaged(dir, sub).map(n => s"$sub/$n")
-        deleteStaged(dir, sub)
-        inDir
-      }
+    val expiredDv = expiredDvDirs.flatMap { sub =>
+      val inDir = listStaged(dir, sub).map(n => s"$sub/$n")
+      if (!dryRun) deleteStaged(dir, sub)
+      inDir
+    }
     val expired = (referenced -- kept).toSeq.sorted
-      .filter(rel => Files.deleteIfExists(Paths.get(dir, rel))) ++ expiredDv
+      .filter(rel =>
+        if (dryRun) Files.exists(Paths.get(dir, rel))
+        else Files.deleteIfExists(Paths.get(dir, rel))) ++ expiredDv
 
     // Dead staging: parquet under d-*/ that NO commit ever referenced,
     // older than the staleness window (an in-flight writer's fresh
@@ -2147,6 +2154,7 @@ object TxLog {
           .toList.sorted
       } finally ds.close()
     }
+    if (dryRun) return expired ++ orphans
     val reclaimed = orphans.filter(rel => Files.deleteIfExists(Paths.get(dir, rel)))
     // Drop directories the reclamation emptied.
     reclaimed.map(rel => Paths.get(dir, rel).getParent).distinct.foreach { d =>

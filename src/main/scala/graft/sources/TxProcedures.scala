@@ -77,11 +77,12 @@ private[sources] object TxProcedures {
         Seq(new GenericInternalRow(Array[Any](b, a)))
       }),
     Proc("vacuum",
-      Array(p("table", StringType), pd("retain_versions", IntegerType, "2")),
+      Array(p("table", StringType), pd("retain_versions", IntegerType, "2"),
+        pd("dry_run", BooleanType, "false")),
       StructType(Seq(StructField("deleted_files", LongType))),
       (root, in) => {
         val deleted = TxLog.vacuum(dirOf(root, in.getUTF8String(0).toString),
-          retainVersions = in.getInt(1))
+          retainVersions = in.getInt(1), dryRun = in.getBoolean(2))
         Seq(new GenericInternalRow(Array[Any](deleted.size.toLong)))
       }),
     Proc("purge_deletes",

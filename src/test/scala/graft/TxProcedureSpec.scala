@@ -42,14 +42,21 @@ class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
       Seq("append", "append", "append", "append", "optimize"))
   }
 
-  test("CALL vacuum reclaims after compaction") {
+  test("CALL vacuum reclaims after compaction; DRY RUN predicts without deleting") {
     val (cat, root) = freshCat()
     seed(root)
     spark.sql(s"CALL $cat.optimize(`table` => 't')")
     // push old versions out of the retention window
     (0 until 2).foreach(_ => spark.sql(s"INSERT INTO $cat.t VALUES (9999, 'x')"))
+    val wouldDelete = spark.sql(
+      s"CALL $cat.vacuum(`table` => 't', retain_versions => 2, dry_run => true)")
+      .head().getLong(0)
+    // dry run deleted NOTHING: time travel to version 0 still works
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t VERSION AS OF 0")
+      .head().getLong(0) === 50L)
     val deleted = spark.sql(s"CALL $cat.vacuum(`table` => 't', retain_versions => 2)")
       .head().getLong(0)
+    assert(deleted === wouldDelete) // the prediction was exact
     assert(deleted >= 4L) // at least the four pre-compaction files
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 202L)
   }
