@@ -17,10 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   CALL tx.optimize(`table` => 't', zorder_by => 'x,y')
   *   CALL tx.vacuum(`table` => 't', retain_versions => 4)
+  *   CALL tx.vacuum(`table` => 't', dry_run => true)   -- predict only
   *   CALL tx.purge_deletes(`table` => 't')
   *   CALL tx.history(`table` => 't')
   *   CALL tx.clone(source => 't', target => 'dev_t')
   *   CALL tx.restore(`table` => 't', version => 3)
+  *   CALL tx.convert(`table` => 'raw_parquet_dir')
   * }}}
   * Each returns a result relation (a `LocalScan` of the outcome —
   * Spark renders it like a query result). Table names resolve against
