@@ -148,6 +148,29 @@ class TxSqlDmlSpec extends AnyFunSuite with SparkTestBase {
     assert((r.getString(0), r.getLong(1)) === (("MERGED", 70L)))
   }
 
+  test("expression rendering round-trips quotes, typed literals, and nested CASE") {
+    import spark.implicits._
+    val (cat, root) = freshCat()
+    TxLog.append(spark, s"$root/q",
+      Seq((1L, "plain"), (2L, "it's")).toDF("id", "s"))
+    // embedded single quote in both WHERE and SET literals
+    spark.sql(s"UPDATE $cat.q SET s = 'x''y' WHERE s = 'it''s'")
+    assert(TxLog.read(spark, s"$root/q").where("id = 2").head().getString(1) === "x'y")
+    // typed date literal + function call in the predicate
+    TxLog.append(spark, s"$root/d",
+      Seq((1L, java.sql.Date.valueOf("2024-01-15")),
+        (2L, java.sql.Date.valueOf("2023-06-01"))).toDF("id", "dt"))
+    spark.sql(s"UPDATE $cat.d SET id = id + 10 " +
+      "WHERE dt >= DATE'2024-01-01' AND year(dt) = 2024")
+    assert(TxLog.read(spark, s"$root/d").select("id").collect()
+      .map(_.getLong(0)).toSet === Set(11L, 2L))
+    // nested CASE + function composition in SET
+    spark.sql(s"UPDATE $cat.q SET s = CASE WHEN length(s) > 3 " +
+      "THEN upper(substring(s, 1, 2)) ELSE s END")
+    assert(TxLog.read(spark, s"$root/q").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap === Map(1L -> "PL", 2L -> "x'y"))
+  }
+
   test("constraints gate SQL UPDATE; a violation leaves the table untouched") {
     val (cat, root) = freshCat()
     val dir = seed(root)
