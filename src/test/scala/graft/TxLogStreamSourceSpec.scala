@@ -127,6 +127,33 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
       (9L until 11L).toSet)
   }
 
+  test("startingVersion composes with readChangeFeed: the feed starts mid-log") {
+    val root = Files.createTempDirectory("graft-txsvcdf").toString
+    val table = s"$root/t"
+    TxLog.append(spark, table, df(0 until 4))  // v0
+    TxLog.setProperties(table, Map(TxLog.Cdf.Enabled -> "true")) // v1
+    TxLog.append(spark, table, df(10 until 14)) // v2
+    TxLog.delete(spark, table, "id = 11")       // v3 (delete change rows)
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+    val q = spark.readStream.format("txlog").option("path", table)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id", TxLog.ChangeTypeCol).collect()
+          .foreach(r => got.add((r.getLong(0), r.getString(1)))): Unit
+      }
+      .option("checkpointLocation", s"$root/c")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    // only versions >= 2: v2's inserts and v3's deletion — v0's backlog
+    // inserts never appear
+    assert(got.asScala.toSet ===
+      ((10L until 14L).map(_ -> "insert").toSet + (11L -> "delete")))
+  }
+
   test("startingVersion=latest delivers only post-start commits") {
     val root = Files.createTempDirectory("graft-txsl").toString
     val table = s"$root/t"
