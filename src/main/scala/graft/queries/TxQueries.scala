@@ -940,6 +940,62 @@ object TxQueries {
               FROM orders CROSS JOIN v0
               WHERE NOT (o_orderkey % 6 = 2)
               GROUP BY o_orderstatus, v0.v0_rows
-              ORDER BY o_orderstatus"""))
+              ORDER BY o_orderstatus""")),
+
+    // ---- optimistic conflict RESOLUTION for DML ----------------------------
+    // Interleaved multi-writer history: a DELETE pinned at v0 races an
+    // append (v1) and REBASES instead of failing; an UPDATE pinned at the
+    // delete's result races another append and rebases too. The oracle
+    // replays the SERIAL order the rebase guarantees (each DML applies to
+    // exactly its read snapshot's rows; the racing appends' rows ride
+    // through untouched even where they match the predicates), and
+    // n_versions pins the log shape — a rebase that double-applied,
+    // dropped a winner's rows, or silently merged commits breaks the hash.
+    QuerySpec("q171_concurrent_dml", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q171").toString + "/t"
+      val li = Td.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .localCheckpoint(true)
+      TxLog.append(s, root, li.where("l_orderkey % 4 IN (0, 1)").repartition(4)) // v0
+      TxLog.append(s, root, li.where("l_orderkey % 4 = 2").repartition(2))       // v1 wins
+      // the delete read v0; the rebase lands it at v2
+      TxLog.deleteAt(s, root, "l_returnflag = 'R' AND l_linenumber = 1",
+        readVersion = 0L)
+      TxLog.append(s, root, li.where("l_orderkey % 4 = 3").repartition(2))       // v3 wins
+      // the update read v2; the rebase lands it at v4
+      TxLog.updateAt(s, root, "l_returnflag = 'A'",
+        Map("l_quantity" -> "l_quantity + 1"), readVersion = 2L)
+      TxLog.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .withColumn("n_versions", lit(TxLog.latestVersion(root)))
+        .orderBy("l_returnflag")
+    },
+      Some("""WITH base AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+                FROM lineitem WHERE l_orderkey % 4 IN (0, 1)),
+              w1 AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+                FROM lineitem WHERE l_orderkey % 4 = 2),
+              w2 AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+                FROM lineitem WHERE l_orderkey % 4 = 3),
+              after_delete AS (
+                -- serial order: DELETE before the v1 append — w1 rows
+                -- survive even where they match the delete predicate
+                SELECT * FROM base
+                WHERE NOT (l_returnflag = 'R' AND l_linenumber = 1)
+                UNION ALL SELECT * FROM w1),
+              after_update AS (
+                -- serial order: UPDATE before the v3 append
+                SELECT l_returnflag,
+                       CASE WHEN l_returnflag = 'A' THEN l_quantity + 1
+                            ELSE l_quantity END AS l_quantity
+                FROM after_delete
+                UNION ALL SELECT l_returnflag, l_quantity FROM w2)
+              SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                     CAST(4 AS BIGINT) AS n_versions
+              FROM after_update GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -84,9 +84,12 @@ import org.json4s.jackson.JsonMethods.{compact, parse, render}
 object TxLog {
 
   /** A writer lost the optimistic-concurrency race in a way that cannot
-    * be rebased: an overwrite raced ANY commit, or an OPTIMIZE's input
-    * files were removed by a concurrent rewrite. The loser's staged
-    * files are cleaned up; no partial state is published. */
+    * be rebased: an overwrite raced ANY commit; an OPTIMIZE's input
+    * files were removed by a concurrent rewrite; or a row-level DML's
+    * touched files / schema / properties changed under it (appends and
+    * disjoint compactions REBASE — see [[commitDmlRebase]]). The
+    * loser's staged files are cleaned up; no partial state is
+    * published. */
   final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
   /** Incoming DataFrame's schema (names + types, in order) differs from
@@ -1095,6 +1098,84 @@ object TxLog {
       s"$op of $dir lost $maxCommitAttempts consecutive commit races")
   }
 
+  /** Optimistic-concurrency commit for row-level DML (delete / update /
+    * merge): claim readSnap.version+1 first (zero extra log reads on the
+    * uncontended path); on a lost race, re-read the winner's state and
+    * REBASE when the histories are logically disjoint instead of
+    * failing — the Delta conflict-checker discipline that keeps a busy
+    * table's own auto-compaction (or a streaming sink's appends) from
+    * failing a concurrent GDPR DELETE. Rebase is legal iff:
+    *  - the schema and table properties are unchanged since the read
+    *    snapshot (a concurrent evolve / constraint / CDF toggle would
+    *    invalidate the staged rewrite or its validation);
+    *  - every TOUCHED input file is still live with an IDENTICAL
+    *    deletion-vector pointer (same path + different DV means a
+    *    concurrent merge-on-read DML changed rows under us);
+    *  - for keyed MERGE additionally: no dataChange file the winners
+    *    added carries a source key (one scan bounded by the winners'
+    *    commit volume — layout rewrites contribute nothing) — rebasing
+    *    over a matching insert would leave DUPLICATE KEYS behind;
+    *  - for txn-tagged merge: the winners did not already commit this
+    *    (appId, batchId) — a zombie twin's rebase must not double it.
+    * Append-class winners therefore always rebase under a DELETE /
+    * UPDATE (the WriteSerializable order: the DML serializes BEFORE the
+    * append — rows the winner inserted are not matched, exactly Delta's
+    * semantics), and compactions rebase unless they consumed a touched
+    * file. Throws [[ConcurrentWriteException]] when the histories
+    * genuinely cross; staged cleanup stays with the caller (the helper
+    * never deletes data a published commit owns). */
+  private def commitDmlRebase(spark: SparkSession, dir: String, op: String,
+      readSnap: Snapshot, touched: Seq[AddFile], removes: Seq[String],
+      adds: Seq[AddFile], cdf: Seq[AddFile], txn: Option[(String, Long)],
+      protocol: Option[Long], sourceKeys: Option[(DataFrame, String)]): Long = {
+    val touchedDv: Map[String, Option[Dv]] = touched.map(f => f.path -> f.dv).toMap
+    var cur = readSnap
+    var tries = 0
+    while (tries < maxCommitAttempts) {
+      if (cur.version != readSnap.version) {
+        if (cur.schemaDdl != readSnap.schemaDdl)
+          throw new ConcurrentWriteException(
+            s"$op on $dir conflicted: the schema changed concurrently " +
+              s"(read version ${readSnap.version}, head ${cur.version})")
+        if (cur.props != readSnap.props)
+          throw new ConcurrentWriteException(
+            s"$op on $dir conflicted: table properties changed concurrently " +
+              s"(read version ${readSnap.version}, head ${cur.version})")
+        txn.foreach { case (app, b) =>
+          if (cur.txns.get(app).exists(_ >= b))
+            throw new ConcurrentWriteException(
+              s"$op on $dir: batch $b of $app was committed concurrently " +
+                "(zombie twin) — the caller's idempotence check routes the retry")
+        }
+        val liveNow: Map[String, Option[Dv]] = cur.files.map(f => f.path -> f.dv).toMap
+        if (!touchedDv.forall { case (p, d) => liveNow.get(p).contains(d) })
+          throw new ConcurrentWriteException(
+            s"$op on $dir conflicted: a touched file was removed or DML'd " +
+              s"concurrently (versions ${readSnap.version + 1}..${cur.version})")
+        sourceKeys.foreach { case (keys, keyCol) =>
+          val winnerAdds = changedFilesBetween(dir, readSnap.version, cur.version)
+          if (winnerAdds.nonEmpty &&
+              !scanFiles(spark, dir, cur, winnerAdds)
+                .join(keys, Seq(keyCol), "left_semi").isEmpty)
+            throw new ConcurrentWriteException(
+              s"$op on $dir conflicted: a concurrent commit inserted rows " +
+                "matching the merge keys — rebasing would leave duplicates")
+        }
+      }
+      val attempt = cur.version + 1
+      val content = commitJson(attempt, op, System.currentTimeMillis(),
+        adds, removes, None, txn, None, protocol, cdf)
+      if (tryPublish(dir, attempt, content)) {
+        maybeCheckpoint(dir, attempt)
+        return attempt
+      }
+      tries += 1
+      cur = snapshot(dir)
+    }
+    throw new ConcurrentWriteException(
+      s"$op on $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
   /** REORG TABLE … APPLY (PURGE): rewrite ONLY the files carrying
     * deletion vectors into clean files (dead rows physically dropped,
     * descriptors gone), leaving every DV-free file untouched. The
@@ -1272,8 +1353,11 @@ object TxLog {
     *
     * Duplicate keys in `source` are rejected (the Delta multiple-match
     * error); NULL source keys are rejected (a NULL key matches nothing
-    * and would silently turn the upsert into a blind insert). Non-blind
-    * write → overwrite conflict rule. Returns the committed version. */
+    * and would silently turn the upsert into a blind insert). Conflicts
+    * rebase via [[commitDmlRebase]]: concurrent appends/compactions that
+    * neither touch a matched file nor insert a source key are absorbed;
+    * genuinely crossing histories throw. Returns the committed
+    * version. */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       keyCol: String): Long = mergeImpl(spark, dir, source, keyCol, None)
 
@@ -1282,9 +1366,11 @@ object TxLog {
     * None) instead of re-merging, which makes an at-least-once
     * foreachBatch CDC stream an exactly-once keyed sink. Same
     * checkpoint-loss caveat as appendBatch (batchId→content determinism
-    * required); same overwrite-class conflict rule as merge — a
-    * concurrent commit aborts the batch, the stream's retry replays it,
-    * and the txn check then routes it correctly. */
+    * required); same rebase rule as merge — a disjoint concurrent
+    * commit is absorbed, a crossing one aborts the batch, the stream's
+    * retry replays it, and the txn check then routes it correctly
+    * ([[commitDmlRebase]] re-checks the txn high-water mark inside the
+    * rebase loop, so a zombie twin cannot double-commit a batch). */
   def mergeBatch(spark: SparkSession, dir: String, source: DataFrame,
       keyCol: String, appId: String, batchId: Long): Option[Long] = {
     val pre = headSnapshot(dir)
@@ -1292,9 +1378,16 @@ object TxLog {
     Some(mergeImpl(spark, dir, source, keyCol, Some((appId, batchId))))
   }
 
+  /** [[merge]] with the read version explicit — the race-test seam. */
+  private[graft] def mergeAt(spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String, readVersion: Long,
+      txn: Option[(String, Long)] = None): Long =
+    mergeImpl(spark, dir, source, keyCol, txn, Some(readVersion))
+
   private def mergeImpl(spark: SparkSession, dir: String, source: DataFrame,
-      keyCol: String, txn: Option[(String, Long)]): Long = {
-    val readVersion = latestVersion(dir)
+      keyCol: String, txn: Option[(String, Long)],
+      readVersionOpt: Option[Long] = None): Long = {
+    val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     if (readVersion < 0) return txn match {
       case Some((app, b)) =>
         // table creation from the first batch, still txn-tagged;
@@ -1349,24 +1442,18 @@ object TxLog {
           val (sub, adds) = stage(spark, dir, toPhysical(keep, snap))
           (Some(sub), adds.map(_.copy(dataChange = false)))
         }
-      val v = readVersion + 1
-      val content = commitJson(v, "merge", System.currentTimeMillis(),
-        remainderAdds ++ srcAdds, touched.map(_.path), None, txn)
-      if (tryPublish(dir, v, content)) {
-        published = true
-        maybeCheckpoint(dir, v)
-        // the post-merge live set = snap minus touched plus these adds;
-        // passing snap + adds over-counts the removed touched files by
-        // at most |touched| — a stale trigger only makes compactSmall
-        // re-snapshot and no-op (best-effort contract)
-        maybeAutoCompact(spark, dir, Some(snap), remainderAdds ++ srcAdds)
-        v
-      }
-      else {
-        remSub.foreach(deleteStaged(dir, _))
-        throw new ConcurrentWriteException(
-          s"merge into $dir conflicted: version $v was committed concurrently")
-      }
+      val v =
+        try commitDmlRebase(spark, dir, "merge", snap, touched,
+          touched.map(_.path), remainderAdds ++ srcAdds, Nil, txn, None,
+          Some((keys, keyCol)))
+        catch { case e: Throwable => remSub.foreach(deleteStaged(dir, _)); throw e }
+      published = true
+      // the post-merge live set = snap minus touched plus these adds;
+      // passing snap + adds over-counts the removed touched files by
+      // at most |touched| — a stale trigger only makes compactSmall
+      // re-snapshot and no-op (best-effort contract)
+      maybeAutoCompact(spark, dir, Some(snap), remainderAdds ++ srcAdds)
+      v
     } catch { case e: Throwable =>
       if (!published) deleteStaged(dir, srcSub) // see append: committed data stays
       throw e
@@ -1673,8 +1760,12 @@ object TxLog {
     * `condition` must be DETERMINISTIC (it is evaluated once to find
     * touched files and once to rewrite them — rejected otherwise, the
     * Delta rule). A predicate matching no rows is a no-op returning the
-    * current version without a commit. Non-blind write → overwrite
-    * conflict rule. Returns the committed (or current) version. */
+    * current version without a commit. Conflicts rebase via
+    * [[commitDmlRebase]] — a concurrent append (the WriteSerializable
+    * order: this DELETE serializes before it) or a compaction of
+    * untouched files is absorbed; a commit that removed or DML'd a
+    * touched file throws. Returns the committed (or current)
+    * version. */
   def delete(spark: SparkSession, dir: String, condition: String): Long =
     deleteWhere(spark, dir, condition, None)
 
@@ -1704,11 +1795,19 @@ object TxLog {
     } finally deleteStaged(dir, sub)
   }
 
+  /** [[delete]] with the read version explicit — the race-test seam
+    * (same pattern as [[overwriteAt]]): commits landed between
+    * `readVersion` and the publish exercise the rebase loop. */
+  private[graft] def deleteAt(spark: SparkSession, dir: String,
+      condition: String, readVersion: Long): Long =
+    deleteWhere(spark, dir, condition, None, Some(readVersion))
+
   /** Shared copy-on-write delete core: exactly one of `condition` /
     * `keys` drives matching. */
   private def deleteWhere(spark: SparkSession, dir: String, condition: String,
-      keys: Option[(DataFrame, String)]): Long = {
-    val readVersion = latestVersion(dir)
+      keys: Option[(DataFrame, String)],
+      readVersionOpt: Option[Long] = None): Long = {
+    val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     if (readVersion < 0)
       throw new VersionNotFoundException(s"$dir has no committed versions")
     val snap = snapshot(dir, Some(readVersion))
@@ -1748,15 +1847,12 @@ object TxLog {
       }
     val (remSub, remainderAdds0) = stage(spark, dir, toPhysical(keep, snap))
     val remainderAdds = remainderAdds0.map(_.copy(dataChange = false))
-    val v = readVersion + 1
-    val content = commitJson(v, "delete", System.currentTimeMillis(),
-      remainderAdds, touched.map(_.path), None, None, None, None, cdfAdds)
-    if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
-    else {
+    try commitDmlRebase(spark, dir, "delete", snap, touched,
+      touched.map(_.path), remainderAdds, cdfAdds, None, None, None)
+    catch { case e: Throwable =>
       deleteStaged(dir, remSub)
       cdfSub.foreach(deleteStaged(dir, _))
-      throw new ConcurrentWriteException(
-        s"delete from $dir conflicted: version $v was committed concurrently")
+      throw e
     }
   }
 
@@ -1817,15 +1913,12 @@ object TxLog {
         }
         (Some(sub), adds)
       }
-    val v = readVersion + 1
-    val content = commitJson(v, "delete", System.currentTimeMillis(),
-      partialAdds, fullDead.map(_.path), None, None, None, Some(3L), cdfAdds)
-    if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
-    else {
+    try commitDmlRebase(spark, dir, "delete", snap, touched,
+      fullDead.map(_.path), partialAdds, cdfAdds, None, Some(3L), None)
+    catch { case e: Throwable =>
       dvSub.foreach(deleteStaged(dir, _))
       cdfSub.foreach(deleteStaged(dir, _))
-      throw new ConcurrentWriteException(
-        s"delete from $dir conflicted: version $v was committed concurrently")
+      throw e
     }
   }
 
@@ -1843,9 +1936,17 @@ object TxLog {
     * Returns the committed (or, for a no-match no-op, current)
     * version. */
   def update(spark: SparkSession, dir: String, condition: String,
-      set: Map[String, String]): Long = {
+      set: Map[String, String]): Long = updateImpl(spark, dir, condition, set, None)
+
+  /** [[update]] with the read version explicit — the race-test seam. */
+  private[graft] def updateAt(spark: SparkSession, dir: String, condition: String,
+      set: Map[String, String], readVersion: Long): Long =
+    updateImpl(spark, dir, condition, set, Some(readVersion))
+
+  private def updateImpl(spark: SparkSession, dir: String, condition: String,
+      set: Map[String, String], readVersionOpt: Option[Long]): Long = {
     require(set.nonEmpty, "update: empty SET clause")
-    val readVersion = latestVersion(dir)
+    val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     if (readVersion < 0)
       throw new VersionNotFoundException(s"$dir has no committed versions")
     val snap = snapshot(dir, Some(readVersion))
@@ -1901,19 +2002,13 @@ object TxLog {
         val (sub, adds) = stage(spark, dir, toPhysical(keep, snap))
         (sub, adds.map(_.copy(dataChange = false)))
       }
-      val v = readVersion + 1
-      val content = commitJson(v, "update", System.currentTimeMillis(),
-        remainderAdds ++ updatedAdds, touched.map(_.path), None, None, None,
-        None, cdfAdds)
-      if (tryPublish(dir, v, content)) {
-        published = true
-        maybeCheckpoint(dir, v)
-        v
-      } else {
-        deleteStaged(dir, remSub)
-        throw new ConcurrentWriteException(
-          s"update of $dir conflicted: version $v was committed concurrently")
-      }
+      val v =
+        try commitDmlRebase(spark, dir, "update", snap, touched,
+          touched.map(_.path), remainderAdds ++ updatedAdds, cdfAdds,
+          None, None, None)
+        catch { case e: Throwable => deleteStaged(dir, remSub); throw e }
+      published = true
+      v
     } catch { case e: Throwable =>
       if (!published) {
         deleteStaged(dir, updSub)
@@ -1993,16 +2088,11 @@ object TxLog {
               dv = Some(Dv(sub, f.dv.map(_.dead).getOrElse(0L) + newlyDead)))
           }
         }
-      val v = readVersion + 1
-      val content = commitJson(v, "update", System.currentTimeMillis(),
-        partialAdds ++ updatedAdds, fullDead.map(_.path), None, None, None,
-        Some(3L), cdfAdds)
-      if (tryPublish(dir, v, content)) {
-        published = true
-        maybeCheckpoint(dir, v)
-        v
-      } else throw new ConcurrentWriteException(
-        s"update of $dir conflicted: version $v was committed concurrently")
+      val v = commitDmlRebase(spark, dir, "update", snap, touched,
+        fullDead.map(_.path), partialAdds ++ updatedAdds, cdfAdds,
+        None, Some(3L), None)
+      published = true
+      v
     } catch { case e: Throwable =>
       if (!published) {
         deleteStaged(dir, updSub)
