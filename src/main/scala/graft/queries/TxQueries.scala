@@ -996,6 +996,65 @@ object TxQueries {
               SELECT l_returnflag, count(*) AS n_rows,
                      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                      CAST(4 AS BIGINT) AS n_versions
-              FROM after_update GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              FROM after_update GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- MERGE with write-path schema evolution ----------------------------
+    // An evolving CDC pipeline: batch 0 upserts under the original
+    // schema; batch 1 arrives with a NEW column (upstream ALTER TABLE
+    // mid-run) and the `graft.autoMerge` table property adopts it in the
+    // same commit as the upsert — history and the unmatched remainder
+    // read it as NULL. A replayed batch id is skipped (exactly-once
+    // holds through the evolving path). The oracle replays both batches
+    // as unioned CTEs over the raw table; a widening that rewrote
+    // history, a dropped upsert, or a double-applied replay all break
+    // the hash.
+    QuerySpec("q172_merge_evolve", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q172").toString + "/t"
+      val cust = Td.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal").localCheckpoint(true)
+      TxLog.append(s, root, cust.where("c_custkey % 3 = 0").repartition(4))
+      TxLog.setProperties(root, Map(TxLog.AutoMerge.Enabled -> "true"))
+      val b0 = cust.where("c_custkey % 6 = 0")
+        .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+        .unionByName(cust.where("c_custkey % 3 = 1"))
+      TxLog.mergeBatch(s, root, b0, "c_custkey", "cdc", 0L)
+      val b1 = cust.where("c_custkey % 5 = 2")
+        .withColumn("c_tier", floor(col("c_acctbal") / 1000).cast("long"))
+      TxLog.mergeBatch(s, root, b1, "c_custkey", "cdc", 1L)
+      TxLog.mergeBatch(s, root, b1, "c_custkey", "cdc", 1L) // replay: skipped
+      TxLog.read(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("c_acctbal")).as("sum_bal"),
+          sum(coalesce(col("c_tier"), lit(-1L))).cast("long").as("tier_sum"))
+        .orderBy("c_mktsegment")
+    },
+      Some("""WITH state0 AS (
+                SELECT c_custkey, c_mktsegment, c_acctbal
+                FROM customer WHERE c_custkey % 3 = 0),
+              b0 AS (
+                SELECT c_custkey, c_mktsegment, c_acctbal + 50.0 AS c_acctbal
+                FROM customer WHERE c_custkey % 6 = 0
+                UNION ALL
+                SELECT c_custkey, c_mktsegment, c_acctbal
+                FROM customer WHERE c_custkey % 3 = 1),
+              after_b0 AS (
+                SELECT * FROM state0
+                WHERE c_custkey NOT IN (SELECT c_custkey FROM b0)
+                UNION ALL SELECT * FROM b0),
+              b1 AS (
+                SELECT c_custkey, c_mktsegment, c_acctbal,
+                       CAST(floor(c_acctbal / 1000) AS BIGINT) AS c_tier
+                FROM customer WHERE c_custkey % 5 = 2),
+              after_b1 AS (
+                SELECT c_custkey, c_mktsegment, c_acctbal,
+                       CAST(NULL AS BIGINT) AS c_tier
+                FROM after_b0
+                WHERE c_custkey NOT IN (SELECT c_custkey FROM b1)
+                UNION ALL SELECT * FROM b1)
+              SELECT c_mktsegment, count(*) AS n_rows,
+                     CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+                     CAST(sum(coalesce(c_tier, -1)) AS BIGINT) AS tier_sum
+              FROM after_b1 GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

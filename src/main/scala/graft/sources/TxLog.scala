@@ -219,6 +219,16 @@ object TxLog {
     val Enabled = "graft.enableChangeDataFeed"
   }
 
+  /** Write-path schema evolution for MERGE (Delta's
+    * `delta.schema.autoMerge` analog, carried as TABLE metadata instead
+    * of a session conf): when `graft.autoMerge=true`, plain [[merge]] /
+    * [[mergeBatch]] adopt NEW source columns instead of rejecting them —
+    * the evolving-CDC-pipeline case. [[mergeEvolve]] opts a single call
+    * in without the property. */
+  object AutoMerge {
+    val Enabled = "graft.autoMerge"
+  }
+
   /** CDF change-type column name in [[readChangeFeed]] output. */
   val ChangeTypeCol = "_change_type"
 
@@ -1127,7 +1137,9 @@ object TxLog {
   private def commitDmlRebase(spark: SparkSession, dir: String, op: String,
       readSnap: Snapshot, touched: Seq[AddFile], removes: Seq[String],
       adds: Seq[AddFile], cdf: Seq[AddFile], txn: Option[(String, Long)],
-      protocol: Option[Long], sourceKeys: Option[(DataFrame, String)]): Long = {
+      protocol: Option[Long], sourceKeys: Option[(DataFrame, String)],
+      schemaDdl: Option[String] = None,
+      newProps: Option[Map[String, String]] = None): Long = {
     val touchedDv: Map[String, Option[Dv]] = touched.map(f => f.path -> f.dv).toMap
     var cur = readSnap
     var tries = 0
@@ -1164,7 +1176,7 @@ object TxLog {
       }
       val attempt = cur.version + 1
       val content = commitJson(attempt, op, System.currentTimeMillis(),
-        adds, removes, None, txn, None, protocol, cdf)
+        adds, removes, schemaDdl, txn, newProps, protocol, cdf)
       if (tryPublish(dir, attempt, content)) {
         maybeCheckpoint(dir, attempt)
         return attempt
@@ -1222,6 +1234,9 @@ object TxLog {
     props.get(Cdf.Enabled).filter(_.nonEmpty)
       .foreach(v => require(v == "true" || v == "false",
         s"${Cdf.Enabled} must be 'true' or 'false', got '$v'"))
+    props.get(AutoMerge.Enabled).filter(_.nonEmpty)
+      .foreach(v => require(v == "true" || v == "false",
+        s"${AutoMerge.Enabled} must be 'true' or 'false', got '$v'"))
     numeric(AutoOptimize.MinSmallFiles, 2)
     numeric(AutoOptimize.SmallFileBytes, 1)
     numeric(AutoOptimize.TargetBytes, 1)
@@ -1384,9 +1399,25 @@ object TxLog {
       txn: Option[(String, Long)] = None): Long =
     mergeImpl(spark, dir, source, keyCol, txn, Some(readVersion))
 
+  /** [[merge]] with WRITE-PATH SCHEMA EVOLUTION (Delta's autoMerge):
+    * NEW source columns are adopted into the table schema in one commit
+    * with the upsert — history and the untouched remainder read them as
+    * NULL (exactly [[appendEvolve]]'s widening rule), existing columns
+    * must match by type (narrowing/retyping rejected), and a source
+    * OMITTING a table column writes NULL there for its own rows (the
+    * appendEvolve discipline — document-shaped CDC feeds rarely carry
+    * every column). The one surface an evolving CDC pipeline needs:
+    * without it, the first upstream ALTER TABLE kills the stream.
+    * Tables can opt in permanently with `graft.autoMerge=true` instead
+    * ([[AutoMerge]]), which makes plain [[merge]]/[[mergeBatch]]
+    * evolve. */
+  def mergeEvolve(spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String): Long =
+    mergeImpl(spark, dir, source, keyCol, None, None, evolve = true)
+
   private def mergeImpl(spark: SparkSession, dir: String, source: DataFrame,
       keyCol: String, txn: Option[(String, Long)],
-      readVersionOpt: Option[Long] = None): Long = {
+      readVersionOpt: Option[Long] = None, evolve: Boolean = false): Long = {
     val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     if (readVersion < 0) return txn match {
       case Some((app, b)) =>
@@ -1397,18 +1428,61 @@ object TxLog {
       case None => append(spark, dir, source)
     }
     val snap = snapshot(dir, Some(readVersion))
-    requireSchema(snap.schemaDdl, source)
+    val doEvolve = evolve || snap.props.get(AutoMerge.Enabled).contains("true")
+
+    // Schema resolution. Plain merge: exact identity. Evolving merge:
+    // known columns type-checked (never narrowed/retyped), new source
+    // columns widen the table, missing table columns NULL-fill — the
+    // appendEvolve rules, so the two evolution surfaces agree.
+    val table = snap.schema
+    val (merged, newMaps): (StructType, Map[String, String]) =
+      if (!doEvolve) { requireSchema(snap.schemaDdl, source); (table, Map.empty) }
+      else {
+        val known = table.fields.map(f => f.name -> f.dataType).toMap
+        source.schema.fields.foreach { f =>
+          known.get(f.name).foreach { t =>
+            if (t != f.dataType)
+              throw new SchemaMismatchException(
+                s"mergeEvolve: column ${f.name}: table has $t, incoming has ${f.dataType}")
+          }
+        }
+        val newFields = source.schema.fields.filterNot(f => known.contains(f.name))
+        // new columns whose logical name is burned as a physical name
+        // get a fresh suffixed physical (the appendEvolve rule — never
+        // resurrect dropped bytes)
+        val burned = physicalSchema(snap).fieldNames.map(_.toLowerCase).toSet ++
+          droppedPhysOf(snap.props).map(_.toLowerCase)
+        val nm = newFields.filter(f => burned.contains(f.name.toLowerCase))
+          .map(f => f.name -> s"${f.name}__v${readVersion + 1}").toMap
+        (StructType(table.fields ++ newFields), nm)
+      }
+    require(merged.fieldNames.contains(keyCol),
+      s"merge: key column $keyCol in neither the table nor the source schema")
+    val widened = merged.length != table.length
+    val fullMap = colMapOf(snap.props) ++ newMaps
+    val physMerged = StructType(merged.fields.map(f =>
+      f.copy(name = fullMap.getOrElse(f.name, f.name))))
+    def toPhysicalMerged(df: DataFrame): DataFrame =
+      if (fullMap.isEmpty) df
+      else df.toDF(df.schema.fieldNames.toSeq.map(n => fullMap.getOrElse(n, n)): _*)
+    // every staged file is schema-complete for the merged layout
+    def alignMerged(df: DataFrame): DataFrame =
+      if (!doEvolve) df
+      else df.select(merged.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
 
     // Stage the source FIRST and run every check and join against the
     // staged re-read: the source plan is evaluated exactly once, so a
     // non-deterministic source cannot desynchronize the validated keys,
     // the matched-file set, and the rows that actually land.
-    val (srcSub, srcAdds) = stage(spark, dir, toPhysical(source, snap))
-    val staged0 = spark.read.schema(physicalSchema(snap))
+    val (srcSub, srcAdds) = stage(spark, dir, toPhysicalMerged(alignMerged(source)))
+    val staged0 = spark.read.schema(physMerged)
       .parquet(Paths.get(dir, srcSub).toString)
     val staged =
-      if (physicalSchema(snap) == snap.schema) staged0
-      else staged0.toDF(snap.schema.fieldNames.toSeq: _*)
+      if (physMerged == merged) staged0
+      else staged0.toDF(merged.fieldNames.toSeq: _*)
     var published = false // see append: no cleanup past a published commit
     try {
       val keyStats = staged.agg(
@@ -1426,7 +1500,9 @@ object TxLog {
 
       val keys = staged.select(col(keyCol)).distinct()
       val touchedPaths: Set[String] =
-        if (snap.files.isEmpty) Set.empty
+        // a key column the table does not have yet matches nothing —
+        // the evolving merge is then a pure insert
+        if (snap.files.isEmpty || !table.fieldNames.contains(keyCol)) Set.empty
         else scanFiles(spark, dir, snap, snap.files, tagPath = Some("__p"))
           .select(col(keyCol), col("__p"))
           .join(keys, Seq(keyCol), "left_semi")
@@ -1437,15 +1513,19 @@ object TxLog {
       val (remSub, remainderAdds) =
         if (touched.isEmpty) (None, Nil)
         else {
-          val keep = scanFiles(spark, dir, snap, touched)
+          val keep = alignMerged(scanFiles(spark, dir, snap, touched))
             .join(keys, Seq(keyCol), "left_anti")
-          val (sub, adds) = stage(spark, dir, toPhysical(keep, snap))
+          val (sub, adds) = stage(spark, dir, toPhysicalMerged(keep))
           (Some(sub), adds.map(_.copy(dataChange = false)))
         }
       val v =
         try commitDmlRebase(spark, dir, "merge", snap, touched,
-          touched.map(_.path), remainderAdds ++ srcAdds, Nil, txn, None,
-          Some((keys, keyCol)))
+          touched.map(_.path), remainderAdds ++ srcAdds, Nil, txn,
+          if (newMaps.isEmpty) None else Some(2L),
+          Some((keys, keyCol)),
+          if (widened) Some(merged.toDDL) else None,
+          if (newMaps.isEmpty) None
+          else Some(newMaps.map { case (l, p) => ColumnMapping.Prefix + l -> p }))
         catch { case e: Throwable => remSub.foreach(deleteStaged(dir, _)); throw e }
       published = true
       // the post-merge live set = snap minus touched plus these adds;

@@ -163,4 +163,79 @@ class TxDmlSpec extends AnyFunSuite with SparkTestBase {
     assert(idSet(TxLog.read(spark, dir)) === (0L until 20L).toSet.filterNot(_ % 3 == 2))
     intercept[Exception](TxLog.read(spark, dir, Some(0L)).collect())
   }
+
+  // ---- merge schema evolution ---------------------------------------------
+
+  test("mergeEvolve adopts a new source column; history null-backfills") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 10))
+    val src = Seq((3L, "up3", 0, 1.5), (42L, "new42", 0, 2.5))
+      .toDF("id", "s", "grp", "score")
+    TxLog.mergeEvolve(spark, dir, src, "id")
+    val got = TxLog.read(spark, dir)
+    assert(got.schema.fieldNames.toSeq === Seq("id", "s", "grp", "score"))
+    assert(got.count() === 11L)
+    assert(got.where("id = 3").head().getDouble(3) === 1.5)
+    assert(got.where("id = 42").head().getString(1) === "new42")
+    // untouched history reads the new column as NULL
+    assert(got.where("score IS NULL").count() === 9L)
+    // and the widened schema is the table's from now on
+    assert(TxLog.snapshot(dir).schema.fieldNames.length === 4)
+  }
+
+  test("mergeEvolve rejects a retyped column (never narrows)") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 5))
+    val bad = Seq((1L, 7, 0)).toDF("id", "s", "grp") // s: int, table has string
+    intercept[TxLog.SchemaMismatchException] {
+      TxLog.mergeEvolve(spark, dir, bad, "id")
+    }
+    assert(TxLog.latestVersion(dir) === 0L)
+  }
+
+  test("graft.autoMerge=true makes plain merge (and mergeBatch) evolve") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 6))
+    // without the property, plain merge rejects the wide source
+    val wide = Seq((2L, "u2", 0, "x")).toDF("id", "s", "grp", "tag")
+    intercept[TxLog.SchemaMismatchException](TxLog.merge(spark, dir, wide, "id"))
+    TxLog.setProperties(dir, Map(TxLog.AutoMerge.Enabled -> "true"))
+    TxLog.merge(spark, dir, wide, "id")
+    assert(TxLog.read(spark, dir).schema.fieldNames.contains("tag"))
+    // mergeBatch keeps exactly-once through the evolving path
+    val wider = Seq((3L, "u3", 0, "y", 9L)).toDF("id", "s", "grp", "tag", "extra")
+    assert(TxLog.mergeBatch(spark, dir, wider, "id", "app", 1L).nonEmpty)
+    assert(TxLog.mergeBatch(spark, dir, wider, "id", "app", 1L).isEmpty)
+    val got = TxLog.read(spark, dir)
+    assert(got.where("id = 3").head().getAs[Long]("extra") === 9L)
+    assert(got.count() === 6L)
+  }
+
+  test("evolving merge with a source OMITTING a table column null-fills its rows") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 5))
+    val narrow = Seq((1L, "one")).toDF("id", "s") // grp omitted
+    TxLog.mergeEvolve(spark, dir, narrow, "id")
+    val got = TxLog.read(spark, dir)
+    assert(got.schema.fieldNames.toSeq === Seq("id", "s", "grp"))
+    assert(got.where("id = 1").head().isNullAt(2), "the merged row's grp is NULL")
+    assert(got.where("grp IS NOT NULL").count() === 4L)
+  }
+
+  test("mergeEvolve re-adding a DROPPED column name never resurrects old bytes") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 5))
+    TxLog.dropColumn(dir, "grp")
+    val src = Seq((2L, "u2", 777)).toDF("id", "s", "grp") // re-add 'grp'
+    TxLog.mergeEvolve(spark, dir, src, "id")
+    val got = TxLog.read(spark, dir)
+    assert(got.where("id = 2").head().getInt(2) === 777)
+    assert(got.where("id <> 2 AND grp IS NOT NULL").count() === 0L,
+      "old rows must read NULL, not the dropped column's bytes")
+  }
 }
