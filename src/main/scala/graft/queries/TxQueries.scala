@@ -1055,6 +1055,41 @@ object TxQueries {
               SELECT c_mktsegment, count(*) AS n_rows,
                      CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
                      CAST(sum(coalesce(c_tier, -1)) AS BIGINT) AS tier_sum
-              FROM after_b1 GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+              FROM after_b1 GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- full ALTER TABLE surface in plain SQL -----------------------------
+    // CTAS → RENAME COLUMN (metadata-only, column mapping) → UPDATE and
+    // DELETE through the NEW name → the aggregate reads the renamed
+    // column. The whole lifecycle is SQL against the catalog; the oracle
+    // replays the UPDATE as a CASE projection and the DELETE as a
+    // predicate over it — a rename that lost the mapping, DML that
+    // resolved the old physical name, or a rewrite that dropped rows all
+    // break the hash.
+    QuerySpec("q173_sql_alter", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q173").toString
+      val cat = "alt" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Td.load(s, dir, "orders").createOrReplaceTempView("q173_orders")
+      s.sql(s"""CREATE TABLE $cat.ord AS
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM q173_orders WHERE o_orderkey % 2 = 0""")
+      s.sql(s"ALTER TABLE $cat.ord RENAME COLUMN o_totalprice TO price")
+      s.sql(s"UPDATE $cat.ord SET price = price * 1.1 WHERE o_orderstatus = 'F'")
+      s.sql(s"DELETE FROM $cat.ord WHERE price < 1000")
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n_rows,
+                       CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+                FROM $cat.ord
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+      Some("""WITH renamed AS (
+                SELECT o_orderstatus,
+                       CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1
+                            ELSE o_totalprice END AS price
+                FROM orders WHERE o_orderkey % 2 = 0),
+              survivors AS (SELECT * FROM renamed WHERE NOT (price < 1000))
+              SELECT o_orderstatus, count(*) AS n_rows,
+                     CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+              FROM survivors GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

@@ -53,6 +53,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   ALTER TABLE tx.t SET TBLPROPERTIES (...)  -- property commit
   *   ALTER TABLE tx.t UNSET TBLPROPERTIES (...)
   *   ALTER TABLE tx.t ADD COLUMNS (x DOUBLE)   -- schema-only widen
+  *   ALTER TABLE tx.t RENAME COLUMN a TO b     -- metadata-only (column mapping)
+  *   ALTER TABLE tx.t DROP COLUMN a            -- metadata-only (column mapping)
   *   DROP TABLE tx.t
   *   ALTER TABLE tx.t RENAME TO tx.u
   *   DELETE FROM tx.t WHERE …           -- SupportsDelete → TxLog.delete
@@ -255,15 +257,30 @@ class TxCatalog extends TableCatalog
         s"$catalogName: nested column adds are not supported")
       StructField(a.fieldNames.head, a.dataType, a.isNullable)
     }
+    // RENAME/DROP COLUMN route to the metadata-only column-mapping
+    // primitives — no file rewrite; the commit stamps protocol 2
+    val renames = changes.collect { case r: TableChange.RenameColumn =>
+      require(r.fieldNames.length == 1,
+        s"$catalogName: nested column renames are not supported")
+      r.fieldNames.head -> r.newName
+    }
+    val drops = changes.collect { case d: TableChange.DeleteColumn =>
+      require(d.fieldNames.length == 1,
+        s"$catalogName: nested column drops are not supported")
+      d.fieldNames.head
+    }
     val unsupported = changes.filterNot {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
-           _: TableChange.AddColumn => true
+           _: TableChange.AddColumn | _: TableChange.RenameColumn |
+           _: TableChange.DeleteColumn => true
       case _ => false
     }
     require(unsupported.isEmpty,
       s"$catalogName: unsupported ALTER TABLE change(s): ${unsupported.mkString(", ")}")
     if (props.nonEmpty) TxLog.setProperties(dir, props.toMap): Unit
     if (addCols.nonEmpty) TxLog.addColumns(dir, addCols.toSeq): Unit
+    renames.foreach { case (from, to) => TxLog.renameColumn(dir, from, to): Unit }
+    drops.foreach(c => TxLog.dropColumn(dir, c): Unit)
     loadTable(ident)
   }
 

@@ -107,4 +107,31 @@ class TxCatalogSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getString(0)).toSet
     assert(names === Set("a", "b"))
   }
+
+  test("SQL ALTER TABLE RENAME COLUMN is metadata-only and DML-visible") {
+    val (cat, root) = freshCatalog()
+    TxLog.append(spark, s"$root/t", df(0 until 10))
+    val filesBefore = TxLog.snapshot(s"$root/t").files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN s TO label")
+    assert(TxLog.snapshot(s"$root/t").files.map(_.path).toSet === filesBefore,
+      "a rename must not rewrite any data file")
+    assert(spark.table(s"$cat.t").schema.fieldNames.toSeq === Seq("id", "label"))
+    // SQL DML resolves the NEW name through the mapping
+    spark.sql(s"DELETE FROM $cat.t WHERE label = 'v3'")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 9L)
+    assert(spark.sql(s"SELECT label FROM $cat.t WHERE id = 4").head().getString(0) === "v4")
+  }
+
+  test("SQL ALTER TABLE DROP COLUMN narrows the schema without rewriting") {
+    val (cat, root) = freshCatalog()
+    TxLog.append(spark, s"$root/t", df(0 until 5))
+    val filesBefore = TxLog.snapshot(s"$root/t").files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN s")
+    assert(TxLog.snapshot(s"$root/t").files.map(_.path).toSet === filesBefore)
+    assert(spark.table(s"$cat.t").schema.fieldNames.toSeq === Seq("id"))
+    // re-adding the same name via SQL reads NULL, never the dropped bytes
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (s STRING)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE s IS NOT NULL")
+      .head().getLong(0) === 0L)
+  }
 }
