@@ -2259,20 +2259,42 @@ object TxLog {
     *
     * `dryRun=true` (Delta's `VACUUM … DRY RUN`) computes and returns
     * the SAME list without deleting anything — the operational
-    * pre-check before an irreversible reclamation. */
+    * pre-check before an irreversible reclamation.
+    *
+    * `retainMillis` (Delta's `retentionDuration` policy — what operators
+    * actually configure) additionally keeps every version whose
+    * MONOTONIZED commit timestamp falls inside the window, combined
+    * with the version-count window by MIN: adding a duration can only
+    * ever retain MORE. Monotonization matches [[versionAtTime]] — a
+    * later version with an earlier raw clock must not age out before
+    * its predecessors. */
   def vacuum(dir: String, retainVersions: Int = 2,
       staleStagingMillis: Long = 7L * 24 * 3600 * 1000,
-      dryRun: Boolean = false): Seq[String] = {
+      dryRun: Boolean = false,
+      retainMillis: Option[Long] = None): Seq[String] = {
     val (commits, _) = listLog(dir)
     if (commits.isEmpty) return Nil
     val latest = commits.max
-    val keepFrom = math.max(0L, latest - math.max(1, retainVersions) + 1)
     // change files retire with their commit's version window: referenced
     // so staging reclaim never touches them, kept only while the commit
     // is within retention (the CDF retention trade — readChangeFeed past
     // a vacuumed range fails on the missing files, like time travel)
     val commitJsons = commits.map(v =>
       v -> parse(Files.readString(versionFile(dir, v)))).toMap
+    val keepFromVersions = math.max(0L, latest - math.max(1, retainVersions) + 1)
+    val keepFrom = retainMillis match {
+      case None => keepFromVersions
+      case Some(window) =>
+        val cutoff = System.currentTimeMillis() - math.max(0L, window)
+        var runningMax = Long.MinValue
+        val firstInWindow = commits.sorted.find { v =>
+          runningMax = math.max(runningMax, jLong(commitJsons(v) \ "ts"))
+          runningMax >= cutoff
+        }
+        // no commit inside the window → the latest snapshot alone is
+        // still always retained (a table must stay readable)
+        math.min(keepFromVersions, firstInWindow.getOrElse(latest))
+    }
     val retainedSnaps = (keepFrom to latest).map(v => snapshot(dir, Some(v)))
     val kept = retainedSnaps.flatMap(_.files.map(_.path)).toSet ++
       commits.filter(_ >= keepFrom)

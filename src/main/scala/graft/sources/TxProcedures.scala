@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL tx.optimize(`table` => 't', zorder_by => 'x,y')
   *   CALL tx.vacuum(`table` => 't', retain_versions => 4)
   *   CALL tx.vacuum(`table` => 't', dry_run => true)   -- predict only
+  *   CALL tx.vacuum(`table` => 't', retain_hours => 168.0) -- time policy
   *   CALL tx.purge_deletes(`table` => 't')
   *   CALL tx.history(`table` => 't')
   *   CALL tx.clone(source => 't', target => 'dev_t')
@@ -80,11 +81,16 @@ private[sources] object TxProcedures {
       }),
     Proc("vacuum",
       Array(p("table", StringType), pd("retain_versions", IntegerType, "2"),
-        pd("dry_run", BooleanType, "false")),
+        pd("dry_run", BooleanType, "false"),
+        // hours, Delta's operator-facing unit; <= 0 = version policy only
+        pd("retain_hours", DoubleType, "0.0")),
       StructType(Seq(StructField("deleted_files", LongType))),
       (root, in) => {
+        val hours = in.getDouble(3)
         val deleted = TxLog.vacuum(dirOf(root, in.getUTF8String(0).toString),
-          retainVersions = in.getInt(1), dryRun = in.getBoolean(2))
+          retainVersions = in.getInt(1), dryRun = in.getBoolean(2),
+          retainMillis =
+            if (hours > 0) Some((hours * 3600 * 1000).toLong) else None)
         Seq(new GenericInternalRow(Array[Any](deleted.size.toLong)))
       }),
     Proc("purge_deletes",

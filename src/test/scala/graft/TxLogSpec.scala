@@ -202,6 +202,30 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.vacuum(dir, retainVersions = 1).isEmpty)
   }
 
+  test("vacuum retainMillis keeps every version inside the time window") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 4))
+    TxLog.append(spark, dir, df(4 until 8))
+    TxLog.optimize(spark, dir, targetBytes = 1L << 30)
+    // a generous window covers every commit just made: even with
+    // retainVersions=1 nothing may be reclaimed (MIN of the policies —
+    // adding a duration only ever retains more)
+    assert(TxLog.vacuum(dir, retainVersions = 1,
+      retainMillis = Some(3600L * 1000)).isEmpty)
+    assert(idSet(TxLog.read(spark, dir, Some(0L))) === (0L until 4L).toSet,
+      "time travel inside the window must survive")
+    // once every commit has aged past the window, the version policy
+    // governs alone and the pre-optimize files reclaim
+    Thread.sleep(60)
+    val deleted = TxLog.vacuum(dir, retainVersions = 1,
+      retainMillis = Some(5L))
+    assert(deleted.nonEmpty)
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 8L).toSet)
+    // dry-run surface composes with the time policy
+    assert(TxLog.vacuum(dir, retainVersions = 1, dryRun = true,
+      retainMillis = Some(5L)).isEmpty)
+  }
+
   test("checkpointed replay: snapshot equals full replay past a checkpoint") {
     val dir = tmp()
     // 13 commits: checkpoint lands at version 10 (interval = 10).

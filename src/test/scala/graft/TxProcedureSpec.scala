@@ -61,6 +61,20 @@ class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 202L)
   }
 
+  test("CALL vacuum retain_hours keeps versions inside the time window") {
+    val (cat, root) = freshCat()
+    seed(root)
+    spark.sql(s"CALL $cat.optimize(`table` => 't')")
+    (0 until 2).foreach(_ => spark.sql(s"INSERT INTO $cat.t VALUES (9999, 'x')"))
+    // every commit is seconds old: a 1-hour window retains everything
+    val kept = spark.sql(
+      s"CALL $cat.vacuum(`table` => 't', retain_versions => 2, retain_hours => 1.0)")
+      .head().getLong(0)
+    assert(kept === 0L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t VERSION AS OF 0")
+      .head().getLong(0) === 50L)
+  }
+
   test("CALL purge_deletes rewrites DV files from SQL") {
     val (cat, root) = freshCat()
     val dir = seed(root, slices = 2)
