@@ -1090,6 +1090,47 @@ object TxQueries {
               survivors AS (SELECT * FROM renamed WHERE NOT (price < 1000))
               SELECT o_orderstatus, count(*) AS n_rows,
                      CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-              FROM survivors GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+              FROM survivors GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- first-class partition columns -------------------------------------
+    // A table created with partitionBy stages one file per partition
+    // value (pv metadata in the log), a dynamic-partition overwrite
+    // replaces the 'F' partition by metadata, and readPartition serves
+    // the 'O' slice through O(1) pv pruning — the result folds the
+    // pruned read and the full post-overwrite state together, so a
+    // mis-assigned pv, an overwrite that leaked into another partition,
+    // or pruning that dropped a file all break the hash.
+    QuerySpec("q174_partitioned_table", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q174").toString + "/t"
+      val ord = Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
+      TxLog.appendPartitioned(s, root, ord, Seq("o_orderstatus"))
+      val replF = ord.where("o_orderstatus = 'F' AND o_orderkey % 2 = 0")
+        .withColumn("o_totalprice", col("o_totalprice") * 0.9)
+      TxLog.overwritePartitions(s, root, replF)
+      val oAgg = TxLog.readPartition(s, root, Map("o_orderstatus" -> "O"))
+        .agg(count(lit(1)).as("o_rows"), dsum(col("o_totalprice")).as("o_sum"))
+      TxLog.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price"))
+        .crossJoin(oAgg)
+        .orderBy("o_orderstatus")
+    },
+      Some("""WITH t AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderstatus <> 'F'
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, o_totalprice * 0.9
+                FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0),
+              o AS (
+                SELECT count(*) AS o_rows,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS o_sum
+                FROM t WHERE o_orderstatus = 'O')
+              SELECT o_orderstatus, count(*) AS n_rows,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     o.o_rows, o.o_sum
+              FROM t CROSS JOIN o
+              GROUP BY o_orderstatus, o.o_rows, o.o_sum
+              ORDER BY o_orderstatus"""))
   )
 }

@@ -230,10 +230,17 @@ class TxCatalog extends TableCatalog
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      s"$catalogName: PARTITIONED BY is not supported (files cluster via OPTIMIZE)")
+    // PARTITIONED BY (identity columns only): fixes first-class partition
+    // columns in the log — every INSERT then stages partition-aligned
+    // files with pv metadata (bucket/time transforms cluster via OPTIMIZE)
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1,
+        s"$catalogName: only PARTITIONED BY (column) is supported, got $t")
+      t.references.head.fieldNames.head
+    }
     val dir = dirOf(ident)
-    try TxLog.create(dir, schema)
+    try TxLog.create(dir, schema, partCols)
     catch { case _: TxLog.TableExistsException =>
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace :+ ident.name).toSeq)

@@ -135,10 +135,19 @@ object TxLog {
     * a deletion vector ([[Dv]]) subtracts its dead rows here, so
     * snapshot row counts and whole-file-dead detection stay one field
     * read; the physical count is `rows + dv.dead`. Column stats stay
-    * physical — a superset bound, so pruning remains sound. */
+    * physical — a superset bound, so pruning remains sound.
+    *
+    * `pv` (Delta's partitionValues): for files written through
+    * partitioned staging, the file's single value per PARTITION column
+    * (physical name → stats-canon string) — the file holds EXACTLY that
+    * combination, so equality pruning is O(1) metadata with no stats
+    * read and dynamic-partition overwrite removes whole files by
+    * metadata alone. Empty for unpartitioned writes and for rewrite
+    * outputs that merged partitions (readers then fall back to
+    * stats). */
   final case class AddFile(path: String, rows: Long, bytes: Long,
       stats: Map[String, ColStats], dataChange: Boolean = true,
-      dv: Option[Dv] = None)
+      dv: Option[Dv] = None, pv: Map[String, String] = Map.empty)
 
   /** The reconstructed live state of the table at `version`. `txns` maps
     * each streaming writer's app id to the highest batch id it has
@@ -228,6 +237,31 @@ object TxLog {
   object AutoMerge {
     val Enabled = "graft.autoMerge"
   }
+
+  /** First-class PARTITION COLUMNS (Delta's partitionBy): the property
+    * records the table's LOGICAL partition columns (comma-separated),
+    * fixed at creation ([[create]] / the first [[appendPartitioned]])
+    * and immutable afterwards — every append-class write then stages
+    * PARTITION-ALIGNED files (one value combination per file) and
+    * records the combination in [[AddFile.pv]], so:
+    *  - an equality read ([[readPartition]]) prunes by O(1) metadata
+    *    comparison, no per-file stats consulted;
+    *  - dynamic-partition overwrite ([[overwritePartitions]]) removes
+    *    whole partitions by metadata alone.
+    * Partition columns cannot be renamed or dropped (Delta's rule — pv
+    * keys are storage metadata), and NULL partition values are
+    * rejected. Partition columns stay PHYSICALLY present in the data
+    * files too (unlike hive layouts): every existing scan, DML, stats,
+    * and streaming path works unchanged — pv is pruning metadata, not a
+    * data dependency. */
+  object Partitioning {
+    val Columns = "graft.partitionColumns"
+  }
+
+  /** The table's logical partition columns, in declaration order. */
+  def partitionColsOf(snap: Snapshot): Seq[String] =
+    snap.props.get(Partitioning.Columns).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
   /** CDF change-type column name in [[readChangeFeed]] output. */
   val ChangeTypeCol = "_change_type"
@@ -456,8 +490,11 @@ object TxLog {
     })
 
   private def addJson(a: AddFile): JValue = {
-    val base = ("path" -> a.path) ~ ("rows" -> a.rows) ~ ("bytes" -> a.bytes) ~
+    val base0 = ("path" -> a.path) ~ ("rows" -> a.rows) ~ ("bytes" -> a.bytes) ~
       ("dc" -> a.dataChange) ~ ("stats" -> statsJson(a.stats))
+    val base = if (a.pv.isEmpty) base0
+      else base0 ~ ("pv" -> JObject(a.pv.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) }))
     a.dv.fold(base: JValue)(d =>
       base ~ ("dv" -> (("path" -> d.path) ~ ("dead" -> d.dead))))
   }
@@ -489,7 +526,11 @@ object TxLog {
       case JObject(_) => Some(Dv(jStr(j \ "dv" \ "path"), jLong(j \ "dv" \ "dead")))
       case _ => None
     }
-    AddFile(jStr(j \ "path"), jLong(j \ "rows"), jLong(j \ "bytes"), stats, dc, dv)
+    val pv = (j \ "pv") match {
+      case JObject(fields) => fields.map { case (k, v) => k -> jStr(v) }.toMap
+      case _ => Map.empty[String, String]
+    }
+    AddFile(jStr(j \ "path"), jLong(j \ "rows"), jLong(j \ "bytes"), stats, dc, dv, pv)
   }
 
   private def parseAdds(j: JValue): Seq[AddFile] = j match {
@@ -703,6 +744,100 @@ object TxLog {
     (sub, collectAdds(spark, dir, sub, df.schema))
   }
 
+  /** Stage `df` PARTITION-ALIGNED: each staged file holds exactly ONE
+    * value combination of `physPartCols` (the table's partition columns
+    * under physical names), recorded in its [[AddFile.pv]].
+    *
+    * Mechanics: the partition columns are DUPLICATED (`partitionBy`
+    * strips its columns from file data, and the format keeps partition
+    * columns physically present), one hash repartition routes each
+    * combination to exactly one task, the hive-style layout is
+    * flattened back to the two-component `d-xxxx/file.parquet` form
+    * every path invariant relies on (file moves are metadata-only), and
+    * pv derives from the per-file STATS the commit collects anyway —
+    * min==max is guaranteed by the aligned write, and stats canon keeps
+    * pv comparable with every other pruning string. NULL partition
+    * values are rejected after staging (zero extra passes over `df`). */
+  private def stagePartitioned(spark: SparkSession, dir: String, df: DataFrame,
+      physPartCols: Seq[String]): (String, Seq[AddFile]) = {
+    physPartCols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"partition column $c not in staged frame"))
+      require(statSupported(f.dataType),
+        s"partition column $c: type ${f.dataType.simpleString} unsupported")
+    }
+    require(!df.columns.exists(_.startsWith("__pb_")),
+      "column names starting with __pb_ are reserved by partitioned staging")
+    val sub = s"d-${UUID.randomUUID().toString.take(8)}"
+    val stagingDir = Paths.get(dir, sub)
+    val dup = physPartCols.map(c => c -> s"__pb_$c")
+    dup.foldLeft(df) { case (d, (c, p)) => d.withColumn(p, col(c)) }
+      .repartition(physPartCols.map(col): _*)
+      .write.partitionBy(dup.map(_._2): _*).parquet(stagingDir.toString)
+    flattenStaged(stagingDir)
+    val adds = collectAdds(spark, dir, sub, df.schema)
+    try {
+      (sub, adds.map { a =>
+        val pv = physPartCols.map { c =>
+          val cs = a.stats.getOrElse(c, sys.error(s"no stats for partition column $c"))
+          require(cs.nulls == 0L || a.rows == 0L,
+            s"NULL $c partition values are not supported")
+          require(a.rows == 0L || cs.min == cs.max,
+            s"partition staging invariant broken for $c: ${cs.min}..${cs.max}")
+          c -> cs.min.getOrElse("")
+        }.toMap
+        if (a.rows == 0L) a else a.copy(pv = pv)
+      })
+    } catch { case e: Throwable => deleteStaged(dir, sub); throw e }
+  }
+
+  /** Stage a LOGICAL-schema frame under the table's layout:
+    * partition-aligned when the table has partition columns
+    * ([[Partitioning]]), flat otherwise — so DML remainders, merges,
+    * and overwrites keep a partitioned table partition-aligned (their
+    * outputs carry pv and stay O(1)-prunable). OPTIMIZE outputs are the
+    * deliberate exception: compaction merges partitions for file-size
+    * economics and its readers fall back to stats. */
+  private def stageForTable(spark: SparkSession, dir: String, snap: Snapshot,
+      df: DataFrame): (String, Seq[AddFile]) = {
+    val parts = partitionColsOf(snap)
+    val phys = toPhysical(df, snap)
+    if (parts.isEmpty) stage(spark, dir, phys)
+    else stagePartitioned(spark, dir, phys,
+      parts.map(c => colMapOf(snap.props).getOrElse(c, c)))
+  }
+
+  /** Move the leaves of a hive-style `col=val/...` staging layout up to
+    * the staging root under unique names, then drop the value dirs. */
+  private def flattenStaged(stagingDir: Path): Unit = {
+    def leaves(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList.sortBy(_.toString).flatMap { f =>
+        if (Files.isDirectory(f)) leaves(f)
+        else if (f.getFileName.toString.endsWith(".parquet")) Seq(f)
+        else Nil
+      } finally s.close()
+    }
+    val subdirs = {
+      val s = Files.list(stagingDir)
+      try s.iterator().asScala.filter(Files.isDirectory(_)).toList.sortBy(_.toString)
+      finally s.close()
+    }
+    var i = 0
+    subdirs.foreach { d =>
+      leaves(d).foreach { f =>
+        Files.move(f, stagingDir.resolve(f"p$i%05d-${f.getFileName}")): Unit
+        i += 1
+      }
+    }
+    subdirs.foreach { d =>
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f): Unit)
+      finally walk.close()
+    }
+  }
+
   private def deleteStaged(dir: String, sub: String): Unit = {
     val p = Paths.get(dir, sub)
     if (Files.exists(p)) {
@@ -720,15 +855,49 @@ object TxLog {
     * a lost race rebases onto the new head and retries — the only
     * cross-writer check is schema identity. Returns the committed
     * version. */
-  def append(spark: SparkSession, dir: String, df: DataFrame): Long = {
+  def append(spark: SparkSession, dir: String, df: DataFrame): Long =
+    appendImpl(spark, dir, df, Nil)
+
+  /** [[append]] that CREATES the table with first-class partition
+    * columns ([[Partitioning]]) — or validates them against an existing
+    * table's. Later plain appends partition automatically from the
+    * table property. */
+  def appendPartitioned(spark: SparkSession, dir: String, df: DataFrame,
+      partitionBy: Seq[String]): Long = {
+    require(partitionBy.nonEmpty, "appendPartitioned: no partition columns")
+    partitionBy.foreach(requireMappableName) // they ride a property value
+    appendImpl(spark, dir, df, partitionBy)
+  }
+
+  /** Resolve the effective partition staging for a write: the table's
+    * property wins; a creation-time request fixes it. Returns the
+    * PHYSICAL partition column names (empty = flat staging). */
+  private def effectivePartCols(pre: Option[Snapshot],
+      requested: Seq[String], df: DataFrame): Seq[String] = {
+    val tableParts = pre.map(partitionColsOf).getOrElse(Nil)
+    if (pre.nonEmpty && requested.nonEmpty)
+      require(requested == tableParts,
+        s"append: partitionBy $requested != table partitioning $tableParts")
+    val logical = if (pre.isEmpty) requested else tableParts
+    logical.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not in the incoming frame"))
+    logical.map(c => pre.map(h => colMapOf(h.props).getOrElse(c, c)).getOrElse(c))
+  }
+
+  private def appendImpl(spark: SparkSession, dir: String, df: DataFrame,
+      partitionBy: Seq[String]): Long = {
     Files.createDirectories(Paths.get(dir))
     val pre = headSnapshot(dir)
     pre.foreach(h => requireSchema(h.schemaDdl, df))
     requireConstraints(pre, df)
+    val physParts = effectivePartCols(pre, partitionBy, df)
     // files store PHYSICAL names (a rename/drop between here and the
     // publish is safe: physical names never change once assigned, and
     // the retry loop re-checks the logical schema)
-    val (sub, adds) = stage(spark, dir, pre.fold(df)(toPhysical(df, _)))
+    val staged = pre.fold(df)(toPhysical(df, _))
+    val (sub, adds) =
+      if (physParts.isEmpty) stage(spark, dir, staged)
+      else stagePartitioned(spark, dir, staged, physParts)
     val ddl = df.schema.toDDL
     // Any exit without a published commit must reclaim the staging dir —
     // including a schema mismatch surfacing mid-retry (a concurrent
@@ -746,7 +915,13 @@ object TxLog {
         head.foreach(h => requireSchema(h.schemaDdl, df))
         val attempt = head.map(_.version + 1).getOrElse(0L)
         val content = commitJson(attempt, "append", System.currentTimeMillis(),
-          adds, Nil, if (attempt == 0L) Some(ddl) else None)
+          adds, Nil, if (attempt == 0L) Some(ddl) else None, None,
+          // creation fixes the partitioning; a lost creation race falls
+          // back to the winner's table (property NOT retro-fitted — the
+          // winner's layout governs; our pv-bearing files stay harmless)
+          if (attempt == 0L && partitionBy.nonEmpty)
+            Some(Map(Partitioning.Columns -> partitionBy.mkString(",")))
+          else None)
         if (tryPublish(dir, attempt, content)) {
           published = true
           maybeCheckpoint(dir, attempt)
@@ -793,7 +968,12 @@ object TxLog {
     if (seen(pre)) return None
     pre.foreach(h => requireSchema(h.schemaDdl, df))
     requireConstraints(pre, df)
-    val (sub, adds) = stage(spark, dir, pre.fold(df)(toPhysical(df, _)))
+    // a partitioned table's streaming sink stages partition-aligned too
+    val batchParts = effectivePartCols(pre, Nil, df)
+    val preStaged = pre.fold(df)(toPhysical(df, _))
+    val (sub, adds) =
+      if (batchParts.isEmpty) stage(spark, dir, preStaged)
+      else stagePartitioned(spark, dir, preStaged, batchParts)
     val ddl = df.schema.toDDL
     var published = false // see append: no cleanup past a published commit
     try {
@@ -906,7 +1086,7 @@ object TxLog {
     preSnap.foreach(s => requireSchema(s.schemaDdl, df))
     requireConstraints(preSnap, df)
     val removes = preSnap.map(_.files.map(_.path)).getOrElse(Nil)
-    val (sub, adds) = stage(spark, dir, preSnap.fold(df)(toPhysical(df, _)))
+    val (sub, adds) = preSnap.fold(stage(spark, dir, df))(stageForTable(spark, dir, _, df))
     val v = readVersion + 1
     val content = commitJson(v, "overwrite", System.currentTimeMillis(),
       adds, removes, if (v == 0L) Some(df.schema.toDDL) else None)
@@ -948,7 +1128,7 @@ object TxLog {
     // Stage the replacement FIRST; the value set and the committed rows
     // then come from the same single evaluation of `df` (the merge
     // discipline — a non-deterministic frame cannot desynchronize them).
-    val (newSub, newAdds) = stage(spark, dir, toPhysical(df, snap))
+    val (newSub, newAdds) = stageForTable(spark, dir, snap, df)
     val physCol = colMapOf(snap.props).getOrElse(colName, colName)
     val stagedDf = spark.read.schema(physicalSchema(snap))
       .parquet(Paths.get(dir, newSub).toString)
@@ -988,7 +1168,7 @@ object TxLog {
       else {
         val keep = scanFiles(spark, dir, snap, partial)
           .where(!col(colName).isin(values: _*) || col(colName).isNull)
-        val (sub, adds) = stage(spark, dir, toPhysical(keep, snap))
+        val (sub, adds) = stageForTable(spark, dir, snap, keep)
         (Some(sub), adds.map(_.copy(dataChange = false)))
       }
     val removes = (full ++ partial).map(_.path)
@@ -1001,6 +1181,94 @@ object TxLog {
       remainderSub.foreach(deleteStaged(dir, _))
       throw new ConcurrentWriteException(
         s"replaceWhereIn on $dir conflicted: version $v was committed concurrently")
+    }
+  }
+
+  /** DYNAMIC-PARTITION OVERWRITE as one transaction (Spark's
+    * `partitionOverwriteMode=dynamic`, Delta's replaceWhere over the
+    * incoming partitions): every partition-value combination PRESENT in
+    * `df` is replaced by `df`'s rows for it, untouched partitions stay,
+    * atomically. The replaced set comes from the staged files' own
+    * [[AddFile.pv]] — the single evaluation of `df`, no extra scan.
+    * Live files classify in three tiers:
+    *  - pv-bearing files: metadata-only — removed when their combination
+    *    is replaced, untouched otherwise (never opened);
+    *  - legacy pv-less files (pre-partitioning writes, OPTIMIZE
+    *    outputs): classified by stats; straddlers are REWRITTEN without
+    *    their replaced rows — cost ∝ the legacy straddle, not the table;
+    *  - the rewrite restages PARTITION-ALIGNED, so the table converges
+    *    back to all-pv as it is touched.
+    * Non-blind write → the overwrite conflict rule (no rebase). An
+    * empty `df` is a no-op. Returns the committed (or current)
+    * version. */
+  def overwritePartitions(spark: SparkSession, dir: String, df: DataFrame): Long = {
+    val readVersion = latestVersion(dir)
+    if (readVersion < 0)
+      throw new VersionNotFoundException(s"$dir has no committed versions")
+    val snap = snapshot(dir, Some(readVersion))
+    val parts = partitionColsOf(snap)
+    require(parts.nonEmpty,
+      s"overwritePartitions: $dir has no partition columns (${Partitioning.Columns})")
+    requireSchema(snap.schemaDdl, df)
+    requireConstraints(Some(snap), df)
+    val physParts = parts.map(c => colMapOf(snap.props).getOrElse(c, c))
+    val (newSub, newAdds) =
+      stagePartitioned(spark, dir, toPhysical(df, snap), physParts)
+    val combos: Set[Map[String, String]] =
+      newAdds.filter(_.rows > 0).map(f => physParts.map(c => c -> f.pv(c)).toMap).toSet
+    if (combos.isEmpty) { deleteStaged(dir, newSub); return readVersion }
+
+    def comboOf(f: AddFile): Option[Map[String, String]] =
+      if (physParts.forall(f.pv.contains)) Some(physParts.map(c => c -> f.pv(c)).toMap)
+      else None
+    def classify(f: AddFile): Int = comboOf(f) match { // 0 untouched, 1 full, 2 partial
+      case Some(c) => if (combos.contains(c)) 1 else 0
+      case None =>
+        val mightHit = combos.exists(combo => physParts.forall { c =>
+          f.stats.get(c) match {
+            case Some(cs) => (cs.min, cs.max) match {
+              case (Some(mn), Some(mx)) =>
+                (cmpStats(cs.typ, mn, combo(c)), cmpStats(cs.typ, mx, combo(c))) match {
+                  case (Some(a), Some(b)) => a <= 0 && b >= 0
+                  case _ => true // incomparable stats: conservative hit
+                }
+              case _ => cs.nulls != f.rows // all-NULL col never matches
+            }
+            case None => true // no stats: conservative hit
+          }
+        })
+        if (!mightHit) 0
+        else if (combos.exists(combo => physParts.forall(c =>
+          f.stats.get(c).exists(cs => cs.nulls == 0 &&
+            cs.min.contains(combo(c)) && cs.max.contains(combo(c)))))) 1
+        else 2
+    }
+    val full = snap.files.filter(classify(_) == 1)
+    val partial = snap.files.filter(classify(_) == 2)
+    val (remainderSub, remainderAdds) =
+      if (partial.isEmpty) (None, Nil)
+      else {
+        val replaced = combos.toSeq.map(combo => parts.zip(physParts).map {
+          case (logical, phys) =>
+            val field = snap.schema.fields.find(_.name == logical).get
+            col(logical) === lit(combo(phys)).cast(field.dataType)
+        }.reduce(_ && _)).reduce(_ || _)
+        val keep = scanFiles(spark, dir, snap, partial)
+          .where(!replaced || replaced.isNull)
+        val (sub, adds) =
+          stagePartitioned(spark, dir, toPhysical(keep, snap), physParts)
+        (Some(sub), adds.map(_.copy(dataChange = false)))
+      }
+    val removes = (full ++ partial).map(_.path)
+    val v = readVersion + 1
+    val content = commitJson(v, "replacePartitions", System.currentTimeMillis(),
+      remainderAdds ++ newAdds, removes, None)
+    if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
+    else {
+      deleteStaged(dir, newSub)
+      remainderSub.foreach(deleteStaged(dir, _))
+      throw new ConcurrentWriteException(
+        s"overwritePartitions on $dir conflicted: version $v was committed concurrently")
     }
   }
 
@@ -1240,6 +1508,11 @@ object TxLog {
     numeric(AutoOptimize.MinSmallFiles, 2)
     numeric(AutoOptimize.SmallFileBytes, 1)
     numeric(AutoOptimize.TargetBytes, 1)
+    // partitioning is fixed at creation: pv metadata in already-committed
+    // AddFiles cannot be retro-fitted to a different column set
+    require(!props.contains(Partitioning.Columns),
+      s"${Partitioning.Columns} is fixed at table creation " +
+        "(create/appendPartitioned) and cannot be altered")
     var tries = 0
     while (tries < maxCommitAttempts) {
       val attempt = latestVersion(dir) + 1
@@ -1477,7 +1750,14 @@ object TxLog {
     // staged re-read: the source plan is evaluated exactly once, so a
     // non-deterministic source cannot desynchronize the validated keys,
     // the matched-file set, and the rows that actually land.
-    val (srcSub, srcAdds) = stage(spark, dir, toPhysicalMerged(alignMerged(source)))
+    // partitioned tables stage the source (and remainder) partition-
+    // aligned under the merged mapping, so upserts keep pv pruning sharp
+    val mergePhysParts =
+      partitionColsOf(snap).map(c => fullMap.getOrElse(c, c))
+    def stageMerged(d: DataFrame): (String, Seq[AddFile]) =
+      if (mergePhysParts.isEmpty) stage(spark, dir, d)
+      else stagePartitioned(spark, dir, d, mergePhysParts)
+    val (srcSub, srcAdds) = stageMerged(toPhysicalMerged(alignMerged(source)))
     val staged0 = spark.read.schema(physMerged)
       .parquet(Paths.get(dir, srcSub).toString)
     val staged =
@@ -1515,7 +1795,7 @@ object TxLog {
         else {
           val keep = alignMerged(scanFiles(spark, dir, snap, touched))
             .join(keys, Seq(keyCol), "left_anti")
-          val (sub, adds) = stage(spark, dir, toPhysicalMerged(keep))
+          val (sub, adds) = stageMerged(toPhysicalMerged(keep))
           (Some(sub), adds.map(_.copy(dataChange = false)))
         }
       val v =
@@ -1546,12 +1826,22 @@ object TxLog {
     * empty table CTAS and `CREATE TABLE` route through. Exactly one
     * concurrent creator wins (version 0 is hard-linked like any other
     * commit); losers see TableExistsException. */
-  def create(dir: String, schema: StructType): Long = {
+  def create(dir: String, schema: StructType,
+      partitionBy: Seq[String] = Nil): Long = {
     Files.createDirectories(Paths.get(dir))
     if (latestVersion(dir) >= 0)
       throw new TableExistsException(s"$dir already has a committed log")
+    partitionBy.foreach { c =>
+      requireMappableName(c)
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"partition column $c not in schema"))
+      require(statSupported(f.dataType),
+        s"partition column $c: type ${f.dataType.simpleString} unsupported")
+    }
     val content = commitJson(0L, "create", System.currentTimeMillis(),
-      Nil, Nil, Some(schema.toDDL))
+      Nil, Nil, Some(schema.toDDL), None,
+      if (partitionBy.isEmpty) None
+      else Some(Map(Partitioning.Columns -> partitionBy.mkString(","))))
     if (tryPublish(dir, 0L, content)) 0L
     else throw new TableExistsException(s"$dir was created concurrently")
   }
@@ -1732,6 +2022,9 @@ object TxLog {
       require(idx >= 0, s"renameColumn: no column $from in ${head.schema.fieldNames.mkString(",")}")
       require(!head.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
         s"renameColumn: column $to already exists")
+      require(!partitionColsOf(head).exists(_.equalsIgnoreCase(from)),
+        s"renameColumn: $from is a partition column (Delta's rule — " +
+          "partition metadata keys are fixed)")
       requireNoConstraintReference(head, from, "renameColumn")
       val physical = colMapOf(head.props).getOrElse(head.schema.fieldNames(idx),
         head.schema.fieldNames(idx))
@@ -1769,6 +2062,8 @@ object TxLog {
       val idx = head.schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
       require(idx >= 0, s"dropColumn: no column $name in ${head.schema.fieldNames.mkString(",")}")
       require(head.schema.fields.length > 1, "dropColumn: cannot drop the last column")
+      require(!partitionColsOf(head).exists(_.equalsIgnoreCase(name)),
+        s"dropColumn: $name is a partition column")
       requireNoConstraintReference(head, name, "dropColumn")
       val logical = head.schema.fieldNames(idx)
       val physical = colMapOf(head.props).getOrElse(logical, logical)
@@ -1925,7 +2220,7 @@ object TxLog {
           toPhysical(removed, snap).withColumn(ChangeTypeCol, lit("delete")))
         (Some(sub), adds)
       }
-    val (remSub, remainderAdds0) = stage(spark, dir, toPhysical(keep, snap))
+    val (remSub, remainderAdds0) = stageForTable(spark, dir, snap, keep)
     val remainderAdds = remainderAdds0.map(_.copy(dataChange = false))
     try commitDmlRebase(spark, dir, "delete", snap, touched,
       touched.map(_.path), remainderAdds, cdfAdds, None, None, None)
@@ -2066,7 +2361,7 @@ object TxLog {
         val (sub, adds) = stage(spark, dir, pre.unionAll(post))
         (Some(sub), adds)
       }
-    val (updSub, updatedAdds) = stage(spark, dir, toPhysical(updated, snap))
+    val (updSub, updatedAdds) = stageForTable(spark, dir, snap, updated)
     try {
       // constraints validate on the staged re-read (single-evaluation
       // discipline, as merge does); staged files carry physical names —
@@ -2079,7 +2374,7 @@ object TxLog {
       requireConstraints(Some(snap), stagedUpd)
       val (remSub, remainderAdds) = {
         val keep = touchedDf.where(not(cond))
-        val (sub, adds) = stage(spark, dir, toPhysical(keep, snap))
+        val (sub, adds) = stageForTable(spark, dir, snap, keep)
         (sub, adds.map(_.copy(dataChange = false)))
       }
       val v =
@@ -2138,7 +2433,7 @@ object TxLog {
         val (sub, adds) = stage(spark, dir, pre.unionAll(post))
         (Some(sub), adds)
       }
-    val (updSub, updatedAdds) = stage(spark, dir, toPhysical(updated, snap))
+    val (updSub, updatedAdds) = stageForTable(spark, dir, snap, updated)
     var dvSub: Option[String] = None
     try {
       // constraints validate on the staged re-read (single evaluation)
@@ -2574,6 +2869,58 @@ object TxLog {
         case None => true
       }
     }
+  }
+
+  /** EXACT-MATCH file pruning on `eq` (logical column → stats-canon
+    * value string): a file carrying [[AddFile.pv]] for the column prunes
+    * by one metadata string comparison — NO stats consulted, the O(1)
+    * log-level partition pruning [[Partitioning]] exists for; a file
+    * without pv (pre-partitioning write, OPTIMIZE output) falls back to
+    * its stats range; a file with neither survives (pruning must never
+    * lose rows). Returns (surviving, pruned). */
+  def prunedFilesEq(snap: Snapshot, eq: Map[String, String]): (Seq[AddFile], Seq[AddFile]) = {
+    val m = colMapOf(snap.props)
+    snap.files.partition { f =>
+      eq.forall { case (c0, v) =>
+        val c = m.getOrElse(c0, c0)
+        f.pv.get(c) match {
+          case Some(pvv) => pvv == v
+          case None => f.stats.get(c) match {
+            case Some(cs) => (cs.min, cs.max) match {
+              case (Some(mn), Some(mx)) =>
+                (cmpStats(cs.typ, mn, v), cmpStats(cs.typ, mx, v)) match {
+                  case (Some(a), Some(b)) => a <= 0 && b >= 0
+                  case _ => true
+                }
+              case _ => cs.nulls != f.rows
+            }
+            case None => true
+          }
+        }
+      }
+    }
+  }
+
+  /** Partition-pruned scan: `eq` maps (typically partition) columns to
+    * their stats-canon value strings; only files surviving
+    * [[prunedFilesEq]] are opened, with the equality predicate applied
+    * on top (files without pv are filtered row-wise — correctness never
+    * depends on the metadata). On a partitioned table the scan opens
+    * ZERO files from other partitions without reading any stats. */
+  def readPartition(spark: SparkSession, dir: String, eq: Map[String, String],
+      versionAsOf: Option[Long] = None): DataFrame = {
+    require(eq.nonEmpty, "readPartition: at least one column = value pair")
+    val snap = snapshot(dir, versionAsOf)
+    val preds = eq.map { case (c, v) =>
+      val field = snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"$c not in table schema"))
+      col(c) === lit(v).cast(field.dataType)
+    }
+    val (survivors, _) = prunedFilesEq(snap, eq)
+    if (survivors.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else
+      scanFiles(spark, dir, snap, survivors).where(preds.reduce(_ && _))
   }
 
   /** Range scan with file skipping: prune by per-file stats, then read

@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxLog
+
+/** First-class partition columns: partition-aligned staging records one
+  * value combination per file in AddFile.pv; equality reads prune by
+  * METADATA ONLY (zero stats reads, zero foreign files opened); dynamic
+  * partition overwrite replaces whole partitions by metadata; DML and
+  * merges keep the table partition-aligned; partition columns are
+  * immutable. */
+class TxPartitionSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-txpart").toString + "/t"
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"v$i", s"g${i % 3}")).toDF("id", "s", "grp")
+  }
+
+  private def idSet(d: org.apache.spark.sql.DataFrame): Set[Long] =
+    d.select("id").collect().map(_.getLong(0)).toSet
+
+  test("appendPartitioned: one value combination per file, recorded as pv") {
+    val dir = tmp()
+    TxLog.appendPartitioned(spark, dir, df(0 until 30), Seq("grp"))
+    val snap = TxLog.snapshot(dir)
+    assert(TxLog.partitionColsOf(snap) === Seq("grp"))
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(_.pv.keySet === Set("grp")))
+    assert(snap.files.map(_.pv("grp")).toSet === Set("g0", "g1", "g2"))
+    // one file per combination (the aligned-write economics)
+    assert(snap.files.size === 3)
+    // partition columns stay physically present: a plain read needs no pv
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 30L).toSet)
+    // a later PLAIN append partitions automatically from the property
+    TxLog.append(spark, dir, df(30 until 40))
+    val snap2 = TxLog.snapshot(dir)
+    assert(snap2.files.forall(_.pv.contains("grp")))
+  }
+
+  test("readPartition opens zero foreign files, without reading stats") {
+    val dir = tmp()
+    TxLog.appendPartitioned(spark, dir, df(0 until 30), Seq("grp"))
+    val snap = TxLog.snapshot(dir)
+    // metadata-only pruning: even with ALL stats stripped, pv alone
+    // selects exactly the partition's files
+    val statless = snap.copy(files = snap.files.map(_.copy(stats = Map.empty)))
+    val (surv, pruned) = TxLog.prunedFilesEq(statless, Map("grp" -> "g1"))
+    assert(surv.map(_.pv("grp")).toSet === Set("g1") && pruned.size === 2)
+    // and the actual scan opens only that partition's file
+    val scan = TxLog.readPartition(spark, dir, Map("grp" -> "g1"))
+    val opened = scan.inputFiles.toSet
+    val g1files = snap.files.filter(_.pv("grp") == "g1")
+      .map(f => "file://" + java.nio.file.Paths.get(dir, f.path)).toSet
+    assert(opened.forall(o => g1files.exists(o.endsWith)))
+    assert(opened.size === 1)
+    assert(idSet(scan) === (0L until 30L).filter(_ % 3 == 1).toSet)
+  }
+
+  test("NULL partition values are rejected; nothing stages") {
+    import spark.implicits._
+    val dir = tmp()
+    val withNull = Seq((1L, "a", "g0"), (2L, "b", null))
+      .toDF("id", "s", "grp")
+    intercept[IllegalArgumentException] {
+      TxLog.appendPartitioned(spark, dir, withNull, Seq("grp"))
+    }
+    assert(TxLog.latestVersion(dir) === -1L)
+    // no orphaned staging
+    val ds = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val leftovers = try {
+      import scala.jdk.CollectionConverters._
+      ds.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("d-")).toList
+    } finally ds.close()
+    assert(leftovers.isEmpty)
+  }
+
+  test("overwritePartitions replaces exactly the incoming partitions") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.appendPartitioned(spark, dir, df(0 until 30), Seq("grp"))
+    val untouched = TxLog.snapshot(dir).files.filter(_.pv("grp") == "g2")
+    // replace g0 and g1 with fresh content; g2 must ride through
+    val repl = Seq((100L, "r0", "g0"), (101L, "r1", "g1"))
+      .toDF("id", "s", "grp")
+    val v = TxLog.overwritePartitions(spark, dir, repl)
+    assert(v === 1L)
+    val got = TxLog.read(spark, dir)
+    val want = (0L until 30L).filter(_ % 3 == 2).toSet ++ Set(100L, 101L)
+    assert(idSet(got) === want)
+    // g2's file was never touched (same path, metadata-only decision)
+    val after = TxLog.snapshot(dir).files.map(_.path).toSet
+    assert(untouched.forall(f => after.contains(f.path)))
+    // empty replacement frame is a no-op
+    assert(TxLog.overwritePartitions(spark, dir,
+      df(0 until 0)) === 1L)
+  }
+
+  test("legacy pv-less files (OPTIMIZE outputs) classify conservatively") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.appendPartitioned(spark, dir, df(0 until 30), Seq("grp"))
+    // compaction merges partitions: outputs carry no pv by design
+    TxLog.optimize(spark, dir, targetBytes = 1L << 30)
+    assert(TxLog.snapshot(dir).files.forall(_.pv.isEmpty))
+    // equality read falls back to stats + row filter — still correct
+    assert(idSet(TxLog.readPartition(spark, dir, Map("grp" -> "g1"))) ===
+      (0L until 30L).filter(_ % 3 == 1).toSet)
+    // dynamic overwrite rewrites the straddling legacy file without its
+    // replaced rows, and the rewrite is partition-aligned again
+    val repl = Seq((200L, "r", "g0")).toDF("id", "s", "grp")
+    TxLog.overwritePartitions(spark, dir, repl)
+    val got = TxLog.read(spark, dir)
+    assert(idSet(got) ===
+      (0L until 30L).filterNot(_ % 3 == 0).toSet + 200L)
+    assert(TxLog.snapshot(dir).files.forall(_.pv.contains("grp")),
+      "the remainder rewrite restores partition alignment")
+  }
+
+  test("DELETE, UPDATE, and MERGE keep a partitioned table aligned") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.appendPartitioned(spark, dir, df(0 until 30), Seq("grp"))
+    TxLog.delete(spark, dir, "id % 10 = 0")
+    TxLog.update(spark, dir, "id = 7", Map("s" -> "'u7'"))
+    TxLog.merge(spark, dir,
+      Seq((3L, "m3", "g0"), (99L, "m99", "g0")).toDF("id", "s", "grp"), "id")
+    val snap = TxLog.snapshot(dir)
+    assert(snap.files.forall(_.pv.contains("grp")),
+      s"every post-DML file must carry pv, got ${snap.files.map(f => (f.path, f.pv))}")
+    val want = (0L until 30L).filterNot(_ % 10 == 0).toSet + 99L
+    assert(idSet(TxLog.read(spark, dir)) === want)
+    assert(TxLog.read(spark, dir).where("id = 3").head().getString(1) === "m3")
+  }
+
+  test("partition columns are immutable: no rename, drop, or property edit") {
+    val dir = tmp()
+    TxLog.appendPartitioned(spark, dir, df(0 until 10), Seq("grp"))
+    intercept[IllegalArgumentException](TxLog.renameColumn(dir, "grp", "bucket"))
+    intercept[IllegalArgumentException](TxLog.dropColumn(dir, "grp"))
+    intercept[IllegalArgumentException](
+      TxLog.setProperties(dir, Map(TxLog.Partitioning.Columns -> "s")))
+    // mismatched partitioning on a later append is refused
+    intercept[IllegalArgumentException](
+      TxLog.appendPartitioned(spark, dir, df(10 until 20), Seq("s")))
+  }
+
+  test("SQL: CREATE TABLE PARTITIONED BY + INSERT stages pv-bearing files") {
+    val root = Files.createTempDirectory("graft-txpartsql").toString
+    val cat = "prt" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, s STRING, grp STRING) PARTITIONED BY (grp)")
+    df(0 until 12).createOrReplaceTempView("txpart_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM txpart_src")
+    val snap = TxLog.snapshot(s"$root/t")
+    assert(TxLog.partitionColsOf(snap) === Seq("grp"))
+    assert(snap.files.nonEmpty && snap.files.forall(_.pv.contains("grp")))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE grp = 'g1'")
+      .head().getLong(0) === 4L)
+  }
+
+  test("streaming appendBatch stages partition-aligned on a partitioned table") {
+    val dir = tmp()
+    TxLog.appendPartitioned(spark, dir, df(0 until 6), Seq("grp"))
+    assert(TxLog.appendBatch(spark, dir, df(6 until 12), "app", 0L).nonEmpty)
+    assert(TxLog.snapshot(dir).files.forall(_.pv.contains("grp")))
+    // replay skipped, exactly-once intact
+    assert(TxLog.appendBatch(spark, dir, df(6 until 12), "app", 0L).isEmpty)
+  }
+
+  test("multi-column partitioning prunes on each column independently") {
+    import spark.implicits._
+    val dir = tmp()
+    val d = (0 until 40).map(i => (i.toLong, s"g${i % 2}", s"d${i % 4 / 2}"))
+      .toDF("id", "g", "d")
+    TxLog.appendPartitioned(spark, dir, d, Seq("g", "d"))
+    val snap = TxLog.snapshot(dir)
+    assert(snap.files.size === 4) // 2 × 2 combinations
+    val (surv, _) = TxLog.prunedFilesEq(snap, Map("g" -> "g1", "d" -> "d0"))
+    assert(surv.size === 1)
+    assert(idSet(TxLog.readPartition(spark, dir, Map("g" -> "g1", "d" -> "d0"))) ===
+      (0L until 40L).filter(i => i % 2 == 1 && i % 4 / 2 == 0).toSet)
+  }
+}
