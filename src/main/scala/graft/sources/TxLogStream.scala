@@ -116,12 +116,27 @@ class TxLogStreamProvider extends StreamSourceProvider with StreamSinkProvider
       parameters: Map[String, String]): Source = {
     require(!(parameters.contains("startingVersion") && parameters.contains("startingTimestamp")),
       "txlog source: startingVersion and startingTimestamp are mutually exclusive")
+    require(!(parameters.contains("maxFilesPerTrigger") && cdfMode(parameters)),
+      "txlog source: maxFilesPerTrigger splits data-file batches and does " +
+        "not compose with readChangeFeed (change batches are per-commit)")
     new TxLogSource(ctx.sparkSession, pathOf(parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
       parameters.get("startingVersion"),
       parameters.get("startingTimestamp"),
-      readChangeFeed = cdfMode(parameters))
+      readChangeFeed = cdfMode(parameters),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong))
   }
+}
+
+/** Streaming offset INSIDE a commit: `index` dataChange files of
+  * `version` delivered (all earlier versions fully delivered) — what
+  * lets [[TxLogSource]] drain a 10,000-file backfill commit as bounded
+  * micro-batches (`maxFilesPerTrigger`, Delta's admission unit) instead
+  * of one giant catch-up job. Whole-version boundaries keep the plain
+  * numeric [[LongOffset]] encoding, so existing checkpoints resume
+  * unchanged and the option can be added or removed across restarts. */
+private[sources] case class TxFileOffset(version: Long, index: Long) extends Offset {
+  override def json: String = s"""{"v":$version,"i":$index}"""
 }
 
 /** V1 streaming sink over the commit protocol ([[TxLogStreamProvider
@@ -144,7 +159,8 @@ class TxLogSource(spark: SparkSession, dir: String,
     maxVersionsPerTrigger: Option[Long] = None,
     startingVersion: Option[String] = None,
     startingTimestamp: Option[String] = None,
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false,
+    maxFilesPerTrigger: Option[Long] = None)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -152,6 +168,8 @@ class TxLogSource(spark: SparkSession, dir: String,
 
   maxVersionsPerTrigger.foreach(m => require(m >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $m"))
+  maxFilesPerTrigger.foreach(m => require(m >= 1,
+    s"maxFilesPerTrigger must be >= 1, got $m"))
 
   /** Pinned at stream construction; also carries the column mapping the
     * scan needs (physical names never change, so the pinned mapping
@@ -219,29 +237,63 @@ class TxLogSource(spark: SparkSession, dir: String,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  /** At most `maxVersionsPerTrigger` NEW versions per micro-batch
-    * (Delta's maxFilesPerTrigger discipline at version granularity — a
-    * month-long backlog streams as bounded batches, not one giant
-    * catch-up job); unlimited otherwise. */
-  private def cappedEnd(from: Long): Option[Long] = {
-    val latest = availableTarget.getOrElse(TxLog.latestVersion(dir))
-    if (latest < 0) return None
-    val capped = maxVersionsPerTrigger
-      .map(m => math.min(latest, from + m)).getOrElse(latest)
-    if (capped <= from) None else Some(capped)
+  /** Per-version dataChange file counts and lists — commits are
+    * immutable once published, so the cache never invalidates. */
+  private val versionFiles =
+    scala.collection.mutable.Map.empty[Long, Seq[TxLog.AddFile]]
+  private def filesOf(v: Long): Seq[TxLog.AddFile] =
+    versionFiles.getOrElseUpdate(v, TxLog.changedFilesBetween(dir, v - 1, v))
+
+  /** Offsets normalize to a POSITION `(v, i)` = "all versions below `v`
+    * fully delivered, plus the first `i` dataChange files of `v`".
+    * A whole-version LongOffset(n) is position (n+1, 0). */
+  private def startPos(o: ConnOffset): (Long, Long) = o match {
+    case LongOffset(v) => (v + 1, 0L)
+    case TxFileOffset(v, i) => (v, i)
+    case other =>
+      val j = other.json.trim
+      if (j.startsWith("{")) {
+        val p = org.json4s.jackson.JsonMethods.parse(j)
+        ((p \ "v"), (p \ "i")) match {
+          case (org.json4s.JInt(v), org.json4s.JInt(i)) => (v.toLong, i.toLong)
+          case _ => sys.error(s"txlog source: unreadable offset $j")
+        }
+      } else (j.toLong + 1, 0L)
   }
 
+  /** Admission control (Delta's maxFilesPerTrigger/maxVersionsPerTrigger
+    * pair): the version cap bounds how far the TARGET advances, the file
+    * budget walks forward file-by-file and may stop INSIDE a commit
+    * ([[TxFileOffset]]) — a single 10,000-file backfill commit then
+    * drains across ceil(10000/m) exactly-once micro-batches. */
   override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
-    val from = Option(start).map(versionOf).getOrElse(initialFrom)
-    cappedEnd(from) match {
-      case Some(v) => LongOffset(v)
+    // Fresh checkpoint with an explicit start position and nothing to
+    // deliver yet: emit ONE empty batch at the resolved position so the
+    // engine checkpoints it — otherwise `latest` (or a timestamp) would
+    // be re-resolved at every restart and silently skip commits made
+    // between runs.
+    def nothingNew: ConnOffset =
+      if (start == null && initialFrom >= 0) LongOffset(initialFrom) else null
+    val latest = availableTarget.getOrElse(TxLog.latestVersion(dir))
+    if (latest < 0) return nothingNew
+    val (sv, si) = Option(start).map(startPos).getOrElse((initialFrom + 1, 0L))
+    val target = maxVersionsPerTrigger
+      .map(m => math.min(latest, (sv - 1) + m)).getOrElse(latest)
+    maxFilesPerTrigger match {
       case None =>
-        // Fresh checkpoint with an explicit start position and nothing
-        // to deliver yet: emit ONE empty batch at the resolved position
-        // so the engine checkpoints it — otherwise `latest` (or a
-        // timestamp) would be re-resolved at every restart and silently
-        // skip commits made between runs.
-        if (start == null && initialFrom >= 0) LongOffset(initialFrom) else null
+        // mid-commit checkpoint with the option since removed: finish
+        // the split version, then whole versions as before
+        if (target < sv && si == 0L) nothingNew else LongOffset(math.max(target, sv))
+      case Some(budget0) =>
+        var v = sv; var i = si; var budget = budget0
+        while (v <= target && budget > 0) {
+          val remaining = filesOf(v).size - i
+          if (remaining <= budget) { budget -= remaining; v += 1; i = 0L }
+          else { i += budget; budget = 0L }
+        }
+        if (v == sv && i == si) nothingNew
+        else if (i == 0L) LongOffset(v - 1)
+        else TxFileOffset(v, i)
     }
   }
 
@@ -258,14 +310,28 @@ class TxLogSource(spark: SparkSession, dir: String,
     if (v < 0) None else Some(LongOffset(v))
   }
 
-  private def versionOf(o: ConnOffset): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.trim.toLong
+  /** An END offset as an INCLUSIVE position: LongOffset(v) takes all of
+    * version v; a file offset takes its prefix. */
+  private def endPos(o: ConnOffset): (Long, Long) = o match {
+    case LongOffset(v) => (v, Long.MaxValue)
+    case TxFileOffset(v, i) => (v, i)
+    case other =>
+      val j = other.json.trim
+      if (j.startsWith("{")) {
+        val p = org.json4s.jackson.JsonMethods.parse(j)
+        ((p \ "v"), (p \ "i")) match {
+          case (org.json4s.JInt(v), org.json4s.JInt(i)) => (v.toLong, i.toLong)
+          case _ => sys.error(s"txlog source: unreadable offset $j")
+        }
+      } else (j.toLong, Long.MaxValue)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(versionOf).getOrElse(initialFrom)
-    val to = versionOf(end)
+    val (sv, si) = start
+      .map(o => startPos(o.asInstanceOf[ConnOffset]))
+      .getOrElse((initialFrom + 1, 0L))
+    val (ev, ei) = endPos(end.asInstanceOf[ConnOffset])
+    val to = ev
     // Schema-drift guard: the source scans every file under the schema
     // pinned at stream construction — if appendEvolve widened the table
     // mid-stream, scanning new files under the old schema would SILENTLY
@@ -290,14 +356,24 @@ class TxLogSource(spark: SparkSession, dir: String,
     // them); the same loud-failure rule applies to DML commits that
     // predate enabling the table property
     if (readChangeFeed) {
-      val feed = TxLog.readChangeFeed(spark, dir, from, Some(to))
+      // CDF batches are whole commits (file splitting is rejected at
+      // construction), so the version bounds carry everything
+      val feed = TxLog.readChangeFeed(spark, dir, sv - 1, Some(to))
       return org.apache.spark.sql.graft.GraftSqlShims.streamingDataFrame(
         spark, feed.queryExecution.toRdd, schema)
     }
     // (recovery needs no bootstrap here: the engine passes the
     // checkpointed start offset into latestOffset, so the limiter
     // always advances from the committed position)
-    val files = TxLog.changedFilesBetween(dir, from, to)
+    // The slice between two positions: version sv from file si, whole
+    // versions in between, version ev up to file ei — exactly-once at
+    // FILE granularity (a file is delivered by precisely one batch).
+    val files = (sv to ev).flatMap { v =>
+      val fs = filesOf(v)
+      val lo = if (v == sv) math.min(si, fs.size.toLong).toInt else 0
+      val hi = if (v == ev) math.min(ei, fs.size.toLong).toInt else fs.size
+      fs.slice(lo, hi)
+    }
     // the engine asserts isStreaming=true on the returned frame; route
     // the (lazy) batch scan through the one sanctioned shim. scanAdds
     // applies deletion vectors carried by a clone commit's initial adds

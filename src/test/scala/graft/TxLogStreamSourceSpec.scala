@@ -215,4 +215,70 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(runOnce(table, s"$root/c-fresh", "txs_se3") ===
       ((0L until 3L).toSet + 100L))
   }
+
+  test("maxFilesPerTrigger drains a many-file commit across bounded batches") {
+    val root = Files.createTempDirectory("graft-txstream-f").toString
+    val table = s"$root/t"
+    // ONE commit of 10 files + a second 3-file commit
+    TxLog.append(spark, table, df(0 until 100).repartition(10))
+    TxLog.append(spark, table, df(100 until 130).repartition(3))
+    val batchFiles = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = spark.readStream.format("txlog").option("path", table)
+      .option("maxFilesPerTrigger", "4").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.select("id").collect().map(_.getLong(0))
+        batchFiles.synchronized { batchFiles += rows.length.toLong }
+        rows.foreach(r => got.add(r)): Unit
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    // no duplicate, no loss: 130 distinct ids and 130 total rows
+    assert(got.asScala.toSet === (0L until 130L).toSet)
+    assert(batchFiles.sum === 130L, s"row total drifted: $batchFiles")
+    // 13 files at exactly 4/trigger = batches of (4,4,4,1) files: each
+    // batch's row count must equal the corresponding consecutive file
+    // window of the log's own per-file row counts
+    val fileRows = (TxLog.changedFilesBetween(table, -1L, 0L) ++
+      TxLog.changedFilesBetween(table, 0L, 1L)).map(_.rows)
+    val wantBatches = fileRows.grouped(4).map(_.sum).toSeq
+    assert(batchFiles.filter(_ > 0).toSeq === wantBatches,
+      s"batches $batchFiles != 4-file windows $wantBatches")
+  }
+
+  test("a restart resumes EXACTLY-ONCE from a mid-commit file offset") {
+    val root = Files.createTempDirectory("graft-txstream-r").toString
+    val table = s"$root/t"
+    TxLog.append(spark, table, df(0 until 90).repartition(9)) // one 9-file commit
+    def onePass(trigger: Trigger): Set[Long] = {
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val q = spark.readStream.format("txlog").option("path", table)
+        .option("maxFilesPerTrigger", "4").load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("id").collect().foreach(r => got.add(r.getLong(0))): Unit
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(trigger).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    // Trigger.Once = exactly ONE micro-batch: the first 4 of the 9
+    // files, then the checkpoint holds a MID-COMMIT TxFileOffset
+    val fileRows = TxLog.changedFilesBetween(table, -1L, 0L).map(_.rows)
+    val first = onePass(Trigger.Once())
+    assert(first.size.toLong === fileRows.take(4).sum,
+      s"one batch = the first 4 files' rows, got ${first.size}")
+    // the restarted query resumes from the file offset: the remaining
+    // files' rows arrive, none of the first batch repeats
+    val second = onePass(Trigger.AvailableNow())
+    assert(second.size.toLong === fileRows.drop(4).sum && (first & second).isEmpty,
+      s"resume must deliver exactly the remaining files once " +
+        s"(got ${second.size} rows, overlap ${(first & second).size})")
+    assert(first ++ second === (0L until 90L).toSet)
+  }
 }
