@@ -611,18 +611,18 @@ object TxLog {
 
   // ---- commit protocol ---------------------------------------------------
 
-  /** Publish `content` as version `v`. The content is fully written under
-    * a temp name, then HARD-LINKED to the version name — link(2) is
-    * atomic and fails if the target exists, so exactly one concurrent
-    * writer claims each version and a reader never sees partial JSON. */
-  private def tryPublish(dir: String, v: Long, content: String): Boolean = {
-    Files.createDirectories(logDir(dir))
-    val tmp = logDir(dir).resolve(s".tmp-${UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    try { Files.createLink(versionFile(dir, v), tmp); true }
-    catch { case _: FileAlreadyExistsException => false }
-    finally Files.deleteIfExists(tmp): Unit
-  }
+  /** The pluggable commit-claim primitive ([[graft.sources.LogStore]]):
+    * [[HardLinkLogStore]] (atomic link(2), POSIX) by default; tests and
+    * object-store deployments swap in a store whose put-if-absent comes
+    * from the service (S3 conditional put). Session-global by design —
+    * a store is a property of the storage backend, not of a table. */
+  @volatile private[graft] var logStore: LogStore = HardLinkLogStore
+
+  /** Publish `content` as version `v` through the [[logStore]]'s atomic
+    * put-if-absent: exactly one concurrent writer claims each version
+    * and a reader never sees partial JSON. */
+  private def tryPublish(dir: String, v: Long, content: String): Boolean =
+    logStore.putIfAbsent(versionFile(dir, v), LogStore.bytes(content))
 
   /** Best-effort checkpoint after committing `v` — failure is harmless
     * (the next checkpointed commit covers it; replay just reads more
@@ -644,10 +644,9 @@ object TxLog {
           ("schema" -> snap.schemaDdl) ~
           ("files" -> snap.files.map(addJson)) ~ ("txns" -> snap.txns) ~
           ("props" -> snap.props)
-        val tmp = logDir(dir).resolve(s".tmp-ckpt-${UUID.randomUUID().toString.take(8)}")
-        Files.write(tmp, compact(render(j)).getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, ckptFile(dir, v), StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING): Unit
+        // deterministic content per version → the overwrite-tolerant
+        // store op is safe under concurrent duplicate writes
+        logStore.putOverwrite(ckptFile(dir, v), LogStore.bytes(compact(render(j))))
       } catch { case _: Exception => () }
     }
 

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ConditionalPutLogStore, HardLinkLogStore, LogStore, TxLog}
+
+/** The commit protocol over the pluggable [[LogStore]] seam: the same
+  * multi-writer race must produce a contiguous, loss-free log on BOTH
+  * the POSIX hard-link store and the object-store-shaped conditional-put
+  * store — proving correctness rests on the put-if-absent contract, not
+  * on a filesystem quirk. */
+class TxLogStoreSpec extends AnyFunSuite with SparkTestBase {
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"v$i")).toDF("id", "s")
+  }
+
+  private def withStore[A](store: LogStore)(body: => A): A = {
+    val prev = TxLog.logStore
+    TxLog.logStore = store
+    try body finally TxLog.logStore = prev
+  }
+
+  private def stress(store: LogStore, label: String): Unit = withStore(store) {
+    val dir = Files.createTempDirectory(s"graft-store-$label").toString + "/t"
+    val nWriters = 6
+    val perWriter = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until nWriters).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          try (0 until perWriter).foreach { b =>
+            val base = (w * perWriter + b) * 100
+            TxLog.append(spark, dir, df(base until base + 100)): Unit
+          } catch { case e: Throwable => errs.add(e): Unit }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(180, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"[$label] writers failed: $errs")
+    // exactly one winner per version, versions contiguous, no lost commit
+    assert(TxLog.latestVersion(dir) === (nWriters * perWriter - 1).toLong,
+      s"[$label] version count drifted")
+    val snap = TxLog.snapshot(dir)
+    assert(snap.rows === (nWriters * perWriter * 100).toLong, s"[$label] rows lost")
+    assert(TxLog.read(spark, dir).select("id").distinct().count() ===
+      (nWriters * perWriter * 100).toLong)
+    // no temp-file litter in the log dir (losers clean up)
+    val ld = java.nio.file.Paths.get(dir, "_txlog")
+    val tmps = {
+      val s = Files.list(ld)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(".tmp")).toList
+      } finally s.close()
+    }
+    assert(tmps.isEmpty, s"[$label] temp litter: $tmps")
+  }
+
+  test("commit-race stress: hard-link store (POSIX put-if-absent)") {
+    stress(HardLinkLogStore, "hardlink")
+  }
+
+  test("commit-race stress: conditional-put store (object-store-shaped)") {
+    stress(ConditionalPutLogStore, "condput")
+  }
+
+  test("DML, checkpoints, and time travel work unchanged over the conditional-put store") {
+    withStore(ConditionalPutLogStore) {
+      val dir = Files.createTempDirectory("graft-store-dml").toString + "/t"
+      // 12 commits cross the checkpoint interval (10)
+      (0 until 12).foreach(i => TxLog.append(spark, dir, df(i * 5 until i * 5 + 5)))
+      assert(Files.exists(
+        java.nio.file.Paths.get(dir, "_txlog", f"${10L}%020d.ckpt.json")))
+      TxLog.delete(spark, dir, "id % 7 = 0")
+      val live = TxLog.read(spark, dir).count()
+      assert(live === (0L until 60L).count(_ % 7 != 0).toLong)
+      assert(TxLog.read(spark, dir, Some(3L)).count() === 20L)
+    }
+  }
+}
