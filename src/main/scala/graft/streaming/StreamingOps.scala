@@ -13,12 +13,39 @@ import org.apache.spark.sql.types._
   * Scale notes: the aggregation state is per (window × event_type) — tiny
   * and mergeable; with `withWatermark` + append mode Spark drops window
   * state once the watermark passes, so state is bounded at any volume.
-  * The memory sink + complete mode used here exists to make the finite
-  * AvailableNow run fully observable for the oracle comparison (append
-  * mode would rightly hold back the final, still-open window); a
-  * production run would append finalized windows to a parquet/Kafka sink.
+  * Complete mode is used where the finite AvailableNow run must expose
+  * the final, still-open window for the oracle comparison (append mode
+  * would rightly withhold it); results land in a temp-dir FILE sink and
+  * are read back as batch — no result row ever buffers on the driver,
+  * so the same helpers survive an unbounded-output query.
   */
 object StreamingOps {
+
+  /** Run a finite (AvailableNow) streaming frame to a parquet TEMP SINK
+    * and read it back as batch — the result path that keeps the driver
+    * out of the data plane. Append mode uses the file sink's own
+    * `_spark_metadata` exactly-once commit log; complete-mode
+    * aggregations overwrite per batch via foreachBatch (deterministic:
+    * the final batch IS the complete result). */
+  private def runToParquet(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val q =
+      if (mode == "append")
+        df.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      else
+        df.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.schema(df.schema).parquet(out)
+  }
 
   /** events.parquet read as a stream. The file source needs an explicit
     * schema, and the `ts` encoding has drifted across testdata
@@ -44,15 +71,7 @@ object StreamingOps {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
-    val sinkName = s"graft_stream_window_${System.nanoTime()}"
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName)
+    runToParquet(stream, "complete")
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
   }
@@ -118,15 +137,7 @@ object StreamingOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 4))).as("__dq"))
-    val sinkName = s"graft_stream_dedup_${System.nanoTime()}"
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName)
+    runToParquet(agg, "complete")
       .select(col("event_type"), col("n_events"),
         col("__dq").cast(DoubleType).as("sum_value"))
   }
@@ -159,15 +170,10 @@ object StreamingOps {
       s"""user_id = p_user
           AND purchase_ts >= click_ts
           AND purchase_ts <= click_ts + INTERVAL $windowHours HOURS"""))
-    val sinkName = s"graft_stream_join_${System.nanoTime()}"
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName)
+    // append mode through the parquet file sink: join output flows
+    // executor→files, never through driver memory — the path an
+    // unbounded-output stream needs
+    runToParquet(joined, "append")
   }
 
   private val doubledCache = scala.collection.concurrent.TrieMap.empty[String, String]
