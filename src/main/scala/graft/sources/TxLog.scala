@@ -1312,15 +1312,26 @@ object TxLog {
     val nOut = math.max(1, math.min(
       math.ceil(totalBytes.toDouble / targetBytes).toLong, snap.files.size.toLong).toInt)
     val src = scanFiles(spark, dir, snap, snap.files)
-    val packed =
-      if (zorderBy.nonEmpty)
-        graft.operators.ZOrder.layoutN(src, zorderBy, nOut)
-      else if (sortBy.nonEmpty)
-        src.repartitionByRange(nOut, sortBy.map(col): _*)
-          .sortWithinPartitions(sortBy.map(col): _*)
-      else src.coalesce(nOut)
-    // Layout-only rewrite: no row is new to the table.
-    val (sub, adds0) = stage(spark, dir, toPhysical(packed, snap))
+    // Plain OPTIMIZE on a partitioned table compacts WITHIN partitions
+    // (Delta semantics): outputs keep their pv, so partition pruning
+    // stays O(1) after maintenance. An explicit sortBy/zorderBy
+    // clustering overrides partition alignment (the caller asked for a
+    // different layout; pruning falls back to the stats that clustering
+    // makes sharp anyway).
+    val (sub, adds0) =
+      if (sortBy.isEmpty && zorderBy.isEmpty && partitionColsOf(snap).nonEmpty)
+        stageForTable(spark, dir, snap, src)
+      else {
+        val packed =
+          if (zorderBy.nonEmpty)
+            graft.operators.ZOrder.layoutN(src, zorderBy, nOut)
+          else if (sortBy.nonEmpty)
+            src.repartitionByRange(nOut, sortBy.map(col): _*)
+              .sortWithinPartitions(sortBy.map(col): _*)
+          else src.coalesce(nOut)
+        // Layout-only rewrite: no row is new to the table.
+        stage(spark, dir, toPhysical(packed, snap))
+      }
     val adds = adds0.map(_.copy(dataChange = false))
     val removes = snap.files.map(_.path)
 
@@ -1472,7 +1483,10 @@ object TxLog {
     val nOut = math.max(1, math.min(
       math.ceil(liveBytes.toDouble / targetBytes).toLong, dvFiles.size.toLong).toInt)
     val src = scanFiles(spark, dir, snap, dvFiles)
-    val (sub, adds0) = stage(spark, dir, toPhysical(src.coalesce(nOut), snap))
+    // partitioned tables purge within partitions (pv preserved)
+    val (sub, adds0) =
+      if (partitionColsOf(snap).nonEmpty) stageForTable(spark, dir, snap, src)
+      else stage(spark, dir, toPhysical(src.coalesce(nOut), snap))
     val adds = adds0.map(_.copy(dataChange = false))
     commitRewrite(dir, sub, adds, snap, "purge", Some(dvFiles))
     Some((dvFiles.size, adds.size))
@@ -1582,7 +1596,10 @@ object TxLog {
     val nOut = math.max(1, math.min(
       math.ceil(totalBytes.toDouble / targetBytes).toLong, small.size.toLong).toInt)
     val src = scanFiles(spark, dir, snap, small)
-    val (sub, adds0) = stage(spark, dir, toPhysical(src.coalesce(nOut), snap))
+    // partitioned tables compact within partitions (pv preserved)
+    val (sub, adds0) =
+      if (partitionColsOf(snap).nonEmpty) stageForTable(spark, dir, snap, src)
+      else stage(spark, dir, toPhysical(src.coalesce(nOut), snap))
     val adds = adds0.map(_.copy(dataChange = false))
     // check-then-claim against ONE snapshot per iteration — the
     // [[commitRewrite]] rebase invariant; see the comment there for the
@@ -2186,8 +2203,15 @@ object TxLog {
       throw new VersionNotFoundException(s"$dir has no committed versions")
     val snap = snapshot(dir, Some(readVersion))
     if (snap.files.isEmpty) return readVersion
-    if (dvEnabled(snap)) return deleteWhereDv(spark, dir, snap, condition, keys)
-    val tagged = scanFiles(spark, dir, snap, snap.files, tagPath = Some("__p"))
+    // predicate-pruned touch discovery: a conjunct like `day = X` skips
+    // every file whose pv/stats exclude X — O(partition) DML
+    val candidates = keys match {
+      case Some(_) => snap.files
+      case None => prunedFilesEq(snap, eqConjuncts(spark, condition))._1
+    }
+    if (candidates.isEmpty) return readVersion
+    if (dvEnabled(snap)) return deleteWhereDv(spark, dir, snap, condition, keys, candidates)
+    val tagged = scanFiles(spark, dir, snap, candidates, tagPath = Some("__p"))
     val matchedFiles = keys match {
       case Some((k, kc)) => tagged.join(k, Seq(kc), "left_semi")
       case None => tagged.where(condition)
@@ -2243,9 +2267,11 @@ object TxLog {
     * protocol 3. Same determinism / no-op / conflict semantics as the
     * copy-on-write path. */
   private def deleteWhereDv(spark: SparkSession, dir: String, snap: Snapshot,
-      condition: String, keys: Option[(DataFrame, String)]): Long = {
+      condition: String, keys: Option[(DataFrame, String)],
+      candidates: Seq[AddFile]): Long = {
     val readVersion = snap.version
-    val live = scanLiveWithPos(spark, dir, snap)
+    // the match scan covers only the predicate-prunable candidates
+    val live = scanLiveWithPos(spark, dir, snap.copy(files = candidates))
     val matched = keys match {
       case Some((k, kc)) => live.join(k, Seq(kc), "left_semi")
       case None => live.where(coalesce(expr(condition), lit(false)))
@@ -2327,8 +2353,10 @@ object TxLog {
     set.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"update: SET column $c not in table schema"))
     if (snap.files.isEmpty) return readVersion
-    if (dvEnabled(snap)) return updateDv(spark, dir, snap, condition, set)
-    val matching = scanFiles(spark, dir, snap, snap.files, tagPath = Some("__p"))
+    val candidates = prunedFilesEq(snap, eqConjuncts(spark, condition))._1
+    if (candidates.isEmpty) return readVersion
+    if (dvEnabled(snap)) return updateDv(spark, dir, snap, condition, set, candidates)
+    val matching = scanFiles(spark, dir, snap, candidates, tagPath = Some("__p"))
       .where(condition)
     requireDeterministic(matching, "predicate")
     val touchedPaths = matching
@@ -2402,9 +2430,10 @@ object TxLog {
     * SET/constraint/CDF semantics are identical to the copy-on-write
     * [[update]]. Stamps protocol 3. */
   private def updateDv(spark: SparkSession, dir: String, snap: Snapshot,
-      condition: String, set: Map[String, String]): Long = {
+      condition: String, set: Map[String, String],
+      candidates: Seq[AddFile]): Long = {
     val readVersion = snap.version
-    val live = scanLiveWithPos(spark, dir, snap)
+    val live = scanLiveWithPos(spark, dir, snap.copy(files = candidates))
     val matched = live.where(coalesce(expr(condition), lit(false)))
     requireDeterministic(matched, "predicate")
     val deadCounts: Map[String, Long] = matched.groupBy(col("__p"))
@@ -2475,6 +2504,36 @@ object TxLog {
       }
       throw e
     }
+  }
+
+  /** Equality conjuncts (`col = literal`) extractable from a DML
+    * predicate, as stats-canon strings — the file-pruning surface a
+    * partitioned DELETE/UPDATE rides: touch discovery then scans only
+    * the files whose pv/stats can match, so `DELETE WHERE day = X` on a
+    * partitioned table is O(partition), never O(table). Only AND-chains
+    * contribute (anything under OR/NOT is ignored), and only literal
+    * types whose toString equals Spark's cast-to-string canon
+    * participate — pruning is an optimization, never a correctness
+    * dependency (a file pruned by `c = v` holds no row with c = v, and
+    * the full predicate conjoins `c = v`, so it holds no matching row). */
+  private def eqConjuncts(spark: SparkSession, condition: String): Map[String, String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal => CatLit}
+    def canon(l: CatLit): Option[String] = l.dataType match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           BooleanType => Option(l.value).map(String.valueOf)
+      case _ => None
+    }
+    def walk(e: Expression): Map[String, String] = e match {
+      case And(a, b) => walk(a) ++ walk(b)
+      case EqualTo(a: UnresolvedAttribute, l: CatLit) =>
+        canon(l).map(v => Map(a.name -> v)).getOrElse(Map.empty)
+      case EqualTo(l: CatLit, a: UnresolvedAttribute) =>
+        canon(l).map(v => Map(a.name -> v)).getOrElse(Map.empty)
+      case _ => Map.empty
+    }
+    try walk(spark.sessionState.sqlParser.parseExpression(condition))
+    catch { case _: Exception => Map.empty }
   }
 
   /** DML predicates/expressions must be deterministic: they are

@@ -103,12 +103,14 @@ class TxPartitionSpec extends AnyFunSuite with SparkTestBase {
       df(0 until 0)) === 1L)
   }
 
-  test("legacy pv-less files (OPTIMIZE outputs) classify conservatively") {
+  test("legacy pv-less files (clustered-OPTIMIZE outputs) classify conservatively") {
     import spark.implicits._
     val dir = tmp()
     TxLog.appendPartitioned(spark, dir, df(0 until 30), Seq("grp"))
-    // compaction merges partitions: outputs carry no pv by design
-    TxLog.optimize(spark, dir, targetBytes = 1L << 30)
+    // an explicit clustering overrides partition alignment: outputs
+    // carry no pv by design (pruning falls back to the stats the sort
+    // makes sharp)
+    TxLog.optimize(spark, dir, targetBytes = 1L << 30, sortBy = Seq("id"))
     assert(TxLog.snapshot(dir).files.forall(_.pv.isEmpty))
     // equality read falls back to stats + row filter — still correct
     assert(idSet(TxLog.readPartition(spark, dir, Map("grp" -> "g1"))) ===
@@ -174,6 +176,40 @@ class TxPartitionSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.snapshot(dir).files.forall(_.pv.contains("grp")))
     // replay skipped, exactly-once intact
     assert(TxLog.appendBatch(spark, dir, df(6 until 12), "app", 0L).isEmpty)
+  }
+
+  test("plain OPTIMIZE compacts WITHIN partitions, keeping pv") {
+    val dir = tmp()
+    // three appends → 3 files per partition value
+    (0 until 3).foreach(i =>
+      TxLog.appendPartitioned(spark, dir, df(i * 30 until i * 30 + 30), Seq("grp")))
+    assert(TxLog.snapshot(dir).files.size === 9)
+    val (before, after) = TxLog.optimize(spark, dir, targetBytes = 1L << 30)
+    assert(before === 9 && after === 3, "one compacted file per partition")
+    val snap = TxLog.snapshot(dir)
+    assert(snap.files.forall(_.pv.contains("grp")),
+      "compaction within partitions preserves pv")
+    assert(snap.files.map(_.pv("grp")).toSet === Set("g0", "g1", "g2"))
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 90L).toSet)
+  }
+
+  test("DML touch discovery prunes by partition: foreign partitions never open") {
+    val dir = tmp()
+    TxLog.appendPartitioned(spark, dir, df(0 until 30), Seq("grp"))
+    val snap = TxLog.snapshot(dir)
+    // CORRUPT the g2 partition's data file in place: any scan touching
+    // it now fails loudly, so a passing DML proves it was never opened
+    val g2 = snap.files.find(_.pv("grp") == "g2").get
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, g2.path),
+      "not parquet".getBytes)
+    // prunable predicates: only the named partition's file is scanned
+    TxLog.delete(spark, dir, "grp = 'g0' AND id < 6")
+    TxLog.update(spark, dir, "grp = 'g1'", Map("s" -> "'u'"))
+    val got = TxLog.snapshot(dir)
+    assert(got.files.find(_.pv("grp") == "g2").map(_.path) === Some(g2.path),
+      "the corrupt foreign partition rode through untouched")
+    // an UNPRUNABLE predicate must scan everything — and hit the corruption
+    intercept[Exception](TxLog.delete(spark, dir, "id = 29"))
   }
 
   test("multi-column partitioning prunes on each column independently") {
