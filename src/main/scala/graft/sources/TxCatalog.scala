@@ -164,7 +164,11 @@ class TxCatalog extends TableCatalog
         // OPTIMIZE / purgeDeletes restores the fast path.
         if (snap.files.exists(_.dv.nonEmpty))
           new DvFallbackScanBuilder(dir, snap.version, snap.schema)
-        else if (l2p.isEmpty) scan.newScanBuilder(options)
+        else if (l2p.isEmpty)
+          // identity-mapped fast path gains FILE SKIPPING: pushed
+          // predicates prune the pinned file list via pv/stats before
+          // the parquet scan is built (SQL partition pruning)
+          new PruningScanBuilder(scan.name, dir, snap, physSchema, options)
         else new RenamingScanBuilder(scan.newScanBuilder(options), l2p, p2l)
       override def properties(): util.Map[String, String] =
         snap.props.filter(_._2.nonEmpty).asJava
@@ -377,6 +381,96 @@ private class DvFallbackScanBuilder(dir: String, version: Long,
             TxLog.read(context.sparkSession, dir, Some(version)).rdd
         }).asInstanceOf[T]
     }
+}
+
+/** File-skipping scan for the SQL path: pushed v1 filters prune the
+  * LOG's pinned file list through [[TxLog.pruneByFilters]] (pv metadata
+  * for partition equality, per-file stats for ranges) BEFORE the
+  * parquet scan is built — `SELECT … WHERE day = X` through plain SQL
+  * then opens one partition's files, and a range predicate after a
+  * clustered OPTIMIZE opens O(selectivity) files, exactly like the
+  * Scala readPartition/readRange surfaces. Every filter stays a
+  * post-scan residual (pruning is metadata-only and conservative), and
+  * the filters are REPLAYED into the inner parquet builder so row-group
+  * skipping inside the surviving files is kept. */
+private class PruningScanBuilder(tableName: String, dir: String,
+    snap: TxLog.Snapshot, physSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.sources.Filter
+
+  private var filters: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // ALL filters stay post-scan residuals: file skipping is a
+       // metadata optimization, never an evaluation guarantee
+  }
+  override def pushedFilters(): Array[Filter] = filters
+  override def pruneColumns(r: StructType): Unit = required = Some(r)
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val survivors = TxLog.pruneByFilters(snap, filters.toSeq)
+    val paths = survivors.map(f =>
+      java.nio.file.Paths.get(dir, f.path).toString)
+    val inner = ParquetTable(tableName, SparkSession.active, options, paths,
+      Some(physSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    required.foreach { r =>
+      inner match {
+        case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+          c.pruneColumns(r)
+        case _ => ()
+      }
+    }
+    // replay the predicates into the surviving files' scan so parquet
+    // row-group/page skipping INSIDE them is kept (Spark 4's file scan
+    // builders take catalyst expressions, not v1 filters)
+    inner match {
+      case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        c.pushFilters(filters.toSeq.flatMap(toCatalyst)): Unit
+      case f: org.apache.spark.sql.connector.read.SupportsPushDownFilters =>
+        f.pushFilters(filters): Unit
+      case _ => ()
+    }
+    inner.build()
+  }
+
+  /** v1 Filter → resolved catalyst Expression over the physical schema
+    * (the comparison/null/boolean family parquet skipping understands;
+    * anything else is simply not replayed — the engine-side Filter node
+    * evaluates everything regardless). */
+  private def toCatalyst(f: Filter): Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.sources
+    def attr(n: String): Option[ce.AttributeReference] =
+      physSchema.fields.find(_.name.equalsIgnoreCase(n))
+        .map(fd => ce.AttributeReference(fd.name, fd.dataType, fd.nullable)())
+    def lit(n: String, v: Any): Option[(ce.AttributeReference, ce.Literal)] =
+      for (a <- attr(n); l <- scala.util.Try(ce.Literal.create(v, a.dataType)).toOption)
+        yield (a, l)
+    f match {
+      case sources.EqualTo(c, v) => lit(c, v).map { case (a, l) => ce.EqualTo(a, l) }
+      case sources.GreaterThan(c, v) => lit(c, v).map { case (a, l) => ce.GreaterThan(a, l) }
+      case sources.GreaterThanOrEqual(c, v) => lit(c, v).map { case (a, l) => ce.GreaterThanOrEqual(a, l) }
+      case sources.LessThan(c, v) => lit(c, v).map { case (a, l) => ce.LessThan(a, l) }
+      case sources.LessThanOrEqual(c, v) => lit(c, v).map { case (a, l) => ce.LessThanOrEqual(a, l) }
+      case sources.In(c, vs) => attr(c).flatMap { a =>
+        val ls = vs.toSeq.map(v => scala.util.Try(ce.Literal.create(v, a.dataType)).toOption)
+        if (ls.exists(_.isEmpty)) None else Some(ce.In(a, ls.flatten))
+      }
+      case sources.IsNull(c) => attr(c).map(ce.IsNull)
+      case sources.IsNotNull(c) => attr(c).map(ce.IsNotNull)
+      case sources.And(l, r) =>
+        for (a <- toCatalyst(l); b <- toCatalyst(r)) yield ce.And(a, b)
+      case sources.Or(l, r) =>
+        for (a <- toCatalyst(l); b <- toCatalyst(r)) yield ce.Or(a, b)
+      case _ => None
+    }
+  }
 }
 
 /** Scan shim for COLUMN-MAPPED tables: the plan speaks LOGICAL names,

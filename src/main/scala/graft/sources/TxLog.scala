@@ -2959,6 +2959,92 @@ object TxLog {
     }
   }
 
+  /** File pruning driven by DataSource-v1 [[org.apache.spark.sql.sources.Filter]]s
+    * — the SQL catalog's file-skipping surface: before the parquet scan
+    * is even built, pushed predicates drop every file whose pv/stats
+    * prove it cannot hold a matching row, so `WHERE day = X` through
+    * plain SQL opens one partition and a range predicate after a
+    * clustered OPTIMIZE opens O(selectivity) files. Three-valued and
+    * strictly conservative: a file is dropped only when the filter is
+    * provably unsatisfiable on it; unknown columns, unsupported value
+    * types, NOT, and exotic filters keep the file. */
+  private[sources] def pruneByFilters(snap: Snapshot,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[AddFile] = {
+    import org.apache.spark.sql.sources._
+    val m = colMapOf(snap.props)
+    // only values whose toString equals Spark's cast-to-string canon
+    def canon(v: Any): Option[String] = v match {
+      case null => None
+      case _: String | _: java.lang.Byte | _: java.lang.Short |
+           _: java.lang.Integer | _: java.lang.Long | _: java.lang.Boolean =>
+        Some(String.valueOf(v))
+      case _ => None
+    }
+    def mayMatch(f: AddFile, filter: Filter): Boolean = filter match {
+      case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
+      case Or(l, r) => mayMatch(f, l) || mayMatch(f, r)
+      case EqualTo(c0, v) => canon(v).forall { s =>
+        val c = m.getOrElse(c0, c0)
+        f.pv.get(c) match {
+          case Some(pvv) => pvv == s
+          case None => f.stats.get(c) match {
+            case Some(cs) => (cs.min, cs.max) match {
+              case (Some(mn), Some(mx)) =>
+                (cmpStats(cs.typ, mn, s), cmpStats(cs.typ, mx, s)) match {
+                  case (Some(a), Some(b)) => a <= 0 && b >= 0
+                  case _ => true
+                }
+              case _ => cs.nulls != f.rows
+            }
+            case None => true
+          }
+        }
+      }
+      case In(c0, vs) =>
+        val ss = vs.toSeq.map(canon)
+        // canon strings re-enter as String values — sound, because the
+        // equality check compares canon strings either way
+        if (ss.exists(_.isEmpty)) true
+        else ss.flatten.exists(s => mayMatch(f, EqualTo(c0, s)))
+      case GreaterThan(c0, v) => bound(f, c0, v, lower = false, strict = true)
+      case GreaterThanOrEqual(c0, v) => bound(f, c0, v, lower = false, strict = false)
+      case LessThan(c0, v) => bound(f, c0, v, lower = true, strict = true)
+      case LessThanOrEqual(c0, v) => bound(f, c0, v, lower = true, strict = false)
+      case IsNull(c0) =>
+        val c = m.getOrElse(c0, c0)
+        f.stats.get(c).forall(_.nulls > 0)
+      case IsNotNull(c0) =>
+        // nulls and rows are PHYSICAL counts only on DV-free files; a
+        // DV file's live subset could be the non-null rows — never prune
+        val c = m.getOrElse(c0, c0)
+        f.dv.nonEmpty ||
+          f.stats.get(c).forall(cs => cs.nulls != f.rows || f.rows == 0)
+      case _ => true // Not / string matchers / unknown: never prune
+    }
+    // survive iff the file's [min,max] can intersect the half-range
+    def bound(f: AddFile, c0: String, v: Any, lower: Boolean, strict: Boolean): Boolean =
+      canon(v) match {
+        case None => true
+        case Some(s) =>
+          val c = m.getOrElse(c0, c0)
+          f.stats.get(c) match {
+            case Some(cs) =>
+              val edge = if (lower) cs.min else cs.max // LessThan prunes on min, GreaterThan on max
+              edge match {
+                case Some(e) => cmpStats(cs.typ, e, s) match {
+                  case Some(cmp) =>
+                    if (lower) (if (strict) cmp < 0 else cmp <= 0)
+                    else (if (strict) cmp > 0 else cmp >= 0)
+                  case None => true
+                }
+                case None => cs.nulls != f.rows
+              }
+            case None => true
+          }
+      }
+    filters.foldLeft(snap.files)((fs, flt) => fs.filter(mayMatch(_, flt)))
+  }
+
   /** Partition-pruned scan: `eq` maps (typically partition) columns to
     * their stats-canon value strings; only files surviving
     * [[prunedFilesEq]] are opened, with the equality predicate applied

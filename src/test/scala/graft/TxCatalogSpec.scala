@@ -108,6 +108,43 @@ class TxCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(names === Set("a", "b"))
   }
 
+  test("SQL scans FILE-SKIP through pushed filters: pv partitions and stats ranges") {
+    import spark.implicits._
+    val (cat, root) = freshCatalog()
+    val d = (0 until 30).map(i => (i.toLong, s"v$i", s"g${i % 3}"))
+      .toDF("id", "s", "grp")
+    TxLog.appendPartitioned(spark, s"$root/t", d, Seq("grp"))
+    // corrupt a foreign partition's file: a SQL scan that opens it dies,
+    // so a passing filtered query proves the file was skipped
+    val g2 = TxLog.snapshot(s"$root/t").files.find(_.pv("grp") == "g2").get
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/t", g2.path), "junk".getBytes)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE grp = 'g0'")
+      .head().getLong(0) === 10L)
+    assert(spark.sql(
+      s"SELECT sum(id) AS x FROM $cat.t WHERE grp IN ('g0','g1') AND id < 10")
+      .head().getLong(0) === (0 until 10).filter(_ % 3 != 2).sum.toLong)
+    // the unfiltered scan must still hit the corruption (skipping is
+    // filter-driven, not accidental)
+    intercept[Exception](spark.sql(s"SELECT count(*) FROM $cat.t").collect())
+
+    // stats-range skipping on a CLUSTERED unpartitioned table
+    val d2 = (0 until 1000).map(i => (i.toLong, s"w$i")).toDF("id", "s")
+    TxLog.append(spark, s"$root/r", d2.repartition(4))
+    TxLog.optimize(spark, s"$root/r", targetBytes = 4096, sortBy = Seq("id"))
+    val snap = TxLog.snapshot(s"$root/r")
+    assert(snap.files.size > 1, "need multiple clustered files")
+    // corrupt the file holding the HIGHEST ids; a low-range query skips it
+    val top = snap.files.maxBy(_.stats("id").max.get.toLong)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/r", top.path), "junk".getBytes)
+    val lowCut = snap.files.map(_.stats("id").min.get.toLong).max - 1
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.r WHERE id < $lowCut")
+      .head().getLong(0) === lowCut)
+    intercept[Exception](
+      spark.sql(s"SELECT count(*) FROM $cat.r WHERE id >= $lowCut").collect())
+  }
+
   test("SQL ALTER TABLE RENAME COLUMN is metadata-only and DML-visible") {
     val (cat, root) = freshCatalog()
     TxLog.append(spark, s"$root/t", df(0 until 10))
