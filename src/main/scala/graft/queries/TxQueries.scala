@@ -1131,6 +1131,45 @@ object TxQueries {
                      o.o_rows, o.o_sum
               FROM t CROSS JOIN o
               GROUP BY o_orderstatus, o.o_rows, o.o_sum
-              ORDER BY o_orderstatus"""))
+              ORDER BY o_orderstatus""")),
+
+    // ---- SQL partition pruning end-to-end ----------------------------------
+    // CREATE TABLE … PARTITIONED BY through the catalog, INSERT (stages
+    // partition-aligned), then partition- and range-scoped SELECTs whose
+    // pushed filters prune the file list via pv/stats before the scan
+    // (TxCatalogSpec proves foreign files never open via the
+    // corrupt-file probe; this entry hash-gates the ANSWERS the pruned
+    // plans produce). The oracle replays both slices over raw parquet.
+    QuerySpec("q175_sql_skipping", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q175").toString
+      val cat = "skp" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""CREATE TABLE $cat.li (
+                  l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE)
+                PARTITIONED BY (l_returnflag)""")
+      Td.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .createOrReplaceTempView("q175_li")
+      s.sql(s"INSERT INTO $cat.li SELECT * FROM q175_li")
+      s.sql(s"""WITH part AS (
+                  SELECT count(*) AS r_rows,
+                         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS r_qty
+                  FROM $cat.li WHERE l_returnflag = 'R'),
+                rng AS (
+                  SELECT count(*) AS lo_rows
+                  FROM $cat.li WHERE l_returnflag IN ('A', 'N') AND l_orderkey < 1000)
+                SELECT part.r_rows, part.r_qty, rng.lo_rows
+                FROM part CROSS JOIN rng""")
+    },
+      Some("""WITH part AS (
+                SELECT count(*) AS r_rows,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS r_qty
+                FROM lineitem WHERE l_returnflag = 'R'),
+              rng AS (
+                SELECT count(*) AS lo_rows
+                FROM lineitem WHERE l_returnflag IN ('A', 'N') AND l_orderkey < 1000)
+              SELECT part.r_rows, part.r_qty, rng.lo_rows
+              FROM part CROSS JOIN rng"""))
   )
 }
