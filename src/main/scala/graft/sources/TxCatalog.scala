@@ -398,12 +398,35 @@ private class PruningScanBuilder(tableName: String, dir: String,
     options: CaseInsensitiveStringMap)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   import org.apache.spark.sql.sources.Filter
 
   private var filters: Array[Filter] = Array.empty
-  private var required: Option[StructType] = None
+
+  /** The surviving-files parquet builder, materialized on FIRST demand —
+    * the engine pushes filters before aggregates and column pruning
+    * (V2ScanRelationPushDown order), so by the time anything needs the
+    * inner builder the file list is final. Predicates are replayed into
+    * it through the catalyst pushdown interface so row-group/page
+    * skipping INSIDE the surviving files is kept (Spark 4's file scan
+    * builders take catalyst expressions, not v1 filters). */
+  private lazy val inner: org.apache.spark.sql.connector.read.ScanBuilder = {
+    val survivors = TxLog.pruneByFilters(snap, filters.toSeq)
+    val paths = survivors.map(f =>
+      java.nio.file.Paths.get(dir, f.path).toString)
+    val b = ParquetTable(tableName, SparkSession.active, options, paths,
+      Some(physSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    b match {
+      case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        c.pushFilters(filters.toSeq.flatMap(toCatalyst)): Unit
+      case f: org.apache.spark.sql.connector.read.SupportsPushDownFilters =>
+        f.pushFilters(filters): Unit
+      case _ => ()
+    }
+    b
+  }
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
@@ -411,33 +434,32 @@ private class PruningScanBuilder(tableName: String, dir: String,
        // metadata optimization, never an evaluation guarantee
   }
   override def pushedFilters(): Array[Filter] = filters
-  override def pruneColumns(r: StructType): Unit = required = Some(r)
 
-  override def build(): org.apache.spark.sql.connector.read.Scan = {
-    val survivors = TxLog.pruneByFilters(snap, filters.toSeq)
-    val paths = survivors.map(f =>
-      java.nio.file.Paths.get(dir, f.path).toString)
-    val inner = ParquetTable(tableName, SparkSession.active, options, paths,
-      Some(physSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
-    required.foreach { r =>
-      inner match {
-        case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-          c.pruneColumns(r)
-        case _ => ()
-      }
-    }
-    // replay the predicates into the surviving files' scan so parquet
-    // row-group/page skipping INSIDE them is kept (Spark 4's file scan
-    // builders take catalyst expressions, not v1 filters)
-    inner match {
-      case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
-        c.pushFilters(filters.toSeq.flatMap(toCatalyst)): Unit
-      case f: org.apache.spark.sql.connector.read.SupportsPushDownFilters =>
-        f.pushFilters(filters): Unit
-      case _ => ()
-    }
-    inner.build()
+  override def pruneColumns(r: StructType): Unit = inner match {
+    case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+      c.pruneColumns(r)
+    case _ => ()
   }
+
+  // aggregate pushdown (count/min/max answered from parquet footers)
+  // delegates to the pruned scan — it composes with file skipping
+  // because the footer aggregation runs over exactly the survivors
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner match {
+      case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+        a.pushAggregation(agg)
+      case _ => false
+    }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner match {
+      case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+        a.supportCompletePushDown(agg)
+      case _ => false
+    }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
 
   /** v1 Filter → resolved catalyst Expression over the physical schema
     * (the comparison/null/boolean family parquet skipping understands;

@@ -1051,7 +1051,14 @@ object TxLog {
     val alignedPhys =
       if (fullMap.isEmpty) aligned
       else aligned.toDF(merged.fieldNames.toSeq.map(n => fullMap.getOrElse(n, n)): _*)
-    val (sub, adds) = stage(spark, dir, alignedPhys)
+    // partitioned tables evolve partition-aligned too (an incoming frame
+    // OMITTING a partition column would null-fill it — rejected loudly
+    // by the staging's NULL-partition check, never silently mis-binned)
+    val evolveParts = partitionColsOf(snapAtRead)
+      .map(c => fullMap.getOrElse(c, c))
+    val (sub, adds) =
+      if (evolveParts.isEmpty) stage(spark, dir, alignedPhys)
+      else stagePartitioned(spark, dir, alignedPhys, evolveParts)
     val content = commitJson(v, "appendEvolve", System.currentTimeMillis(),
       adds, Nil, Some(merged.toDDL), None,
       if (newMaps.isEmpty) None

@@ -212,6 +212,22 @@ class TxPartitionSpec extends AnyFunSuite with SparkTestBase {
     intercept[Exception](TxLog.delete(spark, dir, "id = 29"))
   }
 
+  test("appendEvolve on a partitioned table stays partition-aligned") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.appendPartitioned(spark, dir, df(0 until 12), Seq("grp"))
+    TxLog.appendEvolve(spark, dir,
+      Seq((100L, "w", "g1", 3.5)).toDF("id", "s", "grp", "score"))
+    val snap = TxLog.snapshot(dir)
+    assert(snap.schema.fieldNames.contains("score"))
+    assert(snap.files.forall(_.pv.contains("grp")),
+      "evolved appends must carry pv like any other write")
+    // an evolve-append OMITTING the partition column null-fills it —
+    // rejected loudly, never silently mis-binned
+    intercept[IllegalArgumentException](TxLog.appendEvolve(spark, dir,
+      Seq((101L, "x", 1.0)).toDF("id", "s", "score")))
+  }
+
   test("multi-column partitioning prunes on each column independently") {
     import spark.implicits._
     val dir = tmp()
