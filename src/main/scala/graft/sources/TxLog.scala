@@ -2214,7 +2214,7 @@ object TxLog {
     // every file whose pv/stats exclude X — O(partition) DML
     val candidates = keys match {
       case Some(_) => snap.files
-      case None => prunedFilesEq(snap, eqConjuncts(spark, condition))._1
+      case None => pruneByFilters(snap, eqConjuncts(spark, condition))
     }
     if (candidates.isEmpty) return readVersion
     if (dvEnabled(snap)) return deleteWhereDv(spark, dir, snap, condition, keys, candidates)
@@ -2360,7 +2360,7 @@ object TxLog {
     set.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"update: SET column $c not in table schema"))
     if (snap.files.isEmpty) return readVersion
-    val candidates = prunedFilesEq(snap, eqConjuncts(spark, condition))._1
+    val candidates = pruneByFilters(snap, eqConjuncts(spark, condition))
     if (candidates.isEmpty) return readVersion
     if (dvEnabled(snap)) return updateDv(spark, dir, snap, condition, set, candidates)
     val matching = scanFiles(spark, dir, snap, candidates, tagPath = Some("__p"))
@@ -2513,34 +2513,64 @@ object TxLog {
     }
   }
 
-  /** Equality conjuncts (`col = literal`) extractable from a DML
-    * predicate, as stats-canon strings — the file-pruning surface a
-    * partitioned DELETE/UPDATE rides: touch discovery then scans only
-    * the files whose pv/stats can match, so `DELETE WHERE day = X` on a
-    * partitioned table is O(partition), never O(table). Only AND-chains
-    * contribute (anything under OR/NOT is ignored), and only literal
-    * types whose toString equals Spark's cast-to-string canon
+  /** Prunable conjuncts (equality / IN / comparisons / null tests over
+    * literals) extracted from a DML predicate as v1 Filters — the
+    * file-pruning surface a partitioned or clustered DELETE/UPDATE
+    * rides through [[pruneByFilters]]: touch discovery then scans only
+    * the files whose pv/stats can match, so `DELETE WHERE day = X` is
+    * O(partition) and a retention delete (`ts < cutoff`) after a
+    * clustered OPTIMIZE is O(selectivity), never O(table). Only
+    * AND-chains contribute (anything under OR/NOT is ignored), and only
+    * literal types whose toString equals Spark's cast-to-string canon
     * participate — pruning is an optimization, never a correctness
-    * dependency (a file pruned by `c = v` holds no row with c = v, and
-    * the full predicate conjoins `c = v`, so it holds no matching row). */
-  private def eqConjuncts(spark: SparkSession, condition: String): Map[String, String] = {
+    * dependency (a file excluded by one conjunct of an AND-chain cannot
+    * hold a row matching the whole predicate). */
+  private def eqConjuncts(spark: SparkSession,
+      condition: String): Seq[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal => CatLit}
-    def canon(l: CatLit): Option[String] = l.dataType match {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.{sources => s1}
+    // only value types whose toString equals the stats canon; the canon
+    // STRING re-enters pruneByFilters as the comparison value, which is
+    // sound because both sides of every stats comparison are canon
+    // strings (numerics re-parse as BigDecimal there)
+    def canon(l: ce.Literal): Option[String] = l.dataType match {
       case StringType | ByteType | ShortType | IntegerType | LongType |
            BooleanType => Option(l.value).map(String.valueOf)
       case _ => None
     }
-    def walk(e: Expression): Map[String, String] = e match {
-      case And(a, b) => walk(a) ++ walk(b)
-      case EqualTo(a: UnresolvedAttribute, l: CatLit) =>
-        canon(l).map(v => Map(a.name -> v)).getOrElse(Map.empty)
-      case EqualTo(l: CatLit, a: UnresolvedAttribute) =>
-        canon(l).map(v => Map(a.name -> v)).getOrElse(Map.empty)
-      case _ => Map.empty
+    def walk(e: ce.Expression): Seq[s1.Filter] = e match {
+      case ce.And(a, b) => walk(a) ++ walk(b)
+      case ce.EqualTo(a: UnresolvedAttribute, l: ce.Literal) =>
+        canon(l).map(v => s1.EqualTo(a.name, v)).toSeq
+      case ce.EqualTo(l: ce.Literal, a: UnresolvedAttribute) =>
+        canon(l).map(v => s1.EqualTo(a.name, v)).toSeq
+      case ce.In(a: UnresolvedAttribute, ls) if ls.forall(_.isInstanceOf[ce.Literal]) =>
+        val vs = ls.map(l => canon(l.asInstanceOf[ce.Literal]))
+        if (vs.exists(_.isEmpty)) Nil
+        else Seq(s1.In(a.name, vs.flatten.toArray[Any]))
+      case ce.GreaterThan(a: UnresolvedAttribute, l: ce.Literal) =>
+        canon(l).map(v => s1.GreaterThan(a.name, v)).toSeq
+      case ce.GreaterThan(l: ce.Literal, a: UnresolvedAttribute) =>
+        canon(l).map(v => s1.LessThan(a.name, v)).toSeq
+      case ce.GreaterThanOrEqual(a: UnresolvedAttribute, l: ce.Literal) =>
+        canon(l).map(v => s1.GreaterThanOrEqual(a.name, v)).toSeq
+      case ce.GreaterThanOrEqual(l: ce.Literal, a: UnresolvedAttribute) =>
+        canon(l).map(v => s1.LessThanOrEqual(a.name, v)).toSeq
+      case ce.LessThan(a: UnresolvedAttribute, l: ce.Literal) =>
+        canon(l).map(v => s1.LessThan(a.name, v)).toSeq
+      case ce.LessThan(l: ce.Literal, a: UnresolvedAttribute) =>
+        canon(l).map(v => s1.GreaterThan(a.name, v)).toSeq
+      case ce.LessThanOrEqual(a: UnresolvedAttribute, l: ce.Literal) =>
+        canon(l).map(v => s1.LessThanOrEqual(a.name, v)).toSeq
+      case ce.LessThanOrEqual(l: ce.Literal, a: UnresolvedAttribute) =>
+        canon(l).map(v => s1.GreaterThanOrEqual(a.name, v)).toSeq
+      case ce.IsNull(a: UnresolvedAttribute) => Seq(s1.IsNull(a.name))
+      case ce.IsNotNull(a: UnresolvedAttribute) => Seq(s1.IsNotNull(a.name))
+      case _ => Nil
     }
     try walk(spark.sessionState.sqlParser.parseExpression(condition))
-    catch { case _: Exception => Map.empty }
+    catch { case _: Exception => Nil }
   }
 
   /** DML predicates/expressions must be deterministic: they are

@@ -202,14 +202,18 @@ class TxPartitionSpec extends AnyFunSuite with SparkTestBase {
     val g2 = snap.files.find(_.pv("grp") == "g2").get
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, g2.path),
       "not parquet".getBytes)
-    // prunable predicates: only the named partition's file is scanned
+    // prunable predicates: only the named partitions' files are scanned
     TxLog.delete(spark, dir, "grp = 'g0' AND id < 6")
     TxLog.update(spark, dir, "grp = 'g1'", Map("s" -> "'u'"))
+    TxLog.delete(spark, dir, "grp IN ('g0', 'g1') AND id > 25") // IN prunes too
+    // a RANGE conjunct prunes by stats: g0/g1 files hold ids <= 28, the
+    // corrupt g2 file holds id 29 — stats exclude the range below
+    TxLog.delete(spark, dir, "id < 2")
     val got = TxLog.snapshot(dir)
     assert(got.files.find(_.pv("grp") == "g2").map(_.path) === Some(g2.path),
       "the corrupt foreign partition rode through untouched")
     // an UNPRUNABLE predicate must scan everything — and hit the corruption
-    intercept[Exception](TxLog.delete(spark, dir, "id = 29"))
+    intercept[Exception](TxLog.delete(spark, dir, "id = 29 OR id = 1"))
   }
 
   test("appendEvolve on a partitioned table stays partition-aligned") {
