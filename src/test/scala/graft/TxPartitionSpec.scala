@@ -232,6 +232,20 @@ class TxPartitionSpec extends AnyFunSuite with SparkTestBase {
       Seq((101L, "x", 1.0)).toDF("id", "s", "score")))
   }
 
+  test("pv survives the checkpoint round-trip") {
+    val dir = tmp()
+    // 11 commits cross the checkpoint interval (10): the snapshot then
+    // replays FROM THE CHECKPOINT, so pv must round-trip through it
+    (0 until 11).foreach(i =>
+      TxLog.appendPartitioned(spark, dir, df(i * 3 until i * 3 + 3), Seq("grp")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_txlog", f"${10L}%020d.ckpt.json")))
+    val snap = TxLog.snapshot(dir)
+    assert(snap.files.nonEmpty && snap.files.forall(_.pv.contains("grp")))
+    val (surv, _) = TxLog.prunedFilesEq(snap, Map("grp" -> "g1"))
+    assert(surv.nonEmpty && surv.forall(_.pv("grp") == "g1"))
+  }
+
   test("multi-column partitioning prunes on each column independently") {
     import spark.implicits._
     val dir = tmp()
