@@ -68,8 +68,6 @@ class TxLogStreamProvider extends StreamSourceProvider with StreamSinkProvider
     * identity and CHECK constraints like any other writer. */
   override def createSink(ctx: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
-    require(partitionColumns.isEmpty,
-      "txlog sink: partitionBy is not supported (files cluster via OPTIMIZE)")
     require(outputMode != OutputMode.Update(),
       "txlog sink: Update mode needs a merge key — use " +
         "StreamingTx/TxLog.mergeBatch in foreachBatch; Append and Complete are native")
@@ -81,7 +79,8 @@ class TxLogStreamProvider extends StreamSourceProvider with StreamSinkProvider
         "txlog sink: set .option(\"checkpointLocation\", …) (its path keys " +
           "exactly-once batch tracking) or an explicit .option(\"txnAppId\", …)"))
     new TxLogSink(ctx.sparkSession, dir, appId,
-      complete = outputMode == OutputMode.Complete())
+      complete = outputMode == OutputMode.Complete(),
+      partitionBy = partitionColumns)
   }
 
   private def cdfMode(parameters: Map[String, String]): Boolean =
@@ -145,10 +144,24 @@ private[sources] case class TxFileOffset(version: Long, index: Long) extends Off
   * frame (the Delta V1-sink pattern) before entering the ordinary
   * write path — no second evaluation of the streaming plan. */
 class TxLogSink(spark: SparkSession, dir: String, appId: String,
-    complete: Boolean) extends Sink {
+    complete: Boolean, partitionBy: Seq[String] = Nil) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val df = org.apache.spark.sql.graft.GraftSqlShims.batchDataFrame(
       spark, data.queryExecution.toRdd, data.schema)
+    // `.partitionBy(...)` on the stream writer fixes the table's
+    // first-class partition columns at creation (later batches follow
+    // the property; a mismatch against an existing table fails loudly)
+    if (partitionBy.nonEmpty) {
+      val v = TxLog.latestVersion(dir)
+      if (v < 0)
+        try TxLog.create(dir, df.schema, partitionBy)
+        catch { case _: TxLog.TableExistsException => () } // concurrent creator won
+      else {
+        val existing = TxLog.partitionColsOf(TxLog.snapshot(dir))
+        require(existing == partitionBy,
+          s"txlog sink: partitionBy $partitionBy != table partitioning $existing")
+      }
+    }
     if (complete) TxLog.overwrite(spark, dir, df): Unit
     else TxLog.appendBatch(spark, dir, df, appId, batchId): Unit
   }

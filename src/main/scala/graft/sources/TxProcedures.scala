@@ -21,6 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL tx.vacuum(`table` => 't', retain_hours => 168.0) -- time policy
   *   CALL tx.purge_deletes(`table` => 't')
   *   CALL tx.history(`table` => 't')
+  *   CALL tx.detail(`table` => 't')   -- DESCRIBE DETAIL: files/bytes/rows/partitioning/protocol
   *   CALL tx.clone(source => 't', target => 'dev_t')
   *   CALL tx.restore(`table` => 't', version => 3)
   *   CALL tx.convert(`table` => 'raw_parquet_dir')
@@ -114,6 +115,21 @@ private[sources] object TxProcedures {
           .collect().toSeq.map(r => new GenericInternalRow(Array[Any](
             r.getLong(0), utf8(r.getString(1)), r.getLong(2),
             r.getLong(3), r.getLong(4), r.getLong(5))))
+      }),
+    Proc("detail",
+      Array(p("table", StringType)),
+      StructType(Seq(StructField("version", LongType),
+        StructField("num_files", LongType), StructField("total_bytes", LongType),
+        StructField("total_rows", LongType),
+        StructField("partition_columns", StringType),
+        StructField("protocol", LongType),
+        StructField("num_dv_files", LongType))),
+      (root, in) => {
+        val snap = TxLog.snapshot(dirOf(root, in.getUTF8String(0).toString))
+        Seq(new GenericInternalRow(Array[Any](
+          snap.version, snap.files.size.toLong, snap.files.map(_.bytes).sum,
+          snap.rows, utf8(TxLog.partitionColsOf(snap).mkString(",")),
+          snap.protocol, snap.files.count(_.dv.nonEmpty).toLong)))
       }),
     Proc("clone",
       Array(p("source", StringType), p("target", StringType),

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -11,7 +12,7 @@ import graft.sources.TxLog
 /** `writeStream.format("txlog")` sink contract: Append mode is an
   * exactly-once txn-tagged sink keyed by the checkpoint path, restarts
   * resume without duplicating, Complete mode overwrites per refresh,
-  * Update mode and partitionBy are refused, and constraints gate the
+  * Update mode is refused, partitionBy creates a partitioned table, and constraints gate the
   * streamed rows like any writer. */
 class TxLogSinkSpec extends AnyFunSuite with SparkTestBase {
 
@@ -79,15 +80,11 @@ class TxLogSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(second === Map(0L -> 3L, 1L -> 2L))
   }
 
-  test("update mode, partitionBy, and missing checkpoint/appId are refused") {
+  test("update mode and missing checkpoint/appId are refused") {
     val p = new graft.sources.TxLogStreamProvider
     val ctx = spark.sqlContext
     intercept[IllegalArgumentException] {
       p.createSink(ctx, Map("path" -> tmp()), Nil, OutputMode.Update())
-    }
-    intercept[IllegalArgumentException] {
-      p.createSink(ctx, Map("path" -> tmp(), "checkpointLocation" -> "/x"),
-        Seq("id"), OutputMode.Append())
     }
     intercept[IllegalArgumentException] {
       p.createSink(ctx, Map("path" -> tmp()), Nil, OutputMode.Append())
@@ -95,6 +92,43 @@ class TxLogSinkSpec extends AnyFunSuite with SparkTestBase {
     // explicit txnAppId substitutes for the checkpoint-derived id
     p.createSink(ctx, Map("path" -> tmp(), "txnAppId" -> "app"), Nil,
       OutputMode.Append())
+  }
+
+  test("partitionBy on the stream writer creates a partitioned table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp()
+    val (dir, ckpt) = (s"$root/t", s"$root/ckpt")
+    val in = MemoryStream[Long]
+    in.addData(0L until 12L: _*)
+    val q = in.toDS().toDF("id")
+      .withColumn("grp", expr("concat('g', id % 3)"))
+      .writeStream.format("txlog")
+      .partitionBy("grp")
+      .option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val snap = TxLog.snapshot(dir)
+    assert(TxLog.partitionColsOf(snap) === Seq("grp"))
+    assert(snap.files.nonEmpty && snap.files.forall(_.pv.contains("grp")))
+    assert(TxLog.readPartition(spark, dir, Map("grp" -> "g1")).count() === 4L)
+    // a mismatched partitionBy against the existing table fails loudly
+    val in2 = MemoryStream[Long]
+    in2.addData(100L)
+    val q2 = in2.toDS().toDF("id")
+      .withColumn("grp", expr("concat('g', id % 3)"))
+      .writeStream.format("txlog")
+      .partitionBy("id")
+      .option("path", dir)
+      .option("checkpointLocation", s"$root/ckpt2")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    assert(e.getCause.getMessage.contains("partition"))
   }
 
   test("constraints gate streamed batches; the failed batch retries cleanly") {

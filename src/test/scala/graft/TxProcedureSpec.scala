@@ -117,7 +117,23 @@ class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
     val names = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
       .map(_.getString(3)).toSet
     assert(names === Set("optimize", "vacuum", "purge_deletes", "history",
-      "clone", "restore", "convert"))
+      "clone", "restore", "convert", "detail"))
+  }
+
+  test("CALL detail reports the snapshot's operational state") {
+    val (cat, root) = freshCat()
+    seed(root)
+    TxLog.setProperties(s"$root/t",
+      Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, s"$root/t", "id % 7 = 0")
+    val r = spark.sql(s"CALL $cat.detail(`table` => 't')").head()
+    assert(r.getLong(0) === TxLog.latestVersion(s"$root/t")) // version
+    val snap = TxLog.snapshot(s"$root/t")
+    assert(r.getLong(1) === snap.files.size.toLong)
+    assert(r.getLong(3) === snap.rows)
+    assert(r.getString(4) === "") // unpartitioned
+    assert(r.getLong(5) === 3L)  // DV commit stamped protocol 3
+    assert(r.getLong(6) >= 1L)   // at least one DV-bearing file
   }
 
   test("unknown procedure fails with the available list") {
