@@ -1354,6 +1354,48 @@ object TxLog {
     (removes.size, adds.size)
   }
 
+  /** OPTIMIZE scoped to ONE partition (Delta's `OPTIMIZE … WHERE`): the
+    * maintain-the-hot-partition primitive — today's ingest partition
+    * gets compacted (and optionally `sortBy`-clustered for sharp range
+    * pruning INSIDE the partition) while the other 10,000 partitions'
+    * files are never opened, listed, or rewritten. `eq` selects the
+    * partition by exact pv match (stats-canon strings, the
+    * [[readPartition]] contract); only pv-bearing files participate —
+    * the outputs inherit the partition's pv DIRECTLY (every input is in
+    * the same partition, no re-staging dance), so O(1) pruning survives
+    * clustering, which the global `optimize(sortBy)` path trades away.
+    * Layout-only (dataChange=false); optimize-class conflict semantics.
+    * Returns (filesBefore, filesAfter), (0,0) when <2 files match. */
+  def optimizePartition(spark: SparkSession, dir: String,
+      eq: Map[String, String], targetBytes: Long = 128L << 20,
+      sortBy: Seq[String] = Nil): (Int, Int) = {
+    require(eq.nonEmpty, "optimizePartition: at least one column = value pair")
+    val snap = snapshot(dir)
+    val m = colMapOf(snap.props)
+    val physEq = eq.map { case (c, v) => m.getOrElse(c, c) -> v }
+    val inPart = snap.files.filter(f =>
+      physEq.forall { case (c, v) => f.pv.get(c).contains(v) })
+    if (inPart.size < 2) return (inPart.size, inPart.size)
+    require(inPart.map(_.pv).toSet.size == 1,
+      s"optimizePartition: $eq selects ${inPart.map(_.pv).distinct.size} " +
+        "distinct partitions — specify the full partition tuple")
+    val pv = inPart.head.pv
+    val totalBytes = inPart.map(_.bytes).sum
+    val nOut = math.max(1, math.min(
+      math.ceil(totalBytes.toDouble / targetBytes).toLong, inPart.size.toLong).toInt)
+    val src = scanFiles(spark, dir, snap, inPart)
+    val packed =
+      if (sortBy.nonEmpty)
+        src.repartitionByRange(nOut, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else src.coalesce(nOut)
+    val (sub, adds0) = stage(spark, dir, toPhysical(packed, snap))
+    // single-partition inputs → outputs inherit the pv verbatim
+    val adds = adds0.map(_.copy(dataChange = false, pv = pv))
+    commitRewrite(dir, sub, adds, snap, "optimize", Some(inPart))
+    (inPart.size, adds.size)
+  }
+
   /** Shared rebase loop for layout-only rewrites (optimize /
     * compactSmall / purgeDeletes): check-then-claim against ONE snapshot
     * per iteration — check input liveness against snapshot S, claim

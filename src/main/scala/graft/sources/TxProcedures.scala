@@ -116,6 +116,27 @@ private[sources] object TxProcedures {
             r.getLong(0), utf8(r.getString(1)), r.getLong(2),
             r.getLong(3), r.getLong(4), r.getLong(5))))
       }),
+    Proc("optimize_partition",
+      Array(p("table", StringType), p("partition", StringType),
+        pd("target_bytes", LongType, (128L << 20).toString),
+        pd("sort_by", StringType, "''")),
+      StructType(Seq(StructField("files_before", IntegerType),
+        StructField("files_after", IntegerType))),
+      (root, in) => {
+        // partition spec: "col=val" pairs, comma-separated
+        val eq = in.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).map { kv =>
+            val i = kv.indexOf('=')
+            require(i > 0, s"optimize_partition: bad partition spec '$kv'")
+            kv.take(i).trim -> kv.drop(i + 1).trim
+          }.toMap
+        val ss = in.getUTF8String(3).toString
+        val (b, a) = TxLog.optimizePartition(SparkSession.active,
+          dirOf(root, in.getUTF8String(0).toString), eq,
+          targetBytes = in.getLong(2),
+          sortBy = if (ss.isEmpty) Nil else ss.split(",").map(_.trim).toSeq)
+        Seq(new GenericInternalRow(Array[Any](b, a)))
+      }),
     Proc("detail",
       Array(p("table", StringType)),
       StructType(Seq(StructField("version", LongType),

@@ -232,6 +232,40 @@ class TxPartitionSpec extends AnyFunSuite with SparkTestBase {
       Seq((101L, "x", 1.0)).toDF("id", "s", "score")))
   }
 
+  test("optimizePartition compacts ONE partition, inherits pv, leaves the rest") {
+    val dir = tmp()
+    (0 until 3).foreach(i =>
+      TxLog.appendPartitioned(spark, dir, df(i * 30 until i * 30 + 30), Seq("grp")))
+    val others = TxLog.snapshot(dir).files.filterNot(_.pv("grp") == "g1")
+      .map(_.path).toSet
+    val (b, a) = TxLog.optimizePartition(spark, dir, Map("grp" -> "g1"),
+      sortBy = Seq("id"))
+    assert(b === 3 && a === 1)
+    val snap = TxLog.snapshot(dir)
+    // other partitions' files are byte-identical (never opened/rewritten)
+    assert(others.subsetOf(snap.files.map(_.path).toSet))
+    val g1 = snap.files.filter(_.pv.get("grp").contains("g1"))
+    assert(g1.size === 1, "the clustered output must INHERIT the partition's pv")
+    assert(idSet(TxLog.read(spark, dir)) === (0L until 90L).toSet)
+    // scoped no-op when <2 files match; unknown value selects nothing
+    assert(TxLog.optimizePartition(spark, dir, Map("grp" -> "g1")) === (1, 1))
+    assert(TxLog.optimizePartition(spark, dir, Map("grp" -> "zz")) === (0, 0))
+  }
+
+  test("CALL optimize_partition scopes maintenance from SQL") {
+    val root = Files.createTempDirectory("graft-txpart-call").toString
+    val cat = "opp" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (0 until 2).foreach(i =>
+      TxLog.appendPartitioned(spark, s"$root/t", df(i * 30 until i * 30 + 30), Seq("grp")))
+    val r = spark.sql(
+      s"CALL $cat.optimize_partition(`table` => 't', partition => 'grp=g2', sort_by => 'id')")
+      .head()
+    assert(r.getInt(0) === 2 && r.getInt(1) === 1)
+    assert(TxLog.snapshot(s"$root/t").files.count(_.pv("grp") == "g2") === 1)
+  }
+
   test("pv survives the checkpoint round-trip") {
     val dir = tmp()
     // 11 commits cross the checkpoint interval (10): the snapshot then

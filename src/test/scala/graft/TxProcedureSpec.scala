@@ -116,8 +116,8 @@ class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
     val (cat, _) = freshCat()
     val names = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
       .map(_.getString(3)).toSet
-    assert(names === Set("optimize", "vacuum", "purge_deletes", "history",
-      "clone", "restore", "convert", "detail"))
+    assert(names === Set("optimize", "optimize_partition", "vacuum",
+      "purge_deletes", "history", "clone", "restore", "convert", "detail"))
   }
 
   test("CALL detail reports the snapshot's operational state") {
