@@ -39,6 +39,16 @@ import org.apache.spark.sql.types.StructType
   *    monotonized commit timestamp is at or after it (resolution via
   *    [[TxLog.versionAtTime]]); a timestamp before the first commit
   *    delivers everything.
+  *
+  * Admission control: `maxVersionsPerTrigger` bounds versions per
+  * micro-batch; `maxFilesPerTrigger` bounds FILES and may stop inside a
+  * commit ([[TxFileOffset]]) so one huge backfill commit drains as
+  * bounded exactly-once batches.
+  *
+  * `partitionFilter` (`"col=val,col2=val2"`): a one-partition consumer —
+  * foreign partitions' files are skipped by pv METADATA (never opened),
+  * with a row-level guard for pv-less files, so correctness never rests
+  * on the skip.
   */
 class TxLogStreamProvider extends StreamSourceProvider with StreamSinkProvider
     with DataSourceRegister {
@@ -118,12 +128,23 @@ class TxLogStreamProvider extends StreamSourceProvider with StreamSinkProvider
     require(!(parameters.contains("maxFilesPerTrigger") && cdfMode(parameters)),
       "txlog source: maxFilesPerTrigger splits data-file batches and does " +
         "not compose with readChangeFeed (change batches are per-commit)")
+    require(!(parameters.contains("partitionFilter") && cdfMode(parameters)),
+      "txlog source: partitionFilter does not compose with readChangeFeed")
+    // "col=val,col2=val2" — exact pv match per column (stats-canon strings)
+    val partFilter: Map[String, String] =
+      parameters.get("partitionFilter").map(_.split(",").toSeq.map(_.trim)
+        .filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"txlog source: bad partitionFilter entry '$kv'")
+          kv.take(i).trim -> kv.drop(i + 1).trim
+        }.toMap).getOrElse(Map.empty)
     new TxLogSource(ctx.sparkSession, pathOf(parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
       parameters.get("startingVersion"),
       parameters.get("startingTimestamp"),
       readChangeFeed = cdfMode(parameters),
-      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong))
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
+      partitionFilter = partFilter)
   }
 }
 
@@ -173,7 +194,8 @@ class TxLogSource(spark: SparkSession, dir: String,
     startingVersion: Option[String] = None,
     startingTimestamp: Option[String] = None,
     readChangeFeed: Boolean = false,
-    maxFilesPerTrigger: Option[Long] = None)
+    maxFilesPerTrigger: Option[Long] = None,
+    partitionFilter: Map[String, String] = Map.empty)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -381,12 +403,21 @@ class TxLogSource(spark: SparkSession, dir: String,
     // The slice between two positions: version sv from file si, whole
     // versions in between, version ev up to file ei — exactly-once at
     // FILE granularity (a file is delivered by precisely one batch).
-    val files = (sv to ev).flatMap { v =>
+    val sliced = (sv to ev).flatMap { v =>
       val fs = filesOf(v)
       val lo = if (v == sv) math.min(si, fs.size.toLong).toInt else 0
       val hi = if (v == ev) math.min(ei, fs.size.toLong).toInt else fs.size
       fs.slice(lo, hi)
     }
+    // partitionFilter: a one-partition consumer never OPENS foreign
+    // partitions' files (pv metadata skip — sound because pv is
+    // immutable per file, so the skip decision is replay-stable);
+    // pv-less files survive and filter row-wise below
+    val files =
+      if (partitionFilter.isEmpty) sliced
+      else TxLog.pruneByFilters(pinnedSnap.copy(files = sliced),
+        partitionFilter.toSeq.map { case (c, v) =>
+          org.apache.spark.sql.sources.EqualTo(c, v) })
     // the engine asserts isStreaming=true on the returned frame; route
     // the (lazy) batch scan through the one sanctioned shim. scanAdds
     // applies deletion vectors carried by a clone commit's initial adds
@@ -394,9 +425,19 @@ class TxLogSource(spark: SparkSession, dir: String,
     val rdd =
       if (files.isEmpty)
         spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow]
-      else
-        TxLog.scanAdds(spark, dir, pinnedSnap, files)
-          .queryExecution.toRdd
+      else {
+        val scan = TxLog.scanAdds(spark, dir, pinnedSnap, files)
+        // row-level guard: correctness never rests on the metadata skip
+        // (a pv-less file in the slice filters here)
+        val guarded = partitionFilter.foldLeft(scan) { case (d, (c, v)) =>
+          val field = pinnedSnap.schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"txlog source: partitionFilter column $c not in the table schema"))
+          d.where(org.apache.spark.sql.functions.col(c) ===
+            org.apache.spark.sql.functions.lit(v).cast(field.dataType))
+        }
+        guarded.queryExecution.toRdd
+      }
     org.apache.spark.sql.graft.GraftSqlShims.streamingDataFrame(spark, rdd, schema)
   }
 

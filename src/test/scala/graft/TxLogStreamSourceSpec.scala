@@ -216,6 +216,43 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
       ((0L until 3L).toSet + 100L))
   }
 
+  test("partitionFilter: a one-partition consumer never opens foreign files") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-txstream-p").toString
+    val table = s"$root/t"
+    val d = (0 until 30).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    TxLog.appendPartitioned(spark, table, d, Seq("grp"))
+    // corrupt a foreign partition's file: a stream that opens it dies
+    val g2 = TxLog.snapshot(table).files.find(_.pv("grp") == "g2").get
+    Files.write(java.nio.file.Paths.get(table, g2.path), "junk".getBytes)
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = spark.readStream.format("txlog").option("path", table)
+      .option("partitionFilter", "grp=g1").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id").collect().foreach(r => got.add(r.getLong(0))): Unit
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === (0L until 30L).filter(_ % 3 == 1).toSet)
+    // appends keep streaming through the filter
+    TxLog.append(spark, table,
+      Seq((100L, "g1"), (101L, "g0")).toDF("id", "grp"))
+    val got2 = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q2 = spark.readStream.format("txlog").option("path", table)
+      .option("partitionFilter", "grp=g1").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id").collect().foreach(r => got2.add(r.getLong(0))): Unit
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(got2.asScala.toSet === Set(100L))
+  }
+
   test("maxFilesPerTrigger drains a many-file commit across bounded batches") {
     val root = Files.createTempDirectory("graft-txstream-f").toString
     val table = s"$root/t"
