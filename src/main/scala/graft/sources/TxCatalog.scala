@@ -133,9 +133,16 @@ class TxCatalog extends TableCatalog
       override def txWritable: Boolean = writable
       override def name(): String = scan.name
       override def schema(): StructType = snap.schema
+      // advertise the log's first-class partition columns: Spark then
+      // accepts `INSERT OVERWRITE … PARTITION (c = 'v')` and plans it
+      // as an overwrite-by-filter this table handles
+      override def partitioning(): Array[Transform] =
+        TxLog.partitionColsOf(snap).map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
       override def capabilities(): util.Set[TableCapability] = {
         val caps = scan.capabilities().asScala.toSet ++
-          (if (writable) Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+          (if (writable) Set(TableCapability.V1_BATCH_WRITE,
+            TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
            else Set.empty[TableCapability])
         caps.asJava
       }
@@ -174,9 +181,29 @@ class TxCatalog extends TableCatalog
         snap.props.filter(_._2.nonEmpty).asJava
       override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
         require(writable, s"${scan.name}: a time-travel relation is read-only")
-        new WriteBuilder with SupportsTruncate {
-          private var overwrite = false
-          override def truncate(): WriteBuilder = { overwrite = true; this }
+        new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
+          // Left(false)=append, Left(true)=full overwrite,
+          // Right(eq)=static partition overwrite (INSERT OVERWRITE … PARTITION)
+          private var mode: Either[Boolean, Map[String, String]] = Left(false)
+          override def truncate(): WriteBuilder = { mode = Left(true); this }
+          override def overwrite(
+              filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+            import org.apache.spark.sql.sources._
+            def eqOf(f: Filter): Option[Map[String, String]] = f match {
+              case AlwaysTrue() => Some(Map.empty)
+              case EqualTo(c, v) => Option(v).map(x => Map(c -> String.valueOf(x)))
+              case EqualNullSafe(c, v) => Option(v).map(x => Map(c -> String.valueOf(x)))
+              case And(l, r) => for (a <- eqOf(l); b <- eqOf(r)) yield a ++ b
+              case _ => None
+            }
+            val eqs = filters.toSeq.map(eqOf)
+            require(eqs.forall(_.isDefined),
+              s"$catalogName: INSERT OVERWRITE supports a full overwrite or " +
+                s"partition-equality filters, got ${filters.mkString(", ")}")
+            val eq = eqs.flatten.foldLeft(Map.empty[String, String])(_ ++ _)
+            mode = if (eq.isEmpty) Left(true) else Right(eq)
+            this
+          }
           override def build(): Write = new V1Write {
             override def toInsertableRelation: InsertableRelation =
               new InsertableRelation {
@@ -187,8 +214,13 @@ class TxCatalog extends TableCatalog
                   // fidelity check then compares like for like
                   val tableSchema = TxLog.snapshot(dir).schema
                   val aligned = data.toDF(tableSchema.fieldNames.toSeq: _*)
-                  if (overwrite || overwriteParam) TxLog.overwrite(s, dir, aligned)
-                  else TxLog.append(s, dir, aligned)
+                  mode match {
+                    case Right(eq) => TxLog.replaceWhereEq(s, dir, aligned, eq)
+                    case Left(true) => TxLog.overwrite(s, dir, aligned)
+                    case Left(false) =>
+                      if (overwriteParam) TxLog.overwrite(s, dir, aligned)
+                      else TxLog.append(s, dir, aligned)
+                  }
                   (): Unit
                 }
               }

@@ -1278,6 +1278,99 @@ object TxLog {
     }
   }
 
+  /** STATIC partition overwrite as one transaction (SQL's
+    * `INSERT OVERWRITE … PARTITION (c = 'v')`): every row in the
+    * partitions named by `eq` (stats-canon value strings, typically the
+    * table's partition columns) is replaced by `df`, atomically —
+    * including EMPTYING the partition when `df` has no rows (the static
+    * clause names the partition; [[overwritePartitions]] derives the
+    * replaced set from the data instead). Classification mirrors
+    * overwritePartitions: pv files removed by metadata, legacy files by
+    * stats with straddlers rewritten keeping rows NOT matching `eq`.
+    * Rows of `df` must satisfy `eq` (checked from the staged files'
+    * own pv/stats — zero extra passes); refused otherwise, because
+    * silently inserting a foreign row into a named-partition overwrite
+    * is the classic hive-semantics bug. Non-blind write → overwrite
+    * conflict rule. Returns the committed version. */
+  def replaceWhereEq(spark: SparkSession, dir: String, df: DataFrame,
+      eq: Map[String, String]): Long = {
+    require(eq.nonEmpty, "replaceWhereEq: at least one column = value pair")
+    val readVersion = latestVersion(dir)
+    if (readVersion < 0)
+      throw new VersionNotFoundException(s"$dir has no committed versions")
+    val snap = snapshot(dir, Some(readVersion))
+    requireSchema(snap.schemaDdl, df)
+    requireConstraints(Some(snap), df)
+    eq.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"replaceWhereEq: $c not in table schema"))
+    val m = colMapOf(snap.props)
+    val physEq = eq.map { case (c, v) => m.getOrElse(c, c) -> v }
+    val (newSub, newAdds) = stageForTable(spark, dir, snap, df)
+    // the incoming rows must live in the named partitions: staged pv
+    // (partition-aligned tables) or min==max stats prove it per file
+    val foreign = newAdds.filter(_.rows > 0).exists { f =>
+      !physEq.forall { case (c, v) =>
+        f.pv.get(c).map(_ == v).getOrElse(
+          f.stats.get(c).exists(cs =>
+            cs.nulls == 0 && cs.min.contains(v) && cs.max.contains(v)))
+      }
+    }
+    if (foreign) {
+      deleteStaged(dir, newSub)
+      throw new IllegalArgumentException(
+        s"replaceWhereEq: incoming rows fall outside the named partition $eq")
+    }
+    def classify(f: AddFile): Int = { // 0 untouched, 1 full, 2 partial
+      if (physEq.forall { case (c, v) => f.pv.get(c).contains(v) }) 1
+      else if (physEq.exists { case (c, v) => f.pv.get(c).exists(_ != v) }) 0
+      else {
+        val mightHit = physEq.forall { case (c, v) =>
+          f.stats.get(c) match {
+            case Some(cs) => (cs.min, cs.max) match {
+              case (Some(mn), Some(mx)) =>
+                (cmpStats(cs.typ, mn, v), cmpStats(cs.typ, mx, v)) match {
+                  case (Some(a), Some(b)) => a <= 0 && b >= 0
+                  case _ => true
+                }
+              case _ => cs.nulls != f.rows
+            }
+            case None => true
+          }
+        }
+        if (!mightHit) 0
+        else if (physEq.forall { case (c, v) =>
+          f.stats.get(c).exists(cs => cs.nulls == 0 &&
+            cs.min.contains(v) && cs.max.contains(v)) }) 1
+        else 2
+      }
+    }
+    val full = snap.files.filter(classify(_) == 1)
+    val partial = snap.files.filter(classify(_) == 2)
+    val (remainderSub, remainderAdds) =
+      if (partial.isEmpty) (None, Nil)
+      else {
+        val matchPred = eq.map { case (c, v) =>
+          val field = snap.schema.fields.find(_.name == c).get
+          col(c) === lit(v).cast(field.dataType)
+        }.reduce(_ && _)
+        val keep = scanFiles(spark, dir, snap, partial)
+          .where(!matchPred || matchPred.isNull)
+        val (sub, adds) = stageForTable(spark, dir, snap, keep)
+        (Some(sub), adds.map(_.copy(dataChange = false)))
+      }
+    val removes = (full ++ partial).map(_.path)
+    val v = readVersion + 1
+    val content = commitJson(v, "replaceWhere", System.currentTimeMillis(),
+      remainderAdds ++ newAdds, removes, None)
+    if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
+    else {
+      deleteStaged(dir, newSub)
+      remainderSub.foreach(deleteStaged(dir, _))
+      throw new ConcurrentWriteException(
+        s"replaceWhereEq on $dir conflicted: version $v was committed concurrently")
+    }
+  }
+
   /** Commit already-staged adds pinned at a read version
     * (replaceWhereIn's empty-value-set degenerate case keeps the
     * overwrite-class conflict semantics). */

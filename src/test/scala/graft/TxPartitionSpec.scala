@@ -266,6 +266,45 @@ class TxPartitionSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.snapshot(s"$root/t").files.count(_.pv("grp") == "g2") === 1)
   }
 
+  test("SQL INSERT OVERWRITE ... PARTITION replaces exactly the named partition") {
+    val root = Files.createTempDirectory("graft-txpart-iow").toString
+    val cat = "iow" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    TxLog.appendPartitioned(spark, s"$root/t", df(0 until 30), Seq("grp"))
+    val untouched = TxLog.snapshot(s"$root/t").files
+      .filterNot(_.pv("grp") == "g1").map(_.path).toSet
+    // static partition clause: replace g1 wholesale
+    spark.sql(s"""INSERT OVERWRITE $cat.t PARTITION (grp = 'g1')
+                  VALUES (500, 'r0'), (501, 'r1')""")
+    val got = spark.sql(s"SELECT id FROM $cat.t").collect().map(_.getLong(0)).toSet
+    assert(got === (0L until 30L).filterNot(_ % 3 == 1).toSet ++ Set(500L, 501L))
+    // the other partitions' files were never touched
+    val after = TxLog.snapshot(s"$root/t").files.map(_.path).toSet
+    assert(untouched.subsetOf(after))
+    // plain INSERT OVERWRITE (no clause) still replaces the whole table
+    spark.sql(s"INSERT OVERWRITE $cat.t VALUES (9L, 'x', 'g0')")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 1L)
+  }
+
+  test("replaceWhereEq refuses rows outside the named partition; empties on no rows") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.appendPartitioned(spark, dir, df(0 until 30), Seq("grp"))
+    // a foreign row silently landing in a named-partition overwrite is
+    // the hive-semantics bug — refused before anything commits
+    val v0 = TxLog.latestVersion(dir)
+    intercept[IllegalArgumentException] {
+      TxLog.replaceWhereEq(spark, dir,
+        Seq((7L, "x", "g2")).toDF("id", "s", "grp"), Map("grp" -> "g1"))
+    }
+    assert(TxLog.latestVersion(dir) === v0)
+    // an EMPTY frame empties the partition (the static clause names it)
+    TxLog.replaceWhereEq(spark, dir, df(0 until 0), Map("grp" -> "g1"))
+    assert(idSet(TxLog.read(spark, dir)) ===
+      (0L until 30L).filterNot(_ % 3 == 1).toSet)
+  }
+
   test("pv survives the checkpoint round-trip") {
     val dir = tmp()
     // 11 commits cross the checkpoint interval (10): the snapshot then
