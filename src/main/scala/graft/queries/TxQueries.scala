@@ -1170,6 +1170,51 @@ object TxQueries {
                 SELECT count(*) AS lo_rows
                 FROM lineitem WHERE l_returnflag IN ('A', 'N') AND l_orderkey < 1000)
               SELECT part.r_rows, part.r_qty, rng.lo_rows
-              FROM part CROSS JOIN rng"""))
+              FROM part CROSS JOIN rng""")),
+
+    // ---- partition maintenance lifecycle, all from SQL ---------------------
+    // Two INSERTs build 2 files per partition; INSERT OVERWRITE …
+    // PARTITION ('F') replaces that partition wholesale with a
+    // discounted slice (static-clause semantics: rows outside the named
+    // partition are refused, other partitions never open); CALL
+    // optimize_partition compacts + sorts the O partition and its
+    // (files_before, files_after) = (2, 1) is pinned into the result —
+    // a scoped rewrite that lost rows, leaked into another partition,
+    // or failed to compact all break the hash.
+    QuerySpec("q176_partition_maintenance", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q176").toString
+      val cat = "pmx" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""CREATE TABLE $cat.ord (
+                  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+                PARTITIONED BY (o_orderstatus)""")
+      Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("q176_orders")
+      s.sql(s"""INSERT INTO $cat.ord SELECT * FROM q176_orders WHERE o_orderkey % 2 = 0""")
+      s.sql(s"""INSERT INTO $cat.ord SELECT * FROM q176_orders WHERE o_orderkey % 2 = 1""")
+      s.sql(s"""INSERT OVERWRITE $cat.ord PARTITION (o_orderstatus = 'F')
+                SELECT o_orderkey, o_totalprice * 0.8
+                FROM q176_orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""")
+      val opt = s.sql(
+        s"CALL $cat.optimize_partition(`table` => 'ord', partition => 'o_orderstatus=O', sort_by => 'o_orderkey')")
+        .head()
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n_rows,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+                FROM $cat.ord GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+        .withColumn("opt_before", lit(opt.getInt(0)))
+        .withColumn("opt_after", lit(opt.getInt(1)))
+    },
+      Some("""WITH t AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderstatus <> 'F'
+                UNION ALL
+                SELECT o_orderkey, 'F', o_totalprice * 0.8
+                FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+              SELECT o_orderstatus, count(*) AS n_rows,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     CAST(2 AS INTEGER) AS opt_before, CAST(1 AS INTEGER) AS opt_after
+              FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }
