@@ -1207,8 +1207,9 @@ object TxLog {
     * Non-blind write → the overwrite conflict rule (no rebase). An
     * empty `df` is a no-op. Returns the committed (or current)
     * version. */
-  def overwritePartitions(spark: SparkSession, dir: String, df: DataFrame): Long = {
-    val readVersion = latestVersion(dir)
+  def overwritePartitions(spark: SparkSession, dir: String, df: DataFrame,
+      readVersionOpt: Option[Long] = None): Long = {
+    val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     if (readVersion < 0)
       throw new VersionNotFoundException(s"$dir has no committed versions")
     val snap = snapshot(dir, Some(readVersion))
@@ -1265,16 +1266,17 @@ object TxLog {
           stagePartitioned(spark, dir, toPhysical(keep, snap), physParts)
         (Some(sub), adds.map(_.copy(dataChange = false)))
       }
-    val removes = (full ++ partial).map(_.path)
-    val v = readVersion + 1
-    val content = commitJson(v, "replacePartitions", System.currentTimeMillis(),
-      remainderAdds ++ newAdds, removes, None)
-    if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
-    else {
+    // same rebase discipline as row-level DML: a disjoint concurrent
+    // append/compaction is absorbed (the replace serializes before it);
+    // a commit that touched a replaced file, the schema, or properties
+    // throws
+    try commitDmlRebase(spark, dir, "replacePartitions", snap, full ++ partial,
+      (full ++ partial).map(_.path), remainderAdds ++ newAdds, Nil, None,
+      None, None)
+    catch { case e: Throwable =>
       deleteStaged(dir, newSub)
       remainderSub.foreach(deleteStaged(dir, _))
-      throw new ConcurrentWriteException(
-        s"overwritePartitions on $dir conflicted: version $v was committed concurrently")
+      throw e
     }
   }
 
@@ -1293,9 +1295,9 @@ object TxLog {
     * is the classic hive-semantics bug. Non-blind write → overwrite
     * conflict rule. Returns the committed version. */
   def replaceWhereEq(spark: SparkSession, dir: String, df: DataFrame,
-      eq: Map[String, String]): Long = {
+      eq: Map[String, String], readVersionOpt: Option[Long] = None): Long = {
     require(eq.nonEmpty, "replaceWhereEq: at least one column = value pair")
-    val readVersion = latestVersion(dir)
+    val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     if (readVersion < 0)
       throw new VersionNotFoundException(s"$dir has no committed versions")
     val snap = snapshot(dir, Some(readVersion))
@@ -1358,16 +1360,14 @@ object TxLog {
         val (sub, adds) = stageForTable(spark, dir, snap, keep)
         (Some(sub), adds.map(_.copy(dataChange = false)))
       }
-    val removes = (full ++ partial).map(_.path)
-    val v = readVersion + 1
-    val content = commitJson(v, "replaceWhere", System.currentTimeMillis(),
-      remainderAdds ++ newAdds, removes, None)
-    if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
-    else {
+    // rebase over disjoint concurrent commits (see overwritePartitions)
+    try commitDmlRebase(spark, dir, "replaceWhere", snap, full ++ partial,
+      (full ++ partial).map(_.path), remainderAdds ++ newAdds, Nil, None,
+      None, None)
+    catch { case e: Throwable =>
       deleteStaged(dir, newSub)
       remainderSub.foreach(deleteStaged(dir, _))
-      throw new ConcurrentWriteException(
-        s"replaceWhereEq on $dir conflicted: version $v was committed concurrently")
+      throw e
     }
   }
 

@@ -305,6 +305,29 @@ class TxPartitionSpec extends AnyFunSuite with SparkTestBase {
       (0L until 30L).filterNot(_ % 3 == 1).toSet)
   }
 
+  test("partition overwrites rebase over disjoint concurrent appends") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.appendPartitioned(spark, dir, df(0 until 30), Seq("grp"))          // v0
+    TxLog.append(spark, dir, df(200 until 206))                              // v1 wins
+    val repl = Seq((500L, "r", "g1")).toDF("id", "s", "grp")
+    // pinned at v0, the racing append is absorbed (serial order:
+    // replace first, append after — the appended g1 row SURVIVES)
+    val v = TxLog.overwritePartitions(spark, dir, repl, readVersionOpt = Some(0L))
+    assert(v === 2L)
+    val appendedG1 = (200L until 206L).filter(_ % 3 == 1).toSet
+    assert(idSet(TxLog.read(spark, dir)) ===
+      (0L until 30L).filterNot(_ % 3 == 1).toSet ++ (200L until 206L) + 500L)
+    assert(appendedG1.subsetOf(idSet(TxLog.read(spark, dir))))
+    // a winner that REWROTE a replaced file still conflicts
+    TxLog.delete(spark, dir, "id = 2") // rewrites a g2 file at head
+    intercept[TxLog.ConcurrentWriteException] {
+      TxLog.replaceWhereEq(spark, dir,
+        Seq((600L, "x", "g2")).toDF("id", "s", "grp"),
+        Map("grp" -> "g2"), readVersionOpt = Some(2L))
+    }
+  }
+
   test("pv survives the checkpoint round-trip") {
     val dir = tmp()
     // 11 commits cross the checkpoint interval (10): the snapshot then
