@@ -655,10 +655,16 @@ object TxLog {
       txn: Option[(String, Long)] = None,
       props: Option[Map[String, String]] = None,
       protocol: Option[Long] = None,
-      cdf: Seq[AddFile] = Nil): String = {
-    val base1: JObject = ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
+      cdf: Seq[AddFile] = Nil,
+      metrics: Map[String, Long] = Map.empty): String = {
+    val base2: JObject = ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
       ("schema" -> schemaDdl) ~ ("adds" -> adds.map(addJson)) ~
       ("removes" -> removes)
+    // operation metrics (Delta's commitInfo.operationMetrics): row counts
+    // DERIVED from the AddFiles already in hand — zero extra scans
+    val base1 = if (metrics.isEmpty) base2
+      else base2 ~ ("metrics" -> JObject(metrics.toList.sortBy(_._1)
+        .map { case (k, n) => k -> (JLong(n): JValue) }))
     val base0 = if (cdf.isEmpty) base1 else base1 ~ ("cdf" -> cdf.map(addJson))
     // commit 0 records the protocol the table is written under; a
     // feature commit (column mapping) stamps the version it requires
@@ -1272,7 +1278,10 @@ object TxLog {
     // throws
     try commitDmlRebase(spark, dir, "replacePartitions", snap, full ++ partial,
       (full ++ partial).map(_.path), remainderAdds ++ newAdds, Nil, None,
-      None, None)
+      None, None, metrics = Map(
+        "rows_replaced" -> ((full ++ partial).map(_.rows).sum -
+          remainderAdds.map(_.rows).sum),
+        "rows_added" -> newAdds.map(_.rows).sum))
     catch { case e: Throwable =>
       deleteStaged(dir, newSub)
       remainderSub.foreach(deleteStaged(dir, _))
@@ -1363,7 +1372,10 @@ object TxLog {
     // rebase over disjoint concurrent commits (see overwritePartitions)
     try commitDmlRebase(spark, dir, "replaceWhere", snap, full ++ partial,
       (full ++ partial).map(_.path), remainderAdds ++ newAdds, Nil, None,
-      None, None)
+      None, None, metrics = Map(
+        "rows_replaced" -> ((full ++ partial).map(_.rows).sum -
+          remainderAdds.map(_.rows).sum),
+        "rows_added" -> newAdds.map(_.rows).sum))
     catch { case e: Throwable =>
       deleteStaged(dir, newSub)
       remainderSub.foreach(deleteStaged(dir, _))
@@ -1559,7 +1571,8 @@ object TxLog {
       adds: Seq[AddFile], cdf: Seq[AddFile], txn: Option[(String, Long)],
       protocol: Option[Long], sourceKeys: Option[(DataFrame, String)],
       schemaDdl: Option[String] = None,
-      newProps: Option[Map[String, String]] = None): Long = {
+      newProps: Option[Map[String, String]] = None,
+      metrics: Map[String, Long] = Map.empty): Long = {
     val touchedDv: Map[String, Option[Dv]] = touched.map(f => f.path -> f.dv).toMap
     var cur = readSnap
     var tries = 0
@@ -1596,7 +1609,7 @@ object TxLog {
       }
       val attempt = cur.version + 1
       val content = commitJson(attempt, op, System.currentTimeMillis(),
-        adds, removes, schemaDdl, txn, newProps, protocol, cdf)
+        adds, removes, schemaDdl, txn, newProps, protocol, cdf, metrics)
       if (tryPublish(dir, attempt, content)) {
         maybeCheckpoint(dir, attempt)
         return attempt
@@ -1957,13 +1970,18 @@ object TxLog {
           (Some(sub), adds.map(_.copy(dataChange = false)))
         }
       val v =
-        try commitDmlRebase(spark, dir, "merge", snap, touched,
-          touched.map(_.path), remainderAdds ++ srcAdds, Nil, txn,
-          if (newMaps.isEmpty) None else Some(2L),
-          Some((keys, keyCol)),
-          if (widened) Some(merged.toDDL) else None,
-          if (newMaps.isEmpty) None
-          else Some(newMaps.map { case (l, p) => ColumnMapping.Prefix + l -> p }))
+        try {
+          val matched = touched.map(_.rows).sum - remainderAdds.map(_.rows).sum
+          commitDmlRebase(spark, dir, "merge", snap, touched,
+            touched.map(_.path), remainderAdds ++ srcAdds, Nil, txn,
+            if (newMaps.isEmpty) None else Some(2L),
+            Some((keys, keyCol)),
+            if (widened) Some(merged.toDDL) else None,
+            if (newMaps.isEmpty) None
+            else Some(newMaps.map { case (l, p) => ColumnMapping.Prefix + l -> p }),
+            metrics = Map("rows_matched" -> matched,
+              "rows_inserted" -> (srcAdds.map(_.rows).sum - matched)))
+        }
         catch { case e: Throwable => remSub.foreach(deleteStaged(dir, _)); throw e }
       published = true
       // the post-merge live set = snap minus touched plus these adds;
@@ -2388,7 +2406,9 @@ object TxLog {
     val (remSub, remainderAdds0) = stageForTable(spark, dir, snap, keep)
     val remainderAdds = remainderAdds0.map(_.copy(dataChange = false))
     try commitDmlRebase(spark, dir, "delete", snap, touched,
-      touched.map(_.path), remainderAdds, cdfAdds, None, None, None)
+      touched.map(_.path), remainderAdds, cdfAdds, None, None, None,
+      metrics = Map("rows_deleted" ->
+        (touched.map(_.rows).sum - remainderAdds.map(_.rows).sum)))
     catch { case e: Throwable =>
       deleteStaged(dir, remSub)
       cdfSub.foreach(deleteStaged(dir, _))
@@ -2456,7 +2476,8 @@ object TxLog {
         (Some(sub), adds)
       }
     try commitDmlRebase(spark, dir, "delete", snap, touched,
-      fullDead.map(_.path), partialAdds, cdfAdds, None, Some(3L), None)
+      fullDead.map(_.path), partialAdds, cdfAdds, None, Some(3L), None,
+      metrics = Map("rows_deleted" -> deadCounts.values.sum))
     catch { case e: Throwable =>
       dvSub.foreach(deleteStaged(dir, _))
       cdfSub.foreach(deleteStaged(dir, _))
@@ -2549,7 +2570,8 @@ object TxLog {
       val v =
         try commitDmlRebase(spark, dir, "update", snap, touched,
           touched.map(_.path), remainderAdds ++ updatedAdds, cdfAdds,
-          None, None, None)
+          None, None, None,
+          metrics = Map("rows_updated" -> updatedAdds.map(_.rows).sum))
         catch { case e: Throwable => deleteStaged(dir, remSub); throw e }
       published = true
       v
@@ -2635,7 +2657,8 @@ object TxLog {
         }
       val v = commitDmlRebase(spark, dir, "update", snap, touched,
         fullDead.map(_.path), partialAdds ++ updatedAdds, cdfAdds,
-        None, Some(3L), None)
+        None, Some(3L), None,
+        metrics = Map("rows_updated" -> updatedAdds.map(_.rows).sum))
       published = true
       v
     } catch { case e: Throwable =>
@@ -2903,10 +2926,15 @@ object TxLog {
           Some(jLong(j \ "txn" \ "batch")))
         case _ => (None, None)
       }
+      // operation metrics (DML row counts) surface as a map column
+      val metrics: Map[String, Long] = (j \ "metrics") match {
+        case JObject(fields) => fields.map { case (k, n) => k -> jLong(n) }.toMap
+        case _ => Map.empty
+      }
       (v, jStr(j \ "op"), jLong(j \ "ts"), adds.size.toLong,
-        adds.map(_.rows).sum, removes.toLong, app, batch)
+        adds.map(_.rows).sum, removes.toLong, app, batch, metrics)
     }.toDF("version", "op", "ts_millis", "n_files_added", "rows_added",
-      "n_files_removed", "txn_app", "txn_batch")
+      "n_files_removed", "txn_app", "txn_batch", "metrics")
   }
 
   /** Rows INSERTED after `fromVersionExclusive`, each tagged with

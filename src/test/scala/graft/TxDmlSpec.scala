@@ -164,6 +164,32 @@ class TxDmlSpec extends AnyFunSuite with SparkTestBase {
     intercept[Exception](TxLog.read(spark, dir, Some(0L)).collect())
   }
 
+  test("DML commits record operation metrics; history surfaces them") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 30))
+    TxLog.delete(spark, dir, "grp = 1")                       // 10 rows
+    TxLog.update(spark, dir, "id < 6 AND grp = 0", Map("s" -> "'u'")) // ids 0,3
+    TxLog.merge(spark, dir,
+      Seq((2L, "m", 2), (99L, "m", 0)).toDF("id", "s", "grp"), "id")
+    def metricsOf(v: Long): Map[String, Long] =
+      TxLog.history(spark, dir).where(s"version = $v")
+        .select("metrics").head().getMap[String, Long](0).toMap
+    assert(metricsOf(1L) === Map("rows_deleted" -> 10L))
+    assert(metricsOf(2L) === Map("rows_updated" -> 2L))
+    assert(metricsOf(3L) === Map("rows_matched" -> 1L, "rows_inserted" -> 1L))
+    // merge-on-read delete records the position-list count
+    val dv = tmp()
+    TxLog.append(spark, dv, df(0 until 20))
+    TxLog.setProperties(dv, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, dv, "grp = 2")
+    assert(TxLog.history(spark, dv).where("version = 2")
+      .select("metrics").head().getMap[String, Long](0).toMap ===
+      Map("rows_deleted" -> (0 until 20).count(_ % 3 == 2).toLong))
+    // non-DML commits carry no metrics
+    assert(metricsOf(0L) === Map.empty)
+  }
+
   // ---- merge schema evolution ---------------------------------------------
 
   test("mergeEvolve adopts a new source column; history null-backfills") {
