@@ -1215,6 +1215,45 @@ object TxQueries {
               SELECT o_orderstatus, count(*) AS n_rows,
                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
                      CAST(2 AS INTEGER) AS opt_before, CAST(1 AS INTEGER) AS opt_after
-              FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+              FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- operation metrics -------------------------------------------------
+    // The commit log's own audit trail hash-gated: DELETE and UPDATE
+    // record row-count metrics derived from AddFile arithmetic, and the
+    // oracle re-derives the SAME counts from the raw table — a metric
+    // that over/under-counts (the "how many rows did that GDPR delete
+    // erase" number being wrong) breaks the hash, as does any drift in
+    // the surviving aggregate itself.
+    QuerySpec("q177_dml_metrics", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q177").toString + "/t"
+      val part = Td.load(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+      TxLog.append(s, root, part.repartition(4))
+      TxLog.delete(s, root, "p_partkey % 5 = 2")
+      TxLog.update(s, root, "p_retailprice < 1200",
+        Map("p_retailprice" -> "p_retailprice + 10"))
+      val h = TxLog.history(s, root)
+      val del = h.where("version = 1")
+        .select(element_at(col("metrics"), "rows_deleted").as("rows_deleted"))
+      val upd = h.where("version = 2")
+        .select(element_at(col("metrics"), "rows_updated").as("rows_updated"))
+      TxLog.read(s, root)
+        .agg(count(lit(1)).as("live_rows"),
+          dsum(col("p_retailprice")).as("sum_price"))
+        .crossJoin(del).crossJoin(upd)
+    },
+      Some("""WITH survivors AS (
+                SELECT p_partkey, p_retailprice FROM part
+                WHERE NOT (p_partkey % 5 = 2)),
+              updated AS (
+                SELECT CASE WHEN p_retailprice < 1200
+                            THEN p_retailprice + 10
+                            ELSE p_retailprice END AS p_retailprice
+                FROM survivors)
+              SELECT count(*) AS live_rows,
+                     CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     (SELECT count(*) FROM part WHERE p_partkey % 5 = 2) AS rows_deleted,
+                     (SELECT count(*) FROM survivors WHERE p_retailprice < 1200) AS rows_updated
+              FROM updated"""))
   )
 }
