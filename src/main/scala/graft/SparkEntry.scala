@@ -18,7 +18,7 @@ object SparkEntry {
       MedallionQueries.specs ++ TextQueries.specs ++ DedupQueries.specs ++
       AnnQueries.specs ++ MultimodalQueries.specs ++ StreamQueries.specs ++
       ScaleQueries.specs ++ EventsMedallionQueries.specs ++ TemporalQueries.specs ++
-      AnalyticsQueries.specs ++ TxQueries.specs
+      AnalyticsQueries.specs ++ TxQueries.specs ++ TxQueries2.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1256,4 +1256,58 @@ object TxQueries {
                      (SELECT count(*) FROM survivors WHERE p_retailprice < 1200) AS rows_updated
               FROM updated"""))
   )
+
+  /** q178 continues in [[TxQueries2.specs]] (file-size hygiene). */
+}
+
+/** Streaming-admission parity queries (split from [[TxQueries]]). */
+object TxQueries2 {
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- file-granular streaming admission ---------------------------------
+    // One 12-file commit drained through maxFilesPerTrigger=5: exactly
+    // ceil(12/5)=3 micro-batches (pinned into the hash), every row
+    // delivered exactly once (count + decimal sum match the raw table —
+    // a dropped file, a re-delivered file, or an offset that lost its
+    // place across batches all break it). The per-batch sums fold as
+    // exact decimals, so the accumulation is order-independent.
+    QuerySpec("q178_stream_admission", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q178").toString
+      val table = s"$root/t"
+      val li = Td.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      TxLog.append(s, table, li.repartition(12))
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+      val qtyMicros = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = s.readStream.format("txlog").option("path", table)
+        .option("maxFilesPerTrigger", "5").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val r = b.agg(count(lit(1)),
+            sum(col("l_quantity").cast(DecimalType(18, 4)))).head()
+          if (r.getLong(0) > 0) {
+            batches.incrementAndGet()
+            rows.addAndGet(r.getLong(0))
+            qtyMicros.addAndGet(
+              r.getDecimal(1).movePointRight(4).longValueExact()): Unit
+          }
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import s.implicits._
+      Seq((batches.get(), rows.get(),
+        (BigDecimal(qtyMicros.get()) / 10000).toDouble))
+        .toDF("n_batches", "n_rows", "sum_qty")
+    },
+      Some("""SELECT CAST(3 AS BIGINT) AS n_batches,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+              FROM lineitem"""))
+  )
 }

@@ -111,4 +111,21 @@ class PruneByFiltersSpec extends AnyFunSuite {
     assert(TxLog.pruneByFilters(pvSnap,
       Seq(EqualTo("grp", "g1"))).map(_.path) === Seq("d-x/p1"))
   }
+
+  test("string comparison follows UTF-8 binary order (supplementary planes)") {
+    // Spark's min/max use binary (UTF-8) string order: U+E000 sorts
+    // BELOW U+1F600 (emoji) there, while Java's UTF-16 compareTo says
+    // the opposite (surrogates < U+E000). A comparator in the wrong
+    // collation would prune a file that HOLDS the match.
+    assert("".compareTo("😀") > 0, "UTF-16 disagrees (premise)")
+    val f = AddFile("d-x/u", 2, 1L, Map(
+      "s" -> ColStats("string", Some(""), Some("😀"), 0)))
+    val snap = Snapshot(0L, "s STRING", Seq(f))
+    assert(TxLog.pruneByFilters(snap,
+      Seq(EqualTo("s", "😀"))).nonEmpty,
+      "the emoji IS inside the binary-ordered [min,max] — must survive")
+    assert(TxLog.pruneByFilters(snap,
+      Seq(GreaterThan("s", ""))).nonEmpty,
+      "rows above U+E000 exist in binary order")
+  }
 }
