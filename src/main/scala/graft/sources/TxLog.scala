@@ -635,20 +635,64 @@ object TxLog {
       // failure must never surface to the committer (the snapshot would
       // replay more commit files until the next interval — correct,
       // just slower).
-      try {
-        val snap = snapshot(dir, Some(v))
-        // the TABLE's protocol, not this writer's capability — a
-        // checkpoint must never lock protocol-1 readers out of a table
-        // that uses no protocol-2 feature
-        val j: JObject = ("version" -> v) ~ ("protocol" -> snap.protocol) ~
-          ("schema" -> snap.schemaDdl) ~
-          ("files" -> snap.files.map(addJson)) ~ ("txns" -> snap.txns) ~
-          ("props" -> snap.props)
-        // deterministic content per version → the overwrite-tolerant
-        // store op is safe under concurrent duplicate writes
-        logStore.putOverwrite(ckptFile(dir, v), LogStore.bytes(compact(render(j))))
-      } catch { case _: Exception => () }
+      try writeCheckpoint(dir, v) catch { case _: Exception => () }
     }
+
+  private def writeCheckpoint(dir: String, v: Long): Unit = {
+    val snap = snapshot(dir, Some(v))
+    // the TABLE's protocol, not this writer's capability — a
+    // checkpoint must never lock protocol-1 readers out of a table
+    // that uses no protocol-2 feature
+    val j: JObject = ("version" -> v) ~ ("protocol" -> snap.protocol) ~
+      ("schema" -> snap.schemaDdl) ~
+      ("files" -> snap.files.map(addJson)) ~ ("txns" -> snap.txns) ~
+      ("props" -> snap.props)
+    // deterministic content per version → the overwrite-tolerant
+    // store op is safe under concurrent duplicate writes
+    logStore.putOverwrite(ckptFile(dir, v), LogStore.bytes(compact(render(j))))
+  }
+
+  /** LOG RETENTION (Delta's `delta.logRetentionDuration` surface, by
+    * version count): delete commit files BELOW a checkpoint that can
+    * serve as the replay base for every retained version — the bound
+    * that keeps a million-commit table's `_txlog/` from growing into a
+    * million small objects. Keeps the newest `retainVersions` commits
+    * (plus everything from the chosen checkpoint up); writes a fresh
+    * checkpoint at the cut when none exists at or below it. After
+    * cleanup: snapshots/time travel at or above the cut are unchanged;
+    * below it they fail with [[VersionNotFoundException]] (the same
+    * trade VACUUM makes for data); the incremental readers
+    * ([[changedFilesBetween]] / [[readChanges]] / [[readChangeFeed]])
+    * REFUSE a from-version below the cut instead of silently serving a
+    * partial change stream — a fresh stream on a cleaned table must
+    * set `startingVersion`. Data files are untouched (that is VACUUM's
+    * job; [[vacuum]]'s orphan rule consults the checkpoint-replayed
+    * snapshots, so live files whose adding commit was cleaned stay
+    * safe). Returns the number of log files deleted. */
+  def cleanupLog(dir: String, retainVersions: Int = 100): Int = {
+    val (commits, ckpts) = listLog(dir)
+    if (commits.isEmpty) return 0
+    val latest = commits.max
+    val minKeep = math.max(commits.min, latest - math.max(1, retainVersions) + 1)
+    if (minKeep <= commits.min) return 0
+    val cut = ckpts.filter(c => c <= minKeep && c >= commits.min).maxOption
+      .getOrElse { writeCheckpoint(dir, minKeep); minKeep }
+    val dropCommits = commits.filter(_ < cut)
+    val dropCkpts = ckpts.filter(_ < cut)
+    // delete newest-first so a crash mid-cleanup leaves a CONTIGUOUS
+    // suffix... deleting oldest-first does: a crash leaves commits
+    // [k, latest] with k <= cut — still replayable from older ckpts or
+    // commit 0. Either order is safe; oldest-first keeps the invariant
+    // "retained commits are contiguous" trivially true mid-crash.
+    var n = 0
+    dropCommits.sorted.foreach { v =>
+      if (Files.deleteIfExists(versionFile(dir, v))) n += 1
+    }
+    dropCkpts.sorted.foreach { v =>
+      if (Files.deleteIfExists(ckptFile(dir, v))) n += 1
+    }
+    n
+  }
 
   private def commitJson(v: Long, op: String, ts: Long, adds: Seq[AddFile],
       removes: Seq[String], schemaDdl: Option[String],
@@ -2888,8 +2932,12 @@ object TxLog {
             finally fs.close()
           }
           .map(p => root.relativize(p).toString)
-          .filterNot(rel => referenced.contains(rel) ||
-            referencedDvDirs.exists(dvd => rel.startsWith(dvd + "/")))
+          // `kept`/`keptDvDirs` matter after a LOG CLEANUP: a live file
+          // whose adding commit was cleaned appears in no retained
+          // commit's adds, only in the checkpoint-replayed snapshots —
+          // without this it would be misread as crashed-writer staging
+          .filterNot(rel => referenced.contains(rel) || kept.contains(rel) ||
+            (referencedDvDirs ++ keptDvDirs).exists(dvd => rel.startsWith(dvd + "/")))
           .filter(rel => Files.getLastModifiedTime(Paths.get(dir, rel)).toMillis < cutoff)
           .toList.sorted
       } finally ds.close()
@@ -2958,6 +3006,13 @@ object TxLog {
   def changedFilesBetween(dir: String, fromExclusive: Long,
       toInclusive: Long): Seq[AddFile] = {
     val (commits, _) = listLog(dir)
+    // log-cleanup guard: serving a change stream whose range predates
+    // the retained log would silently OMIT changes — refuse instead
+    if (commits.nonEmpty && fromExclusive < commits.min - 1)
+      throw new IllegalStateException(
+        s"$dir: versions below ${commits.min} were removed by log cleanup — " +
+          s"an incremental read from $fromExclusive cannot be complete; " +
+          s"start from version ${commits.min - 1} or later (streams: set startingVersion)")
     commits.sorted.filter(v => v > fromExclusive && v <= toInclusive).flatMap { v =>
       parseAdds(parse(Files.readString(versionFile(dir, v))) \ "adds")
         .filter(_.dataChange)
@@ -2975,6 +3030,15 @@ object TxLog {
     val (commits, _) = listLog(dir)
     if (commits.isEmpty)
       throw new VersionNotFoundException(s"$dir has no committed versions")
+    val fromExclusive = fromVersionExclusive
+    // log-cleanup guard: serving a change stream whose range predates
+    // the retained log would silently OMIT changes — refuse instead
+    if (commits.nonEmpty && fromExclusive < commits.min - 1)
+      throw new IllegalStateException(
+        s"$dir: versions below ${commits.min} were removed by log cleanup — " +
+          s"an incremental read from $fromExclusive cannot be complete; " +
+          s"start from version ${commits.min - 1} or later (streams: set startingVersion)")
+
     // All files scan under the LATEST snapshot's physical names: a
     // physical name never changes once assigned, so the latest mapping
     // covers every historical file (renamed columns keep their original
@@ -3018,6 +3082,15 @@ object TxLog {
     val (commits, _) = listLog(dir)
     if (commits.isEmpty)
       throw new VersionNotFoundException(s"$dir has no committed versions")
+    val fromExclusive = fromVersionExclusive
+    // log-cleanup guard: serving a change stream whose range predates
+    // the retained log would silently OMIT changes — refuse instead
+    if (commits.nonEmpty && fromExclusive < commits.min - 1)
+      throw new IllegalStateException(
+        s"$dir: versions below ${commits.min} were removed by log cleanup — " +
+          s"an incremental read from $fromExclusive cannot be complete; " +
+          s"start from version ${commits.min - 1} or later (streams: set startingVersion)")
+
     val latest = snapshot(dir)
     val out = latest.schema
       .add(StructField(ChangeTypeCol, StringType, nullable = false))

@@ -137,6 +137,14 @@ private[sources] object TxProcedures {
           sortBy = if (ss.isEmpty) Nil else ss.split(",").map(_.trim).toSeq)
         Seq(new GenericInternalRow(Array[Any](b, a)))
       }),
+    Proc("cleanup_log",
+      Array(p("table", StringType), pd("retain_versions", IntegerType, "100")),
+      StructType(Seq(StructField("deleted_log_files", IntegerType))),
+      (root, in) => {
+        val n = TxLog.cleanupLog(dirOf(root, in.getUTF8String(0).toString),
+          retainVersions = in.getInt(1))
+        Seq(new GenericInternalRow(Array[Any](n)))
+      }),
     Proc("detail",
       Array(p("table", StringType)),
       StructType(Seq(StructField("version", LongType),

@@ -117,7 +117,8 @@ class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
     val names = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
       .map(_.getString(3)).toSet
     assert(names === Set("optimize", "optimize_partition", "vacuum",
-      "purge_deletes", "history", "clone", "restore", "convert", "detail"))
+      "purge_deletes", "history", "clone", "restore", "convert", "detail",
+      "cleanup_log"))
   }
 
   test("CALL detail reports the snapshot's operational state") {
