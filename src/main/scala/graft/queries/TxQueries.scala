@@ -1308,6 +1308,33 @@ object TxQueries2 {
       Some("""SELECT CAST(3 AS BIGINT) AS n_batches,
                      CAST(count(*) AS BIGINT) AS n_rows,
                      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-              FROM lineitem"""))
+              FROM lineitem""")),
+
+    // ---- log retention -----------------------------------------------------
+    // 12 commits, cleanupLog(retain 3): commits 0-8 delete behind a
+    // fresh checkpoint at the cut (n_cleaned = 9 pinned), the head read
+    // and time travel AT the cut replay from the checkpoint — a cleanup
+    // that cut too deep, lost a checkpoint, or broke replay loses rows
+    // and breaks the hash.
+    QuerySpec("q179_log_retention", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q179").toString + "/t"
+      val cust = Td.load(s, dir, "customer")
+        .select("c_custkey", "c_acctbal").localCheckpoint(true)
+      (0 until 12).foreach(i =>
+        TxLog.append(s, root, cust.where(s"c_custkey % 12 = $i")))
+      val cleaned = TxLog.cleanupLog(root, retainVersions = 3)
+      val atCut = TxLog.read(s, root, versionAsOf = Some(9L))
+        .agg(count(lit(1)).cast("long").as("rows_at_cut"))
+      TxLog.read(s, root)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("c_acctbal")).as("sum_bal"))
+        .withColumn("n_cleaned", lit(cleaned))
+        .crossJoin(atCut)
+    },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+                     CAST(9 AS INTEGER) AS n_cleaned,
+                     (SELECT CAST(count(*) AS BIGINT) FROM customer
+                      WHERE c_custkey % 12 <= 9) AS rows_at_cut
+              FROM customer"""))
   )
 }
