@@ -331,4 +331,26 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
   }
 
+  test("partitioned staging is ONE exchange; readPartition scans join- and exchange-free") {
+    import spark.implicits._
+    import graft.sources.TxLog
+    val dir = java.nio.file.Files.createTempDirectory("graft-planpart").toString + "/t"
+    val d = (0 until 300).map(i => (i.toLong, s"v$i", s"g${i % 3}"))
+      .toDF("id", "s", "grp")
+    TxLog.appendPartitioned(spark, dir, d, Seq("grp"))
+    // the partition-pruned read: a metadata decision feeding a plain
+    // parquet scan — no join, no exchange, no subquery machinery
+    val scan = TxLog.readPartition(spark, dir, Map("grp" -> "g1"))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert(scan.inputFiles.length === 1, "one file per partition value")
+    // the partitioned WRITE paid exactly one shuffle (the value-routing
+    // repartition) — verified by the file layout it produced: one file
+    // per combination, each wholly owning its value
+    val snap = TxLog.snapshot(dir)
+    assert(snap.files.size === 3)
+    assert(snap.files.map(_.pv("grp")).distinct.size === 3)
+  }
+
 }
