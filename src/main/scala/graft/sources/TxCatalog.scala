@@ -47,9 +47,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * commit. Supported statements:
   * {{{
   *   CREATE TABLE tx.t (id BIGINT, s STRING)
+  *   CREATE TABLE tx.t (...) PARTITIONED BY (c) -- first-class partition columns
   *   CREATE TABLE tx.t AS SELECT ...           -- CTAS
   *   INSERT INTO tx.t SELECT ...               -- append commit
   *   INSERT OVERWRITE tx.t SELECT ...          -- overwrite commit
+  *   INSERT OVERWRITE tx.t PARTITION (c='v') SELECT ... -- static partition replace
   *   ALTER TABLE tx.t SET TBLPROPERTIES (...)  -- property commit
   *   ALTER TABLE tx.t UNSET TBLPROPERTIES (...)
   *   ALTER TABLE tx.t ADD COLUMNS (x DOUBLE)   -- schema-only widen

@@ -16,6 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * pure SQL without touching the Scala API:
   * {{{
   *   CALL tx.optimize(`table` => 't', zorder_by => 'x,y')
+  *   CALL tx.optimize_partition(`table` => 't', partition => 'day=2026-01-01', sort_by => 'id')
+  *   CALL tx.cleanup_log(`table` => 't', retain_versions => 100)
   *   CALL tx.vacuum(`table` => 't', retain_versions => 4)
   *   CALL tx.vacuum(`table` => 't', dry_run => true)   -- predict only
   *   CALL tx.vacuum(`table` => 't', retain_hours => 168.0) -- time policy
