@@ -74,6 +74,43 @@ class TxLogStoreSpec extends AnyFunSuite with SparkTestBase {
     stress(ConditionalPutLogStore, "condput")
   }
 
+  test("the DML rebase race runs identically over the conditional-put store") {
+    withStore(ConditionalPutLogStore) {
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft-store-race").toString + "/t"
+      (0 until 3).foreach(g => TxLog.append(spark, dir,
+        (g * 100 until g * 100 + 50).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+          .repartition(1)))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val tasks: Seq[() => Unit] = (0 until 3).flatMap { g =>
+        Seq(
+          () => TxLog.append(spark, dir,
+            Seq((1000L + g, "a")).toDF("id", "s")): Unit,
+          () => TxLog.delete(spark, dir,
+            s"id >= ${g * 100} AND id < ${g * 100 + 5}"): Unit)
+      }
+      tasks.foreach { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            try t() catch { case e: Throwable => errs.add(e): Unit }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(errs.isEmpty, s"disjoint writers over the object store failed: $errs")
+      val ids = TxLog.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+      val want = (0 until 3).flatMap(g =>
+        (g * 100 + 5 until g * 100 + 50).map(_.toLong) :+ (1000L + g)).toSet
+      assert(ids === want)
+      assert(TxLog.latestVersion(dir) === 8L)
+    }
+  }
+
   test("DML, checkpoints, and time travel work unchanged over the conditional-put store") {
     withStore(ConditionalPutLogStore) {
       val dir = Files.createTempDirectory("graft-store-dml").toString + "/t"
