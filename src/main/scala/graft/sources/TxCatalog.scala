@@ -191,10 +191,16 @@ class TxCatalog extends TableCatalog
           override def overwrite(
               filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
             import org.apache.spark.sql.sources._
+            // values canonicalize through the same cast-to-string canon
+            // the file stats use (TxLog.valueCanon) — String.valueOf on
+            // a java.sql.Timestamp renders a trailing ".0" no stats
+            // string ever carries, which made replaceWhereEq's
+            // foreign-row check refuse every timestamp-partition
+            // overwrite
             def eqOf(f: Filter): Option[Map[String, String]] = f match {
               case AlwaysTrue() => Some(Map.empty)
-              case EqualTo(c, v) => Option(v).map(x => Map(c -> String.valueOf(x)))
-              case EqualNullSafe(c, v) => Option(v).map(x => Map(c -> String.valueOf(x)))
+              case EqualTo(c, v) => TxLog.valueCanon(v).map(s => Map(c -> s))
+              case EqualNullSafe(c, v) => TxLog.valueCanon(v).map(s => Map(c -> s))
               case And(l, r) => for (a <- eqOf(l); b <- eqOf(r)) yield a ++ b
               case _ => None
             }

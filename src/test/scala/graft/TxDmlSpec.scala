@@ -177,7 +177,14 @@ class TxDmlSpec extends AnyFunSuite with SparkTestBase {
         .select("metrics").head().getMap[String, Long](0).toMap
     assert(metricsOf(1L) === Map("rows_deleted" -> 10L))
     assert(metricsOf(2L) === Map("rows_updated" -> 2L))
-    assert(metricsOf(3L) === Map("rows_matched" -> 1L, "rows_inserted" -> 1L))
+    val m = metricsOf(3L)
+    assert(m("rows_matched") === 1L && m("rows_inserted") === 1L)
+    // merge also records its pruning observables: candidates actually
+    // opened by touch discovery never exceed the live total
+    assert(m("files_touched") <= m("files_scanned") &&
+      m("files_scanned") <= m("files_live"))
+    assert(m.keySet === Set("rows_matched", "rows_inserted",
+      "files_live", "files_scanned", "files_touched"))
     // merge-on-read delete records the position-list count
     val dv = tmp()
     TxLog.append(spark, dv, df(0 until 20))
