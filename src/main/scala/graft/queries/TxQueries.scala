@@ -1336,5 +1336,95 @@ object TxQueries2 {
                      (SELECT CAST(count(*) AS BIGINT) FROM customer
                       WHERE c_custkey % 12 <= 9) AS rows_at_cut
               FROM customer"""))
+  ,
+
+    // ---- bounded MERGE touch discovery -------------------------------------
+    // Four appends of disjoint o_orderkey bands; a CDC batch whose keys
+    // all lie in the first band. Touch discovery is bounded by the
+    // staged source's own key stats (min/max + ≤64-key IN-list), so the
+    // merge's files_scanned metric — pinned into the hash — must be
+    // EXACTLY the one band file out of four live. A discovery that
+    // scanned the table (the old shape), mis-derived the bounds, or
+    // dropped a matching candidate breaks either the count or the
+    // post-merge aggregate the oracle replays.
+    QuerySpec("q180_merge_prune", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q180").toString + "/t"
+      val ord = Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
+      TxLog.append(s, root, ord.where("o_orderkey <= 100").coalesce(1))
+      TxLog.append(s, root,
+        ord.where("o_orderkey > 100 AND o_orderkey <= 1000").coalesce(1))
+      TxLog.append(s, root,
+        ord.where("o_orderkey > 1000 AND o_orderkey <= 5000").coalesce(1))
+      TxLog.append(s, root, ord.where("o_orderkey > 5000").coalesce(1))
+      val batch = ord.where("o_orderkey <= 64 AND o_orderkey % 2 = 0")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      TxLog.merge(s, root, batch, "o_orderkey")
+      val m = TxLog.history(s, root).where("op = 'merge'")
+        .select(element_at(col("metrics"), "files_scanned").as("files_scanned"),
+          element_at(col("metrics"), "files_live").as("files_live"))
+      TxLog.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price"))
+        .crossJoin(m)
+        .orderBy("o_orderstatus")
+    },
+      Some("""WITH merged AS (
+                SELECT o_orderstatus,
+                       CASE WHEN o_orderkey <= 64 AND o_orderkey % 2 = 0
+                            THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+                FROM orders)
+              SELECT o_orderstatus, count(*) AS n_rows,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     CAST(1 AS BIGINT) AS files_scanned,
+                     CAST(4 AS BIGINT) AS files_live
+              FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- cluster-by-key maintenance ----------------------------------------
+    // The same CDC shape WITHOUT manual banding: round-robin appends
+    // spread every key range across all four files, so the first merge
+    // scans all 4 candidates; then the graft.clusterBy property makes a
+    // PLAIN OPTIMIZE range-cluster on the merge key, and the second,
+    // equally-narrow batch scans exactly 1 of 4 — both counts pinned.
+    // The oracle replays the two upserts sequentially; clustering that
+    // lost rows, reordered wrongly, or failed to sharpen the bounds
+    // breaks the counts or the aggregate.
+    QuerySpec("q181_cluster_merge", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q181").toString + "/t"
+      val ord = Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
+      TxLog.append(s, root, ord.repartition(4))
+      val b1 = ord.where("o_orderkey <= 64 AND o_orderkey % 2 = 0")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      TxLog.merge(s, root, b1, "o_orderkey")
+      TxLog.setProperties(root, Map(TxLog.ClusterBy.Columns -> "o_orderkey"))
+      TxLog.optimize(s, root, targetBytes = 1L)
+      val b2 = ord.where("o_orderkey <= 64 AND o_orderkey % 2 = 1")
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      TxLog.merge(s, root, b2, "o_orderkey")
+      val scans = TxLog.history(s, root).where("op = 'merge'")
+        .orderBy("version")
+        .select(element_at(col("metrics"), "files_scanned").as("fs"))
+        .collect().map(_.getLong(0))
+      TxLog.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("scan_before", lit(scans(0)))
+        .withColumn("scan_after", lit(scans(1)))
+        .orderBy("o_orderstatus")
+    },
+      Some("""WITH merged AS (
+                SELECT o_orderstatus,
+                       CASE WHEN o_orderkey <= 64 AND o_orderkey % 2 = 0
+                              THEN o_totalprice * 2
+                            WHEN o_orderkey <= 64 AND o_orderkey % 2 = 1
+                              THEN o_totalprice * 3
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders)
+              SELECT o_orderstatus, count(*) AS n_rows,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     CAST(4 AS BIGINT) AS scan_before,
+                     CAST(1 AS BIGINT) AS scan_after
+              FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

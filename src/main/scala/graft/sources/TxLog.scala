@@ -238,6 +238,29 @@ object TxLog {
     val Enabled = "graft.autoMerge"
   }
 
+  /** CLUSTERED LAYOUT property (Delta's liquid-clustering `CLUSTER BY`
+    * analog, applied at maintenance time): `graft.clusterBy` records
+    * the columns a plain [[optimize]] should cluster on — one column
+    * range-clusters (sorted, disjoint per-file ranges), two or more
+    * z-order. The payoff is stats sharpness WITHOUT first-class
+    * partitions: after a clustered OPTIMIZE, per-file min/max on the
+    * cluster key are tight, so key-bounded reads, [[readRange]], DML
+    * predicates, AND the merge touch-discovery bounds all open
+    * O(selectivity) files on an UNpartitioned table — set it to the
+    * merge key and every CDC upsert stops paying O(table) discovery.
+    * Advisory, not transactional: writes between OPTIMIZEs interleave
+    * freely (their files simply prune less sharply until the next
+    * maintenance pass). Rejected on partitioned tables — plain OPTIMIZE
+    * there compacts within partitions, which clustering would undo. */
+  object ClusterBy {
+    val Columns = "graft.clusterBy" // comma-separated logical columns
+  }
+
+  /** The table's advisory cluster columns, in declaration order. */
+  def clusterColsOf(snap: Snapshot): Seq[String] =
+    snap.props.get(ClusterBy.Columns).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   /** First-class PARTITION COLUMNS (Delta's partitionBy): the property
     * records the table's LOGICAL partition columns (comma-separated),
     * fixed at creation ([[create]] / the first [[appendPartitioned]])
@@ -1477,16 +1500,25 @@ object TxLog {
     // clustering overrides partition alignment (the caller asked for a
     // different layout; pruning falls back to the stats that clustering
     // makes sharp anyway).
+    // an explicit layout wins; otherwise the table's advisory
+    // graft.clusterBy columns apply (one column range-clusters, two or
+    // more z-order) — the standing-maintenance contract that keeps the
+    // merge key's per-file stats tight on unpartitioned tables
+    val clusterCols = clusterColsOf(snap)
+    val (effSort, effZorder) =
+      if (sortBy.nonEmpty || zorderBy.nonEmpty) (sortBy, zorderBy)
+      else if (clusterCols.size == 1) (clusterCols, Nil)
+      else (Nil, clusterCols)
     val (sub, adds0) =
-      if (sortBy.isEmpty && zorderBy.isEmpty && partitionColsOf(snap).nonEmpty)
+      if (effSort.isEmpty && effZorder.isEmpty && partitionColsOf(snap).nonEmpty)
         stageForTable(spark, dir, snap, src)
       else {
         val packed =
-          if (zorderBy.nonEmpty)
-            graft.operators.ZOrder.layoutN(src, zorderBy, nOut)
-          else if (sortBy.nonEmpty)
-            src.repartitionByRange(nOut, sortBy.map(col): _*)
-              .sortWithinPartitions(sortBy.map(col): _*)
+          if (effZorder.nonEmpty)
+            graft.operators.ZOrder.layoutN(src, effZorder, nOut)
+          else if (effSort.nonEmpty)
+            src.repartitionByRange(nOut, effSort.map(col): _*)
+              .sortWithinPartitions(effSort.map(col): _*)
           else src.coalesce(nOut)
         // Layout-only rewrite: no row is new to the table.
         stage(spark, dir, toPhysical(packed, snap))
@@ -1728,6 +1760,18 @@ object TxLog {
     require(!props.contains(Partitioning.Columns),
       s"${Partitioning.Columns} is fixed at table creation " +
         "(create/appendPartitioned) and cannot be altered")
+    props.get(ClusterBy.Columns).filter(_.nonEmpty).foreach { v =>
+      val head = headSnapshot(dir).getOrElse(
+        sys.error(s"setProperties: $dir has no committed versions"))
+      val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty && cols.length <= 6,
+        s"${ClusterBy.Columns} takes 1-6 columns, got ${cols.length}")
+      cols.foreach(c => require(head.schema.fieldNames.contains(c),
+        s"${ClusterBy.Columns}: $c is not a table column"))
+      require(partitionColsOf(head).isEmpty,
+        s"${ClusterBy.Columns} is for unpartitioned tables (plain OPTIMIZE " +
+          "on a partitioned table compacts within partitions)")
+    }
     var tries = 0
     while (tries < maxCommitAttempts) {
       val attempt = latestVersion(dir) + 1

@@ -204,6 +204,53 @@ class DmlPruneTypeSpec extends AnyFunSuite with SparkTestBase {
     assert(h.getLong(0) === 0L)
   }
 
+  test("graft.clusterBy: a plain OPTIMIZE range-clusters, sharpening key-bounded merges") {
+    import spark.implicits._
+    val dir = tmp()
+    // interleaved appends: every file spans nearly the whole key range,
+    // so pre-clustering a key-bounded batch intersects all of them
+    (0 until 4).foreach { i =>
+      val rows = (0 until 400).filter(_ % 4 == i).map(j => (j.toLong, s"v$j"))
+      TxLog.append(spark, dir, rows.toDF("id", "s").coalesce(1))
+    }
+    TxLog.setProperties(dir, Map(TxLog.ClusterBy.Columns -> "id"))
+    // targetBytes=1 forces nOut = input file count → 4 range-disjoint files
+    val (before, after) = TxLog.optimize(spark, dir, targetBytes = 1L)
+    assert(before === 4 && after === 4)
+    val snap = TxLog.snapshot(dir)
+    // range clustering → per-file id ranges are disjoint
+    val ranges = snap.files.map(f =>
+      (f.stats("id").min.get.toLong, f.stats("id").max.get.toLong)).sortBy(_._1)
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) => assert(hi < lo) }
+    // a key-localized merge now opens exactly one file — the foreign
+    // three are corrupted in place to prove they are never read
+    val batch = Seq((10L, "u10"), (11L, "u11"), (12L, "u12")).toDF("id", "s")
+    val foreign = snap.files.filter(f =>
+      f.stats("id").min.get.toLong > 12 || f.stats("id").max.get.toLong < 10)
+      .map(_.path)
+    assert(foreign.size === 3)
+    withCorrupted(dir, foreign) {
+      TxLog.merge(spark, dir, batch, "id")
+    }
+    val m = TxLog.history(spark, dir).where("op = 'merge'")
+      .select(element_at(col("metrics"), "files_scanned")).head()
+    assert(m.getLong(0) === 1L)
+    assert(TxLog.read(spark, dir).where("s LIKE 'u%'").count() === 3L)
+  }
+
+  test("graft.clusterBy validates: unknown columns and partitioned tables rejected") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.append(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    intercept[IllegalArgumentException](
+      TxLog.setProperties(dir, Map(TxLog.ClusterBy.Columns -> "nope")))
+    val pdir = tmp()
+    TxLog.appendPartitioned(spark, pdir,
+      Seq((1L, "a", "g0"), (2L, "b", "g1")).toDF("id", "s", "grp"), Seq("grp"))
+    intercept[IllegalArgumentException](
+      TxLog.setProperties(pdir, Map(TxLog.ClusterBy.Columns -> "id")))
+  }
+
   test("vacuum survives a retainVersions larger than the cleaned log") {
     import spark.implicits._
     val dir = tmp()
