@@ -449,6 +449,31 @@ object TxLog {
   private def ckptFile(dir: String, v: Long): Path =
     logDir(dir).resolve(f"$v%020d.ckpt.json")
 
+  /** One shard of a MULTI-PART checkpoint: JSONL, one AddFile per line
+    * — parseable incrementally on the driver (no table-sized JSON
+    * string) and readable DISTRIBUTED as a DataFrame
+    * ([[checkpointFilesDf]]) for jobs that only need the file listing
+    * (reconciliation, stats rollups) without driver materialization. */
+  private def ckptPartFile(dir: String, v: Long, i: Int, n: Int): Path =
+    logDir(dir).resolve(f"$v%020d.ckpt.part-$i%05d-of-$n%05d.jsonl")
+
+  /** `_last_checkpoint` pointer (Delta's exact mechanism): names the
+    * newest checkpoint so a reader starts its directory LIST at that
+    * version (object-store LIST supports startAfter) instead of paging
+    * a million-commit prefix, and skips scanning for checkpoint names
+    * entirely. Advisory: stale or missing pointers fall back to the
+    * listing — the pointer is a bound, never a correctness input. */
+  private def lastCkptFile(dir: String): Path =
+    logDir(dir).resolve("_last_checkpoint")
+
+  /** Files inlined in the manifest up to here; beyond it the checkpoint
+    * shards into parts of this size. At a million files that is ~250
+    * parts of bounded parse cost instead of one multi-GB JSON value.
+    * (var: the sharding spec lowers it to exercise the multi-part path
+    * without staging thousands of files — production code never writes
+    * it.) */
+  private[graft] var ckptPartMaxFiles = 4096
+
   private val commitName = """(\d{20})\.json""".r
   private val ckptName = """(\d{20})\.ckpt\.json""".r
 
@@ -563,9 +588,31 @@ object TxLog {
 
   // ---- snapshot reconstruction ------------------------------------------
 
+  /** Snapshot memoization: a committed version's reconstructed state is
+    * immutable (log entries never change once published), so repeated
+    * resolutions of the same (dir, version) — every read, write retry,
+    * and planning pass does one — serve from a small LRU instead of
+    * re-replaying JSON. Invalidated on [[dropTable]]/[[renameTable]]
+    * (the only operations after which the same path can mean a
+    * different table). Bounded: 64 entries. */
+  private val snapCacheMax = 64
+  private val snapCache =
+    new java.util.LinkedHashMap[(String, Long), Snapshot](snapCacheMax, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Snapshot]): Boolean =
+        size() > snapCacheMax
+    }
+  private[graft] def invalidateSnapshots(dir: String): Unit =
+    snapCache.synchronized {
+      val it = snapCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == dir) it.remove()
+    }
+
   /** Reconstruct the table state at `versionAsOf` (default: latest).
     * Replays from the newest checkpoint at or below the target — O(
-    * checkpointInterval) commit files regardless of table age. */
+    * checkpointInterval) commit files regardless of table age. The
+    * `_last_checkpoint` pointer picks the replay base without scanning
+    * the checkpoint listing; memoization serves repeat resolutions. */
   def snapshot(dir: String, versionAsOf: Option[Long] = None): Snapshot = {
     val (commits, ckpts) = listLog(dir)
     if (commits.isEmpty)
@@ -575,8 +622,15 @@ object TxLog {
     if (target < 0 || target > latest || !commits.contains(target))
       throw new VersionNotFoundException(
         s"version $target not in $dir (latest: $latest)")
+    snapCache.synchronized(Option(snapCache.get((dir, target)))) match {
+      case Some(hit) => return hit
+      case None =>
+    }
 
-    val fromCkpt = ckpts.filter(_ <= target).maxOption
+    // the pointer and the listing both nominate a replay base; take the
+    // newest — a stale pointer (cleanup race) only costs replay length
+    val fromCkpt = (readLastCheckpoint(dir).filter(_ <= target).toSeq ++
+      ckpts.filter(_ <= target)).maxOption
     var schemaDdl: Option[String] = None
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val txns = scala.collection.mutable.Map[String, Long]()
@@ -608,7 +662,24 @@ object TxLog {
       val j = parse(Files.readString(ckptFile(dir, cv)))
       checkProtocol(j)
       schemaDdl = Some(jStr(j \ "schema"))
-      parseAdds(j \ "files").foreach(a => live(a.path) = a)
+      val nParts = (j \ "parts") match {
+        case JInt(x) => x.toInt
+        case JLong(x) => x.toInt
+        case _ => 0
+      }
+      if (nParts == 0) parseAdds(j \ "files").foreach(a => live(a.path) = a)
+      else (0 until nParts).foreach { i =>
+        // JSONL parts stream line-by-line: parse cost stays bounded per
+        // AddFile instead of one table-sized JSON value in memory
+        val br = Files.newBufferedReader(ckptPartFile(dir, cv, i, nParts))
+        try {
+          var line = br.readLine()
+          while (line != null) {
+            if (line.nonEmpty) { val a = parseAdd(parse(line)); live(a.path) = a }
+            line = br.readLine()
+          }
+        } finally br.close()
+      }
       (j \ "txns") match {
         case JObject(fields) => fields.foreach { case (app, b) => txns(app) = jLong(b) }
         case _ =>
@@ -628,8 +699,10 @@ object TxLog {
       mergeTxn(j)
       mergeProps(j)
     }
-    Snapshot(target, schemaDdl.getOrElse(sys.error(s"$dir: no schema in log")),
+    val snap = Snapshot(target, schemaDdl.getOrElse(sys.error(s"$dir: no schema in log")),
       live.values.toSeq, txns.toMap, props.toMap, tableProtocol)
+    snapCache.synchronized(snapCache.put((dir, target), snap))
+    snap
   }
 
   // ---- commit protocol ---------------------------------------------------
@@ -666,13 +739,63 @@ object TxLog {
     // the TABLE's protocol, not this writer's capability — a
     // checkpoint must never lock protocol-1 readers out of a table
     // that uses no protocol-2 feature
-    val j: JObject = ("version" -> v) ~ ("protocol" -> snap.protocol) ~
-      ("schema" -> snap.schemaDdl) ~
-      ("files" -> snap.files.map(addJson)) ~ ("txns" -> snap.txns) ~
+    val base: JObject = ("version" -> v) ~ ("protocol" -> snap.protocol) ~
+      ("schema" -> snap.schemaDdl) ~ ("txns" -> snap.txns) ~
       ("props" -> snap.props)
-    // deterministic content per version → the overwrite-tolerant
-    // store op is safe under concurrent duplicate writes
+    // Small tables inline the file list in the manifest (one read);
+    // past ckptPartMaxFiles the list shards into JSONL parts written
+    // BEFORE the manifest that names them — a reader that can see the
+    // manifest can always read its parts. Deterministic content per
+    // version (snapshot replay order is log order) → the
+    // overwrite-tolerant store op is safe under concurrent duplicates.
+    val nParts =
+      if (snap.files.size <= ckptPartMaxFiles) 0
+      else ((snap.files.size + ckptPartMaxFiles - 1) / ckptPartMaxFiles)
+    val j: JObject =
+      if (nParts == 0) base ~ ("files" -> snap.files.map(addJson))
+      else {
+        snap.files.grouped(ckptPartMaxFiles).zipWithIndex.foreach { case (part, i) =>
+          val lines = part.map(a => compact(render(addJson(a)))).mkString("", "\n", "\n")
+          logStore.putOverwrite(ckptPartFile(dir, v, i, nParts), LogStore.bytes(lines))
+        }
+        base ~ ("parts" -> nParts)
+      }
     logStore.putOverwrite(ckptFile(dir, v), LogStore.bytes(compact(render(j))))
+    // pointer last: it only ever names a fully-published checkpoint
+    val ptr: JObject = ("version" -> v) ~ ("parts" -> nParts)
+    logStore.putOverwrite(lastCkptFile(dir), LogStore.bytes(compact(render(ptr))))
+  }
+
+  /** The `_last_checkpoint` pointer's version, when it names a
+    * checkpoint that still exists (cleanup races / manual copies can
+    * strand a stale pointer — callers fall back to the listing). */
+  private def readLastCheckpoint(dir: String): Option[Long] =
+    try {
+      val p = lastCkptFile(dir)
+      if (!Files.exists(p)) None
+      else Some(jLong(parse(Files.readString(p)) \ "version"))
+        .filter(v => Files.exists(ckptFile(dir, v)))
+    } catch { case _: Exception => None }
+
+  /** A checkpoint's FILE LIST as a DataFrame — the distributed read
+    * path for jobs that want the listing (reconciliation, file-level
+    * stats rollups) without materializing it on the driver. Only
+    * multi-part checkpoints have one; inline checkpoints are small by
+    * construction and read via [[snapshot]]. Columns: path, rows,
+    * bytes (stats/pv stay JSON — schema-stable across tables). */
+  def checkpointFilesDf(spark: SparkSession, dir: String,
+      version: Long): Option[DataFrame] = {
+    val j = parse(Files.readString(ckptFile(dir, version)))
+    val n = (j \ "parts") match {
+      case JInt(x) => x.toInt
+      case JLong(x) => x.toInt
+      case _ => 0
+    }
+    if (n == 0) None
+    else Some(spark.read
+      .schema("path STRING, rows BIGINT, bytes BIGINT")
+      .json((0 until n).map(i =>
+        ckptPartFile(dir, version, i, n).toString): _*))
   }
 
   /** LOG RETENTION (Delta's `delta.logRetentionDuration` surface, by
@@ -715,6 +838,14 @@ object TxLog {
       if (Files.deleteIfExists(versionFile(dir, v))) n += 1
     }
     dropCkpts.sorted.foreach { v =>
+      // a multi-part checkpoint's shards go with its manifest
+      val prefix = f"$v%020d.ckpt.part-"
+      val ld = logDir(dir)
+      val s = Files.list(ld)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(prefix))
+        .foreach(p => Files.deleteIfExists(p): Unit)
+      finally s.close()
       if (Files.deleteIfExists(ckptFile(dir, v))) n += 1
     }
     n
@@ -2170,6 +2301,7 @@ object TxLog {
     try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(f => Files.deleteIfExists(f): Unit)
     finally walk.close()
+    invalidateSnapshots(dir) // the path may be re-created as a new table
     true
   }
 
@@ -2277,6 +2409,7 @@ object TxLog {
     Files.createDirectories(Paths.get(toDir).getParent)
     Files.move(Paths.get(fromDir), Paths.get(toDir),
       StandardCopyOption.ATOMIC_MOVE): Unit
+    invalidateSnapshots(fromDir) // the old path may be reused
   }
 
   /** ALTER TABLE ADD COLUMNS: a schema-only widening commit — existing

@@ -731,11 +731,16 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     // (3, since deletion vectors): it must refuse, not misread
     Files.writeString(v0,
       Files.readString(v0).replace("\"protocol\":1", "\"protocol\":4"))
+    // rewriting a committed file in place simulates a DIFFERENT table's
+    // log — production commits are immutable, so the snapshot memo must
+    // be dropped by hand for the fixture hack to be visible
+    TxLog.invalidateSnapshots(dir)
     val e = intercept[TxLog.UnsupportedProtocolException](TxLog.snapshot(dir))
     assert(e.getMessage.contains("protocol 4"))
     // pre-versioning logs (no protocol field) stay readable
     Files.writeString(v0,
       Files.readString(v0).replace(",\"protocol\":4", ""))
+    TxLog.invalidateSnapshots(dir)
     assert(TxLog.snapshot(dir).rows === 3L)
   }
 
