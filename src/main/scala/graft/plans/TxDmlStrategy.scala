@@ -27,17 +27,22 @@ import graft.sources.{TxLog, TxTable}
   * scan itself), so anything the Scala API accepts works here:
   * arithmetic, CASE, reads of other columns' pre-update values.
   *
-  * `MERGE INTO <t> USING <src> ON t.k = s.k` supports the two shapes
-  * the engine's merge machinery implements, mapped structurally:
+  * `MERGE INTO <t> USING <src> ON t.k = s.k` maps structurally onto
+  * the engine's merge machinery:
   *  - `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
   *    (the upsert) → [[TxLog.merge]] with the resolved source plan
   *    handed through as a DataFrame — single evaluation, duplicate/NULL
   *    key validation, constraint checks all shared;
   *  - `WHEN MATCHED THEN DELETE` (no other actions) → [[TxLog
-  *    .deleteKeys]] — the SQL spelling of bulk erasure.
-  * Conditional actions, partial-column updates, and multi-action
-  * merges are refused LOUDLY with the supported shapes in the message
-  * (approximating them silently is the failure mode). */
+  *    .deleteKeys]] — the SQL spelling of bulk erasure;
+  *  - everything else in the standard clause surface — `WHEN MATCHED
+  *    [AND c] THEN UPDATE SET …/DELETE`, `WHEN NOT MATCHED [AND c]
+  *    THEN INSERT`, partial SET lists, multiple clauses — re-renders
+  *    each condition/expression with its side qualified (`s.`/`t.`)
+  *    and routes through [[TxLog.mergeClauses]]
+  *    (first-firing-clause-in-order semantics, Delta's rule).
+  * `WHEN NOT MATCHED BY SOURCE` is refused LOUDLY (approximating it
+  * silently is the failure mode). */
 object TxDmlStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -79,11 +84,38 @@ object TxDmlStrategy extends SparkStrategy {
             TxDmlExec(s"MERGE DELETE ${t.txDir}", () =>
               TxLog.deleteKeys(spark, t.txDir,
                 source.select(keyCol), keyCol)) :: Nil
+          // the general clause surface: WHEN MATCHED [AND c] THEN
+          // UPDATE SET …/DELETE, WHEN NOT MATCHED [AND c] THEN INSERT —
+          // conditions and assignment values re-render with their side
+          // qualified (s./t.) and route through TxLog.mergeClauses,
+          // which applies first-firing-clause-in-order semantics
+          case (matchedActs, notMatchedActs, Seq()) =>
+            val clauses: Seq[TxLog.MergeClause] = matchedActs.map {
+              case u: UpdateAction =>
+                TxLog.WhenMatchedUpdate(u.condition.map(renderSided(_, srcOut)),
+                  u.assignments.map(a => (a.key match {
+                    case ar: AttributeReference => ar.name
+                    case other => refuse(s"UPDATE of a non-column target $other")
+                  }) -> renderSided(a.value, srcOut)).toMap)
+              case d: DeleteAction =>
+                TxLog.WhenMatchedDelete(d.condition.map(renderSided(_, srcOut)))
+              case other => refuse(s"matched action $other")
+            } ++ notMatchedActs.map {
+              case ins: InsertAction =>
+                TxLog.WhenNotMatchedInsert(ins.condition.map(renderSided(_, srcOut)),
+                  ins.assignments.map(a => (a.key match {
+                    case ar: AttributeReference => ar.name
+                    case other => refuse(s"INSERT into a non-column target $other")
+                  }) -> renderSided(a.value, srcOut)).toMap)
+              case other => refuse(s"not-matched action $other")
+            }
+            TxDmlExec(s"MERGE CLAUSES ${t.txDir}", () =>
+              TxLog.mergeClauses(spark, t.txDir, source, keyCol, clauses)) :: Nil
           case _ =>
-            refuse("this MERGE shape; supported: " +
-              "[WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *] " +
-              "(upsert) and [WHEN MATCHED THEN DELETE] (erasure) — " +
-              "conditional/partial/multi-action merges need the Scala API")
+            refuse("this MERGE shape; supported: upsert (UPDATE SET * / " +
+              "INSERT *), erasure (WHEN MATCHED THEN DELETE), and " +
+              "conditional matched/not-matched clause lists — " +
+              "WHEN NOT MATCHED BY SOURCE is not supported")
         }
       }.getOrElse(Nil)
 
@@ -120,6 +152,17 @@ object TxDmlStrategy extends SparkStrategy {
   private def render(e: Expression): String =
     e.transform {
       case ar: AttributeReference => UnresolvedAttribute(Seq(ar.name))
+    }.sql
+
+  /** Like [[render]], but each attribute keeps its SIDE as a one-letter
+    * qualifier: source attributes become `s.<name>`, target attributes
+    * `t.<name>` — the namespace [[TxLog.mergeClauses]] evaluates clause
+    * conditions and expressions in. */
+  private def renderSided(e: Expression,
+      sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet): String =
+    e.transform {
+      case ar: AttributeReference =>
+        UnresolvedAttribute(Seq(if (sourceOut.contains(ar)) "s" else "t", ar.name))
     }.sql
 
   /** `ON t.k = s.k` with the same column name on both sides — the shape

@@ -1425,6 +1425,135 @@ object TxQueries2 {
                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
                      CAST(4 AS BIGINT) AS scan_before,
                      CAST(1 AS BIGINT) AS scan_after
-              FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+              FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- conditional multi-clause MERGE (CDC replay) -----------------------
+    // A debezium-shaped op-column feed replayed in ONE conditional MERGE:
+    // tombstones delete, the rest of the matched keys update, guarded
+    // inserts add negated keys (provably absent), and tombstones for
+    // absent keys no-op. The DuckDB oracle replays the same feed
+    // relationally; the commit's operation metrics — including the
+    // 1-of-4 bounded touch discovery (source key range [-64, 64] hits
+    // only the first band) — are pinned into the hash.
+    QuerySpec("q182_merge_cdc", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q182").toString + "/t"
+      val ord = Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
+      TxLog.append(s, root, ord.where("o_orderkey <= 100").coalesce(1))
+      TxLog.append(s, root,
+        ord.where("o_orderkey > 100 AND o_orderkey <= 1000").coalesce(1))
+      TxLog.append(s, root,
+        ord.where("o_orderkey > 1000 AND o_orderkey <= 5000").coalesce(1))
+      TxLog.append(s, root, ord.where("o_orderkey > 5000").coalesce(1))
+      // keys start at 0 in the testdata; 0 negates to itself, so the
+      // insert band starts at 1 to keep source keys distinct
+      val base = ord.where("o_orderkey >= 1 AND o_orderkey <= 64")
+      val feed = base
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("op", when(col("o_orderkey") % 5 === 0, lit("d"))
+          .otherwise(lit("u")))
+        .unionAll(base
+          .withColumn("o_orderkey", -col("o_orderkey"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1)
+          .withColumn("op", when(-col("o_orderkey") <= 32, lit("c"))
+            .otherwise(lit("d"))))
+      TxLog.mergeClauses(s, root, feed, "o_orderkey", Seq(
+        TxLog.WhenMatchedDelete(Some("s.op = 'd'")),
+        TxLog.WhenMatchedUpdate(None,
+          Map("o_totalprice" -> "s.o_totalprice")),
+        TxLog.WhenNotMatchedInsert(Some("s.op <> 'd'"))))
+      val m = TxLog.history(s, root).where("op = 'merge'")
+        .select(element_at(col("metrics"), "rows_updated").as("n_upd"),
+          element_at(col("metrics"), "rows_deleted").as("n_del"),
+          element_at(col("metrics"), "rows_inserted").as("n_ins"),
+          element_at(col("metrics"), "files_scanned").as("files_scanned"))
+      TxLog.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price"))
+        .crossJoin(m)
+        .orderBy("o_orderstatus")
+    },
+      Some("""WITH feed AS (
+                SELECT o_orderkey AS id, o_orderstatus,
+                       o_totalprice * 2 AS o_totalprice,
+                       CASE WHEN o_orderkey % 5 = 0 THEN 'd' ELSE 'u' END AS op
+                FROM orders WHERE o_orderkey BETWEEN 1 AND 64
+                UNION ALL
+                SELECT -o_orderkey, o_orderstatus, o_totalprice + 1,
+                       CASE WHEN o_orderkey <= 32 THEN 'c' ELSE 'd' END
+                FROM orders WHERE o_orderkey BETWEEN 1 AND 64),
+              merged AS (
+                SELECT o.o_orderstatus,
+                       CASE WHEN f.op = 'u' THEN f.o_totalprice
+                            ELSE o.o_totalprice END AS o_totalprice
+                FROM orders o LEFT JOIN feed f ON o.o_orderkey = f.id
+                WHERE f.id IS NULL OR f.op <> 'd'
+                UNION ALL
+                SELECT f.o_orderstatus, f.o_totalprice
+                FROM feed f LEFT JOIN orders o ON o.o_orderkey = f.id
+                WHERE o.o_orderkey IS NULL AND f.op <> 'd')
+              SELECT o_orderstatus, count(*) AS n_rows,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     (SELECT count(*) FROM orders
+                      WHERE o_orderkey BETWEEN 1 AND 64 AND o_orderkey % 5 <> 0) AS n_upd,
+                     (SELECT count(*) FROM orders
+                      WHERE o_orderkey BETWEEN 1 AND 64 AND o_orderkey % 5 = 0) AS n_del,
+                     (SELECT count(*) FROM orders
+                      WHERE o_orderkey BETWEEN 1 AND 32) AS n_ins,
+                     CAST(1 AS BIGINT) AS files_scanned
+              FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- metadata-only type widening ---------------------------------------
+    // Narrow files (int key, float qty, decimal(12,2) price) widened by
+    // three ALTER COLUMN TYPE commits — no rewrite — then a WIDE append
+    // whose keys exceed int range. The aggregate reads BOTH file
+    // generations through the widened schema: the narrow pages promote
+    // in the scan (SPARK-40876), and sum(k) overflows 32 bits iff the
+    // promotion actually served longs. The oracle replays the widen as
+    // explicit casts.
+    QuerySpec("q183_type_widening", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q183").toString + "/t"
+      val li = Td.load(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("int").as("k"),
+          col("l_quantity").cast("float").as("qty"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price"),
+          col("l_returnflag")).localCheckpoint(true)
+      TxLog.append(s, root, li)
+      TxLog.alterColumnType(root, "k", LongType)
+      TxLog.alterColumnType(root, "qty", DoubleType)
+      TxLog.alterColumnType(root, "price", DecimalType(18, 2))
+      TxLog.append(s, root, li.select(
+        (col("k").cast("long") + 3000000000L).as("k"),
+        col("qty").cast("double").as("qty"),
+        col("price").cast("decimal(18,2)").as("price"),
+        col("l_returnflag")))
+      graft.operators.CheckpointBlocks.release(li)
+      TxLog.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).as("sum_k"),
+          dsum(col("qty")).as("sum_qty"),
+          sum(col("price")).cast(DoubleType).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+      Some("""WITH narrow AS (
+                SELECT CAST(l_orderkey AS INTEGER) AS k,
+                       CAST(l_quantity AS REAL) AS qty,
+                       CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                       l_returnflag
+                FROM lineitem),
+              allr AS (
+                SELECT CAST(k AS BIGINT) AS k, CAST(qty AS DOUBLE) AS qty,
+                       CAST(price AS DECIMAL(18,2)) AS price, l_returnflag
+                FROM narrow
+                UNION ALL
+                SELECT CAST(k AS BIGINT) + 3000000000, CAST(qty AS DOUBLE),
+                       CAST(price AS DECIMAL(18,2)), l_returnflag
+                FROM narrow)
+              SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(k) AS BIGINT) AS sum_k,
+                     CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                     CAST(sum(price) AS DOUBLE) AS sum_price
+              FROM allr GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

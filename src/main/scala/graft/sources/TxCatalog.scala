@@ -320,10 +320,17 @@ class TxCatalog extends TableCatalog
         s"$catalogName: nested column drops are not supported")
       d.fieldNames.head
     }
+    // ALTER COLUMN TYPE routes onto the metadata-only widening commit;
+    // TxLog.alterColumnType refuses narrowing/lossy retypes loudly
+    val retypes = changes.collect { case u: TableChange.UpdateColumnType =>
+      require(u.fieldNames.length == 1,
+        s"$catalogName: nested column retypes are not supported")
+      u.fieldNames.head -> u.newDataType
+    }
     val unsupported = changes.filterNot {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
            _: TableChange.AddColumn | _: TableChange.RenameColumn |
-           _: TableChange.DeleteColumn => true
+           _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType => true
       case _ => false
     }
     require(unsupported.isEmpty,
@@ -332,6 +339,7 @@ class TxCatalog extends TableCatalog
     if (addCols.nonEmpty) TxLog.addColumns(dir, addCols.toSeq): Unit
     renames.foreach { case (from, to) => TxLog.renameColumn(dir, from, to): Unit }
     drops.foreach(c => TxLog.dropColumn(dir, c): Unit)
+    retypes.foreach { case (c, t) => TxLog.alterColumnType(dir, c, t): Unit }
     loadTable(ident)
   }
 

@@ -430,8 +430,16 @@ object TxLog {
     * Protocol 3 = deletion vectors ([[DeletionVectors]]): stamped only
     * by the first merge-on-read DML commit — a protocol-≤2 reader would
     * scan a DV-bearing file whole and serve DELETED ROWS back, exactly
-    * the misread this field exists to refuse. */
-  val protocolVersion = 3L
+    * the misread this field exists to refuse.
+    *
+    * Protocol 4 = type widening ([[alterColumnType]]): stamped only by
+    * the first widening commit — files written BEFORE it hold narrower
+    * physical types than the schema declares, and a reader whose
+    * parquet scan cannot promote (int32 page → long column, float →
+    * double, decimal precision) must refuse rather than fail obscurely
+    * mid-scan (Delta gates the same way with its typeWidening reader
+    * feature). */
+  val protocolVersion = 4L
 
   /** What a NEW table's commit 0 records: the lowest protocol whose
     * features the table actually uses. */
@@ -2262,6 +2270,271 @@ object TxLog {
     }
   }
 
+  // ---- conditional multi-clause MERGE -------------------------------------
+
+  /** One WHEN clause of a conditional [[mergeClauses]] merge. Conditions
+    * and expressions are SQL text over two row namespaces: `t.<col>`
+    * (the target row's pre-image) and `s.<col>` (the source row) —
+    * unqualified names resolve when unambiguous, exactly like the SQL
+    * MERGE aliases they mirror. */
+  sealed trait MergeClause extends Product with Serializable {
+    def condition: Option[String]
+  }
+
+  /** `WHEN MATCHED [AND condition] THEN UPDATE SET col -> expr, …`.
+    * Unmentioned table columns keep their pre-image; an empty `set` is
+    * `UPDATE SET *` (every table column from its like-named source
+    * column). */
+  final case class WhenMatchedUpdate(condition: Option[String] = None,
+      set: Map[String, String] = Map.empty) extends MergeClause
+
+  /** `WHEN MATCHED [AND condition] THEN DELETE`. */
+  final case class WhenMatchedDelete(
+      condition: Option[String] = None) extends MergeClause
+
+  /** `WHEN NOT MATCHED [AND condition] THEN INSERT …`. Conditions and
+    * values see only `s.<col>`; an empty `values` is `INSERT *`. */
+  final case class WhenNotMatchedInsert(condition: Option[String] = None,
+      values: Map[String, String] = Map.empty) extends MergeClause
+
+  /** CONDITIONAL MERGE (Delta's full `MERGE INTO` clause surface):
+    * clauses apply IN ORDER — for each matched target row the first
+    * matched clause whose condition holds fires (update or delete;
+    * none firing keeps the row), and each unmatched source row inserts
+    * through the first not-matched clause whose condition holds (none
+    * firing drops it). This is the debezium-shaped CDC primitive:
+    * `WHEN MATCHED AND s.op = 'd' THEN DELETE / WHEN MATCHED THEN
+    * UPDATE SET * / WHEN NOT MATCHED AND s.op <> 'd' THEN INSERT *`
+    * replays an op-column feed in one commit.
+    *
+    * The source may carry EXTRA columns (op flags, timestamps) — they
+    * drive conditions and expressions but never land in the table.
+    * Same scale shape as [[merge]]: the source is staged once (single
+    * evaluation), touch discovery is bounded by the staged key stats
+    * (min/max + small-batch IN-list through [[pruneByFilters]]), only
+    * touched files are rewritten — unchanged remainder re-added with
+    * dataChange=false, post-images and inserts as new data. Duplicate
+    * and NULL source keys are rejected; [[commitDmlRebase]] conflict
+    * semantics (a concurrent commit inserting a source key aborts).
+    * Schema evolution and `notMatchedBySource` clauses are out of
+    * scope. Returns the committed version. */
+  def mergeClauses(spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String, clauses: Seq[MergeClause]): Long = {
+    require(clauses.nonEmpty, "mergeClauses: at least one WHEN clause")
+    val matched = clauses.collect {
+      case c: WhenMatchedUpdate => c
+      case c: WhenMatchedDelete => c
+    }
+    val inserts = clauses.collect { case c: WhenNotMatchedInsert => c }
+    val readVersion = latestVersion(dir)
+    require(readVersion >= 0, s"mergeClauses: $dir has no committed versions")
+    val snap = snapshot(dir, Some(readVersion))
+    val table = snap.schema
+    require(table.fieldNames.contains(keyCol),
+      s"mergeClauses: key column $keyCol not in the table schema")
+    require(source.columns.contains(keyCol),
+      s"mergeClauses: key column $keyCol not in the source")
+    require(!source.columns.exists(c => c == "__act" || c == "__p"),
+      "mergeClauses: source columns __act/__p are reserved")
+    val starNeedsAll =
+      matched.exists { case u: WhenMatchedUpdate => u.set.isEmpty; case _ => false } ||
+        inserts.exists(_.values.isEmpty)
+    if (starNeedsAll) table.fieldNames.foreach(c =>
+      require(source.columns.contains(c),
+        s"mergeClauses: a star clause needs source column $c"))
+    (matched.collect { case u: WhenMatchedUpdate => u.set.keys }.flatten ++
+      inserts.flatMap(_.values.keys)).foreach(c =>
+      require(table.fieldNames.contains(c),
+        s"mergeClauses: SET/INSERT column $c not in the table schema"))
+
+    // scratch-stage the source under its OWN schema: the plan evaluates
+    // exactly once, its key stats bound discovery, and it never becomes
+    // a table add (extra columns must not land)
+    val (scratchSub, scratchAdds) = stage(spark, dir, source)
+    var published = false
+    val cleanup = scala.collection.mutable.ListBuffer[String]()
+    try {
+      val staged = spark.read.schema(source.schema)
+        .parquet(Paths.get(dir, scratchSub).toString)
+      val keyStats = staged.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col(keyCol)).as("d"),
+        sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("nulls")).head()
+      require(keyStats.getLong(2) == 0, s"mergeClauses: NULL $keyCol in source")
+      require(keyStats.getLong(0) == keyStats.getLong(1),
+        s"mergeClauses: duplicate $keyCol values in source — each key " +
+          "must match at most once")
+      val keys = staged.select(col(keyCol)).distinct()
+
+      // candidate files bounded by the staged source's key stats —
+      // the same discovery bound the plain merge rides
+      val candidates: Seq[AddFile] =
+        if (snap.files.isEmpty) Nil
+        else {
+          import org.apache.spark.sql.{sources => s1}
+          val rangeFilters = addsKeyBounds(scratchAdds, keyCol).map {
+            case (lo, hi) => Seq(s1.GreaterThanOrEqual(keyCol, lo),
+              s1.LessThanOrEqual(keyCol, hi))
+          }.getOrElse(Nil)
+          val inFilter =
+            if (keyStats.getLong(1) > mergeInListMax) Nil
+            else {
+              val vs = staged.select(col(keyCol).cast(StringType))
+                .distinct().collect().flatMap(r => Option(r.getString(0)))
+              if (vs.length == keyStats.getLong(1))
+                Seq(s1.In(keyCol, vs.toArray[Any]))
+              else Nil
+            }
+          val filters = rangeFilters ++ inFilter
+          if (filters.isEmpty) snap.files else pruneByFilters(snap, filters)
+        }
+
+      def condOrTrue(c: Option[String]): String = c.getOrElse("TRUE")
+      // which matched rows FIRE a clause — only their files rewrite
+      val trigger = matched.map(c => expr(condOrTrue(c.condition)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val touchedPaths: Set[String] =
+        if (candidates.isEmpty || matched.isEmpty) Set.empty
+        else scanFiles(spark, dir, snap, candidates, tagPath = Some("__p"))
+          .alias("t")
+          .join(staged.alias("s"), col(s"t.$keyCol") === col(s"s.$keyCol"))
+          .where(trigger)
+          .select("__p").distinct().collect().map(_.getString(0)).toSet
+      val touched = candidates.filter(f =>
+        touchedPaths.exists(_.endsWith(f.path)))
+
+      // rewrite the touched files: first-firing clause per row, in
+      // declaration order; rows firing nothing (or unmatched) keep
+      val deleteIdx = matched.zipWithIndex.collect {
+        case (_: WhenMatchedDelete, i) => i
+      }
+      val updateClauses = matched.zipWithIndex.collect {
+        case (u: WhenMatchedUpdate, i) => (u, i)
+      }
+      // change feed: with CDF enabled the commit's change files are its
+      // COMPLETE change set (readChangeFeed then synthesizes nothing) —
+      // update pre/post images, delete rows, and insert rows all land
+      val cdfFrames = scala.collection.mutable.ListBuffer[DataFrame]()
+      val (keepAdds, postAdds) =
+        if (touched.isEmpty) (Nil, Nil)
+        else {
+          val j = scanFiles(spark, dir, snap, touched).alias("t")
+            .join(staged.alias("s"),
+              col(s"t.$keyCol") === col(s"s.$keyCol"), "left_outer")
+          val act = matched.zipWithIndex.foldLeft(
+            when(col(s"s.$keyCol").isNull, lit(-1))) { case (w, (c, i)) =>
+            w.when(expr(condOrTrue(c.condition)), lit(i))
+          }.otherwise(lit(-1))
+          val withAct = j.withColumn("__act", act)
+          def project(d: DataFrame): DataFrame =
+            d.select(table.fields.toSeq.map { f =>
+              updateClauses.foldLeft(col(s"t.${f.name}")) { case (c, (u, i)) =>
+                val e =
+                  if (u.set.isEmpty) col(s"s.${f.name}")
+                  else u.set.get(f.name).map(expr).getOrElse(col(s"t.${f.name}"))
+                when(col("__act") === i, e).otherwise(c)
+              }.cast(f.dataType).as(f.name)
+            }: _*)
+          val keepRows = project(withAct.where(col("__act") === -1))
+          val postRows = project(withAct.where(col("__act") =!= -1 &&
+            (if (deleteIdx.isEmpty) lit(true)
+             else !col("__act").isin(deleteIdx.map(Int.box): _*))))
+          requireDeterministic(postRows, "merge clause")
+          requireConstraints(Some(snap), postRows)
+          if (cdfEnabled(snap)) {
+            def preImage(d: DataFrame): DataFrame =
+              d.select(table.fields.toSeq.map(f =>
+                col(s"t.${f.name}").as(f.name)): _*)
+            val updFires = col("__act") =!= -1 &&
+              (if (deleteIdx.isEmpty) lit(true)
+               else !col("__act").isin(deleteIdx.map(Int.box): _*))
+            cdfFrames += toPhysical(preImage(withAct.where(updFires)), snap)
+              .withColumn(ChangeTypeCol, lit("update_preimage"))
+            cdfFrames += toPhysical(postRows, snap)
+              .withColumn(ChangeTypeCol, lit("update_postimage"))
+            if (deleteIdx.nonEmpty)
+              cdfFrames += toPhysical(preImage(withAct.where(
+                col("__act").isin(deleteIdx.map(Int.box): _*))), snap)
+                .withColumn(ChangeTypeCol, lit("delete"))
+          }
+          val (kSub, kAdds) = stageForTable(spark, dir, snap, keepRows)
+          cleanup += kSub
+          val (pSub, pAdds) = stageForTable(spark, dir, snap, postRows)
+          cleanup += pSub
+          (kAdds.map(_.copy(dataChange = false)), pAdds)
+        }
+
+      // inserts: unmatched source rows through the first firing
+      // not-matched clause (anti-join against candidate keys is
+      // complete — non-candidates provably hold no source key)
+      val insertAdds =
+        if (inserts.isEmpty) Nil
+        else {
+          val tKeys =
+            if (candidates.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType(table.fields.filter(_.name == keyCol)))
+            else scanFiles(spark, dir, snap, candidates).select(keyCol)
+          val un = staged.join(tKeys, Seq(keyCol), "left_anti").alias("s")
+          val insAct = inserts.zipWithIndex.foldLeft(
+            when(lit(false), lit(-1))) { case (w, (c, i)) =>
+            w.when(expr(condOrTrue(c.condition)), lit(i))
+          }.otherwise(lit(-1))
+          val withAct = un.withColumn("__act", insAct)
+            .where(col("__act") =!= -1)
+          val rows = withAct.select(table.fields.toSeq.map { f =>
+            inserts.zipWithIndex.foldLeft(lit(null).cast(f.dataType)) {
+              case (c, (ins, i)) =>
+                val e =
+                  if (ins.values.isEmpty) col(s"s.${f.name}")
+                  else ins.values.get(f.name).map(expr)
+                    .getOrElse(lit(null))
+                when(col("__act") === i, e).otherwise(c)
+            }.cast(f.dataType).as(f.name)
+          }: _*)
+          requireDeterministic(rows, "insert clause")
+          requireConstraints(Some(snap), rows)
+          if (cdfEnabled(snap))
+            cdfFrames += toPhysical(rows, snap)
+              .withColumn(ChangeTypeCol, lit("insert"))
+          val (iSub, iAdds) = stageForTable(spark, dir, snap, rows)
+          cleanup += iSub
+          iAdds
+        }
+
+      val cdfAdds =
+        if (cdfFrames.isEmpty) Nil
+        else {
+          val (cSub, cAdds) = stage(spark, dir,
+            cdfFrames.reduce(_.unionAll(_)))
+          cleanup += cSub
+          cAdds
+        }
+
+      val v = commitDmlRebase(spark, dir, "merge", snap, touched,
+        touched.map(_.path), keepAdds ++ postAdds ++ insertAdds, cdfAdds,
+        None, None, Some((keys, keyCol)),
+        metrics = Map(
+          "rows_matched" -> (touched.map(_.rows).sum - keepAdds.map(_.rows).sum),
+          "rows_updated" -> postAdds.map(_.rows).sum,
+          "rows_deleted" -> (touched.map(_.rows).sum -
+            keepAdds.map(_.rows).sum - postAdds.map(_.rows).sum),
+          "rows_inserted" -> insertAdds.map(_.rows).sum,
+          "files_live" -> snap.files.size.toLong,
+          "files_scanned" -> candidates.size.toLong,
+          "files_touched" -> touched.size.toLong))
+      published = true
+      v
+    } catch { case e: Throwable =>
+      if (!published) cleanup.foreach(deleteStaged(dir, _))
+      throw e
+    } finally {
+      // the scratch source staging is never referenced by any commit
+      deleteStaged(dir, scratchSub)
+    }
+  }
+
   // ---- DDL (catalog-facing) ---------------------------------------------
 
   /** CREATE TABLE: publish version 0 with the schema and no data — the
@@ -2528,6 +2801,71 @@ object TxLog {
     }
     throw new ConcurrentWriteException(
       s"dropColumn on $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
+  /** The widening type promotions [[alterColumnType]] accepts: every
+    * value of `from` is exactly representable in `to`, AND Spark's
+    * vectorized parquet reader reads a file written under `from`
+    * directly through a `to` read schema (the SPARK-40876 promotions,
+    * public since Spark 4.0) — which is what makes the commit
+    * METADATA-ONLY. Long→double is refused (loses precision above
+    * 2^53); decimal widening requires the same scale (a scale change
+    * would rescale stored unscaled values — a rewrite, not a
+    * promotion). */
+  private[sources] def isWideningPromotion(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+
+  /** ALTER TABLE ALTER COLUMN c TYPE t — METADATA-ONLY type WIDENING:
+    * the schema DDL changes; existing files keep their narrower
+    * physical pages and every scan reads them through the widened
+    * column (parquet type promotion — no rewrite, no second copy of
+    * the data). Only the [[isWideningPromotion]] set is accepted;
+    * narrowing or any lossy retype is refused LOUDLY (Delta's rule —
+    * approximating a retype silently is the failure mode). The commit
+    * stamps protocol 4: a pre-widening reader would fail obscurely
+    * mid-scan on the narrow pages. Old snapshots time-travel under
+    * their own recorded schema. Per-file stats written under the old
+    * type stay valid — numeric stats compare typed (decimal-canon), so
+    * pruning against post-widening predicates never mis-prunes.
+    * Returns the committed version (the current one if `to` already
+    * holds). */
+  def alterColumnType(dir: String, name: String, to: DataType): Long = {
+    var tries = 0
+    while (tries < maxCommitAttempts) {
+      val head = snapshot(dir)
+      val idx = head.schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0,
+        s"alterColumnType: no column $name in ${head.schema.fieldNames.mkString(",")}")
+      val from = head.schema.fields(idx).dataType
+      if (from == to) return head.version // idempotent no-op
+      require(isWideningPromotion(from, to),
+        s"alterColumnType: $from -> $to is not a widening promotion; " +
+          "supported: byte/short/int up the integral chain, " +
+          "byte/short/int -> double, float -> double, and decimal " +
+          "precision increase at the same scale. Narrowing or lossy " +
+          "retypes need an explicit rewrite (SELECT ... CAST)")
+      val widened = StructType(head.schema.fields.zipWithIndex.map {
+        case (f, i) => if (i == idx) f.copy(dataType = to) else f
+      })
+      val attempt = head.version + 1
+      val content = commitJson(attempt, "alterColumnType", System.currentTimeMillis(),
+        Nil, Nil, Some(widened.toDDL), None, None, Some(4L))
+      if (tryPublish(dir, attempt, content)) {
+        maybeCheckpoint(dir, attempt)
+        return attempt
+      }
+      tries += 1
+    }
+    throw new ConcurrentWriteException(
+      s"alterColumnType on $dir lost $maxCommitAttempts consecutive commit races")
   }
 
   /** Mapped names ride property values and the comma-separated dropped
@@ -3398,6 +3736,16 @@ object TxLog {
           s"$dir version $v is a $op commit without change files — " +
             s"enable ${Cdf.Enabled} before running DML to make its " +
             "changes streamable; this range cannot serve a complete feed")
+      } else if (op == "merge" && ((j \ "metrics" \ "rows_deleted") match {
+        case JNothing => false
+        case n => jLong(n) > 0
+      })) {
+        // a clause merge that DELETED rows: its adds alone cannot carry
+        // the deletions — same loud refusal as a plain DELETE
+        throw new IllegalStateException(
+          s"$dir version $v is a merge commit that deleted rows, without " +
+            s"change files — enable ${Cdf.Enabled} before running " +
+            "conditional merges to make its changes streamable")
       } else if (op == "optimize" || adds.isEmpty) None
       else Some(scanFiles(spark, dir, latest, adds)
         .withColumn(ChangeTypeCol, lit("insert"))

@@ -128,6 +128,9 @@ class TxLogStreamProvider extends StreamSourceProvider with StreamSinkProvider
     require(!(parameters.contains("maxFilesPerTrigger") && cdfMode(parameters)),
       "txlog source: maxFilesPerTrigger splits data-file batches and does " +
         "not compose with readChangeFeed (change batches are per-commit)")
+    require(!(parameters.contains("maxBytesPerTrigger") && cdfMode(parameters)),
+      "txlog source: maxBytesPerTrigger splits data-file batches and does " +
+        "not compose with readChangeFeed (change batches are per-commit)")
     require(!(parameters.contains("partitionFilter") && cdfMode(parameters)),
       "txlog source: partitionFilter does not compose with readChangeFeed")
     // "col=val,col2=val2" — exact pv match per column (stats-canon strings)
@@ -144,7 +147,8 @@ class TxLogStreamProvider extends StreamSourceProvider with StreamSinkProvider
       parameters.get("startingTimestamp"),
       readChangeFeed = cdfMode(parameters),
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
-      partitionFilter = partFilter)
+      partitionFilter = partFilter,
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong))
   }
 }
 
@@ -195,7 +199,8 @@ class TxLogSource(spark: SparkSession, dir: String,
     startingTimestamp: Option[String] = None,
     readChangeFeed: Boolean = false,
     maxFilesPerTrigger: Option[Long] = None,
-    partitionFilter: Map[String, String] = Map.empty)
+    partitionFilter: Map[String, String] = Map.empty,
+    maxBytesPerTrigger: Option[Long] = None)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -205,6 +210,8 @@ class TxLogSource(spark: SparkSession, dir: String,
     s"maxVersionsPerTrigger must be >= 1, got $m"))
   maxFilesPerTrigger.foreach(m => require(m >= 1,
     s"maxFilesPerTrigger must be >= 1, got $m"))
+  maxBytesPerTrigger.foreach(m => require(m >= 1,
+    s"maxBytesPerTrigger must be >= 1, got $m"))
 
   /** Pinned at stream construction; also carries the column mapping the
     * scan needs (physical names never change, so the pinned mapping
@@ -296,11 +303,16 @@ class TxLogSource(spark: SparkSession, dir: String,
       } else (j.toLong + 1, 0L)
   }
 
-  /** Admission control (Delta's maxFilesPerTrigger/maxVersionsPerTrigger
-    * pair): the version cap bounds how far the TARGET advances, the file
-    * budget walks forward file-by-file and may stop INSIDE a commit
-    * ([[TxFileOffset]]) — a single 10,000-file backfill commit then
-    * drains across ceil(10000/m) exactly-once micro-batches. */
+  /** Admission control (Delta's maxFilesPerTrigger / maxBytesPerTrigger
+    * / maxVersionsPerTrigger triple): the version cap bounds how far
+    * the TARGET advances; the file and byte budgets walk forward
+    * file-by-file — composing, either exhausting stops — and may stop
+    * INSIDE a commit ([[TxFileOffset]]), so a single 10,000-file
+    * backfill commit drains as bounded exactly-once micro-batches and a
+    * commit of a few multi-GB files cannot flood one batch despite a
+    * generous file cap. The byte budget is a SOFT max (Delta's rule):
+    * a batch always admits at least one file, so a single file larger
+    * than the budget still makes progress instead of stalling. */
   override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
     // Fresh checkpoint with an explicit start position and nothing to
     // deliver yet: emit ONE empty batch at the resolved position so the
@@ -314,21 +326,30 @@ class TxLogSource(spark: SparkSession, dir: String,
     val (sv, si) = Option(start).map(startPos).getOrElse((initialFrom + 1, 0L))
     val target = maxVersionsPerTrigger
       .map(m => math.min(latest, (sv - 1) + m)).getOrElse(latest)
-    maxFilesPerTrigger match {
-      case None =>
-        // mid-commit checkpoint with the option since removed: finish
-        // the split version, then whole versions as before
-        if (target < sv && si == 0L) nothingNew else LongOffset(math.max(target, sv))
-      case Some(budget0) =>
-        var v = sv; var i = si; var budget = budget0
-        while (v <= target && budget > 0) {
-          val remaining = filesOf(v).size - i
-          if (remaining <= budget) { budget -= remaining; v += 1; i = 0L }
-          else { i += budget; budget = 0L }
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) {
+      // uncapped: whole versions, no per-commit file listing needed;
+      // mid-commit checkpoint with the option since removed: finish
+      // the split version, then whole versions as before
+      if (target < sv && si == 0L) nothingNew else LongOffset(math.max(target, sv))
+    } else {
+      var v = sv; var i = si; var admitted = 0L
+      var fileBudget = maxFilesPerTrigger.getOrElse(Long.MaxValue)
+      var byteBudget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+      var stop = false
+      while (!stop && v <= target) {
+        val fs = filesOf(v)
+        if (i >= fs.size) { v += 1; i = 0L } // version drained (or empty)
+        else {
+          val bytes = math.max(0L, fs(i.toInt).bytes)
+          if (fileBudget <= 0L || (admitted > 0L && byteBudget < bytes)) stop = true
+          else {
+            admitted += 1; fileBudget -= 1; byteBudget -= bytes; i += 1
+          }
         }
-        if (v == sv && i == si) nothingNew
-        else if (i == 0L) LongOffset(v - 1)
-        else TxFileOffset(v, i)
+      }
+      if (v == sv && i == si) nothingNew
+      else if (i == 0L) LongOffset(v - 1)
+      else TxFileOffset(v, i)
     }
   }
 

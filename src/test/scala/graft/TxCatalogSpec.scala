@@ -171,4 +171,84 @@ class TxCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE s IS NOT NULL")
       .head().getLong(0) === 0L)
   }
+
+  test("SQL ALTER COLUMN TYPE widens metadata-only; old files read promoted") {
+    import spark.implicits._
+    val (cat, root) = freshCatalog()
+    val dir = s"$root/t"
+    // int / float / decimal(10,2) columns, written narrow
+    TxLog.append(spark, dir,
+      (0 until 10).map(i => (i, i.toFloat / 2, BigDecimal(i * 100) / 100))
+        .toDF("id", "ratio", "amt")
+        .select(col("id").cast("int"), col("ratio").cast("float"),
+          col("amt").cast("decimal(10,2)")))
+    val filesBefore = TxLog.snapshot(dir).files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN id TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN ratio TYPE DOUBLE")
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN amt TYPE DECIMAL(16,2)")
+    assert(TxLog.snapshot(dir).files.map(_.path).toSet === filesBefore,
+      "a widening must not rewrite any data file")
+    val sch = spark.table(s"$cat.t").schema
+    assert(sch.map(f => f.name -> f.dataType.sql).toMap ===
+      Map("id" -> "BIGINT", "ratio" -> "DOUBLE", "amt" -> "DECIMAL(16,2)"))
+    // the narrow pages read through the widened schema, both surfaces
+    val got = spark.sql(s"SELECT id, ratio, amt FROM $cat.t WHERE id = 7").head()
+    assert(got.getLong(0) === 7L && got.getDouble(1) === 3.5 &&
+      got.getDecimal(2) === new java.math.BigDecimal("7.00"))
+    assert(TxLog.read(spark, dir).where("id = 7").head().getLong(0) === 7L)
+    // new appends land wide; a mixed (narrow+wide file) scan agrees
+    TxLog.append(spark, dir, Seq((100L, 9.5d, BigDecimal("123456789012.34")))
+      .toDF("id", "ratio", "amt").select(col("id"), col("ratio"),
+        col("amt").cast("decimal(16,2)")))
+    assert(spark.sql(s"SELECT sum(id) AS s FROM $cat.t").head().getLong(0) ===
+      45L + 100L)
+    // pre-widening snapshots time-travel under their recorded schema
+    assert(spark.sql(s"SELECT id FROM $cat.t VERSION AS OF 0").schema
+      .head.dataType.sql === "INT")
+  }
+
+  test("ALTER COLUMN TYPE refuses narrowing and lossy retypes loudly") {
+    import spark.implicits._
+    val (cat, root) = freshCatalog()
+    val dir = s"$root/t"
+    TxLog.append(spark, dir,
+      Seq((1L, 1.0d)).toDF("id", "x"))
+    // integral narrowing dies in Spark's own analyzer (canUpCast);
+    // lossy-but-upcastable retypes (long->double, double->string) pass
+    // the analyzer and must die in the catalog's widening check
+    val e1 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN id TYPE INT"))
+    assert(e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN id TYPE DOUBLE"))
+    assert(e2.getMessage.contains("not a widening"))
+    val e3 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN x TYPE STRING"))
+    assert(e3.getMessage.contains("not a widening"))
+    // idempotent: same type is a no-op, not an error
+    val v = TxLog.latestVersion(dir)
+    TxLog.alterColumnType(dir, "id", org.apache.spark.sql.types.LongType)
+    assert(TxLog.latestVersion(dir) === v)
+  }
+
+  test("widening stamps protocol 4; DML, stats pruning, and partitions survive it") {
+    import spark.implicits._
+    val (cat, root) = freshCatalog()
+    val dir = s"$root/t"
+    spark.sql(s"CREATE TABLE $cat.t (id INT, grp INT, v STRING) PARTITIONED BY (grp)")
+    TxLog.append(spark, dir,
+      (0 until 40).map(i => (i, i % 4, s"v$i")).toDF("id", "grp", "v"))
+    assert(TxLog.snapshot(dir).protocol === 1L)
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN id TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN grp TYPE BIGINT") // partition col
+    assert(TxLog.snapshot(dir).protocol === 4L)
+    // pv pruning and stats written under INT still discriminate for a
+    // BIGINT predicate (typed numeric canon), and DML routes through
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 3")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 30L)
+    spark.sql(s"UPDATE $cat.t SET v = 'wide' WHERE id = 8")
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE id = 8").head().getString(0) === "wide")
+    assert(spark.sql(s"SELECT sum(grp) AS s FROM $cat.t").head().getLong(0) ===
+      (0 until 40).filter(_ % 4 != 3).map(_ % 4).sum.toLong)
+  }
 }

@@ -318,4 +318,87 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
         s"(got ${second.size} rows, overlap ${(first & second).size})")
     assert(first ++ second === (0L until 90L).toSet)
   }
+
+  test("maxBytesPerTrigger drains a mixed-size commit within byte budget") {
+    val root = Files.createTempDirectory("graft-txstream-b").toString
+    val table = s"$root/t"
+    // ONE commit of 8 files with very different sizes (50..400 rows):
+    // an 8-partition RDD where partition p fans out (p+1)*50 rows — a
+    // union of LocalRelations would fold back into one partition
+    import spark.implicits._
+    val rdd = spark.sparkContext.parallelize(0 until 8, 8)
+      .flatMap(p => (0 until (p + 1) * 50).map(i => (p * 100000L + i, s"v$i")))
+    TxLog.append(spark, table, rdd.toDF("id", "s"))
+    val files0 = TxLog.changedFilesBetween(table, -1L, 0L)
+    assert(files0.size === 8, "premise: one commit, eight size-diverse files")
+    // budget ~ 2.5 median files: replay the greedy soft-max walk
+    // independently and check the observed batch row totals match
+    val budget = files0.map(_.bytes).sorted.apply(files0.size / 2) * 5 / 2
+    val batchRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = spark.readStream.format("txlog").option("path", table)
+      .option("maxBytesPerTrigger", budget.toString).load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.select("id").collect().map(_.getLong(0))
+        batchRows.synchronized { batchRows += rows.length.toLong }
+        rows.foreach(r => got.add(r)): Unit
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val allIds = files0.map(_.rows).sum
+    assert(got.asScala.size.toLong === allIds, "no loss, no duplicates")
+    // greedy soft-max windows over the commit's own file list
+    val want = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var acc = 0L; var accBytes = 0L
+    files0.foreach { f =>
+      if (acc > 0L && accBytes + f.bytes > budget) {
+        want += acc; acc = 0L; accBytes = 0L
+      }
+      acc += f.rows; accBytes += f.bytes
+    }
+    if (acc > 0L) want += acc
+    assert(batchRows.filter(_ > 0).toSeq === want.toSeq,
+      s"batches $batchRows != byte windows $want (budget $budget, " +
+        s"files ${files0.map(_.bytes)})")
+  }
+
+  test("an oversized file still admits alone; byte budget composes with file cap") {
+    val root = Files.createTempDirectory("graft-txstream-b2").toString
+    val table = s"$root/t"
+    TxLog.append(spark, table, df(0 until 60).repartition(6)) // 6 similar files
+    val files0 = TxLog.changedFilesBetween(table, -1L, 0L)
+    // budget below every file's size: soft max => exactly one file/batch
+    val tiny = files0.map(_.bytes).min - 1
+    val batchRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(opts: Map[String, String], ckpt: String): Set[Long] = {
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val r = spark.readStream.format("txlog").option("path", table)
+      val q = opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.select("id").collect().map(_.getLong(0))
+          batchRows.synchronized { batchRows += rows.length.toLong }
+          rows.foreach(r => got.add(r)): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    assert(run(Map("maxBytesPerTrigger" -> tiny.toString), s"$root/c1") ===
+      (0L until 60L).toSet)
+    assert(batchRows.filter(_ > 0).toSeq === files0.map(_.rows).toSeq,
+      "sub-file budget must deliver exactly one file per batch")
+    // byte cap composes with the file cap: a generous byte budget but
+    // maxFilesPerTrigger=2 still bounds batches to 2 files
+    batchRows.clear()
+    assert(run(Map("maxBytesPerTrigger" -> (tiny * 1000).toString,
+      "maxFilesPerTrigger" -> "2"), s"$root/c2") === (0L until 60L).toSet)
+    assert(batchRows.filter(_ > 0).toSeq ===
+      files0.map(_.rows).grouped(2).map(_.sum).toSeq)
+  }
 }

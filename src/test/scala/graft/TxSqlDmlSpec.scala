@@ -94,26 +94,36 @@ class TxSqlDmlSpec extends AnyFunSuite with SparkTestBase {
       (0L until 20L).toSet -- Set(1L, 3L))
   }
 
+  test("conditional and partial MERGE clauses route through the generic path") {
+    import spark.implicits._
+    val (cat, root) = freshCat()
+    val dir = seed(root)
+    Seq((1L, "x", 0L)).toDF("id", "s", "grp").createOrReplaceTempView("src_cond")
+    // conditional matched clause: id 1 has grp 1, condition holds -> *
+    spark.sql(s"""MERGE INTO $cat.t USING src_cond ON t.id = src_cond.id
+                  WHEN MATCHED AND t.grp = 1 THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *""")
+    assert(TxLog.read(spark, dir).where("id = 1").head().getString(1) === "x")
+    // partial-column update leaves the other columns' pre-images
+    spark.sql(s"""MERGE INTO $cat.t USING src_cond ON t.id = src_cond.id
+                  WHEN MATCHED THEN UPDATE SET s = concat(src_cond.s, '!')""")
+    val r = TxLog.read(spark, dir).where("id = 1").head()
+    assert(r.getString(1) === "x!" && r.getLong(2) === 0L)
+  }
+
   test("unsupported MERGE shapes and nondeterministic UPDATEs are refused loudly") {
     import spark.implicits._
     val (cat, root) = freshCat()
     seed(root)
     Seq((1L, "x", 0L)).toDF("id", "s", "grp").createOrReplaceTempView("src_bad")
+    // WHEN NOT MATCHED BY SOURCE stays outside the supported surface
     val e1 = intercept[Exception] {
       spark.sql(s"""MERGE INTO $cat.t USING src_bad ON t.id = src_bad.id
-                    WHEN MATCHED AND t.grp = 1 THEN UPDATE SET *
-                    WHEN NOT MATCHED THEN INSERT *""")
+                    WHEN MATCHED THEN UPDATE SET *
+                    WHEN NOT MATCHED BY SOURCE THEN DELETE""")
     }
     assert(e1.getMessage.contains("txlog SQL DML") ||
       e1.getCause != null && e1.getCause.getMessage.contains("txlog SQL DML"))
-    // partial-column update is not SET *
-    val e2 = intercept[Exception] {
-      spark.sql(s"""MERGE INTO $cat.t USING src_bad ON t.id = src_bad.id
-                    WHEN MATCHED THEN UPDATE SET s = src_bad.s
-                    WHEN NOT MATCHED THEN INSERT *""")
-    }
-    assert(e2.getMessage.contains("txlog SQL DML") ||
-      e2.getCause != null && e2.getCause.getMessage.contains("txlog SQL DML"))
     val e3 = intercept[Exception] {
       spark.sql(s"UPDATE $cat.t SET grp = CAST(rand() * 10 AS BIGINT)")
     }
