@@ -37,12 +37,13 @@ import graft.sources.{TxLog, TxTable}
   *    .deleteKeys]] — the SQL spelling of bulk erasure;
   *  - everything else in the standard clause surface — `WHEN MATCHED
   *    [AND c] THEN UPDATE SET …/DELETE`, `WHEN NOT MATCHED [AND c]
-  *    THEN INSERT`, partial SET lists, multiple clauses — re-renders
+  *    THEN INSERT`, `WHEN NOT MATCHED BY SOURCE [AND c] THEN
+  *    UPDATE/DELETE`, partial SET lists, multiple clauses — re-renders
   *    each condition/expression with its side qualified (`s.`/`t.`)
   *    and routes through [[TxLog.mergeClauses]]
   *    (first-firing-clause-in-order semantics, Delta's rule).
-  * `WHEN NOT MATCHED BY SOURCE` is refused LOUDLY (approximating it
-  * silently is the failure mode). */
+  * `ON` may be a conjunction of identically-named column equalities —
+  * composite keys route through the same clause machinery. */
 object TxDmlStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -64,32 +65,41 @@ object TxDmlStrategy extends SparkStrategy {
     case m: MergeIntoTable =>
       txTableOf(m.targetTable).map { t =>
         requireWritable(t)
-        val keyCol = keyColOf(m)
+        if (m.withSchemaEvolution)
+          refuse("MERGE WITH SCHEMA EVOLUTION (evolve the table first " +
+            "with ALTER TABLE, or use the Scala mergeEvolve upsert)")
+        val keyCols = keyColsOf(m)
         val spark = SparkSession.active
         val source = org.apache.spark.sql.graft.GraftSqlShims
           .dataFrameOfPlan(spark, m.sourceTable)
         val srcOut = m.sourceTable.outputSet
         (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
           // upsert: UPDATE SET * + INSERT * (star actions arrive from
-          // analysis as full identity assignment lists)
+          // analysis as full identity assignment lists); composite keys
+          // route through mergeClauses' star clauses — same semantics
           case (Seq(up: UpdateAction), Seq(ins: InsertAction), Seq())
               if up.condition.isEmpty && ins.condition.isEmpty &&
                 isIdentity(up.assignments, srcOut, t) &&
                 isIdentity(ins.assignments, srcOut, t) =>
             TxDmlExec(s"MERGE UPSERT ${t.txDir}", () =>
-              TxLog.merge(spark, t.txDir,
-                alignToTable(source, t.txDir), keyCol)) :: Nil
+              if (keyCols.size == 1)
+                TxLog.merge(spark, t.txDir,
+                  alignToTable(source, t.txDir), keyCols.head)
+              else TxLog.merge(spark, t.txDir,
+                alignToTable(source, t.txDir), keyCols)) :: Nil
           // bulk erasure: WHEN MATCHED THEN DELETE, nothing else
-          case (Seq(del: DeleteAction), Seq(), Seq()) if del.condition.isEmpty =>
+          case (Seq(del: DeleteAction), Seq(), Seq())
+              if del.condition.isEmpty && keyCols.size == 1 =>
             TxDmlExec(s"MERGE DELETE ${t.txDir}", () =>
               TxLog.deleteKeys(spark, t.txDir,
-                source.select(keyCol), keyCol)) :: Nil
+                source.select(keyCols.head), keyCols.head)) :: Nil
           // the general clause surface: WHEN MATCHED [AND c] THEN
-          // UPDATE SET …/DELETE, WHEN NOT MATCHED [AND c] THEN INSERT —
+          // UPDATE SET …/DELETE, WHEN NOT MATCHED [AND c] THEN INSERT,
+          // WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE/DELETE —
           // conditions and assignment values re-render with their side
           // qualified (s./t.) and route through TxLog.mergeClauses,
           // which applies first-firing-clause-in-order semantics
-          case (matchedActs, notMatchedActs, Seq()) =>
+          case (matchedActs, notMatchedActs, bySourceActs) =>
             val clauses: Seq[TxLog.MergeClause] = matchedActs.map {
               case u: UpdateAction =>
                 TxLog.WhenMatchedUpdate(u.condition.map(renderSided(_, srcOut)),
@@ -108,14 +118,25 @@ object TxDmlStrategy extends SparkStrategy {
                     case other => refuse(s"INSERT into a non-column target $other")
                   }) -> renderSided(a.value, srcOut)).toMap)
               case other => refuse(s"not-matched action $other")
+            } ++ bySourceActs.map {
+              // the analyzer aligns a by-source UPDATE with identity
+              // fills (t.c := t.c) for unmentioned columns — harmless
+              // in a SET map (identity assignment); it has already
+              // rejected source references in these clauses
+              case u: UpdateAction =>
+                TxLog.WhenNotMatchedBySourceUpdate(
+                  u.condition.map(renderSided(_, srcOut)),
+                  u.assignments.map(a => (a.key match {
+                    case ar: AttributeReference => ar.name
+                    case other => refuse(s"UPDATE of a non-column target $other")
+                  }) -> renderSided(a.value, srcOut)).toMap)
+              case d: DeleteAction =>
+                TxLog.WhenNotMatchedBySourceDelete(
+                  d.condition.map(renderSided(_, srcOut)))
+              case other => refuse(s"not-matched-by-source action $other")
             }
             TxDmlExec(s"MERGE CLAUSES ${t.txDir}", () =>
-              TxLog.mergeClauses(spark, t.txDir, source, keyCol, clauses)) :: Nil
-          case _ =>
-            refuse("this MERGE shape; supported: upsert (UPDATE SET * / " +
-              "INSERT *), erasure (WHEN MATCHED THEN DELETE), and " +
-              "conditional matched/not-matched clause lists — " +
-              "WHEN NOT MATCHED BY SOURCE is not supported")
+              TxLog.mergeClauses(spark, t.txDir, source, keyCols, clauses)) :: Nil
         }
       }.getOrElse(Nil)
 
@@ -165,12 +186,20 @@ object TxDmlStrategy extends SparkStrategy {
         UnresolvedAttribute(Seq(if (sourceOut.contains(ar)) "s" else "t", ar.name))
     }.sql
 
-  /** `ON t.k = s.k` with the same column name on both sides — the shape
-    * [[TxLog.merge]]'s keyed upsert implements. */
-  private def keyColOf(m: MergeIntoTable): String = m.mergeCondition match {
-    case EqualTo(l: Attribute, r: Attribute) if l.name == r.name => l.name
-    case other => refuse(s"merge condition ${other.sql}; supported: " +
-      "a single equality on one identically-named key column (t.k = s.k)")
+  /** `ON t.k1 = s.k1 [AND t.k2 = s.k2 …]` with the same column name on
+    * both sides of each equality — the (possibly composite) key shape
+    * [[TxLog.mergeClauses]] implements. */
+  private def keyColsOf(m: MergeIntoTable): Seq[String] = {
+    def eqs(e: Expression): Seq[String] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => eqs(l) ++ eqs(r)
+      case EqualTo(l: Attribute, r: Attribute) if l.name == r.name => Seq(l.name)
+      case other => refuse(s"merge condition ${other.sql}; supported: a " +
+        "conjunction of equalities on identically-named key columns (t.k = s.k)")
+    }
+    val ks = eqs(m.mergeCondition)
+    if (ks.distinct != ks)
+      refuse(s"merge condition repeats key column(s) ${ks.diff(ks.distinct).mkString(", ")}")
+    ks
   }
 
   /** Every assignment is `target.c := source.c` (what SET * / INSERT *

@@ -1554,6 +1554,121 @@ object TxQueries2 {
                      CAST(sum(k) AS BIGINT) AS sum_k,
                      CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                      CAST(sum(price) AS DOUBLE) AS sum_price
-              FROM allr GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              FROM allr GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- composite-key MERGE -----------------------------------------------
+    // lineitem's natural composite PK (l_orderkey, l_linenumber): an
+    // upsert keyed on the TUPLE updates existing (k, 1) lines and
+    // inserts (k, 99) lines — rows sharing only ONE key column stay
+    // untouched (the per-column-vs-tuple distinction the oracle
+    // replays). Touch discovery conjoins BOTH columns' staged bounds:
+    // the orderkey range [1, 64] alone prunes to 1 of 4 banded files,
+    // pinned into the hash.
+    QuerySpec("q184_merge_composite", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q184").toString + "/t"
+      val li = Td.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .localCheckpoint(true)
+      TxLog.append(s, root, li.where("l_orderkey <= 100").coalesce(1))
+      TxLog.append(s, root,
+        li.where("l_orderkey > 100 AND l_orderkey <= 1000").coalesce(1))
+      TxLog.append(s, root,
+        li.where("l_orderkey > 1000 AND l_orderkey <= 5000").coalesce(1))
+      TxLog.append(s, root, li.where("l_orderkey > 5000").coalesce(1))
+      graft.operators.CheckpointBlocks.release(li)
+      // the synthetic lineitem repeats (orderkey, linenumber) pairs, so
+      // the feed carries one row per DISTINCT tuple — duplicate TARGET
+      // rows all match it (legal); duplicate SOURCE keys would refuse
+      val baseKeys = TxLog.read(s, root)
+        .where("l_orderkey BETWEEN 1 AND 64 AND l_linenumber = 1")
+        .select("l_orderkey", "l_linenumber").distinct()
+      val feed = baseKeys
+        .withColumn("l_quantity", lit(100.0))
+        .withColumn("l_returnflag", lit("U"))
+        .unionAll(baseKeys.withColumn("l_linenumber", lit(99))
+          .withColumn("l_quantity", lit(1.0))
+          .withColumn("l_returnflag", lit("Z")))
+      TxLog.merge(s, root, feed, Seq("l_orderkey", "l_linenumber"))
+      val m = TxLog.history(s, root).where("op = 'merge'")
+        .select(element_at(col("metrics"), "files_scanned").as("files_scanned"),
+          element_at(col("metrics"), "files_live").as("files_live"))
+      TxLog.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .crossJoin(m)
+        .orderBy("l_returnflag")
+    },
+      Some("""WITH keys AS (
+                SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+                WHERE l_orderkey BETWEEN 1 AND 64 AND l_linenumber = 1),
+              merged AS (
+                SELECT CASE WHEN k.l_orderkey IS NOT NULL THEN 'U'
+                            ELSE t.l_returnflag END AS l_returnflag,
+                       CASE WHEN k.l_orderkey IS NOT NULL THEN 100.0
+                            ELSE t.l_quantity END AS q
+                FROM lineitem t LEFT JOIN keys k
+                  ON t.l_orderkey = k.l_orderkey
+                 AND t.l_linenumber = k.l_linenumber
+                UNION ALL
+                SELECT 'Z', 1.0 FROM keys)
+              SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                     CAST(1 AS BIGINT) AS files_scanned,
+                     CAST(4 AS BIGINT) AS files_live
+              FROM merged GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- WHEN NOT MATCHED BY SOURCE (snapshot sync) -------------------------
+    // The snapshot-mirror merge: a "today's feed" of keys <= 1000
+    // updates its matches, target rows the feed does NOT carry either
+    // delete (keys > 5000) or flag stale (the rest) — three clause
+    // groups in ONE commit. By definition the by-source clauses may
+    // fire on any row, so discovery scans the full live set:
+    // files_scanned = files_live = 4 is pinned as the honest cost,
+    // alongside the deleted-row count and the surviving aggregate.
+    QuerySpec("q185_merge_by_source", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q185").toString + "/t"
+      val ord = Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
+      TxLog.append(s, root, ord.where("o_orderkey <= 100").coalesce(1))
+      TxLog.append(s, root,
+        ord.where("o_orderkey > 100 AND o_orderkey <= 1000").coalesce(1))
+      TxLog.append(s, root,
+        ord.where("o_orderkey > 1000 AND o_orderkey <= 5000").coalesce(1))
+      TxLog.append(s, root, ord.where("o_orderkey > 5000").coalesce(1))
+      graft.operators.CheckpointBlocks.release(ord)
+      val feed = TxLog.read(s, root).where("o_orderkey <= 1000")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      TxLog.mergeClauses(s, root, feed, "o_orderkey", Seq(
+        TxLog.WhenMatchedUpdate(None,
+          Map("o_totalprice" -> "s.o_totalprice")),
+        TxLog.WhenNotMatchedBySourceDelete(Some("t.o_orderkey > 5000")),
+        TxLog.WhenNotMatchedBySourceUpdate(None,
+          Map("o_orderstatus" -> "'X'"))))
+      val m = TxLog.history(s, root).where("op = 'merge'")
+        .select(element_at(col("metrics"), "rows_deleted").as("n_del"),
+          element_at(col("metrics"), "files_scanned").as("files_scanned"),
+          element_at(col("metrics"), "files_live").as("files_live"))
+      TxLog.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price"))
+        .crossJoin(m)
+        .orderBy("o_orderstatus")
+    },
+      Some("""WITH src AS (
+                SELECT o_orderkey, o_totalprice * 2 AS p
+                FROM orders WHERE o_orderkey <= 1000),
+              merged AS (
+                SELECT CASE WHEN s.o_orderkey IS NULL THEN 'X'
+                            ELSE t.o_orderstatus END AS o_orderstatus,
+                       CASE WHEN s.o_orderkey IS NOT NULL THEN s.p
+                            ELSE t.o_totalprice END AS o_totalprice
+                FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+                WHERE s.o_orderkey IS NOT NULL OR t.o_orderkey <= 5000)
+              SELECT o_orderstatus, count(*) AS n_rows,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     (SELECT count(*) FROM orders WHERE o_orderkey > 5000) AS n_del,
+                     CAST(4 AS BIGINT) AS files_scanned,
+                     CAST(4 AS BIGINT) AS files_live
+              FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

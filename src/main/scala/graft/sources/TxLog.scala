@@ -1775,6 +1775,11 @@ object TxLog {
     *    added carries a source key (one scan bounded by the winners'
     *    commit volume — layout rewrites contribute nothing) — rebasing
     *    over a matching insert would leave DUPLICATE KEYS behind;
+    *  - for a merge with NOT MATCHED BY SOURCE clauses
+    *    (`winnerAddsConflict`): the winners added NO dataChange file at
+    *    all — rows a concurrent commit inserted or rewrote were never
+    *    seen by the by-source clauses, which by definition act on EVERY
+    *    unmatched target row, so any concurrent data change crosses;
     *  - for txn-tagged merge: the winners did not already commit this
     *    (appId, batchId) — a zombie twin's rebase must not double it.
     * Append-class winners therefore always rebase under a DELETE /
@@ -1787,10 +1792,11 @@ object TxLog {
   private def commitDmlRebase(spark: SparkSession, dir: String, op: String,
       readSnap: Snapshot, touched: Seq[AddFile], removes: Seq[String],
       adds: Seq[AddFile], cdf: Seq[AddFile], txn: Option[(String, Long)],
-      protocol: Option[Long], sourceKeys: Option[(DataFrame, String)],
+      protocol: Option[Long], sourceKeys: Option[(DataFrame, Seq[String])],
       schemaDdl: Option[String] = None,
       newProps: Option[Map[String, String]] = None,
-      metrics: Map[String, Long] = Map.empty): Long = {
+      metrics: Map[String, Long] = Map.empty,
+      winnerAddsConflict: Boolean = false): Long = {
     val touchedDv: Map[String, Option[Dv]] = touched.map(f => f.path -> f.dv).toMap
     var cur = readSnap
     var tries = 0
@@ -1815,11 +1821,17 @@ object TxLog {
           throw new ConcurrentWriteException(
             s"$op on $dir conflicted: a touched file was removed or DML'd " +
               s"concurrently (versions ${readSnap.version + 1}..${cur.version})")
-        sourceKeys.foreach { case (keys, keyCol) =>
+        if (winnerAddsConflict &&
+            changedFilesBetween(dir, readSnap.version, cur.version).nonEmpty)
+          throw new ConcurrentWriteException(
+            s"$op on $dir conflicted: a concurrent commit changed rows " +
+              "while a NOT MATCHED BY SOURCE merge was in flight — its " +
+              "by-source clauses never evaluated them")
+        sourceKeys.foreach { case (keys, keyCols) =>
           val winnerAdds = changedFilesBetween(dir, readSnap.version, cur.version)
           if (winnerAdds.nonEmpty &&
               !scanFiles(spark, dir, cur, winnerAdds)
-                .join(keys, Seq(keyCol), "left_semi").isEmpty)
+                .join(keys, keyCols, "left_semi").isEmpty)
             throw new ConcurrentWriteException(
               s"$op on $dir conflicted: a concurrent commit inserted rows " +
                 "matching the merge keys — rebasing would leave duplicates")
@@ -2050,6 +2062,16 @@ object TxLog {
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       keyCol: String): Long = mergeImpl(spark, dir, source, keyCol, None)
 
+  /** [[merge]] on a COMPOSITE key — `ON` is the conjunction of
+    * per-column equalities. Routed through [[mergeClauses]]' star
+    * clauses: identical upsert semantics, discovery bounded by every
+    * key column's staged min/max (conjoined bounds only sharpen). */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+      keyCols: Seq[String]): Long =
+    if (keyCols.lengthCompare(1) == 0) merge(spark, dir, source, keyCols.head)
+    else mergeClauses(spark, dir, source, keyCols,
+      Seq(WhenMatchedUpdate(), WhenNotMatchedInsert()))
+
   /** [[merge]] tagged with a streaming txn — the upsert sibling of
     * [[appendBatch]]: a replayed (appId, batchId) is SKIPPED (returns
     * None) instead of re-merging, which makes an at-least-once
@@ -2243,7 +2265,7 @@ object TxLog {
             // under that schema provably cannot contain it, so the
             // conflict check is vacuous, not skipped-unsafe. (A winner
             // that CHANGED the schema aborts on the schema check first.)
-            if (table.fieldNames.contains(keyCol)) Some((keys, keyCol)) else None,
+            if (table.fieldNames.contains(keyCol)) Some((keys, Seq(keyCol))) else None,
             if (widened) Some(merged.toDDL) else None,
             if (newMaps.isEmpty) None
             else Some(newMaps.map { case (l, p) => ColumnMapping.Prefix + l -> p }),
@@ -2297,6 +2319,37 @@ object TxLog {
   final case class WhenNotMatchedInsert(condition: Option[String] = None,
       values: Map[String, String] = Map.empty) extends MergeClause
 
+  /** `WHEN NOT MATCHED BY SOURCE [AND condition] THEN UPDATE SET …` —
+    * fires on TARGET rows with no matching source row. There is no
+    * source row in scope, so conditions and SET expressions see only
+    * `t.<col>` (explicit `s.` references are refused) and `set` must be
+    * explicit (no star to expand). */
+  final case class WhenNotMatchedBySourceUpdate(condition: Option[String] = None,
+      set: Map[String, String] = Map.empty) extends MergeClause
+
+  /** `WHEN NOT MATCHED BY SOURCE [AND condition] THEN DELETE` — deletes
+    * target rows no source row matched (the snapshot-mirror primitive:
+    * make the table equal the source in one merge). Condition sees only
+    * `t.<col>`. */
+  final case class WhenNotMatchedBySourceDelete(
+      condition: Option[String] = None) extends MergeClause
+
+  /** A by-source clause has no source row in scope — an explicit
+    * `s.<col>` reference would silently evaluate NULL (the left_outer
+    * pad), so refuse it up front. Checked on the PARSED tree, before
+    * any join resolves names. */
+  private def requireTargetOnly(sqlText: String): Unit = {
+    val bad = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sqlText).collect {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if ua.nameParts.length > 1 && ua.nameParts.head.equalsIgnoreCase("s") =>
+        ua.sql
+    }
+    require(bad.isEmpty, "mergeClauses: a NOT MATCHED BY SOURCE clause " +
+      s"referenced source column(s) ${bad.mkString(", ")} — by-source " +
+      "clauses see only the target row (t.<col>)")
+  }
+
   /** CONDITIONAL MERGE (Delta's full `MERGE INTO` clause surface):
     * clauses apply IN ORDER — for each matched target row the first
     * matched clause whose condition holds fires (update or delete;
@@ -2316,24 +2369,74 @@ object TxLog {
     * dataChange=false, post-images and inserts as new data. Duplicate
     * and NULL source keys are rejected; [[commitDmlRebase]] conflict
     * semantics (a concurrent commit inserting a source key aborts).
-    * Schema evolution and `notMatchedBySource` clauses are out of
-    * scope. Returns the committed version. */
+    *
+    * `WHEN NOT MATCHED BY SOURCE` clauses act on target rows NO source
+    * row matched — the snapshot-mirror shape (`… BY SOURCE THEN
+    * DELETE` makes the table equal the source). By definition they may
+    * fire on ANY target row, so touch discovery cannot be key-bounded:
+    * a by-source merge scans the full live set (`files_scanned =
+    * files_live` in the metrics — the inherent cost of the clause, the
+    * same in Delta), and its conflict rule is strict (ANY concurrent
+    * dataChange add aborts the rebase — rows the by-source clauses
+    * never evaluated).
+    *
+    * The ON condition is a conjunction of per-column equalities:
+    * composite keys pass every column in `keyCols`; the source key
+    * TUPLE must be unique and NULL-free. Discovery pruning conjoins
+    * each column's staged min/max (+ small IN-lists), which can only
+    * sharpen the bound. Schema evolution is out of scope. Returns the
+    * committed version. */
   def mergeClauses(spark: SparkSession, dir: String, source: DataFrame,
-      keyCol: String, clauses: Seq[MergeClause]): Long = {
+      keyCol: String, clauses: Seq[MergeClause]): Long =
+    mergeClauses(spark, dir, source, Seq(keyCol), clauses)
+
+  def mergeClauses(spark: SparkSession, dir: String, source: DataFrame,
+      keyCols: Seq[String], clauses: Seq[MergeClause]): Long =
+    mergeClausesImpl(spark, dir, source, keyCols, clauses, None)
+
+  /** [[mergeClauses]] with the read version explicit — the race-test
+    * seam (commits landed between `readVersion` and the publish
+    * exercise the rebase/conflict rules, including the strict
+    * by-source rule). */
+  private[graft] def mergeClausesAt(spark: SparkSession, dir: String,
+      source: DataFrame, keyCols: Seq[String], clauses: Seq[MergeClause],
+      readVersion: Long): Long =
+    mergeClausesImpl(spark, dir, source, keyCols, clauses, Some(readVersion))
+
+  private def mergeClausesImpl(spark: SparkSession, dir: String,
+      source: DataFrame, keyCols: Seq[String], clauses: Seq[MergeClause],
+      readVersionOpt: Option[Long]): Long = {
     require(clauses.nonEmpty, "mergeClauses: at least one WHEN clause")
+    require(keyCols.nonEmpty, "mergeClauses: at least one key column")
+    require(keyCols.distinct == keyCols,
+      s"mergeClauses: duplicate key columns in ${keyCols.mkString(", ")}")
     val matched = clauses.collect {
       case c: WhenMatchedUpdate => c
       case c: WhenMatchedDelete => c
     }
     val inserts = clauses.collect { case c: WhenNotMatchedInsert => c }
-    val readVersion = latestVersion(dir)
+    val bySource = clauses.collect {
+      case c: WhenNotMatchedBySourceUpdate => c
+      case c: WhenNotMatchedBySourceDelete => c
+    }
+    bySource.foreach {
+      case u: WhenNotMatchedBySourceUpdate =>
+        require(u.set.nonEmpty, "mergeClauses: WHEN NOT MATCHED BY SOURCE " +
+          "UPDATE needs an explicit SET list — there is no source row to star from")
+        (u.condition.toSeq ++ u.set.values).foreach(requireTargetOnly)
+      case d: WhenNotMatchedBySourceDelete =>
+        d.condition.foreach(requireTargetOnly)
+    }
+    val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     require(readVersion >= 0, s"mergeClauses: $dir has no committed versions")
     val snap = snapshot(dir, Some(readVersion))
     val table = snap.schema
-    require(table.fieldNames.contains(keyCol),
-      s"mergeClauses: key column $keyCol not in the table schema")
-    require(source.columns.contains(keyCol),
-      s"mergeClauses: key column $keyCol not in the source")
+    keyCols.foreach { k =>
+      require(table.fieldNames.contains(k),
+        s"mergeClauses: key column $k not in the table schema")
+      require(source.columns.contains(k),
+        s"mergeClauses: key column $k not in the source")
+    }
     require(!source.columns.exists(c => c == "__act" || c == "__p"),
       "mergeClauses: source columns __act/__p are reserved")
     val starNeedsAll =
@@ -2343,6 +2446,7 @@ object TxLog {
       require(source.columns.contains(c),
         s"mergeClauses: a star clause needs source column $c"))
     (matched.collect { case u: WhenMatchedUpdate => u.set.keys }.flatten ++
+      bySource.collect { case u: WhenNotMatchedBySourceUpdate => u.set.keys }.flatten ++
       inserts.flatMap(_.values.keys)).foreach(c =>
       require(table.fieldNames.contains(c),
         s"mergeClauses: SET/INSERT column $c not in the table schema"))
@@ -2356,60 +2460,88 @@ object TxLog {
     try {
       val staged = spark.read.schema(source.schema)
         .parquet(Paths.get(dir, scratchSub).toString)
-      val keyStats = staged.agg(
+      val keyTuple = keyCols.map(col)
+      val perColDistinct = keyCols.map(k => countDistinct(col(k)))
+      val statCols = Seq(
         count(lit(1)).as("n"),
-        countDistinct(col(keyCol)).as("d"),
-        sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("nulls")).head()
-      require(keyStats.getLong(2) == 0, s"mergeClauses: NULL $keyCol in source")
+        countDistinct(keyTuple.head, keyTuple.tail: _*).as("d"),
+        sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
+          .otherwise(0L)).as("nulls")) ++ perColDistinct
+      val keyStats = staged.agg(statCols.head, statCols.tail: _*).head()
+      require(keyStats.getLong(2) == 0,
+        s"mergeClauses: NULL key (${keyCols.mkString(", ")}) in source")
       require(keyStats.getLong(0) == keyStats.getLong(1),
-        s"mergeClauses: duplicate $keyCol values in source — each key " +
-          "must match at most once")
-      val keys = staged.select(col(keyCol)).distinct()
+        s"mergeClauses: duplicate (${keyCols.mkString(", ")}) values in " +
+          "source — each key must match at most once")
+      val keys = staged.select(keyTuple: _*).distinct()
 
       // candidate files bounded by the staged source's key stats —
-      // the same discovery bound the plain merge rides
+      // the same discovery bound the plain merge rides, conjoined
+      // per key column (each column's bound is independently sound,
+      // so the conjunction can only sharpen). A by-source clause may
+      // fire on ANY target row, so its presence forces the full live
+      // set — the clause's inherent cost, surfaced in files_scanned.
       val candidates: Seq[AddFile] =
         if (snap.files.isEmpty) Nil
+        else if (bySource.nonEmpty) snap.files
         else {
           import org.apache.spark.sql.{sources => s1}
-          val rangeFilters = addsKeyBounds(scratchAdds, keyCol).map {
-            case (lo, hi) => Seq(s1.GreaterThanOrEqual(keyCol, lo),
-              s1.LessThanOrEqual(keyCol, hi))
-          }.getOrElse(Nil)
-          val inFilter =
-            if (keyStats.getLong(1) > mergeInListMax) Nil
-            else {
-              val vs = staged.select(col(keyCol).cast(StringType))
-                .distinct().collect().flatMap(r => Option(r.getString(0)))
-              if (vs.length == keyStats.getLong(1))
-                Seq(s1.In(keyCol, vs.toArray[Any]))
-              else Nil
-            }
-          val filters = rangeFilters ++ inFilter
+          val filters = keyCols.zipWithIndex.flatMap { case (kc, i) =>
+            val range = addsKeyBounds(scratchAdds, kc).map {
+              case (lo, hi) => Seq(s1.GreaterThanOrEqual(kc, lo),
+                s1.LessThanOrEqual(kc, hi))
+            }.getOrElse(Nil)
+            val dCol = keyStats.getLong(3 + i)
+            val in =
+              if (dCol > mergeInListMax) Nil
+              else {
+                val vs = staged.select(col(kc).cast(StringType))
+                  .distinct().collect().flatMap(r => Option(r.getString(0)))
+                if (vs.length == dCol) Seq(s1.In(kc, vs.toArray[Any]))
+                else Nil
+              }
+            range ++ in
+          }
           if (filters.isEmpty) snap.files else pruneByFilters(snap, filters)
         }
 
       def condOrTrue(c: Option[String]): String = c.getOrElse("TRUE")
-      // which matched rows FIRE a clause — only their files rewrite
-      val trigger = matched.map(c => expr(condOrTrue(c.condition)))
+      val keyEq = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      // NULL source keys are rejected above, so after a left_outer
+      // join a null s.<key> means exactly "no source row matched"
+      val srcNull = col(s"s.${keyCols.head}").isNull
+      // which target rows FIRE a clause — only their files rewrite
+      val mTrig = matched.map(c => expr(condOrTrue(c.condition)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val bTrig = bySource.map(c => expr(condOrTrue(c.condition)))
         .reduceOption(_ || _).getOrElse(lit(false))
       val touchedPaths: Set[String] =
-        if (candidates.isEmpty || matched.isEmpty) Set.empty
-        else scanFiles(spark, dir, snap, candidates, tagPath = Some("__p"))
-          .alias("t")
-          .join(staged.alias("s"), col(s"t.$keyCol") === col(s"s.$keyCol"))
-          .where(trigger)
-          .select("__p").distinct().collect().map(_.getString(0)).toSet
+        if (candidates.isEmpty || (matched.isEmpty && bySource.isEmpty)) Set.empty
+        else if (bySource.isEmpty)
+          scanFiles(spark, dir, snap, candidates, tagPath = Some("__p"))
+            .alias("t").join(staged.alias("s"), keyEq)
+            .where(mTrig)
+            .select("__p").distinct().collect().map(_.getString(0)).toSet
+        else
+          scanFiles(spark, dir, snap, candidates, tagPath = Some("__p"))
+            .alias("t").join(staged.alias("s"), keyEq, "left_outer")
+            .where((!srcNull && mTrig) || (srcNull && bTrig))
+            .select("__p").distinct().collect().map(_.getString(0)).toSet
       val touched = candidates.filter(f =>
         touchedPaths.exists(_.endsWith(f.path)))
 
       // rewrite the touched files: first-firing clause per row, in
-      // declaration order; rows firing nothing (or unmatched) keep
-      val deleteIdx = matched.zipWithIndex.collect {
+      // declaration order WITHIN its group (matched vs by-source rows
+      // are disjoint, so one index space covers both); rows firing
+      // nothing keep
+      val actionClauses: Seq[MergeClause] = matched ++ bySource
+      val deleteIdx = actionClauses.zipWithIndex.collect {
         case (_: WhenMatchedDelete, i) => i
+        case (_: WhenNotMatchedBySourceDelete, i) => i
       }
-      val updateClauses = matched.zipWithIndex.collect {
-        case (u: WhenMatchedUpdate, i) => (u, i)
+      val updateClauses = actionClauses.zipWithIndex.collect {
+        case (u: WhenMatchedUpdate, i) => (u.set, i)
+        case (u: WhenNotMatchedBySourceUpdate, i) => (u.set, i)
       }
       // change feed: with CDF enabled the commit's change files are its
       // COMPLETE change set (readChangeFeed then synthesizes nothing) —
@@ -2419,19 +2551,22 @@ object TxLog {
         if (touched.isEmpty) (Nil, Nil)
         else {
           val j = scanFiles(spark, dir, snap, touched).alias("t")
-            .join(staged.alias("s"),
-              col(s"t.$keyCol") === col(s"s.$keyCol"), "left_outer")
-          val act = matched.zipWithIndex.foldLeft(
-            when(col(s"s.$keyCol").isNull, lit(-1))) { case (w, (c, i)) =>
-            w.when(expr(condOrTrue(c.condition)), lit(i))
+            .join(staged.alias("s"), keyEq, "left_outer")
+          val m = matched.size
+          val act = bySource.zipWithIndex.foldLeft(
+            matched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+              case (w, (c, i)) =>
+                w.when(!srcNull && expr(condOrTrue(c.condition)), lit(i))
+            }) { case (w, (c, i)) =>
+            w.when(srcNull && expr(condOrTrue(c.condition)), lit(m + i))
           }.otherwise(lit(-1))
           val withAct = j.withColumn("__act", act)
           def project(d: DataFrame): DataFrame =
             d.select(table.fields.toSeq.map { f =>
-              updateClauses.foldLeft(col(s"t.${f.name}")) { case (c, (u, i)) =>
+              updateClauses.foldLeft(col(s"t.${f.name}")) { case (c, (set, i)) =>
                 val e =
-                  if (u.set.isEmpty) col(s"s.${f.name}")
-                  else u.set.get(f.name).map(expr).getOrElse(col(s"t.${f.name}"))
+                  if (set.isEmpty) col(s"s.${f.name}") // matched UPDATE SET *
+                  else set.get(f.name).map(expr).getOrElse(col(s"t.${f.name}"))
                 when(col("__act") === i, e).otherwise(c)
               }.cast(f.dataType).as(f.name)
             }: _*)
@@ -2474,9 +2609,9 @@ object TxLog {
             if (candidates.isEmpty)
               spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                StructType(table.fields.filter(_.name == keyCol)))
-            else scanFiles(spark, dir, snap, candidates).select(keyCol)
-          val un = staged.join(tKeys, Seq(keyCol), "left_anti").alias("s")
+                StructType(keyCols.map(k => table.fields.find(_.name == k).get)))
+            else scanFiles(spark, dir, snap, candidates).select(keyTuple: _*)
+          val un = staged.join(tKeys, keyCols, "left_anti").alias("s")
           val insAct = inserts.zipWithIndex.foldLeft(
             when(lit(false), lit(-1))) { case (w, (c, i)) =>
             w.when(expr(condOrTrue(c.condition)), lit(i))
@@ -2514,7 +2649,8 @@ object TxLog {
 
       val v = commitDmlRebase(spark, dir, "merge", snap, touched,
         touched.map(_.path), keepAdds ++ postAdds ++ insertAdds, cdfAdds,
-        None, None, Some((keys, keyCol)),
+        None, None, Some((keys, keyCols)),
+        winnerAddsConflict = bySource.nonEmpty,
         metrics = Map(
           "rows_matched" -> (touched.map(_.rows).sum - keepAdds.map(_.rows).sum),
           "rows_updated" -> postAdds.map(_.rows).sum,

@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.TxLog
-import graft.sources.TxLog.{WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatchedInsert}
+import graft.sources.TxLog.{WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatchedBySourceDelete, WhenNotMatchedBySourceUpdate, WhenNotMatchedInsert}
 
 /** Conditional multi-clause MERGE ([[TxLog.mergeClauses]]): the full
   * `WHEN MATCHED [AND c] THEN UPDATE SET …/DELETE, WHEN NOT MATCHED
-  * [AND c] THEN INSERT` surface — first-firing-clause-in-order
-  * semantics, partial SET lists, extra source columns that drive
-  * conditions but never land, change-feed completeness, bounded touch
-  * discovery, and the SQL `MERGE INTO` routing. */
+  * [AND c] THEN INSERT, WHEN NOT MATCHED BY SOURCE [AND c] THEN
+  * UPDATE/DELETE` surface — first-firing-clause-in-order semantics,
+  * partial SET lists, extra source columns that drive conditions but
+  * never land, change-feed completeness, bounded touch discovery,
+  * composite `ON` keys (tuple matching), the by-source full-scan and
+  * strict-conflict rules, and the SQL `MERGE INTO` routing. */
 class MergeClausesSpec extends AnyFunSuite with SparkTestBase {
 
   private def fresh(name: String): String =
@@ -258,5 +260,259 @@ class MergeClausesSpec extends AnyFunSuite with SparkTestBase {
     assert(got(5L) === (("v5", 57.0)))
     assert(got(6L) === (("v6", 60.0))) // guard false -> untouched
     assert(got.size === 10)
+  }
+
+  // ---- WHEN NOT MATCHED BY SOURCE -----------------------------------------
+
+  test("by-source DELETE mirrors the source snapshot in one merge") {
+    import spark.implicits._
+    val dir = fresh("mirror")
+    seed(dir)
+    // the table must become exactly this snapshot
+    val snap = Seq((3L, "THREE", 1.0), (7L, "SEVEN", 2.0), (20L, "NEW", 3.0))
+      .toDF("id", "v", "amount")
+    TxLog.mergeClauses(spark, dir, snap, "id", Seq(
+      WhenMatchedUpdate(None), WhenNotMatchedInsert(None),
+      WhenNotMatchedBySourceDelete(None)))
+    val got = state(dir)
+    assert(got === Map(3L -> (("THREE", 1.0)), 7L -> (("SEVEN", 2.0)),
+      20L -> (("NEW", 3.0))))
+  }
+
+  test("by-source UPDATE fires only on unmatched rows, under its condition") {
+    import spark.implicits._
+    val dir = fresh("bysrcupd")
+    seed(dir)
+    val src = Seq((1L, "ONE", 100.0)).toDF("id", "v", "amount")
+    TxLog.mergeClauses(spark, dir, src, "id", Seq(
+      WhenMatchedUpdate(None),
+      WhenNotMatchedBySourceUpdate(Some("t.amount < 30"),
+        Map("v" -> "'stale'"))))
+    val got = state(dir)
+    assert(got(1L) === (("ONE", 100.0))) // matched -> updated, never by-source
+    assert(got(0L) === (("stale", 0.0))) // unmatched, amount 0 < 30
+    assert(got(2L) === (("stale", 20.0)))
+    assert(got(3L) === (("v3", 30.0))) // unmatched, condition false -> kept
+    assert(got(9L) === (("v9", 90.0)))
+    assert(got.size === 10)
+  }
+
+  test("by-source clause order: first firing wins within the group") {
+    import spark.implicits._
+    val dir = fresh("bysrcorder")
+    seed(dir)
+    val src = Seq((9L, "x", 0.0)).toDF("id", "v", "amount")
+    TxLog.mergeClauses(spark, dir, src, "id", Seq(
+      WhenNotMatchedBySourceUpdate(Some("t.amount < 30"), Map("v" -> "'low'")),
+      WhenNotMatchedBySourceDelete(Some("t.amount < 50"))))
+    val got = state(dir)
+    assert(got(0L)._1 === "low" && got(2L)._1 === "low") // update fired first
+    assert(!got.contains(3L) && !got.contains(4L)) // 30,40 -> delete fired
+    assert(got(5L) === (("v5", 50.0))) // neither fired -> kept
+    assert(got(9L) === (("v9", 90.0))) // matched -> by-source never fires
+    assert(got.size === 8)
+  }
+
+  test("by-source refusals: s. references and empty SET") {
+    import spark.implicits._
+    val dir = fresh("bysrcrefuse")
+    seed(dir)
+    val src = Seq((1L, "x", 0.0)).toDF("id", "v", "amount")
+    val e1 = intercept[IllegalArgumentException] {
+      TxLog.mergeClauses(spark, dir, src, "id", Seq(
+        WhenNotMatchedBySourceUpdate(Some("s.amount > 0"), Map("v" -> "'x'"))))
+    }
+    assert(e1.getMessage.contains("see only the target row"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.mergeClauses(spark, dir, src, "id", Seq(
+        WhenNotMatchedBySourceUpdate(None, Map("v" -> "concat(s.v, 'x')"))))
+    }
+    assert(e2.getMessage.contains("see only the target row"))
+    val e3 = intercept[IllegalArgumentException] {
+      TxLog.mergeClauses(spark, dir, src, "id", Seq(
+        WhenNotMatchedBySourceUpdate(None, Map.empty)))
+    }
+    assert(e3.getMessage.contains("explicit SET"))
+  }
+
+  test("by-source CDF: deletes and updates land in the change feed") {
+    import spark.implicits._
+    val dir = fresh("bysrccdf")
+    seed(dir)
+    TxLog.setProperties(dir, Map(TxLog.Cdf.Enabled -> "true"))
+    val from = TxLog.latestVersion(dir)
+    val src = Seq((0L, "Z", 0.5)).toDF("id", "v", "amount")
+    TxLog.mergeClauses(spark, dir, src, "id", Seq(
+      WhenMatchedUpdate(None),
+      WhenNotMatchedBySourceDelete(Some("t.id >= 8"))))
+    val changes = TxLog.readChangeFeed(spark, dir, from)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changes === Set(
+      (0L, "update_preimage"), (0L, "update_postimage"),
+      (8L, "delete"), (9L, "delete")))
+  }
+
+  test("by-source discovery is honest: files_scanned = files_live") {
+    import spark.implicits._
+    val dir = fresh("bysrcscan")
+    val rows = (0 until 400).map(i => (i.toLong, s"v$i", i * 1.0))
+      .toDF("id", "v", "amount")
+    (0 until 4).foreach(b => TxLog.append(spark, dir,
+      rows.where(col("id") >= b * 100 && col("id") < (b + 1) * 100).coalesce(1)))
+    // a key-narrow batch would scan 1 of 4 — the by-source clause
+    // forces all 4 (it may fire anywhere) and the metric says so
+    val src = Seq((10L, "U", 1.0)).toDF("id", "v", "amount")
+    TxLog.mergeClauses(spark, dir, src, "id", Seq(
+      WhenMatchedUpdate(None),
+      WhenNotMatchedBySourceDelete(Some("t.id >= 399"))))
+    val m = TxLog.history(spark, dir).where("op = 'merge'")
+      .select(explode(col("metrics"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("files_live") === 4L)
+    assert(m("files_scanned") === 4L)
+    assert(m("rows_deleted") === 1L)
+    assert(TxLog.read(spark, dir).count() === 399L)
+  }
+
+  test("by-source merge aborts the rebase on ANY concurrent data change") {
+    import spark.implicits._
+    val dir = fresh("bysrcrace")
+    seed(dir)
+    val read = TxLog.latestVersion(dir)
+    // a plain append lands between the read and the publish: a keyed
+    // merge would rebase over it (disjoint keys), but a by-source merge
+    // must abort — its clauses never evaluated the new rows
+    TxLog.append(spark, dir,
+      Seq((50L, "fifty", 5.0)).toDF("id", "v", "amount"))
+    val src = Seq((1L, "ONE", 1.0)).toDF("id", "v", "amount")
+    val e = intercept[TxLog.ConcurrentWriteException] {
+      TxLog.mergeClausesAt(spark, dir, src, Seq("id"), Seq(
+        WhenMatchedUpdate(None),
+        WhenNotMatchedBySourceDelete(Some("t.id >= 9"))), read)
+    }
+    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+    // the same in-flight shape WITHOUT by-source clauses rebases fine
+    TxLog.mergeClausesAt(spark, dir, src,
+      Seq("id"), Seq(WhenMatchedUpdate(None)), read)
+    assert(state(dir)(1L) === (("ONE", 1.0)))
+    assert(state(dir)(50L) === (("fifty", 5.0)))
+  }
+
+  test("SQL MERGE with NOT MATCHED BY SOURCE routes and mirrors") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sqlbysrc").toString
+    val cat = "mb" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    seed(dir)
+    Seq((3L, "THREE", 1.0), (20L, "NEW", 3.0)).toDF("id", "v", "amount")
+      .createOrReplaceTempView("mirror_src")
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING mirror_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.amount >= 80 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'
+         |""".stripMargin)
+    val got = state(dir)
+    assert(got(3L) === (("THREE", 1.0)))
+    assert(got(20L) === (("NEW", 3.0)))
+    assert(!got.contains(8L) && !got.contains(9L)) // amount 80,90 deleted
+    assert(got(0L)._1 === "stale" && got(7L)._1 === "stale")
+    assert(got.size === 9) // 10 - 2 deleted + 1 inserted
+  }
+
+  // ---- composite keys ------------------------------------------------------
+
+  /** (k1, k2, v) with k1 in 0..1, k2 in 0..4. */
+  private def seedComposite(dir: String): Unit = {
+    import spark.implicits._
+    TxLog.append(spark, dir,
+      (for { a <- 0 to 1; b <- 0 to 4 } yield (a.toLong, b.toLong, s"v$a$b"))
+        .toDF("k1", "k2", "v"))
+  }
+
+  private def stateC(dir: String): Map[(Long, Long), String] =
+    TxLog.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+
+  test("composite-key upsert: tuple matching, not per-column") {
+    import spark.implicits._
+    val dir = fresh("composite")
+    seedComposite(dir)
+    // (0,3) exists -> update; (9,3) has k2 present but not the tuple -> insert
+    val src = Seq((0L, 3L, "UPD"), (9L, 3L, "INS")).toDF("k1", "k2", "v")
+    TxLog.merge(spark, dir, src, Seq("k1", "k2"))
+    val got = stateC(dir)
+    assert(got((0L, 3L)) === "UPD")
+    assert(got((9L, 3L)) === "INS")
+    assert(got((1L, 3L)) === "v13") // untouched: k2 alone never matches
+    assert(got.size === 11)
+  }
+
+  test("composite keys: tuple duplicates refused, per-column repeats fine") {
+    import spark.implicits._
+    val dir = fresh("compdup")
+    seedComposite(dir)
+    // same k1 twice with different k2 is VALID (distinct tuples)
+    val ok = Seq((0L, 0L, "a"), (0L, 1L, "b")).toDF("k1", "k2", "v")
+    TxLog.merge(spark, dir, ok, Seq("k1", "k2"))
+    assert(stateC(dir)((0L, 0L)) === "a")
+    val dup = Seq((0L, 0L, "x"), (0L, 0L, "y")).toDF("k1", "k2", "v")
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, dir, dup, Seq("k1", "k2"))
+    }
+    val withNull = Seq((Some(0L), 0L, "x"), (None, 1L, "y"))
+      .toDF("k1", "k2", "v")
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, dir, withNull, Seq("k1", "k2"))
+    }
+  }
+
+  test("composite-key discovery conjoins per-column bounds") {
+    import spark.implicits._
+    val dir = fresh("compscan")
+    // 4 files banded by k1 (0..3), each with k2 0..99
+    (0 until 4).foreach(b => TxLog.append(spark, dir,
+      (0 until 100).map(i => (b.toLong, i.toLong, s"v$b$i"))
+        .toDF("k1", "k2", "v").coalesce(1)))
+    val src = Seq((2L, 5L, "U")).toDF("k1", "k2", "v")
+    TxLog.merge(spark, dir, src, Seq("k1", "k2"))
+    val m = TxLog.history(spark, dir).where("op = 'merge'")
+      .select(explode(col("metrics"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("files_live") === 4L)
+    assert(m("files_scanned") === 1L) // k1 bound prunes 3 of 4
+    assert(stateC(dir)((2L, 5L)) === "U")
+  }
+
+  test("SQL MERGE with a composite ON routes through mergeClauses") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sqlcomposite").toString
+    val cat = "ck" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    seedComposite(dir)
+    Seq((1L, 2L, "UPD"), (5L, 5L, "INS")).toDF("k1", "k2", "v")
+      .createOrReplaceTempView("comp_src")
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING comp_src s
+         |ON t.k1 = s.k1 AND t.k2 = s.k2
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val got = stateC(dir)
+    assert(got((1L, 2L)) === "UPD")
+    assert(got((5L, 5L)) === "INS")
+    assert(got.size === 11)
+    // a non-equality ON is refused loudly
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"MERGE INTO $cat.t t USING comp_src s ON t.k1 > s.k1 " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(e.getMessage.contains("conjunction of equalities"))
   }
 }

@@ -728,18 +728,20 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(Files.readString(v0).contains("\"protocol\":1"), "commit 0 must record the protocol")
     assert(TxLog.snapshot(dir).rows === 3L) // own protocol reads fine
     // a future writer bumps the protocol past this reader's capability
-    // (3, since deletion vectors): it must refuse, not misread
+    // (TxLog.protocolVersion, currently 4 since type widening): it
+    // must refuse, not misread
+    val future = TxLog.protocolVersion + 1
     Files.writeString(v0,
-      Files.readString(v0).replace("\"protocol\":1", "\"protocol\":4"))
+      Files.readString(v0).replace("\"protocol\":1", s""""protocol":$future"""))
     // rewriting a committed file in place simulates a DIFFERENT table's
     // log — production commits are immutable, so the snapshot memo must
     // be dropped by hand for the fixture hack to be visible
     TxLog.invalidateSnapshots(dir)
     val e = intercept[TxLog.UnsupportedProtocolException](TxLog.snapshot(dir))
-    assert(e.getMessage.contains("protocol 4"))
+    assert(e.getMessage.contains(s"protocol $future"))
     // pre-versioning logs (no protocol field) stay readable
     Files.writeString(v0,
-      Files.readString(v0).replace(",\"protocol\":4", ""))
+      Files.readString(v0).replace(s""","protocol":$future""", ""))
     TxLog.invalidateSnapshots(dir)
     assert(TxLog.snapshot(dir).rows === 3L)
   }

@@ -116,11 +116,10 @@ class TxSqlDmlSpec extends AnyFunSuite with SparkTestBase {
     val (cat, root) = freshCat()
     seed(root)
     Seq((1L, "x", 0L)).toDF("id", "s", "grp").createOrReplaceTempView("src_bad")
-    // WHEN NOT MATCHED BY SOURCE stays outside the supported surface
+    // a non-equality ON condition is refused loudly
     val e1 = intercept[Exception] {
-      spark.sql(s"""MERGE INTO $cat.t USING src_bad ON t.id = src_bad.id
-                    WHEN MATCHED THEN UPDATE SET *
-                    WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      spark.sql(s"""MERGE INTO $cat.t USING src_bad ON t.id > src_bad.id
+                    WHEN MATCHED THEN UPDATE SET *""")
     }
     assert(e1.getMessage.contains("txlog SQL DML") ||
       e1.getCause != null && e1.getCause.getMessage.contains("txlog SQL DML"))
@@ -129,6 +128,14 @@ class TxSqlDmlSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e3.getMessage.contains("deterministic") ||
       e3.getCause != null && e3.getCause.getMessage.contains("deterministic"))
+    // silently dropping the evolution request would be the failure mode
+    val e4 = intercept[Exception] {
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t
+                    USING src_bad ON t.id = src_bad.id
+                    WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(e4.getMessage.contains("SCHEMA EVOLUTION") ||
+      e4.getCause != null && e4.getCause.getMessage.contains("SCHEMA EVOLUTION"))
   }
 
   test("UPDATE takes the merge-on-read path when deletion vectors are on") {
