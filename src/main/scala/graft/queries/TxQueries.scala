@@ -1669,6 +1669,148 @@ object TxQueries2 {
                      (SELECT count(*) FROM orders WHERE o_orderkey > 5000) AS n_del,
                      CAST(4 AS BIGINT) AS files_scanned,
                      CAST(4 AS BIGINT) AS files_live
+              FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- streaming conditional CDC sink (exactly-once clause merge) --------
+    // A txlog CHANGE FEED of op-column events drained one commit per
+    // micro-batch (maxVersionsPerTrigger=1) through foreachBatch →
+    // mergeClausesBatch: tombstones delete, matched keys update,
+    // guarded inserts land negated keys — each batch ONE txn-tagged
+    // conditional merge, so the at-least-once stream is an exactly-once
+    // sink. Pins: exactly 2 batches, and per-commit bounded discovery
+    // (each batch's key range opens 1 of the 4 target bands — the
+    // negated insert keys keep batch 1's range inside band 1). A
+    // replayed batch would double balances; a missed tombstone leaves
+    // deleted rows — both hash-visible against the relational replay.
+    QuerySpec("q186_stream_cdc_clauses", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q186").toString
+      val target = s"$root/t"
+      val feed = s"$root/feed"
+      val cust = Td.load(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment").localCheckpoint(true)
+      TxLog.append(s, target, cust.where("c_custkey <= 300").coalesce(1))
+      TxLog.append(s, target,
+        cust.where("c_custkey > 300 AND c_custkey <= 600").coalesce(1))
+      TxLog.append(s, target,
+        cust.where("c_custkey > 600 AND c_custkey <= 1000").coalesce(1))
+      TxLog.append(s, target, cust.where("c_custkey > 1000").coalesce(1))
+      // feed commit 0: updates + tombstones of keys 1..300, inserts at
+      // the NEGATED keys (provably absent; keeps the range in band 1)
+      TxLog.append(s, feed, cust.where("c_custkey BETWEEN 1 AND 300")
+        .selectExpr("c_custkey", "c_acctbal * 2 AS c_acctbal", "c_mktsegment",
+          "CASE WHEN c_custkey % 5 = 0 THEN 'd' ELSE 'u' END AS op")
+        .unionAll(cust.where("c_custkey BETWEEN 1 AND 100")
+          .selectExpr("-c_custkey AS c_custkey", "c_acctbal + 1 AS c_acctbal",
+            "'new' AS c_mktsegment", "'c' AS op")).coalesce(1))
+      // feed commit 1: late re-segmenting of band-2 keys
+      TxLog.append(s, feed,
+        cust.where("c_custkey > 300 AND c_custkey <= 600 AND c_custkey % 7 = 0")
+          .selectExpr("c_custkey", "c_acctbal", "'late' AS c_mktsegment",
+            "'u' AS op").coalesce(1))
+      graft.operators.CheckpointBlocks.release(cust)
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = s.readStream.format("txlog").option("path", feed)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches.incrementAndGet()
+            TxLog.mergeClausesBatch(s, target, b, Seq("c_custkey"), Seq(
+              TxLog.WhenMatchedDelete(Some("s.op = 'd'")),
+              TxLog.WhenMatchedUpdate(None, Map(
+                "c_acctbal" -> "s.c_acctbal",
+                "c_mktsegment" -> "s.c_mktsegment")),
+              TxLog.WhenNotMatchedInsert(Some("s.op = 'c'"))),
+              "q186", id): Unit
+          }
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val scans = TxLog.history(s, target).where("op = 'merge'")
+        .orderBy("version")
+        .select(element_at(col("metrics"), "files_scanned").as("fs"))
+        .collect().map(_.getLong(0))
+      TxLog.read(s, target)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("c_acctbal")).as("sum_bal"))
+        .withColumn("n_batches", lit(batches.get()))
+        .withColumn("scan_b0", lit(scans(0)))
+        .withColumn("scan_b1", lit(scans(1)))
+        .orderBy("c_mktsegment")
+    },
+      Some("""WITH final AS (
+                SELECT CASE WHEN c_custkey > 300 AND c_custkey <= 600
+                                 AND c_custkey % 7 = 0 THEN 'late'
+                            ELSE c_mktsegment END AS seg,
+                       CASE WHEN c_custkey BETWEEN 1 AND 300
+                              THEN c_acctbal * 2
+                            ELSE c_acctbal END AS bal
+                FROM customer
+                WHERE NOT (c_custkey BETWEEN 1 AND 300 AND c_custkey % 5 = 0)
+                UNION ALL
+                SELECT 'new', c_acctbal + 1 FROM customer
+                WHERE c_custkey BETWEEN 1 AND 100)
+              SELECT seg AS c_mktsegment, count(*) AS n_rows,
+                     CAST(sum(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+                     CAST(2 AS BIGINT) AS n_batches,
+                     CAST(1 AS BIGINT) AS scan_b0,
+                     CAST(1 AS BIGINT) AS scan_b1
+              FROM final GROUP BY seg ORDER BY seg""")),
+
+    // ---- merge-on-read MERGE (deletion vectors) -----------------------------
+    // With DVs enabled a keyed upsert writes positions + source rows,
+    // never the touched file's remainder: all 4 original banded files
+    // stay LIVE (the touched one gains a descriptor whose dead count is
+    // exactly the matched keys), discovery still opens 1 of 4, and the
+    // surviving aggregate reads through the vector. A remainder rewrite
+    // (CoW leak), a lost vector (dead rows served), or an over-wide
+    // vector (live rows hidden) each break a different pinned column.
+    QuerySpec("q187_merge_dv", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q187").toString + "/t"
+      val ord = Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
+      TxLog.append(s, root, ord.where("o_orderkey <= 100").coalesce(1))
+      TxLog.append(s, root,
+        ord.where("o_orderkey > 100 AND o_orderkey <= 1000").coalesce(1))
+      TxLog.append(s, root,
+        ord.where("o_orderkey > 1000 AND o_orderkey <= 5000").coalesce(1))
+      TxLog.append(s, root, ord.where("o_orderkey > 5000").coalesce(1))
+      TxLog.setProperties(root, Map(TxLog.DeletionVectors.Enabled -> "true"))
+      val before = TxLog.snapshot(root).files.map(_.path).toSet
+      val feed = ord.where("o_orderkey BETWEEN 1 AND 64")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      TxLog.merge(s, root, feed, "o_orderkey")
+      graft.operators.CheckpointBlocks.release(ord)
+      val snap = TxLog.snapshot(root)
+      val origLive = snap.files.count(f => before.contains(f.path))
+      val dvFiles = snap.files.count(_.dv.nonEmpty)
+      val deadSum = snap.files.flatMap(_.dv).map(_.dead).sum
+      val m = TxLog.history(s, root).where("op = 'merge'")
+        .select(element_at(col("metrics"), "files_scanned").as("files_scanned"))
+      TxLog.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("orig_live", lit(origLive.toLong))
+        .withColumn("n_dv_files", lit(dvFiles.toLong))
+        .withColumn("n_dead", lit(deadSum))
+        .crossJoin(m)
+        .orderBy("o_orderstatus")
+    },
+      Some("""WITH merged AS (
+                SELECT o_orderstatus,
+                       CASE WHEN o_orderkey BETWEEN 1 AND 64
+                              THEN o_totalprice * 2
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders)
+              SELECT o_orderstatus, count(*) AS n_rows,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     CAST(4 AS BIGINT) AS orig_live,
+                     CAST(1 AS BIGINT) AS n_dv_files,
+                     (SELECT count(*) FROM orders
+                      WHERE o_orderkey BETWEEN 1 AND 64) AS n_dead,
+                     CAST(1 AS BIGINT) AS files_scanned
               FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

@@ -2057,7 +2057,16 @@ object TxLog {
     * and would silently turn the upsert into a blind insert). Conflicts
     * rebase via [[commitDmlRebase]]: concurrent appends/compactions that
     * neither touch a matched file nor insert a source key are absorbed;
-    * genuinely crossing histories throw. Returns the committed
+    * genuinely crossing histories throw.
+    *
+    * With [[DeletionVectors]] enabled the merge is MERGE-ON-READ: the
+    * matched rows' old images die via deletion vectors (positions only,
+    * discovery and vectoring fused into one candidate scan) and the
+    * source rows land as new files — data written ∝ rows changed, never
+    * touched-file bytes; the CoW remainder rewrite (the dominant cost
+    * of a narrow CDC batch into wide files) disappears. Stamps protocol
+    * 3. Schema-changing (evolving) merges keep the CoW path — the
+    * remainder rewrite doubles as realignment. Returns the committed
     * version. */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       keyCol: String): Long = mergeImpl(spark, dir, source, keyCol, None)
@@ -2234,6 +2243,66 @@ object TxLog {
           val filters = rangeFilters ++ inFilter
           if (filters.isEmpty) snap.files else pruneByFilters(snap, filters)
         }
+      // Merge-on-read ([[DeletionVectors]] enabled): the matched rows'
+      // old images die via deletion vectors (positions only) and the
+      // source rows land as new files — data written ∝ rows changed,
+      // never touched-file bytes (the CoW remainder rewrite, the
+      // dominant cost of a narrow upsert into wide files, disappears).
+      // Schema-changing merges keep the CoW path: the remainder rewrite
+      // doubles as the realignment under the widened layout.
+      val useDv = dvEnabled(snap) && !widened
+      if (useDv && candidates.nonEmpty) {
+        // one pass over the candidates finds touched files AND the
+        // positions the new vectors are written in (deleteWhereDv's
+        // fused discovery)
+        val live = scanLiveWithPos(spark, dir, snap.copy(files = candidates))
+        val matchedPos = live.join(keys, Seq(keyCol), "left_semi")
+        val deadCounts: Map[String, Long] = matchedPos.groupBy(col("__p"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val touched = snap.files.filter(f => deadCounts.contains(f.path))
+        val (fullDead, partial) = touched.partition(f => deadCounts(f.path) == f.rows)
+        var dvSub: Option[String] = None
+        val partialAdds =
+          if (partial.isEmpty) Nil
+          else {
+            val partialPaths = partial.map(_.path)
+            val newDead = matchedPos
+              .select(col("__p").as("__dv_path"), col("__i").as("__dv_idx"))
+              .where(col("__dv_path").isin(partialPaths: _*))
+            val oldDirs = partial.flatMap(_.dv.map(_.path)).distinct
+            val allDead =
+              if (oldDirs.isEmpty) newDead
+              else newDead.unionAll(dvFrame(spark, dir, oldDirs)
+                .where(col("__dv_path").isin(partialPaths: _*)))
+            val sub = stageDv(spark, dir, allDead)
+            dvSub = Some(sub)
+            partial.map { f =>
+              val newlyDead = deadCounts(f.path)
+              f.copy(rows = f.rows - newlyDead, dataChange = false,
+                dv = Some(Dv(sub, f.dv.map(_.dead).getOrElse(0L) + newlyDead)))
+            }
+          }
+        val matched = deadCounts.values.sum
+        val v =
+          try commitDmlRebase(spark, dir, "merge", snap, touched,
+            fullDead.map(_.path), partialAdds ++ srcAdds, Nil, txn,
+            Some(3L),
+            if (table.fieldNames.contains(keyCol)) Some((keys, Seq(keyCol))) else None,
+            if (widened) Some(merged.toDDL) else None,
+            if (newMaps.isEmpty) None
+            else Some(newMaps.map { case (l, p) => ColumnMapping.Prefix + l -> p }),
+            metrics = Map("rows_matched" -> matched,
+              "rows_inserted" -> (srcAdds.map(_.rows).sum - matched),
+              "files_live" -> snap.files.size.toLong,
+              "files_scanned" -> candidates.size.toLong,
+              "files_touched" -> touched.size.toLong))
+          catch { case e: Throwable => dvSub.foreach(deleteStaged(dir, _)); throw e }
+        published = true
+        maybeAutoCompact(spark, dir, Some(snap), srcAdds)
+        return v
+      }
+
       val touchedPaths: Set[String] =
         // a key column the table does not have yet matches nothing —
         // the evolving merge is then a pure insert
@@ -2394,6 +2463,23 @@ object TxLog {
       keyCols: Seq[String], clauses: Seq[MergeClause]): Long =
     mergeClausesImpl(spark, dir, source, keyCols, clauses, None)
 
+  /** [[mergeClauses]] tagged with a streaming txn — the conditional
+    * sibling of [[mergeBatch]]: a replayed (appId, batchId) is SKIPPED
+    * (returns None), which makes an at-least-once foreachBatch CDC
+    * stream of op-column events (delete + update + guarded insert per
+    * micro-batch) an exactly-once sink. Same checkpoint-loss caveat as
+    * [[appendBatch]] (batchId→content determinism required); the table
+    * must already exist — the clause source carries op columns that
+    * must never land, so commit 0's schema cannot be derived from it. */
+  def mergeClausesBatch(spark: SparkSession, dir: String, source: DataFrame,
+      keyCols: Seq[String], clauses: Seq[MergeClause],
+      appId: String, batchId: Long): Option[Long] = {
+    val pre = headSnapshot(dir)
+    if (pre.exists(_.txns.get(appId).exists(_ >= batchId))) return None
+    Some(mergeClausesImpl(spark, dir, source, keyCols, clauses, None,
+      Some((appId, batchId))))
+  }
+
   /** [[mergeClauses]] with the read version explicit — the race-test
     * seam (commits landed between `readVersion` and the publish
     * exercise the rebase/conflict rules, including the strict
@@ -2405,7 +2491,8 @@ object TxLog {
 
   private def mergeClausesImpl(spark: SparkSession, dir: String,
       source: DataFrame, keyCols: Seq[String], clauses: Seq[MergeClause],
-      readVersionOpt: Option[Long]): Long = {
+      readVersionOpt: Option[Long],
+      txn: Option[(String, Long)] = None): Long = {
     require(clauses.nonEmpty, "mergeClauses: at least one WHEN clause")
     require(keyCols.nonEmpty, "mergeClauses: at least one key column")
     require(keyCols.distinct == keyCols,
@@ -2547,11 +2634,21 @@ object TxLog {
       // COMPLETE change set (readChangeFeed then synthesizes nothing) —
       // update pre/post images, delete rows, and insert rows all land
       val cdfFrames = scala.collection.mutable.ListBuffer[DataFrame]()
-      val (keepAdds, postAdds) =
-        if (touched.isEmpty) (Nil, Nil)
+      // Merge-on-read ([[DeletionVectors]] enabled): rows firing a
+      // clause die via deletion vectors, update post-images land as new
+      // files, and the NON-firing rows of a touched file are not
+      // rewritten at all — data written ∝ rows changed, never
+      // touched-file bytes.
+      val useDv = dvEnabled(snap)
+      // (CoW keep remainder, update post-images, DV partial re-adds,
+      //  removed paths, rows that fired a clause)
+      val (keepAdds, postAdds, partialAdds, removes, matchedCount) =
+        if (touched.isEmpty) (Nil, Nil, Nil, Nil, 0L)
         else {
-          val j = scanFiles(spark, dir, snap, touched).alias("t")
-            .join(staged.alias("s"), keyEq, "left_outer")
+          val scan =
+            if (useDv) scanLiveWithPos(spark, dir, snap.copy(files = touched))
+            else scanFiles(spark, dir, snap, touched)
+          val j = scan.alias("t").join(staged.alias("s"), keyEq, "left_outer")
           val m = matched.size
           val act = bySource.zipWithIndex.foldLeft(
             matched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
@@ -2570,19 +2667,17 @@ object TxLog {
                 when(col("__act") === i, e).otherwise(c)
               }.cast(f.dataType).as(f.name)
             }: _*)
-          val keepRows = project(withAct.where(col("__act") === -1))
-          val postRows = project(withAct.where(col("__act") =!= -1 &&
+          val fires = col("__act") =!= -1
+          val updFires = fires &&
             (if (deleteIdx.isEmpty) lit(true)
-             else !col("__act").isin(deleteIdx.map(Int.box): _*))))
+             else !col("__act").isin(deleteIdx.map(Int.box): _*))
+          val postRows = project(withAct.where(updFires))
           requireDeterministic(postRows, "merge clause")
           requireConstraints(Some(snap), postRows)
           if (cdfEnabled(snap)) {
             def preImage(d: DataFrame): DataFrame =
               d.select(table.fields.toSeq.map(f =>
                 col(s"t.${f.name}").as(f.name)): _*)
-            val updFires = col("__act") =!= -1 &&
-              (if (deleteIdx.isEmpty) lit(true)
-               else !col("__act").isin(deleteIdx.map(Int.box): _*))
             cdfFrames += toPhysical(preImage(withAct.where(updFires)), snap)
               .withColumn(ChangeTypeCol, lit("update_preimage"))
             cdfFrames += toPhysical(postRows, snap)
@@ -2592,11 +2687,43 @@ object TxLog {
                 col("__act").isin(deleteIdx.map(Int.box): _*))), snap)
                 .withColumn(ChangeTypeCol, lit("delete"))
           }
-          val (kSub, kAdds) = stageForTable(spark, dir, snap, keepRows)
-          cleanup += kSub
           val (pSub, pAdds) = stageForTable(spark, dir, snap, postRows)
           cleanup += pSub
-          (kAdds.map(_.copy(dataChange = false)), pAdds)
+          if (useDv) {
+            val firingPos = withAct.where(fires)
+              .select(col("__p").as("__dv_path"), col("__i").as("__dv_idx"))
+            val deadCounts: Map[String, Long] = firingPos.groupBy(col("__dv_path"))
+              .agg(count(lit(1)).as("n"))
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            val fired = touched.filter(f => deadCounts.contains(f.path))
+            val (fullDead, partial) = fired.partition(f => deadCounts(f.path) == f.rows)
+            val pAddsDv =
+              if (partial.isEmpty) Nil
+              else {
+                val partialPaths = partial.map(_.path)
+                val newDead = firingPos.where(col("__dv_path").isin(partialPaths: _*))
+                val oldDirs = partial.flatMap(_.dv.map(_.path)).distinct
+                val allDead =
+                  if (oldDirs.isEmpty) newDead
+                  else newDead.unionAll(dvFrame(spark, dir, oldDirs)
+                    .where(col("__dv_path").isin(partialPaths: _*)))
+                val sub = stageDv(spark, dir, allDead)
+                cleanup += sub
+                partial.map { f =>
+                  val newlyDead = deadCounts(f.path)
+                  f.copy(rows = f.rows - newlyDead, dataChange = false,
+                    dv = Some(Dv(sub, f.dv.map(_.dead).getOrElse(0L) + newlyDead)))
+                }
+              }
+            (Nil, pAdds, pAddsDv, fullDead.map(_.path), deadCounts.values.sum)
+          } else {
+            val keepRows = project(withAct.where(col("__act") === -1))
+            val (kSub, kAdds) = stageForTable(spark, dir, snap, keepRows)
+            cleanup += kSub
+            val keep = kAdds.map(_.copy(dataChange = false))
+            (keep, pAdds, Nil, touched.map(_.path),
+              touched.map(_.rows).sum - keep.map(_.rows).sum)
+          }
         }
 
       // inserts: unmatched source rows through the first firing
@@ -2648,14 +2775,14 @@ object TxLog {
         }
 
       val v = commitDmlRebase(spark, dir, "merge", snap, touched,
-        touched.map(_.path), keepAdds ++ postAdds ++ insertAdds, cdfAdds,
-        None, None, Some((keys, keyCols)),
+        removes, keepAdds ++ postAdds ++ partialAdds ++ insertAdds, cdfAdds,
+        txn, if (partialAdds.nonEmpty) Some(3L) else None,
+        Some((keys, keyCols)),
         winnerAddsConflict = bySource.nonEmpty,
         metrics = Map(
-          "rows_matched" -> (touched.map(_.rows).sum - keepAdds.map(_.rows).sum),
+          "rows_matched" -> matchedCount,
           "rows_updated" -> postAdds.map(_.rows).sum,
-          "rows_deleted" -> (touched.map(_.rows).sum -
-            keepAdds.map(_.rows).sum - postAdds.map(_.rows).sum),
+          "rows_deleted" -> (matchedCount - postAdds.map(_.rows).sum),
           "rows_inserted" -> insertAdds.map(_.rows).sum,
           "files_live" -> snap.files.size.toLong,
           "files_scanned" -> candidates.size.toLong,

@@ -424,6 +424,31 @@ class MergeClausesSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size === 9) // 10 - 2 deleted + 1 inserted
   }
 
+  test("mergeClausesBatch: a replayed (appId, batchId) skips — exactly-once CDC") {
+    import spark.implicits._
+    val dir = fresh("cdcbatch")
+    seed(dir)
+    val clauses = Seq(
+      WhenMatchedDelete(Some("s.op = 'd'")),
+      WhenMatchedUpdate(None, Map("v" -> "s.v", "amount" -> "s.amount")),
+      WhenNotMatchedInsert(Some("s.op = 'c'")))
+    val b0 = Seq((2L, "x", 0.0, "d"), (3L, "U3", 999.0, "u"))
+      .toDF("id", "v", "amount", "op")
+    assert(TxLog.mergeClausesBatch(spark, dir, b0, Seq("id"), clauses,
+      "app186", 0L).nonEmpty)
+    val after0 = state(dir)
+    assert(!after0.contains(2L) && after0(3L) === (("U3", 999.0)))
+    // the zombie twin replays the SAME batch: skipped, state unchanged
+    assert(TxLog.mergeClausesBatch(spark, dir, b0, Seq("id"), clauses,
+      "app186", 0L).isEmpty)
+    assert(state(dir) === after0)
+    // the next batch applies normally
+    val b1 = Seq((20L, "NEW", 1.0, "c")).toDF("id", "v", "amount", "op")
+    assert(TxLog.mergeClausesBatch(spark, dir, b1, Seq("id"), clauses,
+      "app186", 1L).nonEmpty)
+    assert(state(dir)(20L) === (("NEW", 1.0)))
+  }
+
   // ---- composite keys ------------------------------------------------------
 
   /** (k1, k2, v) with k1 in 0..1, k2 in 0..4. */

@@ -297,4 +297,84 @@ class TxDvSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.update(spark, dir, "id = 999", Map("s" -> "'x'")) === 1L)
     assert(TxLog.latestVersion(dir) === 1L)
   }
+
+  test("DV merge: matched images die via vector, source lands, no rewrite") {
+    import spark.implicits._
+    val dir = dvTable(0 until 100)
+    val before = TxLog.snapshot(dir).files
+    val mtime = Files.getLastModifiedTime(Paths.get(dir, before.head.path))
+    // upsert ids 50..109: 50 matches (die in place), 10 inserts
+    val src = (50 until 110).map(i => (i.toLong, s"M$i", 9)).toDF("id", "s", "grp")
+    TxLog.merge(spark, dir, src, "id")
+    val snap = TxLog.snapshot(dir)
+    val orig = snap.files.find(_.path == before.head.path).get
+    // the touched file was never rewritten — descriptor only
+    assert(Files.getLastModifiedTime(Paths.get(dir, orig.path)) === mtime)
+    assert(orig.dv.get.dead === 50L && orig.rows === 50L)
+    assert(snap.protocol === 3L)
+    val rows = TxLog.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size === 110)
+    assert(rows(50L) === "M50" && rows(109L) === "M109" && rows(0L) === "v0")
+    val m = TxLog.history(spark, dir).where("op = 'merge'")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("metrics"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("rows_matched") === 50L && m("rows_inserted") === 10L)
+    // the stream-visible change set is exactly the source rows
+    val changed = TxLog.changedFilesBetween(dir, 1L, TxLog.latestVersion(dir))
+    assert(changed.map(_.rows).sum === 60L)
+  }
+
+  test("DV clause merge: fired rows die in place, keeps stay, full-dead file removed") {
+    import spark.implicits._
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0 until 10).coalesce(1))
+    TxLog.append(spark, dir, df(10 until 20).coalesce(1))
+    TxLog.setProperties(dir, Map(TxLog.Cdf.Enabled -> "true",
+      TxLog.DeletionVectors.Enabled -> "true"))
+    val before = TxLog.snapshot(dir).files
+    val fileA = before.minBy(_.path) // which holds 0..9 is unknown; derive
+    val aIds = idSet(TxLog.read(spark, dir)
+      .where(org.apache.spark.sql.functions
+        .col("_metadata.file_path").endsWith(fileA.path)))
+    val bIds = (0L until 20L).toSet -- aIds
+    val from = TxLog.latestVersion(dir)
+    // tombstone ALL of file B, update two rows of file A
+    val twoA = aIds.toSeq.sorted.take(2)
+    val feed = (bIds.toSeq.sorted.map(i => (i, "x", "d")) ++
+      twoA.map(i => (i, s"U$i", "u"))).toDF("id", "s", "op")
+    TxLog.mergeClauses(spark, dir, feed, "id", Seq(
+      TxLog.WhenMatchedDelete(Some("s.op = 'd'")),
+      TxLog.WhenMatchedUpdate(None, Map("s" -> "s.s"))))
+    val snap = TxLog.snapshot(dir)
+    // file B: every live row fired a delete — removed by metadata alone
+    assert(!snap.files.exists(_.path == before.filterNot(_ == fileA).head.path))
+    // file A: still the SAME file, two dead positions, keeps unwritten
+    val a2 = snap.files.find(_.path == fileA.path).get
+    assert(a2.dv.get.dead === 2L && a2.rows === 8L)
+    val got = TxLog.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet === aIds)
+    twoA.foreach(i => assert(got(i) === s"U$i"))
+    // the change feed is complete: deletes + update pre/post images
+    val changes = TxLog.readChangeFeed(spark, dir, from)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changes === (bIds.map(i => (i, "delete")) ++
+      twoA.flatMap(i => Seq((i, "update_preimage"), (i, "update_postimage")))))
+  }
+
+  test("DV merge is exactly-once under txn tags (mergeBatch replay skips)") {
+    import spark.implicits._
+    val dir = dvTable(0 until 10)
+    val src = Seq((1L, "B1", 9), (20L, "B20", 9)).toDF("id", "s", "grp")
+    assert(TxLog.mergeBatch(spark, dir, src, "id", "dvapp", 0L).nonEmpty)
+    val snap1 = TxLog.snapshot(dir)
+    assert(TxLog.mergeBatch(spark, dir, src, "id", "dvapp", 0L).isEmpty)
+    assert(TxLog.snapshot(dir).version === snap1.version)
+    val rows = TxLog.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) === "B1" && rows(20L) === "B20" && rows.size === 11)
+  }
 }
