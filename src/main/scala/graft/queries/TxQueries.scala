@@ -1688,23 +1688,27 @@ object TxQueries2 {
       val feed = s"$root/feed"
       val cust = Td.load(s, dir, "customer")
         .select("c_custkey", "c_acctbal", "c_mktsegment").localCheckpoint(true)
-      TxLog.append(s, target, cust.where("c_custkey <= 300").coalesce(1))
+      // scale-proportional quartile bands (sf0.001's key space is 10×
+      // smaller — absolute bounds would leave feed commit 1 empty)
+      val q1 = cust.agg(max(col("c_custkey"))).head().getLong(0) / 4
+      val ins = q1 / 2
+      TxLog.append(s, target, cust.where(s"c_custkey <= $q1").coalesce(1))
       TxLog.append(s, target,
-        cust.where("c_custkey > 300 AND c_custkey <= 600").coalesce(1))
+        cust.where(s"c_custkey > $q1 AND c_custkey <= ${2 * q1}").coalesce(1))
       TxLog.append(s, target,
-        cust.where("c_custkey > 600 AND c_custkey <= 1000").coalesce(1))
-      TxLog.append(s, target, cust.where("c_custkey > 1000").coalesce(1))
-      // feed commit 0: updates + tombstones of keys 1..300, inserts at
+        cust.where(s"c_custkey > ${2 * q1} AND c_custkey <= ${3 * q1}").coalesce(1))
+      TxLog.append(s, target, cust.where(s"c_custkey > ${3 * q1}").coalesce(1))
+      // feed commit 0: updates + tombstones of keys 1..q1, inserts at
       // the NEGATED keys (provably absent; keeps the range in band 1)
-      TxLog.append(s, feed, cust.where("c_custkey BETWEEN 1 AND 300")
+      TxLog.append(s, feed, cust.where(s"c_custkey BETWEEN 1 AND $q1")
         .selectExpr("c_custkey", "c_acctbal * 2 AS c_acctbal", "c_mktsegment",
           "CASE WHEN c_custkey % 5 = 0 THEN 'd' ELSE 'u' END AS op")
-        .unionAll(cust.where("c_custkey BETWEEN 1 AND 100")
+        .unionAll(cust.where(s"c_custkey BETWEEN 1 AND $ins")
           .selectExpr("-c_custkey AS c_custkey", "c_acctbal + 1 AS c_acctbal",
             "'new' AS c_mktsegment", "'c' AS op")).coalesce(1))
       // feed commit 1: late re-segmenting of band-2 keys
       TxLog.append(s, feed,
-        cust.where("c_custkey > 300 AND c_custkey <= 600 AND c_custkey % 7 = 0")
+        cust.where(s"c_custkey > $q1 AND c_custkey <= ${2 * q1} AND c_custkey % 7 = 0")
           .selectExpr("c_custkey", "c_acctbal", "'late' AS c_mktsegment",
             "'u' AS op").coalesce(1))
       graft.operators.CheckpointBlocks.release(cust)
@@ -1740,18 +1744,21 @@ object TxQueries2 {
         .withColumn("scan_b1", lit(scans(1)))
         .orderBy("c_mktsegment")
     },
-      Some("""WITH final AS (
-                SELECT CASE WHEN c_custkey > 300 AND c_custkey <= 600
+      Some("""WITH b AS (SELECT max(c_custkey) // 4 AS q1 FROM customer),
+              final AS (
+                SELECT CASE WHEN c_custkey > (SELECT q1 FROM b)
+                                 AND c_custkey <= 2 * (SELECT q1 FROM b)
                                  AND c_custkey % 7 = 0 THEN 'late'
                             ELSE c_mktsegment END AS seg,
-                       CASE WHEN c_custkey BETWEEN 1 AND 300
+                       CASE WHEN c_custkey BETWEEN 1 AND (SELECT q1 FROM b)
                               THEN c_acctbal * 2
                             ELSE c_acctbal END AS bal
                 FROM customer
-                WHERE NOT (c_custkey BETWEEN 1 AND 300 AND c_custkey % 5 = 0)
+                WHERE NOT (c_custkey BETWEEN 1 AND (SELECT q1 FROM b)
+                           AND c_custkey % 5 = 0)
                 UNION ALL
                 SELECT 'new', c_acctbal + 1 FROM customer
-                WHERE c_custkey BETWEEN 1 AND 100)
+                WHERE c_custkey BETWEEN 1 AND (SELECT q1 FROM b) // 2)
               SELECT seg AS c_mktsegment, count(*) AS n_rows,
                      CAST(sum(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
                      CAST(2 AS BIGINT) AS n_batches,
