@@ -1818,6 +1818,52 @@ object TxQueries2 {
                      (SELECT count(*) FROM orders
                       WHERE o_orderkey BETWEEN 1 AND 64) AS n_dead,
                      CAST(1 AS BIGINT) AS files_scanned
-              FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+              FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- per-file bloom-filter file skipping --------------------------------
+    // The point-lookup complement to min/max stats: a ROUND-ROBIN table
+    // (file j holds keys ≡ j mod 4, so every file's range spans the
+    // whole key space — range pruning is provably useless here) with
+    // graft.bloomFilter.columns=c_custkey. A 3-key upsert (all ≡ 0 mod
+    // 4) opens 1 of 4 files: only the sidecar blooms can discriminate,
+    // and files_scanned=1 is pinned alongside the post-merge aggregate.
+    // A false NEGATIVE (wrongly pruned file) would leave keys
+    // un-updated and break the aggregate; a disabled probe would break
+    // the pinned scan count.
+    QuerySpec("q188_bloom_skip", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q188").toString + "/t"
+      val cust = Td.load(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment").localCheckpoint(true)
+      TxLog.create(root, org.apache.spark.sql.types.StructType(
+        cust.schema.fields))
+      TxLog.setProperties(root, Map(
+        TxLog.BloomIndex.Columns -> "c_custkey",
+        TxLog.BloomIndex.Bits -> (1 << 20).toString))
+      (0 until 4).foreach(j => TxLog.append(s, root,
+        cust.where(s"c_custkey % 4 = $j").coalesce(1)))
+      graft.operators.CheckpointBlocks.release(cust)
+      val feed = TxLog.read(s, root).where("c_custkey IN (8, 16, 24)")
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+      TxLog.merge(s, root, feed, "c_custkey")
+      val m = TxLog.history(s, root).where("op = 'merge'")
+        .select(element_at(col("metrics"), "files_scanned").as("files_scanned"),
+          element_at(col("metrics"), "files_live").as("files_live"))
+      TxLog.read(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("c_acctbal")).as("sum_bal"))
+        .crossJoin(m)
+        .orderBy("c_mktsegment")
+    },
+      Some("""WITH merged AS (
+                SELECT c_mktsegment,
+                       CASE WHEN c_custkey IN (8, 16, 24)
+                              THEN c_acctbal * 2
+                            ELSE c_acctbal END AS c_acctbal
+                FROM customer)
+              SELECT c_mktsegment, count(*) AS n_rows,
+                     CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+                     CAST(1 AS BIGINT) AS files_scanned,
+                     CAST(4 AS BIGINT) AS files_live
+              FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

@@ -461,7 +461,7 @@ private class PruningScanBuilder(tableName: String, dir: String,
     * skipping INSIDE the surviving files is kept (Spark 4's file scan
     * builders take catalyst expressions, not v1 filters). */
   private lazy val inner: org.apache.spark.sql.connector.read.ScanBuilder = {
-    val survivors = TxLog.pruneByFilters(snap, filters.toSeq)
+    val survivors = TxLog.pruneByFilters(snap, filters.toSeq, Some(dir))
     val paths = survivors.map(f =>
       java.nio.file.Paths.get(dir, f.path).toString)
     val b = ParquetTable(tableName, SparkSession.active, options, paths,

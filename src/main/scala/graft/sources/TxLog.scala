@@ -261,6 +261,44 @@ object TxLog {
     snap.props.get(ClusterBy.Columns).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
+  /** Per-file BLOOM-FILTER indexes (Delta's bloom filter index, the
+    * point-lookup complement to min/max stats): with
+    * `graft.bloomFilter.columns` set, append- and optimize-class writes
+    * build one Bloom filter PER (file, column) over the column's
+    * stats-canon string rendering and store it as a SIDECAR object
+    * (`_bloom/<file path>.<physical col>.bloom`, [[graft.functions
+    * .BloomOps]] layout) — the log carries nothing, so readers that
+    * ignore blooms read identically. File skipping then probes the
+    * sidecar for equality/IN predicates (keyed DELETE, MERGE touch
+    * discovery's IN-list, SQL point lookups): on a table whose key is
+    * NOT clustered or partitioned — freshly appended CDC batches between
+    * maintenance passes — min/max ranges all overlap and only the bloom
+    * discriminates. No false negatives by construction, so a bloom miss
+    * is a PROOF of absence (modulo the fp rate admitting extra files —
+    * sound); a missing sidecar (pre-property files, DML outputs, clones)
+    * just falls back to stats. Probes hash the literal re-rendered under
+    * the COLUMN's type with a round-trip check — the typed-canon
+    * discipline DML pruning follows — and skip when the round-trip is
+    * lossy. Sidecars die with their data file (VACUUM) or staging dir. */
+  object BloomIndex {
+    val Columns = "graft.bloomFilter.columns" // comma-separated logical columns
+    val Bits = "graft.bloomFilter.bits" // filter size in bits, default 2^23
+    val Probes = "graft.bloomFilter.probes" // hash probes, default 6
+    val DefaultBits = 1 << 23
+    val DefaultProbes = 6
+  }
+
+  /** The table's bloom-indexed columns under PHYSICAL names. */
+  private def bloomColsOf(props: Map[String, String]): Seq[String] = {
+    val m = colMapOf(props)
+    props.get(BloomIndex.Columns).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(c => m.getOrElse(c, c))
+  }
+
+  private def bloomPath(dir: String, rel: String, physCol: String) =
+    Paths.get(dir, "_bloom", s"$rel.$physCol.bloom")
+
   /** First-class PARTITION COLUMNS (Delta's partitionBy): the property
     * records the table's LOGICAL partition columns (comma-separated),
     * fixed at creation ([[create]] / the first [[appendPartitioned]])
@@ -958,6 +996,97 @@ object TxLog {
     (sub, collectAdds(spark, dir, sub, df.schema))
   }
 
+  /** [[BloomIndex]] build aggregate: the [[graft.functions.BloomOps]]
+    * bit-set over per-row xxhash64 values, as a self-contained public
+    * `Aggregator` (no session-extension function registry needed from
+    * library code). Merge is bytewise OR — bit-identical under any
+    * partitioning, like `bloom_agg`. */
+  private class BloomBuildAgg(bits: Int, probes: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Byte], Array[Byte]] {
+    import graft.functions.BloomOps
+    override def zero: Array[Byte] = {
+      val b = new Array[Byte](8 + bits / 8)
+      BloomOps.writeInt(b, 0, bits); BloomOps.writeInt(b, 4, probes)
+      b
+    }
+    override def reduce(b: Array[Byte], h: Long): Array[Byte] = {
+      var i = 0
+      while (i < probes) { BloomOps.setBit(b, 8, BloomOps.bitPos(h, i, bits)); i += 1 }
+      b
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 8
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Build and persist [[BloomIndex]] sidecars for the staged files of
+    * `sub`, when the table property names bloom columns present in the
+    * staging: one distributed agg job (groupBy file), one sidecar write
+    * per (file, column). Best-effort by contract — sidecars are
+    * advisory skipping metadata, never a correctness input, so a
+    * failure here must not fail the commit. */
+  private def attachBlooms(spark: SparkSession, dir: String, sub: String,
+      props: Map[String, String]): Unit = {
+    val cols = bloomColsOf(props)
+    if (cols.isEmpty) return
+    try {
+      val staged = spark.read.parquet(Paths.get(dir, sub).toString)
+      val present = cols.filter(staged.columns.contains)
+      if (present.isEmpty) return
+      val bits = props.get(BloomIndex.Bits).map(_.toInt)
+        .getOrElse(BloomIndex.DefaultBits)
+      val probes = props.get(BloomIndex.Probes).map(_.toInt)
+        .getOrElse(BloomIndex.DefaultProbes)
+      require(bits > 0 && bits % 8 == 0, s"${BloomIndex.Bits}: positive multiple of 8")
+      require(probes > 0 && probes <= 32, s"${BloomIndex.Probes}: in [1,32]")
+      val agg = udaf(new BloomBuildAgg(bits, probes), org.apache.spark.sql.Encoders.scalaLong)
+      // the hash input is the column's cast-to-string canon — the SAME
+      // rendering the per-file min/max stats use, so probe literals
+      // re-rendered under the column type hash identically
+      val aggs = present.map(c => agg(xxhash64(col(c).cast(StringType))).as(s"__b_$c"))
+      val rows = staged
+        .groupBy(col("_metadata.file_path").as("__path"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val stagedNames = listStaged(dir, sub).map(n => s"$sub/$n")
+      rows.foreach { r =>
+        val abs = r.getString(0)
+        stagedNames.find(abs.endsWith).foreach { rel =>
+          present.zipWithIndex.foreach { case (c, i) =>
+            val p = bloomPath(dir, rel, c)
+            Files.createDirectories(p.getParent)
+            Files.write(p, r.getAs[Array[Byte]](i + 1)): Unit
+          }
+        }
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[txlog] bloom sidecar build failed for $dir/$sub: ${e.getMessage}")
+    }
+  }
+
+  /** Delete the bloom sidecars of one data file (VACUUM's per-file
+    * reclaim path); directory cleanup rides [[deleteStaged]]. */
+  private def deleteSidecars(dir: String, rel: String): Unit = {
+    val parent = Paths.get(dir, "_bloom", rel).getParent
+    if (parent != null && Files.isDirectory(parent)) {
+      val name = Paths.get(rel).getFileName.toString
+      val ds = Files.list(parent)
+      try ds.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(name + "."))
+        .foreach(p => Files.deleteIfExists(p): Unit)
+      finally ds.close()
+      val rest = Files.list(parent)
+      val empty = try !rest.iterator().hasNext finally rest.close()
+      if (empty) Files.deleteIfExists(parent): Unit
+    }
+  }
+
   /** Stage `df` PARTITION-ALIGNED: each staged file holds exactly ONE
     * value combination of `physPartCols` (the table's partition columns
     * under physical names), recorded in its [[AddFile.pv]].
@@ -1053,12 +1182,14 @@ object TxLog {
   }
 
   private def deleteStaged(dir: String, sub: String): Unit = {
-    val p = Paths.get(dir, sub)
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f): Unit)
-      finally walk.close()
+    // sidecars (bloom indexes) live and die with their staging dir
+    Seq(Paths.get(dir, sub), Paths.get(dir, "_bloom", sub)).foreach { p =>
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f): Unit)
+        finally walk.close()
+      }
     }
   }
 
@@ -1112,6 +1243,9 @@ object TxLog {
     val (sub, adds) =
       if (physParts.isEmpty) stage(spark, dir, staged)
       else stagePartitioned(spark, dir, staged, physParts)
+    // bloom sidecars for the staged files (advisory; creation has no
+    // properties yet, so the table's first files simply carry none)
+    pre.foreach(h => attachBlooms(spark, dir, sub, h.props))
     val ddl = df.schema.toDDL
     // Any exit without a published commit must reclaim the staging dir —
     // including a schema mismatch surfacing mid-retry (a concurrent
@@ -1662,6 +1796,7 @@ object TxLog {
         // Layout-only rewrite: no row is new to the table.
         stage(spark, dir, toPhysical(packed, snap))
       }
+    attachBlooms(spark, dir, sub, snap.props)
     val adds = adds0.map(_.copy(dataChange = false))
     val removes = snap.files.map(_.path)
 
@@ -1713,6 +1848,7 @@ object TxLog {
           .sortWithinPartitions(sortBy.map(col): _*)
       else src.coalesce(nOut)
     val (sub, adds0) = stage(spark, dir, toPhysical(packed, snap))
+    attachBlooms(spark, dir, sub, snap.props)
     // single-partition inputs → outputs inherit the pv verbatim
     val adds = adds0.map(_.copy(dataChange = false, pv = pv))
     commitRewrite(dir, sub, adds, snap, "optimize", Some(inPart))
@@ -1997,6 +2133,7 @@ object TxLog {
     val (sub, adds0) =
       if (partitionColsOf(snap).nonEmpty) stageForTable(spark, dir, snap, src)
       else stage(spark, dir, toPhysical(src.coalesce(nOut), snap))
+    attachBlooms(spark, dir, sub, snap.props)
     val adds = adds0.map(_.copy(dataChange = false))
     // check-then-claim against ONE snapshot per iteration — the
     // [[commitRewrite]] rebase invariant; see the comment there for the
@@ -2241,7 +2378,7 @@ object TxLog {
               else Nil // a key whose canon is null cannot be listed
             }
           val filters = rangeFilters ++ inFilter
-          if (filters.isEmpty) snap.files else pruneByFilters(snap, filters)
+          if (filters.isEmpty) snap.files else pruneByFilters(snap, filters, Some(dir))
         }
       // Merge-on-read ([[DeletionVectors]] enabled): the matched rows'
       // old images die via deletion vectors (positions only) and the
@@ -2589,7 +2726,7 @@ object TxLog {
               }
             range ++ in
           }
-          if (filters.isEmpty) snap.files else pruneByFilters(snap, filters)
+          if (filters.isEmpty) snap.files else pruneByFilters(snap, filters, Some(dir))
         }
 
       def condOrTrue(c: Option[String]): String = c.getOrElse("TRUE")
@@ -2926,6 +3063,17 @@ object TxLog {
     snap.files.flatMap(_.dv.map(_.path)).distinct.foreach { dvDir =>
       listStaged(srcDir, dvDir).foreach(n => link(s"$dvDir/$n"))
     }
+    // bloom sidecars travel with their files (advisory — a missing one
+    // just skips less; the links keep bytes alive across source VACUUM)
+    for (f <- snap.files; c <- bloomColsOf(snap.props)) {
+      val srcBloom = bloomPath(srcDir, f.path, c)
+      if (Files.exists(srcBloom)) {
+        val to = bloomPath(dstDir, f.path, c)
+        Files.createDirectories(to.getParent)
+        try Files.createLink(to, srcBloom): Unit
+        catch { case _: FileAlreadyExistsException => () }
+      }
+    }
     val adds = snap.files.map(_.copy(dataChange = true))
     val content = commitJson(0L, "clone", System.currentTimeMillis(), adds, Nil,
       Some(snap.schemaDdl), None,
@@ -3239,8 +3387,8 @@ object TxLog {
     val candidates = keys match {
       case Some((k, kc)) =>
         val fs = keyFrameFilters(k, kc)
-        if (fs.isEmpty) snap.files else pruneByFilters(snap, fs)
-      case None => pruneByFilters(snap, eqConjuncts(spark, condition, snap.schema))
+        if (fs.isEmpty) snap.files else pruneByFilters(snap, fs, Some(dir))
+      case None => pruneByFilters(snap, eqConjuncts(spark, condition, snap.schema), Some(dir))
     }
     if (candidates.isEmpty) return readVersion
     if (dvEnabled(snap)) return deleteWhereDv(spark, dir, snap, condition, keys, candidates)
@@ -3389,7 +3537,7 @@ object TxLog {
     set.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"update: SET column $c not in table schema"))
     if (snap.files.isEmpty) return readVersion
-    val candidates = pruneByFilters(snap, eqConjuncts(spark, condition, snap.schema))
+    val candidates = pruneByFilters(snap, eqConjuncts(spark, condition, snap.schema), Some(dir))
     if (candidates.isEmpty) return readVersion
     if (dvEnabled(snap)) return updateDv(spark, dir, snap, condition, set, candidates)
     val matching = scanFiles(spark, dir, snap, candidates, tagPath = Some("__p"))
@@ -3798,7 +3946,11 @@ object TxLog {
     val expired = (referenced -- kept).toSeq.sorted
       .filter(rel =>
         if (dryRun) Files.exists(Paths.get(dir, rel))
-        else Files.deleteIfExists(Paths.get(dir, rel))) ++ expiredDv
+        else {
+          // bloom sidecars die with their data file
+          deleteSidecars(dir, rel)
+          Files.deleteIfExists(Paths.get(dir, rel))
+        }) ++ expiredDv
 
     // Dead staging: parquet under d-*/ that NO commit ever referenced,
     // older than the staleness window (an in-flight writer's fresh
@@ -4233,7 +4385,8 @@ object TxLog {
     * provably unsatisfiable on it; unknown columns, unsupported value
     * types, NOT, and exotic filters keep the file. */
   private[sources] def pruneByFilters(snap: Snapshot,
-      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[AddFile] = {
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      bloomDir: Option[String] = None): Seq[AddFile] = {
     import org.apache.spark.sql.sources._
     val m = colMapOf(snap.props)
     // memoized per distinct literal: the datetime/decimal canon costs a
@@ -4241,6 +4394,49 @@ object TxLog {
     val canonCache = scala.collection.mutable.HashMap.empty[Any, Option[String]]
     val canon: Any => Option[String] =
       v => canonCache.getOrElseUpdate(v, valueCanon(v))
+    // Bloom sidecar probes ([[BloomIndex]]): consulted ONLY after the
+    // pv/stats checks pass, only for equality, and only when the probe
+    // literal re-renders LOSSLESSLY under the column's stats type (the
+    // typed-canon discipline — probing "5" against a double column's
+    // filter, whose bits were set from "5.0", would wrongly prune).
+    // Sidecars are read once per (file, column) per call; a missing or
+    // unreadable sidecar never prunes.
+    val bloomCache = scala.collection.mutable.HashMap.empty[(String, String), Option[Array[Byte]]]
+    val probeCache = scala.collection.mutable.HashMap.empty[(String, String), Option[Long]]
+    def probeHash(typ: String, s: String): Option[Long] =
+      probeCache.getOrElseUpdate((typ, s), {
+        import org.apache.spark.sql.catalyst.{expressions => ce}
+        try {
+          val dt = DataType.fromDDL(typ)
+          val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          val rendered =
+            if (dt == StringType) Some(s)
+            else {
+              val parsed = ce.Cast(ce.Literal(
+                org.apache.spark.unsafe.types.UTF8String.fromString(s),
+                StringType), dt, tz).eval()
+              if (parsed == null) None
+              else Option(ce.Cast(ce.Literal(parsed, dt), StringType, tz).eval())
+                .map(_.toString).filter(r => cmpStats(typ, r, s).contains(0))
+            }
+          rendered.map(r => ce.XxHash64(Seq(ce.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(r),
+            StringType)), 42L).eval(null).asInstanceOf[Long])
+        } catch { case _: Exception => None }
+      })
+    def bloomMiss(f: AddFile, c: String, s: String): Boolean = bloomDir match {
+      case None => false
+      case Some(d) =>
+        val sidecar = bloomCache.getOrElseUpdate((f.path, c), {
+          val p = bloomPath(d, f.path, c)
+          try { if (Files.exists(p)) Some(Files.readAllBytes(p)) else None }
+          catch { case _: Exception => None }
+        })
+        sidecar.exists { bytes =>
+          f.stats.get(c).map(_.typ).flatMap(probeHash(_, s))
+            .exists(h => !graft.functions.BloomOps.mightContain(bytes, h))
+        }
+    }
     // pv equality compares under the column's TYPE (stats typ), never
     // raw strings: a double partition's pv "5.0" must match an int
     // literal's canon "5" (BigDecimal), while string/date/timestamp pv
@@ -4257,17 +4453,19 @@ object TxLog {
         val c = m.getOrElse(c0, c0)
         f.pv.get(c) match {
           case Some(pvv) => pvMayMatch(f, c, pvv, s)
-          case None => f.stats.get(c) match {
-            case Some(cs) => (cs.min, cs.max) match {
-              case (Some(mn), Some(mx)) =>
-                (cmpStats(cs.typ, mn, s), cmpStats(cs.typ, mx, s)) match {
-                  case (Some(a), Some(b)) => a <= 0 && b >= 0
-                  case _ => true
-                }
-              case _ => cs.nulls != f.rows
+          case None =>
+            val statsPass = f.stats.get(c) match {
+              case Some(cs) => (cs.min, cs.max) match {
+                case (Some(mn), Some(mx)) =>
+                  (cmpStats(cs.typ, mn, s), cmpStats(cs.typ, mx, s)) match {
+                    case (Some(a), Some(b)) => a <= 0 && b >= 0
+                    case _ => true
+                  }
+                case _ => cs.nulls != f.rows
+              }
+              case None => true
             }
-            case None => true
-          }
+            statsPass && !bloomMiss(f, c, s)
         }
       }
       case In(c0, vs) =>
