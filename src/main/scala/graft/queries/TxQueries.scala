@@ -1864,6 +1864,90 @@ object TxQueries2 {
                      CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
                      CAST(1 AS BIGINT) AS files_scanned,
                      CAST(4 AS BIGINT) AS files_live
-              FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+              FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment"""))  ,
+
+    // ---- hidden partitioning: days(ts) + predicate derivation --------------
+    // Iceberg's hidden partitioning through SQL DDL: CREATE TABLE …
+    // PARTITIONED BY (days(ts)) materializes a generated ts_day column
+    // (computed on INSERT — the column list below omits it), partitions
+    // by it, and DERIVES partition predicates from raw-ts filters. The
+    // DELETE below names ONLY ts; its files_scanned must equal the
+    // distinct days intersecting the range (oracle-recomputed, so the
+    // pin adapts across SFs), files_live the feed's distinct days. A
+    // broken derivation scans 30 files; an unsound one loses rows.
+    QuerySpec("q189_hidden_partitioning", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q189").toString
+      val cat = "hpt" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""CREATE TABLE $cat.ev (
+                  event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+                PARTITIONED BY (days(ts))""")
+      Td.load(s, dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .createOrReplaceTempView("q189_ev")
+      s.sql(s"INSERT INTO $cat.ev (event_id, ts, event_type, value) " +
+        "SELECT * FROM q189_ev")
+      s.sql(s"DELETE FROM $cat.ev WHERE " +
+        "ts >= timestamp'2024-01-02 00:00:00' AND " +
+        "ts <= timestamp'2024-01-03 23:59:59.999999'")
+      val m = TxLog.history(s, s"$root/ev").where("op = 'delete'")
+        .select(element_at(col("metrics"), "files_scanned").as("files_scanned"),
+          element_at(col("metrics"), "files_live").as("files_live"))
+      s.sql(s"SELECT event_type, count(*) AS n_rows FROM $cat.ev GROUP BY event_type")
+        .crossJoin(m)
+        .orderBy("event_type")
+    },
+      Some("""WITH kept AS (
+                SELECT * FROM events
+                WHERE NOT (ts >= TIMESTAMP '2024-01-02 00:00:00'
+                           AND ts <= TIMESTAMP '2024-01-03 23:59:59.999999')),
+              sc AS (
+                SELECT count(DISTINCT CAST(ts AS DATE)) AS files_scanned
+                FROM events
+                WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+                  AND ts <= TIMESTAMP '2024-01-03 23:59:59.999999'),
+              lv AS (
+                SELECT count(DISTINCT CAST(ts AS DATE)) AS files_live FROM events)
+              SELECT event_type, count(*) AS n_rows, sc.files_scanned, lv.files_live
+              FROM kept CROSS JOIN sc CROSS JOIN lv
+              GROUP BY event_type, sc.files_scanned, lv.files_live
+              ORDER BY event_type""")),
+
+    // ---- bucket transform: derivation is the ONLY discriminator ------------
+    // bucket(8, c_custkey) hidden partitioning: every bucket file's raw
+    // key range spans the whole key space (hash interleave), so min/max
+    // stats CANNOT prune a point lookup — only deriving the bucket of
+    // the literal can. A keyed DELETE and a keyed UPDATE each pin
+    // files_scanned = 1 of files_live = 8; the final segment aggregate
+    // catches any unsound prune (a lost row or a missed update).
+    QuerySpec("q190_bucket_pruning", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q190").toString + "/t"
+      val cust = Td.load(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      TxLog.create(root, StructType(cust.schema.fields :+
+        StructField("ck_bucket", LongType)), partitionBy = Seq("ck_bucket"))
+      TxLog.addGeneratedColumn(s, root, "ck_bucket", "bucket(8, c_custkey)")
+      TxLog.append(s, root, cust) // ck_bucket computed, partition-aligned
+      TxLog.delete(s, root, "c_custkey = 42")
+      TxLog.update(s, root, "c_custkey = 7", Map("c_acctbal" -> "0.0"))
+      val m = TxLog.history(s, root).where("op IN ('delete', 'update')")
+        .agg(sum(element_at(col("metrics"), "files_scanned")).as("files_scanned_2dml"),
+          max(element_at(col("metrics"), "files_live")).as("files_live"))
+      TxLog.read(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("c_acctbal")).as("sum_bal"))
+        .crossJoin(m)
+        .orderBy("c_mktsegment")
+    },
+      Some("""WITH after AS (
+                SELECT c_mktsegment,
+                       CASE WHEN c_custkey = 7 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+                FROM customer WHERE c_custkey <> 42)
+              SELECT c_mktsegment, count(*) AS n_rows,
+                     CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+                     CAST(2 AS BIGINT) AS files_scanned_2dml,
+                     CAST(8 AS BIGINT) AS files_live
+              FROM after GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

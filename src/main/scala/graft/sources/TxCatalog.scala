@@ -274,20 +274,58 @@ class TxCatalog extends TableCatalog
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // PARTITIONED BY (identity columns only): fixes first-class partition
-    // columns in the log — every INSERT then stages partition-aligned
-    // files with pv metadata (bucket/time transforms cluster via OPTIMIZE)
-    val partCols = partitions.toSeq.map { t =>
-      require(t.name == "identity" && t.references.length == 1 &&
-          t.references.head.fieldNames.length == 1,
-        s"$catalogName: only PARTITIONED BY (column) is supported, got $t")
+    // PARTITIONED BY: identity columns partition directly; time/bucket/
+    // truncate transforms become HIDDEN GENERATED partition columns
+    // (Iceberg's hidden partitioning): a materialized `<col>_<kind>`
+    // column joins the schema, declared generated ([[TxLog
+    // .GeneratedCols]]) and made the partition column — INSERTs compute
+    // it automatically and filters on the BASE column prune by
+    // partition via predicate derivation, with no query rewrite.
+    import org.apache.spark.sql.connector.expressions.{Literal => CLit}
+    def ref(t: Transform): String = {
+      require(t.references.length == 1 && t.references.head.fieldNames.length == 1,
+        s"$catalogName: unsupported partition transform $t")
       t.references.head.fieldNames.head
     }
+    def intArg(t: Transform): Int = t.arguments.collectFirst {
+      case l: CLit[_] if l.value.isInstanceOf[Number] =>
+        l.value.asInstanceOf[Number].intValue
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$catalogName: transform $t needs an integer argument"))
+    // (partition column, optional (hidden generated column, transform))
+    val resolved: Seq[(String, Option[(String, String)])] = partitions.toSeq.map { t =>
+      def gen(suffix: String, spec: String => String) = {
+        val b = ref(t); (s"${b}_$suffix", Some((s"${b}_$suffix", spec(b))))
+      }
+      t.name match {
+        case "identity" => (ref(t), None)
+        case "years" => gen("year", b => s"year($b)")
+        case "months" => gen("month", b => s"month($b)")
+        case "days" => gen("day", b => s"date($b)")
+        case "hours" => gen("hour", b => s"hour($b)")
+        case "bucket" => val n = intArg(t); gen("bucket", b => s"bucket($n, $b)")
+        case "truncate" => val n = intArg(t); gen("trunc", b => s"truncate($n, $b)")
+        case other => throw new IllegalArgumentException(
+          s"$catalogName: unsupported partition transform $other " +
+            "(supported: identity, years, months, days, hours, bucket, truncate)")
+      }
+    }
+    val hidden = resolved.flatMap(_._2)
+    hidden.foreach { case (n, _) =>
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"$catalogName: hidden partition column $n collides with a declared column")
+    }
+    val fullSchema = StructType(schema.fields ++ hidden.map { case (n, sp) =>
+      StructField(n, TxLog.generatedFieldType(schema, sp), nullable = true)
+    })
     val dir = dirOf(ident)
-    try TxLog.create(dir, schema, partCols)
+    try TxLog.create(dir, fullSchema, resolved.map(_._1))
     catch { case _: TxLog.TableExistsException =>
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace :+ ident.name).toSeq)
+    }
+    hidden.foreach { case (n, sp) =>
+      TxLog.addGeneratedColumn(SparkSession.active, dir, n, sp): Unit
     }
     val userProps = properties.asScala.view
       .filterKeys(k => !reservedProps.contains(k)).toMap

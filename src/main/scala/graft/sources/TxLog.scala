@@ -299,6 +299,189 @@ object TxLog {
   private def bloomPath(dir: String, rel: String, physCol: String) =
     Paths.get(dir, "_bloom", s"$rel.$physCol.bloom")
 
+  /** GENERATED PARTITION COLUMNS (Iceberg's hidden partitioning /
+    * Delta's generated columns with partition-predicate derivation):
+    * `graft.generatedColumn.<col> = <transform>` declares `<col>` as a
+    * MATERIALIZED function of a base column, with `<transform>` drawn
+    * from a closed grammar — each member has a SOUND literal-derivation
+    * rule, which is the whole point:
+    *
+    *  - `date(b)`    b timestamp/date → DATE          (monotonic)
+    *  - `month(b)`   → 'yyyy-MM' string               (monotonic)
+    *  - `hour(b)`    → 'yyyy-MM-dd HH' string         (monotonic)
+    *  - `year(b)`    → INT year                       (monotonic)
+    *  - `bucket(N, b)`   → pmod(xxhash64(b), N) BIGINT (equality/IN only)
+    *  - `truncate(N, b)` → integral floor-to-multiple, or string prefix
+    *                       (monotonic)
+    *
+    * Writes compute the column when the incoming frame omits it (and
+    * heal NULLs — Spark's by-name INSERT pads absent columns with NULL);
+    * a companion CHECK constraint (`graft.constraint.__gen_<col>`)
+    * enforces `col <=> transform(base)` on every write path, so stored
+    * data provably satisfies the spec. File skipping then DERIVES
+    * partition predicates: a filter on the BASE column adds the
+    * transformed filter on the generated column — `ts >= L` adds
+    * `g >= T(L)` for monotonic T, equality/IN map pointwise — which the
+    * pv/stats pruning consumes. Partitioning a 100-TB event table by
+    * `date(ts)` thus prunes raw-`ts` queries to the touched days with
+    * no query rewrite. SOUNDNESS CONTRACT: derivation is enabled ONLY
+    * while the companion CHECK is active (dropping it turns derivation
+    * off — the invariant it certifies is a correctness dependency);
+    * rename/drop of either column is refused by the existing
+    * constraint-reference guard; time transforms render under the
+    * session timezone (the same zone the stats canon uses — switching
+    * zones mid-table is flagged by the CHECK on the next write).
+    * `TIMESTAMP → local rendering` is the one deliberate impurity,
+    * matching Delta's generated-column pruning. */
+  object GeneratedCols {
+    val Prefix = "graft.generatedColumn." // + <generated col> -> transform
+    /** The companion CHECK's name for a generated column. */
+    def checkName(col: String): String = s"__gen_$col"
+  }
+
+  /** A parsed generated-column transform. `n` is the bucket/truncate
+    * modulus (0 otherwise). */
+  private[sources] final case class GenSpec(kind: String, n: Int, base: String)
+
+  private[sources] def parseGenSpec(s: String): Option[GenSpec] = {
+    val unary = "^\\s*(date|month|hour|year)\\s*\\(\\s*([A-Za-z0-9_]+)\\s*\\)\\s*$".r
+    val nary = "^\\s*(bucket|truncate)\\s*\\(\\s*([0-9]+)\\s*,\\s*([A-Za-z0-9_]+)\\s*\\)\\s*$".r
+    s match {
+      case unary(k, b) => Some(GenSpec(k, 0, b))
+      case nary(k, n, b) => n.toIntOption.filter(_ > 0).map(GenSpec(k, _, b))
+      case _ => None
+    }
+  }
+
+  /** The table's generated columns: logical gen col → parsed spec.
+    * Unparseable specs are ignored here (install validates loudly). */
+  private def generatedColsOf(props: Map[String, String]): Map[String, GenSpec] =
+    props.collect {
+      case (k, v) if k.startsWith(GeneratedCols.Prefix) && v.nonEmpty =>
+        k.stripPrefix(GeneratedCols.Prefix) -> parseGenSpec(v)
+    }.collect { case (g, Some(spec)) => g -> spec }
+
+  /** The SQL expression a generated column materializes — used by the
+    * write-side compute AND the companion CHECK, so the two can never
+    * drift. `baseType` picks the truncate variant. */
+  private def genSqlExpr(spec: GenSpec, baseType: DataType): String =
+    genSqlExprOn(spec, baseType, s"`${spec.base}`")
+
+  /** [[genSqlExpr]] over an arbitrary SQL rendering of the base value —
+    * UPDATE recomputes the generated column from the base's NEW value,
+    * i.e. the base's own SET expression. */
+  private def genSqlExprOn(spec: GenSpec, baseType: DataType, b: String): String = {
+    spec.kind match {
+      case "date" => s"to_date($b)"
+      case "month" => s"date_format($b, 'yyyy-MM')"
+      case "hour" => s"date_format($b, 'yyyy-MM-dd HH')"
+      case "year" => s"year($b)"
+      case "bucket" => s"pmod(xxhash64($b), cast(${spec.n} as bigint))"
+      case "truncate" => baseType match {
+        case StringType => s"substring($b, 1, ${spec.n})"
+        case _ => s"$b - pmod($b, cast(${spec.n} as ${baseType.sql}))"
+      }
+    }
+  }
+
+  /** The DataType a generated column must be declared as. */
+  private def genColType(spec: GenSpec, baseType: DataType): DataType =
+    spec.kind match {
+      case "date" => DateType
+      case "month" | "hour" => StringType
+      case "year" => IntegerType
+      case "bucket" => LongType
+      case "truncate" => baseType
+    }
+
+  private def genBaseTypesOk(spec: GenSpec, baseType: DataType): Boolean =
+    spec.kind match {
+      case "date" | "month" | "hour" | "year" =>
+        baseType == TimestampType || baseType == TimestampNTZType ||
+          baseType == DateType
+      case "bucket" => statSupported(baseType)
+      case "truncate" => baseType match {
+        case StringType | ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+
+  /** The DataType a transform materializes over `schema` — the
+    * catalog's CREATE TABLE … PARTITIONED BY (days(ts)) helper for
+    * declaring the hidden column before the table exists. */
+  def generatedFieldType(schema: StructType, specStr: String): DataType = {
+    val spec = parseGenSpec(specStr).getOrElse(throw new IllegalArgumentException(
+      s"generatedFieldType: unparseable transform '$specStr'"))
+    val bt = schema.fields.find(_.name == spec.base).map(_.dataType).getOrElse(
+      throw new IllegalArgumentException(
+        s"generatedFieldType: base column ${spec.base} not in schema"))
+    require(genBaseTypesOk(spec, bt),
+      s"generatedFieldType: ${spec.kind} unsupported on base type ${bt.sql}")
+    genColType(spec, bt)
+  }
+
+  /** Declare `genCol` as generated (`specStr`, the [[GeneratedCols]]
+    * grammar) and install the companion CHECK in ONE commit. Both
+    * columns must exist with the right types; existing rows must
+    * already satisfy the transform (one early-exit scan, like
+    * [[addConstraint]]) — declare at creation, before data, for the
+    * hidden-partitioning layout. */
+  def addGeneratedColumn(spark: SparkSession, dir: String, genCol: String,
+      specStr: String): Long = {
+    val spec = parseGenSpec(specStr).getOrElse(throw new IllegalArgumentException(
+      s"addGeneratedColumn: unparseable transform '$specStr' (grammar: " +
+        "date|month|hour|year(base), bucket|truncate(N, base))"))
+    val snap = snapshot(dir)
+    val baseF = snap.schema.fields.find(_.name == spec.base).getOrElse(
+      throw new IllegalArgumentException(
+        s"addGeneratedColumn: base column ${spec.base} not in table schema"))
+    val genF = snap.schema.fields.find(_.name == genCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"addGeneratedColumn: column $genCol not in table schema"))
+    require(genBaseTypesOk(spec, baseF.dataType),
+      s"addGeneratedColumn: ${spec.kind} unsupported on base type ${baseF.dataType.sql}")
+    val expect = genColType(spec, baseF.dataType)
+    require(genF.dataType == expect,
+      s"addGeneratedColumn: $genCol must be ${expect.sql} for ${spec.kind}, " +
+        s"is ${genF.dataType.sql}")
+    val checkSql = s"`$genCol` <=> (${genSqlExpr(spec, baseF.dataType)})"
+    if (snap.files.nonEmpty &&
+        !read(spark, dir).where(s"NOT ($checkSql)").isEmpty)
+      throw new ConstraintViolationException(
+        s"addGeneratedColumn: existing rows of $dir violate $genCol = $specStr")
+    setProperties(dir, Map(
+      GeneratedCols.Prefix + genCol -> specStr,
+      ConstraintPrefix + GeneratedCols.checkName(genCol) -> checkSql))
+  }
+
+  /** Compute the table's generated columns over an incoming frame:
+    * absent columns are added, present-but-NULL cells are healed
+    * (Spark's by-name INSERT pads omitted columns with NULL — and a
+    * non-NULL wrong value still fails the companion CHECK). A frame
+    * missing the BASE column is left alone (the schema check downstream
+    * reports it). */
+  private def withGeneratedCols(snap: Snapshot, df: DataFrame): DataFrame = {
+    val gens = generatedColsOf(snap.props)
+    if (gens.isEmpty) df
+    else gens.foldLeft(df) { case (d, (g, spec)) =>
+      snap.schema.fields.find(_.name == spec.base).map(_.dataType) match {
+        case Some(bt) if d.columns.contains(spec.base) &&
+            genBaseTypesOk(spec, bt) =>
+          val computed = expr(genSqlExpr(spec, bt))
+            .cast(genColType(spec, bt))
+          if (!d.columns.contains(g)) d.withColumn(g, computed)
+          else d.withColumn(g, when(col(g).isNull, computed).otherwise(col(g)))
+        case _ => d
+      }
+    }
+  }
+
+  /** Public sibling of the write-side hook: fill a frame's generated
+    * columns per the table's spec (e.g. before a [[merge]] whose CDC
+    * feed does not carry them). */
+  def withGenerated(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
+    withGeneratedCols(snapshot(dir), df)
+
   /** First-class PARTITION COLUMNS (Delta's partitionBy): the property
     * records the table's LOGICAL partition columns (comma-separated),
     * fixed at creation ([[create]] / the first [[appendPartitioned]])
@@ -1233,20 +1416,23 @@ object TxLog {
       partitionBy: Seq[String]): Long = {
     Files.createDirectories(Paths.get(dir))
     val pre = headSnapshot(dir)
-    pre.foreach(h => requireSchema(h.schemaDdl, df))
-    requireConstraints(pre, df)
-    val physParts = effectivePartCols(pre, partitionBy, df)
+    // generated columns compute/heal BEFORE the schema check (a frame
+    // omitting them is exactly the supported ingest shape)
+    val df0 = pre.fold(df)(withGeneratedCols(_, df))
+    pre.foreach(h => requireSchema(h.schemaDdl, df0))
+    requireConstraints(pre, df0)
+    val physParts = effectivePartCols(pre, partitionBy, df0)
     // files store PHYSICAL names (a rename/drop between here and the
     // publish is safe: physical names never change once assigned, and
     // the retry loop re-checks the logical schema)
-    val staged = pre.fold(df)(toPhysical(df, _))
+    val staged = pre.fold(df0)(toPhysical(df0, _))
     val (sub, adds) =
       if (physParts.isEmpty) stage(spark, dir, staged)
       else stagePartitioned(spark, dir, staged, physParts)
     // bloom sidecars for the staged files (advisory; creation has no
     // properties yet, so the table's first files simply carry none)
     pre.foreach(h => attachBlooms(spark, dir, sub, h.props))
-    val ddl = df.schema.toDDL
+    val ddl = df0.schema.toDDL
     // Any exit without a published commit must reclaim the staging dir —
     // including a schema mismatch surfacing mid-retry (a concurrent
     // writer created the table with a different schema after we staged).
@@ -1260,7 +1446,7 @@ object TxLog {
       while (tries < maxCommitAttempts) {
         // One log listing + replay per iteration serves every check.
         val head = headSnapshot(dir)
-        head.foreach(h => requireSchema(h.schemaDdl, df))
+        head.foreach(h => requireSchema(h.schemaDdl, df0))
         val attempt = head.map(_.version + 1).getOrElse(0L)
         val content = commitJson(attempt, "append", System.currentTimeMillis(),
           adds, Nil, if (attempt == 0L) Some(ddl) else None, None,
@@ -1363,11 +1549,13 @@ object TxLog {
 
   /** [[appendEvolve]] with the read version explicit — the race-test seam
     * (same pattern as [[overwriteAt]]). */
-  private[graft] def appendEvolveAt(spark: SparkSession, dir: String, df: DataFrame,
+  private[graft] def appendEvolveAt(spark: SparkSession, dir: String, df0: DataFrame,
       readVersion: Long): Long = {
     Files.createDirectories(Paths.get(dir))
-    if (readVersion < 0) return append(spark, dir, df)
+    if (readVersion < 0) return append(spark, dir, df0)
     val snapAtRead = snapshot(dir, Some(readVersion))
+    // generated columns fill first — an evolving CDC append may omit them
+    val df = withGeneratedCols(snapAtRead, df0)
     val table = StructType.fromDDL(snapAtRead.schemaDdl)
     val known = table.fields.map(f => f.name -> f.dataType).toMap
     df.schema.fields.foreach { f =>
@@ -1438,13 +1626,14 @@ object TxLog {
       readVersion: Long): Long = {
     Files.createDirectories(Paths.get(dir))
     val preSnap = if (readVersion >= 0) Some(snapshot(dir, Some(readVersion))) else None
-    preSnap.foreach(s => requireSchema(s.schemaDdl, df))
-    requireConstraints(preSnap, df)
+    val df0 = preSnap.fold(df)(withGeneratedCols(_, df))
+    preSnap.foreach(s => requireSchema(s.schemaDdl, df0))
+    requireConstraints(preSnap, df0)
     val removes = preSnap.map(_.files.map(_.path)).getOrElse(Nil)
-    val (sub, adds) = preSnap.fold(stage(spark, dir, df))(stageForTable(spark, dir, _, df))
+    val (sub, adds) = preSnap.fold(stage(spark, dir, df0))(stageForTable(spark, dir, _, df0))
     val v = readVersion + 1
     val content = commitJson(v, "overwrite", System.currentTimeMillis(),
-      adds, removes, if (v == 0L) Some(df.schema.toDDL) else None)
+      adds, removes, if (v == 0L) Some(df0.schema.toDDL) else None)
     if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
     else {
       deleteStaged(dir, sub)
@@ -2257,7 +2446,7 @@ object TxLog {
       keyCol: String): Long =
     mergeImpl(spark, dir, source, keyCol, None, None, evolve = true)
 
-  private def mergeImpl(spark: SparkSession, dir: String, source: DataFrame,
+  private def mergeImpl(spark: SparkSession, dir: String, source0: DataFrame,
       keyCol: String, txn: Option[(String, Long)],
       readVersionOpt: Option[Long] = None, evolve: Boolean = false): Long = {
     val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
@@ -2265,11 +2454,13 @@ object TxLog {
       case Some((app, b)) =>
         // table creation from the first batch, still txn-tagged;
         // appendBatch re-checks seen, so a zombie twin cannot double it
-        appendBatch(spark, dir, source, app, b)
+        appendBatch(spark, dir, source0, app, b)
           .getOrElse(latestVersion(dir))
-      case None => append(spark, dir, source)
+      case None => append(spark, dir, source0)
     }
     val snap = snapshot(dir, Some(readVersion))
+    // a CDC feed need not carry the table's generated columns
+    val source = withGeneratedCols(snap, source0)
     val doEvolve = evolve || snap.props.get(AutoMerge.Enabled).contains("true")
 
     // Schema resolution. Plain merge: exact identity. Evolving merge:
@@ -2627,7 +2818,7 @@ object TxLog {
     mergeClausesImpl(spark, dir, source, keyCols, clauses, Some(readVersion))
 
   private def mergeClausesImpl(spark: SparkSession, dir: String,
-      source: DataFrame, keyCols: Seq[String], clauses: Seq[MergeClause],
+      source0: DataFrame, keyCols: Seq[String], clauses: Seq[MergeClause],
       readVersionOpt: Option[Long],
       txn: Option[(String, Long)] = None): Long = {
     require(clauses.nonEmpty, "mergeClauses: at least one WHEN clause")
@@ -2654,6 +2845,8 @@ object TxLog {
     val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     require(readVersion >= 0, s"mergeClauses: $dir has no committed versions")
     val snap = snapshot(dir, Some(readVersion))
+    // a CDC feed need not carry the table's generated columns
+    val source = withGeneratedCols(snap, source0)
     val table = snap.schema
     keyCols.foreach { k =>
       require(table.fieldNames.contains(k),
@@ -3428,8 +3621,11 @@ object TxLog {
     val remainderAdds = remainderAdds0.map(_.copy(dataChange = false))
     try commitDmlRebase(spark, dir, "delete", snap, touched,
       touched.map(_.path), remainderAdds, cdfAdds, None, None, None,
-      metrics = Map("rows_deleted" ->
-        (touched.map(_.rows).sum - remainderAdds.map(_.rows).sum)))
+      metrics = Map(
+        "rows_deleted" ->
+          (touched.map(_.rows).sum - remainderAdds.map(_.rows).sum),
+        "files_scanned" -> candidates.size.toLong,
+        "files_live" -> snap.files.size.toLong))
     catch { case e: Throwable =>
       deleteStaged(dir, remSub)
       cdfSub.foreach(deleteStaged(dir, _))
@@ -3498,7 +3694,9 @@ object TxLog {
       }
     try commitDmlRebase(spark, dir, "delete", snap, touched,
       fullDead.map(_.path), partialAdds, cdfAdds, None, Some(3L), None,
-      metrics = Map("rows_deleted" -> deadCounts.values.sum))
+      metrics = Map("rows_deleted" -> deadCounts.values.sum,
+        "files_scanned" -> candidates.size.toLong,
+        "files_live" -> snap.files.size.toLong))
     catch { case e: Throwable =>
       dvSub.foreach(deleteStaged(dir, _))
       cdfSub.foreach(deleteStaged(dir, _))
@@ -3528,14 +3726,26 @@ object TxLog {
     updateImpl(spark, dir, condition, set, Some(readVersion))
 
   private def updateImpl(spark: SparkSession, dir: String, condition: String,
-      set: Map[String, String], readVersionOpt: Option[Long]): Long = {
-    require(set.nonEmpty, "update: empty SET clause")
+      set0: Map[String, String], readVersionOpt: Option[Long]): Long = {
+    require(set0.nonEmpty, "update: empty SET clause")
     val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     if (readVersion < 0)
       throw new VersionNotFoundException(s"$dir has no committed versions")
     val snap = snapshot(dir, Some(readVersion))
-    set.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
+    set0.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"update: SET column $c not in table schema"))
+    // generated columns: refused as direct SET targets; recomputed
+    // automatically when their base column is updated (Delta's rule)
+    val gens = generatedColsOf(snap.props)
+    gens.keys.foreach(g => require(!set0.contains(g),
+      s"update: $g is a generated column — update its base instead"))
+    val set = set0 ++ gens.collect {
+      case (g, spec) if set0.contains(spec.base) =>
+        val bt = snap.schema.fields.find(_.name == spec.base).map(_.dataType)
+          .getOrElse(StringType)
+        // recompute from the base's NEW value (its SET expression)
+        g -> genSqlExprOn(spec, bt, s"(${set0(spec.base)})")
+    }
     if (snap.files.isEmpty) return readVersion
     val candidates = pruneByFilters(snap, eqConjuncts(spark, condition, snap.schema), Some(dir))
     if (candidates.isEmpty) return readVersion
@@ -3592,7 +3802,9 @@ object TxLog {
         try commitDmlRebase(spark, dir, "update", snap, touched,
           touched.map(_.path), remainderAdds ++ updatedAdds, cdfAdds,
           None, None, None,
-          metrics = Map("rows_updated" -> updatedAdds.map(_.rows).sum))
+          metrics = Map("rows_updated" -> updatedAdds.map(_.rows).sum,
+            "files_scanned" -> candidates.size.toLong,
+            "files_live" -> snap.files.size.toLong))
         catch { case e: Throwable => deleteStaged(dir, remSub); throw e }
       published = true
       v
@@ -3679,7 +3891,9 @@ object TxLog {
       val v = commitDmlRebase(spark, dir, "update", snap, touched,
         fullDead.map(_.path), partialAdds ++ updatedAdds, cdfAdds,
         None, Some(3L), None,
-        metrics = Map("rows_updated" -> updatedAdds.map(_.rows).sum))
+        metrics = Map("rows_updated" -> updatedAdds.map(_.rows).sum,
+          "files_scanned" -> candidates.size.toLong,
+          "files_live" -> snap.files.size.toLong))
       published = true
       v
     } catch { case e: Throwable =>
@@ -4384,6 +4598,63 @@ object TxLog {
     * strictly conservative: a file is dropped only when the filter is
     * provably unsatisfiable on it; unknown columns, unsupported value
     * types, NOT, and exotic filters keep the file. */
+  /** Transform a base-column literal under a generated-column spec,
+    * returning the generated value's canon string — the driver-side
+    * mirror of [[genSqlExpr]], evaluated with the same Catalyst casts
+    * the stats canon uses. None = underivable (sound: no extra filter).
+    * Inexact parses stay sound: a truncating cast can only WEAKEN a
+    * derived bound on discrete base domains (ints, dates, micros). */
+  private def deriveGenLit(schema: StructType, spec: GenSpec, v: Any): Option[String] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.unsafe.types.UTF8String
+    try {
+      val bt = schema.fields.find(_.name == spec.base).map(_.dataType) match {
+        case Some(t) => t
+        case None => return None
+      }
+      val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      val s = v match {
+        case str: String => str
+        case other => valueCanon(other) match {
+          case Some(c) => c
+          case None => return None
+        }
+      }
+      val parsed =
+        if (bt == StringType) UTF8String.fromString(s)
+        else ce.Cast(ce.Literal(UTF8String.fromString(s), StringType), bt, tz).eval()
+      if (parsed == null) return None
+      def recast(to: DataType): Option[String] =
+        Option(ce.Cast(ce.Literal(parsed, bt), to, tz).eval()).map(_.toString)
+      def viaString(f: String => Option[String]): Option[String] =
+        recast(StringType).flatMap(f)
+      spec.kind match {
+        case "date" =>
+          Option(ce.Cast(ce.Cast(ce.Literal(parsed, bt), DateType, tz),
+            StringType, tz).eval()).map(_.toString)
+        case "month" => // the canon's fixed-width 'yyyy-MM' prefix
+          viaString(r => if (r.length >= 7) Some(r.substring(0, 7)) else None)
+        case "hour" => // 'yyyy-MM-dd HH' — via timestamp so DATE bases render midnight
+          Option(ce.Cast(ce.Cast(ce.Literal(parsed, bt), TimestampType, tz),
+            StringType, tz).eval()).map(_.toString)
+            .flatMap(r => if (r.length >= 13) Some(r.substring(0, 13)) else None)
+        case "year" =>
+          Option(ce.Cast(ce.Cast(ce.Literal(parsed, bt), DateType, tz),
+            StringType, tz).eval()).map(_.toString)
+            .flatMap(_.take(4).toIntOption).map(_.toString)
+        case "bucket" =>
+          val h = ce.XxHash64(Seq(ce.Literal(parsed, bt)), 42L)
+            .eval(null).asInstanceOf[Long]
+          Some((((h % spec.n) + spec.n) % spec.n).toString)
+        case "truncate" => bt match {
+          case StringType => Some(s.substring(0, math.min(spec.n, s.length)))
+          case _ => s.toLongOption.map(l => (l - (((l % spec.n) + spec.n) % spec.n)).toString)
+        }
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
   private[sources] def pruneByFilters(snap: Snapshot,
       filters: Seq[org.apache.spark.sql.sources.Filter],
       bloomDir: Option[String] = None): Seq[AddFile] = {
@@ -4510,7 +4781,58 @@ object TxLog {
             case None => true
           }
       }
-    filters.foldLeft(snap.files)((fs, flt) => fs.filter(mayMatch(_, flt)))
+    // GENERATED-COLUMN predicate derivation ([[GeneratedCols]]): each
+    // filter on a BASE column adds the transformed filter on its
+    // generated column(s), which the pv/stats checks above then consume
+    // — a raw-`ts` range on a date(ts)-partitioned table prunes to the
+    // touched days with no query rewrite. Soundness: derivation runs
+    // ONLY while the companion CHECK certifies col = T(base); monotonic
+    // transforms derive ranges with strict bounds RELAXED to inclusive;
+    // bucket (non-monotonic) derives equality/IN only; any underivable
+    // literal drops that derivation, never the original filter.
+    val genFilters: Seq[Filter] = {
+      val gens = generatedColsOf(snap.props).filter { case (g, _) =>
+        snap.props.get(ConstraintPrefix + GeneratedCols.checkName(g))
+          .exists(_.nonEmpty)
+      }
+      if (gens.isEmpty) Nil
+      else {
+        val byBase = gens.toSeq.groupBy(_._2.base)
+        def conj(fs: Seq[Filter]): Option[Filter] = fs.reduceOption(And(_, _))
+        def mono(spec: GenSpec): Boolean = spec.kind != "bucket"
+        def eqD(c: String, v: Any): Option[Filter] =
+          conj(byBase.getOrElse(c, Nil).flatMap { case (g, spec) =>
+            deriveGenLit(snap.schema, spec, v).map(EqualTo(g, _): Filter)
+          })
+        def rangeD(c: String, v: Any, lower: Boolean): Option[Filter] =
+          conj(byBase.getOrElse(c, Nil).filter(p => mono(p._2)).flatMap {
+            case (g, spec) => deriveGenLit(snap.schema, spec, v).map(t =>
+              if (lower) GreaterThanOrEqual(g, t): Filter
+              else LessThanOrEqual(g, t): Filter)
+          })
+        def derive(f: Filter): Option[Filter] = f match {
+          case And(l, r) => (derive(l), derive(r)) match {
+            case (Some(a), Some(b)) => Some(And(a, b))
+            case (a, b) => a.orElse(b)
+          }
+          case Or(l, r) => for { a <- derive(l); b <- derive(r) } yield Or(a, b)
+          case EqualTo(c, v) => eqD(c, v)
+          case In(c, vs) =>
+            conj(byBase.getOrElse(c, Nil).flatMap { case (g, spec) =>
+              val ts = vs.toSeq.map(deriveGenLit(snap.schema, spec, _))
+              if (ts.isEmpty || ts.exists(_.isEmpty)) None
+              else Some(In(g, ts.flatten.toArray[Any]): Filter)
+            })
+          case GreaterThan(c, v) => rangeD(c, v, lower = true)
+          case GreaterThanOrEqual(c, v) => rangeD(c, v, lower = true)
+          case LessThan(c, v) => rangeD(c, v, lower = false)
+          case LessThanOrEqual(c, v) => rangeD(c, v, lower = false)
+          case _ => None
+        }
+        filters.flatMap(derive(_).toSeq)
+      }
+    }
+    (filters ++ genFilters).foldLeft(snap.files)((fs, flt) => fs.filter(mayMatch(_, flt)))
   }
 
   /** Partition-pruned scan: `eq` maps (typically partition) columns to
