@@ -1948,6 +1948,219 @@ object TxQueries2 {
                      CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
                      CAST(2 AS BIGINT) AS files_scanned_2dml,
                      CAST(8 AS BIGINT) AS files_live
-              FROM after GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+              FROM after GROUP BY c_mktsegment ORDER BY c_mktsegment"""))  ,
+
+    // ---- stats policy: string truncation stays exact ------------------------
+    // graft.stats.maxStringLen=32 over the documents table (texts run to
+    // ~550 chars): every persisted text min/max is pinned ≤ 32 chars
+    // (stats_bounded — the log-size win), the count of docs LONGER than
+    // the cap is oracle-recomputed (proving truncation actually
+    // engaged), and a text range scan over the truncated stats returns
+    // exactly the oracle's BETWEEN — a truncation that moved a bound
+    // the wrong way loses rows here.
+    QuerySpec("q191_stats_policy", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q191").toString + "/t"
+      val docs = Td.load(s, dir, "documents")
+        .select("doc_id", "text", "lang", "n_chars").localCheckpoint(true)
+      TxLog.create(root, StructType(docs.schema.fields))
+      TxLog.setProperties(root, Map(TxLog.Stats.MaxStringLen -> "32"))
+      (0 until 4).foreach(j => TxLog.append(s, root,
+        docs.where(s"doc_id % 4 = $j").coalesce(1)))
+      graft.operators.CheckpointBlocks.release(docs)
+      val snap = TxLog.snapshot(root)
+      val bounded = snap.files.forall(f => f.stats.get("text").forall(cs =>
+        cs.min.forall(_.length <= 32) && cs.max.forall(_.length <= 32)))
+      val inRange = TxLog.readRange(s, root, "text", "A", "m").count()
+      val longDocs = TxLog.read(s, root).where("length(text) > 32").count()
+      TxLog.read(s, root)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(s.range(1).select(
+          lit(if (bounded) 1L else 0L).as("stats_bounded"),
+          lit(inRange).as("text_in_range"),
+          lit(longDocs).as("long_docs")))
+        .orderBy("lang")
+    },
+      Some("""WITH rng AS (
+                SELECT count(*) AS text_in_range FROM documents
+                WHERE text BETWEEN 'A' AND 'm'),
+              lng AS (
+                SELECT count(*) AS long_docs FROM documents
+                WHERE length(text) > 32)
+              SELECT lang, count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                     CAST(1 AS BIGINT) AS stats_bounded,
+                     rng.text_in_range, lng.long_docs
+              FROM documents CROSS JOIN rng CROSS JOIN lng
+              GROUP BY lang, rng.text_in_range, lng.long_docs
+              ORDER BY lang"""))  ,
+
+    // ---- CDF stream with version-granular byte admission --------------------
+    // The change feed as a THROTTLED stream: maxBytesPerTrigger on a
+    // readChangeFeed source weighs WHOLE commits (a commit's change set
+    // is transactionally whole — file-granular splitting would tear
+    // it). A 1-byte budget therefore drains the log as exactly one
+    // data-bearing commit per micro-batch: n_batches pins the commit
+    // count (a split or merged batch breaks it), and the per-type
+    // change totals replay relationally in the oracle.
+    QuerySpec("q192_cdf_stream_admission", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q192").toString
+      val table = s"$root/t"
+      val orders = Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
+      // v0 creates with the first slice; CDF on (v1, zero-byte); two
+      // more slices (v2, v3); then one keyed DELETE + one keyed UPDATE
+      TxLog.append(s, table, orders.where("o_orderkey % 3 = 0").coalesce(1))
+      TxLog.setProperties(table, Map(TxLog.Cdf.Enabled -> "true"))
+      TxLog.append(s, table, orders.where("o_orderkey % 3 = 1").coalesce(1))
+      TxLog.append(s, table, orders.where("o_orderkey % 3 = 2").coalesce(1))
+      val loKey = orders.agg(min("o_orderkey")).head().getLong(0)
+      val hiKey = orders.agg(max("o_orderkey")).head().getLong(0)
+      graft.operators.CheckpointBlocks.release(orders)
+      TxLog.delete(s, table, s"o_orderkey = $loKey")
+      TxLog.update(s, table, s"o_orderkey = $hiKey", Map("o_totalprice" -> "0.0"))
+
+      val types = scala.collection.mutable.Map.empty[String, Long]
+      var batches = 0L
+      val q = s.readStream.format("txlog").option("path", table)
+        .option("readChangeFeed", "true")
+        .option("maxBytesPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val counts = b.groupBy("_change_type").count().collect()
+          if (counts.nonEmpty) types.synchronized {
+            batches += 1
+            counts.foreach(r => types(r.getString(0)) =
+              types.getOrElse(r.getString(0), 0L) + r.getLong(1))
+          }: Unit
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import s.implicits._
+      types.toSeq.sortBy(_._1).toDF("change_type", "n_changes")
+        .crossJoin(s.range(1).select(lit(batches).as("n_batches")))
+        .orderBy("change_type")
+    },
+      Some("""WITH counts AS (
+                SELECT 'insert' AS change_type, count(*) AS n_changes FROM orders
+                UNION ALL
+                SELECT 'delete', count(*) FROM orders
+                WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+                UNION ALL
+                SELECT 'update_preimage', count(*) FROM orders
+                WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+                UNION ALL
+                SELECT 'update_postimage', count(*) FROM orders
+                WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders))
+              SELECT change_type, n_changes, CAST(5 AS BIGINT) AS n_batches
+              FROM counts ORDER BY change_type"""))  ,
+
+    // ---- identity columns: engine-allocated surrogate keys ------------------
+    // GENERATED ALWAYS AS IDENTITY: two appends OMIT row_id; the engine
+    // allocates from the transactional high-water mark. The pins are
+    // order-free (assignment order varies with partitioning, which is
+    // why raw ids never appear): n distinct ids = n rows, min = 1,
+    // max = n, and sum = n(n+1)/2 — the arithmetic series only a
+    // duplicate-free dense allocation produces. A racing double-grant
+    // breaks distinct_ids; a skipped block breaks max and the sum.
+    QuerySpec("q193_identity", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q193").toString + "/t"
+      val orders = Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
+      TxLog.create(root, StructType(
+        StructField("row_id", LongType) +: orders.schema.fields))
+      TxLog.addIdentityColumn(s, root, "row_id")
+      TxLog.append(s, root, orders.where("o_orderkey % 2 = 0"))
+      TxLog.append(s, root, orders.where("o_orderkey % 2 = 1"))
+      graft.operators.CheckpointBlocks.release(orders)
+      TxLog.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("row_id")).as("distinct_ids"))
+        .crossJoin(TxLog.read(s, root).agg(
+          min("row_id").as("min_id"), max("row_id").as("max_id"),
+          sum("row_id").as("sum_id")))
+        .orderBy("o_orderstatus")
+    },
+      Some("""WITH n AS (SELECT count(*) AS n FROM orders)
+              SELECT o_orderstatus, count(*) AS n_rows,
+                     count(*) AS distinct_ids,
+                     CAST(1 AS BIGINT) AS min_id,
+                     n.n AS max_id,
+                     CAST(n.n * (n.n + 1) / 2 AS BIGINT) AS sum_id
+              FROM orders CROSS JOIN n
+              GROUP BY o_orderstatus, n.n ORDER BY o_orderstatus"""))  ,
+
+    // ---- ANALYZE: metadata-only stats recompute sharpens skipping ----------
+    // Files written under graft.stats.numIndexedCols=0 carry NO stats:
+    // a keyed DELETE scans all 4 contiguous-band files (pinned). Widen
+    // the policy back and run recomputeStats — one distributed pass,
+    // one dataChange=false commit, zero bytes rewritten — and the same
+    // delete shape scans 1 of 4 (pinned). The final aggregate catches
+    // any recompute that mis-derived a bound (rows would be missed).
+    QuerySpec("q194_analyze_stats", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q194").toString + "/t"
+      val cust = Td.load(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment").localCheckpoint(true)
+      TxLog.create(root, StructType(cust.schema.fields))
+      TxLog.setProperties(root, Map(TxLog.Stats.NumIndexed -> "0"))
+      val mx = cust.agg(max("c_custkey")).head().getLong(0)
+      (0 until 4).foreach(j => TxLog.append(s, root,
+        cust.where(s"c_custkey * 4 div ${mx + 1} = $j").coalesce(1)))
+      graft.operators.CheckpointBlocks.release(cust)
+      TxLog.delete(s, root, "c_custkey = 42") // no stats: all 4 scanned
+      TxLog.setProperties(root, Map(TxLog.Stats.NumIndexed -> ""))
+      TxLog.recomputeStats(s, root)
+      TxLog.delete(s, root, "c_custkey = 87") // fresh stats: 1 of 4
+      val m = TxLog.history(s, root).where("op = 'delete'").orderBy("version")
+        .select(element_at(col("metrics"), "files_scanned"))
+        .collect().map(_.getLong(0))
+      TxLog.read(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("c_acctbal")).as("sum_bal"))
+        .crossJoin(s.range(1).select(
+          lit(m(0)).as("scanned_before"), lit(m(1)).as("scanned_after")))
+        .orderBy("c_mktsegment")
+    },
+      Some("""SELECT c_mktsegment, count(*) AS n_rows,
+                     CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+                     CAST(4 AS BIGINT) AS scanned_before,
+                     CAST(1 AS BIGINT) AS scanned_after
+              FROM customer WHERE c_custkey NOT IN (42, 87)
+              GROUP BY c_mktsegment ORDER BY c_mktsegment"""))  ,
+
+    // ---- GENERATE manifest: external engines read the live set -------------
+    // generateManifest exports the snapshot's live files as absolute
+    // paths; a RAW parquet reader over exactly those paths (no log, no
+    // TxLog code) must reproduce the table — after a DML rewrite, so a
+    // stale or over-complete manifest (dead band, dropped remainder)
+    // breaks the aggregate.
+    QuerySpec("q195_manifest", { (s, dir) =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Files.createTempDirectory("graft-q195").toString + "/t"
+      val part = Td.load(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice").localCheckpoint(true)
+      (0 until 4).foreach(j => TxLog.append(s, root,
+        part.where(s"p_partkey % 4 = $j").coalesce(1)))
+      graft.operators.CheckpointBlocks.release(part)
+      TxLog.delete(s, root, "p_partkey % 7 = 0")
+      val mf = TxLog.generateManifest(root)
+      val paths = java.nio.file.Files.readAllLines(mf).asScala
+        .filter(_.nonEmpty).toSeq
+      val complete =
+        if (paths.size == TxLog.snapshot(root).files.size) 1L else 0L
+      s.read.parquet(paths: _*) // an external engine's view: raw parquet
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("sum_price"))
+        .crossJoin(s.range(1).select(lit(complete).as("manifest_complete")))
+        .orderBy("p_brand")
+    },
+      Some("""SELECT p_brand, count(*) AS n_parts,
+                     CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     CAST(1 AS BIGINT) AS manifest_complete
+              FROM part WHERE p_partkey % 7 <> 0
+              GROUP BY p_brand ORDER BY p_brand"""))
   )
 }

@@ -299,6 +299,143 @@ object TxLog {
   private def bloomPath(dir: String, rel: String, physCol: String) =
     Paths.get(dir, "_bloom", s"$rel.$physCol.bloom")
 
+  /** IDENTITY COLUMNS (Delta's GENERATED ALWAYS AS IDENTITY): a BIGINT
+    * column whose values the ENGINE allocates from a transactional
+    * high-water mark stored in the table properties and advanced IN THE
+    * SAME COMMIT as the rows it covers — uniqueness is a property of
+    * the commit protocol, not of any coordinator. Appends (plain and
+    * the exactly-once streaming batch) must OMIT the column (GENERATED
+    * ALWAYS — explicit values are refused); each append assigns
+    * `highWater + step·(1..n)` via one zipWithIndex pass and claims the
+    * new high-water in its commit. A LOST COMMIT RACE whose winner
+    * advanced the same high-water RESTAGES with fresh ids before
+    * retrying — two racing appends can never allocate the same id, at
+    * the cost of rewriting the loser's staged files (the inherent price
+    * of gap-free-per-batch dense allocation; Delta pays the same).
+    * Values are dense WITHIN an append and monotonic across commits;
+    * crashes between staging and publish leak ids (never reused) —
+    * identity guarantees uniqueness, not gaplessness, exactly like
+    * every database sequence. [[addIdentityColumn]] SYNCs the mark past
+    * any existing values (ALTER … SYNC IDENTITY). */
+  object Identity {
+    val Prefix = "graft.identity." // + <col> -> "<start>,<step>"
+    val HighWater = "graft.identityHighWater." // + <col> -> last allocated
+  }
+
+  private[sources] final case class IdSpec(start: Long, step: Long)
+
+  /** The table's identity columns: logical column → spec. */
+  private def identityColsOf(props: Map[String, String]): Map[String, IdSpec] =
+    props.collect {
+      case (k, v) if k.startsWith(Identity.Prefix) && v.nonEmpty =>
+        val parts = v.split(",").map(_.trim)
+        k.stripPrefix(Identity.Prefix) ->
+          (parts.map(_.toLongOption) match {
+            case Array(Some(s), Some(st)) if st != 0L => Some(IdSpec(s, st))
+            case _ => None
+          })
+    }.collect { case (c, Some(sp)) => c -> sp }
+
+  /** Declare `colName` (an existing BIGINT column) as GENERATED ALWAYS
+    * AS IDENTITY. On a non-empty table the high-water SYNCs past the
+    * existing values (ALTER … SYNC IDENTITY): existing rows keep what
+    * they have; allocation continues beyond them. */
+  def addIdentityColumn(spark: SparkSession, dir: String, colName: String,
+      start: Long = 1L, step: Long = 1L): Long = {
+    require(step != 0L, "addIdentityColumn: step must be non-zero")
+    val snap = snapshot(dir)
+    val f = snap.schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"addIdentityColumn: column $colName not in table schema"))
+    require(f.dataType == LongType,
+      s"addIdentityColumn: $colName must be BIGINT, is ${f.dataType.sql}")
+    require(!generatedColsOf(snap.props).contains(colName),
+      s"addIdentityColumn: $colName is already a generated column")
+    val hw0 = start - step
+    val hw = if (snap.files.isEmpty) hw0 else {
+      val m = Option(read(spark, dir).agg(max(col(colName))).head().get(0))
+        .map(_.asInstanceOf[Long])
+      m.map(v => if (step > 0) math.max(hw0, v) else math.min(hw0, v))
+        .getOrElse(hw0)
+    }
+    setProperties(dir, Map(
+      Identity.Prefix + colName -> s"$start,$step",
+      Identity.HighWater + colName -> hw.toString))
+  }
+
+  /** Assign identity values over `df`: one zipWithIndex pass covers
+    * every identity column (the documented extra job of dense
+    * allocation); output columns re-ordered to `order`. */
+  private def assignIdentity(spark: SparkSession, df: DataFrame,
+      specs: Map[String, IdSpec], base: Map[String, Long],
+      order: Seq[String]): DataFrame = {
+    require(!df.columns.contains("__idrow"),
+      "column name __idrow is reserved by identity assignment")
+    val withIdx = spark.createDataFrame(
+      df.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      },
+      df.schema.add(StructField("__idrow", LongType, nullable = false)))
+    val assigned = specs.foldLeft(withIdx) { case (d, (c, sp)) =>
+      d.withColumn(c,
+        (lit(base(c)) + (col("__idrow") + 1L) * sp.step).cast(LongType))
+    }
+    assigned.select(order.map(col): _*)
+  }
+
+  /** STATS POLICY — what per-file column statistics each commit
+    * records. Two independent levers, both log-size controls for wide
+    * or string-heavy tables (a documents table whose full text min/max
+    * landed in every commit JSON would bloat the log by megabytes per
+    * file at scale):
+    *
+    *  - STRING TRUNCATION (always on, `graft.stats.maxStringLen`,
+    *    default 256): a string min longer than L keeps its L-char
+    *    prefix (a prefix is ≤ the value — sound lower bound); a string
+    *    max is ROUNDED UP — L-char prefix with its rightmost
+    *    incrementable UTF-16 unit bumped and the tail dropped, so every
+    *    string extending the prefix compares strictly below it. A max
+    *    with no incrementable unit is dropped entirely (file kept by
+    *    the reader's missing-stats fallback). Partition columns are
+    *    EXEMPT: their pv machinery requires exact min==max equality.
+    *  - COLUMN SELECTION (`graft.stats.columns` explicit list, or
+    *    `graft.stats.numIndexedCols` = first N table columns, Delta's
+    *    dataSkippingNumIndexedCols): non-selected columns record no
+    *    stats at all — skipping on them falls back to scanning, never
+    *    to wrong answers. Partition, clusterBy, bloom-indexed, and
+    *    generated columns (plus their bases) are ALWAYS indexed: the
+    *    partition/bloom/derivation machinery depends on their entries.
+    *
+    * Truncation never breaks correctness because every reader treats
+    * stats as may-contain bounds and [[replaceWhereIn]]'s whole-file
+    * classification compares exact values (a truncated min can never
+    * equal a rounded-up max, so truncated files always take the safe
+    * rewrite path). */
+  object Stats {
+    val Columns = "graft.stats.columns"
+    val NumIndexed = "graft.stats.numIndexedCols"
+    val MaxStringLen = "graft.stats.maxStringLen"
+    val DefaultMaxStringLen = 256
+  }
+
+  /** Truncate a string min to the policy prefix (sound lower bound). */
+  private def truncStatMin(s: String, maxLen: Int): String =
+    if (s.length <= maxLen) s else s.substring(0, maxLen)
+
+  /** Round a string max UP to a short upper bound: L-char prefix with
+    * the rightmost unit < U+D7FF bumped, tail dropped — every string
+    * extending the prefix compares strictly below the result. None =
+    * no incrementable unit (reader falls back to missing-max). */
+  private def roundStatMax(s: String, maxLen: Int): Option[String] =
+    if (s.length <= maxLen) Some(s)
+    else {
+      val p = s.substring(0, maxLen).toCharArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) >= '\ud7ff') i -= 1
+      if (i < 0) None
+      else { p(i) = (p(i) + 1).toChar; Some(new String(p, 0, i + 1)) }
+    }
+
   /** GENERATED PARTITION COLUMNS (Iceberg's hidden partitioning /
     * Delta's generated columns with partition-predicate derivation):
     * `graft.generatedColumn.<col> = <transform>` declares `<col>` as a
@@ -1139,13 +1276,141 @@ object TxLog {
     * The job reads only this commit's files — the write-side stats cost
     * Delta pays inline, paid here as a second scan of fresh (page-cached)
     * data. Collect is bounded: files-per-commit × columns. */
+  /** Resolve the [[Stats]] policy for a PHYSICAL schema: which columns
+    * carry stats, and the truncation applied to string bounds. */
+  private def statsPolicy(props: Map[String, String], schema: StructType)
+      : (String => Boolean, (String, ColStats) => ColStats) = {
+    val m = colMapOf(props)
+    def phys(c: String): String = m.getOrElse(c, c)
+    def listProp(k: String): Seq[String] = props.get(k).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val partPhys = listProp(Partitioning.Columns).map(phys).toSet
+    val gens = generatedColsOf(props)
+    val alwaysKeep = partPhys ++ listProp(ClusterBy.Columns).map(phys) ++
+      bloomColsOf(props) ++ gens.keys.map(phys) ++ gens.values.map(g => phys(g.base))
+    val chosen: Option[Set[String]] =
+      props.get(Stats.Columns)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(phys).toSet)
+        .orElse(props.get(Stats.NumIndexed).flatMap(_.toIntOption)
+          .map(n => schema.fields.take(math.max(0, n)).map(_.name).toSet))
+    val maxLen = math.max(1, props.get(Stats.MaxStringLen)
+      .flatMap(_.toIntOption).getOrElse(Stats.DefaultMaxStringLen))
+    def indexed(c: String): Boolean =
+      alwaysKeep.contains(c) || chosen.forall(_.contains(c))
+    def applyPolicy(c: String, cs: ColStats): ColStats =
+      if (cs.typ != "string" || partPhys.contains(c)) cs
+      else cs.copy(min = cs.min.map(truncStatMin(_, maxLen)),
+        max = cs.max.flatMap(roundStatMax(_, maxLen)))
+    (indexed, applyPolicy)
+  }
+
+  /** ANALYZE (Delta's `COMPUTE DELTA STATISTICS`): re-derive the LIVE
+    * files' per-column stats under the CURRENT [[Stats]] policy and
+    * commit them as a METADATA-ONLY re-add (dataChange=false, no
+    * removes — log replay's path-map semantics replace the entries;
+    * bytes untouched, streams deliver nothing). Use after widening the
+    * policy (a column added to `graft.stats.columns`, a raised
+    * maxStringLen) or after CONVERT, to make skipping sharp on files
+    * whose stats predate it. `rows`/`bytes`/pv/dv are PRESERVED (a DV
+    * file's `rows` is its live count; stats remain physical-file
+    * bounds, matching the write-time contract). One distributed pass
+    * over the live set; lost commit races re-resolve and retry. */
+  def recomputeStats(spark: SparkSession, dir: String): Long = {
+    var tries = 0
+    while (tries < maxCommitAttempts) {
+      val snap = snapshot(dir)
+      if (snap.files.isEmpty) return snap.version
+      val phys = physicalSchema(snap)
+      val (indexed, applyPolicy) = statsPolicy(snap.props, phys)
+      val fields = phys.fields
+        .filter(f => statSupported(f.dataType) && indexed(f.name))
+      val byPath: Map[String, Map[String, ColStats]] =
+        if (fields.isEmpty) Map.empty
+        else {
+          val df = spark.read.schema(phys)
+            .parquet(snap.files.map(f => Paths.get(dir, f.path).toString): _*)
+          val aggs: Seq[Column] = fields.toSeq.flatMap { f =>
+            Seq(min(col(f.name)).cast(StringType).as(s"__min_${f.name}"),
+              max(col(f.name)).cast(StringType).as(s"__max_${f.name}"),
+              sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
+          }
+          val rows = df.groupBy(col("_metadata.file_path").as("__path"))
+            .agg(aggs.head, aggs.tail: _*).collect()
+          // `_metadata.file_path` is a URI; key by the scheme-stripped
+          // absolute path so the per-file lookup is O(1), not an
+          // endsWith scan per live file.
+          val rowByAbs = rows.map { r =>
+            r.getString(0).stripPrefix("file:") -> r
+          }.toMap
+          snap.files.flatMap { f =>
+            val abs = Paths.get(dir, f.path).toAbsolutePath.toString
+            rowByAbs.get(abs)
+              .orElse(rows.find(_.getString(0).endsWith(f.path))).map { r =>
+              f.path -> fields.map { fd =>
+                fd.name -> applyPolicy(fd.name, ColStats(fd.dataType.simpleString,
+                  Option(r.getAs[String](s"__min_${fd.name}")),
+                  Option(r.getAs[String](s"__max_${fd.name}")),
+                  r.getAs[Long](s"__nulls_${fd.name}")))
+              }.toMap
+            }
+          }.toMap
+        }
+      val adds = snap.files.map(f => f.copy(
+        stats = byPath.getOrElse(f.path, Map.empty), dataChange = false))
+      val attempt = snap.version + 1
+      val content = commitJson(attempt, "computeStats",
+        System.currentTimeMillis(), adds, Nil, None, None, None)
+      if (tryPublish(dir, attempt, content)) {
+        maybeCheckpoint(dir, attempt)
+        return attempt
+      }
+      tries += 1
+    }
+    throw new ConcurrentWriteException(
+      s"recomputeStats on $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
+  /** GENERATE symlink_format_manifest (Delta's external-engine interop
+    * manifest): writes `_symlink_format_manifest/manifest` — the
+    * snapshot's live data files as absolute paths, one per line — via
+    * temp + atomic rename, so a concurrent reader sees the old or the
+    * new manifest whole. Refused while any live file carries a deletion
+    * vector (a path list cannot express row-level deletes — Delta's
+    * rule; OPTIMIZE/purgeDeletes first). Column-mapped tables export
+    * PHYSICAL column names (the manifest consumer reads raw parquet).
+    * The manifest is a point-in-time EXPORT, not transactional state:
+    * regenerate after writes, and note VACUUM retains manifest-listed
+    * files only as long as they stay live. */
+  def generateManifest(dir: String): java.nio.file.Path = {
+    val snap = snapshot(dir)
+    require(snap.files.forall(_.dv.isEmpty),
+      "generateManifest: live deletion vectors present — a path manifest " +
+        "cannot express row-level deletes; OPTIMIZE or purgeDeletes first")
+    val mdir = Paths.get(dir, "_symlink_format_manifest")
+    Files.createDirectories(mdir)
+    val content = snap.files.map(f =>
+      Paths.get(dir, f.path).toAbsolutePath.toString).sorted.mkString("\n") +
+      (if (snap.files.isEmpty) "" else "\n")
+    val tmp = mdir.resolve(s".manifest-${UUID.randomUUID().toString.take(8)}.tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, mdir.resolve("manifest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    mdir.resolve("manifest")
+  }
+
   private def collectAdds(spark: SparkSession, dir: String, sub: String,
       schema: StructType): Seq[AddFile] = {
     val names = listStaged(dir, sub)
     if (names.isEmpty) return Nil
+    // Stats policy ([[Stats]]) from the current head — advisory
+    // metadata, so reading the head rather than the staging snapshot is
+    // benign (and creation-time staging simply takes the defaults).
+    val props = headSnapshot(dir).map(_.props).getOrElse(Map.empty)
+    val (indexed, applyPolicy) = statsPolicy(props, schema)
     // Schema pinned from the staged frame: no per-commit footer inference.
     val df = spark.read.schema(schema).parquet(Paths.get(dir, sub).toString)
-    val fields = df.schema.fields.filter(f => statSupported(f.dataType))
+    val fields = df.schema.fields
+      .filter(f => statSupported(f.dataType) && indexed(f.name))
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +:
       fields.toSeq.flatMap { f =>
         Seq(min(col(f.name)).cast(StringType).as(s"__min_${f.name}"),
@@ -1160,10 +1425,10 @@ object TxLog {
       rows.find(r => r.getString(0).endsWith(rel)) match {
         case Some(r) =>
           val stats = fields.map { f =>
-            f.name -> ColStats(f.dataType.simpleString,
+            f.name -> applyPolicy(f.name, ColStats(f.dataType.simpleString,
               Option(r.getAs[String](s"__min_${f.name}")),
               Option(r.getAs[String](s"__max_${f.name}")),
-              r.getAs[Long](s"__nulls_${f.name}"))
+              r.getAs[Long](s"__nulls_${f.name}")))
           }.toMap
           AddFile(rel, r.getAs[Long]("__rows"), Files.size(Paths.get(dir, rel)), stats)
         case None =>
@@ -1418,20 +1683,41 @@ object TxLog {
     val pre = headSnapshot(dir)
     // generated columns compute/heal BEFORE the schema check (a frame
     // omitting them is exactly the supported ingest shape)
-    val df0 = pre.fold(df)(withGeneratedCols(_, df))
+    val dfGen = pre.fold(df)(withGeneratedCols(_, df))
+    // IDENTITY allocation ([[Identity]]): GENERATED ALWAYS — explicit
+    // values refused; ids assigned from the head's high-water and
+    // REASSIGNED below if a concurrent commit advanced it
+    val idSpecs = pre.map(h => identityColsOf(h.props)).getOrElse(Map.empty)
+    idSpecs.keys.foreach(c => require(!df.columns.contains(c),
+      s"append: $c is GENERATED ALWAYS AS IDENTITY — omit it from the frame"))
+    def hwOf(h: Option[Snapshot]): Map[String, Long] =
+      idSpecs.map { case (c, sp) =>
+        c -> h.flatMap(_.props.get(Identity.HighWater + c))
+          .flatMap(_.toLongOption).getOrElse(sp.start - sp.step)
+      }
+    def withIds(base: Map[String, Long]): DataFrame =
+      if (idSpecs.isEmpty) dfGen
+      else assignIdentity(spark, dfGen, idSpecs, base,
+        pre.get.schema.fieldNames.toSeq)
+    var hw = hwOf(pre)
+    var df0 = withIds(hw)
     pre.foreach(h => requireSchema(h.schemaDdl, df0))
     requireConstraints(pre, df0)
     val physParts = effectivePartCols(pre, partitionBy, df0)
     // files store PHYSICAL names (a rename/drop between here and the
     // publish is safe: physical names never change once assigned, and
     // the retry loop re-checks the logical schema)
-    val staged = pre.fold(df0)(toPhysical(df0, _))
-    val (sub, adds) =
-      if (physParts.isEmpty) stage(spark, dir, staged)
-      else stagePartitioned(spark, dir, staged, physParts)
-    // bloom sidecars for the staged files (advisory; creation has no
-    // properties yet, so the table's first files simply carry none)
-    pre.foreach(h => attachBlooms(spark, dir, sub, h.props))
+    def stageNow(): (String, Seq[AddFile]) = {
+      val staged = pre.fold(df0)(toPhysical(df0, _))
+      val r =
+        if (physParts.isEmpty) stage(spark, dir, staged)
+        else stagePartitioned(spark, dir, staged, physParts)
+      // bloom sidecars for the staged files (advisory; creation has no
+      // properties yet, so the table's first files simply carry none)
+      pre.foreach(h => attachBlooms(spark, dir, r._1, h.props))
+      r
+    }
+    var (sub, adds) = stageNow()
     val ddl = df0.schema.toDDL
     // Any exit without a published commit must reclaim the staging dir —
     // including a schema mismatch surfacing mid-retry (a concurrent
@@ -1447,15 +1733,39 @@ object TxLog {
         // One log listing + replay per iteration serves every check.
         val head = headSnapshot(dir)
         head.foreach(h => requireSchema(h.schemaDdl, df0))
+        // identity rebase: a concurrent commit advanced a high-water →
+        // our staged ids would collide; restage with fresh ids (the
+        // uniqueness guarantee IS this restage)
+        if (idSpecs.nonEmpty) {
+          val cur = hwOf(head)
+          if (cur != hw) {
+            deleteStaged(dir, sub)
+            hw = cur
+            df0 = withIds(hw)
+            val restaged = stageNow()
+            sub = restaged._1; adds = restaged._2
+          }
+        }
         val attempt = head.map(_.version + 1).getOrElse(0L)
-        val content = commitJson(attempt, "append", System.currentTimeMillis(),
-          adds, Nil, if (attempt == 0L) Some(ddl) else None, None,
+        val nRows = adds.map(_.rows).sum
+        val idProps: Option[Map[String, String]] =
+          if (idSpecs.isEmpty || nRows == 0L) None
+          else Some(idSpecs.map { case (c, sp) =>
+            Identity.HighWater + c -> (hw(c) + sp.step * nRows).toString
+          })
+        val createProps =
           // creation fixes the partitioning; a lost creation race falls
           // back to the winner's table (property NOT retro-fitted — the
           // winner's layout governs; our pv-bearing files stay harmless)
           if (attempt == 0L && partitionBy.nonEmpty)
             Some(Map(Partitioning.Columns -> partitionBy.mkString(",")))
-          else None)
+          else None
+        val newProps = (createProps, idProps) match {
+          case (Some(a), Some(b)) => Some(a ++ b)
+          case (a, b) => a.orElse(b)
+        }
+        val content = commitJson(attempt, "append", System.currentTimeMillis(),
+          adds, Nil, if (attempt == 0L) Some(ddl) else None, None, newProps)
         if (tryPublish(dir, attempt, content)) {
           published = true
           maybeCheckpoint(dir, attempt)
@@ -1500,15 +1810,35 @@ object TxLog {
       h.exists(_.txns.get(appId).exists(_ >= batchId))
     val pre = headSnapshot(dir)
     if (seen(pre)) return None
-    pre.foreach(h => requireSchema(h.schemaDdl, df))
-    requireConstraints(pre, df)
+    // the streaming sink fills generated columns like plain append does
+    val dfGen = pre.fold(df)(withGeneratedCols(_, df))
+    // identity allocation — same protocol as [[appendImpl]], including
+    // the restage-on-advanced-high-water rule inside the retry loop
+    val idSpecs = pre.map(h => identityColsOf(h.props)).getOrElse(Map.empty)
+    idSpecs.keys.foreach(c => require(!df.columns.contains(c),
+      s"appendBatch: $c is GENERATED ALWAYS AS IDENTITY — omit it"))
+    def hwOf(h: Option[Snapshot]): Map[String, Long] =
+      idSpecs.map { case (c, sp) =>
+        c -> h.flatMap(_.props.get(Identity.HighWater + c))
+          .flatMap(_.toLongOption).getOrElse(sp.start - sp.step)
+      }
+    def withIds(base: Map[String, Long]): DataFrame =
+      if (idSpecs.isEmpty) dfGen
+      else assignIdentity(spark, dfGen, idSpecs, base,
+        pre.get.schema.fieldNames.toSeq)
+    var hw = hwOf(pre)
+    var df0 = withIds(hw)
+    pre.foreach(h => requireSchema(h.schemaDdl, df0))
+    requireConstraints(pre, df0)
     // a partitioned table's streaming sink stages partition-aligned too
-    val batchParts = effectivePartCols(pre, Nil, df)
-    val preStaged = pre.fold(df)(toPhysical(df, _))
-    val (sub, adds) =
+    val batchParts = effectivePartCols(pre, Nil, df0)
+    def stageNow(): (String, Seq[AddFile]) = {
+      val preStaged = pre.fold(df0)(toPhysical(df0, _))
       if (batchParts.isEmpty) stage(spark, dir, preStaged)
       else stagePartitioned(spark, dir, preStaged, batchParts)
-    val ddl = df.schema.toDDL
+    }
+    var (sub, adds) = stageNow()
+    val ddl = df0.schema.toDDL
     var published = false // see append: no cleanup past a published commit
     try {
       var tries = 0
@@ -1517,10 +1847,27 @@ object TxLog {
         // schema identity, and the attempt version all from one head.
         val head = headSnapshot(dir)
         if (seen(head)) { deleteStaged(dir, sub); return None }
-        head.foreach(h => requireSchema(h.schemaDdl, df))
+        head.foreach(h => requireSchema(h.schemaDdl, df0))
+        if (idSpecs.nonEmpty) {
+          val cur = hwOf(head)
+          if (cur != hw) {
+            deleteStaged(dir, sub)
+            hw = cur
+            df0 = withIds(hw)
+            val restaged = stageNow()
+            sub = restaged._1; adds = restaged._2
+          }
+        }
         val attempt = head.map(_.version + 1).getOrElse(0L)
+        val nRows = adds.map(_.rows).sum
+        val idProps: Option[Map[String, String]] =
+          if (idSpecs.isEmpty || nRows == 0L) None
+          else Some(idSpecs.map { case (c, sp) =>
+            Identity.HighWater + c -> (hw(c) + sp.step * nRows).toString
+          })
         val content = commitJson(attempt, "streamingAppend", System.currentTimeMillis(),
-          adds, Nil, if (attempt == 0L) Some(ddl) else None, Some((appId, batchId)))
+          adds, Nil, if (attempt == 0L) Some(ddl) else None, Some((appId, batchId)),
+          idProps)
         if (tryPublish(dir, attempt, content)) {
           published = true
           maybeCheckpoint(dir, attempt)
@@ -3739,6 +4086,8 @@ object TxLog {
     val gens = generatedColsOf(snap.props)
     gens.keys.foreach(g => require(!set0.contains(g),
       s"update: $g is a generated column — update its base instead"))
+    identityColsOf(snap.props).keys.foreach(c => require(!set0.contains(c),
+      s"update: $c is GENERATED ALWAYS AS IDENTITY and cannot be SET"))
     val set = set0 ++ gens.collect {
       case (g, spec) if set0.contains(spec.base) =>
         val bt = snap.schema.fields.find(_.name == spec.base).map(_.dataType)
@@ -4315,6 +4664,17 @@ object TxLog {
       .reduceOption(_.unionAll(_))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out))
+  }
+
+  /** Byte weight of one version's CHANGE SET — its cdf files when the
+    * commit carries them (the complete change set), else its dataChange
+    * adds. The txlog stream's CDF admission unit: change batches never
+    * split a commit, so the byte budget weighs whole versions. */
+  private[sources] def changeBytesOf(dir: String, v: Long): Long = {
+    val j = parse(Files.readString(versionFile(dir, v)))
+    val cdf = parseAdds(j \ "cdf")
+    val fs = if (cdf.nonEmpty) cdf else parseAdds(j \ "adds").filter(_.dataChange)
+    fs.map(f => math.max(0L, f.bytes)).sum
   }
 
   /** The COMPLETE row-level change stream after `fromVersionExclusive`

@@ -127,10 +127,8 @@ class TxLogStreamProvider extends StreamSourceProvider with StreamSinkProvider
       "txlog source: startingVersion and startingTimestamp are mutually exclusive")
     require(!(parameters.contains("maxFilesPerTrigger") && cdfMode(parameters)),
       "txlog source: maxFilesPerTrigger splits data-file batches and does " +
-        "not compose with readChangeFeed (change batches are per-commit)")
-    require(!(parameters.contains("maxBytesPerTrigger") && cdfMode(parameters)),
-      "txlog source: maxBytesPerTrigger splits data-file batches and does " +
-        "not compose with readChangeFeed (change batches are per-commit)")
+        "not compose with readChangeFeed (change batches are per-commit; " +
+        "use maxBytesPerTrigger, which weighs whole commits)")
     require(!(parameters.contains("partitionFilter") && cdfMode(parameters)),
       "txlog source: partitionFilter does not compose with readChangeFeed")
     // "col=val,col2=val2" — exact pv match per column (stats-canon strings)
@@ -285,6 +283,9 @@ class TxLogSource(spark: SparkSession, dir: String,
     scala.collection.mutable.Map.empty[Long, Seq[TxLog.AddFile]]
   private def filesOf(v: Long): Seq[TxLog.AddFile] =
     versionFiles.getOrElseUpdate(v, TxLog.changedFilesBetween(dir, v - 1, v))
+  private val versionChangeBytes = scala.collection.mutable.Map.empty[Long, Long]
+  private def changeBytes(v: Long): Long =
+    versionChangeBytes.getOrElseUpdate(v, TxLog.changeBytesOf(dir, v))
 
   /** Offsets normalize to a POSITION `(v, i)` = "all versions below `v`
     * fully delivered, plus the first `i` dataChange files of `v`".
@@ -326,7 +327,24 @@ class TxLogSource(spark: SparkSession, dir: String,
     val (sv, si) = Option(start).map(startPos).getOrElse((initialFrom + 1, 0L))
     val target = maxVersionsPerTrigger
       .map(m => math.min(latest, (sv - 1) + m)).getOrElse(latest)
-    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) {
+    if (readChangeFeed && maxBytesPerTrigger.nonEmpty) {
+      // CHANGE-FEED admission is VERSION-granular: a commit's change
+      // set is transactionally whole, so the byte budget weighs whole
+      // commits — at least one data-bearing commit always admits
+      // (Delta's soft-max rule), and zero-byte commits (property or
+      // layout changes) ride along free.
+      val budget = maxBytesPerTrigger.get
+      var v = sv; var used = 0L; var anyData = false; var stop = false
+      while (!stop && v <= target) {
+        val b = changeBytes(v)
+        // `anyData` counts only data-bearing commits: a leading
+        // zero-byte commit must not consume the "always admit one"
+        // allowance (it would make the batch empty and defer the data).
+        if (anyData && b > 0L && used + b > budget) stop = true
+        else { used += b; if (b > 0L) anyData = true; v += 1 }
+      }
+      if (v == sv) nothingNew else LongOffset(v - 1)
+    } else if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) {
       // uncapped: whole versions, no per-commit file listing needed;
       // mid-commit checkpoint with the option since removed: finish
       // the split version, then whole versions as before

@@ -175,8 +175,14 @@ class TxDmlSpec extends AnyFunSuite with SparkTestBase {
     def metricsOf(v: Long): Map[String, Long] =
       TxLog.history(spark, dir).where(s"version = $v")
         .select("metrics").head().getMap[String, Long](0).toMap
-    assert(metricsOf(1L) === Map("rows_deleted" -> 10L))
-    assert(metricsOf(2L) === Map("rows_updated" -> 2L))
+    // delete/update carry the same pruning observables as merge
+    assert(metricsOf(1L) === Map("rows_deleted" -> 10L,
+      "files_scanned" -> metricsOf(1L)("files_scanned"),
+      "files_live" -> metricsOf(1L)("files_live")))
+    assert(metricsOf(1L)("files_scanned") <= metricsOf(1L)("files_live"))
+    assert(metricsOf(2L)("rows_updated") === 2L)
+    assert(metricsOf(2L).keySet ===
+      Set("rows_updated", "files_scanned", "files_live"))
     val m = metricsOf(3L)
     assert(m("rows_matched") === 1L && m("rows_inserted") === 1L)
     // merge also records its pruning observables: candidates actually
@@ -190,9 +196,10 @@ class TxDmlSpec extends AnyFunSuite with SparkTestBase {
     TxLog.append(spark, dv, df(0 until 20))
     TxLog.setProperties(dv, Map(TxLog.DeletionVectors.Enabled -> "true"))
     TxLog.delete(spark, dv, "grp = 2")
-    assert(TxLog.history(spark, dv).where("version = 2")
-      .select("metrics").head().getMap[String, Long](0).toMap ===
-      Map("rows_deleted" -> (0 until 20).count(_ % 3 == 2).toLong))
+    val dvM = TxLog.history(spark, dv).where("version = 2")
+      .select("metrics").head().getMap[String, Long](0).toMap
+    assert(dvM("rows_deleted") === (0 until 20).count(_ % 3 == 2).toLong)
+    assert(dvM.keySet === Set("rows_deleted", "files_scanned", "files_live"))
     // non-DML commits carry no metrics
     assert(metricsOf(0L) === Map.empty)
   }

@@ -401,4 +401,61 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(batchRows.filter(_ > 0).toSeq ===
       files0.map(_.rows).grouped(2).map(_.sum).toSeq)
   }
+
+  test("CDF stream byte admission is version-granular: commits never split") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-txcdfadm").toString
+    val table = s"$root/t"
+    TxLog.append(spark, table, df(0 until 40).coalesce(1))
+    TxLog.setProperties(table, Map(TxLog.Cdf.Enabled -> "true"))
+    TxLog.append(spark, table, df(40 until 80).coalesce(1)) // v2
+    TxLog.append(spark, table, df(80 until 120).coalesce(1)) // v3
+    TxLog.delete(spark, table, "id = 50") // v4: cdf delete
+    TxLog.update(spark, table, "id = 90", Map("s" -> "'upd'")) // v5
+
+    def run(budget: String, ckpt: String): (Seq[Long], Map[String, Long]) = {
+      val versions = scala.collection.mutable.ListBuffer.empty[Seq[Long]]
+      val types = scala.collection.mutable.Map.empty[String, Long]
+      val q = spark.readStream.format("txlog").option("path", table)
+        .option("readChangeFeed", "true")
+        .option("maxBytesPerTrigger", budget).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val vs = b.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).toSeq.sorted
+          if (vs.nonEmpty) versions.synchronized { versions += vs }
+          b.groupBy("_change_type").count().collect().foreach(r =>
+            types.synchronized {
+              types(r.getString(0)) = types.getOrElse(r.getString(0), 0L) + r.getLong(1)
+            }): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (versions.toSeq.map(_.max), types.toMap)
+    }
+
+    // a 1-byte budget: every data-bearing commit is its own batch —
+    // never split, never merged (zero-byte property commits ride free)
+    val (ends, types) = run("1", s"$root/c1")
+    assert(ends.size === 5, s"expected 5 single-commit batches, got $ends")
+    assert(types === Map(
+      "insert" -> 120L, "delete" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L))
+    // a huge budget: one batch carries the whole feed, same totals
+    val (ends2, types2) = run((1L << 40).toString, s"$root/c2")
+    assert(ends2.size === 1)
+    assert(types2 === types)
+    // maxFilesPerTrigger stays refused in CDF mode
+    val ex = intercept[Exception] {
+      spark.readStream.format("txlog").option("path", table)
+        .option("readChangeFeed", "true")
+        .option("maxFilesPerTrigger", "2").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/c3")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(ex.getMessage.contains("maxFilesPerTrigger") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxFilesPerTrigger")))
+  }
 }
