@@ -2161,6 +2161,64 @@ object TxQueries2 {
                      CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
                      CAST(1 AS BIGINT) AS manifest_complete
               FROM part WHERE p_partkey % 7 <> 0
-              GROUP BY p_brand ORDER BY p_brand"""))
+              GROUP BY p_brand ORDER BY p_brand"""))  ,
+
+    // ---- maintenance from SQL: CALL + per-table checkpoint cadence ---------
+    // One lifecycle through the CALL surface: a table created with
+    // graft.checkpointInterval=2 checkpoints at v2 (pinned — default
+    // cadence 10 would have written nothing by then); stats blanked at
+    // write time, CALL compute_stats re-derives them and a keyed DELETE
+    // pins 1-of-4 discovery; CALL restore(timestamp => ts) rolls the
+    // delete back via the log's own monotonized commit time; CALL
+    // generate_manifest exports the restored live set, and a raw
+    // parquet read over exactly those paths reproduces the FULL table
+    // (any stale manifest, bad restore resolution, or mis-derived stat
+    // breaks the aggregate).
+    QuerySpec("q196_maintenance_sql", { (s, dir) =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Files.createTempDirectory("graft-q196").toString
+      val table = s"$root/t"
+      val supp = Td.load(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey", "s_acctbal").localCheckpoint(true)
+      TxLog.create(table, StructType(supp.schema.fields)) // v0
+      TxLog.setProperties(table, Map(
+        TxLog.Checkpoints.Interval -> "2",
+        TxLog.Stats.NumIndexed -> "0")) // v1
+      val mx = supp.agg(max("s_suppkey")).head().getLong(0)
+      (0 until 4).foreach(j => TxLog.append(s, table,
+        supp.where(s"s_suppkey * 4 div ${mx + 1} = $j").coalesce(1))) // v2..v5
+      graft.operators.CheckpointBlocks.release(supp)
+      val earlyCkpt = if (java.nio.file.Files.exists(java.nio.file.Paths.get(
+        table, "_txlog", "00000000000000000002.ckpt.json"))) 1L else 0L
+      val cat = "tx" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.TxCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      TxLog.setProperties(table, Map(TxLog.Stats.NumIndexed -> "")) // v6
+      s.sql(s"CALL $cat.compute_stats(`table` => 't')") // v7: stats return
+      val tsAnalyze = TxLog.history(s, table)
+        .where("op = 'computeStats'").head().getLong(2)
+      Thread.sleep(20) // the delete must commit at a LATER millisecond
+      TxLog.delete(s, table, "s_suppkey = 1") // v8: sharp 1-of-4
+      val scanned = TxLog.history(s, table).where("op = 'delete'")
+        .select(element_at(col("metrics"), "files_scanned")).head().getLong(0)
+      s.sql(s"CALL $cat.restore(`table` => 't', timestamp => '$tsAnalyze')") // v9
+      val m = s.sql(s"CALL $cat.generate_manifest(`table` => 't')").head()
+      val paths = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(m.getString(0))).asScala.filter(_.nonEmpty).toSeq
+      s.read.parquet(paths: _*) // external engine's view of the restored table
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"), dsum(col("s_acctbal")).as("sum_bal"))
+        .crossJoin(s.range(1).select(
+          lit(earlyCkpt).as("early_ckpt"),
+          lit(scanned).as("scanned_after_analyze"),
+          lit(paths.size.toLong).as("manifest_files")))
+        .orderBy("s_nationkey")
+    },
+      Some("""SELECT s_nationkey, count(*) AS n_supp,
+                     CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+                     CAST(1 AS BIGINT) AS early_ckpt,
+                     CAST(1 AS BIGINT) AS scanned_after_analyze,
+                     CAST(4 AS BIGINT) AS manifest_files
+              FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
   )
 }

@@ -769,8 +769,19 @@ object TxLog {
     else df.toDF(df.schema.fieldNames.toSeq.map(n => m.getOrElse(n, n)): _*)
   }
 
-  /** Commits between two checkpoints; each checkpoint bounds log replay. */
+  /** Commits between two checkpoints; each checkpoint bounds log
+    * replay. Default — per table, [[Checkpoints.Interval]] overrides. */
   val checkpointInterval = 10
+
+  /** Checkpoint cadence policy (Delta's `delta.checkpointInterval`). */
+  object Checkpoints {
+    /** Commits between checkpoints for THIS table. Lower = faster cold
+      * snapshot resolution, more checkpoint bytes; raise it on tables
+      * with huge file lists and frequent tiny commits (a streaming CDC
+      * sink), lower it on read-heavy tables. Takes effect from the
+      * commit that sets it. Empty string = back to the default. */
+    val Interval = "graft.checkpointInterval"
+  }
 
   /** Log protocol version this reader understands (Delta's
     * minReaderVersion discipline): commit 0 records the protocol the
@@ -1092,12 +1103,20 @@ object TxLog {
     * is deterministic for a version, so a concurrent duplicate write is
     * idempotent. */
   private def maybeCheckpoint(dir: String, v: Long): Unit =
-    if (v > 0 && v % checkpointInterval == 0) {
+    if (v > 0) {
       // The COMMIT already succeeded when this runs: a checkpoint-write
       // failure must never surface to the committer (the snapshot would
       // replay more commit files until the next interval — correct,
-      // just slower).
-      try writeCheckpoint(dir, v) catch { case _: Exception => () }
+      // just slower). The interval resolves from the table's OWN
+      // properties at v — the snapshot resolution is memoized and the
+      // next reader/writer of the table resolves (dir, v) anyway, so
+      // this adds no net replay.
+      try {
+        val interval = snapshot(dir, Some(v)).props
+          .get(Checkpoints.Interval).filter(_.nonEmpty).map(_.toLong)
+          .getOrElse(checkpointInterval.toLong)
+        if (v % interval == 0) writeCheckpoint(dir, v)
+      } catch { case _: Exception => () }
     }
 
   private def writeCheckpoint(dir: String, v: Long): Unit = {
@@ -2578,6 +2597,7 @@ object TxLog {
     numeric(AutoOptimize.MinSmallFiles, 2)
     numeric(AutoOptimize.SmallFileBytes, 1)
     numeric(AutoOptimize.TargetBytes, 1)
+    numeric(Checkpoints.Interval, 1)
     // partitioning is fixed at creation: pv metadata in already-committed
     // AddFiles cannot be retro-fitted to a different column set
     require(!props.contains(Partitioning.Columns),
@@ -4430,6 +4450,35 @@ object TxLog {
     if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
     else throw new ConcurrentWriteException(
       s"restore of $dir conflicted: version $v was committed concurrently")
+  }
+
+  /** RESTORE … TIMESTAMP AS OF: restore to the latest version committed
+    * at or before `tsMillis` — [[versionAtTime]]'s monotonized
+    * resolution rule, then [[restore]]'s commit semantics. */
+  def restoreAtTime(spark: SparkSession, dir: String, tsMillis: Long): Long =
+    restore(spark, dir, versionAtTime(dir, tsMillis))
+
+  /** Operator-facing timestamp forms: epoch millis, ISO-8601 instant,
+    * or `yyyy-MM-dd[ HH:mm:ss]` read as UTC — shared by the stream
+    * source's `startingTimestamp` and the restore/time-travel CALLs. */
+  private[sources] def parseTsMillis(ts: String): Long = {
+    val asLong = ts.toLongOption
+    lazy val asInstant =
+      try Some(java.time.Instant.parse(ts).toEpochMilli)
+      catch { case _: java.time.format.DateTimeParseException => None }
+    lazy val asLocal =
+      try Some(java.time.LocalDateTime
+        .parse(ts.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      catch { case _: java.time.format.DateTimeParseException => None }
+    lazy val asDate =
+      try Some(java.time.LocalDate.parse(ts).atStartOfDay
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      catch { case _: java.time.format.DateTimeParseException => None }
+    asLong.orElse(asInstant).orElse(asLocal).orElse(asDate).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot parse timestamp '$ts' " +
+          "(epoch millis, ISO-8601 instant, or yyyy-MM-dd[ HH:mm:ss] UTC)"))
   }
 
   /** Reclaim data files referenced by the log but live in NONE of the

@@ -248,21 +248,11 @@ class TxLogSource(spark: SparkSession, dir: String,
       catch { case _: TxLog.VersionNotFoundException => -1L }
   }
 
-  private def parseTsMillis(ts: String): Long = {
-    val asLong = ts.toLongOption
-    lazy val asInstant =
-      try Some(java.time.Instant.parse(ts).toEpochMilli)
-      catch { case _: java.time.format.DateTimeParseException => None }
-    lazy val asLocal =
-      try Some(java.time.LocalDateTime
-        .parse(ts.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
-      catch { case _: java.time.format.DateTimeParseException => None }
-    asLong.orElse(asInstant).orElse(asLocal).getOrElse(
-      throw new IllegalArgumentException(
-        s"txlog source: cannot parse startingTimestamp '$ts' " +
-          "(epoch millis, ISO-8601 instant, or yyyy-MM-dd HH:mm:ss UTC)"))
-  }
+  private def parseTsMillis(ts: String): Long =
+    try TxLog.parseTsMillis(ts) catch {
+      case e: IllegalArgumentException => throw new IllegalArgumentException(
+        s"txlog source: startingTimestamp: ${e.getMessage}")
+    }
 
   /** AvailableNow freezes the catch-up TARGET at query start (commits
     * racing the run are the next run's work); the rate limit then walks

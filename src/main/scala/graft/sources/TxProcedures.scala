@@ -26,6 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL tx.detail(`table` => 't')   -- DESCRIBE DETAIL: files/bytes/rows/partitioning/protocol
   *   CALL tx.clone(source => 't', target => 'dev_t')
   *   CALL tx.restore(`table` => 't', version => 3)
+  *   CALL tx.restore(`table` => 't', timestamp => '2026-08-15 00:00:00')
+  *   CALL tx.compute_stats(`table` => 't')  -- ANALYZE: re-derive file stats
+  *   CALL tx.generate_manifest(`table` => 't')
   *   CALL tx.convert(`table` => 'raw_parquet_dir')
   * }}}
   * Each returns a result relation (a `LocalScan` of the outcome —
@@ -175,12 +178,39 @@ private[sources] object TxProcedures {
         Seq(new GenericInternalRow(Array[Any](committed)))
       }),
     Proc("restore",
-      Array(p("table", StringType), p("version", LongType)),
+      Array(p("table", StringType), pd("version", LongType, "-1"),
+        pd("timestamp", StringType, "''")),
       StructType(Seq(StructField("version", LongType))),
       (root, in) => {
-        val committed = TxLog.restore(SparkSession.active,
-          dirOf(root, in.getUTF8String(0).toString), in.getLong(1))
+        val dir = dirOf(root, in.getUTF8String(0).toString)
+        val v = in.getLong(1)
+        val ts = in.getUTF8String(2).toString
+        require((v >= 0) != ts.nonEmpty,
+          "restore: give exactly one of version or timestamp")
+        val committed =
+          if (v >= 0) TxLog.restore(SparkSession.active, dir, v)
+          else TxLog.restoreAtTime(SparkSession.active, dir,
+            TxLog.parseTsMillis(ts))
         Seq(new GenericInternalRow(Array[Any](committed)))
+      }),
+    Proc("compute_stats",
+      Array(p("table", StringType)),
+      StructType(Seq(StructField("version", LongType))),
+      (root, in) => {
+        val committed = TxLog.recomputeStats(SparkSession.active,
+          dirOf(root, in.getUTF8String(0).toString))
+        Seq(new GenericInternalRow(Array[Any](committed)))
+      }),
+    Proc("generate_manifest",
+      Array(p("table", StringType)),
+      StructType(Seq(StructField("manifest_path", StringType),
+        StructField("files", LongType))),
+      (root, in) => {
+        val dir = dirOf(root, in.getUTF8String(0).toString)
+        val mf = TxLog.generateManifest(dir)
+        val n = java.nio.file.Files.readAllLines(mf)
+          .stream().filter(l => !l.isEmpty).count()
+        Seq(new GenericInternalRow(Array[Any](utf8(mf.toString), n)))
       }),
     Proc("convert",
       Array(p("table", StringType)),

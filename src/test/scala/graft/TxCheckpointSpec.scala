@@ -120,4 +120,37 @@ class TxCheckpointSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.read(spark, dir).count() === 10L)
     assert(TxLog.read(spark, dir).select("id").head().getLong(0) >= 70L)
   }
+
+  test("graft.checkpointInterval: per-table cadence; replay unchanged") {
+    val dir = tmp()
+    TxLog.append(spark, dir, df(0)) // v0
+    TxLog.setProperties(dir,
+      Map(TxLog.Checkpoints.Interval -> "3")) // v1
+    (1 to 4).foreach(i => TxLog.append(spark, dir, df(i))) // v2..v5
+    val names = logNames(dir)
+    // v3 checkpointed under the table's own interval; default-10 would
+    // have written nothing yet
+    assert(names.contains("00000000000000000003.ckpt.json"))
+    assert(!names.exists(n => n.contains(".ckpt.json") &&
+      !n.startsWith("00000000000000000003")))
+    // interval change is a property like any other: visible in the head
+    assert(TxLog.snapshot(dir).props(TxLog.Checkpoints.Interval) === "3")
+    // replay through the early checkpoint serves the raw state
+    TxLog.invalidateSnapshots(dir)
+    assert(TxLog.read(spark, dir).count() === 50L)
+    // tombstone returns the table to the default cadence: v6 (empty
+    // string) and v7..v8 commit without a v6 checkpoint
+    TxLog.setProperties(dir, Map(TxLog.Checkpoints.Interval -> "")) // v6
+    (5 to 6).foreach(i => TxLog.append(spark, dir, df(i))) // v7, v8
+    assert(!logNames(dir).exists(n =>
+      n.startsWith("00000000000000000006") && n.contains("ckpt")))
+    // malformed values refuse loudly at SET time
+    val e = intercept[IllegalArgumentException] {
+      TxLog.setProperties(dir, Map(TxLog.Checkpoints.Interval -> "zero"))
+    }
+    assert(e.getMessage.contains("integer"))
+    intercept[IllegalArgumentException] {
+      TxLog.setProperties(dir, Map(TxLog.Checkpoints.Interval -> "0"))
+    }
+  }
 }

@@ -100,6 +100,54 @@ class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.dev").head().getLong(0) === 100L)
   }
 
+  test("CALL restore by timestamp resolves via monotonized commit time") {
+    import spark.implicits._
+    val (cat, root) = freshCat()
+    val dir = s"$root/t"
+    TxLog.append(spark, dir,
+      (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "s").repartition(1))
+    Thread.sleep(15) // distinct commit millis: ts0 must resolve to v0 only
+    TxLog.append(spark, dir,
+      (1000 until 1050).map(i => (i.toLong, s"v$i")).toDF("id", "s").repartition(1))
+    // the instant between v0 and v1, from the LOG's own timestamps
+    // (wall-clock assertions would race the test machine)
+    val h = TxLog.history(spark, dir).orderBy("version").collect()
+    val ts0 = h(0).getLong(2)
+    spark.sql(s"CALL $cat.restore(`table` => 't', timestamp => '$ts0')")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 50L)
+    // exactly one of version/timestamp — both or neither refuse
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.restore(`table` => 't', version => 0, timestamp => '$ts0')")
+    }
+    assert(e.getMessage.contains("exactly one") ||
+      (e.getCause != null && e.getCause.getMessage.contains("exactly one")))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.restore(`table` => 't')")
+    }
+    assert(e2.getMessage.contains("exactly one") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("exactly one")))
+  }
+
+  test("CALL compute_stats re-derives stats; CALL generate_manifest exports paths") {
+    import scala.jdk.CollectionConverters._
+    val (cat, root) = freshCat()
+    val dir = seed(root)
+    // blank the stats, then ANALYZE from SQL and confirm they return
+    TxLog.setProperties(dir, Map(TxLog.Stats.NumIndexed -> "0"))
+    TxLog.recomputeStats(spark, dir)
+    assert(TxLog.snapshot(dir).files.forall(_.stats.isEmpty))
+    TxLog.setProperties(dir, Map(TxLog.Stats.NumIndexed -> ""))
+    val v = spark.sql(s"CALL $cat.compute_stats(`table` => 't')").head().getLong(0)
+    assert(v === TxLog.latestVersion(dir))
+    assert(TxLog.snapshot(dir).files.forall(_.stats.contains("id")))
+    val m = spark.sql(s"CALL $cat.generate_manifest(`table` => 't')").head()
+    val paths = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(m.getString(0))).asScala.filter(_.nonEmpty)
+    assert(m.getLong(1) === paths.size.toLong)
+    assert(paths.size === TxLog.snapshot(dir).files.size)
+    assert(spark.read.parquet(paths.toSeq: _*).count() === 200L)
+  }
+
   test("CALL convert adopts a plain parquet directory") {
     import spark.implicits._
     val (cat, root) = freshCat()
@@ -118,7 +166,7 @@ class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
       .map(_.getString(3)).toSet
     assert(names === Set("optimize", "optimize_partition", "vacuum",
       "purge_deletes", "history", "clone", "restore", "convert", "detail",
-      "cleanup_log"))
+      "cleanup_log", "compute_stats", "generate_manifest"))
   }
 
   test("CALL detail reports the snapshot's operational state") {
