@@ -2219,6 +2219,55 @@ object TxQueries2 {
                      CAST(1 AS BIGINT) AS early_ckpt,
                      CAST(1 AS BIGINT) AS scanned_after_analyze,
                      CAST(4 AS BIGINT) AS manifest_files
-              FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+              FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))  ,
+
+    // ---- SQL DDL column specs: identity + generated in CREATE TABLE --------
+    // The DSv2-capability path end-to-end: CREATE TABLE declares an
+    // engine-allocated surrogate key (GENERATED ALWAYS AS IDENTITY) and
+    // a hidden time partition (day GENERATED ALWAYS AS (date(ts)),
+    // PARTITIONED BY (day)); the column-list INSERT omits BOTH — the
+    // analyzer NULL-pads them, the engine allocates one and computes
+    // the other. Pins: per-day counts (the generated column's values),
+    // the arithmetic-series identity invariants (distinct = n, min 1,
+    // max n, sum n(n+1)/2 — order-free, duplicate-free dense
+    // allocation), and pv_days = the oracle's distinct days (the
+    // partition layout actually materialized).
+    QuerySpec("q197_ddl_identity", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q197").toString
+      val cat = "ddq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""CREATE TABLE $cat.ev (
+                  row_id BIGINT GENERATED ALWAYS AS IDENTITY,
+                  ts TIMESTAMP, event_type STRING, value DOUBLE,
+                  day DATE GENERATED ALWAYS AS (date(ts))
+                ) PARTITIONED BY (day)""")
+      Td.load(s, dir, "events").select("ts", "event_type", "value")
+        .createOrReplaceTempView("q197_ev")
+      s.sql(s"INSERT INTO $cat.ev (ts, event_type, value) " +
+        "SELECT ts, event_type, value FROM q197_ev")
+      val snap = TxLog.snapshot(s"$root/ev")
+      val pvDays = snap.files.filter(_.rows > 0)
+        .flatMap(_.pv.get("day")).distinct.size.toLong
+      s.sql(s"SELECT CAST(day AS STRING) AS day, count(*) AS n_events " +
+          s"FROM $cat.ev GROUP BY day")
+        .crossJoin(s.sql(
+          s"""SELECT count(DISTINCT row_id) AS distinct_ids,
+                     min(row_id) AS min_id, max(row_id) AS max_id,
+                     sum(row_id) AS sum_id FROM $cat.ev"""))
+        .crossJoin(s.range(1).select(lit(pvDays).as("pv_days")))
+        .orderBy("day")
+    },
+      Some("""WITH n AS (SELECT count(*) AS n FROM events),
+              d AS (SELECT count(DISTINCT CAST(ts AS DATE)) AS pv_days FROM events)
+              SELECT CAST(CAST(ts AS DATE) AS STRING) AS day,
+                     count(*) AS n_events,
+                     n.n AS distinct_ids,
+                     CAST(1 AS BIGINT) AS min_id,
+                     n.n AS max_id,
+                     CAST(n.n * (n.n + 1) / 2 AS BIGINT) AS sum_id,
+                     d.pv_days
+              FROM events CROSS JOIN n CROSS JOIN d
+              GROUP BY 1, n.n, d.pv_days ORDER BY day"""))
   )
 }

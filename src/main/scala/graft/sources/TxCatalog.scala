@@ -272,6 +272,79 @@ class TxCatalog extends TableCatalog
     TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER,
     TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL, "transient_lastDdlTime")
 
+  /** DSv2 capability declarations: lets Spark's parser hand CREATE
+    * TABLE column specs through instead of refusing them up front —
+    * `GENERATED ALWAYS AS IDENTITY` ([[TxLog.addIdentityColumn]]) and
+    * `GENERATED ALWAYS AS (expr)` ([[TxLog.addGeneratedColumn]], the
+    * closed transform grammar). */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
+  /** The user wrote the expression; the grammar owns the spelling:
+    * strip backticks, lowercase the function head. */
+  private def normalizeGenExpr(e: String): String = {
+    val s = e.replace("`", "").trim
+    val i = s.indexOf('(')
+    if (i <= 0) s
+    else s.take(i).toLowerCase(java.util.Locale.ROOT).trim + s.drop(i)
+  }
+
+  /** CREATE TABLE with column specs — identity and generated columns
+    * from SQL DDL:
+    * {{{
+    *   CREATE TABLE tx.t (
+    *     id  BIGINT GENERATED ALWAYS AS IDENTITY,
+    *     ts  TIMESTAMP,
+    *     day DATE GENERATED ALWAYS AS (date(ts)),
+    *     v   DOUBLE
+    *   ) PARTITIONED BY (day)
+    * }}}
+    * `GENERATED BY DEFAULT AS IDENTITY` is refused loudly: this engine
+    * implements ALWAYS semantics only (engine-owned allocation, explicit
+    * values refused — accepting BY DEFAULT would silently break the
+    * high-water uniqueness contract). Generation expressions must be in
+    * the closed derivable grammar (`date|month|hour|year(b)`,
+    * `bucket|truncate(N, b)`) — arbitrary expressions are refused with
+    * the grammar, not approximated. The grammar's names carry the
+    * ICEBERG transform semantics, not the SQL function of the same
+    * name — `month(ts)` materializes the `'yyyy-MM'` ordinal (so
+    * lexicographic pv/stats order IS time order), not SQL `month()`'s
+    * month-of-year int; the companion CHECK pins whichever semantics
+    * was installed, so the two can never drift silently. A refused
+    * spec drops the half-created table (creation is atomic to the
+    * user). */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val identity = columns.toSeq.filter(_.identityColumnSpec != null)
+    identity.foreach { c =>
+      require(!c.identityColumnSpec.isAllowExplicitInsert,
+        s"$catalogName: ${c.name}: GENERATED BY DEFAULT AS IDENTITY is not " +
+          "supported — identity columns are ALWAYS (engine-owned allocation; " +
+          "explicit values are refused)")
+    }
+    val generated = columns.toSeq.filter(_.generationExpression != null)
+      .map(c => c.name -> normalizeGenExpr(c.generationExpression))
+    val schema = StructType(columns.map(c =>
+      StructField(c.name, c.dataType, c.nullable)))
+    createTable(ident, schema, partitions, properties): Unit
+    val dir = dirOf(ident)
+    try {
+      generated.foreach { case (n, e) =>
+        TxLog.addGeneratedColumn(SparkSession.active, dir, n, e): Unit
+      }
+      identity.foreach { c =>
+        val sp = c.identityColumnSpec
+        TxLog.addIdentityColumn(SparkSession.active, dir, c.name,
+          sp.getStart, sp.getStep): Unit
+      }
+    } catch { case e: Throwable => TxLog.dropTable(dir); throw e }
+    loadTable(ident)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     // PARTITIONED BY: identity columns partition directly; time/bucket/

@@ -371,8 +371,19 @@ object TxLog {
       order: Seq[String]): DataFrame = {
     require(!df.columns.contains("__idrow"),
       "column name __idrow is reserved by identity assignment")
+    // A PRESENT identity column is legal only when every cell is NULL —
+    // the shape Spark's SQL INSERT produces for an omitted column (the
+    // analyzer pads with NULL). Validated INSIDE the same pass that
+    // numbers the rows: zero extra jobs, and an explicit value fails
+    // the write loudly before anything stages (ALWAYS semantics).
+    val presentIdx =
+      specs.keys.toSeq.map(c => df.columns.indexOf(c)).filter(_ >= 0)
     val withIdx = spark.createDataFrame(
       df.rdd.zipWithIndex.map { case (r, i) =>
+        presentIdx.foreach(ix => if (!r.isNullAt(ix))
+          throw new IllegalArgumentException(
+            s"${r.schema.fieldNames(ix)} is GENERATED ALWAYS AS IDENTITY — " +
+              "explicit values are refused; omit the column (or insert NULL)"))
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
       },
       df.schema.add(StructField("__idrow", LongType, nullable = false)))
@@ -1706,9 +1717,9 @@ object TxLog {
     // IDENTITY allocation ([[Identity]]): GENERATED ALWAYS — explicit
     // values refused; ids assigned from the head's high-water and
     // REASSIGNED below if a concurrent commit advanced it
+    // a PRESENT identity column is allowed iff all-NULL (the SQL
+    // INSERT pad shape) — validated in-pass by [[assignIdentity]]
     val idSpecs = pre.map(h => identityColsOf(h.props)).getOrElse(Map.empty)
-    idSpecs.keys.foreach(c => require(!df.columns.contains(c),
-      s"append: $c is GENERATED ALWAYS AS IDENTITY — omit it from the frame"))
     def hwOf(h: Option[Snapshot]): Map[String, Long] =
       idSpecs.map { case (c, sp) =>
         c -> h.flatMap(_.props.get(Identity.HighWater + c))
@@ -1833,9 +1844,8 @@ object TxLog {
     val dfGen = pre.fold(df)(withGeneratedCols(_, df))
     // identity allocation — same protocol as [[appendImpl]], including
     // the restage-on-advanced-high-water rule inside the retry loop
+    // and the all-NULL-presence rule validated by [[assignIdentity]]
     val idSpecs = pre.map(h => identityColsOf(h.props)).getOrElse(Map.empty)
-    idSpecs.keys.foreach(c => require(!df.columns.contains(c),
-      s"appendBatch: $c is GENERATED ALWAYS AS IDENTITY — omit it"))
     def hwOf(h: Option[Snapshot]): Map[String, Long] =
       idSpecs.map { case (c, sp) =>
         c -> h.flatMap(_.props.get(Identity.HighWater + c))

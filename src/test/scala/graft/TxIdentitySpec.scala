@@ -50,12 +50,25 @@ class TxIdentitySpec extends AnyFunSuite with SparkTestBase {
     val got = TxLog.read(spark, dir).select("row_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got === Seq(1000L, 1010L, 1020L))
-    intercept[IllegalArgumentException] {
+    // explicit values fail from inside the allocation pass (the check
+    // rides the zipWithIndex job — no extra scan), so the driver sees
+    // Spark's task-failure wrapper; the ALWAYS message must survive it
+    val e = intercept[Exception] {
       TxLog.append(spark, dir, Seq((9999L, "w")).toDF("row_id", "v"))
     }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("GENERATED ALWAYS AS IDENTITY")))
     intercept[IllegalArgumentException] {
       TxLog.update(spark, dir, "v = 'x'", Map("row_id" -> "42"))
     }
+    // an ALL-NULL arriving column is the omitted shape (what SQL INSERT
+    // pads) — it allocates instead of refusing
+    TxLog.append(spark, dir,
+      Seq((Option.empty[Long], "nn")).toDF("row_id", "v"))
+    val got2 = TxLog.read(spark, dir).where("v = 'nn'")
+      .select("row_id").head().getLong(0)
+    assert(got2 === 1030L)
   }
 
   test("SYNC on a non-empty table: allocation continues past existing values") {
