@@ -2269,5 +2269,94 @@ object TxQueries2 {
                      d.pv_days
               FROM events CROSS JOIN n CROSS JOIN d
               GROUP BY 1, n.n, d.pv_days ORDER BY day"""))
+  ,
+
+    // q198: column DEFAULT lifecycle — CREATE TABLE … DEFAULT, analyzer
+    // substitution on omitted columns and the DEFAULT keyword, and the
+    // rename-migration of the default property mid-stream
+    QuerySpec("q198_ddl_defaults", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q198").toString
+      val cat = "dfq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""CREATE TABLE $cat.ev (
+                  event_id BIGINT, event_type STRING, value DOUBLE,
+                  grade STRING DEFAULT 'unlabeled',
+                  weight DOUBLE DEFAULT 1.0
+                )""")
+      Td.load(s, dir, "events").select("event_id", "event_type", "value")
+        .createOrReplaceTempView("q198_ev")
+      // explicit grade/weight for the high-value band …
+      s.sql(s"""INSERT INTO $cat.ev (event_id, event_type, value, grade, weight)
+                SELECT event_id, event_type, value, 'scored', 2.0
+                FROM q198_ev WHERE value >= 100""")
+      // … defaults fill the rest (column-list INSERT omits both)
+      s.sql(s"""INSERT INTO $cat.ev (event_id, event_type, value)
+                SELECT event_id, event_type, value
+                FROM q198_ev WHERE value < 100 OR value IS NULL""")
+      // rename carries the default with the column; the DEFAULT keyword
+      // then resolves under the new name
+      s.sql(s"ALTER TABLE $cat.ev RENAME COLUMN grade TO label")
+      s.sql(s"INSERT INTO $cat.ev VALUES " +
+        "(-1, 'synthetic', 50.0, DEFAULT, DEFAULT)")
+      s.sql(
+        s"""SELECT label, count(*) AS n_rows,
+                   round(sum(weight), 3) AS sum_weight,
+                   round(sum(coalesce(value, 0)), 3) AS sum_value
+            FROM $cat.ev GROUP BY label ORDER BY label""")
+    },
+      Some("""WITH unioned AS (
+                SELECT CASE WHEN value >= 100 THEN 'scored' ELSE 'unlabeled' END AS label,
+                       CASE WHEN value >= 100 THEN 2.0 ELSE 1.0 END AS weight,
+                       value
+                FROM events
+                UNION ALL
+                SELECT 'unlabeled', 1.0, 50.0
+              )
+              SELECT label, count(*) AS n_rows,
+                     round(sum(weight), 3) AS sum_weight,
+                     round(sum(coalesce(value, 0)), 3) AS sum_value
+              FROM unioned GROUP BY label ORDER BY label"""))
+  ,
+
+    // q199: partition evolution — unpartitioned generation 1, evolve to
+    // PARTITIONED BY (event_type), aligned generation 2, mixed-generation
+    // partition read completeness, then OPTIMIZE migrates to O(1) pruning
+    QuerySpec("q199_partition_evolution", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q199").toString + "/t"
+      val ev = Td.load(s, dir, "events").select("event_id", "event_type", "value")
+      TxLog.append(s, root, ev.where("event_id % 2 = 0"))   // legacy, pv-less
+      TxLog.setPartitioning(root, Seq("event_type"))
+      TxLog.append(s, root, ev.where("event_id % 2 = 1"))   // partition-aligned
+      // mixed-generation completeness: the partition read must return
+      // every click row, old generation included (row-wise guard)
+      val mixedClickRows =
+        TxLog.readPartition(s, root, Map("event_type" -> "click")).count()
+      TxLog.optimize(s, root)                               // migrates layout
+      val snap = TxLog.snapshot(root)
+      val live = snap.files.filter(_.rows > 0)
+      val allAligned = if (live.forall(_.pv.contains("event_type"))) 1 else 0
+      val filesClickAfter =
+        TxLog.prunedFilesEq(snap, Map("event_type" -> "click"))._1
+          .count(_.rows > 0)
+      TxLog.read(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(coalesce(col("value"), lit(0.0))), 3).as("sum_value"))
+        .crossJoin(s.range(1).select(
+          lit(mixedClickRows).as("mixed_click_rows"),
+          lit(filesClickAfter).as("files_click_after"),
+          lit(allAligned).as("all_aligned")))
+        .orderBy("event_type")
+    },
+      Some("""WITH g AS (SELECT event_type, count(*) AS n_rows,
+                     round(sum(coalesce(value, 0)), 3) AS sum_value
+                     FROM events GROUP BY 1),
+              c AS (SELECT count(*) AS mixed_click_rows FROM events
+                    WHERE event_type = 'click')
+              SELECT event_type, n_rows, sum_value, c.mixed_click_rows,
+                     CAST(1 AS INT) AS files_click_after,
+                     CAST(1 AS INT) AS all_aligned
+              FROM g CROSS JOIN c ORDER BY event_type"""))
   )
 }

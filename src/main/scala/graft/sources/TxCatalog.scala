@@ -134,7 +134,25 @@ class TxCatalog extends TableCatalog
       override def txDir: String = dir
       override def txWritable: Boolean = writable
       override def name(): String = scan.name
-      override def schema(): StructType = snap.schema
+      // DEFAULTs surface as the column metadata Spark's analyzer reads
+      // (CURRENT_DEFAULT / EXISTS_DEFAULT) — the substitution into SQL
+      // INSERTs is then Spark's own, not a write-path re-implementation
+      override def schema(): StructType = {
+        val defs = TxLog.columnDefaultsOf(snap.props)
+        if (defs.isEmpty) snap.schema
+        else {
+          import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
+          StructType(snap.schema.fields.map { f =>
+            defs.get(f.name).fold(f) { sql =>
+              f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString(CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+                .putString(EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+                .build())
+            }
+          })
+        }
+      }
       // advertise the log's first-class partition columns: Spark then
       // accepts `INSERT OVERWRITE … PARTITION (c = 'v')` and plans it
       // as an overwrite-by-filter this table handles
@@ -280,7 +298,8 @@ class TxCatalog extends TableCatalog
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** The user wrote the expression; the grammar owns the spelling:
     * strip backticks, lowercase the function head. */
@@ -328,6 +347,16 @@ class TxCatalog extends TableCatalog
     }
     val generated = columns.toSeq.filter(_.generationExpression != null)
       .map(c => c.name -> normalizeGenExpr(c.generationExpression))
+    // column DEFAULTs: fixed at CREATE, stored as the SQL text Spark's
+    // analyzer substitutes into INSERTs ([[TxLog.ColumnDefaults]])
+    val defaults = columns.toSeq.filter(_.defaultValue != null).map { c =>
+      require(c.defaultValue.getSql != null,
+        s"$catalogName: ${c.name}: a DEFAULT needs its SQL form")
+      require(c.identityColumnSpec == null && c.generationExpression == null,
+        s"$catalogName: ${c.name}: DEFAULT cannot combine with " +
+          "identity/generated")
+      TxLog.ColumnDefaults.Prefix + c.name -> c.defaultValue.getSql
+    }
     val schema = StructType(columns.map(c =>
       StructField(c.name, c.dataType, c.nullable)))
     createTable(ident, schema, partitions, properties): Unit
@@ -341,6 +370,7 @@ class TxCatalog extends TableCatalog
         TxLog.addIdentityColumn(SparkSession.active, dir, c.name,
           sp.getStart, sp.getStep): Unit
       }
+      if (defaults.nonEmpty) TxLog.setProperties(dir, defaults.toMap): Unit
     } catch { case e: Throwable => TxLog.dropTable(dir); throw e }
     loadTable(ident)
   }
@@ -417,6 +447,13 @@ class TxCatalog extends TableCatalog
     val addCols = changes.collect { case a: TableChange.AddColumn =>
       require(a.fieldNames.length == 1,
         s"$catalogName: nested column adds are not supported")
+      // a later-added column's default would need EXISTS-default
+      // semantics (old rows reading the default, new explicit NULLs
+      // staying NULL) — per-file vintage the read path does not track;
+      // refuse rather than approximate (Delta's conservative rule)
+      require(a.defaultValue == null,
+        s"$catalogName: ADD COLUMN with DEFAULT is not supported — " +
+          "defaults are fixed at CREATE TABLE")
       StructField(a.fieldNames.head, a.dataType, a.isNullable)
     }
     // RENAME/DROP COLUMN route to the metadata-only column-mapping

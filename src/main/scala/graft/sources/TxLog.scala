@@ -322,6 +322,30 @@ object TxLog {
     val HighWater = "graft.identityHighWater." // + <col> -> last allocated
   }
 
+  /** Column DEFAULT values (`graft.columnDefault.<col>` = the SQL
+    * expression text): fixed at CREATE TABLE, surfaced to Spark as
+    * column metadata so the ANALYZER substitutes them into SQL INSERTs
+    * (an omitted column or an explicit `DEFAULT` keyword becomes the
+    * expression before the write reaches the engine) — the write path
+    * itself never fills anything, so Scala-API appends keep their
+    * strict schema-fidelity contract. No EXISTS-default semantics:
+    * defaults exist from commit 0, so no live row predates one. */
+  object ColumnDefaults {
+    val Prefix = "graft.columnDefault." // + <col> -> SQL expression text
+  }
+
+  private[sources] def columnDefaultsOf(props: Map[String, String]): Map[String, String] =
+    props.collect {
+      case (k, v) if k.startsWith(ColumnDefaults.Prefix) && v.nonEmpty =>
+        k.stripPrefix(ColumnDefaults.Prefix) -> v
+    }
+
+  /** Property keys that ride a COLUMN NAME: rename migrates them to the
+    * new key, drop tombstones them — a rename must never silently
+    * detach an identity spec or a DEFAULT from its column. */
+  private def perColumnPropPrefixes: Seq[String] =
+    Seq(Identity.Prefix, Identity.HighWater, ColumnDefaults.Prefix)
+
   private[sources] final case class IdSpec(start: Long, step: Long)
 
   /** The table's identity columns: logical column → spec. */
@@ -2608,11 +2632,12 @@ object TxLog {
     numeric(AutoOptimize.SmallFileBytes, 1)
     numeric(AutoOptimize.TargetBytes, 1)
     numeric(Checkpoints.Interval, 1)
-    // partitioning is fixed at creation: pv metadata in already-committed
-    // AddFiles cannot be retro-fitted to a different column set
+    // partitioning evolves through the DEDICATED path only (validation
+    // plus its own operation name in the history): a raw property set
+    // would bypass the column/type/clusterBy checks
     require(!props.contains(Partitioning.Columns),
-      s"${Partitioning.Columns} is fixed at table creation " +
-        "(create/appendPartitioned) and cannot be altered")
+      s"${Partitioning.Columns} is not settable as a raw property — " +
+        "use setPartitioning / CALL set_partitioning (partition evolution)")
     props.get(ClusterBy.Columns).filter(_.nonEmpty).foreach { v =>
       val head = headSnapshot(dir).getOrElse(
         sys.error(s"setProperties: $dir has no committed versions"))
@@ -2638,6 +2663,63 @@ object TxLog {
     }
     throw new ConcurrentWriteException(
       s"setProperties on $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
+  /** PARTITION EVOLUTION (Iceberg's spec-evolution capability, VLDB'21,
+    * re-expressed over the pv model): change the table's partition
+    * columns WITHOUT rewriting any data. Sound because pv is a
+    * PER-FILE truth ("every row in this file has c=v") independent of
+    * the table's current layout: already-committed files keep their
+    * old-generation pv (or none), and every consumer — [[pruneByFilters]],
+    * [[readPartition]], [[overwritePartitions]]/[[replaceWhereEq]]
+    * straddler classification, the streaming source's partitionFilter —
+    * already treats a file whose pv lacks the asked-for key by stats
+    * classification plus a row-level guard, never by assumption. New
+    * writes stage PARTITION-ALIGNED under the new layout; plain
+    * `optimize()` restages under the current layout, so the table
+    * CONVERGES to all-new-generation pv as it is compacted (migration =
+    * OPTIMIZE, not a mandatory rewrite). Time travel keeps each
+    * version's own layout (props replay). `cols = Nil` un-partitions.
+    * A concurrent append staged under the old layout may land after
+    * this commit — its files are simply old-generation (blind appends
+    * don't conflict with property commits); DML and overwrites conflict
+    * on property changes and retry under the new layout. Partition-
+    * GRANULAR ops ([[optimizePartition]], pv-only O(1) pruning) see
+    * only new-generation files until migration — correctness never
+    * depends on it. Returns the committed version (current version for
+    * a no-op). */
+  def setPartitioning(dir: String, cols: Seq[String]): Long = {
+    val head = headSnapshot(dir).getOrElse(
+      sys.error(s"setPartitioning: $dir has no committed versions"))
+    require(cols.distinct.size == cols.size,
+      s"setPartitioning: duplicate partition columns in ${cols.mkString(",")}")
+    cols.foreach { c =>
+      val f = head.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"setPartitioning: $c is not a table column"))
+      require(statSupported(f.dataType),
+        s"setPartitioning: $c: type ${f.dataType.simpleString} unsupported " +
+          "as a partition column")
+    }
+    if (cols.nonEmpty)
+      require(head.props.get(ClusterBy.Columns).forall(_.isEmpty),
+        s"setPartitioning: ${ClusterBy.Columns} is set — clustering is for " +
+          "unpartitioned tables; UNSET it before partitioning")
+    if (cols == partitionColsOf(head)) return head.version
+    var tries = 0
+    while (tries < maxCommitAttempts) {
+      val attempt = latestVersion(dir) + 1
+      val content = commitJson(attempt, "setPartitioning",
+        System.currentTimeMillis(), Nil, Nil, None, None,
+        Some(Map(Partitioning.Columns -> cols.mkString(","))))
+      if (tryPublish(dir, attempt, content)) {
+        maybeCheckpoint(dir, attempt)
+        return attempt
+      }
+      tries += 1
+    }
+    throw new ConcurrentWriteException(
+      s"setPartitioning on $dir lost $maxCommitAttempts consecutive commit races")
   }
 
   /** ADD CONSTRAINT (Delta `ALTER TABLE ADD CONSTRAINT` semantics):
@@ -3729,9 +3811,16 @@ object TxLog {
       val renamed = StructType(head.schema.fields.zipWithIndex.map { case (f, i) =>
         if (i == idx) f.copy(name = to) else f
       })
+      // identity/default properties ride the column name: migrate them
+      // with the rename (old key tombstoned) so the spec stays attached
+      val carried = perColumnPropPrefixes.flatMap { p =>
+        head.props.get(p + head.schema.fieldNames(idx)).filter(_.nonEmpty).toSeq
+          .flatMap(v => Seq(p + to -> v,
+            p + head.schema.fieldNames(idx) -> ""))
+      }
       val props = Map(
         ColumnMapping.Prefix + to -> physical,
-        ColumnMapping.Prefix + head.schema.fieldNames(idx) -> "") // tombstone old key
+        ColumnMapping.Prefix + head.schema.fieldNames(idx) -> "") ++ carried // tombstone old key
       val attempt = head.version + 1
       val content = commitJson(attempt, "renameColumn", System.currentTimeMillis(),
         Nil, Nil, Some(renamed.toDDL), None, Some(props), Some(2L))
@@ -3768,9 +3857,13 @@ object TxLog {
       requireMappableName(physical)
       val narrowed = StructType(head.schema.fields.patch(idx, Nil, 1))
       val dropped = (droppedPhysOf(head.props) + physical).toSeq.sorted.mkString(",")
+      // identity/default properties of the dropped column die with it
+      val tombstones = perColumnPropPrefixes.flatMap { p =>
+        head.props.get(p + logical).filter(_.nonEmpty).map(_ => p + logical -> "")
+      }
       val props = Map(
         ColumnMapping.Dropped -> dropped,
-        ColumnMapping.Prefix + logical -> "") // tombstone any mapping entry
+        ColumnMapping.Prefix + logical -> "") ++ tombstones // tombstone any mapping entry
       val attempt = head.version + 1
       val content = commitJson(attempt, "dropColumn", System.currentTimeMillis(),
         Nil, Nil, Some(narrowed.toDDL), None, Some(props), Some(2L))

@@ -28,6 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL tx.restore(`table` => 't', version => 3)
   *   CALL tx.restore(`table` => 't', timestamp => '2026-08-15 00:00:00')
   *   CALL tx.compute_stats(`table` => 't')  -- ANALYZE: re-derive file stats
+  *   CALL tx.set_partitioning(`table` => 't', columns => 'day')  -- partition evolution
   *   CALL tx.generate_manifest(`table` => 't')
   *   CALL tx.convert(`table` => 'raw_parquet_dir')
   * }}}
@@ -200,6 +201,19 @@ private[sources] object TxProcedures {
         val committed = TxLog.recomputeStats(SparkSession.active,
           dirOf(root, in.getUTF8String(0).toString))
         Seq(new GenericInternalRow(Array[Any](committed)))
+      }),
+    // partition evolution: columns => 'a,b' repartitions, '' un-partitions;
+    // no data rewritten — OPTIMIZE migrates old-generation files lazily
+    Proc("set_partitioning",
+      Array(p("table", StringType), pd("columns", StringType, "''")),
+      StructType(Seq(StructField("version", LongType),
+        StructField("partition_columns", StringType))),
+      (root, in) => {
+        val dir = dirOf(root, in.getUTF8String(0).toString)
+        val cols = in.getUTF8String(1).toString.split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val v = TxLog.setPartitioning(dir, cols)
+        Seq(new GenericInternalRow(Array[Any](v, utf8(cols.mkString(",")))))
       }),
     Proc("generate_manifest",
       Array(p("table", StringType)),

@@ -11,8 +11,8 @@ import graft.sources.TxLog
   * value combination per file in AddFile.pv; equality reads prune by
   * METADATA ONLY (zero stats reads, zero foreign files opened); dynamic
   * partition overwrite replaces whole partitions by metadata; DML and
-  * merges keep the table partition-aligned; partition columns are
-  * immutable. */
+  * merges keep the table partition-aligned; partitioning changes only
+  * through the dedicated evolution path ([[TxPartitionEvolutionSpec]]). */
 class TxPartitionSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
