@@ -2358,5 +2358,45 @@ object TxQueries2 {
                      CAST(1 AS INT) AS files_click_after,
                      CAST(1 AS INT) AS all_aligned
               FROM g CROSS JOIN c ORDER BY event_type"""))
+  ,
+
+    // q200: storage-partitioned join — two txlog tables partitioned on
+    // the join key; under v2 bucketing the join + aggregation plan with
+    // ZERO exchanges (the pv-keyed splits co-locate), pinned as a column
+    QuerySpec("q200_storage_partitioned_join", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q200").toString
+      val cat = "spq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val ev = Td.load(s, dir, "events").select("event_id", "event_type", "value")
+      TxLog.appendPartitioned(s, s"$root/facts", ev, Seq("event_type"))
+      TxLog.appendPartitioned(s, s"$root/thresholds",
+        ev.groupBy("event_type").agg(avg("value").as("thr")), Seq("event_type"))
+      val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.adaptive.enabled").map(k => k -> s.conf.getOption(k))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = s.sql(
+          s"""SELECT a.event_type AS event_type, count(*) AS n_above
+              FROM $cat.facts a JOIN $cat.thresholds b
+                ON a.event_type = b.event_type
+              WHERE a.value > b.thr
+              GROUP BY a.event_type""")
+        val nShuffles = q.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }.size
+        q.crossJoin(s.range(1).select(lit(nShuffles).as("n_shuffles")))
+          .orderBy("event_type")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    },
+      Some("""WITH t AS (SELECT event_type, avg(value) AS thr
+                         FROM events GROUP BY 1)
+              SELECT e.event_type, count(*) AS n_above,
+                     CAST(0 AS INT) AS n_shuffles
+              FROM events e JOIN t ON e.event_type = t.event_type
+              WHERE e.value > t.thr
+              GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** SQL surface for [[TxLog]] tables — a DataSource-V2 `TableCatalog`
@@ -600,6 +600,11 @@ private class PruningScanBuilder(tableName: String, dir: String,
   import org.apache.spark.sql.sources.Filter
 
   private var filters: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
+  private var aggPushed = false
+
+  private lazy val survivors: Seq[TxLog.AddFile] =
+    TxLog.pruneByFilters(snap, filters.toSeq, Some(dir))
 
   /** The surviving-files parquet builder, materialized on FIRST demand —
     * the engine pushes filters before aggregates and column pruning
@@ -609,7 +614,6 @@ private class PruningScanBuilder(tableName: String, dir: String,
     * skipping INSIDE the surviving files is kept (Spark 4's file scan
     * builders take catalyst expressions, not v1 filters). */
   private lazy val inner: org.apache.spark.sql.connector.read.ScanBuilder = {
-    val survivors = TxLog.pruneByFilters(snap, filters.toSeq, Some(dir))
     val paths = survivors.map(f =>
       java.nio.file.Paths.get(dir, f.path).toString)
     val b = ParquetTable(tableName, SparkSession.active, options, paths,
@@ -631,10 +635,13 @@ private class PruningScanBuilder(tableName: String, dir: String,
   }
   override def pushedFilters(): Array[Filter] = filters
 
-  override def pruneColumns(r: StructType): Unit = inner match {
-    case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-      c.pruneColumns(r)
-    case _ => ()
+  override def pruneColumns(r: StructType): Unit = {
+    required = Some(r)
+    inner match {
+      case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+        c.pruneColumns(r)
+      case _ => ()
+    }
   }
 
   // aggregate pushdown (count/min/max answered from parquet footers)
@@ -644,7 +651,9 @@ private class PruningScanBuilder(tableName: String, dir: String,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     inner match {
       case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
-        a.pushAggregation(agg)
+        val ok = a.pushAggregation(agg)
+        aggPushed ||= ok
+        ok
       case _ => false
     }
   override def supportCompletePushDown(
@@ -655,7 +664,87 @@ private class PruningScanBuilder(tableName: String, dir: String,
       case _ => false
     }
 
-  override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val built = inner.build()
+    keyGrouped(built).getOrElse(built)
+  }
+
+  /** STORAGE-PARTITIONED JOIN (SPARK-37375): when the table is
+    * partition-aligned, report `KeyGroupedPartitioning` over the
+    * partition columns and tag every input split with its partition
+    * key — Spark then plans a co-partitioned join of two such tables
+    * with ZERO exchange (each task joins one partition value's splits
+    * from both sides). Split parallelism INSIDE a partition is kept:
+    * splits are re-packed per key with Spark's own bin-packing, and
+    * Spark merges same-key splits only when it actually groups for an
+    * SPJ. Eligibility is strict, falling back to the plain scan on any
+    * miss: v2 bucketing enabled, no aggregate pushdown (output is no
+    * longer rows), partition columns present in the pruned output
+    * (catalyst must resolve the reported keys), and EVERY surviving
+    * live file carrying the full pv tuple — a mixed-generation table
+    * (partition evolution) or a pv-less legacy file disqualifies
+    * itself rather than mis-keying rows. */
+  private def keyGrouped(built: org.apache.spark.sql.connector.read.Scan)
+      : Option[org.apache.spark.sql.connector.read.Scan] = {
+    val session = SparkSession.active
+    if (!session.sessionState.conf
+        .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
+      return None
+    if (aggPushed) return None
+    val parts = TxLog.partitionColsOf(snap)
+    if (parts.isEmpty) return None
+    if (!required.forall(r =>
+        parts.forall(p => r.fieldNames.exists(_.equalsIgnoreCase(p)))))
+      return None
+    val live = survivors.filter(_.rows > 0)
+    if (live.isEmpty) return None
+    if (!live.forall(f => parts.forall(f.pv.contains))) return None
+    val fields = parts.map(c => snap.schema.fields.find(_.name == c).get)
+    // absolute path -> pv tuple (string form; one typed key built per group)
+    val keyByPath = live.map(f =>
+      java.nio.file.Paths.get(dir, f.path).normalize().toString ->
+        parts.map(f.pv)).toMap
+    val innerBatch = built.toBatch
+    val chunks = innerBatch.planInputPartitions().toSeq.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.toSeq
+      case _ => return None // not a file scan shape we understand
+    }
+    val byKey = chunks.groupBy { pf =>
+      keyByPath.get(java.nio.file.Paths.get(pf.pathUri.getPath).normalize().toString)
+    }
+    if (byKey.contains(None)) return None // a chunk we cannot key
+    def typed(dt: org.apache.spark.sql.types.DataType, s: String): Option[Any] = {
+      import org.apache.spark.sql.catalyst.{expressions => ce}
+      import org.apache.spark.unsafe.types.UTF8String
+      if (dt == StringType) Some(UTF8String.fromString(s))
+      else try Option(ce.Cast(
+        ce.Literal(UTF8String.fromString(s), StringType), dt,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)).eval())
+      catch { case _: Exception => None }
+    }
+    val maxSplit = session.sessionState.conf.filesMaxPartitionBytes
+    val groups = byKey.toSeq
+      .map { case (k, fs) => (k.get, fs) }
+      .sortBy(_._1.mkString("\u0000")) // deterministic split order
+    val splits = Array.newBuilder[org.apache.spark.sql.connector.read.InputPartition]
+    var idx = 0
+    groups.foreach { case (pvTuple, fs) =>
+      val vals = fields.zip(pvTuple).map { case (f, s) => typed(f.dataType, s) }
+      if (vals.exists(_.isEmpty)) return None // un-renderable pv under the type
+      val key = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        vals.map(_.get).toArray)
+      org.apache.spark.sql.execution.datasources.FilePartition
+        .getFilePartitions(session, fs, maxSplit).foreach { fp =>
+          splits += new KeyedFilePartition(idx, fp.files, key)
+          idx += 1
+        }
+    }
+    val keyExprs: Array[org.apache.spark.sql.connector.expressions.Expression] =
+      parts.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    Some(new KeyGroupedTxScan(built, innerBatch, splits.result(), keyExprs))
+  }
 
   /** v1 Filter → resolved catalyst Expression over the physical schema
     * (the comparison/null/boolean family parquet skipping understands;
@@ -689,6 +778,45 @@ private class PruningScanBuilder(tableName: String, dir: String,
       case _ => None
     }
   }
+}
+
+/** A parquet input split that knows its partition key — the
+  * [[org.apache.spark.sql.connector.read.HasPartitionKey]] contract
+  * Spark's storage-partitioned join machinery groups by. Extends
+  * Spark's own FilePartition so the untouched parquet reader factory
+  * keeps serving it (row data never changes; only grouping metadata
+  * rides along). */
+private class KeyedFilePartition(index: Int,
+    files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+  extends org.apache.spark.sql.execution.datasources.FilePartition(index, files)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
+
+/** The SPJ-reporting wrapper around the pruned parquet scan: same
+  * reader factory, same read schema — the only additions are
+  * per-key-tagged input splits and a [[KeyGroupedPartitioning]]
+  * report, which lets Spark co-locate equal partition keys of two
+  * such scans without an exchange. */
+private class KeyGroupedTxScan(
+    inner: org.apache.spark.sql.connector.read.Scan,
+    innerBatch: org.apache.spark.sql.connector.read.Batch,
+    splits: Array[org.apache.spark.sql.connector.read.InputPartition],
+    keyExprs: Array[org.apache.spark.sql.connector.expressions.Expression])
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.Batch
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = inner.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    splits
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    innerBatch.createReaderFactory()
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      keyExprs, splits.length)
 }
 
 /** Scan shim for COLUMN-MAPPED tables: the plan speaks LOGICAL names,
