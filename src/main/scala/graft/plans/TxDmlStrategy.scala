@@ -4,8 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, InSubquery, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 
@@ -55,11 +55,44 @@ object TxDmlStrategy extends SparkStrategy {
             case ar: AttributeReference => ar.name
             case other => refuse(s"UPDATE of a non-column target $other " +
               "(nested fields are not supported)")
-          }) -> render(a.value)
-        }.toMap
-        val cond = u.condition.map(render).getOrElse("TRUE")
-        TxDmlExec(s"UPDATE ${t.txDir}",
-          () => TxLog.update(SparkSession.active, t.txDir, cond, set)) :: Nil
+          }) -> a.value
+        }
+        if (set.exists(_._2.exists(_.isInstanceOf[SubqueryExpression])))
+          refuse("a subquery in an UPDATE SET value (supported: a " +
+            "subquery in the WHERE as `col IN (SELECT …)`)")
+        if (u.condition.exists(_.exists(_.isInstanceOf[SubqueryExpression]))) {
+          // WHERE k IN (SELECT …) [AND p] — the semi-join spelling of a
+          // keyed update: rewrite onto mergeClauses (one distributed
+          // plan, no driver-side value collection)
+          val (src, keyCols, extra) = inSubqueryParts(u.condition.get)
+          val clause = TxLog.WhenMatchedUpdate(extra,
+            set.map { case (k, v) =>
+              k -> renderSided(v, AttributeSet.empty) }.toMap)
+          TxDmlExec(s"UPDATE-IN-SUBQUERY ${t.txDir}", () =>
+            TxLog.mergeClauses(SparkSession.active, t.txDir, src(),
+              keyCols, Seq(clause))) :: Nil
+        } else {
+          val setSql = set.map { case (k, v) => k -> render(v) }.toMap
+          val cond = u.condition.map(render).getOrElse("TRUE")
+          TxDmlExec(s"UPDATE ${t.txDir}",
+            () => TxLog.update(SparkSession.active, t.txDir, cond, setSql)) :: Nil
+        }
+      }.getOrElse(Nil)
+
+    // DELETE with a subquery condition: the SupportsDelete/v1-filter
+    // interface cannot express it (Spark's own v2 strategy refuses), so
+    // intercept HERE and rewrite onto the same semi-join merge
+    // machinery. Subquery-free DELETEs fall through untouched to the
+    // SupportsDelete fast path.
+    case d: DeleteFromTable
+        if d.condition.exists(_.isInstanceOf[SubqueryExpression]) =>
+      txTableOf(d.table).map { t =>
+        requireWritable(t)
+        val (src, keyCols, extra) = inSubqueryParts(d.condition)
+        val clause = TxLog.WhenMatchedDelete(extra)
+        TxDmlExec(s"DELETE-IN-SUBQUERY ${t.txDir}", () =>
+          TxLog.mergeClauses(SparkSession.active, t.txDir, src(),
+            keyCols, Seq(clause))) :: Nil
       }.getOrElse(Nil)
 
     case m: MergeIntoTable =>
@@ -141,6 +174,62 @@ object TxDmlStrategy extends SparkStrategy {
       }.getOrElse(Nil)
 
     case _ => Nil
+  }
+
+  /** Decompose a DML condition carrying an IN-subquery into the
+    * semi-join merge rewrite's parts: `k1 [, k2 …] IN (SELECT …) AND p`
+    * becomes (source thunk, key columns, residual condition).
+    *
+    * Supported shape: exactly ONE uncorrelated `IN (subquery)` conjunct
+    * whose probe side is plain column references; every other conjunct
+    * must be subquery-free (it rides as the clause condition, evaluated
+    * against the matched target row). `NOT IN` is refused — its
+    * three-valued NULL semantics do not reduce to an anti-join, and a
+    * silent approximation would delete the wrong rows. The subquery's
+    * output is renamed positionally to the probe columns, NULL keys
+    * dropped (SQL IN can only yield TRUE on a non-NULL match — dropping
+    * them is exact, not an approximation), and deduplicated: the merge
+    * machinery's distinct-source-keys contract.
+    *
+    * The source is a THUNK: the subquery plan is turned into a
+    * DataFrame at EXECUTION time, so its scan pins the table state the
+    * DML's own commit loop governs, not planning-time state. */
+  private def inSubqueryParts(cond: Expression)
+      : (() => org.apache.spark.sql.DataFrame, Seq[String], Option[String]) = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val (withSub, plain) =
+      conjuncts(cond).partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    val in = withSub match {
+      case Seq(i: InSubquery) => i
+      case Seq(other) => refuse(s"subquery condition ${other.sql}; supported: " +
+        "a single `col [, col …] IN (SELECT …)` conjunct (NOT IN / EXISTS " +
+        "are not)")
+      case _ => refuse("multiple subquery conjuncts in one DML condition")
+    }
+    if (in.query.outerAttrs.nonEmpty)
+      refuse(s"correlated subquery ${in.query.plan.treeString.take(200)}")
+    val keyCols = in.values.map {
+      case ar: AttributeReference => ar.name
+      case other => refuse(s"IN probe ${other.sql}: must be plain columns")
+    }
+    if (keyCols.distinct != keyCols) refuse("duplicate columns in the IN probe")
+    val subPlan = in.query.plan
+    val extra =
+      if (plain.isEmpty) None
+      else Some(plain.map(p => renderSided(p, AttributeSet.empty))
+        .mkString("(", ") AND (", ")"))
+    val src = () => {
+      val spark = SparkSession.active
+      val df = org.apache.spark.sql.graft.GraftSqlShims
+        .dataFrameOfPlan(spark, subPlan)
+        .toDF(keyCols: _*)
+      keyCols.foldLeft(df)((d, c) =>
+        d.where(org.apache.spark.sql.functions.col(c).isNotNull)).distinct()
+    }
+    (src, keyCols, extra)
   }
 
   /** Unwrap aliases down to a [[TxTable]]-marked v2 relation — the

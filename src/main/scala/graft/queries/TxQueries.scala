@@ -2398,5 +2398,48 @@ object TxQueries2 {
               FROM events e JOIN t ON e.event_type = t.event_type
               WHERE e.value > t.thr
               GROUP BY 1 ORDER BY 1"""))
+  ,
+
+    // q201: DML with IN-subqueries — DELETE and UPDATE whose WHERE
+    // carries `k IN (SELECT …)` rewrite onto the semi-join merge
+    // machinery; gated against DuckDB running the same statements
+    // relationally (expressed as anti-join / conditional update)
+    QuerySpec("q201_subquery_dml", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q201").toString
+      val cat = "sqq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      TxLog.append(s, s"$root/ord", Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+      Td.load(s, dir, "lineitem").select("l_orderkey", "l_discount", "l_quantity")
+        .createOrReplaceTempView("q201_li")
+      // DELETE the orders with any deep-discount line…
+      s.sql(s"""DELETE FROM $cat.ord WHERE o_orderkey IN
+                (SELECT l_orderkey FROM q201_li WHERE l_discount >= 0.09)""")
+      // …then flag the surviving heavy orders (any line with quantity
+      // >= 45), with a residual condition on the target row
+      s.sql(s"""UPDATE $cat.ord SET o_orderstatus = 'H'
+                WHERE o_orderkey IN
+                  (SELECT l_orderkey FROM q201_li WHERE l_quantity >= 45)
+                  AND o_totalprice > 100000""")
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n_orders,
+                       round(sum(o_totalprice), 2) AS sum_price
+                FROM $cat.ord GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+      Some("""WITH kept AS (
+                SELECT * FROM orders WHERE o_orderkey NOT IN
+                  (SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.09)
+              ), updated AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                                WHERE l_quantity >= 45)
+                                 AND o_totalprice > 100000
+                            THEN 'H' ELSE o_orderstatus END AS o_orderstatus,
+                       o_totalprice
+                FROM kept
+              )
+              SELECT o_orderstatus, count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS sum_price
+              FROM updated GROUP BY 1 ORDER BY 1"""))
   )
 }
