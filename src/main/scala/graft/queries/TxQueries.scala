@@ -2441,5 +2441,21 @@ object TxQueries2 {
               SELECT o_orderstatus, count(*) AS n_orders,
                      round(sum(o_totalprice), 2) AS sum_price
               FROM updated GROUP BY 1 ORDER BY 1"""))
+  ,
+
+    // q202: SHOW PARTITIONS — the pv-metadata listing (zero file opens)
+    // matches the data's actual distinct partition values
+    QuerySpec("q202_show_partitions", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q202").toString
+      val cat = "shq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      TxLog.appendPartitioned(s, s"$root/ev",
+        Td.load(s, dir, "events").select("event_id", "event_type", "value"),
+        Seq("event_type"))
+      s.sql(s"SHOW PARTITIONS $cat.ev").orderBy("partition")
+    },
+      Some("""SELECT 'event_type=' || event_type AS partition
+              FROM events GROUP BY event_type ORDER BY 1"""))
   )
 }

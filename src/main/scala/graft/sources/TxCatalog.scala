@@ -130,10 +130,80 @@ class TxCatalog extends TableCatalog
     // table properties (tombstoned keys dropped) — SHOW TBLPROPERTIES
     // then shows auto-optimize settings and CHECK constraints from SQL
     new Table with SupportsRead with SupportsWrite
-        with org.apache.spark.sql.connector.catalog.SupportsDelete with TxTable {
+        with org.apache.spark.sql.connector.catalog.SupportsDelete with TxTable
+        with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
       override def txDir: String = dir
       override def txWritable: Boolean = writable
       override def name(): String = scan.name
+
+      // ---- SHOW PARTITIONS (SupportsPartitionManagement, read side) ----
+      // pv is DERIVED from data at write time, so partition existence is
+      // a metadata FACT here, not managed state: the listing is served
+      // from the log alone (zero file opens); the mutation verbs
+      // (ADD/DROP PARTITION DDL) are refused — write data, don't declare
+      // directories. REFUSED too while any live file lacks the full pv
+      // tuple (mid-partition-evolution): an under-complete listing would
+      // silently hide partitions that live only in legacy files; OPTIMIZE
+      // migrates, then the listing is total.
+      private def partFields: Array[StructField] =
+        TxLog.partitionColsOf(snap).toArray.map(c =>
+          snap.schema.fields.find(_.name == c).get)
+      override def partitionSchema(): StructType = StructType(partFields)
+      override def listPartitionIdentifiers(names: Array[String],
+          ident: org.apache.spark.sql.catalyst.InternalRow)
+          : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+        val fields = partFields
+        val live = snap.files.filter(_.rows > 0)
+        require(live.forall(f => fields.forall(fd => f.pv.contains(fd.name))),
+          s"${scan.name}: SHOW PARTITIONS on a mixed-generation table " +
+            "(files predating the current partitioning) — OPTIMIZE to migrate")
+        // the partial spec (SHOW PARTITIONS t PARTITION(c='v')) arrives
+        // typed; compare in pv stats-canon space
+        val want: Map[String, String] = names.zipWithIndex.flatMap { case (n, i) =>
+          val fd = fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+            throw new IllegalArgumentException(s"$n is not a partition column"))
+          TxCatalog.pvCanon(fd.dataType,
+            ident.get(i, fd.dataType)).map(fd.name -> _)
+        }.toMap
+        live.map(f => fields.map(fd => fd.name -> f.pv(fd.name)).toMap)
+          .distinct
+          .filter(pv => want.forall { case (c, v) => pv(c) == v })
+          .sortBy(pv => fields.map(fd => pv(fd.name)).mkString(" "))
+          .flatMap { pv =>
+            val vals = fields.map(fd => TxCatalog.typedPv(fd.dataType, pv(fd.name)))
+            if (vals.exists(_.isEmpty)) None
+            else Some(new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(vals.map(_.get).toArray[Any])
+              : org.apache.spark.sql.catalyst.InternalRow)
+          }.toArray
+      }
+      override def loadPartitionMetadata(
+          ident: org.apache.spark.sql.catalyst.InternalRow)
+          : util.Map[String, String] = {
+        val fields = partFields
+        val want = fields.zipWithIndex.flatMap { case (fd, i) =>
+          TxCatalog.pvCanon(fd.dataType, ident.get(i, fd.dataType))
+            .map(fd.name -> _) }.toMap
+        val fs = snap.files.filter(f => f.rows > 0 &&
+          want.forall { case (c, v) => f.pv.get(c).contains(v) })
+        Map("files" -> fs.size.toString, "rows" -> fs.map(_.rows).sum.toString,
+          "bytes" -> fs.map(_.bytes).sum.toString).asJava
+      }
+      override def createPartition(
+          ident: org.apache.spark.sql.catalyst.InternalRow,
+          props: util.Map[String, String]): Unit =
+        throw new UnsupportedOperationException(
+          s"${scan.name}: partitions are derived from written data, not DDL")
+      override def dropPartition(
+          ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+        throw new UnsupportedOperationException(
+          s"${scan.name}: drop partitions by writing " +
+            "(INSERT OVERWRITE … PARTITION / overwritePartitions), not DDL")
+      override def replacePartitionMetadata(
+          ident: org.apache.spark.sql.catalyst.InternalRow,
+          props: util.Map[String, String]): Unit =
+        throw new UnsupportedOperationException(
+          s"${scan.name}: partition metadata is log-derived and immutable")
       // DEFAULTs surface as the column metadata Spark's analyzer reads
       // (CURRENT_DEFAULT / EXISTS_DEFAULT) — the substitution into SQL
       // INSERTs is then Spark's own, not a write-path re-implementation
@@ -503,6 +573,31 @@ class TxCatalog extends TableCatalog
 
 object TxCatalog {
   import org.apache.spark.sql.sources._
+
+  /** Stats-canon pv string → typed value (what an InternalRow carries
+    * for that column). None = the string does not render under the
+    * type. */
+  private[sources] def typedPv(dt: org.apache.spark.sql.types.DataType,
+      s: String): Option[Any] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.unsafe.types.UTF8String
+    if (dt == StringType) Some(UTF8String.fromString(s))
+    else try Option(ce.Cast(
+      ce.Literal(UTF8String.fromString(s), StringType), dt,
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)).eval())
+    catch { case _: Exception => None }
+  }
+
+  /** Typed partition value → its stats-canon string (the pv form). */
+  private[sources] def pvCanon(dt: org.apache.spark.sql.types.DataType,
+      v: Any): Option[String] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    if (v == null) None
+    else try Option(ce.Cast(ce.Literal.create(v, dt), StringType,
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      .eval()).map(_.toString)
+    catch { case _: Exception => None }
+  }
 
   /** v1 Filter → SQL text for [[TxLog.delete]]. None = not translatable
     * (the caller refuses the delete rather than approximating it). */
