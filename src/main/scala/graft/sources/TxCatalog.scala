@@ -255,12 +255,13 @@ class TxCatalog extends TableCatalog
       override def newScanBuilder(options: CaseInsensitiveStringMap) =
         // a DV-bearing snapshot cannot be served by the plain parquet
         // scan (it would resurrect deleted rows): fall back to the v1
-        // relation over TxLog.read — the merge-on-read anti-join plan.
-        // Pushdown/vectorization are traded for correctness on the
-        // DV-bearing scan, same precedent as the mapped-table shim;
-        // OPTIMIZE / purgeDeletes restores the fast path.
+        // relation over the merge-on-read anti-join plan. FILE SKIPPING
+        // is kept — pushed filters prune the pinned list before the
+        // scan, and translatable predicates replay into the frame for
+        // row-group skipping; only vectorized whole-stage scanning is
+        // traded. OPTIMIZE / purgeDeletes restores the full fast path.
         if (snap.files.exists(_.dv.nonEmpty))
-          new DvFallbackScanBuilder(dir, snap.version, snap.schema)
+          new DvFallbackScanBuilder(dir, snap)
         else if (l2p.isEmpty)
           // identity-mapped fast path gains FILE SKIPPING: pushed
           // predicates prune the pinned file list via pv/stats before
@@ -655,21 +656,46 @@ object TxCatalog {
   * bridge — the one read shape the pinned-file parquet table cannot
   * express. Pinned to the snapshot's version, so concurrent commits
   * and time travel behave identically to the fast path. */
-private class DvFallbackScanBuilder(dir: String, version: Long,
-    logicalSchema: StructType)
-  extends org.apache.spark.sql.connector.read.ScanBuilder {
+private class DvFallbackScanBuilder(dir: String, snap: TxLog.Snapshot)
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources.Filter
+
+  private var filters: Array[Filter] = Array.empty
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // all filters stay post-scan residuals (pruning is conservative)
+  }
+  override def pushedFilters(): Array[Filter] = filters
+
   override def build(): org.apache.spark.sql.connector.read.Scan =
     new org.apache.spark.sql.connector.read.V1Scan {
-      override def readSchema(): StructType = logicalSchema
+      override def readSchema(): StructType = snap.schema
       override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
           with org.apache.spark.sql.sources.TableScan](
           context: org.apache.spark.sql.SQLContext): T =
         (new org.apache.spark.sql.sources.BaseRelation
             with org.apache.spark.sql.sources.TableScan {
           override def sqlContext: org.apache.spark.sql.SQLContext = context
-          override def schema: StructType = logicalSchema
-          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-            TxLog.read(context.sparkSession, dir, Some(version)).rdd
+          override def schema: StructType = snap.schema
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            val spark = context.sparkSession
+            // file skipping survives the DV fallback: pushed filters
+            // prune the pinned list exactly like the clean scan (stats
+            // are PHYSICAL-file bounds, so pruning a DV file stays
+            // conservative — live rows are a subset of physical)
+            val survivors = TxLog.pruneByFilters(snap, filters.toSeq, Some(dir))
+            if (survivors.isEmpty)
+              return spark.sparkContext.emptyRDD[org.apache.spark.sql.Row]
+            val base = TxLog.scanAdds(spark, dir, snap, survivors)
+            // replay translatable predicates INTO the frame — catalyst
+            // pushes them through the anti-join into the parquet scan
+            // (row-group skipping inside the survivors); the engine-side
+            // Filter node re-evaluates everything regardless
+            filters.toSeq.flatMap(TxCatalog.filterToSql)
+              .foldLeft(base)((d, c) => d.where(c)).rdd
+          }
         }).asInstanceOf[T]
     }
 }

@@ -378,3 +378,37 @@ class TxDvSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(1L) === "B1" && rows(20L) === "B20" && rows.size === 11)
   }
 }
+
+/** File skipping on the DV-bearing SQL scan: pushed filters prune the
+  * pinned file list before the merge-on-read anti-join plan is built —
+  * a partition-keyed SQL query on a DV table never opens foreign
+  * partitions' files, and DV-deleted rows stay deleted under the
+  * replayed predicates. */
+class TxDvPrunedScanSpec extends AnyFunSuite with SparkTestBase {
+
+  test("SQL scan over a DV table prunes files and keeps DV semantics") {
+    val root = Files.createTempDirectory("graft-dvprune").toString
+    val cat = "dvp" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    import spark.implicits._
+    val d = (0 until 30).map(i => (i.toLong, s"v$i", s"g${i % 3}")).toDF("id", "s", "grp")
+    TxLog.appendPartitioned(spark, dir, d, Seq("grp"))
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    // DV delete inside g0 (no rewrite), then corrupt g2's file: a
+    // g0-keyed SQL query must neither resurrect the deleted row nor
+    // open the foreign partition
+    TxLog.delete(spark, dir, "id = 0")
+    val snap = TxLog.snapshot(dir)
+    assert(snap.files.exists(_.dv.nonEmpty), "delete should have used a DV")
+    val g2 = snap.files.find(_.pv.get("grp").contains("g2")).get
+    Files.write(Paths.get(dir, g2.path), Array[Byte](1, 2, 3))
+    val got = spark.sql(s"SELECT id FROM $cat.t WHERE grp = 'g0'")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === (0L until 30L).filter(i => i % 3 == 0 && i != 0L).toSet)
+    // an unprunable full scan still hits the corruption (nothing is
+    // silently skipped)
+    intercept[Exception](spark.sql(s"SELECT count(*) FROM $cat.t").collect())
+  }
+}
