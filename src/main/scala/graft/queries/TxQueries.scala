@@ -2457,5 +2457,39 @@ object TxQueries2 {
     },
       Some("""SELECT 'event_type=' || event_type AS partition
               FROM events GROUP BY event_type ORDER BY 1"""))
+  ,
+
+    // q203: arbitrary-predicate replaceWhere through the public
+    // writeTo(t).overwrite(cond) API — the high-value band atomically
+    // replaced by its re-scored form in ONE commit
+    QuerySpec("q203_replace_where", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q203").toString
+      val cat = "rwq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val ev = Td.load(s, dir, "events").select("event_id", "event_type", "value")
+      TxLog.append(s, s"$root/ev", ev)
+      val v0 = TxLog.latestVersion(s"$root/ev")
+      ev.where("value >= 150")
+        .select(col("event_id"), col("event_type"),
+          (col("value") * 2).as("value"))
+        .writeTo(s"$cat.ev").overwrite(col("value") >= 150)
+      val oneCommit = if (TxLog.latestVersion(s"$root/ev") == v0 + 1) 1 else 0
+      s.sql(s"""SELECT event_type, count(*) AS n_rows,
+                       round(sum(coalesce(value, 0)), 3) AS sum_value
+                FROM $cat.ev GROUP BY event_type""")
+        .crossJoin(s.range(1).select(lit(oneCommit).as("one_commit")))
+        .orderBy("event_type")
+    },
+      Some("""WITH u AS (
+                SELECT event_type, value FROM events
+                WHERE value < 150 OR value IS NULL
+                UNION ALL
+                SELECT event_type, value * 2 FROM events WHERE value >= 150
+              )
+              SELECT event_type, count(*) AS n_rows,
+                     round(sum(coalesce(value, 0)), 3) AS sum_value,
+                     CAST(1 AS INT) AS one_commit
+              FROM u GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -168,7 +168,7 @@ class TxCatalog extends TableCatalog
         live.map(f => fields.map(fd => fd.name -> f.pv(fd.name)).toMap)
           .distinct
           .filter(pv => want.forall { case (c, v) => pv(c) == v })
-          .sortBy(pv => fields.map(fd => pv(fd.name)).mkString(" "))
+          .sortBy(pv => fields.map(fd => pv(fd.name)).mkString("\u0000"))
           .flatMap { pv =>
             val vals = fields.map(fd => TxCatalog.typedPv(fd.dataType, pv(fd.name)))
             if (vals.exists(_.isEmpty)) None
@@ -276,6 +276,9 @@ class TxCatalog extends TableCatalog
           // Left(false)=append, Left(true)=full overwrite,
           // Right(eq)=static partition overwrite (INSERT OVERWRITE … PARTITION)
           private var mode: Either[Boolean, Map[String, String]] = Left(false)
+          // Some(pred) = arbitrary-predicate replaceWhere (non-equality
+          // overwrite filters); takes precedence over `mode`
+          private var replacePred: Option[String] = None
           override def truncate(): WriteBuilder = { mode = Left(true); this }
           override def overwrite(
               filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
@@ -294,11 +297,20 @@ class TxCatalog extends TableCatalog
               case _ => None
             }
             val eqs = filters.toSeq.map(eqOf)
-            require(eqs.forall(_.isDefined),
-              s"$catalogName: INSERT OVERWRITE supports a full overwrite or " +
-                s"partition-equality filters, got ${filters.mkString(", ")}")
-            val eq = eqs.flatten.foldLeft(Map.empty[String, String])(_ ++ _)
-            mode = if (eq.isEmpty) Left(true) else Right(eq)
+            if (eqs.forall(_.isDefined)) {
+              // equality filters keep the pv-metadata O(1) classification
+              val eq = eqs.flatten.foldLeft(Map.empty[String, String])(_ ++ _)
+              mode = if (eq.isEmpty) Left(true) else Right(eq)
+            } else {
+              // the general predicate (df.writeTo(t).overwrite(cond)) —
+              // Delta's arbitrary replaceWhere: rendered to SQL text and
+              // routed through the predicate-pruned copy-on-write replace
+              val conds = filters.toSeq.map(TxCatalog.filterToSql)
+              require(conds.forall(_.isDefined),
+                s"$catalogName: overwrite filters must be equality or " +
+                  s"SQL-translatable predicates, got ${filters.mkString(", ")}")
+              replacePred = Some(conds.flatten.mkString("(", ") AND (", ")"))
+            }
             this
           }
           override def build(): Write = new V1Write {
@@ -311,10 +323,11 @@ class TxCatalog extends TableCatalog
                   // fidelity check then compares like for like
                   val tableSchema = TxLog.snapshot(dir).schema
                   val aligned = data.toDF(tableSchema.fieldNames.toSeq: _*)
-                  mode match {
-                    case Right(eq) => TxLog.replaceWhereEq(s, dir, aligned, eq)
-                    case Left(true) => TxLog.overwrite(s, dir, aligned)
-                    case Left(false) =>
+                  (replacePred, mode) match {
+                    case (Some(pred), _) => TxLog.replaceWhere(s, dir, aligned, pred)
+                    case (None, Right(eq)) => TxLog.replaceWhereEq(s, dir, aligned, eq)
+                    case (None, Left(true)) => TxLog.overwrite(s, dir, aligned)
+                    case (None, Left(false)) =>
                       if (overwriteParam) TxLog.overwrite(s, dir, aligned)
                       else TxLog.append(s, dir, aligned)
                   }

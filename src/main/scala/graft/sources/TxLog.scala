@@ -2315,6 +2315,78 @@ object TxLog {
     }
   }
 
+  /** OVERWRITE BY ARBITRARY PREDICATE (Delta's `replaceWhere`, the
+    * general form): atomically replace every row satisfying
+    * `condition` with `df` — one commit carrying the removes, the
+    * straddler remainders, and the new data. Every INCOMING row must
+    * satisfy the predicate (checked distributed on the staged files
+    * with an early-exit scan; a NULL predicate row does NOT satisfy) —
+    * silently inserting a row outside the replaced region is the
+    * classic replaceWhere bug. Touch discovery is predicate-pruned
+    * (pv/stats/bloom through [[pruneByFilters]]) then row-exact:
+    * untouched files are never opened, files with matches are
+    * rewritten WITHOUT their matching rows (DVs applied — live rows
+    * only), cost ∝ the matched straddle. The predicate must be
+    * deterministic. No change-feed rows (overwrite-class operation,
+    * same contract as [[replaceWhereEq]]/[[overwritePartitions]]);
+    * DML-class rebase over disjoint concurrent commits. Returns the
+    * committed version. */
+  def replaceWhere(spark: SparkSession, dir: String, df: DataFrame,
+      condition: String, readVersionOpt: Option[Long] = None): Long = {
+    require(condition != null && condition.trim.nonEmpty,
+      "replaceWhere: a predicate is required (use overwrite for the full table)")
+    val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
+    if (readVersion < 0)
+      throw new VersionNotFoundException(s"$dir has no committed versions")
+    val snap = snapshot(dir, Some(readVersion))
+    requireSchema(snap.schemaDdl, df)
+    requireConstraints(Some(snap), df)
+    val (newSub, newAdds) = stageForTable(spark, dir, snap, df)
+    var remSub: Option[String] = None
+    try {
+      val stagedLive = newAdds.filter(_.rows > 0)
+      if (stagedLive.nonEmpty) {
+        val offending = scanFiles(spark, dir, snap, stagedLive)
+          .where(not(coalesce(expr(condition), lit(false))))
+        if (!offending.isEmpty)
+          throw new IllegalArgumentException(
+            s"replaceWhere: incoming rows fall outside ($condition)")
+      }
+      val candidates =
+        pruneByFilters(snap, eqConjuncts(spark, condition, snap.schema), Some(dir))
+      val touched =
+        if (candidates.isEmpty) Nil
+        else {
+          val tagged = scanFiles(spark, dir, snap, candidates, tagPath = Some("__p"))
+          val matched = tagged.where(coalesce(expr(condition), lit(false)))
+          requireDeterministic(matched, "predicate")
+          val touchedPaths = matched.select("__p").distinct()
+            .collect().map(_.getString(0)).toSet
+          snap.files.filter(f => touchedPaths.exists(_.endsWith(f.path)))
+        }
+      val (rs, remAdds) =
+        if (touched.isEmpty) (None, Nil)
+        else {
+          val keep = scanFiles(spark, dir, snap, touched)
+            .where(not(coalesce(expr(condition), lit(false))))
+          val (sub, adds) = stageForTable(spark, dir, snap, keep)
+          (Some(sub), adds.map(_.copy(dataChange = false)))
+        }
+      remSub = rs
+      commitDmlRebase(spark, dir, "replaceWhere", snap, touched,
+        touched.map(_.path), remAdds ++ newAdds, Nil, None, None, None,
+        metrics = Map(
+          // AddFile.rows is the LIVE count (DV-adjusted at delete time)
+          "rows_replaced" -> (touched.map(_.rows).sum - remAdds.map(_.rows).sum),
+          "rows_added" -> newAdds.map(_.rows).sum,
+          "files_scanned" -> candidates.size.toLong))
+    } catch { case e: Throwable =>
+      deleteStaged(dir, newSub)
+      remSub.foreach(deleteStaged(dir, _))
+      throw e
+    }
+  }
+
   /** Commit already-staged adds pinned at a read version
     * (replaceWhereIn's empty-value-set degenerate case keeps the
     * overwrite-class conflict semantics). */
