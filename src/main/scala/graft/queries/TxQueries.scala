@@ -2491,5 +2491,34 @@ object TxQueries2 {
                      round(sum(coalesce(value, 0)), 3) AS sum_value,
                      CAST(1 AS INT) AS one_commit
               FROM u GROUP BY 1 ORDER BY 1"""))
+  ,
+
+    // q204: TRUNCATE TABLE — metadata-only remove-all (zero data IO),
+    // time travel keeps the pre-truncate version, reload after
+    QuerySpec("q204_truncate", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q204").toString
+      val cat = "trq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val ev = Td.load(s, dir, "events").select("event_id", "event_type", "value")
+      TxLog.append(s, s"$root/ev", ev)
+      val vPre = TxLog.latestVersion(s"$root/ev")
+      s.sql(s"TRUNCATE TABLE $cat.ev")
+      val emptyNow = s.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0)
+      ev.createOrReplaceTempView("q204_ev")
+      s.sql(s"INSERT INTO $cat.ev SELECT * FROM q204_ev WHERE event_type = 'click'")
+      val preRows = TxLog.read(s, s"$root/ev", Some(vPre)).count() // time travel
+      s.sql(s"""SELECT event_type, count(*) AS n_rows FROM $cat.ev
+                GROUP BY event_type""")
+        .crossJoin(s.range(1).select(
+          lit(preRows).as("pre_truncate_rows"),
+          lit(emptyNow).as("post_truncate_rows")))
+        .orderBy("event_type")
+    },
+      Some("""WITH c AS (SELECT count(*) AS pre_truncate_rows FROM events)
+              SELECT event_type, count(*) AS n_rows, c.pre_truncate_rows,
+                     CAST(0 AS BIGINT) AS post_truncate_rows
+              FROM events CROSS JOIN c WHERE event_type = 'click'
+              GROUP BY 1, c.pre_truncate_rows ORDER BY 1"""))
   )
 }

@@ -243,6 +243,14 @@ class TxCatalog extends TableCatalog
       // Spark reports them to the user instead of silently scanning)
       override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
         writable && filters.forall(f => TxCatalog.filterToSql(f).isDefined)
+      // TRUNCATE TABLE: metadata-only (zero data IO) instead of the
+      // SupportsDelete default, which would copy-on-write scan the
+      // table to delete everything; CDF tables fall back inside
+      override def truncateTable(): Boolean = {
+        require(writable, s"${scan.name}: a time-travel relation is read-only")
+        TxLog.truncate(SparkSession.active, dir)
+        true
+      }
       override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
         require(writable, s"${scan.name}: a time-travel relation is read-only")
         val cond =

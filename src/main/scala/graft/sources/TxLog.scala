@@ -2315,6 +2315,27 @@ object TxLog {
     }
   }
 
+  /** TRUNCATE TABLE as a METADATA-ONLY commit: remove every live file
+    * from the log — zero data bytes read or written, O(file-count) at
+    * any table size (the whole point of a log-backed format; Spark's
+    * default truncation via SupportsDelete would copy-on-write scan the
+    * table to delete everything). Time travel still reaches the
+    * pre-truncate versions until VACUUM. A CDF-enabled table falls back
+    * to the full DELETE path — the change feed's contract is every
+    * removed row as a `delete` change, which only the row-materializing
+    * path produces. DML-class rebase: a concurrent disjoint append
+    * serializes AFTER the truncate (its rows survive). */
+  def truncate(spark: SparkSession, dir: String): Long = {
+    val snap = snapshot(dir)
+    if (snap.files.isEmpty) return snap.version
+    if (cdfEnabled(snap)) return delete(spark, dir, "TRUE")
+    commitDmlRebase(spark, dir, "truncate", snap, snap.files,
+      snap.files.map(_.path), Nil, Nil, None, None, None,
+      metrics = Map(
+        "rows_deleted" -> snap.files.map(_.rows).sum,
+        "files_removed" -> snap.files.size.toLong))
+  }
+
   /** OVERWRITE BY ARBITRARY PREDICATE (Delta's `replaceWhere`, the
     * general form): atomically replace every row satisfying
     * `condition` with `df` — one commit carrying the removes, the
@@ -2761,26 +2782,28 @@ object TxLog {
     * depends on it. Returns the committed version (current version for
     * a no-op). */
   def setPartitioning(dir: String, cols: Seq[String]): Long = {
-    val head = headSnapshot(dir).getOrElse(
-      sys.error(s"setPartitioning: $dir has no committed versions"))
     require(cols.distinct.size == cols.size,
       s"setPartitioning: duplicate partition columns in ${cols.mkString(",")}")
-    cols.foreach { c =>
-      val f = head.schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"setPartitioning: $c is not a table column"))
-      require(statSupported(f.dataType),
-        s"setPartitioning: $c: type ${f.dataType.simpleString} unsupported " +
-          "as a partition column")
-    }
-    if (cols.nonEmpty)
-      require(head.props.get(ClusterBy.Columns).forall(_.isEmpty),
-        s"setPartitioning: ${ClusterBy.Columns} is set — clustering is for " +
-          "unpartitioned tables; UNSET it before partitioning")
-    if (cols == partitionColsOf(head)) return head.version
     var tries = 0
     while (tries < maxCommitAttempts) {
-      val attempt = latestVersion(dir) + 1
+      // validation re-runs against the CURRENT head each attempt: a
+      // lost race may have dropped/renamed the column or set clusterBy
+      val head = headSnapshot(dir).getOrElse(
+        sys.error(s"setPartitioning: $dir has no committed versions"))
+      cols.foreach { c =>
+        val f = head.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"setPartitioning: $c is not a table column"))
+        require(statSupported(f.dataType),
+          s"setPartitioning: $c: type ${f.dataType.simpleString} unsupported " +
+            "as a partition column")
+      }
+      if (cols.nonEmpty)
+        require(head.props.get(ClusterBy.Columns).forall(_.isEmpty),
+          s"setPartitioning: ${ClusterBy.Columns} is set — clustering is for " +
+            "unpartitioned tables; UNSET it before partitioning")
+      if (cols == partitionColsOf(head)) return head.version
+      val attempt = head.version + 1
       val content = commitJson(attempt, "setPartitioning",
         System.currentTimeMillis(), Nil, Nil, None, None,
         Some(Map(Partitioning.Columns -> cols.mkString(","))))
