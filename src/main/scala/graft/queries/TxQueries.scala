@@ -2520,5 +2520,26 @@ object TxQueries2 {
                      CAST(0 AS BIGINT) AS post_truncate_rows
               FROM events CROSS JOIN c WHERE event_type = 'click'
               GROUP BY 1, c.pre_truncate_rows ORDER BY 1"""))
+  ,
+
+    // q205: metadata-only count(*) — the unfiltered count answers from
+    // the log (AddFile.rows, DV-adjusted) as a LocalTableScan plan,
+    // zero file opens; pinned against the oracle's real count
+    QuerySpec("q205_metadata_count", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q205").toString
+      val cat = "mcq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val ev = Td.load(s, dir, "events").select("event_id", "event_type", "value")
+      TxLog.append(s, s"$root/ev", ev)
+      TxLog.setProperties(s"$root/ev", Map(TxLog.DeletionVectors.Enabled -> "true"))
+      s.sql(s"DELETE FROM $cat.ev WHERE value >= 150")   // DV, no rewrite
+      val q = s.sql(s"SELECT count(*) AS n_rows FROM $cat.ev")
+      val logFact =
+        if (q.queryExecution.executedPlan.toString.contains("LocalTableScan")) 1 else 0
+      q.crossJoin(s.range(1).select(lit(logFact).as("log_fact_plan")))
+    },
+      Some("""SELECT count(*) AS n_rows, CAST(1 AS INT) AS log_fact_plan
+              FROM events WHERE value < 150 OR value IS NULL"""))
   )
 }

@@ -679,7 +679,8 @@ object TxCatalog {
   * and time travel behave identically to the fast path. */
 private class DvFallbackScanBuilder(dir: String, snap: TxLog.Snapshot)
   extends org.apache.spark.sql.connector.read.ScanBuilder
-  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   import org.apache.spark.sql.sources.Filter
 
@@ -690,7 +691,39 @@ private class DvFallbackScanBuilder(dir: String, snap: TxLog.Snapshot)
   }
   override def pushedFilters(): Array[Filter] = filters
 
+  // unfiltered count(*) is a log fact EVEN UNDER DVs — AddFile.rows is
+  // the live count, DV-adjusted at delete time (same rule as the clean
+  // scan's metadata count)
+  private def countStarOnly(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    filters.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  private var metadataCount = false
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    metadataCount ||= countStarOnly(agg)
+    metadataCount
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countStarOnly(agg)
+
   override def build(): org.apache.spark.sql.connector.read.Scan =
+    if (metadataCount) {
+      val n = snap.files.map(_.rows).sum
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          Array(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](n)))
+        override def description(): String = s"$dir metadata count(*)=$n"
+      }
+    } else buildV1Scan()
+
+  private def buildV1Scan(): org.apache.spark.sql.connector.read.Scan =
     new org.apache.spark.sql.connector.read.V1Scan {
       override def readSchema(): StructType = snap.schema
       override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
@@ -700,6 +733,10 @@ private class DvFallbackScanBuilder(dir: String, snap: TxLog.Snapshot)
             with org.apache.spark.sql.sources.TableScan {
           override def sqlContext: org.apache.spark.sql.SQLContext = context
           override def schema: StructType = snap.schema
+          // log-derived size: without this the V1 relation reports the
+          // conf default (huge), and a small DV-bearing dimension table
+          // never plans as the broadcast side of a join
+          override def sizeInBytes: Long = snap.files.map(_.bytes).sum
           override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
             val spark = context.sparkSession
             // file skipping survives the DV fallback: pushed filters
@@ -786,27 +823,60 @@ private class PruningScanBuilder(tableName: String, dir: String,
     }
   }
 
+  /** `SELECT count(*)` with no filters is a LOG FACT — AddFile.rows is
+    * the LIVE count (DV-adjusted at delete time), so the answer needs
+    * ZERO file opens at any table size. Delta serves the same query
+    * from its stats; the parquet-footer pushdown (the fallback) still
+    * opens every footer. */
+  private var metadataCount = false
+
   // aggregate pushdown (count/min/max answered from parquet footers)
   // delegates to the pruned scan — it composes with file skipping
   // because the footer aggregation runs over exactly the survivors
   override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    inner match {
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val countStarOnly = filters.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (countStarOnly) {
+      metadataCount = true
+      aggPushed = true
+      true
+    } else inner match {
       case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
         val ok = a.pushAggregation(agg)
         aggPushed ||= ok
         ok
       case _ => false
     }
+  }
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    inner match {
+    if (filters.isEmpty && agg.groupByExpressions.isEmpty &&
+        agg.aggregateExpressions.length == 1 &&
+        agg.aggregateExpressions.head
+          .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+      true
+    else inner match {
       case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
         a.supportCompletePushDown(agg)
       case _ => false
     }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
+    if (metadataCount) {
+      val n = snap.files.map(_.rows).sum
+      return new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          Array(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](n)))
+        override def description(): String = s"$tableName metadata count(*)=$n"
+      }
+    }
     val built = inner.build()
     keyGrouped(built).getOrElse(built)
   }

@@ -409,6 +409,6 @@ class TxDvPrunedScanSpec extends AnyFunSuite with SparkTestBase {
     assert(got === (0L until 30L).filter(i => i % 3 == 0 && i != 0L).toSet)
     // an unprunable full scan still hits the corruption (nothing is
     // silently skipped)
-    intercept[Exception](spark.sql(s"SELECT count(*) FROM $cat.t").collect())
+    intercept[Exception](spark.sql(s"SELECT sum(id) FROM $cat.t").collect())
   }
 }

@@ -166,7 +166,7 @@ class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
       .map(_.getString(3)).toSet
     assert(names === Set("optimize", "optimize_partition", "vacuum",
       "purge_deletes", "history", "clone", "restore", "convert", "detail",
-      "cleanup_log", "compute_stats", "generate_manifest"))
+      "cleanup_log", "compute_stats", "generate_manifest", "set_partitioning"))
   }
 
   test("CALL detail reports the snapshot's operational state") {
