@@ -59,17 +59,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   ALTER TABLE tx.t DROP COLUMN a            -- metadata-only (column mapping)
   *   DROP TABLE tx.t
   *   ALTER TABLE tx.t RENAME TO tx.u
+  *   TRUNCATE TABLE tx.t                -- metadata-only remove-all
+  *   SHOW PARTITIONS tx.t [PARTITION (c='v')]  -- pv listing, zero file opens
   *   DELETE FROM tx.t WHERE …           -- SupportsDelete → TxLog.delete
+  *   DELETE FROM tx.t WHERE k IN (SELECT …)    -- semi-join merge rewrite
   *   UPDATE tx.t SET c = e WHERE …      -- planner strategy → TxLog.update
+  *   UPDATE tx.t SET … WHERE k IN (SELECT …)   -- semi-join merge rewrite
   *   MERGE INTO tx.t USING s ON …       -- strategy → merge / deleteKeys
+  *   CREATE TABLE tx.t (c T DEFAULT expr, …)   -- analyzer-substituted defaults
+  *   df.writeTo("tx.t").overwrite(cond) -- arbitrary-predicate replaceWhere
   * }}}
   * Time-travel relations stay read-only. `DELETE FROM` covers every
   * predicate expressible as v1 pushdown filters (=, <, >, IN, NULL
   * tests, AND/OR/NOT, string prefix/suffix/contains) — others are
-  * refused with Spark's own untranslatable-filter error. `UPDATE` and
-  * the upsert/erasure `MERGE` shapes route through
-  * [[graft.plans.TxDmlStrategy]] (there is no V1 fallback interface
-  * for them); other merge shapes are refused loudly.
+  * refused with Spark's own untranslatable-filter error — plus the
+  * uncorrelated `IN (subquery)` shape, rewritten onto the mergeClauses
+  * semi-join. `UPDATE` and the upsert/erasure `MERGE` shapes route
+  * through [[graft.plans.TxDmlStrategy]] (there is no V1 fallback
+  * interface for them); other merge shapes are refused loudly.
+  *
+  * Scan-side planning: SQL reads file-skip through the log's pv/stats/
+  * bloom metadata (including on DV-bearing snapshots), report
+  * KeyGroupedPartitioning for storage-partitioned joins on
+  * partition-aligned tables, and answer unfiltered `count(*)` from the
+  * log alone (a LocalTableScan — zero file opens).
   */
 /** Marker the planner-side DML strategy ([[graft.plans.TxDmlStrategy]])
   * uses to recognize a TxLog-backed relation and recover its directory:

@@ -125,8 +125,9 @@ class TxCatalogSpec extends AnyFunSuite with SparkTestBase {
       s"SELECT sum(id) AS x FROM $cat.t WHERE grp IN ('g0','g1') AND id < 10")
       .head().getLong(0) === (0 until 10).filter(_ % 3 != 2).sum.toLong)
     // the unfiltered scan must still hit the corruption (skipping is
-    // filter-driven, not accidental)
-    intercept[Exception](spark.sql(s"SELECT count(*) FROM $cat.t").collect())
+    // filter-driven, not accidental); sum, not count(*) — the bare
+    // count answers from the log without opening any file
+    intercept[Exception](spark.sql(s"SELECT sum(id) FROM $cat.t").collect())
 
     // stats-range skipping on a CLUSTERED unpartitioned table
     val d2 = (0 until 1000).map(i => (i.toLong, s"w$i")).toDF("id", "s")
