@@ -143,6 +143,42 @@ class TxPartitionEvolutionSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.setPartitioning(dir, Seq("grp")) === v, "no-op returns current")
   }
 
+  test("hidden partitioning by evolution: generated column becomes the layout") {
+    import spark.implicits._
+    val dir = tmp()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows1 = for (d <- 0 until 3; i <- 0 until 10) yield
+      (d * 10L + i, ts(f"2026-03-${d + 10}%02d 08:00:00"))
+    TxLog.append(spark, dir, rows1.toDF("id", "ts"))          // plain table
+    // retrofit Iceberg-style hidden partitioning onto the EXISTING table:
+    // widen with the transform column, BACKFILL it (generated columns
+    // are materialized — the one unavoidable rewrite), declare it
+    // generated, then evolve the layout onto it
+    TxLog.addColumns(dir, Seq(org.apache.spark.sql.types.StructField(
+      "day", org.apache.spark.sql.types.DateType)))
+    TxLog.update(spark, dir, "TRUE", Map("day" -> "date(ts)"))
+    TxLog.addGeneratedColumn(spark, dir, "day", "date(ts)")
+    TxLog.setPartitioning(dir, Seq("day"))
+    val rows2 = for (d <- 0 until 3; i <- 0 until 10) yield
+      (100 + d * 10L + i, ts(f"2026-03-${d + 10}%02d 17:00:00"))
+    TxLog.append(spark, dir, rows2.toDF("id", "ts"))          // omits day: computed
+    val snap = TxLog.snapshot(dir)
+    val aligned = snap.files.filter(_.pv.contains("day"))
+    assert(aligned.map(_.pv("day")).toSet ===
+      Set("2026-03-10", "2026-03-11", "2026-03-12"))
+    // predicate DERIVATION: a filter on the BASE column prunes via the
+    // generated partition column's pv (new generation) + stats (legacy)
+    val eqTs = Seq(org.apache.spark.sql.sources.EqualTo(
+      "ts", ts("2026-03-11 17:00:00")))
+    val surv = TxLog.pruneByFilters(snap, eqTs)
+    val foreignNew = aligned.filter(_.pv("day") != "2026-03-11")
+    assert(foreignNew.nonEmpty && !surv.exists(foreignNew.contains(_)),
+      "base-column equality must prune foreign partitions via derived pv")
+    // full correctness across generations
+    assert(idSet(TxLog.read(spark, dir)) ===
+      (rows1.map(_._1) ++ rows2.map(_._1)).toSet)
+  }
+
   test("CALL set_partitioning from SQL") {
     val root = Files.createTempDirectory("graft-pevo-sql").toString
     val cat = "pev" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
