@@ -158,13 +158,21 @@ private[sources] object TxProcedures {
         StructField("total_rows", LongType),
         StructField("partition_columns", StringType),
         StructField("protocol", LongType),
-        StructField("num_dv_files", LongType))),
+        StructField("num_dv_files", LongType),
+        // files predating the CURRENT partitioning (partition evolution):
+        // 0 = fully migrated; OPTIMIZE converges it
+        StructField("num_legacy_layout_files", LongType))),
       (root, in) => {
         val snap = TxLog.snapshot(dirOf(root, in.getUTF8String(0).toString))
+        val parts = TxLog.partitionColsOf(snap)
+        val legacy =
+          if (parts.isEmpty) 0L
+          else snap.files.count(f =>
+            f.rows > 0 && !parts.forall(f.pv.contains)).toLong
         Seq(new GenericInternalRow(Array[Any](
           snap.version, snap.files.size.toLong, snap.files.map(_.bytes).sum,
-          snap.rows, utf8(TxLog.partitionColsOf(snap).mkString(",")),
-          snap.protocol, snap.files.count(_.dv.nonEmpty).toLong)))
+          snap.rows, utf8(parts.mkString(",")),
+          snap.protocol, snap.files.count(_.dv.nonEmpty).toLong, legacy)))
       }),
     Proc("clone",
       Array(p("source", StringType), p("target", StringType),

@@ -183,6 +183,14 @@ class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getString(4) === "") // unpartitioned
     assert(r.getLong(5) === 3L)  // DV commit stamped protocol 3
     assert(r.getLong(6) >= 1L)   // at least one DV-bearing file
+    assert(r.getLong(7) === 0L)  // unpartitioned: no legacy-layout files
+    // partition evolution: legacy files counted until OPTIMIZE migrates
+    TxLog.setPartitioning(s"$root/t", Seq("s"))
+    val r2 = spark.sql(s"CALL $cat.detail(`table` => 't')").head()
+    assert(r2.getLong(7) > 0L)
+    TxLog.optimize(spark, s"$root/t")
+    val r3 = spark.sql(s"CALL $cat.detail(`table` => 't')").head()
+    assert(r3.getLong(7) === 0L)
   }
 
   test("unknown procedure fails with the available list") {

@@ -118,3 +118,41 @@ class TxSpjSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 }
+
+/** SPJ robustness: partition value sets that do NOT align between the
+  * two sides (one side missing values) must still join correctly —
+  * whether Spark pushes the missing values as empty partitions or
+  * falls back to a shuffle, the ROWS are the contract. */
+class TxSpjMismatchSpec extends AnyFunSuite with SparkTestBase {
+
+  test("mismatched partition value sets join correctly under SPJ") {
+    val root = Files.createTempDirectory("graft-spjmm").toString
+    val cat = "smm" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    import spark.implicits._
+    // ta has g0,g1,g2; tb only g0,g2 (no g1) plus g3 unknown to ta
+    TxLog.appendPartitioned(spark, s"$root/ta",
+      (0 until 30).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp"), Seq("grp"))
+    TxLog.appendPartitioned(spark, s"$root/tb",
+      Seq((100L, "g0"), (101L, "g2"), (102L, "g2"), (103L, "g3"))
+        .toDF("id", "grp"), Seq("grp"))
+    val olds = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val inner = spark.sql(
+        s"""SELECT a.grp AS grp, count(*) AS n FROM $cat.ta a
+            JOIN $cat.tb b ON a.grp = b.grp GROUP BY a.grp ORDER BY grp""")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(inner === Seq(("g0", 10L), ("g2", 20L)))
+      val left = spark.sql(
+        s"""SELECT a.grp AS grp, count(b.id) AS n FROM $cat.ta a
+            LEFT JOIN $cat.tb b ON a.grp = b.grp GROUP BY a.grp ORDER BY grp""")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(left === Seq(("g0", 10L), ("g1", 0L), ("g2", 20L)))
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+}

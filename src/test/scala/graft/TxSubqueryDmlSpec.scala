@@ -114,3 +114,26 @@ class TxSubqueryDmlSpec extends AnyFunSuite with SparkTestBase {
     assert(ids(s"$root/t") === (0L until 20L).toSet)
   }
 }
+
+/** The semi-join DML rewrite keeps every downstream contract of the
+  * merge machinery — including the change feed. */
+class TxSubqueryDmlCdfSpec extends AnyFunSuite with SparkTestBase {
+
+  test("subquery DELETE emits its rows on the change feed") {
+    val root = Files.createTempDirectory("graft-subqcdf").toString
+    val cat = "sqc" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    import spark.implicits._
+    TxLog.append(spark, dir,
+      (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    TxLog.setProperties(dir, Map(TxLog.Cdf.Enabled -> "true"))
+    val v0 = TxLog.latestVersion(dir)
+    Seq(3L, 7L, 11L).toDF("k").createOrReplaceTempView("cdf_keys")
+    spark.sql(s"DELETE FROM $cat.t WHERE id IN (SELECT k FROM cdf_keys)")
+    val ch = TxLog.readChangeFeed(spark, dir, v0)
+    assert(ch.where(s"${TxLog.ChangeTypeCol} = 'delete'")
+      .select("id").collect().map(_.getLong(0)).toSet === Set(3L, 7L, 11L))
+  }
+}
