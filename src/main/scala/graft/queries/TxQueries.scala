@@ -2541,5 +2541,35 @@ object TxQueries2 {
     },
       Some("""SELECT count(*) AS n_rows, CAST(1 AS INT) AS log_fact_plan
               FROM events WHERE value < 150 OR value IS NULL"""))
+  ,
+
+    // q206: change-feed completeness for replace-family commits — a
+    // replaceWhere on a CDF table emits the replaced band as deletes
+    // and the incoming rows as inserts; the feed totals replay
+    // relationally
+    QuerySpec("q206_replace_cdf", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q206").toString + "/t"
+      val ev = Td.load(s, dir, "events").select("event_id", "event_type", "value")
+      TxLog.append(s, root, ev)
+      TxLog.setProperties(root, Map(TxLog.Cdf.Enabled -> "true"))
+      val v0 = TxLog.latestVersion(root)
+      TxLog.replaceWhere(s, root,
+        ev.where("value >= 150")
+          .select(col("event_id"), col("event_type"),
+            (col("value") * 2).as("value")),
+        "value >= 150")
+      TxLog.readChangeFeed(s, root, v0)
+        .groupBy(col(TxLog.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("value"), 3).as("sum_value"))
+        .orderBy("change_type")
+    },
+      Some("""WITH band AS (SELECT value FROM events WHERE value >= 150)
+              SELECT * FROM (
+                SELECT 'delete' AS change_type, count(*) AS n_rows,
+                       round(sum(value), 3) AS sum_value FROM band
+                UNION ALL
+                SELECT 'insert', count(*), round(sum(value * 2), 3) FROM band
+              ) ORDER BY change_type"""))
   )
 }

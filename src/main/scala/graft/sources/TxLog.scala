@@ -2031,12 +2031,25 @@ object TxLog {
     requireConstraints(preSnap, df0)
     val removes = preSnap.map(_.files.map(_.path)).getOrElse(Nil)
     val (sub, adds) = preSnap.fold(stage(spark, dir, df0))(stageForTable(spark, dir, _, df0))
+    // change feed: a full overwrite's change set is every previous live
+    // row (delete) plus every incoming row (insert) — cost ∝ the change,
+    // which for an overwrite IS the table; the alternative is a feed
+    // that silently omits the removals
+    val (cdfSub, cdfAdds) = preSnap match {
+      case Some(s) if s.files.nonEmpty =>
+        stageReplaceCdf(spark, dir, s,
+          Some(scanFiles(spark, dir, s, s.files)), adds)
+      case Some(s) => stageReplaceCdf(spark, dir, s, None, adds)
+      case None => (None, Nil)
+    }
     val v = readVersion + 1
     val content = commitJson(v, "overwrite", System.currentTimeMillis(),
-      adds, removes, if (v == 0L) Some(df0.schema.toDDL) else None)
+      adds, removes, if (v == 0L) Some(df0.schema.toDDL) else None,
+      cdf = cdfAdds)
     if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
     else {
       deleteStaged(dir, sub)
+      cdfSub.foreach(deleteStaged(dir, _))
       throw new ConcurrentWriteException(
         s"overwrite of $dir conflicted: version $v was committed concurrently")
     }
@@ -2115,14 +2128,22 @@ object TxLog {
         val (sub, adds) = stageForTable(spark, dir, snap, keep)
         (Some(sub), adds.map(_.copy(dataChange = false)))
       }
+    val deleted =
+      (if (full.isEmpty) None else Some(scanFiles(spark, dir, snap, full))) ++
+        (if (partial.isEmpty) None
+         else Some(scanFiles(spark, dir, snap, partial)
+           .where(col(colName).isin(values: _*) && col(colName).isNotNull)))
+    val (cdfSub, cdfAdds) = stageReplaceCdf(spark, dir, snap,
+      deleted.reduceOption(_ unionAll _), newAdds)
     val removes = (full ++ partial).map(_.path)
     val v = readVersion + 1
     val content = commitJson(v, "replaceWhere", System.currentTimeMillis(),
-      remainderAdds ++ newAdds, removes, None)
+      remainderAdds ++ newAdds, removes, None, cdf = cdfAdds)
     if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
     else {
       deleteStaged(dir, newSub)
       remainderSub.foreach(deleteStaged(dir, _))
+      cdfSub.foreach(deleteStaged(dir, _))
       throw new ConcurrentWriteException(
         s"replaceWhereIn on $dir conflicted: version $v was committed concurrently")
     }
@@ -2190,26 +2211,32 @@ object TxLog {
     }
     val full = snap.files.filter(classify(_) == 1)
     val partial = snap.files.filter(classify(_) == 2)
+    val replaced = combos.toSeq.map(combo => parts.zip(physParts).map {
+      case (logical, phys) =>
+        val field = snap.schema.fields.find(_.name == logical).get
+        col(logical) === lit(combo(phys)).cast(field.dataType)
+    }.reduce(_ && _)).reduce(_ || _)
     val (remainderSub, remainderAdds) =
       if (partial.isEmpty) (None, Nil)
       else {
-        val replaced = combos.toSeq.map(combo => parts.zip(physParts).map {
-          case (logical, phys) =>
-            val field = snap.schema.fields.find(_.name == logical).get
-            col(logical) === lit(combo(phys)).cast(field.dataType)
-        }.reduce(_ && _)).reduce(_ || _)
         val keep = scanFiles(spark, dir, snap, partial)
           .where(!replaced || replaced.isNull)
         val (sub, adds) =
           stagePartitioned(spark, dir, toPhysical(keep, snap), physParts)
         (Some(sub), adds.map(_.copy(dataChange = false)))
       }
+    val deleted =
+      (if (full.isEmpty) None else Some(scanFiles(spark, dir, snap, full))) ++
+        (if (partial.isEmpty) None
+         else Some(scanFiles(spark, dir, snap, partial).where(replaced)))
+    val (cdfSub, cdfAdds) = stageReplaceCdf(spark, dir, snap,
+      deleted.reduceOption(_ unionAll _), newAdds)
     // same rebase discipline as row-level DML: a disjoint concurrent
     // append/compaction is absorbed (the replace serializes before it);
     // a commit that touched a replaced file, the schema, or properties
     // throws
     try commitDmlRebase(spark, dir, "replacePartitions", snap, full ++ partial,
-      (full ++ partial).map(_.path), remainderAdds ++ newAdds, Nil, None,
+      (full ++ partial).map(_.path), remainderAdds ++ newAdds, cdfAdds, None,
       None, None, metrics = Map(
         "rows_replaced" -> ((full ++ partial).map(_.rows).sum -
           remainderAdds.map(_.rows).sum),
@@ -2217,6 +2244,7 @@ object TxLog {
     catch { case e: Throwable =>
       deleteStaged(dir, newSub)
       remainderSub.foreach(deleteStaged(dir, _))
+      cdfSub.foreach(deleteStaged(dir, _))
       throw e
     }
   }
@@ -2289,21 +2317,27 @@ object TxLog {
     }
     val full = snap.files.filter(classify(_) == 1)
     val partial = snap.files.filter(classify(_) == 2)
+    val matchPred = eq.map { case (c, v) =>
+      val field = snap.schema.fields.find(_.name == c).get
+      col(c) === lit(v).cast(field.dataType)
+    }.reduce(_ && _)
     val (remainderSub, remainderAdds) =
       if (partial.isEmpty) (None, Nil)
       else {
-        val matchPred = eq.map { case (c, v) =>
-          val field = snap.schema.fields.find(_.name == c).get
-          col(c) === lit(v).cast(field.dataType)
-        }.reduce(_ && _)
         val keep = scanFiles(spark, dir, snap, partial)
           .where(!matchPred || matchPred.isNull)
         val (sub, adds) = stageForTable(spark, dir, snap, keep)
         (Some(sub), adds.map(_.copy(dataChange = false)))
       }
+    val deleted =
+      (if (full.isEmpty) None else Some(scanFiles(spark, dir, snap, full))) ++
+        (if (partial.isEmpty) None
+         else Some(scanFiles(spark, dir, snap, partial).where(matchPred)))
+    val (cdfSub, cdfAdds) = stageReplaceCdf(spark, dir, snap,
+      deleted.reduceOption(_ unionAll _), newAdds)
     // rebase over disjoint concurrent commits (see overwritePartitions)
     try commitDmlRebase(spark, dir, "replaceWhere", snap, full ++ partial,
-      (full ++ partial).map(_.path), remainderAdds ++ newAdds, Nil, None,
+      (full ++ partial).map(_.path), remainderAdds ++ newAdds, cdfAdds, None,
       None, None, metrics = Map(
         "rows_replaced" -> ((full ++ partial).map(_.rows).sum -
           remainderAdds.map(_.rows).sum),
@@ -2311,8 +2345,35 @@ object TxLog {
     catch { case e: Throwable =>
       deleteStaged(dir, newSub)
       remainderSub.foreach(deleteStaged(dir, _))
+      cdfSub.foreach(deleteStaged(dir, _))
       throw e
     }
+  }
+
+  /** Change files for a replace-family commit (overwrite,
+    * replaceWhere/-Eq/-In, dynamic partition overwrite): the REMOVED
+    * live rows as `delete` changes plus the INCOMING rows as `insert`
+    * changes, staged once. The deletes are rows the operation
+    * materializes anyway (they are being classified/rewritten); the
+    * inserts re-read the already-staged new files — the user's frame is
+    * never re-evaluated. (None, Nil) when the feed is off or nothing
+    * changed. Without this, a CDC consumer of a table maintained by
+    * overwrites would silently miss every removed row — the read side
+    * refuses such historical commits loudly instead. */
+  private def stageReplaceCdf(spark: SparkSession, dir: String,
+      snap: Snapshot, deleted: Option[DataFrame],
+      newAdds: Seq[AddFile]): (Option[String], Seq[AddFile]) = {
+    if (!cdfEnabled(snap)) return (None, Nil)
+    val ins = newAdds.filter(f => f.rows > 0 && f.dataChange)
+    val frames =
+      deleted.map(d => toPhysical(d, snap)
+        .withColumn(ChangeTypeCol, lit("delete"))).toSeq ++
+      (if (ins.isEmpty) Nil
+       else Seq(toPhysical(scanFiles(spark, dir, snap, ins), snap)
+         .withColumn(ChangeTypeCol, lit("insert"))))
+    if (frames.isEmpty) return (None, Nil)
+    val (sub, adds) = stage(spark, dir, frames.reduce(_ unionAll _))
+    (Some(sub), adds)
   }
 
   /** TRUNCATE TABLE as a METADATA-ONLY commit: remove every live file
@@ -2364,6 +2425,7 @@ object TxLog {
     requireConstraints(Some(snap), df)
     val (newSub, newAdds) = stageForTable(spark, dir, snap, df)
     var remSub: Option[String] = None
+    var cdfSub: Option[String] = None
     try {
       val stagedLive = newAdds.filter(_.rows > 0)
       if (stagedLive.nonEmpty) {
@@ -2394,8 +2456,15 @@ object TxLog {
           (Some(sub), adds.map(_.copy(dataChange = false)))
         }
       remSub = rs
+      val (cs, cdfAdds) = stageReplaceCdf(spark, dir, snap,
+        deleted =
+          if (touched.isEmpty) None
+          else Some(scanFiles(spark, dir, snap, touched)
+            .where(coalesce(expr(condition), lit(false)))),
+        newAdds)
+      cdfSub = cs
       commitDmlRebase(spark, dir, "replaceWhere", snap, touched,
-        touched.map(_.path), remAdds ++ newAdds, Nil, None, None, None,
+        touched.map(_.path), remAdds ++ newAdds, cdfAdds, None, None, None,
         metrics = Map(
           // AddFile.rows is the LIVE count (DV-adjusted at delete time)
           "rows_replaced" -> (touched.map(_.rows).sum - remAdds.map(_.rows).sum),
@@ -2404,6 +2473,7 @@ object TxLog {
     } catch { case e: Throwable =>
       deleteStaged(dir, newSub)
       remSub.foreach(deleteStaged(dir, _))
+      cdfSub.foreach(deleteStaged(dir, _))
       throw e
     }
   }
@@ -4972,6 +5042,17 @@ object TxLog {
           s"$dir version $v is a $op commit without change files — " +
             s"enable ${Cdf.Enabled} before running DML to make its " +
             "changes streamable; this range cannot serve a complete feed")
+      } else if (Seq("overwrite", "replaceWhere", "replacePartitions",
+          "truncate").contains(op) &&
+          ((j \ "removes") match { case JArray(rs) => rs.nonEmpty; case _ => false })) {
+        // a replace-family commit REMOVED live rows; without change
+        // files the feed would synthesize its inserts and silently
+        // omit every removal — refuse, like a plain DELETE
+        throw new IllegalStateException(
+          s"$dir version $v is a $op commit that replaced rows, without " +
+            s"change files — enable ${Cdf.Enabled} before overwrites to " +
+            "make their changes streamable; this range cannot serve a " +
+            "complete feed")
       } else if (op == "merge" && ((j \ "metrics" \ "rows_deleted") match {
         case JNothing => false
         case n => jLong(n) > 0
