@@ -4712,12 +4712,47 @@ object TxLog {
     val mapProps =
       targetMap.map { case (l, p) => ColumnMapping.Prefix + l -> p } ++
         staleKeys.map(ColumnMapping.Prefix + _ -> "")
+    // change feed: a restore CHANGES the visible rows (rows disappear,
+    // rows reappear) — when the feed is on, the change set is the exact
+    // row-level diff of the CHANGED file sets (exceptAll both ways —
+    // correct across DV-state differences, cost ∝ the diff, never the
+    // table). A restore that also changes the SCHEMA cannot be
+    // represented on a single-schema feed — refused while CDF is on.
+    val cdfNeeded = cdfEnabled(current) && (adds.nonEmpty || removes.nonEmpty)
+    val (cdfSub, cdfAdds) =
+      if (!cdfNeeded) (None, Nil)
+      else {
+        require(target.schemaDdl == current.schemaDdl,
+          s"restore: version $version has a different schema — a " +
+            "schema-changing restore is not representable on the change " +
+            s"feed; disable ${Cdf.Enabled} first")
+        val changedCur = current.files.filter(f =>
+          !target.files.exists(t => t.path == f.path && t.dv == f.dv))
+        val changedTgt = target.files.filter(f =>
+          !current.files.exists(c => c.path == f.path && c.dv == f.dv))
+        def empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], current.schema)
+        val curRows =
+          if (changedCur.isEmpty) empty else scanFiles(spark, dir, current, changedCur)
+        val tgtRows =
+          if (changedTgt.isEmpty) empty else scanFiles(spark, dir, target, changedTgt)
+        val frame =
+          toPhysical(curRows.exceptAll(tgtRows), current)
+            .withColumn(ChangeTypeCol, lit("delete"))
+          .unionAll(toPhysical(tgtRows.exceptAll(curRows), current)
+            .withColumn(ChangeTypeCol, lit("insert")))
+        val (sub, a) = stage(spark, dir, frame)
+        (Some(sub), a)
+      }
     val v = readVersion + 1
     val content = commitJson(v, "restore", System.currentTimeMillis(), adds, removes, schemaDdl,
-      None, if (mapProps.isEmpty) None else Some(mapProps.toMap))
+      None, if (mapProps.isEmpty) None else Some(mapProps.toMap), cdf = cdfAdds)
     if (tryPublish(dir, v, content)) { maybeCheckpoint(dir, v); v }
-    else throw new ConcurrentWriteException(
-      s"restore of $dir conflicted: version $v was committed concurrently")
+    else {
+      cdfSub.foreach(deleteStaged(dir, _))
+      throw new ConcurrentWriteException(
+        s"restore of $dir conflicted: version $v was committed concurrently")
+    }
   }
 
   /** RESTORE … TIMESTAMP AS OF: restore to the latest version committed
@@ -5041,6 +5076,16 @@ object TxLog {
         throw new IllegalStateException(
           s"$dir version $v is a $op commit without change files — " +
             s"enable ${Cdf.Enabled} before running DML to make its " +
+            "changes streamable; this range cannot serve a complete feed")
+      } else if (op == "restore" &&
+          (((j \ "removes") match { case JArray(rs) => rs.nonEmpty; case _ => false }) ||
+            parseAdds(j \ "adds").nonEmpty)) {
+        // a historical restore without change files moved rows in BOTH
+        // directions invisibly (its re-adds are dataChange=false) — the
+        // feed cannot be complete across it
+        throw new IllegalStateException(
+          s"$dir version $v is a restore commit without change files — " +
+            s"enable ${Cdf.Enabled} before restores to make their " +
             "changes streamable; this range cannot serve a complete feed")
       } else if (Seq("overwrite", "replaceWhere", "replacePartitions",
           "truncate").contains(op) &&

@@ -79,3 +79,44 @@ class TxReplaceCdfSpec extends AnyFunSuite with SparkTestBase {
     assert(ch("insert") === (200L until 203L).toSet)
   }
 }
+
+/** RESTORE on the change feed: the commit carries the exact row-level
+  * diff (rows that disappear as deletes, rows that reappear as
+  * inserts); a schema-changing restore refuses while the feed is on;
+  * a historical restore without change files refuses the feed. */
+class TxRestoreCdfSpec extends AnyFunSuite with SparkTestBase {
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"v$i")).toDF("id", "s")
+  }
+
+  test("restore emits the row-level diff as delete/insert changes") {
+    val dir = Files.createTempDirectory("graft-restorecdf").toString + "/t"
+    TxLog.append(spark, dir, df(0 until 10))
+    TxLog.setProperties(dir, Map(TxLog.Cdf.Enabled -> "true"))
+    val vKeep = TxLog.latestVersion(dir)
+    TxLog.delete(spark, dir, "id < 3")      // rows 0,1,2 out
+    TxLog.append(spark, dir, df(50 until 53))
+    val vPre = TxLog.latestVersion(dir)
+    TxLog.restore(spark, dir, vKeep)        // 0,1,2 back; 50..52 gone
+    val ch = TxLog.readChangeFeed(spark, dir, vPre).collect()
+      .groupBy(_.getString(2)).map { case (t, rs) =>
+        t -> rs.map(_.getLong(0)).toSet }
+    assert(ch("insert") === Set(0L, 1L, 2L))
+    assert(ch("delete") === Set(50L, 51L, 52L))
+  }
+
+  test("historical restore without change files refuses the feed") {
+    val dir = Files.createTempDirectory("graft-restorecdf2").toString + "/t"
+    TxLog.append(spark, dir, df(0 until 6))
+    val vKeep = TxLog.latestVersion(dir)
+    TxLog.append(spark, dir, df(10 until 12))
+    val vPre = TxLog.latestVersion(dir)
+    TxLog.restore(spark, dir, vKeep)        // CDF off: invisible move
+    TxLog.setProperties(dir, Map(TxLog.Cdf.Enabled -> "true"))
+    val e = intercept[IllegalStateException](
+      TxLog.readChangeFeed(spark, dir, vPre).collect())
+    assert(e.getMessage.contains("restore"))
+  }
+}
