@@ -2571,5 +2571,36 @@ object TxQueries2 {
                 UNION ALL
                 SELECT 'insert', count(*), round(sum(value * 2), 3) FROM band
               ) ORDER BY change_type"""))
+  ,
+
+    // q207: consumed partition filters — on an aligned table,
+    // `count(*) WHERE part = v / part IN (…)` answers from the log
+    // (pv-pruned survivors' live rows, a LocalTableScan): zero file
+    // opens at any table size
+    QuerySpec("q207_partition_count", { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q207").toString
+      val cat = "pcq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      TxLog.appendPartitioned(s, s"$root/ev",
+        Td.load(s, dir, "events").select("event_id", "event_type", "value"),
+        Seq("event_type"))
+      val q1 = s.sql(s"SELECT count(*) FROM $cat.ev WHERE event_type = 'click'")
+      val q2 = s.sql(
+        s"SELECT count(*) FROM $cat.ev WHERE event_type IN ('view', 'error')")
+      def localPlan(d: org.apache.spark.sql.DataFrame) =
+        if (d.queryExecution.executedPlan.toString.contains("LocalTableScan")) 1 else 0
+      s.range(1).select(
+        lit(q1.head().getLong(0)).as("n_click"),
+        lit(q2.head().getLong(0)).as("n_view_error"),
+        lit(localPlan(q1)).as("click_log_fact"),
+        lit(localPlan(q2)).as("in_log_fact"))
+    },
+      Some("""SELECT
+                (SELECT count(*) FROM events WHERE event_type = 'click') AS n_click,
+                (SELECT count(*) FROM events
+                 WHERE event_type IN ('view', 'error')) AS n_view_error,
+                CAST(1 AS INT) AS click_log_fact,
+                CAST(1 AS INT) AS in_log_fact"""))
   )
 }

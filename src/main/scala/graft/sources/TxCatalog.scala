@@ -810,20 +810,53 @@ private class PruningScanBuilder(tableName: String, dir: String,
       java.nio.file.Paths.get(dir, f.path).toString)
     val b = ParquetTable(tableName, SparkSession.active, options, paths,
       Some(physSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    // replay only the RESIDUAL filters for row-group skipping: a
+    // consumed pv filter is exact at file level — every surviving row
+    // satisfies it, so it can skip nothing — and replaying it is
+    // actively wrong once Spark prunes its column from the read schema
+    // (the reader would evaluate it against NULL and drop every row)
     b match {
       case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
-        c.pushFilters(filters.toSeq.flatMap(toCatalyst)): Unit
+        c.pushFilters(residual.toSeq.flatMap(toCatalyst)): Unit
       case f: org.apache.spark.sql.connector.read.SupportsPushDownFilters =>
-        f.pushFilters(filters): Unit
+        f.pushFilters(residual): Unit
       case _ => ()
     }
     b
   }
 
+  /** Filters the scan fully CONSUMES (no post-scan re-evaluation):
+    * pv-equality on a partition column of a FULLY ALIGNED table. Sound
+    * because pv is exact per file — every row of a kept file satisfies
+    * the equality, every pruned file has no satisfying row — and the
+    * pushed v1 literal is column-typed by construction (a cast around
+    * the column blocks v1 translation upstream). Everything else stays
+    * a residual: file skipping remains a metadata optimization there,
+    * never an evaluation guarantee. Consuming matters because Spark
+    * only attempts AGGREGATE pushdown when no residual Filter remains —
+    * this is what turns `count(*) WHERE day = X` into a log fact. */
+  private var residual: Array[Filter] = Array.empty
+
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
-    fs // ALL filters stay post-scan residuals: file skipping is a
-       // metadata optimization, never an evaluation guarantee
+    val parts = TxLog.partitionColsOf(snap)
+    val live = snap.files.filter(_.rows > 0)
+    val aligned = parts.nonEmpty &&
+      live.forall(f => parts.forall(f.pv.contains))
+    def consumable(f: Filter): Boolean = aligned && (f match {
+      case org.apache.spark.sql.sources.EqualTo(c, v) =>
+        parts.contains(c) && v != null && TxLog.valueCanon(v).isDefined
+      case org.apache.spark.sql.sources.In(c, vs) =>
+        parts.contains(c) && vs.nonEmpty &&
+          vs.forall(v => v != null && TxLog.valueCanon(v).isDefined)
+      // NULL partition values are rejected at write time, so every row
+      // of every aligned file satisfies this (Spark pushes it as the
+      // companion of each equality)
+      case org.apache.spark.sql.sources.IsNotNull(c) => parts.contains(c)
+      case _ => false
+    })
+    residual = fs.filterNot(consumable)
+    residual
   }
   override def pushedFilters(): Array[Filter] = filters
 
@@ -848,7 +881,10 @@ private class PruningScanBuilder(tableName: String, dir: String,
   // because the footer aggregation runs over exactly the survivors
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val countStarOnly = filters.isEmpty &&
+    // residual-free = every filter was CONSUMED pv-exactly (or there
+    // were none), so the pruned survivors' live row counts ARE the
+    // filtered count
+    val countStarOnly = residual.isEmpty &&
       agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.head
@@ -867,7 +903,7 @@ private class PruningScanBuilder(tableName: String, dir: String,
   }
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    if (filters.isEmpty && agg.groupByExpressions.isEmpty &&
+    if (residual.isEmpty && agg.groupByExpressions.isEmpty &&
         agg.aggregateExpressions.length == 1 &&
         agg.aggregateExpressions.head
           .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
@@ -880,7 +916,7 @@ private class PruningScanBuilder(tableName: String, dir: String,
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     if (metadataCount) {
-      val n = snap.files.map(_.rows).sum
+      val n = survivors.map(_.rows).sum
       return new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = StructType(Seq(
           StructField("count(*)", org.apache.spark.sql.types.LongType, nullable = false)))

@@ -56,3 +56,58 @@ class TxMetadataCountSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(0) === 7L && r.getLong(1) === 21L)
   }
 }
+
+/** Consumed pv-equality filters: on a fully partition-aligned table, a
+  * partition equality/IN filter is consumed by the scan (pv is exact
+  * per file), so `count(*) WHERE part = v` is answered from the log —
+  * zero file opens — and filtered scans carry no redundant Filter over
+  * the partition column. Any ineligible shape (mixed generations,
+  * non-partition column, range) stays a residual. */
+class TxPartitionCountSpec extends AnyFunSuite with SparkTestBase {
+
+  test("partition-filtered count(*) answers from the log; probes prove zero IO") {
+    val root = Files.createTempDirectory("graft-pcount").toString
+    val cat = "pct" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    import spark.implicits._
+    TxLog.appendPartitioned(spark, dir,
+      (0 until 30).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp"), Seq("grp"))
+    // corrupt EVERY data file: the partition-filtered bare count still
+    // answers exactly (log fact over pv-pruned survivors)
+    TxLog.snapshot(dir).files.foreach(f =>
+      Files.write(Paths.get(dir, f.path), Array[Byte](0)))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE grp = 'g1'")
+      .head().getLong(0) === 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE grp IN ('g0', 'g2')")
+      .head().getLong(0) === 20L)
+    // a range or non-partition filter keeps the real scan — and hits
+    // the corruption
+    intercept[Exception](spark.sql(
+      s"SELECT count(*) FROM $cat.t WHERE grp = 'g1' AND id > 3").collect())
+    intercept[Exception](spark.sql(
+      s"SELECT count(*) FROM $cat.t WHERE id > 3").collect())
+  }
+
+  test("mixed-generation table: partition filters stay residual, rows exact") {
+    val root = Files.createTempDirectory("graft-pcount2").toString
+    val cat = "pc2" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    import spark.implicits._
+    TxLog.append(spark, dir,
+      (0 until 30).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp"))
+    TxLog.setPartitioning(dir, Seq("grp"))
+    TxLog.append(spark, dir,
+      (30 until 60).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp"))
+    // legacy files lack pv: the filter must NOT be consumed — the scan
+    // evaluates it row-wise and the answer spans both generations
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE grp = 'g1'")
+      .head().getLong(0) === 20L)
+    assert(spark.sql(s"SELECT sum(id) AS s FROM $cat.t WHERE grp = 'g1'")
+      .head().getLong(0) ===
+        (0L until 60L).filter(_ % 3 == 1).sum)
+  }
+}
