@@ -13,6 +13,7 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
+    Scratch.install("verify") // before the session: temp dirs under one root
     // Optional 3rd arg: comma-separated query names — dev-loop subset runs
     // (check.py compares only the output dirs present, so this composes).
     val (sfDir, outDir, only) = args match {
