@@ -389,8 +389,7 @@ object DiabetesPipeline {
   def cachedRun(spark: SparkSession, dataDir: String = defaultDataDir): PipelineResult =
     runCache.getOrElseUpdate((spark, dataDir), {
       val rc = RunContext.golden
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-diabetes-").toString
+      val work = graft.Scratch.dir("graft-diabetes-").toString
       run(spark, dataDir, work, rc)
     })
 

@@ -68,7 +68,7 @@ object EventsPipeline {
 
   def cachedRun(spark: SparkSession, sfDir: String): PipelineResult =
     runCache.getOrElseUpdate((spark, sfDir), {
-      val work = java.nio.file.Files.createTempDirectory("graft-events-pipe").toString
+      val work = graft.Scratch.dir("graft-events-pipe").toString
       PipelineGraph.run(spark, tableDefs(spark, sfDir, RunContext.golden), work)
     })
 }

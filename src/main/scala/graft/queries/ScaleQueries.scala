@@ -255,7 +255,7 @@ object ScaleQueries {
     // the hash.
     QuerySpec("q150_jsonl_ingest", { (s, dir) =>
       import org.apache.spark.sql.types._
-      val root = java.nio.file.Files.createTempDirectory("graft-q150").toString
+      val root = graft.Scratch.dir("graft-q150").toString
       Td.load(s, dir, "documents")
         .selectExpr(
           """CASE WHEN doc_id % 97 = 0

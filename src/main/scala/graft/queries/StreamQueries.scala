@@ -79,7 +79,7 @@ object StreamQueries {
       import org.apache.spark.sql.types._
       val docs = Td.load(s, dir, "documents")
         .selectExpr("doc_id", "lang", "n_chars", "pmod(doc_id, 4) AS part")
-      val root = java.nio.file.Files.createTempDirectory("graft-q121").toString
+      val root = graft.Scratch.dir("graft-q121").toString
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("lang", StringType), StructField("n_chars", LongType)))
       (0 to 3).foreach { p =>
@@ -123,7 +123,7 @@ object StreamQueries {
     QuerySpec("q131_stream_tx_ingest", { (s, dir) =>
       val docs = Td.load(s, dir, "documents")
         .selectExpr("doc_id", "lang", "n_chars", "pmod(doc_id, 4) AS part")
-      val root = java.nio.file.Files.createTempDirectory("graft-q131").toString
+      val root = graft.Scratch.dir("graft-q131").toString
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("lang", StringType), StructField("n_chars", LongType)))
       (0 to 3).foreach { p =>

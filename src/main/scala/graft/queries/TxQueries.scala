@@ -33,7 +33,7 @@ object TxQueries {
     // must see exactly the first two splits — the log replay, not the
     // directory (version 2's files are already on disk when we read).
     QuerySpec("q122_txlog_timetravel", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q122").toString + "/t"
+      val root = graft.Scratch.dir("graft-q122").toString + "/t"
       // Source scanned ONCE for the 3 slice-appends (a real pipeline
       // appending k slices of one frame reads it once too); blocks are
       // released before the format read the query actually returns.
@@ -62,7 +62,7 @@ object TxQueries {
     // schedules a single split (TxLogSpec proves the file counts; here
     // the oracle proves the pruned read loses nothing).
     QuerySpec("q123_txlog_skipping", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q123").toString + "/t"
+      val root = graft.Scratch.dir("graft-q123").toString + "/t"
       val li = Td.load(s, dir, "lineitem")
       TxLog.append(s, root, li.repartition(8))
       TxLog.optimize(s, root, targetBytes = 1L, sortBy = Seq("l_orderkey"))
@@ -84,7 +84,7 @@ object TxQueries {
     // pre-compaction files are reclaimed, and the surviving compacted
     // snapshot must still hold every row of the original table.
     QuerySpec("q124_txlog_lifecycle", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q124").toString + "/t"
+      val root = graft.Scratch.dir("graft-q124").toString + "/t"
       val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
       (1 to 7).foreach { ln =>
         TxLog.append(s, root, li.where(col("l_linenumber") === ln))
@@ -111,7 +111,7 @@ object TxQueries {
     // failed to skip the redelivery, batch 1's rows double and the hash
     // diverges from the raw table.
     QuerySpec("q127_txlog_stream", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q127").toString + "/t"
+      val root = graft.Scratch.dir("graft-q127").toString + "/t"
       val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
       def batch(b: Int) = li.where(pmod(col("l_orderkey"), lit(4)) === b)
       Seq(0, 1, 1, 2, 3).foreach { b => // batch 1 redelivered
@@ -136,7 +136,7 @@ object TxQueries {
     // the pre-evolution files with NULL quantity, which the aggregate
     // makes visible (null count + quantity sum over odd keys only).
     QuerySpec("q128_txlog_evolve", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q128").toString + "/t"
+      val root = graft.Scratch.dir("graft-q128").toString + "/t"
       val li = Td.load(s, dir, "lineitem")
       TxLog.append(s, root,
         li.where(pmod(col("l_orderkey"), lit(2)) === 0)
@@ -165,7 +165,7 @@ object TxQueries {
     // oracle reconstructs the post-merge table relationally from raw
     // customer, so matched-replace + insert semantics are hash-pinned.
     QuerySpec("q132_txlog_merge", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q132").toString + "/t"
+      val root = graft.Scratch.dir("graft-q132").toString + "/t"
       val cust = Td.load(s, dir, "customer").localCheckpoint(true) // q122 rationale
       (0 to 2).foreach { k =>
         TxLog.append(s, root, cust.where(pmod(col("c_custkey"), lit(3)) === k))
@@ -213,7 +213,7 @@ object TxQueries {
     // diverges.
     QuerySpec("q133_publish_snapshot", { (s, dir) =>
       import graft.sources.TxPublish
-      val root = java.nio.file.Files.createTempDirectory("graft-q133").toString
+      val root = graft.Scratch.dir("graft-q133").toString
       val orders = Td.load(s, dir, "orders").localCheckpoint(true) // q122 rationale
       def runOnce(src: DataFrame): Long = {
         val vs = TxLog.overwrite(s, s"$root/ord_status",
@@ -259,7 +259,7 @@ object TxQueries {
     // (every file "small", one output file) to keep the count exact
     // across parquet encoder versions.
     QuerySpec("q143_auto_compaction", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q143").toString + "/t"
+      val root = graft.Scratch.dir("graft-q143").toString + "/t"
       val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
       TxLog.append(s, root,
         li.where(pmod(col("l_orderkey"), lit(12)) === 0).coalesce(1))
@@ -297,7 +297,7 @@ object TxQueries {
     // The catalog name is derived from the temp root so re-invocations
     // in one session never hit a stale cached catalog instance.
     QuerySpec("q144_sql_timetravel", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q144").toString
+      val root = graft.Scratch.dir("graft-q144").toString
       val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
       (0 to 2).foreach { k =>
         TxLog.append(s, s"$root/t",
@@ -338,7 +338,7 @@ object TxQueries {
     // all hash-visible.
     QuerySpec("q148_stream_upsert", { (s, dir) =>
       import org.apache.spark.sql.types._
-      val root = java.nio.file.Files.createTempDirectory("graft-q148").toString
+      val root = graft.Scratch.dir("graft-q148").toString
       val cust = Td.load(s, dir, "customer").localCheckpoint(true) // q122 rationale
       val schema = StructType(Seq(
         StructField("c_custkey", LongType), StructField("c_acctbal", DoubleType),
@@ -390,7 +390,7 @@ object TxQueries {
     // rewrites (or missed an append), every count doubles (or drops)
     // and the hash breaks against the raw-table oracle.
     QuerySpec("q154_txlog_source", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q154").toString + "/t"
+      val root = graft.Scratch.dir("graft-q154").toString + "/t"
       val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
       (0 to 2).foreach { k =>
         TxLog.append(s, root, li.where(pmod(col("l_orderkey"), lit(3)) === k))
@@ -431,7 +431,7 @@ object TxQueries {
     // batch, or a delivered rewrite all corrupt the totals and break
     // the hash.
     QuerySpec("q155_incremental_medallion", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q155").toString
+      val root = graft.Scratch.dir("graft-q155").toString
       val (bronze, silver) = (s"$root/bronze", s"$root/silver")
       val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
       def ingestPass(): Unit = {
@@ -482,7 +482,7 @@ object TxQueries {
     // dropped from a rewritten one, or an under-deleted key all break
     // the hash. Time travel back to v0 proves deletion is logical.
     QuerySpec("q156_txlog_delete", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q156").toString + "/t"
+      val root = graft.Scratch.dir("graft-q156").toString + "/t"
       val docs = Td.load(s, dir, "documents")
         .select("doc_id", "lang", "text")
       TxLog.append(s, root, docs.repartition(6))
@@ -515,7 +515,7 @@ object TxQueries {
     // oracle replays the update as a CASE projection over the raw
     // table — decimal-sum so the totals are bit-stable.
     QuerySpec("q157_txlog_update", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q157").toString + "/t"
+      val root = graft.Scratch.dir("graft-q157").toString + "/t"
       val li = Td.load(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
       TxLog.append(s, root, li.repartition(6))
@@ -542,7 +542,7 @@ object TxQueries {
     // from the raw parquet, so a dropped insert, a mis-aligned CTAS
     // column, or a widening that rewrote history all break the hash.
     QuerySpec("q158_sql_writes", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q158").toString
+      val root = graft.Scratch.dir("graft-q158").toString
       val cat = "sqlw" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -582,7 +582,7 @@ object TxQueries {
     // resurrection, a mis-mapped delete, or a rename that lost data all
     // break the hash.
     QuerySpec("q159_column_mapping", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q159").toString + "/t"
+      val root = graft.Scratch.dir("graft-q159").toString + "/t"
       val cust = Td.load(s, dir, "customer")
         .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
       TxLog.append(s, root, cust.repartition(4))
@@ -611,7 +611,7 @@ object TxQueries {
     // table. A missed deletion, a double-reported postimage, or an
     // image with post-update values in the preimage all break the hash.
     QuerySpec("q160_change_feed", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q160").toString + "/t"
+      val root = graft.Scratch.dir("graft-q160").toString + "/t"
       val part = Td.load(s, dir, "part")
         .select("p_partkey", "p_type", "p_retailprice")
       TxLog.append(s, root, part.repartition(4))
@@ -648,7 +648,7 @@ object TxQueries {
     // re-derives from the raw table — a dropped deletion, a stale
     // update, or a double-applied batch all break the hash.
     QuerySpec("q161_cdf_mirror", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q161").toString
+      val root = graft.Scratch.dir("graft-q161").toString
       val (src, mirror, ckpt) = (s"$root/src", s"$root/mirror", s"$root/ckpt")
       val sup = Td.load(s, dir, "supplier")
         .select("s_suppkey", "s_nationkey", "s_acctbal")
@@ -705,7 +705,7 @@ object TxQueries {
     // applied through the merged descriptor all break the hash; the
     // v0 time-travel count pins the pre-DML state alongside.
     QuerySpec("q162_txlog_dv", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q162").toString + "/t"
+      val root = graft.Scratch.dir("graft-q162").toString + "/t"
       val docs = Td.load(s, dir, "documents")
         .select("doc_id", "lang", "text")
       TxLog.append(s, root, docs.repartition(6))
@@ -746,7 +746,7 @@ object TxQueries {
     // half of the hash). Both sides aggregated with a side label; the
     // oracle re-derives each from the raw table arithmetic.
     QuerySpec("q164_txlog_clone", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q164").toString
+      val root = graft.Scratch.dir("graft-q164").toString
       val (src, dst) = (s"$root/src", s"$root/clone")
       val part = Td.load(s, dir, "part")
         .select("p_partkey", "p_type", "p_retailprice")
@@ -782,7 +782,7 @@ object TxQueries {
     // skipped-file path is the one a plain filter query never exercises).
     // The oracle is the same box over the raw table.
     QuerySpec("q166_zorder_box", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q166").toString + "/t"
+      val root = graft.Scratch.dir("graft-q166").toString + "/t"
       val li = Td.load(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_discount")
@@ -814,7 +814,7 @@ object TxQueries {
     // must equal the one-shot batch transform of everything (a missed
     // version, replayed batch, or delivered rewrite all corrupt it).
     QuerySpec("q167_stream_sink", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q167").toString
+      val root = graft.Scratch.dir("graft-q167").toString
       val (bronze, silver, ckpt) = (s"$root/bronze", s"$root/silver", s"$root/ckpt")
       val ev = Td.load(s, dir, "events")
         .select("event_id", "user_id", "event_type", "value")
@@ -854,7 +854,7 @@ object TxQueries {
     // rows, an upsert that missed an insert, or an erasure that over- or
     // under-deleted each breaks the hash.
     QuerySpec("q168_sql_dml", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q168").toString
+      val root = graft.Scratch.dir("graft-q168").toString
       val cat = "dmlq" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -919,7 +919,7 @@ object TxQueries {
     // dropped a file, mis-linked one, or produced stats that misprune
     // all break the hash; the v0 count pins the adopted state.
     QuerySpec("q170_convert", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q170").toString + "/t"
+      val root = graft.Scratch.dir("graft-q170").toString + "/t"
       Td.load(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .repartition(4).write.parquet(root)
@@ -952,7 +952,7 @@ object TxQueries {
     // n_versions pins the log shape — a rebase that double-applied,
     // dropped a winner's rows, or silently merged commits breaks the hash.
     QuerySpec("q171_concurrent_dml", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q171").toString + "/t"
+      val root = graft.Scratch.dir("graft-q171").toString + "/t"
       val li = Td.load(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
         .localCheckpoint(true)
@@ -1009,7 +1009,7 @@ object TxQueries {
     // history, a dropped upsert, or a double-applied replay all break
     // the hash.
     QuerySpec("q172_merge_evolve", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q172").toString + "/t"
+      val root = graft.Scratch.dir("graft-q172").toString + "/t"
       val cust = Td.load(s, dir, "customer")
         .select("c_custkey", "c_mktsegment", "c_acctbal").localCheckpoint(true)
       TxLog.append(s, root, cust.where("c_custkey % 3 = 0").repartition(4))
@@ -1066,7 +1066,7 @@ object TxQueries {
     // resolved the old physical name, or a rewrite that dropped rows all
     // break the hash.
     QuerySpec("q173_sql_alter", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q173").toString
+      val root = graft.Scratch.dir("graft-q173").toString
       val cat = "alt" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -1101,7 +1101,7 @@ object TxQueries {
     // mis-assigned pv, an overwrite that leaked into another partition,
     // or pruning that dropped a file all break the hash.
     QuerySpec("q174_partitioned_table", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q174").toString + "/t"
+      val root = graft.Scratch.dir("graft-q174").toString + "/t"
       val ord = Td.load(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
       TxLog.appendPartitioned(s, root, ord, Seq("o_orderstatus"))
@@ -1141,7 +1141,7 @@ object TxQueries {
     // corrupt-file probe; this entry hash-gates the ANSWERS the pruned
     // plans produce). The oracle replays both slices over raw parquet.
     QuerySpec("q175_sql_skipping", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q175").toString
+      val root = graft.Scratch.dir("graft-q175").toString
       val cat = "skp" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -1182,7 +1182,7 @@ object TxQueries {
     // a scoped rewrite that lost rows, leaked into another partition,
     // or failed to compact all break the hash.
     QuerySpec("q176_partition_maintenance", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q176").toString
+      val root = graft.Scratch.dir("graft-q176").toString
       val cat = "pmx" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -1225,7 +1225,7 @@ object TxQueries {
     // erase" number being wrong) breaks the hash, as does any drift in
     // the surviving aggregate itself.
     QuerySpec("q177_dml_metrics", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q177").toString + "/t"
+      val root = graft.Scratch.dir("graft-q177").toString + "/t"
       val part = Td.load(s, dir, "part")
         .select("p_partkey", "p_brand", "p_retailprice")
       TxLog.append(s, root, part.repartition(4))
@@ -1275,7 +1275,7 @@ object TxQueries2 {
     // place across batches all break it). The per-batch sums fold as
     // exact decimals, so the accumulation is order-independent.
     QuerySpec("q178_stream_admission", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q178").toString
+      val root = graft.Scratch.dir("graft-q178").toString
       val table = s"$root/t"
       val li = Td.load(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
@@ -1317,7 +1317,7 @@ object TxQueries2 {
     // that cut too deep, lost a checkpoint, or broke replay loses rows
     // and breaks the hash.
     QuerySpec("q179_log_retention", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q179").toString + "/t"
+      val root = graft.Scratch.dir("graft-q179").toString + "/t"
       val cust = Td.load(s, dir, "customer")
         .select("c_custkey", "c_acctbal").localCheckpoint(true)
       (0 until 12).foreach(i =>
@@ -1348,7 +1348,7 @@ object TxQueries2 {
     // dropped a matching candidate breaks either the count or the
     // post-merge aggregate the oracle replays.
     QuerySpec("q180_merge_prune", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q180").toString + "/t"
+      val root = graft.Scratch.dir("graft-q180").toString + "/t"
       val ord = Td.load(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
       TxLog.append(s, root, ord.where("o_orderkey <= 100").coalesce(1))
@@ -1390,7 +1390,7 @@ object TxQueries2 {
     // lost rows, reordered wrongly, or failed to sharpen the bounds
     // breaks the counts or the aggregate.
     QuerySpec("q181_cluster_merge", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q181").toString + "/t"
+      val root = graft.Scratch.dir("graft-q181").toString + "/t"
       val ord = Td.load(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
       TxLog.append(s, root, ord.repartition(4))
@@ -1436,7 +1436,7 @@ object TxQueries2 {
     // 1-of-4 bounded touch discovery (source key range [-64, 64] hits
     // only the first band) — are pinned into the hash.
     QuerySpec("q182_merge_cdc", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q182").toString + "/t"
+      val root = graft.Scratch.dir("graft-q182").toString + "/t"
       val ord = Td.load(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
       TxLog.append(s, root, ord.where("o_orderkey <= 100").coalesce(1))
@@ -1512,7 +1512,7 @@ object TxQueries2 {
     // promotion actually served longs. The oracle replays the widen as
     // explicit casts.
     QuerySpec("q183_type_widening", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q183").toString + "/t"
+      val root = graft.Scratch.dir("graft-q183").toString + "/t"
       val li = Td.load(s, dir, "lineitem")
         .select(col("l_orderkey").cast("int").as("k"),
           col("l_quantity").cast("float").as("qty"),
@@ -1565,7 +1565,7 @@ object TxQueries2 {
     // the orderkey range [1, 64] alone prunes to 1 of 4 banded files,
     // pinned into the hash.
     QuerySpec("q184_merge_composite", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q184").toString + "/t"
+      val root = graft.Scratch.dir("graft-q184").toString + "/t"
       val li = Td.load(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .localCheckpoint(true)
@@ -1626,7 +1626,7 @@ object TxQueries2 {
     // files_scanned = files_live = 4 is pinned as the honest cost,
     // alongside the deleted-row count and the surviving aggregate.
     QuerySpec("q185_merge_by_source", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q185").toString + "/t"
+      val root = graft.Scratch.dir("graft-q185").toString + "/t"
       val ord = Td.load(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
       TxLog.append(s, root, ord.where("o_orderkey <= 100").coalesce(1))
@@ -1683,7 +1683,7 @@ object TxQueries2 {
     // replayed batch would double balances; a missed tombstone leaves
     // deleted rows — both hash-visible against the relational replay.
     QuerySpec("q186_stream_cdc_clauses", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q186").toString
+      val root = graft.Scratch.dir("graft-q186").toString
       val target = s"$root/t"
       val feed = s"$root/feed"
       val cust = Td.load(s, dir, "customer")
@@ -1775,7 +1775,7 @@ object TxQueries2 {
     // (CoW leak), a lost vector (dead rows served), or an over-wide
     // vector (live rows hidden) each break a different pinned column.
     QuerySpec("q187_merge_dv", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q187").toString + "/t"
+      val root = graft.Scratch.dir("graft-q187").toString + "/t"
       val ord = Td.load(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
       TxLog.append(s, root, ord.where("o_orderkey <= 100").coalesce(1))
@@ -1831,7 +1831,7 @@ object TxQueries2 {
     // un-updated and break the aggregate; a disabled probe would break
     // the pinned scan count.
     QuerySpec("q188_bloom_skip", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q188").toString + "/t"
+      val root = graft.Scratch.dir("graft-q188").toString + "/t"
       val cust = Td.load(s, dir, "customer")
         .select("c_custkey", "c_acctbal", "c_mktsegment").localCheckpoint(true)
       TxLog.create(root, org.apache.spark.sql.types.StructType(
@@ -1876,7 +1876,7 @@ object TxQueries2 {
     // pin adapts across SFs), files_live the feed's distinct days. A
     // broken derivation scans 30 files; an unsound one loses rows.
     QuerySpec("q189_hidden_partitioning", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q189").toString
+      val root = graft.Scratch.dir("graft-q189").toString
       val cat = "hpt" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -1922,7 +1922,7 @@ object TxQueries2 {
     // files_scanned = 1 of files_live = 8; the final segment aggregate
     // catches any unsound prune (a lost row or a missed update).
     QuerySpec("q190_bucket_pruning", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q190").toString + "/t"
+      val root = graft.Scratch.dir("graft-q190").toString + "/t"
       val cust = Td.load(s, dir, "customer")
         .select("c_custkey", "c_acctbal", "c_mktsegment")
       TxLog.create(root, StructType(cust.schema.fields :+
@@ -1959,7 +1959,7 @@ object TxQueries2 {
     // exactly the oracle's BETWEEN — a truncation that moved a bound
     // the wrong way loses rows here.
     QuerySpec("q191_stats_policy", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q191").toString + "/t"
+      val root = graft.Scratch.dir("graft-q191").toString + "/t"
       val docs = Td.load(s, dir, "documents")
         .select("doc_id", "text", "lang", "n_chars").localCheckpoint(true)
       TxLog.create(root, StructType(docs.schema.fields))
@@ -2004,7 +2004,7 @@ object TxQueries2 {
     // count (a split or merged batch breaks it), and the per-type
     // change totals replay relationally in the oracle.
     QuerySpec("q192_cdf_stream_admission", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q192").toString
+      val root = graft.Scratch.dir("graft-q192").toString
       val table = s"$root/t"
       val orders = Td.load(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
@@ -2066,7 +2066,7 @@ object TxQueries2 {
     // duplicate-free dense allocation produces. A racing double-grant
     // breaks distinct_ids; a skipped block breaks max and the sum.
     QuerySpec("q193_identity", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q193").toString + "/t"
+      val root = graft.Scratch.dir("graft-q193").toString + "/t"
       val orders = Td.load(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
       TxLog.create(root, StructType(
@@ -2101,7 +2101,7 @@ object TxQueries2 {
     // delete shape scans 1 of 4 (pinned). The final aggregate catches
     // any recompute that mis-derived a bound (rows would be missed).
     QuerySpec("q194_analyze_stats", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q194").toString + "/t"
+      val root = graft.Scratch.dir("graft-q194").toString + "/t"
       val cust = Td.load(s, dir, "customer")
         .select("c_custkey", "c_acctbal", "c_mktsegment").localCheckpoint(true)
       TxLog.create(root, StructType(cust.schema.fields))
@@ -2139,7 +2139,7 @@ object TxQueries2 {
     // breaks the aggregate.
     QuerySpec("q195_manifest", { (s, dir) =>
       import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Files.createTempDirectory("graft-q195").toString + "/t"
+      val root = graft.Scratch.dir("graft-q195").toString + "/t"
       val part = Td.load(s, dir, "part")
         .select("p_partkey", "p_brand", "p_retailprice").localCheckpoint(true)
       (0 until 4).foreach(j => TxLog.append(s, root,
@@ -2176,7 +2176,7 @@ object TxQueries2 {
     // breaks the aggregate).
     QuerySpec("q196_maintenance_sql", { (s, dir) =>
       import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Files.createTempDirectory("graft-q196").toString
+      val root = graft.Scratch.dir("graft-q196").toString
       val table = s"$root/t"
       val supp = Td.load(s, dir, "supplier")
         .select("s_suppkey", "s_nationkey", "s_acctbal").localCheckpoint(true)
@@ -2233,7 +2233,7 @@ object TxQueries2 {
     // allocation), and pv_days = the oracle's distinct days (the
     // partition layout actually materialized).
     QuerySpec("q197_ddl_identity", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q197").toString
+      val root = graft.Scratch.dir("graft-q197").toString
       val cat = "ddq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -2275,7 +2275,7 @@ object TxQueries2 {
     // substitution on omitted columns and the DEFAULT keyword, and the
     // rename-migration of the default property mid-stream
     QuerySpec("q198_ddl_defaults", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q198").toString
+      val root = graft.Scratch.dir("graft-q198").toString
       val cat = "dfq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -2323,7 +2323,7 @@ object TxQueries2 {
     // PARTITIONED BY (event_type), aligned generation 2, mixed-generation
     // partition read completeness, then OPTIMIZE migrates to O(1) pruning
     QuerySpec("q199_partition_evolution", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q199").toString + "/t"
+      val root = graft.Scratch.dir("graft-q199").toString + "/t"
       val ev = Td.load(s, dir, "events").select("event_id", "event_type", "value")
       TxLog.append(s, root, ev.where("event_id % 2 = 0"))   // legacy, pv-less
       TxLog.setPartitioning(root, Seq("event_type"))
@@ -2364,7 +2364,7 @@ object TxQueries2 {
     // the join key; under v2 bucketing the join + aggregation plan with
     // ZERO exchanges (the pv-keyed splits co-locate), pinned as a column
     QuerySpec("q200_storage_partitioned_join", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q200").toString
+      val root = graft.Scratch.dir("graft-q200").toString
       val cat = "spq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -2405,7 +2405,7 @@ object TxQueries2 {
     // machinery; gated against DuckDB running the same statements
     // relationally (expressed as anti-join / conditional update)
     QuerySpec("q201_subquery_dml", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q201").toString
+      val root = graft.Scratch.dir("graft-q201").toString
       val cat = "sqq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -2446,7 +2446,7 @@ object TxQueries2 {
     // q202: SHOW PARTITIONS — the pv-metadata listing (zero file opens)
     // matches the data's actual distinct partition values
     QuerySpec("q202_show_partitions", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q202").toString
+      val root = graft.Scratch.dir("graft-q202").toString
       val cat = "shq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -2463,7 +2463,7 @@ object TxQueries2 {
     // writeTo(t).overwrite(cond) API — the high-value band atomically
     // replaced by its re-scored form in ONE commit
     QuerySpec("q203_replace_where", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q203").toString
+      val root = graft.Scratch.dir("graft-q203").toString
       val cat = "rwq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -2496,7 +2496,7 @@ object TxQueries2 {
     // q204: TRUNCATE TABLE — metadata-only remove-all (zero data IO),
     // time travel keeps the pre-truncate version, reload after
     QuerySpec("q204_truncate", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q204").toString
+      val root = graft.Scratch.dir("graft-q204").toString
       val cat = "trq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -2526,7 +2526,7 @@ object TxQueries2 {
     // the log (AddFile.rows, DV-adjusted) as a LocalTableScan plan,
     // zero file opens; pinned against the oracle's real count
     QuerySpec("q205_metadata_count", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q205").toString
+      val root = graft.Scratch.dir("graft-q205").toString
       val cat = "mcq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -2548,7 +2548,7 @@ object TxQueries2 {
     // and the incoming rows as inserts; the feed totals replay
     // relationally
     QuerySpec("q206_replace_cdf", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q206").toString + "/t"
+      val root = graft.Scratch.dir("graft-q206").toString + "/t"
       val ev = Td.load(s, dir, "events").select("event_id", "event_type", "value")
       TxLog.append(s, root, ev)
       TxLog.setProperties(root, Map(TxLog.Cdf.Enabled -> "true"))
@@ -2578,7 +2578,7 @@ object TxQueries2 {
     // (pv-pruned survivors' live rows, a LocalTableScan): zero file
     // opens at any table size
     QuerySpec("q207_partition_count", { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q207").toString
+      val root = graft.Scratch.dir("graft-q207").toString
       val cat = "pcq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)

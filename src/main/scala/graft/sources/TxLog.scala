@@ -3086,6 +3086,18 @@ object TxLog {
     // a CDC feed need not carry the table's generated columns
     val source = withGeneratedCols(snap, source0)
     val doEvolve = evolve || snap.props.get(AutoMerge.Enabled).contains("true")
+    // IDENTITY ([[Identity]]): matched rows keep the TARGET's
+    // engine-assigned ids, inserted rows allocate fresh ones from the
+    // high-water, and the commit advances the property — resolved
+    // below, once the matched set is known. The key itself cannot be
+    // an identity column: a whole-row upsert matches on caller-carried
+    // key values, which ALWAYS semantics refuse for identity.
+    val idSpecs = identityColsOf(snap.props)
+    require(!idSpecs.contains(keyCol),
+      s"merge: key column $keyCol is GENERATED ALWAYS AS IDENTITY — " +
+        "its values are engine-assigned, so a source cannot carry them; " +
+        "merge by a natural key, or use mergeClauses keyed on it with " +
+        "explicit SET/INSERT column lists")
 
     // Schema resolution. Plain merge: exact identity. Evolving merge:
     // known columns type-checked (never narrowed/retyped), new source
@@ -3141,7 +3153,8 @@ object TxLog {
     def stageMerged(d: DataFrame): (String, Seq[AddFile]) =
       if (mergePhysParts.isEmpty) stage(spark, dir, d)
       else stagePartitioned(spark, dir, d, mergePhysParts)
-    val (srcSub, srcAdds) = stageMerged(toPhysicalMerged(alignMerged(source)))
+    var (srcSub, srcAdds) = stageMerged(toPhysicalMerged(alignMerged(source)))
+    var provisionalSub: Option[String] = None // identity pre-resolution staging
     val staged0 = spark.read.schema(physMerged)
       .parquet(Paths.get(dir, srcSub).toString)
     val staged =
@@ -3161,6 +3174,20 @@ object TxLog {
       // discipline); a violation lands in the catch, which reclaims
       // the staging dir
       requireConstraints(Some(snap), staged)
+      if (idSpecs.nonEmpty) {
+        // ALWAYS semantics: the source must carry identity columns
+        // all-NULL — even for matched rows, whose values are discarded
+        // in favor of the target's (silently ignoring explicit values
+        // would be the quiet version of the bug this check prevents)
+        val explicit = staged.agg(count(when(
+          idSpecs.keys.map(c => col(c).isNotNull).reduce(_ || _),
+          lit(1))).as("n")).head().getLong(0)
+        require(explicit == 0L,
+          s"merge: ${idSpecs.keys.mkString(", ")} is GENERATED ALWAYS " +
+            "AS IDENTITY — explicit source values are refused; carry " +
+            "the column NULL (matched rows keep the target's id, " +
+            "inserted rows are allocated fresh ones)")
+      }
 
       val keys = staged.select(col(keyCol)).distinct()
       // Touch discovery is BOUNDED by the staged source's own key
@@ -3195,6 +3222,66 @@ object TxLog {
           val filters = rangeFilters ++ inFilter
           if (filters.isEmpty) snap.files else pruneByFilters(snap, filters, Some(dir))
         }
+      // Identity resolution: matched source rows inherit the target's
+      // id (recovered through the key from the candidates' LIVE rows;
+      // duplicate-key targets deterministically contribute their MIN),
+      // unmatched rows number from the snapshot high-water, and the
+      // final frame REPLACES the provisional staging. Race safety is
+      // commitDmlRebase's props conflict: any concurrent high-water
+      // advance changes table properties, which aborts this merge
+      // instead of letting staged ids collide. Identity tables pay one
+      // extra staging pass and one extra candidates scan — documented
+      // costs of dense allocation under the single-evaluation rule.
+      val idProps: Option[Map[String, String]] =
+        if (idSpecs.isEmpty) None
+        else {
+          val idCols = idSpecs.keys.toSeq
+          val hw: Map[String, Long] = idSpecs.map { case (c, sp) =>
+            c -> snap.props.get(Identity.HighWater + c)
+              .flatMap(_.toLongOption).getOrElse(sp.start - sp.step)
+          }
+          val joined =
+            if (candidates.isEmpty)
+              staged.withColumn("__tm", lit(null).cast(BooleanType))
+            else {
+              // scanFiles masks existing deletion vectors: dead target
+              // rows never donate their ids
+              val live = scanFiles(spark, dir, snap, candidates)
+              val tgt = live.join(keys, Seq(keyCol), "left_semi")
+                .groupBy(col(keyCol))
+                .agg(min(col(idCols.head)).as(s"__tid_${idCols.head}"),
+                  idCols.tail.map(c => min(col(c)).as(s"__tid_$c")): _*)
+                .withColumn("__tm", lit(true))
+              staged.join(tgt, Seq(keyCol), "left_outer")
+            }
+          val matchedRows = joined.where(col("__tm").isNotNull)
+            .select(staged.columns.toSeq.map { c =>
+              if (idSpecs.contains(c)) col(s"__tid_$c").as(c) else col(c)
+            }: _*)
+          val unmatchedRows = joined.where(col("__tm").isNull)
+            .select(staged.columns.toSeq.map(col): _*)
+          val insertedCnt = unmatchedRows.count()
+          val finalRows = matchedRows.unionAll(
+            assignIdentity(spark, unmatchedRows, idSpecs, hw,
+              staged.columns.toSeq))
+          val (s2, a2) = stageMerged(toPhysicalMerged(finalRows))
+          // the provisional staging still feeds the LAZY `keys`/`staged`
+          // frames the discovery joins read downstream — deletion waits
+          // for the method's finally (it is never commit-referenced)
+          provisionalSub = Some(srcSub)
+          srcSub = s2; srcAdds = a2
+          if (insertedCnt == 0L) None
+          else Some(idSpecs.map { case (c, sp) =>
+            Identity.HighWater + c -> (hw(c) + sp.step * insertedCnt).toString
+          })
+        }
+      val mapProps: Option[Map[String, String]] =
+        if (newMaps.isEmpty) None
+        else Some(newMaps.map { case (l, p) => ColumnMapping.Prefix + l -> p })
+      val commitProps: Option[Map[String, String]] = (mapProps, idProps) match {
+        case (Some(a), Some(b)) => Some(a ++ b)
+        case (a, b) => a.orElse(b)
+      }
       // Merge-on-read ([[DeletionVectors]] enabled): the matched rows'
       // old images die via deletion vectors (positions only) and the
       // source rows land as new files — data written ∝ rows changed,
@@ -3242,8 +3329,7 @@ object TxLog {
             Some(3L),
             if (table.fieldNames.contains(keyCol)) Some((keys, Seq(keyCol))) else None,
             if (widened) Some(merged.toDDL) else None,
-            if (newMaps.isEmpty) None
-            else Some(newMaps.map { case (l, p) => ColumnMapping.Prefix + l -> p }),
+            commitProps,
             metrics = Map("rows_matched" -> matched,
               "rows_inserted" -> (srcAdds.map(_.rows).sum - matched),
               "files_live" -> snap.files.size.toLong,
@@ -3288,8 +3374,7 @@ object TxLog {
             // that CHANGED the schema aborts on the schema check first.)
             if (table.fieldNames.contains(keyCol)) Some((keys, Seq(keyCol))) else None,
             if (widened) Some(merged.toDDL) else None,
-            if (newMaps.isEmpty) None
-            else Some(newMaps.map { case (l, p) => ColumnMapping.Prefix + l -> p }),
+            commitProps,
             metrics = Map("rows_matched" -> matched,
               "rows_inserted" -> (srcAdds.map(_.rows).sum - matched),
               // the pruning observables the scale contract is graded
@@ -3310,6 +3395,8 @@ object TxLog {
     } catch { case e: Throwable =>
       if (!published) deleteStaged(dir, srcSub) // see append: committed data stays
       throw e
+    } finally {
+      provisionalSub.foreach(deleteStaged(dir, _)) // never commit-referenced
     }
   }
 
@@ -3449,16 +3536,16 @@ object TxLog {
     require(keyCols.nonEmpty, "mergeClauses: at least one key column")
     require(keyCols.distinct == keyCols,
       s"mergeClauses: duplicate key columns in ${keyCols.mkString(", ")}")
-    val matched = clauses.collect {
+    val matched0 = clauses.collect {
       case c: WhenMatchedUpdate => c
       case c: WhenMatchedDelete => c
     }
-    val inserts = clauses.collect { case c: WhenNotMatchedInsert => c }
-    val bySource = clauses.collect {
+    val inserts0 = clauses.collect { case c: WhenNotMatchedInsert => c }
+    val bySource0 = clauses.collect {
       case c: WhenNotMatchedBySourceUpdate => c
       case c: WhenNotMatchedBySourceDelete => c
     }
-    bySource.foreach {
+    bySource0.foreach {
       case u: WhenNotMatchedBySourceUpdate =>
         require(u.set.nonEmpty, "mergeClauses: WHEN NOT MATCHED BY SOURCE " +
           "UPDATE needs an explicit SET list — there is no source row to star from")
@@ -3472,14 +3559,76 @@ object TxLog {
     // a CDC feed need not carry the table's generated columns
     val source = withGeneratedCols(snap, source0)
     val table = snap.schema
+
+    // GENERATED ALWAYS AS IDENTITY and generated columns as clause
+    // targets — the updateImpl rules, mirrored here so SQL MERGE and
+    // subquery DML (TxDmlStrategy routes both through this path) get
+    // the same guards direct UPDATE gets: identity is never a
+    // SET/INSERT target (inserted rows allocate fresh ids below, with
+    // the high-water advanced in the commit); a generated column is
+    // never SET directly and recomputes when a clause sets its base.
+    // Star clauses take every column from the source, identity
+    // included — refused outright on identity tables.
+    val idSpecs = identityColsOf(snap.props)
+    val gens = generatedColsOf(snap.props)
+    def genBaseType(spec: GenSpec): DataType =
+      table.fields.find(_.name == spec.base).map(_.dataType).getOrElse(StringType)
+    def guardedSet(set: Map[String, String]): Map[String, String] = {
+      idSpecs.keys.foreach(c => require(!set.contains(c),
+        s"mergeClauses: $c is GENERATED ALWAYS AS IDENTITY and cannot be SET"))
+      gens.keys.foreach(g => require(!set.contains(g),
+        s"mergeClauses: $g is a generated column — update its base instead"))
+      set ++ gens.collect {
+        case (g, spec) if set.contains(spec.base) =>
+          g -> genSqlExprOn(spec, genBaseType(spec), s"(${set(spec.base)})")
+      }
+    }
+    def requireNoStar(kind: String): Unit = require(idSpecs.isEmpty,
+      s"mergeClauses: $kind * would write explicit values into GENERATED " +
+        s"ALWAYS AS IDENTITY column(s) ${idSpecs.keys.mkString(", ")} — " +
+        "list the columns explicitly, omitting the identity column")
+    val matched: Seq[MergeClause] = matched0.map {
+      case u: WhenMatchedUpdate =>
+        if (u.set.isEmpty) { requireNoStar("UPDATE SET"); u }
+        else u.copy(set = guardedSet(u.set))
+      case c => c
+    }
+    val bySource: Seq[MergeClause] = bySource0.map {
+      case u: WhenNotMatchedBySourceUpdate => u.copy(set = guardedSet(u.set))
+      case c => c
+    }
+    val inserts = inserts0.map { ins =>
+      if (ins.values.isEmpty) { requireNoStar("INSERT"); ins }
+      else {
+        idSpecs.keys.foreach(c => require(!ins.values.contains(c),
+          s"mergeClauses: $c is GENERATED ALWAYS AS IDENTITY — omit it " +
+            "from INSERT values (the engine allocates)"))
+        // a generated column not supplied recomputes from its base's
+        // inserted value (supplied explicitly, the CHECK validates it)
+        ins.copy(values = ins.values ++ gens.collect {
+          case (g, spec) if !ins.values.contains(g) &&
+              ins.values.contains(spec.base) =>
+            g -> genSqlExprOn(spec, genBaseType(spec),
+              s"(${ins.values(spec.base)})")
+        })
+      }
+    }
+
     keyCols.foreach { k =>
       require(table.fieldNames.contains(k),
         s"mergeClauses: key column $k not in the table schema")
       require(source.columns.contains(k),
         s"mergeClauses: key column $k not in the source")
     }
-    require(!source.columns.exists(c => c == "__act" || c == "__p"),
-      "mergeClauses: source columns __act/__p are reserved")
+    // __act/__p drive clause dispatch and touch discovery; __i,
+    // __dv_path and __dv_idx are the merge-on-read scan's position
+    // coordinates (scanLiveWithPos / stageDv) — a source carrying any
+    // of them would make internal selects ambiguous mid-operation, so
+    // all are refused upfront, DV-enabled or not (a table can acquire
+    // DVs after the source schema was designed)
+    Seq("__act", "__p", "__i", "__dv_path", "__dv_idx").foreach(c =>
+      require(!source.columns.contains(c),
+        s"mergeClauses: source column $c is reserved by merge internals"))
     val starNeedsAll =
       matched.exists { case u: WhenMatchedUpdate => u.set.isEmpty; case _ => false } ||
         inserts.exists(_.values.isEmpty)
@@ -3683,6 +3832,10 @@ object TxLog {
       // inserts: unmatched source rows through the first firing
       // not-matched clause (anti-join against candidate keys is
       // complete — non-candidates provably hold no source key)
+      val idHw: Map[String, Long] = idSpecs.map { case (c, sp) =>
+        c -> snap.props.get(Identity.HighWater + c)
+          .flatMap(_.toLongOption).getOrElse(sp.start - sp.step)
+      }
       val insertAdds =
         if (inserts.isEmpty) Nil
         else {
@@ -3710,13 +3863,40 @@ object TxLog {
             }.cast(f.dataType).as(f.name)
           }: _*)
           requireDeterministic(rows, "insert clause")
-          requireConstraints(Some(snap), rows)
-          if (cdfEnabled(snap))
-            cdfFrames += toPhysical(rows, snap)
-              .withColumn(ChangeTypeCol, lit("insert"))
-          val (iSub, iAdds) = stageForTable(spark, dir, snap, rows)
-          cleanup += iSub
-          iAdds
+          if (idSpecs.isEmpty) {
+            requireConstraints(Some(snap), rows)
+            if (cdfEnabled(snap))
+              cdfFrames += toPhysical(rows, snap)
+                .withColumn(ChangeTypeCol, lit("insert"))
+            val (iSub, iAdds) = stageForTable(spark, dir, snap, rows)
+            cleanup += iSub
+            iAdds
+          } else {
+            // identity allocation over a STAGED re-read: the anti-join's
+            // row order is not stable across evaluations, so numbering
+            // its direct output could hand the CDF one id and the table
+            // another — stage once (ids NULL), re-read (deterministic
+            // file order), assign, restage. One extra staging pass, the
+            // appendImpl single-evaluation protocol. High-water advance
+            // rides the commit's props; commitDmlRebase aborts on ANY
+            // concurrent props change, so staged ids can never collide.
+            val (tSub, _) = stageForTable(spark, dir, snap, rows)
+            cleanup += tSub
+            val phys = physicalSchema(snap)
+            val r0 = spark.read.schema(phys)
+              .parquet(Paths.get(dir, tSub).toString)
+            val reread =
+              if (phys == table) r0 else r0.toDF(table.fieldNames.toSeq: _*)
+            val rowsId = assignIdentity(spark, reread, idSpecs, idHw,
+              table.fieldNames.toSeq)
+            requireConstraints(Some(snap), rowsId)
+            if (cdfEnabled(snap))
+              cdfFrames += toPhysical(rowsId, snap)
+                .withColumn(ChangeTypeCol, lit("insert"))
+            val (iSub, iAdds) = stageForTable(spark, dir, snap, rowsId)
+            cleanup += iSub
+            iAdds
+          }
         }
 
       val cdfAdds =
@@ -3728,10 +3908,17 @@ object TxLog {
           cAdds
         }
 
+      val idInserted = insertAdds.map(_.rows).sum
+      val idProps: Option[Map[String, String]] =
+        if (idSpecs.isEmpty || idInserted == 0L) None
+        else Some(idSpecs.map { case (c, sp) =>
+          Identity.HighWater + c -> (idHw(c) + sp.step * idInserted).toString
+        })
       val v = commitDmlRebase(spark, dir, "merge", snap, touched,
         removes, keepAdds ++ postAdds ++ partialAdds ++ insertAdds, cdfAdds,
         txn, if (partialAdds.nonEmpty) Some(3L) else None,
         Some((keys, keyCols)),
+        newProps = idProps,
         winnerAddsConflict = bySource.nonEmpty,
         metrics = Map(
           "rows_matched" -> matchedCount,

@@ -29,8 +29,8 @@ object StreamingOps {
     * the final batch IS the complete result). */
   private def runToParquet(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
-    val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val out = graft.Scratch.dir("graft-stream-out").toString
+    val ckpt = graft.Scratch.dir("graft-stream-ckpt").toString
     val q =
       if (mode == "append")
         df.writeStream.format("parquet").option("path", out)
@@ -179,7 +179,7 @@ object StreamingOps {
   private val doubledCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def doubledDir(sfDir: String): String =
     doubledCache.getOrElseUpdate(sfDir, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-events-doubled")
+      val dir = graft.Scratch.dir("graft-events-doubled")
       Seq("events.parquet", "events_redelivered.parquet").foreach { n =>
         java.nio.file.Files.createSymbolicLink(
           dir.resolve(n), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
@@ -192,7 +192,7 @@ object StreamingOps {
   private val linkCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def streamableDir(sfDir: String): String =
     linkCache.getOrElseUpdate(sfDir, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+      val dir = graft.Scratch.dir("graft-events-stream")
       java.nio.file.Files.createSymbolicLink(
         dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
       dir.toString

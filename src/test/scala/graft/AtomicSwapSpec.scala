@@ -18,7 +18,7 @@ class AtomicSwapSpec extends AnyFunSuite {
   }
 
   test("recover restores the trash snapshot when live is missing") {
-    val root = Files.createTempDirectory("graft-swap").toString
+    val root = graft.Scratch.dir("graft-swap").toString
     mkDir(root, "t.swap_old", "old-data")
     AtomicSwap.recover(s"$root/t")
     assert(Files.readString(Paths.get(root, "t", "data.txt")) === "old-data")
@@ -26,7 +26,7 @@ class AtomicSwapSpec extends AnyFunSuite {
   }
 
   test("recover drops stale trash when live exists") {
-    val root = Files.createTempDirectory("graft-swap").toString
+    val root = graft.Scratch.dir("graft-swap").toString
     mkDir(root, "t", "live-data")
     mkDir(root, "t.swap_old", "stale")
     AtomicSwap.recover(s"$root/t")
@@ -35,7 +35,7 @@ class AtomicSwapSpec extends AnyFunSuite {
   }
 
   test("replace swaps tmp into live and cleans up") {
-    val root = Files.createTempDirectory("graft-swap").toString
+    val root = graft.Scratch.dir("graft-swap").toString
     mkDir(root, "t", "before")
     mkDir(root, "t.new", "after")
     AtomicSwap.replace(s"$root/t", s"$root/t.new")
@@ -45,7 +45,7 @@ class AtomicSwapSpec extends AnyFunSuite {
   }
 
   test("replaceVersioned archives the displaced snapshot; versions list and retention work") {
-    val root = Files.createTempDirectory("graft-swap").toString
+    val root = graft.Scratch.dir("graft-swap").toString
     mkDir(root, "t", "gen0")
     mkDir(root, "t.n1", "gen1")
     mkDir(root, "t.n2", "gen2")
@@ -66,7 +66,7 @@ class AtomicSwapSpec extends AnyFunSuite {
   }
 
   test("writer lock: a second writer fails cleanly while the first holds the span") {
-    val root = Files.createTempDirectory("graft-swap").toString
+    val root = graft.Scratch.dir("graft-swap").toString
     mkDir(root, "t", "gen0")
     val tmpA = mkDir(root, "t.a", "writer-a")
     val tmpB = mkDir(root, "t.b", "writer-b")
@@ -96,7 +96,7 @@ class AtomicSwapSpec extends AnyFunSuite {
   }
 
   test("racing versioned swaps: every survivor state is a complete single version") {
-    val root = Files.createTempDirectory("graft-swap").toString
+    val root = graft.Scratch.dir("graft-swap").toString
     mkDir(root, "t", "gen0")
     val losses = new java.util.concurrent.atomic.AtomicInteger(0)
     val others = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -121,7 +121,7 @@ class AtomicSwapSpec extends AnyFunSuite {
   }
 
   test("breakLock clears a crashed writer's orphan lock; recover leaves locks alone") {
-    val root = Files.createTempDirectory("graft-swap").toString
+    val root = graft.Scratch.dir("graft-swap").toString
     mkDir(root, "t", "gen0")
     val tmp = mkDir(root, "t.new", "gen1")
     Files.createFile(Paths.get(s"$root/t.swap_lock")) // simulated crash leftovers
@@ -136,7 +136,7 @@ class AtomicSwapSpec extends AnyFunSuite {
   }
 
   test("versioned swap on first write (no prior live) archives nothing") {
-    val root = Files.createTempDirectory("graft-swap").toString
+    val root = graft.Scratch.dir("graft-swap").toString
     mkDir(root, "t.n0", "gen0")
     assert(AtomicSwap.replaceVersioned(s"$root/t", s"$root/t.n0") === None)
     assert(Files.readString(Paths.get(root, "t", "data.txt")) === "gen0")
@@ -153,7 +153,7 @@ class AtomicSwapSpec extends AnyFunSuite {
 class AtomicSwapReaderSpec extends AnyFunSuite with SparkTestBase {
 
   test("pre-swap reader: all-old rows or clean failure, never a mixed read") {
-    val root = Files.createTempDirectory("graft-swap-rd").toString
+    val root = graft.Scratch.dir("graft-swap-rd").toString
     val live = s"$root/t"
     // generation 0: marker value 1 in several files
     spark.range(0, 1000).selectExpr("id", "1 AS gen")
@@ -177,7 +177,7 @@ class AtomicSwapReaderSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("versioned reader is untouched by a later rewrite") {
-    val root = Files.createTempDirectory("graft-swap-rd").toString
+    val root = graft.Scratch.dir("graft-swap-rd").toString
     val live = s"$root/t"
     spark.range(0, 100).selectExpr("id", "1 AS gen").write.parquet(live)
     spark.range(0, 100).selectExpr("id", "2 AS gen").write.parquet(s"$root/t.new")

@@ -145,7 +145,7 @@ class BloomDedupSpec extends AnyFunSuite with SparkTestBase {
       .toDF("doc_id", "text").repartition(2)
     // through parquet, not a LocalRelation — the optimizer folds filters
     // over local data at plan time, which would hide the probe
-    val dir = java.nio.file.Files.createTempDirectory("bloom-bcast").toString
+    val dir = graft.Scratch.dir("graft-bloom-bcast").toString
     ((5000 until 5200).map(i => (i.toLong, s"new body $i")) ++
       (0 until 60).map(i => (9000L + i, s"hist body $i"))).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(dir)
@@ -252,7 +252,7 @@ class BloomDedupSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val store = java.nio.file.Files.createTempDirectory("bloom-ingest").toString
+    val store = graft.Scratch.dir("graft-bloom-ingest").toString
     // seed the corpus so batch 1 already dedups against something
     Seq((1L, "seed alpha"), (2L, "seed beta")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(store)

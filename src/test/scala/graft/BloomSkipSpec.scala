@@ -18,7 +18,7 @@ import graft.sources.TxLog
 class BloomSkipSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-bloom").toString + "/t"
+    graft.Scratch.dir("graft-bloom").toString + "/t"
 
   /** 4 round-robin files: file j holds ids ≡ j (mod 4), so every
     * file's id range spans [j, 4n+j] — range pruning is useless. */

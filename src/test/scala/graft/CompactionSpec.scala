@@ -8,7 +8,7 @@ import graft.operators.Compaction
 class CompactionSpec extends AnyFunSuite with SparkTestBase {
 
   test("compact merges a fragmented sink without changing its contents") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val dir = graft.Scratch.dir("graft-compact").toString + "/t"
     // fragment: 32 tiny files (a streaming-append shape)
     val df = Td.load(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity")
@@ -33,7 +33,7 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("compacting an empty or absent table directory is a no-op, not an error") {
-    val empty = java.nio.file.Files.createTempDirectory("graft-compact-empty").toString
+    val empty = graft.Scratch.dir("graft-compact-empty").toString
     assert(Compaction.compact(spark, empty) === ((0, 0)))
     assert(Compaction.compact(spark, empty + "/never_written") === ((0, 0)))
   }

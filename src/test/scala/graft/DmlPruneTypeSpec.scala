@@ -23,7 +23,7 @@ import graft.sources.TxLog
 class DmlPruneTypeSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-dmlprune").toString + "/t"
+    graft.Scratch.dir("graft-dmlprune").toString + "/t"
 
   private def corrupt(dir: String, rel: String): Unit =
     Files.write(Paths.get(dir, rel), "not parquet".getBytes): Unit
@@ -267,7 +267,7 @@ class DmlPruneTypeSpec extends AnyFunSuite with SparkTestBase {
 
   test("INSERT OVERWRITE ... PARTITION works on a timestamp partition column") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-tscat").toString
+    val root = graft.Scratch.dir("graft-tscat").toString
     val cat = "tsc" + java.lang.Integer.toHexString(root.hashCode).takeRight(6)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

@@ -39,7 +39,7 @@ class HarnessContractSpec extends AnyFunSuite with SparkTestBase {
 
   test("events.ts canonicalizes to TIMESTAMP with correct values for all known parquet encodings") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ts-contract")
+    val tmp = graft.Scratch.dir("graft-ts-contract")
 
     // (a) legacy TIMESTAMP(NANOS): Spark cannot WRITE nanos parquet, but
     // under nanosAsLong the reader surfaces it as a raw LONG column — so a

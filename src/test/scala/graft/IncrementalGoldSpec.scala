@@ -56,7 +56,7 @@ class IncrementalGoldSpec extends AnyFunSuite with SparkTestBase {
   }
 
   private def freshStateDir(): String =
-    java.nio.file.Files.createTempDirectory("graft-incr-gold").toString + "/state"
+    graft.Scratch.dir("graft-incr-gold").toString + "/state"
 
   test("incremental ≡ full after every batch; untouched day partitions stay byte-identical") {
     val (silver0, b1, b2, days, cut0, cut1) = fixtures()
@@ -159,7 +159,7 @@ class IncrementalGoldSpec extends AnyFunSuite with SparkTestBase {
     // state-derived gold equals the full recompute to the bit
     val (silver0, _, _, _, _, _) = fixtures()
     val silver = silver0.cache()
-    val root = java.nio.file.Files.createTempDirectory("graft-stream-gold").toString
+    val root = graft.Scratch.dir("graft-stream-gold").toString
     silver.repartition(4).write.parquet(s"$root/silver")
     val stateDir = s"$root/state"
 

@@ -17,7 +17,7 @@ class JsonLinesSpec extends AnyFunSuite with SparkTestBase {
     StructField("score", DoubleType)))
 
   test("valid, sparse, and broken lines all land; accounting is a filter") {
-    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val dir = graft.Scratch.dir("graft-jsonl").toString
     Files.writeString(Paths.get(dir, "a.jsonl"),
       """{"id": 1, "text": "hello", "score": 0.5}
         |{"id": 2, "text": "sparse"}

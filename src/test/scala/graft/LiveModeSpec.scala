@@ -14,7 +14,7 @@ import graft.pipeline.{DiabetesPipeline, RunContext}
 class LiveModeSpec extends AnyFunSuite with SparkTestBase {
 
   test("full DAG with RunContext.live: counts, non-null clocks, well-formed uuid") {
-    val work = Files.createTempDirectory("graft-live").toString
+    val work = graft.Scratch.dir("graft-live").toString
     val res = DiabetesPipeline.run(
       spark, DiabetesPipeline.defaultDataDir, work, RunContext.live)
 
@@ -37,7 +37,7 @@ class LiveModeSpec extends AnyFunSuite with SparkTestBase {
     // refresh log: pipeline_run_id (uuid()) must be a well-formed v4 uuid, fresh per run.
     val id1 = res("dashboard_refresh_log").select("pipeline_run_id").head().getString(0)
     assert(id1.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}"), id1)
-    val work2 = Files.createTempDirectory("graft-live2").toString
+    val work2 = graft.Scratch.dir("graft-live2").toString
     val res2 = DiabetesPipeline.run(
       spark, DiabetesPipeline.defaultDataDir, work2, RunContext.live)
     val id2 = res2("dashboard_refresh_log").select("pipeline_run_id").head().getString(0)

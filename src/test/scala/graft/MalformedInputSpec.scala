@@ -13,7 +13,7 @@ import graft.pipeline.{DiabetesPipeline, RunContext}
 class MalformedInputSpec extends AnyFunSuite with SparkTestBase {
 
   test("corrupt rows become NULLs, survive silver, and surface in metrics") {
-    val raw = Files.createTempDirectory("graft-malformed")
+    val raw = graft.Scratch.dir("graft-malformed")
     Files.copy(Paths.get(s"${DiabetesPipeline.defaultDataDir}/diabetes_part_1.csv"),
       raw.resolve("diabetes_part_1.csv"), StandardCopyOption.REPLACE_EXISTING)
     Files.writeString(raw.resolve("bad.csv"),

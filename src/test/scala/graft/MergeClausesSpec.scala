@@ -19,7 +19,7 @@ import graft.sources.TxLog.{WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatched
 class MergeClausesSpec extends AnyFunSuite with SparkTestBase {
 
   private def fresh(name: String): String =
-    Files.createTempDirectory(s"graft-$name").toString + "/t"
+    graft.Scratch.dir(s"graft-$name").toString + "/t"
 
   /** (id, v, amount) × 10: id 0..9, v = "v<id>", amount = id * 10. */
   private def seed(dir: String): Unit = {
@@ -220,7 +220,7 @@ class MergeClausesSpec extends AnyFunSuite with SparkTestBase {
 
   test("SQL MERGE INTO with conditional clauses routes through mergeClauses") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-sqlclauses").toString
+    val root = graft.Scratch.dir("graft-sqlclauses").toString
     val cat = "mc" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -244,7 +244,7 @@ class MergeClausesSpec extends AnyFunSuite with SparkTestBase {
 
   test("SQL conditional UPDATE with partial SET and both-side expressions") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-sqlpartial").toString
+    val root = graft.Scratch.dir("graft-sqlpartial").toString
     val cat = "mp" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -401,7 +401,7 @@ class MergeClausesSpec extends AnyFunSuite with SparkTestBase {
 
   test("SQL MERGE with NOT MATCHED BY SOURCE routes and mirrors") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-sqlbysrc").toString
+    val root = graft.Scratch.dir("graft-sqlbysrc").toString
     val cat = "mb" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -515,7 +515,7 @@ class MergeClausesSpec extends AnyFunSuite with SparkTestBase {
 
   test("SQL MERGE with a composite ON routes through mergeClauses") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-sqlcomposite").toString
+    val root = graft.Scratch.dir("graft-sqlcomposite").toString
     val cat = "ck" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

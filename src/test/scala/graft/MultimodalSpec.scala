@@ -126,7 +126,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   test("metadata-only plans prune the binary payload at the parquet scan") {
     import org.apache.spark.sql.functions.col
     val real = Td.load(spark, "/root/testdata/sf0.001", "documents")
-    val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
+    val dir = graft.Scratch.dir("graft-mm").toString
     MultimodalOps.packDocuments(real).write.mode("overwrite").parquet(dir)
     val qe = spark.read.parquet(dir)
       .select(col("doc_id"), col("meta.n_bytes"))

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions.col
 class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
 
   test("partitionBy sink + filter → partition pruning in the plan") {
-    val dir = Files.createTempDirectory("graft-part").toString
+    val dir = graft.Scratch.dir("graft-part").toString
     val li = Td.load(spark, "/root/testdata/sf0.001", "lineitem")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
 

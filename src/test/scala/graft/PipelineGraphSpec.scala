@@ -34,7 +34,7 @@ class PipelineGraphSpec extends AnyFunSuite with SparkTestBase {
 
   test("drop expectation filters rows AND records the violation count") {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft-graph").toString
+    val work = graft.Scratch.dir("graft-graph").toString
     val defs = Seq(TableDef("t", Nil,
       expectations = Seq(Expectation.drop("positive", "x > 0")),
       build = _ => Seq(-2, -1, 1, 2, 3).toDF("x")))
@@ -46,7 +46,7 @@ class PipelineGraphSpec extends AnyFunSuite with SparkTestBase {
 
   test("warn expectation keeps rows but records the violation count") {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft-graph").toString
+    val work = graft.Scratch.dir("graft-graph").toString
     val defs = Seq(TableDef("t", Nil,
       expectations = Seq(Expectation.warn("positive", "x > 0")),
       build = _ => Seq(-2, -1, 1, 2, 3).toDF("x")))
@@ -58,7 +58,7 @@ class PipelineGraphSpec extends AnyFunSuite with SparkTestBase {
 
   test("an expectation named 'rows' does not collide with the row-count metric") {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft-graph").toString
+    val work = graft.Scratch.dir("graft-graph").toString
     val defs = Seq(TableDef("t", Nil,
       expectations = Seq(Expectation.warn("rows", "x > 0")),
       build = _ => Seq(-1, 1, 2).toDF("x")))
@@ -69,7 +69,7 @@ class PipelineGraphSpec extends AnyFunSuite with SparkTestBase {
 
   test("duplicate expectation names on one table are rejected") {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft-graph").toString
+    val work = graft.Scratch.dir("graft-graph").toString
     val defs = Seq(TableDef("t", Nil,
       expectations = Seq(Expectation.warn("p", "x > 0"), Expectation.drop("p", "x < 10")),
       build = _ => Seq(1).toDF("x")))
@@ -80,7 +80,7 @@ class PipelineGraphSpec extends AnyFunSuite with SparkTestBase {
 
   test("a failing node names itself and its dependents never run") {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft-graph").toString
+    val work = graft.Scratch.dir("graft-graph").toString
     val ran = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val defs = Seq(
       node("bronze")(_ => { ran.add("bronze"); Seq(1).toDF("x") }),
@@ -93,7 +93,7 @@ class PipelineGraphSpec extends AnyFunSuite with SparkTestBase {
 
   test("tables are materialized (parquet sink) and views are not") {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft-graph").toString
+    val work = graft.Scratch.dir("graft-graph").toString
     val defs = Seq(
       node("t")(_ => Seq(1, 2).toDF("x")),
       TableDef("v", Seq("t"), isView = true, build = r => r("t").select(col("x") * 2 as "y")))

@@ -125,7 +125,7 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
 
   test("DV reads: clean tables scan join-free; DV tables broadcast the position list") {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-dvplan").toString
+    val root = graft.Scratch.dir("graft-dvplan").toString
     val dir = s"$root/t"
     graft.sources.TxLog.append(spark, dir,
       (0 until 5000).map(i => (i.toLong, s"v$i")).toDF("id", "s").repartition(1))
@@ -334,7 +334,7 @@ class PlanProofSpec extends AnyFunSuite with SparkTestBase {
   test("partitioned staging is ONE exchange; readPartition scans join- and exchange-free") {
     import spark.implicits._
     import graft.sources.TxLog
-    val dir = java.nio.file.Files.createTempDirectory("graft-planpart").toString + "/t"
+    val dir = graft.Scratch.dir("graft-planpart").toString + "/t"
     val d = (0 until 300).map(i => (i.toLong, s"v$i", s"g${i % 3}"))
       .toDF("id", "s", "grp")
     TxLog.appendPartitioned(spark, dir, d, Seq("grp"))

@@ -14,14 +14,14 @@ class ScaledPipelineSpec extends AnyFunSuite with SparkTestBase {
 
   test("100x corpus: counts scale linearly, ratios and medians unchanged") {
     val src = Paths.get(DiabetesPipeline.defaultDataDir)
-    val raw = Files.createTempDirectory("graft-scaled-raw")
+    val raw = graft.Scratch.dir("graft-scaled-raw")
     (1 to 6).foreach { n =>
       val body = Files.readString(src.resolve(s"diabetes_part_$n.csv"))
       val (header, rows) = body.splitAt(body.indexOf('\n') + 1)
       Files.writeString(raw.resolve(s"diabetes_part_$n.csv"),
         header + (rows * 100))
     }
-    val work = Files.createTempDirectory("graft-scaled-work").toString
+    val work = graft.Scratch.dir("graft-scaled-work").toString
     val rc = RunContext.golden
     val defs = DiabetesPipeline.tableDefs(spark, rc,
       _ => DiabetesPipeline.bronzeBatch(spark, raw.toString, rc))

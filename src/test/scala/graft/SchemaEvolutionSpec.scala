@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
 
   test("mergeSchema unions file vintages; explicit schema pins the read") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    val dir = graft.Scratch.dir("graft-evo").toString
     val docs = Td.load(spark, "/root/testdata/sf0.001", "documents")
     // v1 files: two columns; v2 files add quality
     docs.where("doc_id % 2 = 0").select("doc_id", "text")

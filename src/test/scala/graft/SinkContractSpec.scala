@@ -20,7 +20,7 @@ import graft.pipeline._
 class SinkContractSpec extends AnyFunSuite with SparkTestBase {
 
   test("running the diabetes DAG twice into one workDir leaves gold identical") {
-    val work = Files.createTempDirectory("graft-idem").toString
+    val work = graft.Scratch.dir("graft-idem").toString
     val rc = RunContext.golden
     val first = DiabetesPipeline.run(spark, DiabetesPipeline.defaultDataDir, work, rc)
     val snap = Seq("diabetes_demographics_summary", "diabetes_risk_analysis",
@@ -34,7 +34,7 @@ class SinkContractSpec extends AnyFunSuite with SparkTestBase {
 
   test("partitionBy sink: re-run of a subset of days replaces only those partitions") {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft-part").toString
+    val work = graft.Scratch.dir("graft-part").toString
 
     def dayDefs(rows: Seq[(String, String, Long)]) = Seq(TableDef("daily", Nil,
       partitionBy = Seq("day"),
@@ -59,7 +59,7 @@ class SinkContractSpec extends AnyFunSuite with SparkTestBase {
 
   test("events pipeline day-partitioned silver: incremental day refresh contract") {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft-events-part").toString
+    val work = graft.Scratch.dir("graft-events-part").toString
     val rc = RunContext.golden
     val all = Td.load(spark, "/root/testdata/sf0.001", "events")
 

@@ -11,13 +11,13 @@ import graft.streaming.{StreamMetrics, StreamingBronze}
 class StreamMetricsSpec extends AnyFunSuite with SparkTestBase {
 
   test("listener records AvailableNow batches with correct input rows") {
-    val raw = Files.createTempDirectory("graft-met-raw")
+    val raw = graft.Scratch.dir("graft-met-raw")
     val src = Paths.get(DiabetesPipeline.defaultDataDir)
     (1 to 6).foreach { n =>
       Files.copy(src.resolve(s"diabetes_part_$n.csv"),
         raw.resolve(s"diabetes_part_$n.csv"), StandardCopyOption.REPLACE_EXISTING)
     }
-    val work = Files.createTempDirectory("graft-met-work").toString
+    val work = graft.Scratch.dir("graft-met-work").toString
     val metrics = new StreamMetrics()
     spark.streams.addListener(metrics)
     try {
@@ -37,13 +37,13 @@ class StreamMetricsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("maxFilesPerTrigger: AvailableNow backfill processes bounded multi-batches, same result") {
-    val raw = Files.createTempDirectory("graft-rate-raw")
+    val raw = graft.Scratch.dir("graft-rate-raw")
     val src = Paths.get(DiabetesPipeline.defaultDataDir)
     (1 to 6).foreach { n =>
       Files.copy(src.resolve(s"diabetes_part_$n.csv"),
         raw.resolve(s"diabetes_part_$n.csv"), StandardCopyOption.REPLACE_EXISTING)
     }
-    val work = Files.createTempDirectory("graft-rate-work").toString
+    val work = graft.Scratch.dir("graft-rate-work").toString
     val metrics = new StreamMetrics()
     spark.streams.addListener(metrics)
     try {

@@ -14,7 +14,7 @@ class StreamWindowAppendSpec extends AnyFunSuite with SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
 
   test("append-mode emission equals the batch aggregation on closed windows") {
-    val root = java.nio.file.Files.createTempDirectory("graft-swa").toString
+    val root = graft.Scratch.dir("graft-swa").toString
     val out = StreamingOps.windowedEventCountsAppend(
       spark, sf, s"$root/out", s"$root/ckpt")
 

@@ -17,8 +17,8 @@ class StreamingBronzeSpec extends AnyFunSuite with SparkTestBase {
       raw.resolve(s"diabetes_part_$n.csv"), StandardCopyOption.REPLACE_EXISTING)
 
   test("incremental two-batch ingest: exactly-once, equals one-batch gold") {
-    val raw = Files.createTempDirectory("graft-stream-raw")
-    val work = Files.createTempDirectory("graft-stream-work").toString
+    val raw = graft.Scratch.dir("graft-stream-raw")
+    val work = graft.Scratch.dir("graft-stream-work").toString
     val rc = RunContext.golden
     val sink = s"$work/_stream/bronze"
     val ckpt = s"$work/_stream/checkpoint"
@@ -69,9 +69,9 @@ class StreamingBronzeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("manifest mode: a new LEDGER row, not a directory scan, drives the next batch") {
-    val data = Files.createTempDirectory("graft-manifest-data")
-    val manifest = Files.createTempDirectory("graft-manifest-ledger")
-    val work = Files.createTempDirectory("graft-manifest-work").toString
+    val data = graft.Scratch.dir("graft-manifest-data")
+    val manifest = graft.Scratch.dir("graft-manifest-ledger")
+    val work = graft.Scratch.dir("graft-manifest-work").toString
     val sink = s"$work/sink"
     val ckpt = s"$work/ckpt"
     (1 to 3).foreach(copyShard(data, _))

@@ -46,7 +46,7 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
     // cross-batch, by nearDupHits against the growing store
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val store = java.nio.file.Files.createTempDirectory("fuzzy-ingest").toString
+    val store = graft.Scratch.dir("graft-fuzzy-ingest").toString
     Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text").write.mode("overwrite").parquet(store)
     val source = MemoryStream[(Long, String)]

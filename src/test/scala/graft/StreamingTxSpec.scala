@@ -27,7 +27,7 @@ class StreamingTxSpec extends AnyFunSuite with SparkTestBase {
     df.select("id").collect().map(_.getLong(0)).toSet
 
   test("incremental passes: each batch is a table version; no re-ingest on rerun") {
-    val root = Files.createTempDirectory("graft-stx").toString
+    val root = graft.Scratch.dir("graft-stx").toString
     val (raw, table, ckpt) = (s"$root/raw", s"$root/t", s"$root/ckpt")
 
     drop(raw, "a.csv", 0 until 5)
@@ -49,7 +49,7 @@ class StreamingTxSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("checkpoint loss with the same appId cannot duplicate rows (txn guard)") {
-    val root = Files.createTempDirectory("graft-stx2").toString
+    val root = graft.Scratch.dir("graft-stx2").toString
     val (raw, table) = (s"$root/raw", s"$root/t")
     drop(raw, "a.csv", 0 until 6)
     StreamingTx.ingest(spark, raw, table, s"$root/ckpt1", schema, appId = "app")
@@ -76,7 +76,7 @@ class StreamingTxSpec extends AnyFunSuite with SparkTestBase {
     df.select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
   test("CDC upsert: latest-wins per key across batches, in-batch dups collapsed, replay skipped") {
-    val root = Files.createTempDirectory("graft-stx3").toString
+    val root = graft.Scratch.dir("graft-stx3").toString
     val (raw, table, ckpt) = (s"$root/raw", s"$root/t", s"$root/ckpt")
 
     // batch 0: key 2 appears TWICE in one batch (seq 1 then 3) — the

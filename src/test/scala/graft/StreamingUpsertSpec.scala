@@ -14,7 +14,7 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestBase {
 
   test("newest version per key wins; replay is a no-op; stream drives merges") {
     import spark.implicits._
-    val table = Files.createTempDirectory("graft-upsert").toString + "/t"
+    val table = graft.Scratch.dir("graft-upsert").toString + "/t"
 
     // batch 1: keys 1..3 at v1 (with an in-batch duplicate of key 2 — v2 wins)
     val b1 = Seq((1L, 1L, "a1"), (2L, 1L, "b1"), (2L, 2L, "b2"), (3L, 1L, "c1"))
@@ -53,9 +53,9 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(table).count() === 5) // 4 recovered keys + key 6
 
     // end-to-end through the real stream engine: file source → upsert sink
-    val raw = Files.createTempDirectory("graft-upsert-raw")
+    val raw = graft.Scratch.dir("graft-upsert-raw")
     Files.writeString(raw.resolve("u1.csv"), "k,v,payload\n1,9,a9\n5,1,e1\n")
-    val streamTable = Files.createTempDirectory("graft-upsert2").toString + "/t"
+    val streamTable = graft.Scratch.dir("graft-upsert2").toString + "/t"
     // seed with the batch-2 state so the stream updates an existing table
     spark.read.parquet(table).write.parquet(streamTable)
     val src = spark.readStream
@@ -63,7 +63,7 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestBase {
       .schema("k LONG, v LONG, payload STRING")
       .load(raw.toString)
     val out = StreamingUpsert.run(spark, src, streamTable,
-      Files.createTempDirectory("graft-upsert-ckpt").toString, "k", "v")
+      graft.Scratch.dir("graft-upsert-ckpt").toString, "k", "v")
     val s3 = out.orderBy("k")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(s3.toSeq === Seq((1L, 9L, "a9"), (2L, 3L, "b3"), (3L, 1L, "c1"),

@@ -14,7 +14,7 @@ import graft.sources.TxLog
 class TxAnalyzeManifestSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-analyze").toString + "/t"
+    graft.Scratch.dir("graft-analyze").toString + "/t"
 
   private def banded(dir: String, props: Map[String, String] = Map.empty): Unit = {
     import spark.implicits._

@@ -13,7 +13,7 @@ import graft.sources.{TxCatalog, TxLog}
 class TxCatalogSpec extends AnyFunSuite with SparkTestBase {
 
   private def freshCatalog(): (String, String) = {
-    val root = java.nio.file.Files.createTempDirectory("graft-txcat").toString
+    val root = graft.Scratch.dir("graft-txcat").toString
     val cat = "txc" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

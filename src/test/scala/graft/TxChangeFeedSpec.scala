@@ -15,7 +15,7 @@ import graft.sources.TxLog
 class TxChangeFeedSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-txcdf").toString + "/t"
+    graft.Scratch.dir("graft-txcdf").toString + "/t"
 
   private def df(ids: Range) = {
     import spark.implicits._
@@ -99,7 +99,7 @@ class TxChangeFeedSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("streaming change feed delivers deletions incrementally across restarts") {
-    val root = Files.createTempDirectory("graft-txcdfs").toString
+    val root = graft.Scratch.dir("graft-txcdfs").toString
     val (dir, ckpt) = (s"$root/t", s"$root/ckpt")
     def runOnce(): Seq[(Long, String, Long)] = {
       val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]

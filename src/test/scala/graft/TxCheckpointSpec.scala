@@ -20,7 +20,7 @@ import graft.sources.TxLog
 class TxCheckpointSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-txckpt").toString + "/t"
+    graft.Scratch.dir("graft-txckpt").toString + "/t"
 
   private def df(i: Int) = {
     import spark.implicits._

@@ -14,7 +14,7 @@ import graft.sources.TxLog
 class TxCloneSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-txclone").toString
+    graft.Scratch.dir("graft-txclone").toString
 
   private def df(ids: Range) = {
     import spark.implicits._

@@ -15,7 +15,7 @@ import graft.sources.TxLog
 class TxCollationSpec extends AnyFunSuite with SparkTestBase {
 
   test("collated column: equality honors the collation; no stats recorded") {
-    val root = Files.createTempDirectory("graft-collate").toString
+    val root = graft.Scratch.dir("graft-collate").toString
     val cat = "col" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -41,7 +41,7 @@ class TxCollationSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("collated partition column is refused (pv equality is byte-wise)") {
-    val root = Files.createTempDirectory("graft-collate2").toString
+    val root = graft.Scratch.dir("graft-collate2").toString
     val cat = "co2" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

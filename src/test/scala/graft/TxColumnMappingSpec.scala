@@ -16,7 +16,7 @@ import graft.sources.{TxCatalog, TxLog}
 class TxColumnMappingSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-txcm").toString + "/t"
+    graft.Scratch.dir("graft-txcm").toString + "/t"
 
   private def df(ids: Range) = {
     import spark.implicits._
@@ -135,7 +135,7 @@ class TxColumnMappingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("SQL catalog reads a mapped table under logical names (incl. time travel)") {
-    val root = Files.createTempDirectory("graft-txcmsql").toString
+    val root = graft.Scratch.dir("graft-txcmsql").toString
     val cat = "txm" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -174,7 +174,7 @@ class TxColumnMappingSpec extends AnyFunSuite with SparkTestBase {
           .foreach(r => got.synchronized { got += ((r.getLong(0), r.getInt(1))) }): Unit
       }
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-txcm-ck").toString)
+        graft.Scratch.dir("graft-txcm-ck").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
     assert(got.toSet === Set((0L, 0), (1L, 10), (2L, 20), (10L, 100), (11L, 110)))

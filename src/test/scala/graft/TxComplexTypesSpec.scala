@@ -15,7 +15,7 @@ import graft.sources.TxLog
 class TxComplexTypesSpec extends AnyFunSuite with SparkTestBase {
 
   test("array/map/struct columns survive append, DML, OPTIMIZE, time travel") {
-    val root = Files.createTempDirectory("graft-complex").toString
+    val root = graft.Scratch.dir("graft-complex").toString
     val cat = "cpx" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

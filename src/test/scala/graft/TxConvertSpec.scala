@@ -19,7 +19,7 @@ class TxConvertSpec extends AnyFunSuite with SparkTestBase {
 
   test("convert adopts a plain parquet dir zero-copy; table is fully functional") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft-convert").toString + "/t"
+    val dir = graft.Scratch.dir("graft-convert").toString + "/t"
     (0 until 200).map(i => (i.toLong, s"v$i", i % 4))
       .toDF("id", "s", "grp").repartition(3)
       .write.parquet(dir)
@@ -49,7 +49,7 @@ class TxConvertSpec extends AnyFunSuite with SparkTestBase {
 
   test("convert picks up nested subdirectories and refuses empty/already-converted dirs") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-convert2").toString
+    val root = graft.Scratch.dir("graft-convert2").toString
     val dir = s"$root/t"
     (0 until 30).map(i => (i.toLong, i % 3)).toDF("id", "p")
       .write.partitionBy("p").parquet(dir)

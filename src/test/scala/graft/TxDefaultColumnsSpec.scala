@@ -18,7 +18,7 @@ import graft.sources.TxLog
 class TxDefaultColumnsSpec extends AnyFunSuite with SparkTestBase {
 
   private def freshCat(): (String, String) = {
-    val root = Files.createTempDirectory("graft-defcols").toString
+    val root = graft.Scratch.dir("graft-defcols").toString
     val cat = "dfl" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

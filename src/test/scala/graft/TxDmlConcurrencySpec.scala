@@ -17,7 +17,7 @@ import graft.sources.TxLog
 class TxDmlConcurrencySpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-txconc").toString + "/t"
+    graft.Scratch.dir("graft-txconc").toString + "/t"
 
   private def df(ids: Range, grpMod: Int = 3) = {
     import spark.implicits._

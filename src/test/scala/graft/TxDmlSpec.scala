@@ -14,7 +14,7 @@ import graft.sources.TxLog
 class TxDmlSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-txdml").toString + "/t"
+    graft.Scratch.dir("graft-txdml").toString + "/t"
 
   private def df(ids: Range) = {
     import spark.implicits._

@@ -23,7 +23,7 @@ class TxDvModelSpec extends AnyFunSuite with SparkTestBase {
 
   test("random DML walk with DV toggling matches the reference model") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft-txdvmodel").toString + "/t"
+    val dir = graft.Scratch.dir("graft-txdvmodel").toString + "/t"
     val rnd = new scala.util.Random(42)
     var model = Map.empty[Long, Row]
     var nextId = 0L

@@ -20,7 +20,7 @@ import graft.sources.TxLog
 class TxDvSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-txdv").toString + "/t"
+    graft.Scratch.dir("graft-txdv").toString + "/t"
 
   private def df(ids: Range) = {
     import spark.implicits._
@@ -199,7 +199,7 @@ class TxDvSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("SQL catalog serves DV tables through the fallback scan; SQL DELETE writes a DV") {
-    val root = Files.createTempDirectory("graft-txdv-cat").toString
+    val root = graft.Scratch.dir("graft-txdv-cat").toString
     spark.conf.set("spark.sql.catalog.dvcat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set("spark.sql.catalog.dvcat.root", root)
     try {
@@ -387,7 +387,7 @@ class TxDvSpec extends AnyFunSuite with SparkTestBase {
 class TxDvPrunedScanSpec extends AnyFunSuite with SparkTestBase {
 
   test("SQL scan over a DV table prunes files and keeps DV semantics") {
-    val root = Files.createTempDirectory("graft-dvprune").toString
+    val root = graft.Scratch.dir("graft-dvprune").toString
     val cat = "dvp" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

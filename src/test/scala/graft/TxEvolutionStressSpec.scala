@@ -15,7 +15,7 @@ import graft.SparkTestBase
 class TxEvolutionStressSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-evostress").toString + "/t"
+    graft.Scratch.dir("graft-evostress").toString + "/t"
 
   private def df(ids: Range) = {
     import spark.implicits._

@@ -16,7 +16,7 @@ import graft.sources.TxLog
 class TxGeneratedSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("graft-gen").toString + "/t"
+    graft.Scratch.dir("graft-gen").toString + "/t"
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
@@ -236,7 +236,7 @@ class TxGeneratedSpec extends AnyFunSuite with SparkTestBase {
 
   /** Registers a throwaway TxCatalog rooted in a temp dir. */
   private def withSqlCatalog(f: String => Unit): Unit = {
-    val root = java.nio.file.Files.createTempDirectory("graft-gencat").toString
+    val root = graft.Scratch.dir("graft-gencat").toString
     val name = "gencat"
     spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.TxCatalog")
     spark.conf.set(s"spark.sql.catalog.$name.root", root)

@@ -14,7 +14,7 @@ import graft.sources.TxLog
 class TxIdentitySpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("graft-ident").toString + "/t"
+    graft.Scratch.dir("graft-ident").toString + "/t"
 
   private def mkTable(dir: String, start: Long = 1L, step: Long = 1L): Unit = {
     TxLog.create(dir, StructType(Seq(

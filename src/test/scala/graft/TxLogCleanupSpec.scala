@@ -15,7 +15,7 @@ import graft.sources.TxLog
 class TxLogCleanupSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-txclean").toString + "/t"
+    graft.Scratch.dir("graft-txclean").toString + "/t"
 
   private def df(ids: Range) = {
     import spark.implicits._
@@ -110,7 +110,7 @@ class TxLogCleanupSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("CALL cleanup_log from SQL") {
-    val root = Files.createTempDirectory("graft-txclean-call").toString
+    val root = graft.Scratch.dir("graft-txclean-call").toString
     val cat = "clg" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

@@ -16,7 +16,7 @@ import graft.sources.TxLog
   * streamed rows like any writer. */
 class TxLogSinkSpec extends AnyFunSuite with SparkTestBase {
 
-  private def tmp(): String = Files.createTempDirectory("graft-txsink").toString
+  private def tmp(): String = graft.Scratch.dir("graft-txsink").toString
 
   test("append mode: exactly-once across restarts, one commit per batch") {
     import spark.implicits._

@@ -17,7 +17,7 @@ import graft.sources.TxLog
 class TxLogSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-txlog").toString + "/t"
+    graft.Scratch.dir("graft-txlog").toString + "/t"
 
   private def df(ids: Range) = {
     import spark.implicits._

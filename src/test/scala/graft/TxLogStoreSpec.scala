@@ -25,7 +25,7 @@ class TxLogStoreSpec extends AnyFunSuite with SparkTestBase {
   }
 
   private def stress(store: LogStore, label: String): Unit = withStore(store) {
-    val dir = Files.createTempDirectory(s"graft-store-$label").toString + "/t"
+    val dir = graft.Scratch.dir(s"graft-store-$label").toString + "/t"
     val nWriters = 6
     val perWriter = 4
     val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
@@ -77,7 +77,7 @@ class TxLogStoreSpec extends AnyFunSuite with SparkTestBase {
   test("the DML rebase race runs identically over the conditional-put store") {
     withStore(ConditionalPutLogStore) {
       import spark.implicits._
-      val dir = Files.createTempDirectory("graft-store-race").toString + "/t"
+      val dir = graft.Scratch.dir("graft-store-race").toString + "/t"
       (0 until 3).foreach(g => TxLog.append(spark, dir,
         (g * 100 until g * 100 + 50).map(i => (i.toLong, s"v$i")).toDF("id", "s")
           .repartition(1)))
@@ -113,7 +113,7 @@ class TxLogStoreSpec extends AnyFunSuite with SparkTestBase {
 
   test("DML, checkpoints, and time travel work unchanged over the conditional-put store") {
     withStore(ConditionalPutLogStore) {
-      val dir = Files.createTempDirectory("graft-store-dml").toString + "/t"
+      val dir = graft.Scratch.dir("graft-store-dml").toString + "/t"
       // 12 commits cross the checkpoint interval (10)
       (0 until 12).foreach(i => TxLog.append(spark, dir, df(i * 5 until i * 5 + 5)))
       assert(Files.exists(

@@ -35,7 +35,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("streams committed rows; restart resumes at the last version; compaction delivers nothing") {
-    val root = Files.createTempDirectory("graft-txstream").toString
+    val root = graft.Scratch.dir("graft-txstream").toString
     val (table, ckpt) = (s"$root/t", s"$root/ckpt")
     TxLog.append(spark, table, df(0 until 5).coalesce(1))
     TxLog.append(spark, table, df(5 until 8).coalesce(1))
@@ -56,7 +56,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("maxVersionsPerTrigger streams a backlog as bounded batches, nothing lost") {
-    val root = Files.createTempDirectory("graft-txstream3").toString
+    val root = graft.Scratch.dir("graft-txstream3").toString
     val table = s"$root/t"
     (0 until 5).foreach(i => TxLog.append(spark, table, df(i * 2 until i * 2 + 2)))
     val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -81,7 +81,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("a fresh checkpoint replays the whole log exactly once") {
-    val root = Files.createTempDirectory("graft-txstream2").toString
+    val root = graft.Scratch.dir("graft-txstream2").toString
     val table = s"$root/t"
     TxLog.append(spark, table, df(0 until 4))
     TxLog.overwrite(spark, table, df(10 until 13))
@@ -114,7 +114,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("startingVersion skips earlier versions on a fresh checkpoint") {
-    val root = Files.createTempDirectory("graft-txsv").toString
+    val root = graft.Scratch.dir("graft-txsv").toString
     val table = s"$root/t"
     TxLog.append(spark, table, df(0 until 3))  // v0
     TxLog.append(spark, table, df(3 until 6))  // v1
@@ -128,7 +128,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("startingVersion composes with readChangeFeed: the feed starts mid-log") {
-    val root = Files.createTempDirectory("graft-txsvcdf").toString
+    val root = graft.Scratch.dir("graft-txsvcdf").toString
     val table = s"$root/t"
     TxLog.append(spark, table, df(0 until 4))  // v0
     TxLog.setProperties(table, Map(TxLog.Cdf.Enabled -> "true")) // v1
@@ -155,7 +155,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("startingVersion=latest delivers only post-start commits") {
-    val root = Files.createTempDirectory("graft-txsl").toString
+    val root = graft.Scratch.dir("graft-txsl").toString
     val table = s"$root/t"
     TxLog.append(spark, table, df(0 until 5)) // v0: pre-existing backlog
     assert(runOnceOpts(table, s"$root/c1", Map("startingVersion" -> "latest")) ===
@@ -167,7 +167,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("startingTimestamp delivers versions committed at or after it") {
-    val root = Files.createTempDirectory("graft-txst").toString
+    val root = graft.Scratch.dir("graft-txst").toString
     val table = s"$root/t"
     TxLog.append(spark, table, df(0 until 3)) // v0
     Thread.sleep(20)
@@ -182,7 +182,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("start options are mutually exclusive and validated") {
-    val root = Files.createTempDirectory("graft-txsx").toString
+    val root = graft.Scratch.dir("graft-txsx").toString
     val table = s"$root/t"
     TxLog.append(spark, table, df(0 until 2))
     intercept[Exception] {
@@ -195,7 +195,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("mid-stream schema widening fails the batch; a restarted query adopts it") {
-    val root = Files.createTempDirectory("graft-txse").toString
+    val root = graft.Scratch.dir("graft-txse").toString
     val table = s"$root/t"
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -218,7 +218,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
 
   test("partitionFilter: a one-partition consumer never opens foreign files") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-txstream-p").toString
+    val root = graft.Scratch.dir("graft-txstream-p").toString
     val table = s"$root/t"
     val d = (0 until 30).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
     TxLog.appendPartitioned(spark, table, d, Seq("grp"))
@@ -254,7 +254,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("maxFilesPerTrigger drains a many-file commit across bounded batches") {
-    val root = Files.createTempDirectory("graft-txstream-f").toString
+    val root = graft.Scratch.dir("graft-txstream-f").toString
     val table = s"$root/t"
     // ONE commit of 10 files + a second 3-file commit
     TxLog.append(spark, table, df(0 until 100).repartition(10))
@@ -287,7 +287,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("a restart resumes EXACTLY-ONCE from a mid-commit file offset") {
-    val root = Files.createTempDirectory("graft-txstream-r").toString
+    val root = graft.Scratch.dir("graft-txstream-r").toString
     val table = s"$root/t"
     TxLog.append(spark, table, df(0 until 90).repartition(9)) // one 9-file commit
     def onePass(trigger: Trigger): Set[Long] = {
@@ -320,7 +320,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("maxBytesPerTrigger drains a mixed-size commit within byte budget") {
-    val root = Files.createTempDirectory("graft-txstream-b").toString
+    val root = graft.Scratch.dir("graft-txstream-b").toString
     val table = s"$root/t"
     // ONE commit of 8 files with very different sizes (50..400 rows):
     // an 8-partition RDD where partition p fans out (p+1)*50 rows — a
@@ -366,7 +366,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("an oversized file still admits alone; byte budget composes with file cap") {
-    val root = Files.createTempDirectory("graft-txstream-b2").toString
+    val root = graft.Scratch.dir("graft-txstream-b2").toString
     val table = s"$root/t"
     TxLog.append(spark, table, df(0 until 60).repartition(6)) // 6 similar files
     val files0 = TxLog.changedFilesBetween(table, -1L, 0L)
@@ -404,7 +404,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite with SparkTestBase {
 
   test("CDF stream byte admission is version-granular: commits never split") {
     import org.apache.spark.sql.functions._
-    val root = Files.createTempDirectory("graft-txcdfadm").toString
+    val root = graft.Scratch.dir("graft-txcdfadm").toString
     val table = s"$root/t"
     TxLog.append(spark, table, df(0 until 40).coalesce(1))
     TxLog.setProperties(table, Map(TxLog.Cdf.Enabled -> "true"))

@@ -14,7 +14,7 @@ import graft.sources.TxLog
 class TxMetadataCountSpec extends AnyFunSuite with SparkTestBase {
 
   test("count(*) answers from the log; filtered/grouped forms still scan") {
-    val root = Files.createTempDirectory("graft-metacount").toString
+    val root = graft.Scratch.dir("graft-metacount").toString
     val cat = "mct" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -42,7 +42,7 @@ class TxMetadataCountSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("empty table counts zero; count composes with other projections normally") {
-    val root = Files.createTempDirectory("graft-metacount0").toString
+    val root = graft.Scratch.dir("graft-metacount0").toString
     val cat = "mc0" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -66,7 +66,7 @@ class TxMetadataCountSpec extends AnyFunSuite with SparkTestBase {
 class TxPartitionCountSpec extends AnyFunSuite with SparkTestBase {
 
   test("partition-filtered count(*) answers from the log; probes prove zero IO") {
-    val root = Files.createTempDirectory("graft-pcount").toString
+    val root = graft.Scratch.dir("graft-pcount").toString
     val cat = "pct" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -91,7 +91,7 @@ class TxPartitionCountSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("mixed-generation table: partition filters stay residual, rows exact") {
-    val root = Files.createTempDirectory("graft-pcount2").toString
+    val root = graft.Scratch.dir("graft-pcount2").toString
     val cat = "pc2" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

@@ -15,7 +15,7 @@ import graft.SparkTestBase
 class TxPartitionEvolutionSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-txpevo").toString + "/t"
+    graft.Scratch.dir("graft-txpevo").toString + "/t"
 
   private def df(ids: Range) = {
     import spark.implicits._
@@ -180,7 +180,7 @@ class TxPartitionEvolutionSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("CALL set_partitioning from SQL") {
-    val root = Files.createTempDirectory("graft-pevo-sql").toString
+    val root = graft.Scratch.dir("graft-pevo-sql").toString
     val cat = "pev" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

@@ -16,7 +16,7 @@ import graft.sources.TxLog
 class TxPartitionSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-txpart").toString + "/t"
+    graft.Scratch.dir("graft-txpart").toString + "/t"
 
   private def df(ids: Range) = {
     import spark.implicits._
@@ -155,7 +155,7 @@ class TxPartitionSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("SQL: CREATE TABLE PARTITIONED BY + INSERT stages pv-bearing files") {
-    val root = Files.createTempDirectory("graft-txpartsql").toString
+    val root = graft.Scratch.dir("graft-txpartsql").toString
     val cat = "prt" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -253,7 +253,7 @@ class TxPartitionSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("CALL optimize_partition scopes maintenance from SQL") {
-    val root = Files.createTempDirectory("graft-txpart-call").toString
+    val root = graft.Scratch.dir("graft-txpart-call").toString
     val cat = "opp" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -267,7 +267,7 @@ class TxPartitionSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("SQL INSERT OVERWRITE ... PARTITION replaces exactly the named partition") {
-    val root = Files.createTempDirectory("graft-txpart-iow").toString
+    val root = graft.Scratch.dir("graft-txpart-iow").toString
     val cat = "iow" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

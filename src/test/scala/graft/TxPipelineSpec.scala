@@ -42,8 +42,8 @@ class TxPipelineSpec extends AnyFunSuite with SparkTestBase {
 
   test("transactional run ≡ plain run, and expectation metrics survive") {
     val rows = (0 until 40).map(i => (i.toLong, (i % 4).toLong, (i - 2).toLong))
-    val plainDir = Files.createTempDirectory("graft-txp-plain").toString
-    val txDir = Files.createTempDirectory("graft-txp-tx").toString
+    val plainDir = graft.Scratch.dir("graft-txp-plain").toString
+    val txDir = graft.Scratch.dir("graft-txp-tx").toString
     val plain = PipelineGraph.run(spark, defs(src(rows)), plainDir)
     val tx = PipelineGraph.run(spark, defs(src(rows)), txDir, transactionalSinks = true)
     Seq("tx_bronze", "tx_silver", "tx_gold", "tx_daily").foreach { t =>
@@ -59,7 +59,7 @@ class TxPipelineSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("a re-run commits a new version; the previous run stays time-travel readable") {
-    val txDir = Files.createTempDirectory("graft-txp-rerun").toString
+    val txDir = graft.Scratch.dir("graft-txp-rerun").toString
     val rows1 = (0 until 20).map(i => (i.toLong, (i % 2).toLong, (i + 1).toLong))
     val rows2 = (0 until 30).map(i => (i.toLong, (i % 3).toLong, (i + 1).toLong))
     PipelineGraph.run(spark, defs(src(rows1)), txDir, transactionalSinks = true)
@@ -72,7 +72,7 @@ class TxPipelineSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("partitioned node refreshes only its partitions (replaceWhereIn path)") {
-    val txDir = Files.createTempDirectory("graft-txp-part").toString
+    val txDir = graft.Scratch.dir("graft-txp-part").toString
     val rows1 = (0 until 20).map(i => (i.toLong, (i % 4).toLong, (i + 1).toLong))
     PipelineGraph.run(spark, defs(src(rows1)), txDir, transactionalSinks = true)
     val before = TxLog.snapshot(s"$txDir/tx_daily")

@@ -13,7 +13,7 @@ import graft.sources.TxLog
 class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
 
   private def freshCat(): (String, String) = {
-    val root = Files.createTempDirectory("graft-proc").toString
+    val root = graft.Scratch.dir("graft-proc").toString
     val cat = "prc" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

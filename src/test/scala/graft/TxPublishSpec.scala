@@ -19,7 +19,7 @@ class TxPublishSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
   private def root(): String =
-    Files.createTempDirectory("graft-txpub").toString
+    graft.Scratch.dir("graft-txpub").toString
 
   private def table(rootDir: String, name: String, tag: Long, n: Int): Long =
     TxLog.append(spark, s"$rootDir/$name",

@@ -15,7 +15,7 @@ import graft.sources.TxLog
 class TxReplaceCdfSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-replcdf").toString + "/t"
+    graft.Scratch.dir("graft-replcdf").toString + "/t"
 
   private def df(ids: Range) = {
     import spark.implicits._
@@ -92,7 +92,7 @@ class TxRestoreCdfSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("restore emits the row-level diff as delete/insert changes") {
-    val dir = Files.createTempDirectory("graft-restorecdf").toString + "/t"
+    val dir = graft.Scratch.dir("graft-restorecdf").toString + "/t"
     TxLog.append(spark, dir, df(0 until 10))
     TxLog.setProperties(dir, Map(TxLog.Cdf.Enabled -> "true"))
     val vKeep = TxLog.latestVersion(dir)
@@ -108,7 +108,7 @@ class TxRestoreCdfSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("historical restore without change files refuses the feed") {
-    val dir = Files.createTempDirectory("graft-restorecdf2").toString + "/t"
+    val dir = graft.Scratch.dir("graft-restorecdf2").toString + "/t"
     TxLog.append(spark, dir, df(0 until 6))
     val vKeep = TxLog.latestVersion(dir)
     TxLog.append(spark, dir, df(10 until 12))

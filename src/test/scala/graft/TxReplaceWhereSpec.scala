@@ -16,7 +16,7 @@ import graft.sources.TxLog
 class TxReplaceWhereSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-replwhere").toString + "/t"
+    graft.Scratch.dir("graft-replwhere").toString + "/t"
 
   private def df(ids: Range) = {
     import spark.implicits._
@@ -79,7 +79,7 @@ class TxReplaceWhereSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("SQL surface: df.writeTo(cat.t).overwrite(non-equality predicate)") {
-    val root = Files.createTempDirectory("graft-replsql").toString
+    val root = graft.Scratch.dir("graft-replsql").toString
     val cat = "rpw" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

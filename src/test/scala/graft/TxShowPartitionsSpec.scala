@@ -15,7 +15,7 @@ import graft.sources.TxLog
 class TxShowPartitionsSpec extends AnyFunSuite with SparkTestBase {
 
   private def freshCat(): (String, String) = {
-    val root = Files.createTempDirectory("graft-showpart").toString
+    val root = graft.Scratch.dir("graft-showpart").toString
     val cat = "shp" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

@@ -18,7 +18,7 @@ import graft.SparkTestBase
 class TxSpjSpec extends AnyFunSuite with SparkTestBase {
 
   private def freshCat(): (String, String) = {
-    val root = Files.createTempDirectory("graft-spj").toString
+    val root = graft.Scratch.dir("graft-spj").toString
     val cat = "spj" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -126,7 +126,7 @@ class TxSpjSpec extends AnyFunSuite with SparkTestBase {
 class TxSpjMismatchSpec extends AnyFunSuite with SparkTestBase {
 
   test("mismatched partition value sets join correctly under SPJ") {
-    val root = Files.createTempDirectory("graft-spjmm").toString
+    val root = graft.Scratch.dir("graft-spjmm").toString
     val cat = "smm" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

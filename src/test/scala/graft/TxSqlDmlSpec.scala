@@ -14,7 +14,7 @@ import graft.sources.TxLog
 class TxSqlDmlSpec extends AnyFunSuite with SparkTestBase {
 
   private def freshCat(): (String, String) = {
-    val root = Files.createTempDirectory("graft-sqldml").toString
+    val root = graft.Scratch.dir("graft-sqldml").toString
     val cat = "dml" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

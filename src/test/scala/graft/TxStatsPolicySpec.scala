@@ -13,7 +13,7 @@ import graft.sources.TxLog
 class TxStatsPolicySpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("graft-stats").toString + "/t"
+    graft.Scratch.dir("graft-stats").toString + "/t"
 
   test("long string stats truncate: min is a prefix, max rounds up, queries stay exact") {
     import spark.implicits._

@@ -16,7 +16,7 @@ import graft.sources.TxLog
 class TxSubqueryDmlSpec extends AnyFunSuite with SparkTestBase {
 
   private def freshCat(): (String, String) = {
-    val root = Files.createTempDirectory("graft-subqdml").toString
+    val root = graft.Scratch.dir("graft-subqdml").toString
     val cat = "sqd" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -120,7 +120,7 @@ class TxSubqueryDmlSpec extends AnyFunSuite with SparkTestBase {
 class TxSubqueryDmlCdfSpec extends AnyFunSuite with SparkTestBase {
 
   test("subquery DELETE emits its rows on the change feed") {
-    val root = Files.createTempDirectory("graft-subqcdf").toString
+    val root = graft.Scratch.dir("graft-subqcdf").toString
     val cat = "sqc" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)

@@ -18,7 +18,7 @@ class TxTruncateSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("SQL TRUNCATE: metadata-only, time travel intact") {
-    val root = Files.createTempDirectory("graft-trunc").toString
+    val root = graft.Scratch.dir("graft-trunc").toString
     val cat = "trc" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -45,7 +45,7 @@ class TxTruncateSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("CDF table: truncate falls back to row-materializing delete") {
-    val root = Files.createTempDirectory("graft-trunc-cdf").toString
+    val root = graft.Scratch.dir("graft-trunc-cdf").toString
     val cat = "trd" + java.lang.Integer.toHexString(root.hashCode).takeRight(7)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
