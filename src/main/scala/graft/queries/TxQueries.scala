@@ -2601,6 +2601,66 @@ object TxQueries2 {
                 (SELECT count(*) FROM events
                  WHERE event_type IN ('view', 'error')) AS n_view_error,
                 CAST(1 AS INT) AS click_log_fact,
-                CAST(1 AS INT) AS in_log_fact"""))
+                CAST(1 AS INT) AS in_log_fact""")),
+
+    // q208: the DISTRIBUTED METADATA PLANE — a table whose replay base
+    // is a SHARDED checkpoint plans SQL reads as a Spark job over the
+    // shard lines (TxLog.planScanMeta), collecting only survivors.
+    // Pinned into the hash: the filtered rows themselves, the metadata
+    // count from the distributed fold, files_planned = 1 of 18 for a
+    // one-band predicate (stats pruning ran ON THE EXECUTORS), and —
+    // the scale proof — that the whole SQL round trip never
+    // materialized the snapshot's AddFile list on the driver, the one
+    // remaining O(table-file-count) cold-plan cost a 100-TB table
+    // cannot afford.
+    QuerySpec("q208_distributed_plan", { (s, dir) =>
+      val saved = TxLog.ckptPartMaxFiles
+      TxLog.ckptPartMaxFiles = 16
+      try {
+        val root = graft.Scratch.dir("graft-q208").toString
+        val cat = "dpq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val t = s"$root/ord"
+        val ord = Td.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
+        val maxK = ord.agg(max("o_orderkey")).head().getLong(0)
+        val w = maxK / 18 + 1 // 18 non-empty key bands at every SF
+        TxLog.append(s, t, ord.where(col("o_orderkey") < w).coalesce(1))
+        TxLog.setProperties(t, Map(TxLog.Checkpoints.Interval -> "18"))
+        (1 until 18).foreach { i =>
+          TxLog.append(s, t, ord.where(
+            col("o_orderkey") >= w * i && col("o_orderkey") < w * (i + 1)).coalesce(1))
+        }
+        // the head checkpoint holds 18 single-band files > 16 → sharded
+        require(TxLog.planningMeta(t, None).exists(_.ckptBase.nonEmpty),
+          "q208: expected a sharded replay base")
+        val headV = TxLog.latestVersion(t)
+        TxLog.invalidateSnapshots(t) // a COLD plan, like a fresh driver
+        val q = s.sql(s"SELECT o_orderstatus, count(*) AS n_rows, " +
+          s"CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price " +
+          s"FROM $cat.ord WHERE o_orderkey < $w GROUP BY o_orderstatus")
+        val rows = q.localCheckpoint(true)
+        val nAll = s.sql(s"SELECT count(*) FROM $cat.ord").head().getLong(0)
+        val planned = TxLog.planScan(s, t,
+          Seq(org.apache.spark.sql.sources.LessThan("o_orderkey", w)))
+        rows
+          .withColumn("n_total", lit(nAll))
+          .withColumn("files_planned", lit(planned.size.toLong))
+          .withColumn("files_live", lit(18L))
+          .withColumn("snapshot_materialized",
+            lit(TxLog.snapshotCached(t, headV)))
+          .orderBy("o_orderstatus")
+      } finally TxLog.ckptPartMaxFiles = saved
+    },
+      Some("""WITH w AS (SELECT max(o_orderkey) // 18 + 1 AS w FROM orders)
+              SELECT o_orderstatus, count(*) AS n_rows,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     (SELECT count(*) FROM orders) AS n_total,
+                     CAST(1 AS BIGINT) AS files_planned,
+                     CAST(18 AS BIGINT) AS files_live,
+                     FALSE AS snapshot_materialized
+              FROM orders, w WHERE o_orderkey < w.w
+              GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

@@ -120,23 +120,38 @@ class TxCatalog extends TableCatalog
 
   private def toTable(ident: Identifier, versionAsOf: Option[Long]): Table = {
     val dir = dirOf(ident)
-    val snap =
+    // DISTRIBUTED PLANNING ([[TxLog.planningMeta]]): a table whose
+    // replay base is a SHARDED checkpoint resolves only its METADATA
+    // here (schema/props/partitioning — a manifest plus the few
+    // commits since it) and leaves the live file list on disk; reads
+    // then plan through [[TxLog.planScanMeta]] as a Spark job over the
+    // shard lines, collecting only survivors. The materialized
+    // snapshot below turns LAZY — touched only by the surfaces that
+    // genuinely need the full listing (SHOW PARTITIONS, column-mapped
+    // scans), never by a SELECT.
+    val planMeta: Option[TxLog.SnapshotMeta] = TxLog.planningMeta(dir, versionAsOf)
+    lazy val snap =
       try TxLog.snapshot(dir, versionAsOf)
       catch {
         case _: TxLog.VersionNotFoundException if versionAsOf.isEmpty =>
           throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
       }
-    val paths = snap.files.map(f => java.nio.file.Paths.get(dir, f.path).toString)
+    // the metadata spine every surface below reads schema/props/version
+    // from: meta when planning distributed, the snapshot otherwise
+    // (evaluated eagerly there — missing tables must throw here)
+    val head: TxLog.Snapshot = planMeta.map(_.metaSnap).getOrElse(snap)
     // the parquet scan is pinned to the PHYSICAL schema (what the files
     // store); for column-mapped tables a renaming shim translates the
     // plan's logical names at the scan boundary — row data is positional,
     // so only the planning-time names need translating
-    val physSchema = TxLog.physicalSchema(snap)
-    val l2p = snap.schema.fieldNames.zip(physSchema.fieldNames)
+    val physSchema = TxLog.physicalSchema(head)
+    val l2p = head.schema.fieldNames.zip(physSchema.fieldNames)
       .filter { case (l, p) => l != p }.toMap
     val p2l = l2p.map(_.swap)
-    val scan = ParquetTable(s"$catalogName.${ident.name}@v${snap.version}",
-      SparkSession.active, CaseInsensitiveStringMap.empty(), paths,
+    val tableName = s"$catalogName.${ident.name}@v${head.version}"
+    lazy val scan = ParquetTable(tableName,
+      SparkSession.active, CaseInsensitiveStringMap.empty(),
+      snap.files.map(f => java.nio.file.Paths.get(dir, f.path).toString),
       Some(physSchema), classOf[ParquetFileFormat])
     val writable = versionAsOf.isEmpty // a time-travel relation is read-only
     // delegate scanning to the v2 parquet table but surface the LOG's
@@ -147,7 +162,7 @@ class TxCatalog extends TableCatalog
         with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
       override def txDir: String = dir
       override def txWritable: Boolean = writable
-      override def name(): String = scan.name
+      override def name(): String = tableName
 
       // ---- SHOW PARTITIONS (SupportsPartitionManagement, read side) ----
       // pv is DERIVED from data at write time, so partition existence is
@@ -159,8 +174,8 @@ class TxCatalog extends TableCatalog
       // silently hide partitions that live only in legacy files; OPTIMIZE
       // migrates, then the listing is total.
       private def partFields: Array[StructField] =
-        TxLog.partitionColsOf(snap).toArray.map(c =>
-          snap.schema.fields.find(_.name == c).get)
+        TxLog.partitionColsOf(head).toArray.map(c =>
+          head.schema.fields.find(_.name == c).get)
       override def partitionSchema(): StructType = StructType(partFields)
       override def listPartitionIdentifiers(names: Array[String],
           ident: org.apache.spark.sql.catalyst.InternalRow)
@@ -168,7 +183,7 @@ class TxCatalog extends TableCatalog
         val fields = partFields
         val live = snap.files.filter(_.rows > 0)
         require(live.forall(f => fields.forall(fd => f.pv.contains(fd.name))),
-          s"${scan.name}: SHOW PARTITIONS on a mixed-generation table " +
+          s"$tableName: SHOW PARTITIONS on a mixed-generation table " +
             "(files predating the current partitioning) — OPTIMIZE to migrate")
         // the partial spec (SHOW PARTITIONS t PARTITION(c='v')) arrives
         // typed; compare in pv stats-canon space
@@ -206,26 +221,26 @@ class TxCatalog extends TableCatalog
           ident: org.apache.spark.sql.catalyst.InternalRow,
           props: util.Map[String, String]): Unit =
         throw new UnsupportedOperationException(
-          s"${scan.name}: partitions are derived from written data, not DDL")
+          s"$tableName: partitions are derived from written data, not DDL")
       override def dropPartition(
           ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
         throw new UnsupportedOperationException(
-          s"${scan.name}: drop partitions by writing " +
+          s"$tableName: drop partitions by writing " +
             "(INSERT OVERWRITE … PARTITION / overwritePartitions), not DDL")
       override def replacePartitionMetadata(
           ident: org.apache.spark.sql.catalyst.InternalRow,
           props: util.Map[String, String]): Unit =
         throw new UnsupportedOperationException(
-          s"${scan.name}: partition metadata is log-derived and immutable")
+          s"$tableName: partition metadata is log-derived and immutable")
       // DEFAULTs surface as the column metadata Spark's analyzer reads
       // (CURRENT_DEFAULT / EXISTS_DEFAULT) — the substitution into SQL
       // INSERTs is then Spark's own, not a write-path re-implementation
       override def schema(): StructType = {
-        val defs = TxLog.columnDefaultsOf(snap.props)
-        if (defs.isEmpty) snap.schema
+        val defs = TxLog.columnDefaultsOf(head.props)
+        if (defs.isEmpty) head.schema
         else {
           import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
-          StructType(snap.schema.fields.map { f =>
+          StructType(head.schema.fields.map { f =>
             defs.get(f.name).fold(f) { sql =>
               f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
                 .withMetadata(f.metadata)
@@ -240,10 +255,15 @@ class TxCatalog extends TableCatalog
       // accepts `INSERT OVERWRITE … PARTITION (c = 'v')` and plans it
       // as an overwrite-by-filter this table handles
       override def partitioning(): Array[Transform] =
-        TxLog.partitionColsOf(snap).map(c =>
+        TxLog.partitionColsOf(head).map(c =>
           org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
       override def capabilities(): util.Set[TableCapability] = {
-        val caps = scan.capabilities().asScala.toSet ++
+        // distributed tables skip the eager ParquetTable (it needs the
+        // materialized path list) — a log table reads by batch either way
+        val readCaps: Set[TableCapability] =
+          if (planMeta.isDefined) Set(TableCapability.BATCH_READ)
+          else scan.capabilities().asScala.toSet
+        val caps = readCaps ++
           (if (writable) Set(TableCapability.V1_BATCH_WRITE,
             TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
            else Set.empty[TableCapability])
@@ -260,12 +280,12 @@ class TxCatalog extends TableCatalog
       // SupportsDelete default, which would copy-on-write scan the
       // table to delete everything; CDF tables fall back inside
       override def truncateTable(): Boolean = {
-        require(writable, s"${scan.name}: a time-travel relation is read-only")
+        require(writable, s"$tableName: a time-travel relation is read-only")
         TxLog.truncate(SparkSession.active, dir)
         true
       }
       override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-        require(writable, s"${scan.name}: a time-travel relation is read-only")
+        require(writable, s"$tableName: a time-travel relation is read-only")
         val cond =
           if (filters.isEmpty) "TRUE"
           else filters.map(f => TxCatalog.filterToSql(f).getOrElse(
@@ -281,18 +301,40 @@ class TxCatalog extends TableCatalog
         // scan, and translatable predicates replay into the frame for
         // row-group skipping; only vectorized whole-stage scanning is
         // traded. OPTIMIZE / purgeDeletes restores the full fast path.
-        if (snap.files.exists(_.dv.nonEmpty))
-          new DvFallbackScanBuilder(dir, snap)
-        else if (l2p.isEmpty)
-          // identity-mapped fast path gains FILE SKIPPING: pushed
-          // predicates prune the pinned file list via pv/stats before
-          // the parquet scan is built (SQL partition pruning)
-          new PruningScanBuilder(scan.name, dir, snap, physSchema, options)
-        else new RenamingScanBuilder(scan.newScanBuilder(options), l2p, p2l)
+        planMeta match {
+          case Some(meta) =>
+            // distributed planning: pruning, counting and the live-set
+            // summary all run as Spark jobs over the checkpoint shard
+            // lines; the driver holds only survivors (and the memoized
+            // 5-number summary), never the table's file list
+            val session = SparkSession.active
+            val stats = TxLog.planStatsMeta(session, dir, meta)
+            val survivorsOf = (fs: Seq[org.apache.spark.sql.sources.Filter]) =>
+              TxLog.planScanMeta(session, dir, meta, fs)
+            val countOf = (fs: Seq[org.apache.spark.sql.sources.Filter]) =>
+              TxLog.planCountMeta(session, dir, meta, fs)
+            if (stats._4 > 0) // live DVs → merge-on-read fallback
+              new DvFallbackScanBuilder(dir, head,
+                Some(survivorsOf), Some(countOf), Some(stats._3))
+            else
+              new PruningScanBuilder(tableName, dir, head, physSchema, options,
+                Some(survivorsOf),
+                Some(() => TxLog.partitionColsOf(head).nonEmpty && stats._5 == 0L),
+                Some(countOf))
+          case None =>
+            if (snap.files.exists(_.dv.nonEmpty))
+              new DvFallbackScanBuilder(dir, snap)
+            else if (l2p.isEmpty)
+              // identity-mapped fast path gains FILE SKIPPING: pushed
+              // predicates prune the pinned file list via pv/stats before
+              // the parquet scan is built (SQL partition pruning)
+              new PruningScanBuilder(tableName, dir, snap, physSchema, options)
+            else new RenamingScanBuilder(scan.newScanBuilder(options), l2p, p2l)
+        }
       override def properties(): util.Map[String, String] =
-        snap.props.filter(_._2.nonEmpty).asJava
+        head.props.filter(_._2.nonEmpty).asJava
       override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-        require(writable, s"${scan.name}: a time-travel relation is read-only")
+        require(writable, s"$tableName: a time-travel relation is read-only")
         new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
           // Left(false)=append, Left(true)=full overwrite,
           // Right(eq)=static partition overwrite (INSERT OVERWRITE … PARTITION)
@@ -690,7 +732,10 @@ object TxCatalog {
   * bridge — the one read shape the pinned-file parquet table cannot
   * express. Pinned to the snapshot's version, so concurrent commits
   * and time travel behave identically to the fast path. */
-private class DvFallbackScanBuilder(dir: String, snap: TxLog.Snapshot)
+private class DvFallbackScanBuilder(dir: String, snap: TxLog.Snapshot,
+    survivorsOf: Option[Seq[org.apache.spark.sql.sources.Filter] => Seq[TxLog.AddFile]] = None,
+    countOf: Option[Seq[org.apache.spark.sql.sources.Filter] => Long] = None,
+    sizeOf: Option[Long] = None)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -725,7 +770,9 @@ private class DvFallbackScanBuilder(dir: String, snap: TxLog.Snapshot)
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
     if (metadataCount) {
-      val n = snap.files.map(_.rows).sum
+      // distributed tables fold the live rows as a Spark job instead of
+      // summing a driver-materialized list (countStarOnly => no filters)
+      val n = countOf.fold(snap.files.map(_.rows).sum)(f => f(Nil))
       new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = StructType(Seq(
           StructField("count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
@@ -749,14 +796,18 @@ private class DvFallbackScanBuilder(dir: String, snap: TxLog.Snapshot)
           // log-derived size: without this the V1 relation reports the
           // conf default (huge), and a small DV-bearing dimension table
           // never plans as the broadcast side of a join
-          override def sizeInBytes: Long = snap.files.map(_.bytes).sum
+          override def sizeInBytes: Long =
+            sizeOf.getOrElse(snap.files.map(_.bytes).sum)
           override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
             val spark = context.sparkSession
             // file skipping survives the DV fallback: pushed filters
             // prune the pinned list exactly like the clean scan (stats
             // are PHYSICAL-file bounds, so pruning a DV file stays
-            // conservative — live rows are a subset of physical)
-            val survivors = TxLog.pruneByFilters(snap, filters.toSeq, Some(dir))
+            // conservative — live rows are a subset of physical);
+            // distributed tables prune the shard lines as a Spark job
+            val survivors = survivorsOf
+              .fold(TxLog.pruneByFilters(snap, filters.toSeq, Some(dir)))(
+                f => f(filters.toSeq))
             if (survivors.isEmpty)
               return spark.sparkContext.emptyRDD[org.apache.spark.sql.Row]
             val base = TxLog.scanAdds(spark, dir, snap, survivors)
@@ -783,7 +834,10 @@ private class DvFallbackScanBuilder(dir: String, snap: TxLog.Snapshot)
   * skipping inside the surviving files is kept. */
 private class PruningScanBuilder(tableName: String, dir: String,
     snap: TxLog.Snapshot, physSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    survivorsOf: Option[Seq[org.apache.spark.sql.sources.Filter] => Seq[TxLog.AddFile]] = None,
+    alignedOverride: Option[() => Boolean] = None,
+    countOf: Option[Seq[org.apache.spark.sql.sources.Filter] => Long] = None)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -796,7 +850,8 @@ private class PruningScanBuilder(tableName: String, dir: String,
   private var aggPushed = false
 
   private lazy val survivors: Seq[TxLog.AddFile] =
-    TxLog.pruneByFilters(snap, filters.toSeq, Some(dir))
+    survivorsOf.fold(TxLog.pruneByFilters(snap, filters.toSeq, Some(dir)))(
+      f => f(filters.toSeq))
 
   /** The surviving-files parquet builder, materialized on FIRST demand —
     * the engine pushes filters before aggregates and column pruning
@@ -840,9 +895,10 @@ private class PruningScanBuilder(tableName: String, dir: String,
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
     val parts = TxLog.partitionColsOf(snap)
-    val live = snap.files.filter(_.rows > 0)
-    val aligned = parts.nonEmpty &&
-      live.forall(f => parts.forall(f.pv.contains))
+    val aligned = alignedOverride.map(_()).getOrElse {
+      val live = snap.files.filter(_.rows > 0)
+      parts.nonEmpty && live.forall(f => parts.forall(f.pv.contains))
+    }
     def consumable(f: Filter): Boolean = aligned && (f match {
       case org.apache.spark.sql.sources.EqualTo(c, v) =>
         parts.contains(c) && v != null && TxLog.valueCanon(v).isDefined
@@ -916,7 +972,10 @@ private class PruningScanBuilder(tableName: String, dir: String,
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     if (metadataCount) {
-      val n = survivors.map(_.rows).sum
+      // distributed tables fold the filtered live rows as a Spark job —
+      // sound exactly because metadataCount requires residual-free
+      // (consumed) filters, which are pv-exact at file level
+      val n = countOf.fold(survivors.map(_.rows).sum)(f => f(filters.toSeq))
       return new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = StructType(Seq(
           StructField("count(*)", org.apache.spark.sql.types.LongType, nullable = false)))

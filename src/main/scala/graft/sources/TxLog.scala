@@ -296,7 +296,7 @@ object TxLog {
       .map(c => m.getOrElse(c, c))
   }
 
-  private def bloomPath(dir: String, rel: String, physCol: String) =
+  private[sources] def bloomPath(dir: String, rel: String, physCol: String) =
     Paths.get(dir, "_bloom", s"$rel.$physCol.bloom")
 
   /** IDENTITY COLUMNS (Delta's GENERATED ALWAYS AS IDENTITY): a BIGINT
@@ -1014,6 +1014,12 @@ object TxLog {
           e: java.util.Map.Entry[(String, Long), Snapshot]): Boolean =
         size() > snapCacheMax
     }
+  /** Test seam: whether a (dir, version) snapshot was ever materialized
+    * this process — the observable the distributed-planning spec pins
+    * its bounded-collect proof on. */
+  private[graft] def snapshotCached(dir: String, v: Long): Boolean =
+    snapCache.synchronized(snapCache.containsKey((dir, v)))
+
   private[graft] def invalidateSnapshots(dir: String): Unit =
     snapCache.synchronized {
       val it = snapCache.keySet().iterator()
@@ -1217,6 +1223,259 @@ object TxLog {
       .json((0 until n).map(i =>
         ckptPartFile(dir, version, i, n).toString): _*))
   }
+
+  // ---- distributed metadata plane -----------------------------------------
+
+  /** Planning-grade snapshot resolution: schema, properties, txns and
+    * protocol replayed exactly like [[snapshot]], but the live FILE
+    * LIST is left UN-materialized when the replay base is a SHARDED
+    * checkpoint — the meta records the base (version, nParts) plus the
+    * NET file delta of the commits since it (bounded by the checkpoint
+    * interval, ~10 commits). [[planScan]] then evaluates pruning over
+    * the shard lines as a distributed job and collects only SURVIVORS:
+    * driver memory ∝ query selectivity, never table size — the answer
+    * to the one remaining O(table-file-count) driver cost at 100 TB
+    * (a million-file table's AddFile list with per-column stats maps
+    * is GBs of driver heap; its checkpoint shards are a few hundred MB
+    * of JSONL that 32 executors scan in well under a second). An
+    * inline (or absent) checkpoint means a small table by construction
+    * (sharding starts past [[ckptPartMaxFiles]]): `ckptBase` is None,
+    * the delta fold IS the full list, and callers take the memoized
+    * [[snapshot]] path unchanged. */
+  final case class SnapshotMeta(version: Long, schemaDdl: String,
+      txns: Map[String, Long], props: Map[String, String], protocol: Long,
+      ckptBase: Option[(Long, Int)], deltaAdds: Seq[AddFile],
+      deltaExcludes: Set[String]) {
+    def schema: StructType = StructType.fromDDL(schemaDdl)
+    /** A files-EMPTY Snapshot for the metadata-only helpers (schema,
+      * column map, partition columns, property reads). Never hand it
+      * to a consumer of `.files`. */
+    def metaSnap: Snapshot =
+      Snapshot(version, schemaDdl, Nil, txns, props, protocol)
+  }
+
+  def snapshotMeta(dir: String, versionAsOf: Option[Long] = None): SnapshotMeta = {
+    val (commits, ckpts) = listLog(dir)
+    if (commits.isEmpty)
+      throw new VersionNotFoundException(s"$dir has no committed versions")
+    val latest = commits.max
+    val target = versionAsOf.getOrElse(latest)
+    if (target < 0 || target > latest || !commits.contains(target))
+      throw new VersionNotFoundException(
+        s"version $target not in $dir (latest: $latest)")
+    val fromCkpt = (readLastCheckpoint(dir).filter(_ <= target).toSeq ++
+      ckpts.filter(_ <= target)).maxOption
+    var schemaDdl: Option[String] = None
+    val txns = scala.collection.mutable.Map[String, Long]()
+    val props = scala.collection.mutable.Map[String, String]()
+    var tableProtocol = 1L
+    def checkProtocol(j: JValue): Unit = ((j \ "protocol") match {
+      case JInt(p) => Some(p.toLong)
+      case JLong(p) => Some(p)
+      case _ => None
+    }).foreach { p =>
+      if (p > protocolVersion)
+        throw new UnsupportedProtocolException(
+          s"$dir was written under log protocol $p; this reader supports " +
+            s"up to $protocolVersion — refusing rather than misreading newer actions")
+      tableProtocol = math.max(tableProtocol, p)
+    }
+    def mergeProps(j: JValue): Unit = (j \ "props") match {
+      case JObject(fields) => fields.foreach { case (k, v) => props(k) = jStr(v) }
+      case _ =>
+    }
+    var base: Option[(Long, Int)] = None
+    val adds = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    val removed = scala.collection.mutable.Set[String]()
+    fromCkpt.foreach { cv =>
+      val j = parse(Files.readString(ckptFile(dir, cv)))
+      checkProtocol(j)
+      schemaDdl = Some(jStr(j \ "schema"))
+      val nParts = (j \ "parts") match {
+        case JInt(x) => x.toInt
+        case JLong(x) => x.toInt
+        case _ => 0
+      }
+      // inline file lists are small by construction — fold them into
+      // the delta; sharded lists stay on disk as the distributed base
+      if (nParts == 0) parseAdds(j \ "files").foreach(a => adds(a.path) = a)
+      else base = Some((cv, nParts))
+      (j \ "txns") match {
+        case JObject(fields) => fields.foreach { case (app, b) => txns(app) = jLong(b) }
+        case _ =>
+      }
+      mergeProps(j)
+    }
+    val replayFrom = fromCkpt.map(_ + 1).getOrElse(0L)
+    (replayFrom to target).foreach { v =>
+      val j = parse(Files.readString(versionFile(dir, v)))
+      checkProtocol(j)
+      jStrOpt(j \ "schema").foreach(s => schemaDdl = Some(s))
+      parseAdds(j \ "adds").foreach { a =>
+        adds(a.path) = a; removed -= a.path // a re-add revives the path
+      }
+      (j \ "removes") match {
+        case JArray(rs) => rs.foreach { r =>
+          val p = jStr(r); adds.remove(p); removed += p
+        }
+        case _ =>
+      }
+      (j \ "txn") match {
+        case JObject(_) =>
+          val app = jStr(j \ "txn" \ "app"); val b = jLong(j \ "txn" \ "batch")
+          txns(app) = math.max(txns.getOrElse(app, Long.MinValue), b)
+        case _ =>
+      }
+      mergeProps(j)
+    }
+    SnapshotMeta(target,
+      schemaDdl.getOrElse(sys.error(s"$dir: no schema in log")),
+      txns.toMap, props.toMap, tableProtocol,
+      base, adds.values.toSeq, removed.toSet)
+  }
+
+  /** The file set a read of `dir` must open under `filters`, planned
+    * WITHOUT materializing the live file list on the driver when the
+    * replay base is a sharded checkpoint: [[mkFilePruner]]'s predicate
+    * — the SAME closure [[pruneByFilters]] applies, so the two paths
+    * cannot diverge — runs over the shard lines as a distributed text
+    * dataset, and only the SURVIVING lines are collected and parsed.
+    * Small tables (no sharded base) take the memoized snapshot +
+    * driver prune, result-identical. Survivor order follows shard
+    * order, not log order — a scan set is order-insensitive. */
+  def planScan(spark: SparkSession, dir: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      versionAsOf: Option[Long] = None): Seq[AddFile] =
+    planScanMeta(spark, dir, snapshotMeta(dir, versionAsOf), filters)
+
+  private[sources] def planScanMeta(spark: SparkSession, dir: String,
+      meta: SnapshotMeta,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[AddFile] =
+    meta.ckptBase match {
+      case Some((cv, parts)) =>
+        val keep = mkFilePruner(meta.schema, meta.props, filters, Some(dir))
+        // base lines a later commit superseded: removed paths, plus
+        // re-added paths (whose newer AddFile rides deltaAdds)
+        val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
+        val exclB = spark.sparkContext.broadcast(excl)
+        val paths = (0 until parts).map(i =>
+          ckptPartFile(dir, cv, i, parts).toString)
+        val survivors = spark.read.textFile(paths: _*)
+          .filter { (line: String) =>
+            line.nonEmpty && {
+              val a = parseAdd(parse(line))
+              !exclB.value.contains(a.path) && keep(a)
+            }
+          }
+          .collect().toSeq.map(l => parseAdd(parse(l)))
+        survivors ++ meta.deltaAdds.filter(keep)
+      case None =>
+        pruneByFilters(snapshot(dir, Some(meta.version)), filters, Some(dir))
+    }
+
+  /** Live-set summary — (files, rows, bytes, dvFiles, unalignedLive) —
+    * by the same distributed fold: the inputs a metadata-only
+    * `count(*)`, a broadcast-eligibility `sizeInBytes`, the DV-fallback
+    * decision, and the pv-alignment gate (consumed filters / SPJ / SHOW
+    * PARTITIONS) need, for a table too big to snapshot on the driver.
+    * One job, memoized per (dir, version); `rows` sums LIVE rows (a
+    * DV-bearing AddFile's `rows` is maintained net of its dead
+    * positions); `unalignedLive` counts live files missing the full
+    * partition-value tuple (0 on a non-partitioned table). */
+  private[sources] def planStatsMeta(spark: SparkSession, dir: String,
+      meta: SnapshotMeta): (Long, Long, Long, Long, Long) = {
+    planStatsCache.synchronized(
+      Option(planStatsCache.get((dir, meta.version)))) match {
+      case Some(hit) => return hit
+      case None =>
+    }
+    val parts: Seq[String] = partitionColsOf(meta.metaSnap)
+    def acc(z: (Long, Long, Long, Long, Long), a: AddFile) =
+      (z._1 + 1L, z._2 + a.rows, z._3 + a.bytes,
+        z._4 + (if (a.dv.nonEmpty) 1L else 0L),
+        z._5 + (if (a.rows > 0 && !parts.forall(a.pv.contains)) 1L else 0L))
+    def comb(x: (Long, Long, Long, Long, Long), y: (Long, Long, Long, Long, Long)) =
+      (x._1 + y._1, x._2 + y._2, x._3 + y._3, x._4 + y._4, x._5 + y._5)
+    val zero = (0L, 0L, 0L, 0L, 0L)
+    val delta = meta.deltaAdds.foldLeft(zero)(acc)
+    val out = meta.ckptBase match {
+      case Some((cv, nParts)) =>
+        val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
+        val exclB = spark.sparkContext.broadcast(excl)
+        val paths = (0 until nParts).map(i =>
+          ckptPartFile(dir, cv, i, nParts).toString)
+        val base = spark.read.textFile(paths: _*).rdd
+          .mapPartitions { it =>
+            var z = (0L, 0L, 0L, 0L, 0L)
+            it.foreach { line =>
+              if (line.nonEmpty) {
+                val a = parseAdd(parse(line))
+                if (!exclB.value.contains(a.path)) z = acc(z, a)
+              }
+            }
+            Iterator.single(z)
+          }.fold(zero)(comb)
+        comb(base, delta)
+      case None => delta
+    }
+    planStatsCache.synchronized(planStatsCache.put((dir, meta.version), out))
+    out
+  }
+
+  private val planStatsCache =
+    new java.util.LinkedHashMap[(String, Long), (Long, Long, Long, Long, Long)](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), (Long, Long, Long, Long, Long)]) =
+        size() > 64
+    }
+
+  /** Filtered LIVE row count as a distributed fold — the metadata
+    * `count(*)` answer for a sharded table under pv-consumed filters,
+    * with no survivor collect at all (an unfiltered count of a
+    * million-file table must not pull a million AddFiles to the
+    * driver just to sum a column). Sound under exactly the conditions
+    * the caller's consumed-filter gate establishes: every surviving
+    * file's rows ALL satisfy the filters. */
+  private[sources] def planCountMeta(spark: SparkSession, dir: String,
+      meta: SnapshotMeta,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Long = {
+    val keep = mkFilePruner(meta.schema, meta.props, filters, Some(dir))
+    val delta = meta.deltaAdds.filter(keep).map(_.rows).sum
+    meta.ckptBase match {
+      case Some((cv, nParts)) =>
+        val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
+        val exclB = spark.sparkContext.broadcast(excl)
+        val paths = (0 until nParts).map(i =>
+          ckptPartFile(dir, cv, i, nParts).toString)
+        delta + spark.read.textFile(paths: _*).rdd
+          .mapPartitions { it =>
+            var n = 0L
+            it.foreach { line =>
+              if (line.nonEmpty) {
+                val a = parseAdd(parse(line))
+                if (!exclB.value.contains(a.path) && keep(a)) n += a.rows
+              }
+            }
+            Iterator.single(n)
+          }.fold(0L)(_ + _)
+      case None => delta
+    }
+  }
+
+  /** The SQL catalog's distributed-planning gate: Some(meta) when the
+    * replay base is a SHARDED checkpoint (the >ckptPartMaxFiles live
+    * set that makes driver materialization the bottleneck) and the
+    * table is identity-mapped — column-mapped tables keep the driver
+    * path (their renaming scan builder needs the materialized
+    * listing). None routes the caller to the memoized [[snapshot]]. */
+  private[graft] def planningMeta(dir: String,
+      versionAsOf: Option[Long]): Option[SnapshotMeta] =
+    try {
+      val meta = snapshotMeta(dir, versionAsOf)
+      if (meta.ckptBase.nonEmpty && colMapOf(meta.props).isEmpty) Some(meta)
+      else None
+    } catch { case _: VersionNotFoundException => None }
 
   /** LOG RETENTION (Delta's `delta.logRetentionDuration` surface, by
     * version count): delete commit files BELOW a checkpoint that can
@@ -5355,7 +5614,7 @@ object TxLog {
     x.length - y.length
   }
 
-  private def cmpStats(typ: String, a: String, b: String): Option[Int] =
+  private[sources] def cmpStats(typ: String, a: String, b: String): Option[Int] =
     if (typ == "string" || typ == "date" || typ.startsWith("timestamp"))
       Some(utf8Cmp(a, b))
     else
@@ -5370,7 +5629,15 @@ object TxLog {
     * canon; datetime and decimal values route through a Catalyst Cast
     * under the session timezone. None = no canon known (caller must not
     * prune on it). */
-  private[sources] def valueCanon(v: Any): Option[String] = v match {
+  private[sources] def valueCanon(v: Any): Option[String] =
+    valueCanonTz(v,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+
+  /** [[valueCanon]] under an EXPLICIT session timezone — the form the
+    * distributed pruner ships to executors, where `SQLConf.get` would
+    * silently fall back to defaults and datetime canon could diverge
+    * from what the driver wrote into the stats. */
+  private[sources] def valueCanonTz(v: Any, tz: String): Option[String] = v match {
     case null => None
     case _: String | _: java.lang.Byte | _: java.lang.Short |
          _: java.lang.Integer | _: java.lang.Long | _: java.lang.Boolean |
@@ -5382,8 +5649,7 @@ object TxLog {
       try {
         import org.apache.spark.sql.catalyst.{expressions => ce}
         val lit = ce.Literal(v)
-        Option(ce.Cast(lit, StringType, Some(org.apache.spark.sql.internal
-          .SQLConf.get.sessionLocalTimeZone)).eval()).map(_.toString)
+        Option(ce.Cast(lit, StringType, Some(tz)).eval()).map(_.toString)
       } catch { case _: Exception => None }
     case _ => None
   }
@@ -5578,129 +5844,28 @@ object TxLog {
   private[sources] def pruneByFilters(snap: Snapshot,
       filters: Seq[org.apache.spark.sql.sources.Filter],
       bloomDir: Option[String] = None): Seq[AddFile] = {
+    val keep = mkFilePruner(snap.schema, snap.props, filters, bloomDir)
+    snap.files.filter(keep)
+  }
+
+  /** The file predicate [[pruneByFilters]] applies, built ONCE per call
+    * as a SERIALIZABLE closure — the single pruning implementation,
+    * shared verbatim by the driver path and the distributed planning
+    * path ([[planScan]]) so the two can never diverge (the round-13
+    * lesson: a forked pruning canon is exactly where unsoundness
+    * hides). Every piece of session state (the timezone the datetime
+    * canon renders under) is resolved HERE on the driver; the closure
+    * captures only serializable locals and reaches TxLog statically,
+    * so it ships to executors intact. Bloom sidecars are read through
+    * the filesystem on whichever side evaluates the predicate — the
+    * table directory is shared storage by the engine's deployment
+    * contract. */
+  private[sources] def mkFilePruner(schema: StructType,
+      props: Map[String, String],
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      bloomDir: Option[String]): FilePruner = {
     import org.apache.spark.sql.sources._
-    val m = colMapOf(snap.props)
-    // memoized per distinct literal: the datetime/decimal canon costs a
-    // Catalyst Cast eval, and mayMatch runs once per (file, filter)
-    val canonCache = scala.collection.mutable.HashMap.empty[Any, Option[String]]
-    val canon: Any => Option[String] =
-      v => canonCache.getOrElseUpdate(v, valueCanon(v))
-    // Bloom sidecar probes ([[BloomIndex]]): consulted ONLY after the
-    // pv/stats checks pass, only for equality, and only when the probe
-    // literal re-renders LOSSLESSLY under the column's stats type (the
-    // typed-canon discipline — probing "5" against a double column's
-    // filter, whose bits were set from "5.0", would wrongly prune).
-    // Sidecars are read once per (file, column) per call; a missing or
-    // unreadable sidecar never prunes.
-    val bloomCache = scala.collection.mutable.HashMap.empty[(String, String), Option[Array[Byte]]]
-    val probeCache = scala.collection.mutable.HashMap.empty[(String, String), Option[Long]]
-    def probeHash(typ: String, s: String): Option[Long] =
-      probeCache.getOrElseUpdate((typ, s), {
-        import org.apache.spark.sql.catalyst.{expressions => ce}
-        try {
-          val dt = DataType.fromDDL(typ)
-          val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-          val rendered =
-            if (dt == StringType) Some(s)
-            else {
-              val parsed = ce.Cast(ce.Literal(
-                org.apache.spark.unsafe.types.UTF8String.fromString(s),
-                StringType), dt, tz).eval()
-              if (parsed == null) None
-              else Option(ce.Cast(ce.Literal(parsed, dt), StringType, tz).eval())
-                .map(_.toString).filter(r => cmpStats(typ, r, s).contains(0))
-            }
-          rendered.map(r => ce.XxHash64(Seq(ce.Literal(
-            org.apache.spark.unsafe.types.UTF8String.fromString(r),
-            StringType)), 42L).eval(null).asInstanceOf[Long])
-        } catch { case _: Exception => None }
-      })
-    def bloomMiss(f: AddFile, c: String, s: String): Boolean = bloomDir match {
-      case None => false
-      case Some(d) =>
-        val sidecar = bloomCache.getOrElseUpdate((f.path, c), {
-          val p = bloomPath(d, f.path, c)
-          try { if (Files.exists(p)) Some(Files.readAllBytes(p)) else None }
-          catch { case _: Exception => None }
-        })
-        sidecar.exists { bytes =>
-          f.stats.get(c).map(_.typ).flatMap(probeHash(_, s))
-            .exists(h => !graft.functions.BloomOps.mightContain(bytes, h))
-        }
-    }
-    // pv equality compares under the column's TYPE (stats typ), never
-    // raw strings: a double partition's pv "5.0" must match an int
-    // literal's canon "5" (BigDecimal), while string/date/timestamp pv
-    // stays byte-wise. No typ in sight → conservative string equality.
-    def pvMayMatch(f: AddFile, c: String, pvv: String, s: String): Boolean =
-      f.stats.get(c).map(_.typ) match {
-        case Some(t) => cmpStats(t, pvv, s).map(_ == 0).getOrElse(pvv == s)
-        case None => pvv == s
-      }
-    def mayMatch(f: AddFile, filter: Filter): Boolean = filter match {
-      case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
-      case Or(l, r) => mayMatch(f, l) || mayMatch(f, r)
-      case EqualTo(c0, v) => canon(v).forall { s =>
-        val c = m.getOrElse(c0, c0)
-        f.pv.get(c) match {
-          case Some(pvv) => pvMayMatch(f, c, pvv, s)
-          case None =>
-            val statsPass = f.stats.get(c) match {
-              case Some(cs) => (cs.min, cs.max) match {
-                case (Some(mn), Some(mx)) =>
-                  (cmpStats(cs.typ, mn, s), cmpStats(cs.typ, mx, s)) match {
-                    case (Some(a), Some(b)) => a <= 0 && b >= 0
-                    case _ => true
-                  }
-                case _ => cs.nulls != f.rows
-              }
-              case None => true
-            }
-            statsPass && !bloomMiss(f, c, s)
-        }
-      }
-      case In(c0, vs) =>
-        val ss = vs.toSeq.map(canon)
-        // canon strings re-enter as String values — sound, because the
-        // equality check compares canon strings either way
-        if (ss.exists(_.isEmpty)) true
-        else ss.flatten.exists(s => mayMatch(f, EqualTo(c0, s)))
-      case GreaterThan(c0, v) => bound(f, c0, v, lower = false, strict = true)
-      case GreaterThanOrEqual(c0, v) => bound(f, c0, v, lower = false, strict = false)
-      case LessThan(c0, v) => bound(f, c0, v, lower = true, strict = true)
-      case LessThanOrEqual(c0, v) => bound(f, c0, v, lower = true, strict = false)
-      case IsNull(c0) =>
-        val c = m.getOrElse(c0, c0)
-        f.stats.get(c).forall(_.nulls > 0)
-      case IsNotNull(c0) =>
-        // nulls and rows are PHYSICAL counts only on DV-free files; a
-        // DV file's live subset could be the non-null rows — never prune
-        val c = m.getOrElse(c0, c0)
-        f.dv.nonEmpty ||
-          f.stats.get(c).forall(cs => cs.nulls != f.rows || f.rows == 0)
-      case _ => true // Not / string matchers / unknown: never prune
-    }
-    // survive iff the file's [min,max] can intersect the half-range
-    def bound(f: AddFile, c0: String, v: Any, lower: Boolean, strict: Boolean): Boolean =
-      canon(v) match {
-        case None => true
-        case Some(s) =>
-          val c = m.getOrElse(c0, c0)
-          f.stats.get(c) match {
-            case Some(cs) =>
-              val edge = if (lower) cs.min else cs.max // LessThan prunes on min, GreaterThan on max
-              edge match {
-                case Some(e) => cmpStats(cs.typ, e, s) match {
-                  case Some(cmp) =>
-                    if (lower) (if (strict) cmp < 0 else cmp <= 0)
-                    else (if (strict) cmp > 0 else cmp >= 0)
-                  case None => true
-                }
-                case None => cs.nulls != f.rows
-              }
-            case None => true
-          }
-      }
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
     // GENERATED-COLUMN predicate derivation ([[GeneratedCols]]): each
     // filter on a BASE column adds the transformed filter on its
     // generated column(s), which the pv/stats checks above then consume
@@ -5711,8 +5876,8 @@ object TxLog {
     // bucket (non-monotonic) derives equality/IN only; any underivable
     // literal drops that derivation, never the original filter.
     val genFilters: Seq[Filter] = {
-      val gens = generatedColsOf(snap.props).filter { case (g, _) =>
-        snap.props.get(ConstraintPrefix + GeneratedCols.checkName(g))
+      val gens = generatedColsOf(props).filter { case (g, _) =>
+        props.get(ConstraintPrefix + GeneratedCols.checkName(g))
           .exists(_.nonEmpty)
       }
       if (gens.isEmpty) Nil
@@ -5722,11 +5887,11 @@ object TxLog {
         def mono(spec: GenSpec): Boolean = spec.kind != "bucket"
         def eqD(c: String, v: Any): Option[Filter] =
           conj(byBase.getOrElse(c, Nil).flatMap { case (g, spec) =>
-            deriveGenLit(snap.schema, spec, v).map(EqualTo(g, _): Filter)
+            deriveGenLit(schema, spec, v).map(EqualTo(g, _): Filter)
           })
         def rangeD(c: String, v: Any, lower: Boolean): Option[Filter] =
           conj(byBase.getOrElse(c, Nil).filter(p => mono(p._2)).flatMap {
-            case (g, spec) => deriveGenLit(snap.schema, spec, v).map(t =>
+            case (g, spec) => deriveGenLit(schema, spec, v).map(t =>
               if (lower) GreaterThanOrEqual(g, t): Filter
               else LessThanOrEqual(g, t): Filter)
           })
@@ -5739,7 +5904,7 @@ object TxLog {
           case EqualTo(c, v) => eqD(c, v)
           case In(c, vs) =>
             conj(byBase.getOrElse(c, Nil).flatMap { case (g, spec) =>
-              val ts = vs.toSeq.map(deriveGenLit(snap.schema, spec, _))
+              val ts = vs.toSeq.map(deriveGenLit(schema, spec, _))
               if (ts.isEmpty || ts.exists(_.isEmpty)) None
               else Some(In(g, ts.flatten.toArray[Any]): Filter)
             })
@@ -5752,8 +5917,10 @@ object TxLog {
         filters.flatMap(derive(_).toSeq)
       }
     }
-    (filters ++ genFilters).foldLeft(snap.files)((fs, flt) => fs.filter(mayMatch(_, flt)))
+    val all = filters ++ genFilters
+    new FilePruner(filters ++ genFilters, colMapOf(props), bloomDir, tz)
   }
+
 
   /** Partition-pruned scan: `eq` maps (typically partition) columns to
     * their stats-canon value strings; only files surviving
@@ -5810,4 +5977,146 @@ object TxLog {
       scanFiles(spark, dir, snap, survivors)
         .where(preds.reduce(_ && _))
   }
+}
+
+/** The serializable file-skipping predicate ([[TxLog.mkFilePruner]]):
+  * a self-contained closure over the pushed filters (generated-column
+  * derivations pre-folded on the driver), the logical→physical column
+  * map, the bloom sidecar root, and the DRIVER's session timezone.
+  * Standalone class on purpose — its methods reach TxLog statically,
+  * so shipping an instance to executors serializes only these fields
+  * and the per-instance memo caches, never the TxLog module. */
+private[sources] final class FilePruner(
+    allFilters: Seq[org.apache.spark.sql.sources.Filter],
+    m: Map[String, String],
+    bloomDir: Option[String],
+    tz: String) extends (TxLog.AddFile => Boolean) with Serializable {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+  import java.nio.file.Files
+  import TxLog.AddFile
+
+  override def apply(f: AddFile): Boolean = allFilters.forall(mayMatch(f, _))
+
+    // memoized per distinct literal: the datetime/decimal canon costs a
+    // Catalyst Cast eval, and mayMatch runs once per (file, filter)
+    val canonCache = scala.collection.mutable.HashMap.empty[Any, Option[String]]
+    val canon: Any => Option[String] =
+      v => canonCache.getOrElseUpdate(v, TxLog.valueCanonTz(v, tz))
+    // Bloom sidecar probes ([[BloomIndex]]): consulted ONLY after the
+    // pv/stats checks pass, only for equality, and only when the probe
+    // literal re-renders LOSSLESSLY under the column's stats type (the
+    // typed-canon discipline — probing "5" against a double column's
+    // filter, whose bits were set from "5.0", would wrongly prune).
+    // Sidecars are read once per (file, column) per call; a missing or
+    // unreadable sidecar never prunes.
+    val bloomCache = scala.collection.mutable.HashMap.empty[(String, String), Option[Array[Byte]]]
+    val probeCache = scala.collection.mutable.HashMap.empty[(String, String), Option[Long]]
+    def probeHash(typ: String, s: String): Option[Long] =
+      probeCache.getOrElseUpdate((typ, s), {
+        import org.apache.spark.sql.catalyst.{expressions => ce}
+        try {
+          val dt = DataType.fromDDL(typ)
+          val tzo = Some(tz) // the driver-resolved session timezone
+          val rendered =
+            if (dt == StringType) Some(s)
+            else {
+              val parsed = ce.Cast(ce.Literal(
+                org.apache.spark.unsafe.types.UTF8String.fromString(s),
+                StringType), dt, tzo).eval()
+              if (parsed == null) None
+              else Option(ce.Cast(ce.Literal(parsed, dt), StringType, tzo).eval())
+                .map(_.toString).filter(r => TxLog.cmpStats(typ, r, s).contains(0))
+            }
+          rendered.map(r => ce.XxHash64(Seq(ce.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(r),
+            StringType)), 42L).eval(null).asInstanceOf[Long])
+        } catch { case _: Exception => None }
+      })
+    def bloomMiss(f: AddFile, c: String, s: String): Boolean = bloomDir match {
+      case None => false
+      case Some(d) =>
+        val sidecar = bloomCache.getOrElseUpdate((f.path, c), {
+          val p = TxLog.bloomPath(d, f.path, c)
+          try { if (Files.exists(p)) Some(Files.readAllBytes(p)) else None }
+          catch { case _: Exception => None }
+        })
+        sidecar.exists { bytes =>
+          f.stats.get(c).map(_.typ).flatMap(probeHash(_, s))
+            .exists(h => !graft.functions.BloomOps.mightContain(bytes, h))
+        }
+    }
+    // pv equality compares under the column's TYPE (stats typ), never
+    // raw strings: a double partition's pv "5.0" must match an int
+    // literal's canon "5" (BigDecimal), while string/date/timestamp pv
+    // stays byte-wise. No typ in sight → conservative string equality.
+    def pvMayMatch(f: AddFile, c: String, pvv: String, s: String): Boolean =
+      f.stats.get(c).map(_.typ) match {
+        case Some(t) => TxLog.cmpStats(t, pvv, s).map(_ == 0).getOrElse(pvv == s)
+        case None => pvv == s
+      }
+    def mayMatch(f: AddFile, filter: Filter): Boolean = filter match {
+      case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
+      case Or(l, r) => mayMatch(f, l) || mayMatch(f, r)
+      case EqualTo(c0, v) => canon(v).forall { s =>
+        val c = m.getOrElse(c0, c0)
+        f.pv.get(c) match {
+          case Some(pvv) => pvMayMatch(f, c, pvv, s)
+          case None =>
+            val statsPass = f.stats.get(c) match {
+              case Some(cs) => (cs.min, cs.max) match {
+                case (Some(mn), Some(mx)) =>
+                  (TxLog.cmpStats(cs.typ, mn, s), TxLog.cmpStats(cs.typ, mx, s)) match {
+                    case (Some(a), Some(b)) => a <= 0 && b >= 0
+                    case _ => true
+                  }
+                case _ => cs.nulls != f.rows
+              }
+              case None => true
+            }
+            statsPass && !bloomMiss(f, c, s)
+        }
+      }
+      case In(c0, vs) =>
+        val ss = vs.toSeq.map(canon)
+        // canon strings re-enter as String values — sound, because the
+        // equality check compares canon strings either way
+        if (ss.exists(_.isEmpty)) true
+        else ss.flatten.exists(s => mayMatch(f, EqualTo(c0, s)))
+      case GreaterThan(c0, v) => bound(f, c0, v, lower = false, strict = true)
+      case GreaterThanOrEqual(c0, v) => bound(f, c0, v, lower = false, strict = false)
+      case LessThan(c0, v) => bound(f, c0, v, lower = true, strict = true)
+      case LessThanOrEqual(c0, v) => bound(f, c0, v, lower = true, strict = false)
+      case IsNull(c0) =>
+        val c = m.getOrElse(c0, c0)
+        f.stats.get(c).forall(_.nulls > 0)
+      case IsNotNull(c0) =>
+        // nulls and rows are PHYSICAL counts only on DV-free files; a
+        // DV file's live subset could be the non-null rows — never prune
+        val c = m.getOrElse(c0, c0)
+        f.dv.nonEmpty ||
+          f.stats.get(c).forall(cs => cs.nulls != f.rows || f.rows == 0)
+      case _ => true // Not / string matchers / unknown: never prune
+    }
+    // survive iff the file's [min,max] can intersect the half-range
+    def bound(f: AddFile, c0: String, v: Any, lower: Boolean, strict: Boolean): Boolean =
+      canon(v) match {
+        case None => true
+        case Some(s) =>
+          val c = m.getOrElse(c0, c0)
+          f.stats.get(c) match {
+            case Some(cs) =>
+              val edge = if (lower) cs.min else cs.max // LessThan prunes on min, GreaterThan on max
+              edge match {
+                case Some(e) => TxLog.cmpStats(cs.typ, e, s) match {
+                  case Some(cmp) =>
+                    if (lower) (if (strict) cmp < 0 else cmp <= 0)
+                    else (if (strict) cmp > 0 else cmp >= 0)
+                  case None => true
+                }
+                case None => cs.nulls != f.rows
+              }
+            case None => true
+          }
+      }
 }
