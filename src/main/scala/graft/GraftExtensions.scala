@@ -69,6 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: Expand-free plan for count + single countDistinct
     // (see graft.plans.DistinctAggRewrite).
     ext.injectOptimizerRule(_ => graft.plans.DistinctAggRewrite)
+    // Optimizer rule: vectorized merge-on-read — DV-bearing TxLog reads
+    // keep whole-stage codegen via a row-index mask instead of the V1
+    // anti-join fallback (see graft.plans.DvMaskRewrite).
+    ext.injectOptimizerRule(_ => graft.plans.DvMaskRewrite)
     // Planner strategy: broadcast interval-index range join (tier (c) of
     // the Catalyst ladder — custom LogicalPlan + Strategy + SparkPlan).
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)

@@ -2661,6 +2661,40 @@ object TxQueries2 {
                      CAST(18 AS BIGINT) AS files_live,
                      FALSE AS snapshot_materialized
               FROM orders, w WHERE o_orderkey < w.w
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // q209: VECTORIZED merge-on-read — a SQL read of a DV-bearing table
+    // plans as native parquet scans over the log's file index with a
+    // codegen'd row-index mask (DvMaskRewrite), not the V1 anti-join
+    // bridge. Pinned: the post-delete aggregate (DV semantics exact)
+    // and the plan-shape proof (GraftFileIndex present, fallback node
+    // absent) — the read path a table lives on between a GDPR delete
+    // and its next OPTIMIZE, at any scan width.
+    QuerySpec("q209_dv_vectorized", { (s, dir) =>
+      val root = graft.Scratch.dir("graft-q209").toString
+      val cat = "dvq" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val t = s"$root/ord"
+      val ord = Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
+      TxLog.append(s, t, ord.repartition(4))
+      TxLog.setProperties(t, Map(TxLog.DeletionVectors.Enabled -> "true"))
+      TxLog.delete(s, t, "o_orderkey % 10 = 3")
+      val q = s.sql(s"SELECT o_orderstatus, count(*) AS n_rows, " +
+        s"CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price " +
+        s"FROM $cat.ord WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus")
+      val plan = q.queryExecution.executedPlan.toString
+      val vectorized =
+        if (plan.contains("GraftFileIndex") && !plan.contains("DvFallbackScanBuilder")) 1
+        else 0
+      q.withColumn("vectorized", lit(vectorized)).orderBy("o_orderstatus")
+    },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     CAST(1 AS INT) AS vectorized
+              FROM orders
+              WHERE o_orderkey % 10 <> 3 AND o_orderkey % 2 = 0
               GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

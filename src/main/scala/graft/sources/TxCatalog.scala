@@ -92,6 +92,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 trait TxTable {
   def txDir: String
   def txWritable: Boolean
+  /** VECTORIZED merge-on-read ([[graft.plans.DvMaskRewrite]]): the
+    * whole-stage-codegen read plan for a DV-bearing snapshot — native
+    * parquet relations over a [[GraftFileIndex]] (file skipping kept)
+    * with the dead positions applied as a codegen'd literal-map filter
+    * on `_metadata.row_index`. None when the table carries no DVs, the
+    * dead set exceeds [[TxLog.dvMaskMaxPositions]], or the table plans
+    * distributed (sharded base) — those keep the V1 anti-join, which
+    * is always sound. */
+  def txMaskedScan(): Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None
 }
 
 class TxCatalog extends TableCatalog
@@ -162,6 +171,13 @@ class TxCatalog extends TableCatalog
         with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
       override def txDir: String = dir
       override def txWritable: Boolean = writable
+      override def txMaskedScan()
+          : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+        // distributed-planned (sharded) tables keep the V1 anti-join —
+        // the mask needs the dv descriptors, which live in the file
+        // list this path exists to not materialize
+        if (planMeta.isDefined) None
+        else TxCatalog.dvMaskedPlan(dir, snap, physSchema)
       override def name(): String = tableName
 
       // ---- SHOW PARTITIONS (SupportsPartitionManagement, read side) ----
@@ -650,6 +666,81 @@ class TxCatalog extends TableCatalog
 
 object TxCatalog {
   import org.apache.spark.sql.sources._
+
+  /** The dead-position map a masked DV read inlines — (relative file
+    * path → sorted dead row indexes), collected ONCE per (table,
+    * version) from the snapshot's dv sidecars and memoized (bounded by
+    * [[TxLog.dvMaskMaxPositions]], which the caller checks first). */
+  private val deadMapCache =
+    new java.util.LinkedHashMap[(String, Long), Map[String, Array[Long]]](
+      32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Map[String, Array[Long]]]) =
+        size() > 32
+    }
+  private def deadMapOf(session: SparkSession, dir: String,
+      snap: TxLog.Snapshot): Map[String, Array[Long]] = {
+    deadMapCache.synchronized(
+      Option(deadMapCache.get((dir, snap.version)))) match {
+      case Some(hit) => return hit
+      case None =>
+    }
+    import org.apache.spark.sql.functions._
+    val dirs = snap.files.flatMap(_.dv.map(_.path)).distinct
+    val m = TxLog.dvFrame(session, dir, dirs)
+      .groupBy("__dv_path")
+      .agg(sort_array(collect_list("__dv_idx")).as("idx"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    deadMapCache.synchronized(deadMapCache.put((dir, snap.version), m))
+    m
+  }
+
+  /** VECTORIZED merge-on-read (see [[TxTable.txMaskedScan]]): native
+    * parquet relations over [[GraftFileIndex]] — one for the clean
+    * files, one for the DV-bearing files with dead `(file, row_index)`
+    * positions dropped by a codegen'd literal-map filter — unioned and
+    * renamed to the logical schema. File skipping runs INSIDE each
+    * relation's listFiles, so selective predicates still prune by
+    * pv/stats/bloom, and the whole plan stays in whole-stage codegen
+    * with vectorized parquet batches (the V1 anti-join fallback traded
+    * all of that away until OPTIMIZE/purge). */
+  private[sources] def dvMaskedPlan(dir: String, snap: TxLog.Snapshot,
+      physSchema: StructType)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dvFiles = snap.files.filter(_.dv.nonEmpty)
+    if (dvFiles.isEmpty) return None
+    if (dvFiles.flatMap(_.dv).map(_.dead).sum > TxLog.dvMaskMaxPositions)
+      return None
+    val session = SparkSession.active
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val deadMap = deadMapOf(session, dir, snap)
+    def rel(withDv: Boolean): org.apache.spark.sql.DataFrame = {
+      val sub = (fs: Seq[Filter]) =>
+        TxLog.pruneByFilters(snap, fs, Some(dir)).filter(_.dv.nonEmpty == withDv)
+      val idx = new GraftFileIndex(dir, sub, snap.files.map(_.bytes).sum)
+      val fsRel = HadoopFsRelation(idx, StructType(Nil), physSchema, None,
+        new ParquetFileFormat(), Map.empty[String, String])(session)
+      org.apache.spark.sql.graft.GraftSqlShims.dataFrameOfPlan(session,
+        LogicalRelation(fsRel, isStreaming = false))
+    }
+    def renamed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (physSchema == snap.schema) df
+      else df.toDF(snap.schema.fieldNames.toSeq: _*)
+    val clean = renamed(rel(withDv = false))
+    val masked = {
+      val base = rel(withDv = true)
+        .withColumn("__gfi", col("_metadata.row_index"))
+        .withColumn("__gfp", expr("substring_index(_metadata.file_path, '/', -2)"))
+      val keep = !coalesce(
+        array_contains(element_at(typedLit(deadMap), col("__gfp")), col("__gfi")),
+        lit(false))
+      renamed(base.where(keep).drop("__gfi", "__gfp"))
+    }
+    Some(clean.unionAll(masked).queryExecution.analyzed)
+  }
 
   /** Stats-canon pv string → typed value (what an InternalRow carries
     * for that column). None = the string does not render under the

@@ -710,7 +710,7 @@ object TxLog {
     StructField("__dv_path", StringType, nullable = false),
     StructField("__dv_idx", LongType, nullable = false)))
 
-  private def dvFrame(spark: SparkSession, dir: String, dvDirs: Seq[String]): DataFrame =
+  private[sources] def dvFrame(spark: SparkSession, dir: String, dvDirs: Seq[String]): DataFrame =
     spark.read.schema(DvSchema)
       .parquet(dvDirs.map(s => Paths.get(dir, s).toString): _*)
 
@@ -885,6 +885,15 @@ object TxLog {
     * without staging thousands of files — production code never writes
     * it.) */
   private[graft] var ckptPartMaxFiles = 4096
+
+  /** Vectorized-DV-read budget: the masked SQL scan inlines the dead
+    * positions as a literal map in the plan, so it is taken only while
+    * total dead positions stay under this bound (a table between a
+    * GDPR delete and its next OPTIMIZE/purge — the case the fallback
+    * used to tax). Above it, the V1 merge-on-read anti-join serves the
+    * read (cost ∝ dead rows, no plan-size risk). Var: specs lower it
+    * to pin the crossover. */
+  private[graft] var dvMaskMaxPositions: Long = 1L << 20
 
   private val commitName = """(\d{20})\.json""".r
   private val ckptName = """(\d{20})\.ckpt\.json""".r

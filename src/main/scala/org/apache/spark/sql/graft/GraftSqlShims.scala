@@ -41,4 +41,15 @@ object GraftSqlShims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Catalyst predicate → v1 `Filter`, by Spark's OWN translation
+    * (`DataSourceStrategy.translateFilter`, protected[sql]) — the
+    * [[graft.sources.GraftFileIndex]] turns the plan's data filters
+    * into the log's pruning model with exactly the semantics every
+    * file source uses, instead of a hand-rolled re-implementation
+    * that could drift. */
+  def translateV1Filter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
 }
