@@ -2695,6 +2695,47 @@ object TxQueries2 {
                      CAST(1 AS INT) AS vectorized
               FROM orders
               WHERE o_orderkey % 10 <> 3 AND o_orderkey % 2 = 0
-              GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // q210: TABLE FEATURES (FORMAT.md §5) — capability gating by NAMED
+    // reader features instead of one monotone int. Pinned: a DV commit
+    // surfaces exactly its named feature (not the int's cumulative
+    // over-requirement), the masked read still serves exact rows, and
+    // a log naming a feature this reader lacks is REFUSED by name (the
+    // probe flag) while this table keeps reading — the per-table
+    // granularity the int could never express.
+    QuerySpec("q210_table_features", { (s, dir) =>
+      val root = graft.Scratch.dir("graft-q210").toString
+      val t = s"$root/nat"
+      val nat = Td.load(s, dir, "nation")
+        .select("n_nationkey", "n_name").localCheckpoint(true)
+      TxLog.append(s, t, nat)
+      TxLog.setProperties(t, Map(TxLog.DeletionVectors.Enabled -> "true"))
+      TxLog.delete(s, t, "n_nationkey = 0")
+      val feats = TxLog.snapshot(t).features.toSeq.sorted.mkString(",")
+      // a future engine's table: refusal must NAME the feature
+      val alien = s"$root/alien/t"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(alien, "_txlog"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(alien, "_txlog", f"${0L}%020d.json"),
+        """{"version":0,"op":"create","ts":0,"schema":"id BIGINT",""" +
+          """"adds":[],"removes":[],"features":["rowEncryptionV7"]}""")
+      val refused =
+        try { TxLog.snapshot(alien); 0 }
+        catch {
+          case e: TxLog.UnsupportedProtocolException
+            if e.getMessage.contains("rowEncryptionV7") => 1
+          case _: Throwable => 0
+        }
+      TxLog.read(s, t).agg(
+        count(lit(1)).as("n_live"),
+        sum(col("n_nationkey")).as("sum_key"))
+        .withColumn("features", lit(feats))
+        .withColumn("refused", lit(refused))
+    },
+      Some("""SELECT count(*) AS n_live, CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+                     'deletionVectors' AS features, CAST(1 AS INT) AS refused
+              FROM nation WHERE n_nationkey <> 0"""))
   )
 }

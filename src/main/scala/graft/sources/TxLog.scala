@@ -158,7 +158,7 @@ object TxLog {
     * not with the writing process. */
   final case class Snapshot(version: Long, schemaDdl: String, files: Seq[AddFile],
       txns: Map[String, Long] = Map.empty, props: Map[String, String] = Map.empty,
-      protocol: Long = 1L) {
+      protocol: Long = 1L, features: Set[String] = Set.empty) {
     def rows: Long = files.map(_.rows).sum
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
@@ -845,6 +845,32 @@ object TxLog {
     * feature). */
   val protocolVersion = 4L
 
+  /** TABLE FEATURES (Delta's reader-features list, the successor to
+    * monotone protocol ints): a commit may carry
+    * `"features": ["deletionVectors", …]` — the capabilities a reader
+    * MUST understand to serve this table correctly. The reader refuses
+    * any log naming a feature outside [[supportedFeatures]], BY NAME —
+    * so a future reader supporting deletion vectors but not type
+    * widening can say so, which a single int never could. Back-compat
+    * both ways: legacy int `protocol` N implies the features of
+    * versions 2..N ([[impliedFeatures]]), and feature commits still
+    * stamp the equivalent int so pre-features readers keep their
+    * refusal. FORMAT.md §5. */
+  val supportedFeatures: Set[String] =
+    Set("columnMapping", "deletionVectors", "typeWidening")
+
+  /** The single feature a legacy protocol int names (§5's table). */
+  private[graft] def featureOfProtocol(n: Long): Set[String] = n match {
+    case 2L => Set("columnMapping")
+    case 3L => Set("deletionVectors")
+    case 4L => Set("typeWidening")
+    case _ => Set.empty
+  }
+
+  /** Everything a reader of legacy protocol-int N must understand. */
+  private[graft] def impliedFeatures(n: Long): Set[String] =
+    (2L to n).flatMap(featureOfProtocol).toSet
+
   /** What a NEW table's commit 0 records: the lowest protocol whose
     * features the table actually uses. */
   val baseProtocolVersion = 1L
@@ -1074,16 +1100,37 @@ object TxLog {
       case _ =>
     }
     var tableProtocol = 1L
-    def checkProtocol(j: JValue): Unit = ((j \ "protocol") match {
-      case JInt(p) => Some(p.toLong)
-      case JLong(p) => Some(p)
-      case _ => None // pre-versioning log: protocol 1
-    }).foreach { p =>
-      if (p > protocolVersion)
-        throw new UnsupportedProtocolException(
-          s"$dir was written under log protocol $p; this reader supports " +
-            s"up to $protocolVersion — refusing rather than misreading newer actions")
-      tableProtocol = math.max(tableProtocol, p)
+    val tableFeatures = scala.collection.mutable.Set[String]()
+    def checkProtocol(j: JValue): Unit = {
+      ((j \ "protocol") match {
+        case JInt(p) => Some(p.toLong)
+        case JLong(p) => Some(p)
+        case _ => None // pre-versioning log: protocol 1
+      }).foreach { p =>
+        if (p > protocolVersion)
+          throw new UnsupportedProtocolException(
+            s"$dir was written under log protocol $p; this reader supports " +
+              s"up to $protocolVersion — refusing rather than misreading newer actions")
+        tableProtocol = math.max(tableProtocol, p)
+        // the int's cumulative implication applies only to LEGACY
+        // commits: a commit naming its features is authoritative —
+        // un-over-requiring readers is the point of the list
+        if ((j \ "features") == org.json4s.JNothing)
+          tableFeatures ++= impliedFeatures(p)
+      }
+      // table features (§5): refuse BY NAME anything outside this
+      // reader's capability set — misreading is the one forbidden mode
+      (j \ "features") match {
+        case JArray(fs) => fs.foreach { f =>
+          val name = jStr(f)
+          if (!supportedFeatures.contains(name))
+            throw new UnsupportedProtocolException(
+              s"$dir requires table feature '$name', which this reader " +
+                "does not support — refusing rather than misreading its actions")
+          tableFeatures += name
+        }
+        case _ =>
+      }
     }
     fromCkpt.foreach { cv =>
       val j = parse(Files.readString(ckptFile(dir, cv)))
@@ -1127,7 +1174,8 @@ object TxLog {
       mergeProps(j)
     }
     val snap = Snapshot(target, schemaDdl.getOrElse(sys.error(s"$dir: no schema in log")),
-      live.values.toSeq, txns.toMap, props.toMap, tableProtocol)
+      live.values.toSeq, txns.toMap, props.toMap, tableProtocol,
+      tableFeatures.toSet)
     snapCache.synchronized(snapCache.put((dir, target), snap))
     snap
   }
@@ -1174,9 +1222,12 @@ object TxLog {
     // the TABLE's protocol, not this writer's capability — a
     // checkpoint must never lock protocol-1 readers out of a table
     // that uses no protocol-2 feature
-    val base: JObject = ("version" -> v) ~ ("protocol" -> snap.protocol) ~
+    val base0c: JObject = ("version" -> v) ~ ("protocol" -> snap.protocol) ~
       ("schema" -> snap.schemaDdl) ~ ("txns" -> snap.txns) ~
       ("props" -> snap.props)
+    val base: JObject =
+      if (snap.features.isEmpty) base0c
+      else base0c ~ ("features" -> snap.features.toList.sorted)
     // Small tables inline the file list in the manifest (one read);
     // past ckptPartMaxFiles the list shards into JSONL parts written
     // BEFORE the manifest that names them — a reader that can see the
@@ -1254,13 +1305,13 @@ object TxLog {
   final case class SnapshotMeta(version: Long, schemaDdl: String,
       txns: Map[String, Long], props: Map[String, String], protocol: Long,
       ckptBase: Option[(Long, Int)], deltaAdds: Seq[AddFile],
-      deltaExcludes: Set[String]) {
+      deltaExcludes: Set[String], features: Set[String] = Set.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     /** A files-EMPTY Snapshot for the metadata-only helpers (schema,
       * column map, partition columns, property reads). Never hand it
       * to a consumer of `.files`. */
     def metaSnap: Snapshot =
-      Snapshot(version, schemaDdl, Nil, txns, props, protocol)
+      Snapshot(version, schemaDdl, Nil, txns, props, protocol, features)
   }
 
   def snapshotMeta(dir: String, versionAsOf: Option[Long] = None): SnapshotMeta = {
@@ -1278,16 +1329,35 @@ object TxLog {
     val txns = scala.collection.mutable.Map[String, Long]()
     val props = scala.collection.mutable.Map[String, String]()
     var tableProtocol = 1L
-    def checkProtocol(j: JValue): Unit = ((j \ "protocol") match {
-      case JInt(p) => Some(p.toLong)
-      case JLong(p) => Some(p)
-      case _ => None
-    }).foreach { p =>
-      if (p > protocolVersion)
-        throw new UnsupportedProtocolException(
-          s"$dir was written under log protocol $p; this reader supports " +
-            s"up to $protocolVersion — refusing rather than misreading newer actions")
-      tableProtocol = math.max(tableProtocol, p)
+    val tableFeatures = scala.collection.mutable.Set[String]()
+    def checkProtocol(j: JValue): Unit = {
+      ((j \ "protocol") match {
+        case JInt(p) => Some(p.toLong)
+        case JLong(p) => Some(p)
+        case _ => None
+      }).foreach { p =>
+        if (p > protocolVersion)
+          throw new UnsupportedProtocolException(
+            s"$dir was written under log protocol $p; this reader supports " +
+              s"up to $protocolVersion — refusing rather than misreading newer actions")
+        tableProtocol = math.max(tableProtocol, p)
+        // the int's cumulative implication applies only to LEGACY
+        // commits: a commit naming its features is authoritative —
+        // un-over-requiring readers is the point of the list
+        if ((j \ "features") == org.json4s.JNothing)
+          tableFeatures ++= impliedFeatures(p)
+      }
+      (j \ "features") match {
+        case JArray(fs) => fs.foreach { f =>
+          val name = jStr(f)
+          if (!supportedFeatures.contains(name))
+            throw new UnsupportedProtocolException(
+              s"$dir requires table feature '$name', which this reader " +
+                "does not support — refusing rather than misreading its actions")
+          tableFeatures += name
+        }
+        case _ =>
+      }
     }
     def mergeProps(j: JValue): Unit = (j \ "props") match {
       case JObject(fields) => fields.foreach { case (k, v) => props(k) = jStr(v) }
@@ -1340,7 +1410,7 @@ object TxLog {
     SnapshotMeta(target,
       schemaDdl.getOrElse(sys.error(s"$dir: no schema in log")),
       txns.toMap, props.toMap, tableProtocol,
-      base, adds.values.toSeq, removed.toSet)
+      base, adds.values.toSeq, removed.toSet, tableFeatures.toSet)
   }
 
   /** The file set a read of `dir` must open under `filters`, planned
@@ -1556,10 +1626,17 @@ object TxLog {
         .map { case (k, n) => k -> (JLong(n): JValue) }))
     val base0 = if (cdf.isEmpty) base1 else base1 ~ ("cdf" -> cdf.map(addJson))
     // commit 0 records the protocol the table is written under; a
-    // feature commit (column mapping) stamps the version it requires
+    // feature commit stamps BOTH forms — the named feature (what new
+    // readers check) and the equivalent legacy int (what pre-features
+    // readers refuse on)
+    def stamp(j: JObject, p: Long): JObject = {
+      val withInt = j ~ ("protocol" -> p)
+      val fs = featureOfProtocol(p)
+      if (fs.isEmpty) withInt else withInt ~ ("features" -> fs.toList.sorted)
+    }
     val base =
-      if (v == 0L) base0 ~ ("protocol" -> protocol.getOrElse(baseProtocolVersion))
-      else protocol.fold(base0)(p => base0 ~ ("protocol" -> p))
+      if (v == 0L) stamp(base0, protocol.getOrElse(baseProtocolVersion))
+      else protocol.fold(base0)(stamp(base0, _))
     val withTxn = txn.fold(base) { case (app, b) =>
       base ~ ("txn" -> (("app" -> app) ~ ("batch" -> b)))
     }
