@@ -5087,7 +5087,7 @@ object TxLog {
     * participate — pruning is an optimization, never a correctness
     * dependency (a file excluded by one conjunct of an AND-chain cannot
     * hold a row matching the whole predicate). */
-  private def eqConjuncts(spark: SparkSession, condition: String,
+  private[sources] def eqConjuncts(spark: SparkSession, condition: String,
       schema: StructType): Seq[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.{expressions => ce}
