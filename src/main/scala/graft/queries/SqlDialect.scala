@@ -94,6 +94,12 @@ sealed trait SqlDialect {
   def range1(n: String): String
   def toStr(x: String): String
   def splitSpace(t: String): String
+  /** Array -> rows in a SELECT list (explode/unnest). */
+  def unnest(l: String): String
+  /** CTE materialization hint — breaks exponential inlining of a
+    * CTE chain whose stages reference several predecessors (the DP
+    * trainers). Empty where the engine plans CTE reuse itself. */
+  def ctem: String
   /** n-token window starting at 1-based idx, joined by spaces. */
   def wordSlice(arr: String, idx: String, n: Int): String
   def interSize(a: String, b: String): String
@@ -136,6 +142,8 @@ sealed trait SqlDialect {
 }
 
 object SparkSql extends SqlDialect {
+  def unnest(l: String) = s"explode($l)"
+  def ctem: String = ""
   protected def mkArray1(x: String) = s"array($x)"
   protected def mkArrayOf(items: Seq[String]) = items.mkString("array(", ", ", ")")
   def ifoldn(n: String, init: String, body: String) =
@@ -184,6 +192,8 @@ object SparkSql extends SqlDialect {
 }
 
 object DuckSql extends SqlDialect {
+  def unnest(l: String) = s"unnest($l)"
+  def ctem: String = "MATERIALIZED "
   protected def mkArray1(x: String) = s"[$x]"
   protected def mkArrayOf(items: Seq[String]) = items.mkString("[", ", ", "]")
   def ifoldn(n: String, init: String, body: String) =

@@ -885,6 +885,35 @@ object TextQueries {
         .orderBy("doc_id")
     }, Some(graft.operators.Bpe.encodeSql(DuckSql, "documents", "doc_id", "text", 4))),
 
+    // ---- unigram-LM tokenizer training (SentencePiece path) --------------
+    // The Llama/T5-family trainer beside q117's GPT-family BPE: seed
+    // substring vocabulary, integer-exact hard-Viterbi segmentation
+    // (fewest pieces, then highest counts, then path), usage-count M
+    // step, 3/4 prune schedule — two EM rounds. The oracle replays the
+    // ENTIRE loop (seed → DP stages → prune, ~20 chained CTEs), so the
+    // hash pins cross-engine reproducible EM, not just a final answer.
+    QuerySpec("q211_unigram_train", { (s, dir) =>
+      graft.operators.Unigram.fit(Td.load(s, dir, "documents"), "text",
+        graft.operators.Unigram.UnigramParams(
+          rounds = 2, seedK = 96, maxWordLen = 8, maxPiece = 3), topN = 20)
+    }, Some(graft.operators.Unigram.trainSql(DuckSql, "documents", "text",
+      graft.operators.Unigram.UnigramParams(
+        rounds = 2, seedK = 96, maxWordLen = 8, maxPiece = 3), 20))),
+
+    // The apply side of q211: one EM round, then tokenize the corpus —
+    // per-document word and piece counts, over-length words falling
+    // back to chars (coverage). Train→apply in one engine, re-derived
+    // end-to-end by the oracle.
+    QuerySpec("q212_unigram_encode", { (s, dir) =>
+      graft.operators.Unigram.encode(Td.load(s, dir, "documents"),
+        "doc_id", "text",
+        graft.operators.Unigram.UnigramParams(
+          rounds = 1, seedK = 64, maxWordLen = 8, maxPiece = 3))
+    }, Some(graft.operators.Unigram.encodeSql(DuckSql, "documents",
+      "doc_id", "text",
+      graft.operators.Unigram.UnigramParams(
+        rounds = 1, seedK = 64, maxWordLen = 8, maxPiece = 3)))),
+
     // ---- URL canonicalization + per-domain stats --------------------------
     // CCNet/RefinedWeb pre-text step: derive deterministic crawl-style
     // URLs (scheme/www/port/trailing-slash/tracking-param/fragment
