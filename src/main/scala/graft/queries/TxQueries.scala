@@ -2736,6 +2736,66 @@ object TxQueries2 {
     },
       Some("""SELECT count(*) AS n_live, CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
                      'deletionVectors' AS features, CAST(1 AS INT) AS refused
-              FROM nation WHERE n_nationkey <> 0"""))
+              FROM nation WHERE n_nationkey <> 0""")),
+
+    // q213: ROW TRACKING — stable row ids surviving layout churn and
+    // DML, the row-level-incremental-maintenance handle CDF cannot be
+    // (rewrites are dataChange=false there by design). Pinned: the
+    // backfill id space (1..n exactly — count/min/max/sum are
+    // permutation-invariant, so the oracle needs no assignment order),
+    // zero ids changed across OPTIMIZE and across a CoW UPDATE (pre/
+    // post joins on the natural key), identity continuation for an
+    // append (ids n+1..n+k), and the data aggregates after the update.
+    QuerySpec("q213_row_tracking", { (s, dir) =>
+      val root = graft.Scratch.dir("graft-q213").toString + "/t"
+      val ord = Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").localCheckpoint(true)
+      val base = ord.where("o_orderkey <= 4000")
+      (0 until 4).foreach(b => TxLog.append(s, root,
+        base.where(s"o_orderkey % 4 = $b").coalesce(1)))
+      TxLog.enableRowTracking(s, root)
+      def idsOf = TxLog.read(s, root)
+        .select(col("o_orderkey"), col("_row_id"))
+      val pre = idsOf.localCheckpoint(true)
+      TxLog.optimize(s, root)
+      val postOpt = idsOf.localCheckpoint(true)
+      val chgOpt = pre.as("a").join(postOpt.as("b"), "o_orderkey")
+        .where("a._row_id <> b._row_id").count()
+      TxLog.update(s, root, "o_orderkey % 10 = 1",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+      val postUpd = idsOf.localCheckpoint(true)
+      val chgUpd = postOpt.as("a").join(postUpd.as("b"), "o_orderkey")
+        .where("a._row_id <> b._row_id").count()
+      TxLog.append(s, root,
+        ord.where("o_orderkey > 4000 AND o_orderkey <= 4400"))
+      TxLog.read(s, root).agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("_row_id")).as("n_ids"),
+        min("_row_id").as("min_id"),
+        max("_row_id").as("max_id"),
+        sum("_row_id").as("sum_id"))
+        .withColumn("ids_changed_optimize", lit(chgOpt))
+        .withColumn("ids_changed_update", lit(chgUpd))
+    },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                            WHERE o_orderkey <= 4000),
+                   extra AS (SELECT o_orderkey, o_totalprice FROM orders
+                             WHERE o_orderkey > 4000 AND o_orderkey <= 4400),
+                   allr AS (
+                     SELECT CASE WHEN o_orderkey % 10 = 1
+                                 THEN o_totalprice * 2 ELSE o_totalprice END AS p
+                     FROM base
+                     UNION ALL SELECT o_totalprice AS p FROM extra),
+                   n AS (SELECT count(*) AS total FROM allr)
+              SELECT (SELECT total FROM n) AS n_rows,
+                     CAST(sum(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     (SELECT total FROM n) AS n_ids,
+                     CAST(1 AS BIGINT) AS min_id,
+                     (SELECT total FROM n) AS max_id,
+                     (SELECT total * (total + 1) // 2 FROM n) AS sum_id,
+                     CAST(0 AS BIGINT) AS ids_changed_optimize,
+                     CAST(0 AS BIGINT) AS ids_changed_update
+              FROM allr"""))
   )
 }

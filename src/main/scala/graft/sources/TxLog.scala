@@ -360,6 +360,53 @@ object TxLog {
           })
     }.collect { case (c, Some(sp)) => c -> sp }
 
+  /** ROW TRACKING (Delta's row-id feature, on this engine's identity
+    * machinery): give every row a stable BIGINT id that survives
+    * OPTIMIZE / Z-order / purge rewrites, copy-on-write updates, DV
+    * deletes and MERGE — the handle a downstream consumer needs for
+    * ROW-level incremental maintenance across layout churn. CDF covers
+    * DML; rewrites are dataChange=false by design and invisible there,
+    * which is correct for CDC but blinds row lineage — the id is what
+    * stays addressable through both.
+    *
+    * Enabling on a populated table BACKFILLS: one rewrite pass
+    * materializes ids 1..n into `idCol` (dataChange=false — no logical
+    * row changed, streams stay quiet; existing deletion vectors are
+    * applied and retired by the rewrite, like OPTIMIZE). The column is
+    * then declared GENERATED ALWAYS AS IDENTITY with the high-water
+    * synced past the backfill, so EVERY later insert path — append,
+    * SQL INSERT, streaming sink, MERGE inserts — allocates fresh
+    * unique ids under the commit protocol, ALWAYS semantics refuse
+    * caller-supplied values, and update/merge guards keep the column
+    * un-SET-able. Stability under rewrites costs nothing further:
+    * rewrites rewrite whole rows, ids included. */
+  def enableRowTracking(spark: SparkSession, dir: String,
+      idCol: String = "_row_id"): Long = {
+    val snap0 = snapshot(dir)
+    require(!snap0.schema.fieldNames.contains(idCol),
+      s"enableRowTracking: column $idCol already exists")
+    addColumns(dir, Seq(StructField(idCol, LongType)))
+    val snap = snapshot(dir)
+    if (snap.files.nonEmpty) {
+      // backfill: number every live row exactly once (the scan masks
+      // DVs, so dead rows never get ids), one layout-only commit
+      val src = scanFiles(spark, dir, snap, snap.files)
+      val withIds = spark.createDataFrame(
+        src.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1) :+ (i + 1L))
+        }, snap.schema)
+      val (sub, adds) = stageForTable(spark, dir, snap, withIds)
+      commitRewrite(dir, sub, adds.map(_.copy(dataChange = false)), snap,
+        "rowTrackingBackfill")
+    }
+    setProperties(dir, Map(RowTracking.Column -> idCol))
+    addIdentityColumn(spark, dir, idCol)
+  }
+
+  /** Row-tracking property marker: which column carries the stable
+    * row ids (the identity spec itself rides [[Identity]] keys). */
+  object RowTracking { val Column = "graft.rowTracking.column" }
+
   /** Declare `colName` (an existing BIGINT column) as GENERATED ALWAYS
     * AS IDENTITY. On a non-empty table the high-water SYNCs past the
     * existing values (ALTER … SYNC IDENTITY): existing rows keep what
