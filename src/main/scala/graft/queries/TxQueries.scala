@@ -37,7 +37,10 @@ object TxQueries {
       // Source scanned ONCE for the 3 slice-appends (a real pipeline
       // appending k slices of one frame reads it once too); blocks are
       // released before the format read the query actually returns.
-      val li = Td.load(s, dir, "lineitem").localCheckpoint(true)
+      // a quarter of lineitem: the capability under test is log replay
+      // (bench-weight trim, round 14 — q144 exercises the SQL surface)
+      val li = Td.load(s, dir, "lineitem")
+        .where("l_suppkey % 4 = 0").localCheckpoint(true)
       (0 to 2).foreach { k =>
         TxLog.append(s, root, li.where(pmod(col("l_orderkey"), lit(3)) === k))
       }
@@ -52,7 +55,8 @@ object TxQueries {
       Some("""SELECT l_returnflag, count(*) AS n_rows,
                      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-              FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
+              FROM lineitem
+              WHERE l_suppkey % 4 = 0 AND l_orderkey % 3 IN (0, 1)
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- stats-based file skipping --------------------------------------
@@ -85,8 +89,11 @@ object TxQueries {
     // snapshot must still hold every row of the original table.
     QuerySpec("q124_txlog_lifecycle", { (s, dir) =>
       val root = graft.Scratch.dir("graft-q124").toString + "/t"
+      // four of the seven line numbers: the optimize+vacuum lifecycle is
+      // the capability; q179/q196 re-exercise the same path (bench-
+      // weight trim, round 14)
       val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
-      (1 to 7).foreach { ln =>
+      (1 to 4).foreach { ln =>
         TxLog.append(s, root, li.where(col("l_linenumber") === ln))
       }
       graft.operators.CheckpointBlocks.release(li)
@@ -102,7 +109,8 @@ object TxQueries {
       Some("""SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber, count(*) AS n_rows,
                      CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                      max(l_shipdate) AS last_ship
-              FROM lineitem GROUP BY 1 ORDER BY l_linenumber"""))
+              FROM lineitem WHERE l_linenumber <= 4
+              GROUP BY 1 ORDER BY l_linenumber"""))
   ,
 
     // ---- exactly-once streaming sink ------------------------------------
@@ -260,7 +268,11 @@ object TxQueries {
     // across parquet encoder versions.
     QuerySpec("q143_auto_compaction", { (s, dir) =>
       val root = graft.Scratch.dir("graft-q143").toString + "/t"
-      val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
+      // one line number's rows: the 12-commit/3-compaction protocol
+      // shape is the capability, not the rewrite volume (bench-weight
+      // trim, round 14 — file and version pins unchanged)
+      val li = Td.load(s, dir, "lineitem")
+        .where("l_linenumber = 1").localCheckpoint(true)
       TxLog.append(s, root,
         li.where(pmod(col("l_orderkey"), lit(12)) === 0).coalesce(1))
       TxLog.setProperties(root, Map(
@@ -285,7 +297,8 @@ object TxQueries {
                      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                      CAST(3 AS BIGINT) AS n_live_files,
                      CAST(15 AS BIGINT) AS last_version
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+              FROM lineitem WHERE l_linenumber = 1
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- SQL time travel (VERSION AS OF) --------------------------------
     // The q122 capability through Spark's OWN parser: a TxCatalog

@@ -678,6 +678,12 @@ object TxCatalog {
           e: java.util.Map.Entry[(String, Long), Map[String, Array[Long]]]) =
         size() > 32
     }
+  private[sources] def invalidateDeadMaps(dir: String): Unit =
+    deadMapCache.synchronized {
+      val it = deadMapCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == dir) it.remove()
+    }
+
   private def deadMapOf(session: SparkSession, dir: String,
       snap: TxLog.Snapshot): Map[String, Array[Long]] = {
     deadMapCache.synchronized(

@@ -379,7 +379,12 @@ object TxLog {
     * unique ids under the commit protocol, ALWAYS semantics refuse
     * caller-supplied values, and update/merge guards keep the column
     * un-SET-able. Stability under rewrites costs nothing further:
-    * rewrites rewrite whole rows, ids included. */
+    * rewrites rewrite whole rows, ids included.
+    *
+    * CAVEAT (shared with ALTER … SYNC IDENTITY): enable under a write
+    * quiesce — a row appended BETWEEN the backfill and the identity
+    * declaration lands with a NULL id (the declaration keeps existing
+    * values as-is; allocation starts after it). */
   def enableRowTracking(spark: SparkSession, dir: String,
       idCol: String = "_row_id"): Long = {
     val snap0 = snapshot(dir)
@@ -1102,11 +1107,20 @@ object TxLog {
   private[graft] def snapshotCached(dir: String, v: Long): Boolean =
     snapCache.synchronized(snapCache.containsKey((dir, v)))
 
-  private[graft] def invalidateSnapshots(dir: String): Unit =
+  private[graft] def invalidateSnapshots(dir: String): Unit = {
     snapCache.synchronized {
       val it = snapCache.keySet().iterator()
       while (it.hasNext) if (it.next()._1 == dir) it.remove()
     }
+    // the per-version planning memos share the staleness model: a
+    // dropped/renamed path can be re-created as a NEW table at the
+    // same version numbers
+    planStatsCache.synchronized {
+      val it = planStatsCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == dir) it.remove()
+    }
+    TxCatalog.invalidateDeadMaps(dir)
+  }
 
   /** Reconstruct the table state at `versionAsOf` (default: latest).
     * Replays from the newest checkpoint at or below the target — O(
@@ -3634,7 +3648,12 @@ object TxLog {
           }
           val joined =
             if (candidates.isEmpty)
-              staged.withColumn("__tm", lit(null).cast(BooleanType))
+              // a fully-pruned candidate set (a purely-new key batch):
+              // no row can be matched — same shape as the join output,
+              // __tid_* included (regression: the race/new-keys spec)
+              idCols.foldLeft(
+                staged.withColumn("__tm", lit(null).cast(BooleanType)))(
+                (d, c) => d.withColumn(s"__tid_$c", lit(null).cast(LongType)))
             else {
               // scanFiles masks existing deletion vectors: dead target
               // rows never donate their ids

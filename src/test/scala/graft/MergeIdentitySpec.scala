@@ -94,6 +94,22 @@ class MergeIdentitySpec extends AnyFunSuite with SparkTestBase {
     assert(after.values.map(_._2).toSeq.distinct.size === after.size)
   }
 
+  test("insert-only merge of purely-new keys (fully pruned candidates) allocates cleanly") {
+    import spark.implicits._
+    val dir = tmp("mid-newkeys")
+    mkTable(dir)
+    // every source key sorts ABOVE the table's stats range → candidate
+    // discovery prunes to zero files; before the round-14 fix the
+    // identity resolution crashed here on the missing __tid_ columns
+    val src = Seq(("z1", "Z1"), ("z2", "Z2")).toDF("k", "v")
+      .withColumn("row_id", lit(null).cast(LongType))
+    TxLog.merge(spark, dir, src, "k")
+    val after = rows(dir)
+    assert(after.size === 7)
+    assert(Seq(after("z1")._2, after("z2")._2).sorted === Seq(6L, 7L))
+    assert(hw(dir) === "7")
+  }
+
   test("mergeClauses: SET/INSERT of identity refused; star clauses refused") {
     import spark.implicits._
     val dir = tmp("mid-clause-refuse")
@@ -156,6 +172,25 @@ class MergeIdentitySpec extends AnyFunSuite with SparkTestBase {
       }
       assert(e.getMessage.contains("reserved"), s"$c: ${e.getMessage}")
     }
+  }
+
+  test("a concurrent high-water advance ABORTS the merge instead of colliding ids") {
+    import spark.implicits._
+    val dir = tmp("mid-race")
+    mkTable(dir) // hw = 5
+    val readV = TxLog.latestVersion(dir)
+    // the winner lands AFTER the merge pinned its read version and
+    // advances the high-water to 6 — the loser's staged insert would
+    // also claim id 6 if the rebase let it through
+    TxLog.append(spark, dir, Seq(("kw", "vw")).toDF("k", "v"))
+    val src = Seq(("kz", "vz")).toDF("k", "v")
+      .withColumn("row_id", lit(null).cast(LongType))
+    intercept[TxLog.ConcurrentWriteException] {
+      TxLog.mergeAt(spark, dir, src, "k", readV)
+    }
+    val ids = rows(dir).values.map(_._2).toSeq
+    assert(ids.distinct.size === ids.size, "no id collision after the race")
+    assert(hw(dir) === "6", "only the winner advanced the high-water")
   }
 
   test("mergeClauses: SET on a generated column refused; SET of its base recomputes it") {
