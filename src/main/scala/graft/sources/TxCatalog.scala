@@ -173,11 +173,15 @@ class TxCatalog extends TableCatalog
       override def txWritable: Boolean = writable
       override def txMaskedScan()
           : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
-        // distributed-planned (sharded) tables keep the V1 anti-join —
-        // the mask needs the dv descriptors, which live in the file
-        // list this path exists to not materialize
-        if (planMeta.isDefined) None
-        else TxCatalog.dvMaskedPlan(dir, snap, physSchema)
+        planMeta match {
+          // sharded tables compose the mask with distributed planning:
+          // dv descriptors arrive as a bounded distributed collect
+          // (budget-checked first), pruning stays a Spark job
+          case Some(meta) =>
+            val stats = TxLog.planStatsMeta(SparkSession.active, dir, meta)
+            TxCatalog.dvMaskedPlanDistributed(dir, meta, physSchema, stats)
+          case None => TxCatalog.dvMaskedPlan(dir, snap, physSchema)
+        }
       override def name(): String = tableName
 
       // ---- SHOW PARTITIONS (SupportsPartitionManagement, read side) ----
@@ -197,10 +201,26 @@ class TxCatalog extends TableCatalog
           ident: org.apache.spark.sql.catalyst.InternalRow)
           : Array[org.apache.spark.sql.catalyst.InternalRow] = {
         val fields = partFields
-        val live = snap.files.filter(_.rows > 0)
-        require(live.forall(f => fields.forall(fd => f.pv.contains(fd.name))),
-          s"$tableName: SHOW PARTITIONS on a mixed-generation table " +
-            "(files predating the current partitioning) — OPTIMIZE to migrate")
+        // sharded tables list partitions as a distributed distinct over
+        // the shard lines (bounded by partition count); driver tables
+        // keep the snapshot scan — same alignment refusal either way
+        val pvs: Seq[Map[String, String]] = planMeta match {
+          case Some(meta) =>
+            val session = SparkSession.active
+            require(TxLog.planStatsMeta(session, dir, meta)._5 == 0L,
+              s"$tableName: SHOW PARTITIONS on a mixed-generation table " +
+                "(files predating the current partitioning) — OPTIMIZE to migrate")
+            TxLog.planPartitionsMeta(session, dir, meta)
+              .map(pv => fields.map(fd => fd.name -> pv(fd.name)).toMap)
+              .distinct
+          case None =>
+            val live = snap.files.filter(_.rows > 0)
+            require(live.forall(f => fields.forall(fd => f.pv.contains(fd.name))),
+              s"$tableName: SHOW PARTITIONS on a mixed-generation table " +
+                "(files predating the current partitioning) — OPTIMIZE to migrate")
+            live.map(f => fields.map(fd => fd.name -> f.pv(fd.name)).toMap)
+              .distinct
+        }
         // the partial spec (SHOW PARTITIONS t PARTITION(c='v')) arrives
         // typed; compare in pv stats-canon space
         val want: Map[String, String] = names.zipWithIndex.flatMap { case (n, i) =>
@@ -209,8 +229,7 @@ class TxCatalog extends TableCatalog
           TxCatalog.pvCanon(fd.dataType,
             ident.get(i, fd.dataType)).map(fd.name -> _)
         }.toMap
-        live.map(f => fields.map(fd => fd.name -> f.pv(fd.name)).toMap)
-          .distinct
+        pvs
           .filter(pv => want.forall { case (c, v) => pv(c) == v })
           .sortBy(pv => fields.map(fd => pv(fd.name)).mkString("\u0000"))
           .flatMap { pv =>
@@ -228,10 +247,16 @@ class TxCatalog extends TableCatalog
         val want = fields.zipWithIndex.flatMap { case (fd, i) =>
           TxCatalog.pvCanon(fd.dataType, ident.get(i, fd.dataType))
             .map(fd.name -> _) }.toMap
-        val fs = snap.files.filter(f => f.rows > 0 &&
-          want.forall { case (c, v) => f.pv.get(c).contains(v) })
-        Map("files" -> fs.size.toString, "rows" -> fs.map(_.rows).sum.toString,
-          "bytes" -> fs.map(_.bytes).sum.toString).asJava
+        val (nf, nr, nb) = planMeta match {
+          case Some(meta) =>
+            TxLog.planPartitionStatsMeta(SparkSession.active, dir, meta, want)
+          case None =>
+            val fs = snap.files.filter(f => f.rows > 0 &&
+              want.forall { case (c, v) => f.pv.get(c).contains(v) })
+            (fs.size.toLong, fs.map(_.rows).sum, fs.map(_.bytes).sum)
+        }
+        Map("files" -> nf.toString, "rows" -> nr.toString,
+          "bytes" -> nb.toString).asJava
       }
       override def createPartition(
           ident: org.apache.spark.sql.catalyst.InternalRow,
@@ -684,21 +709,20 @@ object TxCatalog {
       while (it.hasNext) if (it.next()._1 == dir) it.remove()
     }
 
-  private def deadMapOf(session: SparkSession, dir: String,
-      snap: TxLog.Snapshot): Map[String, Array[Long]] = {
+  private def deadMapOf(session: SparkSession, dir: String, snapV: Long,
+      dvDirs: Seq[String]): Map[String, Array[Long]] = {
     deadMapCache.synchronized(
-      Option(deadMapCache.get((dir, snap.version)))) match {
+      Option(deadMapCache.get((dir, snapV)))) match {
       case Some(hit) => return hit
       case None =>
     }
     import org.apache.spark.sql.functions._
-    val dirs = snap.files.flatMap(_.dv.map(_.path)).distinct
-    val m = TxLog.dvFrame(session, dir, dirs)
+    val m = TxLog.dvFrame(session, dir, dvDirs)
       .groupBy("__dv_path")
       .agg(sort_array(collect_list("__dv_idx")).as("idx"))
       .collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
-    deadMapCache.synchronized(deadMapCache.put((dir, snap.version), m))
+    deadMapCache.synchronized(deadMapCache.put((dir, snapV), m))
     m
   }
 
@@ -711,30 +735,62 @@ object TxCatalog {
     * pv/stats/bloom, and the whole plan stays in whole-stage codegen
     * with vectorized parquet batches (the V1 anti-join fallback traded
     * all of that away until OPTIMIZE/purge). */
+  /** Driver-path entry: DV descriptors and pruning from the
+    * materialized snapshot. */
   private[sources] def dvMaskedPlan(dir: String, snap: TxLog.Snapshot,
       physSchema: StructType)
       : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val dvFiles = snap.files.filter(_.dv.nonEmpty)
     if (dvFiles.isEmpty) return None
     if (dvFiles.flatMap(_.dv).map(_.dead).sum > TxLog.dvMaskMaxPositions)
       return None
+    dvMaskedPlanImpl(dir, snap.version, dvFiles,
+      fs => TxLog.pruneByFilters(snap, fs, Some(dir)),
+      snap.files.map(_.bytes).sum, snap.schema, physSchema)
+  }
+
+  /** Distributed-path entry: DV descriptors collected as a bounded
+    * distributed fold, pruning through [[TxLog.planScanMeta]] — the
+    * masked vectorized read COMPOSES with sharded planning (the file
+    * list still never folds on the driver; only the DV-bearing subset,
+    * bounded by the dead-position budget, does). */
+  private[sources] def dvMaskedPlanDistributed(dir: String,
+      meta: TxLog.SnapshotMeta, physSchema: StructType,
+      stats: (Long, Long, Long, Long, Long, Long))
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    if (stats._4 == 0L) return None // no DV files
+    if (stats._6 > TxLog.dvMaskMaxPositions) return None
+    val session = SparkSession.active
+    val dvFiles = TxLog.planDvFilesMeta(session, dir, meta)
+    if (dvFiles.isEmpty) return None
+    dvMaskedPlanImpl(dir, meta.version, dvFiles,
+      fs => TxLog.planScanMeta(session, dir, meta, fs),
+      stats._3, meta.schema, physSchema)
+  }
+
+  private def dvMaskedPlanImpl(dir: String, snapV: Long,
+      dvFiles: Seq[TxLog.AddFile],
+      survivorsOf: Seq[Filter] => Seq[TxLog.AddFile],
+      totalBytes: Long, schema: StructType, physSchema: StructType)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val session = SparkSession.active
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val deadMap = deadMapOf(session, dir, snap)
+    val deadMap = deadMapOf(session, dir, snapV,
+      dvFiles.flatMap(_.dv.map(_.path)).distinct)
     def rel(withDv: Boolean): org.apache.spark.sql.DataFrame = {
       val sub = (fs: Seq[Filter]) =>
-        TxLog.pruneByFilters(snap, fs, Some(dir)).filter(_.dv.nonEmpty == withDv)
-      val idx = new GraftFileIndex(dir, sub, snap.files.map(_.bytes).sum)
+        survivorsOf(fs).filter(_.dv.nonEmpty == withDv)
+      val idx = new GraftFileIndex(dir, sub, totalBytes)
       val fsRel = HadoopFsRelation(idx, StructType(Nil), physSchema, None,
         new ParquetFileFormat(), Map.empty[String, String])(session)
       org.apache.spark.sql.graft.GraftSqlShims.dataFrameOfPlan(session,
         LogicalRelation(fsRel, isStreaming = false))
     }
     def renamed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      if (physSchema == snap.schema) df
-      else df.toDF(snap.schema.fieldNames.toSeq: _*)
+      if (physSchema == schema) df
+      else df.toDF(schema.fieldNames.toSeq: _*)
     val clean = renamed(rel(withDv = false))
     val masked = {
       val base = rel(withDv = true)

@@ -1513,30 +1513,35 @@ object TxLog {
         pruneByFilters(snapshot(dir, Some(meta.version)), filters, Some(dir))
     }
 
-  /** Live-set summary — (files, rows, bytes, dvFiles, unalignedLive) —
-    * by the same distributed fold: the inputs a metadata-only
-    * `count(*)`, a broadcast-eligibility `sizeInBytes`, the DV-fallback
-    * decision, and the pv-alignment gate (consumed filters / SPJ / SHOW
-    * PARTITIONS) need, for a table too big to snapshot on the driver.
-    * One job, memoized per (dir, version); `rows` sums LIVE rows (a
-    * DV-bearing AddFile's `rows` is maintained net of its dead
-    * positions); `unalignedLive` counts live files missing the full
-    * partition-value tuple (0 on a non-partitioned table). */
+  /** Live-set summary — (files, rows, bytes, dvFiles, unalignedLive,
+    * deadPositions) — by the same distributed fold: the inputs a
+    * metadata-only `count(*)`, a broadcast-eligibility `sizeInBytes`,
+    * the DV-fallback/mask decision, and the pv-alignment gate
+    * (consumed filters / SPJ / SHOW PARTITIONS) need, for a table too
+    * big to snapshot on the driver. One job, memoized per (dir,
+    * version); `rows` sums LIVE rows (a DV-bearing AddFile's `rows` is
+    * maintained net of its dead positions); `unalignedLive` counts
+    * live files missing the full partition-value tuple (0 on a
+    * non-partitioned table); `deadPositions` sums dv dead counts (the
+    * mask-budget check). */
   private[sources] def planStatsMeta(spark: SparkSession, dir: String,
-      meta: SnapshotMeta): (Long, Long, Long, Long, Long) = {
+      meta: SnapshotMeta): (Long, Long, Long, Long, Long, Long) = {
     planStatsCache.synchronized(
       Option(planStatsCache.get((dir, meta.version)))) match {
       case Some(hit) => return hit
       case None =>
     }
     val parts: Seq[String] = partitionColsOf(meta.metaSnap)
-    def acc(z: (Long, Long, Long, Long, Long), a: AddFile) =
+    def acc(z: (Long, Long, Long, Long, Long, Long), a: AddFile) =
       (z._1 + 1L, z._2 + a.rows, z._3 + a.bytes,
         z._4 + (if (a.dv.nonEmpty) 1L else 0L),
-        z._5 + (if (a.rows > 0 && !parts.forall(a.pv.contains)) 1L else 0L))
-    def comb(x: (Long, Long, Long, Long, Long), y: (Long, Long, Long, Long, Long)) =
-      (x._1 + y._1, x._2 + y._2, x._3 + y._3, x._4 + y._4, x._5 + y._5)
-    val zero = (0L, 0L, 0L, 0L, 0L)
+        z._5 + (if (a.rows > 0 && !parts.forall(a.pv.contains)) 1L else 0L),
+        z._6 + a.dv.map(_.dead).getOrElse(0L))
+    def comb(x: (Long, Long, Long, Long, Long, Long),
+        y: (Long, Long, Long, Long, Long, Long)) =
+      (x._1 + y._1, x._2 + y._2, x._3 + y._3, x._4 + y._4, x._5 + y._5,
+        x._6 + y._6)
+    val zero = (0L, 0L, 0L, 0L, 0L, 0L)
     val delta = meta.deltaAdds.foldLeft(zero)(acc)
     val out = meta.ckptBase match {
       case Some((cv, nParts)) =>
@@ -1546,7 +1551,7 @@ object TxLog {
           ckptPartFile(dir, cv, i, nParts).toString)
         val base = spark.read.textFile(paths: _*).rdd
           .mapPartitions { it =>
-            var z = (0L, 0L, 0L, 0L, 0L)
+            var z = (0L, 0L, 0L, 0L, 0L, 0L)
             it.foreach { line =>
               if (line.nonEmpty) {
                 val a = parseAdd(parse(line))
@@ -1563,10 +1568,10 @@ object TxLog {
   }
 
   private val planStatsCache =
-    new java.util.LinkedHashMap[(String, Long), (Long, Long, Long, Long, Long)](
+    new java.util.LinkedHashMap[(String, Long), (Long, Long, Long, Long, Long, Long)](
       64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), (Long, Long, Long, Long, Long)]) =
+          e: java.util.Map.Entry[(String, Long), (Long, Long, Long, Long, Long, Long)]) =
         size() > 64
     }
 
@@ -1599,6 +1604,94 @@ object TxLog {
             }
             Iterator.single(n)
           }.fold(0L)(_ + _)
+      case None => delta
+    }
+  }
+
+  /** Distinct live partition-value tuples as a distributed fold — the
+    * SHOW PARTITIONS input for a table too big to snapshot (bounded by
+    * the partition count, never the file count). Returns pv maps of
+    * live (rows > 0) files; the caller enforces alignment via
+    * [[planStatsMeta]]'s unaligned count. */
+  private[sources] def planPartitionsMeta(spark: SparkSession, dir: String,
+      meta: SnapshotMeta): Seq[Map[String, String]] = {
+    val delta = meta.deltaAdds.filter(_.rows > 0).map(_.pv).distinct
+    meta.ckptBase match {
+      case Some((cv, nParts)) =>
+        val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
+        val exclB = spark.sparkContext.broadcast(excl)
+        val paths = (0 until nParts).map(i =>
+          ckptPartFile(dir, cv, i, nParts).toString)
+        val base = spark.read.textFile(paths: _*).rdd
+          .mapPartitions { it =>
+            val seen = scala.collection.mutable.Set[Map[String, String]]()
+            it.foreach { line =>
+              if (line.nonEmpty) {
+                val a = parseAdd(parse(line))
+                if (!exclB.value.contains(a.path) && a.rows > 0) seen += a.pv
+              }
+            }
+            seen.iterator
+          }.distinct().collect().toSeq
+        (base ++ delta).distinct
+      case None => delta
+    }
+  }
+
+  /** DV-bearing live files as a bounded distributed collect — the mask
+    * path's descriptor set; callers check [[planStatsMeta]]'s dead sum
+    * against the budget FIRST (#dv files ≤ dead positions). */
+  private[sources] def planDvFilesMeta(spark: SparkSession, dir: String,
+      meta: SnapshotMeta): Seq[AddFile] = {
+    val delta = meta.deltaAdds.filter(_.dv.nonEmpty)
+    meta.ckptBase match {
+      case Some((cv, nParts)) =>
+        val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
+        val exclB = spark.sparkContext.broadcast(excl)
+        val paths = (0 until nParts).map(i =>
+          ckptPartFile(dir, cv, i, nParts).toString)
+        spark.read.textFile(paths: _*)
+          .filter { (line: String) =>
+            line.nonEmpty && {
+              val a = parseAdd(parse(line))
+              !exclB.value.contains(a.path) && a.dv.nonEmpty
+            }
+          }.collect().toSeq.map(l => parseAdd(parse(l))) ++ delta
+      case None => delta
+    }
+  }
+
+  /** Per-partition live stats — (files, rows, bytes) for the pv tuple
+    * `want` (canon strings) — as a distributed fold; the
+    * loadPartitionMetadata input for sharded tables. */
+  private[sources] def planPartitionStatsMeta(spark: SparkSession, dir: String,
+      meta: SnapshotMeta, want: Map[String, String]): (Long, Long, Long) = {
+    def hit(a: AddFile): Boolean =
+      a.rows > 0 && want.forall { case (c, v) => a.pv.get(c).contains(v) }
+    def acc(z: (Long, Long, Long), a: AddFile) =
+      if (hit(a)) (z._1 + 1L, z._2 + a.rows, z._3 + a.bytes) else z
+    val delta = meta.deltaAdds.foldLeft((0L, 0L, 0L))(acc)
+    meta.ckptBase match {
+      case Some((cv, nParts)) =>
+        val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
+        val exclB = spark.sparkContext.broadcast(excl)
+        val wantB = spark.sparkContext.broadcast(want)
+        val paths = (0 until nParts).map(i =>
+          ckptPartFile(dir, cv, i, nParts).toString)
+        val base = spark.read.textFile(paths: _*).rdd
+          .mapPartitions { it =>
+            var z = (0L, 0L, 0L)
+            it.foreach { line =>
+              if (line.nonEmpty) {
+                val a = parseAdd(parse(line))
+                if (!exclB.value.contains(a.path) && a.rows > 0 &&
+                    wantB.value.forall { case (c, v) => a.pv.get(c).contains(v) })
+                  z = (z._1 + 1L, z._2 + a.rows, z._3 + a.bytes)
+              }
+            }
+            Iterator.single(z)
+          }.fold((0L, 0L, 0L))((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3))
+        (base._1 + delta._1, base._2 + delta._2, base._3 + delta._3)
       case None => delta
     }
   }

@@ -90,12 +90,13 @@ class DistributedPlanSpec extends AnyFunSuite with SparkTestBase {
     // live-set stats, distributed: 102400 - 1 removed - 1 re-added in
     // base, + 3 delta adds; no pv anywhere → every live file counts as
     // unaligned on a partitioned table, but this one isn't partitioned
-    val (nf, nr, nb, nd, nu) = TxLog.planStatsMeta(spark, dir, meta)
+    val (nf, nr, nb, nd, nu, ndead) = TxLog.planStatsMeta(spark, dir, meta)
     assert(nf === (nFiles - 2 + 3).toLong)
     assert(nr === (nFiles - 2) * 10L + 10L + 10L + 7L)
     assert(nb === (nFiles + 1) * 100L)
     assert(nd === 0L)
     assert(nu === 0L)
+    assert(ndead === 0L)
 
     // filtered metadata count, distributed — zero survivor collect
     assert(TxLog.planCountMeta(spark, dir, meta, Nil) === nr)
@@ -159,13 +160,18 @@ class DistributedPlanSpec extends AnyFunSuite with SparkTestBase {
         assert(a === b, s"planScan diverged from pruneByFilters on $name")
       }
 
-      val (nf, nr, nb, nd, nu) = TxLog.planStatsMeta(spark, dir, meta)
+      val (nf, nr, nb, nd, nu, ndead) = TxLog.planStatsMeta(spark, dir, meta)
       assert(nf === snap.files.size.toLong)
       assert(nr === snap.files.map(_.rows).sum)
       assert(nb === snap.files.map(_.bytes).sum)
       assert(nd === snap.files.count(_.dv.nonEmpty).toLong)
       assert(nd > 0L, "the delete should have left live DV descriptors")
       assert(nu === 0L, "non-partitioned: no file can be pv-unaligned")
+      assert(ndead === snap.files.flatMap(_.dv).map(_.dead).sum)
+      // the DV-bearing subset collects distributed, bounded by the budget
+      assert(TxLog.planDvFilesMeta(spark, dir, meta)
+        .map(f => (f.path, f.dv)).toSet ===
+        snap.files.filter(_.dv.nonEmpty).map(f => (f.path, f.dv)).toSet)
       assert(TxLog.planCountMeta(spark, dir, meta, Nil) ===
         snap.files.map(_.rows).sum)
     } finally TxLog.ckptPartMaxFiles = saved
@@ -202,8 +208,9 @@ class DistributedPlanSpec extends AnyFunSuite with SparkTestBase {
       assert(!TxLog.snapshotCached(dir, headV),
         "a SELECT on a sharded table materialized the snapshot on the driver")
 
-      // DV-bearing sharded table: the merge-on-read fallback also plans
-      // distributed and serves exact rows
+      // DV-bearing sharded table: the VECTORIZED mask composes with
+      // distributed planning — native parquet scans over GraftFileIndex,
+      // still no snapshot materialized
       TxLog.setProperties(dir, Map(
         TxLog.DeletionVectors.Enabled -> "true",
         TxLog.Checkpoints.Interval -> "1"))
@@ -211,11 +218,63 @@ class DistributedPlanSpec extends AnyFunSuite with SparkTestBase {
       TxLog.invalidateSnapshots(dir)
       val headV2 = TxLog.latestVersion(dir)
       assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 109L)
-      val got2 = spark.sql(s"SELECT k FROM $cat.t WHERE k >= 42 AND k < 45 ORDER BY k")
-        .collect().map(_.getLong(0)).toSeq
-      assert(got2 === Seq(42L, 44L))
+      val q2 = spark.sql(s"SELECT k FROM $cat.t WHERE k >= 42 AND k < 45 ORDER BY k")
+      assert(q2.collect().map(_.getLong(0)).toSeq === Seq(42L, 44L))
+      val plan2 = q2.queryExecution.executedPlan.toString
+      assert(plan2.contains("GraftFileIndex") &&
+        !plan2.contains("DvFallbackScanBuilder"),
+        s"sharded+DV should take the vectorized mask:\n$plan2")
       assert(!TxLog.snapshotCached(dir, headV2),
-        "the DV fallback on a sharded table materialized the snapshot")
+        "the sharded DV read materialized the snapshot")
+      // over the mask budget, the V1 fallback still serves — and still
+      // without materializing the snapshot
+      val savedBudget = TxLog.dvMaskMaxPositions
+      TxLog.dvMaskMaxPositions = 0L
+      try {
+        TxLog.invalidateSnapshots(dir)
+        val q3 = spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE k >= 42 AND k < 45")
+        assert(q3.head().getLong(0) === 2L)
+        assert(q3.queryExecution.executedPlan.toString.contains("DvFallbackScanBuilder"))
+        assert(!TxLog.snapshotCached(dir, headV2))
+      } finally TxLog.dvMaskMaxPositions = savedBudget
+    } finally TxLog.ckptPartMaxFiles = saved
+  }
+
+  // ---- 4. SHOW PARTITIONS on a sharded table --------------------------------
+
+  test("SHOW PARTITIONS and partition metadata plan distributed on a sharded table") {
+    import spark.implicits._
+    val saved = TxLog.ckptPartMaxFiles
+    TxLog.ckptPartMaxFiles = 8
+    try {
+      val root = graft.Scratch.dir("graft-distplan-parts").toString
+      val cat = "dpp" + java.lang.Integer.toHexString(root.hashCode).takeRight(8)
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[TxCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val dir = s"$root/t"
+      // 12 single-partition appends over 4 groups → sharded checkpoint
+      TxLog.appendPartitioned(spark, dir,
+        (0 until 40).map(i => (i.toLong, s"g${i % 4}")).toDF("k", "g"), Seq("g"))
+      TxLog.setProperties(dir, Map(TxLog.Checkpoints.Interval -> "1"))
+      (0 until 9).foreach { b =>
+        TxLog.appendPartitioned(spark, dir,
+          (0 until 4).map(i => (100L + b * 4 + i, s"g${i % 4}")).toDF("k", "g"),
+          Seq("g"))
+      }
+      TxLog.invalidateSnapshots(dir)
+      val headV = TxLog.latestVersion(dir)
+      assert(TxLog.planningMeta(dir, None).exists(_.ckptBase.nonEmpty))
+      val parts = spark.sql(s"SHOW PARTITIONS $cat.t")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(parts === Seq("g=g0", "g=g1", "g=g2", "g=g3"))
+      assert(!TxLog.snapshotCached(dir, headV),
+        "SHOW PARTITIONS on a sharded table materialized the snapshot")
+      // per-partition metadata from the distributed fold
+      val meta = TxLog.snapshotMeta(dir)
+      val (nf, nr, nb) = TxLog.planPartitionStatsMeta(spark, dir, meta,
+        Map("g" -> "g1"))
+      assert(nr === 19L, s"g1 rows: 10 base + 9 appended, got $nr")
+      assert(nf > 0L && nb > 0L)
     } finally TxLog.ckptPartMaxFiles = saved
   }
 }
