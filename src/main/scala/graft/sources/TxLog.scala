@@ -401,7 +401,7 @@ object TxLog {
           org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1) :+ (i + 1L))
         }, snap.schema)
       val (sub, adds) = stageForTable(spark, dir, snap, withIds)
-      commitRewrite(dir, sub, adds.map(_.copy(dataChange = false)), snap,
+      commitRewrite(spark, dir, sub, adds.map(_.copy(dataChange = false)), snap,
         "rowTrackingBackfill")
     }
     setProperties(dir, Map(RowTracking.Column -> idCol))
@@ -1024,9 +1024,24 @@ object TxLog {
 
   /** Head snapshot, or None for a table with no commits — the one-call
     * form the write retry loops use (a single log listing + replay per
-    * iteration serves the version, schema, and txn checks together). */
+    * iteration serves the version, schema, and txn checks together).
+    * Every caller consumes METADATA fields only (version / schema /
+    * props / txns), so on a sharded-base table this returns the
+    * files-EMPTY [[SnapshotMeta.metaSnap]]: an append against a
+    * million-file table never folds its AddFile list into driver heap
+    * just to learn the head version. */
   private def headSnapshot(dir: String): Option[Snapshot] =
-    try Some(snapshot(dir)) catch { case _: VersionNotFoundException => None }
+    try {
+      val meta = snapshotMeta(dir)
+      Some(if (meta.ckptBase.isEmpty) snapshot(dir) else meta.metaSnap)
+    } catch { case _: VersionNotFoundException => None }
+
+  /** [[headSnapshot]] for callers that REQUIRE the table to exist (the
+    * DDL retry loops) — same metadata-only contract. */
+  private def headState(dir: String): Snapshot = {
+    val meta = snapshotMeta(dir)
+    if (meta.ckptBase.isEmpty) snapshot(dir) else meta.metaSnap
+  }
 
   // ---- JSON (de)serialization -------------------------------------------
 
@@ -1035,6 +1050,11 @@ object TxLog {
       c -> (("t" -> cs.typ) ~ ("min" -> cs.min) ~ ("max" -> cs.max) ~
         ("nulls" -> cs.nulls): JValue)
     })
+
+  /** One AddFile as a checkpoint-shard JSONL line — the DML fuzz's
+    * seam for materializing synthetic live sets as sharded logs. */
+  private[sources] def shardLine(a: AddFile): String =
+    compact(render(addJson(a)))
 
   private def addJson(a: AddFile): JValue = {
     val base0 = ("path" -> a.path) ~ ("rows" -> a.rows) ~ ("bytes" -> a.bytes) ~
@@ -1110,6 +1130,10 @@ object TxLog {
   private[graft] def invalidateSnapshots(dir: String): Unit = {
     snapCache.synchronized {
       val it = snapCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == dir) it.remove()
+    }
+    snapMetaCache.synchronized {
+      val it = snapMetaCache.keySet().iterator()
       while (it.hasNext) if (it.next()._1 == dir) it.remove()
     }
     // the per-version planning memos share the staleness model: a
@@ -1271,7 +1295,10 @@ object TxLog {
       // next reader/writer of the table resolves (dir, v) anyway, so
       // this adds no net replay.
       try {
-        val interval = snapshot(dir, Some(v)).props
+        // META resolution: the interval needs only the property map, and
+        // resolving it through the files-unmaterialized plane keeps the
+        // post-commit hook O(checkpoint window) on sharded tables
+        val interval = snapshotMeta(dir, Some(v)).props
           .get(Checkpoints.Interval).filter(_.nonEmpty).map(_.toLong)
           .getOrElse(checkpointInterval.toLong)
         if (v % interval == 0) writeCheckpoint(dir, v)
@@ -1279,38 +1306,140 @@ object TxLog {
     }
 
   private def writeCheckpoint(dir: String, v: Long): Unit = {
-    val snap = snapshot(dir, Some(v))
+    val meta = snapshotMeta(dir, Some(v))
     // the TABLE's protocol, not this writer's capability — a
     // checkpoint must never lock protocol-1 readers out of a table
     // that uses no protocol-2 feature
-    val base0c: JObject = ("version" -> v) ~ ("protocol" -> snap.protocol) ~
-      ("schema" -> snap.schemaDdl) ~ ("txns" -> snap.txns) ~
-      ("props" -> snap.props)
+    val base0c: JObject = ("version" -> v) ~ ("protocol" -> meta.protocol) ~
+      ("schema" -> meta.schemaDdl) ~ ("txns" -> meta.txns) ~
+      ("props" -> meta.props)
     val base: JObject =
-      if (snap.features.isEmpty) base0c
-      else base0c ~ ("features" -> snap.features.toList.sorted)
+      if (meta.features.isEmpty) base0c
+      else base0c ~ ("features" -> meta.features.toList.sorted)
     // Small tables inline the file list in the manifest (one read);
     // past ckptPartMaxFiles the list shards into JSONL parts written
     // BEFORE the manifest that names them — a reader that can see the
     // manifest can always read its parts. Deterministic content per
-    // version (snapshot replay order is log order) → the
-    // overwrite-tolerant store op is safe under concurrent duplicates.
-    val nParts =
-      if (snap.files.size <= ckptPartMaxFiles) 0
-      else ((snap.files.size + ckptPartMaxFiles - 1) / ckptPartMaxFiles)
-    val j: JObject =
-      if (nParts == 0) base ~ ("files" -> snap.files.map(addJson))
-      else {
-        snap.files.grouped(ckptPartMaxFiles).zipWithIndex.foreach { case (part, i) =>
-          val lines = part.map(a => compact(render(addJson(a)))).mkString("", "\n", "\n")
-          logStore.putOverwrite(ckptPartFile(dir, v, i, nParts), LogStore.bytes(lines))
-        }
-        base ~ ("parts" -> nParts)
-      }
+    // version: the line sequence is FIRST-ADD order (replay order),
+    // which the incremental path below preserves by construction, so
+    // every writer of version v — whatever replay base it resolved —
+    // produces the same parts and the overwrite-tolerant store op is
+    // safe under concurrent duplicates.
+    meta.ckptBase match {
+      case Some(b) => writeCheckpointIncremental(dir, v, meta, b, base)
+      case None =>
+        // inline (or absent) base → small by construction: replay fully
+        val files = snapshot(dir, Some(v)).files
+        val nParts =
+          if (files.size <= ckptPartMaxFiles) 0
+          else ((files.size + ckptPartMaxFiles - 1) / ckptPartMaxFiles)
+        val j: JObject =
+          if (nParts == 0) base ~ ("files" -> files.map(addJson))
+          else {
+            files.grouped(ckptPartMaxFiles).zipWithIndex.foreach { case (part, i) =>
+              val lines = part.map(a => compact(render(addJson(a)))).mkString("", "\n", "\n")
+              logStore.putOverwrite(ckptPartFile(dir, v, i, nParts), LogStore.bytes(lines))
+            }
+            base ~ ("parts" -> nParts)
+          }
+        publishCheckpointManifest(dir, v, base, j, nParts)
+    }
+  }
+
+  private def publishCheckpointManifest(dir: String, v: Long, base: JObject,
+      j: JObject, nParts: Int): Unit = {
     logStore.putOverwrite(ckptFile(dir, v), LogStore.bytes(compact(render(j))))
     // pointer last: it only ever names a fully-published checkpoint
     val ptr: JObject = ("version" -> v) ~ ("parts" -> nParts)
     logStore.putOverwrite(lastCkptFile(dir), LogStore.bytes(compact(render(ptr))))
+  }
+
+  /** Fast path extraction of the leading `"path"` key of a shard line —
+    * [[addJson]] renders it first, so the incremental checkpoint pass
+    * avoids a full JSON parse per surviving line; any line not in that
+    * shape falls back to the parser. */
+  private def shardLinePath(line: String): String =
+    if (line.startsWith("{\"path\":\"")) {
+      val from = 9
+      val sb = new java.lang.StringBuilder
+      var i = from
+      var done = false
+      while (!done && i < line.length) {
+        val ch = line.charAt(i)
+        if (ch == '\\' && i + 1 < line.length) { sb.append(line.charAt(i + 1)); i += 2 }
+        else if (ch == '"') done = true
+        else { sb.append(ch); i += 1 }
+      }
+      if (done) sb.toString else parseAdd(parse(line)).path
+    } else parseAdd(parse(line)).path
+
+  /** Checkpoint a SHARDED-base table INCREMENTALLY: stream the base
+    * shards through the window's net delta — surviving lines pass
+    * VERBATIM (an unchanged AddFile re-renders byte-identically, so no
+    * re-render is needed), re-added paths are replaced IN PLACE with
+    * their delta AddFile (preserving first-add order, the determinism
+    * invariant above), removed paths drop, and genuinely new paths
+    * append in delta order. O(1) driver memory in the table's file
+    * count — the full-replay path would fold a million AddFiles (GBs
+    * of stats maps) into driver heap on every checkpoint interval. Two
+    * streaming passes: one to count survivors (part names carry
+    * `-of-N`), one to write. */
+  private def writeCheckpointIncremental(dir: String, v: Long,
+      meta: SnapshotMeta, ckptBase: (Long, Int), base: JObject): Unit = {
+    val (cv, oldParts) = ckptBase
+    val reAdd: Map[String, AddFile] = meta.deltaAdds.map(a => a.path -> a).toMap
+    val drop: Set[String] = meta.deltaExcludes
+    val partPaths = (0 until oldParts).map(i => ckptPartFile(dir, cv, i, oldParts))
+    def foreachBaseLine(f: (String, String) => Unit): Unit =
+      partPaths.foreach { p =>
+        val s = Files.lines(p)
+        try s.forEach(line => if (line.nonEmpty) f(line, shardLinePath(line)))
+        finally s.close()
+      }
+    // pass 1: survivor count + which delta paths update base lines
+    var nBase = 0L
+    val updated = scala.collection.mutable.Set[String]()
+    foreachBaseLine { (_, p) =>
+      if (reAdd.contains(p)) { updated += p; nBase += 1 }
+      else if (!drop.contains(p)) nBase += 1
+    }
+    val appended = meta.deltaAdds.filter(a => !updated.contains(a.path))
+    val total = nBase + appended.size
+    val nParts =
+      if (total <= ckptPartMaxFiles) 0
+      else ((total + ckptPartMaxFiles - 1) / ckptPartMaxFiles).toInt
+    if (nParts == 0) {
+      // the table shrank back under the inline threshold — bounded fold
+      val kept = scala.collection.mutable.ArrayBuffer[JValue]()
+      foreachBaseLine { (line, p) =>
+        if (reAdd.contains(p)) kept += addJson(reAdd(p))
+        else if (!drop.contains(p)) kept += parse(line)
+      }
+      appended.foreach(a => kept += addJson(a))
+      publishCheckpointManifest(dir, v, base, base ~ ("files" -> kept.toList), 0)
+      return
+    }
+    // pass 2: stream lines into fixed-size parts
+    val buf = new java.lang.StringBuilder
+    var inBuf = 0L
+    var partIdx = 0
+    def flush(): Unit = if (inBuf > 0) {
+      logStore.putOverwrite(ckptPartFile(dir, v, partIdx, nParts),
+        LogStore.bytes(buf.toString))
+      buf.setLength(0); inBuf = 0; partIdx += 1
+    }
+    def emit(line: String): Unit = {
+      buf.append(line).append('\n')
+      inBuf += 1
+      if (inBuf == ckptPartMaxFiles.toLong) flush()
+    }
+    foreachBaseLine { (line, p) =>
+      if (reAdd.contains(p)) emit(compact(render(addJson(reAdd(p)))))
+      else if (!drop.contains(p)) emit(line)
+    }
+    appended.foreach(a => emit(compact(render(addJson(a)))))
+    flush()
+    publishCheckpointManifest(dir, v, base, base ~ ("parts" -> nParts), nParts)
   }
 
   /** The `_last_checkpoint` pointer's version, when it names a
@@ -1375,6 +1504,18 @@ object TxLog {
       Snapshot(version, schemaDdl, Nil, txns, props, protocol, features)
   }
 
+  /** [[snapshotMeta]] memo — same immutability argument and staleness
+    * model as [[snapCache]] (a published version's meta never changes;
+    * drop/rename invalidate). Meta entries are small (the delta window,
+    * never the base file list), so the cache stays cheap even for
+    * million-file tables. */
+  private val snapMetaCache =
+    new java.util.LinkedHashMap[(String, Long), SnapshotMeta](snapCacheMax, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), SnapshotMeta]): Boolean =
+        size() > snapCacheMax
+    }
+
   def snapshotMeta(dir: String, versionAsOf: Option[Long] = None): SnapshotMeta = {
     val (commits, ckpts) = listLog(dir)
     if (commits.isEmpty)
@@ -1384,6 +1525,10 @@ object TxLog {
     if (target < 0 || target > latest || !commits.contains(target))
       throw new VersionNotFoundException(
         s"version $target not in $dir (latest: $latest)")
+    snapMetaCache.synchronized(Option(snapMetaCache.get((dir, target)))) match {
+      case Some(hit) => return hit
+      case None =>
+    }
     val fromCkpt = (readLastCheckpoint(dir).filter(_ <= target).toSeq ++
       ckpts.filter(_ <= target)).maxOption
     var schemaDdl: Option[String] = None
@@ -1468,10 +1613,12 @@ object TxLog {
       }
       mergeProps(j)
     }
-    SnapshotMeta(target,
+    val out = SnapshotMeta(target,
       schemaDdl.getOrElse(sys.error(s"$dir: no schema in log")),
       txns.toMap, props.toMap, tableProtocol,
       base, adds.values.toSeq, removed.toSet, tableFeatures.toSet)
+    snapMetaCache.synchronized(snapMetaCache.put((dir, target), out)): Unit
+    out
   }
 
   /** The file set a read of `dir` must open under `filters`, planned
@@ -1492,8 +1639,28 @@ object TxLog {
       meta: SnapshotMeta,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[AddFile] =
     meta.ckptBase match {
+      case Some(_) =>
+        planFilesMeta(spark, dir, meta,
+          mkFilePruner(meta.schema, meta.props, filters, Some(dir)))
+      case None =>
+        pruneByFilters(snapshot(dir, Some(meta.version)), filters, Some(dir))
+    }
+
+  /** Survivors of an ARBITRARY serializable file predicate over the
+    * live set — the generalization [[planScanMeta]] (filter pruning),
+    * maintenance discovery ([[compactSmall]]'s small-file selection,
+    * [[optimizePartition]]'s pv match, [[purgeDeletes]]'s DV-bearing
+    * set) and the rebase conflict probe ([[liveDvOf]]) all share: on a
+    * sharded base the predicate runs over the shard lines as a
+    * distributed job and only SURVIVORS are collected (driver memory ∝
+    * selectivity); inline bases take the memoized snapshot. The
+    * predicate must be a self-contained serializable closure over
+    * primitives/collections only ([[FilePruner]] discipline — never
+    * capture session state). */
+  private[sources] def planFilesMeta(spark: SparkSession, dir: String,
+      meta: SnapshotMeta, keep: AddFile => Boolean): Seq[AddFile] =
+    meta.ckptBase match {
       case Some((cv, parts)) =>
-        val keep = mkFilePruner(meta.schema, meta.props, filters, Some(dir))
         // base lines a later commit superseded: removed paths, plus
         // re-added paths (whose newer AddFile rides deltaAdds)
         val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
@@ -1510,8 +1677,58 @@ object TxLog {
           .collect().toSeq.map(l => parseAdd(parse(l)))
         survivors ++ meta.deltaAdds.filter(keep)
       case None =>
-        pruneByFilters(snapshot(dir, Some(meta.version)), filters, Some(dir))
+        snapshot(dir, Some(meta.version)).files.filter(keep)
     }
+
+  /** Live-set deletion-vector pointers for a BOUNDED path set — the
+    * DML/rewrite rebase conflict probe on a sharded base: one
+    * distributed membership filter, collect ∝ |paths|, never the
+    * table's file list. Missing key = the path is no longer live. */
+  private[sources] def liveDvOf(spark: SparkSession, dir: String,
+      meta: SnapshotMeta, paths: Set[String]): Map[String, Option[Dv]] = {
+    val want = paths
+    planFilesMeta(spark, dir, meta, a => want.contains(a.path))
+      .map(a => a.path -> a.dv).toMap
+  }
+
+  // ---- DML over the distributed metadata plane ----------------------------
+
+  /** DML-grade resolution at `readVersion`: the memoized full snapshot
+    * on an inline-base table (small by construction), or the
+    * files-EMPTY [[SnapshotMeta.metaSnap]] plus its meta on a SHARDED
+    * base — touch discovery, live counts, and conflict probes then run
+    * through the distributed plane ([[dmlCandidates]] /
+    * [[dmlLiveFiles]] / [[liveDvOf]]), so a keyed DELETE / UPDATE /
+    * MERGE against a million-file table costs the driver
+    * O(selectivity), exactly like the SQL read path. */
+  private def dmlSnapshot(dir: String,
+      readVersion: Option[Long]): (Snapshot, Option[SnapshotMeta]) = {
+    val meta = snapshotMeta(dir, readVersion)
+    if (meta.ckptBase.isEmpty) (snapshot(dir, Some(meta.version)), None)
+    else (meta.metaSnap, Some(meta))
+  }
+
+  /** Touch-discovery candidates under `filters` — distributed on a
+    * sharded base, driver prune otherwise. EMPTY filters = the full
+    * live set: an unfiltered DML is a whole-table rewrite whose commit
+    * must name every file it removes, so the driver list is ∝ the
+    * write it is about to perform — the honest floor (the snapshot
+    * CACHE, with its per-file stats maps, still never materializes). */
+  private def dmlCandidates(spark: SparkSession, dir: String, snap: Snapshot,
+      meta: Option[SnapshotMeta],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[AddFile] =
+    meta match {
+      case Some(m) => planScanMeta(spark, dir, m, filters)
+      case None =>
+        if (filters.isEmpty) snap.files
+        else pruneByFilters(snap, filters, Some(dir))
+    }
+
+  /** Live file count for `files_live` metrics and DML emptiness checks
+    * — the memoized distributed fold on a sharded base. */
+  private def dmlLiveFiles(spark: SparkSession, dir: String, snap: Snapshot,
+      meta: Option[SnapshotMeta]): Long =
+    meta.map(planStatsMeta(spark, dir, _)._1).getOrElse(snap.files.size.toLong)
 
   /** Live-set summary — (files, rows, bytes, dvFiles, unalignedLive,
     * deadPositions) — by the same distributed fold: the inputs a
@@ -2524,20 +2741,29 @@ object TxLog {
   private[graft] def overwriteAt(spark: SparkSession, dir: String, df: DataFrame,
       readVersion: Long): Long = {
     Files.createDirectories(Paths.get(dir))
-    val preSnap = if (readVersion >= 0) Some(snapshot(dir, Some(readVersion))) else None
+    // meta resolution + distributed remove-list discovery: a Complete-
+    // mode streaming sink overwrites every batch — it must not fold a
+    // sharded table's AddFile stats maps into driver heap each trigger
+    // (the remove PATH list itself is the commit's own content)
+    val pre = if (readVersion >= 0) Some(dmlSnapshot(dir, Some(readVersion))) else None
+    val preSnap = pre.map(_._1)
     val df0 = preSnap.fold(df)(withGeneratedCols(_, df))
     preSnap.foreach(s => requireSchema(s.schemaDdl, df0))
     requireConstraints(preSnap, df0)
-    val removes = preSnap.map(_.files.map(_.path)).getOrElse(Nil)
+    val preFiles: Seq[AddFile] = pre match {
+      case Some((s, m)) => dmlCandidates(spark, dir, s, m, Nil)
+      case None => Nil
+    }
+    val removes = preFiles.map(_.path)
     val (sub, adds) = preSnap.fold(stage(spark, dir, df0))(stageForTable(spark, dir, _, df0))
     // change feed: a full overwrite's change set is every previous live
     // row (delete) plus every incoming row (insert) — cost ∝ the change,
     // which for an overwrite IS the table; the alternative is a feed
     // that silently omits the removals
     val (cdfSub, cdfAdds) = preSnap match {
-      case Some(s) if s.files.nonEmpty =>
+      case Some(s) if preFiles.nonEmpty =>
         stageReplaceCdf(spark, dir, s,
-          Some(scanFiles(spark, dir, s, s.files)), adds)
+          Some(scanFiles(spark, dir, s, preFiles)), adds)
       case Some(s) => stageReplaceCdf(spark, dir, s, None, adds)
       case None => (None, Nil)
     }
@@ -2575,7 +2801,7 @@ object TxLog {
       df: DataFrame, colName: String, readVersion: Long): Long = {
     Files.createDirectories(Paths.get(dir))
     if (readVersion < 0) return append(spark, dir, df)
-    val snap = snapshot(dir, Some(readVersion))
+    val (snap, meta) = dmlSnapshot(dir, Some(readVersion))
     requireSchema(snap.schemaDdl, df)
     require(snap.schema.fields.exists(_.name == colName),
       s"$colName not in table schema")
@@ -2616,8 +2842,14 @@ object TxLog {
       }
       case None => 2 // no stats for the column: conservative rewrite
     }
-    val full = snap.files.filter(classify(_) == 1)
-    val partial = snap.files.filter(classify(_) == 2)
+    // touched discovery ∝ hits on a sharded base (classify ships as a
+    // self-contained closure over canon strings, FilePruner discipline)
+    val classified: Seq[(AddFile, Int)] = (meta match {
+      case Some(mm) => planFilesMeta(spark, dir, mm, a => classify(a) != 0)
+      case None => snap.files.filter(classify(_) != 0)
+    }).map(f => f -> classify(f))
+    val full = classified.collect { case (f, 1) => f }
+    val partial = classified.collect { case (f, 2) => f }
 
     val (remainderSub, remainderAdds) =
       if (partial.isEmpty) (None, Nil)
@@ -2670,7 +2902,7 @@ object TxLog {
     val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     if (readVersion < 0)
       throw new VersionNotFoundException(s"$dir has no committed versions")
-    val snap = snapshot(dir, Some(readVersion))
+    val (snap, meta) = dmlSnapshot(dir, Some(readVersion))
     val parts = partitionColsOf(snap)
     require(parts.nonEmpty,
       s"overwritePartitions: $dir has no partition columns (${Partitioning.Columns})")
@@ -2708,8 +2940,14 @@ object TxLog {
             cs.min.contains(combo(c)) && cs.max.contains(combo(c)))))) 1
         else 2
     }
-    val full = snap.files.filter(classify(_) == 1)
-    val partial = snap.files.filter(classify(_) == 2)
+    // touched discovery ∝ hits on a sharded base (classify ships as a
+    // self-contained closure over canon strings, FilePruner discipline)
+    val classified: Seq[(AddFile, Int)] = (meta match {
+      case Some(mm) => planFilesMeta(spark, dir, mm, a => classify(a) != 0)
+      case None => snap.files.filter(classify(_) != 0)
+    }).map(f => f -> classify(f))
+    val full = classified.collect { case (f, 1) => f }
+    val partial = classified.collect { case (f, 2) => f }
     val replaced = combos.toSeq.map(combo => parts.zip(physParts).map {
       case (logical, phys) =>
         val field = snap.schema.fields.find(_.name == logical).get
@@ -2768,7 +3006,7 @@ object TxLog {
     val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     if (readVersion < 0)
       throw new VersionNotFoundException(s"$dir has no committed versions")
-    val snap = snapshot(dir, Some(readVersion))
+    val (snap, meta) = dmlSnapshot(dir, Some(readVersion))
     requireSchema(snap.schemaDdl, df)
     requireConstraints(Some(snap), df)
     eq.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
@@ -2814,8 +3052,14 @@ object TxLog {
         else 2
       }
     }
-    val full = snap.files.filter(classify(_) == 1)
-    val partial = snap.files.filter(classify(_) == 2)
+    // touched discovery ∝ hits on a sharded base (classify ships as a
+    // self-contained closure over canon strings, FilePruner discipline)
+    val classified: Seq[(AddFile, Int)] = (meta match {
+      case Some(mm) => planFilesMeta(spark, dir, mm, a => classify(a) != 0)
+      case None => snap.files.filter(classify(_) != 0)
+    }).map(f => f -> classify(f))
+    val full = classified.collect { case (f, 1) => f }
+    val partial = classified.collect { case (f, 2) => f }
     val matchPred = eq.map { case (c, v) =>
       val field = snap.schema.fields.find(_.name == c).get
       col(c) === lit(v).cast(field.dataType)
@@ -2886,14 +3130,17 @@ object TxLog {
     * path produces. DML-class rebase: a concurrent disjoint append
     * serializes AFTER the truncate (its rows survive). */
   def truncate(spark: SparkSession, dir: String): Long = {
-    val snap = snapshot(dir)
-    if (snap.files.isEmpty) return snap.version
+    val (snap, meta) = dmlSnapshot(dir, None)
     if (cdfEnabled(snap)) return delete(spark, dir, "TRUE")
-    commitDmlRebase(spark, dir, "truncate", snap, snap.files,
-      snap.files.map(_.path), Nil, Nil, None, None, None,
+    // the commit must name every removed file — the list is the write
+    // itself; the snapshot cache (stats maps and all) stays cold
+    val files = dmlCandidates(spark, dir, snap, meta, Nil)
+    if (files.isEmpty) return snap.version
+    commitDmlRebase(spark, dir, "truncate", snap, files,
+      files.map(_.path), Nil, Nil, None, None, None,
       metrics = Map(
-        "rows_deleted" -> snap.files.map(_.rows).sum,
-        "files_removed" -> snap.files.size.toLong))
+        "rows_deleted" -> files.map(_.rows).sum,
+        "files_removed" -> files.size.toLong))
   }
 
   /** OVERWRITE BY ARBITRARY PREDICATE (Delta's `replaceWhere`, the
@@ -2919,7 +3166,7 @@ object TxLog {
     val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     if (readVersion < 0)
       throw new VersionNotFoundException(s"$dir has no committed versions")
-    val snap = snapshot(dir, Some(readVersion))
+    val (snap, meta) = dmlSnapshot(dir, Some(readVersion))
     requireSchema(snap.schemaDdl, df)
     requireConstraints(Some(snap), df)
     val (newSub, newAdds) = stageForTable(spark, dir, snap, df)
@@ -2935,7 +3182,7 @@ object TxLog {
             s"replaceWhere: incoming rows fall outside ($condition)")
       }
       val candidates =
-        pruneByFilters(snap, eqConjuncts(spark, condition, snap.schema), Some(dir))
+        dmlCandidates(spark, dir, snap, meta, eqConjuncts(spark, condition, snap.schema))
       val touched =
         if (candidates.isEmpty) Nil
         else {
@@ -2944,7 +3191,8 @@ object TxLog {
           requireDeterministic(matched, "predicate")
           val touchedPaths = matched.select("__p").distinct()
             .collect().map(_.getString(0)).toSet
-          snap.files.filter(f => touchedPaths.exists(_.endsWith(f.path)))
+          // touched ⊆ candidates (the match scan read only candidates)
+          candidates.filter(f => touchedPaths.exists(_.endsWith(f.path)))
         }
       val (rs, remAdds) =
         if (touched.isEmpty) (None, Nil)
@@ -3011,13 +3259,17 @@ object TxLog {
       "optimize: sortBy and zorderBy are mutually exclusive")
     require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 6),
       s"optimize: zorderBy takes 2–6 columns, got $zorderBy")
-    val snap = snapshot(dir)
-    if (snap.files.size <= 1) return (snap.files.size, snap.files.size)
-    val totalBytes = snap.files.map(_.bytes).sum
+    // a whole-table rewrite's commit must name every live file — the
+    // driver list is the write itself; on a sharded base it arrives
+    // via the distributed plane (snapshot cache never materializes)
+    val (snap, meta) = dmlSnapshot(dir, None)
+    val files = dmlCandidates(spark, dir, snap, meta, Nil)
+    if (files.size <= 1) return (files.size, files.size)
+    val totalBytes = files.map(_.bytes).sum
     // Compaction never produces MORE files than it consumes.
     val nOut = math.max(1, math.min(
-      math.ceil(totalBytes.toDouble / targetBytes).toLong, snap.files.size.toLong).toInt)
-    val src = scanFiles(spark, dir, snap, snap.files)
+      math.ceil(totalBytes.toDouble / targetBytes).toLong, files.size.toLong).toInt)
+    val src = scanFiles(spark, dir, snap, files)
     // Plain OPTIMIZE on a partitioned table compacts WITHIN partitions
     // (Delta semantics): outputs keep their pv, so partition pruning
     // stays O(1) after maintenance. An explicit sortBy/zorderBy
@@ -3049,7 +3301,7 @@ object TxLog {
       }
     attachBlooms(spark, dir, sub, snap.props)
     val adds = adds0.map(_.copy(dataChange = false))
-    val removes = snap.files.map(_.path)
+    val removes = files.map(_.path)
 
     // Rebase loop invariant: the input-liveness check and the version
     // claim must see the SAME log state — check against snapshot S,
@@ -3059,7 +3311,7 @@ object TxLog {
     // original shape — left a window where a CONCURRENT compaction
     // committed between check and claim: both compactions then landed,
     // the second re-adding rows the first's output already carried.)
-    commitRewrite(dir, sub, adds, snap, "optimize")
+    commitRewrite(spark, dir, sub, adds, snap, "optimize", Some(files))
     (removes.size, adds.size)
   }
 
@@ -3079,11 +3331,20 @@ object TxLog {
       eq: Map[String, String], targetBytes: Long = 128L << 20,
       sortBy: Seq[String] = Nil): (Int, Int) = {
     require(eq.nonEmpty, "optimizePartition: at least one column = value pair")
-    val snap = snapshot(dir)
+    val (snap, meta) = dmlSnapshot(dir, None)
     val m = colMapOf(snap.props)
     val physEq = eq.map { case (c, v) => m.getOrElse(c, c) -> v }
-    val inPart = snap.files.filter(f =>
-      physEq.forall { case (c, v) => f.pv.get(c).contains(v) })
+    // pv-metadata discovery: on a sharded base one distributed
+    // membership filter collects exactly the partition's files — the
+    // maintain-the-hot-partition op stays O(partition) at any table size
+    val inPart = meta match {
+      case Some(mm) =>
+        val want = physEq
+        planFilesMeta(spark, dir, mm,
+          a => want.forall { case (c, v) => a.pv.get(c).contains(v) })
+      case None => snap.files.filter(f =>
+        physEq.forall { case (c, v) => f.pv.get(c).contains(v) })
+    }
     if (inPart.size < 2) return (inPart.size, inPart.size)
     require(inPart.map(_.pv).toSet.size == 1,
       s"optimizePartition: $eq selects ${inPart.map(_.pv).distinct.size} " +
@@ -3102,7 +3363,7 @@ object TxLog {
     attachBlooms(spark, dir, sub, snap.props)
     // single-partition inputs → outputs inherit the pv verbatim
     val adds = adds0.map(_.copy(dataChange = false, pv = pv))
-    commitRewrite(dir, sub, adds, snap, "optimize", Some(inPart))
+    commitRewrite(spark, dir, sub, adds, snap, "optimize", Some(inPart))
     (inPart.size, adds.size)
   }
 
@@ -3114,17 +3375,34 @@ object TxLog {
     * a new DV, and committing the stale rewrite (staged from the old
     * live set) would RESURRECT its deleted rows — same path, different
     * contents, so path-liveness alone cannot catch it. */
-  private[graft] def commitRewrite(dir: String, sub: String, adds: Seq[AddFile],
-      inputSnap: Snapshot, op: String,
+  private[graft] def commitRewrite(spark: SparkSession, dir: String,
+      sub: String, adds: Seq[AddFile], inputSnap: Snapshot, op: String,
       consumed: Option[Seq[AddFile]] = None): Unit = {
     val inputs = consumed.getOrElse(inputSnap.files)
     val removes = inputs.map(_.path)
     val inputDv: Map[String, Option[Dv]] = inputs.map(f => f.path -> f.dv).toMap
     var cur = inputSnap
+    // None = cur.files is authoritative (inline base / first attempt
+    // against the resolution the inputs came from); Some = sharded head,
+    // probe liveness distributed ([[liveDvOf]], collect ∝ |inputs|)
+    var curMeta: Option[SnapshotMeta] = None
+    var first = true
     var tries = 0
     while (tries < maxCommitAttempts) {
-      val liveNow: Map[String, Option[Dv]] = cur.files.map(f => f.path -> f.dv).toMap
-      if (!inputDv.forall { case (p, d) => liveNow.get(p).contains(d) }) {
+      // on the FIRST attempt the inputs came from this very resolution
+      // (inputs ⊆ live set at cur.version by construction), so the
+      // check is vacuous — which is what lets a sharded-base rewrite
+      // skip materializing a file list it already holds the answer for
+      val liveOk =
+        if (first) true
+        else {
+          val liveNow: Map[String, Option[Dv]] = curMeta match {
+            case Some(m) => liveDvOf(spark, dir, m, inputDv.keySet)
+            case None => cur.files.map(f => f.path -> f.dv).toMap
+          }
+          inputDv.forall { case (p, d) => liveNow.get(p).contains(d) }
+        }
+      if (!liveOk) {
         deleteStaged(dir, sub)
         throw new ConcurrentWriteException(
           s"$op of $dir conflicted: an input file was removed or " +
@@ -3138,7 +3416,10 @@ object TxLog {
         return
       }
       tries += 1
-      cur = snapshot(dir)
+      first = false
+      val m = snapshotMeta(dir)
+      if (m.ckptBase.isEmpty) { cur = snapshot(dir); curMeta = None }
+      else { cur = m.metaSnap; curMeta = Some(m) }
     }
     deleteStaged(dir, sub)
     throw new ConcurrentWriteException(
@@ -3186,6 +3467,10 @@ object TxLog {
       winnerAddsConflict: Boolean = false): Long = {
     val touchedDv: Map[String, Option[Dv]] = touched.map(f => f.path -> f.dv).toMap
     var cur = readSnap
+    // Some = the head re-resolved as a sharded-base meta: the
+    // touched-liveness probe runs distributed ([[liveDvOf]], collect ∝
+    // |touched|) instead of folding the head's file list on the driver
+    var curMeta: Option[SnapshotMeta] = None
     var tries = 0
     while (tries < maxCommitAttempts) {
       if (cur.version != readSnap.version) {
@@ -3203,7 +3488,10 @@ object TxLog {
               s"$op on $dir: batch $b of $app was committed concurrently " +
                 "(zombie twin) — the caller's idempotence check routes the retry")
         }
-        val liveNow: Map[String, Option[Dv]] = cur.files.map(f => f.path -> f.dv).toMap
+        val liveNow: Map[String, Option[Dv]] = curMeta match {
+          case Some(m) => liveDvOf(spark, dir, m, touchedDv.keySet)
+          case None => cur.files.map(f => f.path -> f.dv).toMap
+        }
         if (!touchedDv.forall { case (p, d) => liveNow.get(p).contains(d) })
           throw new ConcurrentWriteException(
             s"$op on $dir conflicted: a touched file was removed or DML'd " +
@@ -3232,7 +3520,9 @@ object TxLog {
         return attempt
       }
       tries += 1
-      cur = snapshot(dir)
+      val m = snapshotMeta(dir)
+      if (m.ckptBase.isEmpty) { cur = snapshot(dir); curMeta = None }
+      else { cur = m.metaSnap; curMeta = Some(m) }
     }
     throw new ConcurrentWriteException(
       s"$op on $dir lost $maxCommitAttempts consecutive commit races")
@@ -3248,8 +3538,12 @@ object TxLog {
     * when no file carries a DV. */
   def purgeDeletes(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Option[(Int, Int)] = {
-    val snap = snapshot(dir)
-    val dvFiles = snap.files.filter(_.dv.nonEmpty)
+    val (snap, meta) = dmlSnapshot(dir, None)
+    // DV-bearing discovery ∝ files carrying vectors, never table size
+    val dvFiles = meta match {
+      case Some(mm) => planFilesMeta(spark, dir, mm, a => a.dv.nonEmpty)
+      case None => snap.files.filter(_.dv.nonEmpty)
+    }
     if (dvFiles.isEmpty) return None
     val liveBytes = dvFiles.map(_.bytes).sum // physical bytes: upper bound
     val nOut = math.max(1, math.min(
@@ -3260,7 +3554,7 @@ object TxLog {
       if (partitionColsOf(snap).nonEmpty) stageForTable(spark, dir, snap, src)
       else stage(spark, dir, toPhysical(src.coalesce(nOut), snap))
     val adds = adds0.map(_.copy(dataChange = false))
-    commitRewrite(dir, sub, adds, snap, "purge", Some(dvFiles))
+    commitRewrite(spark, dir, sub, adds, snap, "purge", Some(dvFiles))
     Some((dvFiles.size, adds.size))
   }
 
@@ -3434,8 +3728,14 @@ object TxLog {
     * exist (nothing to gain). */
   def compactSmall(spark: SparkSession, dir: String,
       smallFileBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): Option[(Int, Int)] = {
-    val snap = snapshot(dir)
-    val small = snap.files.filter(_.bytes < smallFileBytes)
+    val (snap, meta) = dmlSnapshot(dir, None)
+    // small-file discovery ∝ the files to compact, never table size
+    val small = meta match {
+      case Some(mm) =>
+        val cut = smallFileBytes
+        planFilesMeta(spark, dir, mm, a => a.bytes < cut)
+      case None => snap.files.filter(_.bytes < smallFileBytes)
+    }
     if (small.size < 2) return None
     val totalBytes = small.map(_.bytes).sum
     val nOut = math.max(1, math.min(
@@ -3450,7 +3750,7 @@ object TxLog {
     // check-then-claim against ONE snapshot per iteration — the
     // [[commitRewrite]] rebase invariant; see the comment there for the
     // double-compaction duplication (and DV resurrection) this prevents
-    commitRewrite(dir, sub, adds, snap, "autoOptimize", Some(small))
+    commitRewrite(spark, dir, sub, adds, snap, "autoOptimize", Some(small))
     Some((small.size, adds.size))
   }
 
@@ -3480,9 +3780,23 @@ object TxLog {
         val minSmall = props.get(AutoOptimize.MinSmallFiles).map(_.toInt).getOrElse(8)
         val smallBytes = props.get(AutoOptimize.SmallFileBytes).map(_.toLong).getOrElse(32L << 20)
         val target = props.get(AutoOptimize.TargetBytes).map(_.toLong).getOrElse(128L << 20)
-        val nSmall = head.map(_.files.count(_.bytes < smallBytes)).getOrElse(0) +
-          adds.count(_.bytes < smallBytes)
-        if (nSmall >= minSmall)
+        // a sharded-base head arrives files-EMPTY ([[headSnapshot]]);
+        // its small-file census runs as a distributed metadata count,
+        // and only when this commit itself added a small file (a
+        // big-file-only stream never pays the extra metadata job)
+        val addedSmall = adds.count(_.bytes < smallBytes)
+        val headSmall: Long = head match {
+          case Some(h) if h.files.nonEmpty => h.files.count(_.bytes < smallBytes).toLong
+          case Some(_) if addedSmall > 0 =>
+            val meta = snapshotMeta(dir, Some(head.get.version))
+            if (meta.ckptBase.isEmpty) 0L
+            else {
+              val cut = smallBytes
+              planFilesMeta(spark, dir, meta, a => a.bytes < cut).size.toLong
+            }
+          case _ => 0L
+        }
+        if (headSmall + addedSmall >= minSmall)
           compactSmall(spark, dir, smallBytes, target): Unit
       }
     } catch { case _: Exception => () }
@@ -3581,7 +3895,8 @@ object TxLog {
           .getOrElse(latestVersion(dir))
       case None => append(spark, dir, source0)
     }
-    val snap = snapshot(dir, Some(readVersion))
+    val (snap, meta) = dmlSnapshot(dir, Some(readVersion))
+    val nLive = dmlLiveFiles(spark, dir, snap, meta)
     // a CDC feed need not carry the table's generated columns
     val source = withGeneratedCols(snap, source0)
     val doEvolve = evolve || snap.props.get(AutoMerge.Enabled).contains("true")
@@ -3702,7 +4017,7 @@ object TxLog {
       // pruning is an optimization, never a correctness dependency.
       val physKey = fullMap.getOrElse(keyCol, keyCol)
       val candidates: Seq[AddFile] =
-        if (snap.files.isEmpty || !table.fieldNames.contains(keyCol)) Nil
+        if (nLive == 0L || !table.fieldNames.contains(keyCol)) Nil
         else {
           import org.apache.spark.sql.{sources => s1}
           val rangeFilters = addsKeyBounds(srcAdds, physKey).map {
@@ -3719,7 +4034,7 @@ object TxLog {
               else Nil // a key whose canon is null cannot be listed
             }
           val filters = rangeFilters ++ inFilter
-          if (filters.isEmpty) snap.files else pruneByFilters(snap, filters, Some(dir))
+          dmlCandidates(spark, dir, snap, meta, filters)
         }
       // Identity resolution: matched source rows inherit the target's
       // id (recovered through the key from the candidates' LIVE rows;
@@ -3803,7 +4118,8 @@ object TxLog {
         val deadCounts: Map[String, Long] = matchedPos.groupBy(col("__p"))
           .agg(count(lit(1)).as("n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val touched = snap.files.filter(f => deadCounts.contains(f.path))
+        // touched ⊆ candidates (the coordinates came from their scan)
+        val touched = candidates.filter(f => deadCounts.contains(f.path))
         val (fullDead, partial) = touched.partition(f => deadCounts(f.path) == f.rows)
         var dvSub: Option[String] = None
         val partialAdds =
@@ -3836,7 +4152,7 @@ object TxLog {
             commitProps,
             metrics = Map("rows_matched" -> matched,
               "rows_inserted" -> (srcAdds.map(_.rows).sum - matched),
-              "files_live" -> snap.files.size.toLong,
+              "files_live" -> nLive,
               "files_scanned" -> candidates.size.toLong,
               "files_touched" -> touched.size.toLong))
           catch { case e: Throwable => dvSub.foreach(deleteStaged(dir, _)); throw e }
@@ -3884,7 +4200,7 @@ object TxLog {
               // the pruning observables the scale contract is graded
               // on: candidates actually OPENED by touch discovery vs
               // the live total, and the files rewritten
-              "files_live" -> snap.files.size.toLong,
+              "files_live" -> nLive,
               "files_scanned" -> candidates.size.toLong,
               "files_touched" -> touched.size.toLong))
         }
@@ -4059,7 +4375,8 @@ object TxLog {
     }
     val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     require(readVersion >= 0, s"mergeClauses: $dir has no committed versions")
-    val snap = snapshot(dir, Some(readVersion))
+    val (snap, meta) = dmlSnapshot(dir, Some(readVersion))
+    val nLive = dmlLiveFiles(spark, dir, snap, meta)
     // a CDC feed need not carry the table's generated columns
     val source = withGeneratedCols(snap, source0)
     val table = snap.schema
@@ -4176,8 +4493,8 @@ object TxLog {
       // fire on ANY target row, so its presence forces the full live
       // set — the clause's inherent cost, surfaced in files_scanned.
       val candidates: Seq[AddFile] =
-        if (snap.files.isEmpty) Nil
-        else if (bySource.nonEmpty) snap.files
+        if (nLive == 0L) Nil
+        else if (bySource.nonEmpty) dmlCandidates(spark, dir, snap, meta, Nil)
         else {
           import org.apache.spark.sql.{sources => s1}
           val filters = keyCols.zipWithIndex.flatMap { case (kc, i) =>
@@ -4196,7 +4513,7 @@ object TxLog {
               }
             range ++ in
           }
-          if (filters.isEmpty) snap.files else pruneByFilters(snap, filters, Some(dir))
+          dmlCandidates(spark, dir, snap, meta, filters)
         }
 
       def condOrTrue(c: Option[String]): String = c.getOrElse("TRUE")
@@ -4429,7 +4746,7 @@ object TxLog {
           "rows_updated" -> postAdds.map(_.rows).sum,
           "rows_deleted" -> (matchedCount - postAdds.map(_.rows).sum),
           "rows_inserted" -> insertAdds.map(_.rows).sum,
-          "files_live" -> snap.files.size.toLong,
+          "files_live" -> nLive,
           "files_scanned" -> candidates.size.toLong,
           "files_touched" -> touched.size.toLong))
       published = true
@@ -4617,7 +4934,7 @@ object TxLog {
     require(cols.nonEmpty, "addColumns: no columns given")
     var tries = 0
     while (tries < maxCommitAttempts) {
-      val head = snapshot(dir)
+      val head = headState(dir)
       val existing = head.schema.fieldNames.map(_.toLowerCase).toSet
       cols.foreach(c => require(!existing.contains(c.name.toLowerCase),
         s"addColumns: column ${c.name} already exists"))
@@ -4653,7 +4970,7 @@ object TxLog {
     requireMappableName(to)
     var tries = 0
     while (tries < maxCommitAttempts) {
-      val head = snapshot(dir)
+      val head = headState(dir)
       val idx = head.schema.fieldNames.indexWhere(_.equalsIgnoreCase(from))
       require(idx >= 0, s"renameColumn: no column $from in ${head.schema.fieldNames.mkString(",")}")
       require(!head.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
@@ -4701,7 +5018,7 @@ object TxLog {
   def dropColumn(dir: String, name: String): Long = {
     var tries = 0
     while (tries < maxCommitAttempts) {
-      val head = snapshot(dir)
+      val head = headState(dir)
       val idx = head.schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
       require(idx >= 0, s"dropColumn: no column $name in ${head.schema.fieldNames.mkString(",")}")
       require(head.schema.fields.length > 1, "dropColumn: cannot drop the last column")
@@ -4770,7 +5087,7 @@ object TxLog {
   def alterColumnType(dir: String, name: String, to: DataType): Long = {
     var tries = 0
     while (tries < maxCommitAttempts) {
-      val head = snapshot(dir)
+      val head = headState(dir)
       val idx = head.schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
       require(idx >= 0,
         s"alterColumnType: no column $name in ${head.schema.fieldNames.mkString(",")}")
@@ -4897,20 +5214,23 @@ object TxLog {
     val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     if (readVersion < 0)
       throw new VersionNotFoundException(s"$dir has no committed versions")
-    val snap = snapshot(dir, Some(readVersion))
-    if (snap.files.isEmpty) return readVersion
+    val (snap, meta) = dmlSnapshot(dir, Some(readVersion))
+    val nLive = dmlLiveFiles(spark, dir, snap, meta)
+    if (nLive == 0L) return readVersion
     // predicate-pruned touch discovery: a conjunct like `day = X` skips
     // every file whose pv/stats exclude X — O(partition) DML. The keyed
     // path bounds discovery by the erase list's own key range (one
-    // small agg over the keys, never a table scan) the same way.
+    // small agg over the keys, never a table scan) the same way. On a
+    // sharded base the prune itself is a distributed job
+    // ([[dmlCandidates]]): driver memory ∝ selectivity, never table size.
     val candidates = keys match {
-      case Some((k, kc)) =>
-        val fs = keyFrameFilters(k, kc)
-        if (fs.isEmpty) snap.files else pruneByFilters(snap, fs, Some(dir))
-      case None => pruneByFilters(snap, eqConjuncts(spark, condition, snap.schema), Some(dir))
+      case Some((k, kc)) => dmlCandidates(spark, dir, snap, meta, keyFrameFilters(k, kc))
+      case None =>
+        dmlCandidates(spark, dir, snap, meta, eqConjuncts(spark, condition, snap.schema))
     }
     if (candidates.isEmpty) return readVersion
-    if (dvEnabled(snap)) return deleteWhereDv(spark, dir, snap, condition, keys, candidates)
+    if (dvEnabled(snap))
+      return deleteWhereDv(spark, dir, snap, condition, keys, candidates, nLive)
     val tagged = scanFiles(spark, dir, snap, candidates, tagPath = Some("__p"))
     val matchedFiles = keys match {
       case Some((k, kc)) => tagged.join(k, Seq(kc), "left_semi")
@@ -4920,7 +5240,8 @@ object TxLog {
     val touchedPaths = matchedFiles.select("__p").distinct()
       .collect().map(_.getString(0)).toSet
     if (touchedPaths.isEmpty) return readVersion
-    val touched = snap.files.filter(f => touchedPaths.exists(_.endsWith(f.path)))
+    // touched ⊆ candidates (the match scan read only candidate files)
+    val touched = candidates.filter(f => touchedPaths.exists(_.endsWith(f.path)))
 
     val touchedDf = scanFiles(spark, dir, snap, touched)
     val keep = keys match {
@@ -4951,7 +5272,7 @@ object TxLog {
         "rows_deleted" ->
           (touched.map(_.rows).sum - remainderAdds.map(_.rows).sum),
         "files_scanned" -> candidates.size.toLong,
-        "files_live" -> snap.files.size.toLong))
+        "files_live" -> nLive))
     catch { case e: Throwable =>
       deleteStaged(dir, remSub)
       cdfSub.foreach(deleteStaged(dir, _))
@@ -4973,7 +5294,7 @@ object TxLog {
     * copy-on-write path. */
   private def deleteWhereDv(spark: SparkSession, dir: String, snap: Snapshot,
       condition: String, keys: Option[(DataFrame, String)],
-      candidates: Seq[AddFile]): Long = {
+      candidates: Seq[AddFile], nLive: Long): Long = {
     val readVersion = snap.version
     // the match scan covers only the predicate-prunable candidates
     val live = scanLiveWithPos(spark, dir, snap.copy(files = candidates))
@@ -4987,7 +5308,8 @@ object TxLog {
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (deadCounts.isEmpty) return readVersion
-    val touched = snap.files.filter(f => deadCounts.contains(f.path))
+    // touched ⊆ candidates (the coordinates came from their scan)
+    val touched = candidates.filter(f => deadCounts.contains(f.path))
     val (fullDead, partial) = touched.partition(f => deadCounts(f.path) == f.rows)
 
     val (cdfSub, cdfAdds) =
@@ -5022,7 +5344,7 @@ object TxLog {
       fullDead.map(_.path), partialAdds, cdfAdds, None, Some(3L), None,
       metrics = Map("rows_deleted" -> deadCounts.values.sum,
         "files_scanned" -> candidates.size.toLong,
-        "files_live" -> snap.files.size.toLong))
+        "files_live" -> nLive))
     catch { case e: Throwable =>
       dvSub.foreach(deleteStaged(dir, _))
       cdfSub.foreach(deleteStaged(dir, _))
@@ -5057,7 +5379,7 @@ object TxLog {
     val readVersion = readVersionOpt.getOrElse(latestVersion(dir))
     if (readVersion < 0)
       throw new VersionNotFoundException(s"$dir has no committed versions")
-    val snap = snapshot(dir, Some(readVersion))
+    val (snap, meta) = dmlSnapshot(dir, Some(readVersion))
     set0.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"update: SET column $c not in table schema"))
     // generated columns: refused as direct SET targets; recomputed
@@ -5074,10 +5396,12 @@ object TxLog {
         // recompute from the base's NEW value (its SET expression)
         g -> genSqlExprOn(spec, bt, s"(${set0(spec.base)})")
     }
-    if (snap.files.isEmpty) return readVersion
-    val candidates = pruneByFilters(snap, eqConjuncts(spark, condition, snap.schema), Some(dir))
+    val nLive = dmlLiveFiles(spark, dir, snap, meta)
+    if (nLive == 0L) return readVersion
+    val candidates =
+      dmlCandidates(spark, dir, snap, meta, eqConjuncts(spark, condition, snap.schema))
     if (candidates.isEmpty) return readVersion
-    if (dvEnabled(snap)) return updateDv(spark, dir, snap, condition, set, candidates)
+    if (dvEnabled(snap)) return updateDv(spark, dir, snap, condition, set, candidates, nLive)
     val matching = scanFiles(spark, dir, snap, candidates, tagPath = Some("__p"))
       .where(condition)
     requireDeterministic(matching, "predicate")
@@ -5085,7 +5409,8 @@ object TxLog {
       .select(col("__p"))
       .distinct().collect().map(_.getString(0)).toSet
     if (touchedPaths.isEmpty) return readVersion
-    val touched = snap.files.filter(f => touchedPaths.exists(_.endsWith(f.path)))
+    // touched ⊆ candidates (the match scan read only candidate files)
+    val touched = candidates.filter(f => touchedPaths.exists(_.endsWith(f.path)))
 
     val touchedDf = scanFiles(spark, dir, snap, touched)
     val cond = coalesce(expr(condition), lit(false))
@@ -5132,7 +5457,7 @@ object TxLog {
           None, None, None,
           metrics = Map("rows_updated" -> updatedAdds.map(_.rows).sum,
             "files_scanned" -> candidates.size.toLong,
-            "files_live" -> snap.files.size.toLong))
+            "files_live" -> nLive))
         catch { case e: Throwable => deleteStaged(dir, remSub); throw e }
       published = true
       v
@@ -5156,7 +5481,7 @@ object TxLog {
     * [[update]]. Stamps protocol 3. */
   private def updateDv(spark: SparkSession, dir: String, snap: Snapshot,
       condition: String, set: Map[String, String],
-      candidates: Seq[AddFile]): Long = {
+      candidates: Seq[AddFile], nLive: Long): Long = {
     val readVersion = snap.version
     val live = scanLiveWithPos(spark, dir, snap.copy(files = candidates))
     val matched = live.where(coalesce(expr(condition), lit(false)))
@@ -5165,7 +5490,8 @@ object TxLog {
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (deadCounts.isEmpty) return readVersion
-    val touched = snap.files.filter(f => deadCounts.contains(f.path))
+    // touched ⊆ candidates (the coordinates came from their scan)
+    val touched = candidates.filter(f => deadCounts.contains(f.path))
     val (fullDead, partial) = touched.partition(f => deadCounts(f.path) == f.rows)
 
     val matchedRows = matched.drop("__p", "__i")
@@ -5221,7 +5547,7 @@ object TxLog {
         None, Some(3L), None,
         metrics = Map("rows_updated" -> updatedAdds.map(_.rows).sum,
           "files_scanned" -> candidates.size.toLong,
-          "files_live" -> snap.files.size.toLong))
+          "files_live" -> nLive))
       published = true
       v
     } catch { case e: Throwable =>
@@ -5528,20 +5854,36 @@ object TxLog {
         // still always retained (a table must stay readable)
         math.min(keepFromVersions, firstInWindow.getOrElse(latest))
     }
-    val retainedSnaps = (keepFrom to latest).map(v => snapshot(dir, Some(v)))
-    val kept = retainedSnaps.flatMap(_.files.map(_.path)).toSet ++
-      commits.filter(_ >= keepFrom)
-        .flatMap(v => parseAdds(commitJsons(v) \ "cdf").map(_.path))
     val referenced = commits.flatMap { v =>
       (parseAdds(commitJsons(v) \ "adds") ++ parseAdds(commitJsons(v) \ "cdf")).map(_.path)
     }.toSet
+    val referencedDvDirs = commits.flatMap(v =>
+      parseAdds(commitJsons(v) \ "adds").flatMap(_.dv.map(_.path))).toSet
+    val cdfKept = commits.filter(_ >= keepFrom)
+      .flatMap(v => parseAdds(commitJsons(v) \ "cdf").map(_.path)).toSet
+    // Retained-liveness resolution. `referenced`/`referencedDvDirs` are
+    // bounded by the retained LOG window (cleanupLog trims it), but the
+    // live sets of the retained versions are O(table): on a sharded
+    // base they stay DISTRIBUTED — membership of the bounded candidate
+    // sets is probed by one Spark job ([[vacuumSharded]]), and the
+    // orphan sweep anti-joins the disk listing against the live frame
+    // instead of holding a kept-set on the driver.
+    val retainedMetas = (keepFrom to latest).map(v => snapshotMeta(dir, Some(v)))
+    val sharded = retainedMetas.exists(_.ckptBase.nonEmpty)
+    val sparkOpt =
+      if (!sharded) None
+      else org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    if (sharded && sparkOpt.isDefined)
+      return vacuumSharded(sparkOpt.get, dir, retainedMetas, referenced,
+        referencedDvDirs, cdfKept, staleStagingMillis, dryRun)
+    val retainedSnaps = (keepFrom to latest).map(v => snapshot(dir, Some(v)))
+    val kept = retainedSnaps.flatMap(_.files.map(_.path)).toSet ++ cdfKept
     // deletion-vector directories retire like data files: kept while any
     // retained snapshot's descriptor points at them (a superseded DV —
     // its file re-DML'd, rewritten, or removed — ages out of the window
     // and is reclaimed whole)
     val keptDvDirs = retainedSnaps.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet
-    val referencedDvDirs = commits.flatMap(v =>
-      parseAdds(commitJsons(v) \ "adds").flatMap(_.dv.map(_.path))).toSet
     val expiredDvDirs = (referencedDvDirs -- keptDvDirs).toSeq.sorted
       .filter(sub => Files.isDirectory(Paths.get(dir, sub)))
     val expiredDv = expiredDvDirs.flatMap { sub =>
@@ -5590,6 +5932,123 @@ object TxLog {
     if (dryRun) return expired ++ orphans
     val reclaimed = orphans.filter(rel => Files.deleteIfExists(Paths.get(dir, rel)))
     // Drop directories the reclamation emptied.
+    reclaimed.map(rel => Paths.get(dir, rel).getParent).distinct.foreach { d =>
+      val fs = Files.list(d)
+      val empty = try !fs.iterator().hasNext finally fs.close()
+      if (empty) Files.deleteIfExists(d): Unit
+    }
+    expired ++ reclaimed
+  }
+
+  /** One retained version's LIVE entries as a (path, dvdir) frame —
+    * never collected: [[vacuumSharded]] joins against it. */
+  private def liveEntriesDf(spark: SparkSession, dir: String,
+      meta: SnapshotMeta): DataFrame = {
+    import spark.implicits._
+    val deltaRows = meta.deltaAdds.map(a => (a.path, a.dv.map(_.path).orNull))
+    meta.ckptBase match {
+      case Some((cv, parts)) =>
+        val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
+        val exclB = spark.sparkContext.broadcast(excl)
+        val paths = (0 until parts).map(i => ckptPartFile(dir, cv, i, parts).toString)
+        spark.read.textFile(paths: _*)
+          .flatMap { (line: String) =>
+            if (line.isEmpty) None
+            else {
+              val a = parseAdd(parse(line))
+              if (exclB.value.contains(a.path)) None
+              else Some((a.path, a.dv.map(_.path).orNull))
+            }
+          }.toDF("path", "dvdir")
+          .unionAll(deltaRows.toDF("path", "dvdir"))
+      case None =>
+        snapshot(dir, Some(meta.version)).files
+          .map(a => (a.path, a.dv.map(_.path).orNull)).toDF("path", "dvdir")
+    }
+  }
+
+  /** [[vacuum]] for tables whose retained versions include a SHARDED
+    * replay base: identical retention semantics, with every O(table)
+    * set kept DISTRIBUTED —
+    *  - expiry of the log-window-bounded `referenced` candidates is
+    *    decided by a broadcast membership probe against the retained
+    *    live frame (collect ∝ |referenced|);
+    *  - DV-directory retention likewise (collect ∝ live DV pointers of
+    *    the referenced dirs);
+    *  - the dead-staging sweep enumerates staging-dir contents on the
+    *    EXECUTORS (the table directory is shared storage by deployment
+    *    contract) and anti-joins the listing against the live frame, so
+    *    the driver only ever holds actual orphans.
+    * The legacy path materializes the same sets on the driver — fine at
+    * inline-checkpoint scale, GBs of heap at a million files. */
+  private def vacuumSharded(spark: SparkSession, dir: String,
+      retainedMetas: Seq[SnapshotMeta], referenced: Set[String],
+      referencedDvDirs: Set[String], cdfKept: Set[String],
+      staleStagingMillis: Long, dryRun: Boolean): Seq[String] = {
+    import spark.implicits._
+    val live = retainedMetas.map(liveEntriesDf(spark, dir, _))
+      .reduce(_ unionAll _).localCheckpoint(true)
+    // bounded: which referenced paths / DV dirs are still live anywhere
+    val refB = spark.sparkContext.broadcast(referenced)
+    val keptRef: Set[String] = live
+      .filter((r: org.apache.spark.sql.Row) => refB.value.contains(r.getString(0)))
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    val refDvB = spark.sparkContext.broadcast(referencedDvDirs)
+    val keptDvRef: Set[String] = live
+      .filter((r: org.apache.spark.sql.Row) =>
+        r.getString(1) != null && refDvB.value.contains(r.getString(1)))
+      .select("dvdir").distinct().collect().map(_.getString(0)).toSet
+    val expiredDvDirs = (referencedDvDirs -- keptDvRef).toSeq.sorted
+      .filter(sub => Files.isDirectory(Paths.get(dir, sub)))
+    val expiredDv = expiredDvDirs.flatMap { sub =>
+      val inDir = listStaged(dir, sub).map(n => s"$sub/$n")
+      if (!dryRun) deleteStaged(dir, sub)
+      inDir
+    }
+    val expired = (referenced -- keptRef -- cdfKept).toSeq.sorted
+      .filter(rel =>
+        if (dryRun) Files.exists(Paths.get(dir, rel))
+        else {
+          deleteSidecars(dir, rel)
+          Files.deleteIfExists(Paths.get(dir, rel))
+        }) ++ expiredDv
+
+    // dead staging, distributed: list the staging DIRS on the driver
+    // (∝ commits), their contents on executors, anti-join the live sets
+    val cutoff = System.currentTimeMillis() - math.max(0L, staleStagingMillis)
+    val root = Paths.get(dir)
+    val stagingDirs: Seq[String] = {
+      val ds = Files.list(root)
+      try ds.iterator().asScala
+        .filter(p => Files.isDirectory(p) && {
+          val n = p.getFileName.toString
+          n.startsWith("d-") || n.startsWith("dv-")
+        }).map(_.getFileName.toString).toList
+      finally ds.close()
+    }
+    val tableRoot = dir
+    val listed = spark.createDataset(stagingDirs)
+      .flatMap { (sub: String) =>
+        val d = java.nio.file.Paths.get(tableRoot, sub)
+        val fs = java.nio.file.Files.list(d)
+        try fs.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => (s"$sub/${p.getFileName}", sub,
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toList
+        finally fs.close()
+      }.toDF("rel", "parent", "mtime")
+    val liveDvDirs = live.where(col("dvdir").isNotNull)
+      .select(col("dvdir").as("pdir")).distinct()
+      .unionAll(referencedDvDirs.toSeq.toDF("pdir"))
+    val orphans = listed
+      .where(col("mtime") < cutoff)
+      .filter((r: org.apache.spark.sql.Row) => !refB.value.contains(r.getString(0)))
+      .join(live, listed("rel") === live("path"), "left_anti")
+      .join(liveDvDirs, col("parent") === col("pdir"), "left_anti")
+      .select("rel").collect().map(_.getString(0)).toList.sorted
+    if (dryRun) return expired ++ orphans
+    val reclaimed = orphans.filter(rel => Files.deleteIfExists(Paths.get(dir, rel)))
     reclaimed.map(rel => Paths.get(dir, rel).getParent).distinct.foreach { d =>
       val fs = Files.list(d)
       val empty = try !fs.iterator().hasNext finally fs.close()

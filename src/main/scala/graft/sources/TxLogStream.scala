@@ -98,7 +98,9 @@ class TxLogStreamProvider extends StreamSourceProvider with StreamSinkProvider
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
-    val snap = TxLog.snapshot(pathOf(parameters))
+    // schema resolution needs no file list — meta plane, so attaching a
+    // stream to a million-file table never folds its AddFiles
+    val snap = TxLog.snapshotMeta(pathOf(parameters)).metaSnap
     // readChangeFeed=true streams the row-level CHANGE FEED instead of
     // new rows: schema gains _change_type + _commit_version
     val table =
@@ -180,7 +182,7 @@ class TxLogSink(spark: SparkSession, dir: String, appId: String,
         try TxLog.create(dir, df.schema, partitionBy)
         catch { case _: TxLog.TableExistsException => () } // concurrent creator won
       else {
-        val existing = TxLog.partitionColsOf(TxLog.snapshot(dir))
+        val existing = TxLog.partitionColsOf(TxLog.snapshotMeta(dir).metaSnap)
         require(existing == partitionBy,
           s"txlog sink: partitionBy $partitionBy != table partitioning $existing")
       }
@@ -213,8 +215,11 @@ class TxLogSource(spark: SparkSession, dir: String,
 
   /** Pinned at stream construction; also carries the column mapping the
     * scan needs (physical names never change, so the pinned mapping
-    * covers every file the guard below lets through). */
-  private val pinnedSnap: TxLog.Snapshot = TxLog.snapshot(dir)
+    * covers every file the guard below lets through). Resolved through
+    * the META plane — the source consumes schema/props only (batches
+    * come from [[TxLog.changedFilesBetween]], never the live list), so
+    * stream construction is O(checkpoint window) on any table size. */
+  private val pinnedSnap: TxLog.Snapshot = TxLog.snapshotMeta(dir).metaSnap
 
   override val schema: StructType =
     if (readChangeFeed)
@@ -405,7 +410,7 @@ class TxLogSource(spark: SparkSession, dir: String,
     // not fail: a resumed stream catching up over pre-evolution versions
     // scans old files under the (wider) pinned schema — absent columns
     // read NULL, which is exactly what those rows hold.
-    val atEnd = TxLog.snapshot(dir, Some(to)).schema
+    val atEnd = TxLog.snapshotMeta(dir, Some(to)).schema
     val pinned = schema.fields.map(f => f.name -> f.dataType).toMap
     val unrepresentable = atEnd.fields
       .filter(f => !pinned.get(f.name).contains(f.dataType))

@@ -98,10 +98,36 @@ class DmlPruneFuzzSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** A trial's live set written out as a SHARDED checkpoint log (2
+    * lines per part), so [[TxLog.planScan]] exercises the distributed
+    * prune on exactly the files the driver path judged. */
+  private def shardedDirOf(trial: Int, schema: StructType,
+      files: Seq[AddFile]): String = {
+    val dir = graft.Scratch.dir(s"graft-fuzz-shard-$trial").toString + "/t"
+    val ld = java.nio.file.Paths.get(dir, "_txlog")
+    java.nio.file.Files.createDirectories(ld)
+    def put(n: String, c: String): Unit =
+      java.nio.file.Files.write(ld.resolve(n), c.getBytes("UTF-8")): Unit
+    val ddl = schema.toDDL.replace("\"", "\\\"")
+    put("00000000000000000000.json",
+      s"""{"version":0,"op":"create","ts":1,"schema":"$ddl","adds":[],"removes":[]}""")
+    val parts = files.grouped(2).toSeq // trials always carry >= 1 file
+    val n = parts.size
+    parts.zipWithIndex.foreach { case (grp, i) =>
+      put(f"${0L}%020d.ckpt.part-$i%05d-of-$n%05d.jsonl",
+        grp.map(TxLog.shardLine).mkString("", "\n", "\n"))
+    }
+    put("00000000000000000000.ckpt.json",
+      s"""{"version":0,"protocol":1,"schema":"$ddl","txns":{},"props":{},"parts":$n}""")
+    put("_last_checkpoint", s"""{"version":0,"parts":$n}""")
+    dir
+  }
+
   test("600 seeded trials: DML discovery never prunes a file holding a matching row") {
     val rnd = new scala.util.Random(20260815L)
     var checkedMatches = 0L
     var prunedFiles = 0L
+    var shardedTrials = 0L
     (0 until 600).foreach { trial =>
       val dt = colTypes(rnd.nextInt(colTypes.size))
       val vals = pool(dt)
@@ -141,6 +167,19 @@ class DmlPruneFuzzSpec extends AnyFunSuite with SparkTestBase {
         val filters = TxLog.eqConjuncts(spark, condition, schema)
         val survivors = TxLog.pruneByFilters(snap, filters).map(_.path).toSet
         prunedFiles += files.size - survivors.size
+        // ~1 in 10 trials additionally materializes the live set as a
+        // SHARDED log and runs the same discovery through the
+        // distributed plane — the no-divergence guard for the round-15
+        // DML routing (planScan shares mkFilePruner, so any drift here
+        // is a wiring bug, not a canon bug)
+        if (rnd.nextInt(10) == 0) {
+          shardedTrials += 1
+          val dir = shardedDirOf(trial, schema, files.map(_._1))
+          val distributed = TxLog.planScan(spark, dir, filters).map(_.path).toSet
+          assert(distributed === survivors,
+            s"trial $trial: sharded-base discovery diverged under " +
+              s"[$condition] on ${dt.simpleString} (filters=$filters)")
+        }
         var k = 0
         files.foreach { case (f, rows) =>
           val hasMatch = rows.indices.exists(j => matches(k + j))
@@ -158,5 +197,7 @@ class DmlPruneFuzzSpec extends AnyFunSuite with SparkTestBase {
     // a fuzz that never prunes can never fail — require real teeth
     assert(prunedFiles > 100L,
       s"the generator must actually exercise pruning (pruned $prunedFiles files)")
+    assert(shardedTrials > 20L,
+      s"the sharded-base leg must actually run (got $shardedTrials trials)")
   }
 }

@@ -160,7 +160,7 @@ class TxDvSpec extends AnyFunSuite with SparkTestBase {
     val stale = TxLog.snapshot(dir)
     TxLog.delete(spark, dir, "grp = 1") // concurrent DV commit: same path, new descriptor
     intercept[TxLog.ConcurrentWriteException] {
-      TxLog.commitRewrite(dir, "d-nonexistent", Nil, stale, "optimize")
+      TxLog.commitRewrite(spark, dir, "d-nonexistent", Nil, stale, "optimize")
     }
   }
 
