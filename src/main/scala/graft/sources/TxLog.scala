@@ -947,6 +947,16 @@ object TxLog {
   private def ckptPartFile(dir: String, v: Long, i: Int, n: Int): Path =
     logDir(dir).resolve(f"$v%020d.ckpt.part-$i%05d-of-$n%05d.jsonl")
 
+  /** One shard of a PARQUET checkpoint (FORMAT.md §3 v2 encoding):
+    * typed metadata columns, so planning gets column pruning (a
+    * live-set count never reads the stats struct) and row-group
+    * skipping via the widened `mind`/`maxd` index columns. */
+  private def ckptPartFileP(dir: String, v: Long, i: Int, n: Int): Path =
+    logDir(dir).resolve(f"$v%020d.ckpt.part-$i%05d-of-$n%05d.parquet")
+
+  private def ckptPart(dir: String, v: Long, i: Int, n: Int, parquet: Boolean): Path =
+    if (parquet) ckptPartFileP(dir, v, i, n) else ckptPartFile(dir, v, i, n)
+
   /** `_last_checkpoint` pointer (Delta's exact mechanism): names the
     * newest checkpoint so a reader starts its directory LIST at that
     * version (object-store LIST supports startAfter) instead of paging
@@ -1055,6 +1065,257 @@ object TxLog {
     * seam for materializing synthetic live sets as sharded logs. */
   private[sources] def shardLine(a: AddFile): String =
     compact(render(addJson(a)))
+
+  // ---- parquet checkpoint shards (FORMAT.md §3 v2 encoding) ----------------
+
+  /** Per-column stats cell of a parquet shard. `t/min/max/nulls` are
+    * the AUTHORITATIVE canon fields ([[ColStats]] round-trips exactly);
+    * `mind`/`maxd` are derived WIDENED double bounds for numeric-family
+    * columns — the row-group-skipping index [[coarseShardPred]] pushes
+    * range predicates against. Widened outward at write time
+    * (nextDown/nextUp around the decimal's double image), so a skipped
+    * row group provably holds no survivor; the exact pruner re-judges
+    * everything that passes. */
+  private val shardStatsType = StructType(Seq(
+    StructField("t", StringType), StructField("min", StringType),
+    StructField("max", StringType), StructField("nulls", LongType),
+    StructField("mind", DoubleType), StructField("maxd", DoubleType)))
+
+  private[sources] def shardSchemaForTest(statsCols: Seq[String]): StructType =
+    shardSchemaOf(statsCols)
+
+  private def shardSchemaOf(statsCols: Seq[String]): StructType = {
+    val base = Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("dc", BooleanType, nullable = false),
+      StructField("dv", StructType(Seq(
+        StructField("path", StringType), StructField("dead", LongType)))),
+      StructField("pv", MapType(StringType, StringType)))
+    StructType(
+      if (statsCols.isEmpty) base // parquet refuses empty groups
+      else base :+ StructField("stats",
+        StructType(statsCols.map(c => StructField(c, shardStatsType)))))
+  }
+
+  private[sources] def lexicalStatsFamily(typ: String): Boolean =
+    typ == "string" || typ == "date" || typ.startsWith("timestamp")
+
+  private def wideLo(canon: String): java.lang.Double =
+    try java.lang.Double.valueOf(
+      Math.nextDown(new java.math.BigDecimal(canon).doubleValue()))
+    catch { case _: NumberFormatException => null } // NaN/Inf canon: no index
+  private def wideHi(canon: String): java.lang.Double =
+    try java.lang.Double.valueOf(
+      Math.nextUp(new java.math.BigDecimal(canon).doubleValue()))
+    catch { case _: NumberFormatException => null }
+
+  private[sources] def addToShardRow(a: AddFile,
+      statsCols: Seq[String]): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.Row
+    val dv = a.dv.map(d => Row(d.path, d.dead)).orNull
+    val pv = if (a.pv.isEmpty) null else a.pv
+    if (statsCols.isEmpty) Row(a.path, a.rows, a.bytes, a.dataChange, dv, pv)
+    else {
+      val cells = statsCols.map { c =>
+        a.stats.get(c).map { cs =>
+          val numeric = !lexicalStatsFamily(cs.typ)
+          Row(cs.typ, cs.min.orNull, cs.max.orNull, cs.nulls,
+            if (numeric) cs.min.map(wideLo).orNull else null,
+            if (numeric) cs.max.map(wideHi).orNull else null)
+        }.orNull
+      }
+      Row(a.path, a.rows, a.bytes, a.dataChange, dv, pv, Row(cells: _*))
+    }
+  }
+
+  /** Exact inverse of [[addToShardRow]] over whatever COLUMN SUBSET the
+    * caller projected (schema-introspecting, so column-pruned scans
+    * reconstruct partial AddFiles whose pruning verdict is identical —
+    * the pruner only consults the columns the filters name). */
+  private[sources] def shardRowToAdd(r: org.apache.spark.sql.Row): AddFile = {
+    val sch = r.schema
+    val names = sch.fieldNames.toSet
+    def strAt(n: String): String =
+      if (names(n) && !r.isNullAt(sch.fieldIndex(n))) r.getString(sch.fieldIndex(n)) else null
+    def longAt(n: String, dflt: Long): Long =
+      if (names(n) && !r.isNullAt(sch.fieldIndex(n))) r.getLong(sch.fieldIndex(n)) else dflt
+    val dv =
+      if (!names("dv") || r.isNullAt(sch.fieldIndex("dv"))) None
+      else {
+        val d = r.getStruct(sch.fieldIndex("dv"))
+        Some(Dv(d.getString(0), d.getLong(1)))
+      }
+    val pv: Map[String, String] =
+      if (!names("pv") || r.isNullAt(sch.fieldIndex("pv"))) Map.empty
+      else r.getMap[String, String](sch.fieldIndex("pv")).toMap
+    val stats: Map[String, ColStats] =
+      if (!names("stats") || r.isNullAt(sch.fieldIndex("stats"))) Map.empty
+      else {
+        val sr = r.getStruct(sch.fieldIndex("stats"))
+        sr.schema.fields.iterator.zipWithIndex.flatMap { case (f, j) =>
+          if (sr.isNullAt(j)) None
+          else {
+            val c = sr.getStruct(j)
+            Some(f.name -> ColStats(c.getString(0), Option(c.getString(1)),
+              Option(c.getString(2)), c.getLong(3)))
+          }
+        }.toMap
+      }
+    val dc =
+      if (names("dc") && !r.isNullAt(sch.fieldIndex("dc")))
+        r.getBoolean(sch.fieldIndex("dc"))
+      else true
+    AddFile(strAt("path"), longAt("rows", 0L), longAt("bytes", 0L),
+      stats, dc, dv, pv)
+  }
+
+  /** The WIDENED, always-superset shard predicate compiled from pushed
+    * filters — what turns metadata pruning into parquet ROW-GROUP
+    * skipping on a parquet checkpoint: numeric-family columns compare
+    * against the `mind`/`maxd` double index (literals widened outward
+    * once more), lexical-family columns (string/date/timestamp canon
+    * orders bytewise) compare `min`/`max` directly. A cell the shard
+    * schema lacks, a canon that fails, or a filter shape the index
+    * cannot express contributes TRUE — the exact [[FilePruner]]
+    * re-judges every survivor, so this layer can only skip, never
+    * decide. */
+  private[sources] def coarseShardPred(shardSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      schema: StructType, props: Map[String, String], tz: String): Column = {
+    import org.apache.spark.sql.sources._
+    val m = colMapOf(props)
+    val statsFields: Set[String] = shardSchema.fields.find(_.name == "stats")
+      .map(_.dataType.asInstanceOf[StructType].fieldNames.toSet)
+      .getOrElse(Set.empty)
+    def lexical(c0: String): Boolean =
+      schema.fields.find(_.name == c0).map(_.dataType.simpleString)
+        .exists(lexicalStatsFamily)
+    def cellOf(c0: String): Option[Column] = {
+      val phys = m.getOrElse(c0, c0)
+      if (statsFields(phys)) Some(col("stats").getField(phys)) else None
+    }
+    def bounded(c0: String, v: Any, needMinBelow: Option[String],
+        needMaxAbove: Option[String]): Column =
+      (cellOf(c0), valueCanonTz(v, tz)) match {
+        case (Some(cell), Some(s)) if lexical(c0) =>
+          val minOk = needMinBelow.map(b => cell.getField("min").isNull ||
+            cell.getField("min") <= lit(b))
+          val maxOk = needMaxAbove.map(b => cell.getField("max").isNull ||
+            cell.getField("max") >= lit(b))
+          cell.isNull || (minOk ++ maxOk).reduceOption(_ && _).getOrElse(lit(true))
+        case (Some(cell), Some(s)) =>
+          val lo = wideLo(s); val hi = wideHi(s)
+          if (lo == null || hi == null) lit(true)
+          else {
+            val minOk = needMinBelow.map(_ => cell.getField("mind").isNull ||
+              cell.getField("mind") <= lit(hi.doubleValue))
+            val maxOk = needMaxAbove.map(_ => cell.getField("maxd").isNull ||
+              cell.getField("maxd") >= lit(lo.doubleValue))
+            cell.isNull || (minOk ++ maxOk).reduceOption(_ && _).getOrElse(lit(true))
+          }
+        case _ => lit(true)
+      }
+    def canonOf(v: Any): Option[String] = valueCanonTz(v, tz)
+    def go(f: Filter): Column = f match {
+      case And(l, r) => go(l) && go(r)
+      case Or(l, r) => go(l) || go(r)
+      case EqualTo(c, v) =>
+        canonOf(v).map(s => bounded(c, v, Some(s), Some(s))).getOrElse(lit(true))
+      case In(c, vs) =>
+        val cs = vs.toSeq.map(canonOf)
+        if (cs.isEmpty || cs.exists(_.isEmpty)) lit(true)
+        else cs.flatten.map(s => bounded(c, s, Some(s), Some(s))).reduce(_ || _)
+      case GreaterThan(c, v) =>
+        canonOf(v).map(s => bounded(c, v, None, Some(s))).getOrElse(lit(true))
+      case GreaterThanOrEqual(c, v) =>
+        canonOf(v).map(s => bounded(c, v, None, Some(s))).getOrElse(lit(true))
+      case LessThan(c, v) =>
+        canonOf(v).map(s => bounded(c, v, Some(s), None)).getOrElse(lit(true))
+      case LessThanOrEqual(c, v) =>
+        canonOf(v).map(s => bounded(c, v, Some(s), None)).getOrElse(lit(true))
+      case _ => lit(true)
+    }
+    filters.map(go).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** The raw distributed frame over a parquet checkpoint's shards. */
+  private[sources] def shardDf(spark: SparkSession, dir: String,
+      cv: Long, parts: Int): DataFrame =
+    spark.read.parquet(
+      (0 until parts).map(i => ckptPartFileP(dir, cv, i, parts).toString): _*)
+
+  /** The base live set of a sharded meta as AddFiles, excl-filtered,
+    * format-agnostic — the incremental checkpoint writer's input. */
+  private def baseAddsRdd(spark: SparkSession, dir: String,
+      meta: SnapshotMeta): org.apache.spark.rdd.RDD[AddFile] = {
+    val (cv, parts) = meta.ckptBase.get
+    val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
+    val exclB = spark.sparkContext.broadcast(excl)
+    if (meta.ckptParquet)
+      shardDf(spark, dir, cv, parts).rdd.flatMap { r =>
+        val a = shardRowToAdd(r)
+        if (exclB.value.contains(a.path)) None else Some(a)
+      }
+    else
+      spark.read.textFile((0 until parts).map(i =>
+        ckptPartFile(dir, cv, i, parts).toString): _*).rdd
+        .flatMap { line =>
+          if (line.isEmpty) None
+          else {
+            val a = parseAdd(parse(line))
+            if (exclB.value.contains(a.path)) None else Some(a)
+          }
+        }
+  }
+
+  /** Publish `adds` as parquet checkpoint shards for version `v`:
+    * path-sorted, range-sharded into fixed-size parts (deterministic
+    * row set per part across concurrent writers — the overwrite-race
+    * rule needs set identity, not byte identity), one file per part
+    * moved into its `-of-N` name only after it is fully written.
+    * Returns the part count. */
+  private def writeParquetShards(spark: SparkSession, dir: String, v: Long,
+      adds: org.apache.spark.rdd.RDD[AddFile], total: Long): Int = {
+    import org.apache.spark.sql.Row
+    val statsCols = adds.flatMap(_.stats.keys).distinct().collect().sorted.toSeq
+    val max = ckptPartMaxFiles.toLong
+    val nParts = ((total + max - 1) / max).toInt
+    val schema = shardSchemaOf(statsCols).add(StructField("__s", LongType, nullable = false))
+    val rows = adds.sortBy(_.path).zipWithIndex().map { case (a, i) =>
+      Row.fromSeq(addToShardRow(a, statsCols).toSeq :+ (i / max))
+    }
+    val tmp = logDir(dir).resolve(
+      s".ckpt-tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      spark.createDataFrame(rows, schema)
+        .repartition(nParts, col("__s"))
+        .sortWithinPartitions("__s", "path")
+        .write.partitionBy("__s").mode("overwrite").parquet(tmp.toString)
+      (0 until nParts).foreach { i =>
+        val bucket = tmp.resolve(s"__s=$i")
+        val part = {
+          val fs = Files.list(bucket)
+          try fs.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .toList.headOption.getOrElse(
+              sys.error(s"checkpoint shard $i of $nParts missing in $bucket"))
+          finally fs.close()
+        }
+        Files.move(part, ckptPartFileP(dir, v, i, nParts),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+      nParts
+    } finally deleteRecursively(tmp)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(q => Files.deleteIfExists(q): Unit)
+      finally s.close()
+    }
 
   private def addJson(a: AddFile): JValue = {
     val base0 = ("path" -> a.path) ~ ("rows" -> a.rows) ~ ("bytes" -> a.bytes) ~
@@ -1227,7 +1488,19 @@ object TxLog {
         case _ => 0
       }
       if (nParts == 0) parseAdds(j \ "files").foreach(a => live(a.path) = a)
-      else (0 until nParts).foreach { i =>
+      else if (jStrOpt(j \ "pformat").contains("parquet")) {
+        // FULL materialization of a parquet base — this is the path
+        // the distributed plane exists to avoid; kept for the read
+        // APIs that genuinely need the whole list. Path-sorted so the
+        // reconstructed order is deterministic across processes.
+        val spark = SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
+          .getOrElse(throw new IllegalStateException(
+            s"$dir: reading a parquet checkpoint requires an active SparkSession"))
+        shardDf(spark, dir, cv, nParts).collect()
+          .map(shardRowToAdd).sortBy(_.path)
+          .foreach(a => live(a.path) = a)
+      } else (0 until nParts).foreach { i =>
         // JSONL parts stream line-by-line: parse cost stays bounded per
         // AddFile instead of one table-sized JSON value in memory
         val br = Files.newBufferedReader(ckptPartFile(dir, cv, i, nParts))
@@ -1305,6 +1578,9 @@ object TxLog {
       } catch { case _: Exception => () }
     }
 
+  private[sources] def debugWriteCheckpoint(dir: String, v: Long): Unit =
+    writeCheckpoint(dir, v)
+
   private def writeCheckpoint(dir: String, v: Long): Unit = {
     val meta = snapshotMeta(dir, Some(v))
     // the TABLE's protocol, not this writer's capability — a
@@ -1325,24 +1601,58 @@ object TxLog {
     // every writer of version v — whatever replay base it resolved —
     // produces the same parts and the overwrite-tolerant store op is
     // safe under concurrent duplicates.
-    meta.ckptBase match {
-      case Some(b) => writeCheckpointIncremental(dir, v, meta, b, base)
-      case None =>
+    val sess = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    (meta.ckptBase, sess) match {
+      case (Some(_), Some(spark)) =>
+        // incremental over the distributed plane, published as PARQUET
+        // (a JSONL base migrates here): the base shards stream through
+        // the window's net delta without folding the live set anywhere
+        val adds = baseAddsRdd(spark, dir, meta) ++
+          spark.sparkContext.parallelize(meta.deltaAdds, 1)
+        val total = adds.count()
+        if (total <= ckptPartMaxFiles) {
+          // shrank back under the inline threshold — bounded collect
+          val files = adds.collect().sortBy(_.path).toSeq
+          publishCheckpointManifest(dir, v, base,
+            base ~ ("files" -> files.map(addJson)), 0)
+        } else {
+          val nParts = writeParquetShards(spark, dir, v, adds, total)
+          publishCheckpointManifest(dir, v, base,
+            base ~ ("parts" -> nParts) ~ ("pformat" -> "parquet"), nParts)
+        }
+      case (Some(b), None) if !meta.ckptParquet =>
+        // no session: the driver-streaming JSONL fallback still bounds
+        // memory (verbatim pass-through, O(1) in the live-set size)
+        writeCheckpointIncremental(dir, v, meta, b, base)
+      case (Some(_), None) =>
+        // a parquet base without a session cannot be re-checkpointed;
+        // maybeCheckpoint swallows this — replay just reads more
+        // commits until a session-bearing writer checkpoints
+        throw new IllegalStateException(
+          s"$dir: parquet checkpoint shards need an active SparkSession")
+      case (None, _) =>
         // inline (or absent) base → small by construction: replay fully
         val files = snapshot(dir, Some(v)).files
-        val nParts =
-          if (files.size <= ckptPartMaxFiles) 0
-          else ((files.size + ckptPartMaxFiles - 1) / ckptPartMaxFiles)
-        val j: JObject =
-          if (nParts == 0) base ~ ("files" -> files.map(addJson))
-          else {
+        if (files.size <= ckptPartMaxFiles)
+          publishCheckpointManifest(dir, v, base,
+            base ~ ("files" -> files.map(addJson)), 0)
+        else sess match {
+          case Some(spark) =>
+            // first sharded checkpoint of this table: parquet from birth
+            val rdd = spark.sparkContext.parallelize(files,
+              math.max(1, files.size / ckptPartMaxFiles))
+            val nParts = writeParquetShards(spark, dir, v, rdd, files.size.toLong)
+            publishCheckpointManifest(dir, v, base,
+              base ~ ("parts" -> nParts) ~ ("pformat" -> "parquet"), nParts)
+          case None =>
+            val nParts = (files.size + ckptPartMaxFiles - 1) / ckptPartMaxFiles
             files.grouped(ckptPartMaxFiles).zipWithIndex.foreach { case (part, i) =>
               val lines = part.map(a => compact(render(addJson(a)))).mkString("", "\n", "\n")
               logStore.putOverwrite(ckptPartFile(dir, v, i, nParts), LogStore.bytes(lines))
             }
-            base ~ ("parts" -> nParts)
-          }
-        publishCheckpointManifest(dir, v, base, j, nParts)
+            publishCheckpointManifest(dir, v, base, base ~ ("parts" -> nParts), nParts)
+        }
     }
   }
 
@@ -1352,6 +1662,17 @@ object TxLog {
     // pointer last: it only ever names a fully-published checkpoint
     val ptr: JObject = ("version" -> v) ~ ("parts" -> nParts)
     logStore.putOverwrite(lastCkptFile(dir), LogStore.bytes(compact(render(ptr))))
+    // memoized metas at or above v still resolve the OLD base —
+    // semantically identical, but they would keep planning against it
+    // (and a JSONL base would never look migrated); drop them so the
+    // next resolution adopts this checkpoint
+    snapMetaCache.synchronized {
+      val it = snapMetaCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 == dir && k._2 >= v) it.remove()
+      }
+    }
   }
 
   /** Fast path extraction of the leading `"path"` key of a shard line —
@@ -1468,6 +1789,8 @@ object TxLog {
       case _ => 0
     }
     if (n == 0) None
+    else if (jStrOpt(j \ "pformat").contains("parquet"))
+      Some(shardDf(spark, dir, version, n).select("path", "rows", "bytes"))
     else Some(spark.read
       .schema("path STRING, rows BIGINT, bytes BIGINT")
       .json((0 until n).map(i =>
@@ -1495,7 +1818,8 @@ object TxLog {
   final case class SnapshotMeta(version: Long, schemaDdl: String,
       txns: Map[String, Long], props: Map[String, String], protocol: Long,
       ckptBase: Option[(Long, Int)], deltaAdds: Seq[AddFile],
-      deltaExcludes: Set[String], features: Set[String] = Set.empty) {
+      deltaExcludes: Set[String], features: Set[String] = Set.empty,
+      ckptParquet: Boolean = false) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     /** A files-EMPTY Snapshot for the metadata-only helpers (schema,
       * column map, partition columns, property reads). Never hand it
@@ -1570,6 +1894,7 @@ object TxLog {
       case _ =>
     }
     var base: Option[(Long, Int)] = None
+    var baseParquet = false
     val adds = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val removed = scala.collection.mutable.Set[String]()
     fromCkpt.foreach { cv =>
@@ -1584,7 +1909,10 @@ object TxLog {
       // inline file lists are small by construction — fold them into
       // the delta; sharded lists stay on disk as the distributed base
       if (nParts == 0) parseAdds(j \ "files").foreach(a => adds(a.path) = a)
-      else base = Some((cv, nParts))
+      else {
+        base = Some((cv, nParts))
+        baseParquet = jStrOpt(j \ "pformat").contains("parquet")
+      }
       (j \ "txns") match {
         case JObject(fields) => fields.foreach { case (app, b) => txns(app) = jLong(b) }
         case _ =>
@@ -1616,7 +1944,8 @@ object TxLog {
     val out = SnapshotMeta(target,
       schemaDdl.getOrElse(sys.error(s"$dir: no schema in log")),
       txns.toMap, props.toMap, tableProtocol,
-      base, adds.values.toSeq, removed.toSet, tableFeatures.toSet)
+      base, adds.values.toSeq, removed.toSet, tableFeatures.toSet,
+      baseParquet)
     snapMetaCache.synchronized(snapMetaCache.put((dir, target), out)): Unit
     out
   }
@@ -1639,9 +1968,14 @@ object TxLog {
       meta: SnapshotMeta,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[AddFile] =
     meta.ckptBase match {
-      case Some(_) =>
+      case Some((cv, parts)) =>
+        val coarse =
+          if (!meta.ckptParquet) None
+          else Some(coarseShardPred(shardDf(spark, dir, cv, parts).schema,
+            filters, meta.schema, meta.props,
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
         planFilesMeta(spark, dir, meta,
-          mkFilePruner(meta.schema, meta.props, filters, Some(dir)))
+          mkFilePruner(meta.schema, meta.props, filters, Some(dir)), coarse)
       case None =>
         pruneByFilters(snapshot(dir, Some(meta.version)), filters, Some(dir))
     }
@@ -1658,23 +1992,39 @@ object TxLog {
     * primitives/collections only ([[FilePruner]] discipline — never
     * capture session state). */
   private[sources] def planFilesMeta(spark: SparkSession, dir: String,
-      meta: SnapshotMeta, keep: AddFile => Boolean): Seq[AddFile] =
+      meta: SnapshotMeta, keep: AddFile => Boolean,
+      coarse: Option[Column] = None): Seq[AddFile] =
     meta.ckptBase match {
       case Some((cv, parts)) =>
         // base lines a later commit superseded: removed paths, plus
         // re-added paths (whose newer AddFile rides deltaAdds)
         val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
         val exclB = spark.sparkContext.broadcast(excl)
-        val paths = (0 until parts).map(i =>
-          ckptPartFile(dir, cv, i, parts).toString)
-        val survivors = spark.read.textFile(paths: _*)
-          .filter { (line: String) =>
-            line.nonEmpty && {
-              val a = parseAdd(parse(line))
-              !exclB.value.contains(a.path) && keep(a)
-            }
+        val survivors =
+          if (meta.ckptParquet) {
+            // parquet base: the caller's WIDENED coarse predicate (or a
+            // maintenance selector like `bytes < cutoff`) pushes into
+            // the metadata scan — row groups skip before any row
+            // materializes; the exact closure re-judges the rest
+            val base = shardDf(spark, dir, cv, parts)
+            coarse.map(base.where).getOrElse(base)
+              .filter { (r: org.apache.spark.sql.Row) =>
+                val a = shardRowToAdd(r)
+                !exclB.value.contains(a.path) && keep(a)
+              }
+              .collect().toSeq.map(shardRowToAdd)
+          } else {
+            val paths = (0 until parts).map(i =>
+              ckptPartFile(dir, cv, i, parts).toString)
+            spark.read.textFile(paths: _*)
+              .filter { (line: String) =>
+                line.nonEmpty && {
+                  val a = parseAdd(parse(line))
+                  !exclB.value.contains(a.path) && keep(a)
+                }
+              }
+              .collect().toSeq.map(l => parseAdd(parse(l)))
           }
-          .collect().toSeq.map(l => parseAdd(parse(l)))
         survivors ++ meta.deltaAdds.filter(keep)
       case None =>
         snapshot(dir, Some(meta.version)).files.filter(keep)
@@ -1687,7 +2037,13 @@ object TxLog {
   private[sources] def liveDvOf(spark: SparkSession, dir: String,
       meta: SnapshotMeta, paths: Set[String]): Map[String, Option[Dv]] = {
     val want = paths
-    planFilesMeta(spark, dir, meta, a => want.contains(a.path))
+    // a bounded probe set pushes as an IN-list on the path column of a
+    // parquet base (dictionary/row-group skip on the metadata itself)
+    val coarse =
+      if (meta.ckptParquet && want.nonEmpty && want.size <= 1000)
+        Some(col("path").isin(want.toSeq: _*))
+      else None
+    planFilesMeta(spark, dir, meta, a => want.contains(a.path), coarse)
       .map(a => a.path -> a.dv).toMap
   }
 
@@ -1764,19 +2120,42 @@ object TxLog {
       case Some((cv, nParts)) =>
         val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
         val exclB = spark.sparkContext.broadcast(excl)
-        val paths = (0 until nParts).map(i =>
-          ckptPartFile(dir, cv, i, nParts).toString)
-        val base = spark.read.textFile(paths: _*).rdd
-          .mapPartitions { it =>
-            var z = (0L, 0L, 0L, 0L, 0L, 0L)
-            it.foreach { line =>
-              if (line.nonEmpty) {
-                val a = parseAdd(parse(line))
-                if (!exclB.value.contains(a.path)) z = acc(z, a)
-              }
-            }
-            Iterator.single(z)
-          }.fold(zero)(comb)
+        val base =
+          if (meta.ckptParquet) {
+            // COLUMNAR: the live-set census reads path/rows/bytes/dv/pv
+            // only — the stats struct (the bulk of checkpoint bytes on
+            // a wide table) is never deserialized
+            val unaligned =
+              if (parts.isEmpty) lit(0L)
+              else when(col("rows") > 0L && parts.map(c =>
+                !coalesce(map_contains_key(col("pv"), lit(c)), lit(false)))
+                .reduce(_ || _), 1L).otherwise(0L)
+            val r = shardDf(spark, dir, cv, nParts)
+              .select(col("path"), col("rows"), col("bytes"), col("dv"), col("pv"))
+              .filter((r: org.apache.spark.sql.Row) =>
+                !exclB.value.contains(r.getString(0)))
+              .agg(count(lit(1)), sum(col("rows")), sum(col("bytes")),
+                sum(when(col("dv").isNotNull, 1L).otherwise(0L)),
+                sum(unaligned),
+                sum(coalesce(col("dv").getField("dead"), lit(0L))))
+              .head()
+            def g(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+            (g(0), g(1), g(2), g(3), g(4), g(5))
+          } else {
+            val paths = (0 until nParts).map(i =>
+              ckptPartFile(dir, cv, i, nParts).toString)
+            spark.read.textFile(paths: _*).rdd
+              .mapPartitions { it =>
+                var z = (0L, 0L, 0L, 0L, 0L, 0L)
+                it.foreach { line =>
+                  if (line.nonEmpty) {
+                    val a = parseAdd(parse(line))
+                    if (!exclB.value.contains(a.path)) z = acc(z, a)
+                  }
+                }
+                Iterator.single(z)
+              }.fold(zero)(comb)
+          }
         comb(base, delta)
       case None => delta
     }
@@ -1805,20 +2184,38 @@ object TxLog {
     val keep = mkFilePruner(meta.schema, meta.props, filters, Some(dir))
     val delta = meta.deltaAdds.filter(keep).map(_.rows).sum
     meta.ckptBase match {
-      case Some((cv, nParts)) =>
+      case Some((cv, nParts)) if meta.ckptParquet =>
+        // COLUMNAR count: project path/rows/dv/pv plus ONLY the stats
+        // cells the filters name (the pruner consults nothing else),
+        // with the widened coarse predicate pushed into the scan
         val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
         val exclB = spark.sparkContext.broadcast(excl)
-        val paths = (0 until nParts).map(i =>
-          ckptPartFile(dir, cv, i, nParts).toString)
-        delta + spark.read.textFile(paths: _*).rdd
+        val df0 = shardDf(spark, dir, cv, nParts)
+        val statsFields: Seq[String] = df0.schema.fields.find(_.name == "stats")
+          .map(_.dataType.asInstanceOf[StructType].fieldNames.toSeq)
+          .getOrElse(Nil)
+        val m = colMapOf(meta.props)
+        val wanted = filters.flatMap(_.references).distinct
+          .map(c => m.getOrElse(c, c)).filter(statsFields.contains)
+        val proj = df0.select(
+          Seq(col("path"), col("rows"), col("dv"), col("pv")) ++
+            (if (wanted.isEmpty) Nil
+             else Seq(struct(wanted.map(c =>
+               col("stats").getField(c).as(c)): _*).as("stats"))): _*)
+        val coarse = coarseShardPred(proj.schema, filters, meta.schema,
+          meta.props, org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        val r = proj.where(coarse)
+          .filter { (r: org.apache.spark.sql.Row) =>
+            val a = shardRowToAdd(r)
+            !exclB.value.contains(a.path) && keep(a)
+          }
+          .agg(sum(col("rows"))).head()
+        delta + (if (r.isNullAt(0)) 0L else r.getLong(0))
+      case Some(_) =>
+        delta + baseAddsRdd(spark, dir, meta)
           .mapPartitions { it =>
             var n = 0L
-            it.foreach { line =>
-              if (line.nonEmpty) {
-                val a = parseAdd(parse(line))
-                if (!exclB.value.contains(a.path) && keep(a)) n += a.rows
-              }
-            }
+            it.foreach(a => if (keep(a)) n += a.rows)
             Iterator.single(n)
           }.fold(0L)(_ + _)
       case None => delta
@@ -1834,20 +2231,11 @@ object TxLog {
       meta: SnapshotMeta): Seq[Map[String, String]] = {
     val delta = meta.deltaAdds.filter(_.rows > 0).map(_.pv).distinct
     meta.ckptBase match {
-      case Some((cv, nParts)) =>
-        val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
-        val exclB = spark.sparkContext.broadcast(excl)
-        val paths = (0 until nParts).map(i =>
-          ckptPartFile(dir, cv, i, nParts).toString)
-        val base = spark.read.textFile(paths: _*).rdd
+      case Some(_) =>
+        val base = baseAddsRdd(spark, dir, meta)
           .mapPartitions { it =>
             val seen = scala.collection.mutable.Set[Map[String, String]]()
-            it.foreach { line =>
-              if (line.nonEmpty) {
-                val a = parseAdd(parse(line))
-                if (!exclB.value.contains(a.path) && a.rows > 0) seen += a.pv
-              }
-            }
+            it.foreach(a => if (a.rows > 0) seen += a.pv)
             seen.iterator
           }.distinct().collect().toSeq
         (base ++ delta).distinct
@@ -1862,18 +2250,9 @@ object TxLog {
       meta: SnapshotMeta): Seq[AddFile] = {
     val delta = meta.deltaAdds.filter(_.dv.nonEmpty)
     meta.ckptBase match {
-      case Some((cv, nParts)) =>
-        val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
-        val exclB = spark.sparkContext.broadcast(excl)
-        val paths = (0 until nParts).map(i =>
-          ckptPartFile(dir, cv, i, nParts).toString)
-        spark.read.textFile(paths: _*)
-          .filter { (line: String) =>
-            line.nonEmpty && {
-              val a = parseAdd(parse(line))
-              !exclB.value.contains(a.path) && a.dv.nonEmpty
-            }
-          }.collect().toSeq.map(l => parseAdd(parse(l))) ++ delta
+      case Some(_) =>
+        planFilesMeta(spark, dir, meta, a => a.dv.nonEmpty,
+          if (meta.ckptParquet) Some(col("dv").isNotNull) else None)
       case None => delta
     }
   }
@@ -1889,22 +2268,15 @@ object TxLog {
       if (hit(a)) (z._1 + 1L, z._2 + a.rows, z._3 + a.bytes) else z
     val delta = meta.deltaAdds.foldLeft((0L, 0L, 0L))(acc)
     meta.ckptBase match {
-      case Some((cv, nParts)) =>
-        val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
-        val exclB = spark.sparkContext.broadcast(excl)
+      case Some(_) =>
         val wantB = spark.sparkContext.broadcast(want)
-        val paths = (0 until nParts).map(i =>
-          ckptPartFile(dir, cv, i, nParts).toString)
-        val base = spark.read.textFile(paths: _*).rdd
+        val base = baseAddsRdd(spark, dir, meta)
           .mapPartitions { it =>
             var z = (0L, 0L, 0L)
-            it.foreach { line =>
-              if (line.nonEmpty) {
-                val a = parseAdd(parse(line))
-                if (!exclB.value.contains(a.path) && a.rows > 0 &&
-                    wantB.value.forall { case (c, v) => a.pv.get(c).contains(v) })
-                  z = (z._1 + 1L, z._2 + a.rows, z._3 + a.bytes)
-              }
+            it.foreach { a =>
+              if (a.rows > 0 &&
+                  wantB.value.forall { case (c, v) => a.pv.get(c).contains(v) })
+                z = (z._1 + 1L, z._2 + a.rows, z._3 + a.bytes)
             }
             Iterator.single(z)
           }.fold((0L, 0L, 0L))((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3))
@@ -3733,7 +4105,8 @@ object TxLog {
     val small = meta match {
       case Some(mm) =>
         val cut = smallFileBytes
-        planFilesMeta(spark, dir, mm, a => a.bytes < cut)
+        planFilesMeta(spark, dir, mm, a => a.bytes < cut,
+          if (mm.ckptParquet) Some(col("bytes") < lit(cut)) else None)
       case None => snap.files.filter(_.bytes < smallFileBytes)
     }
     if (small.size < 2) return None
@@ -3792,7 +4165,9 @@ object TxLog {
             if (meta.ckptBase.isEmpty) 0L
             else {
               val cut = smallBytes
-              planFilesMeta(spark, dir, meta, a => a.bytes < cut).size.toLong
+              planFilesMeta(spark, dir, meta, a => a.bytes < cut,
+                if (meta.ckptParquet) Some(col("bytes") < lit(cut)) else None)
+                .size.toLong
             }
           case _ => 0L
         }
@@ -5947,19 +6322,12 @@ object TxLog {
     import spark.implicits._
     val deltaRows = meta.deltaAdds.map(a => (a.path, a.dv.map(_.path).orNull))
     meta.ckptBase match {
-      case Some((cv, parts)) =>
-        val excl = meta.deltaExcludes ++ meta.deltaAdds.iterator.map(_.path)
-        val exclB = spark.sparkContext.broadcast(excl)
-        val paths = (0 until parts).map(i => ckptPartFile(dir, cv, i, parts).toString)
-        spark.read.textFile(paths: _*)
-          .flatMap { (line: String) =>
-            if (line.isEmpty) None
-            else {
-              val a = parseAdd(parse(line))
-              if (exclB.value.contains(a.path)) None
-              else Some((a.path, a.dv.map(_.path).orNull))
-            }
-          }.toDF("path", "dvdir")
+      case Some(_) =>
+        spark.createDataFrame(
+          baseAddsRdd(spark, dir, meta)
+            .map(a => org.apache.spark.sql.Row(a.path, a.dv.map(_.path).orNull)),
+          StructType(Seq(StructField("path", StringType),
+            StructField("dvdir", StringType))))
           .unionAll(deltaRows.toDF("path", "dvdir"))
       case None =>
         snapshot(dir, Some(meta.version)).files

@@ -39,11 +39,13 @@ class TxCheckpointSpec extends AnyFunSuite with SparkTestBase {
     TxLog.ckptPartMaxFiles = 8
     try {
       // 11 commits × 2 files = 22 live files; the v10 checkpoint must
-      // shard into ceil(22/8) = 3 JSONL parts
+      // shard into ceil(22/8) = 3 parts — PARQUET under a live session
+      // (FORMAT.md §3 v2; JSONL shards remain readable, see the
+      // synthetic logs in DistributedPlanSpec/DistributedDmlPlanSpec)
       (0 until 11).foreach(i => TxLog.append(spark, dir, df(i).repartition(2)))
       val names = logNames(dir)
       assert(names.contains("00000000000000000010.ckpt.json"))
-      assert(names.count(_.matches("00000000000000000010\\.ckpt\\.part-\\d{5}-of-00003\\.jsonl")) === 3)
+      assert(names.count(_.matches("00000000000000000010\\.ckpt\\.part-\\d{5}-of-00003\\.parquet")) === 3)
       assert(names.contains("_last_checkpoint"))
       // the distributed read of the file listing sees every shard line
       val listed = TxLog.checkpointFilesDf(spark, dir, 10L)
