@@ -2809,6 +2809,77 @@ object TxQueries2 {
                      (SELECT total * (total + 1) // 2 FROM n) AS sum_id,
                      CAST(0 AS BIGINT) AS ids_changed_optimize,
                      CAST(0 AS BIGINT) AS ids_changed_update
-              FROM allr"""))
+              FROM allr""")),
+
+    // q214: ROW-ID-KEYED INCREMENTAL VIEW MAINTENANCE (RowIdView) — the
+    // round-15 consumer of stable row ids: a row-level materialized
+    // view maintained from the change feed keyed by _row_id, across a
+    // CoW update, a full OPTIMIZE rewrite, a merge-on-read DELETE, and
+    // a late batch. Pinned into the hash: the maintained view's
+    // aggregates, the recompute diff (the incremental ≡ full claim),
+    // per-phase rows_applied (cost ∝ change volume), and the scale
+    // fact CDF alone cannot deliver — the OPTIMIZE window, in which
+    // every physical row rewrote, was consumed with ZERO data reads
+    // (optimize_skipped=1 / optimize_rows_applied=0).
+    QuerySpec("q214_rowid_view_maintenance", { (s, dir) =>
+      import graft.pipeline.RowIdView
+      val root = graft.Scratch.dir("graft-q214").toString
+      val src = s"$root/src"; val view = s"$root/view"
+      val ord = Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice").localCheckpoint(true)
+      (0 until 3).foreach(b => TxLog.append(s, src,
+        ord.where(s"o_orderkey <= 3000 AND o_orderkey % 3 = $b").coalesce(1)))
+      TxLog.enableRowTracking(s, src)
+      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+      val pred = "o_totalprice < 150000"
+      val proj = Seq("o_orderkey" -> "o_orderkey",
+        "price2" -> "CAST(o_totalprice AS DECIMAL(18,4)) * 2")
+      var at = RowIdView.initialize(s, src, view, pred, proj)
+      TxLog.update(s, src, "o_orderkey % 7 = 2",
+        Map("o_totalprice" -> "o_totalprice + 100000"))
+      val rUpd = RowIdView.maintain(s, src, view, at, pred, proj); at = rUpd.srcVersion
+      TxLog.optimize(s, src)
+      val rOpt = RowIdView.maintain(s, src, view, at, pred, proj); at = rOpt.srcVersion
+      TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
+      TxLog.delete(s, src, "o_orderkey % 5 = 3")
+      val rDel = RowIdView.maintain(s, src, view, at, pred, proj); at = rDel.srcVersion
+      TxLog.append(s, src,
+        ord.where("o_orderkey > 3000 AND o_orderkey <= 3600"))
+      val rApp = RowIdView.maintain(s, src, view, at, pred, proj)
+      val got = TxLog.read(s, view).localCheckpoint(true)
+      val want = RowIdView.recompute(s, src, pred, proj)
+      val matches =
+        if (got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty) 1L else 0L
+      got.agg(count(lit(1)).as("n_rows"),
+          sum(col("price2")).cast(DoubleType).as("sum_price2"),
+          countDistinct(col("_row_id")).as("n_ids"))
+        .withColumn("matches_recompute", lit(matches))
+        .withColumn("optimize_skipped", lit(if (rOpt.layoutOnlySkip) 1L else 0L))
+        .withColumn("optimize_rows_applied", lit(rOpt.rowsApplied))
+        .withColumn("update_rows_applied", lit(rUpd.rowsApplied))
+        .withColumn("delete_rows_applied", lit(rDel.rowsApplied))
+        .withColumn("append_rows_applied", lit(rApp.rowsApplied))
+    },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p
+                            FROM orders WHERE o_orderkey <= 3000),
+                   upd AS (SELECT k, CASE WHEN k % 7 = 2 THEN p + 100000
+                                          ELSE p END AS p FROM base),
+                   surv AS (SELECT k, p FROM upd WHERE k % 5 <> 3),
+                   extra AS (SELECT o_orderkey AS k, o_totalprice AS p
+                             FROM orders
+                             WHERE o_orderkey > 3000 AND o_orderkey <= 3600),
+                   unioned AS (SELECT * FROM surv UNION ALL SELECT * FROM extra),
+                   finalv AS (SELECT k, CAST(p AS DECIMAL(18,4)) * 2 AS price2
+                              FROM unioned WHERE p < 150000)
+              SELECT count(*) AS n_rows,
+                     CAST(sum(price2) AS DOUBLE) AS sum_price2,
+                     count(*) AS n_ids,
+                     CAST(1 AS BIGINT) AS matches_recompute,
+                     CAST(1 AS BIGINT) AS optimize_skipped,
+                     CAST(0 AS BIGINT) AS optimize_rows_applied,
+                     (SELECT count(*) FROM base WHERE k % 7 = 2) AS update_rows_applied,
+                     (SELECT count(*) FROM upd WHERE k % 5 = 3) AS delete_rows_applied,
+                     (SELECT count(*) FROM extra) AS append_rows_applied
+              FROM finalv"""))
   )
 }

@@ -4354,7 +4354,10 @@ object TxLog {
       val keyStats = staged.agg(
         count(lit(1)).as("n"),
         countDistinct(col(keyCol)).as("d"),
-        sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("nulls")).head()
+        // coalesced: sum over an EMPTY source is NULL, and an empty
+        // CDC batch must be a clean no-op, not a getLong crash
+        coalesce(sum(when(col(keyCol).isNull, 1L).otherwise(0L)), lit(0L))
+          .as("nulls")).head()
       require(keyStats.getLong(2) == 0, s"merge: NULL $keyCol in source")
       require(keyStats.getLong(0) == keyStats.getLong(1),
         s"merge: duplicate $keyCol values in source (${keyStats.getLong(0)} rows, " +
@@ -4851,8 +4854,8 @@ object TxLog {
       val statCols = Seq(
         count(lit(1)).as("n"),
         countDistinct(keyTuple.head, keyTuple.tail: _*).as("d"),
-        sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
-          .otherwise(0L)).as("nulls")) ++ perColDistinct
+        coalesce(sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
+          .otherwise(0L)), lit(0L)).as("nulls")) ++ perColDistinct
       val keyStats = staged.agg(statCols.head, statCols.tail: _*).head()
       require(keyStats.getLong(2) == 0,
         s"mergeClauses: NULL key (${keyCols.mkString(", ")}) in source")
@@ -6559,6 +6562,33 @@ object TxLog {
     * this reader exists to prevent (Delta errors identically). MERGE
     * commits surface as insert-class changes of their source rows (the
     * [[readChanges]] rule); layout rewrites surface as nothing. */
+  /** Whether commits in `(fromExclusive, toInclusive]` carry any
+    * ROW-LEVEL change (dataChange adds or change files) — the row-id
+    * view-maintenance skip gate ([[graft.pipeline.RowIdView]]): a
+    * layout-only window (OPTIMIZE / auto-compaction / purge / Z-order)
+    * is consumed with ZERO data reads, which is exactly the capability
+    * STABLE ROW IDS add over the change feed alone — CDF is silent
+    * across rewrites by design (dataChange=false), so only an
+    * id-stable key lets downstream state survive them untouched.
+    * Cost: O(window) commit-JSON reads, no file opened. */
+  /** Operations whose commits NEVER change visible rows — the only
+    * ones [[hasRowChanges]] may skip on shape alone. Everything else
+    * with removes is flagged, so a CDF-less DML commit reaches
+    * [[readChangeFeed]]'s LOUD refusal instead of silently staling a
+    * maintained view. */
+  private val layoutOnlyOps =
+    Set("optimize", "autoOptimize", "purge", "rowTrackingBackfill")
+
+  def hasRowChanges(dir: String, fromExclusive: Long, toInclusive: Long): Boolean = {
+    val (commits, _) = listLog(dir)
+    commits.sorted.filter(v => v > fromExclusive && v <= toInclusive).exists { v =>
+      val j = parse(Files.readString(versionFile(dir, v)))
+      parseAdds(j \ "adds").exists(_.dataChange) || parseAdds(j \ "cdf").nonEmpty ||
+        (((j \ "removes") match { case JArray(rs) => rs.nonEmpty; case _ => false }) &&
+          !layoutOnlyOps.contains(jStr(j \ "op")))
+    }
+  }
+
   def readChangeFeed(spark: SparkSession, dir: String,
       fromVersionExclusive: Long,
       toVersionInclusive: Option[Long] = None): DataFrame = {
@@ -6574,7 +6604,9 @@ object TxLog {
           s"an incremental read from $fromExclusive cannot be complete; " +
           s"start from version ${commits.min - 1} or later (streams: set startingVersion)")
 
-    val latest = snapshot(dir)
+    // schema/column-map resolution only — meta plane, so a feed read
+    // off a million-file table never folds its AddFile list
+    val latest = headState(dir)
     val out = latest.schema
       .add(StructField(ChangeTypeCol, StringType, nullable = false))
       .add(StructField("_commit_version", LongType, nullable = false))
