@@ -35,6 +35,59 @@ trait LogStore {
 
 object LogStore {
   def bytes(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  /** The conditional put TIMED OUT in flight: the object may or may
+    * not have been published — the one failure mode a real object
+    * store adds over POSIX link(2), and the reason commit publication
+    * needs a read-back resolution rule (strong read-after-write is
+    * part of the store contract this seam targets; S3 has provided it
+    * since 2020). Thrown by stores that model network flakiness. */
+  final class AmbiguousWriteException(msg: String)
+    extends java.io.IOException(msg)
+}
+
+/** An adversarial object-store adapter: conditional-put semantics
+  * (ETag / `If-None-Match: *`) under injected LATENCY (stretching the
+  * race window far beyond what a local filesystem ever shows) and
+  * injected AMBIGUITY — calls that time out either before the service
+  * acted (the put never happened) or after it acted (the put WON but
+  * the caller cannot know). Deterministic per seed; counters let a
+  * spec prove the faults actually fired. The commit protocol's
+  * read-back rule ([[TxLog]] `tryPublish`) must absorb both without
+  * ever double-counting or losing a commit. */
+final class FlakyObjectStoreLogStore(seed: Long, latencyMaxMs: Int = 3,
+    ambiguousRate: Double = 0.2) extends LogStore {
+  private val rnd = new java.util.Random(seed)
+  private def roll(p: Double): Boolean = rnd.synchronized(rnd.nextDouble() < p)
+  private def nap(): Unit =
+    if (latencyMaxMs > 0) Thread.sleep(rnd.synchronized(rnd.nextInt(latencyMaxMs)).toLong + 1L)
+  val ambiguousBefore = new java.util.concurrent.atomic.AtomicLong
+  val ambiguousAfter = new java.util.concurrent.atomic.AtomicLong
+
+  override def putIfAbsent(target: Path, content: Array[Byte]): Boolean = {
+    nap()
+    if (roll(ambiguousRate / 2)) {
+      // timed out on the wire BEFORE the service acted
+      ambiguousBefore.incrementAndGet(): Unit
+      throw new LogStore.AmbiguousWriteException(s"simulated pre-put timeout: $target")
+    }
+    val won = ConditionalPutLogStore.putIfAbsent(target, content)
+    nap()
+    if (roll(ambiguousRate)) {
+      // the service acted (either way) but the RESPONSE was lost
+      ambiguousAfter.incrementAndGet(): Unit
+      throw new LogStore.AmbiguousWriteException(
+        s"simulated post-put timeout (outcome=$won hidden): $target")
+    }
+    won
+  }
+
+  override def putOverwrite(target: Path, content: Array[Byte]): Unit = {
+    nap()
+    // overwrites serve idempotent artifacts — a lost response needs no
+    // resolution, the next writer's identical content converges
+    ConditionalPutLogStore.putOverwrite(target, content)
+  }
 }
 
 /** Default store for POSIX filesystems: write under a temp name, then

@@ -1550,8 +1550,31 @@ object TxLog {
   /** Publish `content` as version `v` through the [[logStore]]'s atomic
     * put-if-absent: exactly one concurrent writer claims each version
     * and a reader never sees partial JSON. */
-  private def tryPublish(dir: String, v: Long, content: String): Boolean =
-    logStore.putIfAbsent(versionFile(dir, v), LogStore.bytes(content))
+  /** Publish a commit at version `v` — exactly one concurrent caller
+    * returns true. An AMBIGUOUS store failure (a conditional put that
+    * timed out in flight, the object-store failure mode POSIX link
+    * never shows) resolves by READ-BACK: the published object carrying
+    * OUR bytes means we won (commit content is writer-unique — every
+    * writer references its own staging paths); foreign bytes mean a
+    * racer won; absence means the put truly never happened, so it
+    * retries. Sound under strong read-after-write, which is part of
+    * the object-store contract this seam targets. */
+  private def tryPublish(dir: String, v: Long, content: String): Boolean = {
+    val target = versionFile(dir, v)
+    val bytes = LogStore.bytes(content)
+    var attempts = 0
+    while (true) {
+      try return logStore.putIfAbsent(target, bytes)
+      catch {
+        case e: LogStore.AmbiguousWriteException =>
+          if (Files.exists(target))
+            return java.util.Arrays.equals(Files.readAllBytes(target), bytes)
+          attempts += 1
+          if (attempts >= 8) throw e
+      }
+    }
+    false // unreachable
+  }
 
   /** Best-effort checkpoint after committing `v` — failure is harmless
     * (the next checkpointed commit covers it; replay just reads more

@@ -111,6 +111,63 @@ class TxLogStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("commit-race stress under injected latency + AMBIGUOUS put timeouts") {
+    // the object-store failure mode POSIX never shows: the conditional
+    // put times out before OR after the service acted. The protocol's
+    // read-back rule must keep the race loss-free and duplicate-free —
+    // a writer whose winning put's response was lost must still know
+    // it won (a re-commit of the same batch would double its rows; an
+    // abort would lose them).
+    val flaky = new graft.sources.FlakyObjectStoreLogStore(
+      seed = 20260815L, latencyMaxMs = 2, ambiguousRate = 0.35)
+    stress(flaky, "flaky")
+    // the faults actually fired — both the lost-response-after-success
+    // class and the never-happened class
+    assert(flaky.ambiguousAfter.get() > 0L,
+      "no post-put ambiguity was injected — the spec proved nothing")
+    assert(flaky.ambiguousBefore.get() > 0L,
+      "no pre-put ambiguity was injected — the spec proved nothing")
+  }
+
+  test("DML rebase race survives the flaky store (losers rebase or abort, never corrupt)") {
+    val flaky = new graft.sources.FlakyObjectStoreLogStore(
+      seed = 7L, latencyMaxMs = 2, ambiguousRate = 0.3)
+    withStore(flaky) {
+      import spark.implicits._
+      val dir = graft.Scratch.dir("graft-store-flakydml").toString + "/t"
+      (0 until 3).foreach(g => TxLog.append(spark, dir,
+        (g * 100 until g * 100 + 50).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+          .repartition(1)))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val tasks: Seq[() => Unit] = (0 until 3).flatMap { g =>
+        Seq(
+          () => TxLog.append(spark, dir,
+            Seq((1000L + g, "a")).toDF("id", "s")): Unit,
+          () => TxLog.delete(spark, dir,
+            s"id >= ${g * 100} AND id < ${g * 100 + 5}"): Unit)
+      }
+      tasks.foreach { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            try t() catch { case e: Throwable => errs.add(e): Unit }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(180, java.util.concurrent.TimeUnit.SECONDS))
+      assert(errs.isEmpty, s"disjoint writers over the flaky store failed: $errs")
+      val ids = TxLog.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+      val want = (0 until 3).flatMap(g =>
+        (g * 100 + 5 until g * 100 + 50).map(_.toLong) :+ (1000L + g)).toSet
+      assert(ids === want)
+      assert(TxLog.latestVersion(dir) === 8L)
+    }
+  }
+
   test("DML, checkpoints, and time travel work unchanged over the conditional-put store") {
     withStore(ConditionalPutLogStore) {
       val dir = graft.Scratch.dir("graft-store-dml").toString + "/t"
