@@ -195,6 +195,151 @@ object Bpe {
         s"${d.idiv("(20000 * n_subwords + n_words)", "(2 * n_words)")} AS cr_bp")
   }
 
+  // ---- byte-level fallback (GPT-2's open-vocabulary rule) ------------------
+
+  /** The byte-token delimiters: U+27E8/U+27E9 (math angle brackets),
+    * routed through [[SqlDialect.utf8FromHex]] so no raw multibyte
+    * literal rides three quoting layers. A byte token is ONE symbol
+    * (`⟨E2⟩`), so a learned merge — which compares WHOLE symbols —
+    * can never touch its interior; collision with a trained symbol
+    * would need the literal token text as a training word, which the
+    * q-entries pin absent (`delims_in_train = 0`). */
+  private def tokLo(d: SqlDialect): String = d.utf8FromHex("E29FA8")
+  private def tokHi(d: SqlDialect): String = d.utf8FromHex("E29FA9")
+
+  /** A character's UTF-8 bytes as space-separated byte tokens:
+    * '⟡' -> '⟨E2⟩ ⟨9F⟩ ⟨A1⟩'. */
+  def byteToksExpr(d: SqlDialect, chSql: String): String =
+    d.joinStr(d.map(d.range1(d.byteLen(chSql)), "bj",
+      s"${tokLo(d)} || substr(${d.hexBytes(chSql)}, bj * 2 - 1, 2) || ${tokHi(d)}"), " ")
+
+  /** Fallback symbolization of a word against the TRAINING charset
+    * `csSql` (a single sorted-concat string): known characters stay
+    * themselves (mergeable), unknown characters decompose into their
+    * byte tokens — every character of every word always encodes, the
+    * open-vocabulary guarantee. */
+  def charSymsFallbackExpr(d: SqlDialect, wCol: String, csSql: String): String =
+    s"trim(${d.joinStr(d.map(d.splitOn(wCol, ""), "ch",
+      s"CASE WHEN instr($csSql, ch) > 0 THEN ch ELSE ${byteToksExpr(d, "ch")} END"),
+      " ")})"
+
+  /** Train on `trainDocs`, ENCODE `evalDocs` under the learned merges
+    * with byte-level fallback — the corpus-transfer case [[encode]]
+    * (train == eval) never faces. Output per eval doc:
+    * (doc_id, n_words, n_subwords, n_fallback_bytes, n_unk) — n_unk is
+    * computed (symbols outside charset ∪ merge-products ∪ byte-token
+    * space), and is ZERO by construction: the open-vocabulary claim,
+    * data-verified rather than asserted. */
+  def encodeFallback(trainDocs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, rounds: Int): DataFrame = {
+    val spark = trainDocs.sparkSession
+    import spark.implicits._
+    val merges = fitMerges(trainDocs, textCol, rounds)
+    val trainWords = wordTable(trainDocs, textCol)
+    val charset = trainWords
+      .selectExpr(s"explode(${d.splitOn("w", "")}) AS c")
+      .selectExpr(s"${d.strAggSorted("c")} AS __bpe_cs")
+    // the trained vocabulary: training characters plus merge products
+    val vocab = trainWords
+      .selectExpr(s"explode(${d.splitOn("w", "")}) AS piece").distinct()
+      .unionAll(merges.map(m => m.pair.split(" ", 2) match {
+        case Array(a, b) => a + b
+      }).toDF("piece"))
+      .distinct().localCheckpoint(true)
+    var words = evalDocs
+      .selectExpr(s"explode(${d.splitSpace(s"lower(coalesce($textCol, ''))")}) AS w")
+      .where("w <> ''")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(charset))
+      .selectExpr("w", "freq",
+        s"${charSymsFallbackExpr(d, "w", "__bpe_cs")} AS syms")
+    merges.foreach { m =>
+      val Array(a, b) = m.pair.split(" ", 2)
+      words = applyMergeAsData(words, a, b)
+    }
+    val lo = tokLo(d)
+    val wstat = words.selectExpr("w",
+      s"CAST(${d.len(d.splitSpace("syms"))} AS BIGINT) AS n_sub",
+      s"CAST(${d.len(d.filterBy(d.splitSpace("syms"), "sy",
+        s"substr(sy, 1, 1) = $lo"))} AS BIGINT) AS n_fb")
+    val wunk = words
+      .selectExpr("w", s"explode(${d.splitSpace("syms")}) AS sy")
+      .where(s"substr(sy, 1, 1) <> $lo")
+      .join(vocab, col("sy") === col("piece"), "left_anti")
+      .groupBy("w").agg(count(lit(1)).as("n_unk"))
+    val perDoc = evalDocs.selectExpr(s"$idCol AS doc_id",
+        s"explode(${d.splitSpace(s"lower(coalesce($textCol, ''))")}) AS w")
+      .where("w <> ''")
+      .join(wstat, Seq("w"))
+      .join(wunk, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"),
+        sum("n_fb").as("n_fallback_bytes"),
+        sum(coalesce(col("n_unk"), lit(0L))).as("n_unk"))
+    evalDocs.selectExpr(s"$idCol AS doc_id").distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CAST(coalesce(n_words, 0) AS BIGINT) AS n_words",
+        "CAST(coalesce(n_subwords, 0) AS BIGINT) AS n_subwords",
+        "CAST(coalesce(n_fallback_bytes, 0) AS BIGINT) AS n_fallback_bytes",
+        "CAST(coalesce(n_unk, 0) AS BIGINT) AS n_unk")
+  }
+
+  /** Oracle side of [[encodeFallback]]: the training CTEs over the
+    * TRAIN relation, then the eval corpus re-symbolized with fallback
+    * and pushed through the same per-round merge CTEs. */
+  def encodeFallbackSql(d: SqlDialect, trainFrom: String, evalFrom: String,
+      idCol: String, textCol: String, rounds: Int): String = {
+    val lo = tokLo(d)
+    val evalRounds = (1 to rounds).map { r =>
+      s"""fs$r AS (SELECT w, freq,
+         |               ${applyMergeExpr(d, "syms", s"b$r.a", s"b$r.b")} AS syms
+         |        FROM fs${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    val mergeVocab = (1 to rounds)
+      .map(r => s"SELECT a || b AS piece FROM b$r").mkString("\n UNION \n")
+    s"""WITH ${trainCtes(d, trainFrom, textCol, rounds)},
+       |chs AS (SELECT ${d.strAggSorted("c")} AS cs FROM (
+       |          SELECT DISTINCT ${d.unnest(d.splitOn("w", ""))} AS c FROM w0) tc),
+       |fw0 AS (SELECT w, count(*) AS freq FROM (
+       |          SELECT ${d.unnest(d.splitSpace(s"lower(coalesce($textCol, ''))"))} AS w
+       |          FROM $evalFrom) u WHERE w <> '' GROUP BY w),
+       |fs0 AS (SELECT w, freq,
+       |               ${charSymsFallbackExpr(d, "w", "chs.cs")} AS syms
+       |        FROM fw0 CROSS JOIN chs),
+       |$evalRounds,
+       |vocab AS (SELECT DISTINCT ${d.unnest(d.splitOn("w", ""))} AS piece FROM w0
+       |          UNION $mergeVocab),
+       |wstat AS (SELECT w,
+       |                 CAST(${d.len(d.splitSpace("syms"))} AS BIGINT) AS n_sub,
+       |                 CAST(${d.len(d.filterBy(d.splitSpace("syms"), "sy",
+                             s"substr(sy, 1, 1) = $lo"))} AS BIGINT) AS n_fb
+       |          FROM fs$rounds),
+       |wunk AS (SELECT w, count(*) AS n_unk FROM (
+       |           SELECT w, ${d.unnest(d.splitSpace("syms"))} AS sy FROM fs$rounds) e
+       |         WHERE substr(sy, 1, 1) <> $lo
+       |           AND sy NOT IN (SELECT piece FROM vocab)
+       |         GROUP BY w),
+       |docw AS (SELECT $idCol AS doc_id,
+       |                ${d.unnest(d.splitSpace(s"lower(coalesce($textCol, ''))"))} AS w
+       |         FROM $evalFrom),
+       |j AS (SELECT doc_id, n_sub, n_fb, coalesce(n_unk, 0) AS n_unk
+       |      FROM docw JOIN wstat USING (w) LEFT JOIN wunk USING (w)
+       |      WHERE docw.w <> ''),
+       |agg AS (SELECT doc_id, count(*) AS n_words,
+       |               CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       |               CAST(sum(n_fb) AS BIGINT) AS n_fallback_bytes,
+       |               CAST(sum(n_unk) AS BIGINT) AS n_unk
+       |        FROM j GROUP BY doc_id),
+       |ids AS (SELECT DISTINCT $idCol AS doc_id FROM $evalFrom)
+       |SELECT ids.doc_id,
+       |       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(coalesce(n_subwords, 0) AS BIGINT) AS n_subwords,
+       |       CAST(coalesce(n_fallback_bytes, 0) AS BIGINT) AS n_fallback_bytes,
+       |       CAST(coalesce(n_unk, 0) AS BIGINT) AS n_unk
+       |FROM ids LEFT JOIN agg USING (doc_id) ORDER BY ids.doc_id""".stripMargin
+  }
+
   /** Oracle side of train-then-[[encode]]: the training CTEs, then the
     * per-document aggregation over the final symbolization. */
   def encodeSql(d: SqlDialect, corpusFrom: String, idCol: String,

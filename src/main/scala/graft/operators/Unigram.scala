@@ -272,6 +272,98 @@ object Unigram {
        |FROM ids LEFT JOIN agg ON ids.doc_id = agg.doc_id
        |ORDER BY ids.doc_id""".stripMargin
 
+  // ---- byte-level fallback (SentencePiece's byte_fallback=true) -----------
+
+  /** Character-walk piece count with BYTE fallback against the
+    * training charset `csSql`: a known character is one piece (the
+    * char floor is never pruned), an unknown character counts its
+    * UTF-8 byte length (one byte token per byte) — no character of any
+    * corpus is ever OOV, SentencePiece's byte_fallback rule on the
+    * integer-exact discipline. */
+  private def fallbackNpExpr(dd: SqlDialect, wCol: String, csSql: String): String =
+    dd.isum(dd.map(dd.splitOn(wCol, ""), "ch",
+      s"CASE WHEN instr($csSql, ch) > 0 THEN 1 ELSE ${dd.byteLen("ch")} END"))
+
+  /** Fallback BYTES used by a word (0 when every char is known). */
+  private def fallbackFbExpr(dd: SqlDialect, wCol: String, csSql: String): String =
+    dd.isum(dd.map(dd.splitOn(wCol, ""), "ch",
+      s"CASE WHEN instr($csSql, ch) > 0 THEN 0 ELSE ${dd.byteLen("ch")} END"))
+
+  /** Train on `trainDocs`, ENCODE `evalDocs` with byte fallback: words
+    * the training table segmented take their DP piece count; unseen or
+    * overlong words char-walk, with unknown characters decomposing to
+    * byte tokens. Output (doc_id, n_words, n_pieces,
+    * n_fallback_bytes) — zero-UNK by construction. */
+  def encodeFallback(trainDocs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, p: UnigramParams): DataFrame = {
+    val spark = trainDocs.sparkSession
+    import spark.implicits._
+    val (vocab, seg) = fitInternal(trainDocs, textCol, p)
+    val wp = seg.selectExpr("w",
+      s"CAST(${d.len(d.splitSpace("trim(path)"))} AS BIGINT) AS np")
+    val charset = wordTable(trainDocs, textCol, p)
+      .selectExpr(s"explode(${d.splitOn("w", "")}) AS c")
+      .selectExpr(s"${d.strAggSorted("c")} AS __ug_cs")
+    val docw = evalDocs.selectExpr(s"$idCol AS doc_id",
+        s"${d.unnest(d.splitSpace(s"lower(coalesce($textCol, ''))"))} AS w")
+      .where("w <> ''")
+    val agg = docw.join(wp, Seq("w"), "left")
+      .crossJoin(broadcast(charset))
+      .selectExpr("doc_id",
+        s"CAST(coalesce(np, ${fallbackNpExpr(d, "w", "__ug_cs")}) AS BIGINT) AS np",
+        s"CAST(CASE WHEN np IS NULL THEN ${fallbackFbExpr(d, "w", "__ug_cs")} " +
+          "ELSE 0 END AS BIGINT) AS fb")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum("np").cast("long").as("n_pieces"),
+        sum("fb").cast("long").as("n_fallback_bytes"))
+    val out = evalDocs.selectExpr(s"$idCol AS doc_id").distinct()
+      .join(agg, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CAST(coalesce(n_words, 0) AS BIGINT) AS n_words",
+        "CAST(coalesce(n_pieces, 0) AS BIGINT) AS n_pieces",
+        "CAST(coalesce(n_fallback_bytes, 0) AS BIGINT) AS n_fallback_bytes")
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    CheckpointBlocks.release(vocab)
+    CheckpointBlocks.release(seg)
+    out
+  }
+
+  /** Oracle side of [[encodeFallback]]: the training CTEs over the
+    * TRAIN relation, charset from its word table, eval words joined
+    * against the segmentation with the byte-fallback char-walk. */
+  def encodeFallbackSql(dd: SqlDialect, trainFrom: String, evalFrom: String,
+      idCol: String, textCol: String, p: UnigramParams): String =
+    s"""WITH ${trainCtes(dd, trainFrom, textCol, p)},
+       |wp AS ${dd.ctem}(SELECT w, CAST(${dd.len(dd.splitSpace("trim(path)"))} AS BIGINT) AS np
+       |       FROM seg${p.rounds}),
+       |chs AS ${dd.ctem}(SELECT ${dd.strAggSorted("c")} AS cs FROM (
+       |         SELECT DISTINCT ${dd.unnest(dd.splitOn("w", ""))} AS c FROM w0) tc),
+       |docw AS ${dd.ctem}(
+       |  SELECT $idCol AS doc_id,
+       |         ${dd.unnest(dd.splitSpace(s"lower(coalesce($textCol, ''))"))} AS w
+       |  FROM $evalFrom),
+       |j AS ${dd.ctem}(SELECT doc_id,
+       |             CAST(coalesce(wp.np,
+       |                  ${fallbackNpExpr(dd, "dw.w", "chs.cs")}) AS BIGINT) AS np,
+       |             CAST(CASE WHEN wp.np IS NULL
+       |                  THEN ${fallbackFbExpr(dd, "dw.w", "chs.cs")}
+       |                  ELSE 0 END AS BIGINT) AS fb
+       |      FROM docw dw LEFT JOIN wp ON dw.w = wp.w CROSS JOIN chs
+       |      WHERE dw.w <> ''),
+       |agg AS ${dd.ctem}(SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |               CAST(sum(np) AS BIGINT) AS n_pieces,
+       |               CAST(sum(fb) AS BIGINT) AS n_fallback_bytes
+       |        FROM j GROUP BY doc_id),
+       |ids AS ${dd.ctem}(SELECT DISTINCT $idCol AS doc_id FROM $evalFrom)
+       |SELECT ids.doc_id,
+       |       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(coalesce(n_pieces, 0) AS BIGINT) AS n_pieces,
+       |       CAST(coalesce(n_fallback_bytes, 0) AS BIGINT) AS n_fallback_bytes
+       |FROM ids LEFT JOIN agg ON ids.doc_id = agg.doc_id
+       |ORDER BY ids.doc_id""".stripMargin
+
   /** Encode on Spark: the iterative mirror of [[encodeSql]] — words
     * over `maxWordLen` fall back to one piece per character. */
   def encode(docs: DataFrame, idCol: String, textCol: String,

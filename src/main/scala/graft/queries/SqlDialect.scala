@@ -139,6 +139,12 @@ sealed trait SqlDialect {
   def regexReplaceAll(c: String, pat: String, repl: String): String
   /** Number of matches of `pat` in `c`, BIGINT. */
   def regexCount(c: String, pat: String): String
+  /** Uppercase hex of the UTF-8 bytes of `x` — two hex chars per byte
+    * (the byte-fallback tokenizers' byte rendering). */
+  def hexBytes(x: String): String
+  /** Concatenation of column `c`'s values in sorted order — callers
+    * pre-distinct (Spark's collect_set is set-valued either way). */
+  def strAggSorted(c: String): String
 }
 
 object SparkSql extends SqlDialect {
@@ -189,6 +195,8 @@ object SparkSql extends SqlDialect {
     s"CAST(regexp_count($c, '$pat') AS BIGINT)"
   protected def utf8Decode(blob: String) = s"decode($blob, 'UTF-8')"
   def byteLen(x: String) = s"octet_length($x)"
+  def hexBytes(x: String) = s"hex(encode($x, 'UTF-8'))"
+  def strAggSorted(c: String) = s"array_join(array_sort(collect_set($c)), '')"
 }
 
 object DuckSql extends SqlDialect {
@@ -238,4 +246,6 @@ object DuckSql extends SqlDialect {
     s"CAST(len(regexp_extract_all($c, '$pat')) AS BIGINT)"
   protected def utf8Decode(blob: String) = s"decode($blob)"
   def byteLen(x: String) = s"octet_length(encode($x))"
+  def hexBytes(x: String) = s"hex(encode($x))"
+  def strAggSorted(c: String) = s"string_agg($c, '' ORDER BY $c)"
 }

@@ -914,6 +914,50 @@ object TextQueries {
       graft.operators.Unigram.UnigramParams(
         rounds = 1, seedK = 64, maxWordLen = 8, maxPiece = 3)))),
 
+    // ---- BPE with BYTE-LEVEL FALLBACK (GPT-2's open-vocabulary rule) ------
+    // Train on the even-doc half, encode the odd-doc half with words of
+    // UNSEEN UNICODE injected (U+27E1 / 牛 / λ via hex — no multibyte
+    // literals in SQL text): unknown characters decompose into UTF-8
+    // byte tokens, so nothing is ever OOV. Pinned per doc: subword and
+    // fallback-byte counts AND a computed n_unk column (symbols outside
+    // charset ∪ merge-products ∪ byte-token space) that the oracle
+    // re-derives — zero everywhere, data-verified open vocabulary.
+    QuerySpec("q215_bpe_byte_fallback", { (s, dir) =>
+      val docs = Td.load(s, dir, "documents").localCheckpoint(true)
+      val train = docs.where("doc_id % 2 = 0")
+      val eval0 = docs.where("doc_id % 2 = 1")
+        .selectExpr("doc_id", s"text || ' ' || ${fallbackSfx(SparkSql)} AS text")
+      graft.operators.Bpe
+        .encodeFallback(train, eval0, "doc_id", "text", rounds = 4)
+        .orderBy("doc_id")
+    }, Some(graft.operators.Bpe.encodeFallbackSql(DuckSql,
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) tr",
+      s"(SELECT doc_id, text || ' ' || ${fallbackSfx(DuckSql)} AS text " +
+        "FROM documents WHERE doc_id % 2 = 1) ev",
+      "doc_id", "text", 4))),
+
+    // ---- unigram-LM with BYTE-LEVEL FALLBACK (byte_fallback=true) ---------
+    // The SentencePiece production detail beside q215's GPT rule: the
+    // odd-doc corpus (same unseen-unicode injection) encodes under the
+    // even-doc vocabulary — segmented words take their DP piece count,
+    // unseen words char-walk with unknown characters counting their
+    // UTF-8 bytes. Zero UNK by construction; fallback volume pinned.
+    QuerySpec("q216_unigram_byte_fallback", { (s, dir) =>
+      val docs = Td.load(s, dir, "documents").localCheckpoint(true)
+      val train = docs.where("doc_id % 2 = 0")
+      val eval0 = docs.where("doc_id % 2 = 1")
+        .selectExpr("doc_id", s"text || ' ' || ${fallbackSfx(SparkSql)} AS text")
+      graft.operators.Unigram.encodeFallback(train, eval0, "doc_id", "text",
+        graft.operators.Unigram.UnigramParams(
+          rounds = 1, seedK = 64, maxWordLen = 8, maxPiece = 3))
+    }, Some(graft.operators.Unigram.encodeFallbackSql(DuckSql,
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) tr",
+      s"(SELECT doc_id, text || ' ' || ${fallbackSfx(DuckSql)} AS text " +
+        "FROM documents WHERE doc_id % 2 = 1) ev",
+      "doc_id", "text",
+      graft.operators.Unigram.UnigramParams(
+        rounds = 1, seedK = 64, maxWordLen = 8, maxPiece = 3)))),
+
     // ---- URL canonicalization + per-domain stats --------------------------
     // CCNet/RefinedWeb pre-text step: derive deterministic crawl-style
     // URLs (scheme/www/port/trailing-slash/tracking-param/fragment
@@ -1203,6 +1247,14 @@ object TextQueries {
     * lang / source: scheme, WWW and subdomain spellings, default and
     * non-default ports, trailing slashes, tracking params, and fragments
     * all vary so every canonicalization rule fires on real rows. */
+  /** The unseen-unicode suffix q215/q216 inject into the eval half —
+    * two words mixing known ASCII with characters absent from the
+    * synthetic corpus: "x⟡y" (U+27E1) and "牛λ" (U+725B, U+03BB), all
+    * routed through utf8FromHex (the no-multibyte-literals rule). */
+  private def fallbackSfx(d: SqlDialect): String =
+    s"'x' || ${d.utf8FromHex("E29FA1")} || 'y' || ' ' || " +
+      s"${d.utf8FromHex("E7899B")} || ${d.utf8FromHex("CEBB")}"
+
   private def urlExpr(d: SqlDialect): String =
     "CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END || '://' || " +
       "CASE WHEN doc_id % 5 = 0 THEN 'WWW.' WHEN doc_id % 5 = 3 THEN 'news.' ELSE '' END || " +
