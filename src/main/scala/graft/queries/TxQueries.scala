@@ -120,7 +120,12 @@ object TxQueries {
     // diverges from the raw table.
     QuerySpec("q127_txlog_stream", { (s, dir) =>
       val root = graft.Scratch.dir("graft-q127").toString + "/t"
-      val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
+      // round-15 weight trim (q143 precedent): the PROTOCOL is the five
+      // txn-tracked deliveries with one redelivery — a quarter slice
+      // exercises it identically at a quarter of the write volume
+      val li = Td.load(s, dir, "lineitem")
+        .where(pmod(col("l_partkey"), lit(4)) === 1)
+        .localCheckpoint(true) // q122 rationale
       def batch(b: Int) = li.where(pmod(col("l_orderkey"), lit(4)) === b)
       Seq(0, 1, 1, 2, 3).foreach { b => // batch 1 redelivered
         TxLog.appendBatch(s, root, batch(b), appId = "q127", batchId = b.toLong)
@@ -136,7 +141,8 @@ object TxQueries {
       Some("""SELECT l_returnflag, count(*) AS n_rows,
                      CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
                      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+              FROM lineitem WHERE l_partkey % 4 = 1
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- schema evolution -----------------------------------------------
     // Narrow append (even order keys, 3 columns), then a schema-evolving
@@ -404,7 +410,12 @@ object TxQueries {
     // and the hash breaks against the raw-table oracle.
     QuerySpec("q154_txlog_source", { (s, dir) =>
       val root = graft.Scratch.dir("graft-q154").toString + "/t"
-      val li = Td.load(s, dir, "lineitem").localCheckpoint(true) // q122 rationale
+      // round-15 weight trim (q143 precedent): the PROTOCOL is three
+      // appends + a compaction streamed exactly-once through the
+      // source — a quarter slice streams it identically
+      val li = Td.load(s, dir, "lineitem")
+        .where(pmod(col("l_partkey"), lit(4)) === 2)
+        .localCheckpoint(true) // q122 rationale
       (0 to 2).foreach { k =>
         TxLog.append(s, root, li.where(pmod(col("l_orderkey"), lit(3)) === k))
       }
@@ -430,7 +441,8 @@ object TxQueries {
     },
       Some("""SELECT l_returnflag, count(*) AS n_rows,
                      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+              FROM lineitem WHERE l_partkey % 4 = 2
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- incremental medallion over the format --------------------------
     // The DLT-style loop built ONLY from engine pieces: a bronze TxLog
@@ -2880,6 +2892,80 @@ object TxQueries2 {
                      (SELECT count(*) FROM base WHERE k % 7 = 2) AS update_rows_applied,
                      (SELECT count(*) FROM upd WHERE k % 5 = 3) AS delete_rows_applied,
                      (SELECT count(*) FROM extra) AS append_rows_applied
-              FROM finalv"""))
+              FROM finalv""")),
+
+    // q217: the DISTRIBUTED WRITE-PATH metadata plane (round 15's
+    // headline, the q208 of DML): banded DELETE and UPDATE against a
+    // table whose replay base is a SHARDED PARQUET checkpoint. Pinned
+    // into the hash: the post-DML table state, each commit's
+    // files_scanned=1 / files_live=18 pruning metrics (touch discovery
+    // ran DISTRIBUTED over the shard index and opened one band), the
+    // parquet shard encoding, and — the scale proof — that the whole
+    // cold DML round trip materialized NO snapshot on the driver.
+    QuerySpec("q217_distributed_dml_plan", { (s, dir) =>
+      val saved = TxLog.ckptPartMaxFiles
+      TxLog.ckptPartMaxFiles = 16
+      try {
+        val root = graft.Scratch.dir("graft-q217").toString
+        val t = s"$root/ord"
+        val ord = Td.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice").localCheckpoint(true)
+        val maxK = ord.agg(max("o_orderkey")).head().getLong(0)
+        val w = maxK / 18 + 1 // 18 non-empty key bands at every SF
+        TxLog.append(s, t, ord.where(col("o_orderkey") < w).coalesce(1))
+        TxLog.setProperties(t, Map(TxLog.Checkpoints.Interval -> "18"))
+        (1 until 18).foreach { i =>
+          TxLog.append(s, t, ord.where(
+            col("o_orderkey") >= w * i && col("o_orderkey") < w * (i + 1)).coalesce(1))
+        }
+        val meta0 = TxLog.planningMeta(t, None)
+        require(meta0.exists(_.ckptBase.nonEmpty), "q217: expected a sharded base")
+        val ckptParquet = if (meta0.exists(_.ckptParquet)) 1L else 0L
+        TxLog.invalidateSnapshots(t) // COLD write path, like a fresh driver
+        TxLog.delete(s, t, s"o_orderkey >= ${w * 2} AND o_orderkey < ${w * 3}")
+        val vDel = TxLog.latestVersion(t)
+        TxLog.update(s, t, s"o_orderkey >= ${w * 5} AND o_orderkey < ${w * 6}",
+          Map("o_totalprice" -> "o_totalprice * 2"))
+        val vUpd = TxLog.latestVersion(t)
+        // the proof BEFORE anything else resolves a full snapshot
+        val mats = (0L to vUpd).count(v => TxLog.snapshotCached(t, v)).toLong
+        val ms: Map[Long, Map[String, Long]] = TxLog.history(s, t)
+          .where(col("version").isin(vDel, vUpd))
+          .select("version", "metrics").collect()
+          .map(r => r.getLong(0) ->
+            r.getAs[scala.collection.Map[String, Long]](1).toMap).toMap
+        TxLog.read(s, t)
+          .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price"))
+          .withColumn("del_files_scanned", lit(ms(vDel)("files_scanned")))
+          .withColumn("del_files_live", lit(ms(vDel)("files_live")))
+          .withColumn("del_rows", lit(ms(vDel)("rows_deleted")))
+          .withColumn("upd_files_scanned", lit(ms(vUpd)("files_scanned")))
+          .withColumn("upd_rows", lit(ms(vUpd)("rows_updated")))
+          .withColumn("snapshot_materialized", lit(mats))
+          .withColumn("ckpt_parquet", lit(ckptParquet))
+      } finally TxLog.ckptPartMaxFiles = saved
+    },
+      Some("""WITH w AS (SELECT max(o_orderkey) // 18 + 1 AS w FROM orders),
+                   f AS (SELECT o_orderkey AS k,
+                                CASE WHEN o_orderkey >= (SELECT w * 5 FROM w)
+                                      AND o_orderkey < (SELECT w * 6 FROM w)
+                                     THEN o_totalprice * 2 ELSE o_totalprice END AS p
+                         FROM orders
+                         WHERE o_orderkey < (SELECT w * 2 FROM w)
+                            OR o_orderkey >= (SELECT w * 3 FROM w))
+              SELECT count(*) AS n_rows,
+                     CAST(sum(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     CAST(1 AS BIGINT) AS del_files_scanned,
+                     CAST(18 AS BIGINT) AS del_files_live,
+                     (SELECT count(*) FROM orders
+                      WHERE o_orderkey >= (SELECT w * 2 FROM w)
+                        AND o_orderkey < (SELECT w * 3 FROM w)) AS del_rows,
+                     CAST(1 AS BIGINT) AS upd_files_scanned,
+                     (SELECT count(*) FROM orders
+                      WHERE o_orderkey >= (SELECT w * 5 FROM w)
+                        AND o_orderkey < (SELECT w * 6 FROM w)) AS upd_rows,
+                     CAST(0 AS BIGINT) AS snapshot_materialized,
+                     CAST(1 AS BIGINT) AS ckpt_parquet
+              FROM f"""))
   )
 }
