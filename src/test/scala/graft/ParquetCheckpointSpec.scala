@@ -245,6 +245,59 @@ class ParquetCheckpointSpec extends AnyFunSuite with SparkTestBase {
   }
 }
 
+class NoSessionCheckpointSpec extends AnyFunSuite with SparkTestBase {
+  test("the no-session JSONL incremental fallback streams the base verbatim") {
+    import spark.implicits._
+    // a JSONL-sharded synthetic base + live commits, then checkpoint
+    // WITHOUT a session: the driver-streaming JSONL writer must produce
+    // a base the (session-backed) readers replay identically
+    val dir = graft.Scratch.dir("graft-nosess").toString + "/t"
+    val ld = Paths.get(dir, "_txlog")
+    Files.createDirectories(ld)
+    def put(n: String, c: String): Unit =
+      Files.write(ld.resolve(n), c.getBytes("UTF-8")): Unit
+    def line(i: Int): String =
+      s"""{"path":"d-seed/f$i.parquet","rows":10,"bytes":100,"dc":true,""" +
+        s""""stats":{"k":{"t":"bigint","min":"${10 * i}","max":"${10 * i + 9}","nulls":0}}}"""
+    put("00000000000000000000.json",
+      """{"version":0,"op":"create","ts":1,"schema":"k BIGINT,v STRING","adds":[],"removes":[]}""")
+    (0 until 4).foreach { p =>
+      put(f"${0L}%020d.ckpt.part-$p%05d-of-00004.jsonl",
+        (p * 5 until (p + 1) * 5).map(line).mkString("", "\n", "\n"))
+    }
+    put("00000000000000000000.ckpt.json",
+      """{"version":0,"protocol":1,"schema":"k BIGINT,v STRING","txns":{},"props":{},"parts":4}""")
+    put("_last_checkpoint", """{"version":0,"parts":4}""")
+    // one commit re-adds a path with new stats, one removes a path
+    put("00000000000000000001.json",
+      s"""{"version":1,"op":"append","ts":2,"adds":[${line(3).replace("\"rows\":10", "\"rows\":7")}],""" +
+        """"removes":["d-seed/f7.parquet"]}""")
+    val before = TxLog.planScan(spark, dir, Nil)
+      .map(a => (a.path, a.rows)).sortBy(_._1)
+
+    val saved = TxLog.ckptPartMaxFiles
+    TxLog.ckptPartMaxFiles = 8
+    val sess = org.apache.spark.sql.SparkSession.getDefaultSession
+    try {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      TxLog.debugWriteCheckpoint(dir, 1L)
+    } finally {
+      sess.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      sess.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      TxLog.ckptPartMaxFiles = saved
+    }
+    val meta = TxLog.snapshotMeta(dir, Some(1L))
+    assert(meta.ckptBase === Some((1L, 3)) && !meta.ckptParquet,
+      s"expected a 3-part JSONL base: ${meta.ckptBase} pq=${meta.ckptParquet}")
+    val after = TxLog.planScan(spark, dir, Nil)
+      .map(a => (a.path, a.rows)).sortBy(_._1)
+    assert(after === before, "the incremental JSONL checkpoint drifted")
+    assert(after.size === 19 && after.find(_._1 == "d-seed/f3.parquet").exists(_._2 == 7L))
+    assert(!after.exists(_._1 == "d-seed/f7.parquet"))
+  }
+}
+
 /** Test seam: the shard schema builder is private to TxLog; specs need
   * it to drive the real parquet encoder on hand-built rows. */
 object TxLogTestSeams {
