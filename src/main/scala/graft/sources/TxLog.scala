@@ -1042,16 +1042,21 @@ object TxLog {
     * just to learn the head version. */
   private def headSnapshot(dir: String): Option[Snapshot] =
     try {
-      val meta = snapshotMeta(dir)
-      Some(if (meta.ckptBase.isEmpty) snapshot(dir) else meta.metaSnap)
+      if (!baseIsSharded(dir, None)) Some(snapshot(dir))
+      else {
+        val meta = snapshotMeta(dir)
+        Some(if (meta.ckptBase.isEmpty) snapshot(dir) else meta.metaSnap)
+      }
     } catch { case _: VersionNotFoundException => None }
 
   /** [[headSnapshot]] for callers that REQUIRE the table to exist (the
     * DDL retry loops) — same metadata-only contract. */
-  private def headState(dir: String): Snapshot = {
-    val meta = snapshotMeta(dir)
-    if (meta.ckptBase.isEmpty) snapshot(dir) else meta.metaSnap
-  }
+  private def headState(dir: String): Snapshot =
+    if (!baseIsSharded(dir, None)) snapshot(dir)
+    else {
+      val meta = snapshotMeta(dir)
+      if (meta.ckptBase.isEmpty) snapshot(dir) else meta.metaSnap
+    }
 
   // ---- JSON (de)serialization -------------------------------------------
 
@@ -1594,7 +1599,10 @@ object TxLog {
         // META resolution: the interval needs only the property map, and
         // resolving it through the files-unmaterialized plane keeps the
         // post-commit hook O(checkpoint window) on sharded tables
-        val interval = snapshotMeta(dir, Some(v)).props
+        // (inline tables take the memoized snapshot, round-14 cost)
+        val interval = (if (baseIsSharded(dir, Some(v)))
+            snapshotMeta(dir, Some(v)).props
+          else snapshot(dir, Some(v)).props)
           .get(Checkpoints.Interval).filter(_.nonEmpty).map(_.toLong)
           .getOrElse(checkpointInterval.toLong)
         if (v % interval == 0) writeCheckpoint(dir, v)
@@ -1789,6 +1797,25 @@ object TxLog {
   /** The `_last_checkpoint` pointer's version, when it names a
     * checkpoint that still exists (cleanup races / manual copies can
     * strand a stale pointer — callers fall back to the listing). */
+  /** Name-glob probe: is the replay base at/below `target` a SHARDED
+    * checkpoint? One tiny pointer read + one directory-stream glob, no
+    * manifest JSON parsed — the fork that keeps INLINE-table
+    * resolution exactly as cheap as the plain snapshot path (the meta
+    * plane would otherwise parse the inline file list per version just
+    * to discard it). Advisory like the pointer itself: a stale or
+    * missing pointer degrades to the materializing path, never to a
+    * wrong answer. */
+  private def baseIsSharded(dir: String, target: Option[Long]): Boolean =
+    readLastCheckpoint(dir).filter(v => target.forall(v <= _)) match {
+      case Some(v) =>
+        try {
+          val ds = java.nio.file.Files.newDirectoryStream(
+            logDir(dir), f"$v%020d.ckpt.part-00000-of-*")
+          try ds.iterator().hasNext finally ds.close()
+        } catch { case _: Exception => false }
+      case None => false
+    }
+
   private def readLastCheckpoint(dir: String): Option[Long] =
     try {
       val p = lastCkptFile(dir)
@@ -2081,11 +2108,13 @@ object TxLog {
     * MERGE against a million-file table costs the driver
     * O(selectivity), exactly like the SQL read path. */
   private def dmlSnapshot(dir: String,
-      readVersion: Option[Long]): (Snapshot, Option[SnapshotMeta]) = {
-    val meta = snapshotMeta(dir, readVersion)
-    if (meta.ckptBase.isEmpty) (snapshot(dir, Some(meta.version)), None)
-    else (meta.metaSnap, Some(meta))
-  }
+      readVersion: Option[Long]): (Snapshot, Option[SnapshotMeta]) =
+    if (!baseIsSharded(dir, readVersion)) (snapshot(dir, readVersion), None)
+    else {
+      val meta = snapshotMeta(dir, readVersion)
+      if (meta.ckptBase.isEmpty) (snapshot(dir, Some(meta.version)), None)
+      else (meta.metaSnap, Some(meta))
+    }
 
   /** Touch-discovery candidates under `filters` — distributed on a
     * sharded base, driver prune otherwise. EMPTY filters = the full
