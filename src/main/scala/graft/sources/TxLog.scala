@@ -3678,16 +3678,33 @@ object TxLog {
     * with [[ConcurrentWriteException]]. Returns (filesBefore,
     * filesAfter). */
   def optimize(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20,
-      sortBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): (Int, Int) = {
+      sortBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
+      minFileBytes: Option[Long] = None): (Int, Int) = {
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "optimize: sortBy and zorderBy are mutually exclusive")
     require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 6),
       s"optimize: zorderBy takes 2–6 columns, got $zorderBy")
+    require(minFileBytes.isEmpty || (sortBy.isEmpty && zorderBy.isEmpty),
+      "optimize: minFileBytes composes with plain compaction only — an " +
+        "explicit clustering must see EVERY row to lay the table out")
     // a whole-table rewrite's commit must name every live file — the
     // driver list is the write itself; on a sharded base it arrives
-    // via the distributed plane (snapshot cache never materializes)
+    // via the distributed plane (snapshot cache never materializes).
+    // With minFileBytes set (Delta's minFileSize rule) only files BELOW
+    // the cutoff participate: a well-maintained table's small-file
+    // population tracks recent ingest, not table size, so the steady-
+    // state OPTIMIZE is bounded — discovered distributed on a sharded
+    // base with the cutoff pushed into the metadata scan
     val (snap, meta) = dmlSnapshot(dir, None)
-    val files = dmlCandidates(spark, dir, snap, meta, Nil)
+    val files = minFileBytes match {
+      case Some(cut) => meta match {
+        case Some(mm) =>
+          planFilesMeta(spark, dir, mm, a => a.bytes < cut,
+            if (mm.ckptParquet) Some(col("bytes") < lit(cut)) else None)
+        case None => snap.files.filter(_.bytes < cut)
+      }
+      case None => dmlCandidates(spark, dir, snap, meta, Nil)
+    }
     if (files.size <= 1) return (files.size, files.size)
     val totalBytes = files.map(_.bytes).sum
     // Compaction never produces MORE files than it consumes.

@@ -37,4 +37,29 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     assert(Compaction.compact(spark, empty) === ((0, 0)))
     assert(Compaction.compact(spark, empty + "/never_written") === ((0, 0)))
   }
+
+  test("optimize(minFileBytes): already-full files are layout-final") {
+    import spark.implicits._
+    import graft.sources.TxLog
+    val dir = graft.Scratch.dir("graft-minfile").toString + "/t"
+    // two BIG files (many rows) + four tiny ones
+    (0 until 2).foreach(i => TxLog.append(spark, dir,
+      (0 until 20000).map(d => (i * 100000L + d, s"v$d")).toDF("id", "s").coalesce(1)))
+    (0 until 4).foreach(i => TxLog.append(spark, dir,
+      Seq((900000L + i, "small")).toDF("id", "s")))
+    val before = TxLog.snapshot(dir)
+    val bigPaths = before.files.sortBy(-_.bytes).take(2).map(_.path).toSet
+    val cutoff = before.files.map(_.bytes).sorted.apply(3) + 1 // above the tiny four
+    val (nIn, nOut) = TxLog.optimize(spark, dir, minFileBytes = Some(cutoff))
+    assert(nIn === 4 && nOut === 1, s"expected 4->1, got $nIn->$nOut")
+    val after = TxLog.snapshot(dir)
+    // the big files were never rewritten — same paths, layout-final
+    assert(bigPaths.subsetOf(after.files.map(_.path).toSet))
+    assert(after.files.size === 3)
+    assert(TxLog.read(spark, dir).count() === 40004L)
+    // full OPTIMIZE (no cutoff) still consumes everything
+    val (a2, b2) = TxLog.optimize(spark, dir)
+    assert(a2 === 3 && b2 === 1)
+    assert(TxLog.read(spark, dir).count() === 40004L)
+  }
 }
