@@ -1058,6 +1058,18 @@ object TxLog {
       if (meta.ckptBase.isEmpty) snapshot(dir) else meta.metaSnap
     }
 
+  /** [[headState]] pinned to an explicit version — the metadata-only
+    * resolution the versioned write paths ([[appendEvolveAt]]) and
+    * [[restore]] use: schema / properties / column map / partition
+    * columns without folding a sharded table's AddFile list into
+    * driver heap. Never hand the result to a consumer of `.files`. */
+  private def headStateAt(dir: String, version: Long): Snapshot =
+    if (!baseIsSharded(dir, Some(version))) snapshot(dir, Some(version))
+    else {
+      val meta = snapshotMeta(dir, Some(version))
+      if (meta.ckptBase.isEmpty) snapshot(dir, Some(version)) else meta.metaSnap
+    }
+
   // ---- JSON (de)serialization -------------------------------------------
 
   private def statsJson(s: Map[String, ColStats]): JObject =
@@ -2512,8 +2524,17 @@ object TxLog {
   def recomputeStats(spark: SparkSession, dir: String): Long = {
     var tries = 0
     while (tries < maxCommitAttempts) {
-      val snap = snapshot(dir)
-      if (snap.files.isEmpty) return snap.version
+      // ANALYZE is a whole-table op — the re-add list it commits is
+      // O(table) by nature — but the RESOLUTION need not pin a full
+      // snapshot (per-file stats maps) into the driver's snapCache: a
+      // sharded base resolves files-EMPTY metadata and takes the live
+      // list TRANSIENTLY off the distributed plane.
+      val (snap, metaOpt) = dmlSnapshot(dir, None)
+      val liveFiles: Seq[AddFile] = metaOpt match {
+        case Some(m) => planFilesMeta(spark, dir, m, _ => true)
+        case None => snap.files
+      }
+      if (liveFiles.isEmpty) return snap.version
       val phys = physicalSchema(snap)
       val (indexed, applyPolicy) = statsPolicy(snap.props, phys)
       val fields = phys.fields
@@ -2522,7 +2543,7 @@ object TxLog {
         if (fields.isEmpty) Map.empty
         else {
           val df = spark.read.schema(phys)
-            .parquet(snap.files.map(f => Paths.get(dir, f.path).toString): _*)
+            .parquet(liveFiles.map(f => Paths.get(dir, f.path).toString): _*)
           val aggs: Seq[Column] = fields.toSeq.flatMap { f =>
             Seq(min(col(f.name)).cast(StringType).as(s"__min_${f.name}"),
               max(col(f.name)).cast(StringType).as(s"__max_${f.name}"),
@@ -2536,7 +2557,7 @@ object TxLog {
           val rowByAbs = rows.map { r =>
             r.getString(0).stripPrefix("file:") -> r
           }.toMap
-          snap.files.flatMap { f =>
+          liveFiles.flatMap { f =>
             val abs = Paths.get(dir, f.path).toAbsolutePath.toString
             rowByAbs.get(abs)
               .orElse(rows.find(_.getString(0).endsWith(f.path))).map { r =>
@@ -2549,7 +2570,7 @@ object TxLog {
             }
           }.toMap
         }
-      val adds = snap.files.map(f => f.copy(
+      val adds = liveFiles.map(f => f.copy(
         stats = byPath.getOrElse(f.path, Map.empty), dataChange = false))
       val attempt = snap.version + 1
       val content = commitJson(attempt, "computeStats",
@@ -3093,7 +3114,10 @@ object TxLog {
       readVersion: Long): Long = {
     Files.createDirectories(Paths.get(dir))
     if (readVersion < 0) return append(spark, dir, df0)
-    val snapAtRead = snapshot(dir, Some(readVersion))
+    // schema / constraints / column-map / partition-column context only
+    // — an evolving append never needs the file list, so a sharded
+    // table resolves through the meta plane (files-EMPTY [[headStateAt]])
+    val snapAtRead = headStateAt(dir, readVersion)
     // generated columns fill first — an evolving CDC append may omit them
     val df = withGeneratedCols(snapAtRead, df0)
     val table = StructType.fromDDL(snapAtRead.schemaDdl)
@@ -6145,25 +6169,81 @@ object TxLog {
     * Re-added files carry dataChange=false — their rows were delivered
     * at their original versions. Overwrite-class conflict semantics.
     * Returns the committed version. */
+  /** [[restore]]'s two-way live-set diff on (path, deletion-vector
+    * state), DISTRIBUTED: each version's live set streams as keyed
+    * JSONL lines (the sharded base via [[baseAddsRdd]] plus its delta;
+    * an inline base's delta fold IS its full list), two anti-joins find
+    * the asymmetric survivors, and only the DIFF is collected and
+    * parsed. Each side is locally checkpointed once — it feeds both
+    * joins. Returns (target-only files, current-only files). */
+  private def restoreDiff(spark: SparkSession, dir: String,
+      mT: SnapshotMeta, mC: SnapshotMeta): (Seq[AddFile], Seq[AddFile]) = {
+    def keyed(m: SnapshotMeta): DataFrame = {
+      val delta = m.deltaAdds
+      val rdd = m.ckptBase match {
+        case Some(_) =>
+          val base = baseAddsRdd(spark, dir, m)
+          if (delta.isEmpty) base
+          else base ++ spark.sparkContext.parallelize(delta)
+        case None =>
+          spark.sparkContext.parallelize(delta, math.max(1, delta.size min 32))
+      }
+      spark.createDataFrame(
+        rdd.map(a => org.apache.spark.sql.Row(
+          a.path, a.dv.fold("")(d => s"${d.path}#${d.dead}"), shardLine(a))),
+        StructType(Seq(StructField("path", StringType),
+          StructField("dvk", StringType), StructField("line", StringType))))
+        .localCheckpoint(true)
+    }
+    val t = keyed(mT); val c = keyed(mC)
+    def diff(a: DataFrame, b: DataFrame): Seq[AddFile] =
+      a.join(b, Seq("path", "dvk"), "left_anti")
+        .select("line").collect().toSeq.map(r => parseAdd(parse(r.getString(0))))
+    (diff(t, c), diff(c, t))
+  }
+
   def restore(spark: SparkSession, dir: String, version: Long): Long = {
     val readVersion = latestVersion(dir)
-    val target = snapshot(dir, Some(version))
-    target.files.foreach { f =>
+    // The restore's commit content IS the two-way live-set diff on
+    // (path, deletion-vector state): re-add when the path is absent
+    // from the current version OR its DV differs — restoring past a DV
+    // delete must revive the dead rows (and restoring onto a DV version
+    // must re-pin its descriptor); a same-path entry differs only ever
+    // by its DV. On a SHARDED base the diff runs as distributed
+    // anti-joins over the checkpoint shards ([[restoreDiff]]) — driver
+    // memory ∝ the diff the commit must name anyway, never the table.
+    val sharded =
+      baseIsSharded(dir, Some(version)) || baseIsSharded(dir, Some(readVersion))
+    val (target, current, changedTgt, changedCur) =
+      if (!sharded) {
+        val t = snapshot(dir, Some(version))
+        val c = snapshot(dir, Some(readVersion))
+        (t, c,
+          t.files.filter(f => !c.files.exists(x => x.path == f.path && x.dv == f.dv)),
+          c.files.filter(f => !t.files.exists(x => x.path == f.path && x.dv == f.dv)))
+      } else {
+        val mT = snapshotMeta(dir, Some(version))
+        val mC = snapshotMeta(dir, Some(readVersion))
+        def stateOf(m: SnapshotMeta): Snapshot =
+          if (m.ckptBase.isEmpty) snapshot(dir, Some(m.version)) else m.metaSnap
+        val (ct, cc) = restoreDiff(spark, dir, mT, mC)
+        (stateOf(mT), stateOf(mC), ct, cc)
+      }
+    // vacuum probe ∝ the diff: only files the restore RE-ADDS can be
+    // vacuum casualties — a file live at the CURRENT version exists by
+    // the liveness invariant, so the whole-table sweep is unnecessary
+    changedTgt.foreach { f =>
       require(Files.exists(Paths.get(dir, f.path)),
         s"restore: ${f.path} of version $version was vacuumed; cannot restore")
       f.dv.foreach(d => require(Files.isDirectory(Paths.get(dir, d.path)),
         s"restore: deletion vector ${d.path} of version $version was " +
           "vacuumed; cannot restore"))
     }
-    val current = snapshot(dir, Some(readVersion))
-    // re-add when the path is absent OR its deletion-vector state
-    // differs — restoring past a DV delete must revive the dead rows
-    // (and restoring onto a DV version must re-pin its descriptor);
-    // a same-path entry differs only ever by its DV.
-    val curByPath = current.files.map(f => f.path -> f).toMap
-    val adds = target.files.filter(f => curByPath.get(f.path).forall(_.dv != f.dv))
-      .map(_.copy(dataChange = false))
-    val removes = current.files.map(_.path).filterNot(target.files.map(_.path).contains)
+    val adds = changedTgt.map(_.copy(dataChange = false))
+    // a changed current path still PRESENT in the target rides `adds`
+    // (its DV state changed); only paths absent from the target remove
+    val addPaths = adds.iterator.map(_.path).toSet
+    val removes = changedCur.map(_.path).filterNot(addPaths)
     val schemaDdl =
       if (target.schemaDdl != current.schemaDdl) Some(target.schemaDdl) else None
     // restore the target's COLUMN MAPPING with its schema: set every
@@ -6190,10 +6270,6 @@ object TxLog {
           s"restore: version $version has a different schema — a " +
             "schema-changing restore is not representable on the change " +
             s"feed; disable ${Cdf.Enabled} first")
-        val changedCur = current.files.filter(f =>
-          !target.files.exists(t => t.path == f.path && t.dv == f.dv))
-        val changedTgt = target.files.filter(f =>
-          !current.files.exists(c => c.path == f.path && c.dv == f.dv))
         def empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], current.schema)
         val curRows =
@@ -6587,7 +6663,11 @@ object TxLog {
     // physical name never changes once assigned, so the latest mapping
     // covers every historical file (renamed columns keep their original
     // storage name; post-drop re-adds carry fresh suffixed names).
-    val latest = snapshot(dir)
+    // Schema/column-map context only — [[headState]]'s meta plane, so a
+    // change read off a million-file sharded table never folds its
+    // AddFile list into driver heap (the files it scans come from the
+    // WINDOW's commit JSONs below, never from the snapshot).
+    val latest = headState(dir)
     val out = latest.schema.add(StructField("_commit_version", LongType, nullable = false))
     val groups = commits.sorted.filter(_ > fromVersionExclusive).flatMap { v =>
       val j = parse(Files.readString(versionFile(dir, v)))

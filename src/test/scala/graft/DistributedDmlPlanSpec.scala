@@ -221,6 +221,92 @@ class DistributedDmlPlanSpec extends AnyFunSuite with SparkTestBase {
     assertNoSnap(dir)
   }
 
+  test("restore / readChanges / appendEvolve on a 102,400-file sharded log: meta-plane resolution, no driver materialization") {
+    val dir = tmp("dmlplan-restore")
+    buildSynthetic(dir, Seq(42), Set.empty)
+
+    // UPDATE one row of slot 42's band: CoW rewrites f000042 → a
+    // dataChange=false remainder plus a dataChange=true post-image
+    TxLog.update(spark, dir, "k = 420", Map("v" -> "'updated'"))
+    val vUpd = TxLog.latestVersion(dir)
+    assert(removesOf(dir, vUpd) === Set("d-seed/f000042.parquet"))
+    assertNoSnap(dir)
+
+    // ---- readChanges: schema context from the meta plane, scans only
+    // the WINDOW's dataChange adds (the post-image — a real file)
+    val changed = TxLog.readChanges(spark, dir, fromVersionExclusive = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(changed === Seq((420L, "updated", vUpd)))
+    assertNoSnap(dir)
+
+    // ---- restore to the pre-DML version: distributed two-way diff —
+    // adds = exactly the rewritten original, removes = its rewrites
+    val vRestore = TxLog.restore(spark, dir, 1L)
+    assert(vRestore === vUpd + 1)
+    val restoredAdds = {
+      import org.json4s._
+      (commitJson(dir, vRestore) \ "adds") match {
+        case JArray(as) => as.map(a => (a \ "path") match {
+          case JString(p) => p; case o => o.toString
+        }).toSet
+        case _ => Set.empty[String]
+      }
+    }
+    assert(restoredAdds === Set("d-seed/f000042.parquet"))
+    assert(removesOf(dir, vRestore).forall(p =>
+      p.startsWith("d-") && !p.startsWith("d-seed/")))
+    assert(removesOf(dir, vRestore).size === 2) // remainder + post-image
+    assertNoSnap(dir)
+    // the restored band reads back whole through the distributed plan
+    val band = TxLog.planScan(spark, dir,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("k", 420L),
+        org.apache.spark.sql.sources.LessThanOrEqual("k", 429L)))
+    val rows = band.flatMap { f =>
+      spark.read.schema("k BIGINT, v STRING")
+        .parquet(Paths.get(dir, f.path).toString)
+        .collect().map(_.getLong(0))
+    }.sorted
+    assert(rows === (420L to 429L))
+    assertNoSnap(dir)
+
+    // ---- appendEvolve: schema evolution resolves metadata-only -------------
+    import spark.implicits._
+    val vEvolve = TxLog.appendEvolve(spark, dir,
+      Seq((99999990L, "wide", 7L)).toDF("k", "v", "extra"))
+    assert(vEvolve === vRestore + 1)
+    assertNoSnap(dir)
+    assert(TxLog.planningMeta(dir, None).exists(
+      _.schema.fieldNames.toSeq === Seq("k", "v", "extra")))
+    assertNoSnap(dir)
+  }
+
+  test("recomputeStats on a real sharded base: meta-plane resolution, stats refreshed") {
+    import spark.implicits._
+    val saved = TxLog.ckptPartMaxFiles
+    TxLog.ckptPartMaxFiles = 8
+    try {
+      val dir = tmp("dmlplan-analyze")
+      (0 until 12).foreach { i =>
+        TxLog.append(spark, dir,
+          (0 until 10).map(d => (i * 10L + d, s"v$i-$d")).toDF("k", "v").coalesce(1))
+      }
+      assert(TxLog.planningMeta(dir, None).exists(_.ckptBase.nonEmpty),
+        "expected a sharded replay base")
+      TxLog.invalidateSnapshots(dir)
+      val v = TxLog.recomputeStats(spark, dir)
+      assertNoSnap(dir)
+      // ANALYZE preserved the live set and its stats stay skip-sharp:
+      // a one-band filter still plans a one-file scan
+      val band = TxLog.planScan(spark, dir,
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("k", 50L),
+          org.apache.spark.sql.sources.LessThanOrEqual("k", 59L)))
+      assert(band.size === 1, s"ANALYZE dulled the stats: ${band.map(_.path)}")
+      assertNoSnap(dir)
+      assert(TxLog.read(spark, dir).count() === 120L)
+      assert(v === TxLog.latestVersion(dir))
+    } finally TxLog.ckptPartMaxFiles = saved
+  }
+
   test("VACUUM over a sharded base: distributed retention, identical semantics") {
     import spark.implicits._
     val saved = TxLog.ckptPartMaxFiles
@@ -299,6 +385,12 @@ class DistributedDmlPlanSpec extends AnyFunSuite with SparkTestBase {
         TxLog.replaceWhereEq(spark, dir,
           (0 until 5).map(d => (5000L + d, "rw", 2)).toDF("k", "v", "p"),
           Map("p" -> "2")); snap()
+        // restore past the DV-delete + purge + replaceWhere: the sharded
+        // run diffs the live sets DISTRIBUTED, the inline run on the
+        // driver — identical commit, identical rows
+        TxLog.restore(spark, dir, TxLog.latestVersion(dir) - 3); snap()
+        TxLog.appendEvolve(spark, dir,
+          Seq((9000L, "ev", 0, 1L)).toDF("k", "v", "p", "extra")); snap()
         val state = TxLog.read(spark, dir).orderBy("k")
           .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
         (state, rowCounts.toSeq)
