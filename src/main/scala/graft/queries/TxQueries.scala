@@ -2966,6 +2966,63 @@ object TxQueries2 {
                         AND o_orderkey < (SELECT w * 6 FROM w)) AS upd_rows,
                      CAST(0 AS BIGINT) AS snapshot_materialized,
                      CAST(1 AS BIGINT) AS ckpt_parquet
-              FROM f"""))
+              FROM f""")),
+
+    // q218: RESTORE over the distributed metadata plane (round 16's
+    // closure of the last driver-materialized seams). Banded DELETE +
+    // UPDATE against a sharded-parquet-base table, then a COLD restore
+    // to the checkpointed version: the two-way live-set diff runs as
+    // distributed anti-joins over the shards. Pinned into the hash:
+    // the fully-restored table state, the restore commit's re-add
+    // count (exactly the two rewritten band files), that the restore's
+    // re-adds are NOT row changes (dataChange=false — readChanges
+    // after the DML window sees nothing), and — the scale proof —
+    // that restore + readChanges materialized NO snapshot.
+    QuerySpec("q218_restore_plan", { (s, dir) =>
+      val saved = TxLog.ckptPartMaxFiles
+      TxLog.ckptPartMaxFiles = 8
+      try {
+        val root = graft.Scratch.dir("graft-q218").toString
+        val t = s"$root/ord"
+        val ord = Td.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice").localCheckpoint(true)
+        val maxK = ord.agg(max("o_orderkey")).head().getLong(0)
+        val w = maxK / 12 + 1 // 12 non-empty key bands at every SF
+        TxLog.append(s, t, ord.where(col("o_orderkey") < w).coalesce(1))
+        TxLog.setProperties(t, Map(TxLog.Checkpoints.Interval -> "12"))
+        (1 until 12).foreach { i =>
+          TxLog.append(s, t, ord.where(
+            col("o_orderkey") >= w * i && col("o_orderkey") < w * (i + 1)).coalesce(1))
+        }
+        val meta0 = TxLog.planningMeta(t, None)
+        require(meta0.exists(_.ckptBase.nonEmpty), "q218: expected a sharded base")
+        val ckptParquet = if (meta0.exists(_.ckptParquet)) 1L else 0L
+        val vCkpt = TxLog.latestVersion(t)
+        TxLog.delete(s, t, s"o_orderkey >= ${w * 2} AND o_orderkey < ${w * 3}")
+        TxLog.update(s, t, s"o_orderkey >= ${w * 5} AND o_orderkey < ${w * 6}",
+          Map("o_totalprice" -> "o_totalprice * 2"))
+        val vDml = TxLog.latestVersion(t)
+        TxLog.invalidateSnapshots(t) // COLD restore, like a fresh driver
+        val vRest = TxLog.restore(s, t, vCkpt)
+        val changesAfter = TxLog.readChanges(s, t, vDml).count()
+        // the proof BEFORE anything else resolves a full snapshot
+        val mats = (0L to vRest).count(v => TxLog.snapshotCached(t, v)).toLong
+        val hist = TxLog.history(s, t).where(col("version") === vRest)
+          .select("n_files_added").head()
+        TxLog.read(s, t)
+          .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price"))
+          .withColumn("restore_files_added", lit(hist.getLong(0)))
+          .withColumn("changes_after_restore", lit(changesAfter))
+          .withColumn("snapshot_materialized", lit(mats))
+          .withColumn("ckpt_parquet", lit(ckptParquet))
+      } finally TxLog.ckptPartMaxFiles = saved
+    },
+      Some("""SELECT count(*) AS n_rows,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     CAST(2 AS BIGINT) AS restore_files_added,
+                     CAST(0 AS BIGINT) AS changes_after_restore,
+                     CAST(0 AS BIGINT) AS snapshot_materialized,
+                     CAST(1 AS BIGINT) AS ckpt_parquet
+              FROM orders"""))
   )
 }
