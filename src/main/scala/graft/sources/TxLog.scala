@@ -158,7 +158,8 @@ object TxLog {
     * not with the writing process. */
   final case class Snapshot(version: Long, schemaDdl: String, files: Seq[AddFile],
       txns: Map[String, Long] = Map.empty, props: Map[String, String] = Map.empty,
-      protocol: Long = 1L, features: Set[String] = Set.empty) {
+      protocol: Long = 1L, features: Set[String] = Set.empty,
+      wfeatures: Set[String] = Set.empty) {
     def rows: Long = files.map(_.rows).sum
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
@@ -931,6 +932,78 @@ object TxLog {
     * reader supports — upgrade the reader; the data is fine. */
   final class UnsupportedProtocolException(msg: String) extends RuntimeException(msg)
 
+  /** WRITER FEATURES (the writer half of Delta's split table-features
+    * protocol): the capabilities a COMMITTER must declare before it may
+    * mutate the table. Readers never check these — a writer feature
+    * gates writes only, because the failure it prevents is a
+    * feature-ignorant writer corrupting invariants it cannot see: a
+    * writer that does not know row tracking commits files without
+    * materialized ids (silently breaking every id-keyed consumer); one
+    * that does not know deletion vectors can resurrect deleted rows by
+    * treating path-liveness as row-liveness in a rewrite; one that does
+    * not know column mapping can evolve a same-named column back over
+    * dropped physical bytes. A commit may persist
+    * `"wfeatures": ["rowTracking", …]`; independently, the gate DERIVES
+    * requirements from the table's own properties
+    * ([[impliedWriterFeatures]]) so every pre-wfeatures table is
+    * protected without a log rewrite — the reader-side legacy-int
+    * implication, applied to the write path. FORMAT.md §5. */
+  val supportedWriterFeatures: Set[String] = Set(
+    "rowTracking", "deletionVectors", "changeDataFeed", "columnMapping",
+    "identityColumns", "generatedColumns", "checkConstraints", "typeWidening")
+
+  /** The capabilities THIS process declares — the seam the gating spec
+    * strips to prove every write path refuses while reads stay green.
+    * Production writers declare the full supported set. */
+  @volatile private[graft] var writerCapabilities: Set[String] = supportedWriterFeatures
+
+  /** A table requires a writer capability this committer does not
+    * declare — the WRITE refuses; reads are unaffected. */
+  final class UnsupportedWriterFeatureException(msg: String) extends RuntimeException(msg)
+
+  /** The writer features a table's own metadata implies, independent of
+    * what any commit persisted: properties enable capabilities, and the
+    * reader+writer features (a writer must understand what its rewrites
+    * must preserve) carry over from the reader list. */
+  private[graft] def impliedWriterFeatures(props: Map[String, String],
+      readerFeatures: Set[String]): Set[String] = {
+    val b = Set.newBuilder[String]
+    if (props.get(RowTracking.Column).exists(_.nonEmpty)) b += "rowTracking"
+    if (props.get(DeletionVectors.Enabled).contains("true")) b += "deletionVectors"
+    if (props.get(Cdf.Enabled).contains("true")) b += "changeDataFeed"
+    if (props.exists { case (k, v) => k.startsWith(ColumnMapping.Prefix) && v.nonEmpty } ||
+        props.get(ColumnMapping.Dropped).exists(_.nonEmpty)) b += "columnMapping"
+    if (props.exists { case (k, v) => k.startsWith(Identity.Prefix) && v.nonEmpty })
+      b += "identityColumns"
+    if (props.exists { case (k, v) => k.startsWith(GeneratedCols.Prefix) && v.nonEmpty })
+      b += "generatedColumns"
+    if (props.exists { case (k, v) => k.startsWith(ConstraintPrefix) && v.nonEmpty })
+      b += "checkConstraints"
+    b ++= (readerFeatures intersect Set("deletionVectors", "columnMapping", "typeWidening"))
+    b.result()
+  }
+
+  /** The gate: refuse the mutation BY NAME when the table requires a
+    * writer capability outside [[writerCapabilities]]. Required set =
+    * persisted `wfeatures` ∪ property-implied — so unknown FUTURE
+    * writer features refuse by their persisted name, and legacy tables
+    * gate from their properties alone. */
+  private def requireWriterCaps(dir: String, snap: Snapshot, op: String): Unit = {
+    val required = snap.wfeatures ++ impliedWriterFeatures(snap.props, snap.features)
+    val missing = required -- writerCapabilities
+    if (missing.nonEmpty)
+      throw new UnsupportedWriterFeatureException(
+        s"$op on $dir requires writer feature(s) ${missing.toList.sorted.mkString(", ")} " +
+          "this writer does not declare — refusing before touching the table " +
+          "rather than corrupting invariants it cannot see (reads are unaffected)")
+  }
+
+  /** [[requireWriterCaps]] at the head version — the BEFORE-STAGING
+    * check every public mutator runs first (metadata-only resolution on
+    * sharded tables; a not-yet-created table has nothing to gate). */
+  private def writerGate(dir: String, op: String): Unit =
+    headSnapshot(dir).foreach(requireWriterCaps(dir, _, op))
+
   private val maxCommitAttempts = 50
 
   private def logDir(dir: String): Path = Paths.get(dir, "_txlog")
@@ -1464,6 +1537,7 @@ object TxLog {
     }
     var tableProtocol = 1L
     val tableFeatures = scala.collection.mutable.Set[String]()
+    val tableWFeatures = scala.collection.mutable.Set[String]()
     def checkProtocol(j: JValue): Unit = {
       ((j \ "protocol") match {
         case JInt(p) => Some(p.toLong)
@@ -1492,6 +1566,12 @@ object TxLog {
                 "does not support — refusing rather than misreading its actions")
           tableFeatures += name
         }
+        case _ =>
+      }
+      // writer features accumulate WITHOUT refusing: a reader never
+      // needs writer capabilities — the gate fires only on mutation
+      (j \ "wfeatures") match {
+        case JArray(fs) => fs.foreach(f => tableWFeatures += jStr(f))
         case _ =>
       }
     }
@@ -1550,7 +1630,7 @@ object TxLog {
     }
     val snap = Snapshot(target, schemaDdl.getOrElse(sys.error(s"$dir: no schema in log")),
       live.values.toSeq, txns.toMap, props.toMap, tableProtocol,
-      tableFeatures.toSet)
+      tableFeatures.toSet, tableWFeatures.toSet)
     snapCache.synchronized(snapCache.put((dir, target), snap))
     snap
   }
@@ -1577,6 +1657,13 @@ object TxLog {
     * retries. Sound under strong read-after-write, which is part of
     * the object-store contract this seam targets. */
   private def tryPublish(dir: String, v: Long, content: String): Boolean = {
+    // universal writer-feature backstop: no commit path — present or
+    // future — can publish against a table whose requirements this
+    // writer does not declare. The public mutators gate BEFORE staging
+    // ([[writerGate]]); this closes the seam for everything else. The
+    // resolution is the memoized head the caller's retry loop just
+    // resolved, so the backstop costs a cache hit.
+    if (v > 0L) requireWriterCaps(dir, headStateAt(dir, v - 1), "commit")
     val target = versionFile(dir, v)
     val bytes = LogStore.bytes(content)
     var attempts = 0
@@ -1632,9 +1719,14 @@ object TxLog {
     val base0c: JObject = ("version" -> v) ~ ("protocol" -> meta.protocol) ~
       ("schema" -> meta.schemaDdl) ~ ("txns" -> meta.txns) ~
       ("props" -> meta.props)
-    val base: JObject =
+    val base1c: JObject =
       if (meta.features.isEmpty) base0c
       else base0c ~ ("features" -> meta.features.toList.sorted)
+    // writer features survive log-retention trims the same way reader
+    // features do: the manifest re-states the cumulative requirement
+    val base: JObject =
+      if (meta.wfeatures.isEmpty) base1c
+      else base1c ~ ("wfeatures" -> meta.wfeatures.toList.sorted)
     // Small tables inline the file list in the manifest (one read);
     // past ckptPartMaxFiles the list shards into JSONL parts written
     // BEFORE the manifest that names them — a reader that can see the
@@ -1881,13 +1973,14 @@ object TxLog {
       txns: Map[String, Long], props: Map[String, String], protocol: Long,
       ckptBase: Option[(Long, Int)], deltaAdds: Seq[AddFile],
       deltaExcludes: Set[String], features: Set[String] = Set.empty,
-      ckptParquet: Boolean = false) {
+      ckptParquet: Boolean = false, wfeatures: Set[String] = Set.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     /** A files-EMPTY Snapshot for the metadata-only helpers (schema,
       * column map, partition columns, property reads). Never hand it
       * to a consumer of `.files`. */
     def metaSnap: Snapshot =
-      Snapshot(version, schemaDdl, Nil, txns, props, protocol, features)
+      Snapshot(version, schemaDdl, Nil, txns, props, protocol, features,
+        wfeatures)
   }
 
   /** [[snapshotMeta]] memo — same immutability argument and staleness
@@ -1922,6 +2015,7 @@ object TxLog {
     val props = scala.collection.mutable.Map[String, String]()
     var tableProtocol = 1L
     val tableFeatures = scala.collection.mutable.Set[String]()
+    val tableWFeatures = scala.collection.mutable.Set[String]()
     def checkProtocol(j: JValue): Unit = {
       ((j \ "protocol") match {
         case JInt(p) => Some(p.toLong)
@@ -1948,6 +2042,10 @@ object TxLog {
                 "does not support — refusing rather than misreading its actions")
           tableFeatures += name
         }
+        case _ =>
+      }
+      (j \ "wfeatures") match {
+        case JArray(fs) => fs.foreach(f => tableWFeatures += jStr(f))
         case _ =>
       }
     }
@@ -2007,7 +2105,7 @@ object TxLog {
       schemaDdl.getOrElse(sys.error(s"$dir: no schema in log")),
       txns.toMap, props.toMap, tableProtocol,
       base, adds.values.toSeq, removed.toSet, tableFeatures.toSet,
-      baseParquet)
+      baseParquet, tableWFeatures.toSet)
     snapMetaCache.synchronized(snapMetaCache.put((dir, target), out)): Unit
     out
   }
@@ -2120,13 +2218,19 @@ object TxLog {
     * MERGE against a million-file table costs the driver
     * O(selectivity), exactly like the SQL read path. */
   private def dmlSnapshot(dir: String,
-      readVersion: Option[Long]): (Snapshot, Option[SnapshotMeta]) =
-    if (!baseIsSharded(dir, readVersion)) (snapshot(dir, readVersion), None)
-    else {
-      val meta = snapshotMeta(dir, readVersion)
-      if (meta.ckptBase.isEmpty) (snapshot(dir, Some(meta.version)), None)
-      else (meta.metaSnap, Some(meta))
-    }
+      readVersion: Option[Long]): (Snapshot, Option[SnapshotMeta]) = {
+    val out =
+      if (!baseIsSharded(dir, readVersion)) (snapshot(dir, readVersion), None)
+      else {
+        val meta = snapshotMeta(dir, readVersion)
+        if (meta.ckptBase.isEmpty) (snapshot(dir, Some(meta.version)), None)
+        else (meta.metaSnap, Some(meta))
+      }
+    // every DML / rewrite / overwrite path resolves here FIRST — the
+    // writer-feature gate fires before any touch discovery or staging
+    requireWriterCaps(dir, out._1, "write")
+    out
+  }
 
   /** Touch-discovery candidates under `filters` — distributed on a
     * sharded base, driver prune otherwise. EMPTY filters = the full
@@ -2422,10 +2526,16 @@ object TxLog {
       props: Option[Map[String, String]] = None,
       protocol: Option[Long] = None,
       cdf: Seq[AddFile] = Nil,
-      metrics: Map[String, Long] = Map.empty): String = {
-    val base2: JObject = ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
+      metrics: Map[String, Long] = Map.empty,
+      wfeatures: Set[String] = Set.empty): String = {
+    val base3: JObject = ("version" -> v) ~ ("op" -> op) ~ ("ts" -> ts) ~
       ("schema" -> schemaDdl) ~ ("adds" -> adds.map(addJson)) ~
       ("removes" -> removes)
+    // a capability-enabling commit NAMES the writer features it turns
+    // on; the gate also re-derives them from properties, so legacy
+    // commits lacking the stamp still gate ([[impliedWriterFeatures]])
+    val base2 = if (wfeatures.isEmpty) base3
+      else base3 ~ ("wfeatures" -> wfeatures.toList.sorted)
     // operation metrics (Delta's commitInfo.operationMetrics): row counts
     // DERIVED from the AddFiles already in hand — zero extra scans
     val base1 = if (metrics.isEmpty) base2
@@ -2896,6 +3006,7 @@ object TxLog {
       partitionBy: Seq[String]): Long = {
     Files.createDirectories(Paths.get(dir))
     val pre = headSnapshot(dir)
+    pre.foreach(requireWriterCaps(dir, _, "append")) // before staging
     // generated columns compute/heal BEFORE the schema check (a frame
     // omitting them is exactly the supported ingest shape)
     val dfGen = pre.fold(df)(withGeneratedCols(_, df))
@@ -3025,6 +3136,7 @@ object TxLog {
       h.exists(_.txns.get(appId).exists(_ >= batchId))
     val pre = headSnapshot(dir)
     if (seen(pre)) return None
+    pre.foreach(requireWriterCaps(dir, _, "appendBatch")) // before staging
     // the streaming sink fills generated columns like plain append does
     val dfGen = pre.fold(df)(withGeneratedCols(_, df))
     // identity allocation — same protocol as [[appendImpl]], including
@@ -3118,6 +3230,7 @@ object TxLog {
     // — an evolving append never needs the file list, so a sharded
     // table resolves through the meta plane (files-EMPTY [[headStateAt]])
     val snapAtRead = headStateAt(dir, readVersion)
+    requireWriterCaps(dir, snapAtRead, "appendEvolve") // before staging
     // generated columns fill first — an evolving CDC append may omit them
     val df = withGeneratedCols(snapAtRead, df0)
     val table = StructType.fromDDL(snapAtRead.schemaDdl)
@@ -4030,6 +4143,7 @@ object TxLog {
     * until commit 0 fixes a schema). Returns the committed version. */
   def setProperties(dir: String, props: Map[String, String]): Long = {
     require(latestVersion(dir) >= 0, s"setProperties: $dir has no committed versions")
+    writerGate(dir, "setProperties")
     // engine-known keys validate at WRITE time: maybeAutoCompact runs
     // under a swallow-all best-effort net, so a malformed value landed
     // here would otherwise disable auto-compaction silently and forever
@@ -4071,11 +4185,14 @@ object TxLog {
         s"${ClusterBy.Columns} is for unpartitioned tables (plain OPTIMIZE " +
           "on a partitioned table compacts within partitions)")
     }
+    // a property that ENABLES a gated capability stamps the writer
+    // feature by name in the same commit (tombstones imply nothing)
+    val stamped = impliedWriterFeatures(props.filter(_._2.nonEmpty), Set.empty)
     var tries = 0
     while (tries < maxCommitAttempts) {
       val attempt = latestVersion(dir) + 1
       val content = commitJson(attempt, "setProperties", System.currentTimeMillis(),
-        Nil, Nil, None, None, Some(props))
+        Nil, Nil, None, None, Some(props), wfeatures = stamped)
       if (tryPublish(dir, attempt, content)) {
         maybeCheckpoint(dir, attempt)
         return attempt
@@ -5418,7 +5535,8 @@ object TxLog {
       val content = commitJson(attempt, "addColumns", System.currentTimeMillis(),
         Nil, Nil, Some(widened.toDDL), None,
         if (remapped.isEmpty) None else Some(remapped),
-        if (remapped.isEmpty) None else Some(2L))
+        if (remapped.isEmpty) None else Some(2L),
+        wfeatures = if (remapped.isEmpty) Set.empty else Set("columnMapping"))
       if (tryPublish(dir, attempt, content)) {
         maybeCheckpoint(dir, attempt)
         return attempt
@@ -5467,7 +5585,8 @@ object TxLog {
         ColumnMapping.Prefix + head.schema.fieldNames(idx) -> "") ++ carried // tombstone old key
       val attempt = head.version + 1
       val content = commitJson(attempt, "renameColumn", System.currentTimeMillis(),
-        Nil, Nil, Some(renamed.toDDL), None, Some(props), Some(2L))
+        Nil, Nil, Some(renamed.toDDL), None, Some(props), Some(2L),
+        wfeatures = Set("columnMapping"))
       if (tryPublish(dir, attempt, content)) {
         maybeCheckpoint(dir, attempt)
         return attempt
@@ -5510,7 +5629,8 @@ object TxLog {
         ColumnMapping.Prefix + logical -> "") ++ tombstones // tombstone any mapping entry
       val attempt = head.version + 1
       val content = commitJson(attempt, "dropColumn", System.currentTimeMillis(),
-        Nil, Nil, Some(narrowed.toDDL), None, Some(props), Some(2L))
+        Nil, Nil, Some(narrowed.toDDL), None, Some(props), Some(2L),
+        wfeatures = Set("columnMapping"))
       if (tryPublish(dir, attempt, content)) {
         maybeCheckpoint(dir, attempt)
         return attempt
@@ -5575,7 +5695,8 @@ object TxLog {
       })
       val attempt = head.version + 1
       val content = commitJson(attempt, "alterColumnType", System.currentTimeMillis(),
-        Nil, Nil, Some(widened.toDDL), None, None, Some(4L))
+        Nil, Nil, Some(widened.toDDL), None, None, Some(4L),
+        wfeatures = Set("typeWidening"))
       if (tryPublish(dir, attempt, content)) {
         maybeCheckpoint(dir, attempt)
         return attempt
@@ -6203,6 +6324,7 @@ object TxLog {
   }
 
   def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    writerGate(dir, "restore")
     val readVersion = latestVersion(dir)
     // The restore's commit content IS the two-way live-set diff on
     // (path, deletion-vector state): re-add when the path is absent
@@ -6353,6 +6475,10 @@ object TxLog {
       retainMillis: Option[Long] = None): Seq[String] = {
     val (commits, _) = listLog(dir)
     if (commits.isEmpty) return Nil
+    // vacuum never commits, so the publish backstop cannot catch it —
+    // and a DV-ignorant vacuum deleting "orphan" dv-* sidecars is
+    // exactly the corruption writer features exist to stop
+    writerGate(dir, "vacuum")
     val latest = commits.max
     // change files retire with their commit's version window: referenced
     // so staging reclaim never touches them, kept only while the commit
