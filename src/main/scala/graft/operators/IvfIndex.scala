@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.TxLog
+import graft.sources.TxLog.{WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatchedInsert}
+
+/** INCREMENTAL IVF index maintenance — the [[graft.pipeline.RowIdView]]
+  * discipline applied to [[Similarity]]'s coarse quantizer (round-15
+  * verdict, missing #3): the posting table (which cell each vector
+  * lives in, plus its embedding for re-ranking) is a TxLog table keyed
+  * by the SOURCE's tracked row id and maintained from the source's
+  * change feed, instead of being rebuilt from a corpus snapshot per
+  * ingest window.
+  *
+  * Why the combination matters at 100 TB: a full IVF build scores
+  * |corpus| × |centroids| cosines — re-paying it on every ingest window
+  * makes the index cost proportional to the CORPUS per window. With
+  * CDF + row ids, [[maintain]] scores ONLY the window's change delta
+  * against the (broadcast-small) quantizer and applies it as one keyed
+  * MERGE — cost ∝ batch — and a layout-only window (OPTIMIZE /
+  * compaction, in which every physical row rewrites but no logical row
+  * changes) is consumed with ZERO data reads ([[TxLog.hasRowChanges]]),
+  * because id-keyed postings are rewrite-stable by construction.
+  *
+  * The quantizer (`cents`: vec_id, embedding) must be FROZEN across
+  * maintenance — re-training centroids re-assigns the whole corpus by
+  * definition, which is a rebuild, not maintenance (the IVF trade
+  * published with the method; Jégou et al. 2011 re-train offline).
+  * Assignment reuses [[Similarity.assignCells]]' map-side-combinable
+  * argmax shape and tie-break (min over (-cos, cent_id)), so a
+  * maintained index is bit-identical to a rebuilt one — the invariant
+  * [[recompute]] lets specs and q-entries pin.
+  *
+  * Source rows whose embedding fails [[Similarity.validEmbExpr]] are
+  * OUT of the index (materialized-view predicate semantics): an update
+  * that invalidates an embedding deletes its posting; one that repairs
+  * it re-inserts. */
+object IvfIndex {
+
+  /** What a [[maintain]] call did: the source version the index now
+    * reflects, the number of posting-level changes applied (∝ the
+    * window's change volume, never the corpus), and whether the whole
+    * window was LAYOUT-ONLY (zero data reads — the pinned scale
+    * fact). */
+  final case class MaintainResult(srcVersion: Long, rowsApplied: Long,
+      layoutOnlySkip: Boolean)
+
+  private def validPred = expr(
+    Similarity.validEmbExpr(graft.queries.SparkSql, "embedding"))
+
+  /** Assign `rows` (idCol, vec_id, embedding) to their max-cosine cell.
+    * Broadcast-expand against the quantizer, collapse to one row per id
+    * map-side (`min_by` over (-cos, cent_id)) — no exchange carries more
+    * than |rows|; at maintenance time |rows| is the change delta. */
+  private def assign(rows: DataFrame, cents: DataFrame,
+      idCol: String): DataFrame = {
+    val ord = struct((-col("c_cos")).as("neg_cos"), col("cent_id").as("cent_id"))
+    val c = Similarity.validEmbeddings(
+      cents.select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")),
+      "cent_emb")
+    rows.crossJoin(broadcast(c))
+      .selectExpr(idCol, "vec_id", "embedding", "cent_id",
+        "cosine_sim(embedding, cent_emb) AS c_cos")
+      .groupBy(idCol)
+      .agg(first(col("vec_id")).as("vec_id"),
+        min_by(col("cent_id"), ord).as("cell"),
+        first(col("embedding")).as("embedding"))
+      .select(col(idCol), col("vec_id"), col("cell"), col("embedding"))
+  }
+
+  /** Full initial build at the source's current version — the
+    * initialize half of initialize-then-maintain (the ONE corpus-sized
+    * scoring pass). Returns the source version the index reflects. */
+  def initialize(spark: SparkSession, srcDir: String, indexDir: String,
+      cents: DataFrame, idCol: String = "_row_id"): Long = {
+    val v = TxLog.latestVersion(srcDir)
+    val src = TxLog.read(spark, srcDir, Some(v)).where(validPred)
+      .select(col(idCol), col("vec_id"), col("embedding"))
+    TxLog.append(spark, indexDir, assign(src, cents, idCol)): Unit
+    v
+  }
+
+  /** Apply the source's changes in `(fromExclusive, latest]` to the
+    * posting table: last image per row id wins; upserts are scored
+    * against the quantizer (delta-sized job), deletes and
+    * invalidated embeddings drop by key; one keyed MERGE per call. */
+  def maintain(spark: SparkSession, srcDir: String, indexDir: String,
+      fromExclusive: Long, cents: DataFrame,
+      idCol: String = "_row_id"): MaintainResult = {
+    val to = TxLog.latestVersion(srcDir)
+    if (to <= fromExclusive)
+      return MaintainResult(to, 0L, layoutOnlySkip = false)
+    if (!TxLog.hasRowChanges(srcDir, fromExclusive, to))
+      return MaintainResult(to, 0L, layoutOnlySkip = true)
+    val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
+    val last = feed
+      .where(col(TxLog.ChangeTypeCol) =!= "update_preimage")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("_commit_version").desc)))
+      .where(col("__rn") === 1)
+    // ONLY the upsert delta is ever scored against the quantizer —
+    // the cost-∝-batch claim the q-entry pins
+    val ups = assign(
+      last.where(col(TxLog.ChangeTypeCol) =!= "delete" && validPred)
+        .select(col(idCol), col("vec_id"), col("embedding")),
+      cents, idCol).withColumn("__ix_act", lit("upsert"))
+    val dels = last
+      .where(col(TxLog.ChangeTypeCol) === "delete" || !validPred)
+      .select(col(idCol), col("vec_id"), lit(-1L).as("cell"),
+        col("embedding"), lit("delete").as("__ix_act"))
+    val changes = ups.unionByName(dels).localCheckpoint(true)
+    val applied = changes.count()
+    if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
+    TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol), Seq(
+      WhenMatchedDelete(Some("s.__ix_act = 'delete'")),
+      WhenMatchedUpdate(Some("s.__ix_act = 'upsert'"), Map(
+        "vec_id" -> "s.vec_id", "cell" -> "s.cell",
+        "embedding" -> "s.embedding")),
+      WhenNotMatchedInsert(Some("s.__ix_act = 'upsert'"), Map(
+        idCol -> s"s.$idCol", "vec_id" -> "s.vec_id", "cell" -> "s.cell",
+        "embedding" -> "s.embedding")))): Unit
+    MaintainResult(to, applied, layoutOnlySkip = false)
+  }
+
+  /** The index rebuilt from scratch at the source's head — the
+    * verification oracle specs and the q-entry diff [[maintain]]'s
+    * state against (maintained ≡ rebuilt, bit-identical). */
+  def recompute(spark: SparkSession, srcDir: String, cents: DataFrame,
+      idCol: String = "_row_id"): DataFrame = {
+    val src = TxLog.read(spark, srcDir).where(validPred)
+      .select(col(idCol), col("vec_id"), col("embedding"))
+    assign(src, cents, idCol)
+  }
+
+  /** Probe a MAINTAINED posting table: queries rank the quantizer,
+    * probe their `nprobe` best cells' postings, and re-rank exact —
+    * [[Similarity.ivfTopK]]'s probe shape over a prebuilt index (the
+    * whole point: the corpus-sized assignment pass never re-runs). */
+  def searchTopK(index: DataFrame, queries: DataFrame, cents: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val c = Similarity.validEmbeddings(
+      cents.select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")),
+      "cent_emb")
+    val ord = struct((-col("c_cos")).as("neg_cos"), col("cent_id").as("cent_id"))
+    val probes = Similarity.validEmbeddings(queries).crossJoin(broadcast(c))
+      .selectExpr("vec_id", "embedding", "cent_id",
+        "cosine_sim(embedding, cent_emb) AS c_cos")
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("q_emb"),
+        slice(array_sort(collect_list(ord)), 1, nprobe).as("cands"))
+      .select(col("vec_id").as("q_id"), col("q_emb"),
+        explode(col("cands.cent_id")).as("cell"))
+    val scored = index.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id", "cosine_sim(q_emb, embedding) AS cosine")
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .selectExpr("q_id", "vec_id", "round(cosine, 6) AS cosine", "rank")
+  }
+}
