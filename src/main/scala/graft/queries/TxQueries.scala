@@ -2860,8 +2860,10 @@ object TxQueries2 {
       val rApp = RowIdView.maintain(s, src, view, at, pred, proj)
       val got = TxLog.read(s, view).localCheckpoint(true)
       val want = RowIdView.recompute(s, src, pred, proj)
+      // equal counts + one-directional multiset containment ⟹ equality
+      // (the round-16 sanctioned trim: half the exceptAll join weight)
       val matches =
-        if (got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty) 1L else 0L
+        if (got.count() == want.count() && got.exceptAll(want).isEmpty) 1L else 0L
       got.agg(count(lit(1)).as("n_rows"),
           sum(col("price2")).cast(DoubleType).as("sum_price2"),
           countDistinct(col("_row_id")).as("n_ids"))
@@ -3023,6 +3025,155 @@ object TxQueries2 {
                      CAST(0 AS BIGINT) AS changes_after_restore,
                      CAST(0 AS BIGINT) AS snapshot_materialized,
                      CAST(1 AS BIGINT) AS ckpt_parquet
-              FROM orders"""))
+              FROM orders""")),
+
+    // q219: INCREMENTAL IVF INDEX MAINTENANCE (IvfIndex) — the round-16
+    // consumer closing "ANN indexes are rebuild-only": the posting
+    // table is a TxLog table keyed by the source's tracked row id and
+    // maintained from the change feed, across an embedding UPDATE
+    // (vectors move cells), a full OPTIMIZE rewrite, a merge-on-read
+    // DELETE, and a late ingest window. Pinned into the hash: the
+    // final cell assignment (an integer checksum over cell×vec_id —
+    // the DuckDB oracle replays the argmax-cosine quantizer on the
+    // final corpus), the maintained ≡ rebuilt diff, per-window
+    // rows_applied (only the DELTA is ever scored against the
+    // quantizer — cost ∝ batch, never corpus), and the scale fact that
+    // the OPTIMIZE window, in which every physical row rewrote, was
+    // consumed with ZERO data reads.
+    QuerySpec("q219_ann_ivf_incremental", { (s, dir) =>
+      import graft.operators.{IvfIndex, Similarity}
+      val root = graft.Scratch.dir("graft-q219").toString
+      val src = s"$root/src"; val idx = s"$root/idx"
+      val ok = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+        .where(expr(Similarity.validEmbExpr(SparkSql, "embedding")))
+        .localCheckpoint(true)
+      val cents = ok.where("vec_id % 100 = 7").localCheckpoint(true)
+      (0 until 3).foreach(b => TxLog.append(s, src,
+        ok.where(s"vec_id % 10 < 8 AND vec_id % 3 = $b").coalesce(1)))
+      TxLog.enableRowTracking(s, src)
+      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+      var at = IvfIndex.initialize(s, src, idx, cents)
+      TxLog.update(s, src, "vec_id % 11 = 3",
+        Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
+      val rUpd = IvfIndex.maintain(s, src, idx, at, cents); at = rUpd.srcVersion
+      TxLog.optimize(s, src)
+      val rOpt = IvfIndex.maintain(s, src, idx, at, cents); at = rOpt.srcVersion
+      TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
+      TxLog.delete(s, src, "vec_id % 5 = 2")
+      val rDel = IvfIndex.maintain(s, src, idx, at, cents); at = rDel.srcVersion
+      TxLog.append(s, src, ok.where("vec_id % 10 >= 8"))
+      val rApp = IvfIndex.maintain(s, src, idx, at, cents)
+      val got = TxLog.read(s, idx)
+        .select("_row_id", "vec_id", "cell", "embedding").localCheckpoint(true)
+      val want = IvfIndex.recompute(s, src, cents)
+      // equal counts + one-directional multiset containment ⟹ equality
+      val matches =
+        if (got.count() == want.count() && got.exceptAll(want).isEmpty) 1L else 0L
+      got.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("cell")).as("n_cells"),
+          sum(col("cell") * col("vec_id")).as("cell_id_checksum"))
+        .withColumn("matches_rebuild", lit(matches))
+        .withColumn("optimize_skipped", lit(if (rOpt.layoutOnlySkip) 1L else 0L))
+        .withColumn("optimize_rows_applied", lit(rOpt.rowsApplied))
+        .withColumn("update_rows_applied", lit(rUpd.rowsApplied))
+        .withColumn("delete_rows_applied", lit(rDel.rowsApplied))
+        .withColumn("append_rows_applied", lit(rApp.rowsApplied))
+    }, {
+      val d = DuckSql
+      def cos(a: String, b: String) =
+        s"${d.dsum(d.zipMul(a, b))} / (sqrt(${d.dsum(d.zipMul(a, a))}) * sqrt(${d.dsum(d.zipMul(b, b))}))"
+      val vOK = graft.operators.Similarity.validEmbExpr(d, "embedding")
+      Some(s"""WITH ok AS (SELECT vec_id, embedding FROM embeddings WHERE $vOK),
+               cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                         FROM ok WHERE vec_id % 100 = 7),
+               base AS (SELECT vec_id, embedding FROM ok WHERE vec_id % 10 < 8),
+               upd AS (SELECT vec_id,
+                              CASE WHEN vec_id % 11 = 3
+                                   THEN ${d.map("embedding", "x", "-x")}
+                                   ELSE embedding END AS embedding
+                       FROM base),
+               surv AS (SELECT * FROM upd WHERE vec_id % 5 <> 2),
+               late AS (SELECT vec_id, embedding FROM ok WHERE vec_id % 10 >= 8),
+               fin AS (SELECT * FROM surv UNION ALL SELECT * FROM late),
+               scored AS (SELECT f.vec_id, c.cent_id,
+                                 ${cos("f.embedding", "c.cent_emb")} AS c_cos
+                          FROM fin f CROSS JOIN cents c),
+               assigned AS (SELECT vec_id, cent_id AS cell FROM (
+                              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY c_cos DESC, cent_id) AS rn FROM scored)
+                            WHERE rn = 1)
+               SELECT count(*) AS n_rows,
+                      count(DISTINCT cell) AS n_cells,
+                      CAST(sum(cell * vec_id) AS BIGINT) AS cell_id_checksum,
+                      CAST(1 AS BIGINT) AS matches_rebuild,
+                      CAST(1 AS BIGINT) AS optimize_skipped,
+                      CAST(0 AS BIGINT) AS optimize_rows_applied,
+                      (SELECT count(*) FROM base WHERE vec_id % 11 = 3) AS update_rows_applied,
+                      (SELECT count(*) FROM base WHERE vec_id % 5 = 2) AS delete_rows_applied,
+                      (SELECT count(*) FROM late) AS append_rows_applied
+               FROM assigned""")
+    }),
+
+    // q221: STREAMING RowIdView — q214's row-id-keyed incremental view
+    // maintained HANDS-FREE as a foreachBatch consumer of the source's
+    // CDF stream (the q161 mirror discipline, row-id-keyed and
+    // layout-skip-aware). One AvailableNow pass applies the update /
+    // OPTIMIZE / delete / append windows; a SECOND checkpointed pass
+    // must be a pure no-op (txn-tagged merges — exactly-once across
+    // restarts). Pinned into the hash: the view state, the recompute
+    // diff, that the view took EXACTLY one commit per DML window
+    // (view_commits=3 — the layout-only OPTIMIZE window arrived as an
+    // empty batch and burned nothing), and the no-op replay fact.
+    QuerySpec("q221_rowid_view_stream", { (s, dir) =>
+      import graft.pipeline.RowIdView
+      val root = graft.Scratch.dir("graft-q221").toString
+      val src = s"$root/src"; val view = s"$root/view"; val ckpt = s"$root/ckpt"
+      val ord = Td.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice").localCheckpoint(true)
+      (0 until 3).foreach(b => TxLog.append(s, src,
+        ord.where(s"o_orderkey <= 1000 AND o_orderkey % 3 = $b").coalesce(1)))
+      TxLog.enableRowTracking(s, src)
+      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+      val pred = "o_totalprice < 150000"
+      val proj = Seq("o_orderkey" -> "o_orderkey",
+        "price2" -> "CAST(o_totalprice AS DECIMAL(18,4)) * 2")
+      val at = RowIdView.initialize(s, src, view, pred, proj)
+      TxLog.update(s, src, "o_orderkey % 7 = 2",
+        Map("o_totalprice" -> "o_totalprice + 100000"))
+      TxLog.optimize(s, src)
+      TxLog.delete(s, src, "o_orderkey % 5 = 3")
+      TxLog.append(s, src,
+        ord.where("o_orderkey > 1000 AND o_orderkey <= 1400"))
+      RowIdView.stream(s, src, view, ckpt, at, pred, proj)
+      val vAfter = TxLog.latestVersion(view)
+      RowIdView.stream(s, src, view, ckpt, at, pred, proj) // replay: no-op
+      val noop = TxLog.latestVersion(view) - vAfter
+      val got = TxLog.read(s, view).localCheckpoint(true)
+      val want = RowIdView.recompute(s, src, pred, proj)
+      val matches =
+        if (got.count() == want.count() && got.exceptAll(want).isEmpty) 1L else 0L
+      got.agg(count(lit(1)).as("n_rows"),
+          sum(col("price2")).cast(DoubleType).as("sum_price2"))
+        .withColumn("matches_recompute", lit(matches))
+        .withColumn("view_commits", lit(vAfter))
+        .withColumn("noop_pass_commits", lit(noop))
+    },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p
+                            FROM orders WHERE o_orderkey <= 1000),
+                   upd AS (SELECT k, CASE WHEN k % 7 = 2 THEN p + 100000
+                                          ELSE p END AS p FROM base),
+                   surv AS (SELECT k, p FROM upd WHERE k % 5 <> 3),
+                   extra AS (SELECT o_orderkey AS k, o_totalprice AS p
+                             FROM orders
+                             WHERE o_orderkey > 1000 AND o_orderkey <= 1400),
+                   unioned AS (SELECT * FROM surv UNION ALL SELECT * FROM extra),
+                   finalv AS (SELECT k, CAST(p AS DECIMAL(18,4)) * 2 AS price2
+                              FROM unioned WHERE p < 150000)
+              SELECT count(*) AS n_rows,
+                     CAST(sum(price2) AS DOUBLE) AS sum_price2,
+                     CAST(1 AS BIGINT) AS matches_recompute,
+                     CAST(3 AS BIGINT) AS view_commits,
+                     CAST(0 AS BIGINT) AS noop_pass_commits
+              FROM finalv"""))
   )
 }
