@@ -233,6 +233,77 @@ object TextAnalysis {
         s"${d.idiv("(2 * sum_bp + n_bigrams)", "(2 * n_bigrams)")} AS avg_bp")
   }
 
+  /** Trigram language-model scoring with STUPID BACKOFF (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" — the
+    * web-scale recipe that replaces Kneser-Ney's held-out discounting
+    * with one fixed backoff factor α=0.4, chosen there precisely
+    * because it needs no normalization pass over a corpus too large to
+    * hold): the higher-order successor to [[bigramLmScores]]' CCNet
+    * shape. Per scored trigram (w1 w2 w3):
+    *
+    *   S = c3(w1 w2 w3) / c2(w1 w2)                   if the trigram is known
+    *     = 0.4 · c2(w2 w3) / c1(w2)                   else if its tail bigram is
+    *     = 0.4² · (c1(w3)+1) / (N+V)                  else (add-one floor, so an
+    *                                                   unseen WORD still scores)
+    *
+    * emitted in the same exact-integer basis-point discipline as q110:
+    * 10000·S under half-up integer division — level 1 is
+    * (20000·c3 + c2) DIV (2·c2), level 2 (8000·c2 + c1) DIV (2·c1),
+    * level 3 (3200·(c1+1) + (N+V)) DIV (2·(N+V)); 8000 = 2·0.4·10⁴ and
+    * 3200 = 2·0.4²·10⁴ fold α into the numerator exactly (0.4 = 2/5 is
+    * exact in integers — the reason α=0.4 survives the no-floats
+    * policy). c3>0 implies c2(ctx)>0 and c2(tail)>0 implies c1(w2)>0,
+    * so no branch divides by zero.
+    *
+    * Scale shape: ALL count tables (c1, c2, c3, N, V) come from ONE
+    * train-corpus scan — a 3-level `stack` explode whose counts
+    * collapse map-side to Σ vocabulary sizes before the exchange; N/V
+    * derive from the level-1 rows (vocab-sized input). The scoring
+    * join is corpus × vocab on the gram keys — AQE broadcasts the
+    * count tables when they fit. Docs with fewer than 3 tokens emit no
+    * trigrams and are absent from the output (the q110 contract). */
+  def trigramLmScores(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def gramsOf(n: Int) = d.bind(toks(textCol), "tk",
+      d.map(d.range1(s"${d.len("tk")} - ${n - 1}"), "i", d.wordSlice("tk", "i", n)))
+    // one pass over the train corpus for every count level
+    val counts = train.selectExpr(
+        s"stack(3, 1, ${gramsOf(1)}, 2, ${gramsOf(2)}, 3, ${gramsOf(3)}) AS (lvl, gs)")
+      .selectExpr("lvl", "explode(gs) AS gram")
+      .groupBy("lvl", "gram").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds 5 joins + the N/V fold: evaluate once
+    val c3 = counts.where(col("lvl") === 3).select(col("gram").as("tri"), col("n").as("n3"))
+    val c2 = counts.where(col("lvl") === 2).select(col("gram").as("bi"), col("n").as("n2"))
+    val c1 = counts.where(col("lvl") === 1).select(col("gram").as("tok"), col("n").as("n1"))
+    val nv = counts.where(col("lvl") === 1)
+      .agg(sum("n").cast("long"), count(lit(1))).head()
+    val nTotal = nv.getLong(0); val vSize = nv.getLong(1)
+    val tri = score.selectExpr(s"$idCol AS doc_id", s"explode(${gramsOf(3)}) AS tri")
+      .withColumn("__t", split(col("tri"), " "))
+      .selectExpr("doc_id", "tri",
+        "concat(__t[0], ' ', __t[1]) AS ctx",
+        "concat(__t[1], ' ', __t[2]) AS tail",
+        "__t[1] AS w2", "__t[2] AS w3")
+    tri
+      .join(c3, Seq("tri"), "left")
+      .join(c2.select(col("bi").as("ctx"), col("n2").as("n2c")), Seq("ctx"), "left")
+      .join(c2.select(col("bi").as("tail"), col("n2").as("n2t")), Seq("tail"), "left")
+      .join(c1.select(col("tok").as("w2"), col("n1").as("n1w2")), Seq("w2"), "left")
+      .join(c1.select(col("tok").as("w3"), col("n1").as("n1w3")), Seq("w3"), "left")
+      .selectExpr("doc_id",
+        s"""CASE WHEN coalesce(n3, 0) > 0
+                 THEN ${d.idiv("(20000 * n3 + n2c)", "(2 * n2c)")}
+                 WHEN coalesce(n2t, 0) > 0
+                 THEN ${d.idiv("(8000 * n2t + n1w2)", "(2 * n1w2)")}
+                 ELSE ${d.idiv(
+                   s"(3200 * (coalesce(n1w3, CAST(0 AS BIGINT)) + 1) + ${nTotal + vSize})",
+                   s"(2 * ${nTotal + vSize})")} END AS bp""")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("bp").as("sum_bp"))
+      .selectExpr("doc_id", "n_trigrams", "sum_bp",
+        s"${d.idiv("(2 * sum_bp + n_trigrams)", "(2 * n_trigrams)")} AS avg_bp")
+  }
+
   /** ALL word n-gram occurrences (with multiplicity — unlike
     * Decontamination.ngramsExpr's distinct set): n consecutive tokens
     * joined by one space; empty for docs shorter than n words. */

@@ -608,6 +608,65 @@ object TextQueries {
                FROM scored GROUP BY doc_id ORDER BY doc_id""")
     }),
 
+    // ---- trigram-LM scoring with stupid backoff (q110's successor) ------
+    // Brants et al. 2007's web-scale smoothing: trigram ratio when the
+    // trigram is known, α=0.4 backoff to the tail bigram, α² to an
+    // add-one unigram floor — in the same exact-integer basis-point
+    // discipline as q110 (α=2/5 is exact in integers). The scored
+    // corpus is the train corpus BRACKETED by two tokens the LM never
+    // saw ('zzq ' prefix, ' zzw' suffix), so every document exercises
+    // all three backoff levels: its first trigram (zzq w1 w2) is
+    // unseen with a KNOWN tail bigram (level 2), its last (wn-1 wn
+    // zzw) ends in an unseen WORD (the level-3 add-one floor), and
+    // everything between scores at level 1. Scale shape: all count
+    // levels from ONE train scan (3-level stack explode, map-side
+    // collapse to vocab size); scoring joins are AQE-broadcastable.
+    QuerySpec("q220_trigram_lm", { (s, dir) =>
+      val docs = Td.load(s, dir, "documents")
+      val bracketed = docs.selectExpr("doc_id",
+        "concat('zzq ', text, ' zzw') AS text")
+      graft.operators.TextAnalysis
+        .trigramLmScores(docs, bracketed, "doc_id", "text")
+        .orderBy("doc_id")
+    }, {
+      val d = DuckSql
+      def grams(src: String, n: Int) =
+        s"SELECT doc_id, unnest(${graft.operators.TextAnalysis.allGramsExpr(d, "text", n)}) AS gram FROM $src"
+      Some(s"""WITH sc AS (SELECT doc_id, concat('zzq ', text, ' zzw') AS text
+                           FROM documents),
+               c3 AS (SELECT gram AS tri, count(*) AS n3
+                      FROM (${grams("documents", 3)}) GROUP BY 1),
+               c2 AS (SELECT gram AS bi, count(*) AS n2
+                      FROM (${grams("documents", 2)}) GROUP BY 1),
+               c1 AS (SELECT gram AS tok, count(*) AS n1
+                      FROM (${grams("documents", 1)}) GROUP BY 1),
+               nv AS (SELECT CAST(sum(n1) + count(*) AS BIGINT) AS x FROM c1),
+               tri AS (SELECT doc_id, gram AS tri,
+                              ${d.elem(d.splitSpace("gram"), "1")} AS w1,
+                              ${d.elem(d.splitSpace("gram"), "2")} AS w2,
+                              ${d.elem(d.splitSpace("gram"), "3")} AS w3
+                       FROM (${grams("sc", 3)})),
+               scored AS (
+                 SELECT t.doc_id,
+                        CASE WHEN coalesce(c3.n3, 0) > 0
+                             THEN ${d.idiv("(20000 * c3.n3 + cc.n2)", "(2 * cc.n2)")}
+                             WHEN coalesce(ct.n2, 0) > 0
+                             THEN ${d.idiv("(8000 * ct.n2 + c1b.n1)", "(2 * c1b.n1)")}
+                             ELSE ${d.idiv("(3200 * (coalesce(c1c.n1, 0) + 1) + nv.x)",
+                                           "(2 * nv.x)")} END AS bp
+                 FROM tri t
+                 LEFT JOIN c3 ON t.tri = c3.tri
+                 LEFT JOIN c2 cc ON concat(t.w1, ' ', t.w2) = cc.bi
+                 LEFT JOIN c2 ct ON concat(t.w2, ' ', t.w3) = ct.bi
+                 LEFT JOIN c1 c1b ON t.w2 = c1b.tok
+                 LEFT JOIN c1 c1c ON t.w3 = c1c.tok
+                 CROSS JOIN nv)
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                      CAST(sum(bp) AS BIGINT) AS sum_bp,
+                      CAST(${d.idiv("(2 * sum(bp) + count(*))", "(2 * count(*))")} AS BIGINT) AS avg_bp
+               FROM scored GROUP BY doc_id ORDER BY doc_id""")
+    }),
+
     // ---- Gopher repetition filters (duplicate/top n-gram mass) ----------
     // Rae et al. 2021's pre-training repetition signals over a corpus
     // with PLANTED spam ("click here click here ... buy now buy now" on
