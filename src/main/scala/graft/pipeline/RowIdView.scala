@@ -3,9 +3,10 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.sources.TxLog
-import graft.sources.TxLog.{WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatchedInsert}
+import graft.sources.TxLog.{MergeClause, WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatchedInsert}
 
 /** ROW-LEVEL incremental view maintenance keyed on the tracked row id —
   * the consumer that makes [[TxLog.enableRowTracking]] earn its keep
@@ -80,33 +81,84 @@ object RowIdView {
     if (!TxLog.hasRowChanges(srcDir, fromExclusive, to))
       return MaintainResult(to, 0L, layoutOnlySkip = true)
     val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
-    // last image per id across the window: highest commit wins; within
-    // a commit, dropping preimages leaves at most one change per id
-    // (engine-assigned ids are never reused)
-    val last = feed
-      .where(col(TxLog.ChangeTypeCol) =!= "update_preimage")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("_commit_version").desc)))
-      .where(col("__rn") === 1)
-    val changes = last.select(
-      col(idCol) +:
-        projections.map { case (n, e) => expr(e).as(n) } :+
-        when(col(TxLog.ChangeTypeCol) === "delete", lit("delete"))
-          .otherwise(lit("upsert")).as("__rv_act") :+
-        coalesce(expr(pred), lit(false)).as("__rv_pred"): _*)
+    val changes = changesOf(feed, pred, projections, idCol)
       // one evaluation feeds both the count and the merge staging
       .localCheckpoint(true)
     val applied = changes.count()
     // a window whose commits carried changes that all cancelled to
     // nothing (or never touched tracked rows) applies as a no-op
     if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
+    TxLog.mergeClauses(spark, viewDir, changes, Seq(idCol),
+      mergeClausesFor(projections, idCol)): Unit
+    MaintainResult(to, applied, layoutOnlySkip = false)
+  }
+
+  /** The keyed change set of a feed window: last image per id (highest
+    * commit wins; within a commit, dropping preimages leaves at most
+    * one change per id — engine-assigned ids are never reused),
+    * projected plus the action and predicate verdicts the merge
+    * clauses dispatch on. Shared by [[maintain]] and [[stream]] so the
+    * two consumption modes cannot diverge. */
+  private def changesOf(feed: DataFrame, pred: String,
+      projections: Seq[(String, String)], idCol: String): DataFrame = {
+    val last = feed
+      .where(col(TxLog.ChangeTypeCol) =!= "update_preimage")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("_commit_version").desc)))
+      .where(col("__rn") === 1)
+    last.select(
+      col(idCol) +:
+        projections.map { case (n, e) => expr(e).as(n) } :+
+        when(col(TxLog.ChangeTypeCol) === "delete", lit("delete"))
+          .otherwise(lit("upsert")).as("__rv_act") :+
+        coalesce(expr(pred), lit(false)).as("__rv_pred"): _*)
+  }
+
+  private def mergeClausesFor(projections: Seq[(String, String)],
+      idCol: String): Seq[MergeClause] = {
     val setCols = projections.map { case (n, _) => n -> s"s.$n" }.toMap
-    TxLog.mergeClauses(spark, viewDir, changes, Seq(idCol), Seq(
+    Seq(
       WhenMatchedDelete(Some("s.__rv_act = 'delete' OR NOT s.__rv_pred")),
       WhenMatchedUpdate(Some("s.__rv_act = 'upsert' AND s.__rv_pred"), setCols),
       WhenNotMatchedInsert(Some("s.__rv_act = 'upsert' AND s.__rv_pred"),
-        setCols + (idCol -> s"s.$idCol")))): Unit
-    MaintainResult(to, applied, layoutOnlySkip = false)
+        setCols + (idCol -> s"s.$idCol")))
+  }
+
+  /** HANDS-FREE maintenance: the view follows its source as a
+    * foreachBatch consumer of the source's CDF STREAM — [[maintain]]'s
+    * exact change derivation per micro-batch, applied through the
+    * txn-tagged [[TxLog.mergeClausesBatch]] so a batch replayed after
+    * a checkpoint restart is SKIPPED without staging anything
+    * (exactly-once, the q161 mirror discipline keyed on one app id).
+    * Call after [[initialize]] with the version it returned: the
+    * stream admits only post-initialization windows
+    * (`startingVersion`), and layout-only commits arrive as EMPTY
+    * batches (the source skips `dataChange=false` rewrites by
+    * contract) which commit nothing. One AvailableNow pass per call;
+    * the checkpoint carries the position across calls and restarts. */
+  def stream(spark: SparkSession, srcDir: String, viewDir: String,
+      ckptDir: String, initializedAt: Long, pred: String,
+      projections: Seq[(String, String)], idCol: String = "_row_id",
+      appId: String = "rowidview"): Unit = {
+    val clauses = mergeClausesFor(projections, idCol)
+    val q = spark.readStream.format("txlog").option("path", srcDir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", (initializedAt + 1).toString)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val changes = changesOf(batch, pred, projections, idCol)
+          .localCheckpoint(true)
+        // an empty batch (layout-only window) must not burn a commit
+        if (changes.count() > 0L)
+          TxLog.mergeClausesBatch(batch.sparkSession, viewDir, changes,
+            Seq(idCol), clauses, appId, batchId): Unit
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** The view recomputed from scratch at the source's head — the
