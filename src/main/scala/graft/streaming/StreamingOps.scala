@@ -154,15 +154,15 @@ object StreamingOps {
     * AvailableNow pass over a finite source yields the complete batch
     * answer — which is exactly what the oracle checks. */
   def clickPurchaseAttribution(spark: SparkSession, sfDir: String,
-      windowHours: Int = 24): DataFrame = {
+      windowHours: Int = 24, userFilter: String = "true"): DataFrame = {
     def events() = graft.Td.canonicalizeTs(
       spark.readStream
         .schema(eventsSchema(spark, sfDir))
         .parquet(streamableDir(sfDir)))
-    val clicks = events().where("event_type = 'click'")
+    val clicks = events().where(s"event_type = 'click' AND ($userFilter)")
       .selectExpr("event_id AS click_id", "user_id", "ts AS click_ts")
       .withWatermark("click_ts", "1 day")
-    val purchases = events().where("event_type = 'purchase'")
+    val purchases = events().where(s"event_type = 'purchase' AND ($userFilter)")
       .selectExpr("event_id AS purchase_id", "user_id AS p_user",
         "ts AS purchase_ts", "value AS purchase_value")
       .withWatermark("purchase_ts", "1 day")
