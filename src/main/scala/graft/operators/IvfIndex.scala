@@ -48,8 +48,13 @@ object IvfIndex {
   final case class MaintainResult(srcVersion: Long, rowsApplied: Long,
       layoutOnlySkip: Boolean)
 
-  private def validPred = expr(
-    Similarity.validEmbExpr(graft.queries.SparkSql, "embedding"))
+  /** NULL-total validity: a NULL embedding must be FALSE here, not
+    * NULL — [[maintain]] dispatches every change row to exactly one of
+    * upsert/delete on this verdict, and a NULL would fall out of BOTH
+    * branches, leaving a stale posting (the RowIdView
+    * coalesce-the-predicate rule). */
+  private def validPred = coalesce(expr(
+    Similarity.validEmbExpr(graft.queries.SparkSql, "embedding")), lit(false))
 
   /** Assign `rows` (idCol, vec_id, embedding) to their max-cosine cell.
     * Broadcast-expand against the quantizer, collapse to one row per id
@@ -96,13 +101,26 @@ object IvfIndex {
     if (!TxLog.hasRowChanges(srcDir, fromExclusive, to))
       return MaintainResult(to, 0L, layoutOnlySkip = true)
     val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
+    val changes = changesOf(feed, cents, idCol).localCheckpoint(true)
+    val applied = changes.count()
+    if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
+    TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol),
+      mergeClausesFor(idCol)): Unit
+    MaintainResult(to, applied, layoutOnlySkip = false)
+  }
+
+  /** The keyed posting-change set of a feed window: last image per id,
+    * upserts SCORED against the quantizer (only the delta — the
+    * cost-∝-batch claim the q-entry pins), deletes and invalidated
+    * embeddings marked for removal. Shared by [[maintain]] and
+    * [[stream]] so the two consumption modes cannot diverge. */
+  private def changesOf(feed: DataFrame, cents: DataFrame,
+      idCol: String): DataFrame = {
     val last = feed
       .where(col(TxLog.ChangeTypeCol) =!= "update_preimage")
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("_commit_version").desc)))
       .where(col("__rn") === 1)
-    // ONLY the upsert delta is ever scored against the quantizer —
-    // the cost-∝-batch claim the q-entry pins
     val ups = assign(
       last.where(col(TxLog.ChangeTypeCol) =!= "delete" && validPred)
         .select(col(idCol), col("vec_id"), col("embedding")),
@@ -111,18 +129,46 @@ object IvfIndex {
       .where(col(TxLog.ChangeTypeCol) === "delete" || !validPred)
       .select(col(idCol), col("vec_id"), lit(-1L).as("cell"),
         col("embedding"), lit("delete").as("__ix_act"))
-    val changes = ups.unionByName(dels).localCheckpoint(true)
-    val applied = changes.count()
-    if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
-    TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol), Seq(
-      WhenMatchedDelete(Some("s.__ix_act = 'delete'")),
-      WhenMatchedUpdate(Some("s.__ix_act = 'upsert'"), Map(
-        "vec_id" -> "s.vec_id", "cell" -> "s.cell",
-        "embedding" -> "s.embedding")),
-      WhenNotMatchedInsert(Some("s.__ix_act = 'upsert'"), Map(
-        idCol -> s"s.$idCol", "vec_id" -> "s.vec_id", "cell" -> "s.cell",
-        "embedding" -> "s.embedding")))): Unit
-    MaintainResult(to, applied, layoutOnlySkip = false)
+    ups.unionByName(dels)
+  }
+
+  private def mergeClausesFor(idCol: String): Seq[TxLog.MergeClause] = Seq(
+    WhenMatchedDelete(Some("s.__ix_act = 'delete'")),
+    WhenMatchedUpdate(Some("s.__ix_act = 'upsert'"), Map(
+      "vec_id" -> "s.vec_id", "cell" -> "s.cell",
+      "embedding" -> "s.embedding")),
+    WhenNotMatchedInsert(Some("s.__ix_act = 'upsert'"), Map(
+      idCol -> s"s.$idCol", "vec_id" -> "s.vec_id", "cell" -> "s.cell",
+      "embedding" -> "s.embedding")))
+
+  /** HANDS-FREE maintenance: the index follows its source as a
+    * foreachBatch consumer of the CDF stream — [[maintain]]'s exact
+    * change derivation per micro-batch, applied through the txn-tagged
+    * [[TxLog.mergeClausesBatch]] so a batch replayed across a
+    * checkpoint restart is SKIPPED without staging (exactly-once, the
+    * RowIdView.stream discipline). Call after [[initialize]] with the
+    * version it returned; layout-only source windows arrive as EMPTY
+    * batches and commit nothing. One AvailableNow pass per call. */
+  def stream(spark: SparkSession, srcDir: String, indexDir: String,
+      ckptDir: String, initializedAt: Long, cents: DataFrame,
+      idCol: String = "_row_id", appId: String = "ivfindex"): Unit = {
+    val clauses = mergeClausesFor(idCol)
+    val q = spark.readStream.format("txlog").option("path", srcDir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", (initializedAt + 1).toString)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val changes = changesOf(batch, cents, idCol).localCheckpoint(true)
+        if (changes.count() > 0L)
+          TxLog.mergeClausesBatch(batch.sparkSession, indexDir, changes,
+            Seq(idCol), clauses, appId, batchId): Unit
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** The index rebuilt from scratch at the source's head — the

@@ -3174,6 +3174,51 @@ object TxQueries2 {
                      CAST(1 AS BIGINT) AS matches_recompute,
                      CAST(3 AS BIGINT) AS view_commits,
                      CAST(0 AS BIGINT) AS noop_pass_commits
-              FROM finalv"""))
+              FROM finalv""")),
+
+    // q222: DROP FEATURE + TRUNCATE HISTORY (the only way a capability
+    // leaves a table's requirement set). A table gains live deletion
+    // vectors — a LEGACY reader (capability hand-stripped) refuses by
+    // name, pinned — then the feature is verifiably retired: disable,
+    // purge, drop, truncate. Pinned into the hash: the surviving data
+    // (deleted rows STAY deleted through purge + drop), the legacy
+    // reader's refusal before and row count after, and the reduced
+    // requirement set (features_after=0, protocol_after=1).
+    QuerySpec("q222_drop_feature", { (s, dir) =>
+      val root = graft.Scratch.dir("graft-q222").toString + "/t"
+      val part = Td.load(s, dir, "part").select("p_partkey", "p_retailprice")
+      TxLog.append(s, root, part.repartition(4))
+      TxLog.setProperties(root, Map(TxLog.DeletionVectors.Enabled -> "true"))
+      TxLog.delete(s, root, "p_partkey % 7 = 2") // live DVs gate the table
+      def legacy[A](body: => A): A = {
+        val prev = TxLog.readerCapabilities
+        TxLog.readerCapabilities = TxLog.supportedFeatures - "deletionVectors"
+        TxLog.invalidateSnapshots(root) // fresh legacy reader, cold cache
+        try body finally TxLog.readerCapabilities = prev
+      }
+      val refusedBefore =
+        try { legacy(TxLog.read(s, root).count()); 0L }
+        catch { case _: TxLog.UnsupportedProtocolException => 1L }
+      TxLog.setProperties(root, Map(TxLog.DeletionVectors.Enabled -> ""))
+      TxLog.purgeDeletes(s, root)
+      TxLog.dropFeature(s, root, "deletionVectors")
+      val snap = TxLog.snapshot(root)
+      val legacyRows = legacy(TxLog.read(s, root).count())
+      TxLog.read(s, root)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("p_retailprice")).as("sum_price"))
+        .withColumn("legacy_refused_before", lit(refusedBefore))
+        .withColumn("legacy_rows_after", lit(legacyRows))
+        .withColumn("features_after", lit(snap.features.size.toLong))
+        .withColumn("wfeatures_after", lit(snap.wfeatures.size.toLong))
+        .withColumn("protocol_after", lit(snap.protocol))
+    },
+      Some("""SELECT count(*) AS n_rows,
+                     CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     CAST(1 AS BIGINT) AS legacy_refused_before,
+                     count(*) AS legacy_rows_after,
+                     CAST(0 AS BIGINT) AS features_after,
+                     CAST(0 AS BIGINT) AS wfeatures_after,
+                     CAST(1 AS BIGINT) AS protocol_after
+              FROM part WHERE NOT (p_partkey % 7 = 2)"""))
   )
 }

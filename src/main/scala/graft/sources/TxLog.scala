@@ -957,6 +957,37 @@ object TxLog {
     * Production writers declare the full supported set. */
   @volatile private[graft] var writerCapabilities: Set[String] = supportedWriterFeatures
 
+  /** Reader-capability seam (mirrors [[writerCapabilities]]): what THIS
+    * process's replay accepts. Production readers accept the full
+    * [[supportedFeatures]] set; the drop-feature spec strips it to
+    * simulate a LEGACY reader and prove the drop actually un-gates. */
+  @volatile private[graft] var readerCapabilities: Set[String] = supportedFeatures
+
+  /** DROP FEATURE marker (Delta's `ALTER TABLE … DROP FEATURE` +
+    * `TRUNCATE HISTORY`, FORMAT.md §5): features accumulate by UNION
+    * during replay, so a capability can only leave the requirement set
+    * POSITIONALLY — a commit carrying this property subtracts the named
+    * features from everything accumulated SO FAR (a later re-enable
+    * re-stamps and re-requires). The marker alone does not help a
+    * legacy reader (it refuses mid-replay, before reaching the drop);
+    * what un-gates old readers is [[dropFeature]]'s checkpoint — whose
+    * manifest re-states the REDUCED set — plus history truncation, so
+    * a fresh replay never sees the dropped name at all. */
+  object DroppedFeatures { val Key = "graft.features.dropped" }
+
+  private def droppedFeaturesOf(props: Map[String, String]): Set[String] =
+    props.get(DroppedFeatures.Key).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+
+  /** The legacy protocol int a feature alone would require (inverse of
+    * [[featureOfProtocol]]) — recomputing the table's int after a drop. */
+  private def featureInt(f: String): Long = f match {
+    case "columnMapping" => 2L
+    case "deletionVectors" => 3L
+    case "typeWidening" => 4L
+    case _ => 1L
+  }
+
   /** A table requires a writer capability this committer does not
     * declare — the WRITE refuses; reads are unaffected. */
   final class UnsupportedWriterFeatureException(msg: String) extends RuntimeException(msg)
@@ -1531,13 +1562,24 @@ object TxLog {
         txns(app) = math.max(txns.getOrElse(app, Long.MinValue), b)
       case _ =>
     }
-    def mergeProps(j: JValue): Unit = (j \ "props") match {
-      case JObject(fields) => fields.foreach { case (k, v) => props(k) = jStr(v) }
-      case _ =>
-    }
     var tableProtocol = 1L
     val tableFeatures = scala.collection.mutable.Set[String]()
     val tableWFeatures = scala.collection.mutable.Set[String]()
+    def mergeProps(j: JValue): Unit = (j \ "props") match {
+      case JObject(fields) =>
+        fields.foreach { case (k, v) => props(k) = jStr(v) }
+        // DROP FEATURE is positional: subtract the named features from
+        // what replay accumulated SO FAR (a later re-enable re-stamps);
+        // the table's legacy int re-derives from what remains
+        (j \ "props" \ DroppedFeatures.Key) match {
+          case org.json4s.JString(s) =>
+            val ds = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+            tableFeatures --= ds; tableWFeatures --= ds
+            tableProtocol = (tableFeatures.map(featureInt) + 1L).max
+          case _ =>
+        }
+      case _ =>
+    }
     def checkProtocol(j: JValue): Unit = {
       ((j \ "protocol") match {
         case JInt(p) => Some(p.toLong)
@@ -1560,7 +1602,7 @@ object TxLog {
       (j \ "features") match {
         case JArray(fs) => fs.foreach { f =>
           val name = jStr(f)
-          if (!supportedFeatures.contains(name))
+          if (!readerCapabilities.contains(name))
             throw new UnsupportedProtocolException(
               s"$dir requires table feature '$name', which this reader " +
                 "does not support — refusing rather than misreading its actions")
@@ -2036,7 +2078,7 @@ object TxLog {
       (j \ "features") match {
         case JArray(fs) => fs.foreach { f =>
           val name = jStr(f)
-          if (!supportedFeatures.contains(name))
+          if (!readerCapabilities.contains(name))
             throw new UnsupportedProtocolException(
               s"$dir requires table feature '$name', which this reader " +
                 "does not support — refusing rather than misreading its actions")
@@ -2050,7 +2092,16 @@ object TxLog {
       }
     }
     def mergeProps(j: JValue): Unit = (j \ "props") match {
-      case JObject(fields) => fields.foreach { case (k, v) => props(k) = jStr(v) }
+      case JObject(fields) =>
+        fields.foreach { case (k, v) => props(k) = jStr(v) }
+        // positional DROP FEATURE subtraction — same rule as [[snapshot]]
+        (j \ "props" \ DroppedFeatures.Key) match {
+          case org.json4s.JString(s) =>
+            val ds = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+            tableFeatures --= ds; tableWFeatures --= ds
+            tableProtocol = (tableFeatures.map(featureInt) + 1L).max
+          case _ =>
+        }
       case _ =>
     }
     var base: Option[(Long, Int)] = None
@@ -4173,6 +4224,12 @@ object TxLog {
     require(!props.contains(Partitioning.Columns),
       s"${Partitioning.Columns} is not settable as a raw property — " +
         "use setPartitioning / CALL set_partitioning (partition evolution)")
+    // a raw drop marker would un-gate a capability STILL IN USE —
+    // resurrecting deleted rows for pre-DV readers; only the verifying
+    // path may write it
+    require(!props.contains(DroppedFeatures.Key),
+      s"${DroppedFeatures.Key} is not settable as a raw property — " +
+        "use dropFeature (it verifies the capability is genuinely unused first)")
     props.get(ClusterBy.Columns).filter(_.nonEmpty).foreach { v =>
       val head = headSnapshot(dir).getOrElse(
         sys.error(s"setProperties: $dir has no committed versions"))
@@ -4201,6 +4258,72 @@ object TxLog {
     }
     throw new ConcurrentWriteException(
       s"setProperties on $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
+  /** DROP FEATURE (Delta's `ALTER TABLE … DROP FEATURE` with
+    * `TRUNCATE HISTORY`): remove a table feature's gate so readers and
+    * writers that never learned the capability can use the table again.
+    * Verifies the capability is GENUINELY unused first — for
+    * `deletionVectors`: the property is off and no live file carries a
+    * DV (run `purgeDeletes` + `setProperties(enableDeletionVectors=
+    * "")` first; the liveness probe runs distributed on sharded
+    * bases) — then commits the positional drop marker, writes a
+    * checkpoint whose manifest re-states the REDUCED feature set and
+    * legacy int, and truncates history before it (the part that
+    * actually un-gates: a legacy reader refuses MID-REPLAY on the
+    * first commit naming the feature, so the name must vanish from
+    * every file a fresh replay touches — Delta requires the same
+    * 24-hour history truncation for the same reason). Time travel
+    * below the drop is gone, as with any log retention cut. Re-enabling
+    * later simply re-stamps: the drop marker is positional, so features
+    * stamped AFTER it re-require as usual.
+    *
+    * Only `deletionVectors` is droppable today: column mapping would
+    * need physical renames and type widening a narrowing rewrite —
+    * both are rewrites this engine does not verify, so it refuses
+    * rather than un-gating a table that still needs the capability. */
+  def dropFeature(spark: SparkSession, dir: String, feature: String,
+      truncateHistory: Boolean = true): Long = {
+    require(supportedFeatures.contains(feature),
+      s"dropFeature: unknown table feature '$feature'")
+    require(feature == "deletionVectors",
+      s"dropFeature: '$feature' is not droppable — only deletionVectors " +
+        "can be verified unused without a physical rewrite")
+    val (snap, meta) = dmlSnapshot(dir, None) // writer gate fires here
+    require(!dvEnabled(snap),
+      s"dropFeature: ${DeletionVectors.Enabled} is still true — disable it first")
+    val dvLive = meta match {
+      case Some(mm) => planFilesMeta(spark, dir, mm, a => a.dv.nonEmpty).size
+      case None => snap.files.count(_.dv.nonEmpty)
+    }
+    require(dvLive == 0,
+      s"dropFeature: $dvLive live files still carry deletion vectors — " +
+        "run purgeDeletes first (dropping now would resurrect deleted rows " +
+        "for readers that skip the vectors)")
+    val dropped = (droppedFeaturesOf(snap.props) + feature).toSeq.sorted.mkString(",")
+    var tries = 0
+    while (tries < maxCommitAttempts) {
+      val head = headState(dir)
+      // a concurrent re-enable between the verification and the publish
+      // must lose: the rebase re-checks the property on the fresh head
+      require(!head.props.get(DeletionVectors.Enabled).contains("true"),
+        s"dropFeature: ${DeletionVectors.Enabled} was re-enabled concurrently")
+      val attempt = head.version + 1
+      val content = commitJson(attempt, "dropFeature", System.currentTimeMillis(),
+        Nil, Nil, None, None, Some(Map(DroppedFeatures.Key -> dropped)))
+      if (tryPublish(dir, attempt, content)) {
+        if (truncateHistory) {
+          writeCheckpoint(dir, attempt)
+          // keep [attempt, latest]: exactly the pre-drop history goes
+          cleanupLog(dir, retainVersions =
+            math.max(1L, latestVersion(dir) - attempt + 1L).toInt)
+        }
+        return attempt
+      }
+      tries += 1
+    }
+    throw new ConcurrentWriteException(
+      s"dropFeature on $dir lost $maxCommitAttempts consecutive commit races")
   }
 
   /** PARTITION EVOLUTION (Iceberg's spec-evolution capability, VLDB'21,

@@ -110,6 +110,17 @@ private[sources] object TxProcedures {
         Seq(new GenericInternalRow(Array[Any](
           r.map(_._1).getOrElse(0), r.map(_._2).getOrElse(0))))
       }),
+    Proc("drop_feature",
+      Array(p("table", StringType), p("feature", StringType),
+        pd("truncate_history", BooleanType, "true")),
+      StructType(Seq(StructField("version", LongType))),
+      (root, in) => {
+        val v = TxLog.dropFeature(SparkSession.active,
+          dirOf(root, in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString,
+          truncateHistory = in.getBoolean(2))
+        Seq(new GenericInternalRow(Array[Any](v)))
+      }),
     Proc("history",
       Array(p("table", StringType)),
       StructType(Seq(StructField("version", LongType),

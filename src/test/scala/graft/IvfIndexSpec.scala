@@ -86,14 +86,41 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     TxLog.enableRowTracking(spark, src)
     TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
     val at = IvfIndex.initialize(spark, src, idx, cents)
-    // poison three embeddings (NaN fails the validity predicate)
+    // poison embeddings BOTH ways: NaN fails the validity predicate as
+    // FALSE; NULL evaluates it to NULL — the coalesce-to-false rule is
+    // what keeps the NULL rows from falling out of both merge branches
+    // and leaving stale postings
     TxLog.update(spark, src, "vec_id IN (7, 13, 21)",
       Map("embedding" -> "transform(embedding, x -> CAST('NaN' AS FLOAT))"))
+    TxLog.update(spark, src, "vec_id IN (8, 14)",
+      Map("embedding" -> "CAST(NULL AS ARRAY<FLOAT>)"))
     val res = IvfIndex.maintain(spark, src, idx, at, cents)
-    assert(res.rowsApplied === 3L)
-    assert(TxLog.read(spark, idx).count() === 47L)
+    assert(res.rowsApplied === 5L)
+    assert(TxLog.read(spark, idx).count() === 45L)
     assert(diff(TxLog.read(spark, idx).select("_row_id", "vec_id", "cell", "embedding"),
       IvfIndex.recompute(spark, src, cents)) === 0L)
+  }
+
+  test("streaming maintenance: the index follows its source, replays are no-ops") {
+    val r = root("ivfstream"); val src = s"$r/src"; val idx = s"$r/idx"
+    val ckpt = s"$r/ckpt"
+    val cents = vecs((0L until 30L).map(_ * 17L)).localCheckpoint(true)
+    TxLog.append(spark, src, vecs(0L until 400L))
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+    val at = IvfIndex.initialize(spark, src, idx, cents)
+    TxLog.update(spark, src, "vec_id % 9 = 4",
+      Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
+    TxLog.optimize(spark, src) // layout-only: empty batch, no index commit
+    TxLog.delete(spark, src, "vec_id % 6 = 1")
+    TxLog.append(spark, src, vecs(400L until 450L))
+    IvfIndex.stream(spark, src, idx, ckpt, at, cents)
+    assert(diff(TxLog.read(spark, idx).select("_row_id", "vec_id", "cell", "embedding"),
+      IvfIndex.recompute(spark, src, cents)) === 0L)
+    val v = TxLog.latestVersion(idx)
+    assert(v === 3L, "exactly one index commit per DML window")
+    IvfIndex.stream(spark, src, idx, ckpt, at, cents) // replay: no-op
+    assert(TxLog.latestVersion(idx) === v)
   }
 
   test("searchTopK over the maintained index ≡ ivfTopK over the live corpus") {

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxLog
+
+/** DROP FEATURE with history truncation: the only way a capability can
+  * LEAVE a table's requirement set. The drop must verify the feature is
+  * genuinely unused (un-gating live deletion vectors would resurrect
+  * deleted rows for readers that skip them), the checkpoint must
+  * re-state the REDUCED set, and truncation must make a legacy reader —
+  * one that never learned the feature — read the table again. */
+class TxDropFeatureSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(name: String): String =
+    graft.Scratch.dir(s"graft-$name").toString + "/t"
+
+  private def withReaderCaps[A](caps: Set[String])(body: => A): A = {
+    val prev = TxLog.readerCapabilities
+    TxLog.readerCapabilities = caps
+    try body finally TxLog.readerCapabilities = prev
+  }
+
+  private def df(ids: Long*) = {
+    import spark.implicits._
+    ids.map(i => (i, s"v$i")).toDF("id", "s")
+  }
+
+  private def legacyRead(dir: String): Long = withReaderCaps(
+    TxLog.supportedFeatures - "deletionVectors") {
+    TxLog.invalidateSnapshots(dir) // a FRESH legacy reader, no warm cache
+    TxLog.read(spark, dir).count()
+  }
+
+  test("gate, purge, drop, truncate: a pre-DV reader reads the table again") {
+    val dir = tmp("dropfeat")
+    TxLog.append(spark, dir, df(1L to 20L: _*))
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, dir, "id % 4 = 1") // merge-on-read: live DVs exist
+
+    // a legacy reader refuses BY NAME while the feature is required
+    val e = intercept[TxLog.UnsupportedProtocolException](legacyRead(dir))
+    assert(e.getMessage.contains("deletionVectors"))
+
+    // the drop verifies genuine unuse, in order: property, then live DVs
+    assert(intercept[IllegalArgumentException](
+      TxLog.dropFeature(spark, dir, "deletionVectors"))
+      .getMessage.contains("disable"))
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> ""))
+    assert(intercept[IllegalArgumentException](
+      TxLog.dropFeature(spark, dir, "deletionVectors"))
+      .getMessage.contains("purgeDeletes"))
+    TxLog.purgeDeletes(spark, dir)
+    val v = TxLog.dropFeature(spark, dir, "deletionVectors")
+
+    // requirement gone: reduced features/protocol, legacy reader green
+    val snap = TxLog.snapshot(dir)
+    assert(snap.features.isEmpty && snap.wfeatures.isEmpty && snap.protocol === 1L)
+    assert(legacyRead(dir) === 15L)
+    assert(TxLog.read(spark, dir).where("id % 4 = 1").count() === 0L,
+      "deleted rows must STAY deleted through purge + drop")
+    // history truncated: time travel below the drop is gone
+    intercept[TxLog.VersionNotFoundException] {
+      TxLog.read(spark, dir, versionAsOf = Some(v - 1)): Unit
+    }
+  }
+
+  test("re-enabling after a drop re-stamps and re-gates (the marker is positional)") {
+    val dir = tmp("dropfeat-re")
+    TxLog.append(spark, dir, df(1L to 12L: _*))
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, dir, "id = 3")
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> ""))
+    TxLog.purgeDeletes(spark, dir)
+    TxLog.dropFeature(spark, dir, "deletionVectors")
+    assert(legacyRead(dir) === 11L)
+
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, dir, "id = 5") // stamps the feature AFTER the drop
+    assert(TxLog.snapshot(dir).features === Set("deletionVectors"))
+    intercept[TxLog.UnsupportedProtocolException](legacyRead(dir))
+    assert(TxLog.read(spark, dir).count() === 10L)
+  }
+
+  test("drop on a SHARDED base: liveness probed distributed, manifest re-states reduced set") {
+    val saved = TxLog.ckptPartMaxFiles
+    TxLog.ckptPartMaxFiles = 4
+    try {
+      val dir = tmp("dropfeat-shard")
+      TxLog.append(spark, dir, df(1L to 8L: _*).repartition(8))
+      TxLog.setProperties(dir, Map(TxLog.Checkpoints.Interval -> "3"))
+      TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> "true"))
+      TxLog.delete(spark, dir, "id IN (2, 6)")
+      (0 until 3).foreach(i => TxLog.append(spark, dir, df(100L + i)))
+      assert(TxLog.planningMeta(dir, None).exists(_.ckptBase.nonEmpty),
+        "expected a sharded replay base")
+      // live DVs refuse through the DISTRIBUTED probe
+      TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> ""))
+      assert(intercept[IllegalArgumentException](
+        TxLog.dropFeature(spark, dir, "deletionVectors"))
+        .getMessage.contains("purgeDeletes"))
+      TxLog.purgeDeletes(spark, dir)
+      TxLog.dropFeature(spark, dir, "deletionVectors")
+      assert(legacyRead(dir) === 9L)
+      assert(TxLog.snapshot(dir).features.isEmpty)
+    } finally TxLog.ckptPartMaxFiles = saved
+  }
+
+  test("the raw marker and undroppable features refuse loudly") {
+    val dir = tmp("dropfeat-guard")
+    TxLog.append(spark, dir, df(1L, 2L))
+    assert(intercept[IllegalArgumentException](
+      TxLog.setProperties(dir, Map(TxLog.DroppedFeatures.Key -> "deletionVectors")))
+      .getMessage.contains("dropFeature"))
+    assert(intercept[IllegalArgumentException](
+      TxLog.dropFeature(spark, dir, "columnMapping"))
+      .getMessage.contains("not droppable"))
+    assert(intercept[IllegalArgumentException](
+      TxLog.dropFeature(spark, dir, "futureFeature"))
+      .getMessage.contains("unknown"))
+  }
+}
