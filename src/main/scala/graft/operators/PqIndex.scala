@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.TxLog
+import graft.sources.TxLog.{WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatchedInsert}
+
+/** INCREMENTAL product-quantization code maintenance — [[IvfIndex]]'s
+  * sibling for the PQ tier (Jégou et al. 2011): the code table (each
+  * vector's `m` small codes, the 64× compressed representation a
+  * 100 TB corpus scans instead of raw floats) is a TxLog table keyed by
+  * the source's tracked row id, maintained from the change feed.
+  *
+  * PQ codes are PURE per-row functions of a FROZEN codebook, which
+  * makes incremental maintenance exact by construction: only the
+  * window's change delta is ever encoded (cost ∝ batch — a rebuild
+  * re-pays |corpus| × m × nCodes distance kernels per ingest window),
+  * deletes drop by key, and a layout-only window costs zero reads
+  * ([[TxLog.hasRowChanges]]). Codes are stored PACKED — one row per
+  * vector, `codes[s]` = the subspace-s codeword — so the posting table
+  * is m ints per vector and the ADC scan explodes them back to
+  * (s, code) pairs at query time. Re-training the codebook is a
+  * rebuild, not maintenance, exactly as with [[IvfIndex]]'s quantizer.
+  *
+  * Encoding reuses [[Similarity.subL2Expr]]'s exact distance kernel and
+  * the min_by-over-(dist, cw_id) tie-break, so maintained codes are
+  * BIT-IDENTICAL to a fresh [[Similarity.pqEncode]] of the live corpus
+  * ([[recompute]] pins it). Rows whose embedding fails
+  * [[Similarity.validEmbExpr]] are out of the table (MV predicate
+  * semantics, NULL coalesced to false — the IvfIndex rule). */
+object PqIndex {
+
+  final case class MaintainResult(srcVersion: Long, rowsApplied: Long,
+      layoutOnlySkip: Boolean)
+
+  private def validPred = coalesce(expr(
+    Similarity.validEmbExpr(graft.queries.SparkSql, "embedding")), lit(false))
+
+  /** Encode `rows` (idCol, vec_id, embedding) to packed codes: per
+    * (row, subspace) argmin over the broadcast codebook collapses
+    * map-side; a second vocab-free per-row fold packs the m codes in
+    * subspace order. No exchange carries more than |rows|·m short
+    * rows; at maintenance time |rows| is the change delta. */
+  private def encodePacked(rows: DataFrame, codebook: DataFrame, m: Int,
+      subDim: Int, idCol: String): DataFrame = {
+    val d = graft.queries.SparkSql
+    rows
+      .select(col(idCol), col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .crossJoin(broadcast(codebook))
+      .selectExpr(idCol, "vec_id", "s", "cw_id",
+        s"${Similarity.subL2Expr(d, "embedding", "cw_emb", subDim)} AS dist")
+      .groupBy(col(idCol), col("s"))
+      .agg(first(col("vec_id")).as("vec_id"),
+        min_by(col("cw_id"), struct(col("dist"), col("cw_id"))).as("code"))
+      .groupBy(idCol)
+      .agg(first(col("vec_id")).as("vec_id"),
+        transform(array_sort(collect_list(struct(col("s"), col("code")))),
+          c => c.getField("code")).as("codes"))
+      .select(col(idCol), col("vec_id"), col("codes"))
+  }
+
+  /** Full initial encode at the source's current version (the ONE
+    * corpus-sized pass). Returns the source version the table reflects. */
+  def initialize(spark: SparkSession, srcDir: String, indexDir: String,
+      codebook: DataFrame, m: Int, subDim: Int,
+      idCol: String = "_row_id"): Long = {
+    val v = TxLog.latestVersion(srcDir)
+    val src = TxLog.read(spark, srcDir, Some(v)).where(validPred)
+      .select(col(idCol), col("vec_id"), col("embedding"))
+    TxLog.append(spark, indexDir, encodePacked(src, codebook, m, subDim, idCol)): Unit
+    v
+  }
+
+  /** Apply the source's changes in `(fromExclusive, latest]`: last
+    * image per row id wins, the upsert delta re-encodes (delta-sized),
+    * deletes and invalidated embeddings drop by key — one keyed MERGE. */
+  def maintain(spark: SparkSession, srcDir: String, indexDir: String,
+      fromExclusive: Long, codebook: DataFrame, m: Int, subDim: Int,
+      idCol: String = "_row_id"): MaintainResult = {
+    val to = TxLog.latestVersion(srcDir)
+    if (to <= fromExclusive)
+      return MaintainResult(to, 0L, layoutOnlySkip = false)
+    if (!TxLog.hasRowChanges(srcDir, fromExclusive, to))
+      return MaintainResult(to, 0L, layoutOnlySkip = true)
+    val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
+    val last = feed
+      .where(col(TxLog.ChangeTypeCol) =!= "update_preimage")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("_commit_version").desc)))
+      .where(col("__rn") === 1)
+    val ups = encodePacked(
+      last.where(col(TxLog.ChangeTypeCol) =!= "delete" && validPred)
+        .select(col(idCol), col("vec_id"), col("embedding")),
+      codebook, m, subDim, idCol).withColumn("__pq_act", lit("upsert"))
+    val dels = last
+      .where(col(TxLog.ChangeTypeCol) === "delete" || !validPred)
+      .select(col(idCol), col("vec_id"),
+        lit(null).cast("array<int>").as("codes"), lit("delete").as("__pq_act"))
+    val changes = ups.unionByName(dels).localCheckpoint(true)
+    val applied = changes.count()
+    if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
+    TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol), Seq(
+      WhenMatchedDelete(Some("s.__pq_act = 'delete'")),
+      WhenMatchedUpdate(Some("s.__pq_act = 'upsert'"), Map(
+        "vec_id" -> "s.vec_id", "codes" -> "s.codes")),
+      WhenNotMatchedInsert(Some("s.__pq_act = 'upsert'"), Map(
+        idCol -> s"s.$idCol", "vec_id" -> "s.vec_id", "codes" -> "s.codes")))): Unit
+    MaintainResult(to, applied, layoutOnlySkip = false)
+  }
+
+  /** The code table rebuilt from scratch at the source's head — the
+    * bit-identity oracle. */
+  def recompute(spark: SparkSession, srcDir: String, codebook: DataFrame,
+      m: Int, subDim: Int, idCol: String = "_row_id"): DataFrame = {
+    val src = TxLog.read(spark, srcDir).where(validPred)
+      .select(col(idCol), col("vec_id"), col("embedding"))
+    encodePacked(src, codebook, m, subDim, idCol)
+  }
+
+  /** ADC search over the MAINTAINED code table: the query LUT and
+    * decimal-exact distance sum of [[Similarity.pqTopK]], with the
+    * candidate scan reading ONLY the packed integer codes (exploded to
+    * (s, code) pairs), then exact re-rank of the short list — the
+    * corpus-sized encode pass never re-runs. `liveVectors` supplies
+    * full-precision embeddings for the re-rank fetch. */
+  def searchTopK(index: DataFrame, liveVectors: DataFrame, queries: DataFrame,
+      codebook: DataFrame, m: Int, subDim: Int, rerankDepth: Int,
+      k: Int): DataFrame = {
+    val d = graft.queries.SparkSql
+    val q = Similarity.validEmbeddings(queries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val lut = q.crossJoin(broadcast(codebook))
+      .select(col("q_id"), col("q_emb"), col("cw_id"), col("cw_emb"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .selectExpr("q_id", "s", "cw_id",
+        s"CAST(${Similarity.subL2Expr(d, "q_emb", "cw_emb", subDim)} AS DECIMAL(18,6)) AS ldist")
+    val codes = index.select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+    val cands = codes
+      .join(broadcast(lut), codes("s") === lut("s") && codes("code") === lut("cw_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("ldist")).as("adc_dist"))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))))
+      .where(col("arank") <= rerankDepth)
+      .select("q_id", "vec_id")
+    cands
+      .join(liveVectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .selectExpr("q_id", "vec_id", "cosine_sim(q_emb, embedding) AS cosine")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .selectExpr("q_id", "vec_id", "round(cosine, 6) AS cosine", "rank")
+  }
+}

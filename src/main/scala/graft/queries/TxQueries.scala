@@ -3219,6 +3219,99 @@ object TxQueries2 {
                      CAST(0 AS BIGINT) AS features_after,
                      CAST(0 AS BIGINT) AS wfeatures_after,
                      CAST(1 AS BIGINT) AS protocol_after
-              FROM part WHERE NOT (p_partkey % 7 = 2)"""))
+              FROM part WHERE NOT (p_partkey % 7 = 2)""")),
+
+    // q223: INCREMENTAL PQ CODE MAINTENANCE (PqIndex) — the IvfIndex
+    // discipline on the compressed tier: the packed code table is a
+    // TxLog table keyed by the tracked row id, maintained from the
+    // change feed against a FROZEN codebook (codes are pure per-row
+    // functions of it, so maintenance is exact by construction — only
+    // the delta is ever re-encoded). Pinned into the hash: the final
+    // code assignment (an integer checksum over vec_id × subspace ×
+    // code the DuckDB oracle replays with the exact subL2 argmin CTEs),
+    // maintained ≡ re-encoded, per-window rows_applied, and the
+    // zero-read OPTIMIZE skip.
+    QuerySpec("q223_ann_pq_incremental", { (s, dir) =>
+      import graft.operators.{PqIndex, Similarity}
+      val root = graft.Scratch.dir("graft-q223").toString
+      val src = s"$root/src"; val idx = s"$root/idx"
+      val ok = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+        .where(expr(Similarity.validEmbExpr(SparkSql, "embedding")))
+        .localCheckpoint(true)
+      val cbPlan = Similarity.pqCodebook(ok,
+        "vec_id % 29 = 5 AND vec_id % 10 < 8", 16)
+      val cb = s.createDataFrame(
+        java.util.Arrays.asList(cbPlan.collect(): _*), cbPlan.schema)
+        .localCheckpoint(true)
+      (0 until 3).foreach(b => TxLog.append(s, src,
+        ok.where(s"vec_id % 10 < 8 AND vec_id % 3 = $b").coalesce(1)))
+      TxLog.enableRowTracking(s, src)
+      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+      var at = PqIndex.initialize(s, src, idx, cb, 4, 16)
+      TxLog.update(s, src, "vec_id % 11 = 3",
+        Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
+      val rUpd = PqIndex.maintain(s, src, idx, at, cb, 4, 16); at = rUpd.srcVersion
+      TxLog.optimize(s, src)
+      val rOpt = PqIndex.maintain(s, src, idx, at, cb, 4, 16); at = rOpt.srcVersion
+      TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
+      TxLog.delete(s, src, "vec_id % 5 = 2")
+      val rDel = PqIndex.maintain(s, src, idx, at, cb, 4, 16); at = rDel.srcVersion
+      TxLog.append(s, src, ok.where("vec_id % 10 >= 8"))
+      val rApp = PqIndex.maintain(s, src, idx, at, cb, 4, 16)
+      val got = TxLog.read(s, idx)
+        .select("_row_id", "vec_id", "codes").localCheckpoint(true)
+      val want = PqIndex.recompute(s, src, cb, 4, 16)
+      val matches =
+        if (got.count() == want.count() && got.exceptAll(want).isEmpty) 1L else 0L
+      got.select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+        .agg((count(lit(1)) / 4).cast(LongType).as("n_rows"),
+          sum(col("vec_id") * (col("s") + 1) * (col("code") + 1)).as("code_checksum"))
+        .withColumn("matches_rebuild", lit(matches))
+        .withColumn("optimize_skipped", lit(if (rOpt.layoutOnlySkip) 1L else 0L))
+        .withColumn("optimize_rows_applied", lit(rOpt.rowsApplied))
+        .withColumn("update_rows_applied", lit(rUpd.rowsApplied))
+        .withColumn("delete_rows_applied", lit(rDel.rowsApplied))
+        .withColumn("append_rows_applied", lit(rApp.rowsApplied))
+    }, {
+      val d = DuckSql
+      def sub(a: String, b: String) =
+        graft.operators.Similarity.subL2Expr(d, a, b, 16)
+      val vOK = graft.operators.Similarity.validEmbExpr(d, "embedding")
+      Some(s"""WITH ok AS (SELECT vec_id, embedding FROM embeddings WHERE $vOK),
+               cb AS (SELECT cw_id, cw_emb FROM (
+                        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw_id,
+                               embedding AS cw_emb
+                        FROM ok WHERE vec_id % 29 = 5 AND vec_id % 10 < 8)
+                      WHERE cw_id < 16),
+               base AS (SELECT vec_id, embedding FROM ok WHERE vec_id % 10 < 8),
+               upd AS (SELECT vec_id,
+                              CASE WHEN vec_id % 11 = 3
+                                   THEN ${d.map("embedding", "x", "-x")}
+                                   ELSE embedding END AS embedding
+                       FROM base),
+               surv AS (SELECT * FROM upd WHERE vec_id % 5 <> 2),
+               late AS (SELECT vec_id, embedding FROM ok WHERE vec_id % 10 >= 8),
+               fin AS (SELECT * FROM surv UNION ALL SELECT * FROM late),
+               subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+               dists AS (
+                 SELECT f.vec_id, sub.s, c.cw_id,
+                        ${sub("f.embedding", "c.cw_emb")} AS dist
+                 FROM fin f CROSS JOIN subs sub CROSS JOIN cb c),
+               codes AS (
+                 SELECT vec_id, s, cw_id AS code FROM (
+                   SELECT vec_id, s, cw_id,
+                          row_number() OVER (PARTITION BY vec_id, s
+                               ORDER BY dist, cw_id) AS rn
+                   FROM dists) WHERE rn = 1)
+               SELECT CAST(count(*) // 4 AS BIGINT) AS n_rows,
+                      CAST(sum(vec_id * (s + 1) * (code + 1)) AS BIGINT) AS code_checksum,
+                      CAST(1 AS BIGINT) AS matches_rebuild,
+                      CAST(1 AS BIGINT) AS optimize_skipped,
+                      CAST(0 AS BIGINT) AS optimize_rows_applied,
+                      (SELECT count(*) FROM base WHERE vec_id % 11 = 3) AS update_rows_applied,
+                      (SELECT count(*) FROM base WHERE vec_id % 5 = 2) AS delete_rows_applied,
+                      (SELECT count(*) FROM late) AS append_rows_applied
+               FROM codes""")
+    })
   )
 }

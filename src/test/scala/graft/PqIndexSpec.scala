@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{PqIndex, Similarity}
+import graft.sources.TxLog
+
+/** Incremental PQ code maintenance: the packed code table maintained
+  * from the change feed must be bit-identical to re-encoding the live
+  * corpus, and ADC search over it must equal the rebuild-every-time
+  * path. */
+class PqIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private val M = 4; private val SubDim = 2; private val NCodes = 8
+
+  private def root(name: String): String =
+    graft.Scratch.dir(s"graft-$name").toString
+
+  /** 8-dim floats, varied, deterministic (the IvfIndexSpec generator). */
+  private def vecs(ids: Seq[Long]) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map { i =>
+        Row(i, (0 until 8).map(j => ((i * 31 + j * 17) % 19 - 9) / 3.0f))
+      }, 2), schema)
+  }
+
+  private def diff(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Long =
+    a.exceptAll(b).count() + b.exceptAll(a).count()
+
+  private def frozenCodebook(corpus: org.apache.spark.sql.DataFrame) = {
+    val plan = Similarity.pqCodebook(corpus, "vec_id % 13 = 0 AND vec_id < 300", NCodes)
+    spark.createDataFrame(
+      java.util.Arrays.asList(plan.collect(): _*), plan.schema).localCheckpoint(true)
+  }
+
+  test("maintained codes ≡ re-encoded corpus across update / optimize / delete / append") {
+    val r = root("pqinc"); val src = s"$r/src"; val idx = s"$r/idx"
+    val base = vecs(0L until 300L)
+    val cb = frozenCodebook(base)
+    TxLog.append(spark, src, base)
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+    var at = PqIndex.initialize(spark, src, idx, cb, M, SubDim)
+    assert(TxLog.read(spark, idx).count() === 300L)
+
+    TxLog.update(spark, src, "vec_id % 11 = 3",
+      Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
+    val rUpd = PqIndex.maintain(spark, src, idx, at, cb, M, SubDim); at = rUpd.srcVersion
+    assert(rUpd.rowsApplied === (0L until 300L).count(_ % 11 == 3))
+
+    TxLog.optimize(spark, src)
+    val rOpt = PqIndex.maintain(spark, src, idx, at, cb, M, SubDim); at = rOpt.srcVersion
+    assert(rOpt.layoutOnlySkip && rOpt.rowsApplied === 0L)
+
+    TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, src, "vec_id % 5 = 2")
+    val rDel = PqIndex.maintain(spark, src, idx, at, cb, M, SubDim); at = rDel.srcVersion
+
+    // poison one surviving row each way (neither is % 5 = 2 — those are
+    // gone): NaN (valid=false) and NULL (the coalesce case)
+    TxLog.update(spark, src, "vec_id = 8",
+      Map("embedding" -> "transform(embedding, x -> CAST('NaN' AS FLOAT))"))
+    TxLog.update(spark, src, "vec_id = 9",
+      Map("embedding" -> "CAST(NULL AS ARRAY<FLOAT>)"))
+    TxLog.append(spark, src, vecs(300L until 360L))
+    val rApp = PqIndex.maintain(spark, src, idx, at, cb, M, SubDim)
+    assert(rApp.rowsApplied === 62L) // 60 inserts + 2 poisoned drops
+
+    assert(diff(TxLog.read(spark, idx).select("_row_id", "vec_id", "codes"),
+      PqIndex.recompute(spark, src, cb, M, SubDim)) === 0L,
+      "maintained ≢ re-encoded")
+  }
+
+  test("ADC search over the maintained table ≡ pqTopK over the live corpus") {
+    val r = root("pqsearch"); val src = s"$r/src"; val idx = s"$r/idx"
+    val base = vecs(0L until 250L)
+    val cb = frozenCodebook(base)
+    TxLog.append(spark, src, base)
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+    val at = PqIndex.initialize(spark, src, idx, cb, M, SubDim)
+    TxLog.append(spark, src, vecs(300L until 330L)) // ids past the codebook filter
+    PqIndex.maintain(spark, src, idx, at, cb, M, SubDim): Unit
+    val live = TxLog.read(spark, src).select("vec_id", "embedding")
+    val viaIndex = PqIndex.searchTopK(TxLog.read(spark, idx), live,
+      live.where("vec_id < 5"), cb, M, SubDim, rerankDepth = 10, k = 3)
+    val rebuilt = Similarity.pqTopK(live, live.where("vec_id < 5"),
+      "vec_id % 13 = 0 AND vec_id < 300", M, SubDim, NCodes,
+      rerankDepth = 10, k = 3)
+    assert(diff(viaIndex, rebuilt) === 0L)
+  }
+}
