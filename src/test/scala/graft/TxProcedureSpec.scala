@@ -160,13 +160,28 @@ class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.raw").head().getLong(0) === 81L)
   }
 
+  test("CALL drop_feature retires deletion vectors from SQL") {
+    val (cat, root) = freshCat()
+    val dir = seed(root)
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, dir, "id % 10 = 3")
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> ""))
+    spark.sql(s"CALL $cat.purge_deletes(`table` => 't')").collect(): Unit
+    val v = spark.sql(s"CALL $cat.drop_feature(`table` => 't', " +
+      "feature => 'deletionVectors')").head().getLong(0)
+    val snap = TxLog.snapshot(dir)
+    assert(snap.version === v && snap.features.isEmpty && snap.protocol === 1L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) === 180L)
+  }
+
   test("SHOW PROCEDURES lists the maintenance surface") {
     val (cat, _) = freshCat()
     val names = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
       .map(_.getString(3)).toSet
     assert(names === Set("optimize", "optimize_partition", "vacuum",
       "purge_deletes", "history", "clone", "restore", "convert", "detail",
-      "cleanup_log", "compute_stats", "generate_manifest", "set_partitioning"))
+      "cleanup_log", "compute_stats", "generate_manifest", "set_partitioning",
+      "drop_feature"))
   }
 
   test("CALL detail reports the snapshot's operational state") {
