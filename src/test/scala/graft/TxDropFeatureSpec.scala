@@ -106,6 +106,28 @@ class TxDropFeatureSpec extends AnyFunSuite with SparkTestBase {
     } finally TxLog.ckptPartMaxFiles = saved
   }
 
+  test("truncateHistory=false reduces the requirement but cannot un-gate a legacy reader") {
+    val dir = tmp("dropfeat-notrunc")
+    TxLog.append(spark, dir, df(1L to 10L: _*))
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, dir, "id = 4")
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> ""))
+    TxLog.purgeDeletes(spark, dir)
+    val v = TxLog.dropFeature(spark, dir, "deletionVectors", truncateHistory = false)
+    // capable readers see the reduced requirement...
+    val snap = TxLog.snapshot(dir)
+    assert(snap.features.isEmpty && snap.protocol === 1L)
+    // ...but a legacy reader still refuses MID-REPLAY on the pre-drop
+    // commits that name the feature — truncation, not the marker, is
+    // what un-gates (the documented Delta semantics)
+    intercept[TxLog.UnsupportedProtocolException](legacyRead(dir))
+    // a later log-retention cut past the drop completes the un-gating
+    // (cleanupLog writes the cut checkpoint itself — reduced manifest)
+    TxLog.cleanupLog(dir, retainVersions =
+      (TxLog.latestVersion(dir) - v + 1).toInt): Unit
+    assert(legacyRead(dir) === 9L)
+  }
+
   test("the raw marker and undroppable features refuse loudly") {
     val dir = tmp("dropfeat-guard")
     TxLog.append(spark, dir, df(1L, 2L))
