@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GraphAnn, GraphAnnIndex, Similarity}
+import graft.sources.TxLog
+
+/** Incremental k-NN graph maintenance. Graph edges are corpus-dependent
+  * so maintained ≠ rebuilt byte-wise (the FreshDiskANN trade) — the
+  * contract here is INVARIANTS (edges ⊆ live×live, new nodes wired,
+  * degree caps) and RECALL (maintained-graph search within a fixed
+  * slack of the rebuilt graph against brute-force truth). The corpus is
+  * the driver's deterministic embeddings table — graph ANN needs real
+  * cluster geometry; synthetic uniform-random vectors have no
+  * neighborhood structure for ANY graph method to exploit. */
+class GraphAnnIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private val M = 6
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def root(name: String): String =
+    graft.Scratch.dir(s"graft-$name").toString
+
+  private def corpus() = Td.load(spark, Sf, "embeddings")
+    .select("vec_id", "embedding")
+    .where(expr(Similarity.validEmbExpr(graft.queries.SparkSql, "embedding")))
+    .localCheckpoint(true)
+
+  private def recall(res: org.apache.spark.sql.DataFrame,
+      truth: org.apache.spark.sql.DataFrame): Double = {
+    val t = truth.select("q_id", "vec_id")
+    res.select("q_id", "vec_id").intersect(t).count().toDouble / t.count()
+  }
+
+  test("invariants and recall across update / optimize / delete / append") {
+    val r = root("gannidx"); val src = s"$r/src"; val idx = s"$r/idx"
+    val ok = corpus()
+    val cents = ok.where("vec_id % 100 = 7")
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      .localCheckpoint(true)
+    TxLog.append(spark, src, ok.where("vec_id % 10 < 8"))
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+    var at = GraphAnnIndex.initialize(spark, src, idx, cents, M, rounds = 1)
+
+    TxLog.update(spark, src, "vec_id % 13 = 2",
+      Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
+    val rUpd = GraphAnnIndex.maintain(spark, src, idx, at, M,
+      beam = 16, hops = 3, entryCount = 8); at = rUpd.srcVersion
+    assert(rUpd.rowsApplied > 0L && !rUpd.layoutOnlySkip)
+
+    TxLog.optimize(spark, src)
+    val rOpt = GraphAnnIndex.maintain(spark, src, idx, at, M); at = rOpt.srcVersion
+    assert(rOpt.layoutOnlySkip && rOpt.rowsApplied === 0L)
+
+    TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, src, "vec_id % 7 = 3")
+    val rDel = GraphAnnIndex.maintain(spark, src, idx, at, M); at = rDel.srcVersion
+    assert(rDel.rowsApplied > 0L)
+
+    TxLog.append(spark, src, ok.where("vec_id % 10 >= 8"))
+    GraphAnnIndex.maintain(spark, src, idx, at, M,
+      beam = 16, hops = 3, entryCount = 8): Unit
+
+    val live = TxLog.read(spark, src).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val edges = TxLog.read(spark, idx).localCheckpoint(true)
+    val liveIds = live.select(col("vec_id"))
+    // edges ⊆ live × live — no edge touches a deleted (or stale) id
+    assert(edges.join(liveIds, edges("src") === liveIds("vec_id"), "left_anti")
+      .count() === 0L, "edge with dead src")
+    assert(edges.join(liveIds, edges("dst") === liveIds("vec_id"), "left_anti")
+      .count() === 0L, "edge with dead dst")
+    // every appended vector is wired in (has out-edges)
+    val lateLive = live.where("vec_id % 10 >= 8").count()
+    assert(edges.where("src % 10 >= 8").select("src").distinct().count() === lateLive)
+    // degree cap: initial build allows m + 2 long links; re-pruned and
+    // newly attached nodes sit at ≤ m
+    val maxDeg = edges.groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg <= M + 2, s"degree cap violated: $maxDeg")
+
+    // recall: maintained within fixed slack of a full rebuild, vs truth
+    val queries = live.where("vec_id < 12")
+    val truth = Similarity.topK(live, queries, 3)
+    val maintained = recall(GraphAnnIndex.searchTopK(spark, src, idx,
+      queries, k = 3, beam = 16, hops = 3, entryCount = 8), truth)
+    val rebuilt = recall(GraphAnn.searchTopK(live,
+      GraphAnn.buildKnnGraph(live, cents, M, rounds = 1), queries,
+      k = 3, beam = 16, hops = 3, entryCount = 8), truth)
+    // deterministic corpus + deterministic build/search ⇒ these recalls
+    // are REPRODUCIBLE numbers, not statistics (0.73 / 0.87 at sf0.001)
+    assert(rebuilt >= 0.5, s"rebuilt recall $rebuilt < 0.5 — corpus unfit")
+    assert(maintained >= 0.5, s"maintained recall $maintained < 0.5 (rebuilt $rebuilt)")
+    assert(maintained >= rebuilt - 0.2,
+      s"maintained recall $maintained too far below rebuilt $rebuilt")
+  }
+
+  test("a delete-only window leaves the survivors' graph searchable") {
+    val r = root("gannidx-del"); val src = s"$r/src"; val idx = s"$r/idx"
+    val ok = corpus()
+    val cents = ok.where("vec_id % 100 = 7")
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      .localCheckpoint(true)
+    TxLog.append(spark, src, ok)
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+    val at = GraphAnnIndex.initialize(spark, src, idx, cents, M, rounds = 1)
+    TxLog.delete(spark, src, "vec_id % 3 = 1")
+    val res = GraphAnnIndex.maintain(spark, src, idx, at, M)
+    assert(res.rowsApplied > 0L)
+    val live = TxLog.read(spark, src).select("vec_id", "embedding")
+    val found = GraphAnnIndex.searchTopK(spark, src, idx,
+      live.where("vec_id < 9"), k = 3)
+    // no deleted id can surface as a result (its edges are gone)
+    assert(found.where("vec_id % 3 = 1").count() === 0L)
+    assert(found.count() > 0L)
+  }
+}
