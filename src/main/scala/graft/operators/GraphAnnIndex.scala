@@ -66,7 +66,8 @@ object GraphAnnIndex {
     *     graph. */
   def maintain(spark: SparkSession, srcDir: String, indexDir: String,
       fromExclusive: Long, m: Int, beam: Int = 8, hops: Int = 2,
-      entryCount: Int = 4, idCol: String = "_row_id"): MaintainResult = {
+      entryCount: Int = 4, idCol: String = "_row_id",
+      cents: Option[DataFrame] = None): MaintainResult = {
     val to = TxLog.latestVersion(srcDir)
     if (to <= fromExclusive)
       return MaintainResult(to, 0L, layoutOnlySkip = false)
@@ -81,11 +82,25 @@ object GraphAnnIndex {
       .localCheckpoint(true)
     val applied = last.count()
     if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
-    val touched = last.select("vec_id").distinct().localCheckpoint(true)
+    // eviction keys must include the UPDATE preimages' vec_ids: an
+    // update that changes a row's vec_id under the same tracked id
+    // retires the OLD node, whose id appears only in the preimage —
+    // keying off post-images alone would leave its edges in the graph
+    // forever (and skip its delete-consolidation repair)
+    val touched = last.select("vec_id")
+      .unionByName(feed.where(col(TxLog.ChangeTypeCol) === "update_preimage")
+        .select("vec_id"))
+      .distinct().localCheckpoint(true)
     val live = TxLog.read(spark, srcDir, Some(to))
       .select("vec_id", "embedding").localCheckpoint(true)
     // 1. consolidation patch from the PRE-eviction graph: surviving
-    //    in-neighbors of departing nodes inherit their out-neighbors
+    //    in-neighbors of departing nodes inherit their out-neighbors —
+    //    including TWO-HOP inheritance through a chain of departing
+    //    nodes (x → t → t2 → y with t, t2 both departing): without the
+    //    second hop, a batch that removes adjacent nodes severs every
+    //    path that ran through the pair and recall decays with batch
+    //    size. Cost stays delta-proportional: both hops are keyed joins
+    //    whose left side is the departing set's edge lists.
     val patch: Option[DataFrame] =
       if (TxLog.latestVersion(indexDir) < 0) None
       else {
@@ -94,9 +109,16 @@ object GraphAnnIndex {
         val inN = g.join(tid.select(col("vec_id").as("dst")), Seq("dst"))
           .select(col("src").as("x"), col("dst").as("t"))
           .join(tid.select(col("vec_id").as("x")), Seq("x"), "left_anti")
-        val outN = g.join(tid.select(col("vec_id").as("src")), Seq("src"))
+        val depOut = g.join(tid.select(col("vec_id").as("src")), Seq("src"))
           .select(col("src").as("t"), col("dst").as("y"))
+        val outSurv = depOut
           .join(tid.select(col("vec_id").as("y")), Seq("y"), "left_anti")
+        val outDep = depOut
+          .join(tid.select(col("vec_id").as("y")), Seq("y"), "left_semi")
+        val outTwoHop = outDep.select(col("t"), col("y").as("t2"))
+          .join(outSurv.select(col("t").as("t2"), col("y")), Seq("t2"))
+          .select("t", "y")
+        val outN = outSurv.select("t", "y").unionByName(outTwoHop).distinct()
         val pairs = inN.join(outN, Seq("t"))
           .where(col("x") =!= col("y"))
           .select(col("x").as("src"), col("y").as("dst")).distinct()
@@ -121,19 +143,49 @@ object GraphAnnIndex {
     val graphNow =
       if (TxLog.latestVersion(indexDir) < 0) None
       else Some(TxLog.read(spark, indexDir).select("src", "dst", "cosine"))
-    val attach: Seq[DataFrame] = (graphNow, if (newVecs.isEmpty) None else Some(newVecs)) match {
+    val nvOpt = if (newVecs.isEmpty) None else Some(newVecs)
+    val attach: Seq[DataFrame] = (graphNow, nvOpt) match {
       case (Some(g), Some(nv)) =>
+        // candidate pool 2m, pruned to the degree cap in step 4 — the
+        // RobustPrune discipline: a wider exact-scored pool gives the
+        // new node more reverse-edge discoverability than exactly-m
+        // results would, at the same final degree
         val cand = GraphAnn.searchTopK(live, g, nv,
-          k = m, beam = beam, hops = hops, entryCount = entryCount)
+          k = 2 * m, beam = beam, hops = hops, entryCount = entryCount)
           .localCheckpoint(true)
         Seq(cand.select(col("q_id").as("src"), col("vec_id").as("dst"), col("cosine")),
           cand.select(col("vec_id").as("src"), col("q_id").as("dst"), col("cosine")))
       case _ => Nil
     }
-    // 4. degree re-prune for every edge gainer (reverse attaches +
-    //    patch inheritors); forward edges of new nodes are already ≤ m
+    // 3b. BATCH-INTERNAL wiring: a batch's beam searches all run
+    //     against the PRE-batch graph, so nearest-neighbor edges AMONG
+    //     the batch's own vectors — the dominant neighborhoods of an
+    //     append-heavy window — would never form from search results
+    //     alone (the sequential-insert property FreshDiskANN gets for
+    //     free and a batch system must restore). The bucketed builder
+    //     wires the batch against itself: cells + random buckets, cost
+    //     ∝ |batch|, never all-pairs.
+    val batchInternal: Option[DataFrame] = (cents, nvOpt) match {
+      case (Some(c), Some(nv)) =>
+        // capped at m/2 per src BEFORE the union: batch-internal edges
+        // supply the missing new↔new neighborhoods but must not crowd
+        // the old↔new bridge edges out of the m slots — without the
+        // half-cap the appended region turns into a well-wired island
+        // the walk cannot enter (measured: recall drops, not rises)
+        val half = math.max(1, m / 2)
+        Some(GraphAnn.buildKnnGraph(nv, c, half, rounds = 1)
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))))
+          .where(col("__rn") <= half).drop("__rn")
+          .localCheckpoint(true))
+      case _ => None
+    }
+    // 4. degree re-prune for every edge gainer (reverse attaches,
+    //    patch inheritors, batch-internal edges); forward search edges
+    //    of new nodes are already ≤ 2m and cap to m below
     val fwd = attach.headOption
-    val gained = (attach.drop(1) ++ patch.toSeq).reduceOption(_ unionByName _)
+    val gained = (attach.drop(1) ++ patch.toSeq ++ batchInternal.toSeq)
+      .reduceOption(_ unionByName _)
     // a node can gain edges through BOTH branches in one batch (a new
     // node is its own forward source AND a reverse/patch gainer when it
     // surfaced as another's candidate) — the degree cap binds on the

@@ -1565,21 +1565,27 @@ object TxLog {
     var tableProtocol = 1L
     val tableFeatures = scala.collection.mutable.Set[String]()
     val tableWFeatures = scala.collection.mutable.Set[String]()
-    def mergeProps(j: JValue): Unit = (j \ "props") match {
-      case JObject(fields) =>
-        fields.foreach { case (k, v) => props(k) = jStr(v) }
-        // DROP FEATURE is positional: subtract the named features from
-        // what replay accumulated SO FAR (a later re-enable re-stamps);
-        // the table's legacy int re-derives from what remains
-        (j \ "props" \ DroppedFeatures.Key) match {
-          case org.json4s.JString(s) =>
-            val ds = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
-            tableFeatures --= ds; tableWFeatures --= ds
-            tableProtocol = (tableFeatures.map(featureInt) + 1L).max
-          case _ =>
-        }
-      case _ =>
-    }
+    def mergeProps(j: JValue, isCkptManifest: Boolean = false): Unit =
+      (j \ "props") match {
+        case JObject(fields) =>
+          fields.foreach { case (k, v) => props(k) = jStr(v) }
+          // DROP FEATURE is positional: subtract the named features from
+          // what replay accumulated SO FAR (a later re-enable re-stamps);
+          // the table's legacy int re-derives from what remains. The
+          // subtraction applies ONLY to delta commits — a checkpoint
+          // manifest's features/wfeatures lists already state the net
+          // post-drop set, while its cumulative props still carry the
+          // marker; subtracting there would strip a feature that was
+          // re-enabled after the drop from every post-checkpoint replay
+          if (!isCkptManifest) (j \ "props" \ DroppedFeatures.Key) match {
+            case org.json4s.JString(s) =>
+              val ds = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+              tableFeatures --= ds; tableWFeatures --= ds
+              tableProtocol = (tableFeatures.map(featureInt) + 1L).max
+            case _ =>
+          }
+        case _ =>
+      }
     def checkProtocol(j: JValue): Unit = {
       ((j \ "protocol") match {
         case JInt(p) => Some(p.toLong)
@@ -1655,7 +1661,7 @@ object TxLog {
         case JObject(fields) => fields.foreach { case (app, b) => txns(app) = jLong(b) }
         case _ =>
       }
-      mergeProps(j)
+      mergeProps(j, isCkptManifest = true)
     }
     val replayFrom = fromCkpt.map(_ + 1).getOrElse(0L)
     (replayFrom to target).foreach { v =>
@@ -2091,19 +2097,24 @@ object TxLog {
         case _ =>
       }
     }
-    def mergeProps(j: JValue): Unit = (j \ "props") match {
-      case JObject(fields) =>
-        fields.foreach { case (k, v) => props(k) = jStr(v) }
-        // positional DROP FEATURE subtraction — same rule as [[snapshot]]
-        (j \ "props" \ DroppedFeatures.Key) match {
-          case org.json4s.JString(s) =>
-            val ds = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
-            tableFeatures --= ds; tableWFeatures --= ds
-            tableProtocol = (tableFeatures.map(featureInt) + 1L).max
-          case _ =>
-        }
-      case _ =>
-    }
+    def mergeProps(j: JValue, isCkptManifest: Boolean = false): Unit =
+      (j \ "props") match {
+        case JObject(fields) =>
+          fields.foreach { case (k, v) => props(k) = jStr(v) }
+          // positional DROP FEATURE subtraction — same delta-commits-only
+          // rule as [[snapshot]]: a checkpoint manifest's feature lists
+          // are already net-of-drops and its cumulative props carry the
+          // marker forever, so subtracting there would strip a
+          // re-enabled feature on every post-checkpoint replay
+          if (!isCkptManifest) (j \ "props" \ DroppedFeatures.Key) match {
+            case org.json4s.JString(s) =>
+              val ds = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+              tableFeatures --= ds; tableWFeatures --= ds
+              tableProtocol = (tableFeatures.map(featureInt) + 1L).max
+            case _ =>
+          }
+        case _ =>
+      }
     var base: Option[(Long, Int)] = None
     var baseParquet = false
     val adds = scala.collection.mutable.LinkedHashMap[String, AddFile]()
@@ -2128,7 +2139,7 @@ object TxLog {
         case JObject(fields) => fields.foreach { case (app, b) => txns(app) = jLong(b) }
         case _ =>
       }
-      mergeProps(j)
+      mergeProps(j, isCkptManifest = true)
     }
     val replayFrom = fromCkpt.map(_ + 1).getOrElse(0L)
     (replayFrom to target).foreach { v =>
@@ -4289,26 +4300,37 @@ object TxLog {
     require(feature == "deletionVectors",
       s"dropFeature: '$feature' is not droppable — only deletionVectors " +
         "can be verified unused without a physical rewrite")
-    val (snap, meta) = dmlSnapshot(dir, None) // writer gate fires here
-    require(!dvEnabled(snap),
-      s"dropFeature: ${DeletionVectors.Enabled} is still true — disable it first")
-    val dvLive = meta match {
-      case Some(mm) => planFilesMeta(spark, dir, mm, a => a.dv.nonEmpty).size
-      case None => snap.files.count(_.dv.nonEmpty)
+    // full verification against a pinned version: property off AND zero
+    // live DVs. Returns the dropped-marker value computed off that head.
+    def verifyAt(): (Long, String) = {
+      val (snap, meta) = dmlSnapshot(dir, None) // writer gate fires here
+      require(!dvEnabled(snap),
+        s"dropFeature: ${DeletionVectors.Enabled} is still true — disable it first")
+      val dvLive = meta match {
+        case Some(mm) => planFilesMeta(spark, dir, mm, a => a.dv.nonEmpty).size
+        case None => snap.files.count(_.dv.nonEmpty)
+      }
+      require(dvLive == 0,
+        s"dropFeature: $dvLive live files still carry deletion vectors — " +
+          "run purgeDeletes first (dropping now would resurrect deleted rows " +
+          "for readers that skip the vectors)")
+      (snap.version,
+        (droppedFeaturesOf(snap.props) + feature).toSeq.sorted.mkString(","))
     }
-    require(dvLive == 0,
-      s"dropFeature: $dvLive live files still carry deletion vectors — " +
-        "run purgeDeletes first (dropping now would resurrect deleted rows " +
-        "for readers that skip the vectors)")
-    val dropped = (droppedFeaturesOf(snap.props) + feature).toSeq.sorted.mkString(",")
+    var (verifiedVersion, dropped) = verifyAt()
     var tries = 0
     while (tries < maxCommitAttempts) {
       val head = headState(dir)
-      // a concurrent re-enable between the verification and the publish
-      // must lose: the rebase re-checks the property on the fresh head
-      require(!head.props.get(DeletionVectors.Enabled).contains("true"),
-        s"dropFeature: ${DeletionVectors.Enabled} was re-enabled concurrently")
-      val attempt = head.version + 1
+      // a concurrent write between the verification and the publish must
+      // lose: anything landing after the verified version could be an
+      // enable → DV-creating delete → disable sequence whose net property
+      // state looks clean, so the rebase re-runs the FULL verification
+      // (property + live-DV probe) against the fresh head, not just the
+      // property check
+      if (head.version != verifiedVersion) {
+        val v = verifyAt(); verifiedVersion = v._1; dropped = v._2
+      }
+      val attempt = verifiedVersion + 1
       val content = commitJson(attempt, "dropFeature", System.currentTimeMillis(),
         Nil, Nil, None, None, Some(Map(DroppedFeatures.Key -> dropped)))
       if (tryPublish(dir, attempt, content)) {

@@ -16,7 +16,7 @@ import graft.sources.TxLog
   * neighborhood structure for ANY graph method to exploit. */
 class GraphAnnIndexSpec extends AnyFunSuite with SparkTestBase {
 
-  private val M = 6
+  private val M = 8
   private val Sf = "/root/testdata/sf0.001"
 
   private def root(name: String): String =
@@ -42,26 +42,28 @@ class GraphAnnIndexSpec extends AnyFunSuite with SparkTestBase {
     TxLog.append(spark, src, ok.where("vec_id % 10 < 8"))
     TxLog.enableRowTracking(spark, src)
     TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
-    var at = GraphAnnIndex.initialize(spark, src, idx, cents, M, rounds = 1)
+    var at = GraphAnnIndex.initialize(spark, src, idx, cents, M, rounds = 2)
 
     TxLog.update(spark, src, "vec_id % 13 = 2",
       Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
     val rUpd = GraphAnnIndex.maintain(spark, src, idx, at, M,
-      beam = 16, hops = 3, entryCount = 8); at = rUpd.srcVersion
+      beam = 32, hops = 3, entryCount = 8, cents = Some(cents)); at = rUpd.srcVersion
     assert(rUpd.rowsApplied > 0L && !rUpd.layoutOnlySkip)
 
     TxLog.optimize(spark, src)
-    val rOpt = GraphAnnIndex.maintain(spark, src, idx, at, M); at = rOpt.srcVersion
+    val rOpt = GraphAnnIndex.maintain(spark, src, idx, at, M,
+      cents = Some(cents)); at = rOpt.srcVersion
     assert(rOpt.layoutOnlySkip && rOpt.rowsApplied === 0L)
 
     TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
     TxLog.delete(spark, src, "vec_id % 7 = 3")
-    val rDel = GraphAnnIndex.maintain(spark, src, idx, at, M); at = rDel.srcVersion
+    val rDel = GraphAnnIndex.maintain(spark, src, idx, at, M,
+      cents = Some(cents)); at = rDel.srcVersion
     assert(rDel.rowsApplied > 0L)
 
     TxLog.append(spark, src, ok.where("vec_id % 10 >= 8"))
     GraphAnnIndex.maintain(spark, src, idx, at, M,
-      beam = 16, hops = 3, entryCount = 8): Unit
+      beam = 32, hops = 3, entryCount = 8, cents = Some(cents)): Unit
 
     val live = TxLog.read(spark, src).select("vec_id", "embedding")
       .localCheckpoint(true)
@@ -81,19 +83,60 @@ class GraphAnnIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(maxDeg <= M + 2, s"degree cap violated: $maxDeg")
 
     // recall: maintained within fixed slack of a full rebuild, vs truth
-    val queries = live.where("vec_id < 12")
+    // (queries one-in-nine of the live set — a dozen-query sample makes
+    // recall@3 quantized in 1/36 steps and the pins noisy)
+    val queries = live.where("vec_id % 9 = 1")
     val truth = Similarity.topK(live, queries, 3)
     val maintained = recall(GraphAnnIndex.searchTopK(spark, src, idx,
-      queries, k = 3, beam = 16, hops = 3, entryCount = 8), truth)
+      queries, k = 3, beam = 32, hops = 3, entryCount = 8), truth)
     val rebuilt = recall(GraphAnn.searchTopK(live,
-      GraphAnn.buildKnnGraph(live, cents, M, rounds = 1), queries,
-      k = 3, beam = 16, hops = 3, entryCount = 8), truth)
+      GraphAnn.buildKnnGraph(live, cents, M, rounds = 2), queries,
+      k = 3, beam = 32, hops = 3, entryCount = 8), truth)
     // deterministic corpus + deterministic build/search ⇒ these recalls
-    // are REPRODUCIBLE numbers, not statistics (0.73 / 0.87 at sf0.001)
-    assert(rebuilt >= 0.5, s"rebuilt recall $rebuilt < 0.5 — corpus unfit")
-    assert(maintained >= 0.5, s"maintained recall $maintained < 0.5 (rebuilt $rebuilt)")
-    assert(maintained >= rebuilt - 0.2,
+    // are REPRODUCIBLE numbers, not statistics. Round 16 (one-hop
+    // patch, exactly-m attach pool, no batch-internal wiring, M=6,
+    // one NN-descent round, beam 16) measured 0.73 maintained vs 0.87
+    // rebuilt on a dozen-query sample; round 17 (two-hop delete
+    // consolidation, 2m attach pool, half-capped batch-internal
+    // wiring, M=8, two rounds, beam 32) measures 0.895 maintained vs
+    // 0.908 rebuilt on the one-in-nine sample — the pins below hold
+    // that gain and the ≤0.1 gap
+    assert(rebuilt >= 0.7, s"rebuilt recall $rebuilt < 0.7 — corpus unfit")
+    assert(maintained >= 0.7, s"maintained recall $maintained < 0.7 (rebuilt $rebuilt)")
+    assert(maintained >= rebuilt - 0.1,
       s"maintained recall $maintained too far below rebuilt $rebuilt")
+  }
+
+  test("an UPDATE that changes vec_id under the same row id evicts the old node") {
+    val r = root("gannidx-rekey"); val src = s"$r/src"; val idx = s"$r/idx"
+    val ok = corpus()
+    val cents = ok.where("vec_id % 100 = 7")
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      .localCheckpoint(true)
+    TxLog.append(spark, src, ok.where("vec_id < 400"))
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+    val at = GraphAnnIndex.initialize(spark, src, idx, cents, M, rounds = 1)
+    // re-key a slice: the OLD vec_ids (x) exist only in the UPDATE
+    // preimages — post-image-only eviction would leave their edges behind
+    TxLog.update(spark, src, "vec_id % 11 = 4",
+      Map("vec_id" -> "vec_id + 100000"))
+    val res = GraphAnnIndex.maintain(spark, src, idx, at, M,
+      beam = 16, hops = 3, entryCount = 8)
+    assert(res.rowsApplied > 0L)
+    val live = TxLog.read(spark, src).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val edges = TxLog.read(spark, idx).localCheckpoint(true)
+    val liveIds = live.select(col("vec_id"))
+    // the retired ids are fully evicted and the new ids are wired in
+    assert(edges.join(liveIds, edges("src") === liveIds("vec_id"), "left_anti")
+      .count() === 0L, "edge with retired src id")
+    assert(edges.join(liveIds, edges("dst") === liveIds("vec_id"), "left_anti")
+      .count() === 0L, "edge with retired dst id")
+    val rekeyed = live.where("vec_id >= 100000").count()
+    assert(rekeyed > 0L)
+    assert(edges.where("src >= 100000").select("src").distinct().count() === rekeyed,
+      "re-keyed nodes not wired in under their new ids")
   }
 
   test("a delete-only window leaves the survivors' graph searchable") {

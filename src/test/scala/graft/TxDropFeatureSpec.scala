@@ -128,6 +128,76 @@ class TxDropFeatureSpec extends AnyFunSuite with SparkTestBase {
     assert(legacyRead(dir) === 9L)
   }
 
+  test("drop → re-enable → checkpoint → fresh replay keeps the re-stamped feature") {
+    val dir = tmp("dropfeat-reckpt")
+    TxLog.append(spark, dir, df(1L to 12L: _*))
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, dir, "id = 3")
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> ""))
+    TxLog.purgeDeletes(spark, dir)
+    TxLog.dropFeature(spark, dir, "deletionVectors")
+
+    // re-enable AFTER the drop, then let a checkpoint land on top: the
+    // manifest's cumulative props still carry the positional drop marker,
+    // but its features list states the net (re-stamped) set — a fresh
+    // replay from that checkpoint must NOT re-subtract the marker
+    TxLog.setProperties(dir, Map(TxLog.Checkpoints.Interval -> "1"))
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, dir, "id = 5") // stamps the feature post-drop, then checkpoints
+    TxLog.invalidateSnapshots(dir)     // force replay FROM the new checkpoint
+    val snap = TxLog.snapshot(dir)
+    assert(snap.features === Set("deletionVectors"),
+      "checkpoint replay stripped a feature re-enabled after a drop")
+    assert(snap.protocol === 3L) // deletionVectors' legacy int
+    // the reader gate still fires on the freshly replayed snapshot…
+    intercept[TxLog.UnsupportedProtocolException](legacyRead(dir))
+    // …and the WRITER gate still refuses a DV-ignorant writer — this is
+    // the resurrect-deleted-rows corruption the subtraction bug opened
+    val prevW = TxLog.writerCapabilities
+    TxLog.writerCapabilities = TxLog.supportedWriterFeatures - "deletionVectors"
+    try intercept[TxLog.UnsupportedWriterFeatureException](
+      TxLog.append(spark, dir, df(99L)): Unit)
+    finally TxLog.writerCapabilities = prevW
+    assert(TxLog.read(spark, dir).count() === 10L)
+  }
+
+  test("a commit race between DV verification and publish re-runs the liveness probe") {
+    val dir = tmp("dropfeat-race")
+    TxLog.append(spark, dir, df(1L to 8L: _*))
+    // the initial verification sees a clean table; a concurrent
+    // enable → DV-creating delete → disable lands BEFORE our publish —
+    // net property state looks clean at the new head, but live DVs exist
+    @volatile var sneaked = false
+    val racingStore = new graft.sources.LogStore {
+      override def putIfAbsent(target: java.nio.file.Path,
+          content: Array[Byte]): Boolean = {
+        val s = new String(content, java.nio.charset.StandardCharsets.UTF_8)
+        if (!sneaked && s.contains("\"op\":\"dropFeature\"")) {
+          sneaked = true
+          TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> "true"))
+          TxLog.delete(spark, dir, "id = 2") // merge-on-read: live DV
+          TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> ""))
+          false // the drop lost this version to the concurrent sequence
+        } else graft.sources.HardLinkLogStore.putIfAbsent(target, content)
+      }
+      override def putOverwrite(target: java.nio.file.Path,
+          content: Array[Byte]): Unit =
+        graft.sources.HardLinkLogStore.putOverwrite(target, content)
+    }
+    val prev = TxLog.logStore
+    TxLog.logStore = racingStore
+    try {
+      val e = intercept[IllegalArgumentException](
+        TxLog.dropFeature(spark, dir, "deletionVectors"))
+      assert(e.getMessage.contains("purgeDeletes"),
+        s"rebase must re-run the live-DV probe, got: ${e.getMessage}")
+    } finally TxLog.logStore = prev
+    assert(sneaked, "the race hook never fired")
+    // the feature survived the failed drop; deleted row stays deleted
+    assert(TxLog.snapshot(dir).features === Set("deletionVectors"))
+    assert(TxLog.read(spark, dir).count() === 7L)
+  }
+
   test("the raw marker and undroppable features refuse loudly") {
     val dir = tmp("dropfeat-guard")
     TxLog.append(spark, dir, df(1L, 2L))
