@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.TxLog
+import graft.sources.TxLog.{WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatchedInsert}
 
 /** INCREMENTAL k-NN graph maintenance — the FreshDiskANN discipline
   * (Singh et al. 2021, arXiv:2105.09613) re-expressed over the change
@@ -23,13 +24,18 @@ import graft.sources.TxLog
   * equality — [[IvfIndex]]/[[PqIndex]] carry the bit-exact story for
   * the tiers where it exists.
   *
-  * Every maintenance step is delta-proportional and distributed: the
-  * changed-id edge eviction is two keyed anti-join deletes, the attach
-  * searches only the batch's vectors (cost ∝ batch × beam·hops — never
-  * the corpus), and the degree re-prune touches only the nodes that
-  * gained reverse edges. Edges live in a TxLog table (src, dst,
-  * cosine); versioned, time-travelable, vacuumable like every other
-  * table. */
+  * A window's whole graph surgery — eviction of every edge touching a
+  * changed id, the delete-consolidation patch, the beam-search attach,
+  * the degree re-prune — is PLANNED against DataFrame views of the
+  * pre-window graph and applied as ONE keyed MERGE on (src, dst): the
+  * IvfIndex/RowIdView one-commit-per-window discipline, which is also
+  * what makes [[stream]]'s txn-tagged exactly-once possible (a replayed
+  * micro-batch is one skipped merge, not four half-replayed commits).
+  * Every step is delta-proportional and distributed: eviction is keyed
+  * anti-joins, the attach searches only the batch's vectors (cost ∝
+  * batch × beam·hops — never the corpus), the re-prune touches only
+  * edge-gaining nodes. Edges live in a TxLog table (src, dst, cosine);
+  * versioned, time-travelable, vacuumable like every other table. */
 object GraphAnnIndex {
 
   final case class MaintainResult(srcVersion: Long, rowsApplied: Long,
@@ -50,20 +56,165 @@ object GraphAnnIndex {
     v
   }
 
-  /** Apply the source's changes in `(fromExclusive, latest]`:
-    *  1. compute the DELETE-CONSOLIDATION patch (FreshDiskANN's repair
-    *     — without it the graph fragments and recall collapses): every
-    *     surviving in-neighbor of a departing node inherits candidate
-    *     edges to the node's surviving out-neighbors, scored exact;
-    *  2. evict every edge touching a changed id (two keyed deletes —
-    *     updates re-attach below, deletes stay gone);
-    *  3. wire each upserted vector in via beam search on the surviving
-    *     graph: its results become its out-edges, their reverses attach
-    *     it for discovery;
-    *  4. re-prune every node that gained edges (reverse attaches and
-    *     patch inheritors) to the degree cap — existing ∪ new edges,
-    *     keep top-m by cosine. Work ∝ |batch| · degree², never the
-    *     graph. */
+  /** The LAST change image per tracked row id of a feed window
+    * (update preimages excluded — they matter only for eviction keys,
+    * see [[planEdits]]). */
+  private def lastImages(feed: DataFrame, idCol: String): DataFrame = feed
+    .where(col(TxLog.ChangeTypeCol) =!= "update_preimage")
+    .withColumn("__rn", row_number().over(
+      Window.partitionBy(col(idCol)).orderBy(col("_commit_version").desc)))
+    .where(col("__rn") === 1)
+
+  /** Plan one window's edge edits against the CURRENT graph, as a
+    * single (src, dst)-keyed merge source with `__ga_act` ∈
+    * {delete, upsert}:
+    *  1. the delete-consolidation patch (FreshDiskANN's repair — without
+    *     it the graph fragments and recall collapses): every surviving
+    *     in-neighbor of a departing node inherits candidate edges to
+    *     its surviving out-neighbors, scored exact — including TWO-HOP
+    *     inheritance through a chain of departing nodes (x → t → t2 → y,
+    *     t and t2 both departing), so adjacent removals in one batch
+    *     cannot sever every path that ran through the pair;
+    *  2. eviction of every edge touching a changed id — including the
+    *     UPDATE PREIMAGES' vec_ids: an update that changes a row's
+    *     vec_id under the same tracked id retires the OLD node, whose
+    *     id appears only in the preimage;
+    *  3. the attach: each upserted vector beam-searches the SURVIVING
+    *     graph view (candidate pool 2m — the RobustPrune discipline:
+    *     wider exact-scored discoverability at the same final degree);
+    *  4. batch-internal wiring when `cents` is given: a batch's beam
+    *     searches all run against the PRE-batch graph, so new↔new
+    *     neighborhoods would never form from search results alone (the
+    *     sequential-insert property FreshDiskANN gets for free); the
+    *     bucketed builder wires the batch against itself, HALF-CAPPED
+    *     so these edges cannot crowd the old↔new bridges out of the m
+    *     slots (measured: un-capped they lower recall);
+    *  5. the degree re-prune of every edge gainer over existing ∪ new,
+    *     top-m by cosine.
+    * Work ∝ |batch| · degree², never the graph. */
+  private def planEdits(last: DataFrame, feed: DataFrame, live: DataFrame,
+      g0: Option[DataFrame], m: Int, beam: Int, hops: Int, entryCount: Int,
+      idCol: String, cents: Option[DataFrame]): DataFrame = {
+    val spark = last.sparkSession
+    val touched = last.select("vec_id")
+      .unionByName(feed.where(col(TxLog.ChangeTypeCol) === "update_preimage")
+        .select("vec_id"))
+      .distinct().localCheckpoint(true)
+    // 1. consolidation patch from the PRE-eviction graph
+    val patch: Option[DataFrame] = g0.map { g =>
+      val tid = touched
+      val inN = g.join(tid.select(col("vec_id").as("dst")), Seq("dst"))
+        .select(col("src").as("x"), col("dst").as("t"))
+        .join(tid.select(col("vec_id").as("x")), Seq("x"), "left_anti")
+      val depOut = g.join(tid.select(col("vec_id").as("src")), Seq("src"))
+        .select(col("src").as("t"), col("dst").as("y"))
+      val outSurv = depOut
+        .join(tid.select(col("vec_id").as("y")), Seq("y"), "left_anti")
+      val outDep = depOut
+        .join(tid.select(col("vec_id").as("y")), Seq("y"), "left_semi")
+      val outTwoHop = outDep.select(col("t"), col("y").as("t2"))
+        .join(outSurv.select(col("t").as("t2"), col("y")), Seq("t2"))
+        .select("t", "y")
+      val outN = outSurv.select("t", "y").unionByName(outTwoHop).distinct()
+      val pairs = inN.join(outN, Seq("t"))
+        .where(col("x") =!= col("y"))
+        .select(col("x").as("src"), col("y").as("dst")).distinct()
+      pairs
+        .join(live.select(col("vec_id").as("src"), col("embedding").as("__se")), Seq("src"))
+        .join(live.select(col("vec_id").as("dst"), col("embedding").as("__de")), Seq("dst"))
+        .selectExpr("src", "dst", "cosine_sim(__se, __de) AS cosine")
+        .localCheckpoint(true)
+    }
+    // 2. the surviving-graph VIEW (eviction applied logically; the
+    //    physical deletes ride the single merge below)
+    val gSurv: Option[DataFrame] = g0.map(
+      _.join(touched.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+        .join(touched.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+        .select("src", "dst", "cosine").localCheckpoint(true))
+    // 3. attach: search the surviving graph for each new vector's
+    //    neighborhood — batch-sized queries, never a corpus pass
+    val newVecs = last
+      .where(col(TxLog.ChangeTypeCol) =!= "delete" && validPred)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val nvOpt = if (newVecs.isEmpty) None else Some(newVecs)
+    val attach: Seq[DataFrame] = (gSurv, nvOpt) match {
+      case (Some(g), Some(nv)) =>
+        val cand = GraphAnn.searchTopK(live, g, nv,
+          k = 2 * m, beam = beam, hops = hops, entryCount = entryCount)
+          .localCheckpoint(true)
+        Seq(cand.select(col("q_id").as("src"), col("vec_id").as("dst"), col("cosine")),
+          cand.select(col("vec_id").as("src"), col("q_id").as("dst"), col("cosine")))
+      case _ => Nil
+    }
+    // 4. batch-internal wiring, half-capped (see scaladoc)
+    val batchInternal: Option[DataFrame] = (cents, nvOpt) match {
+      case (Some(c), Some(nv)) =>
+        val half = math.max(1, m / 2)
+        Some(GraphAnn.buildKnnGraph(nv, c, half, rounds = 1)
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))))
+          .where(col("__rn") <= half).drop("__rn")
+          .localCheckpoint(true))
+      case _ => None
+    }
+    // 5. degree re-prune for every edge gainer; a node can gain through
+    //    several branches in one batch, so the cap binds on the UNION
+    val fwd = attach.headOption
+    val gained = (attach.drop(1) ++ patch.toSeq ++ batchInternal.toSeq)
+      .reduceOption(_ unionByName _)
+    // (src, dst) dedup BEFORE the cap: the same logical edge can arrive
+    // from several branches at slightly different cosines (search
+    // results round to 6 dp; patch/batch edges score raw) — keep the
+    // best score so the merge source is key-unique
+    def capped(df: DataFrame): DataFrame = df
+      .groupBy("src", "dst").agg(max("cosine").as("cosine"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))))
+      .where(col("__rn") <= m).drop("__rn")
+    val empty = newVecs.select(col("vec_id").as("src"),
+      col("vec_id").as("dst"), lit(0.0).as("cosine")).limit(0)
+    val (desired, affected) = gained match {
+      case Some(extra0) =>
+        val extra = extra0.localCheckpoint(true)
+        val aff = (Seq(extra.select("src")) ++ fwd.map(_.select("src")).toSeq)
+          .reduce(_ unionByName _).distinct().localCheckpoint(true)
+        val existing = gSurv.map(_.join(aff, Seq("src"), "left_semi"))
+          .getOrElse(empty)
+        (capped(fwd.fold(existing.unionByName(extra))(
+          _ unionByName existing.unionByName(extra))).localCheckpoint(true), aff)
+      case None =>
+        (fwd.map(f => capped(f).localCheckpoint(true)).getOrElse(empty),
+          fwd.map(_.select("src").distinct()).getOrElse(empty.select("src")))
+    }
+    // merge source: deletions = evicted edges + affected srcs' surviving
+    // edges not re-stated by the re-prune; upserts = the desired state
+    // of every affected src. Upserts win key collisions (a deleted
+    // (src,dst) that the new state re-creates is just an update).
+    val dels0 = g0.map { g =>
+      g.join(touched.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+        .unionByName(
+          g.join(touched.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+            .select("src", "dst", "cosine"))
+        .unionByName(gSurv.get.join(affected, Seq("src"), "left_semi"))
+        .select("src", "dst").distinct()
+    }.getOrElse(empty.select("src", "dst"))
+    val ups = desired.withColumn("__ga_act", lit("upsert"))
+    val dels = dels0.join(ups.select("src", "dst"), Seq("src", "dst"), "left_anti")
+      .withColumn("cosine", lit(null).cast("double"))
+      .withColumn("__ga_act", lit("delete"))
+    ups.unionByName(dels.select("src", "dst", "cosine", "__ga_act"))
+  }
+
+  private val mergeClauses: Seq[TxLog.MergeClause] = Seq(
+    WhenMatchedDelete(Some("s.__ga_act = 'delete'")),
+    WhenMatchedUpdate(Some("s.__ga_act = 'upsert'"), Map("cosine" -> "s.cosine")),
+    WhenNotMatchedInsert(Some("s.__ga_act = 'upsert'"), Map(
+      "src" -> "s.src", "dst" -> "s.dst", "cosine" -> "s.cosine")))
+
+  /** Apply the source's changes in `(fromExclusive, latest]` as ONE
+    * (src, dst)-keyed merge planned by [[planEdits]]. Pass the frozen
+    * quantizer as `cents` to enable batch-internal wiring (recommended
+    * for append-heavy sources — see [[planEdits]] step 4). */
   def maintain(spark: SparkSession, srcDir: String, indexDir: String,
       fromExclusive: Long, m: Int, beam: Int = 8, hops: Int = 2,
       entryCount: Int = 4, idCol: String = "_row_id",
@@ -74,146 +225,69 @@ object GraphAnnIndex {
     if (!TxLog.hasRowChanges(srcDir, fromExclusive, to))
       return MaintainResult(to, 0L, layoutOnlySkip = true)
     val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
-    val last = feed
-      .where(col(TxLog.ChangeTypeCol) =!= "update_preimage")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("_commit_version").desc)))
-      .where(col("__rn") === 1)
-      .localCheckpoint(true)
+    val last = lastImages(feed, idCol).localCheckpoint(true)
     val applied = last.count()
     if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
-    // eviction keys must include the UPDATE preimages' vec_ids: an
-    // update that changes a row's vec_id under the same tracked id
-    // retires the OLD node, whose id appears only in the preimage —
-    // keying off post-images alone would leave its edges in the graph
-    // forever (and skip its delete-consolidation repair)
-    val touched = last.select("vec_id")
-      .unionByName(feed.where(col(TxLog.ChangeTypeCol) === "update_preimage")
-        .select("vec_id"))
-      .distinct().localCheckpoint(true)
     val live = TxLog.read(spark, srcDir, Some(to))
       .select("vec_id", "embedding").localCheckpoint(true)
-    // 1. consolidation patch from the PRE-eviction graph: surviving
-    //    in-neighbors of departing nodes inherit their out-neighbors —
-    //    including TWO-HOP inheritance through a chain of departing
-    //    nodes (x → t → t2 → y with t, t2 both departing): without the
-    //    second hop, a batch that removes adjacent nodes severs every
-    //    path that ran through the pair and recall decays with batch
-    //    size. Cost stays delta-proportional: both hops are keyed joins
-    //    whose left side is the departing set's edge lists.
-    val patch: Option[DataFrame] =
-      if (TxLog.latestVersion(indexDir) < 0) None
-      else {
-        val g = TxLog.read(spark, indexDir).select("src", "dst")
-        val tid = touched
-        val inN = g.join(tid.select(col("vec_id").as("dst")), Seq("dst"))
-          .select(col("src").as("x"), col("dst").as("t"))
-          .join(tid.select(col("vec_id").as("x")), Seq("x"), "left_anti")
-        val depOut = g.join(tid.select(col("vec_id").as("src")), Seq("src"))
-          .select(col("src").as("t"), col("dst").as("y"))
-        val outSurv = depOut
-          .join(tid.select(col("vec_id").as("y")), Seq("y"), "left_anti")
-        val outDep = depOut
-          .join(tid.select(col("vec_id").as("y")), Seq("y"), "left_semi")
-        val outTwoHop = outDep.select(col("t"), col("y").as("t2"))
-          .join(outSurv.select(col("t").as("t2"), col("y")), Seq("t2"))
-          .select("t", "y")
-        val outN = outSurv.select("t", "y").unionByName(outTwoHop).distinct()
-        val pairs = inN.join(outN, Seq("t"))
-          .where(col("x") =!= col("y"))
-          .select(col("x").as("src"), col("y").as("dst")).distinct()
-        Some(pairs
-          .join(live.select(col("vec_id").as("src"), col("embedding").as("__se")), Seq("src"))
-          .join(live.select(col("vec_id").as("dst"), col("embedding").as("__de")), Seq("dst"))
-          .selectExpr("src", "dst", "cosine_sim(__se, __de) AS cosine")
-          .localCheckpoint(true))
-      }
-    // 2. evict: changed ids leave the graph entirely (keyed anti-joins)
-    if (TxLog.latestVersion(indexDir) >= 0) {
-      TxLog.deleteKeys(spark, indexDir,
-        touched.select(col("vec_id").as("src")), "src"): Unit
-      TxLog.deleteKeys(spark, indexDir,
-        touched.select(col("vec_id").as("dst")), "dst"): Unit
-    }
-    // 3. attach: search the SURVIVING graph for each new vector's
-    //    neighborhood — batch-sized queries, never a corpus pass
-    val newVecs = last
-      .where(col(TxLog.ChangeTypeCol) =!= "delete" && validPred)
-      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
-    val graphNow =
-      if (TxLog.latestVersion(indexDir) < 0) None
+    val g0 = if (TxLog.latestVersion(indexDir) < 0) None
       else Some(TxLog.read(spark, indexDir).select("src", "dst", "cosine"))
-    val nvOpt = if (newVecs.isEmpty) None else Some(newVecs)
-    val attach: Seq[DataFrame] = (graphNow, nvOpt) match {
-      case (Some(g), Some(nv)) =>
-        // candidate pool 2m, pruned to the degree cap in step 4 — the
-        // RobustPrune discipline: a wider exact-scored pool gives the
-        // new node more reverse-edge discoverability than exactly-m
-        // results would, at the same final degree
-        val cand = GraphAnn.searchTopK(live, g, nv,
-          k = 2 * m, beam = beam, hops = hops, entryCount = entryCount)
-          .localCheckpoint(true)
-        Seq(cand.select(col("q_id").as("src"), col("vec_id").as("dst"), col("cosine")),
-          cand.select(col("vec_id").as("src"), col("q_id").as("dst"), col("cosine")))
-      case _ => Nil
-    }
-    // 3b. BATCH-INTERNAL wiring: a batch's beam searches all run
-    //     against the PRE-batch graph, so nearest-neighbor edges AMONG
-    //     the batch's own vectors — the dominant neighborhoods of an
-    //     append-heavy window — would never form from search results
-    //     alone (the sequential-insert property FreshDiskANN gets for
-    //     free and a batch system must restore). The bucketed builder
-    //     wires the batch against itself: cells + random buckets, cost
-    //     ∝ |batch|, never all-pairs.
-    val batchInternal: Option[DataFrame] = (cents, nvOpt) match {
-      case (Some(c), Some(nv)) =>
-        // capped at m/2 per src BEFORE the union: batch-internal edges
-        // supply the missing new↔new neighborhoods but must not crowd
-        // the old↔new bridge edges out of the m slots — without the
-        // half-cap the appended region turns into a well-wired island
-        // the walk cannot enter (measured: recall drops, not rises)
-        val half = math.max(1, m / 2)
-        Some(GraphAnn.buildKnnGraph(nv, c, half, rounds = 1)
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))))
-          .where(col("__rn") <= half).drop("__rn")
-          .localCheckpoint(true))
-      case _ => None
-    }
-    // 4. degree re-prune for every edge gainer (reverse attaches,
-    //    patch inheritors, batch-internal edges); forward search edges
-    //    of new nodes are already ≤ 2m and cap to m below
-    val fwd = attach.headOption
-    val gained = (attach.drop(1) ++ patch.toSeq ++ batchInternal.toSeq)
-      .reduceOption(_ unionByName _)
-    // a node can gain edges through BOTH branches in one batch (a new
-    // node is its own forward source AND a reverse/patch gainer when it
-    // surfaced as another's candidate) — the degree cap binds on the
-    // UNION, so the prune runs once over the combined per-src set
-    def capped(df: DataFrame): DataFrame = df.distinct()
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))))
-      .where(col("__rn") <= m).drop("__rn")
-    gained match {
-      case Some(extra0) =>
-        val extra = extra0.localCheckpoint(true)
-        val affected = (Seq(extra.select("src")) ++
-          fwd.map(_.select("src")).toSeq).reduce(_ unionByName _)
-          .distinct().localCheckpoint(true)
-        val existing = graphNow.map(
-            _.join(affected, Seq("src"), "left_semi"))
-          .getOrElse(extra.limit(0))
-        val desired = capped(
-          fwd.fold(existing.unionByName(extra))(
-            _ unionByName existing.unionByName(extra)))
-          .localCheckpoint(true)
-        if (TxLog.latestVersion(indexDir) >= 0)
-          TxLog.deleteKeys(spark, indexDir, affected, "src"): Unit
-        TxLog.append(spark, indexDir, desired): Unit
-      case None =>
-        fwd.foreach(f => TxLog.append(spark, indexDir, capped(f)): Unit)
+    val edits = planEdits(last, feed, live, g0, m, beam, hops, entryCount,
+      idCol, cents).localCheckpoint(true)
+    if (!edits.isEmpty) {
+      if (g0.isEmpty)
+        TxLog.append(spark, indexDir,
+          edits.where(col("__ga_act") === "upsert")
+            .select("src", "dst", "cosine")): Unit
+      else
+        TxLog.mergeClauses(spark, indexDir, edits, Seq("src", "dst"),
+          mergeClauses): Unit
     }
     MaintainResult(to, applied, layoutOnlySkip = false)
+  }
+
+  /** HANDS-FREE maintenance — the [[IvfIndex.stream]] symmetry for the
+    * graph tier: a foreachBatch consumer of the source's CDF stream
+    * applies [[planEdits]]' exact derivation per micro-batch through
+    * the txn-tagged [[TxLog.mergeClausesBatch]], so a batch replayed
+    * across a checkpoint restart is SKIPPED without staging
+    * (exactly-once — possible precisely because a window is ONE merge).
+    * Attach searches score against the source's HEAD corpus: a vector
+    * retired by a still-pending later window simply cannot be scored
+    * yet, and that window's own eviction restores the invariant when it
+    * arrives. Call after [[initialize]]; layout-only source windows
+    * arrive as EMPTY batches and commit nothing. One AvailableNow pass
+    * per call. */
+  def stream(spark: SparkSession, srcDir: String, indexDir: String,
+      ckptDir: String, initializedAt: Long, m: Int, beam: Int = 8,
+      hops: Int = 2, entryCount: Int = 4, idCol: String = "_row_id",
+      cents: Option[DataFrame] = None,
+      appId: String = "graphannindex"): Unit = {
+    val q = spark.readStream.format("txlog").option("path", srcDir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", (initializedAt + 1).toString)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val last = lastImages(batch, idCol).localCheckpoint(true)
+        if (last.count() > 0L) {
+          val live = TxLog.read(s, srcDir)
+            .select("vec_id", "embedding").localCheckpoint(true)
+          val g0 = if (TxLog.latestVersion(indexDir) < 0) None
+            else Some(TxLog.read(s, indexDir).select("src", "dst", "cosine"))
+          val edits = planEdits(last, batch, live, g0, m, beam, hops,
+            entryCount, idCol, cents).localCheckpoint(true)
+          if (!edits.isEmpty)
+            TxLog.mergeClausesBatch(s, indexDir, edits, Seq("src", "dst"),
+              mergeClauses, appId, batchId): Unit
+        }
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** Search the maintained graph — [[GraphAnn.searchTopK]] over the

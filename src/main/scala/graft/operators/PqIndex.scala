@@ -86,6 +86,21 @@ object PqIndex {
     if (!TxLog.hasRowChanges(srcDir, fromExclusive, to))
       return MaintainResult(to, 0L, layoutOnlySkip = true)
     val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
+    val changes = changesOf(feed, codebook, m, subDim, idCol).localCheckpoint(true)
+    val applied = changes.count()
+    if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
+    TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol),
+      mergeClausesFor(idCol)): Unit
+    MaintainResult(to, applied, layoutOnlySkip = false)
+  }
+
+  /** The keyed code-change set of a feed window: last image per id,
+    * upserts re-encoded against the frozen codebook (only the delta —
+    * the cost-∝-batch claim the q-entry pins), deletes and invalidated
+    * embeddings marked for removal. Shared by [[maintain]] and
+    * [[stream]] so the two consumption modes cannot diverge. */
+  private def changesOf(feed: DataFrame, codebook: DataFrame, m: Int,
+      subDim: Int, idCol: String): DataFrame = {
     val last = feed
       .where(col(TxLog.ChangeTypeCol) =!= "update_preimage")
       .withColumn("__rn", row_number().over(
@@ -99,16 +114,46 @@ object PqIndex {
       .where(col(TxLog.ChangeTypeCol) === "delete" || !validPred)
       .select(col(idCol), col("vec_id"),
         lit(null).cast("array<int>").as("codes"), lit("delete").as("__pq_act"))
-    val changes = ups.unionByName(dels).localCheckpoint(true)
-    val applied = changes.count()
-    if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
-    TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol), Seq(
-      WhenMatchedDelete(Some("s.__pq_act = 'delete'")),
-      WhenMatchedUpdate(Some("s.__pq_act = 'upsert'"), Map(
-        "vec_id" -> "s.vec_id", "codes" -> "s.codes")),
-      WhenNotMatchedInsert(Some("s.__pq_act = 'upsert'"), Map(
-        idCol -> s"s.$idCol", "vec_id" -> "s.vec_id", "codes" -> "s.codes")))): Unit
-    MaintainResult(to, applied, layoutOnlySkip = false)
+    ups.unionByName(dels)
+  }
+
+  private def mergeClausesFor(idCol: String): Seq[TxLog.MergeClause] = Seq(
+    WhenMatchedDelete(Some("s.__pq_act = 'delete'")),
+    WhenMatchedUpdate(Some("s.__pq_act = 'upsert'"), Map(
+      "vec_id" -> "s.vec_id", "codes" -> "s.codes")),
+    WhenNotMatchedInsert(Some("s.__pq_act = 'upsert'"), Map(
+      idCol -> s"s.$idCol", "vec_id" -> "s.vec_id", "codes" -> "s.codes")))
+
+  /** HANDS-FREE maintenance — the [[IvfIndex.stream]] symmetry for the
+    * PQ tier: a foreachBatch consumer of the source's CDF stream applies
+    * [[maintain]]'s exact change derivation per micro-batch through the
+    * txn-tagged [[TxLog.mergeClausesBatch]], so a batch replayed across
+    * a checkpoint restart is SKIPPED without staging (exactly-once).
+    * Call after [[initialize]] with the version it returned; layout-only
+    * source windows arrive as EMPTY batches and commit nothing. One
+    * AvailableNow pass per call. */
+  def stream(spark: SparkSession, srcDir: String, indexDir: String,
+      ckptDir: String, initializedAt: Long, codebook: DataFrame, m: Int,
+      subDim: Int, idCol: String = "_row_id",
+      appId: String = "pqindex"): Unit = {
+    val clauses = mergeClausesFor(idCol)
+    val q = spark.readStream.format("txlog").option("path", srcDir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", (initializedAt + 1).toString)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val changes = changesOf(batch, codebook, m, subDim, idCol)
+          .localCheckpoint(true)
+        if (changes.count() > 0L)
+          TxLog.mergeClausesBatch(batch.sparkSession, indexDir, changes,
+            Seq(idCol), clauses, appId, batchId): Unit
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** The code table rebuilt from scratch at the source's head — the

@@ -3258,6 +3258,19 @@ object TxQueries2 {
       val rDel = PqIndex.maintain(s, src, idx, at, cb, 4, 16); at = rDel.srcVersion
       TxLog.append(s, src, ok.where("vec_id % 10 >= 8"))
       val rApp = PqIndex.maintain(s, src, idx, at, cb, 4, 16)
+      at = rApp.srcVersion
+      // the last window arrives HANDS-FREE through PqIndex.stream (the
+      // txn-tagged foreachBatch CDF consumer): exactly one code-table
+      // commit for the window, a replayed pass commits nothing — both
+      // pinned, and the final state still diffs bit-exact vs recompute
+      TxLog.update(s, src, "vec_id % 19 = 6",
+        Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
+      val ckpt = s"$root/ckpt"
+      val vIdx0 = TxLog.latestVersion(idx)
+      PqIndex.stream(s, src, idx, ckpt, at, cb, 4, 16)
+      val streamCommits = TxLog.latestVersion(idx) - vIdx0
+      PqIndex.stream(s, src, idx, ckpt, at, cb, 4, 16)
+      val noopCommits = TxLog.latestVersion(idx) - vIdx0 - streamCommits
       val got = TxLog.read(s, idx)
         .select("_row_id", "vec_id", "codes").localCheckpoint(true)
       val want = PqIndex.recompute(s, src, cb, 4, 16)
@@ -3272,6 +3285,8 @@ object TxQueries2 {
         .withColumn("update_rows_applied", lit(rUpd.rowsApplied))
         .withColumn("delete_rows_applied", lit(rDel.rowsApplied))
         .withColumn("append_rows_applied", lit(rApp.rowsApplied))
+        .withColumn("stream_commits", lit(streamCommits))
+        .withColumn("noop_pass_commits", lit(noopCommits))
     }, {
       val d = DuckSql
       def sub(a: String, b: String) =
@@ -3291,7 +3306,12 @@ object TxQueries2 {
                        FROM base),
                surv AS (SELECT * FROM upd WHERE vec_id % 5 <> 2),
                late AS (SELECT vec_id, embedding FROM ok WHERE vec_id % 10 >= 8),
-               fin AS (SELECT * FROM surv UNION ALL SELECT * FROM late),
+               fin0 AS (SELECT * FROM surv UNION ALL SELECT * FROM late),
+               fin AS (SELECT vec_id,
+                              CASE WHEN vec_id % 19 = 6
+                                   THEN ${d.map("embedding", "x", "-x")}
+                                   ELSE embedding END AS embedding
+                       FROM fin0),
                subs AS (SELECT unnest(generate_series(0, 3)) AS s),
                dists AS (
                  SELECT f.vec_id, sub.s, c.cw_id,
@@ -3310,7 +3330,9 @@ object TxQueries2 {
                       CAST(0 AS BIGINT) AS optimize_rows_applied,
                       (SELECT count(*) FROM base WHERE vec_id % 11 = 3) AS update_rows_applied,
                       (SELECT count(*) FROM base WHERE vec_id % 5 = 2) AS delete_rows_applied,
-                      (SELECT count(*) FROM late) AS append_rows_applied
+                      (SELECT count(*) FROM late) AS append_rows_applied,
+                      CAST(1 AS BIGINT) AS stream_commits,
+                      CAST(0 AS BIGINT) AS noop_pass_commits
                FROM codes""")
     }),
 
@@ -3371,6 +3393,21 @@ object TxQueries2 {
       TxLog.append(s, src, ok.where("vec_id % 10 >= 8"))
       val rApp = GraphAnnIndex.maintain(s, src, idx, at, gM,
         beam = 32, hops = 3, entryCount = 8, cents = Some(cents))
+      at = rApp.srcVersion
+      // window 6 arrives HANDS-FREE through GraphAnnIndex.stream (the
+      // txn-tagged foreachBatch CDF consumer): exactly one graph commit
+      // for the window, and a checkpoint-restart REPLAY of the same
+      // pass commits nothing — both pinned
+      TxLog.update(s, src, "vec_id % 19 = 6",
+        Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
+      val ckpt = s"$root/ckpt"
+      val vIdx0 = TxLog.latestVersion(idx)
+      GraphAnnIndex.stream(s, src, idx, ckpt, at, gM,
+        beam = 32, hops = 3, entryCount = 8, cents = Some(cents))
+      val streamCommits = TxLog.latestVersion(idx) - vIdx0
+      GraphAnnIndex.stream(s, src, idx, ckpt, at, gM,
+        beam = 32, hops = 3, entryCount = 8, cents = Some(cents))
+      val noopCommits = TxLog.latestVersion(idx) - vIdx0 - streamCommits
       val live = TxLog.read(s, src).select("vec_id", "embedding")
         .localCheckpoint(true)
       val edges = TxLog.read(s, idx).select("src", "dst", "cosine")
@@ -3415,6 +3452,8 @@ object TxQueries2 {
         .withColumn("rekey_rows_applied", lit(rKey.rowsApplied))
         .withColumn("delete_rows_applied", lit(rDel.rowsApplied))
         .withColumn("append_rows_applied", lit(rApp.rowsApplied))
+        .withColumn("stream_commits", lit(streamCommits))
+        .withColumn("noop_pass_commits", lit(noopCommits))
     }, {
       val d = DuckSql
       def cos(a: String, b: String) =
@@ -3433,7 +3472,12 @@ object TxQueries2 {
                            FROM upd),
                surv AS (SELECT * FROM rekeyed WHERE vec_id % 7 <> 3),
                late AS (SELECT vec_id, embedding FROM ok WHERE vec_id % 10 >= 8),
-               fin AS (SELECT * FROM surv UNION ALL SELECT * FROM late),
+               fin0 AS (SELECT * FROM surv UNION ALL SELECT * FROM late),
+               fin AS (SELECT vec_id,
+                              CASE WHEN vec_id % 19 = 6
+                                   THEN ${d.map("embedding", "x", "-x")}
+                                   ELSE embedding END AS embedding
+                       FROM fin0),
                q AS (SELECT vec_id AS q_id, embedding AS q_emb
                      FROM fin WHERE vec_id % 9 = 1),
                scored AS (SELECT q.q_id, f.vec_id,
@@ -3459,7 +3503,9 @@ object TxQueries2 {
                       (SELECT count(*) FROM base WHERE vec_id % 13 = 2) AS update_rows_applied,
                       (SELECT count(*) FROM base WHERE vec_id % 17 = 5) AS rekey_rows_applied,
                       (SELECT count(*) FROM rekeyed WHERE vec_id % 7 = 3) AS delete_rows_applied,
-                      (SELECT count(*) FROM late) AS append_rows_applied
+                      (SELECT count(*) FROM late) AS append_rows_applied,
+                      CAST(1 AS BIGINT) AS stream_commits,
+                      CAST(0 AS BIGINT) AS noop_pass_commits
                FROM truth""")
     })
   )

@@ -139,6 +139,49 @@ class GraphAnnIndexSpec extends AnyFunSuite with SparkTestBase {
       "re-keyed nodes not wired in under their new ids")
   }
 
+  test("streaming maintenance: the graph follows its source, replays are no-ops") {
+    val r = root("gannidx-stream"); val src = s"$r/src"; val idx = s"$r/idx"
+    val ckpt = s"$r/ckpt"
+    val ok = corpus()
+    val cents = ok.where("vec_id % 100 = 7")
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      .localCheckpoint(true)
+    TxLog.append(spark, src, ok.where("vec_id % 10 < 8"))
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+    val at = GraphAnnIndex.initialize(spark, src, idx, cents, M, rounds = 2)
+    TxLog.update(spark, src, "vec_id % 13 = 2",
+      Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
+    TxLog.optimize(spark, src) // layout-only: empty batch, no graph commit
+    TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, src, "vec_id % 7 = 3")
+    TxLog.append(spark, src, ok.where("vec_id % 10 >= 8"))
+    GraphAnnIndex.stream(spark, src, idx, ckpt, at, M,
+      beam = 32, hops = 3, entryCount = 8, cents = Some(cents))
+    // same invariants the batch path pins: edges ⊆ live×live, appended
+    // nodes wired, degree cap
+    val live = TxLog.read(spark, src).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val edges = TxLog.read(spark, idx).localCheckpoint(true)
+    val liveIds = live.select(col("vec_id"))
+    assert(edges.join(liveIds, edges("src") === liveIds("vec_id"), "left_anti")
+      .count() === 0L, "edge with dead src")
+    assert(edges.join(liveIds, edges("dst") === liveIds("vec_id"), "left_anti")
+      .count() === 0L, "edge with dead dst")
+    val lateLive = live.where("vec_id % 10 >= 8").count()
+    assert(edges.where("src % 10 >= 8").select("src").distinct().count() === lateLive)
+    val maxDeg = edges.groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg <= M + 2, s"degree cap violated: $maxDeg")
+    // the version-2 property commit (DV enable) is row-changeless and,
+    // like the OPTIMIZE window, burns no graph commit: exactly one graph
+    // commit per DML window on top of the initialize append
+    val v = TxLog.latestVersion(idx)
+    assert(v === 3L, s"exactly one graph commit per DML window, got $v")
+    GraphAnnIndex.stream(spark, src, idx, ckpt, at, M,
+      beam = 32, hops = 3, entryCount = 8, cents = Some(cents)) // replay
+    assert(TxLog.latestVersion(idx) === v, "replayed pass must be a no-op")
+  }
+
   test("a delete-only window leaves the survivors' graph searchable") {
     val r = root("gannidx-del"); val src = s"$r/src"; val idx = s"$r/idx"
     val ok = corpus()

@@ -77,6 +77,30 @@ class PqIndexSpec extends AnyFunSuite with SparkTestBase {
       "maintained ≢ re-encoded")
   }
 
+  test("streaming maintenance: the code table follows its source, replays are no-ops") {
+    val r = root("pqstream"); val src = s"$r/src"; val idx = s"$r/idx"
+    val ckpt = s"$r/ckpt"
+    val base = vecs(0L until 300L)
+    val cb = frozenCodebook(base)
+    TxLog.append(spark, src, base)
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+    val at = PqIndex.initialize(spark, src, idx, cb, M, SubDim)
+    TxLog.update(spark, src, "vec_id % 9 = 4",
+      Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
+    TxLog.optimize(spark, src) // layout-only: empty batch, no index commit
+    TxLog.delete(spark, src, "vec_id % 6 = 1")
+    TxLog.append(spark, src, vecs(300L until 350L))
+    PqIndex.stream(spark, src, idx, ckpt, at, cb, M, SubDim)
+    assert(diff(TxLog.read(spark, idx).select("_row_id", "vec_id", "codes"),
+      PqIndex.recompute(spark, src, cb, M, SubDim)) === 0L,
+      "streamed ≢ re-encoded")
+    val v = TxLog.latestVersion(idx)
+    assert(v === 3L, "exactly one index commit per DML window")
+    PqIndex.stream(spark, src, idx, ckpt, at, cb, M, SubDim) // replay: no-op
+    assert(TxLog.latestVersion(idx) === v)
+  }
+
   test("ADC search over the maintained table ≡ pqTopK over the live corpus") {
     val r = root("pqsearch"); val src = s"$r/src"; val idx = s"$r/idx"
     val base = vecs(0L until 250L)
