@@ -48,6 +48,24 @@ object IvfIndex {
   final case class MaintainResult(srcVersion: Long, rowsApplied: Long,
       layoutOnlySkip: Boolean)
 
+  /** Property keys of the drift accumulators ([[driftReport]]) — exact
+    * integer (sum-of-bp : count) pairs, versioned/time-travelable like
+    * every other table property. */
+  object Drift {
+    val Base = "graft.ivf.drift.base" // the initialize-time corpus
+    val Last = "graft.ivf.drift.last" // the most recent maintain window
+    val Cum = "graft.ivf.drift.cum"   // all maintain windows since init
+  }
+
+  /** The staleness verdict for a FROZEN quantizer ([[driftReport]]):
+    * average assignment quality (best-cell cosine, integer basis
+    * points) of the baseline corpus vs the maintained flow, their
+    * difference, the flow size, and whether the difference exceeds the
+    * caller's band. All integers — floor semantics both engines
+    * replay. */
+  final case class DriftReport(baseAvgBp: Long, flowAvgBp: Long,
+      driftBp: Long, flowN: Long, tripped: Boolean)
+
   /** NULL-total validity: a NULL embedding must be FALSE here, not
     * NULL — [[maintain]] dispatches every change row to exactly one of
     * upsert/delete on this verdict, and a NULL would fall out of BOTH
@@ -72,8 +90,27 @@ object IvfIndex {
       .groupBy(idCol)
       .agg(first(col("vec_id")).as("vec_id"),
         min_by(col("cent_id"), ord).as("cell"),
-        first(col("embedding")).as("embedding"))
-      .select(col(idCol), col("vec_id"), col("cell"), col("embedding"))
+        first(col("embedding")).as("embedding"),
+        // assignment QUALITY in integer basis points — the drift
+        // metric's raw material, paid for by the argmax this job runs
+        // anyway (floor(10000·cos): exact-integer, DuckDB-replayable)
+        floor(max(col("c_cos")) * 10000).cast("long").as("q_bp"))
+      .select(col(idCol), col("vec_id"), col("cell"), col("embedding"),
+        col("q_bp"))
+  }
+
+  /** One (sum(q_bp), count) pair of `assigned` as "sum:n". */
+  private def bpStats(assigned: DataFrame): (Long, Long) = {
+    val r = assigned.agg(
+      coalesce(sum(col("q_bp")), lit(0L)).as("s"),
+      count(lit(1)).as("n")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def packStats(s: (Long, Long)): String = s"${s._1}:${s._2}"
+  private def unpackStats(v: Option[String]): (Long, Long) = v match {
+    case Some(x) => val p = x.split(":"); (p(0).toLong, p(1).toLong)
+    case None => (0L, 0L)
   }
 
   /** Full initial build at the source's current version — the
@@ -84,7 +121,13 @@ object IvfIndex {
     val v = TxLog.latestVersion(srcDir)
     val src = TxLog.read(spark, srcDir, Some(v)).where(validPred)
       .select(col(idCol), col("vec_id"), col("embedding"))
-    TxLog.append(spark, indexDir, assign(src, cents, idCol)): Unit
+    val assigned = assign(src, cents, idCol).localCheckpoint(true)
+    TxLog.append(spark, indexDir, assigned): Unit
+    // baseline quality of the corpus the quantizer was frozen against —
+    // the reference every later window's flow is compared to
+    TxLog.setProperties(indexDir, Map(
+      Drift.Base -> packStats(bpStats(assigned)),
+      Drift.Last -> "0:0", Drift.Cum -> "0:0")): Unit
     v
   }
 
@@ -106,7 +149,46 @@ object IvfIndex {
     if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
     TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol),
       mergeClausesFor(idCol)): Unit
+    // drift accumulation: the window's INCOMING assignment quality,
+    // from the delta this call already scored — no extra kernel runs
+    // (stream mode skips this to keep its one-commit-per-window pin;
+    // batch maintenance is where rebuild decisions live)
+    val w = bpStats(changes.where(col("__ix_act") === "upsert"))
+    if (w._2 > 0L) {
+      val cum = unpackStats(
+        TxLog.snapshot(indexDir).props.get(Drift.Cum))
+      TxLog.setProperties(indexDir, Map(
+        Drift.Last -> packStats(w),
+        Drift.Cum -> packStats((cum._1 + w._1, cum._2 + w._2)))): Unit
+    }
     MaintainResult(to, applied, layoutOnlySkip = false)
+  }
+
+  /** Is the frozen quantizer STALE for the data now arriving? Compares
+    * the maintained flow's average assignment quality (best-cell
+    * cosine, integer basis points) to the initialize-time baseline and
+    * trips when the degradation exceeds `bandBp`. Freezing is the
+    * published IVF trade (re-training = rebuild; Jégou et al. 2011
+    * re-train offline) — this is the signal that tells you WHEN that
+    * rebuild is due. O(1): reads ONLY the accumulator properties the
+    * init/maintain passes already paid for — no corpus rescan, no
+    * kernel re-runs, zero Spark jobs (the spec pins that observable).
+    * `window` = "last" (default: the most recent window — the sharp
+    * signal) or "cum" (all flow since init — the smoothed one). */
+  def driftReport(indexDir: String, bandBp: Long,
+      window: String = "last"): DriftReport = {
+    require(window == "last" || window == "cum",
+      s"driftReport: window must be last|cum, got $window")
+    val props = TxLog.snapshot(indexDir).props
+    val (bs, bn) = unpackStats(props.get(Drift.Base))
+    val (fs, fn) = unpackStats(props.get(
+      if (window == "last") Drift.Last else Drift.Cum))
+    require(bn > 0L, s"driftReport: $indexDir has no drift baseline — " +
+      "initialize() stamps it; pre-drift indexes need a rebuild to gain one")
+    val baseAvg = Math.floorDiv(bs, bn)
+    val flowAvg = if (fn == 0L) baseAvg else Math.floorDiv(fs, fn)
+    val drift = baseAvg - flowAvg
+    DriftReport(baseAvg, flowAvg, drift, fn, fn > 0L && drift > bandBp)
   }
 
   /** The keyed posting-change set of a feed window: last image per id,
@@ -128,7 +210,7 @@ object IvfIndex {
     val dels = last
       .where(col(TxLog.ChangeTypeCol) === "delete" || !validPred)
       .select(col(idCol), col("vec_id"), lit(-1L).as("cell"),
-        col("embedding"), lit("delete").as("__ix_act"))
+        col("embedding"), lit(0L).as("q_bp"), lit("delete").as("__ix_act"))
     ups.unionByName(dels)
   }
 
@@ -136,10 +218,10 @@ object IvfIndex {
     WhenMatchedDelete(Some("s.__ix_act = 'delete'")),
     WhenMatchedUpdate(Some("s.__ix_act = 'upsert'"), Map(
       "vec_id" -> "s.vec_id", "cell" -> "s.cell",
-      "embedding" -> "s.embedding")),
+      "embedding" -> "s.embedding", "q_bp" -> "s.q_bp")),
     WhenNotMatchedInsert(Some("s.__ix_act = 'upsert'"), Map(
       idCol -> s"s.$idCol", "vec_id" -> "s.vec_id", "cell" -> "s.cell",
-      "embedding" -> "s.embedding")))
+      "embedding" -> "s.embedding", "q_bp" -> "s.q_bp")))
 
   /** HANDS-FREE maintenance: the index follows its source as a
     * foreachBatch consumer of the CDF stream — [[maintain]]'s exact

@@ -35,6 +35,21 @@ object PqIndex {
   final case class MaintainResult(srcVersion: Long, rowsApplied: Long,
       layoutOnlySkip: Boolean)
 
+  /** Drift accumulator property keys — the [[IvfIndex.Drift]] pattern
+    * on the PQ tier's quality measure (total quantization distance in
+    * integer micro-units; HIGHER is worse, unlike the IVF cosine). */
+  object Drift {
+    val Base = "graft.pq.drift.base"
+    val Last = "graft.pq.drift.last"
+    val Cum = "graft.pq.drift.cum"
+  }
+
+  /** [[driftReport]]'s verdict: average quantization distance
+    * (micro-units) of the baseline corpus vs the maintained flow, the
+    * degradation (flow − base), the flow size, and the band verdict. */
+  final case class DriftReport(baseAvgUnits: Long, flowAvgUnits: Long,
+      driftUnits: Long, flowN: Long, tripped: Boolean)
+
   private def validPred = coalesce(expr(
     Similarity.validEmbExpr(graft.queries.SparkSql, "embedding")), lit(false))
 
@@ -54,12 +69,29 @@ object PqIndex {
         s"${Similarity.subL2Expr(d, "embedding", "cw_emb", subDim)} AS dist")
       .groupBy(col(idCol), col("s"))
       .agg(first(col("vec_id")).as("vec_id"),
-        min_by(col("cw_id"), struct(col("dist"), col("cw_id"))).as("code"))
+        min_by(col("cw_id"), struct(col("dist"), col("cw_id"))).as("code"),
+        min(col("dist")).as("__sdist"))
       .groupBy(idCol)
       .agg(first(col("vec_id")).as("vec_id"),
         transform(array_sort(collect_list(struct(col("s"), col("code")))),
-          c => c.getField("code")).as("codes"))
-      .select(col(idCol), col("vec_id"), col("codes"))
+          c => c.getField("code")).as("codes"),
+        // encoding QUALITY: total quantization distance in integer
+        // micro-units — the drift metric's raw material, paid for by
+        // the argmin this job runs anyway
+        floor(sum(col("__sdist")) * 1000000).cast("long").as("q_units"))
+      .select(col(idCol), col("vec_id"), col("codes"), col("q_units"))
+  }
+
+  private def unitStats(encoded: DataFrame): (Long, Long) = {
+    val r = encoded.agg(
+      coalesce(sum(col("q_units")), lit(0L)).as("s"),
+      count(lit(1)).as("n")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+  private def packStats(s: (Long, Long)): String = s"${s._1}:${s._2}"
+  private def unpackStats(v: Option[String]): (Long, Long) = v match {
+    case Some(x) => val p = x.split(":"); (p(0).toLong, p(1).toLong)
+    case None => (0L, 0L)
   }
 
   /** Full initial encode at the source's current version (the ONE
@@ -70,7 +102,12 @@ object PqIndex {
     val v = TxLog.latestVersion(srcDir)
     val src = TxLog.read(spark, srcDir, Some(v)).where(validPred)
       .select(col(idCol), col("vec_id"), col("embedding"))
-    TxLog.append(spark, indexDir, encodePacked(src, codebook, m, subDim, idCol)): Unit
+    val encoded = encodePacked(src, codebook, m, subDim, idCol)
+      .localCheckpoint(true)
+    TxLog.append(spark, indexDir, encoded): Unit
+    TxLog.setProperties(indexDir, Map(
+      Drift.Base -> packStats(unitStats(encoded)),
+      Drift.Last -> "0:0", Drift.Cum -> "0:0")): Unit
     v
   }
 
@@ -91,7 +128,38 @@ object PqIndex {
     if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
     TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol),
       mergeClausesFor(idCol)): Unit
+    // drift accumulation from the delta this call already encoded —
+    // no extra kernels (stream mode skips it: one commit per window)
+    val w = unitStats(changes.where(col("__pq_act") === "upsert"))
+    if (w._2 > 0L) {
+      val cum = unpackStats(TxLog.snapshot(indexDir).props.get(Drift.Cum))
+      TxLog.setProperties(indexDir, Map(
+        Drift.Last -> packStats(w),
+        Drift.Cum -> packStats((cum._1 + w._1, cum._2 + w._2)))): Unit
+    }
     MaintainResult(to, applied, layoutOnlySkip = false)
+  }
+
+  /** Is the frozen codebook STALE for the data now arriving? The
+    * [[IvfIndex.driftReport]] discipline on the PQ quality measure:
+    * trips when the maintained flow's average quantization distance
+    * exceeds the baseline's by more than `bandUnits` micro-units. O(1):
+    * reads only the accumulator properties — no corpus rescan, no
+    * kernel re-runs (no SparkSession in the signature). */
+  def driftReport(indexDir: String, bandUnits: Long,
+      window: String = "last"): DriftReport = {
+    require(window == "last" || window == "cum",
+      s"driftReport: window must be last|cum, got $window")
+    val props = TxLog.snapshot(indexDir).props
+    val (bs, bn) = unpackStats(props.get(Drift.Base))
+    val (fs, fn) = unpackStats(props.get(
+      if (window == "last") Drift.Last else Drift.Cum))
+    require(bn > 0L, s"driftReport: $indexDir has no drift baseline — " +
+      "initialize() stamps it; pre-drift indexes need a rebuild to gain one")
+    val baseAvg = Math.floorDiv(bs, bn)
+    val flowAvg = if (fn == 0L) baseAvg else Math.floorDiv(fs, fn)
+    val drift = flowAvg - baseAvg // distance: HIGHER is worse
+    DriftReport(baseAvg, flowAvg, drift, fn, fn > 0L && drift > bandUnits)
   }
 
   /** The keyed code-change set of a feed window: last image per id,
@@ -113,16 +181,18 @@ object PqIndex {
     val dels = last
       .where(col(TxLog.ChangeTypeCol) === "delete" || !validPred)
       .select(col(idCol), col("vec_id"),
-        lit(null).cast("array<int>").as("codes"), lit("delete").as("__pq_act"))
+        lit(null).cast("array<int>").as("codes"), lit(0L).as("q_units"),
+        lit("delete").as("__pq_act"))
     ups.unionByName(dels)
   }
 
   private def mergeClausesFor(idCol: String): Seq[TxLog.MergeClause] = Seq(
     WhenMatchedDelete(Some("s.__pq_act = 'delete'")),
     WhenMatchedUpdate(Some("s.__pq_act = 'upsert'"), Map(
-      "vec_id" -> "s.vec_id", "codes" -> "s.codes")),
+      "vec_id" -> "s.vec_id", "codes" -> "s.codes", "q_units" -> "s.q_units")),
     WhenNotMatchedInsert(Some("s.__pq_act = 'upsert'"), Map(
-      idCol -> s"s.$idCol", "vec_id" -> "s.vec_id", "codes" -> "s.codes")))
+      idCol -> s"s.$idCol", "vec_id" -> "s.vec_id", "codes" -> "s.codes",
+      "q_units" -> "s.q_units")))
 
   /** HANDS-FREE maintenance — the [[IvfIndex.stream]] symmetry for the
     * PQ tier: a foreachBatch consumer of the source's CDF stream applies

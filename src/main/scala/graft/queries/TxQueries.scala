@@ -3064,7 +3064,7 @@ object TxQueries2 {
       TxLog.append(s, src, ok.where("vec_id % 10 >= 8"))
       val rApp = IvfIndex.maintain(s, src, idx, at, cents)
       val got = TxLog.read(s, idx)
-        .select("_row_id", "vec_id", "cell", "embedding").localCheckpoint(true)
+        .select("_row_id", "vec_id", "cell", "embedding", "q_bp").localCheckpoint(true)
       val want = IvfIndex.recompute(s, src, cents)
       // equal counts + one-directional multiset containment ⟹ equality
       val matches =
@@ -3272,7 +3272,7 @@ object TxQueries2 {
       PqIndex.stream(s, src, idx, ckpt, at, cb, 4, 16)
       val noopCommits = TxLog.latestVersion(idx) - vIdx0 - streamCommits
       val got = TxLog.read(s, idx)
-        .select("_row_id", "vec_id", "codes").localCheckpoint(true)
+        .select("_row_id", "vec_id", "codes", "q_units").localCheckpoint(true)
       val want = PqIndex.recompute(s, src, cb, 4, 16)
       val matches =
         if (got.count() == want.count() && got.exceptAll(want).isEmpty) 1L else 0L
@@ -3507,6 +3507,112 @@ object TxQueries2 {
                       CAST(1 AS BIGINT) AS stream_commits,
                       CAST(0 AS BIGINT) AS noop_pass_commits
                FROM truth""")
+    }),
+
+    // q225: INDEX STALENESS / DRIFT REPORT (IvfIndex.driftReport) — the
+    // signal that tells you WHEN a frozen quantizer's rebuild is due
+    // (freezing is the published IVF trade; production systems pair it
+    // with a drift monitor). Every maintained vector's assignment
+    // quality (best-cell cosine, integer basis points) is accumulated
+    // into index-table PROPERTIES by the init/maintain passes that
+    // scored it anyway, so the report is an O(1) driver-side property
+    // read — no corpus rescan, no kernel re-runs (its signature takes
+    // no SparkSession). Pinned into the hash: the baseline average, a
+    // SAME-DISTRIBUTION window's flow average and non-trip, a
+    // DELIBERATELY DRIFTED window's collapsed flow average and trip —
+    // with the DuckDB oracle replaying the full accumulator arithmetic
+    // (argmax-cosine per vector, floor(10000·cos), exact integer sums,
+    // floor-division averages, the band comparisons) from the raw
+    // corpus, so a drift regression fails the ORACLE, not a spec.
+    QuerySpec("q225_index_drift", { (s, dir) =>
+      import graft.operators.{IvfIndex, Similarity}
+      val root = graft.Scratch.dir("graft-q225").toString
+      val src = s"$root/src"; val idx = s"$root/idx"
+      val band = 2000L
+      val ok = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+        .where(expr(Similarity.validEmbExpr(SparkSql, "embedding")))
+        .localCheckpoint(true)
+      val cents = ok.where("vec_id % 100 = 7").localCheckpoint(true)
+      // the corpus the quantizer serves WELL: every vector sits ON its
+      // block's anchor (the cent) — baseline quality ≈ 10000 bp. The
+      // real embeddings table's every-100th-vector quantizer explains
+      // too little variance for ANY flow to score much worse than its
+      // own baseline (measured: no simple transform trips), so the
+      // scenario models the case the drift monitor exists for: a
+      // well-fit quantizer meeting an off-distribution ingest window
+      def anchored(rows: org.apache.spark.sql.DataFrame) = rows
+        .withColumn("__aid", col("vec_id") - col("vec_id") % 100 + 7)
+        .join(cents.select(col("vec_id").as("__aid"),
+          col("embedding").as("__aemb")), Seq("__aid"))
+        .select(col("vec_id"), col("__aemb").as("embedding"))
+      TxLog.append(s, src, anchored(ok.where("vec_id % 2 = 0")))
+      TxLog.enableRowTracking(s, src)
+      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+      var at = IvfIndex.initialize(s, src, idx, cents)
+      // window A: the same (anchored) distribution — the signal stays quiet
+      TxLog.append(s, src, anchored(ok.where("vec_id % 2 = 1")))
+      val rA = IvfIndex.maintain(s, src, idx, at, cents); at = rA.srcVersion
+      val fresh = IvfIndex.driftReport(idx, band)
+      // window B: RAW unclustered vectors — the distribution shift the
+      // frozen quantizer cannot serve; the per-window signal must trip
+      TxLog.append(s, src, ok.where("vec_id % 3 = 1")
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val rB = IvfIndex.maintain(s, src, idx, at, cents)
+      val drifted = IvfIndex.driftReport(idx, band)
+      val cum = IvfIndex.driftReport(idx, band, window = "cum")
+      s.range(1).select(
+        lit(fresh.baseAvgBp).as("base_avg_bp"),
+        lit(fresh.flowAvgBp).as("fresh_avg_bp"),
+        lit(fresh.driftBp).as("fresh_drift_bp"),
+        lit(if (fresh.tripped) 1L else 0L).as("fresh_tripped"),
+        lit(fresh.flowN).as("fresh_n"),
+        lit(drifted.flowAvgBp).as("drifted_avg_bp"),
+        lit(drifted.driftBp).as("drifted_drift_bp"),
+        lit(if (drifted.tripped) 1L else 0L).as("drifted_tripped"),
+        lit(drifted.flowN).as("drifted_n"),
+        lit(cum.flowN).as("cum_n"))
+    }, {
+      val d = DuckSql
+      def cos(a: String, b: String) =
+        s"${d.dsum(d.zipMul(a, b))} / (sqrt(${d.dsum(d.zipMul(a, a))}) * sqrt(${d.dsum(d.zipMul(b, b))}))"
+      val vOK = graft.operators.Similarity.validEmbExpr(d, "embedding")
+      Some(s"""WITH ok AS (SELECT vec_id, embedding FROM embeddings WHERE $vOK),
+               cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                         FROM ok WHERE vec_id % 100 = 7),
+               anch AS (SELECT o.vec_id, c.cent_emb AS embedding
+                        FROM ok o JOIN cents c
+                          ON c.cent_id = o.vec_id - o.vec_id % 100 + 7),
+               base AS (SELECT vec_id, embedding FROM anch WHERE vec_id % 2 = 0),
+               freshw AS (SELECT vec_id, embedding FROM anch WHERE vec_id % 2 = 1),
+               driftw AS (SELECT vec_id, embedding FROM ok WHERE vec_id % 3 = 1),
+               bbp AS (SELECT b.vec_id,
+                              CAST(floor(10000 * max(${cos("b.embedding", "c.cent_emb")})) AS BIGINT) AS bp
+                       FROM base b CROSS JOIN cents c GROUP BY b.vec_id),
+               fbp AS (SELECT f.vec_id,
+                              CAST(floor(10000 * max(${cos("f.embedding", "c.cent_emb")})) AS BIGINT) AS bp
+                       FROM freshw f CROSS JOIN cents c GROUP BY f.vec_id),
+               dbp AS (SELECT w.vec_id,
+                              CAST(floor(10000 * max(${cos("w.embedding", "c.cent_emb")})) AS BIGINT) AS bp
+                       FROM driftw w CROSS JOIN cents c GROUP BY w.vec_id),
+               avgs AS (SELECT
+                 (SELECT CAST(sum(bp) AS BIGINT) // count(*) FROM bbp) AS base_avg,
+                 (SELECT CAST(sum(bp) AS BIGINT) // count(*) FROM fbp) AS fresh_avg,
+                 (SELECT CAST(sum(bp) AS BIGINT) // count(*) FROM dbp) AS drift_avg,
+                 (SELECT count(*) FROM fbp) AS fresh_n,
+                 (SELECT count(*) FROM dbp) AS drift_n)
+               SELECT base_avg AS base_avg_bp,
+                      fresh_avg AS fresh_avg_bp,
+                      base_avg - fresh_avg AS fresh_drift_bp,
+                      CASE WHEN base_avg - fresh_avg > 2000 THEN CAST(1 AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END AS fresh_tripped,
+                      fresh_n,
+                      drift_avg AS drifted_avg_bp,
+                      base_avg - drift_avg AS drifted_drift_bp,
+                      CASE WHEN base_avg - drift_avg > 2000 THEN CAST(1 AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END AS drifted_tripped,
+                      drift_n AS drifted_n,
+                      fresh_n + drift_n AS cum_n
+               FROM avgs""")
     })
   )
 }

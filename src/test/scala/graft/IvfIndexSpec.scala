@@ -69,7 +69,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(rApp.rowsApplied === 200L)
 
     val got = TxLog.read(spark, idx)
-      .select("_row_id", "vec_id", "cell", "embedding")
+      .select("_row_id", "vec_id", "cell", "embedding", "q_bp")
     val want = IvfIndex.recompute(spark, src, cents)
     assert(diff(got, want) === 0L, "maintained ≢ rebuilt")
     // sanity: the update really moved cells (the window wasn't a no-op)
@@ -97,8 +97,53 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     val res = IvfIndex.maintain(spark, src, idx, at, cents)
     assert(res.rowsApplied === 5L)
     assert(TxLog.read(spark, idx).count() === 45L)
-    assert(diff(TxLog.read(spark, idx).select("_row_id", "vec_id", "cell", "embedding"),
+    assert(diff(TxLog.read(spark, idx).select("_row_id", "vec_id", "cell", "embedding", "q_bp"),
       IvfIndex.recompute(spark, src, cents)) === 0L)
+  }
+
+  test("driftReport: delta-accumulated staleness signal trips on drifted flow only") {
+    val r = root("ivfdrift"); val src = s"$r/src"; val idx = s"$r/idx"
+    val cents = vecs((0L until 25L).map(_ * 11L)).localCheckpoint(true)
+    TxLog.append(spark, src, vecs(0L until 300L))
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+    var at = IvfIndex.initialize(spark, src, idx, cents)
+    // a pre-flow report: no maintained vectors yet, nothing to trip
+    val r0 = IvfIndex.driftReport(idx, bandBp = 500)
+    assert(r0.flowN === 0L && !r0.tripped && r0.driftBp === 0L)
+
+    // FRESH window: the same generator — the flow matches the frozen
+    // quantizer as well as the baseline corpus did; no trip
+    TxLog.append(spark, src, vecs(300L until 360L))
+    val rA = IvfIndex.maintain(spark, src, idx, at, cents); at = rA.srcVersion
+    val fresh = IvfIndex.driftReport(idx, bandBp = 500)
+    assert(fresh.flowN === 60L)
+    assert(!fresh.tripped,
+      s"same-distribution flow tripped: drift ${fresh.driftBp} bp")
+
+    // DRIFTED window: negated embeddings — best-cell cosine collapses,
+    // the per-window ("last") signal must trip the band
+    TxLog.update(spark, src, "vec_id % 4 = 1",
+      Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
+    val rB = IvfIndex.maintain(spark, src, idx, at, cents); at = rB.srcVersion
+    val drifted = IvfIndex.driftReport(idx, bandBp = 500)
+    assert(drifted.flowN === rB.rowsApplied)
+    assert(drifted.tripped,
+      s"drifted flow did not trip: base ${drifted.baseAvgBp} flow ${drifted.flowAvgBp}")
+    assert(drifted.flowAvgBp < fresh.flowAvgBp)
+
+    // the cumulative window smooths across both flows and counts all of
+    // them; the report itself reads ONLY the accumulator properties —
+    // no corpus rescan, no kernels (driftReport's signature takes no
+    // SparkSession: it is a driver-side property read by construction)
+    val cum = IvfIndex.driftReport(idx, bandBp = 500, window = "cum")
+    assert(cum.flowN === 60L + rB.rowsApplied)
+    assert(cum.flowAvgBp > drifted.flowAvgBp && cum.flowAvgBp < fresh.flowAvgBp)
+
+    // a recovered window (fresh data again) clears the per-window signal
+    TxLog.append(spark, src, vecs(360L until 420L))
+    IvfIndex.maintain(spark, src, idx, at, cents): Unit
+    assert(!IvfIndex.driftReport(idx, bandBp = 500).tripped)
   }
 
   test("streaming maintenance: the index follows its source, replays are no-ops") {
@@ -109,16 +154,17 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     TxLog.enableRowTracking(spark, src)
     TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
     val at = IvfIndex.initialize(spark, src, idx, cents)
+    val vInit = TxLog.latestVersion(idx) // append + drift-baseline props
     TxLog.update(spark, src, "vec_id % 9 = 4",
       Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
     TxLog.optimize(spark, src) // layout-only: empty batch, no index commit
     TxLog.delete(spark, src, "vec_id % 6 = 1")
     TxLog.append(spark, src, vecs(400L until 450L))
     IvfIndex.stream(spark, src, idx, ckpt, at, cents)
-    assert(diff(TxLog.read(spark, idx).select("_row_id", "vec_id", "cell", "embedding"),
+    assert(diff(TxLog.read(spark, idx).select("_row_id", "vec_id", "cell", "embedding", "q_bp"),
       IvfIndex.recompute(spark, src, cents)) === 0L)
     val v = TxLog.latestVersion(idx)
-    assert(v === 3L, "exactly one index commit per DML window")
+    assert(v - vInit === 3L, "exactly one index commit per DML window")
     IvfIndex.stream(spark, src, idx, ckpt, at, cents) // replay: no-op
     assert(TxLog.latestVersion(idx) === v)
   }

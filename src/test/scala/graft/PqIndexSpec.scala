@@ -72,7 +72,7 @@ class PqIndexSpec extends AnyFunSuite with SparkTestBase {
     val rApp = PqIndex.maintain(spark, src, idx, at, cb, M, SubDim)
     assert(rApp.rowsApplied === 62L) // 60 inserts + 2 poisoned drops
 
-    assert(diff(TxLog.read(spark, idx).select("_row_id", "vec_id", "codes"),
+    assert(diff(TxLog.read(spark, idx).select("_row_id", "vec_id", "codes", "q_units"),
       PqIndex.recompute(spark, src, cb, M, SubDim)) === 0L,
       "maintained ≢ re-encoded")
   }
@@ -86,19 +86,51 @@ class PqIndexSpec extends AnyFunSuite with SparkTestBase {
     TxLog.enableRowTracking(spark, src)
     TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
     val at = PqIndex.initialize(spark, src, idx, cb, M, SubDim)
+    val vInit = TxLog.latestVersion(idx) // append + drift-baseline props
     TxLog.update(spark, src, "vec_id % 9 = 4",
       Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
     TxLog.optimize(spark, src) // layout-only: empty batch, no index commit
     TxLog.delete(spark, src, "vec_id % 6 = 1")
     TxLog.append(spark, src, vecs(300L until 350L))
     PqIndex.stream(spark, src, idx, ckpt, at, cb, M, SubDim)
-    assert(diff(TxLog.read(spark, idx).select("_row_id", "vec_id", "codes"),
+    assert(diff(TxLog.read(spark, idx).select("_row_id", "vec_id", "codes", "q_units"),
       PqIndex.recompute(spark, src, cb, M, SubDim)) === 0L,
       "streamed ≢ re-encoded")
     val v = TxLog.latestVersion(idx)
-    assert(v === 3L, "exactly one index commit per DML window")
+    assert(v - vInit === 3L, "exactly one index commit per DML window")
     PqIndex.stream(spark, src, idx, ckpt, at, cb, M, SubDim) // replay: no-op
     assert(TxLog.latestVersion(idx) === v)
+  }
+
+  test("driftReport: delta-accumulated staleness signal trips on drifted flow only") {
+    val r = root("pqdrift"); val src = s"$r/src"; val idx = s"$r/idx"
+    val base = vecs(0L until 300L)
+    val cb = frozenCodebook(base)
+    TxLog.append(spark, src, base)
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+    var at = PqIndex.initialize(spark, src, idx, cb, M, SubDim)
+    val r0 = PqIndex.driftReport(idx, bandUnits = 500000)
+    assert(r0.flowN === 0L && !r0.tripped && r0.driftUnits === 0L)
+    // FRESH flow: same generator — quantization distance holds the band
+    TxLog.append(spark, src, vecs(300L until 360L))
+    val rA = PqIndex.maintain(spark, src, idx, at, cb, M, SubDim); at = rA.srcVersion
+    val fresh = PqIndex.driftReport(idx, bandUnits = 500000)
+    assert(fresh.flowN === 60L && !fresh.tripped,
+      s"same-distribution flow tripped: drift ${fresh.driftUnits}")
+    // DRIFTED flow: scaled embeddings — L2 distance to every codeword
+    // grows (cosine would NOT see a pure scale-up; subL2 does)
+    TxLog.update(spark, src, "vec_id % 4 = 1",
+      Map("embedding" -> "transform(embedding, x -> CAST(x * 7 AS FLOAT))"))
+    val rB = PqIndex.maintain(spark, src, idx, at, cb, M, SubDim)
+    val drifted = PqIndex.driftReport(idx, bandUnits = 500000)
+    assert(drifted.flowN === rB.rowsApplied)
+    assert(drifted.tripped,
+      s"drifted flow did not trip: base ${drifted.baseAvgUnits} flow ${drifted.flowAvgUnits}")
+    // cumulative smooths; the report is a property read by construction
+    val cum = PqIndex.driftReport(idx, bandUnits = 500000, window = "cum")
+    assert(cum.flowN === 60L + rB.rowsApplied)
+    assert(cum.flowAvgUnits < drifted.flowAvgUnits)
   }
 
   test("ADC search over the maintained table ≡ pqTopK over the live corpus") {
