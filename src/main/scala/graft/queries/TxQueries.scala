@@ -2735,9 +2735,16 @@ object TxQueries2 {
       val nat = Td.load(s, dir, "nation")
         .select("n_nationkey", "n_name").localCheckpoint(true)
       TxLog.append(s, t, nat)
+      TxLog.enableRowTracking(s, t) // writer-only feature joins the set
       TxLog.setProperties(t, Map(TxLog.DeletionVectors.Enabled -> "true"))
       TxLog.delete(s, t, "n_nationkey = 0")
-      val feats = TxLog.snapshot(t).features.toSeq.sorted.mkString(",")
+      // the SHOW surface: feature NAMES and protocol through the SQL
+      // procedure, not the Scala snapshot — `CALL cat.table_features`
+      val cat = "graftq210"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.TxCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val fr = s.sql(s"CALL $cat.table_features('nat')").head()
+      val (proto, feats, wfeats) = (fr.getLong(0), fr.getString(1), fr.getString(2))
       // a future engine's table: refusal must NAME the feature
       val alien = s"$root/alien/t"
       java.nio.file.Files.createDirectories(
@@ -2757,10 +2764,14 @@ object TxQueries2 {
         count(lit(1)).as("n_live"),
         sum(col("n_nationkey")).as("sum_key"))
         .withColumn("features", lit(feats))
+        .withColumn("wfeatures", lit(wfeats))
+        .withColumn("protocol", lit(proto))
         .withColumn("refused", lit(refused))
     },
       Some("""SELECT count(*) AS n_live, CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
-                     'deletionVectors' AS features, CAST(1 AS INT) AS refused
+                     'deletionVectors' AS features,
+                     'deletionVectors,identityColumns,rowTracking' AS wfeatures,
+                     CAST(3 AS BIGINT) AS protocol, CAST(1 AS INT) AS refused
               FROM nation WHERE n_nationkey <> 0""")),
 
     // q213: ROW TRACKING — stable row ids surviving layout churn and

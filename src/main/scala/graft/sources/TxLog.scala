@@ -4289,31 +4289,53 @@ object TxLog {
     * later simply re-stamps: the drop marker is positional, so features
     * stamped AFTER it re-require as usual.
     *
-    * Only `deletionVectors` is droppable today: column mapping would
+    * Droppable today: `deletionVectors` (reader+writer; verified by
+    * property-off + zero live DVs) and `identityColumns` (writer-only;
+    * verified by zero live identity specs — readers never gate on
+    * writer features, so for this one the marker subtraction alone
+    * un-gates a legacy WRITER and truncation is belt-and-braces rather
+    * than load-bearing). Column mapping would
     * need physical renames and type widening a narrowing rewrite —
     * both are rewrites this engine does not verify, so it refuses
     * rather than un-gating a table that still needs the capability. */
   def dropFeature(spark: SparkSession, dir: String, feature: String,
       truncateHistory: Boolean = true): Long = {
-    require(supportedFeatures.contains(feature),
+    require(supportedFeatures.contains(feature) ||
+        supportedWriterFeatures.contains(feature),
       s"dropFeature: unknown table feature '$feature'")
-    require(feature == "deletionVectors",
+    require(feature == "deletionVectors" || feature == "identityColumns",
       s"dropFeature: '$feature' is not droppable — only deletionVectors " +
-        "can be verified unused without a physical rewrite")
-    // full verification against a pinned version: property off AND zero
-    // live DVs. Returns the dropped-marker value computed off that head.
+        "(reader+writer) and identityColumns (writer-only) can be verified " +
+        "unused without a physical rewrite")
+    // full verification against a pinned version — per feature, the
+    // check that nothing a feature-ignorant writer could corrupt is
+    // still live. Returns the dropped-marker value off that head.
     def verifyAt(): (Long, String) = {
       val (snap, meta) = dmlSnapshot(dir, None) // writer gate fires here
-      require(!dvEnabled(snap),
-        s"dropFeature: ${DeletionVectors.Enabled} is still true — disable it first")
-      val dvLive = meta match {
-        case Some(mm) => planFilesMeta(spark, dir, mm, a => a.dv.nonEmpty).size
-        case None => snap.files.count(_.dv.nonEmpty)
+      feature match {
+        case "deletionVectors" =>
+          require(!dvEnabled(snap),
+            s"dropFeature: ${DeletionVectors.Enabled} is still true — disable it first")
+          val dvLive = meta match {
+            case Some(mm) => planFilesMeta(spark, dir, mm, a => a.dv.nonEmpty).size
+            case None => snap.files.count(_.dv.nonEmpty)
+          }
+          require(dvLive == 0,
+            s"dropFeature: $dvLive live files still carry deletion vectors — " +
+              "run purgeDeletes first (dropping now would resurrect deleted rows " +
+              "for readers that skip the vectors)")
+        case "identityColumns" =>
+          // writer-only feature: verified-unused = no live identity
+          // column spec (un-gating while one lives would let an
+          // identity-ignorant writer append rows without allocated
+          // ids, silently breaking the uniqueness every consumer of
+          // the column assumes). Stale high-water marks are inert
+          // without a spec and need not block the drop.
+          val specs = identityColsOf(snap.props)
+          require(specs.isEmpty,
+            s"dropFeature: identity column spec(s) ${specs.keys.toList.sorted.mkString(", ")} " +
+              "still live — tombstone them (setProperties to empty) first")
       }
-      require(dvLive == 0,
-        s"dropFeature: $dvLive live files still carry deletion vectors — " +
-          "run purgeDeletes first (dropping now would resurrect deleted rows " +
-          "for readers that skip the vectors)")
       (snap.version,
         (droppedFeaturesOf(snap.props) + feature).toSeq.sorted.mkString(","))
     }

@@ -121,6 +121,17 @@ private[sources] object TxProcedures {
           truncateHistory = in.getBoolean(2))
         Seq(new GenericInternalRow(Array[Any](v)))
       }),
+    Proc("table_features",
+      Array(p("table", StringType)),
+      StructType(Seq(StructField("protocol", LongType),
+        StructField("features", StringType),
+        StructField("wfeatures", StringType))),
+      (root, in) => {
+        val snap = TxLog.snapshot(dirOf(root, in.getUTF8String(0).toString))
+        Seq(new GenericInternalRow(Array[Any](snap.protocol,
+          utf8(snap.features.toSeq.sorted.mkString(",")),
+          utf8(snap.wfeatures.toSeq.sorted.mkString(",")))))
+      }),
     Proc("history",
       Array(p("table", StringType)),
       StructType(Seq(StructField("version", LongType),

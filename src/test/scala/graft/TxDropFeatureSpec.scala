@@ -198,6 +198,44 @@ class TxDropFeatureSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.read(spark, dir).count() === 7L)
   }
 
+  test("a writer-ONLY feature drops symmetrically: identityColumns") {
+    import spark.implicits._
+    val dir = tmp("dropfeat-wonly")
+    TxLog.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    TxLog.addIdentityColumn(spark, dir, "id")
+    assert(TxLog.snapshot(dir).wfeatures.contains("identityColumns"))
+    val prevW = TxLog.writerCapabilities
+    // an identity-ignorant writer refuses while the spec lives…
+    TxLog.writerCapabilities = TxLog.supportedWriterFeatures - "identityColumns"
+    try intercept[TxLog.UnsupportedWriterFeatureException](
+      TxLog.append(spark, dir, Seq((9L, "z")).toDF("id", "s")): Unit)
+    finally TxLog.writerCapabilities = prevW
+    // …and the drop refuses while the spec lives (un-gating now would
+    // let that writer append rows without allocated ids)
+    assert(intercept[IllegalArgumentException](
+      TxLog.dropFeature(spark, dir, "identityColumns"))
+      .getMessage.contains("still live"))
+    // tombstone the spec, then drop WITHOUT truncation: writer features
+    // never gate replay (readers don't check them), so the positional
+    // marker alone un-gates a legacy writer — symmetric to the
+    // reader-feature path where truncation is load-bearing
+    TxLog.setProperties(dir, Map(TxLog.Identity.Prefix + "id" -> ""))
+    TxLog.dropFeature(spark, dir, "identityColumns", truncateHistory = false)
+    val snap = TxLog.snapshot(dir)
+    assert(!snap.wfeatures.contains("identityColumns"))
+    TxLog.writerCapabilities = TxLog.supportedWriterFeatures - "identityColumns"
+    try assert(TxLog.append(spark, dir, Seq((9L, "z")).toDF("id", "s")) > 0L)
+    finally TxLog.writerCapabilities = prevW
+    assert(TxLog.read(spark, dir).count() === 3L)
+    // re-enabling re-stamps and re-gates, the positional rule
+    TxLog.addIdentityColumn(spark, dir, "id")
+    assert(TxLog.snapshot(dir).wfeatures.contains("identityColumns"))
+    TxLog.writerCapabilities = TxLog.supportedWriterFeatures - "identityColumns"
+    try intercept[TxLog.UnsupportedWriterFeatureException](
+      TxLog.append(spark, dir, Seq((12L, "y")).toDF("id", "s")): Unit)
+    finally TxLog.writerCapabilities = prevW
+  }
+
   test("the raw marker and undroppable features refuse loudly") {
     val dir = tmp("dropfeat-guard")
     TxLog.append(spark, dir, df(1L, 2L))
