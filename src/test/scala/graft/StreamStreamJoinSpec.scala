@@ -42,4 +42,31 @@ class StreamStreamJoinSpec extends AnyFunSuite with SparkTestBase {
       assert(rows === Set((1L, 10L)))
     } finally q.stop()
   }
+
+  test("FULL-BAND attribution join ≡ the batch self-join (state-eviction coverage)") {
+    // q147 runs one user band in the bench (the sanctioned weight trim);
+    // this keeps the HEAVY path — all users, ~4× the retained join
+    // state and pair volume — under test: a state-eviction bug drops
+    // pairs, a bound bug invents them, and either breaks the
+    // set-equality against the batch join, which has no streaming state
+    // at all
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingOps
+      .clickPurchaseAttribution(spark, sf) // default userFilter: ALL users
+      .select("click_id", "purchase_id")
+    val ev = Td.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "ts")
+    val clicks = ev.where("event_type = 'click'")
+      .selectExpr("event_id AS click_id", "user_id", "ts AS click_ts")
+    val purchases = ev.where("event_type = 'purchase'")
+      .selectExpr("event_id AS purchase_id", "user_id AS p_user", "ts AS purchase_ts")
+    val batch = clicks.join(purchases, expr(
+      """user_id = p_user
+         AND purchase_ts >= click_ts
+         AND purchase_ts <= click_ts + INTERVAL 24 HOURS"""))
+      .select("click_id", "purchase_id")
+    assert(streamed.exceptAll(batch).count() === 0L, "streamed invented pairs")
+    assert(batch.exceptAll(streamed).count() === 0L, "streamed dropped pairs")
+    assert(batch.count() > 0L, "empty join would vacuously pass")
+  }
 }
