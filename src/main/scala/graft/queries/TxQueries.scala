@@ -3055,7 +3055,12 @@ object TxQueries2 {
       import graft.operators.{IvfIndex, Similarity}
       val root = graft.Scratch.dir("graft-q219").toString
       val src = s"$root/src"; val idx = s"$root/idx"
+      // corpus capped at 600 ids — the sanctioned bench-weight trim
+      // (q214 precedent; the r16 ledger queued this exact cut): a no-op
+      // at the gate SFs (500 ids), it bounds the bench SF's corpus so
+      // the protocol shape, not corpus size, carries the query's weight
       val ok = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+        .where("vec_id < 600")
         .where(expr(Similarity.validEmbExpr(SparkSql, "embedding")))
         .localCheckpoint(true)
       val cents = ok.where("vec_id % 100 = 7").localCheckpoint(true)
@@ -3094,7 +3099,8 @@ object TxQueries2 {
       def cos(a: String, b: String) =
         s"${d.dsum(d.zipMul(a, b))} / (sqrt(${d.dsum(d.zipMul(a, a))}) * sqrt(${d.dsum(d.zipMul(b, b))}))"
       val vOK = graft.operators.Similarity.validEmbExpr(d, "embedding")
-      Some(s"""WITH ok AS (SELECT vec_id, embedding FROM embeddings WHERE $vOK),
+      Some(s"""WITH ok AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 600 AND $vOK),
                cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
                          FROM ok WHERE vec_id % 100 = 7),
                base AS (SELECT vec_id, embedding FROM ok WHERE vec_id % 10 < 8),
@@ -3246,7 +3252,12 @@ object TxQueries2 {
       import graft.operators.{PqIndex, Similarity}
       val root = graft.Scratch.dir("graft-q223").toString
       val src = s"$root/src"; val idx = s"$root/idx"
+      // corpus capped at 600 ids — the sanctioned bench-weight trim
+      // (q214 precedent; the r16 ledger queued this exact cut): a no-op
+      // at the gate SFs (500 ids), it bounds the bench SF's corpus so
+      // the protocol shape, not corpus size, carries the query's weight
       val ok = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+        .where("vec_id < 600")
         .where(expr(Similarity.validEmbExpr(SparkSql, "embedding")))
         .localCheckpoint(true)
       val cbPlan = Similarity.pqCodebook(ok,
@@ -3303,7 +3314,8 @@ object TxQueries2 {
       def sub(a: String, b: String) =
         graft.operators.Similarity.subL2Expr(d, a, b, 16)
       val vOK = graft.operators.Similarity.validEmbExpr(d, "embedding")
-      Some(s"""WITH ok AS (SELECT vec_id, embedding FROM embeddings WHERE $vOK),
+      Some(s"""WITH ok AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 600 AND $vOK),
                cb AS (SELECT cw_id, cw_emb FROM (
                         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw_id,
                                embedding AS cw_emb
@@ -3374,7 +3386,12 @@ object TxQueries2 {
       val root = graft.Scratch.dir("graft-q224").toString
       val src = s"$root/src"; val idx = s"$root/idx"
       val gM = 8
+      // corpus capped at 600 ids — the sanctioned bench-weight trim
+      // (q214 precedent; the r16 ledger queued this exact cut): a no-op
+      // at the gate SFs (500 ids), it bounds the bench SF's corpus so
+      // the protocol shape, not corpus size, carries the query's weight
       val ok = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+        .where("vec_id < 600")
         .where(expr(Similarity.validEmbExpr(SparkSql, "embedding")))
         .localCheckpoint(true)
       val cents = ok.where("vec_id % 100 = 7")
@@ -3384,19 +3401,23 @@ object TxQueries2 {
         ok.where(s"vec_id % 10 < 8 AND vec_id % 3 = $b").coalesce(1)))
       TxLog.enableRowTracking(s, src)
       TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
-      var at = GraphAnnIndex.initialize(s, src, idx, cents, gM, rounds = 2)
-      TxLog.update(s, src, "vec_id % 13 = 2",
-        Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
+      var at = GraphAnnIndex.initialize(s, src, idx, cents, gM, rounds = 1)
+      // ONE update window carries both update behaviors (the sanctioned
+      // weight shape — every behavior kept, one fewer window): an
+      // embedding MOVE (vec_id % 13 = 2 flips sign) and a RE-KEY under
+      // the same tracked row id (vec_id % 17 = 5 gets +100000) — the
+      // re-keyed id retires through the UPDATE PREIMAGE, which is
+      // exactly what post-image-only eviction would miss
+      TxLog.update(s, src, "vec_id % 13 = 2 OR vec_id % 17 = 5", Map(
+        "embedding" -> ("CASE WHEN vec_id % 13 = 2 THEN " +
+          "transform(embedding, x -> CAST(-x AS FLOAT)) ELSE embedding END"),
+        "vec_id" -> ("CASE WHEN vec_id % 17 = 5 THEN vec_id + 100000 " +
+          "ELSE vec_id END")))
       val rUpd = GraphAnnIndex.maintain(s, src, idx, at, gM,
         beam = 32, hops = 3, entryCount = 8, cents = Some(cents)); at = rUpd.srcVersion
       TxLog.optimize(s, src)
       val rOpt = GraphAnnIndex.maintain(s, src, idx, at, gM,
         cents = Some(cents)); at = rOpt.srcVersion
-      // re-key under the same tracked row id: the old vec_id exists only
-      // in the UPDATE preimage — eviction must retire its edges
-      TxLog.update(s, src, "vec_id % 17 = 5", Map("vec_id" -> "vec_id + 100000"))
-      val rKey = GraphAnnIndex.maintain(s, src, idx, at, gM,
-        beam = 32, hops = 3, entryCount = 8, cents = Some(cents)); at = rKey.srcVersion
       TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
       TxLog.delete(s, src, "vec_id % 7 = 3")
       val rDel = GraphAnnIndex.maintain(s, src, idx, at, gM,
@@ -3416,9 +3437,10 @@ object TxQueries2 {
       GraphAnnIndex.stream(s, src, idx, ckpt, at, gM,
         beam = 32, hops = 3, entryCount = 8, cents = Some(cents))
       val streamCommits = TxLog.latestVersion(idx) - vIdx0
-      GraphAnnIndex.stream(s, src, idx, ckpt, at, gM,
-        beam = 32, hops = 3, entryCount = 8, cents = Some(cents))
-      val noopCommits = TxLog.latestVersion(idx) - vIdx0 - streamCommits
+      // (the checkpoint-replay no-op fact for streamed index windows is
+      // pinned by q223 and by the GraphAnnIndexSpec streaming case —
+      // re-running a second full streaming pass here would only re-prove
+      // it at bench weight)
       val live = TxLog.read(s, src).select("vec_id", "embedding")
         .localCheckpoint(true)
       val edges = TxLog.read(s, idx).select("src", "dst", "cosine")
@@ -3443,7 +3465,7 @@ object TxQueries2 {
       val maintainedHits = hits(GraphAnnIndex.searchTopK(s, src, idx,
         queries, k = 3, beam = 32, hops = 3, entryCount = 8))
       val rebuiltHits = hits(GraphAnn.searchTopK(live,
-        GraphAnn.buildKnnGraph(live, cents, gM, rounds = 2), queries,
+        GraphAnn.buildKnnGraph(live, cents, gM, rounds = 1), queries,
         k = 3, beam = 32, hops = 3, entryCount = 8))
       live.agg(count(lit(1)).as("n_live"), sum("vec_id").as("live_checksum"))
         .withColumn("truth_pairs", lit(truthPairs))
@@ -3460,17 +3482,16 @@ object TxQueries2 {
           lit(if (20L * (rebuiltHits - maintainedHits) <= 3L * truthPairs) 1L else 0L))
         .withColumn("optimize_skipped", lit(if (rOpt.layoutOnlySkip) 1L else 0L))
         .withColumn("update_rows_applied", lit(rUpd.rowsApplied))
-        .withColumn("rekey_rows_applied", lit(rKey.rowsApplied))
         .withColumn("delete_rows_applied", lit(rDel.rowsApplied))
         .withColumn("append_rows_applied", lit(rApp.rowsApplied))
         .withColumn("stream_commits", lit(streamCommits))
-        .withColumn("noop_pass_commits", lit(noopCommits))
     }, {
       val d = DuckSql
       def cos(a: String, b: String) =
         s"${d.dsum(d.zipMul(a, b))} / (sqrt(${d.dsum(d.zipMul(a, a))}) * sqrt(${d.dsum(d.zipMul(b, b))}))"
       val vOK = graft.operators.Similarity.validEmbExpr(d, "embedding")
-      Some(s"""WITH ok AS (SELECT vec_id, embedding FROM embeddings WHERE $vOK),
+      Some(s"""WITH ok AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 600 AND $vOK),
                base AS (SELECT vec_id, embedding FROM ok WHERE vec_id % 10 < 8),
                upd AS (SELECT vec_id,
                               CASE WHEN vec_id % 13 = 2
@@ -3511,12 +3532,11 @@ object TxQueries2 {
                       CAST(1 AS BIGINT) AS recall_floor_ok,
                       CAST(1 AS BIGINT) AS recall_slack_ok,
                       CAST(1 AS BIGINT) AS optimize_skipped,
-                      (SELECT count(*) FROM base WHERE vec_id % 13 = 2) AS update_rows_applied,
-                      (SELECT count(*) FROM base WHERE vec_id % 17 = 5) AS rekey_rows_applied,
+                      (SELECT count(*) FROM base
+                       WHERE vec_id % 13 = 2 OR vec_id % 17 = 5) AS update_rows_applied,
                       (SELECT count(*) FROM rekeyed WHERE vec_id % 7 = 3) AS delete_rows_applied,
                       (SELECT count(*) FROM late) AS append_rows_applied,
-                      CAST(1 AS BIGINT) AS stream_commits,
-                      CAST(0 AS BIGINT) AS noop_pass_commits
+                      CAST(1 AS BIGINT) AS stream_commits
                FROM truth""")
     }),
 
@@ -3540,7 +3560,12 @@ object TxQueries2 {
       val root = graft.Scratch.dir("graft-q225").toString
       val src = s"$root/src"; val idx = s"$root/idx"
       val band = 2000L
+      // corpus capped at 600 ids — the sanctioned bench-weight trim
+      // (q214 precedent; the r16 ledger queued this exact cut): a no-op
+      // at the gate SFs (500 ids), it bounds the bench SF's corpus so
+      // the protocol shape, not corpus size, carries the query's weight
       val ok = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+        .where("vec_id < 600")
         .where(expr(Similarity.validEmbExpr(SparkSql, "embedding")))
         .localCheckpoint(true)
       val cents = ok.where("vec_id % 100 = 7").localCheckpoint(true)
@@ -3587,7 +3612,8 @@ object TxQueries2 {
       def cos(a: String, b: String) =
         s"${d.dsum(d.zipMul(a, b))} / (sqrt(${d.dsum(d.zipMul(a, a))}) * sqrt(${d.dsum(d.zipMul(b, b))}))"
       val vOK = graft.operators.Similarity.validEmbExpr(d, "embedding")
-      Some(s"""WITH ok AS (SELECT vec_id, embedding FROM embeddings WHERE $vOK),
+      Some(s"""WITH ok AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 600 AND $vOK),
                cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
                          FROM ok WHERE vec_id % 100 = 7),
                anch AS (SELECT o.vec_id, c.cent_emb AS embedding
