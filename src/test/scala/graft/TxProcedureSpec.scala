@@ -181,7 +181,19 @@ class TxProcedureSpec extends AnyFunSuite with SparkTestBase {
     assert(names === Set("optimize", "optimize_partition", "vacuum",
       "purge_deletes", "history", "clone", "restore", "convert", "detail",
       "cleanup_log", "compute_stats", "generate_manifest", "set_partitioning",
-      "drop_feature"))
+      "drop_feature", "table_features"))
+  }
+
+  test("CALL table_features surfaces protocol and both feature sets") {
+    val (cat, root) = freshCat()
+    seed(root)
+    TxLog.setProperties(s"$root/t",
+      Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, s"$root/t", "id % 7 = 0")
+    val r = spark.sql(s"CALL $cat.table_features(`table` => 't')").head()
+    assert(r.getLong(0) === 3L) // deletionVectors' legacy int
+    assert(r.getString(1) === "deletionVectors")
+    assert(r.getString(2) === "deletionVectors")
   }
 
   test("CALL detail reports the snapshot's operational state") {
