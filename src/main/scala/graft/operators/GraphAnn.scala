@@ -81,6 +81,35 @@ object GraphAnn {
     * collect→literal pattern, one scan, scalar result. `rounds`
     * NN-descent refinements then climb the similarity gradient over
     * the union. */
+  /** The EXACT degree-`m` k-NN graph plus pinned long-range links —
+    * the small-corpus build: one broadcast cross-join + per-src rank
+    * (a handful of stages) where [[buildKnnGraph]]'s seeded NN-descent
+    * program runs dozens, and exact local edges dominate any
+    * approximation's. All-pairs by construction, so callers must
+    * size-dispatch: this is the ≤ one-cell's-worth path; at corpus
+    * scale the bucketed builder is the only admissible shape. Long
+    * links come from the same salted random buckets as the bucketed
+    * build — an exact-kNN-only graph has no long-range edges and beam
+    * search cannot cross clusters without them. */
+  def exactKnnGraph(vectors: DataFrame, m: Int,
+      randomBucketSize: Int = 6, longLinks: Int = 2): DataFrame = {
+    require(m >= 1, s"degree $m out of range")
+    val v = Similarity.validEmbeddings(vectors)
+    val local = Similarity.topK(v, v, m)
+      .select(col("q_id").as("src"), col("vec_id").as("dst"), col("cosine"))
+    if (longLinks == 0) return local
+    val nBuckets = math.max(1L, v.count() / randomBucketSize)
+    val rnd = (0 to 1).map { salt =>
+      val b = v.selectExpr("vec_id", "embedding",
+        s"pmod(md5_u32(concat('$salt#', CAST(vec_id AS STRING))), ${nBuckets}L) AS __rb")
+      b.as("a").join(b.as("b"),
+          col("a.__rb") === col("b.__rb") && col("a.vec_id") =!= col("b.vec_id"))
+        .selectExpr("a.vec_id AS src", "b.vec_id AS dst",
+          "cosine_sim(a.embedding, b.embedding) AS cosine")
+    }.reduce(_ unionAll _).distinct()
+    local.unionAll(topM(rnd, longLinks)).distinct()
+  }
+
   def buildKnnGraph(vectors: DataFrame, cents: DataFrame, m: Int,
       rounds: Int, maxCellSize: Int = 4096,
       randomBucketSize: Int = 6, longLinks: Int = 2): DataFrame = {

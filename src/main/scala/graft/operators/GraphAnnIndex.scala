@@ -44,15 +44,26 @@ object GraphAnnIndex {
   private def validPred = coalesce(expr(
     Similarity.validEmbExpr(graft.queries.SparkSql, "embedding")), lit(false))
 
-  /** Full initial build ([[GraphAnn.buildKnnGraph]]) at the source's
-    * current version. Returns the version the graph reflects. */
+  /** The graph build [[initialize]] uses, size-dispatched: a corpus
+    * within one cell's worth of vectors (≤ the bucketed builder's own
+    * maxCellSize) gets the EXACT k-NN graph + long links
+    * ([[GraphAnn.exactKnnGraph]] — a handful of stages, and exact ≥
+    * any approximation); larger corpora take the seeded NN-descent
+    * builder, the never-all-pairs scale path. Public so rebuilt-vs-
+    * maintained comparisons can use the IDENTICAL build. */
+  def buildFor(live: DataFrame, cents: DataFrame, m: Int,
+      rounds: Int): DataFrame =
+    if (live.count() <= 4096) GraphAnn.exactKnnGraph(live, m)
+    else GraphAnn.buildKnnGraph(live, cents, m, rounds)
+
+  /** Full initial build ([[buildFor]]) at the source's current
+    * version. Returns the version the graph reflects. */
   def initialize(spark: SparkSession, srcDir: String, indexDir: String,
       cents: DataFrame, m: Int, rounds: Int): Long = {
     val v = TxLog.latestVersion(srcDir)
     val live = TxLog.read(spark, srcDir, Some(v))
       .select("vec_id", "embedding")
-    TxLog.append(spark, indexDir,
-      GraphAnn.buildKnnGraph(live, cents, m, rounds)): Unit
+    TxLog.append(spark, indexDir, buildFor(live, cents, m, rounds)): Unit
     v
   }
 
@@ -119,11 +130,12 @@ object GraphAnnIndex {
       val pairs = inN.join(outN, Seq("t"))
         .where(col("x") =!= col("y"))
         .select(col("x").as("src"), col("y").as("dst")).distinct()
+      // no checkpoint: the patch is consumed exactly once (folded into
+      // the gained-union's own materialization)
       pairs
         .join(live.select(col("vec_id").as("src"), col("embedding").as("__se")), Seq("src"))
         .join(live.select(col("vec_id").as("dst"), col("embedding").as("__de")), Seq("dst"))
         .selectExpr("src", "dst", "cosine_sim(__se, __de) AS cosine")
-        .localCheckpoint(true)
     }
     // 2. the surviving-graph VIEW (eviction applied logically; the
     //    physical deletes ride the single merge below)
@@ -146,15 +158,27 @@ object GraphAnnIndex {
           cand.select(col("vec_id").as("src"), col("q_id").as("dst"), col("cosine")))
       case _ => Nil
     }
-    // 4. batch-internal wiring, half-capped (see scaladoc)
+    // 4. batch-internal wiring, half-capped (see scaladoc). Size
+    //    dispatch: a batch within one cell's worth of vectors gets its
+    //    EXACT top-half neighbors from one broadcast cross-join (two
+    //    stages, and exact ≥ the bucketed approximation it replaces —
+    //    measured: the bucketed builder's ~10-stage program dominated
+    //    window wall time at batch sizes it was never needed for);
+    //    larger batches take the bucketed builder, the never-all-pairs
+    //    scale path.
     val batchInternal: Option[DataFrame] = (cents, nvOpt) match {
       case (Some(c), Some(nv)) =>
         val half = math.max(1, m / 2)
-        Some(GraphAnn.buildKnnGraph(nv, c, half, rounds = 1)
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))))
-          .where(col("__rn") <= half).drop("__rn")
-          .localCheckpoint(true))
+        val edges =
+          if (nv.count() <= 4096)
+            Similarity.topK(nv, nv, half)
+              .select(col("q_id").as("src"), col("vec_id").as("dst"),
+                col("cosine"))
+          else GraphAnn.buildKnnGraph(nv, c, half, rounds = 1)
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))))
+            .where(col("__rn") <= half).drop("__rn")
+        Some(edges.localCheckpoint(true))
       case _ => None
     }
     // 5. degree re-prune for every edge gainer; a node can gain through

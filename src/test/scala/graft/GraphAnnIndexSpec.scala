@@ -90,7 +90,7 @@ class GraphAnnIndexSpec extends AnyFunSuite with SparkTestBase {
     val maintained = recall(GraphAnnIndex.searchTopK(spark, src, idx,
       queries, k = 3, beam = 32, hops = 3, entryCount = 8), truth)
     val rebuilt = recall(GraphAnn.searchTopK(live,
-      GraphAnn.buildKnnGraph(live, cents, M, rounds = 2), queries,
+      GraphAnnIndex.buildFor(live, cents, M, rounds = 2), queries,
       k = 3, beam = 32, hops = 3, entryCount = 8), truth)
     // deterministic corpus + deterministic build/search ⇒ these recalls
     // are REPRODUCIBLE numbers, not statistics. Round 16 (one-hop
@@ -98,11 +98,11 @@ class GraphAnnIndexSpec extends AnyFunSuite with SparkTestBase {
     // one NN-descent round, beam 16) measured 0.73 maintained vs 0.87
     // rebuilt on a dozen-query sample; round 17 (two-hop delete
     // consolidation, 2m attach pool, half-capped batch-internal
-    // wiring, M=8, two rounds, beam 32) measures 0.895 maintained vs
-    // 0.908 rebuilt on the one-in-nine sample — the pins below hold
-    // that gain and the ≤0.1 gap
-    assert(rebuilt >= 0.7, s"rebuilt recall $rebuilt < 0.7 — corpus unfit")
-    assert(maintained >= 0.7, s"maintained recall $maintained < 0.7 (rebuilt $rebuilt)")
+    // wiring, EXACT small-corpus builds, M=8, beam 32) measures
+    // ~0.94 maintained vs ~0.99 rebuilt on the one-in-nine sample —
+    // the pins below hold that gain and the ≤0.1 gap
+    assert(rebuilt >= 0.85, s"rebuilt recall $rebuilt < 0.85 — corpus unfit")
+    assert(maintained >= 0.8, s"maintained recall $maintained < 0.8 (rebuilt $rebuilt)")
     assert(maintained >= rebuilt - 0.1,
       s"maintained recall $maintained too far below rebuilt $rebuilt")
   }
