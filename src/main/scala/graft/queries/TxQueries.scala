@@ -3329,7 +3329,12 @@ object TxQueries2 {
                        FROM base),
                surv AS (SELECT * FROM upd WHERE vec_id % 5 <> 2),
                late AS (SELECT vec_id, embedding FROM ok WHERE vec_id % 10 >= 8),
-               fin AS (SELECT * FROM surv UNION ALL SELECT * FROM late),
+               fin0 AS (SELECT * FROM surv UNION ALL SELECT * FROM late),
+               fin AS (SELECT vec_id,
+                              CASE WHEN vec_id % 19 = 6
+                                   THEN ${d.map("embedding", "x", "-x")}
+                                   ELSE embedding END AS embedding
+                       FROM fin0),
                subs AS (SELECT unnest(generate_series(0, 3)) AS s),
                dists AS (
                  SELECT f.vec_id, sub.s, c.cw_id,
