@@ -37,8 +37,34 @@ object Scratch {
     * under the self-cleaning root. */
   def dir(prefix: String): Path = Files.createTempDirectory(root, prefix)
 
+  /** Minimum usable bytes a candidate scratch volume must offer before
+    * the root lands on it (24 GiB — a full sf0.1 bench run's scratch
+    * high-water is well under half that; a volume below the bar gets
+    * skipped rather than risking mid-run ENOSPC). */
+  private val MinUsableBytes = 24L * 1024 * 1024 * 1024
+
+  /** Where the root goes, in preference order: an explicit
+    * SPARK_GRAFT_SCRATCH override; /dev/shm when it is a writable
+    * directory with [[MinUsableBytes]] to spare (RAM-backed — the
+    * round-17 tmpfs control run proved the scratch volume's disk
+    * throttling inflates commit-protocol queries 1.3×, ~80 s/suite,
+    * on identical code); else the JVM's default temp dir. Capacity is
+    * re-probed at every root creation, not cached: a bench and a test
+    * JVM may start hours apart. */
+  private def baseDir: Option[Path] = {
+    def usable(p: Path): Boolean =
+      try Files.isDirectory(p) && Files.isWritable(p) &&
+        Files.getFileStore(p).getUsableSpace >= MinUsableBytes
+      catch { case _: Throwable => false }
+    sys.env.get("SPARK_GRAFT_SCRATCH").map(Paths.get(_)).filter(usable)
+      .orElse(Some(Paths.get("/dev/shm")).filter(usable))
+  }
+
   private def makeRoot(prefix: String): Path = {
-    val r = Files.createTempDirectory(s"graft-$prefix-scratch")
+    val r = baseDir match {
+      case Some(b) => Files.createTempDirectory(b, s"graft-$prefix-scratch")
+      case None => Files.createTempDirectory(s"graft-$prefix-scratch")
+    }
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(r)))
     r
   }
@@ -62,11 +88,12 @@ object Scratch {
     System.setProperty("java.io.tmpdir", r.toString)
     // reap ANY aged graft-* dir a killed/legacy run left behind:
     // scratch roots, and the pre-round-14 direct litter
-    // (graft-q*/graft-stream-*/graft-events-*/graft-diabetes-* etc.)
-    val tmp = Paths.get("/tmp")
-    if (Files.isDirectory(tmp)) {
-      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
-      val ls = Files.list(tmp)
+    // (graft-q*/graft-stream-*/graft-events-*/graft-diabetes-* etc.).
+    // /dev/shm litter is RAM — a leaked root there shrinks the very
+    // memory the executors run in, so it reaps on a shorter fuse.
+    def reap(dir: Path, ageMs: Long): Unit = if (Files.isDirectory(dir)) {
+      val cutoff = System.currentTimeMillis() - ageMs
+      val ls = Files.list(dir)
       try ls.iterator().forEachRemaining { p =>
         val n = p.getFileName.toString
         if (n.startsWith("graft-") && p != r &&
@@ -75,6 +102,8 @@ object Scratch {
           deleteTree(p)
       } finally ls.close()
     }
+    reap(Paths.get("/tmp"), 6L * 3600 * 1000)
+    reap(Paths.get("/dev/shm"), 2L * 3600 * 1000)
     r
   }
 }

@@ -59,6 +59,14 @@ import org.apache.spark.sql.functions._
   * follow [[Similarity]]'s enforced embedding contract. */
 object GraphAnn {
 
+  /** The one shared small-corpus bound: [[buildKnnGraph]]'s default
+    * cell-seeding cap AND the size-dispatch threshold below which the
+    * exact builders (a broadcast cross-join) are admissible —
+    * [[GraphAnnIndex.buildFor]] and its batch-internal wiring dispatch
+    * on THIS constant, so the "within one cell's worth" contract and
+    * the broadcast-side bound cannot drift apart. */
+  val DefaultMaxCellSize = 4096
+
   /** Per-src top-`m` by (cosine desc, dst asc) — rank ≤ m over a
     * partition-local window, which Spark executes as WindowGroupLimit
     * (per-partition heaps), not a global sort. */
@@ -111,7 +119,7 @@ object GraphAnn {
   }
 
   def buildKnnGraph(vectors: DataFrame, cents: DataFrame, m: Int,
-      rounds: Int, maxCellSize: Int = 4096,
+      rounds: Int, maxCellSize: Int = DefaultMaxCellSize,
       randomBucketSize: Int = 6, longLinks: Int = 2): DataFrame = {
     require(m >= 1 && rounds >= 0, s"degree $m / rounds $rounds out of range")
     require(randomBucketSize >= 2, s"randomBucketSize $randomBucketSize < 2")

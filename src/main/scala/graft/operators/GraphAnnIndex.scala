@@ -41,19 +41,54 @@ object GraphAnnIndex {
   final case class MaintainResult(srcVersion: Long, rowsApplied: Long,
       layoutOnlySkip: Boolean)
 
+  /** Property keys of the RECALL monitor ([[enableProbes]] /
+    * [[recallReport]]) — the graph tier's staleness signal. IVF/PQ
+    * freeze a quantizer and watch assignment quality decay
+    * ([[IvfIndex.driftReport]]); the graph tier has no quantizer, and
+    * its failure mode is different: maintenance is NOT bit-exact, so
+    * recall can decay silently across windows. The monitor freezes a
+    * small PROBE BENCHMARK instead: a deterministic probe set and its
+    * EXACT top-k truth, stamped at [[enableProbes]] time (the one
+    * corpus-sized scoring pass, like the IVF baseline), then
+    * delta-maintained — a window's touched ids invalidate exactly the
+    * pairs they touch (no corpus rescan, ever), and the maintained
+    * graph re-searches ONLY the probes (cost ∝ probes · beam · degree ·
+    * hops, corpus-independent). [[recallReport]] itself is an O(1)
+    * driver-side property read, the driftReport discipline. */
+  object Probe {
+    val Ids = "graft.gann.probe.ids"     // probe vec_ids, comma-joined
+    val Truth = "graft.gann.probe.truth" // surviving truth pairs "q:v,…"
+    val Conf = "graft.gann.probe.conf"   // "k,beam,hops,entryCount"
+    val Base = "graft.gann.probe.base"   // "hits:pairs" at enable time
+    val Last = "graft.gann.probe.last"   // "hits:pairs" after last window
+  }
+
+  /** [[recallReport]]'s verdict: probe recall in integer basis points
+    * at enable time vs after the last maintained window, the drop, the
+    * surviving benchmark size, and the band verdict. */
+  final case class RecallReport(baseRecallBp: Long, recallBp: Long,
+      dropBp: Long, pairs: Long, tripped: Boolean)
+
   private def validPred = coalesce(expr(
     Similarity.validEmbExpr(graft.queries.SparkSql, "embedding")), lit(false))
 
-  /** The graph build [[initialize]] uses, size-dispatched: a corpus
-    * within one cell's worth of vectors (≤ the bucketed builder's own
-    * maxCellSize) gets the EXACT k-NN graph + long links
-    * ([[GraphAnn.exactKnnGraph]] — a handful of stages, and exact ≥
-    * any approximation); larger corpora take the seeded NN-descent
-    * builder, the never-all-pairs scale path. Public so rebuilt-vs-
-    * maintained comparisons can use the IDENTICAL build. */
+  /** The graph build [[initialize]] uses, size-dispatched on
+    * [[GraphAnn.DefaultMaxCellSize]] (the ONE shared constant — also
+    * the bucketed builder's cell cap and the batch-internal wiring's
+    * dispatch bound, so the exact path's broadcast cross-join can
+    * never run at a size the cell contract didn't admit): a corpus
+    * within one cell's worth of vectors gets the EXACT k-NN graph +
+    * long links ([[GraphAnn.exactKnnGraph]] — a handful of stages, and
+    * exact ≥ any approximation); larger corpora take the seeded
+    * NN-descent builder, the never-all-pairs scale path. Public so
+    * rebuilt-vs-maintained comparisons can use the IDENTICAL build.
+    * `knownCount` skips the size-probe job when the caller already
+    * counted the corpus (`rounds` only reaches the bucketed path —
+    * the exact graph has nothing to refine). */
   def buildFor(live: DataFrame, cents: DataFrame, m: Int,
-      rounds: Int): DataFrame =
-    if (live.count() <= 4096) GraphAnn.exactKnnGraph(live, m)
+      rounds: Int, knownCount: Option[Long] = None): DataFrame =
+    if (knownCount.getOrElse(live.count()) <= GraphAnn.DefaultMaxCellSize)
+      GraphAnn.exactKnnGraph(live, m)
     else GraphAnn.buildKnnGraph(live, cents, m, rounds)
 
   /** Full initial build ([[buildFor]]) at the source's current
@@ -75,6 +110,16 @@ object GraphAnnIndex {
     .withColumn("__rn", row_number().over(
       Window.partitionBy(col(idCol)).orderBy(col("_commit_version").desc)))
     .where(col("__rn") === 1)
+
+  /** Every vec_id a window touches: last post-images plus UPDATE
+    * preimages (a re-key retires its old id through the preimage only).
+    * Shared by [[planEdits]]' eviction and the probe benchmark's
+    * delta-invalidation so they cannot diverge. */
+  private def touchedOf(last: DataFrame, feed: DataFrame): DataFrame = last
+    .select("vec_id")
+    .unionByName(feed.where(col(TxLog.ChangeTypeCol) === "update_preimage")
+      .select("vec_id"))
+    .distinct()
 
   /** Plan one window's edge edits against the CURRENT graph, as a
     * single (src, dst)-keyed merge source with `__ga_act` ∈
@@ -105,14 +150,15 @@ object GraphAnnIndex {
     * Work ∝ |batch| · degree², never the graph. */
   private def planEdits(last: DataFrame, feed: DataFrame, live: DataFrame,
       g0: Option[DataFrame], m: Int, beam: Int, hops: Int, entryCount: Int,
-      idCol: String, cents: Option[DataFrame]): DataFrame = {
+      idCol: String, cents: Option[DataFrame],
+      repair: Boolean = true): DataFrame = {
     val spark = last.sparkSession
-    val touched = last.select("vec_id")
-      .unionByName(feed.where(col(TxLog.ChangeTypeCol) === "update_preimage")
-        .select("vec_id"))
-      .distinct().localCheckpoint(true)
-    // 1. consolidation patch from the PRE-eviction graph
-    val patch: Option[DataFrame] = g0.map { g =>
+    val touched = touchedOf(last, feed).localCheckpoint(true)
+    // 1. consolidation patch from the PRE-eviction graph — skipped in
+    //    EVICTION-ONLY mode (repair = false): the lazy-repair trade
+    //    published with the method (cheaper delete windows, decaying
+    //    recall) that [[recallReport]]'s probe monitor exists to bound
+    val patch: Option[DataFrame] = if (!repair) None else g0.map { g =>
       val tid = touched
       val inN = g.join(tid.select(col("vec_id").as("dst")), Seq("dst"))
         .select(col("src").as("x"), col("dst").as("t"))
@@ -148,7 +194,10 @@ object GraphAnnIndex {
     val newVecs = last
       .where(col(TxLog.ChangeTypeCol) =!= "delete" && validPred)
       .select(col("vec_id"), col("embedding")).localCheckpoint(true)
-    val nvOpt = if (newVecs.isEmpty) None else Some(newVecs)
+    // one count serves both the emptiness gate and the batch-internal
+    // size dispatch below — the frame is already materialized
+    val nvCount = newVecs.count()
+    val nvOpt = if (nvCount == 0L) None else Some(newVecs)
     val attach: Seq[DataFrame] = (gSurv, nvOpt) match {
       case (Some(g), Some(nv)) =>
         val cand = GraphAnn.searchTopK(live, g, nv,
@@ -170,7 +219,7 @@ object GraphAnnIndex {
       case (Some(c), Some(nv)) =>
         val half = math.max(1, m / 2)
         val edges =
-          if (nv.count() <= 4096)
+          if (nvCount <= GraphAnn.DefaultMaxCellSize)
             Similarity.topK(nv, nv, half)
               .select(col("q_id").as("src"), col("vec_id").as("dst"),
                 col("cosine"))
@@ -238,11 +287,17 @@ object GraphAnnIndex {
   /** Apply the source's changes in `(fromExclusive, latest]` as ONE
     * (src, dst)-keyed merge planned by [[planEdits]]. Pass the frozen
     * quantizer as `cents` to enable batch-internal wiring (recommended
-    * for append-heavy sources — see [[planEdits]] step 4). */
+    * for append-heavy sources — see [[planEdits]] step 4).
+    * `repair = false` is EVICTION-ONLY maintenance: the delete-
+    * consolidation patch is skipped — cheaper delete-heavy windows at
+    * the price of decaying recall, which the [[enableProbes]] monitor
+    * exists to bound (the published lazy-repair trade; FreshDiskANN
+    * batches its consolidation for the same reason). */
   def maintain(spark: SparkSession, srcDir: String, indexDir: String,
       fromExclusive: Long, m: Int, beam: Int = 8, hops: Int = 2,
       entryCount: Int = 4, idCol: String = "_row_id",
-      cents: Option[DataFrame] = None): MaintainResult = {
+      cents: Option[DataFrame] = None,
+      repair: Boolean = true): MaintainResult = {
     val to = TxLog.latestVersion(srcDir)
     if (to <= fromExclusive)
       return MaintainResult(to, 0L, layoutOnlySkip = false)
@@ -257,7 +312,7 @@ object GraphAnnIndex {
     val g0 = if (TxLog.latestVersion(indexDir) < 0) None
       else Some(TxLog.read(spark, indexDir).select("src", "dst", "cosine"))
     val edits = planEdits(last, feed, live, g0, m, beam, hops, entryCount,
-      idCol, cents).localCheckpoint(true)
+      idCol, cents, repair).localCheckpoint(true)
     if (!edits.isEmpty) {
       if (g0.isEmpty)
         TxLog.append(spark, indexDir,
@@ -267,6 +322,8 @@ object GraphAnnIndex {
         TxLog.mergeClauses(spark, indexDir, edits, Seq("src", "dst"),
           mergeClauses): Unit
     }
+    if (TxLog.snapshot(indexDir).props.contains(Probe.Conf))
+      refreshProbes(spark, srcDir, indexDir, touchedOf(last, feed))
     MaintainResult(to, applied, layoutOnlySkip = false)
   }
 
@@ -306,6 +363,8 @@ object GraphAnnIndex {
           if (!edits.isEmpty)
             TxLog.mergeClausesBatch(s, indexDir, edits, Seq("src", "dst"),
               mergeClauses, appId, batchId): Unit
+          if (TxLog.snapshot(indexDir).props.contains(Probe.Conf))
+            refreshProbes(s, srcDir, indexDir, touchedOf(last, batch))
         }
       }
       .option("checkpointLocation", ckptDir)
@@ -323,4 +382,111 @@ object GraphAnnIndex {
       TxLog.read(spark, srcDir).select("vec_id", "embedding"),
       TxLog.read(spark, indexDir).select("src", "dst", "cosine"),
       queries, k, beam, hops, entryCount)
+
+  /** Stamp the probe benchmark (see [[Probe]]): probes = the live rows
+    * matching `probePred` (a SMALL deterministic set — the benchmark
+    * lives in the table's property plane), truth = their exact top-`k`
+    * over the live corpus (the one corpus-sized scoring pass, paid at
+    * enable time exactly like [[IvfIndex.initialize]]'s drift
+    * baseline), base = the maintained graph's probe recall right now.
+    * Re-run after a rebuild to re-arm a churned-out benchmark. The
+    * truth collect is bounded by the ≤ 512-pair contract below. */
+  def enableProbes(spark: SparkSession, srcDir: String, indexDir: String,
+      probePred: String, k: Int, beam: Int = 8, hops: Int = 2,
+      entryCount: Int = 4): Unit = {
+    val live = TxLog.read(spark, srcDir).select("vec_id", "embedding")
+      .where(validPred).localCheckpoint(true)
+    val probes = live.where(probePred)
+    val truth = Similarity.topK(live, probes, k).select("q_id", "vec_id")
+    val pairs = truth.limit(513).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    require(pairs.nonEmpty, s"enableProbes: no live row matches '$probePred'")
+    require(pairs.length <= 512,
+      s"enableProbes: over 512 truth pairs — the benchmark rides the " +
+        "property plane; pick a smaller probe set")
+    val ids = pairs.map(_._1).distinct
+    val hits = searchHits(spark, srcDir, indexDir, ids, pairs, k, beam,
+      hops, entryCount)
+    val packed = s"$hits:${pairs.length}"
+    TxLog.setProperties(indexDir, Map(
+      Probe.Ids -> ids.mkString(","),
+      Probe.Truth -> pairs.map(p => s"${p._1}:${p._2}").mkString(","),
+      Probe.Conf -> s"$k,$beam,$hops,$entryCount",
+      Probe.Base -> packed, Probe.Last -> packed)): Unit
+  }
+
+  /** The probes' beam-search hit count against `pairs` — cost ∝
+    * |probes| · beam · degree · hops, never the corpus (the searches
+    * join live vectors BY KEY to score frontier candidates; no
+    * corpus-sized scoring pass exists on this path). */
+  private def searchHits(spark: SparkSession, srcDir: String,
+      indexDir: String, ids: Seq[Long], pairs: Seq[(Long, Long)], k: Int,
+      beam: Int, hops: Int, entryCount: Int): Long = {
+    import spark.implicits._
+    val live = TxLog.read(spark, srcDir).select("vec_id", "embedding")
+    val res = GraphAnn.searchTopK(live,
+      TxLog.read(spark, indexDir).select("src", "dst", "cosine"),
+      live.where(col("vec_id").isin(ids: _*)), k, beam, hops, entryCount)
+    res.select("q_id", "vec_id")
+      .intersect(pairs.toDF("q_id", "vec_id")).count()
+  }
+
+  /** Delta-maintain the probe benchmark after a window: the window's
+    * touched ids invalidate exactly the pairs they touch (a moved or
+    * departed endpoint ends its pairs' validity — surviving pairs stay
+    * genuine top-k members, since removals only promote them), then
+    * the probes re-search the maintained graph. The pair list is tiny
+    * and the touched set is delta-sized; the corpus is never
+    * rescanned. */
+  private def refreshProbes(spark: SparkSession, srcDir: String,
+      indexDir: String, touched: DataFrame): Unit = {
+    import spark.implicits._
+    val props = TxLog.snapshot(indexDir).props
+    val conf = props.get(Probe.Conf).map(_.split(",").map(_.toInt))
+    if (conf.isEmpty) return
+    val Array(k, beam, hops, entryCount) = conf.get
+    val pairs0 = props.get(Probe.Truth).toSeq.flatMap(_.split(","))
+      .filter(_.nonEmpty)
+      .map { s => val p = s.split(":"); (p(0).toLong, p(1).toLong) }
+    if (pairs0.isEmpty) return
+    // distributed invalidation: the (tiny) pair list anti-joins the
+    // window's touched ids on each endpoint — touched never collects
+    val t = touched.select(col("vec_id").as("__t")).distinct()
+    val surv = pairs0.toDF("q_id", "vec_id")
+      .join(t.select(col("__t").as("q_id")), Seq("q_id"), "left_anti")
+      .join(t.select(col("__t").as("vec_id")), Seq("vec_id"), "left_anti")
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSeq.sorted
+    val hits = if (surv.isEmpty) 0L
+      else searchHits(spark, srcDir, indexDir, surv.map(_._1).distinct,
+        surv, k, beam, hops, entryCount)
+    TxLog.transformProperties(indexDir) { _ => Map(
+      Probe.Truth -> surv.map(p => s"${p._1}:${p._2}").mkString(","),
+      Probe.Last -> s"$hits:${surv.length}")
+    }: Unit
+  }
+
+  /** Is the maintained graph's RECALL decaying? The graph-tier
+    * staleness signal ([[IvfIndex.driftReport]]'s discipline on the
+    * probe benchmark): compares the probes' current recall (in integer
+    * basis points over the SURVIVING benchmark pairs) to the
+    * enable-time baseline and trips when the drop exceeds `bandBp`.
+    * O(1): a driver-side property read — zero Spark jobs, no searches
+    * (the maintain/stream passes already re-searched the probes).
+    * A benchmark fully invalidated by churn (pairs = 0) reports the
+    * baseline and never trips — re-arm with [[enableProbes]]. */
+  def recallReport(indexDir: String, bandBp: Long): RecallReport = {
+    val props = TxLog.snapshot(indexDir).props
+    def unpack(v: Option[String]): (Long, Long) = v match {
+      case Some(x) => val p = x.split(":"); (p(0).toLong, p(1).toLong)
+      case None => (0L, 0L)
+    }
+    val (bh, bp) = unpack(props.get(Probe.Base))
+    require(bp > 0L, s"recallReport: $indexDir has no probe benchmark — " +
+      "enableProbes() stamps it")
+    val (lh, lp) = unpack(props.get(Probe.Last))
+    val baseBp = Math.floorDiv(10000L * bh, bp)
+    val lastBp = if (lp == 0L) baseBp else Math.floorDiv(10000L * lh, lp)
+    val drop = baseBp - lastBp
+    RecallReport(baseBp, lastBp, drop, lp, lp > 0L && drop > bandBp)
+  }
 }

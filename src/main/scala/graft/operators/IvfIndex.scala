@@ -155,11 +155,15 @@ object IvfIndex {
     // batch maintenance is where rebuild decisions live)
     val w = bpStats(changes.where(col("__ix_act") === "upsert"))
     if (w._2 > 0L) {
-      val cum = unpackStats(
-        TxLog.snapshot(indexDir).props.get(Drift.Cum))
-      TxLog.setProperties(indexDir, Map(
-        Drift.Last -> packStats(w),
-        Drift.Cum -> packStats((cum._1 + w._1, cum._2 + w._2)))): Unit
+      // CAS'd accumulation: the cum counters re-derive from the HEAD
+      // props on every commit attempt, so a concurrent maintainer's
+      // window is never silently overwritten (read-then-set would
+      // lose it on the retry path)
+      TxLog.transformProperties(indexDir) { props =>
+        val cum = unpackStats(props.get(Drift.Cum))
+        Map(Drift.Last -> packStats(w),
+          Drift.Cum -> packStats((cum._1 + w._1, cum._2 + w._2)))
+      }: Unit
     }
     MaintainResult(to, applied, layoutOnlySkip = false)
   }
@@ -174,7 +178,15 @@ object IvfIndex {
     * init/maintain passes already paid for — no corpus rescan, no
     * kernel re-runs, zero Spark jobs (the spec pins that observable).
     * `window` = "last" (default: the most recent window — the sharp
-    * signal) or "cum" (all flow since init — the smoothed one). */
+    * signal) or "cum" (all flow since init — the smoothed one).
+    * STALENESS CAVEAT: only BATCH [[maintain]] accumulates — [[stream]]
+    * deliberately skips the property commit to keep its
+    * one-commit-per-window exactly-once pin, so on a purely
+    * stream-maintained index Last/Cum stay at the last batch-maintain
+    * values (flowN = 0 if none ever ran → the report returns the
+    * baseline and never trips). Rebuild decisions belong on the batch
+    * maintenance path; interleave one [[maintain]] per monitoring
+    * interval if the feed is otherwise all-stream. */
   def driftReport(indexDir: String, bandBp: Long,
       window: String = "last"): DriftReport = {
     require(window == "last" || window == "cum",

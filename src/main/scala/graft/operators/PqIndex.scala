@@ -70,15 +70,22 @@ object PqIndex {
       .groupBy(col(idCol), col("s"))
       .agg(first(col("vec_id")).as("vec_id"),
         min_by(col("cw_id"), struct(col("dist"), col("cw_id"))).as("code"),
-        min(col("dist")).as("__sdist"))
+        // per-subspace best distance lands as DECIMAL(18,6) (the
+        // module's own ADC discipline — pqTopK's ldist): the cross-
+        // subspace sum below must be order-independent, and a DOUBLE
+        // sum under Spark's unordered partial aggregation can flip a
+        // floor boundary by one ulp between runs — which would break
+        // the bit-exact maintained≡recompute diffs q223/the specs pin
+        min(col("dist")).cast("decimal(18,6)").as("__sdist"))
       .groupBy(idCol)
       .agg(first(col("vec_id")).as("vec_id"),
         transform(array_sort(collect_list(struct(col("s"), col("code")))),
           c => c.getField("code")).as("codes"),
         // encoding QUALITY: total quantization distance in integer
         // micro-units — the drift metric's raw material, paid for by
-        // the argmin this job runs anyway
-        floor(sum(col("__sdist")) * 1000000).cast("long").as("q_units"))
+        // the argmin this job runs anyway; exact decimal arithmetic,
+        // scaled to micro-units (6 dp → ×1e6 is lossless)
+        (sum(col("__sdist")) * 1000000).cast("long").as("q_units"))
       .select(col(idCol), col("vec_id"), col("codes"), col("q_units"))
   }
 
@@ -132,10 +139,14 @@ object PqIndex {
     // no extra kernels (stream mode skips it: one commit per window)
     val w = unitStats(changes.where(col("__pq_act") === "upsert"))
     if (w._2 > 0L) {
-      val cum = unpackStats(TxLog.snapshot(indexDir).props.get(Drift.Cum))
-      TxLog.setProperties(indexDir, Map(
-        Drift.Last -> packStats(w),
-        Drift.Cum -> packStats((cum._1 + w._1, cum._2 + w._2)))): Unit
+      // CAS'd accumulation (the IvfIndex rule): cum re-derives from
+      // the HEAD props per commit attempt — no lost updates under
+      // concurrent maintainers
+      TxLog.transformProperties(indexDir) { props =>
+        val cum = unpackStats(props.get(Drift.Cum))
+        Map(Drift.Last -> packStats(w),
+          Drift.Cum -> packStats((cum._1 + w._1, cum._2 + w._2)))
+      }: Unit
     }
     MaintainResult(to, applied, layoutOnlySkip = false)
   }
@@ -145,7 +156,12 @@ object PqIndex {
     * trips when the maintained flow's average quantization distance
     * exceeds the baseline's by more than `bandUnits` micro-units. O(1):
     * reads only the accumulator properties — no corpus rescan, no
-    * kernel re-runs (no SparkSession in the signature). */
+    * kernel re-runs (no SparkSession in the signature).
+    * STALENESS CAVEAT (the [[IvfIndex.driftReport]] rule): only batch
+    * [[maintain]] accumulates — [[stream]] skips the property commit
+    * (one-commit-per-window exactly-once), so a purely stream-
+    * maintained table reports the last batch-maintain state and never
+    * trips; interleave a batch [[maintain]] per monitoring interval. */
   def driftReport(indexDir: String, bandUnits: Long,
       window: String = "last"): DriftReport = {
     require(window == "last" || window == "cum",

@@ -3368,7 +3368,10 @@ object TxQueries2 {
     // including the re-key window where the retiring id exists ONLY in
     // the UPDATE preimage; every appended and every surviving re-keyed
     // node wired in (counts the oracle re-derives from its own CTE
-    // replay of the five windows); the degree cap; the zero-read
+    // replay of the six windows — the LAST arriving hands-free through
+    // GraphAnnIndex.stream with its one-commit/replay-noop pins in the
+    // hash, closing the one family-stream path the oracle didn't
+    // gate); the degree cap; the zero-read
     // OPTIMIZE skip; per-window rows_applied; the EXACT brute-force
     // top-3 truth as an order-insensitive checksum both engines compute
     // independently (exact cosine, vec_id tie-break); and the recall
@@ -3426,12 +3429,23 @@ object TxQueries2 {
       val rApp = GraphAnnIndex.maintain(s, src, idx, at, gM,
         beam = 32, hops = 3, entryCount = 8, cents = Some(cents))
       at = rApp.srcVersion
-      // (the hands-free STREAMED-window discipline — txn-tagged
-      // exactly-once, one commit per window, replay-noop — is
-      // oracle-pinned by q223's streamed window and spec-pinned for
-      // this family by GraphAnnIndexSpec's streaming case; repeating
-      // a streaming pass here would re-prove the same shared
-      // mergeClausesBatch machinery at bench weight)
+      // the LAST window arrives HANDS-FREE through GraphAnnIndex.stream
+      // (the txn-tagged foreachBatch CDF consumer) — the one family
+      // stream path that was outside the oracle gate, and the family
+      // whose maintenance is NOT bit-exact, so it needs the gate most:
+      // exactly one index commit for the window and a replayed pass
+      // committing nothing are both pinned, and the final graph feeds
+      // the same invariant + recall pins below
+      TxLog.update(s, src, "vec_id % 31 = 11", Map(
+        "embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
+      val ckpt = s"$root/ckpt"
+      val vIdx0 = TxLog.latestVersion(idx)
+      GraphAnnIndex.stream(s, src, idx, ckpt, at, gM, beam = 32, hops = 3,
+        entryCount = 8, cents = Some(cents))
+      val streamCommits = TxLog.latestVersion(idx) - vIdx0
+      GraphAnnIndex.stream(s, src, idx, ckpt, at, gM, beam = 32, hops = 3,
+        entryCount = 8, cents = Some(cents)) // replay: no-op
+      val noopCommits = TxLog.latestVersion(idx) - vIdx0 - streamCommits
       val live = TxLog.read(s, src).select("vec_id", "embedding")
         .localCheckpoint(true)
       val edges = TxLog.read(s, idx).select("src", "dst", "cosine")
@@ -3447,6 +3461,7 @@ object TxQueries2 {
         .select("src").distinct().count()
       val maxDeg = edges.groupBy("src").count()
         .agg(max("count")).head().getLong(0)
+      val nLive = live.count()
       val queries = live.where("vec_id % 9 = 1").localCheckpoint(true)
       val truth = Similarity.topK(live, queries, 3).localCheckpoint(true)
       val truthPairs = truth.count()
@@ -3456,7 +3471,8 @@ object TxQueries2 {
       val maintainedHits = hits(GraphAnnIndex.searchTopK(s, src, idx,
         queries, k = 3, beam = 32, hops = 3, entryCount = 8))
       val rebuiltHits = hits(GraphAnn.searchTopK(live,
-        GraphAnnIndex.buildFor(live, cents, gM, rounds = 1), queries,
+        GraphAnnIndex.buildFor(live, cents, gM, rounds = 1,
+          knownCount = Some(nLive)), queries,
         k = 3, beam = 32, hops = 3, entryCount = 8))
       live.agg(count(lit(1)).as("n_live"), sum("vec_id").as("live_checksum"))
         .withColumn("truth_pairs", lit(truthPairs))
@@ -3475,6 +3491,8 @@ object TxQueries2 {
         .withColumn("update_rows_applied", lit(rUpd.rowsApplied))
         .withColumn("delete_rows_applied", lit(rDel.rowsApplied))
         .withColumn("append_rows_applied", lit(rApp.rowsApplied))
+        .withColumn("stream_commits", lit(streamCommits))
+        .withColumn("noop_pass_commits", lit(noopCommits))
     }, {
       val d = DuckSql
       def cos(a: String, b: String) =
@@ -3494,7 +3512,12 @@ object TxQueries2 {
                            FROM upd),
                surv AS (SELECT * FROM rekeyed WHERE vec_id % 7 <> 3),
                late AS (SELECT vec_id, embedding FROM ok WHERE vec_id % 10 >= 8),
-               fin AS (SELECT * FROM surv UNION ALL SELECT * FROM late),
+               fin0 AS (SELECT * FROM surv UNION ALL SELECT * FROM late),
+               fin AS (SELECT vec_id,
+                              CASE WHEN vec_id % 31 = 11
+                                   THEN ${d.map("embedding", "x", "-x")}
+                                   ELSE embedding END AS embedding
+                       FROM fin0),
                q AS (SELECT vec_id AS q_id, embedding AS q_emb
                      FROM fin WHERE vec_id % 9 = 1),
                scored AS (SELECT q.q_id, f.vec_id,
@@ -3520,7 +3543,9 @@ object TxQueries2 {
                       (SELECT count(*) FROM base
                        WHERE vec_id % 13 = 2 OR vec_id % 17 = 5) AS update_rows_applied,
                       (SELECT count(*) FROM rekeyed WHERE vec_id % 7 = 3) AS delete_rows_applied,
-                      (SELECT count(*) FROM late) AS append_rows_applied
+                      (SELECT count(*) FROM late) AS append_rows_applied,
+                      CAST(1 AS BIGINT) AS stream_commits,
+                      CAST(0 AS BIGINT) AS noop_pass_commits
                FROM truth""")
     }),
 
@@ -3630,6 +3655,221 @@ object TxQueries2 {
                       drift_avg AS drifted_avg_bp,
                       base_avg - drift_avg AS drifted_drift_bp,
                       CASE WHEN base_avg - drift_avg > 2000 THEN CAST(1 AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END AS drifted_tripped,
+                      drift_n AS drifted_n,
+                      fresh_n + drift_n AS cum_n
+               FROM avgs""")
+    }),
+
+    // q227: GRAPH RECALL MONITOR (GraphAnnIndex.enableProbes /
+    // recallReport) — the staleness signal for the ONE index tier whose
+    // maintenance is not bit-exact, so recall can decay SILENTLY across
+    // windows. The monitor freezes a small probe benchmark (probe set +
+    // exact top-3 truth, stamped into index properties at enable time —
+    // the one corpus-sized pass, the IvfIndex baseline discipline);
+    // every maintenance window then delta-invalidates exactly the pairs
+    // it touches and re-searches ONLY the probes (cost ∝ probes, never
+    // the corpus), and recallReport itself is an O(1) property read.
+    // The scenario runs the SAME two delete-heavy windows through BOTH
+    // maintenance modes from one build: eagerly-REPAIRED (the delete-
+    // consolidation patch) holds recall and must NOT trip; EVICTION-
+    // ONLY (repair = false — the published lazy-repair trade) decays
+    // and MUST trip. Pinned into the hash: the benchmark sizes before/
+    // after (the oracle re-derives them from its own truth CTE — exact
+    // cosine top-3, id tie-break, endpoint-survival filter), identical
+    // shrinkage across both modes, and the three band verdicts.
+    QuerySpec("q227_ann_graph_recall_monitor", { (s, dir) =>
+      import graft.operators.{GraphAnnIndex, Similarity}
+      val root = graft.Scratch.dir("graft-q227").toString
+      val src = s"$root/src"
+      val idxR = s"$root/idxr"; val idxL = s"$root/idxl"
+      val gM = 8; val band = 1000L
+      // corpus capped at 600 ids — the q223/q224/q225 bench-weight trim
+      val ok = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+        .where("vec_id < 600")
+        .where(expr(Similarity.validEmbExpr(SparkSql, "embedding")))
+        .localCheckpoint(true)
+      val cents = ok.where("vec_id % 100 = 7")
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+        .localCheckpoint(true)
+      TxLog.append(s, src, ok)
+      TxLog.enableRowTracking(s, src)
+      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+      val at = TxLog.latestVersion(src)
+      // ONE build feeds both indexes — the only difference between the
+      // two maintenance runs is the repair mode
+      val g = GraphAnnIndex.buildFor(ok, cents, gM, rounds = 1,
+        knownCount = Some(ok.count())).localCheckpoint(true)
+      TxLog.append(s, idxR, g): Unit
+      TxLog.append(s, idxL, g): Unit
+      Seq(idxR, idxL).foreach(ix => GraphAnnIndex.enableProbes(s, src, ix,
+        "vec_id % 37 = 2", k = 3, beam = 8, hops = 3, entryCount = 4))
+      val base = GraphAnnIndex.recallReport(idxR, band)
+      // two delete-heavy windows AROUND the probes (churn the corpus,
+      // keep the benchmark measurable) — decay accumulates on the lazy
+      // index exactly as it would between real-world probe checks
+      TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
+      TxLog.delete(s, src, "vec_id % 3 = 0 AND vec_id % 37 <> 2")
+      var atR = at; var atL = at
+      atR = GraphAnnIndex.maintain(s, src, idxR, atR, gM,
+        cents = Some(cents)).srcVersion
+      atL = GraphAnnIndex.maintain(s, src, idxL, atL, gM,
+        cents = Some(cents), repair = false).srcVersion
+      TxLog.delete(s, src, "vec_id % 3 = 1 AND vec_id % 37 <> 2")
+      GraphAnnIndex.maintain(s, src, idxR, atR, gM, cents = Some(cents)): Unit
+      GraphAnnIndex.maintain(s, src, idxL, atL, gM, cents = Some(cents),
+        repair = false): Unit
+      val rR = GraphAnnIndex.recallReport(idxR, band)
+      val rL = GraphAnnIndex.recallReport(idxL, band)
+      // (measured at close, band 1000 bp: base recall 6190/6190/8235 bp
+      // at sf0.001/0.01/0.1; lazy drop 1815/3690/2941 — trips with
+      // ≥1.8× margin; repaired drop −3810/−3810/588 — holds with
+      // ≥1.7× margin; base floor 4000 holds with ≥1.5×)
+      s.range(1).select(
+        lit(base.pairs).as("truth_pairs_init"),
+        lit(rR.pairs).as("repaired_pairs"),
+        lit(rL.pairs).as("lazy_pairs"),
+        lit(if (base.baseRecallBp >= 4000L) 1L else 0L).as("base_floor_ok"),
+        lit(if (base.tripped) 1L else 0L).as("base_tripped"),
+        lit(if (rR.tripped) 1L else 0L).as("repaired_tripped"),
+        lit(if (rL.tripped) 1L else 0L).as("lazy_tripped"),
+        lit(if (rL.dropBp > rR.dropBp) 1L else 0L).as("lazy_decays_more"))
+    }, {
+      val d = DuckSql
+      def cos(a: String, b: String) =
+        s"${d.dsum(d.zipMul(a, b))} / (sqrt(${d.dsum(d.zipMul(a, a))}) * sqrt(${d.dsum(d.zipMul(b, b))}))"
+      val vOK = graft.operators.Similarity.validEmbExpr(d, "embedding")
+      Some(s"""WITH ok AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 600 AND $vOK),
+               q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                     FROM ok WHERE vec_id % 37 = 2),
+               scored AS (SELECT q.q_id, o.vec_id,
+                                 ${cos("q.q_emb", "o.embedding")} AS cosine
+                          FROM ok o CROSS JOIN q WHERE o.vec_id <> q.q_id),
+               truth AS (SELECT q_id, vec_id FROM (
+                           SELECT q_id, vec_id,
+                                  row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+                           FROM scored) WHERE rn <= 3),
+               surv AS (SELECT q_id, vec_id FROM truth
+                        WHERE vec_id % 37 = 2 OR vec_id % 3 = 2)
+               SELECT count(*) AS truth_pairs_init,
+                      (SELECT count(*) FROM surv) AS repaired_pairs,
+                      (SELECT count(*) FROM surv) AS lazy_pairs,
+                      CAST(1 AS BIGINT) AS base_floor_ok,
+                      CAST(0 AS BIGINT) AS base_tripped,
+                      CAST(0 AS BIGINT) AS repaired_tripped,
+                      CAST(1 AS BIGINT) AS lazy_tripped,
+                      CAST(1 AS BIGINT) AS lazy_decays_more
+               FROM truth""")
+    }),
+
+    // q226: PQ DRIFT REPORT (PqIndex.driftReport) — q225's discipline
+    // ported to the compressed tier's quality measure (total
+    // quantization distance in integer micro-units; HIGHER is worse,
+    // unlike the IVF cosine). The corpus is ANCHORED: every baseline
+    // and fresh-window vector sits ON its own codeword (vec_id % 16),
+    // so the baseline/fresh averages are EXACTLY zero in both engines
+    // and the only cross-engine floats in the hash are the drifted
+    // window's own subspace distances — which the DuckDB oracle
+    // replays in full (per-subspace argmin distance, DECIMAL(18,6)
+    // micro-unit sums, exact integer accumulators, floor-division
+    // averages, the band comparisons), so a PQ drift regression fails
+    // the ORACLE, not a spec.
+    QuerySpec("q226_pq_drift", { (s, dir) =>
+      import graft.operators.{PqIndex, Similarity}
+      val root = graft.Scratch.dir("graft-q226").toString
+      val src = s"$root/src"; val idx = s"$root/idx"
+      val band = 1000L
+      // corpus capped at 600 ids — the q223/q224/q225 bench-weight trim
+      val ok = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
+        .where("vec_id < 600")
+        .where(expr(Similarity.validEmbExpr(SparkSql, "embedding")))
+        .localCheckpoint(true)
+      val cbPlan = Similarity.pqCodebook(ok,
+        "vec_id % 29 = 5 AND vec_id % 10 < 8", 16)
+      val cb = s.createDataFrame(
+        java.util.Arrays.asList(cbPlan.collect(): _*), cbPlan.schema)
+        .localCheckpoint(true)
+      // anchor: vector := its own codeword's embedding (an inner join —
+      // an id whose codeword slot is absent at this SF simply drops,
+      // replayed identically by the oracle's join)
+      def anchored(rows: org.apache.spark.sql.DataFrame) = rows
+        .withColumn("__cw", col("vec_id") % 16)
+        .join(cb.select(col("cw_id").cast("long").as("__cw"), col("cw_emb")),
+          Seq("__cw"))
+        .select(col("vec_id"), col("cw_emb").as("embedding"))
+      TxLog.append(s, src, anchored(ok.where("vec_id % 2 = 0")))
+      TxLog.enableRowTracking(s, src)
+      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+      var at = PqIndex.initialize(s, src, idx, cb, 4, 16)
+      // window A: still anchored — the signal stays quiet
+      TxLog.append(s, src, anchored(ok.where("vec_id % 2 = 1")))
+      val rA = PqIndex.maintain(s, src, idx, at, cb, 4, 16); at = rA.srcVersion
+      val fresh = PqIndex.driftReport(idx, band)
+      // window B: RAW unanchored vectors — the frozen codebook cannot
+      // serve them; the per-window signal must trip
+      TxLog.append(s, src, ok.where("vec_id % 3 = 1")
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      PqIndex.maintain(s, src, idx, at, cb, 4, 16): Unit
+      val drifted = PqIndex.driftReport(idx, band)
+      val cum = PqIndex.driftReport(idx, band, window = "cum")
+      s.range(1).select(
+        lit(fresh.baseAvgUnits).as("base_avg_units"),
+        lit(fresh.flowAvgUnits).as("fresh_avg_units"),
+        lit(fresh.driftUnits).as("fresh_drift_units"),
+        lit(if (fresh.tripped) 1L else 0L).as("fresh_tripped"),
+        lit(fresh.flowN).as("fresh_n"),
+        lit(drifted.flowAvgUnits).as("drifted_avg_units"),
+        lit(drifted.driftUnits).as("drifted_drift_units"),
+        lit(if (drifted.tripped) 1L else 0L).as("drifted_tripped"),
+        lit(drifted.flowN).as("drifted_n"),
+        lit(cum.flowN).as("cum_n"))
+    }, {
+      val d = DuckSql
+      def sub(a: String, b: String) =
+        graft.operators.Similarity.subL2Expr(d, a, b, 16)
+      val vOK = graft.operators.Similarity.validEmbExpr(d, "embedding")
+      Some(s"""WITH ok AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 600 AND $vOK),
+               cb AS (SELECT cw_id, cw_emb FROM (
+                        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw_id,
+                               embedding AS cw_emb
+                        FROM ok WHERE vec_id % 29 = 5 AND vec_id % 10 < 8)
+                      WHERE cw_id < 16),
+               anch AS (SELECT o.vec_id, c.cw_emb AS embedding
+                        FROM ok o JOIN cb c ON c.cw_id = o.vec_id % 16),
+               base AS (SELECT vec_id, embedding FROM anch WHERE vec_id % 2 = 0),
+               freshw AS (SELECT vec_id, embedding FROM anch WHERE vec_id % 2 = 1),
+               driftw AS (SELECT vec_id + 1000000 AS vec_id, embedding
+                          FROM ok WHERE vec_id % 3 = 1),
+               subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+               allw AS (SELECT 'b' AS w, vec_id, embedding FROM base
+                        UNION ALL SELECT 'f', vec_id, embedding FROM freshw
+                        UNION ALL SELECT 'd', vec_id, embedding FROM driftw),
+               sdist AS (SELECT a.w, a.vec_id, sub.s,
+                                min(${sub("a.embedding", "c.cw_emb")}) AS mind
+                         FROM allw a CROSS JOIN subs sub CROSS JOIN cb c
+                         GROUP BY a.w, a.vec_id, sub.s),
+               units AS (SELECT w, vec_id,
+                                CAST(sum(CAST(mind AS DECIMAL(18,6))) * 1000000
+                                     AS BIGINT) AS qu
+                         FROM sdist GROUP BY w, vec_id),
+               avgs AS (SELECT
+                 (SELECT CAST(sum(qu) AS BIGINT) // count(*) FROM units WHERE w = 'b') AS base_avg,
+                 (SELECT CAST(sum(qu) AS BIGINT) // count(*) FROM units WHERE w = 'f') AS fresh_avg,
+                 (SELECT CAST(sum(qu) AS BIGINT) // count(*) FROM units WHERE w = 'd') AS drift_avg,
+                 (SELECT count(*) FROM units WHERE w = 'f') AS fresh_n,
+                 (SELECT count(*) FROM units WHERE w = 'd') AS drift_n)
+               SELECT base_avg AS base_avg_units,
+                      fresh_avg AS fresh_avg_units,
+                      fresh_avg - base_avg AS fresh_drift_units,
+                      CASE WHEN fresh_avg - base_avg > 1000 THEN CAST(1 AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END AS fresh_tripped,
+                      fresh_n,
+                      drift_avg AS drifted_avg_units,
+                      drift_avg - base_avg AS drifted_drift_units,
+                      CASE WHEN drift_avg - base_avg > 1000 THEN CAST(1 AS BIGINT)
                            ELSE CAST(0 AS BIGINT) END AS drifted_tripped,
                       drift_n AS drifted_n,
                       fresh_n + drift_n AS cum_n

@@ -968,16 +968,16 @@ object TxLog {
     * during replay, so a capability can only leave the requirement set
     * POSITIONALLY — a commit carrying this property subtracts the named
     * features from everything accumulated SO FAR (a later re-enable
-    * re-stamps and re-requires). The marker alone does not help a
+    * re-stamps and re-requires). Each drop commit's marker therefore
+    * names ONLY the feature(s) that drop verified and retired — a
+    * cumulative union would re-subtract earlier drops at later drop
+    * commits, silently un-gating a feature re-enabled (and back in
+    * live use) in between. The marker alone does not help a
     * legacy reader (it refuses mid-replay, before reaching the drop);
     * what un-gates old readers is [[dropFeature]]'s checkpoint — whose
     * manifest re-states the REDUCED set — plus history truncation, so
     * a fresh replay never sees the dropped name at all. */
   object DroppedFeatures { val Key = "graft.features.dropped" }
-
-  private def droppedFeaturesOf(props: Map[String, String]): Set[String] =
-    props.get(DroppedFeatures.Key).toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
 
   /** The legacy protocol int a feature alone would require (inverse of
     * [[featureOfProtocol]]) — recomputing the table's int after a drop. */
@@ -4206,10 +4206,68 @@ object TxLog {
   def setProperties(dir: String, props: Map[String, String]): Long = {
     require(latestVersion(dir) >= 0, s"setProperties: $dir has no committed versions")
     writerGate(dir, "setProperties")
-    // engine-known keys validate at WRITE time: maybeAutoCompact runs
-    // under a swallow-all best-effort net, so a malformed value landed
-    // here would otherwise disable auto-compaction silently and forever
-    // the empty string is the tombstone (UNSET TBLPROPERTIES) — always legal
+    validateProps(dir, props)
+    // a property that ENABLES a gated capability stamps the writer
+    // feature by name in the same commit (tombstones imply nothing)
+    val stamped = impliedWriterFeatures(props.filter(_._2.nonEmpty), Set.empty)
+    var tries = 0
+    while (tries < maxCommitAttempts) {
+      val attempt = latestVersion(dir) + 1
+      val content = commitJson(attempt, "setProperties", System.currentTimeMillis(),
+        Nil, Nil, None, None, Some(props), wfeatures = stamped)
+      if (tryPublish(dir, attempt, content)) {
+        maybeCheckpoint(dir, attempt)
+        return attempt
+      }
+      tries += 1
+    }
+    throw new ConcurrentWriteException(
+      s"setProperties on $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
+  /** ATOMIC read-modify-write of table properties: `f` maps the HEAD
+    * snapshot's property map to the property DELTA to commit, and the
+    * commit is CAS'd against the head version `f` read — a lost race
+    * re-reads and re-derives instead of overwriting the concurrent
+    * writer's value (plain read-then-[[setProperties]] would: its
+    * retry re-publishes the STALE delta on the new head, silently
+    * dropping the concurrent increment — the lost-update anomaly for
+    * accumulator-style properties such as the index drift counters).
+    * Same validation and writer-feature stamping as [[setProperties]];
+    * `f` must be pure (it re-runs per attempt). Returns the committed
+    * version. */
+  def transformProperties(dir: String)(
+      f: Map[String, String] => Map[String, String]): Long = {
+    require(latestVersion(dir) >= 0,
+      s"transformProperties: $dir has no committed versions")
+    writerGate(dir, "transformProperties")
+    var tries = 0
+    while (tries < maxCommitAttempts) {
+      val head = headState(dir)
+      val delta = f(head.props)
+      validateProps(dir, delta)
+      val stamped = impliedWriterFeatures(delta.filter(_._2.nonEmpty), Set.empty)
+      val attempt = head.version + 1
+      val content = commitJson(attempt, "setProperties", System.currentTimeMillis(),
+        Nil, Nil, None, None, Some(delta), wfeatures = stamped)
+      if (tryPublish(dir, attempt, content)) {
+        maybeCheckpoint(dir, attempt)
+        return attempt
+      }
+      tries += 1
+    }
+    throw new ConcurrentWriteException(
+      s"transformProperties on $dir lost $maxCommitAttempts consecutive commit races")
+  }
+
+  /** Write-time validation shared by [[setProperties]] and
+    * [[transformProperties]].
+    * Engine-known keys validate at WRITE time: maybeAutoCompact runs
+    * under a swallow-all best-effort net, so a malformed value landed
+    * here would otherwise disable auto-compaction silently and forever;
+    * the empty string is the tombstone (UNSET TBLPROPERTIES) — always
+    * legal. */
+  private def validateProps(dir: String, props: Map[String, String]): Unit = {
     def numeric(k: String, min: Long): Unit =
       props.get(k).filter(_.nonEmpty).foreach { v =>
         val n = try v.toLong catch { case _: NumberFormatException =>
@@ -4253,22 +4311,6 @@ object TxLog {
         s"${ClusterBy.Columns} is for unpartitioned tables (plain OPTIMIZE " +
           "on a partitioned table compacts within partitions)")
     }
-    // a property that ENABLES a gated capability stamps the writer
-    // feature by name in the same commit (tombstones imply nothing)
-    val stamped = impliedWriterFeatures(props.filter(_._2.nonEmpty), Set.empty)
-    var tries = 0
-    while (tries < maxCommitAttempts) {
-      val attempt = latestVersion(dir) + 1
-      val content = commitJson(attempt, "setProperties", System.currentTimeMillis(),
-        Nil, Nil, None, None, Some(props), wfeatures = stamped)
-      if (tryPublish(dir, attempt, content)) {
-        maybeCheckpoint(dir, attempt)
-        return attempt
-      }
-      tries += 1
-    }
-    throw new ConcurrentWriteException(
-      s"setProperties on $dir lost $maxCommitAttempts consecutive commit races")
   }
 
   /** DROP FEATURE (Delta's `ALTER TABLE … DROP FEATURE` with
@@ -4336,8 +4378,16 @@ object TxLog {
             s"dropFeature: identity column spec(s) ${specs.keys.toList.sorted.mkString(", ")} " +
               "still live — tombstone them (setProperties to empty) first")
       }
-      (snap.version,
-        (droppedFeaturesOf(snap.props) + feature).toSeq.sorted.mkString(","))
+      // the marker names ONLY this drop's feature — never the union of
+      // everything ever dropped. Replay subtracts a marker's names at
+      // the commit that carries it, so a union marker would re-subtract
+      // EARLIER drops at every LATER drop commit: drop(deletionVectors)
+      // → re-enable DV + DV-creating deletes → drop(identityColumns)
+      // would strip deletionVectors from the requirement set with no
+      // liveness check (verifyAt above checked only identity specs),
+      // and truncateHistory would cement the reduced set — a legacy
+      // reader stops refusing and resurrects deleted rows
+      (snap.version, feature)
     }
     var (verifiedVersion, dropped) = verifyAt()
     var tries = 0

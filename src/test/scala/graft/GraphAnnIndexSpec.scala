@@ -182,6 +182,56 @@ class GraphAnnIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.latestVersion(idx) === v, "replayed pass must be a no-op")
   }
 
+  test("probe recall monitor: eviction-only (lazy) maintenance trips; repaired does not") {
+    val r = root("gannprobe"); val src = s"$r/src"
+    val idxR = s"$r/idxr"; val idxL = s"$r/idxl"
+    val band = 1000L
+    val ok = corpus()
+    val cents = ok.where("vec_id % 100 = 7")
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      .localCheckpoint(true)
+    TxLog.append(spark, src, ok)
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+    val at = TxLog.latestVersion(src)
+    // ONE build feeds both indexes: identical starting graph, so the
+    // only difference between the two runs is the repair mode
+    val g = GraphAnnIndex.buildFor(ok, cents, M, rounds = 1)
+      .localCheckpoint(true)
+    TxLog.append(spark, idxR, g): Unit
+    TxLog.append(spark, idxL, g): Unit
+    intercept[IllegalArgumentException](GraphAnnIndex.recallReport(idxR, band))
+    Seq(idxR, idxL).foreach(ix => GraphAnnIndex.enableProbes(spark, src, ix,
+      "vec_id % 37 = 2", k = 3, beam = 8, hops = 3, entryCount = 4))
+    val base = GraphAnnIndex.recallReport(idxR, band)
+    assert(base.pairs > 0L && base.dropBp === 0L && !base.tripped)
+    // the delete-heavy window, maintained from the same feed twice
+    TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, src, "vec_id % 3 = 0 AND vec_id % 37 <> 2")
+    var atR = at; var atL = at
+    atR = GraphAnnIndex.maintain(spark, src, idxR, atR, M, cents = Some(cents)).srcVersion
+    atL = GraphAnnIndex.maintain(spark, src, idxL, atL, M, cents = Some(cents),
+      repair = false).srcVersion
+    TxLog.delete(spark, src, "vec_id % 3 = 1 AND vec_id % 37 <> 2")
+    GraphAnnIndex.maintain(spark, src, idxR, atR, M, cents = Some(cents)): Unit
+    GraphAnnIndex.maintain(spark, src, idxL, atL, M, cents = Some(cents),
+      repair = false): Unit
+    val rR = GraphAnnIndex.recallReport(idxR, band)
+    val rL = GraphAnnIndex.recallReport(idxL, band)
+    info(s"base=$base repaired=$rR lazy=$rL")
+    // both benchmarks shrank identically (same feed): pairs whose
+    // endpoint departed left the denominator, never the corpus
+    assert(rR.pairs === rL.pairs && rR.pairs < base.pairs && rR.pairs > 0L)
+    assert(!rR.tripped,
+      s"repaired maintenance tripped the monitor: drop ${rR.dropBp} bp")
+    assert(rL.tripped,
+      s"eviction-only maintenance did not trip: drop ${rL.dropBp} bp")
+    assert(rL.dropBp > rR.dropBp)
+    // recallReport is a property read by construction (no SparkSession
+    // in its signature — the driftReport discipline): the searches ran
+    // inside the maintain passes, not here
+  }
+
   test("a delete-only window leaves the survivors' graph searchable") {
     val r = root("gannidx-del"); val src = s"$r/src"; val idx = s"$r/idx"
     val ok = corpus()

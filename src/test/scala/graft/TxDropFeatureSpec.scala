@@ -236,6 +236,40 @@ class TxDropFeatureSpec extends AnyFunSuite with SparkTestBase {
     finally TxLog.writerCapabilities = prevW
   }
 
+  test("a later CROSS-FEATURE drop must not re-subtract an earlier drop's feature") {
+    // drop(deletionVectors) → re-enable DV + DV-creating delete →
+    // drop(identityColumns): a cumulative drop marker would carry
+    // deletionVectors into the SECOND drop commit and replay would
+    // subtract it there — with no DV-liveness check (the identity drop
+    // verifies only identity specs) and truncateHistory cementing the
+    // reduced set into the checkpoint manifest, a legacy reader would
+    // stop refusing and resurrect the deleted rows
+    val dir = tmp("dropfeat-cross")
+    TxLog.append(spark, dir, df(1L to 12L: _*))
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, dir, "id = 3")
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> ""))
+    TxLog.purgeDeletes(spark, dir)
+    TxLog.dropFeature(spark, dir, "deletionVectors")
+    // re-enable: DVs live again — the feature is BACK in real use
+    TxLog.setProperties(dir, Map(TxLog.DeletionVectors.Enabled -> "true"))
+    TxLog.delete(spark, dir, "id = 5") // merge-on-read: live DV
+    // an unrelated writer-only feature comes and goes…
+    TxLog.addIdentityColumn(spark, dir, "id")
+    TxLog.setProperties(dir, Map(TxLog.Identity.Prefix + "id" -> ""))
+    TxLog.dropFeature(spark, dir, "identityColumns") // truncates history
+    // …and deletionVectors must still be required afterwards
+    TxLog.invalidateSnapshots(dir) // fresh replay from the drop's checkpoint
+    val snap = TxLog.snapshot(dir)
+    assert(snap.features === Set("deletionVectors"),
+      "identityColumns drop stripped the re-enabled deletionVectors requirement")
+    assert(snap.protocol === 3L)
+    assert(!snap.wfeatures.contains("identityColumns"))
+    intercept[TxLog.UnsupportedProtocolException](legacyRead(dir))
+    assert(TxLog.read(spark, dir).count() === 10L,
+      "deleted rows must stay deleted through the cross-feature drop")
+  }
+
   test("the raw marker and undroppable features refuse loudly") {
     val dir = tmp("dropfeat-guard")
     TxLog.append(spark, dir, df(1L, 2L))
