@@ -322,7 +322,8 @@ object GraphAnnIndex {
         TxLog.mergeClauses(spark, indexDir, edits, Seq("src", "dst"),
           mergeClauses): Unit
     }
-    if (TxLog.snapshot(indexDir).props.contains(Probe.Conf))
+    if (TxLog.latestVersion(indexDir) >= 0 &&
+        TxLog.snapshot(indexDir).props.contains(Probe.Conf))
       refreshProbes(spark, srcDir, indexDir, touchedOf(last, feed))
     MaintainResult(to, applied, layoutOnlySkip = false)
   }
@@ -363,7 +364,8 @@ object GraphAnnIndex {
           if (!edits.isEmpty)
             TxLog.mergeClausesBatch(s, indexDir, edits, Seq("src", "dst"),
               mergeClauses, appId, batchId): Unit
-          if (TxLog.snapshot(indexDir).props.contains(Probe.Conf))
+          if (TxLog.latestVersion(indexDir) >= 0 &&
+              TxLog.snapshot(indexDir).props.contains(Probe.Conf))
             refreshProbes(s, srcDir, indexDir, touchedOf(last, batch))
         }
       }

@@ -232,6 +232,22 @@ class GraphAnnIndexSpec extends AnyFunSuite with SparkTestBase {
     // inside the maintain passes, not here
   }
 
+  test("a delete-only window against a never-initialized index is a clean no-op") {
+    val r = root("gannidx-noinit"); val src = s"$r/src"; val idx = s"$r/idx"
+    val ok = corpus()
+    TxLog.append(spark, src, ok.where("vec_id < 60"))
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true",
+      TxLog.DeletionVectors.Enabled -> "true"))
+    val at = TxLog.latestVersion(src)
+    TxLog.delete(spark, src, "vec_id % 2 = 0")
+    // all-delete window, no graph yet: plans nothing, commits nothing,
+    // and the probe check must not touch the nonexistent index table
+    val res = GraphAnnIndex.maintain(spark, src, idx, at, M)
+    assert(res.rowsApplied > 0L && !res.layoutOnlySkip)
+    assert(TxLog.latestVersion(idx) === -1L, "no index table may appear")
+  }
+
   test("a delete-only window leaves the survivors' graph searchable") {
     val r = root("gannidx-del"); val src = s"$r/src"; val idx = s"$r/idx"
     val ok = corpus()
