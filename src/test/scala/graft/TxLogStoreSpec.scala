@@ -74,6 +74,68 @@ class TxLogStoreSpec extends AnyFunSuite with SparkTestBase {
     stress(ConditionalPutLogStore, "condput")
   }
 
+  test("transformProperties is a CAS: a racing property commit composes, never overwrites") {
+    val dir = graft.Scratch.dir("graft-store-tp").toString + "/t"
+    TxLog.append(spark, dir, df(0 until 10)): Unit
+    TxLog.setProperties(dir, Map("graft.test.counter" -> "0")): Unit
+    // a concurrent writer lands 0 → 10 BETWEEN our head read and our
+    // publish: plain read-then-setProperties would retry the stale
+    // "1" onto the new head and silently erase the 10 (the lost-update
+    // anomaly the drift accumulators hit); the CAS must re-derive
+    @volatile var sneaked = false
+    val racing = new LogStore {
+      override def putIfAbsent(target: java.nio.file.Path,
+          content: Array[Byte]): Boolean = {
+        val s = new String(content, java.nio.charset.StandardCharsets.UTF_8)
+        if (!sneaked && s.contains("\"graft.test.counter\":\"1\"}")) {
+          sneaked = true
+          TxLog.setProperties(dir, Map("graft.test.counter" -> "10")): Unit
+          false // our attempt lost this version to the concurrent commit
+        } else HardLinkLogStore.putIfAbsent(target, content)
+      }
+      override def putOverwrite(target: java.nio.file.Path,
+          content: Array[Byte]): Unit =
+        HardLinkLogStore.putOverwrite(target, content)
+    }
+    withStore(racing) {
+      TxLog.transformProperties(dir) { props =>
+        Map("graft.test.counter" ->
+          (props("graft.test.counter").toLong + 1).toString)
+      }: Unit
+    }
+    assert(sneaked, "the race hook never fired")
+    assert(TxLog.snapshot(dir).props("graft.test.counter") === "11",
+      "the retry must re-derive from the sneaked head (10 + 1), not re-publish 0 + 1")
+  }
+
+  test("transformProperties under contention: every increment lands exactly once") {
+    val dir = graft.Scratch.dir("graft-store-tp2").toString + "/t"
+    TxLog.append(spark, dir, df(0 until 10)): Unit
+    TxLog.setProperties(dir, Map("graft.test.counter" -> "0")): Unit
+    val nWriters = 6; val per = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until nWriters).foreach { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          try (0 until per).foreach { _ =>
+            TxLog.transformProperties(dir) { props =>
+              Map("graft.test.counter" ->
+                (props("graft.test.counter").toLong + 1).toString)
+            }: Unit
+          } catch { case t: Throwable => errs.add(t) }
+        }
+      }): Unit
+    }
+    start.countDown(); pool.shutdown()
+    assert(pool.awaitTermination(180, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"writers failed: ${errs.peek()}")
+    assert(TxLog.snapshot(dir).props("graft.test.counter") ===
+      (nWriters * per).toString)
+  }
+
   test("the DML rebase race runs identically over the conditional-put store") {
     withStore(ConditionalPutLogStore) {
       import spark.implicits._
