@@ -50,21 +50,71 @@ object Scratch {
     * throttling inflates commit-protocol queries 1.3×, ~80 s/suite,
     * on identical code); else the JVM's default temp dir. Capacity is
     * re-probed at every root creation, not cached: a bench and a test
-    * JVM may start hours apart. */
+    * JVM may start hours apart.
+    *
+    * An EXPLICIT override that fails the probe (missing, unwritable,
+    * or under capacity) falls through to the JVM DEFAULT temp dir with
+    * a loud stderr warning — never silently to /dev/shm: an operator
+    * who pinned scratch to a disk volume precisely to keep it off RAM
+    * must not get RAM-backed scratch because of a typo or a full
+    * volume. */
   private def baseDir: Option[Path] = {
     def usable(p: Path): Boolean =
       try Files.isDirectory(p) && Files.isWritable(p) &&
         Files.getFileStore(p).getUsableSpace >= MinUsableBytes
       catch { case _: Throwable => false }
-    sys.env.get("SPARK_GRAFT_SCRATCH").map(Paths.get(_)).filter(usable)
-      .orElse(Some(Paths.get("/dev/shm")).filter(usable))
+    sys.env.get("SPARK_GRAFT_SCRATCH") match {
+      case Some(o) =>
+        val p = Paths.get(o)
+        if (usable(p)) Some(p)
+        else {
+          System.err.println(s"Scratch: SPARK_GRAFT_SCRATCH=$o is not a " +
+            s"writable directory with ${MinUsableBytes >> 30} GiB usable — " +
+            "falling back to the JVM default temp dir (NOT /dev/shm: the " +
+            "override opted out of automatic volume selection)")
+          None
+        }
+      case None => Some(Paths.get("/dev/shm")).filter(usable)
+    }
   }
+
+  /** The liveness beacon a root carries for the reaper: a daemon
+    * thread re-touches `<root>/.graft-heartbeat` every
+    * [[HeartbeatPeriodMs]], and [[install]]'s reaper skips any
+    * candidate whose heartbeat is younger than [[HeartbeatGraceMs]] —
+    * so a concurrently RUNNING other JVM (a spec suite alongside a
+    * long bench session) never loses its live scratch root to the age
+    * fuse mid-run. A killed JVM's heartbeat goes stale within the
+    * grace window and the litter reaps as before. */
+  private val HeartbeatName = ".graft-heartbeat"
+  private val HeartbeatPeriodMs = 5L * 60 * 1000
+  private val HeartbeatGraceMs = 30L * 60 * 1000
+
+  private[graft] def touchHeartbeat(root: Path): Unit =
+    try {
+      val hb = root.resolve(HeartbeatName)
+      if (!Files.exists(hb)) { Files.createFile(hb); () }
+      else { Files.setLastModifiedTime(hb,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())); () }
+    } catch { case _: Throwable => () }
+
+  private[graft] def heartbeatFresh(p: Path): Boolean =
+    try Files.getLastModifiedTime(p.resolve(HeartbeatName)).toMillis >
+      System.currentTimeMillis() - HeartbeatGraceMs
+    catch { case _: Throwable => false }
 
   private def makeRoot(prefix: String): Path = {
     val r = baseDir match {
       case Some(b) => Files.createTempDirectory(b, s"graft-$prefix-scratch")
       case None => Files.createTempDirectory(s"graft-$prefix-scratch")
     }
+    touchHeartbeat(r)
+    val beat = new Thread(() => {
+      while (true) { Thread.sleep(HeartbeatPeriodMs); touchHeartbeat(r) }
+    })
+    beat.setDaemon(true)
+    beat.setName("graft-scratch-heartbeat")
+    beat.start()
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(r)))
     r
   }
@@ -96,7 +146,7 @@ object Scratch {
       val ls = Files.list(dir)
       try ls.iterator().forEachRemaining { p =>
         val n = p.getFileName.toString
-        if (n.startsWith("graft-") && p != r &&
+        if (n.startsWith("graft-") && p != r && !heartbeatFresh(p) &&
             (try Files.getLastModifiedTime(p).toMillis < cutoff
              catch { case _: Throwable => false }))
           deleteTree(p)

@@ -61,13 +61,18 @@ object GraphAnnIndex {
     val Conf = "graft.gann.probe.conf"   // "k,beam,hops,entryCount"
     val Base = "graft.gann.probe.base"   // "hits:pairs" at enable time
     val Last = "graft.gann.probe.last"   // "hits:pairs" after last window
+    val AsOf = "graft.gann.probe.asof"   // source version the state reflects
   }
 
   /** [[recallReport]]'s verdict: probe recall in integer basis points
     * at enable time vs after the last maintained window, the drop, the
-    * surviving benchmark size, and the band verdict. */
+    * surviving benchmark size, the band verdict, and the EXHAUSTION
+    * signal — churn only ever shrinks the benchmark, and a monitor
+    * whose pair list decayed below usefulness must SAY so instead of
+    * quietly reporting the baseline forever ([[recallReport]]'s
+    * floor). */
   final case class RecallReport(baseRecallBp: Long, recallBp: Long,
-      dropBp: Long, pairs: Long, tripped: Boolean)
+      dropBp: Long, pairs: Long, tripped: Boolean, exhausted: Boolean)
 
   private def validPred = coalesce(expr(
     Similarity.validEmbExpr(graft.queries.SparkSql, "embedding")), lit(false))
@@ -324,7 +329,7 @@ object GraphAnnIndex {
     }
     if (TxLog.latestVersion(indexDir) >= 0 &&
         TxLog.snapshot(indexDir).props.contains(Probe.Conf))
-      refreshProbes(spark, srcDir, indexDir, touchedOf(last, feed))
+      refreshProbes(spark, srcDir, indexDir, to)
     MaintainResult(to, applied, layoutOnlySkip = false)
   }
 
@@ -354,7 +359,12 @@ object GraphAnnIndex {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val last = lastImages(batch, idCol).localCheckpoint(true)
-        if (last.count() > 0L) {
+        // one job: the emptiness gate AND the batch's end version (the
+        // probe cursor's upTo — bounded by the BATCH, not the source
+        // head, so a backlogged stream refreshes window-by-window
+        // against the graph state each merge produced)
+        val g8 = last.agg(count(lit(1)), max(col("_commit_version"))).head()
+        if (g8.getLong(0) > 0L) {
           val live = TxLog.read(s, srcDir)
             .select("vec_id", "embedding").localCheckpoint(true)
           val g0 = if (TxLog.latestVersion(indexDir) < 0) None
@@ -364,9 +374,14 @@ object GraphAnnIndex {
           if (!edits.isEmpty)
             TxLog.mergeClausesBatch(s, indexDir, edits, Seq("src", "dst"),
               mergeClauses, appId, batchId): Unit
+          // replay-safe by the AsOf cursor: a replayed batch (merge
+          // skipped above) finds AsOf already at its version and
+          // commits nothing — the probe plane inherits the merge's
+          // exactly-once (a probe-enabled window is merge + refresh,
+          // two commits; the REFRESH is idempotent, the merge tagged)
           if (TxLog.latestVersion(indexDir) >= 0 &&
               TxLog.snapshot(indexDir).props.contains(Probe.Conf))
-            refreshProbes(s, srcDir, indexDir, touchedOf(last, batch))
+            refreshProbes(s, srcDir, indexDir, g8.getLong(1))
         }
       }
       .option("checkpointLocation", ckptDir)
@@ -396,7 +411,8 @@ object GraphAnnIndex {
   def enableProbes(spark: SparkSession, srcDir: String, indexDir: String,
       probePred: String, k: Int, beam: Int = 8, hops: Int = 2,
       entryCount: Int = 4): Unit = {
-    val live = TxLog.read(spark, srcDir).select("vec_id", "embedding")
+    val v = TxLog.latestVersion(srcDir)
+    val live = TxLog.read(spark, srcDir, Some(v)).select("vec_id", "embedding")
       .where(validPred).localCheckpoint(true)
     val probes = live.where(probePred)
     val truth = Similarity.topK(live, probes, k).select("q_id", "vec_id")
@@ -407,25 +423,28 @@ object GraphAnnIndex {
       s"enableProbes: over 512 truth pairs — the benchmark rides the " +
         "property plane; pick a smaller probe set")
     val ids = pairs.map(_._1).distinct
-    val hits = searchHits(spark, srcDir, indexDir, ids, pairs, k, beam,
-      hops, entryCount)
+    val hits = searchHits(spark, srcDir, Some(v), indexDir, ids, pairs, k,
+      beam, hops, entryCount)
     val packed = s"$hits:${pairs.length}"
     TxLog.setProperties(indexDir, Map(
       Probe.Ids -> ids.mkString(","),
       Probe.Truth -> pairs.map(p => s"${p._1}:${p._2}").mkString(","),
       Probe.Conf -> s"$k,$beam,$hops,$entryCount",
-      Probe.Base -> packed, Probe.Last -> packed)): Unit
+      Probe.Base -> packed, Probe.Last -> packed,
+      Probe.AsOf -> v.toString)): Unit
   }
 
   /** The probes' beam-search hit count against `pairs` — cost ∝
     * |probes| · beam · degree · hops, never the corpus (the searches
     * join live vectors BY KEY to score frontier candidates; no
-    * corpus-sized scoring pass exists on this path). */
+    * corpus-sized scoring pass exists on this path). `srcVersion` pins
+    * the live view to the version the probe state reflects. */
   private def searchHits(spark: SparkSession, srcDir: String,
-      indexDir: String, ids: Seq[Long], pairs: Seq[(Long, Long)], k: Int,
-      beam: Int, hops: Int, entryCount: Int): Long = {
+      srcVersion: Option[Long], indexDir: String, ids: Seq[Long],
+      pairs: Seq[(Long, Long)], k: Int, beam: Int, hops: Int,
+      entryCount: Int): Long = {
     import spark.implicits._
-    val live = TxLog.read(spark, srcDir).select("vec_id", "embedding")
+    val live = TxLog.read(spark, srcDir, srcVersion).select("vec_id", "embedding")
     val res = GraphAnn.searchTopK(live,
       TxLog.read(spark, indexDir).select("src", "dst", "cosine"),
       live.where(col("vec_id").isin(ids: _*)), k, beam, hops, entryCount)
@@ -433,37 +452,85 @@ object GraphAnnIndex {
       .intersect(pairs.toDF("q_id", "vec_id")).count()
   }
 
-  /** Delta-maintain the probe benchmark after a window: the window's
-    * touched ids invalidate exactly the pairs they touch (a moved or
-    * departed endpoint ends its pairs' validity — surviving pairs stay
-    * genuine top-k members, since removals only promote them), then
-    * the probes re-search the maintained graph. The pair list is tiny
-    * and the touched set is delta-sized; the corpus is never
-    * rescanned. */
+  /** Delta-maintain the probe benchmark through the windows in
+    * `(Probe.AsOf, upTo]` of the SOURCE's change feed — called after a
+    * window's merge, but deriving everything from the property plane's
+    * own cursor, which buys three guarantees the old
+    * pass-the-touched-frame shape could not give:
+    *  - REPLAY-SAFE / SELF-HEALING: a replayed stream batch finds
+    *    AsOf already at its version and commits nothing; a crash
+    *    between a merge and its refresh is healed by the NEXT
+    *    window's refresh, which covers both windows' feed range.
+    *  - CAS-CORRECT: the whole derivation (invalidation, displacement,
+    *    re-search) runs INSIDE the [[TxLog.transformProperties]]
+    *    closure against the head props — a concurrent
+    *    enableProbes/refresh makes this attempt re-derive, never
+    *    silently overwrite.
+    *  - APPEND-AWARE: endpoint invalidation covers removals and moves;
+    *    an APPENDED vector near a probe displaces stored pairs from
+    *    the true top-k without touching any existing pair, so pairs a
+    *    strictly-closer new neighbor pushes below rank k are dropped
+    *    too (scored probes × changed-rows — delta-sized), keeping
+    *    "surviving pairs are genuine top-k members" true on
+    *    append-heavy feeds.
+    * Work per refresh: the tiny pair list (≤ 512 by contract) joined
+    * by key, the window's changed rows, and probe-only beam searches —
+    * no corpus-sized scoring pass, ever. */
   private def refreshProbes(spark: SparkSession, srcDir: String,
-      indexDir: String, touched: DataFrame): Unit = {
+      indexDir: String, upTo: Long): Unit = {
     import spark.implicits._
-    val props = TxLog.snapshot(indexDir).props
-    val conf = props.get(Probe.Conf).map(_.split(",").map(_.toInt))
-    if (conf.isEmpty) return
-    val Array(k, beam, hops, entryCount) = conf.get
-    val pairs0 = props.get(Probe.Truth).toSeq.flatMap(_.split(","))
-      .filter(_.nonEmpty)
-      .map { s => val p = s.split(":"); (p(0).toLong, p(1).toLong) }
-    if (pairs0.isEmpty) return
-    // distributed invalidation: the (tiny) pair list anti-joins the
-    // window's touched ids on each endpoint — touched never collects
-    val t = touched.select(col("vec_id").as("__t")).distinct()
-    val surv = pairs0.toDF("q_id", "vec_id")
-      .join(t.select(col("__t").as("q_id")), Seq("q_id"), "left_anti")
-      .join(t.select(col("__t").as("vec_id")), Seq("vec_id"), "left_anti")
-      .select("q_id", "vec_id").as[(Long, Long)].collect().toSeq.sorted
-    val hits = if (surv.isEmpty) 0L
-      else searchHits(spark, srcDir, indexDir, surv.map(_._1).distinct,
-        surv, k, beam, hops, entryCount)
-    TxLog.transformProperties(indexDir) { _ => Map(
-      Probe.Truth -> surv.map(p => s"${p._1}:${p._2}").mkString(","),
-      Probe.Last -> s"$hits:${surv.length}")
+    TxLog.transformProperties(indexDir) { props =>
+      val conf = props.get(Probe.Conf).map(_.split(",").map(_.toInt))
+      val asOf = props.get(Probe.AsOf).map(_.toLong)
+      val pairs0 = props.get(Probe.Truth).toSeq.flatMap(_.split(","))
+        .filter(_.nonEmpty)
+        .map { s => val p = s.split(":"); (p(0).toLong, p(1).toLong) }
+      if (conf.isEmpty || asOf.isEmpty || pairs0.isEmpty ||
+          upTo <= asOf.get) Map.empty
+      else {
+        val Array(k, beam, hops, entryCount) = conf.get
+        val feed = TxLog.readChangeFeed(spark, srcDir, asOf.get, Some(upTo))
+        // every vec_id the windows touched, preimages included (a
+        // re-key retires its old id through the preimage only) — a
+        // changed id ends its pairs' validity on either endpoint
+        val t = feed.select(col("vec_id")).distinct().localCheckpoint(true)
+        val survDf = pairs0.toDF("q_id", "vec_id")
+          .join(t.select(col("vec_id").as("q_id")), Seq("q_id"), "left_anti")
+          .join(t, Seq("vec_id"), "left_anti")
+        // displacement: the post-window images of the changed ids,
+        // scored against every surviving probe (|probes| × |delta| —
+        // never the corpus); a pair pushed below rank k by
+        // strictly-closer arrivals is out of the true top-k
+        val live = TxLog.read(spark, srcDir, Some(upTo))
+          .select("vec_id", "embedding").where(validPred)
+        val arrived = live.join(t, Seq("vec_id"), "left_semi")
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        val qEmb = live.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"))
+        val vEmb = live.select(col("vec_id").as("vec_id"),
+          col("embedding").as("v_emb"))
+        val scored = survDf.join(qEmb, Seq("q_id")).join(vEmb, Seq("vec_id"))
+          .selectExpr("q_id", "vec_id", "q_emb",
+            "cosine_sim(q_emb, v_emb) AS pcos")
+          .withColumn("rnk", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("pcos").desc, col("vec_id"))))
+        val closer = scored.join(broadcast(arrived),
+            col("a_id") =!= col("q_id") &&
+            (expr("cosine_sim(q_emb, a_emb)") > col("pcos") ||
+              (expr("cosine_sim(q_emb, a_emb)") === col("pcos") &&
+                col("a_id") < col("vec_id"))), "left")
+          .groupBy("q_id", "vec_id", "rnk")
+          .agg(count(col("a_id")).as("n_closer"))
+        val surv = closer.where(col("rnk") + col("n_closer") <= k)
+          .select("q_id", "vec_id").as[(Long, Long)].collect().toSeq.sorted
+        val hits = if (surv.isEmpty) 0L
+          else searchHits(spark, srcDir, Some(upTo), indexDir,
+            surv.map(_._1).distinct, surv, k, beam, hops, entryCount)
+        Map(
+          Probe.Truth -> surv.map(p => s"${p._1}:${p._2}").mkString(","),
+          Probe.Last -> s"$hits:${surv.length}",
+          Probe.AsOf -> upTo.toString)
+      }
     }: Unit
   }
 
@@ -474,9 +541,17 @@ object GraphAnnIndex {
     * enable-time baseline and trips when the drop exceeds `bandBp`.
     * O(1): a driver-side property read — zero Spark jobs, no searches
     * (the maintain/stream passes already re-searched the probes).
-    * A benchmark fully invalidated by churn (pairs = 0) reports the
-    * baseline and never trips — re-arm with [[enableProbes]]. */
-  def recallReport(indexDir: String, bandBp: Long): RecallReport = {
+    * EXHAUSTION: churn only ever shrinks the benchmark, and a
+    * benchmark fully invalidated (pairs = 0) reports the baseline and
+    * never trips — so the report flags `exhausted` when the surviving
+    * pair list has decayed below `floorPct`% of the enable-time
+    * benchmark (both sizes live in the property plane): the signal
+    * that the monitor has quietly stopped monitoring and
+    * [[enableProbes]] must re-arm it. */
+  def recallReport(indexDir: String, bandBp: Long,
+      floorPct: Int = 25): RecallReport = {
+    require(floorPct >= 0 && floorPct <= 100,
+      s"recallReport: floorPct must be in [0, 100], got $floorPct")
     val props = TxLog.snapshot(indexDir).props
     def unpack(v: Option[String]): (Long, Long) = v match {
       case Some(x) => val p = x.split(":"); (p(0).toLong, p(1).toLong)
@@ -489,6 +564,7 @@ object GraphAnnIndex {
     val baseBp = Math.floorDiv(10000L * bh, bp)
     val lastBp = if (lp == 0L) baseBp else Math.floorDiv(10000L * lh, lp)
     val drop = baseBp - lastBp
-    RecallReport(baseBp, lastBp, drop, lp, lp > 0L && drop > bandBp)
+    RecallReport(baseBp, lastBp, drop, lp, lp > 0L && drop > bandBp,
+      lp * 100L < bp * floorPct)
   }
 }

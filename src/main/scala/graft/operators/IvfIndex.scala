@@ -107,6 +107,36 @@ object IvfIndex {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** ONE job serving the emptiness gate AND the drift stats of a
+    * change set: (rows applied, upsert q_bp sum, upsert count) — the
+    * separate count-then-bpStats pair was two scheduled jobs per
+    * window, and job count × scheduling latency is the protocol
+    * family's measured bench cost (round-18 steal adjudication). */
+  private def changeStats(changes: DataFrame): (Long, Long, Long) = {
+    val r = changes.agg(
+      count(lit(1)).as("applied"),
+      coalesce(sum(when(col("__ix_act") === "upsert", col("q_bp"))),
+        lit(0L)).as("s"),
+      count(when(col("__ix_act") === "upsert", 1)).as("n")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** The drift-accumulator property rider a window's merge commit
+    * carries (see [[TxLog.mergeClauses]]' propsTransform): Last :=
+    * this window, Cum += this window — derived from the READ
+    * snapshot's props and committed atomically with the data, so (a)
+    * there is no crash window between the merge and the accumulation,
+    * (b) a concurrent maintainer's increment aborts the rebase instead
+    * of being lost, and (c) on the stream path a REPLAYED batch skips
+    * data and accumulators together — exactly-once for both. */
+  private def driftRider(w: (Long, Long)): Option[Map[String, String] => Map[String, String]] =
+    if (w._2 == 0L) None
+    else Some { props =>
+      val cum = unpackStats(props.get(Drift.Cum))
+      Map(Drift.Last -> packStats(w),
+        Drift.Cum -> packStats((cum._1 + w._1, cum._2 + w._2)))
+    }
+
   private def packStats(s: (Long, Long)): String = s"${s._1}:${s._2}"
   private def unpackStats(v: Option[String]): (Long, Long) = v match {
     case Some(x) => val p = x.split(":"); (p(0).toLong, p(1).toLong)
@@ -145,26 +175,14 @@ object IvfIndex {
       return MaintainResult(to, 0L, layoutOnlySkip = true)
     val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
     val changes = changesOf(feed, cents, idCol).localCheckpoint(true)
-    val applied = changes.count()
+    val (applied, wSum, wN) = changeStats(changes)
     if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
+    // drift accumulation rides the merge commit itself ([[driftRider]]):
+    // the window's INCOMING assignment quality, from the delta this
+    // call already scored — no extra kernels, no extra commit, no
+    // crash window between data and accumulators
     TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol),
-      mergeClausesFor(idCol)): Unit
-    // drift accumulation: the window's INCOMING assignment quality,
-    // from the delta this call already scored — no extra kernel runs
-    // (stream mode skips this to keep its one-commit-per-window pin;
-    // batch maintenance is where rebuild decisions live)
-    val w = bpStats(changes.where(col("__ix_act") === "upsert"))
-    if (w._2 > 0L) {
-      // CAS'd accumulation: the cum counters re-derive from the HEAD
-      // props on every commit attempt, so a concurrent maintainer's
-      // window is never silently overwritten (read-then-set would
-      // lose it on the retry path)
-      TxLog.transformProperties(indexDir) { props =>
-        val cum = unpackStats(props.get(Drift.Cum))
-        Map(Drift.Last -> packStats(w),
-          Drift.Cum -> packStats((cum._1 + w._1, cum._2 + w._2)))
-      }: Unit
-    }
+      mergeClausesFor(idCol), driftRider((wSum, wN))): Unit
     MaintainResult(to, applied, layoutOnlySkip = false)
   }
 
@@ -179,14 +197,12 @@ object IvfIndex {
     * kernel re-runs, zero Spark jobs (the spec pins that observable).
     * `window` = "last" (default: the most recent window — the sharp
     * signal) or "cum" (all flow since init — the smoothed one).
-    * STALENESS CAVEAT: only BATCH [[maintain]] accumulates — [[stream]]
-    * deliberately skips the property commit to keep its
-    * one-commit-per-window exactly-once pin, so on a purely
-    * stream-maintained index Last/Cum stay at the last batch-maintain
-    * values (flowN = 0 if none ever ran → the report returns the
-    * baseline and never trips). Rebuild decisions belong on the batch
-    * maintenance path; interleave one [[maintain]] per monitoring
-    * interval if the feed is otherwise all-stream. */
+    * BOTH consumption modes accumulate: batch [[maintain]] and
+    * [[stream]] ride the accumulator delta on the window's merge
+    * commit itself ([[driftRider]] via mergeClauses' propsTransform),
+    * so the one-commit-per-window pin holds AND a replayed stream
+    * batch skips data and accumulators together — a fully
+    * stream-maintained index drifts honestly. */
   def driftReport(indexDir: String, bandBp: Long,
       window: String = "last"): DriftReport = {
     require(window == "last" || window == "cum",
@@ -255,9 +271,11 @@ object IvfIndex {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val changes = changesOf(batch, cents, idCol).localCheckpoint(true)
-        if (changes.count() > 0L)
+        val (applied, wSum, wN) = changeStats(changes)
+        if (applied > 0L)
           TxLog.mergeClausesBatch(batch.sparkSession, indexDir, changes,
-            Seq(idCol), clauses, appId, batchId): Unit
+            Seq(idCol), clauses, appId, batchId,
+            driftRider((wSum, wN))): Unit
       }
       .option("checkpointLocation", ckptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

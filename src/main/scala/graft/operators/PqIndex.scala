@@ -101,6 +101,30 @@ object PqIndex {
     case None => (0L, 0L)
   }
 
+  /** ONE job serving the emptiness gate AND the drift stats of a
+    * change set: (rows applied, upsert q_units sum, upsert count) —
+    * the [[IvfIndex.changeStats]] job-count discipline. */
+  private def changeStats(changes: DataFrame): (Long, Long, Long) = {
+    val r = changes.agg(
+      count(lit(1)).as("applied"),
+      coalesce(sum(when(col("__pq_act") === "upsert", col("q_units"))),
+        lit(0L)).as("s"),
+      count(when(col("__pq_act") === "upsert", 1)).as("n")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** The drift-accumulator rider a window's merge commit carries —
+    * the [[IvfIndex.driftRider]] discipline on the PQ measure:
+    * atomic with the data, CAS-safe against concurrent maintainers,
+    * and replay-skipped together with the stream batch it rides. */
+  private def driftRider(w: (Long, Long)): Option[Map[String, String] => Map[String, String]] =
+    if (w._2 == 0L) None
+    else Some { props =>
+      val cum = unpackStats(props.get(Drift.Cum))
+      Map(Drift.Last -> packStats(w),
+        Drift.Cum -> packStats((cum._1 + w._1, cum._2 + w._2)))
+    }
+
   /** Full initial encode at the source's current version (the ONE
     * corpus-sized pass). Returns the source version the table reflects. */
   def initialize(spark: SparkSession, srcDir: String, indexDir: String,
@@ -131,23 +155,12 @@ object PqIndex {
       return MaintainResult(to, 0L, layoutOnlySkip = true)
     val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
     val changes = changesOf(feed, codebook, m, subDim, idCol).localCheckpoint(true)
-    val applied = changes.count()
+    val (applied, wSum, wN) = changeStats(changes)
     if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
+    // drift accumulation rides the merge commit ([[driftRider]]): no
+    // extra kernels, no extra commit, no crash window
     TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol),
-      mergeClausesFor(idCol)): Unit
-    // drift accumulation from the delta this call already encoded —
-    // no extra kernels (stream mode skips it: one commit per window)
-    val w = unitStats(changes.where(col("__pq_act") === "upsert"))
-    if (w._2 > 0L) {
-      // CAS'd accumulation (the IvfIndex rule): cum re-derives from
-      // the HEAD props per commit attempt — no lost updates under
-      // concurrent maintainers
-      TxLog.transformProperties(indexDir) { props =>
-        val cum = unpackStats(props.get(Drift.Cum))
-        Map(Drift.Last -> packStats(w),
-          Drift.Cum -> packStats((cum._1 + w._1, cum._2 + w._2)))
-      }: Unit
-    }
+      mergeClausesFor(idCol), driftRider((wSum, wN))): Unit
     MaintainResult(to, applied, layoutOnlySkip = false)
   }
 
@@ -156,12 +169,11 @@ object PqIndex {
     * trips when the maintained flow's average quantization distance
     * exceeds the baseline's by more than `bandUnits` micro-units. O(1):
     * reads only the accumulator properties — no corpus rescan, no
-    * kernel re-runs (no SparkSession in the signature).
-    * STALENESS CAVEAT (the [[IvfIndex.driftReport]] rule): only batch
-    * [[maintain]] accumulates — [[stream]] skips the property commit
-    * (one-commit-per-window exactly-once), so a purely stream-
-    * maintained table reports the last batch-maintain state and never
-    * trips; interleave a batch [[maintain]] per monitoring interval. */
+    * kernel re-runs (no SparkSession in the signature). BOTH
+    * consumption modes accumulate ([[IvfIndex.driftReport]]'s rule):
+    * the accumulator delta rides each window's merge commit, so the
+    * one-commit-per-window pin holds and a replayed stream batch
+    * skips data and accumulators together. */
   def driftReport(indexDir: String, bandUnits: Long,
       window: String = "last"): DriftReport = {
     require(window == "last" || window == "cum",
@@ -232,9 +244,11 @@ object PqIndex {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val changes = changesOf(batch, codebook, m, subDim, idCol)
           .localCheckpoint(true)
-        if (changes.count() > 0L)
+        val (applied, wSum, wN) = changeStats(changes)
+        if (applied > 0L)
           TxLog.mergeClausesBatch(batch.sparkSession, indexDir, changes,
-            Seq(idCol), clauses, appId, batchId): Unit
+            Seq(idCol), clauses, appId, batchId,
+            driftRider((wSum, wN))): Unit
       }
       .option("checkpointLocation", ckptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

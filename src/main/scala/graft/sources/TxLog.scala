@@ -4234,7 +4234,11 @@ object TxLog {
     * dropping the concurrent increment — the lost-update anomaly for
     * accumulator-style properties such as the index drift counters).
     * Same validation and writer-feature stamping as [[setProperties]];
-    * `f` must be pure (it re-runs per attempt). Returns the committed
+    * `f` must be pure (it re-runs per attempt). An EMPTY delta commits
+    * nothing and returns the head version `f` saw — the
+    * nothing-to-do verdict must not burn a table version (callers like
+    * the probe-refresh path re-derive their work from the head and
+    * legitimately find none). Returns the committed (or head)
     * version. */
   def transformProperties(dir: String)(
       f: Map[String, String] => Map[String, String]): Long = {
@@ -4245,6 +4249,7 @@ object TxLog {
     while (tries < maxCommitAttempts) {
       val head = headState(dir)
       val delta = f(head.props)
+      if (delta.isEmpty) return head.version
       validateProps(dir, delta)
       val stamped = impliedWriterFeatures(delta.filter(_._2.nonEmpty), Set.empty)
       val attempt = head.version + 1
@@ -5124,8 +5129,10 @@ object TxLog {
     mergeClauses(spark, dir, source, Seq(keyCol), clauses)
 
   def mergeClauses(spark: SparkSession, dir: String, source: DataFrame,
-      keyCols: Seq[String], clauses: Seq[MergeClause]): Long =
-    mergeClausesImpl(spark, dir, source, keyCols, clauses, None)
+      keyCols: Seq[String], clauses: Seq[MergeClause],
+      propsTransform: Option[Map[String, String] => Map[String, String]] = None): Long =
+    mergeClausesImpl(spark, dir, source, keyCols, clauses, None,
+      propsTransform = propsTransform)
 
   /** [[mergeClauses]] tagged with a streaming txn — the conditional
     * sibling of [[mergeBatch]]: a replayed (appId, batchId) is SKIPPED
@@ -5134,14 +5141,21 @@ object TxLog {
     * micro-batch) an exactly-once sink. Same checkpoint-loss caveat as
     * [[appendBatch]] (batchId→content determinism required); the table
     * must already exist — the clause source carries op columns that
-    * must never land, so commit 0's schema cannot be derived from it. */
+    * must never land, so commit 0's schema cannot be derived from it.
+    *
+    * `propsTransform` lets the caller ride a PROPERTY DELTA on the
+    * merge commit itself (see [[mergeClauses]]); because a replayed
+    * batch skips the whole commit, an accumulator-style rider (the
+    * index drift counters) inherits the merge's exactly-once — the
+    * one-commit-per-window discipline the stream consumers pin. */
   def mergeClausesBatch(spark: SparkSession, dir: String, source: DataFrame,
       keyCols: Seq[String], clauses: Seq[MergeClause],
-      appId: String, batchId: Long): Option[Long] = {
+      appId: String, batchId: Long,
+      propsTransform: Option[Map[String, String] => Map[String, String]] = None): Option[Long] = {
     val pre = headSnapshot(dir)
     if (pre.exists(_.txns.get(appId).exists(_ >= batchId))) return None
     Some(mergeClausesImpl(spark, dir, source, keyCols, clauses, None,
-      Some((appId, batchId))))
+      Some((appId, batchId)), propsTransform))
   }
 
   /** [[mergeClauses]] with the read version explicit — the race-test
@@ -5153,10 +5167,20 @@ object TxLog {
       readVersion: Long): Long =
     mergeClausesImpl(spark, dir, source, keyCols, clauses, Some(readVersion))
 
+  /** `propsTransform` maps the READ snapshot's property map to a
+    * property delta committed ATOMICALLY with the merge — the
+    * accumulator rider (index drift counters and kin). Safe against
+    * lost updates by [[commitDmlRebase]]'s strict props-conflict rule:
+    * any concurrent property change aborts the rebase, so a delta
+    * derived from `snap.props` can never overwrite a concurrent
+    * writer's increment. Restricted to feature-neutral keys (a delta
+    * that would imply a writer feature is refused — capability enables
+    * go through [[setProperties]], which stamps). */
   private def mergeClausesImpl(spark: SparkSession, dir: String,
       source0: DataFrame, keyCols: Seq[String], clauses: Seq[MergeClause],
       readVersionOpt: Option[Long],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      propsTransform: Option[Map[String, String] => Map[String, String]] = None): Long = {
     require(clauses.nonEmpty, "mergeClauses: at least one WHEN clause")
     require(keyCols.nonEmpty, "mergeClauses: at least one key column")
     require(keyCols.distinct == keyCols,
@@ -5540,11 +5564,27 @@ object TxLog {
         else Some(idSpecs.map { case (c, sp) =>
           Identity.HighWater + c -> (idHw(c) + sp.step * idInserted).toString
         })
+      val riderProps: Option[Map[String, String]] =
+        propsTransform.map(_(snap.props)).filter(_.nonEmpty).map { delta =>
+          validateProps(dir, delta)
+          val implied = impliedWriterFeatures(delta.filter(_._2.nonEmpty), Set.empty)
+          require(implied.isEmpty, "mergeClauses: the propsTransform rider " +
+            s"would imply writer feature(s) ${implied.mkString(", ")} — " +
+            "capability enables go through setProperties, which stamps them")
+          idProps.foreach(ip => require(ip.keySet.intersect(delta.keySet).isEmpty,
+            "mergeClauses: propsTransform rider collides with the identity " +
+              "high-water keys"))
+          delta
+        }
+      val mergedProps: Option[Map[String, String]] = (idProps, riderProps) match {
+        case (Some(a), Some(b)) => Some(a ++ b)
+        case (a, b) => a.orElse(b)
+      }
       val v = commitDmlRebase(spark, dir, "merge", snap, touched,
         removes, keepAdds ++ postAdds ++ partialAdds ++ insertAdds, cdfAdds,
         txn, if (partialAdds.nonEmpty) Some(3L) else None,
         Some((keys, keyCols)),
-        newProps = idProps,
+        newProps = mergedProps,
         winnerAddsConflict = bySource.nonEmpty,
         metrics = Map(
           "rows_matched" -> matchedCount,

@@ -232,6 +232,130 @@ class GraphAnnIndexSpec extends AnyFunSuite with SparkTestBase {
     // inside the maintain passes, not here
   }
 
+  test("append displacement: a strictly-closer arrival drops the stored truth pair") {
+    val r = root("gannprobe-app"); val src = s"$r/src"; val idx = s"$r/idx"
+    val ok = corpus().where("vec_id < 400").localCheckpoint(true)
+    val cents = ok.where("vec_id % 100 = 7")
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      .localCheckpoint(true)
+    TxLog.append(spark, src, ok)
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+    val at = GraphAnnIndex.initialize(spark, src, idx, cents, M, rounds = 1)
+    GraphAnnIndex.enableProbes(spark, src, idx, "vec_id % 37 = 2",
+      k = 3, beam = 8, hops = 3, entryCount = 4)
+    val base = GraphAnnIndex.recallReport(idx, bandBp = 1000)
+    // the probe under attack and its enable-time rank-3 truth pair —
+    // the pair a strictly-closer arrival must push out of the top-3
+    val probeId = ok.where("vec_id % 37 = 2").agg(min("vec_id")).head().getLong(0)
+    val rank3 = Similarity.topK(ok, ok.where(s"vec_id = $probeId"), 3)
+      .where("rank = 3").select("vec_id").head().getLong(0)
+    // append a CLONE of the probe's own embedding under a fresh id:
+    // cosine(q, clone) = 1 ranks ahead of every distinct neighbor, so
+    // exactly q's rank-3 pair leaves the true top-3 — an append window
+    // touches NO existing pair endpoint, which is precisely the case
+    // endpoint-only invalidation missed (round-18 advice)
+    TxLog.append(spark, src, TxLog.read(spark, src)
+      .where(s"vec_id = $probeId")
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding")))
+    GraphAnnIndex.maintain(spark, src, idx, at, M,
+      beam = 16, hops = 3, entryCount = 8, cents = Some(cents)): Unit
+    val after = GraphAnnIndex.recallReport(idx, bandBp = 1000)
+    assert(after.pairs < base.pairs,
+      s"append displaced no pair: ${base.pairs} -> ${after.pairs}")
+    // the surviving benchmark for q is exactly its top-2: rank 3 out,
+    // ranks 1-2 (one closer arrival each: rank + 1 ≤ k) retained
+    val truthProp = TxLog.snapshot(idx).props(GraphAnnIndex.Probe.Truth)
+    val qPairs = truthProp.split(",").filter(_.nonEmpty)
+      .map { s => val p = s.split(":"); (p(0).toLong, p(1).toLong) }
+      .filter(_._1 == probeId).map(_._2).toSet
+    assert(!qPairs.contains(rank3), s"displaced rank-3 pair $rank3 survived")
+    assert(qPairs.size === 2, s"expected q's top-2 to survive, got $qPairs")
+  }
+
+  test("benchmark exhaustion: churn below the floor flags; rebuild + re-arm clears") {
+    val r = root("gannprobe-exh"); val src = s"$r/src"; val idx = s"$r/idx"
+    val ok = corpus().localCheckpoint(true)
+    val cents = ok.where("vec_id % 100 = 7")
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      .localCheckpoint(true)
+    TxLog.append(spark, src, ok)
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true",
+      TxLog.DeletionVectors.Enabled -> "true"))
+    var at = TxLog.latestVersion(src)
+    TxLog.append(spark, idx, GraphAnnIndex.buildFor(ok, cents, M, rounds = 1)): Unit
+    GraphAnnIndex.enableProbes(spark, src, idx, "vec_id % 37 = 2",
+      k = 3, beam = 8, hops = 3, entryCount = 4)
+    val base = GraphAnnIndex.recallReport(idx, bandBp = 1000)
+    assert(!base.exhausted)
+    // the published lazy-repair lifecycle, multi-window: eviction-only
+    // windows accumulate decay the monitor must bound...
+    var drops = Seq.empty[Long]
+    for (m3 <- Seq(0, 1)) {
+      TxLog.delete(spark, src, s"vec_id % 3 = $m3 AND vec_id % 37 <> 2")
+      at = GraphAnnIndex.maintain(spark, src, idx, at, M, cents = Some(cents),
+        repair = false).srcVersion
+      drops :+= GraphAnnIndex.recallReport(idx, bandBp = 1000).dropBp
+    }
+    assert(drops(1) >= drops(0),
+      s"lazy decay did not accumulate across windows: $drops")
+    assert(GraphAnnIndex.recallReport(idx, bandBp = 1000).tripped,
+      "accumulated lazy decay did not trip")
+    // ...and churning the PROBES themselves exhausts the benchmark —
+    // the monitor must SAY it stopped monitoring, not report baseline
+    TxLog.delete(spark, src, "vec_id % 37 = 2 AND vec_id % 4 <> 3")
+    at = GraphAnnIndex.maintain(spark, src, idx, at, M, cents = Some(cents),
+      repair = false).srcVersion
+    val exh = GraphAnnIndex.recallReport(idx, bandBp = 1000)
+    assert(exh.pairs * 100L < base.pairs * 25L,
+      s"churn left ${exh.pairs} of ${base.pairs} pairs — test premise broken")
+    assert(exh.exhausted, "decayed benchmark not flagged exhausted")
+    // the lifecycle's repair leg: REBUILD the graph at the churned head
+    // and re-arm — the monitor returns to a full, quiet benchmark
+    val live = TxLog.read(spark, src).select("vec_id", "embedding")
+      .where(expr(Similarity.validEmbExpr(graft.queries.SparkSql, "embedding")))
+      .localCheckpoint(true)
+    TxLog.overwrite(spark, idx, GraphAnnIndex.buildFor(live, cents, M, rounds = 1)): Unit
+    GraphAnnIndex.enableProbes(spark, src, idx, "vec_id % 37 = 2",
+      k = 3, beam = 8, hops = 3, entryCount = 4)
+    val rearmed = GraphAnnIndex.recallReport(idx, bandBp = 1000)
+    assert(!rearmed.exhausted && !rearmed.tripped && rearmed.dropBp === 0L)
+    assert(rearmed.pairs > 0L)
+  }
+
+  test("streamed windows with probes enabled: refresh is replay-safe via the AsOf cursor") {
+    val r = root("gannprobe-stream"); val src = s"$r/src"; val idx = s"$r/idx"
+    val ckpt = s"$r/ckpt"
+    val ok = corpus().where("vec_id < 400").localCheckpoint(true)
+    val cents = ok.where("vec_id % 100 = 7")
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      .localCheckpoint(true)
+    TxLog.append(spark, src, ok)
+    TxLog.enableRowTracking(spark, src)
+    TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+    val at = GraphAnnIndex.initialize(spark, src, idx, cents, M, rounds = 1)
+    GraphAnnIndex.enableProbes(spark, src, idx, "vec_id % 37 = 2",
+      k = 3, beam = 8, hops = 3, entryCount = 4)
+    TxLog.update(spark, src, "vec_id % 13 = 2",
+      Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
+    val v0 = TxLog.latestVersion(idx)
+    GraphAnnIndex.stream(spark, src, idx, ckpt, at, M,
+      beam = 16, hops = 3, entryCount = 8, cents = Some(cents))
+    val v1 = TxLog.latestVersion(idx)
+    // a probe-enabled streamed window is merge + probe refresh — two
+    // commits by design (the refresh must search the POST-merge graph)
+    assert(v1 - v0 === 2L, s"expected merge + refresh, got ${v1 - v0} commits")
+    val props1 = TxLog.snapshot(idx).props
+    assert(props1(GraphAnnIndex.Probe.AsOf).toLong === TxLog.latestVersion(src))
+    GraphAnnIndex.stream(spark, src, idx, ckpt, at, M,
+      beam = 16, hops = 3, entryCount = 8, cents = Some(cents)) // replay
+    // the replayed batch skips the merge (txn tag) AND the refresh
+    // (AsOf already at the window's version): zero commits, stable props
+    assert(TxLog.latestVersion(idx) === v1, "replayed pass committed")
+    assert(TxLog.snapshot(idx).props === props1)
+  }
+
   test("a delete-only window against a never-initialized index is a clean no-op") {
     val r = root("gannidx-noinit"); val src = s"$r/src"; val idx = s"$r/idx"
     val ok = corpus()

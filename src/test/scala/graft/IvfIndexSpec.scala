@@ -165,8 +165,21 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       IvfIndex.recompute(spark, src, cents)) === 0L)
     val v = TxLog.latestVersion(idx)
     assert(v - vInit === 3L, "exactly one index commit per DML window")
+    // drift accumulators RIDE the merge commits (no extra versions —
+    // the count above just pinned that): a fully stream-maintained
+    // index drifts honestly. Cum = the two upsert-bearing windows
+    // (the delete window adds no upserts); Last = the final append.
+    val nUpd = (0L until 400L).count(_ % 9 == 4).toLong
+    val cum0 = IvfIndex.driftReport(idx, bandBp = 500, window = "cum")
+    assert(cum0.flowN === nUpd + 50L,
+      s"streamed windows did not accumulate drift: flowN ${cum0.flowN}")
+    assert(IvfIndex.driftReport(idx, bandBp = 500).flowN === 50L)
     IvfIndex.stream(spark, src, idx, ckpt, at, cents) // replay: no-op
     assert(TxLog.latestVersion(idx) === v)
+    // the replayed pass skips data AND accumulators together —
+    // exactly-once extends to the drift plane
+    assert(IvfIndex.driftReport(idx, bandBp = 500, window = "cum")
+      .flowN === nUpd + 50L, "replay double-accumulated drift")
   }
 
   test("searchTopK over the maintained index ≡ ivfTopK over the live corpus") {

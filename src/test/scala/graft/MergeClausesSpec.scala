@@ -540,4 +540,47 @@ class MergeClausesSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("conjunction of equalities"))
   }
+
+  test("propsTransform rider: accumulator delta lands IN the merge commit") {
+    import spark.implicits._
+    val dir = fresh("rider")
+    seed(dir)
+    def counterRider(n: Long): Map[String, String] => Map[String, String] =
+      props => Map("graft.test.counter" ->
+        (props.get("graft.test.counter").map(_.toLong).getOrElse(0L) + n).toString)
+    val v0 = TxLog.latestVersion(dir)
+    TxLog.mergeClauses(spark, dir,
+      Seq((3L, "A", 1.0)).toDF("id", "v", "amount"), Seq("id"),
+      Seq(WhenMatchedUpdate(None, Map("v" -> "s.v", "amount" -> "s.amount"))),
+      Some(counterRider(5L)))
+    // ONE commit carries the data and the property delta — no separate
+    // setProperties version, no crash window between them
+    assert(TxLog.latestVersion(dir) === v0 + 1)
+    assert(TxLog.snapshot(dir).props("graft.test.counter") === "5")
+    assert(state(dir)(3L) === (("A", 1.0)))
+    // a second window COMPOSES: the rider re-derives from the read
+    // snapshot's props (CAS-style — a concurrent property change would
+    // abort the rebase rather than be overwritten)
+    TxLog.mergeClauses(spark, dir,
+      Seq((4L, "B", 2.0)).toDF("id", "v", "amount"), Seq("id"),
+      Seq(WhenMatchedUpdate(None, Map("v" -> "s.v", "amount" -> "s.amount"))),
+      Some(counterRider(7L)))
+    assert(TxLog.snapshot(dir).props("graft.test.counter") === "12")
+  }
+
+  test("propsTransform rider refuses a delta that would imply a writer feature") {
+    import spark.implicits._
+    val dir = fresh("riderfeat")
+    seed(dir)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.mergeClauses(spark, dir,
+        Seq((3L, "A", 1.0)).toDF("id", "v", "amount"), Seq("id"),
+        Seq(WhenMatchedUpdate(None, Map("v" -> "s.v", "amount" -> "s.amount"))),
+        Some(_ => Map(TxLog.DeletionVectors.Enabled -> "true")))
+    }
+    assert(e.getMessage.contains("setProperties"))
+    // the refused merge left nothing behind: no data change, no props
+    assert(state(dir)(3L) === (("v3", 30.0)))
+    assert(!TxLog.snapshot(dir).props.contains(TxLog.DeletionVectors.Enabled))
+  }
 }

@@ -98,8 +98,18 @@ class PqIndexSpec extends AnyFunSuite with SparkTestBase {
       "streamed ≢ re-encoded")
     val v = TxLog.latestVersion(idx)
     assert(v - vInit === 3L, "exactly one index commit per DML window")
+    // drift accumulators ride the merge commits (the version count
+    // above pins no extra commit exists): cum = the two upsert-bearing
+    // windows, last = the final append — a fully stream-maintained
+    // code table drifts honestly
+    val nUpd = (0L until 300L).count(_ % 9 == 4).toLong
+    assert(PqIndex.driftReport(idx, bandUnits = 1000, window = "cum")
+      .flowN === nUpd + 50L, "streamed windows did not accumulate drift")
+    assert(PqIndex.driftReport(idx, bandUnits = 1000).flowN === 50L)
     PqIndex.stream(spark, src, idx, ckpt, at, cb, M, SubDim) // replay: no-op
     assert(TxLog.latestVersion(idx) === v)
+    assert(PqIndex.driftReport(idx, bandUnits = 1000, window = "cum")
+      .flowN === nUpd + 50L, "replay double-accumulated drift")
   }
 
   test("driftReport: delta-accumulated staleness signal trips on drifted flow only") {

@@ -108,6 +108,18 @@ class TxLogStoreSpec extends AnyFunSuite with SparkTestBase {
       "the retry must re-derive from the sneaked head (10 + 1), not re-publish 0 + 1")
   }
 
+  test("transformProperties with an EMPTY delta commits nothing") {
+    val dir = graft.Scratch.dir("graft-store-tp0").toString + "/t"
+    TxLog.append(spark, dir, df(0 until 10)): Unit
+    val v0 = TxLog.latestVersion(dir)
+    // the nothing-to-do verdict must not burn a table version — the
+    // probe-refresh path re-derives its work from the head and
+    // legitimately finds none (a replayed stream batch, for one)
+    val got = TxLog.transformProperties(dir)(_ => Map.empty)
+    assert(got === v0, "empty delta must return the head version")
+    assert(TxLog.latestVersion(dir) === v0, "empty delta must not commit")
+  }
+
   test("transformProperties under contention: every increment lands exactly once") {
     val dir = graft.Scratch.dir("graft-store-tp2").toString + "/t"
     TxLog.append(spark, dir, df(0 until 10)): Unit
