@@ -3041,9 +3041,10 @@ object TxQueries2 {
     // q219: INCREMENTAL IVF INDEX MAINTENANCE (IvfIndex) — the round-16
     // consumer closing "ANN indexes are rebuild-only": the posting
     // table is a TxLog table keyed by the source's tracked row id and
-    // maintained from the change feed, across an embedding UPDATE
-    // (vectors move cells), a full OPTIMIZE rewrite, a merge-on-read
-    // DELETE, and a late ingest window. Pinned into the hash: the
+    // maintained from the change feed, across ONE window carrying an
+    // embedding UPDATE (vectors move cells) + a merge-on-read DELETE
+    // (the r18-verdict window consolidation), a full OPTIMIZE rewrite,
+    // and a late ingest window. Pinned into the hash: the
     // final cell assignment (an integer checksum over cell×vec_id —
     // the DuckDB oracle replays the argmax-cosine quantizer on the
     // final corpus), the maintained ≡ rebuilt diff, per-window
@@ -3067,16 +3068,20 @@ object TxQueries2 {
       (0 until 3).foreach(b => TxLog.append(s, src,
         ok.where(s"vec_id % 10 < 8 AND vec_id % 3 = $b").coalesce(1)))
       TxLog.enableRowTracking(s, src)
-      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true",
+        TxLog.DeletionVectors.Enabled -> "true"))
       var at = IvfIndex.initialize(s, src, idx, cents)
+      // ONE window carries the cell-moving UPDATE and the DV DELETE
+      // (the r18-verdict restructure: both change kinds kept, one
+      // fewer maintain pass) — last-image-per-id dispatches each row
+      // to exactly one of upsert/delete
       TxLog.update(s, src, "vec_id % 11 = 3",
         Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
-      val rUpd = IvfIndex.maintain(s, src, idx, at, cents); at = rUpd.srcVersion
+      TxLog.delete(s, src, "vec_id % 5 = 2")
+      val rUpDel = IvfIndex.maintain(s, src, idx, at, cents)
+      at = rUpDel.srcVersion
       TxLog.optimize(s, src)
       val rOpt = IvfIndex.maintain(s, src, idx, at, cents); at = rOpt.srcVersion
-      TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
-      TxLog.delete(s, src, "vec_id % 5 = 2")
-      val rDel = IvfIndex.maintain(s, src, idx, at, cents); at = rDel.srcVersion
       TxLog.append(s, src, ok.where("vec_id % 10 >= 8"))
       val rApp = IvfIndex.maintain(s, src, idx, at, cents)
       val got = TxLog.read(s, idx)
@@ -3091,8 +3096,7 @@ object TxQueries2 {
         .withColumn("matches_rebuild", lit(matches))
         .withColumn("optimize_skipped", lit(if (rOpt.layoutOnlySkip) 1L else 0L))
         .withColumn("optimize_rows_applied", lit(rOpt.rowsApplied))
-        .withColumn("update_rows_applied", lit(rUpd.rowsApplied))
-        .withColumn("delete_rows_applied", lit(rDel.rowsApplied))
+        .withColumn("updel_rows_applied", lit(rUpDel.rowsApplied))
         .withColumn("append_rows_applied", lit(rApp.rowsApplied))
     }, {
       val d = DuckSql
@@ -3125,8 +3129,8 @@ object TxQueries2 {
                       CAST(1 AS BIGINT) AS matches_rebuild,
                       CAST(1 AS BIGINT) AS optimize_skipped,
                       CAST(0 AS BIGINT) AS optimize_rows_applied,
-                      (SELECT count(*) FROM base WHERE vec_id % 11 = 3) AS update_rows_applied,
-                      (SELECT count(*) FROM base WHERE vec_id % 5 = 2) AS delete_rows_applied,
+                      (SELECT count(*) FROM base
+                       WHERE vec_id % 11 = 3 OR vec_id % 5 = 2) AS updel_rows_applied,
                       (SELECT count(*) FROM late) AS append_rows_applied
                FROM assigned""")
     }),
@@ -3246,8 +3250,17 @@ object TxQueries2 {
     // the delta is ever re-encoded). Pinned into the hash: the final
     // code assignment (an integer checksum over vec_id × subspace ×
     // code the DuckDB oracle replays with the exact subL2 argmin CTEs),
-    // maintained ≡ re-encoded, per-window rows_applied, and the
-    // zero-read OPTIMIZE skip.
+    // maintained ≡ re-encoded, per-window rows_applied, the zero-read
+    // OPTIMIZE skip, and — new in r19 — the STREAMED drift
+    // accumulators: each window's encode quality rides its merge
+    // commit (one commit per window holds; a replayed pass skips data
+    // AND accumulators together), so the cum/last counters pinned
+    // AFTER the replay pass prove a fully-streamed table drifts
+    // honestly and exactly once — the oracle re-derives both counts
+    // from its own CTEs. The update and delete arrive in ONE
+    // maintenance window (the sanctioned q227-restructure shape: both
+    // change kinds kept, one fewer maintain pass) — last-image-per-id
+    // dispatches each row to exactly one of upsert/delete.
     QuerySpec("q223_ann_pq_incremental", { (s, dir) =>
       import graft.operators.{PqIndex, Similarity}
       val root = graft.Scratch.dir("graft-q223").toString
@@ -3268,16 +3281,18 @@ object TxQueries2 {
       (0 until 3).foreach(b => TxLog.append(s, src,
         ok.where(s"vec_id % 10 < 8 AND vec_id % 3 = $b").coalesce(1)))
       TxLog.enableRowTracking(s, src)
-      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true",
+        TxLog.DeletionVectors.Enabled -> "true"))
       var at = PqIndex.initialize(s, src, idx, cb, 4, 16)
+      // ONE window carries the embedding-flip UPDATE and the DV DELETE
+      // (a row hit by both resolves to its last image — delete wins)
       TxLog.update(s, src, "vec_id % 11 = 3",
         Map("embedding" -> "transform(embedding, x -> CAST(-x AS FLOAT))"))
-      val rUpd = PqIndex.maintain(s, src, idx, at, cb, 4, 16); at = rUpd.srcVersion
+      TxLog.delete(s, src, "vec_id % 5 = 2")
+      val rUpDel = PqIndex.maintain(s, src, idx, at, cb, 4, 16)
+      at = rUpDel.srcVersion
       TxLog.optimize(s, src)
       val rOpt = PqIndex.maintain(s, src, idx, at, cb, 4, 16); at = rOpt.srcVersion
-      TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
-      TxLog.delete(s, src, "vec_id % 5 = 2")
-      val rDel = PqIndex.maintain(s, src, idx, at, cb, 4, 16); at = rDel.srcVersion
       TxLog.append(s, src, ok.where("vec_id % 10 >= 8"))
       val rApp = PqIndex.maintain(s, src, idx, at, cb, 4, 16)
       at = rApp.srcVersion
@@ -3293,6 +3308,12 @@ object TxQueries2 {
       val streamCommits = TxLog.latestVersion(idx) - vIdx0
       PqIndex.stream(s, src, idx, ckpt, at, cb, 4, 16)
       val noopCommits = TxLog.latestVersion(idx) - vIdx0 - streamCommits
+      // drift counters read AFTER the replay pass: cum = every upsert
+      // across the three upsert-bearing windows (streamed one
+      // included), last = the streamed window — a double-accumulating
+      // replay or a stream-blind accumulator both break these pins
+      val drCum = PqIndex.driftReport(idx, 1000L, window = "cum")
+      val drLast = PqIndex.driftReport(idx, 1000L)
       val got = TxLog.read(s, idx)
         .select("_row_id", "vec_id", "codes", "q_units").localCheckpoint(true)
       val want = PqIndex.recompute(s, src, cb, 4, 16)
@@ -3304,11 +3325,12 @@ object TxQueries2 {
         .withColumn("matches_rebuild", lit(matches))
         .withColumn("optimize_skipped", lit(if (rOpt.layoutOnlySkip) 1L else 0L))
         .withColumn("optimize_rows_applied", lit(rOpt.rowsApplied))
-        .withColumn("update_rows_applied", lit(rUpd.rowsApplied))
-        .withColumn("delete_rows_applied", lit(rDel.rowsApplied))
+        .withColumn("updel_rows_applied", lit(rUpDel.rowsApplied))
         .withColumn("append_rows_applied", lit(rApp.rowsApplied))
         .withColumn("stream_commits", lit(streamCommits))
         .withColumn("noop_pass_commits", lit(noopCommits))
+        .withColumn("drift_cum_n", lit(drCum.flowN))
+        .withColumn("drift_last_n", lit(drLast.flowN))
     }, {
       val d = DuckSql
       def sub(a: String, b: String) =
@@ -3351,11 +3373,16 @@ object TxQueries2 {
                       CAST(1 AS BIGINT) AS matches_rebuild,
                       CAST(1 AS BIGINT) AS optimize_skipped,
                       CAST(0 AS BIGINT) AS optimize_rows_applied,
-                      (SELECT count(*) FROM base WHERE vec_id % 11 = 3) AS update_rows_applied,
-                      (SELECT count(*) FROM base WHERE vec_id % 5 = 2) AS delete_rows_applied,
+                      (SELECT count(*) FROM base
+                       WHERE vec_id % 11 = 3 OR vec_id % 5 = 2) AS updel_rows_applied,
                       (SELECT count(*) FROM late) AS append_rows_applied,
                       CAST(1 AS BIGINT) AS stream_commits,
-                      CAST(0 AS BIGINT) AS noop_pass_commits
+                      CAST(0 AS BIGINT) AS noop_pass_commits,
+                      (SELECT count(*) FROM base
+                       WHERE vec_id % 11 = 3 AND vec_id % 5 <> 2)
+                        + (SELECT count(*) FROM late)
+                        + (SELECT count(*) FROM fin0 WHERE vec_id % 19 = 6) AS drift_cum_n,
+                      (SELECT count(*) FROM fin0 WHERE vec_id % 19 = 6) AS drift_last_n
                FROM codes""")
     }),
 
@@ -3365,14 +3392,15 @@ object TxQueries2 {
     // byte-wise), so the gate pins INVARIANT and RECALL FACTS instead
     // of edge bytes: dead-edge counts (edges ⊆ live×live) the oracle
     // states as 0 — which is exactly what fails if an eviction misses,
-    // including the re-key window where the retiring id exists ONLY in
+    // including the re-key case where the retiring id exists ONLY in
     // the UPDATE preimage; every appended and every surviving re-keyed
     // node wired in (counts the oracle re-derives from its own CTE
-    // replay of the six windows — the LAST arriving hands-free through
-    // GraphAnnIndex.stream with its one-commit/replay-noop pins in the
-    // hash, closing the one family-stream path the oracle didn't
-    // gate); the degree cap; the zero-read
-    // OPTIMIZE skip; per-window rows_applied; the EXACT brute-force
+    // replay of the windows — move+rekey+delete CONSOLIDATED into one
+    // window per the r18-verdict restructure, then the layout-only
+    // OPTIMIZE, the late append, and the LAST window arriving
+    // hands-free through GraphAnnIndex.stream with its
+    // one-commit/replay-noop pins in the hash); the degree cap; the
+    // zero-read OPTIMIZE skip; per-window rows_applied; the EXACT brute-force
     // top-3 truth as an order-insensitive checksum both engines compute
     // independently (exact cosine, vec_id tie-break); and the recall
     // claims — maintained ≥ 3/5 of truth and within 10 points of a
@@ -3403,28 +3431,30 @@ object TxQueries2 {
       (0 until 3).foreach(b => TxLog.append(s, src,
         ok.where(s"vec_id % 10 < 8 AND vec_id % 3 = $b").coalesce(1)))
       TxLog.enableRowTracking(s, src)
-      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true",
+        TxLog.DeletionVectors.Enabled -> "true"))
       var at = GraphAnnIndex.initialize(s, src, idx, cents, gM, rounds = 1)
-      // ONE update window carries both update behaviors (the sanctioned
-      // weight shape — every behavior kept, one fewer window): an
-      // embedding MOVE (vec_id % 13 = 2 flips sign) and a RE-KEY under
-      // the same tracked row id (vec_id % 17 = 5 gets +100000) — the
-      // re-keyed id retires through the UPDATE PREIMAGE, which is
-      // exactly what post-image-only eviction would miss
+      // ONE window carries all three DML behaviors (the r18-verdict
+      // restructure: every behavior kept, one fewer maintain pass —
+      // the q227 27.6→12.9 s template): an embedding MOVE (vec_id %
+      // 13 = 2 flips sign), a RE-KEY under the same tracked row id
+      // (vec_id % 17 = 5 gets +100000) — the re-keyed id retires
+      // through the UPDATE PREIMAGE, which is exactly what
+      // post-image-only eviction would miss — and a DV DELETE over
+      // the post-rekey ids (a row re-keyed AND deleted resolves to
+      // its last image; its OLD id still evicts via the preimage)
       TxLog.update(s, src, "vec_id % 13 = 2 OR vec_id % 17 = 5", Map(
         "embedding" -> ("CASE WHEN vec_id % 13 = 2 THEN " +
           "transform(embedding, x -> CAST(-x AS FLOAT)) ELSE embedding END"),
         "vec_id" -> ("CASE WHEN vec_id % 17 = 5 THEN vec_id + 100000 " +
           "ELSE vec_id END")))
-      val rUpd = GraphAnnIndex.maintain(s, src, idx, at, gM,
-        beam = 32, hops = 3, entryCount = 8, cents = Some(cents)); at = rUpd.srcVersion
+      TxLog.delete(s, src, "vec_id % 7 = 3")
+      val rUpDel = GraphAnnIndex.maintain(s, src, idx, at, gM,
+        beam = 32, hops = 3, entryCount = 8, cents = Some(cents))
+      at = rUpDel.srcVersion
       TxLog.optimize(s, src)
       val rOpt = GraphAnnIndex.maintain(s, src, idx, at, gM,
         cents = Some(cents)); at = rOpt.srcVersion
-      TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
-      TxLog.delete(s, src, "vec_id % 7 = 3")
-      val rDel = GraphAnnIndex.maintain(s, src, idx, at, gM,
-        cents = Some(cents)); at = rDel.srcVersion
       TxLog.append(s, src, ok.where("vec_id % 10 >= 8"))
       val rApp = GraphAnnIndex.maintain(s, src, idx, at, gM,
         beam = 32, hops = 3, entryCount = 8, cents = Some(cents))
@@ -3488,8 +3518,7 @@ object TxQueries2 {
         .withColumn("recall_slack_ok",
           lit(if (10L * (rebuiltHits - maintainedHits) <= truthPairs) 1L else 0L))
         .withColumn("optimize_skipped", lit(if (rOpt.layoutOnlySkip) 1L else 0L))
-        .withColumn("update_rows_applied", lit(rUpd.rowsApplied))
-        .withColumn("delete_rows_applied", lit(rDel.rowsApplied))
+        .withColumn("updel_rows_applied", lit(rUpDel.rowsApplied))
         .withColumn("append_rows_applied", lit(rApp.rowsApplied))
         .withColumn("stream_commits", lit(streamCommits))
         .withColumn("noop_pass_commits", lit(noopCommits))
@@ -3541,8 +3570,9 @@ object TxQueries2 {
                       CAST(1 AS BIGINT) AS recall_slack_ok,
                       CAST(1 AS BIGINT) AS optimize_skipped,
                       (SELECT count(*) FROM base
-                       WHERE vec_id % 13 = 2 OR vec_id % 17 = 5) AS update_rows_applied,
-                      (SELECT count(*) FROM rekeyed WHERE vec_id % 7 = 3) AS delete_rows_applied,
+                       WHERE vec_id % 13 = 2 OR vec_id % 17 = 5
+                          OR (CASE WHEN vec_id % 17 = 5 THEN vec_id + 100000
+                              ELSE vec_id END) % 7 = 3) AS updel_rows_applied,
                       (SELECT count(*) FROM late) AS append_rows_applied,
                       CAST(1 AS BIGINT) AS stream_commits,
                       CAST(0 AS BIGINT) AS noop_pass_commits
@@ -3677,7 +3707,11 @@ object TxQueries2 {
     // and MUST trip. Pinned into the hash: the benchmark sizes before/
     // after (the oracle re-derives them from its own truth CTE — exact
     // cosine top-3, id tie-break, endpoint-survival filter), identical
-    // shrinkage across both modes, and the three band verdicts.
+    // shrinkage across both modes, the three band verdicts, and (r19)
+    // the EXHAUSTION leg: a second eviction window churns three
+    // quarters of the probes away, the surviving benchmark drops below
+    // recallReport's 25% floor, and the exhausted flag must trip while
+    // the window-1 verdicts, captured before it, stay pinned unchanged.
     QuerySpec("q227_ann_graph_recall_monitor", { (s, dir) =>
       import graft.operators.{GraphAnnIndex, Similarity}
       val root = graft.Scratch.dir("graft-q227").toString
@@ -3712,14 +3746,24 @@ object TxQueries2 {
       TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
       TxLog.delete(s, src, "vec_id % 3 IN (0, 1) AND vec_id % 37 <> 2")
       GraphAnnIndex.maintain(s, src, idxR, at, gM, cents = Some(cents)): Unit
-      GraphAnnIndex.maintain(s, src, idxL, at, gM, cents = Some(cents),
-        repair = false): Unit
+      val atL = GraphAnnIndex.maintain(s, src, idxL, at, gM,
+        cents = Some(cents), repair = false).srcVersion
       val rR = GraphAnnIndex.recallReport(idxR, band)
       val rL = GraphAnnIndex.recallReport(idxL, band)
       // (measured at close, band 1000 bp: base recall 6190/6190/8235 bp
       // at sf0.001/0.01/0.1; lazy drop 1815/3690/2941 — trips with
       // ≥1.8× margin; repaired drop −3810/−3185/0 — holds with a full
       // band of distance; base floor 4000 holds with ≥1.5×)
+      // CHURN-TO-EXHAUSTION (r19): a second eviction window deletes
+      // three quarters of the PROBES themselves — the benchmark decays
+      // below recallReport's 25% floor and the monitor must SAY it
+      // stopped monitoring (exhausted flag) instead of quietly
+      // reporting the baseline forever; the window-1 verdicts above
+      // are captured before it and stay pinned unchanged
+      TxLog.delete(s, src, "vec_id % 37 = 2 AND vec_id % 4 <> 3")
+      GraphAnnIndex.maintain(s, src, idxL, atL, gM, cents = Some(cents),
+        repair = false): Unit
+      val rExh = GraphAnnIndex.recallReport(idxL, band)
       s.range(1).select(
         lit(base.pairs).as("truth_pairs_init"),
         lit(rR.pairs).as("repaired_pairs"),
@@ -3728,7 +3772,11 @@ object TxQueries2 {
         lit(if (base.tripped) 1L else 0L).as("base_tripped"),
         lit(if (rR.tripped) 1L else 0L).as("repaired_tripped"),
         lit(if (rL.tripped) 1L else 0L).as("lazy_tripped"),
-        lit(if (rL.dropBp > rR.dropBp) 1L else 0L).as("lazy_decays_more"))
+        lit(if (rL.dropBp > rR.dropBp) 1L else 0L).as("lazy_decays_more"),
+        lit(if (base.exhausted || rR.exhausted || rL.exhausted) 1L else 0L)
+          .as("pre_exhausted"),
+        lit(rExh.pairs).as("churned_pairs"),
+        lit(if (rExh.exhausted) 1L else 0L).as("churned_exhausted"))
     }, {
       val d = DuckSql
       def cos(a: String, b: String) =
@@ -3747,7 +3795,12 @@ object TxQueries2 {
                                        ORDER BY cosine DESC, vec_id) AS rn
                            FROM scored) WHERE rn <= 3),
                surv AS (SELECT q_id, vec_id FROM truth
-                        WHERE vec_id % 37 = 2 OR vec_id % 3 = 2)
+                        WHERE vec_id % 37 = 2 OR vec_id % 3 = 2),
+               surv2 AS (SELECT q_id, vec_id FROM surv
+                         WHERE q_id % 4 = 3
+                           AND (CASE WHEN vec_id % 37 = 2
+                                THEN vec_id % 4 = 3
+                                ELSE vec_id % 3 = 2 END))
                SELECT count(*) AS truth_pairs_init,
                       (SELECT count(*) FROM surv) AS repaired_pairs,
                       (SELECT count(*) FROM surv) AS lazy_pairs,
@@ -3755,7 +3808,10 @@ object TxQueries2 {
                       CAST(0 AS BIGINT) AS base_tripped,
                       CAST(0 AS BIGINT) AS repaired_tripped,
                       CAST(1 AS BIGINT) AS lazy_tripped,
-                      CAST(1 AS BIGINT) AS lazy_decays_more
+                      CAST(1 AS BIGINT) AS lazy_decays_more,
+                      CAST(0 AS BIGINT) AS pre_exhausted,
+                      (SELECT count(*) FROM surv2) AS churned_pairs,
+                      CAST(1 AS BIGINT) AS churned_exhausted
                FROM truth""")
     }),
 
