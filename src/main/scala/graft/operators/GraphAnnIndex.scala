@@ -309,28 +309,38 @@ object GraphAnnIndex {
     if (!TxLog.hasRowChanges(srcDir, fromExclusive, to))
       return MaintainResult(to, 0L, layoutOnlySkip = true)
     val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
-    val last = lastImages(feed, idCol).localCheckpoint(true)
-    val applied = last.count()
-    if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
+    // cache, not localCheckpoint, for the two window frames whose
+    // lineage is pinned to immutable versions (the CDF range and the
+    // version-`to` snapshot): recompute-on-eviction is deterministic,
+    // the counts/first-uses materialize them, and each dropped eager
+    // checkpoint is one fewer scheduled job per window (job count ×
+    // scheduling latency is the protocol family's bench cost).
+    // planEdits' own intermediates keep their checkpoints — they view
+    // the INDEX table, which this window's merge mutates.
+    val last = lastImages(feed, idCol).cache()
     val live = TxLog.read(spark, srcDir, Some(to))
-      .select("vec_id", "embedding").localCheckpoint(true)
-    val g0 = if (TxLog.latestVersion(indexDir) < 0) None
-      else Some(TxLog.read(spark, indexDir).select("src", "dst", "cosine"))
-    val edits = planEdits(last, feed, live, g0, m, beam, hops, entryCount,
-      idCol, cents, repair).localCheckpoint(true)
-    if (!edits.isEmpty) {
-      if (g0.isEmpty)
-        TxLog.append(spark, indexDir,
-          edits.where(col("__ga_act") === "upsert")
-            .select("src", "dst", "cosine")): Unit
-      else
-        TxLog.mergeClauses(spark, indexDir, edits, Seq("src", "dst"),
-          mergeClauses): Unit
-    }
-    if (TxLog.latestVersion(indexDir) >= 0 &&
-        TxLog.snapshot(indexDir).props.contains(Probe.Conf))
-      refreshProbes(spark, srcDir, indexDir, to)
-    MaintainResult(to, applied, layoutOnlySkip = false)
+      .select("vec_id", "embedding").cache()
+    try {
+      val applied = last.count()
+      if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
+      val g0 = if (TxLog.latestVersion(indexDir) < 0) None
+        else Some(TxLog.read(spark, indexDir).select("src", "dst", "cosine"))
+      val edits = planEdits(last, feed, live, g0, m, beam, hops, entryCount,
+        idCol, cents, repair).localCheckpoint(true)
+      if (!edits.isEmpty) {
+        if (g0.isEmpty)
+          TxLog.append(spark, indexDir,
+            edits.where(col("__ga_act") === "upsert")
+              .select("src", "dst", "cosine")): Unit
+        else
+          TxLog.mergeClauses(spark, indexDir, edits, Seq("src", "dst"),
+            mergeClauses): Unit
+      }
+      if (TxLog.latestVersion(indexDir) >= 0 &&
+          TxLog.snapshot(indexDir).props.contains(Probe.Conf))
+        refreshProbes(spark, srcDir, indexDir, to)
+      MaintainResult(to, applied, layoutOnlySkip = false)
+    } finally { last.unpersist(false); live.unpersist(false); () }
   }
 
   /** HANDS-FREE maintenance — the [[IvfIndex.stream]] symmetry for the
@@ -358,31 +368,34 @@ object GraphAnnIndex {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val last = lastImages(batch, idCol).localCheckpoint(true)
-        // one job: the emptiness gate AND the batch's end version (the
-        // probe cursor's upTo — bounded by the BATCH, not the source
-        // head, so a backlogged stream refreshes window-by-window
-        // against the graph state each merge produced)
-        val g8 = last.agg(count(lit(1)), max(col("_commit_version"))).head()
-        if (g8.getLong(0) > 0L) {
-          val live = TxLog.read(s, srcDir)
-            .select("vec_id", "embedding").localCheckpoint(true)
-          val g0 = if (TxLog.latestVersion(indexDir) < 0) None
-            else Some(TxLog.read(s, indexDir).select("src", "dst", "cosine"))
-          val edits = planEdits(last, batch, live, g0, m, beam, hops,
-            entryCount, idCol, cents).localCheckpoint(true)
-          if (!edits.isEmpty)
-            TxLog.mergeClausesBatch(s, indexDir, edits, Seq("src", "dst"),
-              mergeClauses, appId, batchId): Unit
-          // replay-safe by the AsOf cursor: a replayed batch (merge
-          // skipped above) finds AsOf already at its version and
-          // commits nothing — the probe plane inherits the merge's
-          // exactly-once (a probe-enabled window is merge + refresh,
-          // two commits; the REFRESH is idempotent, the merge tagged)
-          if (TxLog.latestVersion(indexDir) >= 0 &&
-              TxLog.snapshot(indexDir).props.contains(Probe.Conf))
-            refreshProbes(s, srcDir, indexDir, g8.getLong(1))
-        }
+        // cache + one agg job serving the emptiness gate AND the
+        // batch's end version (the probe cursor's upTo — bounded by
+        // the BATCH, not the source head, so a backlogged stream
+        // refreshes window-by-window against the graph state each
+        // merge produced) — the [[maintain]] job discipline
+        val last = lastImages(batch, idCol).cache()
+        val live = TxLog.read(s, srcDir, Some(TxLog.latestVersion(srcDir)))
+          .select("vec_id", "embedding").cache()
+        try {
+          val g8 = last.agg(count(lit(1)), max(col("_commit_version"))).head()
+          if (g8.getLong(0) > 0L) {
+            val g0 = if (TxLog.latestVersion(indexDir) < 0) None
+              else Some(TxLog.read(s, indexDir).select("src", "dst", "cosine"))
+            val edits = planEdits(last, batch, live, g0, m, beam, hops,
+              entryCount, idCol, cents).localCheckpoint(true)
+            if (!edits.isEmpty)
+              TxLog.mergeClausesBatch(s, indexDir, edits, Seq("src", "dst"),
+                mergeClauses, appId, batchId): Unit
+            // replay-safe by the AsOf cursor: a replayed batch (merge
+            // skipped above) finds AsOf already at its version and
+            // commits nothing — the probe plane inherits the merge's
+            // exactly-once (a probe-enabled window is merge + refresh,
+            // two commits; the REFRESH is idempotent, the merge tagged)
+            if (TxLog.latestVersion(indexDir) >= 0 &&
+                TxLog.snapshot(indexDir).props.contains(Probe.Conf))
+              refreshProbes(s, srcDir, indexDir, g8.getLong(1))
+          }
+        } finally { last.unpersist(false); live.unpersist(false); () }
       }
       .option("checkpointLocation", ckptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -174,16 +174,25 @@ object IvfIndex {
     if (!TxLog.hasRowChanges(srcDir, fromExclusive, to))
       return MaintainResult(to, 0L, layoutOnlySkip = true)
     val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
-    val changes = changesOf(feed, cents, idCol).localCheckpoint(true)
-    val (applied, wSum, wN) = changeStats(changes)
-    if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
-    // drift accumulation rides the merge commit itself ([[driftRider]]):
-    // the window's INCOMING assignment quality, from the delta this
-    // call already scored — no extra kernels, no extra commit, no
-    // crash window between data and accumulators
-    TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol),
-      mergeClausesFor(idCol), driftRider((wSum, wN))): Unit
-    MaintainResult(to, applied, layoutOnlySkip = false)
+    // cache, not localCheckpoint: the change set's lineage is pinned to
+    // an immutable CDF range of the SOURCE (recompute-on-eviction is
+    // deterministic), [[changeStats]] materializes it in the same job
+    // it was going to run anyway, and the merge's own scratch staging
+    // is the second and last read — one fewer eager job per window
+    // (job count × scheduling latency is the protocol family's bench
+    // cost; round-18 steal adjudication)
+    val changes = changesOf(feed, cents, idCol).cache()
+    try {
+      val (applied, wSum, wN) = changeStats(changes)
+      if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
+      // drift accumulation rides the merge commit itself
+      // ([[driftRider]]): the window's INCOMING assignment quality,
+      // from the delta this call already scored — no extra kernels, no
+      // extra commit, no crash window between data and accumulators
+      TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol),
+        mergeClausesFor(idCol), driftRider((wSum, wN))): Unit
+      MaintainResult(to, applied, layoutOnlySkip = false)
+    } finally { changes.unpersist(false); () }
   }
 
   /** Is the frozen quantizer STALE for the data now arriving? Compares
@@ -270,12 +279,15 @@ object IvfIndex {
       .load()
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val changes = changesOf(batch, cents, idCol).localCheckpoint(true)
-        val (applied, wSum, wN) = changeStats(changes)
-        if (applied > 0L)
-          TxLog.mergeClausesBatch(batch.sparkSession, indexDir, changes,
-            Seq(idCol), clauses, appId, batchId,
-            driftRider((wSum, wN))): Unit
+        // cache + stats-materialize, the [[maintain]] job discipline
+        val changes = changesOf(batch, cents, idCol).cache()
+        try {
+          val (applied, wSum, wN) = changeStats(changes)
+          if (applied > 0L)
+            TxLog.mergeClausesBatch(batch.sparkSession, indexDir, changes,
+              Seq(idCol), clauses, appId, batchId,
+              driftRider((wSum, wN))): Unit
+        } finally { changes.unpersist(false); () }
       }
       .option("checkpointLocation", ckptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
