@@ -309,38 +309,32 @@ object GraphAnnIndex {
     if (!TxLog.hasRowChanges(srcDir, fromExclusive, to))
       return MaintainResult(to, 0L, layoutOnlySkip = true)
     val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
-    // cache, not localCheckpoint, for the two window frames whose
-    // lineage is pinned to immutable versions (the CDF range and the
-    // version-`to` snapshot): recompute-on-eviction is deterministic,
-    // the counts/first-uses materialize them, and each dropped eager
-    // checkpoint is one fewer scheduled job per window (job count ×
-    // scheduling latency is the protocol family's bench cost).
-    // planEdits' own intermediates keep their checkpoints — they view
-    // the INDEX table, which this window's merge mutates.
-    val last = lastImages(feed, idCol).cache()
+    // localCheckpoint, not cache: these frames carry embedding arrays,
+    // and DataFrame caching pays columnar encode/decode on array
+    // columns where the checkpoint stores raw rows (measured slower
+    // suite-wide when cache was tried — r19 run 1)
+    val last = lastImages(feed, idCol).localCheckpoint(true)
+    val applied = last.count()
+    if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
     val live = TxLog.read(spark, srcDir, Some(to))
-      .select("vec_id", "embedding").cache()
-    try {
-      val applied = last.count()
-      if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
-      val g0 = if (TxLog.latestVersion(indexDir) < 0) None
-        else Some(TxLog.read(spark, indexDir).select("src", "dst", "cosine"))
-      val edits = planEdits(last, feed, live, g0, m, beam, hops, entryCount,
-        idCol, cents, repair).localCheckpoint(true)
-      if (!edits.isEmpty) {
-        if (g0.isEmpty)
-          TxLog.append(spark, indexDir,
-            edits.where(col("__ga_act") === "upsert")
-              .select("src", "dst", "cosine")): Unit
-        else
-          TxLog.mergeClauses(spark, indexDir, edits, Seq("src", "dst"),
-            mergeClauses): Unit
-      }
-      if (TxLog.latestVersion(indexDir) >= 0 &&
-          TxLog.snapshot(indexDir).props.contains(Probe.Conf))
-        refreshProbes(spark, srcDir, indexDir, to)
-      MaintainResult(to, applied, layoutOnlySkip = false)
-    } finally { last.unpersist(false); live.unpersist(false); () }
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val g0 = if (TxLog.latestVersion(indexDir) < 0) None
+      else Some(TxLog.read(spark, indexDir).select("src", "dst", "cosine"))
+    val edits = planEdits(last, feed, live, g0, m, beam, hops, entryCount,
+      idCol, cents, repair).localCheckpoint(true)
+    if (!edits.isEmpty) {
+      if (g0.isEmpty)
+        TxLog.append(spark, indexDir,
+          edits.where(col("__ga_act") === "upsert")
+            .select("src", "dst", "cosine")): Unit
+      else
+        TxLog.mergeClauses(spark, indexDir, edits, Seq("src", "dst"),
+          mergeClauses): Unit
+    }
+    if (TxLog.latestVersion(indexDir) >= 0 &&
+        TxLog.snapshot(indexDir).props.contains(Probe.Conf))
+      refreshProbes(spark, srcDir, indexDir, to)
+    MaintainResult(to, applied, layoutOnlySkip = false)
   }
 
   /** HANDS-FREE maintenance — the [[IvfIndex.stream]] symmetry for the
@@ -368,34 +362,31 @@ object GraphAnnIndex {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        // cache + one agg job serving the emptiness gate AND the
-        // batch's end version (the probe cursor's upTo — bounded by
-        // the BATCH, not the source head, so a backlogged stream
-        // refreshes window-by-window against the graph state each
-        // merge produced) — the [[maintain]] job discipline
-        val last = lastImages(batch, idCol).cache()
-        val live = TxLog.read(s, srcDir, Some(TxLog.latestVersion(srcDir)))
-          .select("vec_id", "embedding").cache()
-        try {
-          val g8 = last.agg(count(lit(1)), max(col("_commit_version"))).head()
-          if (g8.getLong(0) > 0L) {
-            val g0 = if (TxLog.latestVersion(indexDir) < 0) None
-              else Some(TxLog.read(s, indexDir).select("src", "dst", "cosine"))
-            val edits = planEdits(last, batch, live, g0, m, beam, hops,
-              entryCount, idCol, cents).localCheckpoint(true)
-            if (!edits.isEmpty)
-              TxLog.mergeClausesBatch(s, indexDir, edits, Seq("src", "dst"),
-                mergeClauses, appId, batchId): Unit
-            // replay-safe by the AsOf cursor: a replayed batch (merge
-            // skipped above) finds AsOf already at its version and
-            // commits nothing — the probe plane inherits the merge's
-            // exactly-once (a probe-enabled window is merge + refresh,
-            // two commits; the REFRESH is idempotent, the merge tagged)
-            if (TxLog.latestVersion(indexDir) >= 0 &&
-                TxLog.snapshot(indexDir).props.contains(Probe.Conf))
-              refreshProbes(s, srcDir, indexDir, g8.getLong(1))
-          }
-        } finally { last.unpersist(false); live.unpersist(false); () }
+        val last = lastImages(batch, idCol).localCheckpoint(true)
+        // one agg job serves the emptiness gate AND the batch's end
+        // version (the probe cursor's upTo — bounded by the BATCH, not
+        // the source head, so a backlogged stream refreshes
+        // window-by-window against the graph state each merge produced)
+        val g8 = last.agg(count(lit(1)), max(col("_commit_version"))).head()
+        if (g8.getLong(0) > 0L) {
+          val live = TxLog.read(s, srcDir, Some(TxLog.latestVersion(srcDir)))
+            .select("vec_id", "embedding").localCheckpoint(true)
+          val g0 = if (TxLog.latestVersion(indexDir) < 0) None
+            else Some(TxLog.read(s, indexDir).select("src", "dst", "cosine"))
+          val edits = planEdits(last, batch, live, g0, m, beam, hops,
+            entryCount, idCol, cents).localCheckpoint(true)
+          if (!edits.isEmpty)
+            TxLog.mergeClausesBatch(s, indexDir, edits, Seq("src", "dst"),
+              mergeClauses, appId, batchId): Unit
+          // replay-safe by the AsOf cursor: a replayed batch (merge
+          // skipped above) finds AsOf already at its version and
+          // commits nothing — the probe plane inherits the merge's
+          // exactly-once (a probe-enabled window is merge + refresh,
+          // two commits; the REFRESH is idempotent, the merge tagged)
+          if (TxLog.latestVersion(indexDir) >= 0 &&
+              TxLog.snapshot(indexDir).props.contains(Probe.Conf))
+            refreshProbes(s, srcDir, indexDir, g8.getLong(1))
+        }
       }
       .option("checkpointLocation", ckptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -510,32 +501,45 @@ object GraphAnnIndex {
         val survDf = pairs0.toDF("q_id", "vec_id")
           .join(t.select(col("vec_id").as("q_id")), Seq("q_id"), "left_anti")
           .join(t, Seq("vec_id"), "left_anti")
-        // displacement: the post-window images of the changed ids,
-        // scored against every surviving probe (|probes| × |delta| —
-        // never the corpus); a pair pushed below rank k by
-        // strictly-closer arrivals is out of the true top-k
-        val live = TxLog.read(spark, srcDir, Some(upTo))
-          .select("vec_id", "embedding").where(validPred)
-        val arrived = live.join(t, Seq("vec_id"), "left_semi")
-          .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-        val qEmb = live.select(col("vec_id").as("q_id"),
-          col("embedding").as("q_emb"))
-        val vEmb = live.select(col("vec_id").as("vec_id"),
-          col("embedding").as("v_emb"))
-        val scored = survDf.join(qEmb, Seq("q_id")).join(vEmb, Seq("vec_id"))
-          .selectExpr("q_id", "vec_id", "q_emb",
-            "cosine_sim(q_emb, v_emb) AS pcos")
-          .withColumn("rnk", row_number().over(Window.partitionBy("q_id")
-            .orderBy(col("pcos").desc, col("vec_id"))))
-        val closer = scored.join(broadcast(arrived),
-            col("a_id") =!= col("q_id") &&
-            (expr("cosine_sim(q_emb, a_emb)") > col("pcos") ||
-              (expr("cosine_sim(q_emb, a_emb)") === col("pcos") &&
-                col("a_id") < col("vec_id"))), "left")
-          .groupBy("q_id", "vec_id", "rnk")
-          .agg(count(col("a_id")).as("n_closer"))
-        val surv = closer.where(col("rnk") + col("n_closer") <= k)
-          .select("q_id", "vec_id").as[(Long, Long)].collect().toSeq.sorted
+        // delete-only windows skip the displacement machinery: a
+        // departure never displaces (removals only promote survivors),
+        // so endpoint invalidation alone is exact — one small probe
+        // job instead of the scoring DAG (the monitor's hot case:
+        // eviction-heavy feeds are what it exists to bound)
+        val hasArrivals = feed.where(
+          col(TxLog.ChangeTypeCol) === "insert" ||
+            col(TxLog.ChangeTypeCol) === "update_postimage")
+          .limit(1).count() > 0L
+        val surv = if (!hasArrivals)
+          survDf.select("q_id", "vec_id").as[(Long, Long)].collect().toSeq.sorted
+        else {
+          // displacement: the post-window images of the changed ids,
+          // scored against every surviving probe (|probes| × |delta| —
+          // never the corpus); a pair pushed below rank k by
+          // strictly-closer arrivals is out of the true top-k
+          val live = TxLog.read(spark, srcDir, Some(upTo))
+            .select("vec_id", "embedding").where(validPred)
+          val arrived = live.join(t, Seq("vec_id"), "left_semi")
+            .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+          val qEmb = live.select(col("vec_id").as("q_id"),
+            col("embedding").as("q_emb"))
+          val vEmb = live.select(col("vec_id").as("vec_id"),
+            col("embedding").as("v_emb"))
+          val scored = survDf.join(qEmb, Seq("q_id")).join(vEmb, Seq("vec_id"))
+            .selectExpr("q_id", "vec_id", "q_emb",
+              "cosine_sim(q_emb, v_emb) AS pcos")
+            .withColumn("rnk", row_number().over(Window.partitionBy("q_id")
+              .orderBy(col("pcos").desc, col("vec_id"))))
+          val closer = scored.join(broadcast(arrived),
+              col("a_id") =!= col("q_id") &&
+              (expr("cosine_sim(q_emb, a_emb)") > col("pcos") ||
+                (expr("cosine_sim(q_emb, a_emb)") === col("pcos") &&
+                  col("a_id") < col("vec_id"))), "left")
+            .groupBy("q_id", "vec_id", "rnk")
+            .agg(count(col("a_id")).as("n_closer"))
+          closer.where(col("rnk") + col("n_closer") <= k)
+            .select("q_id", "vec_id").as[(Long, Long)].collect().toSeq.sorted
+        }
         val hits = if (surv.isEmpty) 0L
           else searchHits(spark, srcDir, Some(upTo), indexDir,
             surv.map(_._1).distinct, surv, k, beam, hops, entryCount)

@@ -174,25 +174,21 @@ object IvfIndex {
     if (!TxLog.hasRowChanges(srcDir, fromExclusive, to))
       return MaintainResult(to, 0L, layoutOnlySkip = true)
     val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
-    // cache, not localCheckpoint: the change set's lineage is pinned to
-    // an immutable CDF range of the SOURCE (recompute-on-eviction is
-    // deterministic), [[changeStats]] materializes it in the same job
-    // it was going to run anyway, and the merge's own scratch staging
-    // is the second and last read — one fewer eager job per window
-    // (job count × scheduling latency is the protocol family's bench
-    // cost; round-18 steal adjudication)
-    val changes = changesOf(feed, cents, idCol).cache()
-    try {
-      val (applied, wSum, wN) = changeStats(changes)
-      if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
-      // drift accumulation rides the merge commit itself
-      // ([[driftRider]]): the window's INCOMING assignment quality,
-      // from the delta this call already scored — no extra kernels, no
-      // extra commit, no crash window between data and accumulators
-      TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol),
-        mergeClausesFor(idCol), driftRider((wSum, wN))): Unit
-      MaintainResult(to, applied, layoutOnlySkip = false)
-    } finally { changes.unpersist(false); () }
+    // localCheckpoint, NOT cache: the change set carries embedding
+    // arrays, and DataFrame caching pays columnar encode/decode on
+    // array columns where the checkpoint stores raw rows — measured
+    // slower suite-wide when tried (r19 run 1: every embedding-frame
+    // family landed above the host band; the job count was neutral)
+    val changes = changesOf(feed, cents, idCol).localCheckpoint(true)
+    val (applied, wSum, wN) = changeStats(changes)
+    if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
+    // drift accumulation rides the merge commit itself
+    // ([[driftRider]]): the window's INCOMING assignment quality,
+    // from the delta this call already scored — no extra kernels, no
+    // extra commit, no crash window between data and accumulators
+    TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol),
+      mergeClausesFor(idCol), driftRider((wSum, wN))): Unit
+    MaintainResult(to, applied, layoutOnlySkip = false)
   }
 
   /** Is the frozen quantizer STALE for the data now arriving? Compares
@@ -279,15 +275,12 @@ object IvfIndex {
       .load()
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // cache + stats-materialize, the [[maintain]] job discipline
-        val changes = changesOf(batch, cents, idCol).cache()
-        try {
-          val (applied, wSum, wN) = changeStats(changes)
-          if (applied > 0L)
-            TxLog.mergeClausesBatch(batch.sparkSession, indexDir, changes,
-              Seq(idCol), clauses, appId, batchId,
-              driftRider((wSum, wN))): Unit
-        } finally { changes.unpersist(false); () }
+        val changes = changesOf(batch, cents, idCol).localCheckpoint(true)
+        val (applied, wSum, wN) = changeStats(changes)
+        if (applied > 0L)
+          TxLog.mergeClausesBatch(batch.sparkSession, indexDir, changes,
+            Seq(idCol), clauses, appId, batchId,
+            driftRider((wSum, wN))): Unit
       }
       .option("checkpointLocation", ckptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

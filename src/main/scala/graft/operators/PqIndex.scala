@@ -154,19 +154,16 @@ object PqIndex {
     if (!TxLog.hasRowChanges(srcDir, fromExclusive, to))
       return MaintainResult(to, 0L, layoutOnlySkip = true)
     val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
-    // cache, not localCheckpoint — the [[IvfIndex.maintain]] job
-    // discipline: lineage is an immutable CDF range, changeStats
-    // materializes, the merge's scratch staging is the last read
-    val changes = changesOf(feed, codebook, m, subDim, idCol).cache()
-    try {
-      val (applied, wSum, wN) = changeStats(changes)
-      if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
-      // drift accumulation rides the merge commit ([[driftRider]]): no
-      // extra kernels, no extra commit, no crash window
-      TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol),
-        mergeClausesFor(idCol), driftRider((wSum, wN))): Unit
-      MaintainResult(to, applied, layoutOnlySkip = false)
-    } finally { changes.unpersist(false); () }
+    // localCheckpoint, not cache — the [[IvfIndex.maintain]] rule:
+    // embedding-array frames pay columnar encode under cache()
+    val changes = changesOf(feed, codebook, m, subDim, idCol).localCheckpoint(true)
+    val (applied, wSum, wN) = changeStats(changes)
+    if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
+    // drift accumulation rides the merge commit ([[driftRider]]): no
+    // extra kernels, no extra commit, no crash window
+    TxLog.mergeClauses(spark, indexDir, changes, Seq(idCol),
+      mergeClausesFor(idCol), driftRider((wSum, wN))): Unit
+    MaintainResult(to, applied, layoutOnlySkip = false)
   }
 
   /** Is the frozen codebook STALE for the data now arriving? The
@@ -247,15 +244,13 @@ object PqIndex {
       .load()
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // cache + stats-materialize, the [[maintain]] job discipline
-        val changes = changesOf(batch, codebook, m, subDim, idCol).cache()
-        try {
-          val (applied, wSum, wN) = changeStats(changes)
-          if (applied > 0L)
-            TxLog.mergeClausesBatch(batch.sparkSession, indexDir, changes,
-              Seq(idCol), clauses, appId, batchId,
-              driftRider((wSum, wN))): Unit
-        } finally { changes.unpersist(false); () }
+        val changes = changesOf(batch, codebook, m, subDim, idCol)
+          .localCheckpoint(true)
+        val (applied, wSum, wN) = changeStats(changes)
+        if (applied > 0L)
+          TxLog.mergeClausesBatch(batch.sparkSession, indexDir, changes,
+            Seq(idCol), clauses, appId, batchId,
+            driftRider((wSum, wN))): Unit
       }
       .option("checkpointLocation", ckptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -2836,9 +2836,11 @@ object TxQueries2 {
 
     // q214: ROW-ID-KEYED INCREMENTAL VIEW MAINTENANCE (RowIdView) — the
     // round-15 consumer of stable row ids: a row-level materialized
-    // view maintained from the change feed keyed by _row_id, across a
-    // CoW update, a full OPTIMIZE rewrite, a merge-on-read DELETE, and
-    // a late batch. Pinned into the hash: the maintained view's
+    // view maintained from the change feed keyed by _row_id, across
+    // ONE window carrying a CoW update + a merge-on-read DELETE (the
+    // r18-verdict window consolidation — last-image-per-id dispatches
+    // each row to exactly one action), a full OPTIMIZE rewrite, and a
+    // late batch. Pinned into the hash: the maintained view's
     // aggregates, the recompute diff (the incremental ≡ full claim),
     // per-phase rows_applied (cost ∝ change volume), and the scale
     // fact CDF alone cannot deliver — the OPTIMIZE window, in which
@@ -2853,19 +2855,21 @@ object TxQueries2 {
       (0 until 3).foreach(b => TxLog.append(s, src,
         ord.where(s"o_orderkey <= 3000 AND o_orderkey % 3 = $b").coalesce(1)))
       TxLog.enableRowTracking(s, src)
-      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
+      TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true",
+        TxLog.DeletionVectors.Enabled -> "true"))
       val pred = "o_totalprice < 150000"
       val proj = Seq("o_orderkey" -> "o_orderkey",
         "price2" -> "CAST(o_totalprice AS DECIMAL(18,4)) * 2")
       var at = RowIdView.initialize(s, src, view, pred, proj)
+      // ONE window: the CoW update and the DV delete (a row hit by
+      // both resolves to its last image — delete wins)
       TxLog.update(s, src, "o_orderkey % 7 = 2",
         Map("o_totalprice" -> "o_totalprice + 100000"))
-      val rUpd = RowIdView.maintain(s, src, view, at, pred, proj); at = rUpd.srcVersion
+      TxLog.delete(s, src, "o_orderkey % 5 = 3")
+      val rUpDel = RowIdView.maintain(s, src, view, at, pred, proj)
+      at = rUpDel.srcVersion
       TxLog.optimize(s, src)
       val rOpt = RowIdView.maintain(s, src, view, at, pred, proj); at = rOpt.srcVersion
-      TxLog.setProperties(src, Map(TxLog.DeletionVectors.Enabled -> "true"))
-      TxLog.delete(s, src, "o_orderkey % 5 = 3")
-      val rDel = RowIdView.maintain(s, src, view, at, pred, proj); at = rDel.srcVersion
       TxLog.append(s, src,
         ord.where("o_orderkey > 3000 AND o_orderkey <= 3600"))
       val rApp = RowIdView.maintain(s, src, view, at, pred, proj)
@@ -2881,8 +2885,7 @@ object TxQueries2 {
         .withColumn("matches_recompute", lit(matches))
         .withColumn("optimize_skipped", lit(if (rOpt.layoutOnlySkip) 1L else 0L))
         .withColumn("optimize_rows_applied", lit(rOpt.rowsApplied))
-        .withColumn("update_rows_applied", lit(rUpd.rowsApplied))
-        .withColumn("delete_rows_applied", lit(rDel.rowsApplied))
+        .withColumn("updel_rows_applied", lit(rUpDel.rowsApplied))
         .withColumn("append_rows_applied", lit(rApp.rowsApplied))
     },
       Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p
@@ -2902,8 +2905,8 @@ object TxQueries2 {
                      CAST(1 AS BIGINT) AS matches_recompute,
                      CAST(1 AS BIGINT) AS optimize_skipped,
                      CAST(0 AS BIGINT) AS optimize_rows_applied,
-                     (SELECT count(*) FROM base WHERE k % 7 = 2) AS update_rows_applied,
-                     (SELECT count(*) FROM upd WHERE k % 5 = 3) AS delete_rows_applied,
+                     (SELECT count(*) FROM base
+                      WHERE k % 7 = 2 OR k % 5 = 3) AS updel_rows_applied,
                      (SELECT count(*) FROM extra) AS append_rows_applied
               FROM finalv""")),
 

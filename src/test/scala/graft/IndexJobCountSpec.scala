@@ -110,18 +110,17 @@ class IndexJobCountSpec extends AnyFunSuite with SparkTestBase {
 
   // The pinned action shapes (local[4] test session, AQE on, fixed
   // 200-row corpus, one embedding-flip update window). Accounting:
-  // IVF/PQ windows are ~13 SQL executions — the change-set stats agg
-  // (cache-materializing), then the merge machinery's staging write,
-  // key census, IN-list collect, touch discovery, touched rewrite, DV
+  // IVF/PQ windows are ~13 SQL executions — the change-set checkpoint
+  // + fused stats agg, then the merge machinery's staging write, key
+  // census, IN-list collect, touch discovery, touched rewrite, DV
   // dead-count + sidecar stage, insert anti-join stage, CDF stage —
   // each paying 1 job per AQE-materialized exchange plus the final.
   // The graph window adds planEdits' checkpointed intermediates and
-  // the per-hop beam-search checkpoints (hops=2 here). Measured
-  // before/after the r19 cache-for-checkpoint change: the graph
-  // window dropped 83 → 78; IVF/PQ were job-neutral (the cache
-  // materializes inside the stats agg instead of its own job, but the
-  // in-memory scan adds one back at staging time).
+  // the per-hop beam-search checkpoints (hops=2 here). A
+  // cache-for-checkpoint variant was MEASURED and REVERTED in r19:
+  // it saved ~5 graph-window jobs but paid columnar encode/decode on
+  // the embedding arrays — slower wall-clock suite-wide.
   private val IvfJobs = 27
   private val PqJobs = 27
-  private val GannJobs = 78
+  private val GannJobs = 84
 }
