@@ -202,7 +202,7 @@ object GraphAnn {
     var visited = q.crossJoin(broadcast(entries))
       .selectExpr("q_id", "node", "cosine_sim(q_emb, __ne) AS cosine")
       .localCheckpoint(eager = true)
-    (1 to hops).foreach { _ =>
+    (1 to hops).foreach { h =>
       val frontier = visited
         .withColumn("__rn", row_number().over(
           Window.partitionBy("q_id").orderBy(col("cosine").desc, col("node"))))
@@ -217,9 +217,19 @@ object GraphAnn {
         .join(v.select(col("vec_id").as("node"), col("embedding").as("__ne")), Seq("node"))
         .join(broadcast(q), Seq("q_id"))
         .selectExpr("q_id", "node", "cosine_sim(q_emb, __ne) AS cosine")
-      val next = visited.unionAll(scored).localCheckpoint(eager = true)
-      CheckpointBlocks.release(visited)
-      visited = next
+      // checkpoint BETWEEN hops only: each hop reads `visited` twice
+      // (frontier + anti-join), so intermediate materialization is
+      // load-bearing — but the LAST hop's result is consumed exactly
+      // once by the final ranking, so its eager checkpoint was a pure
+      // extra scheduled job per search (attach, probe refresh, and
+      // recall evals all pay it; job count × scheduling latency is the
+      // protocol family's measured bench cost). The penultimate
+      // checkpoint keeps the final plan's depth at one hop.
+      if (h < hops) {
+        val next = visited.unionAll(scored).localCheckpoint(eager = true)
+        CheckpointBlocks.release(visited)
+        visited = next
+      } else visited = visited.unionAll(scored)
     }
     visited
       .where(col("node") =!= col("q_id"))

@@ -120,7 +120,9 @@ class IndexJobCountSpec extends AnyFunSuite with SparkTestBase {
   // cache-for-checkpoint variant was MEASURED and REVERTED in r19:
   // it saved ~5 graph-window jobs but paid columnar encode/decode on
   // the embedding arrays — slower wall-clock suite-wide.
+  // (84 before the r19 last-hop-checkpoint cut in GraphAnn.searchTopK
+  // — the attach search no longer pays a final materialization job)
   private val IvfJobs = 27
   private val PqJobs = 27
-  private val GannJobs = 84
+  private val GannJobs = 82
 }
