@@ -26,6 +26,25 @@ object TxQueries {
     * decimal-sum then back to double — bit-stable across engines. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
+  /** Multiset equality of two same-schema frames in ONE Spark job: a
+    * signed union (got +1, want −1) grouped by every column, empty iff
+    * the multisets match. Replaces the `got.count == want.count &&
+    * got.exceptAll(want).isEmpty` idiom — same boolean (equal counts +
+    * one-directional containment ⟺ equality), but three scheduled jobs
+    * and TWO evaluations of the recompute plan become one of each (the
+    * r18 steal adjudication's job-count × scheduling-latency cost; the
+    * protocol family's bench weight is actions, not data). Float
+    * columns group under the same NaN/-0.0 normalization exceptAll
+    * uses, so the verdict is unchanged on every type in play. */
+  private[queries] def multisetEqual(got: DataFrame, want: DataFrame): Boolean = {
+    val cols = got.columns.toSeq.map(col)
+    got.withColumn("__w", lit(1L))
+      .unionByName(want.withColumn("__w", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col("__w")).as("__s"))
+      .where(col("__s") =!= 0L)
+      .isEmpty
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- time travel ----------------------------------------------------
@@ -2875,10 +2894,9 @@ object TxQueries2 {
       val rApp = RowIdView.maintain(s, src, view, at, pred, proj)
       val got = TxLog.read(s, view).localCheckpoint(true)
       val want = RowIdView.recompute(s, src, pred, proj)
-      // equal counts + one-directional multiset containment ⟹ equality
-      // (the round-16 sanctioned trim: half the exceptAll join weight)
-      val matches =
-        if (got.count() == want.count() && got.exceptAll(want).isEmpty) 1L else 0L
+      // one-job signed-union multiset equality (same verdict as the
+      // round-16 count+containment trim, one action instead of three)
+      val matches = if (TxQueries.multisetEqual(got, want)) 1L else 0L
       got.agg(count(lit(1)).as("n_rows"),
           sum(col("price2")).cast(DoubleType).as("sum_price2"),
           countDistinct(col("_row_id")).as("n_ids"))
@@ -3090,9 +3108,8 @@ object TxQueries2 {
       val got = TxLog.read(s, idx)
         .select("_row_id", "vec_id", "cell", "embedding", "q_bp").localCheckpoint(true)
       val want = IvfIndex.recompute(s, src, cents)
-      // equal counts + one-directional multiset containment ⟹ equality
-      val matches =
-        if (got.count() == want.count() && got.exceptAll(want).isEmpty) 1L else 0L
+      // one-job signed-union multiset equality (see [[multisetEqual]])
+      val matches = if (TxQueries.multisetEqual(got, want)) 1L else 0L
       got.agg(count(lit(1)).as("n_rows"),
           countDistinct(col("cell")).as("n_cells"),
           sum(col("cell") * col("vec_id")).as("cell_id_checksum"))
@@ -3174,8 +3191,8 @@ object TxQueries2 {
       val noop = TxLog.latestVersion(view) - vAfter
       val got = TxLog.read(s, view).localCheckpoint(true)
       val want = RowIdView.recompute(s, src, pred, proj)
-      val matches =
-        if (got.count() == want.count() && got.exceptAll(want).isEmpty) 1L else 0L
+      // one-job signed-union multiset equality (see [[multisetEqual]])
+      val matches = if (TxQueries.multisetEqual(got, want)) 1L else 0L
       got.agg(count(lit(1)).as("n_rows"),
           sum(col("price2")).cast(DoubleType).as("sum_price2"))
         .withColumn("matches_recompute", lit(matches))
@@ -3320,8 +3337,8 @@ object TxQueries2 {
       val got = TxLog.read(s, idx)
         .select("_row_id", "vec_id", "codes", "q_units").localCheckpoint(true)
       val want = PqIndex.recompute(s, src, cb, 4, 16)
-      val matches =
-        if (got.count() == want.count() && got.exceptAll(want).isEmpty) 1L else 0L
+      // one-job signed-union multiset equality (see [[multisetEqual]])
+      val matches = if (TxQueries.multisetEqual(got, want)) 1L else 0L
       got.select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
         .agg((count(lit(1)) / 4).cast(LongType).as("n_rows"),
           sum(col("vec_id") * (col("s") + 1) * (col("code") + 1)).as("code_checksum"))
@@ -3484,20 +3501,40 @@ object TxQueries2 {
       val edges = TxLog.read(s, idx).select("src", "dst", "cosine")
         .localCheckpoint(true)
       val liveIds = live.select("vec_id")
-      val deadSrc = edges.join(liveIds, edges("src") === liveIds("vec_id"),
-        "left_anti").count()
-      val deadDst = edges.join(liveIds, edges("dst") === liveIds("vec_id"),
-        "left_anti").count()
-      val wiredLate = edges.where("src < 100000 AND src % 10 >= 8")
-        .select("src").distinct().count()
-      val wiredRekeyed = edges.where("src >= 100000")
-        .select("src").distinct().count()
-      val maxDeg = edges.groupBy("src").count()
-        .agg(max("count")).head().getLong(0)
-      val nLive = live.count()
+      // ONE aggregation serves every edge invariant (dead-src/dead-dst
+      // edge counts, wired-in distinct-src counts, degree cap) — the
+      // five separate edge-scan actions it replaces were pure
+      // job-scheduling weight (the r18 steal adjudication's cost
+      // model); live vec_ids are unique, so the left joins cannot
+      // multiply edges and NULL-ness is exactly anti-join membership
+      val eRow = edges
+        .join(liveIds.select(col("vec_id").as("src"), lit(1).as("__ls")),
+          Seq("src"), "left")
+        .join(liveIds.select(col("vec_id").as("dst"), lit(1).as("__ld")),
+          Seq("dst"), "left")
+        .groupBy("src")
+        .agg(count(lit(1)).as("deg"),
+          sum(when(col("__ls").isNull, 1L).otherwise(0L)).as("dead_s"),
+          sum(when(col("__ld").isNull, 1L).otherwise(0L)).as("dead_d"))
+        .agg(sum(col("dead_s")).as("dead_src"),
+          sum(col("dead_d")).as("dead_dst"),
+          count(when(col("src") < 100000L && col("src") % 10 >= 8, 1))
+            .as("wired_late"),
+          count(when(col("src") >= 100000L, 1)).as("wired_rekeyed"),
+          max(col("deg")).as("max_deg")).head()
+      val deadSrc = eRow.getLong(0); val deadDst = eRow.getLong(1)
+      val wiredLate = eRow.getLong(2); val wiredRekeyed = eRow.getLong(3)
+      val maxDeg = eRow.getLong(4)
+      // live count + checksum in ONE job, reused by the recall eval's
+      // size dispatch AND the final row (was: count here, re-agg below)
+      val lRow = live.agg(count(lit(1)).as("n"), sum("vec_id").as("ck")).head()
+      val nLive = lRow.getLong(0); val liveChecksum = lRow.getLong(1)
       val queries = live.where("vec_id % 9 = 1").localCheckpoint(true)
       val truth = Similarity.topK(live, queries, 3).localCheckpoint(true)
-      val truthPairs = truth.count()
+      // truth size + checksum in ONE job (was two)
+      val tRow = truth.agg(count(lit(1)).as("n"),
+        sum(col("q_id") * 1000003L + col("vec_id")).as("ck")).head()
+      val truthPairs = tRow.getLong(0)
       def hits(res: org.apache.spark.sql.DataFrame): Long = res
         .select("q_id", "vec_id").intersect(truth.select("q_id", "vec_id"))
         .count()
@@ -3507,10 +3544,10 @@ object TxQueries2 {
         GraphAnnIndex.buildFor(live, cents, gM, rounds = 1,
           knownCount = Some(nLive)), queries,
         k = 3, beam = 32, hops = 3, entryCount = 8))
-      live.agg(count(lit(1)).as("n_live"), sum("vec_id").as("live_checksum"))
+      s.range(1)
+        .select(lit(nLive).as("n_live"), lit(liveChecksum).as("live_checksum"))
         .withColumn("truth_pairs", lit(truthPairs))
-        .withColumn("truth_checksum", lit(truth
-          .agg(sum(col("q_id") * 1000003L + col("vec_id"))).head().getLong(0)))
+        .withColumn("truth_checksum", lit(tRow.getLong(1)))
         .withColumn("dead_src_edges", lit(deadSrc))
         .withColumn("dead_dst_edges", lit(deadDst))
         .withColumn("appended_wired", lit(wiredLate))
@@ -3739,8 +3776,21 @@ object TxQueries2 {
         knownCount = Some(ok.count())).localCheckpoint(true)
       TxLog.append(s, idxR, g): Unit
       TxLog.append(s, idxL, g): Unit
-      Seq(idxR, idxL).foreach(ix => GraphAnnIndex.enableProbes(s, src, ix,
-        "vec_id % 37 = 2", k = 3, beam = 8, hops = 3, entryCount = 4))
+      GraphAnnIndex.enableProbes(s, src, idxR,
+        "vec_id % 37 = 2", k = 3, beam = 8, hops = 3, entryCount = 4)
+      // idxL holds the BYTE-IDENTICAL graph over the same source
+      // version, so its probe plane (ids/truth/conf/base/last/asof) is
+      // identical by construction — stamp it by property copy instead
+      // of re-paying the corpus-sized truth pass and the probe search
+      // a second time (one enableProbes, not two; ~10 fewer scheduled
+      // jobs in the steal-sensitive protocol family)
+      locally {
+        val pr = TxLog.snapshot(idxR).props
+        TxLog.setProperties(idxL, Seq(GraphAnnIndex.Probe.Ids,
+          GraphAnnIndex.Probe.Truth, GraphAnnIndex.Probe.Conf,
+          GraphAnnIndex.Probe.Base, GraphAnnIndex.Probe.Last,
+          GraphAnnIndex.Probe.AsOf).map(k2 => k2 -> pr(k2)).toMap): Unit
+      }
       val base = GraphAnnIndex.recallReport(idxR, band)
       // one delete-heavy window AROUND the probes (churn the corpus,
       // keep the benchmark measurable): two-thirds of the non-probe
