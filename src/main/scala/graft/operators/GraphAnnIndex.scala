@@ -232,7 +232,12 @@ object GraphAnnIndex {
             .withColumn("__rn", row_number().over(
               Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))))
             .where(col("__rn") <= half).drop("__rn")
-        Some(edges.localCheckpoint(true))
+        // no checkpoint: consumed exactly once by the gained-union's own
+        // materialization below (same rule as the patch — an eager
+        // checkpoint here was one pure extra scheduled job per window;
+        // its inputs `nv` are already checkpointed, and the exact path
+        // is two stages over a broadcast)
+        Some(edges)
       case _ => None
     }
     // 5. degree re-prune for every edge gainer; a node can gain through

@@ -121,8 +121,11 @@ class IndexJobCountSpec extends AnyFunSuite with SparkTestBase {
   // it saved ~5 graph-window jobs but paid columnar encode/decode on
   // the embedding arrays — slower wall-clock suite-wide.
   // (84 before the r19 last-hop-checkpoint cut in GraphAnn.searchTopK
-  // — the attach search no longer pays a final materialization job)
+  // — the attach search no longer pays a final materialization job;
+  // 82 before the r19 batch-internal-wiring checkpoint cut — that
+  // frame is consumed exactly once by the gained-union's own
+  // materialization, so its eager checkpoint was a pure extra job)
   private val IvfJobs = 27
   private val PqJobs = 27
-  private val GannJobs = 82
+  private val GannJobs = 81
 }
