@@ -24,8 +24,14 @@ class IndexJobCountSpec extends AnyFunSuite with SparkTestBase {
     graft.Scratch.dir(s"graft-$name").toString
 
   /** Jobs submitted while `body` runs (listener-bus drained before the
-    * count is read, so late async submissions are included). */
+    * count is read, so late async submissions are included). The bus is
+    * ALSO drained before the listener attaches: an event posted by an
+    * earlier suite but still queued is dispatched to whatever listeners
+    * are registered at delivery time, so without the pre-drain a
+    * neighboring suite's stray job start bleeds +1 into this count —
+    * seen once as a full-suite-only 82-vs-81 flake. */
   private def countJobs(body: => Unit): Int = {
+    org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
     val n = new java.util.concurrent.atomic.AtomicInteger()
     val l = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
