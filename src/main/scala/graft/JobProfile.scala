@@ -40,7 +40,9 @@ object JobProfile {
       n.set(0)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(): Unit
-      Thread.sleep(300) // let late async job-start events drain
+      // deterministic drain — a fixed sleep is the listener-bleed flake
+      // class IndexJobCountSpec fixed with the same call (r19 ADVICE)
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"JOBPROFILE $name%-40s jobs=${n.get}%5d secs=$secs%8.2f")
       spark.sparkContext.getPersistentRDDs.values

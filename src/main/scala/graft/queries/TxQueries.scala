@@ -37,6 +37,10 @@ object TxQueries {
     * columns group under the same NaN/-0.0 normalization exceptAll
     * uses, so the verdict is unchanged on every type in play. */
   private[queries] def multisetEqual(got: DataFrame, want: DataFrame): Boolean = {
+    // an existing __w would be silently replaced by withColumn, dropping
+    // that column from the equality check (r19 ADVICE item 3)
+    require(!got.columns.contains("__w"),
+      "multisetEqual: frames must not carry a __w column")
     val cols = got.columns.toSeq.map(col)
     got.withColumn("__w", lit(1L))
       .unionByName(want.withColumn("__w", lit(-1L)))
@@ -3516,12 +3520,14 @@ object TxQueries2 {
         .agg(count(lit(1)).as("deg"),
           sum(when(col("__ls").isNull, 1L).otherwise(0L)).as("dead_s"),
           sum(when(col("__ld").isNull, 1L).otherwise(0L)).as("dead_d"))
-        .agg(sum(col("dead_s")).as("dead_src"),
-          sum(col("dead_d")).as("dead_dst"),
+        .agg(coalesce(sum(col("dead_s")), lit(0L)).as("dead_src"),
+          coalesce(sum(col("dead_d")), lit(0L)).as("dead_dst"),
           count(when(col("src") < 100000L && col("src") % 10 >= 8, 1))
             .as("wired_late"),
           count(when(col("src") >= 100000L, 1)).as("wired_rekeyed"),
-          max(col("deg")).as("max_deg")).head()
+          // coalesced so an empty edge set fails the invariants legibly
+          // instead of an opaque getLong NPE (r19 ADVICE item 4)
+          coalesce(max(col("deg")), lit(0L)).as("max_deg")).head()
       val deadSrc = eRow.getLong(0); val deadDst = eRow.getLong(1)
       val wiredLate = eRow.getLong(2); val wiredRekeyed = eRow.getLong(3)
       val maxDeg = eRow.getLong(4)

@@ -4783,17 +4783,14 @@ object TxLog {
       else staged0.toDF(merged.fieldNames.toSeq: _*)
     var published = false // see append: no cleanup past a published commit
     try {
-      val keyStats = staged.agg(
-        count(lit(1)).as("n"),
-        countDistinct(col(keyCol)).as("d"),
-        // coalesced: sum over an EMPTY source is NULL, and an empty
-        // CDC batch must be a clean no-op, not a getLong crash
-        coalesce(sum(when(col(keyCol).isNull, 1L).otherwise(0L)), lit(0L))
-          .as("nulls")).head()
-      require(keyStats.getLong(2) == 0, s"merge: NULL $keyCol in source")
-      require(keyStats.getLong(0) == keyStats.getLong(1),
-        s"merge: duplicate $keyCol values in source (${keyStats.getLong(0)} rows, " +
-          s"${keyStats.getLong(1)} distinct) — each key must match at most once")
+      // one fused job: totals + the bounded IN-list (was: a
+      // count/countDistinct/nulls agg, then a distinct().collect() for
+      // IN-eligible batches — guide §2.4, the r19-verdict item-1 fusion)
+      val census = mergeKeyCensus(staged, Seq(keyCol))
+      require(census.nulls == 0, s"merge: NULL $keyCol in source")
+      require(census.rows == census.distinct,
+        s"merge: duplicate $keyCol values in source (${census.rows} rows, " +
+          s"${census.distinct} distinct) — each key must match at most once")
       // constraints run on the staged re-read (single-evaluation
       // discipline); a violation lands in the catch, which reclaims
       // the staging dir
@@ -4834,15 +4831,8 @@ object TxLog {
             case (lo, hi) => Seq(s1.GreaterThanOrEqual(keyCol, lo),
               s1.LessThanOrEqual(keyCol, hi))
           }.getOrElse(Nil)
-          val inFilter =
-            if (keyStats.getLong(1) > mergeInListMax) Nil
-            else {
-              val vs = staged.select(col(keyCol).cast(StringType))
-                .distinct().collect().flatMap(r => Option(r.getString(0)))
-              if (vs.length == keyStats.getLong(1))
-                Seq(s1.In(keyCol, vs.toArray[Any]))
-              else Nil // a key whose canon is null cannot be listed
-            }
+          val inFilter = census.inLists.head
+            .map(vs => Seq(s1.In(keyCol, vs.toArray[Any]))).getOrElse(Nil)
           val filters = rangeFilters ++ inFilter
           dmlCandidates(spark, dir, snap, meta, filters)
         }
@@ -5301,16 +5291,14 @@ object TxLog {
       val staged = spark.read.schema(source.schema)
         .parquet(Paths.get(dir, scratchSub).toString)
       val keyTuple = keyCols.map(col)
-      val perColDistinct = keyCols.map(k => countDistinct(col(k)))
-      val statCols = Seq(
-        count(lit(1)).as("n"),
-        countDistinct(keyTuple.head, keyTuple.tail: _*).as("d"),
-        coalesce(sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
-          .otherwise(0L)), lit(0L)).as("nulls")) ++ perColDistinct
-      val keyStats = staged.agg(statCols.head, statCols.tail: _*).head()
-      require(keyStats.getLong(2) == 0,
+      // one fused job: totals + the bounded per-column IN-lists (was:
+      // a count/countDistinct/nulls/perColDistinct agg, then one
+      // distinct().collect() per IN-eligible key column — guide §2.4,
+      // the r19-verdict item-1 fusion)
+      val census = mergeKeyCensus(staged, keyCols)
+      require(census.nulls == 0,
         s"mergeClauses: NULL key (${keyCols.mkString(", ")}) in source")
-      require(keyStats.getLong(0) == keyStats.getLong(1),
+      require(census.rows == census.distinct,
         s"mergeClauses: duplicate (${keyCols.mkString(", ")}) values in " +
           "source — each key must match at most once")
       val keys = staged.select(keyTuple: _*).distinct()
@@ -5331,15 +5319,8 @@ object TxLog {
               case (lo, hi) => Seq(s1.GreaterThanOrEqual(kc, lo),
                 s1.LessThanOrEqual(kc, hi))
             }.getOrElse(Nil)
-            val dCol = keyStats.getLong(3 + i)
-            val in =
-              if (dCol > mergeInListMax) Nil
-              else {
-                val vs = staged.select(col(kc).cast(StringType))
-                  .distinct().collect().flatMap(r => Option(r.getString(0)))
-                if (vs.length == dCol) Seq(s1.In(kc, vs.toArray[Any]))
-                else Nil
-              }
+            val in = census.inLists(i)
+              .map(vs => Seq(s1.In(kc, vs.toArray[Any]))).getOrElse(Nil)
             range ++ in
           }
           dmlCandidates(spark, dir, snap, meta, filters)
@@ -7331,6 +7312,94 @@ object TxLog {
     * apply (an unbounded list would cost O(keys × files) driver
     * comparisons and a driver collect). */
   private val mergeInListMax = 64L
+
+  /** [[mergeKeyCensus]]'s result: exact source-key totals plus the
+    * bounded per-column IN-list (None = the column is not IN-eligible,
+    * exactly when the old two-job shape produced no list). */
+  private final case class KeyCensus(rows: Long, distinct: Long,
+      nulls: Long, inLists: Seq[Option[Seq[String]]])
+
+  /** ONE-job, scale-safe key census over the staged merge source — the
+    * census + IN-list fusion (guide §2.4: two driver actions per merge
+    * window become one; for composite keys it was 1 + one collect per
+    * IN-eligible column). A `groupBy` over the key tuple feeds a
+    * bounded per-partition fold, so the driver result is
+    * O(partitions × keyCols × mergeInListMax) regardless of batch size
+    * — it can never hold an unbounded key set on the driver (the
+    * reason the plain `collect_set` fusion was rejected in r19 stays
+    * honored: per-partition sets are capped at mergeInListMax + 1 and
+    * a capped partition proves the column over the bound, because a
+    * partition's distinct values are a subset of the column's).
+    * Replicated semantics, exactly:
+    *  - rows  = count(*) over the staged source;
+    *  - distinct = countDistinct(key tuple) (rows with any NULL key
+    *    column excluded, the SQL count-distinct rule);
+    *  - nulls = rows with ANY null key column;
+    *  - per column: Some(IN-list of canon strings) iff the column's
+    *    true distinct count ≤ [[mergeInListMax]] and every distinct
+    *    value has its own non-null canon (the old `vs.length == dCol`
+    *    guard — a canon that collapses or nulls out disqualifies the
+    *    list), else None. List order is sorted (the old collect order
+    *    was arbitrary; In-filter semantics are set-based). */
+  private def mergeKeyCensus(staged: DataFrame,
+      keyCols: Seq[String]): KeyCensus = {
+    val cap = mergeInListMax.toInt + 1
+    val m = keyCols.length
+    val grouped = staged.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .select(keyCols.map(col) ++
+        keyCols.map(k => col(k).cast(StringType).as(s"__canon_$k")) :+
+        col("__c"): _*)
+    // (rows, nonNullGroups, nullRows, values⊆cap, canons⊆cap, overflow,
+    //  sawNullCanon) per output partition — fixed-size driver payload
+    val parts = grouped.rdd.mapPartitions { it =>
+      var rows = 0L; var groups = 0L; var nullRows = 0L
+      val values = Array.fill(m)(
+        scala.collection.mutable.HashSet.empty[Any])
+      val canons = Array.fill(m)(
+        scala.collection.mutable.HashSet.empty[String])
+      val overflow = new Array[Boolean](m)
+      val nullCanon = new Array[Boolean](m)
+      while (it.hasNext) {
+        val r = it.next()
+        val c = r.getLong(2 * m)
+        rows += c
+        var anyNull = false
+        var i = 0
+        while (i < m) {
+          if (r.isNullAt(i)) anyNull = true
+          else if (!overflow(i)) {
+            values(i) += r.get(i)
+            if (r.isNullAt(m + i)) nullCanon(i) = true
+            else canons(i) += r.getString(m + i)
+            if (values(i).size >= cap) {
+              overflow(i) = true; values(i).clear(); canons(i).clear()
+            }
+          }
+          i += 1
+        }
+        if (anyNull) nullRows += c else groups += 1L
+        ()
+      }
+      Iterator.single((rows, groups, nullRows,
+        values.map(_.toArray), canons.map(_.toArray), overflow, nullCanon))
+    }.collect()
+    val inLists = (0 until m).map { i =>
+      if (parts.exists(p => p._6(i) || p._7(i))) None
+      else {
+        val vals = parts.iterator.flatMap(_._4(i)).toSet
+        if (vals.size > mergeInListMax) None
+        else {
+          val cs = parts.iterator.flatMap(_._5(i)).toSet
+          // a canon collapse means the string list cannot stand in for
+          // the value set — same skip the old length check took
+          if (cs.size != vals.size) None else Some(cs.toSeq.sorted)
+        }
+      }
+    }
+    KeyCensus(parts.iterator.map(_._1).sum, parts.iterator.map(_._2).sum,
+      parts.iterator.map(_._3).sum, inLists)
+  }
 
   /** Key-bounds pruning filters from a key FRAME ([[deleteKeys]]'
     * surface, where no staged stats exist yet): ONE small agg job over

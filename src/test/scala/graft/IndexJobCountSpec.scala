@@ -116,22 +116,26 @@ class IndexJobCountSpec extends AnyFunSuite with SparkTestBase {
 
   // The pinned action shapes (local[4] test session, AQE on, fixed
   // 200-row corpus, one embedding-flip update window). Accounting:
-  // IVF/PQ windows are ~13 SQL executions — the change-set checkpoint
-  // + fused stats agg, then the merge machinery's staging write, key
-  // census, IN-list collect, touch discovery, touched rewrite, DV
-  // dead-count + sidecar stage, insert anti-join stage, CDF stage —
-  // each paying 1 job per AQE-materialized exchange plus the final.
-  // The graph window adds planEdits' checkpointed intermediates and
-  // the per-hop beam-search checkpoints (hops=2 here). A
-  // cache-for-checkpoint variant was MEASURED and REVERTED in r19:
-  // it saved ~5 graph-window jobs but paid columnar encode/decode on
-  // the embedding arrays — slower wall-clock suite-wide.
+  // IVF/PQ windows are ~12 SQL executions — the change-set checkpoint
+  // + fused stats agg, then the merge machinery's staging write, the
+  // FUSED key census (r20: one groupBy + bounded-fold job carries the
+  // totals AND the IN-list; the separate countDistinct agg and the
+  // per-column distinct().collect() are gone — 27 → 24 here), touch
+  // discovery, touched rewrite, DV dead-count + sidecar stage, insert
+  // anti-join stage, CDF stage — each paying 1 job per
+  // AQE-materialized exchange plus the final. The graph window adds
+  // planEdits' checkpointed intermediates and the per-hop beam-search
+  // checkpoints (hops=2 here); its composite-key merge census fuses
+  // the same way (81 → 80). A cache-for-checkpoint variant was
+  // MEASURED and REVERTED in r19: it saved ~5 graph-window jobs but
+  // paid columnar encode/decode on the embedding arrays — slower
+  // wall-clock suite-wide.
   // (84 before the r19 last-hop-checkpoint cut in GraphAnn.searchTopK
   // — the attach search no longer pays a final materialization job;
   // 82 before the r19 batch-internal-wiring checkpoint cut — that
   // frame is consumed exactly once by the gained-union's own
   // materialization, so its eager checkpoint was a pure extra job)
-  private val IvfJobs = 27
-  private val PqJobs = 27
-  private val GannJobs = 81
+  private val IvfJobs = 24
+  private val PqJobs = 24
+  private val GannJobs = 80
 }

@@ -1,13 +1,16 @@
 #!/bin/bash
 # One pinned bench run with /proc/stat steal sampling (VERDICT r18 item 6:
 # steal sampled on EVERY run including the pin). Usage: bench_run.sh N
-# Writes /tmp/bench_r19_runN.json and /tmp/steal_r19_runN.log.
+# Writes /tmp/bench_r20_runN.json and /tmp/steal_r20_runN.log.
 set -u
 N="${1:?run number}"
-OUT="/tmp/bench_r19_run${N}.json"
-STEAL="/tmp/steal_r19_run${N}.log"
-LOG="/tmp/bench_r19_run${N}.out"
+OUT="/tmp/bench_r20_run${N}.json"
+STEAL="/tmp/steal_r20_run${N}.log"
+LOG="/tmp/bench_r20_run${N}.out"
 cd /root/repo
+# Stale artifacts from an earlier run with the same N would feed the summary
+# below misleading totals (r19 ADVICE item 2) — clear them first.
+rm -f "$OUT" "$STEAL" "$LOG"
 # steal sampler: 5 s cadence, (steal, total) jiffies deltas
 (
   prev_steal=0; prev_total=0
@@ -28,6 +31,9 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT="$OUT" \
 RC=$?
 kill "$SAMPLER" 2>/dev/null
 echo "bench run $N exit=$RC out=$OUT"
+if [ "$RC" -ne 0 ]; then
+  echo "sbt failed (rc=$RC) — skipping JSON summary"; exit "$RC"
+fi
 python3 - "$OUT" <<'EOF'
 import json, sys
 try:
