@@ -30,9 +30,20 @@ object JobProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val n = new AtomicInteger()
+    // SPARK_GRAFT_JOB_SITES=1 additionally aggregates jobs by action
+    // call site — the "which line schedules all these jobs" drill-down
+    val bySite = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val sites = sys.env.get("SPARK_GRAFT_JOB_SITES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        n.incrementAndGet(); ()
+        n.incrementAndGet()
+        if (sites) {
+          // the result stage's name is the action's short call site
+          val s = js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
+            .getOrElse("<none>")
+          bySite.merge(s, 1, (a, b) => a + b): Unit
+        }
+        ()
       }
     })
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
@@ -45,6 +56,13 @@ object JobProfile {
       org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"JOBPROFILE $name%-40s jobs=${n.get}%5d secs=$secs%8.2f")
+      if (sites) {
+        import scala.jdk.CollectionConverters._
+        bySite.asScala.toSeq.sortBy(-_._2).foreach { case (s, c) =>
+          println(f"JOBSITE   $name%-40s $c%5d  $s")
+        }
+        bySite.clear()
+      }
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()

@@ -153,12 +153,24 @@ object GraphAnnIndex {
     *  5. the degree re-prune of every edge gainer over existing ∪ new,
     *     top-m by cosine.
     * Work ∝ |batch| · degree², never the graph. */
-  private def planEdits(last: DataFrame, feed: DataFrame, live: DataFrame,
+  private def planEdits(last: DataFrame, feed: DataFrame, liveRaw: => DataFrame,
       g0: Option[DataFrame], m: Int, beam: Int, hops: Int, entryCount: Int,
-      idCol: String, cents: Option[DataFrame],
+      idCol: String, cents: Option[DataFrame], newCount: Long,
       repair: Boolean = true): DataFrame = {
     val spark = last.sparkSession
-    val touched = touchedOf(last, feed).localCheckpoint(true)
+    // live corpus view — LAZY: only the repair patch's scoring and the
+    // attach search read it, so a repair-off arrivals-free window (the
+    // monitor's hot case) never pays the corpus read/checkpoint at all
+    lazy val live = liveRaw.localCheckpoint(true)
+    // checkpointed only when the window reads it more than twice (the
+    // repair patch and the attach machinery); the delete-only eviction
+    // path reads it exactly twice through IDENTICAL distinct subtrees,
+    // which exchange reuse computes once — the eager checkpoint there
+    // was a pure extra job
+    val touched = {
+      val t = touchedOf(last, feed)
+      if (repair || newCount > 0L) t.localCheckpoint(true) else t
+    }
     // 1. consolidation patch from the PRE-eviction graph — skipped in
     //    EVICTION-ONLY mode (repair = false): the lazy-repair trade
     //    published with the method (cheaper delete windows, decaying
@@ -189,20 +201,24 @@ object GraphAnnIndex {
         .selectExpr("src", "dst", "cosine_sim(__se, __de) AS cosine")
     }
     // 2. the surviving-graph VIEW (eviction applied logically; the
-    //    physical deletes ride the single merge below)
-    val gSurv: Option[DataFrame] = g0.map(
+    //    physical deletes ride the single merge below) — LAZY: an
+    //    arrivals-free repair-off window (the monitor's hot case) has
+    //    no consumer for it, so its checkpoint job and the exchange
+    //    materializations inside it are skipped outright (§2.4)
+    lazy val gSurv: Option[DataFrame] = g0.map(
       _.join(touched.select(col("vec_id").as("src")), Seq("src"), "left_anti")
         .join(touched.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
         .select("src", "dst", "cosine").localCheckpoint(true))
     // 3. attach: search the surviving graph for each new vector's
-    //    neighborhood — batch-sized queries, never a corpus pass
-    val newVecs = last
-      .where(col(TxLog.ChangeTypeCol) =!= "delete" && validPred)
-      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
-    // one count serves both the emptiness gate and the batch-internal
-    // size dispatch below — the frame is already materialized
-    val nvCount = newVecs.count()
-    val nvOpt = if (nvCount == 0L) None else Some(newVecs)
+    //    neighborhood — batch-sized queries, never a corpus pass.
+    //    `newCount` arrives from the caller (it rides the change-set
+    //    checkpoint as an observe metric), so the emptiness gate costs
+    //    no job here and an arrivals-free window checkpoints nothing
+    val nvOpt =
+      if (newCount == 0L) None
+      else Some(last
+        .where(col(TxLog.ChangeTypeCol) =!= "delete" && validPred)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true))
     val attach: Seq[DataFrame] = (gSurv, nvOpt) match {
       case (Some(g), Some(nv)) =>
         val cand = GraphAnn.searchTopK(live, g, nv,
@@ -224,7 +240,7 @@ object GraphAnnIndex {
       case (Some(c), Some(nv)) =>
         val half = math.max(1, m / 2)
         val edges =
-          if (nvCount <= GraphAnn.DefaultMaxCellSize)
+          if (newCount <= GraphAnn.DefaultMaxCellSize)
             Similarity.topK(nv, nv, half)
               .select(col("q_id").as("src"), col("vec_id").as("dst"),
                 col("cosine"))
@@ -254,7 +270,7 @@ object GraphAnnIndex {
       .withColumn("__rn", row_number().over(
         Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))))
       .where(col("__rn") <= m).drop("__rn")
-    val empty = newVecs.select(col("vec_id").as("src"),
+    val empty = last.select(col("vec_id").as("src"),
       col("vec_id").as("dst"), lit(0.0).as("cosine")).limit(0)
     val (desired, affected) = gained match {
       case Some(extra0) =>
@@ -274,12 +290,20 @@ object GraphAnnIndex {
     // of every affected src. Upserts win key collisions (a deleted
     // (src,dst) that the new state re-creates is just an update).
     val dels0 = g0.map { g =>
-      g.join(touched.select(col("vec_id").as("src")), Seq("src"), "left_semi")
-        .unionByName(
-          g.join(touched.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
-            .select("src", "dst", "cosine"))
-        .unionByName(gSurv.get.join(affected, Seq("src"), "left_semi"))
-        .select("src", "dst").distinct()
+      val evict =
+        g.join(touched.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+          .unionByName(
+            g.join(touched.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+              .select("src", "dst", "cosine"))
+      // the restate branch re-deletes surviving edges the re-prune did
+      // not re-state; with no attach and no gained edges `affected` is
+      // provably empty, so the branch (and gSurv, its only remaining
+      // consumer on that path) is skipped
+      val withRestate =
+        if (fwd.isEmpty && gained.isEmpty) evict
+        else evict.unionByName(
+          gSurv.get.join(affected, Seq("src"), "left_semi"))
+      withRestate.select("src", "dst").distinct()
     }.getOrElse(empty.select("src", "dst"))
     val ups = desired.withColumn("__ga_act", lit("upsert"))
     val dels = dels0.join(ups.select("src", "dst"), Seq("src", "dst"), "left_anti")
@@ -317,17 +341,30 @@ object GraphAnnIndex {
     // localCheckpoint, not cache: these frames carry embedding arrays,
     // and DataFrame caching pays columnar encode/decode on array
     // columns where the checkpoint stores raw rows (measured slower
-    // suite-wide when cache was tried — r19 run 1)
-    val last = lastImages(feed, idCol).localCheckpoint(true)
-    val applied = last.count()
+    // suite-wide when cache was tried — r19 run 1). The emptiness gate
+    // AND the arrivals count ride the checkpoint as observe metrics —
+    // the separate count job per window is gone (§2.4)
+    val obsL = org.apache.spark.sql.Observation()
+    val last = lastImages(feed, idCol)
+      .observe(obsL, count(lit(1)).as("n"),
+        count(when(col(TxLog.ChangeTypeCol) =!= "delete" && validPred, 1))
+          .as("arrivals"))
+      .localCheckpoint(true)
+    val mL = obsL.get
+    val applied = mL("n").asInstanceOf[Long]
     if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
-    val live = TxLog.read(spark, srcDir, Some(to))
-      .select("vec_id", "embedding").localCheckpoint(true)
+    // passed by name — planEdits checkpoints it lazily (see there)
+    def live = TxLog.read(spark, srcDir, Some(to))
+      .select("vec_id", "embedding")
     val g0 = if (TxLog.latestVersion(indexDir) < 0) None
       else Some(TxLog.read(spark, indexDir).select("src", "dst", "cosine"))
+    // the edits emptiness gate rides the checkpoint the same way
+    val obsE = org.apache.spark.sql.Observation()
     val edits = planEdits(last, feed, live, g0, m, beam, hops, entryCount,
-      idCol, cents, repair).localCheckpoint(true)
-    if (!edits.isEmpty) {
+      idCol, cents, mL("arrivals").asInstanceOf[Long], repair)
+      .observe(obsE, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    if (obsE.get("n").asInstanceOf[Long] > 0L) {
       if (g0.isEmpty)
         TxLog.append(spark, indexDir,
           edits.where(col("__ga_act") === "upsert")
@@ -367,20 +404,32 @@ object GraphAnnIndex {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val last = lastImages(batch, idCol).localCheckpoint(true)
-        // one agg job serves the emptiness gate AND the batch's end
-        // version (the probe cursor's upTo — bounded by the BATCH, not
-        // the source head, so a backlogged stream refreshes
-        // window-by-window against the graph state each merge produced)
-        val g8 = last.agg(count(lit(1)), max(col("_commit_version"))).head()
-        if (g8.getLong(0) > 0L) {
-          val live = TxLog.read(s, srcDir, Some(TxLog.latestVersion(srcDir)))
-            .select("vec_id", "embedding").localCheckpoint(true)
+        // the emptiness gate, the batch's end version (the probe
+        // cursor's upTo — bounded by the BATCH, not the source head,
+        // so a backlogged stream refreshes window-by-window against
+        // the graph state each merge produced) AND the arrivals count
+        // all ride the checkpoint as observe metrics — the separate
+        // agg job per micro-batch is gone (§2.4)
+        val obsB = org.apache.spark.sql.Observation()
+        val last = lastImages(batch, idCol)
+          .observe(obsB, count(lit(1)).as("n"),
+            max(col("_commit_version")).as("v"),
+            count(when(col(TxLog.ChangeTypeCol) =!= "delete" && validPred, 1))
+              .as("arrivals"))
+          .localCheckpoint(true)
+        val mB = obsB.get
+        if (mB("n").asInstanceOf[Long] > 0L) {
+          // by name — planEdits checkpoints it lazily (see there)
+          def live = TxLog.read(s, srcDir, Some(TxLog.latestVersion(srcDir)))
+            .select("vec_id", "embedding")
           val g0 = if (TxLog.latestVersion(indexDir) < 0) None
             else Some(TxLog.read(s, indexDir).select("src", "dst", "cosine"))
+          val obsE = org.apache.spark.sql.Observation()
           val edits = planEdits(last, batch, live, g0, m, beam, hops,
-            entryCount, idCol, cents).localCheckpoint(true)
-          if (!edits.isEmpty)
+            entryCount, idCol, cents, mB("arrivals").asInstanceOf[Long])
+            .observe(obsE, count(lit(1)).as("n"))
+            .localCheckpoint(true)
+          if (obsE.get("n").asInstanceOf[Long] > 0L)
             TxLog.mergeClausesBatch(s, indexDir, edits, Seq("src", "dst"),
               mergeClauses, appId, batchId): Unit
           // replay-safe by the AsOf cursor: a replayed batch (merge
@@ -390,7 +439,7 @@ object GraphAnnIndex {
           // two commits; the REFRESH is idempotent, the merge tagged)
           if (TxLog.latestVersion(indexDir) >= 0 &&
               TxLog.snapshot(indexDir).props.contains(Probe.Conf))
-            refreshProbes(s, srcDir, indexDir, g8.getLong(1))
+            refreshProbes(s, srcDir, indexDir, mB("v").asInstanceOf[Long])
         }
       }
       .option("checkpointLocation", ckptDir)
@@ -452,13 +501,17 @@ object GraphAnnIndex {
       srcVersion: Option[Long], indexDir: String, ids: Seq[Long],
       pairs: Seq[(Long, Long)], k: Int, beam: Int, hops: Int,
       entryCount: Int): Long = {
-    import spark.implicits._
     val live = TxLog.read(spark, srcDir, srcVersion).select("vec_id", "embedding")
     val res = GraphAnn.searchTopK(live,
       TxLog.read(spark, indexDir).select("src", "dst", "cosine"),
       live.where(col("vec_id").isin(ids: _*)), k, beam, hops, entryCount)
-    res.select("q_id", "vec_id")
-      .intersect(pairs.toDF("q_id", "vec_id")).count()
+    // the result is ≤ |ids| · k rows and ids ride the ≤ 512-pair probe
+    // contract, so the hit count is a bounded driver fold over ONE
+    // collect — the old intersect().count() paid an extra aggregate +
+    // join (2–3 exchanges, each an AQE materialization job) per search
+    val want = pairs.toSet
+    res.select("q_id", "vec_id").collect()
+      .count(r => want((r.getLong(0), r.getLong(1)))).toLong
   }
 
   /** Delta-maintain the probe benchmark through the windows in
@@ -501,8 +554,15 @@ object GraphAnnIndex {
         val feed = TxLog.readChangeFeed(spark, srcDir, asOf.get, Some(upTo))
         // every vec_id the windows touched, preimages included (a
         // re-key retires its old id through the preimage only) — a
-        // changed id ends its pairs' validity on either endpoint
-        val t = feed.select(col("vec_id")).distinct().localCheckpoint(true)
+        // changed id ends its pairs' validity on either endpoint; the
+        // arrivals flag rides the same checkpoint as an observe metric
+        // (was a separate limit(1).count job per refresh)
+        val obsT = org.apache.spark.sql.Observation()
+        val t = feed
+          .observe(obsT, count(when(
+            col(TxLog.ChangeTypeCol) === "insert" ||
+              col(TxLog.ChangeTypeCol) === "update_postimage", 1)).as("arr"))
+          .select(col("vec_id")).distinct().localCheckpoint(true)
         val survDf = pairs0.toDF("q_id", "vec_id")
           .join(t.select(col("vec_id").as("q_id")), Seq("q_id"), "left_anti")
           .join(t, Seq("vec_id"), "left_anti")
@@ -511,10 +571,7 @@ object GraphAnnIndex {
         // so endpoint invalidation alone is exact — one small probe
         // job instead of the scoring DAG (the monitor's hot case:
         // eviction-heavy feeds are what it exists to bound)
-        val hasArrivals = feed.where(
-          col(TxLog.ChangeTypeCol) === "insert" ||
-            col(TxLog.ChangeTypeCol) === "update_postimage")
-          .limit(1).count() > 0L
+        val hasArrivals = obsT.get("arr").asInstanceOf[Long] > 0L
         val surv = if (!hasArrivals)
           survDf.select("q_id", "vec_id").as[(Long, Long)].collect().toSeq.sorted
         else {

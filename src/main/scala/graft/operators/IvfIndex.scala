@@ -99,26 +99,28 @@ object IvfIndex {
         col("q_bp"))
   }
 
-  /** One (sum(q_bp), count) pair of `assigned` as "sum:n". */
-  private def bpStats(assigned: DataFrame): (Long, Long) = {
-    val r = assigned.agg(
-      coalesce(sum(col("q_bp")), lit(0L)).as("s"),
-      count(lit(1)).as("n")).head()
-    (r.getLong(0), r.getLong(1))
-  }
-
-  /** ONE job serving the emptiness gate AND the drift stats of a
-    * change set: (rows applied, upsert q_bp sum, upsert count) — the
-    * separate count-then-bpStats pair was two scheduled jobs per
-    * window, and job count × scheduling latency is the protocol
-    * family's measured bench cost (round-18 steal adjudication). */
-  private def changeStats(changes: DataFrame): (Long, Long, Long) = {
-    val r = changes.agg(
+  /** Checkpoint the change set with its stats riding the SAME job: the
+    * emptiness gate + drift stats (rows applied, upsert q_bp sum,
+    * upsert count) land as `Dataset.observe` metrics of the checkpoint
+    * materialization, so the separate stats aggregation job disappears
+    * (guide §2.4 — r19 had already fused count+bpStats into ONE agg
+    * job; this round folds that job into the checkpoint itself). */
+  private def checkpointWithStats(
+      changes: DataFrame): (DataFrame, (Long, Long, Long)) = {
+    val obs = org.apache.spark.sql.Observation()
+    // localCheckpoint, NOT cache: the change set carries embedding
+    // arrays, and DataFrame caching pays columnar encode/decode on
+    // array columns where the checkpoint stores raw rows — measured
+    // slower suite-wide when tried (r19 run 1)
+    val ck = changes.observe(obs,
       count(lit(1)).as("applied"),
       coalesce(sum(when(col("__ix_act") === "upsert", col("q_bp"))),
         lit(0L)).as("s"),
-      count(when(col("__ix_act") === "upsert", 1)).as("n")).head()
-    (r.getLong(0), r.getLong(1), r.getLong(2))
+      count(when(col("__ix_act") === "upsert", 1)).as("n"))
+      .localCheckpoint(true)
+    val m = obs.get
+    (ck, (m("applied").asInstanceOf[Long], m("s").asInstanceOf[Long],
+      m("n").asInstanceOf[Long]))
   }
 
   /** The drift-accumulator property rider a window's merge commit
@@ -151,12 +153,19 @@ object IvfIndex {
     val v = TxLog.latestVersion(srcDir)
     val src = TxLog.read(spark, srcDir, Some(v)).where(validPred)
       .select(col(idCol), col("vec_id"), col("embedding"))
-    val assigned = assign(src, cents, idCol).localCheckpoint(true)
-    TxLog.append(spark, indexDir, assigned): Unit
     // baseline quality of the corpus the quantizer was frozen against —
-    // the reference every later window's flow is compared to
+    // the reference every later window's flow is compared to; it rides
+    // the checkpoint materialization as observe metrics (no extra job)
+    val obs = org.apache.spark.sql.Observation()
+    val assigned = assign(src, cents, idCol)
+      .observe(obs, coalesce(sum(col("q_bp")), lit(0L)).as("s"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val m = obs.get
+    TxLog.append(spark, indexDir, assigned): Unit
     TxLog.setProperties(indexDir, Map(
-      Drift.Base -> packStats(bpStats(assigned)),
+      Drift.Base -> packStats(
+        (m("s").asInstanceOf[Long], m("n").asInstanceOf[Long])),
       Drift.Last -> "0:0", Drift.Cum -> "0:0")): Unit
     v
   }
@@ -174,13 +183,8 @@ object IvfIndex {
     if (!TxLog.hasRowChanges(srcDir, fromExclusive, to))
       return MaintainResult(to, 0L, layoutOnlySkip = true)
     val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
-    // localCheckpoint, NOT cache: the change set carries embedding
-    // arrays, and DataFrame caching pays columnar encode/decode on
-    // array columns where the checkpoint stores raw rows — measured
-    // slower suite-wide when tried (r19 run 1: every embedding-frame
-    // family landed above the host band; the job count was neutral)
-    val changes = changesOf(feed, cents, idCol).localCheckpoint(true)
-    val (applied, wSum, wN) = changeStats(changes)
+    val (changes, (applied, wSum, wN)) =
+      checkpointWithStats(changesOf(feed, cents, idCol))
     if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
     // drift accumulation rides the merge commit itself
     // ([[driftRider]]): the window's INCOMING assignment quality,
@@ -275,8 +279,8 @@ object IvfIndex {
       .load()
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val changes = changesOf(batch, cents, idCol).localCheckpoint(true)
-        val (applied, wSum, wN) = changeStats(changes)
+        val (changes, (applied, wSum, wN)) =
+          checkpointWithStats(changesOf(batch, cents, idCol))
         if (applied > 0L)
           TxLog.mergeClausesBatch(batch.sparkSession, indexDir, changes,
             Seq(idCol), clauses, appId, batchId,

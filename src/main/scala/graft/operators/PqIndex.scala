@@ -89,28 +89,30 @@ object PqIndex {
       .select(col(idCol), col("vec_id"), col("codes"), col("q_units"))
   }
 
-  private def unitStats(encoded: DataFrame): (Long, Long) = {
-    val r = encoded.agg(
-      coalesce(sum(col("q_units")), lit(0L)).as("s"),
-      count(lit(1)).as("n")).head()
-    (r.getLong(0), r.getLong(1))
-  }
   private def packStats(s: (Long, Long)): String = s"${s._1}:${s._2}"
   private def unpackStats(v: Option[String]): (Long, Long) = v match {
     case Some(x) => val p = x.split(":"); (p(0).toLong, p(1).toLong)
     case None => (0L, 0L)
   }
 
-  /** ONE job serving the emptiness gate AND the drift stats of a
-    * change set: (rows applied, upsert q_units sum, upsert count) —
-    * the [[IvfIndex.changeStats]] job-count discipline. */
-  private def changeStats(changes: DataFrame): (Long, Long, Long) = {
-    val r = changes.agg(
+  /** Checkpoint the change set with its stats riding the SAME job
+    * ([[IvfIndex.checkpointWithStats]]' observe-metrics discipline):
+    * the emptiness gate + drift stats land as metrics of the checkpoint
+    * materialization, so the separate stats job disappears. */
+  private def checkpointWithStats(
+      changes: DataFrame): (DataFrame, (Long, Long, Long)) = {
+    val obs = org.apache.spark.sql.Observation()
+    // localCheckpoint, not cache — the [[IvfIndex]] rule: embedding-
+    // array frames pay columnar encode under cache()
+    val ck = changes.observe(obs,
       count(lit(1)).as("applied"),
       coalesce(sum(when(col("__pq_act") === "upsert", col("q_units"))),
         lit(0L)).as("s"),
-      count(when(col("__pq_act") === "upsert", 1)).as("n")).head()
-    (r.getLong(0), r.getLong(1), r.getLong(2))
+      count(when(col("__pq_act") === "upsert", 1)).as("n"))
+      .localCheckpoint(true)
+    val m = obs.get
+    (ck, (m("applied").asInstanceOf[Long], m("s").asInstanceOf[Long],
+      m("n").asInstanceOf[Long]))
   }
 
   /** The drift-accumulator rider a window's merge commit carries —
@@ -133,11 +135,18 @@ object PqIndex {
     val v = TxLog.latestVersion(srcDir)
     val src = TxLog.read(spark, srcDir, Some(v)).where(validPred)
       .select(col(idCol), col("vec_id"), col("embedding"))
+    // baseline stats ride the checkpoint materialization as observe
+    // metrics (no extra job — the IvfIndex.initialize discipline)
+    val obs = org.apache.spark.sql.Observation()
     val encoded = encodePacked(src, codebook, m, subDim, idCol)
+      .observe(obs, coalesce(sum(col("q_units")), lit(0L)).as("s"),
+        count(lit(1)).as("n"))
       .localCheckpoint(true)
+    val mm = obs.get
     TxLog.append(spark, indexDir, encoded): Unit
     TxLog.setProperties(indexDir, Map(
-      Drift.Base -> packStats(unitStats(encoded)),
+      Drift.Base -> packStats(
+        (mm("s").asInstanceOf[Long], mm("n").asInstanceOf[Long])),
       Drift.Last -> "0:0", Drift.Cum -> "0:0")): Unit
     v
   }
@@ -154,10 +163,8 @@ object PqIndex {
     if (!TxLog.hasRowChanges(srcDir, fromExclusive, to))
       return MaintainResult(to, 0L, layoutOnlySkip = true)
     val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
-    // localCheckpoint, not cache — the [[IvfIndex.maintain]] rule:
-    // embedding-array frames pay columnar encode under cache()
-    val changes = changesOf(feed, codebook, m, subDim, idCol).localCheckpoint(true)
-    val (applied, wSum, wN) = changeStats(changes)
+    val (changes, (applied, wSum, wN)) =
+      checkpointWithStats(changesOf(feed, codebook, m, subDim, idCol))
     if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
     // drift accumulation rides the merge commit ([[driftRider]]): no
     // extra kernels, no extra commit, no crash window
@@ -244,9 +251,8 @@ object PqIndex {
       .load()
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val changes = changesOf(batch, codebook, m, subDim, idCol)
-          .localCheckpoint(true)
-        val (applied, wSum, wN) = changeStats(changes)
+        val (changes, (applied, wSum, wN)) =
+          checkpointWithStats(changesOf(batch, codebook, m, subDim, idCol))
         if (applied > 0L)
           TxLog.mergeClausesBatch(batch.sparkSession, indexDir, changes,
             Seq(idCol), clauses, appId, batchId,

@@ -81,10 +81,14 @@ object RowIdView {
     if (!TxLog.hasRowChanges(srcDir, fromExclusive, to))
       return MaintainResult(to, 0L, layoutOnlySkip = true)
     val feed = TxLog.readChangeFeed(spark, srcDir, fromExclusive, Some(to))
+    // one evaluation feeds both the count and the merge staging; the
+    // count rides the checkpoint as an observe metric (one job, not
+    // checkpoint + count — the IvfIndex.checkpointWithStats discipline)
+    val obs = org.apache.spark.sql.Observation()
     val changes = changesOf(feed, pred, projections, idCol)
-      // one evaluation feeds both the count and the merge staging
+      .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val applied = changes.count()
+    val applied = obs.get("n").asInstanceOf[Long]
     // a window whose commits carried changes that all cancelled to
     // nothing (or never touched tracked rows) applies as a no-op
     if (applied == 0L) return MaintainResult(to, 0L, layoutOnlySkip = false)
@@ -148,10 +152,12 @@ object RowIdView {
       .load()
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val obs = org.apache.spark.sql.Observation()
         val changes = changesOf(batch, pred, projections, idCol)
+          .observe(obs, count(lit(1)).as("n"))
           .localCheckpoint(true)
         // an empty batch (layout-only window) must not burn a commit
-        if (changes.count() > 0L)
+        if (obs.get("n").asInstanceOf[Long] > 0L)
           TxLog.mergeClausesBatch(batch.sparkSession, viewDir, changes,
             Seq(idCol), clauses, appId, batchId): Unit
       }

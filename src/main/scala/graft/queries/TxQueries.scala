@@ -3500,7 +3500,11 @@ object TxQueries2 {
       GraphAnnIndex.stream(s, src, idx, ckpt, at, gM, beam = 32, hops = 3,
         entryCount = 8, cents = Some(cents)) // replay: no-op
       val noopCommits = TxLog.latestVersion(idx) - vIdx0 - streamCommits
+      // live count + checksum ride the checkpoint as observe metrics
+      // (was: a separate agg job over the materialized frame)
+      val obsLive = org.apache.spark.sql.Observation()
       val live = TxLog.read(s, src).select("vec_id", "embedding")
+        .observe(obsLive, count(lit(1)).as("n"), sum("vec_id").as("ck"))
         .localCheckpoint(true)
       val edges = TxLog.read(s, idx).select("src", "dst", "cosine")
         .localCheckpoint(true)
@@ -3531,16 +3535,19 @@ object TxQueries2 {
       val deadSrc = eRow.getLong(0); val deadDst = eRow.getLong(1)
       val wiredLate = eRow.getLong(2); val wiredRekeyed = eRow.getLong(3)
       val maxDeg = eRow.getLong(4)
-      // live count + checksum in ONE job, reused by the recall eval's
-      // size dispatch AND the final row (was: count here, re-agg below)
-      val lRow = live.agg(count(lit(1)).as("n"), sum("vec_id").as("ck")).head()
-      val nLive = lRow.getLong(0); val liveChecksum = lRow.getLong(1)
+      // live count + checksum came free with the checkpoint (observe)
+      val mLive = obsLive.get
+      val nLive = mLive("n").asInstanceOf[Long]
+      val liveChecksum = mLive("ck").asInstanceOf[Long]
       val queries = live.where("vec_id % 9 = 1").localCheckpoint(true)
-      val truth = Similarity.topK(live, queries, 3).localCheckpoint(true)
-      // truth size + checksum in ONE job (was two)
-      val tRow = truth.agg(count(lit(1)).as("n"),
-        sum(col("q_id") * 1000003L + col("vec_id")).as("ck")).head()
-      val truthPairs = tRow.getLong(0)
+      // truth size + checksum ride the truth checkpoint the same way
+      val obsT = org.apache.spark.sql.Observation()
+      val truth = Similarity.topK(live, queries, 3)
+        .observe(obsT, count(lit(1)).as("n"),
+          sum(col("q_id") * 1000003L + col("vec_id")).as("ck"))
+        .localCheckpoint(true)
+      val mT = obsT.get
+      val truthPairs = mT("n").asInstanceOf[Long]
       def hits(res: org.apache.spark.sql.DataFrame): Long = res
         .select("q_id", "vec_id").intersect(truth.select("q_id", "vec_id"))
         .count()
@@ -3553,7 +3560,7 @@ object TxQueries2 {
       s.range(1)
         .select(lit(nLive).as("n_live"), lit(liveChecksum).as("live_checksum"))
         .withColumn("truth_pairs", lit(truthPairs))
-        .withColumn("truth_checksum", lit(tRow.getLong(1)))
+        .withColumn("truth_checksum", lit(mT("ck").asInstanceOf[Long]))
         .withColumn("dead_src_edges", lit(deadSrc))
         .withColumn("dead_dst_edges", lit(deadDst))
         .withColumn("appended_wired", lit(wiredLate))
@@ -3764,14 +3771,22 @@ object TxQueries2 {
       val src = s"$root/src"
       val idxR = s"$root/idxr"; val idxL = s"$root/idxl"
       val gM = 8; val band = 1000L
-      // corpus capped at 600 ids — the q223/q224/q225 bench-weight trim
+      // corpus capped at 600 ids — the q223/q224/q225 bench-weight trim;
+      // the corpus count (buildFor's size dispatch) rides the checkpoint
+      // as an observe metric instead of a separate count job
+      val obsOk = org.apache.spark.sql.Observation()
       val ok = Td.load(s, dir, "embeddings").select("vec_id", "embedding")
         .where("vec_id < 600")
         .where(expr(Similarity.validEmbExpr(SparkSql, "embedding")))
+        .observe(obsOk, count(lit(1)).as("n"))
         .localCheckpoint(true)
+      // NOT checkpointed: this scenario never evaluates the quantizer —
+      // the ≤ one-cell corpus takes the exact build and every window is
+      // arrivals-free (batch-internal wiring never fires) — so an eager
+      // materialization here was one pure extra job; a cheap projection
+      // of the checkpointed `ok` covers any lazy read
       val cents = ok.where("vec_id % 100 = 7")
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-        .localCheckpoint(true)
       TxLog.append(s, src, ok)
       TxLog.enableRowTracking(s, src)
       TxLog.setProperties(src, Map(TxLog.Cdf.Enabled -> "true"))
@@ -3779,7 +3794,8 @@ object TxQueries2 {
       // ONE build feeds both indexes — the only difference between the
       // two maintenance runs is the repair mode
       val g = GraphAnnIndex.buildFor(ok, cents, gM, rounds = 1,
-        knownCount = Some(ok.count())).localCheckpoint(true)
+        knownCount = Some(obsOk.get("n").asInstanceOf[Long]))
+        .localCheckpoint(true)
       TxLog.append(s, idxR, g): Unit
       TxLog.append(s, idxL, g): Unit
       GraphAnnIndex.enableProbes(s, src, idxR,

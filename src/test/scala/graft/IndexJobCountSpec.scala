@@ -135,7 +135,13 @@ class IndexJobCountSpec extends AnyFunSuite with SparkTestBase {
   // 82 before the r19 batch-internal-wiring checkpoint cut — that
   // frame is consumed exactly once by the gained-union's own
   // materialization, so its eager checkpoint was a pure extra job)
-  private val IvfJobs = 24
-  private val PqJobs = 24
-  private val GannJobs = 80
+  // r20 second cut: the change-set/last-image emptiness gates, drift
+  // stats and arrivals counts now ride their checkpoints as
+  // Dataset.observe metrics (one job instead of checkpoint + agg), the
+  // edits emptiness check rides the edits checkpoint the same way, and
+  // planEdits' surviving-graph view went lazy (an arrivals-free window
+  // never materializes it) — IVF/PQ 24 → 22, graph 80 → 75.
+  private val IvfJobs = 22
+  private val PqJobs = 22
+  private val GannJobs = 75
 }
