@@ -21,6 +21,39 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** A session for ONE finite stream run whose shuffle-partition count
+    * — which for a stateful streaming operator is also its STATE-STORE
+    * count, each paying a per-micro-batch commit + maintenance cost —
+    * is right-sized to the streamed input instead of inheriting the
+    * batch session's core-count default: ceil(inputBytes /
+    * maxPartitionBytes), clamped to [1, the parent session's shuffle
+    * partitions] (guide §5). The bound is derived from DATA SIZE, so it
+    * grows with the declared SF and never encodes the local core
+    * count; the parent's setting stays the ceiling, so a cluster-sized
+    * configuration is respected. Legitimate ONLY for per-run-fresh
+    * checkpoints (every caller here checkpoints into a
+    * Scratch.dir temp directory): a persistent checkpoint pins its
+    * state-store count at first run and must never be re-sized —
+    * [[windowedEventCountsAppend]] takes a caller-owned checkpoint and
+    * deliberately does NOT use this. */
+  private def sizedStreamSession(spark: SparkSession,
+      inputDirs: Seq[String]): SparkSession = {
+    val bytes = inputDirs.map { d =>
+      val f = new java.io.File(d)
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+      else f.length()
+    }.sum
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val parent = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = math.max(1L,
+      math.min(parent.toLong, (bytes + maxPart - 1) / maxPart)).toInt
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", n)
+    ss
+  }
+
   /** Run a finite (AvailableNow) streaming frame to a parquet TEMP SINK
     * and read it back as batch — the result path that keeps the driver
     * out of the data plane. Append mode uses the file sink's own
@@ -62,9 +95,11 @@ object StreamingOps {
     * Runs the stream to completion (AvailableNow) and returns the final
     * window table. */
   def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = spark.readStream
-      .schema(eventsSchema(spark, sfDir))
-      .parquet(streamableDir(sfDir))
+    val src = streamableDir(sfDir)
+    val ss = sizedStreamSession(spark, Seq(src))
+    val raw = ss.readStream
+      .schema(eventsSchema(ss, sfDir))
+      .parquet(src)
     val stream = graft.Td.canonicalizeTs(raw)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -125,9 +160,11 @@ object StreamingOps {
     * single-delivery oracle, so a dedup miss doubles every count and
     * breaks the hash. */
   def dedupedDoubleDelivery(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = spark.readStream
-      .schema(eventsSchema(spark, sfDir))
-      .parquet(doubledDir(sfDir))
+    val src = doubledDir(sfDir)
+    val ss = sizedStreamSession(spark, Seq(src))
+    val raw = ss.readStream
+      .schema(eventsSchema(ss, sfDir))
+      .parquet(src)
     // dedup THEN aggregate, both in-stream (chained stateful operators):
     // the sink holds one row per event_type instead of pinning the
     // whole deduplicated corpus in driver memory for the session
@@ -155,10 +192,12 @@ object StreamingOps {
     * answer — which is exactly what the oracle checks. */
   def clickPurchaseAttribution(spark: SparkSession, sfDir: String,
       windowHours: Int = 24, userFilter: String = "true"): DataFrame = {
+    val src = streamableDir(sfDir)
+    val ss = sizedStreamSession(spark, Seq(src))
     def events() = graft.Td.canonicalizeTs(
-      spark.readStream
-        .schema(eventsSchema(spark, sfDir))
-        .parquet(streamableDir(sfDir)))
+      ss.readStream
+        .schema(eventsSchema(ss, sfDir))
+        .parquet(src))
     val clicks = events().where(s"event_type = 'click' AND ($userFilter)")
       .selectExpr("event_id AS click_id", "user_id", "ts AS click_ts")
       .withWatermark("click_ts", "1 day")
